@@ -1,0 +1,91 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column functions for large-scale document pipelines:
+  * tokenization, quality scoring, language ID, fingerprinting.
+  *
+  * These extend the reference's string-function surface (apache/pinot
+  * `pinot-common/.../function/scalar/StringFunctions.java`) with the
+  * document-pipeline operations a training-data workflow needs.
+  * All are pure Catalyst expressions (codegen'd, no UDFs) so they run
+  * at full scan speed over 100 TB of documents.
+  */
+object TextFunctions {
+
+  /** Whitespace tokens (empty strings removed). */
+  def tokens(text: Column): Column =
+    filter(split(text, "\\s+"), t => length(t) > 0)
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish token count: runs of letters, runs of digits, or single
+    * non-alphanumeric-non-space chars — a cheap proxy for subword
+    * tokenizer counts. */
+  def regexTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"), lit(0)))
+
+  /** Distinct lowercase tokens, sorted — the canonical token set. */
+  def tokenSet(text: Column): Column =
+    array_sort(array_distinct(tokens(lower(text))))
+
+  /** OpenRefine-style fingerprint: md5 of the sorted distinct lowercase
+    * token set. Collisions = same bag of words (order/dup-insensitive). */
+  def fingerprint(text: Column): Column =
+    md5(array_join(tokenSet(text), " "))
+
+  /** Ratio of non-alphanumeric-non-space chars to total length. */
+  def punctRatio(text: Column): Column =
+    when(length(text) === 0, lit(0.0)).otherwise(
+      length(regexp_replace(text, "[A-Za-z0-9\\s]", "")).cast("double") /
+        length(text).cast("double"))
+
+  private val enStop = Seq("the", "a", "and", "of", "to", "in", "is", "on", "for", "with")
+  private val deStop = Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "von", "zu")
+  private val frStop = Seq("le", "la", "les", "et", "est", "un", "une", "des", "pour", "dans")
+
+  private def hits(text: Column, words: Seq[String]): Column = {
+    val set = array(words.map(lit): _*)
+    size(filter(tokens(lower(text)), t => array_contains(set, t)))
+  }
+
+  /** Fraction of tokens that are English stopwords — a standard quality
+    * signal (very low ⇒ word soup / non-English; used by C4/Gopher rules). */
+  def stopwordRatio(text: Column): Column =
+    when(tokenCount(text) === 0, lit(0.0)).otherwise(
+      hits(text, enStop).cast("double") / tokenCount(text).cast("double"))
+
+  /** N-gram-heuristic language ID over stopword hits; deterministic
+    * tie-break en > de > fr > unknown. */
+  def langId(text: Column): Column = {
+    val en = hits(text, enStop); val de = hits(text, deStop); val fr = hits(text, frStop)
+    when(en >= de && en >= fr && en > 0, lit("en"))
+      .when(de >= fr && de > 0, lit("de"))
+      .when(fr > 0, lit("fr"))
+      .otherwise(lit("unknown"))
+  }
+
+  /** Composite quality score in [0,1]: mean word length sanity, stopword
+    * presence, punctuation sanity. Deterministic, cheap, codegen'd. */
+  def qualityScore(text: Column): Column = {
+    val nTok = tokenCount(text).cast("double")
+    val meanLen = when(nTok === 0, lit(0.0))
+      .otherwise(length(regexp_replace(text, "\\s", "")).cast("double") / nTok)
+    val lenOk = when(meanLen >= 3 && meanLen <= 10, lit(1.0)).otherwise(lit(0.0))
+    val stopOk = when(stopwordRatio(text) > 0.01, lit(1.0)).otherwise(lit(0.0))
+    val punctOk = when(punctRatio(text) < 0.2, lit(1.0)).otherwise(lit(0.0))
+    (lenOk + stopOk + punctOk) / lit(3.0)
+  }
+
+  /** Word-level n-gram shingles (n consecutive tokens joined by space),
+    * distinct. Basis for MinHash / Jaccard dedup. */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = tokens(lower(text))
+    // slice() is 1-based; starts = [1 .. size-n+1], empty when too short
+    val starts = when(size(toks) >= n, sequence(lit(1), size(toks) - (n - 1)))
+      .otherwise(array().cast("array<int>"))
+    array_distinct(transform(starts, i => array_join(slice(toks, i, lit(n)), " ")))
+  }
+}

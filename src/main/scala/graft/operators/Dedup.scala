@@ -1,0 +1,168 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+
+/** Document deduplication operators for training-data pipelines:
+  * exact, n-gram Jaccard, MinHash+LSH, SimHash.
+  *
+  * Extends the reference's dedup surface (apache/pinot
+  * `pinot-segment-local/.../dedup/ConcurrentMapPartitionDedupMetadataManager.java`
+  * — exact primary-key dedup) with content-based near-dup detection.
+  *
+  * Scale design notes (the whole point of these algorithms):
+  *  - exact dedup      = hash-groupBy, one shuffle on the content hash.
+  *  - Jaccard          = candidate generation via an inverted token index
+  *                       with a document-frequency cap (frequent tokens
+  *                       generate O(df²) pairs — capping df bounds the
+  *                       blow-up, the standard prefix-filter relaxation),
+  *                       then exact verification only on candidate pairs.
+  *  - MinHash + LSH    = fixed-size signature per doc (shuffle carries
+  *                       k longs, never the token sets), banded into
+  *                       buckets; only same-bucket pairs are compared.
+  *  - SimHash          = single 64-bit fingerprint per doc; near-dups =
+  *                       small Hamming distance, found by pigeonhole
+  *                       banding of the fingerprint bits.
+  * None of these ever materializes the O(n²) pair space.
+  */
+object Dedup {
+
+  /** Exact dedup groups by content hash. Returns one row per distinct
+    * content: (content_hash, keep_id = min id, n_dups). */
+  def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.groupBy(md5(col(textCol)).as("content_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count("*").as("n_dups"))
+
+  /** Candidate pairs sharing >= 1 "rare" token (document frequency <=
+    * dfCap), with exact Jaccard over full distinct-token sets computed
+    * only for those pairs. Returns (id_a, id_b, jaccard) with id_a < id_b
+    * and jaccard >= threshold. */
+  def tokenJaccard(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double,
+      dfCap: Long = 100): DataFrame = {
+
+    val toks = docs.select(col(idCol).as("id"),
+      TextFunctions.tokenSet(col(textCol)).as("toks"))
+    val inv = toks.select(col("id"), explode(col("toks")).as("tok"))
+    // document-frequency cap: drop tokens too common to be discriminative
+    val rare = inv.groupBy("tok").agg(count("*").as("df"), collect_list("id").as("ids"))
+      .filter(col("df") <= dfCap)
+    // same-token pairs from the inverted index (distinct across tokens)
+    val cand = rare.select(explode(col("ids")).as("a"), col("ids"))
+      .select(col("a"), explode(col("ids")).as("b"))
+      .filter(col("a") < col("b")).distinct()
+
+    val ta = toks.select(col("id").as("a"), col("toks").as("toks_a"))
+    val tb = toks.select(col("id").as("b"), col("toks").as("toks_b"))
+    cand.join(ta, "a").join(tb, "b")
+      .withColumn("inter", size(array_intersect(col("toks_a"), col("toks_b"))).cast("double"))
+      .withColumn("uni", (size(col("toks_a")) + size(col("toks_b"))).cast("double") - col("inter"))
+      .withColumn("jaccard", col("inter") / col("uni"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a").as("id_a"), col("b").as("id_b"), col("jaccard"))
+  }
+
+  /** Deterministic 64-bit hash of a string, seed-parameterized: feeding
+    * the seed as an extra hashed column gives an independent-enough hash
+    * family for MinHash. Pure Catalyst expression — codegen'd. */
+  private def hash64(c: Column, seed: Int): Column =
+    xxhash64(lit(seed), c)
+
+  /** MinHash signatures over word shingles: k independent permutations
+    * approximated by seeded hashes; signature[i] = min over shingles. */
+  def minhashSignatures(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      numHashes: Int = 32,
+      shingleSize: Int = 3): DataFrame = {
+    val sh = docs.select(col(idCol).as("id"),
+      TextFunctions.shingles(col(textCol), shingleSize).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val sig = array((0 until numHashes).map { i =>
+      array_min(transform(col("sh"), s => hash64(s, i)))
+    }: _*)
+    sh.select(col("id"), sig.as("signature"))
+  }
+
+  /** MinHash + LSH near-dup candidate pairs: band the signature, bucket
+    * by (band index, band hash), pair within buckets, then estimate
+    * similarity as the fraction of matching signature positions.
+    * Returns (id_a, id_b, est_jaccard >= threshold). */
+  def minhashLsh(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double,
+      numHashes: Int = 32,
+      bands: Int = 8,
+      shingleSize: Int = 3): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val rows = numHashes / bands
+    val sigs = minhashSignatures(docs, idCol, textCol, numHashes, shingleSize)
+
+    val bandHashes = array((0 until bands).map { b =>
+      hash(slice(col("signature"), b * rows + 1, rows), lit(b))
+    }: _*)
+    val banded = sigs.select(col("id"), col("signature"),
+      posexplode(bandHashes).as(Seq("band", "bucket")))
+
+    val a = banded.select(col("band"), col("bucket"), col("id").as("a"), col("signature").as("sig_a"))
+    val b = banded.select(col("band"), col("bucket"), col("id").as("b"), col("signature").as("sig_b"))
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"), col("sig_a"), col("sig_b")).distinct()
+      .withColumn("est_jaccard",
+        size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), m => m))
+          .cast("double") / lit(numHashes.toDouble))
+      .filter(col("est_jaccard") >= threshold)
+      .select(col("a").as("id_a"), col("b").as("id_b"), col("est_jaccard"))
+  }
+
+  /** 64-bit SimHash over distinct tokens: bit j of the fingerprint is the
+    * sign of the sum over tokens of (bit j of token-hash ? +1 : -1). */
+  def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = TextFunctions.tokenSet(col(textCol))
+    val hashes = transform(toks, t => xxhash64(t))
+    // per-bit vote: for each of 64 bits, sum +1/-1 over token hashes
+    val fp = (0 until 64).foldLeft(lit(0L)) { (acc, j) =>
+      val vote = aggregate(hashes, lit(0),
+        (s, h) => s + when(shiftrightunsigned(h, j).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1))
+      acc.bitwiseOR(when(vote > 0, shiftleft(lit(1L), j)).otherwise(lit(0L)))
+    }
+    docs.select(col(idCol).as("id"), fp.as("simhash"))
+  }
+
+  /** Hamming distance between two int64 fingerprints. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup pairs with hamming distance <= maxDist, found by
+    * pigeonhole banding: split 64 bits into (maxDist+1) bands — any pair
+    * within maxDist must agree exactly on >= 1 band. */
+  def simhashPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxDist: Int = 3): DataFrame = {
+    val bands = maxDist + 1
+    val width = 64 / bands
+    val fps = simhash(docs, idCol, textCol)
+    val bandKeys = array((0 until bands).map { b =>
+      shiftrightunsigned(col("simhash"), b * width).bitwiseAND(lit((1L << width) - 1))
+    }: _*)
+    val banded = fps.select(col("id"), col("simhash"),
+      posexplode(bandKeys).as(Seq("band", "key")))
+    val a = banded.select(col("band"), col("key"), col("id").as("a"), col("simhash").as("fp_a"))
+    val b = banded.select(col("band"), col("key"), col("id").as("b"), col("simhash").as("fp_b"))
+    a.join(b, Seq("band", "key"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"), col("fp_a"), col("fp_b")).distinct()
+      .withColumn("dist", hamming(col("fp_a"), col("fp_b")))
+      .filter(col("dist") <= maxDist)
+      .select(col("a").as("id_a"), col("b").as("id_b"), col("dist"))
+  }
+}

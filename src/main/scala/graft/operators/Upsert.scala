@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Upsert / dedup table semantics: latest (or first) row per primary key,
+  * ordered by a comparison column, plus partial-upsert column merging.
+  *
+  * Reference semantics: apache/pinot
+  * `pinot-segment-local/.../upsert/PartitionUpsertMetadataManager.java`
+  * (FULL/PARTIAL upsert via `UpsertConfig.java:36-37`), partial-upsert
+  * column mergers `upsert/merger/columnar/{Append,Ignore,Increment,Max,
+  * Min,Overwrite,Union}Merger.java`, and dedup tables
+  * `dedup/ConcurrentMapPartitionDedupMetadataManager.java`.
+  *
+  * Spark mapping: the queryable state of an upsert table is a VIEW —
+  * `row_number() over (partition by pk order by cmp desc) = 1` — rather
+  * than a mutated store. At scale this is one shuffle on the pk; with the
+  * base table bucketed by pk the shuffle disappears entirely. Streaming
+  * ingestion applies the same reduction per micro-batch (see
+  * [[graft.streaming.UpsertStream]]), so state stays bounded by key count.
+  */
+object Upsert {
+
+  /** FULL upsert view: the latest row per key by (cmpCol, tieCols...). */
+  def latestByKey(df: DataFrame, keys: Seq[String], cmpCol: String,
+      tieCols: Seq[String] = Nil): DataFrame = {
+    val ord = (col(cmpCol).desc +: tieCols.map(col(_).desc))
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(ord: _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Dedup-table view: the FIRST row per key ever seen (reference keeps
+    * the first and drops all later duplicates). */
+  def firstByKey(df: DataFrame, keys: Seq[String], cmpCol: String,
+      tieCols: Seq[String] = Nil): DataFrame = {
+    val ord = (col(cmpCol).asc +: tieCols.map(col(_).asc))
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(ord: _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Partial-upsert merge strategies (reference merger/columnar). */
+  sealed trait Merge { def column: String }
+  /** latest non-null wins (OVERWRITE) */
+  final case class Overwrite(column: String) extends Merge
+  /** first value wins (IGNORE) */
+  final case class Ignore(column: String) extends Merge
+  /** numeric sum across versions (INCREMENT) */
+  final case class Increment(column: String) extends Merge
+  final case class MaxOf(column: String) extends Merge
+  final case class MinOf(column: String) extends Merge
+  /** collect all values in arrival order (APPEND) */
+  final case class Append(column: String) extends Merge
+  /** collect distinct values (UNION) */
+  final case class UnionOf(column: String) extends Merge
+
+  /** PARTIAL upsert view: one row per key where each column is merged
+    * across all versions of the key per its strategy. Single groupBy on
+    * the key — every strategy maps to a native aggregate (max_by for
+    * OVERWRITE / min_by for IGNORE), so this is one shuffle, partial
+    * aggregation enabled. */
+  def partialUpsert(df: DataFrame, keys: Seq[String], cmpCol: String,
+      merges: Seq[Merge]): DataFrame = {
+    val aggs: Seq[Column] = merges.map {
+      case Overwrite(c) => max_by(col(c), col(cmpCol)).as(c)
+      case Ignore(c)    => min_by(col(c), col(cmpCol)).as(c)
+      case Increment(c) => sum(col(c)).as(c)
+      case MaxOf(c)     => max(col(c)).as(c)
+      case MinOf(c)     => min(col(c)).as(c)
+      case Append(c)    => array_sort(collect_list(struct(col(cmpCol), col(c))))
+        .getField(c).as(c)
+      case UnionOf(c)   => array_sort(array_distinct(collect_list(col(c)))).as(c)
+    } :+ max(col(cmpCol)).as(cmpCol)
+    df.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Hybrid table view (offline/realtime split by time boundary):
+    * reference `TimeBoundaryManager.java:54` — offline answers rows at or
+    * before the boundary, realtime strictly after. */
+  def hybridView(offline: DataFrame, realtime: DataFrame, timeCol: String,
+      boundary: Column): DataFrame =
+    offline.filter(col(timeCol) <= boundary)
+      .unionByName(realtime.filter(col(timeCol) > boundary))
+}

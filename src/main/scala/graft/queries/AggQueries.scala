@@ -1,0 +1,349 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables
+import QH._
+
+/** Aggregation surface — reference inventory at apache/pinot
+  * `pinot-segment-spi/.../AggregationFunctionType.java:52-242` (basic,
+  * distinct, order-dependent, stats, boolean, collection, histogram,
+  * percentiles, grouping sets). Every query here is a single
+  * groupBy/agg — partial (map-side) aggregation + final merge is native
+  * Catalyst, so the shuffle carries only group keys + partial states.
+  */
+object AggQueries {
+
+  val all: Seq[GQuery] = Seq(
+
+    // TPC-H Q1 style pricing summary — the flagship slice (SURVEY §7.2).
+    GQuery("q1_pricing_summary",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        t.lineitem
+          .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            dsum(col("l_quantity")).as("sum_qty"),
+            dsum(col("l_extendedprice")).as("sum_base"),
+            dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc"),
+            count(lit(1)).as("n"),
+            (dsum(col("l_quantity")) / count(lit(1))).as("avg_qty"))
+          .orderBy(col("l_returnflag"), col("l_linestatus"))
+      },
+      Some("""SELECT l_returnflag, l_linestatus,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(20,4))) AS DOUBLE) AS sum_qty,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,4))) AS DOUBLE) AS sum_base,
+        CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(20,4))) AS DOUBLE) AS sum_disc,
+        COUNT(*) AS n,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(20,4))) AS DOUBLE) / COUNT(*) AS avg_qty
+        FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus""")),
+
+    // Whole-table aggregation, no group-by (SSE AggregationOperator.java:46).
+    GQuery("q_agg_nogroup",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        t.lineitem.agg(
+          count(lit(1)).as("n"),
+          min(col("l_quantity")).as("min_qty"),
+          max(col("l_quantity")).as("max_qty"),
+          dsum(col("l_extendedprice")).as("sum_price"),
+          (max(col("l_quantity")) - min(col("l_quantity"))).as("minmaxrange"),
+          count(col("l_orderkey")).as("n_nonnull"))
+      },
+      Some("""SELECT COUNT(*) AS n, MIN(l_quantity) AS min_qty,
+        MAX(l_quantity) AS max_qty,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,4))) AS DOUBLE) AS sum_price,
+        MAX(l_quantity) - MIN(l_quantity) AS minmaxrange,
+        COUNT(l_orderkey) AS n_nonnull
+        FROM lineitem""")),
+
+    // FILTER clause per aggregation (FilteredAggregationOperator.java).
+    GQuery("q_agg_filtered",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        t.orders.groupBy(col("o_orderpriority"))
+          .agg(
+            count(lit(1)).as("n"),
+            count(when(col("o_orderstatus") === "F", 1)).as("n_f"),
+            dsum(when(col("o_totalprice") > 100000.0, col("o_totalprice"))).as("big_sum"))
+          .orderBy(col("o_orderpriority"))
+      },
+      Some("""SELECT o_orderpriority, COUNT(*) AS n,
+        COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(20,4))) FILTER (WHERE o_totalprice > 100000.0) AS DOUBLE) AS big_sum
+        FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    // HAVING (reference HavingFilterHandler.java).
+    GQuery("q_agg_having",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        t.lineitem.groupBy(col("l_partkey"))
+          .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("qty"))
+          .filter(col("n") >= 5)
+          .orderBy(col("l_partkey"))
+      },
+      Some("""SELECT l_partkey, COUNT(*) AS n,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(20,4))) AS DOUBLE) AS qty
+        FROM lineitem GROUP BY l_partkey HAVING COUNT(*) >= 5
+        ORDER BY l_partkey""")),
+
+    // DISTINCTCOUNT / DISTINCTSUM / DISTINCTAVG (AggregationFunctionType.java:77-87).
+    GQuery("q_agg_distinct",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        t.lineitem.groupBy(col("l_returnflag"))
+          .agg(
+            countDistinct(col("l_partkey")).as("dc_part"),
+            countDistinct(col("l_quantity")).as("dc_qty"),
+            sum_distinct(dec(col("l_quantity"))).cast(DoubleType).as("dsum_qty"),
+            (sum_distinct(dec(col("l_quantity"))).cast(DoubleType) /
+              countDistinct(col("l_quantity"))).as("davg_qty"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""SELECT l_returnflag,
+        COUNT(DISTINCT l_partkey) AS dc_part,
+        COUNT(DISTINCT l_quantity) AS dc_qty,
+        CAST(SUM(DISTINCT CAST(l_quantity AS DECIMAL(20,4))) AS DOUBLE) AS dsum_qty,
+        CAST(SUM(DISTINCT CAST(l_quantity AS DECIMAL(20,4))) AS DOUBLE)
+          / COUNT(DISTINCT l_quantity) AS davg_qty
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // SELECT DISTINCT (DistinctOperator.java:39).
+    GQuery("q_distinct_select",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        t.orders.select(col("o_orderstatus"), col("o_orderpriority")).distinct()
+          .orderBy(col("o_orderstatus"), col("o_orderpriority"))
+      },
+      Some("""SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
+        ORDER BY o_orderstatus, o_orderpriority""")),
+
+    // MODE with deterministic smallest-value tie-break
+    // (ModeAggregationFunction; ties made deterministic per SURVEY §2.4).
+    GQuery("q_agg_mode",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val c = t.lineitem.groupBy(col("l_returnflag"), col("l_linenumber"))
+          .agg(count(lit(1)).as("n"))
+        val w = Window.partitionBy(col("l_returnflag"))
+          .orderBy(col("n").desc, col("l_linenumber").asc)
+        c.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+          .select(col("l_returnflag"), col("l_linenumber").as("mode_val"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""WITH c AS (SELECT l_returnflag, l_linenumber, COUNT(*) AS n
+          FROM lineitem GROUP BY 1, 2),
+        r AS (SELECT l_returnflag, l_linenumber,
+          ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY n DESC, l_linenumber ASC) AS rn
+          FROM c)
+        SELECT l_returnflag, l_linenumber AS mode_val FROM r WHERE rn = 1
+        ORDER BY l_returnflag""")),
+
+    // EXPRMIN/EXPRMAX == argmin/argmax (AggregationFunctionType.java:173-182)
+    // and FIRSTWITHTIME/LASTWITHTIME (:68-71) — deterministic via window
+    // with (ts, event_id) tie-break.
+    GQuery("q_agg_argmax",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts").desc, col("event_id").desc)
+        val wf = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts").asc, col("event_id").asc)
+        t.events
+          .withColumn("rn_last", row_number().over(w))
+          .withColumn("rn_first", row_number().over(wf))
+          .groupBy(col("user_id"))
+          .agg(
+            max(when(col("rn_last") === 1, col("value"))).as("last_value"),
+            max(when(col("rn_last") === 1, col("event_type"))).as("last_type"),
+            max(when(col("rn_first") === 1, col("value"))).as("first_value"))
+          .orderBy(col("user_id"))
+      },
+      Some("""WITH r AS (SELECT user_id, value, event_type,
+          ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn_last,
+          ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS rn_first
+          FROM events)
+        SELECT user_id,
+          MAX(CASE WHEN rn_last = 1 THEN value END) AS last_value,
+          MAX(CASE WHEN rn_last = 1 THEN event_type END) AS last_type,
+          MAX(CASE WHEN rn_first = 1 THEN value END) AS first_value
+        FROM r GROUP BY user_id ORDER BY user_id""")),
+
+    // Variance/stddev/covariance/correlation (:146-155). Rounded: exact
+    // cross-engine float noise is ~1e-12 relative, far from round(4) edges.
+    GQuery("q_agg_stats",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        t.part.groupBy(col("p_brand"))
+          .agg(
+            r4(var_pop(col("p_size"))).as("var_pop_size"),
+            r4(var_samp(col("p_size"))).as("var_samp_size"),
+            r4(stddev_pop(col("p_size"))).as("stddev_pop_size"),
+            r4(stddev_samp(col("p_size"))).as("stddev_samp_size"),
+            r4(covar_pop(col("p_size"), col("p_retailprice"))).as("covar_pop_sp"),
+            r4(covar_samp(col("p_size"), col("p_retailprice"))).as("covar_samp_sp"),
+            r4(corr(col("p_size"), col("p_retailprice"))).as("corr_sp"))
+          .orderBy(col("p_brand"))
+      },
+      Some("""SELECT p_brand,
+        ROUND(var_pop(p_size), 4) AS var_pop_size,
+        ROUND(var_samp(p_size), 4) AS var_samp_size,
+        ROUND(stddev_pop(p_size), 4) AS stddev_pop_size,
+        ROUND(stddev_samp(p_size), 4) AS stddev_samp_size,
+        ROUND(covar_pop(p_size, p_retailprice), 4) AS covar_pop_sp,
+        ROUND(covar_samp(p_size, p_retailprice), 4) AS covar_samp_sp,
+        ROUND(corr(p_size, p_retailprice), 4) AS corr_sp
+        FROM part GROUP BY p_brand ORDER BY p_brand""")),
+
+    // SKEWNESS / KURTOSIS (:152-153): Spark and DuckDB use different
+    // estimators (population vs bias-corrected sample), so no value oracle
+    // — rows-only check; exactness covered by q_agg_stats moments.
+    GQuery("q_agg_skew_kurt",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        t.part.agg(
+          r4(skewness(col("p_size"))).as("skew_size"),
+          r4(kurtosis(col("p_size"))).as("kurt_size"))
+      },
+      None),
+
+    // BOOLAND / BOOLOR (:168-169).
+    GQuery("q_agg_bool",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        t.customer.groupBy(col("c_mktsegment"))
+          .agg(
+            bool_and(col("c_acctbal") > 0.0).as("all_pos"),
+            bool_or(col("c_acctbal") > 9000.0).as("any_rich"),
+            count(lit(1)).as("n"))
+          .orderBy(col("c_mktsegment"))
+      },
+      Some("""SELECT c_mktsegment,
+        bool_and(c_acctbal > 0.0) AS all_pos,
+        bool_or(c_acctbal > 9000.0) AS any_rich,
+        COUNT(*) AS n
+        FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
+
+    // ARRAYAGG / LISTAGG (:141-190) — sorted for determinism.
+    GQuery("q_agg_collect",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        t.nation.groupBy(col("n_regionkey"))
+          .agg(
+            sort_array(collect_list(col("n_name"))).as("names"),
+            array_join(sort_array(collect_list(col("n_name"))), ",").as("names_csv"),
+            count(lit(1)).as("n"))
+          .orderBy(col("n_regionkey"))
+      },
+      Some("""SELECT n_regionkey,
+        list_sort(list(n_name)) AS names,
+        string_agg(n_name, ',' ORDER BY n_name) AS names_csv,
+        COUNT(*) AS n
+        FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""")),
+
+    // HISTOGRAM (:141-190) via explicit bucket arithmetic (identical in
+    // both engines, unlike width_bucket which DuckDB lacks).
+    GQuery("q_agg_histogram",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        t.lineitem
+          .withColumn("bucket", floor(col("l_quantity") / 5.0).cast(IntegerType))
+          .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+          .orderBy(col("bucket"))
+      },
+      Some("""SELECT CAST(FLOOR(l_quantity / 5.0) AS INT) AS bucket, COUNT(*) AS n
+        FROM lineitem GROUP BY 1 ORDER BY bucket""")),
+
+    // Exact percentiles (PERCENTILE, :122-139) — interpolated, matches
+    // DuckDB quantile_cont.
+    GQuery("q_agg_percentile",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        t.lineitem.groupBy(col("l_returnflag"))
+          .agg(
+            r4(expr("percentile(l_quantity, 0.25)")).as("p25"),
+            r4(expr("percentile(l_quantity, 0.5)")).as("p50"),
+            r4(expr("percentile(l_quantity, 0.9)")).as("p90"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""SELECT l_returnflag,
+        ROUND(quantile_cont(l_quantity, 0.25), 4) AS p25,
+        ROUND(quantile_cont(l_quantity, 0.5), 4) AS p50,
+        ROUND(quantile_cont(l_quantity, 0.9), 4) AS p90
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // SUMPRECISION (:72) — exact decimal output.
+    GQuery("q_agg_sumprecision",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        t.orders.groupBy(col("o_orderstatus"))
+          .agg(sum(dec(col("o_totalprice"))).cast(DoubleType).as("sum_precise"))
+          .orderBy(col("o_orderstatus"))
+      },
+      Some("""SELECT o_orderstatus,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(20,4))) AS DOUBLE) AS sum_precise
+        FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
+    // GROUPING SETS + ROLLUP + CUBE (AggregateNode.java:36-42,
+    // RepeatOperator.java:53).
+    GQuery("q_agg_groupingsets",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        t.lineitem
+          .groupingSets(
+            Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+              Seq(col("l_returnflag")), Seq()),
+            col("l_returnflag"), col("l_linestatus"))
+          .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("qty"))
+          .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+      },
+      Some("""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(20,4))) AS DOUBLE) AS qty
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""")),
+
+    GQuery("q_agg_rollup",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        t.orders
+          .rollup(col("o_orderstatus"), col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+          .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
+      },
+      Some("""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(20,4))) AS DOUBLE) AS total
+        FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""")),
+
+    GQuery("q_agg_cube",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        t.orders
+          .cube(col("o_orderstatus"), col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
+      },
+      Some("""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+        FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""")),
+
+    // Sketch aggregates (HLL distinct count, approx percentile,
+    // :88-139): approximate by design — rows-only check; the exact
+    // counterparts are value-checked in q_agg_distinct/q_agg_percentile.
+    GQuery("q_agg_approx",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        t.lineitem.groupBy(col("l_returnflag"))
+          .agg(
+            approx_count_distinct(col("l_partkey")).as("adc_part"),
+            percentile_approx(col("l_quantity"), lit(0.5), lit(1000)).as("ap50"))
+          .orderBy(col("l_returnflag"))
+      },
+      None)
+  )
+}

@@ -1,0 +1,259 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables
+import graft.operators.AsOfJoin
+import QH._
+
+/** Filter/predicate surface (reference `Predicate.java:29-41`: EQ, NOT_EQ,
+  * IN, NOT_IN, RANGE, REGEXP_LIKE, TEXT_MATCH, JSON_MATCH, IS_NULL, …) and
+  * the MSE join surface (`HashJoinOperator.java:47`,
+  * `NonEquiJoinOperator.java:35`, `AsofJoinOperator.java:37`,
+  * `LookupJoinOperator.java:56`).
+  *
+  * Scale notes: dimension joins are explicitly `broadcast()` (Pinot's
+  * lookup join — replicated dim table); fact-fact equi-joins shuffle on
+  * the join key only; the one theta join aggregates to a scalar so the
+  * BNLJ never materializes its output.
+  */
+object FilterJoinQueries {
+
+  val all: Seq[GQuery] = Seq(
+
+    // AND/OR/NOT + IN + RANGE + BETWEEN predicates, pushed to the scan.
+    GQuery("q_filter_basic",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        t.lineitem
+          .filter((col("l_returnflag") =!= "A" || col("l_linestatus") === "F")
+            && col("l_quantity").between(5.0, 45.0)
+            && col("l_linenumber").isin(1, 2, 3, 4)
+            && !(col("l_discount") > 0.09))
+          .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("price"))
+      },
+      Some("""SELECT COUNT(*) AS n,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,4))) AS DOUBLE) AS price
+        FROM lineitem
+        WHERE (l_returnflag <> 'A' OR l_linestatus = 'F')
+          AND l_quantity BETWEEN 5.0 AND 45.0
+          AND l_linenumber IN (1, 2, 3, 4)
+          AND NOT (l_discount > 0.09)""")),
+
+    // REGEXP_LIKE predicate (Predicate.java REGEXP_LIKE).
+    GQuery("q_filter_regex",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        t.part.filter(col("p_type").rlike("^[A-Z]+ BRUSHED"))
+          .select(col("p_partkey"), col("p_type"))
+          .orderBy(col("p_partkey"))
+      },
+      Some("""SELECT p_partkey, p_type FROM part
+        WHERE regexp_matches(p_type, '^[A-Z]+ BRUSHED')
+        ORDER BY p_partkey""")),
+
+    // TEXT_MATCH approximation: LIKE / contains scan
+    // (TextMatchFilterOperator.java:38 — we map Lucene matches to
+    // substring/regex scans per SURVEY §2.2).
+    GQuery("q_filter_text",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        t.documents
+          .filter(col("text").contains("query") && col("text").like("%filter%"))
+          .select(col("doc_id"), col("n_chars"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id, n_chars FROM documents
+        WHERE text LIKE '%query%' AND text LIKE '%filter%'
+        ORDER BY doc_id""")),
+
+    // IS_NULL / IS_NOT_NULL (on a computed nullable: absent JSON key).
+    GQuery("q_filter_null",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        t.events.agg(
+          count(when(get_json_object(col("props"), "$.missing").isNull, 1)).as("n_null"),
+          count(when(get_json_object(col("props"), "$.k").isNotNull, 1)).as("n_k"))
+      },
+      Some("""SELECT
+        COUNT(*) FILTER (WHERE json_extract_string(props, '$.missing') IS NULL) AS n_null,
+        COUNT(*) FILTER (WHERE json_extract_string(props, '$.k') IS NOT NULL) AS n_k
+        FROM events""")),
+
+    // Expression filter (ExpressionFilterOperator.java) — predicate on a
+    // computed expression.
+    GQuery("q_filter_expr",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        t.lineitem
+          .filter(col("l_extendedprice") * (lit(1.0) - col("l_discount")) > 50000.0)
+          .agg(count(lit(1)).as("n"))
+      },
+      Some("""SELECT COUNT(*) AS n FROM lineitem
+        WHERE l_extendedprice * (1.0 - l_discount) > 50000.0""")),
+
+    // JSON_MATCH (JsonMatchFilterOperator.java:37): predicate on a JSON
+    // column + group-by on an extracted key.
+    GQuery("q_filter_json",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        t.events
+          .withColumn("k", get_json_object(col("props"), "$.k").cast(IntegerType))
+          .filter(col("k") >= 50)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), max(col("k")).as("max_k"))
+          .orderBy(col("event_type"))
+      },
+      Some("""SELECT event_type, COUNT(*) AS n,
+        MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
+        FROM events WHERE CAST(json_extract_string(props, '$.k') AS INT) >= 50
+        GROUP BY event_type ORDER BY event_type""")),
+
+    // Inner equi-join chain with broadcast dims → group-by
+    // (HashJoinOperator.java:47 + LookupJoinOperator.java:56).
+    GQuery("q_join_inner",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        t.orders
+          .join(t.customer, col("o_custkey") === col("c_custkey"))
+          .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(t.region), col("n_regionkey") === col("r_regionkey"))
+          .groupBy(col("r_name"), col("n_name"))
+          .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("revenue"))
+          .orderBy(col("r_name"), col("n_name"))
+      },
+      Some("""SELECT r_name, n_name, COUNT(*) AS n_orders,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(20,4))) AS DOUBLE) AS revenue
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name, n_name ORDER BY r_name, n_name""")),
+
+    // LEFT join keeping customers with zero orders.
+    GQuery("q_join_left",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        t.customer
+          .join(t.orders, col("c_custkey") === col("o_custkey"), "left")
+          .groupBy(col("c_custkey"))
+          .agg(count(col("o_orderkey")).as("n_orders"),
+            coalesce(dsum(col("o_totalprice")), lit(0.0)).as("spend"))
+          .orderBy(col("c_custkey"))
+      },
+      Some("""SELECT c_custkey, COUNT(o_orderkey) AS n_orders,
+        COALESCE(CAST(SUM(CAST(o_totalprice AS DECIMAL(20,4))) AS DOUBLE), 0.0) AS spend
+        FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        GROUP BY c_custkey ORDER BY c_custkey""")),
+
+    // FULL OUTER join of two aggregates (BaseJoinOperator.java FULL).
+    GQuery("q_join_full",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val cust = t.customer.filter(col("c_acctbal") > 5000.0)
+          .groupBy(col("c_nationkey").as("nk")).agg(count(lit(1)).as("n_cust"))
+        val supp = t.supplier.filter(col("s_acctbal") > 2000.0)
+          .groupBy(col("s_nationkey").as("nk2")).agg(count(lit(1)).as("n_supp"))
+        cust.join(supp, col("nk") === col("nk2"), "full")
+          .select(coalesce(col("nk"), col("nk2")).as("nationkey"),
+            col("n_cust"), col("n_supp"))
+          .orderBy(col("nationkey"))
+      },
+      Some("""WITH cust AS (SELECT c_nationkey AS nk, COUNT(*) AS n_cust
+          FROM customer WHERE c_acctbal > 5000.0 GROUP BY 1),
+        supp AS (SELECT s_nationkey AS nk2, COUNT(*) AS n_supp
+          FROM supplier WHERE s_acctbal > 2000.0 GROUP BY 1)
+        SELECT COALESCE(nk, nk2) AS nationkey, n_cust, n_supp
+        FROM cust FULL OUTER JOIN supp ON nk = nk2
+        ORDER BY nationkey""")),
+
+    // LEFT SEMI (EXISTS) — dynamic-broadcast semi-join analog
+    // (PinotJoinToDynamicBroadcastRule.java).
+    GQuery("q_join_semi",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val big = t.orders.filter(col("o_totalprice") > 200000.0)
+        t.customer.join(big, col("c_custkey") === col("o_custkey"), "left_semi")
+          .select(col("c_custkey"), col("c_mktsegment"))
+          .orderBy(col("c_custkey"))
+      },
+      Some("""SELECT c_custkey, c_mktsegment FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders
+          WHERE o_custkey = c_custkey AND o_totalprice > 200000.0)
+        ORDER BY c_custkey""")),
+
+    // LEFT ANTI (NOT EXISTS).
+    GQuery("q_join_anti",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        t.customer.join(t.orders, col("c_custkey") === col("o_custkey"), "left_anti")
+          .select(col("c_custkey"))
+          .orderBy(col("c_custkey"))
+      },
+      Some("""SELECT c_custkey FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        ORDER BY c_custkey""")),
+
+    // Non-equi (theta) join (NonEquiJoinOperator.java:35) — aggregated to
+    // a scalar so the nested-loop product is consumed, never materialized.
+    GQuery("q_join_theta",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        t.supplier.crossJoin(t.customer)
+          .filter(col("s_nationkey") =!= col("c_nationkey"))
+          .agg(count(lit(1)).as("n_pairs"))
+      },
+      Some("""SELECT COUNT(*) AS n_pairs FROM supplier, customer
+        WHERE s_nationkey <> c_nationkey""")),
+
+    // Lookup join (LOOKUP transform, TransformFunctionType.java:178):
+    // fact → replicated dim chain via broadcast.
+    GQuery("q_join_lookup",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        t.lineitem
+          .join(broadcast(t.supplier), col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(t.nation), col("s_nationkey") === col("n_nationkey"))
+          .groupBy(col("n_name"))
+          .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("volume"))
+          .orderBy(col("n_name"))
+      },
+      Some("""SELECT n_name, COUNT(*) AS n,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,4))) AS DOUBLE) AS volume
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        GROUP BY n_name ORDER BY n_name""")),
+
+    // ASOF join (AsofJoinOperator.java:37): for each click, the most
+    // recent strictly-earlier purchase by the same user. Right side is
+    // pre-deduped on (user_id, ts) so ties are impossible (reference ties
+    // are nondeterministic, AsofJoinOperator.java:82).
+    GQuery("q_join_asof",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val clicks = t.events.filter(col("event_type") === "click")
+          .select(col("user_id"), col("event_id"), col("ts"))
+        val purchases = t.events.filter(col("event_type") === "purchase")
+          .groupBy(col("user_id"), col("ts"))
+          .agg(max(col("event_id")).as("purchase_id"))
+        AsOfJoin.asofJoin(clicks, purchases,
+            partitionKeys = Seq("user_id"),
+            leftOrder = "ts", rightOrder = "ts",
+            direction = "backward", allowExact = false,
+            joinType = "left", rightPrefix = "p_")
+          .select(col("user_id"), col("event_id"),
+            col("p_purchase_id"), col("p_ts"))
+          .orderBy(col("user_id"), col("event_id"))
+      },
+      Some("""WITH clicks AS (SELECT user_id, event_id, ts FROM events
+          WHERE event_type = 'click'),
+        purchases AS (SELECT user_id, ts, MAX(event_id) AS purchase_id
+          FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts)
+        SELECT c.user_id AS user_id, c.event_id AS event_id,
+          p.purchase_id AS p_purchase_id, p.ts AS p_ts
+        FROM clicks c ASOF LEFT JOIN purchases p
+          ON c.user_id = p.user_id AND c.ts > p.ts
+        ORDER BY user_id, event_id"""))
+  )
+}

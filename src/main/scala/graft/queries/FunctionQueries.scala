@@ -1,0 +1,329 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables
+import graft.functions.VectorFunctions
+import QH._
+
+/** Scalar-function surface — reference inventory at apache/pinot
+  * `pinot-common/.../function/TransformFunctionType.java:46-258` and
+  * `function/scalar` (arithmetic, string, date/time, JSON, array/MV,
+  * hash, bitwise, trig, vector). All pure Catalyst expressions inside
+  * whole-stage codegen; rounding policy per QH (cross-engine libm noise
+  * ≤ 1 ulp, far below round(6) resolution).
+  */
+object FunctionQueries {
+
+  val all: Seq[GQuery] = Seq(
+
+    // Arithmetic (:46-66): add/sub/mult/div/mod/abs/ceil/floor/exp/ln/
+    // sqrt/power/sign/round/least/greatest.
+    GQuery("q_fn_math",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        t.part.filter(col("p_partkey") <= 100)
+          .select(
+            col("p_partkey"),
+            (col("p_size") + 7).as("add7"),
+            (col("p_size") * 3 - 1).as("mul3"),
+            r6(col("p_retailprice") / 7.0).as("div7"),
+            pmod(col("p_size"), lit(5)).as("mod5"),
+            abs(col("p_size") - 25).as("abs_d"),
+            ceil(col("p_retailprice") / 100.0).as("ceil_c"),
+            floor(col("p_retailprice") / 100.0).as("floor_c"),
+            r6(sqrt(col("p_size"))).as("sqrt_s"),
+            r6(exp(col("p_size") / 10.0)).as("exp_s"),
+            r6(log(col("p_retailprice"))).as("ln_p"),
+            r6(pow(col("p_size"), 2.5)).as("pow_s"),
+            signum(col("p_size") - 25).cast(IntegerType).as("sign_d"),
+            least(col("p_size"), lit(20)).as("least_s"),
+            greatest(col("p_size"), lit(20)).as("greatest_s"))
+          .orderBy(col("p_partkey"))
+      },
+      Some("""SELECT p_partkey,
+        p_size + 7 AS add7, p_size * 3 - 1 AS mul3,
+        ROUND(p_retailprice / 7.0, 6) AS div7,
+        p_size % 5 AS mod5, ABS(p_size - 25) AS abs_d,
+        CAST(CEIL(p_retailprice / 100.0) AS BIGINT) AS ceil_c,
+        CAST(FLOOR(p_retailprice / 100.0) AS BIGINT) AS floor_c,
+        ROUND(SQRT(p_size), 6) AS sqrt_s,
+        ROUND(EXP(p_size / 10.0), 6) AS exp_s,
+        ROUND(LN(p_retailprice), 6) AS ln_p,
+        ROUND(POW(p_size, 2.5), 6) AS pow_s,
+        CAST(SIGN(p_size - 25) AS INT) AS sign_d,
+        LEAST(p_size, 20) AS least_s, GREATEST(p_size, 20) AS greatest_s
+        FROM part WHERE p_partkey <= 100 ORDER BY p_partkey""")),
+
+    // String functions (StringFunctions.java, :190 regexpExtract).
+    GQuery("q_fn_string",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        t.part.filter(col("p_partkey") <= 100)
+          .select(
+            col("p_partkey"),
+            lower(col("p_name")).as("lower_n"),
+            upper(col("p_brand")).as("upper_b"),
+            length(col("p_name")).as("len_n"),
+            substring(col("p_name"), 1, 8).as("sub_n"),
+            concat_ws("|", col("p_brand"), col("p_type")).as("cat"),
+            trim(lit("  pad  ")).as("trimmed"),
+            lpad(col("p_brand"), 12, "*").as("lpad_b"),
+            replace(col("p_type"), lit(" "), lit("_")).as("repl_t"),
+            reverse(col("p_brand")).as("rev_b"),
+            instr(col("p_name"), "a").cast(LongType).as("pos_a"),
+            split_part(col("p_type"), lit(" "), lit(1)).as("first_word"),
+            regexp_extract(col("p_type"), "([A-Z]+)$", 1).as("last_word"),
+            col("p_name").startsWith("b").as("starts_b"),
+            col("p_name").endsWith("d").as("ends_d"),
+            levenshtein(col("p_brand"), lit("Brand#11")).as("lev"))
+          .orderBy(col("p_partkey"))
+      },
+      Some("""SELECT p_partkey,
+        LOWER(p_name) AS lower_n, UPPER(p_brand) AS upper_b,
+        LENGTH(p_name) AS len_n,
+        SUBSTRING(p_name, 1, 8) AS sub_n,
+        CONCAT_WS('|', p_brand, p_type) AS cat,
+        TRIM('  pad  ') AS trimmed,
+        LPAD(p_brand, 12, '*') AS lpad_b,
+        REPLACE(p_type, ' ', '_') AS repl_t,
+        REVERSE(p_brand) AS rev_b,
+        CAST(STRPOS(p_name, 'a') AS BIGINT) AS pos_a,
+        SPLIT_PART(p_type, ' ', 1) AS first_word,
+        COALESCE(regexp_extract(p_type, '([A-Z]+)$', 1), '') AS last_word,
+        starts_with(p_name, 'b') AS starts_b,
+        ends_with(p_name, 'd') AS ends_d,
+        levenshtein(p_brand, 'Brand#11') AS lev
+        FROM part WHERE p_partkey <= 100 ORDER BY p_partkey""")),
+
+    // Date/time (:120-157 + DateTimeFunctions.java): extract fields,
+    // dateTrunc, epoch conversion, datediff, date arithmetic.
+    GQuery("q_fn_datetime",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        t.orders.filter(col("o_orderkey") <= 200)
+          .select(
+            col("o_orderkey"),
+            year(col("o_orderdate")).as("y"),
+            quarter(col("o_orderdate")).as("q"),
+            month(col("o_orderdate")).as("m"),
+            dayofmonth(col("o_orderdate")).as("d"),
+            hour(col("o_orderdate")).as("h"),
+            minute(col("o_orderdate")).as("mi"),
+            second(col("o_orderdate")).as("sec"),
+            (dayofweek(col("o_orderdate")) - 1).as("dow"),
+            dayofyear(col("o_orderdate")).as("doy"),
+            date_trunc("month", col("o_orderdate")).as("month_start"),
+            date_trunc("day", col("o_orderdate")).as("day_start"),
+            unix_millis(col("o_orderdate").cast(TimestampType)).as("epoch_ms"),
+            expr("unix_millis(CAST(o_orderdate AS TIMESTAMP)) div 60000").as("epoch_min"),
+            datediff(col("o_orderdate"), lit("1995-01-01").cast("date")).as("days_since"),
+            date_add(col("o_orderdate").cast(DateType), 30)
+              .cast(TimestampNTZType).as("plus30"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""SELECT o_orderkey,
+        CAST(year(o_orderdate) AS INT) AS y,
+        CAST(quarter(o_orderdate) AS INT) AS q,
+        CAST(month(o_orderdate) AS INT) AS m,
+        CAST(dayofmonth(o_orderdate) AS INT) AS d,
+        CAST(hour(o_orderdate) AS INT) AS h,
+        CAST(minute(o_orderdate) AS INT) AS mi,
+        CAST(second(o_orderdate) AS INT) AS sec,
+        CAST(dayofweek(o_orderdate) AS INT) AS dow,
+        CAST(dayofyear(o_orderdate) AS INT) AS doy,
+        date_trunc('month', o_orderdate) AS month_start,
+        date_trunc('day', o_orderdate) AS day_start,
+        epoch_ms(o_orderdate) AS epoch_ms,
+        epoch_ms(o_orderdate) // 60000 AS epoch_min,
+        CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INT) AS days_since,
+        CAST(CAST(o_orderdate AS DATE) + 30 AS TIMESTAMP) AS plus30
+        FROM orders WHERE o_orderkey <= 200 ORDER BY o_orderkey""")),
+
+    // JSON (:104-117 jsonExtractScalar/jsonExtractKey + JsonFunctions).
+    GQuery("q_fn_json",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        t.events.filter(col("event_id") <= 300)
+          .select(
+            col("event_id"),
+            get_json_object(col("props"), "$.k").cast(IntegerType).as("k_int"),
+            get_json_object(col("props"), "$.k").as("k_str"),
+            get_json_object(col("props"), "$.absent").as("absent"),
+            json_object_keys(col("props")).as("keys"))
+          .orderBy(col("event_id"))
+      },
+      Some("""SELECT event_id,
+        CAST(json_extract_string(props, '$.k') AS INT) AS k_int,
+        json_extract_string(props, '$.k') AS k_str,
+        json_extract_string(props, '$.absent') AS absent,
+        json_keys(props) AS keys
+        FROM events WHERE event_id <= 300 ORDER BY event_id""")),
+
+    // Array/MV functions (:162-172 + ArrayFunctions.java): the MV-column
+    // surface (ArrayType per SURVEY §1.2) incl. exists-semantics filter.
+    GQuery("q_fn_array",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val toks = split(col("text"), " ")
+        t.documents.filter(col("doc_id") <= 200)
+          .select(
+            col("doc_id"),
+            size(toks).as("arr_len"),
+            element_at(toks, 1).as("first_tok"),
+            element_at(toks, -1).as("last_tok"),
+            array_contains(toks, "query").as("has_query"),
+            slice(array_sort(array_distinct(toks)), 1, 3).as("top3_sorted"),
+            array_position(toks, "the").cast(LongType).as("pos_the"),
+            size(array_distinct(toks)).as("n_distinct"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id,
+        len(string_split(text, ' ')) AS arr_len,
+        string_split(text, ' ')[1] AS first_tok,
+        string_split(text, ' ')[-1] AS last_tok,
+        list_contains(string_split(text, ' '), 'query') AS has_query,
+        list_sort(list_distinct(string_split(text, ' ')))[1:3] AS top3_sorted,
+        CAST(COALESCE(list_position(string_split(text, ' '), 'the'), 0) AS BIGINT) AS pos_the,
+        len(list_distinct(string_split(text, ' '))) AS n_distinct
+        FROM documents WHERE doc_id <= 200 ORDER BY doc_id""")),
+
+    // MV exists-semantics filter (SURVEY §7.5: mvCol = x matches if ANY
+    // element equals x → array_contains).
+    GQuery("q_fn_mv_filter",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        t.documents
+          .filter(array_contains(split(col("text"), " "), "stream"))
+          .agg(count(lit(1)).as("n"))
+      },
+      Some("""SELECT COUNT(*) AS n FROM documents
+        WHERE list_contains(string_split(text, ' '), 'stream')""")),
+
+    // Hash / binary (HashFunctions.java, DataTypeConversionFunctions.java).
+    GQuery("q_fn_hash",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        t.nation.select(
+            col("n_nationkey"),
+            md5(col("n_name").cast(BinaryType)).as("md5_n"),
+            sha2(col("n_name").cast(BinaryType), 256).as("sha256_n"),
+            base64(col("n_name").cast(BinaryType)).as("b64_n"),
+            hex(col("n_nationkey").cast(LongType)).as("hex_k"),
+            octet_length(col("n_name")).as("blen"))
+          .orderBy(col("n_nationkey"))
+      },
+      Some("""SELECT n_nationkey,
+        md5(n_name) AS md5_n,
+        sha256(n_name) AS sha256_n,
+        to_base64(CAST(n_name AS BLOB)) AS b64_n,
+        upper(to_hex(CAST(n_nationkey AS BIGINT))) AS hex_k,
+        octet_length(CAST(n_name AS BLOB)) AS blen
+        FROM nation ORDER BY n_nationkey""")),
+
+    // Bitwise (function/scalar/bitwise).
+    GQuery("q_fn_bitwise",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        t.nation.select(
+            col("n_nationkey"),
+            col("n_nationkey").bitwiseAND(lit(12)).as("band"),
+            col("n_nationkey").bitwiseOR(lit(5)).as("bor"),
+            col("n_nationkey").bitwiseXOR(lit(9)).as("bxor"),
+            shiftleft(col("n_nationkey"), 2).as("shl"),
+            shiftright(col("n_nationkey"), 1).as("shr"))
+          .orderBy(col("n_nationkey"))
+      },
+      Some("""SELECT n_nationkey,
+        n_nationkey & 12 AS band,
+        n_nationkey | 5 AS bor,
+        xor(n_nationkey, 9) AS bxor,
+        n_nationkey << 2 AS shl,
+        n_nationkey >> 1 AS shr
+        FROM nation ORDER BY n_nationkey""")),
+
+    // Trig (:242-254).
+    GQuery("q_fn_trig",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        t.nation.select(
+            col("n_nationkey"),
+            r6(sin(col("n_nationkey"))).as("sin_k"),
+            r6(cos(col("n_nationkey"))).as("cos_k"),
+            r6(tan(col("n_nationkey"))).as("tan_k"),
+            r6(atan(col("n_nationkey"))).as("atan_k"),
+            r6(atan2(col("n_nationkey"), lit(3.0))).as("atan2_k"),
+            r6(degrees(col("n_nationkey"))).as("deg_k"),
+            r6(radians(col("n_nationkey"))).as("rad_k"))
+          .orderBy(col("n_nationkey"))
+      },
+      Some("""SELECT n_nationkey,
+        ROUND(SIN(n_nationkey), 6) AS sin_k,
+        ROUND(COS(n_nationkey), 6) AS cos_k,
+        ROUND(TAN(n_nationkey), 6) AS tan_k,
+        ROUND(ATAN(n_nationkey), 6) AS atan_k,
+        ROUND(ATAN2(n_nationkey, 3.0), 6) AS atan2_k,
+        ROUND(DEGREES(n_nationkey), 6) AS deg_k,
+        ROUND(RADIANS(n_nationkey), 6) AS rad_k
+        FROM nation ORDER BY n_nationkey""")),
+
+    // CAST / CASE / COALESCE / NULLIF / IS DISTINCT FROM (:69-101).
+    GQuery("q_fn_cast_case",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        t.customer.filter(col("c_custkey") <= 200)
+          .select(
+            col("c_custkey"),
+            col("c_acctbal").cast(IntegerType).as("bal_int"),
+            col("c_custkey").cast(StringType).as("key_str"),
+            when(col("c_acctbal") > 5000.0, "high")
+              .when(col("c_acctbal") > 0.0, "mid")
+              .otherwise("neg").as("tier"),
+            coalesce(nullif(col("c_mktsegment"), lit("BUILDING")), lit("REDACTED")).as("seg"),
+            (col("c_mktsegment") <=> lit("AUTOMOBILE")).as("is_auto"))
+          .orderBy(col("c_custkey"))
+      },
+      Some("""SELECT c_custkey,
+        CAST(trunc(c_acctbal) AS INT) AS bal_int,
+        CAST(c_custkey AS VARCHAR) AS key_str,
+        CASE WHEN c_acctbal > 5000.0 THEN 'high'
+          WHEN c_acctbal > 0.0 THEN 'mid' ELSE 'neg' END AS tier,
+        COALESCE(NULLIF(c_mktsegment, 'BUILDING'), 'REDACTED') AS seg,
+        c_mktsegment IS NOT DISTINCT FROM 'AUTOMOBILE' AS is_auto
+        FROM customer WHERE c_custkey <= 200 ORDER BY c_custkey""")),
+
+    // Vector functions (:233-239, VectorFunctions.java): dims, norm,
+    // inner product, cosine, L1, L2 vs a fixed probe (vec_id = 0).
+    GQuery("q_fn_vector",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val probe = t.embeddings.filter(col("vec_id") === 0)
+          .select(col("embedding").as("probe_vec"))
+        t.embeddings.crossJoin(broadcast(probe))
+          .select(
+            col("vec_id"),
+            VectorFunctions.vectorDims(col("embedding")).as("dims"),
+            r4(VectorFunctions.vectorNorm(col("embedding"))).as("norm"),
+            r4(VectorFunctions.innerProduct(col("embedding"), col("probe_vec"))).as("dot"),
+            r4(VectorFunctions.cosineSimilarity(col("embedding"), col("probe_vec"))).as("cos_sim"),
+            r4(VectorFunctions.l1Distance(col("embedding"), col("probe_vec"))).as("l1"),
+            r4(VectorFunctions.l2Distance(col("embedding"), col("probe_vec"))).as("l2"))
+          .orderBy(col("vec_id"))
+      },
+      Some("""WITH probe AS (SELECT CAST(embedding AS DOUBLE[]) AS p
+          FROM embeddings WHERE vec_id = 0)
+        SELECT vec_id,
+          len(embedding) AS dims,
+          ROUND(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))), 4) AS norm,
+          ROUND(list_sum(list_transform(list_zip(CAST(embedding AS DOUBLE[]), p),
+            t -> t[1] * t[2])), 4) AS dot,
+          ROUND(list_sum(list_transform(list_zip(CAST(embedding AS DOUBLE[]), p), t -> t[1] * t[2]))
+            / (sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)))
+             * sqrt(list_sum(list_transform(p, x -> x * x)))), 4) AS cos_sim,
+          ROUND(list_sum(list_transform(list_zip(CAST(embedding AS DOUBLE[]), p),
+            t -> abs(t[1] - t[2]))), 4) AS l1,
+          ROUND(sqrt(list_sum(list_transform(list_zip(CAST(embedding AS DOUBLE[]), p),
+            t -> (t[1] - t[2]) * (t[1] - t[2])))), 4) AS l2
+        FROM embeddings, probe ORDER BY vec_id"""))
+  )
+}

@@ -1,0 +1,62 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.Upsert
+
+/** Streaming ingestion with upsert/dedup-table semantics.
+  *
+  * Reference: apache/pinot realtime tables consume a partitioned stream
+  * into queryable segments with upsert metadata
+  * (`RealtimeSegmentDataManager.java:129`,
+  * `PartitionUpsertMetadataManager.java`). Spark mapping: Structured
+  * Streaming + `foreachBatch` maintaining a keyed state table — each
+  * micro-batch is reduced to latest-per-key, merged against the store,
+  * and rewritten. With a Delta-style sink this becomes MERGE INTO; on
+  * plain parquet we emulate the merge by union+reduce, which preserves
+  * the same query-time semantics.
+  *
+  * Scale notes: per-batch work is one shuffle on the primary key; the
+  * store stays bounded by distinct-key count, not event count. At
+  * cluster scale the store would be partitioned (bucketed) by key so the
+  * merge joins co-partitioned data.
+  */
+object UpsertStream {
+
+  /** Reduce a micro-batch and merge it into `store` (a mutable var the
+    * caller owns) with FULL-upsert semantics. Returns the new store. */
+  def mergeBatch(store: Option[DataFrame], batch: DataFrame,
+      keys: Seq[String], cmpCol: String, tieCols: Seq[String]): DataFrame = {
+    val combined = store match {
+      case Some(st) => st.unionByName(batch)
+      case None => batch
+    }
+    Upsert.latestByKey(combined, keys, cmpCol, tieCols)
+  }
+
+  /** Run a streaming upsert from a streaming DataFrame into an in-memory
+    * keyed store, synchronously (for tests: call with a MemoryStream or
+    * file source, then processAllAvailable on the returned query). The
+    * store is exposed as a temp view `viewName` after every batch. */
+  def start(
+      spark: SparkSession,
+      stream: DataFrame,
+      keys: Seq[String],
+      cmpCol: String,
+      tieCols: Seq[String],
+      viewName: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    var store: Option[DataFrame] = None
+    stream.writeStream
+      .outputMode("update")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // cache the merged store so lineage doesn't grow unboundedly
+        val merged = mergeBatch(store, batch, keys, cmpCol, tieCols)
+          .localCheckpoint(true)
+        store.foreach(_.unpersist())
+        store = Some(merged)
+        merged.createOrReplaceTempView(viewName)
+        ()
+      }
+      .start()
+  }
+}
