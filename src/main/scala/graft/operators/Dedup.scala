@@ -73,20 +73,25 @@ object Dedup {
     xxhash64(lit(seed), c)
 
   /** MinHash signatures over word shingles: k independent permutations
-    * approximated by seeded hashes; signature[i] = min over shingles. */
+    * approximated by seeded hashes; signature[i] = min over shingles.
+    *
+    * Shape: explode shingles once, then ONE hash-aggregate with k
+    * plain `min` aggregates (all whole-stage-codegen'd). A k-wide HOF
+    * expression per row would blow past the codegen method limit and
+    * fall back to interpreted eval — this shape stays compiled and
+    * shuffles only (id, shingle-hash) pairs. */
   def minhashSignatures(
       docs: DataFrame,
       idCol: String,
       textCol: String,
       numHashes: Int = 32,
       shingleSize: Int = 3): DataFrame = {
-    val sh = docs.select(col(idCol).as("id"),
-      TextFunctions.shingles(col(textCol), shingleSize).as("sh"))
-      .filter(size(col("sh")) > 0)
-    val sig = array((0 until numHashes).map { i =>
-      array_min(transform(col("sh"), s => hash64(s, i)))
-    }: _*)
-    sh.select(col("id"), sig.as("signature"))
+    val exploded = docs.select(col(idCol).as("id"),
+      explode(TextFunctions.shingles(col(textCol), shingleSize)).as("sh"))
+    val mins = (0 until numHashes).map(i => min(hash64(col("sh"), i)).as(s"h$i"))
+    exploded.groupBy(col("id"))
+      .agg(mins.head, mins.tail: _*)
+      .select(col("id"), array((0 until numHashes).map(i => col(s"h$i")): _*).as("signature"))
   }
 
   /** MinHash + LSH near-dup candidate pairs: band the signature, bucket
@@ -124,17 +129,26 @@ object Dedup {
   }
 
   /** 64-bit SimHash over distinct tokens: bit j of the fingerprint is the
-    * sign of the sum over tokens of (bit j of token-hash ? +1 : -1). */
+    * sign of the sum over tokens of (bit j of token-hash ? +1 : -1).
+    *
+    * Shape: explode distinct tokens, ONE hash-aggregate computing the
+    * 64 per-bit one-counts (plain sums — codegen'd) + the token count;
+    * bit j is set iff ones_j * 2 > n (vote = 2*ones - n > 0). Never
+    * builds a 64-wide HOF tree per row. */
   def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = TextFunctions.tokenSet(col(textCol))
-    val hashes = transform(toks, t => xxhash64(t))
-    // per-bit vote: for each of 64 bits, sum +1/-1 over token hashes
-    val fp = (0 until 64).foldLeft(lit(0L)) { (acc, j) =>
-      val vote = aggregate(hashes, lit(0),
-        (s, h) => s + when(shiftrightunsigned(h, j).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1))
-      acc.bitwiseOR(when(vote > 0, shiftleft(lit(1L), j)).otherwise(lit(0L)))
+    val exploded = docs.select(col(idCol).as("id"),
+        explode(TextFunctions.tokenSet(col(textCol))).as("tok"))
+      .select(col("id"), xxhash64(col("tok")).as("h"))
+    val bitSums = (0 until 64).map { j =>
+      sum(shiftrightunsigned(col("h"), j).bitwiseAND(lit(1L))).as(s"b$j")
     }
-    docs.select(col(idCol).as("id"), fp.as("simhash"))
+    val counted = exploded.groupBy(col("id"))
+      .agg(bitSums.head, (bitSums.tail :+ count(lit(1)).as("n")): _*)
+    val fp = (0 until 64).foldLeft(lit(0L)) { (acc, j) =>
+      acc.bitwiseOR(
+        when(col(s"b$j") * 2 > col("n"), shiftleft(lit(1L), j)).otherwise(lit(0L)))
+    }
+    counted.select(col("id"), fp.as("simhash"))
   }
 
   /** Hamming distance between two int64 fingerprints. */

@@ -62,20 +62,28 @@ object Similarity {
   }
 
   /** Random-hyperplane signature: bit i = sign(<v, h_i>) where h_i is a
-    * deterministic pseudo-random hyperplane derived from xxhash64(i, dim).
+    * deterministic pseudo-random hyperplane derived from xxhash64(i, j).
     * Hyperplane components in {-1,+1} (Rademacher), which preserves cosine
-    * locality like Gaussian planes and needs no stored model. */
-  def hyperplaneSignature(vec: Column, bits: Int): Column = {
-    val sig = (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
-      // dot(v, h_i): elementwise +-1 from a seeded hash of the element index
-      val dot = aggregate(
-        zip_with(vec, sequence(lit(0), size(vec) - 1), (x, j) =>
-          when(xxhash64(j, lit(i)).bitwiseAND(lit(1L)) === 1L, x.cast("double"))
-            .otherwise(-x.cast("double"))),
-        lit(0.0), (s, x) => s + x)
-      acc.bitwiseOR(when(dot > 0, shiftleft(lit(1L), i)).otherwise(lit(0L)))
+    * locality like Gaussian planes and needs no stored model.
+    *
+    * Shape: posexplode the vector once, ONE hash-aggregate with `bits`
+    * plain signed sums (codegen'd) — not a bits-wide HOF tree per row,
+    * which would fall out of whole-stage codegen. Adds column `__sig`. */
+  def withHyperplaneSignature(df: DataFrame, idCol: String, vecCol: String,
+      bits: Int): DataFrame = {
+    val exploded = df.select(col(idCol).as("__hid"),
+      posexplode(col(vecCol)).as(Seq("j", "x")))
+    val dots = (0 until bits).map { i =>
+      sum(when(xxhash64(col("j"), lit(i)).bitwiseAND(lit(1L)) === 1L,
+        col("x").cast("double")).otherwise(-col("x").cast("double"))).as(s"d$i")
     }
-    sig
+    val fp = (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
+      acc.bitwiseOR(when(col(s"d$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L)))
+    }
+    val sigs = exploded.groupBy(col("__hid"))
+      .agg(dots.head, dots.tail: _*)
+      .select(col("__hid"), fp.as("__sig"))
+    df.join(sigs, col(idCol) === col("__hid")).drop("__hid")
   }
 
   /** Approximate top-k per probe: candidates = corpus rows agreeing with
@@ -95,8 +103,8 @@ object Similarity {
       val bandKeys = array((0 until bands).map { b =>
         shiftrightunsigned(col("__sig"), b * width).bitwiseAND(lit((1L << width) - 1))
       }: _*)
-      df.select(col(id).as(as), col(vecCol).as(vecAs),
-        hyperplaneSignature(col(vecCol), bits).as("__sig"))
+      withHyperplaneSignature(df.select(col(id).as(as), col(vecCol).as(vecAs)),
+          as, vecAs, bits)
         .select(col(as), col(vecAs), posexplode(bandKeys).as(Seq("band", "key")))
     }
     val p = banded(probes, probeId, "probe_id", "__pv")

@@ -149,18 +149,15 @@ object AggQueries {
     GQuery("q_agg_argmax",
       (s, dir) => {
         val t = Tables(s, dir)
-        val w = Window.partitionBy(col("user_id"))
-          .orderBy(col("ts").desc, col("event_id").desc)
-        val wf = Window.partitionBy(col("user_id"))
-          .orderBy(col("ts").asc, col("event_id").asc)
+        // native max_by/min_by with a struct ordering key: ONE partial
+        // aggregation, no window sort (EXPRMIN/EXPRMAX & FIRST/LASTWITHTIME)
+        val ord = struct(col("ts"), col("event_id"))
         t.events
-          .withColumn("rn_last", row_number().over(w))
-          .withColumn("rn_first", row_number().over(wf))
           .groupBy(col("user_id"))
           .agg(
-            max(when(col("rn_last") === 1, col("value"))).as("last_value"),
-            max(when(col("rn_last") === 1, col("event_type"))).as("last_type"),
-            max(when(col("rn_first") === 1, col("value"))).as("first_value"))
+            max_by(col("value"), ord).as("last_value"),
+            max_by(col("event_type"), ord).as("last_type"),
+            min_by(col("value"), ord).as("first_value"))
           .orderBy(col("user_id"))
       },
       Some("""WITH r AS (SELECT user_id, value, event_type,
