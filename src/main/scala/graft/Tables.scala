@@ -40,9 +40,11 @@ final case class Tables(spark: SparkSession, dir: String) {
   lazy val documents: DataFrame = table("documents")
   lazy val embeddings: DataFrame = table("embeddings")
 
-  /** Register all tables as temp views for spark.sql use. */
+  /** Register all tables as temp views for spark.sql use (events goes
+    * through the nanos-safe reader above). */
   def registerAll(): Unit = Tables.names.foreach { n =>
-    table(n).createOrReplaceTempView(n)
+    val df = if (n == "events") events else table(n)
+    df.createOrReplaceTempView(n)
   }
 }
 

@@ -1,0 +1,195 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Pinot-named SQL function surface, registered into the session
+  * FunctionRegistry so `spark.sql("SELECT ARRAYLENGTH(a) ...")` runs
+  * Pinot-flavored SQL unchanged.
+  *
+  * Reference inventory: apache/pinot
+  * `pinot-common/.../function/TransformFunctionType.java:46-258`
+  * (scalars) and
+  * `pinot-segment-spi/.../AggregationFunctionType.java:52-242`
+  * (aggregates). Functions whose names/semantics already match Spark
+  * (SUM, LOWER, CONCAT, …) are not re-registered.
+  *
+  * Every registration is a composition of native Catalyst expressions
+  * (built through the Column API and unwrapped via the classic
+  * Expression bridge) — no UDFs, so everything stays codegen'd and
+  * filter-pushdown-friendly at 100 TB scan scale.
+  */
+object PinotFunctions {
+
+  private def fn(f: Seq[Column] => Column): Seq[Expression] => Expression =
+    exprs => ColumnBridge.expression(f(exprs.map(ColumnBridge.column)))
+
+  /** Unwrap a Column to its Catalyst expression (for literal args that
+    * shape the expression tree, e.g. a round scale or format string). */
+  private def ex(c: Column): Expression = ColumnBridge.expression(c)
+
+  /** Haversine distance in meters between two (lon, lat) points — the
+    * geography mode of Pinot's ST_Distance
+    * (`function/scalar/GeohashFunctions.java` family). */
+  def haversineMeters(lon1: Column, lat1: Column, lon2: Column, lat2: Column): Column = {
+    val r = lit(6371008.8) // mean earth radius, meters
+    val dLat = radians(lat2 - lat1) / 2
+    val dLon = radians(lon2 - lon1) / 2
+    val a = sin(dLat) * sin(dLat) +
+      cos(radians(lat1)) * cos(radians(lat2)) * sin(dLon) * sin(dLon)
+    lit(2.0) * r * asin(sqrt(a))
+  }
+
+  private val registry: Map[String, Seq[Column] => Column] = Map(
+    // ——— arithmetic (TransformFunctionType.java:46-66) ———
+    "add" -> { case Seq(a, b) => a + b },
+    "sub" -> { case Seq(a, b) => a - b },
+    "mult" -> { case Seq(a, b) => a * b },
+    "intdiv" -> { case Seq(a, b) => (a / b).cast(LongType) },
+    "roundecimal" -> { case Seq(a, s) => round(a, ex(s).eval().toString.toInt) },
+    "rounddecimal" -> { case Seq(a, s) => round(a, ex(s).eval().toString.toInt) },
+    "truncate" -> { case Seq(a) =>
+      when(a >= 0, floor(a)).otherwise(ceil(a)).cast(DoubleType) },
+    // ——— time (:120-157, DateTimeFunctions.java) ———
+    "timeconvert" -> { case Seq(v, from, to) =>
+      val unitMs: Column => Column = u => when(upper(u) === "MILLISECONDS", 1L)
+        .when(upper(u) === "SECONDS", 1000L)
+        .when(upper(u) === "MINUTES", 60000L)
+        .when(upper(u) === "HOURS", 3600000L)
+        .when(upper(u) === "DAYS", 86400000L)
+      ((v * unitMs(from)) / unitMs(to)).cast(LongType) },
+    "datetrunc" -> { case Seq(u, ts) => date_trunc(ex(u).eval().toString, ts) },
+    "fromepochseconds" -> { case Seq(v) => timestamp_seconds(v.cast(LongType)) },
+    "fromepochmillis" -> { case Seq(v) => timestamp_millis(v.cast(LongType)) },
+    "toepochseconds" -> { case Seq(ts) => unix_seconds(ts.cast(TimestampType)) },
+    "toepochmillis" -> { case Seq(ts) => unix_millis(ts.cast(TimestampType)) },
+    "todatetime" -> { case Seq(ms, pat) =>
+      date_format(timestamp_millis(ms.cast(LongType)), ex(pat).eval().toString) },
+    "fromdatetime" -> { case Seq(s, pat) =>
+      unix_millis(to_timestamp(s, ex(pat).eval().toString).cast(TimestampType)) },
+    "yearofweek" -> { case Seq(ts) => expr(s"extract(YEAROFWEEK FROM ${ex(ts).sql})") },
+    "millisecond" -> { case Seq(ts) => (expr(s"extract(SECONDS FROM ${ex(ts).sql})") * 0 +
+      date_format(ts, "SSS").cast(IntegerType)) },
+    // ——— JSON (:104-117) ———
+    "jsonextractscalar" -> {
+      case Seq(c, path, typ) => jsonScalar(c, path, typ, lit(null))
+      case Seq(c, path, typ, dflt) => jsonScalar(c, path, typ, dflt) },
+    "jsonextractkey" -> { case Seq(c, _) => json_object_keys(c) },
+    "jsonformat" -> { case Seq(c) => to_json(c) },
+    "jsonpath" -> { case Seq(c, p) => get_json_object(c, ex(p).eval().toString) },
+    // ——— string (StringFunctions.java) ———
+    "strpos" -> { case Seq(s, sub) => instr(s, ex(sub).eval().toString).cast(LongType) },
+    "splitpart" -> { case Seq(s, sep, i) => split_part(s, sep, i) },
+    "codepoint" -> { case Seq(s) => ascii(s) },
+    "normalize" -> { case Seq(s) => lower(trim(s)) },
+    "strrpos" -> { case Seq(s, sub) =>
+      val lit_ = ex(sub).eval().toString
+      (length(s) - instr(reverse(s), lit_.reverse) - lit(lit_.length) + 2)
+        .cast(LongType) },
+    "regexpextract" -> { case Seq(s, p) => regexp_extract(s, ex(p).eval().toString, 0)
+      case Seq(s, p, g) => regexp_extract(s, ex(p).eval().toString,
+        ex(g).eval().toString.toInt) },
+    "regexpreplace" -> { case Seq(s, p, r) =>
+      regexp_replace(s, ex(p).eval().toString, ex(r).eval().toString) },
+    // ——— array / MV (:162-172, ArrayFunctions.java) ———
+    "arraylength" -> { case Seq(a) => size(a) },
+    "arrayaverage" -> { case Seq(a) =>
+      aggregate(a, lit(0.0), (acc, x) => acc + x.cast(DoubleType)) / size(a) },
+    "arraysum" -> { case Seq(a) =>
+      aggregate(a, lit(0.0), (acc, x) => acc + x.cast(DoubleType)) },
+    "arraymin" -> { case Seq(a) => array_min(a) },
+    "arraymax" -> { case Seq(a) => array_max(a) },
+    "arraydistinct" -> { case Seq(a) => array_distinct(a) },
+    "arraysort" -> { case Seq(a) => array_sort(a) },
+    "arrayreverse" -> { case Seq(a) => reverse(a) },
+    "arrayconcat" -> { case cols => concat(cols: _*) },
+    "arrayslice" -> { case Seq(a, s, e) => slice(a, s, e - s) },
+    "arrayindexof" -> { case Seq(a, v) => array_position(a, v) - 1 },
+    "arrayelementat" -> { case Seq(a, i) => element_at(a, i) },
+    "arraycontainsvalue" -> { case Seq(a, v) => array_contains(a, v) },
+    "valuein" -> { case a +: vs => array_intersect(a, array(vs: _*)) },
+    "generatearray" -> { case Seq(s, e) => sequence(s, e)
+      case Seq(s, e, st) => sequence(s, e, st) },
+    "item" -> { case Seq(a, i) => element_at(a, i + 1) },
+    // ——— map (:174) ———
+    "mapvalue" -> { case Seq(m, k) => element_at(m, k) },
+    // ——— vector (:233-239) ———
+    "cosinedistance" -> { case Seq(a, b) => VectorFunctions.cosineDistance(a, b) },
+    "innerproduct" -> { case Seq(a, b) => VectorFunctions.innerProduct(a, b) },
+    "l1distance" -> { case Seq(a, b) => VectorFunctions.l1Distance(a, b) },
+    "l2distance" -> { case Seq(a, b) => VectorFunctions.l2Distance(a, b) },
+    "vectordims" -> { case Seq(a) => VectorFunctions.vectorDims(a) },
+    "vectornorm" -> { case Seq(a) => VectorFunctions.vectorNorm(a) },
+    // ——— geo (subset: geography distance + point, :195-229) ———
+    "stpoint" -> { case Seq(x, y) => struct(x.cast(DoubleType).as("x"),
+      y.cast(DoubleType).as("y"))
+      case Seq(x, y, _) => struct(x.cast(DoubleType).as("x"), y.cast(DoubleType).as("y")) },
+    "stdistance" -> { case Seq(p1, p2) =>
+      haversineMeters(p1.getField("x"), p1.getField("y"),
+        p2.getField("x"), p2.getField("y")) },
+    "stastext" -> { case Seq(p) => concat(lit("POINT ("),
+      p.getField("x").cast(StringType), lit(" "),
+      p.getField("y").cast(StringType), lit(")")) },
+    // ——— text analysis (north-star additions) ———
+    "tokencount" -> { case Seq(t) => TextFunctions.tokenCount(t) },
+    "langid" -> { case Seq(t) => TextFunctions.langId(t) },
+    "qualityscore" -> { case Seq(t) => TextFunctions.qualityScore(t) },
+    "fingerprint" -> { case Seq(t) => TextFunctions.fingerprint(t) },
+    // ——— aggregates with Pinot names (AggregationFunctionType.java) ———
+    "distinctcount" -> { case Seq(c) => size(collect_set(c)) },
+    "distinctcounthll" -> { case Seq(c) => approx_count_distinct(c) },
+    "distinctsum" -> { case Seq(c) => sum_distinct(c) },
+    "distinctavg" -> { case Seq(c) => sum_distinct(c) / size(collect_set(c)) },
+    "minmaxrange" -> { case Seq(c) => max(c) - min(c) },
+    "percentiletdigest" -> { case Seq(c, p) => percentile_approx(c, p / 100.0, lit(1000)) },
+    "avgmv" -> { case Seq(a) => sum(aggregate(a, lit(0.0),
+      (acc, x) => acc + x.cast(DoubleType))) / sum(size(a)) },
+    "summv" -> { case Seq(a) => sum(aggregate(a, lit(0.0),
+      (acc, x) => acc + x.cast(DoubleType))) },
+    "countmv" -> { case Seq(a) => sum(size(a)) },
+    "minmv" -> { case Seq(a) => min(array_min(a)) },
+    "maxmv" -> { case Seq(a) => max(array_max(a)) },
+    "exprmin" -> { case Seq(ret, ord) => min_by(ret, ord) },
+    "exprmax" -> { case Seq(ret, ord) => max_by(ret, ord) },
+    "firstwithtime" -> { case Seq(c, ts, _*) => min_by(c, ts) },
+    "lastwithtime" -> { case Seq(c, ts, _*) => max_by(c, ts) },
+    "booland" -> { case Seq(c) => bool_and(c) },
+    "boolor" -> { case Seq(c) => bool_or(c) },
+    "arrayagg" -> { case Seq(c, _*) => collect_list(c) }
+  )
+
+  private def jsonScalar(c: Column, path: Column, typ: Column, dflt: Column): Column = {
+    val raw = get_json_object(c, ex(path).eval().toString)
+    val t = ex(typ).eval().toString.toUpperCase
+    val target: DataType = t match {
+      case "INT" => IntegerType
+      case "LONG" => LongType
+      case "FLOAT" => FloatType
+      case "DOUBLE" => DoubleType
+      case "BOOLEAN" => BooleanType
+      case _ => StringType
+    }
+    coalesce(raw.cast(target), dflt.cast(target))
+  }
+
+  /** Idempotently register the surface into the session.
+    *
+    * Never shadows an existing function: overriding a Spark builtin
+    * (power, chr, percentile, …) would change its semantics session-wide
+    * — and a self-referencing override (a builder whose Column body
+    * parses back to the registered name) never resolves. Pinot names
+    * that collide with differently-scaled builtins (PERCENTILE's 0-100
+    * argument) are intentionally left to the Spark builtin; use
+    * PERCENTILETDIGEST for the Pinot-scaled variant. */
+  def registerAll(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    registry.foreach { case (name, f) =>
+      val id = org.apache.spark.sql.catalyst.FunctionIdentifier(name)
+      if (!reg.functionExists(id))
+        reg.createOrReplaceTempFunction(name, fn(f), "built-in")
+    }
+  }
+}

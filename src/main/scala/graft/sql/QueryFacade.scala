@@ -1,0 +1,81 @@
+package graft.sql
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.plans.logical._
+import graft.Tables
+import graft.functions.PinotFunctions
+
+/** Pinot-compatible SQL front door.
+  *
+  * Mirrors the reference's broker entry semantics
+  * (`BaseSingleStageBrokerRequestHandler.java:349`,
+  * `CalciteSqlParser.compileToSqlNodeAndOptions` — leading
+  * `SET key=value;` option statements, and the implicit `LIMIT 10`
+  * default from `pinot-common/src/thrift/query.thrift:29`) on top of
+  * `spark.sql`. Everything after option parsing is stock Catalyst —
+  * parse/analyze/optimize/AQE replace the broker/server scatter-gather.
+  */
+object QueryFacade {
+
+  /** Pinot's default result limit (query.thrift:29). */
+  val DefaultLimit = 10
+
+  final case class Parsed(options: Map[String, String], sql: String)
+
+  private val SetPattern = """(?is)^\s*SET\s+(\w+)\s*=\s*('[^']*'|"[^"]*"|\S+?)\s*;""".r
+
+  /** Strip leading `SET k = v;` statements (Pinot query options). */
+  def parseOptions(query: String): Parsed = {
+    var rest = query
+    var opts = Map.empty[String, String]
+    var matched = true
+    while (matched) {
+      SetPattern.findFirstMatchIn(rest) match {
+        case Some(m) =>
+          opts += (m.group(1).toLowerCase -> m.group(2).stripPrefix("'")
+            .stripSuffix("'").stripPrefix("\"").stripSuffix("\""))
+          rest = rest.substring(m.end)
+        case None => matched = false
+      }
+    }
+    Parsed(opts, rest.trim)
+  }
+
+  /** Does the plan already bound its result set at the top level?
+    * (Walks the unary spine — Sort/Project/CTE wrappers — like the
+    * reference checks its PinotQuery.limit field.) */
+  private def hasTopLevelLimit(plan: LogicalPlan): Boolean = plan match {
+    case _: GlobalLimit | _: LocalLimit => true
+    case p: Project => hasTopLevelLimit(p.child)
+    case s: Sort => hasTopLevelLimit(s.child)
+    case d: Distinct => hasTopLevelLimit(d.child)
+    case w: WithCTE => hasTopLevelLimit(w.plan)
+    case u: UnresolvedWith => hasTopLevelLimit(u.child)
+    case s: SubqueryAlias => hasTopLevelLimit(s.child)
+    case _ => false
+  }
+
+  /** Register the Pinot function surface + the testdata tables. */
+  def init(spark: SparkSession, dir: String): Unit = {
+    PinotFunctions.registerAll(spark)
+    Tables(spark, dir).registerAll()
+  }
+
+  /** Run a Pinot-flavored SQL query: leading SET options are parsed off
+    * (recognized: explicitLimit=true disables the implicit limit; all
+    * others are accepted as no-op compat flags, e.g. enableNullHandling,
+    * timeoutMs, numGroupsLimit — Spark is always SQL-null-compliant and
+    * exact, per SURVEY §2.4), then the implicit LIMIT 10 is applied
+    * unless the query bounds itself. */
+  def sql(spark: SparkSession, query: String): DataFrame = {
+    PinotFunctions.registerAll(spark)
+    val Parsed(opts, stmt) = parseOptions(query)
+    val df = spark.sql(stmt)
+    val explicit = opts.get("explicitlimit").exists(_.toBoolean)
+    val isSelect = stmt.trim.toLowerCase.startsWith("select") ||
+      stmt.trim.toLowerCase.startsWith("with")
+    if (!explicit && isSelect && !hasTopLevelLimit(df.queryExecution.logical))
+      df.limit(DefaultLimit)
+    else df
+  }
+}

@@ -49,12 +49,15 @@ object UpsertStream {
     stream.writeStream
       .outputMode("update")
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        // cache the merged store so lineage doesn't grow unboundedly
+        // localCheckpoint truncates lineage so the store doesn't grow a
+        // per-batch plan chain; re-bind the materialized RDD to the MAIN
+        // session (foreachBatch hands us a cloned session whose temp
+        // views would be invisible outside the stream).
         val merged = mergeBatch(store, batch, keys, cmpCol, tieCols)
           .localCheckpoint(true)
-        store.foreach(_.unpersist())
-        store = Some(merged)
-        merged.createOrReplaceTempView(viewName)
+        val bound = spark.createDataFrame(merged.rdd, merged.schema)
+        store = Some(bound)
+        bound.createOrReplaceTempView(viewName)
         ()
       }
       .start()

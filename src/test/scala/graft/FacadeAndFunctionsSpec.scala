@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sql.QueryFacade
+import graft.functions.PinotFunctions
+
+class FacadeAndFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val init: Unit = QueryFacade.init(spark, sf)
+
+  test("default LIMIT 10 applied when query has none (query.thrift:29)") {
+    init
+    assert(QueryFacade.sql(spark, "SELECT l_orderkey FROM lineitem").count() == 10)
+    assert(QueryFacade.sql(spark,
+      "SELECT l_orderkey FROM lineitem LIMIT 25").count() == 25)
+    assert(QueryFacade.sql(spark,
+      "SELECT l_orderkey FROM lineitem ORDER BY l_orderkey LIMIT 3").count() == 3)
+  }
+
+  test("SET option prefix parsed off and explicitLimit honored") {
+    init
+    val p = QueryFacade.parseOptions(
+      "SET enableNullHandling=true; SET timeoutMs = 5000; SELECT 1")
+    assert(p.options == Map("enablenullhandling" -> "true", "timeoutms" -> "5000"))
+    assert(p.sql == "SELECT 1")
+    val n = QueryFacade.sql(spark,
+      "SET explicitLimit=true; SELECT l_orderkey FROM lineitem").count()
+    assert(n > 10)
+  }
+
+  test("pinot-named scalar functions run through spark.sql") {
+    init
+    val r = QueryFacade.sql(spark,
+      """SELECT ARRAYLENGTH(ARRAY(1,2,3)) AS al,
+        ARRAYSUM(ARRAY(1.0, 2.0, 3.5)) AS asum,
+        TIMECONVERT(90000, 'MILLISECONDS', 'SECONDS') AS tc,
+        JSONEXTRACTSCALAR('{"k": 7}', '$.k', 'INT') AS js,
+        SPLITPART('a,b,c', ',', 2) AS sp,
+        STPOINT(0.0, 0.0) AS p LIMIT 1""").collect().head
+    assert(r.getAs[Int]("al") == 3)
+    assert(r.getAs[Double]("asum") == 6.5)
+    assert(r.getAs[Long]("tc") == 90L)
+    assert(r.getAs[Int]("js") == 7)
+    assert(r.getAs[String]("sp") == "b")
+  }
+
+  test("st_distance haversine is sane (1 deg longitude at equator ~111km)") {
+    init
+    val d = QueryFacade.sql(spark,
+      "SELECT STDISTANCE(STPOINT(0.0,0.0), STPOINT(1.0,0.0)) AS d LIMIT 1")
+      .collect().head.getAs[Double]("d")
+    assert(math.abs(d - 111195.0) < 100.0)
+  }
+
+  test("pinot-named aggregates run through spark.sql") {
+    init
+    val r = QueryFacade.sql(spark,
+      """SELECT DISTINCTCOUNT(l_returnflag) AS dc,
+        MINMAXRANGE(l_quantity) AS mmr,
+        EXPRMAX(l_orderkey, l_extendedprice) AS em,
+        BOOLAND(l_quantity > 0) AS ba
+        FROM lineitem""").collect().head
+    assert(r.getAs[Int]("dc") == 3)
+    assert(r.getAs[Double]("mmr") == 49.0)
+    assert(r.getAs[Boolean]("ba"))
+  }
+
+  test("MV aggregates over array columns") {
+    init
+    val df = Seq((Seq(1.0, 2.0), 1), (Seq(3.0), 2)).toDF("mv", "id")
+    df.createOrReplaceTempView("mvt")
+    val r = QueryFacade.sql(spark,
+      "SELECT COUNTMV(mv) AS c, SUMMV(mv) AS s, MAXMV(mv) AS mx FROM mvt")
+      .collect().head
+    assert(r.getAs[Long]("c") == 3L)
+    assert(r.getAs[Double]("s") == 6.0)
+    assert(r.getAs[Double]("mx") == 3.0)
+  }
+}

@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Funnel, Gapfill, Upsert}
+
+class UpsertFunnelGapfillSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def events = Seq(
+    // (user, ts, event_id, type, value)
+    (1L, 10L, 1L, "signup", 1.0),
+    (1L, 20L, 2L, "click", 2.0),
+    (1L, 30L, 3L, "purchase", 3.0),
+    (2L, 10L, 4L, "click", 4.0),   // click before signup: no funnel progress
+    (2L, 20L, 5L, "signup", 5.0),
+    (2L, 30L, 6L, "click", 6.0),
+    (3L, 10L, 7L, "signup", 7.0)
+  ).toDF("user_id", "ts", "event_id", "event_type", "value")
+
+  test("full upsert keeps latest row per key") {
+    val out = Upsert.latestByKey(events, Seq("user_id"), "ts", Seq("event_id"))
+      .select($"user_id", $"event_id").as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 3L, 2L -> 6L, 3L -> 7L))
+  }
+
+  test("dedup table keeps first row per key") {
+    val out = Upsert.firstByKey(events, Seq("user_id"), "ts", Seq("event_id"))
+      .select($"user_id", $"event_id").as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 1L, 2L -> 4L, 3L -> 7L))
+  }
+
+  test("partial upsert merges per strategy") {
+    val out = Upsert.partialUpsert(events, Seq("user_id"), "ts",
+      Seq(Upsert.Increment("value"), Upsert.Overwrite("event_type"),
+        Upsert.Append("event_id")))
+      .filter($"user_id" === 1L)
+      .select($"value", $"event_type", $"event_id")
+      .as[(Double, String, Seq[Long])].collect().head
+    assert(out._1 == 6.0)               // INCREMENT: 1+2+3
+    assert(out._2 == "purchase")        // OVERWRITE: latest by ts
+    assert(out._3 == Seq(1L, 2L, 3L))   // APPEND: arrival order
+  }
+
+  test("funnel max step respects event order") {
+    val steps = Seq(col("event_type") === "signup",
+      col("event_type") === "click", col("event_type") === "purchase")
+    val out = Funnel.maxStep(events, "user_id", "ts", "event_id", steps)
+      .select($"user_id", $"max_step").as[(Long, Int)].collect().toMap
+    assert(out == Map(1L -> 3, 2L -> 2, 3L -> 1))
+  }
+
+  test("funnel count counts entities per reached step") {
+    val steps = Seq(col("event_type") === "signup",
+      col("event_type") === "click", col("event_type") === "purchase")
+    val out = Funnel.funnelCount(events, "user_id", "ts", "event_id", steps)
+      .as[(Int, Long)].collect().toMap
+    assert(out == Map(1 -> 3L, 2 -> 2L, 3 -> 1L))
+  }
+
+  test("gapfill densifies buckets with default and previous fills") {
+    val agg = Seq(
+      ("2024-01-01 00:00:00", "a", 5L, 1.5),
+      ("2024-01-01 03:00:00", "a", 2L, 2.5))
+      .toDF("b", "g", "n", "v")
+      .select(to_timestamp($"b").as("bucket"), $"g", $"n", $"v")
+    val out = Gapfill.gapfill(spark, agg, "bucket", Seq("g"), "1 hour",
+      Seq(Gapfill.FillDefault("n", lit(0L)), Gapfill.FillPrevious("v")))
+      .orderBy($"bucket")
+      .select($"n", $"v").as[(Long, Double)].collect()
+    assert(out.length == 4)
+    assert(out.map(_._1).toSeq == Seq(5L, 0L, 0L, 2L))
+    assert(out.map(_._2).toSeq == Seq(1.5, 1.5, 1.5, 2.5)) // fill previous
+  }
+}
