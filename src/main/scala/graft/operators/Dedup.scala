@@ -87,8 +87,11 @@ object Dedup {
       numHashes: Int = 32,
       shingleSize: Int = 3): DataFrame = {
     val exploded = docs.select(col(idCol).as("id"),
-      explode(TextFunctions.shingles(col(textCol), shingleSize)).as("sh"))
-    val mins = (0 until numHashes).map(i => min(hash64(col("sh"), i)).as(s"h$i"))
+        explode(TextFunctions.shingles(col(textCol), shingleSize)).as("sh"))
+      // hash the (variable-length) shingle string ONCE; the k family
+      // members re-hash the fixed-width 64-bit value, which is ~free
+      .select(col("id"), xxhash64(col("sh")).as("h0"))
+    val mins = (0 until numHashes).map(i => min(hash64(col("h0"), i)).as(s"h$i"))
     exploded.groupBy(col("id"))
       .agg(mins.head, mins.tail: _*)
       .select(col("id"), array((0 until numHashes).map(i => col(s"h$i")): _*).as("signature"))

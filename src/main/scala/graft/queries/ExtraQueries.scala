@@ -1,0 +1,87 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables
+import graft.functions.TextFunctions
+import graft.operators.TimeSeries
+import graft.schema.PinotSchema
+import QH._
+
+/** Coverage for UNNEST (multi-array zip + null-padding), Pinot DEFAULT
+  * null-handling mode, and the time-series range-query planner. */
+object ExtraQueries {
+
+  val all: Seq[GQuery] = Seq(
+
+    // UNNEST with multi-array zip + null-pad semantics
+    // (UnnestOperator.java:37-41) — arrays_zip + explode matches the
+    // reference's null-padding; DuckDB's multi-unnest zips identically.
+    GQuery("q_unnest",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val toks = TextFunctions.tokens(col("text"))
+        t.documents.filter(col("doc_id") <= 50)
+          .select(col("doc_id"),
+            slice(toks, 1, 3).as("a3"),
+            slice(array_sort(array_distinct(toks)), 1, 5).as("b5"))
+          .select(col("doc_id"), explode(arrays_zip(col("a3"), col("b5"))).as("z"))
+          .select(col("doc_id"), col("z.a3").as("t1"), col("z.b5").as("t2"))
+          .orderBy(col("doc_id"), col("t1").asc_nulls_first, col("t2").asc_nulls_first)
+      },
+      Some("""WITH base AS (SELECT doc_id,
+          list_filter(string_split(text, ' '), x -> len(x) > 0)[1:3] AS a3,
+          list_sort(list_distinct(list_filter(string_split(text, ' '),
+            x -> len(x) > 0)))[1:5] AS b5
+          FROM documents WHERE doc_id <= 50)
+        SELECT doc_id, unnest(a3) AS t1, unnest(b5) AS t2 FROM base
+        ORDER BY doc_id, t1 ASC NULLS FIRST, t2 ASC NULLS FIRST""")),
+
+    // Pinot DEFAULT null-handling mode (FieldSpec.java:80 — dimension
+    // INT nulls become Integer.MIN_VALUE; QueryContext.java:500-505):
+    // nulls from a missing JSON key are substituted before aggregation.
+    GQuery("q_null_default_mode",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val schema = PinotSchema.Schema("events_derived", Seq(
+          PinotSchema.Field("k_missing", IntegerType, PinotSchema.Dimension),
+          PinotSchema.Field("value", DoubleType, PinotSchema.Metric)))
+        val derived = t.events.select(
+          col("event_type"),
+          get_json_object(col("props"), "$.missing").cast(IntegerType).as("k_missing"),
+          when(col("value") > 100.0, col("value")).as("value"))
+        schema.withDefaultNulls(derived)
+          .groupBy(col("event_type"))
+          .agg(min(col("k_missing")).as("min_k"),
+            count(when(col("value") === 0.0, 1)).as("n_defaulted"))
+          .orderBy(col("event_type"))
+      },
+      Some("""SELECT event_type,
+        MIN(COALESCE(CAST(json_extract_string(props, '$.missing') AS INT),
+          -2147483648)) AS min_k,
+        COUNT(*) FILTER (WHERE COALESCE(
+          CASE WHEN value > 100.0 THEN value END, 0.0) = 0.0) AS n_defaulted
+        FROM events GROUP BY event_type ORDER BY event_type""")),
+
+    // Time-series range query (RangeTimeSeriesRequest: start/end/step)
+    // via the TimeSeries planner — 2-hour buckets, per event_type tag.
+    GQuery("q_ts_range",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val start = 1704067200L // 2024-01-01T00:00:00Z
+        TimeSeries.rangeQuery(
+            t.events.withColumn("value", dec(col("value"))),
+            TimeSeries.RangeRequest("ts", "value", TimeSeries.SumSeries,
+              Seq("event_type"), start, start + 4 * 86400, 7200))
+          .withColumn("value", r4(col("value").cast(DoubleType)))
+          .orderBy(col("bucket"), col("event_type"))
+      },
+      Some("""SELECT make_timestamp((epoch_us(ts) // 7200000000) * 7200000000) AS bucket,
+        event_type,
+        ROUND(CAST(SUM(CAST(value AS DECIMAL(20,4))) AS DOUBLE), 4) AS value
+        FROM events
+        WHERE ts >= TIMESTAMP '2024-01-01 00:00:00'
+          AND ts < TIMESTAMP '2024-01-05 00:00:00'
+        GROUP BY 1, 2 ORDER BY bucket, event_type"""))
+  )
+}

@@ -1,0 +1,83 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.schema.PinotSchema
+import graft.sources.BatchIngest
+import graft.operators.TimeSeries
+
+class IngestSchemaSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("pinot json schema parses to StructType with roles and MV arrays") {
+    val json = """{
+      "schemaName": "game",
+      "dimensionFieldSpecs": [
+        {"name": "player", "dataType": "STRING"},
+        {"name": "tags", "dataType": "INT", "singleValueField": false}],
+      "metricFieldSpecs": [{"name": "score", "dataType": "DOUBLE"}],
+      "dateTimeFieldSpecs": [{"name": "ts", "dataType": "TIMESTAMP"}]
+    }"""
+    val sch = PinotSchema.fromJson(json)
+    assert(sch.name == "game")
+    val st = sch.toStructType
+    assert(st("player").dataType == StringType)
+    assert(st("tags").dataType == ArrayType(IntegerType))
+    assert(st("score").dataType == DoubleType)
+    assert(st("score").metadata.getString("pinotRole") == "METRIC")
+    assert(st("ts").dataType == TimestampType)
+  }
+
+  test("default null mode substitutes FieldSpec defaults") {
+    val sch = PinotSchema.Schema("t", Seq(
+      PinotSchema.Field("d", IntegerType, PinotSchema.Dimension),
+      PinotSchema.Field("m", DoubleType, PinotSchema.Metric),
+      PinotSchema.Field("s", StringType, PinotSchema.Dimension)))
+    val df = Seq((Some(1), Some(2.0), Some("x")), (None, None, None))
+      .toDF("d", "m", "s")
+    val out = sch.withDefaultNulls(df).orderBy($"d".desc)
+      .as[(Int, Double, String)].collect()
+    assert(out(1) == ((Int.MinValue, 0.0, "null")))
+  }
+
+  test("batch ingest applies transforms and writes pruned layout") {
+    val dir = Files.createTempDirectory("graft_ingest").toString
+    val input = Seq(
+      (1L, "  hello  ", "2024-01-01 10:00:00", Seq(1, 2)),
+      (2L, "drop me", "2024-01-02 10:00:00", Seq(3)),
+      (3L, "keep", "1899-01-01 00:00:00", Seq.empty[Int]))
+      .toDF("id", "s", "t", "arr")
+      .withColumn("t", to_timestamp($"t"))
+    BatchIngest.ingest(spark, input, s"$dir/out",
+      transforms = Seq(
+        BatchIngest.Sanitize("s", 4),
+        BatchIngest.DropWhere(col("s") === "drop"),
+        BatchIngest.ValidTime("t", "1990-01-01", "2030-01-01"),
+        BatchIngest.Derive("day", to_date($"t")),
+        BatchIngest.Unnest("arr")),
+      partitionBy = Seq("day"), sortBy = Seq("id"))
+    val out = spark.read.parquet(s"$dir/out")
+    assert(out.filter($"s" === "drop").count() == 0)
+    assert(out.filter($"id" === 1L).count() == 2) // unnested
+    assert(out.filter($"id" === 3L).select($"t").collect().head.isNullAt(0))
+    assert(out.filter($"id" === 1L).select($"s").as[String].collect().head == "hell")
+    // partition pruning: day is a partition column in the layout
+    assert(new java.io.File(s"$dir/out").listFiles.exists(_.getName.startsWith("day=")))
+  }
+
+  test("time series range query buckets and aggregates") {
+    val events = Seq(
+      ("2024-01-01 00:10:00", "a", 1.0),
+      ("2024-01-01 01:50:00", "a", 2.0),   // same 2h bucket as above
+      ("2024-01-01 02:10:00", "a", 4.0),   // next bucket
+      ("2023-12-31 23:59:00", "a", 100.0)) // out of range
+      .toDF("ts", "tag", "v")
+      .withColumn("ts", to_timestamp($"ts"))
+    val out = TimeSeries.rangeQuery(events, TimeSeries.RangeRequest(
+      "ts", "v", TimeSeries.SumSeries, Seq("tag"),
+      startSeconds = 1704067200L, endSeconds = 1704067200L + 86400, stepSeconds = 7200))
+      .orderBy($"bucket").select($"value").as[Double].collect()
+    assert(out.toSeq == Seq(3.0, 4.0))
+  }
+}
