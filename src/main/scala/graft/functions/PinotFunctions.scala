@@ -191,5 +191,7 @@ object PinotFunctions {
       if (!reg.functionExists(id))
         reg.createOrReplaceTempFunction(name, fn(f), "built-in")
     }
+    graft.plans.VectorExpressions.registerAll(spark)
+    graft.plans.KmvSketch.registerAll(spark)
   }
 }

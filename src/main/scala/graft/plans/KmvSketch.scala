@@ -1,0 +1,113 @@
+package graft.plans
+
+import java.nio.ByteBuffer
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, XxHash64Function}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types._
+
+/** KMV (k-minimum-values) distinct-count sketch — the theta-sketch
+  * family's simplest member: keep the k smallest hash values seen; if
+  * fewer than k were seen the count is exact, otherwise estimate
+  * (k-1) / R where R is the k-th minimum normalized to [0,1).
+  *
+  * Reference surface: apache/pinot theta/CPC sketch aggregates
+  * (`AggregationFunctionType.java:88-120`,
+  * `DistinctCountThetaSketchAggregationFunction.java`). Implemented as a
+  * `TypedImperativeAggregate` with a byte-serializable buffer (SURVEY
+  * §7.4): the partial state that crosses the shuffle is ≤ k longs
+  * regardless of input size, and merge is associative — the properties
+  * that make the sketch correct on a 1000-executor partial/final plan.
+  */
+case class DistinctCountKmv(
+    child: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[java.util.TreeSet[java.lang.Long]] {
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = LongType
+  override def prettyName: String = "distinct_count_kmv"
+
+  override def createAggregationBuffer(): java.util.TreeSet[java.lang.Long] =
+    new java.util.TreeSet[java.lang.Long]()
+
+  private def add(buf: java.util.TreeSet[java.lang.Long], h: Long): Unit = {
+    buf.add(h)
+    if (buf.size > k) buf.pollLast() // keep k smallest
+  }
+
+  override def update(buf: java.util.TreeSet[java.lang.Long], row: InternalRow)
+      : java.util.TreeSet[java.lang.Long] = {
+    val v = child.eval(row)
+    if (v != null) {
+      // non-negative 63-bit hash → uniform in [0, 2^63)
+      add(buf, XxHash64Function.hash(v, child.dataType, 42L) >>> 1)
+    }
+    buf
+  }
+
+  override def merge(buf: java.util.TreeSet[java.lang.Long],
+      other: java.util.TreeSet[java.lang.Long]): java.util.TreeSet[java.lang.Long] = {
+    val it = other.iterator()
+    while (it.hasNext) add(buf, it.next())
+    buf
+  }
+
+  override def eval(buf: java.util.TreeSet[java.lang.Long]): Any =
+    if (buf.size < k) buf.size.toLong
+    else {
+      val r = buf.last().toDouble / (1L << 62).toDouble / 2.0 // /2^63
+      math.round((k - 1) / r)
+    }
+
+  override def serialize(buf: java.util.TreeSet[java.lang.Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(4 + buf.size * 8)
+    bb.putInt(buf.size)
+    val it = buf.iterator()
+    while (it.hasNext) bb.putLong(it.next())
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): java.util.TreeSet[java.lang.Long] = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val buf = createAggregationBuffer()
+    var i = 0
+    while (i < n) { buf.add(bb.getLong); i += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): DistinctCountKmv =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): DistinctCountKmv =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) =
+    copy(child = c.head)
+}
+
+object KmvSketch {
+  /** Column API: approximate distinct count with ≤ k longs of state. */
+  def distinctCountKmv(c: Column, k: Int = 1024): Column =
+    ColumnBridge.column(
+      DistinctCountKmv(ColumnBridge.expression(c), k).toAggregateExpression())
+
+  /** SQL names: DISTINCTCOUNTKMV(col[, k]); DISTINCTCOUNTTHETASKETCH is
+    * aliased to the same estimator (theta-family). */
+  def registerAll(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    def build(exprs: Seq[Expression]): Expression = {
+      val k = if (exprs.size > 1)
+        exprs(1).eval().toString.toInt else 1024
+      DistinctCountKmv(exprs.head, k)
+    }
+    Seq("distinctcountkmv", "distinctcountthetasketch").foreach { n =>
+      reg.createOrReplaceTempFunction(n, build, "built-in")
+    }
+  }
+}

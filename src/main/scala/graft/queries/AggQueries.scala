@@ -338,7 +338,8 @@ object AggQueries {
         t.lineitem.groupBy(col("l_returnflag"))
           .agg(
             approx_count_distinct(col("l_partkey")).as("adc_part"),
-            percentile_approx(col("l_quantity"), lit(0.5), lit(1000)).as("ap50"))
+            percentile_approx(col("l_quantity"), lit(0.5), lit(1000)).as("ap50"),
+            graft.plans.KmvSketch.distinctCountKmv(col("l_partkey")).as("kmv_part"))
           .orderBy(col("l_returnflag"))
       },
       None)

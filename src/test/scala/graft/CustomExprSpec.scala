@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.plans.{KmvSketch, VectorExpressions}
+import graft.functions.VectorFunctions
+
+class CustomExprSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("fused cosine expression matches HOF formulation exactly") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val probe = emb.filter($"vec_id" === 0).select($"embedding".as("p"))
+    val both = emb.crossJoin(broadcast(probe)).select(
+      VectorExpressions.cosineSimilarity($"embedding", $"p").as("fused"),
+      VectorFunctions.cosineSimilarity($"embedding", $"p").as("hof"),
+      VectorExpressions.l2Distance($"embedding", $"p").as("l2f"),
+      VectorFunctions.l2Distance($"embedding", $"p").as("l2h"))
+    val bad = both.filter(
+      abs($"fused" - $"hof") > 1e-12 || abs($"l2f" - $"l2h") > 1e-12).count()
+    assert(bad == 0)
+  }
+
+  test("fused cosine registered for SQL") {
+    graft.plans.VectorExpressions.registerAll(spark)
+    val r = spark.sql(
+      "SELECT cosine_sim(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS c").collect()
+    assert(math.abs(r.head.getDouble(0) - 1.0) < 1e-12)
+  }
+
+  test("kmv sketch is exact under k and approximate above with <5% error") {
+    val li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+    val exact = li.select(countDistinct($"l_partkey")).as[Long].collect().head
+    // k larger than cardinality -> exact
+    val exactKmv = li.select(KmvSketch.distinctCountKmv($"l_partkey", 100000))
+      .as[Long].collect().head
+    assert(exactKmv == exact)
+    // k = 1024 -> estimate within 5%
+    val est = li.select(KmvSketch.distinctCountKmv($"l_partkey", 1024))
+      .as[Long].collect().head
+    assert(math.abs(est - exact).toDouble / exact < 0.05,
+      s"est=$est exact=$exact")
+  }
+
+  test("kmv sketch SQL name with group-by (partial/final merge path)") {
+    KmvSketch.registerAll(spark)
+    spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+      .createOrReplaceTempView("li_kmv")
+    val rows = spark.sql(
+      """SELECT l_returnflag, DISTINCTCOUNTKMV(l_partkey, 2048) AS d
+        FROM li_kmv GROUP BY l_returnflag""").collect()
+    assert(rows.length == 3 && rows.forall(_.getLong(1) > 0))
+  }
+}
