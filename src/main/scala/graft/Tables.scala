@@ -18,7 +18,12 @@ import org.apache.spark.sql.types.TimestampNTZType
   * directory tree and prunes partitions.
   */
 final case class Tables(spark: SparkSession, dir: String) {
-  def table(name: String): DataFrame = spark.read.parquet(s"$dir/$name.parquet")
+  /** Memoized per (session, dir): re-resolving a parquet relation costs
+    * file listing + footer reads on every query otherwise (74 queries ×
+    * 10 tables adds seconds of pure metadata work to a bench run). */
+  def table(name: String): DataFrame =
+    Tables.cache.computeIfAbsent((spark, dir, name),
+      _ => spark.read.parquet(s"$dir/$name.parquet"))
 
   lazy val region: DataFrame = table("region")
   lazy val nation: DataFrame = table("nation")
@@ -34,8 +39,11 @@ final case class Tables(spark: SparkSession, dir: String) {
     * session-TZ-free NTZ type to match the other tables. */
   lazy val events: DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table("events").withColumn("ts",
-      timestamp_micros(expr("ts div 1000")).cast(TimestampNTZType))
+    val raw = table("events") // resolve (and cache) BEFORE the outer
+    // computeIfAbsent — nesting them would be a recursive map update
+    Tables.cache.computeIfAbsent((spark, dir, "events__converted"),
+      _ => raw.withColumn("ts",
+        timestamp_micros(expr("ts div 1000")).cast(TimestampNTZType)))
   }
   lazy val documents: DataFrame = table("documents")
   lazy val embeddings: DataFrame = table("embeddings")
@@ -49,6 +57,9 @@ final case class Tables(spark: SparkSession, dir: String) {
 }
 
 object Tables {
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
+
   val names: Seq[String] = Seq(
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")

@@ -133,6 +133,15 @@ object PinotFunctions {
     "stastext" -> { case Seq(p) => concat(lit("POINT ("),
       p.getField("x").cast(StringType), lit(" "),
       p.getField("y").cast(StringType), lit(")")) },
+    // ——— url / ip / hash extras (UrlFunctions.java,
+    // IpAddressFunctions.java, HashFunctions.java) ———
+    "encodeurl" -> { case Seq(s) => call_function("url_encode", s) },
+    "decodeurl" -> { case Seq(s) => call_function("url_decode", s) },
+    "sha256" -> { case Seq(s) => sha2(s.cast(BinaryType), 256) },
+    "sha512" -> { case Seq(s) => sha2(s.cast(BinaryType), 512) },
+    "tobase64" -> { case Seq(s) => base64(s.cast(BinaryType)) },
+    "frombase64" -> { case Seq(s) => unbase64(s) },
+    "issubnetof" -> { case Seq(cidr, ip) => subnetOf(cidr, ip) },
     // ——— text analysis (north-star additions) ———
     "tokencount" -> { case Seq(t) => TextFunctions.tokenCount(t) },
     "langid" -> { case Seq(t) => TextFunctions.langId(t) },
@@ -160,6 +169,18 @@ object PinotFunctions {
     "boolor" -> { case Seq(c) => bool_or(c) },
     "arrayagg" -> { case Seq(c, _*) => collect_list(c) }
   )
+
+  /** IPv4 isSubnetOf(cidr, ip) via pure integer arithmetic
+    * (IpAddressFunctions.java — IPv4 subset; no IPv6 in v1). */
+  private def subnetOf(cidr: Column, ip: Column): Column = {
+    def ipToLong(s: Column): Column =
+      aggregate(split(s, "\\."), lit(0L), (acc, o) => acc * 256 + o.cast(LongType))
+    val base = ipToLong(split_part(cidr, lit("/"), lit(1)))
+    val bits = split_part(cidr, lit("/"), lit(2)).cast(IntegerType)
+    val shift = lit(32) - bits
+    call_function("shiftright", base, shift) ===
+      call_function("shiftright", ipToLong(ip), shift)
+  }
 
   private def jsonScalar(c: Column, path: Column, typ: Column, dflt: Column): Column = {
     val raw = get_json_object(c, ex(path).eval().toString)

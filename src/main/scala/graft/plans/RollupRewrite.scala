@@ -1,0 +1,184 @@
+package graft.plans
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate._
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.functions.{col, count, lit, max, min, sum}
+
+/** Materialized-rollup rewrite — the Spark analog of the reference's
+  * star-tree index and materialized-view rewrite.
+  *
+  * Reference: apache/pinot star-tree matching
+  * (`pinot-core/.../startree/StarTreeUtils.java:55,65,178`
+  * `isFitForStarTree`: a query is answered from the pre-aggregated tree
+  * when its group-by dims and agg pairs are subsets of the tree's) and
+  * the materialized-view broker rewrite (`pinot-materialized-view/`).
+  *
+  * Spark-first shape: the "tree" is a pre-aggregated parquet table
+  * (built by [[RollupRewrite.buildRollup]]); the match-and-rewrite is a
+  * `Rule[LogicalPlan]` installed via `spark.experimental.extraOptimizations`
+  * that redirects `Aggregate(dims ⊆ rollup.dims, aggs ⊆ rollup.measures)`
+  * over the fact scan to the (usually orders-of-magnitude smaller)
+  * rollup scan, re-aggregating partial states: SUM→SUM(sum_x),
+  * COUNT(*)→SUM(cnt), MIN→MIN(min_x), MAX→MAX(max_x). Output exprIds
+  * and types are preserved so the surrounding plan is untouched.
+  */
+object RollupRewrite {
+
+  final case class Spec(
+      factPath: String,           // path identifying the fact scan
+      rollupDf: DataFrame,        // the pre-aggregated table
+      dims: Set[String],
+      sums: Set[String],          // measures with sum_<m> columns
+      mins: Set[String],
+      maxs: Set[String])
+
+  private val specs =
+    new java.util.concurrent.ConcurrentHashMap[String, Spec]()
+
+  /** Build + register a rollup over `fact` (reference: star-tree builder
+    * `StarTreeV2BuilderConfig.java:47` — dimensionsSplitOrder +
+    * functionColumnPairs). Columns: dims…, cnt, sum_<m>, min_<m>, max_<m>. */
+  def buildRollup(
+      spark: SparkSession,
+      fact: DataFrame,
+      factPath: String,
+      dims: Seq[String],
+      measures: Seq[String],
+      outPath: String): Spec = {
+    val aggs = count(lit(1)).as("cnt") +:
+      measures.flatMap(m => Seq(sum(col(m)).as(s"sum_$m"),
+        min(col(m)).as(s"min_$m"), max(col(m)).as(s"max_$m")))
+    fact.groupBy(dims.map(col): _*).agg(aggs.head, aggs.tail: _*)
+      .write.mode("overwrite").parquet(outPath)
+    val spec = Spec(factPath, spark.read.parquet(outPath),
+      dims.toSet, measures.toSet, measures.toSet, measures.toSet)
+    register(spark, spec)
+    spec
+  }
+
+  def register(spark: SparkSession, spec: Spec): Unit = {
+    specs.put(spec.factPath, spec)
+    val rule = new RewriteRule(spark)
+    if (!spark.experimental.extraOptimizations.exists(
+        _.isInstanceOf[RewriteRule]))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ rule
+  }
+
+  def clear(): Unit = specs.clear()
+
+  /** Canonical scan path of a parquet-backed DataFrame (for Spec.factPath). */
+  def pathOf(df: DataFrame): Option[String] =
+    df.queryExecution.analyzed.collectFirst {
+      case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
+        fs.location.rootPaths.head.toString
+    }
+
+  private def scanPath(plan: LogicalPlan): Option[String] = plan match {
+    case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
+      fs.location.rootPaths.headOption.map(_.toString)
+    case _ => None
+  }
+
+  final class RewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
+
+    /** Peel attribute-only Projects and collect Filters between the
+      * Aggregate and the fact scan (the optimizer's pruning/pushdown
+      * leave exactly this shape). Returns (conjoined filter?, scan). */
+    private def decompose(p: LogicalPlan)
+        : Option[(Option[Expression], LogicalPlan)] = p match {
+      case org.apache.spark.sql.catalyst.plans.logical.Project(proj, ch)
+          if proj.forall(_.isInstanceOf[AttributeReference]) => decompose(ch)
+      case org.apache.spark.sql.catalyst.plans.logical.Filter(cond, ch) =>
+        decompose(ch).map { case (f, rel) =>
+          (Some(f.map(And(cond, _)).getOrElse(cond)), rel) }
+      case rel: LogicalRelation => Some((None, rel))
+      case _ => None
+    }
+
+    override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+      case agg @ Aggregate(groupExprs, aggExprs, child, _) =>
+        (for {
+          (filterOpt, rel) <- decompose(child)
+          path <- scanPath(rel)
+          spec <- Option(specs.get(path))
+          rewritten <- rewrite(agg, groupExprs, aggExprs, filterOpt, spec)
+        } yield rewritten).getOrElse(agg)
+    }
+
+    private def rewrite(
+        agg: Aggregate,
+        groupExprs: Seq[Expression],
+        aggExprs: Seq[NamedExpression],
+        filterOpt: Option[Expression],
+        spec: Spec): Option[LogicalPlan] = {
+      // a filter is admissible only over dimension columns (star-tree
+      // semantics: the tree pre-aggregates ONLY across dims, so dim
+      // predicates can be transplanted onto the rollup scan)
+      filterOpt.foreach { f =>
+        if (!f.references.forall(a => spec.dims(a.name))) return None
+      }
+      // group keys must be plain dim columns of the rollup
+      val groupNames = groupExprs.map {
+        case a: AttributeReference if spec.dims(a.name) => a.name
+        case _ => return None
+      }
+      val rollupPlan = spec.rollupDf.queryExecution.analyzed
+      val rollupAttr: Map[String, Attribute] =
+        rollupPlan.output.map(a => a.name -> a).toMap
+
+      def rewriteAgg(ae: AggregateExpression): Option[Expression] = {
+        if (ae.isDistinct || ae.filter.isDefined) return None
+        ae.aggregateFunction match {
+          case Sum(a: AttributeReference, _) if spec.sums(a.name) =>
+            Some(Cast(Sum(rollupAttr(s"sum_${a.name}")).toAggregateExpression(),
+              ae.dataType))
+          case Min(a: AttributeReference) if spec.mins(a.name) =>
+            Some(Cast(Min(rollupAttr(s"min_${a.name}")).toAggregateExpression(),
+              ae.dataType))
+          case Max(a: AttributeReference) if spec.maxs(a.name) =>
+            Some(Cast(Max(rollupAttr(s"max_${a.name}")).toAggregateExpression(),
+              ae.dataType))
+          case Count(Seq(Literal(_, _))) =>
+            Some(Cast(Sum(rollupAttr("cnt")).toAggregateExpression(), ae.dataType))
+          case _ => None
+        }
+      }
+
+      val newAggExprs: Seq[NamedExpression] = aggExprs.map {
+        case a: AttributeReference if spec.dims(a.name) =>
+          // group column passthrough: re-alias rollup attr under the
+          // ORIGINAL exprId so parent references stay valid
+          Alias(rollupAttr(a.name), a.name)(exprId = a.exprId)
+        case al @ Alias(ae: AggregateExpression, name) =>
+          rewriteAgg(ae) match {
+            case Some(e) => Alias(e, name)(exprId = al.exprId)
+            case None => return None
+          }
+        case _ => return None
+      }
+      val newGroups: Seq[Expression] = groupNames.map(rollupAttr)
+      // transplant the (dims-only) filter onto the rollup, remapped by name
+      val filtered = filterOpt match {
+        case Some(f) =>
+          val remapped = f.transform {
+            case a: AttributeReference => rollupAttr(a.name)
+          }
+          org.apache.spark.sql.catalyst.plans.logical.Filter(remapped, rollupPlan)
+        case None => rollupPlan
+      }
+      // explicit projection so the rollup scan prunes to referenced cols
+      // (this rule runs after the optimizer's own ColumnPruning pass)
+      val needed = rollupPlan.output.filter(a =>
+        newAggExprs.exists(_.references.contains(a)) ||
+          newGroups.exists(_.references.contains(a)) ||
+          filterOpt.exists(f => f.references.exists(_.name == a.name)))
+      Some(Aggregate(newGroups, newAggExprs,
+        org.apache.spark.sql.catalyst.plans.logical.Project(needed, filtered)))
+    }
+  }
+}

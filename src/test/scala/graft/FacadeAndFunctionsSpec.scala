@@ -45,6 +45,20 @@ class FacadeAndFunctionsSpec extends SparkSpec {
     assert(r.getAs[String]("sp") == "b")
   }
 
+  test("url / ip / hash extras") {
+    init
+    val r = QueryFacade.sql(spark,
+      """SELECT ENCODEURL('a b&c') AS e, DECODEURL('a%20b%26c') AS d,
+        ISSUBNETOF('192.168.1.0/24', '192.168.1.77') AS in1,
+        ISSUBNETOF('192.168.1.0/24', '192.168.2.1') AS in2,
+        SHA512('x') AS h LIMIT 1""").collect().head
+    assert(r.getAs[String]("e") == "a+b%26c")
+    assert(r.getAs[String]("d") == "a b&c")
+    assert(r.getAs[Boolean]("in1"))
+    assert(!r.getAs[Boolean]("in2"))
+    assert(r.getAs[String]("h").length == 128)
+  }
+
   test("st_distance haversine is sane (1 deg longitude at equator ~111km)") {
     init
     val d = QueryFacade.sql(spark,
