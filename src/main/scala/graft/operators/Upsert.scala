@@ -23,13 +23,22 @@ import org.apache.spark.sql.functions._
   */
 object Upsert {
 
-  /** FULL upsert view: the latest row per key by (cmpCol, tieCols...). */
+  /** FULL upsert view: the latest row per key by (cmpCol, tieCols...).
+    *
+    * @param deleteCol reference `UpsertConfig.deleteRecordColumn`
+    *                  (CommonConstants.java:717-719): when set, a key
+    *                  whose LATEST version has this boolean true is
+    *                  tombstoned — removed from the view entirely. */
   def latestByKey(df: DataFrame, keys: Seq[String], cmpCol: String,
-      tieCols: Seq[String] = Nil): DataFrame = {
+      tieCols: Seq[String] = Nil, deleteCol: Option[String] = None): DataFrame = {
     val ord = (col(cmpCol).desc +: tieCols.map(col(_).desc))
     val w = Window.partitionBy(keys.map(col): _*).orderBy(ord: _*)
-    df.withColumn("__rn", row_number().over(w))
+    val latest = df.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")
+    deleteCol match {
+      case Some(d) => latest.filter(!coalesce(col(d), lit(false))).drop(d)
+      case None => latest
+    }
   }
 
   /** Dedup-table view: the FIRST row per key ever seen (reference keeps

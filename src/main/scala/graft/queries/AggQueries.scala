@@ -196,17 +196,49 @@ object AggQueries {
         ROUND(corr(p_size, p_retailprice), 4) AS corr_sp
         FROM part GROUP BY p_brand ORDER BY p_brand""")),
 
-    // SKEWNESS / KURTOSIS (:152-153): Spark and DuckDB use different
-    // estimators (population vs bias-corrected sample), so no value oracle
-    // — rows-only check; exactness covered by q_agg_stats moments.
+    // SKEWNESS / KURTOSIS (:152-153). Spark's and DuckDB's builtins use
+    // different estimators (population vs bias-corrected sample), so the
+    // oracle-checked form computes population moments from integer power
+    // sums — exact in double for int inputs, identical formula text in
+    // both engines. Spark's builtins are asserted separately (rows-only).
     GQuery("q_agg_skew_kurt",
       (s, dir) => {
         val t = Tables(s, dir)
-        t.part.agg(
-          r4(skewness(col("p_size"))).as("skew_size"),
-          r4(kurtosis(col("p_size"))).as("kurt_size"))
+        val x = col("p_size").cast(DoubleType)
+        t.part
+          .groupBy(col("p_brand"))
+          .agg(
+            count(lit(1)).cast(DoubleType).as("n"),
+            sum(x).as("s1"), sum(x * x).as("s2"),
+            sum(x * x * x).as("s3"), sum(x * x * x * x).as("s4"))
+          .select(col("p_brand"),
+            r6((col("s3") / col("n")
+              - lit(3.0) * (col("s1") / col("n")) * (col("s2") / col("n"))
+              + lit(2.0) * pow(col("s1") / col("n"), 3.0))
+              / pow(col("s2") / col("n") - pow(col("s1") / col("n"), 2.0), 1.5))
+              .as("skew_pop"),
+            r6((col("s4") / col("n")
+              - lit(4.0) * (col("s1") / col("n")) * (col("s3") / col("n"))
+              + lit(6.0) * pow(col("s1") / col("n"), 2.0) * (col("s2") / col("n"))
+              - lit(3.0) * pow(col("s1") / col("n"), 4.0))
+              / pow(col("s2") / col("n") - pow(col("s1") / col("n"), 2.0), 2.0)
+              - lit(3.0)).as("kurt_excess"))
+          .orderBy(col("p_brand"))
       },
-      None),
+      Some("""WITH s AS (SELECT p_brand,
+          CAST(COUNT(*) AS DOUBLE) AS n,
+          SUM(CAST(p_size AS DOUBLE)) AS s1,
+          SUM(CAST(p_size AS DOUBLE) * CAST(p_size AS DOUBLE)) AS s2,
+          SUM(CAST(p_size AS DOUBLE) * CAST(p_size AS DOUBLE) * CAST(p_size AS DOUBLE)) AS s3,
+          SUM(CAST(p_size AS DOUBLE) * CAST(p_size AS DOUBLE) * CAST(p_size AS DOUBLE) * CAST(p_size AS DOUBLE)) AS s4
+          FROM part GROUP BY p_brand)
+        SELECT p_brand,
+          ROUND((s3 / n - 3.0 * (s1 / n) * (s2 / n) + 2.0 * POW(s1 / n, 3.0))
+            / POW(s2 / n - POW(s1 / n, 2.0), 1.5), 6) AS skew_pop,
+          ROUND((s4 / n - 4.0 * (s1 / n) * (s3 / n)
+            + 6.0 * POW(s1 / n, 2.0) * (s2 / n) - 3.0 * POW(s1 / n, 4.0))
+            / POW(s2 / n - POW(s1 / n, 2.0), 2.0) - 3.0, 6) AS kurt_excess
+        FROM s ORDER BY p_brand""")),
 
     // BOOLAND / BOOLOR (:168-169).
     GQuery("q_agg_bool",

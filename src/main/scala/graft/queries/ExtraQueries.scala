@@ -63,6 +63,39 @@ object ExtraQueries {
           CASE WHEN value > 100.0 THEN value END, 0.0) = 0.0) AS n_defaulted
         FROM events GROUP BY event_type ORDER BY event_type""")),
 
+    // CTE + correlated EXISTS + scalar subquery + IN subquery (MSE
+    // WithStatements / FromExpressions / subquery decorrelation — SURVEY
+    // §4.1; all stock Catalyst RewriteSubquery/decorrelation).
+    GQuery("q_subquery_cte",
+      (s, dir) => {
+        Tables(s, dir).registerAll()
+        s.sql("""
+          WITH big_orders AS (
+            SELECT o_custkey, o_totalprice FROM orders
+            WHERE o_totalprice > 150000.0)
+          SELECT c_custkey, c_mktsegment,
+            (SELECT COUNT(*) FROM big_orders b
+              WHERE b.o_custkey = c.c_custkey) AS n_big
+          FROM customer c
+          WHERE c.c_nationkey IN (
+              SELECT n_nationkey FROM nation WHERE n_regionkey <= 2)
+            AND EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey)
+          ORDER BY c_custkey""")
+      },
+      Some("""WITH big_orders AS (
+          SELECT o_custkey, o_totalprice FROM orders
+          WHERE o_totalprice > 150000.0)
+        SELECT c_custkey, c_mktsegment,
+          (SELECT COUNT(*) FROM big_orders b
+            WHERE b.o_custkey = c.c_custkey) AS n_big
+        FROM customer c
+        WHERE c.c_nationkey IN (
+            SELECT n_nationkey FROM nation WHERE n_regionkey <= 2)
+          AND EXISTS (SELECT 1 FROM orders o
+            WHERE o.o_custkey = c.c_custkey)
+        ORDER BY c_custkey""")),
+
     // Time-series range query (RangeTimeSeriesRequest: start/end/step)
     // via the TimeSeries planner — 2-hour buckets, per event_type tag.
     GQuery("q_ts_range",

@@ -23,6 +23,18 @@ class UpsertFunnelGapfillSpec extends SparkSpec {
     assert(out == Map(1L -> 3L, 2L -> 6L, 3L -> 7L))
   }
 
+  test("upsert delete-record column tombstones keys whose latest is a delete") {
+    val rows = Seq(
+      (1L, 10L, "a", false), (1L, 20L, "a2", true),   // deleted at latest
+      (2L, 10L, "b", true), (2L, 20L, "b2", false),   // un-deleted later
+      (3L, 10L, "c", false)
+    ).toDF("user_id", "ts", "payload", "deleted")
+    val out = Upsert.latestByKey(rows, Seq("user_id"), "ts",
+        deleteCol = Some("deleted"))
+      .select($"user_id", $"payload").as[(Long, String)].collect().toMap
+    assert(out == Map(2L -> "b2", 3L -> "c"))
+  }
+
   test("dedup table keeps first row per key") {
     val out = Upsert.firstByKey(events, Seq("user_id"), "ts", Seq("event_id"))
       .select($"user_id", $"event_id").as[(Long, Long)].collect().toMap
