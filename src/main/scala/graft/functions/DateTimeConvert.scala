@@ -1,0 +1,59 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Pinot `dateTimeConvert(col, inputFormat, outputFormat, granularity)`
+  * (`TransformFunctionType.java:120-157`, format spec
+  * `pinot-spi/.../data/DateTimeFormatSpec.java`):
+  * formats are `size:unit:EPOCH` or `size:unit:SIMPLE_DATE_FORMAT:pattern`,
+  * granularity is `size:unit`. The value is normalized to epoch millis,
+  * floor-bucketed to the granularity, and emitted in the output format.
+  * Everything compiles to native Catalyst arithmetic / date functions.
+  */
+object DateTimeConvert {
+
+  private val unitMillis: Map[String, Long] = Map(
+    "MILLISECONDS" -> 1L, "SECONDS" -> 1000L, "MINUTES" -> 60000L,
+    "HOURS" -> 3600000L, "DAYS" -> 86400000L)
+
+  private final case class Fmt(sizeMs: Long, sdf: Option[String])
+
+  private def parseFmt(s: String): Fmt = {
+    val parts = s.split(":", 4)
+    parts match {
+      case Array(n, unit, "EPOCH") =>
+        Fmt(n.toLong * unitMillis(unit.toUpperCase), None)
+      case Array(n, unit, "EPOCH", _) =>
+        Fmt(n.toLong * unitMillis(unit.toUpperCase), None)
+      case Array(_, _, "SIMPLE_DATE_FORMAT", pattern) => Fmt(1L, Some(pattern))
+      case Array("TIMESTAMP") => Fmt(1L, None)
+      case _ => throw new IllegalArgumentException(s"bad datetime format: $s")
+    }
+  }
+
+  private def parseGranularity(s: String): Long = {
+    val Array(n, unit) = s.split(":", 2)
+    n.toLong * unitMillis(unit.toUpperCase)
+  }
+
+  /** Column-level implementation; format/granularity args are literals
+    * (as in the reference, where they shape the plan). */
+  def dateTimeConvert(c: Column, inputFormat: String, outputFormat: String,
+      granularity: String): Column = {
+    val in = parseFmt(inputFormat)
+    val out = parseFmt(outputFormat)
+    val gran = parseGranularity(granularity)
+
+    val epochMs: Column = in.sdf match {
+      case Some(p) => unix_millis(to_timestamp(c, p).cast(TimestampType))
+      case None => c.cast(LongType) * lit(in.sizeMs)
+    }
+    val bucketed = (epochMs / lit(gran)).cast(LongType) * lit(gran)
+    out.sdf match {
+      case Some(p) => date_format(timestamp_millis(bucketed), p)
+      case None => (bucketed / lit(out.sizeMs)).cast(LongType)
+    }
+  }
+}

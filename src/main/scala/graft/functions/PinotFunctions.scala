@@ -62,6 +62,11 @@ object PinotFunctions {
         .when(upper(u) === "DAYS", 86400000L)
       ((v * unitMs(from)) / unitMs(to)).cast(LongType) },
     "datetrunc" -> { case Seq(u, ts) => date_trunc(ex(u).eval().toString, ts) },
+    "datetimeconvert" -> { case Seq(c, in, out, gran) =>
+      DateTimeConvert.dateTimeConvert(c, ex(in).eval().toString,
+        ex(out).eval().toString, ex(gran).eval().toString) },
+    "textmatch" -> { case Seq(c, q) => TextMatch.textMatch(c, ex(q).eval().toString) },
+    "text_match" -> { case Seq(c, q) => TextMatch.textMatch(c, ex(q).eval().toString) },
     "fromepochseconds" -> { case Seq(v) => timestamp_seconds(v.cast(LongType)) },
     "fromepochmillis" -> { case Seq(v) => timestamp_millis(v.cast(LongType)) },
     "toepochseconds" -> { case Seq(ts) => unix_seconds(ts.cast(TimestampType)) },

@@ -45,6 +45,44 @@ class FacadeAndFunctionsSpec extends SparkSpec {
     assert(r.getAs[String]("sp") == "b")
   }
 
+  test("dateTimeConvert epoch/SDF formats with granularity bucketing") {
+    init
+    val r = QueryFacade.sql(spark,
+      """SELECT
+        DATETIMECONVERT(1704110460123, '1:MILLISECONDS:EPOCH',
+          '1:MINUTES:EPOCH', '15:MINUTES') AS m15,
+        DATETIMECONVERT(1704110460123, '1:MILLISECONDS:EPOCH',
+          '1:MILLISECONDS:SIMPLE_DATE_FORMAT:yyyy-MM-dd HH:mm',
+          '1:HOURS') AS sdf_out,
+        DATETIMECONVERT('2024-01-01 12:34:56',
+          '1:MILLISECONDS:SIMPLE_DATE_FORMAT:yyyy-MM-dd HH:mm:ss',
+          '1:SECONDS:EPOCH', '1:DAYS') AS day_epoch
+        LIMIT 1""").collect().head
+    // 1704110460123 ms = 2024-01-01T12:01:00.123Z -> 15-min bucket 12:00
+    assert(r.getAs[Long]("m15") == 1704110400000L / 60000)
+    assert(r.getAs[String]("sdf_out") == "2024-01-01 12:00")
+    assert(r.getAs[Long]("day_epoch") == 1704067200L)
+  }
+
+  test("TEXT_MATCH lucene-subset queries") {
+    init
+    val docs = Seq(
+      (1L, "Spark query engines are fast"),
+      (2L, "the quick brown fox"),
+      (3L, "querying is an art")).toDF("id", "t")
+    docs.createOrReplaceTempView("tm_docs")
+    def ids(q: String): Seq[Long] =
+      QueryFacade.sql(spark,
+        s"SET explicitLimit=true; SELECT id FROM tm_docs WHERE TEXT_MATCH(t, '$q') ORDER BY id")
+        .collect().map(_.getLong(0)).toSeq
+    assert(ids("query") == Seq(1L))              // whole token, not 'querying'
+    assert(ids("query*") == Seq(1L, 3L))         // prefix wildcard
+    assert(ids("\"quick brown\"") == Seq(2L))    // phrase
+    assert(ids("spark AND fast") == Seq(1L))
+    assert(ids("fox OR art") == Seq(2L, 3L))
+    assert(ids("spark AND missing OR fox") == Seq(2L)) // AND binds tighter
+  }
+
   test("url / ip / hash extras") {
     init
     val r = QueryFacade.sql(spark,

@@ -39,6 +39,28 @@ class SimilarityMultimodalSpec extends SparkSpec {
     assert(r.getAs[Double]("l1") == 0.0)
   }
 
+  test("ivf index recalls same-cluster nearest neighbors") {
+    // two well-separated clusters around (1,0...) and (0,1...)
+    val rnd = new scala.util.Random(7)
+    def jitter(base: Array[Float]): Seq[Float] =
+      base.map(v => v + (rnd.nextFloat() - 0.5f) * 0.1f).toSeq
+    val a = Array(1f, 0f, 0f, 0f); val b = Array(0f, 1f, 0f, 0f)
+    val corpus = ((0L until 20L).map(i => (i, jitter(a))) ++
+      (20L until 40L).map(i => (i, jitter(b)))).toDF("vec_id", "embedding")
+    val model = graft.operators.IvfIndex.build(corpus, "vec_id", "embedding", k = 2)
+    // cells separate the clusters
+    val cells = model.assignments
+      .select($"id", $"cell").as[(Long, Int)].collect().toMap
+    assert((0L until 20L).map(cells).toSet.size == 1)
+    assert(cells(0L) != cells(25L))
+    // searching with a cluster-a probe returns only cluster-a neighbors
+    val probes = corpus.filter($"vec_id" === 0L)
+    val res = graft.operators.IvfIndex.search(model, probes, "vec_id",
+      "embedding", k = 5, nprobe = 1)
+      .select($"neighbor_id").as[Long].collect()
+    assert(res.length == 5 && res.forall(_ < 20L))
+  }
+
   test("multimodal extractFeatures runs partition-wise with stub decoder") {
     val df = Multimodal.withBinary(
       Seq((1L, "abc"), (2L, "")).toDF("doc_id", "text"), "text")
