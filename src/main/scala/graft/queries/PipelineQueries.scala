@@ -105,6 +105,35 @@ object PipelineQueries {
         FROM embeddings, probe WHERE vec_id <> 0
         ORDER BY sim DESC, vec_id ASC LIMIT 10""")),
 
+    // VECTOR_SIMILARITY_RADIUS predicate (VectorRadiusFilterOperator):
+    // all corpus rows within a cosine-similarity radius of the probe.
+    GQuery("q_ann_radius",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val probe = t.embeddings.filter(col("vec_id") === 0)
+          .select(col("embedding").as("probe_vec"))
+        t.embeddings.filter(col("vec_id") =!= 0)
+          .crossJoin(broadcast(probe))
+          .withColumn("sim", r4(graft.plans.VectorExpressions.cosineSimilarity(
+            col("embedding").cast("array<double>"), col("probe_vec").cast("array<double>"))))
+          .filter(col("sim") >= 0.2)
+          .select(col("vec_id"), col("sim"))
+          .orderBy(col("vec_id"))
+      },
+      Some("""WITH probe AS (SELECT CAST(embedding AS DOUBLE[]) AS p
+          FROM embeddings WHERE vec_id = 0)
+        SELECT vec_id,
+          ROUND(list_sum(list_transform(list_zip(CAST(embedding AS DOUBLE[]), p),
+              t -> t[1] * t[2]))
+            / (sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)))
+             * sqrt(list_sum(list_transform(p, x -> x * x)))), 4) AS sim
+        FROM embeddings, probe
+        WHERE vec_id <> 0 AND ROUND(list_sum(list_transform(list_zip(CAST(embedding AS DOUBLE[]), p),
+              t -> t[1] * t[2]))
+            / (sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)))
+             * sqrt(list_sum(list_transform(p, x -> x * x)))), 4) >= 0.2
+        ORDER BY vec_id""")),
+
     // LSH-bucketed ANN (Similarity.lshTopK) — approximate → rows-only.
     GQuery("q_ann_lsh",
       (s, dir) => {
