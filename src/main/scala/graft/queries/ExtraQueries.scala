@@ -96,6 +96,92 @@ object ExtraQueries {
             WHERE o.o_custkey = c.c_custkey)
         ORDER BY c_custkey""")),
 
+    // MV aggregates over a real array column (COUNTMV/MINMV/MAXMV,
+    // AggregationFunctionType.java:205-240): exact picks only — no
+    // float arithmetic — so values hash-match bitwise.
+    GQuery("q_agg_mv",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        t.embeddings.groupBy(col("label"))
+          .agg(
+            sum(size(col("embedding"))).as("countmv"),
+            min(array_min(col("embedding"))).as("minmv"),
+            max(array_max(col("embedding"))).as("maxmv"),
+            count(lit(1)).as("n_rows"))
+          .orderBy(col("label"))
+      },
+      Some("""SELECT label,
+        CAST(SUM(len(embedding)) AS BIGINT) AS countmv,
+        MIN(list_aggregate(embedding, 'min')) AS minmv,
+        MAX(list_aggregate(embedding, 'max')) AS maxmv,
+        COUNT(*) AS n_rows
+        FROM embeddings GROUP BY label ORDER BY label""")),
+
+    // Type casting / coercion matrix (TypeCasting.json / TypeCoercion
+    // .json suite analog).
+    GQuery("q_typecast",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        t.customer.filter(col("c_custkey") <= 100)
+          .select(
+            col("c_custkey"),
+            col("c_custkey").cast(IntegerType).as("l2i"),
+            col("c_custkey").cast(DoubleType).as("l2d"),
+            col("c_custkey").cast(StringType).as("l2s"),
+            col("c_acctbal").cast(StringType).as("d2s"),
+            concat(col("c_custkey").cast(StringType), lit("#")).as("concat_ls"),
+            (col("c_custkey") + col("c_nationkey")).as("l_plus_i"),
+            (col("c_acctbal") > col("c_nationkey")).as("d_gt_i"),
+            lit("41").cast(IntegerType).as("s2i"),
+            lit("3.5").cast(DoubleType).as("s2d"),
+            lit(1).cast(BooleanType).as("i2b"),
+            lit(true).cast(IntegerType).as("b2i"))
+          .orderBy(col("c_custkey"))
+      },
+      Some("""SELECT c_custkey,
+        CAST(c_custkey AS INT) AS l2i,
+        CAST(c_custkey AS DOUBLE) AS l2d,
+        CAST(c_custkey AS VARCHAR) AS l2s,
+        CAST(c_acctbal AS VARCHAR) AS d2s,
+        CAST(c_custkey AS VARCHAR) || '#' AS concat_ls,
+        c_custkey + c_nationkey AS l_plus_i,
+        c_acctbal > c_nationkey AS d_gt_i,
+        CAST('41' AS INT) AS s2i,
+        CAST('3.5' AS DOUBLE) AS s2d,
+        CAST(1 AS BOOLEAN) AS i2b,
+        CAST(true AS INT) AS b2i
+        FROM customer WHERE c_custkey <= 100 ORDER BY c_custkey""")),
+
+    // Boolean logic incl. IS TRUE family over nullable booleans
+    // (BooleanLogic.json / NullHandling.json suite analog — three-valued
+    // logic is SQL-compliant in both engines).
+    GQuery("q_bool_logic",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val b1 = col("value") > 100.0
+        val b2 = get_json_object(col("props"), "$.missing").isNotNull &&
+          lit(true) // stays false
+        val bn = when(col("value") > 150.0, col("value") > 100.0) // nullable bool
+        t.events.agg(
+          count(when(b1 && !b2, 1)).as("n_and"),
+          count(when(b1 || b2, 1)).as("n_or"),
+          count(when(expr("(value > 150.0) IS NOT TRUE"), 1)).as("n_not_true"),
+          count(when(bn.isNull, 1)).as("n_null_bool"),
+          count(when(expr("CASE WHEN value > 150.0 THEN value > 100.0 END IS TRUE"), 1))
+            .as("n_is_true"))
+      },
+      Some("""SELECT
+        COUNT(*) FILTER (WHERE value > 100.0
+          AND NOT (json_extract_string(props, '$.missing') IS NOT NULL AND true)) AS n_and,
+        COUNT(*) FILTER (WHERE value > 100.0
+          OR (json_extract_string(props, '$.missing') IS NOT NULL AND true)) AS n_or,
+        COUNT(*) FILTER (WHERE (value > 150.0) IS NOT TRUE) AS n_not_true,
+        COUNT(*) FILTER (WHERE (CASE WHEN value > 150.0 THEN value > 100.0 END) IS NULL)
+          AS n_null_bool,
+        COUNT(*) FILTER (WHERE (CASE WHEN value > 150.0 THEN value > 100.0 END) IS TRUE)
+          AS n_is_true
+        FROM events""")),
+
     // Time-series range query (RangeTimeSeriesRequest: start/end/step)
     // via the TimeSeries planner — 2-hour buckets, per event_type tag.
     GQuery("q_ts_range",

@@ -6,6 +6,24 @@ import graft.streaming.UpsertStream
 
 class StreamingUpsertSpec extends SparkSpec {
 
+  test("streaming dedup drops duplicate keys across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(Long, String)]
+    val deduped = mem.toDF().toDF("pk", "payload").dropDuplicates("pk")
+    val q = deduped.writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out").start()
+    try {
+      mem.addData((1L, "a"), (2L, "b"), (1L, "dup-in-batch"))
+      q.processAllAvailable()
+      mem.addData((1L, "dup-across-batch"), (3L, "c"))
+      q.processAllAvailable()
+      val out = spark.table("dedup_out")
+        .select($"pk", $"payload").as[(Long, String)].collect().toMap
+      assert(out == Map(1L -> "a", 2L -> "b", 3L -> "c"))
+    } finally q.stop()
+  }
+
   test("streaming upsert converges to latest-per-key across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
