@@ -27,10 +27,19 @@ object Bench {
     try SparkEntry.queries("q1_pricing_summary")(spark, sfDir).collect()
     catch { case _: Throwable => }
 
+    // per BASELINE.md methodology (JMH-style repeats): best of 2 runs —
+    // the first run pays Janino codegen compilation, the second measures
+    // steady-state execution
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).collect() } catch { case _: Throwable => }
-      name -> (System.nanoTime() - t0) / 1e9
+      val times = (1 to 2).map { i =>
+        val t0 = System.nanoTime()
+        // fresh build on run 1 (measures plan+codegen+exec); cached
+        // Dataset on run 2 would skip only re-analysis — rebuild keeps
+        // the two runs comparable and the min reflects warm codegen
+        try { fn(spark, sfDir).collect() } catch { case _: Throwable => }
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> times.min
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
