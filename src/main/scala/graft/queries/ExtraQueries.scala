@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.Tables
 import graft.functions.TextFunctions
-import graft.operators.TimeSeries
+import graft.operators.{Sessionize, TimeSeries}
 import graft.schema.PinotSchema
 import QH._
 
@@ -95,6 +95,54 @@ object ExtraQueries {
           AND EXISTS (SELECT 1 FROM orders o
             WHERE o.o_custkey = c.c_custkey)
         ORDER BY c_custkey""")),
+
+    // Gap-based sessionization (Sessionize.assignSessions): 30-minute
+    // inactivity gap; session ids are per-user ordinals.
+    GQuery("q_sessionize",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        Sessionize.assignSessions(t.events, "user_id", "ts", "event_id",
+            gapMs = 30 * 60 * 1000L)
+          .groupBy(col("user_id"))
+          .agg(max(col("session_id")).as("n_sessions"),
+            count(lit(1)).as("n_events"))
+          .orderBy(col("user_id"))
+      },
+      Some("""WITH o AS (SELECT user_id, event_id, ts,
+          CASE WHEN lag(ts) OVER w IS NULL
+            OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 1800000
+            THEN 1 ELSE 0 END AS ns
+          FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        SELECT user_id, CAST(SUM(ns) AS BIGINT) AS n_sessions,
+          COUNT(*) AS n_events
+        FROM o GROUP BY user_id ORDER BY user_id""")),
+
+    // Post-aggregation expressions + HAVING on them
+    // (PostAggregationHandler.java, HavingFilterHandler.java): arithmetic
+    // over aggregate results computed broker-side in the reference.
+    GQuery("q_post_agg",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        t.lineitem.groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(dsum(col("l_extendedprice")).as("rev"),
+            dsum(col("l_quantity")).as("qty"),
+            count(lit(1)).as("n"))
+          .withColumn("rev_per_item", col("rev") / col("n"))
+          .withColumn("price_per_unit", col("rev") / col("qty"))
+          .filter(col("rev_per_item") > 30000.0)
+          .select(col("l_returnflag"), col("l_linestatus"),
+            col("rev_per_item"), col("price_per_unit"))
+          .orderBy(col("l_returnflag"), col("l_linestatus"))
+      },
+      Some("""WITH a AS (SELECT l_returnflag, l_linestatus,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,4))) AS DOUBLE) AS rev,
+          CAST(SUM(CAST(l_quantity AS DECIMAL(20,4))) AS DOUBLE) AS qty,
+          COUNT(*) AS n
+          FROM lineitem GROUP BY 1, 2)
+        SELECT l_returnflag, l_linestatus,
+          rev / n AS rev_per_item, rev / qty AS price_per_unit
+        FROM a WHERE rev / n > 30000.0
+        ORDER BY l_returnflag, l_linestatus""")),
 
     // MV aggregates over a real array column (COUNTMV/MINMV/MAXMV,
     // AggregationFunctionType.java:205-240): exact picks only — no
