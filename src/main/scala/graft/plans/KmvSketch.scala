@@ -91,7 +91,76 @@ case class DistinctCountKmv(
     copy(child = c.head)
 }
 
+/** Aggregate variant that RETURNS the serialized sketch (BinaryType)
+  * instead of the estimate — the `DISTINCTCOUNTRAWTHETASKETCH` shape:
+  * sketches can be stored, re-aggregated later, or fed to the set-op
+  * estimators in [[KmvSetOps]]. */
+case class KmvState(
+    child: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[java.util.TreeSet[java.lang.Long]] {
+
+  private val impl = DistinctCountKmv(child, k)
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "kmv_state"
+
+  override def createAggregationBuffer() = impl.createAggregationBuffer()
+  override def update(b: java.util.TreeSet[java.lang.Long], r: InternalRow) =
+    impl.update(b, r)
+  override def merge(b: java.util.TreeSet[java.lang.Long],
+      o: java.util.TreeSet[java.lang.Long]) = impl.merge(b, o)
+  override def serialize(b: java.util.TreeSet[java.lang.Long]) = impl.serialize(b)
+  override def deserialize(bytes: Array[Byte]) = impl.deserialize(bytes)
+  override def eval(b: java.util.TreeSet[java.lang.Long]): Any = impl.serialize(b)
+
+  override def withNewMutableAggBufferOffset(o: Int): KmvState =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): KmvState =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) =
+    copy(child = c.head)
+}
+
+/** Set-operation estimators over serialized KMV sketches — the theta
+  * sketch family's set algebra (reference
+  * `DistinctCountThetaSketchAggregationFunction.java` setOperation
+  * parameters): estimate |A ∪ B|, |A ∩ B| and Jaccard from two sketch
+  * blobs without the raw data. */
+object KmvSetOps {
+
+  private def decode(bytes: Array[Byte]): Array[Long] = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    Array.fill(n)(bb.getLong)
+  }
+
+  /** (unionEstimate, intersectionEstimate, jaccard) from two sketches
+    * built with the same k. */
+  def estimate(a: Array[Byte], b: Array[Byte], k: Int): (Long, Long, Double) = {
+    val xa = decode(a); val xb = decode(b)
+    val sa = xa.toSet; val sb = xb.toSet
+    val merged = (sa ++ sb).toArray.sorted.take(k)
+    val unionEst: Double =
+      if (sa.size < k && sb.size < k) (sa ++ sb).size.toDouble
+      else (k - 1) / (merged.last.toDouble / (1L << 62).toDouble / 2.0)
+    val inBoth = merged.count(h => sa(h) && sb(h))
+    val jaccard = if (merged.isEmpty) 0.0 else inBoth.toDouble / merged.length
+    (math.round(unionEst), math.round(jaccard * unionEst), jaccard)
+  }
+}
+
 object KmvSketch {
+
+  /** Column API: sketch state aggregate (binary). */
+  def kmvState(c: Column, k: Int = 1024): Column =
+    ColumnBridge.column(
+      KmvState(ColumnBridge.expression(c), k).toAggregateExpression())
+
   /** Column API: approximate distinct count with ≤ k longs of state. */
   def distinctCountKmv(c: Column, k: Int = 1024): Column =
     ColumnBridge.column(

@@ -41,6 +41,27 @@ class CustomExprSpec extends SparkSpec {
       s"est=$est exact=$exact")
   }
 
+  test("kmv sketch set operations estimate union/intersection/jaccard") {
+    import graft.plans.{KmvSetOps, KmvSketch => KS}
+    // A = [0, 60k), B = [40k, 100k) -> |A|=60k |B|=60k |A∩B|=20k |A∪B|=100k
+    val a = (0L until 60000L).toDF("v")
+    val b = (40000L until 100000L).toDF("v")
+    val k = 4096
+    val sa = a.select(KS.kmvState($"v", k)).collect().head.getAs[Array[Byte]](0)
+    val sb = b.select(KS.kmvState($"v", k)).collect().head.getAs[Array[Byte]](0)
+    val (uni, inter, jac) = KmvSetOps.estimate(sa, sb, k)
+    assert(math.abs(uni - 100000L).toDouble / 100000 < 0.05, s"union=$uni")
+    assert(math.abs(inter - 20000L).toDouble / 20000 < 0.15, s"inter=$inter")
+    assert(math.abs(jac - 0.2) < 0.03, s"jac=$jac")
+    // small sketches are exact
+    val sx = (0L until 100L).toDF("v")
+      .select(KS.kmvState($"v", k)).collect().head.getAs[Array[Byte]](0)
+    val sy = (50L until 150L).toDF("v")
+      .select(KS.kmvState($"v", k)).collect().head.getAs[Array[Byte]](0)
+    val (u2, i2, _) = KmvSetOps.estimate(sx, sy, k)
+    assert(u2 == 150L && i2 == 50L)
+  }
+
   test("kmv sketch SQL name with group-by (partial/final merge path)") {
     KmvSketch.registerAll(spark)
     spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
