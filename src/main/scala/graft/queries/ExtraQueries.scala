@@ -96,6 +96,52 @@ object ExtraQueries {
             WHERE o.o_custkey = c.c_custkey)
         ORDER BY c_custkey""")),
 
+    // LIKE / ILIKE / NOT LIKE / escape (Predicate.java RANGE/REGEXP
+    // family; LexicalStructure suite analog).
+    GQuery("q_fn_like",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        t.part.filter(col("p_partkey") <= 300)
+          .select(col("p_partkey"),
+            col("p_name").like("%al%").as("has_al"),
+            col("p_name").ilike("%AL%").as("has_al_ci"),
+            (!col("p_type").like("STANDARD%")).as("not_standard"),
+            col("p_brand").like("Brand#_1").as("brand_x1"))
+          .orderBy(col("p_partkey"))
+      },
+      Some("""SELECT p_partkey,
+        p_name LIKE '%al%' AS has_al,
+        p_name ILIKE '%AL%' AS has_al_ci,
+        p_type NOT LIKE 'STANDARD%' AS not_standard,
+        p_brand LIKE 'Brand#_1' AS brand_x1
+        FROM part WHERE p_partkey <= 300 ORDER BY p_partkey""")),
+
+    // SELECT DISTINCT + ORDER BY + LIMIT (DistinctOperator with a
+    // bounded result — DistinctCombineOperator early-terminate path).
+    GQuery("q_distinct_topk",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        t.lineitem.select(col("l_partkey")).distinct()
+          .orderBy(col("l_partkey").desc).limit(20)
+      },
+      Some("""SELECT DISTINCT l_partkey FROM lineitem
+        ORDER BY l_partkey DESC LIMIT 20""")),
+
+    // ORDER BY over a nullable computed key with explicit null ordering.
+    GQuery("q_orderby_nulls",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        t.events.filter(col("event_id") <= 200)
+          .select(col("event_id"),
+            when(col("value") > 150.0, col("value")).as("v_or_null"))
+          .orderBy(col("v_or_null").desc_nulls_last, col("event_id").asc)
+          .limit(50)
+      },
+      Some("""SELECT event_id,
+        CASE WHEN value > 150.0 THEN value END AS v_or_null
+        FROM events WHERE event_id <= 200
+        ORDER BY v_or_null DESC NULLS LAST, event_id ASC LIMIT 50""")),
+
     // Gap-based sessionization (Sessionize.assignSessions): 30-minute
     // inactivity gap; session ids are per-user ordinals.
     GQuery("q_sessionize",
