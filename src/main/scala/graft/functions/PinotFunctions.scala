@@ -155,6 +155,15 @@ object PinotFunctions {
     // ——— aggregates with Pinot names (AggregationFunctionType.java) ———
     "distinctcount" -> { case Seq(c) => size(collect_set(c)) },
     "distinctcounthll" -> { case Seq(c) => approx_count_distinct(c) },
+    // exact-bitmap / partitioned variants are exact distinct counts in
+    // Spark (no segment boundary); smart/HLL+ variants map to HLL++
+    "distinctcountbitmap" -> { case Seq(c) => size(collect_set(c)) },
+    "segmentpartitioneddistinctcount" -> { case Seq(c) => size(collect_set(c)) },
+    "distinctcountsmarthll" -> { case Seq(c) => approx_count_distinct(c) },
+    "distinctcounthllplus" -> { case Seq(c) => approx_count_distinct(c) },
+    "percentileest" -> { case Seq(c, p) => percentile_approx(c, p / 100.0, lit(10000)) },
+    "percentilekll" -> { case Seq(c, p) => percentile_approx(c, p / 100.0, lit(10000)) },
+    "minmaxrangemv" -> { case Seq(a) => max(array_max(a)) - min(array_min(a)) },
     "distinctsum" -> { case Seq(c) => sum_distinct(c) },
     "distinctavg" -> { case Seq(c) => sum_distinct(c) / size(collect_set(c)) },
     "minmaxrange" -> { case Seq(c) => max(c) - min(c) },

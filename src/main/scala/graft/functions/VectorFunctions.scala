@@ -49,4 +49,26 @@ object VectorFunctions {
   /** L1 (Manhattan) distance. */
   def l1Distance(a: Column, b: Column): Column =
     aggregate(zip_with(d(a), d(b), (x, y) => abs(x - y)), lit(0.0), (acc, x) => acc + x)
+
+  /** L2-normalize a vector (unit length); zero vectors pass through. */
+  def normalize(a: Column): Column = {
+    val n = vectorNorm(a)
+    when(n === 0.0, d(a)).otherwise(transform(d(a), x => x / n))
+  }
+
+  /** Symmetric int8 quantization: round(x / scale) clamped to [-127,127]
+    * with scale = maxAbs/127 — 4x smaller embeddings for the 100 TB
+    * storage path; pair with [[dequantize]]. Returns
+    * struct(codes: array<tinyint>, scale: double). */
+  def quantizeInt8(a: Column): Column = {
+    val maxAbs = aggregate(d(a), lit(0.0), (acc, x) => greatest(acc, abs(x)))
+    val scale = when(maxAbs === 0.0, lit(1.0)).otherwise(maxAbs / 127.0)
+    struct(
+      transform(d(a), x => round(x / scale).cast("tinyint")).as("codes"),
+      scale.as("scale"))
+  }
+
+  /** Inverse of [[quantizeInt8]]. */
+  def dequantize(q: Column): Column =
+    transform(q.getField("codes"), c => c.cast("double") * q.getField("scale"))
 }

@@ -77,6 +77,19 @@ object PipelineQueries {
       },
       None),
 
+    // Full corpus-cleaning pipeline (quality gate → exact dedup →
+    // MinHash near-dup removal) — per-stage survivor counts. Contains
+    // the hash-defined LSH stage → rows-only check.
+    GQuery("q_corpus_clean",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        CorpusPipeline.stats(t.documents, "doc_id", "text",
+            CorpusPipeline.Config(minTokens = 5, minQuality = 0.3,
+              nearDupThreshold = 0.7))
+          .orderBy(col("stage"))
+      },
+      None),
+
     // ——— Similarity search ———
 
     // Brute-force cosine top-k vs probe vec_id=0 (Similarity), exact.
