@@ -25,6 +25,44 @@ import org.apache.spark.sql.functions._
   */
 object AsOfJoin {
 
+  /** Broadcast variant: when the right side is small (dimension-like —
+    * rates, config versions), group it into per-key SORTED arrays,
+    * broadcast-join on the partition key, and pick the last element at
+    * or before the left ordering key with array HOFs. The left (fact)
+    * side is NEVER shuffled — the as-of analog of a broadcast hash
+    * join, the right plan shape when the left is 100 TB and the right
+    * is megabytes. Semantics identical to [[asofJoin]] backward mode.
+    */
+  def asofJoinBroadcast(
+      left: DataFrame,
+      right: DataFrame,
+      partitionKeys: Seq[String],
+      leftOrder: String,
+      rightOrder: String,
+      allowExact: Boolean = true,
+      joinType: String = "left",
+      rightPrefix: String = "r_"): DataFrame = {
+    val payloadCols = right.columns.filterNot(partitionKeys.contains)
+    val packed = right.groupBy(partitionKeys.map(col): _*)
+      .agg(sort_array(collect_list(struct(
+        (col(rightOrder).as("__ord") +:
+          payloadCols.map(c => col(c).as(c))): _*))).as("__asof_arr"))
+
+    val joined = left.join(broadcast(packed), partitionKeys, "left")
+    val lOrd = col(leftOrder)
+    val matches = filter(col("__asof_arr"), e =>
+      if (allowExact) e.getField("__ord") <= lOrd else e.getField("__ord") < lOrd)
+    val matched = joined.withColumn("__asof_match",
+      when(size(matches) > 0, element_at(matches, -1)))
+    val filtered =
+      if (joinType == "inner") matched.filter(col("__asof_match").isNotNull)
+      else matched
+    val withRight = payloadCols.foldLeft(filtered) { (df, c) =>
+      df.withColumn(rightPrefix + c, col("__asof_match").getField(c))
+    }
+    withRight.drop("__asof_arr", "__asof_match")
+  }
+
   /** @param allowExact  if true, a right row at exactly the same orderKey
     *                    value can match (>= / <=); if false, strict.
     * @param direction   "backward" (right.orderKey <= left.orderKey, the

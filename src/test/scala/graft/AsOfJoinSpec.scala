@@ -43,4 +43,29 @@ class AsOfJoinSpec extends SparkSpec {
       joinType = "inner").count()
     assert(n == 3)
   }
+
+  test("broadcast variant matches shuffle variant on every mode") {
+    for (exact <- Seq(true, false); jt <- Seq("left", "inner")) {
+      val a = AsOfJoin.asofJoin(left, right, Seq("k"), "t", "t",
+        direction = "backward", allowExact = exact, joinType = jt)
+        .select($"lid", $"r_rid").as[(Int, Option[Int])].collect().toMap
+      val b = AsOfJoin.asofJoinBroadcast(left, right, Seq("k"), "t", "t",
+        allowExact = exact, joinType = jt)
+        .select($"lid", $"r_rid").as[(Int, Option[Int])].collect().toMap
+      assert(a == b, s"exact=$exact joinType=$jt: $a vs $b")
+    }
+  }
+
+  test("broadcast variant plans without shuffling the left side") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select($"l_orderkey", $"l_shipdate")
+    val o = spark.read.parquet(s"$sf/orders.parquet").limit(100)
+      .select(($"o_orderkey" % 7).as("l_orderkey"), $"o_orderdate", $"o_orderkey")
+    val plan = AsOfJoin.asofJoinBroadcast(
+      li.withColumn("l_orderkey", $"l_orderkey" % 7),
+      o, Seq("l_orderkey"), "l_shipdate", "o_orderdate")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"expected broadcast join:\n$plan")
+  }
 }
