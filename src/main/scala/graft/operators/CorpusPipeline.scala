@@ -35,10 +35,13 @@ object CorpusPipeline {
         TextFunctions.qualityScore(text) >= cfg.minQuality &&
         TextFunctions.langId(text).isin(cfg.languages.toSeq: _*))
 
-    // exact dedup: keep the smallest id per content hash
+    // exact dedup: keep the smallest id per content hash. Cached: the
+    // survivor set feeds BOTH the MinHash candidate generation and the
+    // final anti-join — without caching the whole gate+dedup prefix
+    // would execute twice.
     val keep = Dedup.exact(gated, idCol, textCol)
       .select(col("keep_id").as(idCol))
-    val exactDeduped = gated.join(keep, idCol)
+    val exactDeduped = gated.join(keep, idCol).cache()
 
     // near-dup removal: drop the larger id of each candidate pair
     val dropIds = Dedup.minhashLsh(exactDeduped, idCol, textCol,

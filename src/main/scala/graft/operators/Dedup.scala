@@ -157,16 +157,28 @@ object Dedup {
     val exploded = docs.select(col(idCol).as("id"),
         explode(TextFunctions.tokenSet(col(textCol))).as("tok"))
       .select(col("id"), xxhash64(col("tok")).as("h"))
-    val bitSums = (0 until 64).map { j =>
-      sum(shiftrightunsigned(col("h"), j).bitwiseAND(lit(1L))).as(s"b$j")
+    // lane packing: 4 bit-counters per long in 16-bit lanes — 16 sum
+    // aggregates instead of 64, same counts (safe below 65536 distinct
+    // tokens per doc; enforced by the guard column).
+    val laneSums = (0 until 16).map { g =>
+      val term = (0 until 4).foldLeft(lit(0L)) { (acc, lane) =>
+        val j = g * 4 + lane
+        acc + shiftleft(shiftrightunsigned(col("h"), j).bitwiseAND(lit(1L)), 16 * lane)
+      }
+      sum(term).as(s"g$g")
     }
     val counted = exploded.groupBy(col("id"))
-      .agg(bitSums.head, (bitSums.tail :+ count(lit(1)).as("n")): _*)
+      .agg(laneSums.head, (laneSums.tail :+ count(lit(1)).as("n")): _*)
+      .withColumn("__guard",
+        when(col("n") >= 65536, raise_error(lit("simhash: doc exceeds 65535 tokens")))
+          .otherwise(lit(0)))
     val fp = (0 until 64).foldLeft(lit(0L)) { (acc, j) =>
+      val cnt = shiftrightunsigned(col(s"g${j / 4}"), 16 * (j % 4))
+        .bitwiseAND(lit(0xFFFFL))
       acc.bitwiseOR(
-        when(col(s"b$j") * 2 > col("n"), shiftleft(lit(1L), j)).otherwise(lit(0L)))
+        when(cnt * 2 > col("n"), shiftleft(lit(1L), j)).otherwise(lit(0L)))
     }
-    counted.select(col("id"), fp.as("simhash"))
+    counted.select(col("id"), (fp + col("__guard")).as("simhash"))
   }
 
   /** Hamming distance between two int64 fingerprints. */
