@@ -135,6 +135,9 @@ object PinotFunctions {
     "stdistance" -> { case Seq(p1, p2) =>
       haversineMeters(p1.getField("x"), p1.getField("y"),
         p2.getField("x"), p2.getField("y")) },
+    "stcontains" -> { case Seq(poly, p) => GeoFunctions.stContains(poly, p) },
+    "stwithin" -> { case Seq(p, poly) => GeoFunctions.stWithin(p, poly) },
+    "starea" -> { case Seq(poly) => GeoFunctions.stArea(poly) },
     "stastext" -> { case Seq(p) => concat(lit("POINT ("),
       p.getField("x").cast(StringType), lit(" "),
       p.getField("y").cast(StringType), lit(")")) },

@@ -105,6 +105,29 @@ class FacadeAndFunctionsSpec extends SparkSpec {
     assert(math.abs(d - 111195.0) < 100.0)
   }
 
+  test("polygon geo functions: contains, within, area") {
+    init
+    // unit square (0,0)-(1,1); point inside, outside, and area
+    val r = QueryFacade.sql(spark,
+      """SELECT
+        STCONTAINS(ARRAY(STPOINT(0.0,0.0), STPOINT(1.0,0.0),
+          STPOINT(1.0,1.0), STPOINT(0.0,1.0)), STPOINT(0.5, 0.5)) AS inside,
+        STCONTAINS(ARRAY(STPOINT(0.0,0.0), STPOINT(1.0,0.0),
+          STPOINT(1.0,1.0), STPOINT(0.0,1.0)), STPOINT(1.5, 0.5)) AS outside,
+        STWITHIN(STPOINT(0.25, 0.75), ARRAY(STPOINT(0.0,0.0),
+          STPOINT(1.0,0.0), STPOINT(1.0,1.0), STPOINT(0.0,1.0))) AS within_sq,
+        STAREA(ARRAY(STPOINT(0.0,0.0), STPOINT(2.0,0.0),
+          STPOINT(2.0,3.0), STPOINT(0.0,3.0))) AS rect_area,
+        STAREA(ARRAY(STPOINT(0.0,0.0), STPOINT(4.0,0.0),
+          STPOINT(0.0,3.0))) AS tri_area
+        LIMIT 1""").collect().head
+    assert(r.getAs[Boolean]("inside"))
+    assert(!r.getAs[Boolean]("outside"))
+    assert(r.getAs[Boolean]("within_sq"))
+    assert(r.getAs[Double]("rect_area") == 6.0)
+    assert(r.getAs[Double]("tri_area") == 6.0)
+  }
+
   test("pinot-named aggregates run through spark.sql") {
     init
     val r = QueryFacade.sql(spark,
