@@ -41,9 +41,14 @@ final case class Tables(spark: SparkSession, dir: String) {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = table("events") // resolve (and cache) BEFORE the outer
     // computeIfAbsent — nesting them would be a recursive map update
-    Tables.cache.computeIfAbsent((spark, dir, "events__converted"),
-      _ => raw.withColumn("ts",
-        timestamp_micros(expr("ts div 1000")).cast(TimestampNTZType)))
+    Tables.cache.computeIfAbsent((spark, dir, "events__converted"), { _ =>
+      // driver testdata stores ts as TIMESTAMP(NANOS) → read as long and
+      // convert; re-ingested copies already carry a proper timestamp
+      if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        raw.withColumn("ts",
+          timestamp_micros(expr("ts div 1000")).cast(TimestampNTZType))
+      else raw
+    })
   }
   lazy val documents: DataFrame = table("documents")
   lazy val embeddings: DataFrame = table("embeddings")

@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.queries.QH._
+
+/** Scaling-headroom probe: replicate sf0.1 10x (~6M lineitem rows) into
+  * /tmp and compare wall times of representative plans against sf0.1.
+  * Near-linear growth (10x data → ~10x single-thread work on fixed
+  * cores) is the evidence that the plan shapes survive scale-up; any
+  * super-linear operator indicates a pair blow-up or spill problem.
+  * Run: sbt 'Test/runMain graft.ScaleProbe'
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .withExtensions(new graft.plans.GraftExtensions)
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+
+    val src = "/root/testdata/sf0.1"
+    val out = "/tmp/graft_sf1"
+    val factor = 10
+
+    // replicate with key offsets so join cardinalities scale honestly
+    def replicate(table: String, keyCols: Map[String, Long]): Unit = {
+      val df = spark.read.parquet(s"$src/$table.parquet")
+      val reps = spark.range(factor).select($"id".as("__rep"))
+      val rep = df.crossJoin(reps)
+      val shifted = keyCols.foldLeft(rep) { case (d, (c, base)) =>
+        d.withColumn(c, col(c) + col("__rep") * base)
+      }.drop("__rep")
+      shifted.write.mode("overwrite").parquet(s"$out/$table.parquet")
+    }
+    replicate("lineitem", Map("l_orderkey" -> 10000000L, "l_partkey" -> 1000000L,
+      "l_suppkey" -> 100000L))
+    replicate("orders", Map("o_orderkey" -> 10000000L, "o_custkey" -> 1000000L))
+    replicate("customer", Map("c_custkey" -> 1000000L))
+    replicate("supplier", Map("s_suppkey" -> 100000L))
+    Seq("nation", "region", "documents", "embeddings").foreach { t =>
+      spark.read.parquet(s"$src/$t.parquet").write.mode("overwrite")
+        .parquet(s"$out/$t.parquet")
+    }
+    // events: copy through the nanos-safe reader (writes plain NTZ micros)
+    Tables(spark, src).events.write.mode("overwrite")
+      .parquet(s"$out/events.parquet")
+
+    val probes = Seq("q1_pricing_summary", "q_join_inner", "q_join_left",
+      "q_upsert_latest", "q_win_rank", "q_agg_distinct", "q_sort_topk",
+      "q_join_asof")
+    def time(dir: String, name: String): Double = {
+      val t0 = System.nanoTime()
+      SparkEntry.queries(name)(spark, dir).collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    // warm
+    probes.foreach(time(src, _))
+    println(f"${"query"}%-22s ${"sf0.1"}%8s ${"sf1(10x)"}%9s ${"ratio"}%6s")
+    probes.foreach { q =>
+      val small = Seq(time(src, q), time(src, q)).min
+      val big = Seq(time(out, q), time(out, q)).min
+      println(f"$q%-22s $small%8.2f $big%9.2f ${big / small}%6.1f")
+    }
+    spark.stop()
+  }
+}
