@@ -96,6 +96,46 @@ object ExtraQueries {
             WHERE o.o_custkey = c.c_custkey)
         ORDER BY c_custkey""")),
 
+    // TEXT_MATCH predicate through the Lucene-subset compiler
+    // (TextMatchFilterOperator.java:38): term AND phrase OR prefix.
+    GQuery("q_text_match",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        t.documents
+          .filter(graft.functions.TextMatch.textMatch(col("text"),
+            "query AND \"the stream\" OR filter*"))
+          .select(col("doc_id"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id FROM documents
+        WHERE (list_contains(regexp_split_to_array(lower(text), '\W+'), 'query')
+               AND contains(lower(text), 'the stream'))
+           OR regexp_matches(lower(text), '(^|[^a-zA-Z0-9_])filter')
+        ORDER BY doc_id""")),
+
+    // DATETIMECONVERT (TransformFunctionType dateTimeConvert): epoch-ms
+    // input → 15-minute bucket → minutes-since-epoch output.
+    GQuery("q_fn_dtconvert",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        t.orders.filter(col("o_orderkey") <= 500)
+          .select(col("o_orderkey"),
+            graft.functions.DateTimeConvert.dateTimeConvert(
+              unix_millis(col("o_orderdate").cast(TimestampType)),
+              "1:MILLISECONDS:EPOCH", "1:MINUTES:EPOCH", "15:MINUTES").as("m15"),
+            graft.functions.DateTimeConvert.dateTimeConvert(
+              unix_millis(col("o_orderdate").cast(TimestampType)),
+              "1:MILLISECONDS:EPOCH",
+              "1:MILLISECONDS:SIMPLE_DATE_FORMAT:yyyy-MM-dd HH:00",
+              "1:HOURS").as("hour_str"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""SELECT o_orderkey,
+        (epoch_ms(o_orderdate) // 900000) * 900000 // 60000 AS m15,
+        strftime(make_timestamp((epoch_ms(o_orderdate) // 3600000) * 3600000 * 1000),
+          '%Y-%m-%d %H:00') AS hour_str
+        FROM orders WHERE o_orderkey <= 500 ORDER BY o_orderkey""")),
+
     // LIKE / ILIKE / NOT LIKE / escape (Predicate.java RANGE/REGEXP
     // family; LexicalStructure suite analog).
     GQuery("q_fn_like",
