@@ -178,6 +178,9 @@ object PinotFunctions {
     "countmv" -> { case Seq(a) => sum(size(a)) },
     "minmv" -> { case Seq(a) => min(array_min(a)) },
     "maxmv" -> { case Seq(a) => max(array_max(a)) },
+    // ANYVALUE: reference picks an arbitrary value; we pick min for
+    // determinism (a valid "any")
+    "anyvalue" -> { case Seq(c) => min(c) },
     "exprmin" -> { case Seq(ret, ord) => min_by(ret, ord) },
     "exprmax" -> { case Seq(ret, ord) => max_by(ret, ord) },
     "firstwithtime" -> { case Seq(c, ts, _*) => min_by(c, ts) },

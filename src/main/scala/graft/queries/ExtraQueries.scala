@@ -96,6 +96,46 @@ object ExtraQueries {
             WHERE o.o_custkey = c.c_custkey)
         ORDER BY c_custkey""")),
 
+    // RIGHT OUTER join (BaseJoinOperator.java RIGHT).
+    GQuery("q_join_right",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        t.orders.filter(col("o_totalprice") > 250000.0)
+          .join(t.customer, col("o_custkey") === col("c_custkey"), "right")
+          .groupBy(col("c_mktsegment"))
+          .agg(count(col("o_orderkey")).as("n_big_orders"),
+            count(lit(1)).as("n_rows"))
+          .orderBy(col("c_mktsegment"))
+      },
+      Some("""SELECT c_mktsegment, COUNT(o_orderkey) AS n_big_orders,
+        COUNT(*) AS n_rows
+        FROM (SELECT * FROM orders WHERE o_totalprice > 250000.0) o
+        RIGHT JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
+
+    // Inverse + hyperbolic trig (:242-254 asin/acos/sinh/cosh/tanh/cot).
+    GQuery("q_fn_trig2",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val x = col("n_nationkey") / 25.0
+        t.nation.select(col("n_nationkey"),
+            r6(asin(x)).as("asin_x"),
+            r6(acos(x)).as("acos_x"),
+            r6(sinh(x)).as("sinh_x"),
+            r6(cosh(x)).as("cosh_x"),
+            r6(tanh(x)).as("tanh_x"),
+            r6(lit(1.0) / tan(x + 0.1)).as("cot_x"))
+          .orderBy(col("n_nationkey"))
+      },
+      Some("""SELECT n_nationkey,
+        ROUND(ASIN(n_nationkey / 25.0), 6) AS asin_x,
+        ROUND(ACOS(n_nationkey / 25.0), 6) AS acos_x,
+        ROUND((EXP(n_nationkey / 25.0) - EXP(-(n_nationkey / 25.0))) / 2, 6) AS sinh_x,
+        ROUND((EXP(n_nationkey / 25.0) + EXP(-(n_nationkey / 25.0))) / 2, 6) AS cosh_x,
+        ROUND((EXP(2 * (n_nationkey / 25.0)) - 1) / (EXP(2 * (n_nationkey / 25.0)) + 1), 6) AS tanh_x,
+        ROUND(1.0 / TAN(n_nationkey / 25.0 + 0.1), 6) AS cot_x
+        FROM nation ORDER BY n_nationkey""")),
+
     // TEXT_MATCH predicate through the Lucene-subset compiler
     // (TextMatchFilterOperator.java:38): term AND phrase OR prefix.
     GQuery("q_text_match",
