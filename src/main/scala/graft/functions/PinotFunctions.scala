@@ -111,6 +111,8 @@ object PinotFunctions {
     "arraysort" -> { case Seq(a) => array_sort(a) },
     "arrayreverse" -> { case Seq(a) => reverse(a) },
     "arrayconcat" -> { case cols => concat(cols: _*) },
+    "arrayunion" -> { case Seq(a, b) => array_union(a, b) },
+    "arrayremove" -> { case Seq(a, v) => array_remove(a, v) },
     "arrayslice" -> { case Seq(a, s, e) => slice(a, s, e - s) },
     "arrayindexof" -> { case Seq(a, v) => array_position(a, v) - 1 },
     "arrayelementat" -> { case Seq(a, i) => element_at(a, i) },
@@ -135,6 +137,10 @@ object PinotFunctions {
     "stdistance" -> { case Seq(p1, p2) =>
       haversineMeters(p1.getField("x"), p1.getField("y"),
         p2.getField("x"), p2.getField("y")) },
+    // WKT POINT parsing (ST_GeogFromText / ST_GeomFromText — point
+    // subset; polygons are provided as array<struct> literals)
+    "stgeogfromtext" -> { case Seq(wkt) => wktPoint(wkt) },
+    "stgeomfromtext" -> { case Seq(wkt) => wktPoint(wkt) },
     "stcontains" -> { case Seq(poly, p) => GeoFunctions.stContains(poly, p) },
     "stwithin" -> { case Seq(p, poly) => GeoFunctions.stWithin(p, poly) },
     "starea" -> { case Seq(poly) => GeoFunctions.stArea(poly) },
@@ -189,6 +195,12 @@ object PinotFunctions {
     "boolor" -> { case Seq(c) => bool_or(c) },
     "arrayagg" -> { case Seq(c, _*) => collect_list(c) }
   )
+
+  private def wktPoint(wkt: Column): Column = struct(
+    regexp_extract(wkt, "POINT\\s*\\(\\s*(-?[0-9.]+)\\s+(-?[0-9.]+)\\s*\\)", 1)
+      .cast(DoubleType).as("x"),
+    regexp_extract(wkt, "POINT\\s*\\(\\s*(-?[0-9.]+)\\s+(-?[0-9.]+)\\s*\\)", 2)
+      .cast(DoubleType).as("y"))
 
   /** IPv4 isSubnetOf(cidr, ip) via pure integer arithmetic
     * (IpAddressFunctions.java — IPv4 subset; no IPv6 in v1). */

@@ -24,7 +24,10 @@ object QueryFacade {
 
   private val SetPattern = """(?is)^\s*SET\s+(\w+)\s*=\s*('[^']*'|"[^"]*"|\S+?)\s*;""".r
 
-  /** Strip leading `SET k = v;` statements (Pinot query options). */
+  private val OptionSuffix = """(?is)\s+OPTION\s*\(([^)]*)\)\s*$""".r
+
+  /** Strip leading `SET k = v;` statements and a trailing
+    * `OPTION(k=v, ...)` clause (both Pinot query-option syntaxes). */
   def parseOptions(query: String): Parsed = {
     var rest = query
     var opts = Map.empty[String, String]
@@ -37,6 +40,15 @@ object QueryFacade {
           rest = rest.substring(m.end)
         case None => matched = false
       }
+    }
+    OptionSuffix.findFirstMatchIn(rest).foreach { m =>
+      m.group(1).split(',').foreach { kv =>
+        kv.split('=') match {
+          case Array(k, v) => opts += (k.trim.toLowerCase -> v.trim)
+          case _ =>
+        }
+      }
+      rest = rest.substring(0, m.start)
     }
     Parsed(opts, rest.trim)
   }

@@ -45,6 +45,22 @@ class FacadeAndFunctionsSpec extends SparkSpec {
     assert(r.getAs[String]("sp") == "b")
   }
 
+  test("OPTION() suffix syntax and WKT point parsing") {
+    init
+    val p = QueryFacade.parseOptions(
+      "SELECT 1 OPTION(timeoutMs=5000, explicitLimit=true)")
+    assert(p.options == Map("timeoutms" -> "5000", "explicitlimit" -> "true"))
+    assert(p.sql == "SELECT 1")
+    val r = QueryFacade.sql(spark,
+      """SELECT STDISTANCE(STGEOGFROMTEXT('POINT (0.0 0.0)'),
+        STGEOGFROMTEXT('POINT (1.0 0.0)')) AS d,
+        ARRAYUNION(ARRAY(1, 2), ARRAY(2, 3)) AS u,
+        ARRAYREMOVE(ARRAY(1, 2, 1), 1) AS rm LIMIT 1""").collect().head
+    assert(math.abs(r.getAs[Double]("d") - 111195.0) < 100.0)
+    assert(r.getSeq[Int](1) == Seq(1, 2, 3))
+    assert(r.getSeq[Int](2) == Seq(2))
+  }
+
   test("dateTimeConvert epoch/SDF formats with granularity bucketing") {
     init
     val r = QueryFacade.sql(spark,
