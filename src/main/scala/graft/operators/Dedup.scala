@@ -181,6 +181,37 @@ object Dedup {
     counted.select(col("id"), (fp + col("__guard")).as("simhash"))
   }
 
+  /** Embedding-cosine near-duplicate pairs: hyperplane-LSH candidate
+    * generation (Similarity's signature machinery) + exact cosine
+    * verification — semantic near-dups that token methods miss.
+    * Returns (id_a, id_b, cos_sim >= threshold), id_a < id_b. */
+  def embeddingNearDups(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      bits: Int = 16,
+      bands: Int = 4): DataFrame = {
+    require(bits % bands == 0)
+    val width = bits / bands
+    val sigs = Similarity.withHyperplaneSignature(
+      corpus.select(col(idCol).as("id"), col(vecCol).as("vec")), "id", "vec", bits)
+    val bandKeys = array((0 until bands).map { b =>
+      shiftrightunsigned(col("__sig"), b * width).bitwiseAND(lit((1L << width) - 1))
+    }: _*)
+    val banded = sigs.select(col("id"), col("vec"),
+      posexplode(bandKeys).as(Seq("band", "key")))
+    val a = banded.select(col("band"), col("key"), col("id").as("id_a"), col("vec").as("va"))
+    val b = banded.select(col("band"), col("key"), col("id").as("id_b"), col("vec").as("vb"))
+    a.join(b, Seq("band", "key"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("va"), col("vb")).distinct()
+      .withColumn("cos_sim", graft.plans.VectorExpressions
+        .cosineSimilarity(col("va"), col("vb")))
+      .filter(col("cos_sim") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cos_sim"))
+  }
+
   /** Hamming distance between two int64 fingerprints. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 

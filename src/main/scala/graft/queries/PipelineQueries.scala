@@ -68,6 +68,17 @@ object PipelineQueries {
       },
       None),
 
+    // Embedding-cosine near-dup pairs (LSH candidates + exact cosine
+    // verification) — hash-defined candidates → rows-only check.
+    GQuery("q_dedup_embedding",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        Dedup.embeddingNearDups(t.embeddings, "vec_id", "embedding",
+            threshold = 0.3)
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      None),
+
     // SimHash near-dup pairs (Dedup.simhashPairs) — rows-only check.
     GQuery("q_dedup_simhash",
       (s, dir) => {

@@ -40,6 +40,19 @@ class DedupSpec extends SparkSpec {
     assert(pairs.contains((1L, 2L)))
   }
 
+  test("embedding near-dups finds the near-identical vector pair") {
+    val vecs = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, Seq(0.99f, 0.01f, 0.0f, 0.0f)), // near-dup of 1
+      (3L, Seq(0.0f, 1.0f, 0.0f, 0.0f)),
+      (4L, Seq(-1.0f, 0.0f, 0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingNearDups(vecs, "vec_id", "embedding", 0.95)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
   test("simhash distance zero for identical docs, small for near dups") {
     val fps = Dedup.simhash(docs, "doc_id", "text")
       .as[(Long, Long)].collect().toMap
