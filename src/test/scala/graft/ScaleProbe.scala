@@ -41,9 +41,21 @@ object ScaleProbe {
     replicate("orders", Map("o_orderkey" -> 10000000L, "o_custkey" -> 1000000L))
     replicate("customer", Map("c_custkey" -> 1000000L))
     replicate("supplier", Map("s_suppkey" -> 100000L))
-    Seq("nation", "region", "documents", "embeddings").foreach { t =>
+    Seq("nation", "region", "embeddings").foreach { t =>
       spark.read.parquet(s"$src/$t.parquet").write.mode("overwrite")
         .parquet(s"$out/$t.parquet")
+    }
+    // documents: replicate with id offsets and a per-replica suffix
+    // token — every original doc gains 9 NEAR-duplicates (one token
+    // differs), the adversarial load for near-dup candidate generation
+    locally {
+      val df = spark.read.parquet(s"$src/documents.parquet")
+      val reps = spark.range(factor).select($"id".as("__rep"))
+      df.crossJoin(reps)
+        .withColumn("doc_id", col("doc_id") + col("__rep") * 1000000L)
+        .withColumn("text", concat(col("text"), lit(" rep"), col("__rep")))
+        .drop("__rep")
+        .write.mode("overwrite").parquet(s"$out/documents.parquet")
     }
     // events: copy through the nanos-safe reader (writes plain NTZ micros)
     Tables(spark, src).events.write.mode("overwrite")
@@ -51,7 +63,8 @@ object ScaleProbe {
 
     val probes = Seq("q1_pricing_summary", "q_join_inner", "q_join_left",
       "q_upsert_latest", "q_win_rank", "q_agg_distinct", "q_sort_topk",
-      "q_join_asof")
+      "q_join_asof", "q_dedup_exact", "q_dedup_minhash", "q_dedup_simhash",
+      "q_text_stats")
     def time(dir: String, name: String): Double = {
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, dir).collect()
