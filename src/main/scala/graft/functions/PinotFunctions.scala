@@ -193,7 +193,19 @@ object PinotFunctions {
     "lastwithtime" -> { case Seq(c, ts, _*) => max_by(c, ts) },
     "booland" -> { case Seq(c) => bool_and(c) },
     "boolor" -> { case Seq(c) => bool_or(c) },
-    "arrayagg" -> { case Seq(c, _*) => collect_list(c) }
+    "arrayagg" -> { case Seq(c, _*) => collect_list(c) },
+    // HISTOGRAM(col, lower, upper, numBins) — equal-width bins, counts
+    // array; values outside [lower, upper) are dropped (reference
+    // HistogramAggregationFunction equal-length mode)
+    "histogram" -> { case Seq(c, lo, hi, bins) =>
+      val l = ex(lo).eval().toString.toDouble
+      val h = ex(hi).eval().toString.toDouble
+      val n = ex(bins).eval().toString.toInt
+      val width = (h - l) / n
+      array((0 until n).map { i =>
+        sum(when(c >= l + i * width && c < l + (i + 1) * width, 1L)
+          .otherwise(0L))
+      }: _*) }
   )
 
   private def wktPoint(wkt: Column): Column = struct(

@@ -86,6 +86,18 @@ object Upsert {
     df.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Automatic time boundary (reference `TimeBoundaryManager.java:54`):
+    * max offline time minus one granularity unit — offline answers up
+    * to the boundary, realtime strictly after. Computed distributed
+    * (an agg, not a collect) and usable directly in [[hybridView]]. */
+  def timeBoundary(offline: DataFrame, timeCol: String,
+      granularity: String = "1 hour"): Column = {
+    import org.apache.spark.sql.functions.{expr, max => fmax}
+    val b = offline.agg(fmax(col(timeCol)).minus(expr(s"INTERVAL $granularity")))
+      .head.get(0)
+    lit(b)
+  }
+
   /** Hybrid table view (offline/realtime split by time boundary):
     * reference `TimeBoundaryManager.java:54` — offline answers rows at or
     * before the boundary, realtime strictly after. */

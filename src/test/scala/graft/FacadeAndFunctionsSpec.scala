@@ -157,6 +157,15 @@ class FacadeAndFunctionsSpec extends SparkSpec {
     assert(r.getAs[Boolean]("ba"))
   }
 
+  test("HISTOGRAM aggregate returns equal-width bin counts") {
+    init
+    val r = QueryFacade.sql(spark,
+      "SELECT HISTOGRAM(l_quantity, 0.0, 50.0, 5) AS h FROM lineitem")
+      .collect().head.getSeq[Long](0)
+    assert(r.length == 5)
+    assert(r.sum > 5000) // nearly all of the 6000 sf0.001 rows fall in range
+  }
+
   test("MV aggregates over array columns") {
     init
     val df = Seq((Seq(1.0, 2.0), 1), (Seq(3.0), 2)).toDF("mv", "id")

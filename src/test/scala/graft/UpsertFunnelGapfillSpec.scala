@@ -53,6 +53,19 @@ class UpsertFunnelGapfillSpec extends SparkSpec {
     assert(out._3 == Seq(1L, 2L, 3L))   // APPEND: arrival order
   }
 
+  test("automatic time boundary = max offline time - granularity") {
+    val offline = Seq("2024-01-01 05:00:00", "2024-01-01 09:30:00")
+      .toDF("ts").withColumn("ts", to_timestamp($"ts"))
+    val realtime = Seq("2024-01-01 08:00:00", "2024-01-01 09:00:00",
+      "2024-01-01 10:00:00")
+      .toDF("ts").withColumn("ts", to_timestamp($"ts"))
+    val boundary = Upsert.timeBoundary(offline, "ts", "1 hour")
+    val v = Upsert.hybridView(offline, realtime, "ts", boundary)
+    // boundary = 08:30 -> offline rows <= 08:30 (1) + realtime > 08:30 (2)
+    assert(v.count() == 3)
+    assert(v.filter($"ts" === to_timestamp(lit("2024-01-01 08:00:00"))).count() == 0)
+  }
+
   test("funnel max step respects event order") {
     val steps = Seq(col("event_type") === "signup",
       col("event_type") === "click", col("event_type") === "purchase")
