@@ -258,5 +258,6 @@ object PinotFunctions {
     }
     graft.plans.VectorExpressions.registerAll(spark)
     graft.plans.KmvSketch.registerAll(spark)
+    graft.plans.FrequentItems.registerAll(spark)
   }
 }

@@ -62,6 +62,27 @@ class CustomExprSpec extends SparkSpec {
     assert(u2 == 150L && i2 == 50L)
   }
 
+  test("frequent items sketch surfaces heavy hitters with bounded error") {
+    import graft.plans.FrequentItems
+    // skewed stream: 'hot' x 5000, 'warm' x 1000, 1000 distinct cold items
+    val data = (Seq.fill(5000)("hot") ++ Seq.fill(1000)("warm") ++
+      (0 until 1000).map(i => s"cold$i"))
+    val df = scala.util.Random.shuffle(data).toDF("s") // fixed-seed irrelevant: set-level result
+    val m = df.select(FrequentItems.frequentItems($"s", 16)).collect()
+      .head.getMap[String, Long](0)
+    val n = data.size.toLong
+    assert(m.contains("hot") && m.contains("warm"))
+    // Misra-Gries bound: reported >= true - n/(k+1)
+    assert(m("hot") >= 5000 - n / 17 && m("hot") <= 5000)
+    assert(m("warm") >= 1000 - n / 17 && m("warm") <= 1000)
+    // SQL name + group-by (partial/final merge)
+    FrequentItems.registerAll(spark)
+    df.createOrReplaceTempView("fi_t")
+    val viaSql = spark.sql("SELECT FREQUENTSTRINGSSKETCH(s, 8) AS m FROM fi_t")
+      .collect().head.getMap[String, Long](0)
+    assert(viaSql.contains("hot"))
+  }
+
   test("kmv sketch SQL name with group-by (partial/final merge path)") {
     KmvSketch.registerAll(spark)
     spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
