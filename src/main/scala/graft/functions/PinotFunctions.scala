@@ -173,6 +173,16 @@ object PinotFunctions {
     "percentileest" -> { case Seq(c, p) => percentile_approx(c, p / 100.0, lit(10000)) },
     "percentilekll" -> { case Seq(c, p) => percentile_approx(c, p / 100.0, lit(10000)) },
     "minmaxrangemv" -> { case Seq(a) => max(array_max(a)) - min(array_min(a)) },
+    "distinctcountmv" -> { case Seq(a) =>
+      size(array_distinct(flatten(collect_list(a)))) },
+    // IDSET / IN_ID_SET (TransformFunctionType.java:177): a bloom-filter
+    // id set built by aggregation, probed as a scalar predicate — maps
+    // to Spark's native BloomFilterAggregate/MightContain over xxhash64
+    "idset" -> { case Seq(c) => bfAgg(c, 100000L)
+      case Seq(c, n) => bfAgg(c, ex(n).eval().toString.toLong) },
+    "inidset" -> { case Seq(c, blob) =>
+      ColumnBridge.column(org.apache.spark.sql.catalyst.expressions
+        .BloomFilterMightContain(ex(blob), ex(xxhash64(c)))) },
     "distinctsum" -> { case Seq(c) => sum_distinct(c) },
     "distinctavg" -> { case Seq(c) => sum_distinct(c) / size(collect_set(c)) },
     "minmaxrange" -> { case Seq(c) => max(c) - min(c) },
@@ -207,6 +217,13 @@ object PinotFunctions {
           .otherwise(0L))
       }: _*) }
   )
+
+  private def bfAgg(c: Column, estItems: Long): Column = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    ColumnBridge.column(new BloomFilterAggregate(ex(xxhash64(c)),
+      Literal(estItems), Literal(estItems * 8)).toAggregateExpression())
+  }
 
   private def wktPoint(wkt: Column): Column = struct(
     regexp_extract(wkt, "POINT\\s*\\(\\s*(-?[0-9.]+)\\s+(-?[0-9.]+)\\s*\\)", 1)

@@ -54,6 +54,17 @@ object Funnel {
       .drop("__evts")
   }
 
+  /** FUNNELCOMPLETECOUNT: entities that completed the whole funnel. */
+  def completeCount(
+      events: DataFrame,
+      entityCol: String,
+      orderCol: String,
+      tieCol: String,
+      steps: Seq[Column]): DataFrame =
+    maxStep(events, entityCol, orderCol, tieCol, steps)
+      .filter(col("max_step") === steps.size)
+      .agg(count(lit(1)).as("n_complete"))
+
   /** Number of entities that reached each step: rows (step, n_entities). */
   def funnelCount(
       events: DataFrame,

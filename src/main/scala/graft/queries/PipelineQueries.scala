@@ -376,6 +376,34 @@ object PipelineQueries {
           LEFT JOIN t3 USING (user_id)
         ORDER BY user_id""")),
 
+    GQuery("q_funnel_complete",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        Funnel.completeCount(t.events, "user_id", "ts", "event_id",
+          Seq(col("event_type") === "signup",
+            col("event_type") === "click",
+            col("event_type") === "purchase"))
+      },
+      Some("""WITH t1 AS (SELECT user_id, MIN(ts) AS ts1 FROM events
+          WHERE event_type = 'signup' GROUP BY 1),
+        t2 AS (SELECT e.user_id, MIN(e.ts) AS ts2 FROM events e
+          JOIN t1 ON e.user_id = t1.user_id
+          WHERE e.event_type = 'click' AND e.ts > t1.ts1 GROUP BY 1),
+        t3 AS (SELECT e.user_id, MIN(e.ts) AS ts3 FROM events e
+          JOIN t2 ON e.user_id = t2.user_id
+          WHERE e.event_type = 'purchase' AND e.ts > t2.ts2 GROUP BY 1)
+        SELECT COUNT(*) AS n_complete FROM t3""")),
+
+    GQuery("q_frequent_items",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        t.events.groupBy(col("user_id"))
+          .agg(graft.plans.FrequentItems.frequentItems(col("event_type"), 8)
+            .as("top_types"))
+          .orderBy(col("user_id"))
+      },
+      None),
+
     GQuery("q_funnel_count",
       (s, dir) => {
         val t = Tables(s, dir)

@@ -157,6 +157,26 @@ class FacadeAndFunctionsSpec extends SparkSpec {
     assert(r.getAs[Boolean]("ba"))
   }
 
+  test("IDSET / INIDSET bloom semi-join semantics") {
+    init
+    // build an id set of big-order customers, probe membership
+    val rows = QueryFacade.sql(spark,
+      """SET explicitLimit=true;
+        WITH ids AS (SELECT IDSET(o_custkey) AS s FROM orders
+          WHERE o_totalprice > 200000.0)
+        SELECT c_custkey, INIDSET(c_custkey, (SELECT s FROM ids)) AS hit
+        FROM customer ORDER BY c_custkey""").collect()
+    val hits = rows.filter(_.getBoolean(1)).map(_.getLong(0)).toSet
+    val exact = QueryFacade.sql(spark,
+      """SET explicitLimit=true;
+        SELECT DISTINCT o_custkey FROM orders WHERE o_totalprice > 200000.0""")
+      .collect().map(_.getLong(0)).toSet
+    // bloom filter: no false negatives
+    assert(exact.subsetOf(hits))
+    // and few false positives at this sizing
+    assert(hits.size <= exact.size + 5)
+  }
+
   test("HISTOGRAM aggregate returns equal-width bin counts") {
     init
     val r = QueryFacade.sql(spark,
