@@ -356,6 +356,78 @@ object ExtraQueries {
           AS n_is_true
         FROM events""")),
 
+    // DISTINCTCOUNTMV: distinct elements across all arrays per group.
+    GQuery("q_agg_distinctmv",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        t.embeddings.groupBy(col("label"))
+          .agg(size(array_distinct(flatten(collect_list(col("embedding")))))
+            .as("dcmv"))
+          .orderBy(col("label"))
+      },
+      Some("""SELECT label, CAST(COUNT(DISTINCT v) AS INT) AS dcmv
+        FROM (SELECT label, unnest(embedding) AS v FROM embeddings)
+        GROUP BY label ORDER BY label""")),
+
+    // LAG/LEAD/LAST_VALUE with IGNORE NULLS over a sparse column.
+    GQuery("q_win_ignore_nulls",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
+        val running = w.rowsBetween(Long.MinValue, 0)
+        t.events.filter(col("event_id") <= 2000)
+          .withColumn("sparse", when(col("value") > 150.0, col("value")))
+          .withColumn("last_seen", last(col("sparse"), ignoreNulls = true).over(running))
+          .withColumn("prev_seen", lag(col("sparse"), 1, null, ignoreNulls = true).over(w))
+          .select(col("user_id"), col("event_id"), col("last_seen"), col("prev_seen"))
+          .orderBy(col("user_id"), col("event_id"))
+      },
+      Some("""SELECT user_id, event_id,
+        last_value(CASE WHEN value > 150.0 THEN value END IGNORE NULLS)
+          OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_seen,
+        lag(CASE WHEN value > 150.0 THEN value END, 1 IGNORE NULLS)
+          OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev_seen
+        FROM events WHERE event_id <= 2000
+        ORDER BY user_id, event_id""")),
+
+    // Hopping/sliding window (dateTimeConvertWindowHop): 2-hour windows
+    // hopping hourly — each event lands in two windows.
+    GQuery("q_ts_hopping",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        t.events
+          .groupBy(window(col("ts"), "2 hours", "1 hour").as("w"), col("event_type"))
+          .agg(count(lit(1)).as("n"))
+          .select(col("w.start").as("w_start"), col("event_type"), col("n"))
+          .orderBy(col("w_start"), col("event_type"))
+      },
+      Some("""SELECT w_start, event_type, COUNT(*) AS n
+        FROM (SELECT event_type,
+          unnest([date_trunc('hour', ts), date_trunc('hour', ts) - INTERVAL 1 HOUR])
+            AS w_start
+          FROM events)
+        GROUP BY w_start, event_type ORDER BY w_start, event_type""")),
+
+    // Null-safe equality join (is_not_distinct_from,
+    // TransformFunctionType :69-95): NULL keys match each other.
+    GQuery("q_join_nullsafe",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val users = t.events.select(col("user_id")).distinct()
+          .withColumn("k", when(col("user_id") < 3, lit(null).cast(LongType))
+            .otherwise(col("user_id")))
+        val a = users.select(col("user_id").as("ua"), col("k").as("ka"))
+        val b = users.select(col("user_id").as("ub"), col("k").as("kb"))
+        a.join(b, col("ka") <=> col("kb"))
+          .agg(count(lit(1)).as("n_pairs"))
+      },
+      Some("""WITH u AS (SELECT DISTINCT user_id,
+          CASE WHEN user_id < 3 THEN NULL ELSE user_id END AS k FROM events)
+        SELECT COUNT(*) AS n_pairs FROM u a JOIN u b
+        ON a.k IS NOT DISTINCT FROM b.k""")),
+
     // Time-series range query (RangeTimeSeriesRequest: start/end/step)
     // via the TimeSeries planner — 2-hour buckets, per event_type tag.
     GQuery("q_ts_range",
