@@ -356,6 +356,42 @@ object ExtraQueries {
           AS n_is_true
         FROM events""")),
 
+    // Composite integration query (reference cluster-IT style): joins
+    // over the full star schema + CTE + window share-of-total + HAVING.
+    GQuery("q_composite",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val rev = t.lineitem
+          .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+          .join(t.customer, col("o_custkey") === col("c_custkey"))
+          .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+          .groupBy(col("n_name"), year(col("o_orderdate")).as("yr"))
+          .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .as("revenue"))
+        val w = org.apache.spark.sql.expressions.Window.partitionBy(col("yr"))
+        rev
+          .withColumn("yr_total", sum(dec(col("revenue"))).over(w).cast(DoubleType))
+          .withColumn("share", r6(col("revenue") / col("yr_total")))
+          .filter(col("revenue") > 1000000.0)
+          .select(col("n_name"), col("yr"), col("revenue"), col("share"))
+          .orderBy(col("yr"), col("n_name"))
+      },
+      Some("""WITH rev AS (SELECT n_name, CAST(year(o_orderdate) AS INT) AS yr,
+          CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(20,4)))
+            AS DOUBLE) AS revenue
+          FROM lineitem
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation ON c_nationkey = n_nationkey
+          GROUP BY 1, 2),
+        shared AS (SELECT n_name, yr, revenue,
+          CAST(SUM(CAST(revenue AS DECIMAL(20,4))) OVER (PARTITION BY yr)
+            AS DOUBLE) AS yr_total
+          FROM rev)
+        SELECT n_name, yr, revenue, ROUND(revenue / yr_total, 6) AS share
+        FROM shared WHERE revenue > 1000000.0
+        ORDER BY yr, n_name""")),
+
     // DISTINCTCOUNTMV: distinct elements across all arrays per group.
     GQuery("q_agg_distinctmv",
       (s, dir) => {
