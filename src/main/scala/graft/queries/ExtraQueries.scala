@@ -392,6 +392,28 @@ object ExtraQueries {
         FROM shared WHERE revenue > 1000000.0
         ORDER BY yr, n_name""")),
 
+    // SUMMV/AVGMV with exact decimal arithmetic over array elements.
+    GQuery("q_agg_summv",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        t.embeddings.groupBy(col("label"))
+          .agg(
+            sum(aggregate(col("embedding"), lit(BigDecimal(0)).cast(DecimalType(28, 10)),
+              (acc, x) => (acc + x.cast(DecimalType(28, 10))).cast(DecimalType(28, 10))))
+              .cast(DoubleType).as("summv0"),
+            sum(size(col("embedding"))).as("n_elems"))
+          .withColumn("summv", r6(col("summv0")))
+          .withColumn("avgmv", r6(col("summv0") / col("n_elems")))
+          .drop("summv0")
+          .orderBy(col("label"))
+      },
+      Some("""SELECT label,
+        ROUND(CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(28,10))) AS DOUBLE), 6) AS summv,
+        CAST(COUNT(v) AS BIGINT) AS n_elems,
+        ROUND(CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(28,10))) AS DOUBLE) / COUNT(v), 6) AS avgmv
+        FROM (SELECT label, unnest(embedding) AS v FROM embeddings)
+        GROUP BY label ORDER BY label""")),
+
     // DISTINCTCOUNTMV: distinct elements across all arrays per group.
     GQuery("q_agg_distinctmv",
       (s, dir) => {
