@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions
 
@@ -55,6 +56,45 @@ object Dedup {
     val cand = rare.select(explode(col("ids")).as("a"), col("ids"))
       .select(col("a"), explode(col("ids")).as("b"))
       .filter(col("a") < col("b")).distinct()
+
+    val ta = toks.select(col("id").as("a"), col("toks").as("toks_a"))
+    val tb = toks.select(col("id").as("b"), col("toks").as("toks_b"))
+    cand.join(ta, "a").join(tb, "b")
+      .withColumn("inter", size(array_intersect(col("toks_a"), col("toks_b"))).cast("double"))
+      .withColumn("uni", (size(col("toks_a")) + size(col("toks_b"))).cast("double") - col("inter"))
+      .withColumn("jaccard", col("inter") / col("uni"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a").as("id_a"), col("b").as("id_b"), col("jaccard"))
+  }
+
+  /** EXACT threshold-Jaccard pairs via positional prefix filtering
+    * (AllPairs/PPJoin): tokens globally ordered by (document frequency,
+    * token); a doc's prefix is its |d| - ceil(t*|d|) + 1 rarest tokens.
+    * Any pair with J >= t must share a prefix token (i >= t*max(|a|,|b|)
+    * under the consistent order), so joining prefix-to-prefix is
+    * COMPLETE — unlike the df-cap relaxation above — while candidates
+    * stay bounded: frequent tokens fall outside short prefixes.
+    * Exact Jaccard is then verified per candidate pair. */
+  def tokenJaccardExact(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double): DataFrame = {
+    val toks = docs.select(col(idCol).as("id"),
+      TextFunctions.tokenSet(col(textCol)).as("toks"))
+    val inv = toks.select(col("id"), size(col("toks")).as("sz"),
+      explode(col("toks")).as("tok"))
+    val dfreq = inv.groupBy("tok").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("id")).orderBy(col("df").asc, col("tok").asc)
+    val prefix = inv.join(dfreq, "tok")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
+      .select(col("id"), col("tok"))
+
+    val cand = prefix.select(col("tok"), col("id").as("a"))
+      .join(prefix.select(col("tok"), col("id").as("b")), "tok")
+      .filter(col("a") < col("b"))
+      .select("a", "b").distinct()
 
     val ta = toks.select(col("id").as("a"), col("toks").as("toks_a"))
     val tb = toks.select(col("id").as("b"), col("toks").as("toks_b"))

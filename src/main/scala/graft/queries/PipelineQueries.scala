@@ -57,6 +57,32 @@ object PipelineQueries {
         SELECT ia AS id_a, ib AS id_b, ROUND(j, 4) AS jaccard
         FROM scored WHERE j >= 0.5 ORDER BY id_a, id_b""")),
 
+    // EXACT threshold-Jaccard via positional prefix filtering
+    // (Dedup.tokenJaccardExact) — complete result set, verified against
+    // a brute-force all-pairs oracle.
+    GQuery("q_dedup_jaccard_exact",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        // deterministic 500-doc slice: this synthetic corpus is densely
+        // similar (millions of TRUE pairs at sf0.1 — output-bound, not
+        // algorithm-bound), so the exact-completeness demonstration is
+        // scoped; the scalable relaxations are q_dedup_jaccard/minhash
+        Dedup.tokenJaccardExact(t.documents.filter(col("doc_id") < 500),
+            "doc_id", "text", threshold = 0.6)
+          .select(col("id_a"), col("id_b"), r4(col("jaccard")).as("jaccard"))
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some("""WITH toks AS (
+          SELECT doc_id AS id, list_sort(list_distinct(
+            list_filter(string_split(lower(text), ' '), x -> len(x) > 0))) AS t
+          FROM documents WHERE doc_id < 500),
+        scored AS (SELECT a.id AS ia, b.id AS ib,
+          len(list_intersect(a.t, b.t)) * 1.0 /
+            (len(a.t) + len(b.t) - len(list_intersect(a.t, b.t))) AS j
+          FROM toks a JOIN toks b ON a.id < b.id)
+        SELECT ia AS id_a, ib AS id_b, ROUND(j, 4) AS jaccard
+        FROM scored WHERE j >= 0.6 ORDER BY id_a, id_b""")),
+
     // MinHash + LSH near-dup (Dedup.minhashLsh) — hash-defined, not
     // SQL-expressible in DuckDB → rows-only check.
     GQuery("q_dedup_minhash",
