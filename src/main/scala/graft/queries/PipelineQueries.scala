@@ -63,11 +63,11 @@ object PipelineQueries {
     GQuery("q_dedup_jaccard_exact",
       (s, dir) => {
         val t = Tables(s, dir)
-        // deterministic 500-doc slice: this synthetic corpus is densely
+        // deterministic 300-doc slice: this synthetic corpus is densely
         // similar (millions of TRUE pairs at sf0.1 — output-bound, not
         // algorithm-bound), so the exact-completeness demonstration is
         // scoped; the scalable relaxations are q_dedup_jaccard/minhash
-        Dedup.tokenJaccardExact(t.documents.filter(col("doc_id") < 500),
+        Dedup.tokenJaccardExact(t.documents.filter(col("doc_id") < 300),
             "doc_id", "text", threshold = 0.6)
           .select(col("id_a"), col("id_b"), r4(col("jaccard")).as("jaccard"))
           .orderBy(col("id_a"), col("id_b"))
@@ -75,7 +75,7 @@ object PipelineQueries {
       Some("""WITH toks AS (
           SELECT doc_id AS id, list_sort(list_distinct(
             list_filter(string_split(lower(text), ' '), x -> len(x) > 0))) AS t
-          FROM documents WHERE doc_id < 500),
+          FROM documents WHERE doc_id < 300),
         scored AS (SELECT a.id AS ia, b.id AS ib,
           len(list_intersect(a.t, b.t)) * 1.0 /
             (len(a.t) + len(b.t) - len(list_intersect(a.t, b.t))) AS j
