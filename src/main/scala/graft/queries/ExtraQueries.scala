@@ -414,6 +414,39 @@ object ExtraQueries {
         FROM (SELECT label, unnest(embedding) AS v FROM embeddings)
         GROUP BY label ORDER BY label""")),
 
+    // Windowed percentile (aggregate function over a ROWS frame).
+    GQuery("q_win_percentile",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id"))
+          .orderBy(col("ts").asc, col("event_id").asc)
+          .rowsBetween(Long.MinValue, 0)
+        t.events.filter(col("event_id") <= 1000)
+          .withColumn("run_median", r4(expr("percentile(value, 0.5)").over(w)))
+          .select(col("user_id"), col("event_id"), col("run_median"))
+          .orderBy(col("user_id"), col("event_id"))
+      },
+      Some("""SELECT user_id, event_id,
+        ROUND(quantile_cont(value, 0.5) OVER (PARTITION BY user_id
+          ORDER BY ts ASC, event_id ASC
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS run_median
+        FROM events WHERE event_id <= 1000
+        ORDER BY user_id, event_id""")),
+
+    // LISTAGG over DISTINCT values (sorted for determinism).
+    GQuery("q_agg_listagg_distinct",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        t.events.groupBy(col("user_id"))
+          .agg(array_join(array_sort(collect_set(col("event_type"))), "|")
+            .as("types_csv"))
+          .orderBy(col("user_id"))
+      },
+      Some("""SELECT user_id,
+        string_agg(DISTINCT event_type, '|' ORDER BY event_type) AS types_csv
+        FROM events GROUP BY user_id ORDER BY user_id""")),
+
     // DISTINCTCOUNTMV: distinct elements across all arrays per group.
     GQuery("q_agg_distinctmv",
       (s, dir) => {
