@@ -11,9 +11,16 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("q1_pricing_summary")(spark, "/root/testdata/sf0.001")
 
-  /** One entry per implemented operator from SURVEY.md §2. */
+  /** One entry per implemented operator from SURVEY.md §2. Every builder
+    * runs with the Pinot-named function surface registered (idempotent),
+    * so queries may use `expr("strpos(...)")` etc. directly. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    AllQueries.all.map(q => q.name -> q.build).toMap
+    AllQueries.all.map { q =>
+      q.name -> { (s: SparkSession, dir: String) =>
+        graft.functions.PinotFunctions.registerAll(s)
+        q.build(s, dir)
+      }
+    }.toMap
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops

@@ -86,14 +86,19 @@ object PinotFunctions {
     "jsonformat" -> { case Seq(c) => to_json(c) },
     "jsonpath" -> { case Seq(c, p) => get_json_object(c, ex(p).eval().toString) },
     // ——— string (StringFunctions.java) ———
-    "strpos" -> { case Seq(s, sub) => instr(s, ex(sub).eval().toString).cast(LongType) },
+    // Pinot StringFunctions.strpos = StringUtils.indexOf: 0-based, -1 on miss
+    "strpos" -> { case Seq(s, sub) =>
+      val i = instr(s, ex(sub).eval().toString)
+      when(i === 0, lit(-1L)).otherwise((i - 1).cast(LongType)) },
     "splitpart" -> { case Seq(s, sep, i) => split_part(s, sep, i) },
     "codepoint" -> { case Seq(s) => ascii(s) },
     "normalize" -> { case Seq(s) => lower(trim(s)) },
+    // Pinot strrpos = StringUtils.lastIndexOf: 0-based, -1 on miss
     "strrpos" -> { case Seq(s, sub) =>
       val lit_ = ex(sub).eval().toString
-      (length(s) - instr(reverse(s), lit_.reverse) - lit(lit_.length) + 2)
-        .cast(LongType) },
+      val revPos = instr(reverse(s), lit_.reverse)
+      when(revPos === 0, lit(-1L)).otherwise(
+        (length(s) - revPos - lit(lit_.length) + 1).cast(LongType)) },
     "regexpextract" -> { case Seq(s, p) => regexp_extract(s, ex(p).eval().toString, 0)
       case Seq(s, p, g) => regexp_extract(s, ex(p).eval().toString,
         ex(g).eval().toString.toInt) },
@@ -205,16 +210,20 @@ object PinotFunctions {
     "boolor" -> { case Seq(c) => bool_or(c) },
     "arrayagg" -> { case Seq(c, _*) => collect_list(c) },
     // HISTOGRAM(col, lower, upper, numBins) — equal-width bins, counts
-    // array; values outside [lower, upper) are dropped (reference
-    // HistogramAggregationFunction equal-length mode)
+    // array; values outside [lower, upper] are dropped. The reference
+    // (HistogramAggregationFunction equal-length mode) counts
+    // val == upper into the LAST bin via an explicit branch, so the
+    // last bin is closed: [lo_i, hi_i] while the rest are [lo_i, hi_i)
     "histogram" -> { case Seq(c, lo, hi, bins) =>
       val l = ex(lo).eval().toString.toDouble
       val h = ex(hi).eval().toString.toDouble
       val n = ex(bins).eval().toString.toInt
       val width = (h - l) / n
       array((0 until n).map { i =>
-        sum(when(c >= l + i * width && c < l + (i + 1) * width, 1L)
-          .otherwise(0L))
+        val inBin =
+          if (i == n - 1) c >= l + i * width && c <= h
+          else c >= l + i * width && c < l + (i + 1) * width
+        sum(when(inBin, 1L).otherwise(0L))
       }: _*) }
   )
 

@@ -88,8 +88,9 @@ object Upsert {
 
   /** Automatic time boundary (reference `TimeBoundaryManager.java:54`):
     * max offline time minus one granularity unit — offline answers up
-    * to the boundary, realtime strictly after. Computed distributed
-    * (an agg, not a collect) and usable directly in [[hybridView]]. */
+    * to the boundary, realtime strictly after. The MAX itself is a
+    * distributed aggregate; `.head` then pulls the single scalar row to
+    * the driver (one row, not the data) to inline as a literal. */
   def timeBoundary(offline: DataFrame, timeCol: String,
       granularity: String = "1 hour"): Column = {
     import org.apache.spark.sql.functions.{expr, max => fmax}

@@ -38,20 +38,19 @@ object MvPredicateRewrite extends Rule[LogicalPlan] {
     arr.dataType.asInstanceOf[ArrayType]
 
   // transformDown so Not(EqualTo(mv, v)) matches BEFORE its inner
-  // EqualTo would be rewritten to array_contains (whose negation has
-  // the wrong — none-matches — semantics)
+  // EqualTo would be rewritten to array_contains. NOT_EQ over an MV
+  // column is EXCLUSIVE in the reference (`Predicate.Type.NOT_EQ`;
+  // `BaseDictionaryBasedPredicateEvaluator.applyMV` requires every
+  // value to pass): a doc matches only when NO element equals v —
+  // i.e. Not(ArrayContains), which the plain negation already gives.
   private def rewrite(cond: Expression): Expression = cond.transformDown {
     case EqualTo(arr, v) if isMv(arr) && v.resolved && !isMv(v) =>
       ArrayContains(arr, Cast(v, elem(arr).elementType))
     case EqualTo(v, arr) if isMv(arr) && v.resolved && !isMv(v) =>
       ArrayContains(arr, Cast(v, elem(arr).elementType))
     case Not(EqualTo(arr, v)) if isMv(arr) && v.resolved && !isMv(v) =>
-      // exists an element different from v (Pinot NOT_EQ over MV)
-      ArrayExists(arr,
-        LambdaFunction(
-          Not(EqualTo(UnresolvedNamedLambdaVariable(Seq("x")),
-            Cast(v, elem(arr).elementType))),
-          Seq(UnresolvedNamedLambdaVariable(Seq("x")))))
+      // none-equals (Pinot exclusive NOT_EQ over MV)
+      Not(ArrayContains(arr, Cast(v, elem(arr).elementType)))
     case In(arr, vs) if isMv(arr) && vs.forall(v => v.resolved && !isMv(v)) =>
       vs.map(v => ArrayContains(arr, Cast(v, elem(arr).elementType))
         .asInstanceOf[Expression]).reduce(Or)

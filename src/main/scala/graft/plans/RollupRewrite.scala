@@ -118,9 +118,12 @@ object RollupRewrite {
         spec: Spec): Option[LogicalPlan] = {
       // a filter is admissible only over dimension columns (star-tree
       // semantics: the tree pre-aggregates ONLY across dims, so dim
-      // predicates can be transplanted onto the rollup scan)
+      // predicates can be transplanted onto the rollup scan). A
+      // non-deterministic predicate (rand() < p) is row-multiplicity
+      // sensitive and must never move to the rollup.
       filterOpt.foreach { f =>
         if (!f.references.forall(a => spec.dims(a.name))) return None
+        if (f.exists(!_.deterministic)) return None
       }
       // group keys must be plain dim columns of the rollup
       val groupNames = groupExprs.map {
@@ -144,7 +147,13 @@ object RollupRewrite {
             Some(Cast(Max(rollupAttr(s"max_${a.name}")).toAggregateExpression(),
               ae.dataType))
           case Count(Seq(Literal(_, _))) =>
-            Some(Cast(Sum(rollupAttr("cnt")).toAggregateExpression(), ae.dataType))
+            // COUNT(*) is 0 on empty input but SUM(cnt) is NULL — for a
+            // global (ungrouped) aggregate the rewritten query would
+            // return NULL when the filter matches no rollup rows.
+            // Coalesce is a no-op in grouped mode (cnt is never null).
+            Some(Cast(Coalesce(Seq(
+              Sum(rollupAttr("cnt")).toAggregateExpression(), Literal(0L))),
+              ae.dataType))
           case _ => None
         }
       }

@@ -257,19 +257,22 @@ object AggQueries {
         COUNT(*) AS n
         FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
 
-    // ARRAYAGG / LISTAGG (:141-190) — sorted for determinism.
+    // ARRAYAGG / LISTAGG (:141-190) — sorted for determinism. The array
+    // result is JSON-serialized: the driver's checker can't hash
+    // array-typed cells (pandas ndarray), and Spark to_json / DuckDB
+    // to_json agree byte-for-byte on string lists.
     GQuery("q_agg_collect",
       (s, dir) => {
         val t = Tables(s, dir)
         t.nation.groupBy(col("n_regionkey"))
           .agg(
-            sort_array(collect_list(col("n_name"))).as("names"),
+            to_json(sort_array(collect_list(col("n_name")))).as("names_json"),
             array_join(sort_array(collect_list(col("n_name"))), ",").as("names_csv"),
             count(lit(1)).as("n"))
           .orderBy(col("n_regionkey"))
       },
       Some("""SELECT n_regionkey,
-        list_sort(list(n_name)) AS names,
+        CAST(to_json(list_sort(list(n_name))) AS VARCHAR) AS names_json,
         string_agg(n_name, ',' ORDER BY n_name) AS names_csv,
         COUNT(*) AS n
         FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""")),

@@ -72,6 +72,11 @@ object FunctionQueries {
             replace(col("p_type"), lit(" "), lit("_")).as("repl_t"),
             reverse(col("p_brand")).as("rev_b"),
             instr(col("p_name"), "a").cast(LongType).as("pos_a"),
+            // Pinot strpos/strrpos: 0-based, -1 on no match
+            // (StringFunctions.strpos = StringUtils.indexOf)
+            expr("strpos(p_name, 'zzz')").as("pinot_pos_miss"),
+            expr("strpos(p_name, 'a')").as("pinot_pos"),
+            expr("strrpos(p_name, 'a')").as("pinot_rpos"),
             split_part(col("p_type"), lit(" "), lit(1)).as("first_word"),
             regexp_extract(col("p_type"), "([A-Z]+)$", 1).as("last_word"),
             col("p_name").startsWith("b").as("starts_b"),
@@ -89,6 +94,12 @@ object FunctionQueries {
         REPLACE(p_type, ' ', '_') AS repl_t,
         REVERSE(p_brand) AS rev_b,
         CAST(STRPOS(p_name, 'a') AS BIGINT) AS pos_a,
+        CAST(-1 AS BIGINT) AS pinot_pos_miss,
+        CAST(CASE WHEN STRPOS(p_name, 'a') = 0 THEN -1
+             ELSE STRPOS(p_name, 'a') - 1 END AS BIGINT) AS pinot_pos,
+        CAST(CASE WHEN STRPOS(p_name, 'a') = 0 THEN -1
+             ELSE LENGTH(p_name) - STRPOS(REVERSE(p_name), 'a') END
+             AS BIGINT) AS pinot_rpos,
         SPLIT_PART(p_type, ' ', 1) AS first_word,
         COALESCE(regexp_extract(p_type, '([A-Z]+)$', 1), '') AS last_word,
         starts_with(p_name, 'b') AS starts_b,
@@ -150,14 +161,16 @@ object FunctionQueries {
             get_json_object(col("props"), "$.k").cast(IntegerType).as("k_int"),
             get_json_object(col("props"), "$.k").as("k_str"),
             get_json_object(col("props"), "$.absent").as("absent"),
-            json_object_keys(col("props")).as("keys"))
+            // sorted + joined: array cells crash the driver's checker
+            array_join(array_sort(json_object_keys(col("props"))), ",")
+              .as("keys_csv"))
           .orderBy(col("event_id"))
       },
       Some("""SELECT event_id,
         CAST(json_extract_string(props, '$.k') AS INT) AS k_int,
         json_extract_string(props, '$.k') AS k_str,
         json_extract_string(props, '$.absent') AS absent,
-        json_keys(props) AS keys
+        array_to_string(list_sort(json_keys(props)), ',') AS keys_csv
         FROM events WHERE event_id <= 300 ORDER BY event_id""")),
 
     // Array/MV functions (:162-172 + ArrayFunctions.java): the MV-column
@@ -173,7 +186,8 @@ object FunctionQueries {
             element_at(toks, 1).as("first_tok"),
             element_at(toks, -1).as("last_tok"),
             array_contains(toks, "query").as("has_query"),
-            slice(array_sort(array_distinct(toks)), 1, 3).as("top3_sorted"),
+            array_join(slice(array_sort(array_distinct(toks)), 1, 3), ",")
+              .as("top3_csv"),
             array_position(toks, "the").cast(LongType).as("pos_the"),
             size(array_distinct(toks)).as("n_distinct"))
           .orderBy(col("doc_id"))
@@ -183,7 +197,7 @@ object FunctionQueries {
         string_split(text, ' ')[1] AS first_tok,
         string_split(text, ' ')[-1] AS last_tok,
         list_contains(string_split(text, ' '), 'query') AS has_query,
-        list_sort(list_distinct(string_split(text, ' ')))[1:3] AS top3_sorted,
+        array_to_string(list_sort(list_distinct(string_split(text, ' ')))[1:3], ',') AS top3_csv,
         CAST(COALESCE(list_position(string_split(text, ' '), 'the'), 0) AS BIGINT) AS pos_the,
         len(list_distinct(string_split(text, ' '))) AS n_distinct
         FROM documents WHERE doc_id <= 200 ORDER BY doc_id""")),

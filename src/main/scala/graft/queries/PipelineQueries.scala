@@ -297,14 +297,15 @@ object PipelineQueries {
             dec(col("value")).cast(DoubleType).as("value_sum"),
             col("event_type").as("last_type"),
             col("ts").as("max_ts"),
-            col("props").as("props_set"))
+            // joined string: array cells crash the driver's checker
+            array_join(col("props"), "|").as("props_csv"))
           .orderBy(col("user_id"))
       },
       Some("""SELECT user_id,
         CAST(SUM(CAST(value AS DECIMAL(20,4))) AS DOUBLE) AS value_sum,
         arg_max(event_type, event_id) AS last_type,
         MAX(ts) AS max_ts,
-        list_sort(list_distinct(list(props))) AS props_set
+        array_to_string(list_sort(list_distinct(list(props))), '|') AS props_csv
         FROM events GROUP BY user_id ORDER BY user_id""")),
 
     // Dedup table: FIRST row per key wins (Upsert.firstByKey — reference
@@ -420,15 +421,29 @@ object PipelineQueries {
           WHERE e.event_type = 'purchase' AND e.ts > t2.ts2 GROUP BY 1)
         SELECT COUNT(*) AS n_complete FROM t3""")),
 
+    // Misra–Gries heavy hitters. With k=8 > 5 distinct event types the
+    // sketch never evicts, so counts are EXACT and a full DuckDB oracle
+    // applies (the general approximate case is bound-tested in
+    // CustomExprSpec). Map serialized "item:count,…" sorted by item —
+    // the driver's checker can't hash map/array cells.
     GQuery("q_frequent_items",
       (s, dir) => {
         val t = Tables(s, dir)
         t.events.groupBy(col("user_id"))
           .agg(graft.plans.FrequentItems.frequentItems(col("event_type"), 8)
             .as("top_types"))
+          .select(col("user_id"),
+            array_join(transform(array_sort(map_entries(col("top_types"))),
+              e => concat(e.getField("key"), lit(":"),
+                e.getField("value").cast(StringType))), ",").as("top_types_csv"))
           .orderBy(col("user_id"))
       },
-      None),
+      Some("""WITH c AS (SELECT user_id, event_type, COUNT(*) AS n
+          FROM events GROUP BY 1, 2)
+        SELECT user_id,
+          string_agg(event_type || ':' || n, ',' ORDER BY event_type)
+            AS top_types_csv
+        FROM c GROUP BY user_id ORDER BY user_id""")),
 
     GQuery("q_funnel_count",
       (s, dir) => {

@@ -27,11 +27,19 @@ class MvPredicateSpec extends SparkSpec {
     assert(tagIds == Seq(1L, 2L))
   }
 
-  test("mvCol <> scalar means SOME element differs") {
+  test("mvCol <> scalar is EXCLUSIVE: NO element equals the value") {
+    // Reference NOT_EQ over MV (BaseDictionaryBasedPredicateEvaluator
+    // .applyMV) requires every stored value to pass — id=2 ([4,5]) and
+    // id=3 ([5,5]) both contain a 5 and are excluded. NOT IN follows
+    // the same exclusive semantics via Not(ArrayContains) fallthrough.
     mv
     val ids = spark.sql("SELECT id FROM mv_tbl WHERE nums <> 5 ORDER BY id")
       .as[Long].collect().toSeq
-    assert(ids == Seq(1L, 2L)) // id=3 has only 5s
+    assert(ids == Seq(1L))
+    val notIn = spark.sql(
+      "SELECT id FROM mv_tbl WHERE nums NOT IN (1, 4) ORDER BY id")
+      .as[Long].collect().toSeq
+    assert(notIn == Seq(3L))
   }
 
   test("mvCol IN (...) means ANY element in the set") {
