@@ -365,18 +365,35 @@ object AggQueries {
         ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""")),
 
     // Sketch aggregates (HLL distinct count, approx percentile,
-    // :88-139): approximate by design — rows-only check; the exact
-    // counterparts are value-checked in q_agg_distinct/q_agg_percentile.
+    // :88-139): approximate by design, so the oracle is a PROPERTY
+    // check — the exact values (computable in both engines) plus
+    // booleans asserting each estimate is within its published error
+    // bound (HLL rsd 5% → 10% gate; KMV 1.04/√1024 ≈ 3% → 10% gate;
+    // approx percentile accuracy 1000 → ±2 on a 1-50 domain). A
+    // drifting sketch flips a boolean and the driver's hash catches it.
     GQuery("q_agg_approx",
       (s, dir) => {
         val t = Tables(s, dir)
         t.lineitem.groupBy(col("l_returnflag"))
           .agg(
-            approx_count_distinct(col("l_partkey")).as("adc_part"),
+            countDistinct(col("l_partkey")).as("exact_distinct"),
+            r4(expr("percentile(l_quantity, 0.5)")).as("exact_p50"),
+            approx_count_distinct(col("l_partkey")).as("adc"),
             percentile_approx(col("l_quantity"), lit(0.5), lit(1000)).as("ap50"),
-            graft.plans.KmvSketch.distinctCountKmv(col("l_partkey")).as("kmv_part"))
+            graft.plans.KmvSketch.distinctCountKmv(col("l_partkey")).as("kmv"))
+          .select(col("l_returnflag"),
+            col("exact_distinct"), col("exact_p50"),
+            (abs(col("adc") - col("exact_distinct")) <=
+              col("exact_distinct") * 0.1).as("adc_ok"),
+            (abs(col("ap50") - col("exact_p50")) <= 2.0).as("ap50_ok"),
+            (abs(col("kmv") - col("exact_distinct")) <=
+              col("exact_distinct") * 0.1).as("kmv_ok"))
           .orderBy(col("l_returnflag"))
       },
-      None)
+      Some("""SELECT l_returnflag,
+        COUNT(DISTINCT l_partkey) AS exact_distinct,
+        ROUND(quantile_cont(l_quantity, 0.5), 4) AS exact_p50,
+        TRUE AS adc_ok, TRUE AS ap50_ok, TRUE AS kmv_ok
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
   )
 }

@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.Tables
@@ -83,49 +84,182 @@ object PipelineQueries {
         SELECT ia AS id_a, ib AS id_b, ROUND(j, 4) AS jaccard
         FROM scored WHERE j >= 0.6 ORDER BY id_a, id_b""")),
 
-    // MinHash + LSH near-dup (Dedup.minhashLsh) — hash-defined, not
-    // SQL-expressible in DuckDB → rows-only check.
+    // MinHash + LSH near-dup (Dedup.minhashLsh) — hash-defined, so the
+    // oracle is a PROPERTY check. DuckDB computes the exact 3-shingle
+    // Jaccard pairs >= 0.9 on a fixed slice (doc_id < 400) by brute
+    // force; the query proves (a) that exact count cross-engine,
+    // (b) 100% recall of those high-sim pairs by the LSH output
+    // (P[miss | j=0.9] ≈ 2e-4 per pair, deterministic under fixed
+    // xxhash64 seeds), and (c) zero gross false positives
+    // (est >= 0.5 but exact < 0.2) over the FULL corpus.
     GQuery("q_dedup_minhash",
       (s, dir) => {
         val t = Tables(s, dir)
-        Dedup.minhashLsh(t.documents, "doc_id", "text",
-            threshold = 0.0, numHashes = 32, bands = 8, shingleSize = 3)
-          .orderBy(col("id_a"), col("id_b"))
+        val pairs = Dedup.minhashLsh(t.documents, "doc_id", "text",
+          threshold = 0.5, numHashes = 32, bands = 8, shingleSize = 3)
+        val shAll = t.documents
+          .select(col("doc_id").as("id"),
+            TextFunctions.shingles(col("text"), 3).as("sh"))
+          .filter(size(col("sh")) > 0)
+        val shSlice = shAll.filter(col("id") < 400)
+        def jac(a: Column, b: Column): Column =
+          size(array_intersect(a, b)).cast("double") /
+            size(array_union(a, b)).cast("double")
+        val exactHigh = shSlice.as("a").crossJoin(shSlice.as("b"))
+          .filter(col("a.id") < col("b.id"))
+          .filter(jac(col("a.sh"), col("b.sh")) >= 0.9)
+          .select(col("a.id").as("ea"), col("b.id").as("eb"))
+        val nHighExact = exactHigh.agg(count(lit(1)).as("n_high_exact"))
+        val nHighFound = exactHigh
+          .join(pairs, col("ea") === col("id_a") && col("eb") === col("id_b"),
+            "left_semi")
+          .agg(count(lit(1)).as("n_high_found"))
+        val checked = pairs
+          .join(shAll.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+          .join(shAll.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+        val nFp = checked
+          .agg(count(when(jac(col("sh_a"), col("sh_b")) < 0.2, 1))
+            .as("n_gross_fp"))
+        val hasPairs = pairs.agg((count(lit(1)) >= 1).as("has_pairs"))
+        nHighExact.crossJoin(nHighFound).crossJoin(nFp).crossJoin(hasPairs)
       },
-      None),
+      Some("""WITH toks AS (SELECT doc_id AS id,
+          list_filter(string_split(lower(text), ' '), x -> len(x) > 0) AS t
+          FROM documents WHERE doc_id < 400),
+        sh AS (SELECT id, list_distinct(list_transform(range(1, len(t) - 1),
+            i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+          FROM toks WHERE len(t) >= 3),
+        high AS (SELECT COUNT(*) AS n FROM sh a JOIN sh b ON a.id < b.id
+          WHERE len(list_intersect(a.s, b.s)) * 1.0 /
+            len(list_distinct(list_concat(a.s, b.s))) >= 0.9)
+        SELECT n AS n_high_exact, n AS n_high_found,
+          CAST(0 AS BIGINT) AS n_gross_fp, TRUE AS has_pairs FROM high""")),
 
     // Embedding-cosine near-dup pairs (LSH candidates + exact cosine
-    // verification) — hash-defined candidates → rows-only check.
+    // verification) — hash-defined candidates, PROPERTY oracle: DuckDB
+    // brute-forces the exact cosine >= 0.3 pair count on a fixed slice
+    // (vec_id < 200, cross-checking the cosine arithmetic engine-to-
+    // engine); the query asserts an LSH recall floor on that slice and
+    // that pairs exist. Precision is exact by construction (the
+    // operator verifies candidates with true cosine).
     GQuery("q_dedup_embedding",
       (s, dir) => {
         val t = Tables(s, dir)
-        Dedup.embeddingNearDups(t.embeddings, "vec_id", "embedding",
-            threshold = 0.3)
-          .orderBy(col("id_a"), col("id_b"))
+        val pairs = Dedup.embeddingNearDups(t.embeddings, "vec_id",
+          "embedding", threshold = 0.3)
+        val slice = t.embeddings.filter(col("vec_id") < 200)
+          .select(col("vec_id").as("id"),
+            col("embedding").cast("array<double>").as("v"))
+        val exact = slice.as("a").crossJoin(slice.as("b"))
+          .filter(col("a.id") < col("b.id"))
+          .filter(r4(graft.plans.VectorExpressions.cosineSimilarity(
+            col("a.v"), col("b.v"))) >= 0.3)
+        val nExact = exact.agg(count(lit(1)).as("n_exact_slice"))
+        val nFound = pairs.filter(col("id_a") < 200 && col("id_b") < 200)
+          .agg(count(lit(1)).as("__nf"))
+        val hasPairs = pairs.agg((count(lit(1)) >= 1).as("has_pairs"))
+        nExact.crossJoin(nFound).crossJoin(hasPairs)
+          .select(col("n_exact_slice"),
+            (col("__nf") >= col("n_exact_slice") * 0.25).as("recall_floor_ok"),
+            col("has_pairs"))
       },
-      None),
+      Some("""WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+          FROM embeddings WHERE vec_id < 200),
+        p AS (SELECT COUNT(*) AS n FROM e a JOIN e b ON a.id < b.id
+          WHERE ROUND(list_sum(list_transform(list_zip(a.v, b.v), t -> t[1] * t[2]))
+            / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
+             * sqrt(list_sum(list_transform(b.v, x -> x * x)))), 4) >= 0.3)
+        SELECT n AS n_exact_slice, TRUE AS recall_floor_ok, TRUE AS has_pairs
+        FROM p""")),
 
-    // SimHash near-dup pairs (Dedup.simhashPairs) — rows-only check.
+    // SimHash near-dup pairs (Dedup.simhashPairs) — PROPERTY oracle:
+    // pigeonhole banding claims COMPLETENESS (any pair within Hamming
+    // maxDist must agree on >= 1 of maxDist+1 bands), so the query
+    // brute-forces Hamming <= 3 over the fingerprints of a fixed slice
+    // and asserts the banded join found every such pair (n_missed = 0,
+    // a mathematical identity — any nonzero value is a banding bug).
     GQuery("q_dedup_simhash",
       (s, dir) => {
         val t = Tables(s, dir)
-        Dedup.simhashPairs(t.documents, "doc_id", "text", maxDist = 3)
-          .orderBy(col("id_a"), col("id_b"))
+        val pairs = Dedup.simhashPairs(t.documents, "doc_id", "text",
+          maxDist = 3)
+        val fps = Dedup.simhash(t.documents, "doc_id", "text")
+          .filter(col("id") < 400)
+        val brute = fps.as("a").crossJoin(fps.as("b"))
+          .filter(col("a.id") < col("b.id"))
+          .filter(Dedup.hamming(col("a.simhash"), col("b.simhash")) <= 3)
+          .agg(count(lit(1)).as("__n_brute"))
+        val banded = pairs.filter(col("id_a") < 400 && col("id_b") < 400)
+          .agg(count(lit(1)).as("__n_banded"))
+        val hasPairs = pairs.agg((count(lit(1)) >= 1).as("has_pairs"))
+        val nDocs = t.documents.agg(count(lit(1)).as("n_docs"))
+        brute.crossJoin(banded).crossJoin(hasPairs).crossJoin(nDocs)
+          .select((col("__n_brute") - col("__n_banded")).as("n_missed_slice"),
+            col("has_pairs"), col("n_docs"))
       },
-      None),
+      Some("""SELECT CAST(0 AS BIGINT) AS n_missed_slice, TRUE AS has_pairs,
+        (SELECT COUNT(*) FROM documents) AS n_docs""")),
 
     // Full corpus-cleaning pipeline (quality gate → exact dedup →
-    // MinHash near-dup removal) — per-stage survivor counts. Contains
-    // the hash-defined LSH stage → rows-only check.
+    // MinHash near-dup removal) — stage counts with the LSH stage
+    // pinned: input / gate / exact-dedup counts are EXACTLY mirrored in
+    // DuckDB (tokenCount, qualityScore, langId re-derived in SQL); the
+    // hash-defined near-dup stage is bounded (0 < survivors <= exact
+    // survivors) and emitted as a 0/1 verdict row.
     GQuery("q_corpus_clean",
       (s, dir) => {
         val t = Tables(s, dir)
-        CorpusPipeline.stats(t.documents, "doc_id", "text",
-            CorpusPipeline.Config(minTokens = 5, minQuality = 0.3,
-              nearDupThreshold = 0.7))
-          .orderBy(col("stage"))
+        val cfg = CorpusPipeline.Config(minTokens = 5, minQuality = 0.3,
+          nearDupThreshold = 0.7)
+        val docs = t.documents
+        val text = col("text")
+        val gated = docs.filter(
+          TextFunctions.tokenCount(text).between(cfg.minTokens, cfg.maxTokens) &&
+            TextFunctions.qualityScore(text) >= cfg.minQuality &&
+            TextFunctions.langId(text).isin(cfg.languages.toSeq: _*))
+        val cleaned = CorpusPipeline.clean(docs, "doc_id", "text", cfg)
+        val rows = Seq(
+          docs.agg(count(lit(1)).as("n_docs"))
+            .select(lit("1_input").as("stage"), col("n_docs")),
+          gated.agg(count(lit(1)).as("n_docs"))
+            .select(lit("2_quality_lang_gate").as("stage"), col("n_docs")),
+          gated.agg(countDistinct(text).as("n_docs"))
+            .select(lit("3_exact_dedup").as("stage"), col("n_docs")),
+          gated.agg(countDistinct(text).as("__ne"))
+            .crossJoin(cleaned.agg(count(lit(1)).as("__nc")))
+            .select(lit("4_neardup_bounded").as("stage"),
+              when(col("__nc") >= 1 && col("__nc") <= col("__ne"), 1L)
+                .otherwise(0L).as("n_docs")))
+        rows.reduce(_ unionByName _).orderBy(col("stage"))
       },
-      None),
+      Some("""WITH q AS (SELECT text,
+          len(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS n_tok,
+          len(list_filter(string_split(lower(text), ' '),
+            x -> list_contains(['the','a','and','of','to','in','is','on','for','with'], x))) AS en,
+          len(list_filter(string_split(lower(text), ' '),
+            x -> list_contains(['der','die','das','und','ist','nicht','ein','mit','von','zu'], x))) AS de,
+          len(list_filter(string_split(lower(text), ' '),
+            x -> list_contains(['le','la','les','et','est','un','une','des','pour','dans'], x))) AS fr,
+          CASE WHEN len(text) = 0 THEN 0.0 ELSE
+            len(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) * 1.0 / len(text) END AS punct
+          FROM documents),
+        g AS (SELECT text FROM q
+          WHERE n_tok BETWEEN 5 AND 100000
+          AND ((CASE WHEN n_tok > 0
+                 AND len(regexp_replace(text, '\s', '', 'g')) * 1.0 / n_tok >= 3
+                 AND len(regexp_replace(text, '\s', '', 'g')) * 1.0 / n_tok <= 10
+                 THEN 1.0 ELSE 0.0 END
+              + CASE WHEN n_tok > 0 AND en * 1.0 / n_tok > 0.01
+                 THEN 1.0 ELSE 0.0 END
+              + CASE WHEN punct < 0.2 THEN 1.0 ELSE 0.0 END) / 3.0) >= 0.3
+          AND (CASE WHEN en >= de AND en >= fr AND en > 0 THEN 'en'
+               WHEN de >= fr AND de > 0 THEN 'de'
+               WHEN fr > 0 THEN 'fr' ELSE 'unknown' END) = 'en')
+        SELECT '1_input' AS stage, (SELECT COUNT(*) FROM documents) AS n_docs
+        UNION ALL SELECT '2_quality_lang_gate', (SELECT COUNT(*) FROM g)
+        UNION ALL SELECT '3_exact_dedup', (SELECT COUNT(DISTINCT text) FROM g)
+        UNION ALL SELECT '4_neardup_bounded', 1
+        ORDER BY stage""")),
 
     // ——— Similarity search ———
 
@@ -184,17 +318,59 @@ object PipelineQueries {
              * sqrt(list_sum(list_transform(p, x -> x * x)))), 4) >= 0.2
         ORDER BY vec_id""")),
 
-    // LSH-bucketed ANN (Similarity.lshTopK) — approximate → rows-only.
+    // LSH-bucketed ANN (Similarity.lshTopK) — PROPERTY oracle: DuckDB
+    // brute-forces the exact cosine top-5 per probe (cross-checking the
+    // ranking arithmetic); the query emits that exact top-5 id set and
+    // a recall verdict (LSH top-5 recovers >= 3 of the exact 5,
+    // deterministic under fixed hyperplane hashes).
     GQuery("q_ann_lsh",
       (s, dir) => {
         val t = Tables(s, dir)
         val probes = t.embeddings.filter(col("vec_id") < 5)
-        Similarity.lshTopK(probes, t.embeddings, "vec_id", "vec_id",
-            "embedding", k = 5, bits = 16, bands = 8)
-          .select(col("probe_id"), col("neighbor_id"), col("rank"))
-          .orderBy(col("probe_id"), col("rank"))
+        val lsh = Similarity.lshTopK(probes, t.embeddings, "vec_id", "vec_id",
+          "embedding", k = 5, bits = 16, bands = 8)
+        val pv = probes.select(col("vec_id").as("probe_id"),
+          col("embedding").cast("array<double>").as("pv"))
+        val cv = t.embeddings.select(col("vec_id").as("cid"),
+          col("embedding").cast("array<double>").as("cv"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("probe_id"))
+          .orderBy(col("sim").desc, col("cid").asc)
+        val exactTop = pv.crossJoin(cv)
+          .filter(col("cid") =!= col("probe_id"))
+          .withColumn("sim", r4(graft.plans.VectorExpressions.cosineSimilarity(
+            col("pv"), col("cv"))))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 5)
+          .select(col("probe_id"), col("cid"))
+        val tops = exactTop.groupBy(col("probe_id"))
+          .agg(array_join(array_sort(collect_list(col("cid"))), ",")
+            .as("exact_top5_csv"))
+        val hits = exactTop
+          .join(lsh, exactTop("probe_id") === lsh("probe_id") &&
+            col("cid") === col("neighbor_id"), "left_semi")
+          .groupBy(col("probe_id")).agg(count(lit(1)).as("__hits"))
+        tops.join(hits, Seq("probe_id"), "left")
+          .select(col("probe_id"), col("exact_top5_csv"),
+            (coalesce(col("__hits"), lit(0L)) >= 3).as("recall_ok"))
+          .orderBy(col("probe_id"))
       },
-      None),
+      Some("""WITH p AS (SELECT vec_id AS probe_id, CAST(embedding AS DOUBLE[]) AS pv
+          FROM embeddings WHERE vec_id < 5),
+        c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+          FROM embeddings),
+        s AS (SELECT probe_id, cid,
+          ROUND(list_sum(list_transform(list_zip(cv, pv), t -> t[1] * t[2]))
+            / (sqrt(list_sum(list_transform(cv, x -> x * x)))
+             * sqrt(list_sum(list_transform(pv, x -> x * x)))), 4) AS sim
+          FROM p, c WHERE cid <> probe_id),
+        r AS (SELECT probe_id, cid,
+          ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY sim DESC, cid ASC) AS rn
+          FROM s)
+        SELECT probe_id,
+          array_to_string(list_sort(list(cid)), ',') AS exact_top5_csv,
+          TRUE AS recall_ok
+        FROM r WHERE rn <= 5 GROUP BY probe_id ORDER BY probe_id""")),
 
     // ——— Text analysis ———
 
