@@ -579,6 +579,75 @@ object PipelineQueries {
           LEFT JOIN t3 USING (user_id)
         ORDER BY user_id""")),
 
+    // FUNNELMATCHSTEP (windowed, 2-day window): per user, max step
+    // reached inside any step-1-anchored window + the 0/1 step array.
+    GQuery("q_funnel_matchstep",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        Funnel.matchStep(t.events, "user_id",
+            unix_millis(col("ts").cast(TimestampType)),
+            Seq(col("event_type") === "signup",
+              col("event_type") === "click",
+              col("event_type") === "purchase"),
+            windowMillis = 172800000L)
+          .select(col("user_id"), col("max_step"),
+            array_join(col("match_steps"), ",").as("match_csv"))
+          .orderBy(col("user_id"))
+      },
+      Some("""WITH ev AS (SELECT user_id, epoch_ms(ts) AS ts, event_type
+          FROM events WHERE event_type IN ('signup', 'click', 'purchase')),
+        u AS (SELECT DISTINCT user_id FROM ev),
+        a AS (SELECT user_id, ts AS ts1 FROM ev WHERE event_type = 'signup'),
+        s2 AS (SELECT a.user_id, a.ts1, MIN(e.ts) AS ts2 FROM a JOIN ev e
+          ON e.user_id = a.user_id AND e.event_type = 'click'
+          AND e.ts >= a.ts1 AND e.ts < a.ts1 + 172800000 GROUP BY 1, 2),
+        s3 AS (SELECT s2.user_id, s2.ts1, s2.ts2, MIN(e.ts) AS ts3
+          FROM s2 JOIN ev e
+          ON e.user_id = s2.user_id AND e.event_type = 'purchase'
+          AND e.ts >= s2.ts2 AND e.ts < s2.ts1 + 172800000 GROUP BY 1, 2, 3),
+        ms AS (SELECT u.user_id,
+          CASE WHEN u.user_id IN (SELECT user_id FROM s3) THEN 3
+               WHEN u.user_id IN (SELECT user_id FROM s2) THEN 2
+               WHEN u.user_id IN (SELECT user_id FROM a) THEN 1
+               ELSE 0 END AS max_step FROM u)
+        SELECT user_id, max_step,
+          CASE max_step WHEN 3 THEN '1,1,1' WHEN 2 THEN '1,1,0'
+            WHEN 1 THEN '1,0,0' ELSE '0,0,0' END AS match_csv
+        FROM ms ORDER BY user_id""")),
+
+    // FUNNELSTEPDURATIONSTATS (windowed): duration stats between
+    // consecutive steps over each user's first completing window.
+    GQuery("q_funnel_duration",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        Funnel.stepDurationStats(t.events, "user_id",
+            unix_millis(col("ts").cast(TimestampType)),
+            Seq(col("event_type") === "signup",
+              col("event_type") === "click",
+              col("event_type") === "purchase"),
+            windowMillis = 172800000L)
+          .orderBy(col("transition"))
+      },
+      Some("""WITH ev AS (SELECT user_id, epoch_ms(ts) AS ts, event_type
+          FROM events WHERE event_type IN ('signup', 'click', 'purchase')),
+        a AS (SELECT user_id, ts AS ts1 FROM ev WHERE event_type = 'signup'),
+        s2 AS (SELECT a.user_id, a.ts1, MIN(e.ts) AS ts2 FROM a JOIN ev e
+          ON e.user_id = a.user_id AND e.event_type = 'click'
+          AND e.ts >= a.ts1 AND e.ts < a.ts1 + 172800000 GROUP BY 1, 2),
+        s3 AS (SELECT s2.user_id, s2.ts1, s2.ts2, MIN(e.ts) AS ts3
+          FROM s2 JOIN ev e
+          ON e.user_id = s2.user_id AND e.event_type = 'purchase'
+          AND e.ts >= s2.ts2 AND e.ts < s2.ts1 + 172800000 GROUP BY 1, 2, 3),
+        f AS (SELECT user_id, ts1, ts2, ts3,
+          ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts1) AS rn FROM s3),
+        d AS (SELECT ts2 - ts1 AS d1, ts3 - ts2 AS d2 FROM f WHERE rn = 1)
+        SELECT 1 AS transition, COUNT(*) AS n_complete,
+          ROUND(AVG(d1), 4) AS avg_ms, MIN(d1) AS min_ms, MAX(d1) AS max_ms,
+          ROUND(quantile_cont(d1, 0.5), 4) AS med_ms FROM d
+        UNION ALL SELECT 2, COUNT(*), ROUND(AVG(d2), 4), MIN(d2), MAX(d2),
+          ROUND(quantile_cont(d2, 0.5), 4) FROM d
+        ORDER BY transition""")),
+
     GQuery("q_funnel_complete",
       (s, dir) => {
         val t = Tables(s, dir)

@@ -82,6 +82,46 @@ class UpsertFunnelGapfillSpec extends SparkSpec {
     assert(out == Map(1 -> 3L, 2 -> 2L, 3 -> 1L))
   }
 
+  test("windowed matchStep bounds funnel progress by the anchor window") {
+    val steps = Seq(col("event_type") === "signup",
+      col("event_type") === "click", col("event_type") === "purchase")
+    // user 1: signup@10 click@20 purchase@30. Window 15 from the anchor
+    // covers [10,25): click matches, purchase does not -> max_step 2.
+    // Window 25 covers [10,35): all three -> 3.
+    val narrow = Funnel.matchStep(events, "user_id", $"ts", steps, 15L)
+      .select($"user_id", $"max_step").as[(Long, Int)].collect().toMap
+    assert(narrow == Map(1L -> 2, 2L -> 2, 3L -> 1))
+    val wide = Funnel.matchStep(events, "user_id", $"ts", steps, 25L)
+      .select($"user_id", $"max_step").as[(Long, Int)].collect().toMap
+    assert(wide == Map(1L -> 3, 2L -> 2, 3L -> 1))
+    val arr = Funnel.matchStep(events, "user_id", $"ts", steps, 15L)
+      .filter($"user_id" === 1L)
+      .select($"match_steps").as[Seq[Int]].collect().head
+    assert(arr == Seq(1, 1, 0))
+  }
+
+  test("windowed matchStep uses the best anchor, not only the first") {
+    val steps = Seq(col("event_type") === "signup",
+      col("event_type") === "click")
+    // first signup's window [0,5) misses the click; second signup's
+    // window [8,13) catches it.
+    val df = Seq((1L, 0L, "signup"), (1L, 8L, "signup"), (1L, 10L, "click"))
+      .toDF("user_id", "ts", "event_type")
+    val out = Funnel.matchStep(df, "user_id", $"ts", steps, 5L)
+      .select($"max_step").as[Int].collect().head
+    assert(out == 2)
+  }
+
+  test("stepDurationStats aggregates first-completing-window durations") {
+    val steps = Seq(col("event_type") === "signup",
+      col("event_type") === "click", col("event_type") === "purchase")
+    // user 1 completes with ts 10,20,30 -> d1=10, d2=10; users 2,3 never
+    val out = Funnel.stepDurationStats(events, "user_id", $"ts", steps, 100L)
+      .select($"transition", $"n_complete", $"avg_ms", $"min_ms", $"max_ms")
+      .as[(Int, Long, Double, Long, Long)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq((1, 1L, 10.0, 10L, 10L), (2, 1L, 10.0, 10L, 10L)))
+  }
+
   test("gapfill densifies buckets with default and previous fills") {
     val agg = Seq(
       ("2024-01-01 00:00:00", "a", 5L, 1.5),
