@@ -83,6 +83,21 @@ object PinotFunctions {
       case Seq(c, path, typ) => jsonScalar(c, path, typ, lit(null))
       case Seq(c, path, typ, dflt) => jsonScalar(c, path, typ, dflt) },
     "jsonextractkey" -> { case Seq(c, _) => json_object_keys(c) },
+    // jsonExtractScalarFirstMatch (TransformFunctionType.java:108): first
+    // scalar matched by a (possibly wildcard) path — a wildcard path
+    // yields a JSON array of matches, so take its [0]; a plain path
+    // yields the scalar itself.
+    "jsonextractscalarfirstmatch" -> { case Seq(c, path, typ) =>
+      val raw = get_json_object(c, ex(path).eval().toString)
+      val first = coalesce(get_json_object(raw, "$[0]"), raw)
+      jsonCast(first, typ, lit(null)) },
+    // jsonExtractIndex (TransformFunctionType.java:110): same extraction
+    // semantics as jsonExtractScalar — the reference's "index" is its
+    // json-index access path, an execution detail Catalyst has no
+    // analog for (parquet scans have no per-doc posting lists).
+    "jsonextractindex" -> {
+      case Seq(c, path, typ) => jsonScalar(c, path, typ, lit(null))
+      case Seq(c, path, typ, dflt) => jsonScalar(c, path, typ, dflt) },
     "jsonformat" -> { case Seq(c) => to_json(c) },
     "jsonpath" -> { case Seq(c, p) => get_json_object(c, ex(p).eval().toString) },
     // ——— string (StringFunctions.java) ———
@@ -160,7 +175,34 @@ object PinotFunctions {
     "sha512" -> { case Seq(s) => sha2(s.cast(BinaryType), 512) },
     "tobase64" -> { case Seq(s) => base64(s.cast(BinaryType)) },
     "frombase64" -> { case Seq(s) => unbase64(s) },
-    "issubnetof" -> { case Seq(cidr, ip) => subnetOf(cidr, ip) },
+    "issubnetof" -> { case Seq(cidr, ip) =>
+      ColumnBridge.column(IpIsSubnetOf(ex(cidr), ex(ip))) },
+    "isipv4string" -> { case Seq(s) =>
+      ColumnBridge.column(IpIsSubnetOf(ex(concat(s, lit("/0"))), ex(s))) &&
+        !s.contains(":") },
+    "isipv6string" -> { case Seq(s) =>
+      ColumnBridge.column(IpIsSubnetOf(ex(concat(s, lit("/0"))), ex(s))) &&
+        s.contains(":") },
+    "ipv4tolong" -> { case Seq(ip) => NetFunctions.ipv4ToLong(ip) },
+    "longtoipv4" -> { case Seq(v) => NetFunctions.longToIpv4(v) },
+    // ——— URL extraction (UrlFunctions.java:42-553, regex subset) ———
+    "urlprotocol" -> { case Seq(u) => NetFunctions.urlProtocol(u) },
+    "urldomain" -> { case Seq(u) => NetFunctions.urlDomain(u) },
+    "urldomainwithoutwww" -> { case Seq(u) => NetFunctions.urlDomainWithoutWww(u) },
+    "urltopleveldomain" -> { case Seq(u) => NetFunctions.urlTopLevelDomain(u) },
+    "urlport" -> { case Seq(u) => NetFunctions.urlPort(u) },
+    "urlnetloc" -> { case Seq(u) => NetFunctions.urlNetloc(u) },
+    "urlpath" -> { case Seq(u) => NetFunctions.urlPath(u) },
+    "urlquerystring" -> { case Seq(u) => NetFunctions.urlQueryString(u) },
+    "urlfragment" -> { case Seq(u) => NetFunctions.urlFragment(u) },
+    "extracturlparameter" -> { case Seq(u, name) =>
+      NetFunctions.extractUrlParameter(u, ex(name).eval().toString) },
+    // ——— UUID scalars (scalar/uuid/) ———
+    "isuuid" -> { case Seq(u) => NetFunctions.isUuid(u) },
+    "uuidversion" -> { case Seq(u) => NetFunctions.uuidVersion(u) },
+    "uuidtobytes" -> { case Seq(u) => NetFunctions.uuidToBytes(u) },
+    "bytestouuid" -> { case Seq(b) => NetFunctions.bytesToUuid(b) },
+    "uuidtimestamp" -> { case Seq(u) => NetFunctions.uuidTimestamp(u) },
     // ——— text analysis (north-star additions) ———
     "tokencount" -> { case Seq(t) => TextFunctions.tokenCount(t) },
     "langid" -> { case Seq(t) => TextFunctions.langId(t) },
@@ -240,20 +282,10 @@ object PinotFunctions {
     regexp_extract(wkt, "POINT\\s*\\(\\s*(-?[0-9.]+)\\s+(-?[0-9.]+)\\s*\\)", 2)
       .cast(DoubleType).as("y"))
 
-  /** IPv4 isSubnetOf(cidr, ip) via pure integer arithmetic
-    * (IpAddressFunctions.java — IPv4 subset; no IPv6 in v1). */
-  private def subnetOf(cidr: Column, ip: Column): Column = {
-    def ipToLong(s: Column): Column =
-      aggregate(split(s, "\\."), lit(0L), (acc, o) => acc * 256 + o.cast(LongType))
-    val base = ipToLong(split_part(cidr, lit("/"), lit(1)))
-    val bits = split_part(cidr, lit("/"), lit(2)).cast(IntegerType)
-    val shift = lit(32) - bits
-    call_function("shiftright", base, shift) ===
-      call_function("shiftright", ipToLong(ip), shift)
-  }
+  private def jsonScalar(c: Column, path: Column, typ: Column, dflt: Column): Column =
+    jsonCast(get_json_object(c, ex(path).eval().toString), typ, dflt)
 
-  private def jsonScalar(c: Column, path: Column, typ: Column, dflt: Column): Column = {
-    val raw = get_json_object(c, ex(path).eval().toString)
+  private def jsonCast(raw: Column, typ: Column, dflt: Column): Column = {
     val t = ex(typ).eval().toString.toUpperCase
     val target: DataType = t match {
       case "INT" => IntegerType

@@ -57,4 +57,31 @@ object Gapfill {
         df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
     }
   }
+
+  /** Post-fill aggregation (reference `BaseGapfillProcessor.java` /
+    * `GapfillUtils.java:40` aggregate-gapfill-aggregate): re-aggregate
+    * the DENSIFIED series into coarser buckets — e.g. a daily average
+    * of a gap-filled hourly series, where missing hours contribute
+    * their filled value instead of silently shrinking the denominator.
+    *
+    * @param coarseBucket expression over the fill-grain bucket column
+    *                     (e.g. `date_trunc("day", col("bucket"))`)
+    * @param aggs         aggregate columns over the filled measures
+    */
+  def gapfillAggregate(
+      spark: SparkSession,
+      aggregated: DataFrame,
+      bucketCol: String,
+      groupCols: Seq[String],
+      step: String,
+      fills: Seq[Fill],
+      coarseBucket: Column,
+      coarseBucketName: String,
+      aggs: Seq[Column]): DataFrame = {
+    val filled = gapfill(spark, aggregated, bucketCol, groupCols, step, fills)
+    filled
+      .withColumn(coarseBucketName, coarseBucket)
+      .groupBy((col(coarseBucketName) +: groupCols.map(col)): _*)
+      .agg(aggs.head, aggs.tail: _*)
+  }
 }

@@ -65,6 +65,10 @@ object Upsert {
   final case class Append(column: String) extends Merge
   /** collect distinct values (UNION) */
   final case class UnionOf(column: String) extends Merge
+  /** latest value even when null (FORCE_OVERWRITE — reference
+    * `upsert/merger/columnar/ForceOverwriteMerger.java`: unlike
+    * OVERWRITE, a null in the newest version replaces the old value) */
+  final case class ForceOverwrite(column: String) extends Merge
 
   /** PARTIAL upsert view: one row per key where each column is merged
     * across all versions of the key per its strategy. Single groupBy on
@@ -74,7 +78,16 @@ object Upsert {
   def partialUpsert(df: DataFrame, keys: Seq[String], cmpCol: String,
       merges: Seq[Merge]): DataFrame = {
     val aggs: Seq[Column] = merges.map {
-      case Overwrite(c) => max_by(col(c), col(cmpCol)).as(c)
+      // OVERWRITE takes the latest NON-NULL version (the reference's
+      // partial-upsert handler skips null incoming values for regular
+      // mergers); nulling the comparator drops null-valued versions
+      // from max_by's ordering.
+      case Overwrite(c) =>
+        max_by(col(c), when(col(c).isNotNull, col(cmpCol))).as(c)
+      // FORCE_OVERWRITE takes the latest version verbatim, null or not:
+      // max over (cmp, value) structs keeps the value of the max cmp row.
+      case ForceOverwrite(c) =>
+        max(struct(col(cmpCol), col(c))).getField(c).as(c)
       case Ignore(c)    => min_by(col(c), col(cmpCol)).as(c)
       case Increment(c) => sum(col(c)).as(c)
       case MaxOf(c)     => max(col(c)).as(c)

@@ -202,6 +202,114 @@ object FunctionQueries {
         len(list_distinct(string_split(text, ' '))) AS n_distinct
         FROM documents WHERE doc_id <= 200 ORDER BY doc_id""")),
 
+    // URL extraction family (UrlFunctions.java:42-553): URLs constructed
+    // deterministically from part columns, components extracted by the
+    // registered url* functions; the oracle states the expected
+    // components from the same construction.
+    GQuery("q_fn_url",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val u = concat(lit("https://user@www.example"),
+          (col("p_partkey") % 5).cast(StringType),
+          lit(".co.uk:8443/parts/"), regexp_replace(col("p_name"), " ", "-"),
+          lit("?brand="), regexp_replace(col("p_brand"), "#", ""),
+          lit("&size="), col("p_size").cast(StringType), lit("#frag"))
+        t.part.filter(col("p_partkey") <= 100)
+          .withColumn("url", u)
+          .select(col("p_partkey"),
+            expr("urlprotocol(url)").as("proto"),
+            expr("urldomain(url)").as("host"),
+            expr("urldomainwithoutwww(url)").as("host_nw"),
+            expr("urltopleveldomain(url)").as("tld"),
+            expr("urlport(url)").as("port"),
+            expr("urlnetloc(url)").as("netloc"),
+            expr("urlpath(url)").as("path"),
+            expr("urlquerystring(url)").as("qs"),
+            expr("urlfragment(url)").as("frag"),
+            expr("extracturlparameter(url, 'size')").as("size_param"),
+            expr("extracturlparameter(url, 'absent')").as("absent_param"))
+          .orderBy(col("p_partkey"))
+      },
+      Some("""SELECT p_partkey,
+        'https' AS proto,
+        'www.example' || (p_partkey % 5) || '.co.uk' AS host,
+        'example' || (p_partkey % 5) || '.co.uk' AS host_nw,
+        'uk' AS tld,
+        8443 AS port,
+        'user@www.example' || (p_partkey % 5) || '.co.uk:8443' AS netloc,
+        '/parts/' || replace(p_name, ' ', '-') AS path,
+        'brand=' || replace(p_brand, '#', '') || '&size=' || p_size AS qs,
+        'frag' AS frag,
+        CAST(p_size AS VARCHAR) AS size_param,
+        CAST(NULL AS VARCHAR) AS absent_param
+        FROM part WHERE p_partkey <= 100 ORDER BY p_partkey""")),
+
+    // IP / UUID / JSON-first-match scalars (IpAddressFunctions.java,
+    // scalar/uuid/, TransformFunctionType.java:104-117): inputs built
+    // from order keys, so the oracle can compute every expected value
+    // independently (subnet membership via modular arithmetic, UUID
+    // fields via the same md5 hex slices, v1 timestamp via hex cast).
+    GQuery("q_fn_net",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val k = col("o_orderkey")
+        val m = md5(k.cast(StringType).cast(BinaryType))
+        val ip4 = concat(lit("10."), (k % 128).cast(StringType), lit("."),
+          (k % 256).cast(StringType), lit("."), ((k * 7) % 256).cast(StringType))
+        val ip6 = when(k % 2 === 0,
+          concat(lit("2001:db8::"), lower(hex(k))))
+          .otherwise(concat(lit("fe80::"), lower(hex(k))))
+        val uu = concat_ws("-", substring(m, 1, 8), substring(m, 9, 4),
+          substring(m, 13, 4), substring(m, 17, 4), substring(m, 21, 12))
+        val uu1 = concat_ws("-", substring(m, 1, 8), substring(m, 9, 4),
+          concat(lit("1"), substring(m, 14, 3)), substring(m, 17, 4),
+          substring(m, 21, 12))
+        val js = concat(lit("""{"a":[{"v":"""), (k % 10).cast(StringType),
+          lit("""},{"v":"""), (k % 7).cast(StringType), lit("}]}"))
+        t.orders.filter(k <= 200)
+          .withColumn("ip4", ip4).withColumn("ip6", ip6)
+          .withColumn("uu", uu).withColumn("uu1", uu1).withColumn("js", js)
+          .select(k,
+            expr("issubnetof('10.64.0.0/10', ip4)").as("in_v4_subnet"),
+            expr("issubnetof('2001:db8::/32', ip6)").as("in_v6_subnet"),
+            expr("isipv4string(ip4)").as("is_v4"),
+            expr("isipv6string(ip6)").as("is_v6"),
+            expr("ipv4tolong(ip4)").as("ip4_long"),
+            expr("longtoipv4(ipv4tolong(ip4))").as("ip4_roundtrip"),
+            expr("isuuid(uu)").as("is_uuid"),
+            expr("isuuid(o_orderpriority)").as("not_uuid"),
+            expr("uuidversion(uu)").as("uu_ver"),
+            expr("hex(uuidtobytes(uu))").as("uu_hex"),
+            expr("bytestouuid(uuidtobytes(uu))").as("uu_roundtrip"),
+            expr("uuidtimestamp(uu1)").as("uu1_ts"),
+            expr("jsonextractscalarfirstmatch(js, '$.a[*].v', 'INT')").as("first_v"),
+            expr("jsonextractindex(js, '$.a[1].v', 'INT')").as("second_v"))
+          .orderBy(k)
+      },
+      Some("""SELECT o_orderkey,
+        (o_orderkey % 128) >= 64 AS in_v4_subnet,
+        (o_orderkey % 2) = 0 AS in_v6_subnet,
+        TRUE AS is_v4, TRUE AS is_v6,
+        10 * 16777216 + (o_orderkey % 128) * 65536
+          + (o_orderkey % 256) * 256 + (o_orderkey * 7) % 256 AS ip4_long,
+        '10.' || (o_orderkey % 128) || '.' || (o_orderkey % 256) || '.'
+          || (o_orderkey * 7) % 256 AS ip4_roundtrip,
+        TRUE AS is_uuid, FALSE AS not_uuid,
+        CAST(strpos('0123456789abcdef', substr(md5(CAST(o_orderkey AS VARCHAR)), 13, 1)) - 1 AS INT) AS uu_ver,
+        upper(md5(CAST(o_orderkey AS VARCHAR))) AS uu_hex,
+        substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8) || '-'
+          || substr(md5(CAST(o_orderkey AS VARCHAR)), 9, 4) || '-'
+          || substr(md5(CAST(o_orderkey AS VARCHAR)), 13, 4) || '-'
+          || substr(md5(CAST(o_orderkey AS VARCHAR)), 17, 4) || '-'
+          || substr(md5(CAST(o_orderkey AS VARCHAR)), 21, 12) AS uu_roundtrip,
+        (CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 14, 3)
+            || substr(md5(CAST(o_orderkey AS VARCHAR)), 9, 4)
+            || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8) AS BIGINT)
+          - 122192928000000000) // 10000 AS uu1_ts,
+        CAST(o_orderkey % 10 AS INT) AS first_v,
+        CAST(o_orderkey % 7 AS INT) AS second_v
+        FROM orders WHERE o_orderkey <= 200 ORDER BY o_orderkey""")),
+
     // MV exists-semantics filter (SURVEY §7.5: mvCol = x matches if ANY
     // element equals x → array_contains).
     GQuery("q_fn_mv_filter",

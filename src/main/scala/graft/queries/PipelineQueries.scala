@@ -550,6 +550,46 @@ object PipelineQueries {
             ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0.0) AS v_filled
         FROM joined ORDER BY bucket, event_type""")),
 
+    // Gapfill post-fill aggregation (BaseGapfillProcessor.java /
+    // GapfillUtils.java:40): daily average of the gap-filled hourly
+    // series — missing hours contribute their previous-filled value
+    // instead of shrinking the average's denominator.
+    GQuery("q_gapfill_agg",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val agg = t.events
+          .groupBy(date_trunc("hour", col("ts")).as("bucket"), col("event_type"))
+          .agg(dsum(col("value")).as("v"))
+        Gapfill.gapfillAggregate(s, agg, "bucket", Seq("event_type"), "1 hour",
+            Seq(Gapfill.FillPrevious("v")),
+            date_trunc("day", col("bucket")), "day",
+            Seq(count(col("v")).as("n_hours"),
+              // exact decimal sum over FILLED buckets (avg = sum/n_hours;
+              // emitting the sum keeps the check exact — a rounded avg of
+              // /24 rationals lands on .xxxx5 halfway cases that round
+              // differently across engines)
+              dsum(col("v")).as("sum_v")))
+          .orderBy(col("day"), col("event_type"))
+      },
+      Some("""WITH agg AS (
+          SELECT date_trunc('hour', ts) AS bucket, event_type,
+            CAST(SUM(CAST(value AS DECIMAL(20,4))) AS DOUBLE) AS v
+          FROM events GROUP BY 1, 2),
+        bounds AS (SELECT MIN(bucket) AS lo, MAX(bucket) AS hi FROM agg),
+        spine AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket FROM bounds),
+        grid AS (SELECT bucket, event_type FROM spine
+          CROSS JOIN (SELECT DISTINCT event_type FROM agg)),
+        joined AS (SELECT g.bucket, g.event_type, a.v
+          FROM grid g LEFT JOIN agg a ON g.bucket = a.bucket AND g.event_type = a.event_type),
+        filled AS (SELECT bucket, event_type,
+          last_value(v IGNORE NULLS) OVER (PARTITION BY event_type
+            ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v
+          FROM joined)
+        SELECT date_trunc('day', bucket) AS day, event_type,
+          COUNT(v) AS n_hours,
+          CAST(SUM(CAST(v AS DECIMAL(20,4))) AS DOUBLE) AS sum_v
+        FROM filled GROUP BY 1, 2 ORDER BY day, event_type""")),
+
     // ——— Funnel (AggregationFunctionType.java:193-202) ———
 
     GQuery("q_funnel_maxstep",

@@ -15,6 +15,7 @@ object TestSession {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    graft.functions.PinotFunctions.registerAll(s)
     s
   }
 }

@@ -82,6 +82,37 @@ class UpsertFunnelGapfillSpec extends SparkSpec {
     assert(out == Map(1 -> 3L, 2 -> 2L, 3 -> 1L))
   }
 
+  test("FORCE_OVERWRITE takes the latest value even when null; OVERWRITE skips nulls") {
+    val rows = Seq(
+      (1L, 1L, Some("a")), (1L, 2L, None),               // latest is null
+      (2L, 1L, None), (2L, 2L, Some("b")),               // latest non-null
+      (3L, 1L, Some("c"))
+    ).toDF("k", "v", "s")
+    val out = Upsert.partialUpsert(rows, Seq("k"), "v",
+        Seq(Upsert.ForceOverwrite("s")))
+      .select($"k", $"s").as[(Long, Option[String])].collect().toMap
+    assert(out == Map(1L -> None, 2L -> Some("b"), 3L -> Some("c")))
+    val ov = Upsert.partialUpsert(rows, Seq("k"), "v",
+        Seq(Upsert.Overwrite("s")))
+      .select($"k", $"s").as[(Long, Option[String])].collect().toMap
+    assert(ov == Map(1L -> Some("a"), 2L -> Some("b"), 3L -> Some("c")))
+  }
+
+  test("gapfillAggregate averages over filled buckets") {
+    val agg = Seq(
+      ("2024-01-01 00:00:00", "a", 4.0),
+      ("2024-01-01 03:00:00", "a", 8.0))
+      .toDF("b", "g", "v")
+      .select(to_timestamp($"b").as("bucket"), $"g", $"v")
+    // filled hourly: 4, 4, 4, 8 -> one day, avg 5.0 over 4 hours
+    val out = Gapfill.gapfillAggregate(spark, agg, "bucket", Seq("g"), "1 hour",
+        Seq(Gapfill.FillPrevious("v")),
+        date_trunc("day", col("bucket")), "day",
+        Seq(count(col("v")).as("n"), avg(col("v")).as("a")))
+      .select($"n", $"a").as[(Long, Double)].collect().toSeq
+    assert(out == Seq((4L, 5.0)))
+  }
+
   test("windowed matchStep bounds funnel progress by the anchor window") {
     val steps = Seq(col("event_type") === "signup",
       col("event_type") === "click", col("event_type") === "purchase")
