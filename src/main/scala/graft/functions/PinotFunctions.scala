@@ -210,7 +210,10 @@ object PinotFunctions {
     "fingerprint" -> { case Seq(t) => TextFunctions.fingerprint(t) },
     // ——— aggregates with Pinot names (AggregationFunctionType.java) ———
     "distinctcount" -> { case Seq(c) => size(collect_set(c)) },
-    "distinctcounthll" -> { case Seq(c) => approx_count_distinct(c) },
+    // native dense HLL (graft.plans.HllSketch): blob-compatible with
+    // DISTINCTCOUNTRAWHLL / HLLMERGECOUNT, unlike Spark's HLL++ whose
+    // state can't be stored or re-aggregated
+    "distinctcounthll" -> { case Seq(c) => graft.plans.HllSketch.distinctCountHll(c) },
     // exact-bitmap / partitioned variants are exact distinct counts in
     // Spark (no segment boundary); smart/HLL+ variants map to HLL++
     "distinctcountbitmap" -> { case Seq(c) => size(collect_set(c)) },
@@ -317,5 +320,6 @@ object PinotFunctions {
     graft.plans.VectorExpressions.registerAll(spark)
     graft.plans.KmvSketch.registerAll(spark)
     graft.plans.FrequentItems.registerAll(spark)
+    graft.plans.HllSketch.registerAll(spark)
   }
 }

@@ -34,7 +34,11 @@ object RollupRewrite {
       dims: Set[String],
       sums: Set[String],          // measures with sum_<m> columns
       mins: Set[String],
-      maxs: Set[String])
+      maxs: Set[String],
+      // measures with stored hll_<m> sketch blobs (column → precision p):
+      // lets the rollup answer DISTINCTCOUNTHLL queries by blob merge —
+      // the star-tree distinct-count trick
+      hlls: Map[String, Int] = Map.empty)
 
   private val specs =
     new java.util.concurrent.ConcurrentHashMap[String, Spec]()
@@ -48,14 +52,18 @@ object RollupRewrite {
       factPath: String,
       dims: Seq[String],
       measures: Seq[String],
-      outPath: String): Spec = {
-    val aggs = count(lit(1)).as("cnt") +:
+      outPath: String,
+      distinctMeasures: Seq[String] = Nil,
+      hllP: Int = HllSketch.DefaultP): Spec = {
+    val aggs = (count(lit(1)).as("cnt") +:
       measures.flatMap(m => Seq(sum(col(m)).as(s"sum_$m"),
-        min(col(m)).as(s"min_$m"), max(col(m)).as(s"max_$m")))
+        min(col(m)).as(s"min_$m"), max(col(m)).as(s"max_$m")))) ++
+      distinctMeasures.map(m => HllSketch.hllState(col(m), hllP).as(s"hll_$m"))
     fact.groupBy(dims.map(col): _*).agg(aggs.head, aggs.tail: _*)
       .write.mode("overwrite").parquet(outPath)
     val spec = Spec(factPath, spark.read.parquet(outPath),
-      dims.toSet, measures.toSet, measures.toSet, measures.toSet)
+      dims.toSet, measures.toSet, measures.toSet, measures.toSet,
+      distinctMeasures.map(_ -> hllP).toMap)
     register(spark, spec)
     spec
   }
@@ -146,6 +154,13 @@ object RollupRewrite {
           case Max(a: AttributeReference) if spec.maxs(a.name) =>
             Some(Cast(Max(rollupAttr(s"max_${a.name}")).toAggregateExpression(),
               ae.dataType))
+          case HllAgg(a: AttributeReference, p, false, _, _)
+              if spec.hlls.get(a.name).contains(p) =>
+            // DISTINCTCOUNTHLL answered from stored blobs: register-max
+            // merge is associative, so the estimate is bit-identical to
+            // a direct pass over the fact table
+            Some(HllMergeAgg(rollupAttr(s"hll_${a.name}"), emitBlob = false)
+              .toAggregateExpression())
           case Count(Seq(Literal(_, _))) =>
             // COUNT(*) is 0 on empty input but SUM(cnt) is NULL — for a
             // global (ungrouped) aggregate the rewritten query would

@@ -394,6 +394,37 @@ object AggQueries {
         COUNT(DISTINCT l_partkey) AS exact_distinct,
         ROUND(quantile_cont(l_quantity, 0.5), 4) AS exact_p50,
         TRUE AS adc_ok, TRUE AS ap50_ok, TRUE AS kmv_ok
-        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // Mergeable HLL blobs (DISTINCTCOUNTRAWHLL → HLLMERGECOUNT,
+    // DistinctCountRawHLLAggregationFunction.java): per-(flag,status)
+    // sketch blobs re-merged to per-flag MUST give the bit-identical
+    // estimate as a direct per-flag sketch (register max-merge is
+    // associative) — the property that makes sketch-bearing rollup
+    // tables answer distinct counts. Plus the usual error-bound gate
+    // against the exact count (p=12 → rse ≈ 1.6%, gated at 10%).
+    GQuery("q_agg_hll_remerge",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val direct = t.lineitem.groupBy(col("l_returnflag"))
+          .agg(graft.plans.HllSketch.distinctCountHll(col("l_partkey"))
+              .as("est_direct"),
+            countDistinct(col("l_partkey")).as("exact_distinct"))
+        val merged = t.lineitem
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(graft.plans.HllSketch.hllState(col("l_partkey")).as("blob"))
+          .groupBy(col("l_returnflag"))
+          .agg(graft.plans.HllSketch.hllMergeCount(col("blob")).as("est_merged"))
+        direct.join(merged, "l_returnflag")
+          .select(col("l_returnflag"), col("exact_distinct"),
+            (col("est_direct") === col("est_merged")).as("remerge_exact"),
+            (abs(col("est_direct") - col("exact_distinct")) <=
+              col("exact_distinct") * 0.1).as("hll_ok"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""SELECT l_returnflag,
+        COUNT(DISTINCT l_partkey) AS exact_distinct,
+        TRUE AS remerge_exact, TRUE AS hll_ok
+        FROM lineitem GROUP BY 1 ORDER BY 1"""))
   )
 }

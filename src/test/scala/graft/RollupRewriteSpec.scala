@@ -63,4 +63,36 @@ class RollupRewriteSpec extends SparkSpec {
       assert(!otherDim.queryExecution.optimizedPlan.toString.contains("cnt#"))
     } finally RollupRewrite.clear()
   }
+
+  test("distinct-count query answered from rollup-stored HLL blobs") {
+    val fact = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+    val out = Files.createTempDirectory("graft_rollup_hll").toString
+
+    // direct sketch estimate + exact count BEFORE registering the rule
+    val direct = fact.groupBy($"l_returnflag")
+      .agg(graft.plans.HllSketch.distinctCountHll($"l_partkey").as("e"),
+        countDistinct($"l_partkey").as("x"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+
+    RollupRewrite.buildRollup(spark, fact,
+      RollupRewrite.pathOf(fact).get,
+      dims = Seq("l_returnflag", "l_linestatus"),
+      measures = Seq("l_quantity"),
+      outPath = s"$out/rollup",
+      distinctMeasures = Seq("l_partkey"))
+    try {
+      val q = fact.groupBy($"l_returnflag")
+        .agg(graft.plans.HllSketch.distinctCountHll($"l_partkey").as("e"))
+      val plan = q.queryExecution.optimizedPlan.toString
+      assert(plan.contains("hll_l_partkey"), s"plan not rewritten:\n$plan")
+      val fromRollup = q.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      fromRollup.foreach { case (flag, est) =>
+        val (directEst, exact) = direct(flag)
+        // blob merge is associative -> bit-identical to the direct pass
+        assert(est == directEst, s"$flag: rollup $est != direct $directEst")
+        assert(math.abs(est - exact) <= exact * 0.1,
+          s"$flag: estimate $est off exact $exact by > 10%")
+      }
+    } finally RollupRewrite.clear()
+  }
 }
