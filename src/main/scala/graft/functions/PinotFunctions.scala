@@ -159,8 +159,20 @@ object PinotFunctions {
         p2.getField("x"), p2.getField("y")) },
     // WKT POINT parsing (ST_GeogFromText / ST_GeomFromText — point
     // subset; polygons are provided as array<struct> literals)
-    "stgeogfromtext" -> { case Seq(wkt) => wktPoint(wkt) },
-    "stgeomfromtext" -> { case Seq(wkt) => wktPoint(wkt) },
+    // WKT: POLYGON when the (foldable) literal says so, else POINT —
+    // the output type must be static, so dispatch happens at plan time
+    "stgeogfromtext" -> { case Seq(wkt) => wktAny(wkt) },
+    "stgeomfromtext" -> { case Seq(wkt) => wktAny(wkt) },
+    "stpolygonfromtext" -> { case Seq(wkt) => GeoFunctions.wktPolygon(wkt) },
+    // ——— H3 grid subset (TransformFunctionType.java:195-229; documented
+    // axial-hex approximation, see GeoFunctions) ———
+    "geotoh3" -> { case Seq(lng, lat, res) => GeoFunctions.geoToH3(lng, lat, res) },
+    "h3togeo" -> { case Seq(cell) => GeoFunctions.h3ToGeo(cell) },
+    "griddistance" -> { case Seq(a, b) => GeoFunctions.gridDistance(a, b) },
+    "griddisk" -> { case Seq(cell, k) =>
+      GeoFunctions.gridDisk(cell, ex(k).eval().toString.toInt) },
+    "kring" -> { case Seq(cell, k) =>
+      GeoFunctions.gridDisk(cell, ex(k).eval().toString.toInt) },
     "stcontains" -> { case Seq(poly, p) => GeoFunctions.stContains(poly, p) },
     "stwithin" -> { case Seq(p, poly) => GeoFunctions.stWithin(p, poly) },
     "starea" -> { case Seq(poly) => GeoFunctions.stArea(poly) },
@@ -277,6 +289,13 @@ object PinotFunctions {
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
     ColumnBridge.column(new BloomFilterAggregate(ex(xxhash64(c)),
       Literal(estItems), Literal(estItems * 8)).toAggregateExpression())
+  }
+
+  private def wktAny(wkt: Column): Column = {
+    val e = ex(wkt)
+    val isPoly = e.foldable &&
+      Option(e.eval()).exists(_.toString.trim.toUpperCase.startsWith("POLYGON"))
+    if (isPoly) GeoFunctions.wktPolygon(wkt) else wktPoint(wkt)
   }
 
   private def wktPoint(wkt: Column): Column = struct(

@@ -202,6 +202,93 @@ object FunctionQueries {
         len(list_distinct(string_split(text, ' '))) AS n_distinct
         FROM documents WHERE doc_id <= 200 ORDER BY doc_id""")),
 
+    // H3 grid subset (geoToH3/gridDistance/gridDisk — documented axial
+    // hex approximation, GeoFunctions.scala): the oracle re-derives the
+    // full encode (fractional axial coords → cube rounding → bit-packed
+    // id) in SQL, so cell ids and grid distances are checked value-for-
+    // value cross-engine; disk size/membership use the 3k(k+1)+1 identity.
+    GQuery("q_geo_h3",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val k = col("c_custkey")
+        t.customer.filter(k <= 500)
+          .withColumn("lng", (k * 7919 % 36000) / 100.0 - 180.0)
+          .withColumn("lat", (k * 104729 % 17000) / 100.0 - 85.0)
+          .withColumn("lng2", col("lng") / 2.0 + 11.17)
+          .withColumn("lat2", col("lat") / 3.0 - 7.31)
+          .select(k.as("k"),
+            expr("geotoh3(lng, lat, 8)").as("cell"),
+            expr("griddistance(geotoh3(lng, lat, 8), geotoh3(lng2, lat2, 8))")
+              .as("dist"),
+            size(expr("griddisk(geotoh3(lng, lat, 8), 2)")).as("disk_size"),
+            array_contains(expr("griddisk(geotoh3(lng, lat, 8), 2)"),
+              expr("geotoh3(lng, lat, 8)")).as("has_center"),
+            expr("griddistance(geotoh3(lng, lat, 8), " +
+              "geotoh3(h3togeo(geotoh3(lng, lat, 8)).x, " +
+              "h3togeo(geotoh3(lng, lat, 8)).y, 8))").as("center_roundtrip"))
+          .orderBy(col("k"))
+      },
+      Some("""WITH pts AS (SELECT c_custkey AS k,
+          (c_custkey * 7919 % 36000) / 100.0 - 180.0 AS lng,
+          (c_custkey * 104729 % 17000) / 100.0 - 85.0 AS lat
+          FROM customer WHERE c_custkey <= 500),
+        p2 AS (SELECT k, lng, lat, lng / 2.0 + 11.17 AS lng2,
+          lat / 3.0 - 7.31 AS lat2 FROM pts),
+        f AS (SELECT k,
+          (lng * (sqrt(3.0)/3.0) - lat/3.0) / (20.0 / pow(sqrt(7.0), 8)) AS qf,
+          lat * (2.0/3.0) / (20.0 / pow(sqrt(7.0), 8)) AS rf,
+          (lng2 * (sqrt(3.0)/3.0) - lat2/3.0) / (20.0 / pow(sqrt(7.0), 8)) AS qf2,
+          lat2 * (2.0/3.0) / (20.0 / pow(sqrt(7.0), 8)) AS rf2
+          FROM p2),
+        r AS (SELECT k, qf, rf, qf2, rf2,
+          ROUND(qf) AS rx, ROUND(rf) AS rz, ROUND(-qf - rf) AS ry,
+          ROUND(qf2) AS rx2, ROUND(rf2) AS rz2, ROUND(-qf2 - rf2) AS ry2
+          FROM f),
+        c AS (SELECT k,
+          CAST(CASE WHEN abs(rx-qf) > abs(ry+qf+rf) AND abs(rx-qf) > abs(rz-rf)
+            THEN -ry - rz ELSE rx END AS BIGINT) AS q,
+          CAST(CASE WHEN NOT (abs(rx-qf) > abs(ry+qf+rf) AND abs(rx-qf) > abs(rz-rf))
+            AND NOT (abs(ry+qf+rf) > abs(rz-rf)) THEN -rx - ry ELSE rz END AS BIGINT) AS r,
+          CAST(CASE WHEN abs(rx2-qf2) > abs(ry2+qf2+rf2) AND abs(rx2-qf2) > abs(rz2-rf2)
+            THEN -ry2 - rz2 ELSE rx2 END AS BIGINT) AS q2,
+          CAST(CASE WHEN NOT (abs(rx2-qf2) > abs(ry2+qf2+rf2) AND abs(rx2-qf2) > abs(rz2-rf2))
+            AND NOT (abs(ry2+qf2+rf2) > abs(rz2-rf2)) THEN -rx2 - ry2 ELSE rz2 END AS BIGINT) AS r2
+          FROM r)
+        SELECT k,
+          8 * 1125899906842624 + (q + 16777216) * 33554432 + (r + 16777216) AS cell,
+          (abs(q - q2) + abs(r - r2) + abs(q - q2 + r - r2)) // 2 AS dist,
+          19 AS disk_size, TRUE AS has_center,
+          CAST(0 AS BIGINT) AS center_roundtrip
+        FROM c ORDER BY k""")),
+
+    // WKT POLYGON parsing + ST_Contains/ST_Area over it: an axis-aligned
+    // rectangle so the oracle can state containment as bounds checks
+    // (ray-cast boundary rule: left/bottom edges inclusive, right/top
+    // exclusive) and the shoelace area exactly.
+    GQuery("q_geo_polygon",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val k = col("c_custkey")
+        t.customer.filter(k <= 2000)
+          .withColumn("lng", (k * 7919 % 36000) / 100.0 - 180.0)
+          .withColumn("lat", (k * 104729 % 17000) / 100.0 - 85.0)
+          .withColumn("poly",
+            expr("stgeogfromtext('POLYGON ((10 20, 30 20, 30 40, 10 40, 10 20))')"))
+          .withColumn("inside",
+            expr("stcontains(poly, stpoint(lng, lat))"))
+          .groupBy(col("inside"))
+          .agg(count(lit(1)).as("n"),
+            r4(max(expr("starea(poly)"))).as("area"))
+          .orderBy(col("inside"))
+      },
+      Some("""WITH pts AS (SELECT
+          (c_custkey * 7919 % 36000) / 100.0 - 180.0 AS lng,
+          (c_custkey * 104729 % 17000) / 100.0 - 85.0 AS lat
+          FROM customer WHERE c_custkey <= 2000)
+        SELECT (lng >= 10 AND lng < 30 AND lat >= 20 AND lat < 40) AS inside,
+          COUNT(*) AS n, CAST(400.0 AS DOUBLE) AS area
+        FROM pts GROUP BY 1 ORDER BY inside""")),
+
     // URL extraction family (UrlFunctions.java:42-553): URLs constructed
     // deterministically from part columns, components extracted by the
     // registered url* functions; the oracle states the expected

@@ -177,6 +177,38 @@ class FacadeAndFunctionsSpec extends SparkSpec {
     assert(hits.size <= exact.size + 5)
   }
 
+  test("H3 hex-grid identities: disk size, metric, center round-trip") {
+    init
+    val r = QueryFacade.sql(spark,
+      """SELECT
+        size(griddisk(geotoh3(12.5, 47.3, 8), 3)) AS disk3,
+        griddistance(geotoh3(12.5, 47.3, 8), geotoh3(12.5, 47.3, 8)) AS self_d,
+        griddistance(geotoh3(12.5, 47.3, 8), geotoh3(13.5, 46.3, 8)) AS d_ab,
+        griddistance(geotoh3(13.5, 46.3, 8), geotoh3(12.5, 47.3, 8)) AS d_ba,
+        griddistance(geotoh3(12.5, 47.3, 8),
+          geotoh3(h3togeo(geotoh3(12.5, 47.3, 8)).x,
+                  h3togeo(geotoh3(12.5, 47.3, 8)).y, 8)) AS roundtrip
+      """).collect().head
+    assert(r.getInt(0) == 3 * 3 * (3 + 1) + 1) // 3k(k+1)+1 = 37
+    assert(r.getLong(1) == 0L)
+    assert(r.getLong(2) == r.getLong(3) && r.getLong(2) > 0)
+    assert(r.getLong(4) == 0L)
+  }
+
+  test("WKT POLYGON parses and drives ST_Contains/ST_Area") {
+    init
+    val r = QueryFacade.sql(spark,
+      """SELECT
+        stcontains(stgeogfromtext('POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))'),
+          stpoint(5.0, 5.0)) AS inside,
+        stcontains(stgeogfromtext('POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))'),
+          stpoint(15.0, 5.0)) AS outside,
+        starea(stgeogfromtext('POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))')) AS a
+      """).collect().head
+    assert(r.getBoolean(0) && !r.getBoolean(1))
+    assert(r.getDouble(2) == 100.0)
+  }
+
   test("HISTOGRAM aggregate returns equal-width bin counts") {
     init
     val r = QueryFacade.sql(spark,
