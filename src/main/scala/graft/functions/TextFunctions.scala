@@ -80,7 +80,10 @@ object TextFunctions {
   }
 
   /** Word-level n-gram shingles (n consecutive tokens joined by space),
-    * distinct. Basis for MinHash / Jaccard dedup. */
+    * distinct. PERF: the inner slice() re-inlines the token array per
+    * element — O(tokens²) per row. Fine for ad-hoc use on short texts;
+    * for corpus-scale shingling use `Dedup.shingleHashSets` /
+    * `Dedup.minhashSignatures` (posexplode + lead(), one shuffle). */
   def shingles(text: Column, n: Int): Column = {
     val toks = tokens(lower(text))
     // slice() is 1-based; starts = [1 .. size-n+1], empty when too short

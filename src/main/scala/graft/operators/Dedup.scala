@@ -152,6 +152,33 @@ object Dedup {
       .select(col("id"), array((0 until numHashes).map(i => col(s"h$i")): _*).as("signature"))
   }
 
+  /** Per-doc DISTINCT shingle-hash arrays — the exact-set counterpart of
+    * [[minhashSignatures]], same one-shuffle shape: posexplode tokens →
+    * lead() windows → one xxhash64 per shingle → collect per doc. The
+    * HOF alternative (transform over starts with slice() of an outer
+    * token array) re-inlines the token expression per element — O(n²)
+    * per doc and a codegen blowup; this shape stays compiled.
+    * Returns (idCol, sh: array<long>). */
+  def shingleHashSets(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 3): DataFrame = {
+    val tokens = docs.select(col(idCol),
+        posexplode(TextFunctions.tokens(lower(col(textCol)))).as(Seq("pos", "tok")))
+      .select(col(idCol), col("pos"), xxhash64(col("tok")).as("h"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("pos"))
+    val leadCols = (1 until shingleSize).map(j => lead(col("h"), j).over(w).as(s"l$j"))
+    tokens
+      .select(col(idCol) +: col("h") +: leadCols: _*)
+      .filter(col(s"l${shingleSize - 1}").isNotNull)
+      .select(col(idCol),
+        xxhash64(col("h") +: (1 until shingleSize).map(j => col(s"l$j")): _*).as("sh"))
+      .groupBy(col(idCol))
+      .agg(array_distinct(collect_list(col("sh"))).as("sh"))
+  }
+
   /** MinHash + LSH near-dup candidate pairs: band the signature, bucket
     * by (band index, band hash), pair within buckets, then estimate
     * similarity as the fraction of matching signature positions.

