@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.Tables
-import graft.operators.AsOfJoin
+import graft.operators.{AsOfJoin, BandJoin}
 import QH._
 
 /** Filter/predicate surface (reference `Predicate.java:29-41`: EQ, NOT_EQ,
@@ -194,17 +194,48 @@ object FilterJoinQueries {
         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
         ORDER BY c_custkey""")),
 
-    // Non-equi (theta) join (NonEquiJoinOperator.java:35) — aggregated to
-    // a scalar so the nested-loop product is consumed, never materialized.
+    // Non-equi (theta) join (NonEquiJoinOperator.java:35). The naive
+    // shape (crossJoin + <>) is nested-loop in the reference too, but
+    // its pair count grows quadratically with scale — the 100-TB-safe
+    // plan for a `<>` AGGREGATE is complement counting: |S|·|C| minus
+    // the equi-join pair count, from per-key tallies (two tiny
+    // aggregations + one broadcast join, no cross product ever). The
+    // general banded non-equi JOIN (rows, not counts) is q_join_band.
     GQuery("q_join_theta",
       (s, dir) => {
         val t = Tables(s, dir)
-        t.supplier.crossJoin(t.customer)
-          .filter(col("s_nationkey") =!= col("c_nationkey"))
-          .agg(count(lit(1)).as("n_pairs"))
+        val sByK = t.supplier.groupBy(col("s_nationkey").as("k"))
+          .agg(count(lit(1)).as("ns"))
+        val cByK = t.customer.groupBy(col("c_nationkey").as("k"))
+          .agg(count(lit(1)).as("nc"))
+        val equal = sByK.join(broadcast(cByK), "k")
+          .agg(coalesce(sum(col("ns") * col("nc")), lit(0L)).as("n_eq"))
+        val totals = t.supplier.agg(count(lit(1)).as("n_s"))
+          .crossJoin(t.customer.agg(count(lit(1)).as("n_c")))
+        totals.crossJoin(equal)
+          .select((col("n_s") * col("n_c") - col("n_eq")).as("n_pairs"))
       },
       Some("""SELECT COUNT(*) AS n_pairs FROM supplier, customer
         WHERE s_nationkey <> c_nationkey""")),
+
+    // Banded range (interval) join — the scalable non-equi JOIN that
+    // produces rows: |c_acctbal - s_acctbal| <= 1.0 via bucket banding
+    // (operators/BandJoin.scala): candidates come from same/adjacent
+    // buckets (3 equi-probes), never a cross product.
+    GQuery("q_join_band",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        BandJoin.absDiffJoin(
+            t.customer.select(col("c_custkey"), col("c_acctbal")),
+            t.supplier.select(col("s_suppkey"), col("s_acctbal")),
+            col("c_acctbal"), col("s_acctbal"), width = 1.0)
+          .agg(count(lit(1)).as("n_pairs"),
+            dsum(abs(col("c_acctbal") - col("s_acctbal"))).as("sum_absdiff"))
+      },
+      Some("""SELECT COUNT(*) AS n_pairs,
+        CAST(SUM(CAST(abs(c_acctbal - s_acctbal) AS DECIMAL(20,4))) AS DOUBLE)
+          AS sum_absdiff
+        FROM customer, supplier WHERE abs(c_acctbal - s_acctbal) <= 1.0""")),
 
     // Lookup join (LOOKUP transform, TransformFunctionType.java:178):
     // fact → replicated dim chain via broadcast.
