@@ -82,6 +82,7 @@ object QueryFacade {
   def sql(spark: SparkSession, query: String): DataFrame = {
     PinotFunctions.registerAll(spark)
     val Parsed(opts, stmt) = parseOptions(query)
+    if (Ddl.isDdl(stmt)) return Ddl.execute(spark, stmt)
     val df = spark.sql(stmt)
     val explicit = opts.get("explicitlimit").exists(_.toBoolean)
     val isSelect = stmt.trim.toLowerCase.startsWith("select") ||
