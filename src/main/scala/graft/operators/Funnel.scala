@@ -82,12 +82,24 @@ object Funnel {
     * Cost is O(anchors × events) per entity, the same window re-scan the
     * reference does.
     */
+  /** Funnel matching modes (reference `FunnelBaseAggregationFunction
+    * .java` FunnelModes / `FunnelMatchStepAggregationFunction
+    * .processWindow`): STRICT_DEDUPLICATION aborts a window when the
+    * just-matched step repeats; STRICT_ORDER aborts on any intervening
+    * tagged event that isn't the expected step; STRICT_INCREASE only
+    * advances on strictly increasing timestamps. */
+  final case class Modes(
+      strictOrder: Boolean = false,
+      strictDedup: Boolean = false,
+      strictIncrease: Boolean = false)
+
   private def runs(
       events: DataFrame,
       entityCol: String,
       tsMillis: Column,
       steps: Seq[Column],
-      windowMillis: Long): DataFrame = {
+      windowMillis: Long,
+      modes: Modes = Modes()): DataFrame = {
     val stepId = steps.zipWithIndex.foldLeft(lit(0)) {
       case (acc, (pred, i)) => when(pred, lit(i + 1)).otherwise(acc)
     }
@@ -96,19 +108,38 @@ object Funnel {
       .filter(col("__step") > 0)
       .select(col(entityCol),
         struct(tsMillis.cast("long").as("ts"), col("__step").as("step")).as("__evt"))
+    // per-anchor scan state: expected step, matched timestamps, ts of
+    // the last advance (STRICT_INCREASE), dead flag (strict aborts —
+    // the reference's early `return maxStep`)
+    def zero = struct(lit(1).as("expect"),
+      array().cast("array<long>").as("tss"),
+      lit(-1L).as("last_ts"), lit(false).as("dead"))
     tagged.groupBy(entityCol)
       .agg(sort_array(collect_list(col("__evt"))).as("__evts"))
       .withColumn("__runs",
         transform(filter(col("__evts"), e => e.getField("step") === 1),
-          a => aggregate(col("__evts"),
-            struct(lit(1).as("expect"), array().cast("array<long>").as("tss")),
-            (st, e) => when(
-              e.getField("ts") >= a.getField("ts") &&
-                e.getField("ts") < a.getField("ts") + windowMillis &&
-                e.getField("step") === st.getField("expect"),
-              struct((st.getField("expect") + 1).as("expect"),
-                concat(st.getField("tss"), array(e.getField("ts"))).as("tss")))
-              .otherwise(st),
+          a => aggregate(col("__evts"), zero,
+            (st, e) => {
+              val ts = e.getField("ts"); val step = e.getField("step")
+              val expect = st.getField("expect")
+              val inWin = ts >= a.getField("ts") &&
+                ts < a.getField("ts") + windowMillis
+              val advance = struct((expect + 1).as("expect"),
+                concat(st.getField("tss"), array(ts)).as("tss"),
+                ts.as("last_ts"), lit(false).as("dead"))
+              val dead = struct(expect.as("expect"),
+                st.getField("tss").as("tss"),
+                st.getField("last_ts").as("last_ts"), lit(true).as("dead"))
+              // mirror of processWindow's check order: dedup abort,
+              // order abort, increase skip, advance
+              when(st.getField("dead") || !inWin, st)
+                .when(lit(modes.strictDedup) && step === expect - 1, dead)
+                .when(lit(modes.strictOrder) && step =!= expect, dead)
+                .when(lit(modes.strictIncrease) &&
+                  ts === st.getField("last_ts"), st)
+                .when(step === expect, advance)
+                .otherwise(st)
+            },
             st => st.getField("tss"))))
       .drop("__evts")
   }
@@ -122,9 +153,10 @@ object Funnel {
       entityCol: String,
       tsMillis: Column,
       steps: Seq[Column],
-      windowMillis: Long): DataFrame = {
+      windowMillis: Long,
+      modes: Modes = Modes()): DataFrame = {
     val n = steps.size
-    runs(events, entityCol, tsMillis, steps, windowMillis)
+    runs(events, entityCol, tsMillis, steps, windowMillis, modes)
       .withColumn("max_step",
         coalesce(array_max(transform(col("__runs"), r => size(r))), lit(0)))
       .withColumn("match_steps",
@@ -147,9 +179,10 @@ object Funnel {
       entityCol: String,
       tsMillis: Column,
       steps: Seq[Column],
-      windowMillis: Long): DataFrame = {
+      windowMillis: Long,
+      modes: Modes = Modes()): DataFrame = {
     val n = steps.size
-    runs(events, entityCol, tsMillis, steps, windowMillis)
+    runs(events, entityCol, tsMillis, steps, windowMillis, modes)
       .withColumn("__tss",
         // get() (0-based) is null-safe on the empty array, unlike
         // element_at under ANSI mode

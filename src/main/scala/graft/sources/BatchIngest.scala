@@ -44,6 +44,31 @@ object BatchIngest {
           col(c)))
     }
 
+  /** Read a batch input in any supported format (reference batch-
+    * ingestion plugins: `pinot-batch-ingestion` + input-format plugins
+    * csv/json/avro/orc/parquet). csv/json take an explicit schema DDL
+    * (Pinot schemas are always explicit — no inference drift); orc and
+    * parquet carry their own schema. Avro needs the spark-avro
+    * connector jar, absent in this container — the call shape is the
+    * same `format("avro")` when present. */
+  def readAny(
+      spark: SparkSession,
+      path: String,
+      format: String,
+      schemaDdl: Option[String] = None): DataFrame = {
+    val r = spark.read
+    format.toLowerCase match {
+      case "parquet" => r.parquet(path)
+      case "orc" => r.orc(path)
+      case "csv" =>
+        schemaDdl.fold(r.option("header", "true"))(s =>
+          r.option("header", "true").schema(s)).csv(path)
+      case "json" =>
+        schemaDdl.fold(r)(s => r.schema(s)).json(path)
+      case other => r.format(other).load(path)
+    }
+  }
+
   /** Ingest files → transformed, partitioned, sorted parquet "segments". */
   def ingest(
       spark: SparkSession,

@@ -143,6 +143,32 @@ class UpsertFunnelGapfillSpec extends SparkSpec {
     assert(out == 2)
   }
 
+  test("funnel strict modes: order aborts, dedup aborts, increase skips ties") {
+    val steps = Seq(col("t") === "a", col("t") === "b", col("t") === "c")
+    // a@0, x-noise via repeated a@5 (dedup trigger), b@10, b@12, c@20
+    val df = Seq((1L, 0L, "a"), (1L, 5L, "a"), (1L, 10L, "b"),
+      (1L, 12L, "b"), (1L, 20L, "c")).toDF("u", "ts", "t")
+    def ms(m: Funnel.Modes) =
+      Funnel.matchStep(df, "u", $"ts", steps, 100L, m)
+        .select($"max_step").as[Int].collect().head
+    assert(ms(Funnel.Modes()) == 3)
+    // STRICT_DEDUPLICATION: the repeated 'a'@5 (expect-1) aborts the
+    // first window at max_step 1; the second 'a'@5 anchor then sees
+    // b@10 advance, b@12 repeat -> abort at 2
+    assert(ms(Funnel.Modes(strictDedup = true)) == 2)
+    // STRICT_ORDER: 'a'@5 is not the expected 'b' -> abort at 1; the
+    // 'a'@5 anchor's window hits b then the repeated b -> abort at 2
+    assert(ms(Funnel.Modes(strictOrder = true)) == 2)
+    // STRICT_INCREASE: same-ts c cannot advance after b at the same ts
+    val tied = Seq((1L, 0L, "a"), (1L, 10L, "b"), (1L, 10L, "c"))
+      .toDF("u", "ts", "t")
+    assert(Funnel.matchStep(tied, "u", $"ts", steps, 100L,
+      Funnel.Modes(strictIncrease = true))
+      .select($"max_step").as[Int].collect().head == 2)
+    assert(Funnel.matchStep(tied, "u", $"ts", steps, 100L)
+      .select($"max_step").as[Int].collect().head == 3)
+  }
+
   test("stepDurationStats aggregates first-completing-window durations") {
     val steps = Seq(col("event_type") === "signup",
       col("event_type") === "click", col("event_type") === "purchase")
