@@ -237,6 +237,133 @@ object IpHelper {
 
   def isIpv6(s: UTF8String): Boolean =
     s != null && s.toString.indexOf(':') >= 0 && parse(s.toString) != null
+
+  /** Canonical textual form: dotted quad for v4; RFC 5952 for v6
+    * (lowercase hex, no leading zeros, longest zero-run compressed
+    * to `::`, leftmost run on ties, runs of length 1 not compressed). */
+  def format(b: Array[Byte]): String = {
+    if (b.length == 4)
+      return s"${b(0) & 0xFF}.${b(1) & 0xFF}.${b(2) & 0xFF}.${b(3) & 0xFF}"
+    val g = Array.tabulate(8)(i => ((b(2 * i) & 0xFF) << 8) | (b(2 * i + 1) & 0xFF))
+    // longest zero run (leftmost on tie), length >= 2
+    var bestStart = -1; var bestLen = 0; var i = 0
+    while (i < 8) {
+      if (g(i) == 0) {
+        var j = i
+        while (j < 8 && g(j) == 0) j += 1
+        if (j - i > bestLen) { bestLen = j - i; bestStart = i }
+        i = j
+      } else i += 1
+    }
+    if (bestLen < 2) g.map(Integer.toHexString).mkString(":")
+    else {
+      val pre = g.take(bestStart).map(Integer.toHexString).mkString(":")
+      val post = g.drop(bestStart + bestLen).map(Integer.toHexString).mkString(":")
+      pre + "::" + post
+    }
+  }
+
+  private def maskBits(b: Array[Byte], bits: Int, setHostBits: Boolean): Array[Byte] = {
+    val out = b.clone()
+    var i = 0
+    while (i < out.length) {
+      val remaining = bits - i * 8
+      if (remaining >= 8) () // network byte untouched
+      else if (remaining <= 0) out(i) = if (setHostBits) 0xFF.toByte else 0
+      else {
+        val mask = (0xFF << (8 - remaining)) & 0xFF
+        out(i) =
+          if (setHostBits) ((out(i) & mask) | (~mask & 0xFF)).toByte
+          else (out(i) & mask).toByte
+      }
+      i += 1
+    }
+    out
+  }
+
+  /** Reference ipPrefix(ip, bits): masked base in CIDR notation; null
+    * on invalid input (null-column contract instead of throwing). */
+  def ipPrefix(ip: UTF8String, bits: Int): UTF8String = {
+    if (ip == null) return null
+    val b = parse(ip.toString)
+    if (b == null || bits < 0 || bits > b.length * 8) return null
+    UTF8String.fromString(format(maskBits(b, bits, setHostBits = false)) + "/" + bits)
+  }
+
+  private def subnetEnd(cidr: UTF8String, max: Boolean): UTF8String = {
+    if (cidr == null) return null
+    val c = cidr.toString
+    val slash = c.indexOf('/')
+    if (slash < 0) return null
+    val b = parse(c.substring(0, slash))
+    val bits =
+      try c.substring(slash + 1).toInt
+      catch { case _: NumberFormatException => return null }
+    if (b == null || bits < 0 || bits > b.length * 8) return null
+    UTF8String.fromString(format(maskBits(b, bits, setHostBits = max)))
+  }
+
+  /** Reference ipSubnetMin(cidr): first address of the subnet. */
+  def ipSubnetMin(cidr: UTF8String): UTF8String = subnetEnd(cidr, max = false)
+
+  /** Reference ipSubnetMax(cidr): last address of the subnet. */
+  def ipSubnetMax(cidr: UTF8String): UTF8String = subnetEnd(cidr, max = true)
+}
+
+/** ipPrefix(ip, bits) → "masked/bits" (IPv4 + IPv6, RFC 5952 canonical);
+  * null on invalid input. Codegen calls the static [[IpHelper]]. */
+case class IpPrefix(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = "ip_prefix"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == StringType && right.dataType == IntegerType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"expects (string, int), got (${left.dataType}, ${right.dataType})")
+
+  override def nullSafeEval(ip: Any, bits: Any): Any =
+    IpHelper.ipPrefix(ip.asInstanceOf[UTF8String], bits.asInstanceOf[Int])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (ip, bits) =>
+      s"""${ev.value} = graft.functions.IpHelper.ipPrefix($ip, $bits);
+         |${ev.isNull} = ${ev.value} == null;""".stripMargin)
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** ipSubnetMin/ipSubnetMax over a CIDR string; null on invalid input. */
+case class IpSubnetEnd(child: Expression, max: Boolean)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = if (max) "ip_subnet_max" else "ip_subnet_min"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"expects a string CIDR, got ${child.dataType}")
+
+  override def nullSafeEval(cidr: Any): Any =
+    if (max) IpHelper.ipSubnetMax(cidr.asInstanceOf[UTF8String])
+    else IpHelper.ipSubnetMin(cidr.asInstanceOf[UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val m = if (max) "ipSubnetMax" else "ipSubnetMin"
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = graft.functions.IpHelper.$m($c);
+         |${ev.isNull} = ${ev.value} == null;""".stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }
 
 /** isSubnetOf(cidrPrefix, address) over IPv4 + IPv6 — a native Catalyst

@@ -196,6 +196,12 @@ object PinotFunctions {
       ColumnBridge.column(IpIsSubnetOf(ex(concat(s, lit("/0"))), ex(s))) &&
         s.contains(":") },
     "ipv4tolong" -> { case Seq(ip) => NetFunctions.ipv4ToLong(ip) },
+    "ipprefix" -> { case Seq(ip, bits) =>
+      ColumnBridge.column(IpPrefix(ex(ip), ex(bits.cast(IntegerType)))) },
+    "ipsubnetmin" -> { case Seq(cidr) =>
+      ColumnBridge.column(IpSubnetEnd(ex(cidr), max = false)) },
+    "ipsubnetmax" -> { case Seq(cidr) =>
+      ColumnBridge.column(IpSubnetEnd(ex(cidr), max = true)) },
     "longtoipv4" -> { case Seq(v) => NetFunctions.longToIpv4(v) },
     // ——— URL extraction (UrlFunctions.java:42-553, regex subset) ———
     "urlprotocol" -> { case Seq(u) => NetFunctions.urlProtocol(u) },

@@ -396,6 +396,50 @@ object AggQueries {
         TRUE AS adc_ok, TRUE AS ap50_ok, TRUE AS kmv_ok
         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
+    // Theta-family sketch SET ALGEBRA (reference
+    // DistinctCountThetaSketchAggregationFunction setOperation params):
+    // two KMV sketch blobs built over overlapping partkey ranges, then
+    // |A∪B| / |A∩B| estimated FROM THE BLOBS ALONE (KmvSetOps) — the
+    // oracle computes the exact set sizes and the query asserts the
+    // estimates land within theta-sketch error bounds (k=1024 →
+    // rse ≈ 3%; gated at 10% of the union).
+    GQuery("q_agg_theta_setops",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        // tiny driver-side action: two ≤8 KiB sketch blobs (the blobs
+        // ARE the point — set algebra without the raw data)
+        val blobs = t.lineitem
+          .select(col("l_partkey"),
+            (col("l_partkey") <= 1200).as("in_a"),
+            (col("l_partkey") >= 800).as("in_b"))
+          .agg(
+            graft.plans.KmvSketch.kmvState(when(col("in_a"), col("l_partkey")))
+              .as("blob_a"),
+            graft.plans.KmvSketch.kmvState(when(col("in_b"), col("l_partkey")))
+              .as("blob_b"))
+          .head()
+        val (estU, estI, _) = graft.plans.KmvSetOps.estimate(
+          blobs.getAs[Array[Byte]]("blob_a"),
+          blobs.getAs[Array[Byte]]("blob_b"), k = 1024)
+        t.lineitem.agg(
+            countDistinct(when(col("l_partkey") <= 1200 ||
+              col("l_partkey") >= 800, col("l_partkey"))).as("ex_union"),
+            countDistinct(when(col("l_partkey") <= 1200 &&
+              col("l_partkey") >= 800, col("l_partkey"))).as("ex_inter"))
+          .select(col("ex_union"), col("ex_inter"),
+            (abs(lit(estU) - col("ex_union")) <= col("ex_union") * 0.1)
+              .as("union_ok"),
+            (abs(lit(estI) - col("ex_inter")) <= col("ex_union") * 0.1)
+              .as("inter_ok"))
+      },
+      Some("""SELECT
+        COUNT(DISTINCT CASE WHEN l_partkey <= 1200 OR l_partkey >= 800
+          THEN l_partkey END) AS ex_union,
+        COUNT(DISTINCT CASE WHEN l_partkey <= 1200 AND l_partkey >= 800
+          THEN l_partkey END) AS ex_inter,
+        TRUE AS union_ok, TRUE AS inter_ok
+        FROM lineitem""")),
+
     // Mergeable HLL blobs (DISTINCTCOUNTRAWHLL → HLLMERGECOUNT,
     // DistinctCountRawHLLAggregationFunction.java): per-(flag,status)
     // sketch blobs re-merged to per-flag MUST give the bit-identical

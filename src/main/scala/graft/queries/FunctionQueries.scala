@@ -366,6 +366,11 @@ object FunctionQueries {
             expr("isipv6string(ip6)").as("is_v6"),
             expr("ipv4tolong(ip4)").as("ip4_long"),
             expr("longtoipv4(ipv4tolong(ip4))").as("ip4_roundtrip"),
+            expr("ipprefix(ip4, 24)").as("v4_prefix"),
+            expr("ipsubnetmin(ipprefix(ip4, 24))").as("v4_min"),
+            expr("ipsubnetmax(ipprefix(ip4, 24))").as("v4_max"),
+            expr("ipprefix(ip6, 32)").as("v6_prefix"),
+            expr("ipsubnetmax(ipprefix(ip6, 32))").as("v6_max"),
             expr("isuuid(uu)").as("is_uuid"),
             expr("isuuid(o_orderpriority)").as("not_uuid"),
             expr("uuidversion(uu)").as("uu_ver"),
@@ -384,6 +389,17 @@ object FunctionQueries {
           + (o_orderkey % 256) * 256 + (o_orderkey * 7) % 256 AS ip4_long,
         '10.' || (o_orderkey % 128) || '.' || (o_orderkey % 256) || '.'
           || (o_orderkey * 7) % 256 AS ip4_roundtrip,
+        '10.' || (o_orderkey % 128) || '.' || (o_orderkey % 256) || '.0/24'
+          AS v4_prefix,
+        '10.' || (o_orderkey % 128) || '.' || (o_orderkey % 256) || '.0'
+          AS v4_min,
+        '10.' || (o_orderkey % 128) || '.' || (o_orderkey % 256) || '.255'
+          AS v4_max,
+        CASE WHEN o_orderkey % 2 = 0 THEN '2001:db8::/32'
+          ELSE 'fe80::/32' END AS v6_prefix,
+        CASE WHEN o_orderkey % 2 = 0
+          THEN '2001:db8:ffff:ffff:ffff:ffff:ffff:ffff'
+          ELSE 'fe80:0:ffff:ffff:ffff:ffff:ffff:ffff' END AS v6_max,
         TRUE AS is_uuid, FALSE AS not_uuid,
         CAST(strpos('0123456789abcdef', substr(md5(CAST(o_orderkey AS VARCHAR)), 13, 1)) - 1 AS INT) AS uu_ver,
         upper(md5(CAST(o_orderkey AS VARCHAR))) AS uu_hex,

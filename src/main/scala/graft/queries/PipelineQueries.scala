@@ -676,6 +676,40 @@ object PipelineQueries {
             WHEN 1 THEN '1,0,0' ELSE '0,0,0' END AS match_csv
         FROM ms ORDER BY user_id""")),
 
+    // FUNNELMATCHSTEP with STRICT_INCREASE (FunnelModes): only strictly
+    // increasing timestamps advance — the oracle's greedy join chain
+    // uses strict inequalities (ts > previous match) instead of >=.
+    GQuery("q_funnel_matchstep_strict",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        Funnel.matchStep(t.events, "user_id",
+            unix_millis(col("ts").cast(TimestampType)),
+            Seq(col("event_type") === "signup",
+              col("event_type") === "click",
+              col("event_type") === "purchase"),
+            windowMillis = 172800000L,
+            modes = Funnel.Modes(strictIncrease = true))
+          .select(col("user_id"), col("max_step"))
+          .orderBy(col("user_id"))
+      },
+      Some("""WITH ev AS (SELECT user_id, epoch_ms(ts) AS ts, event_type
+          FROM events WHERE event_type IN ('signup', 'click', 'purchase')),
+        u AS (SELECT DISTINCT user_id FROM ev),
+        a AS (SELECT user_id, ts AS ts1 FROM ev WHERE event_type = 'signup'),
+        s2 AS (SELECT a.user_id, a.ts1, MIN(e.ts) AS ts2 FROM a JOIN ev e
+          ON e.user_id = a.user_id AND e.event_type = 'click'
+          AND e.ts > a.ts1 AND e.ts < a.ts1 + 172800000 GROUP BY 1, 2),
+        s3 AS (SELECT s2.user_id, s2.ts1, s2.ts2, MIN(e.ts) AS ts3
+          FROM s2 JOIN ev e
+          ON e.user_id = s2.user_id AND e.event_type = 'purchase'
+          AND e.ts > s2.ts2 AND e.ts < s2.ts1 + 172800000 GROUP BY 1, 2, 3),
+        ms AS (SELECT u.user_id,
+          CASE WHEN u.user_id IN (SELECT user_id FROM s3) THEN 3
+               WHEN u.user_id IN (SELECT user_id FROM s2) THEN 2
+               WHEN u.user_id IN (SELECT user_id FROM a) THEN 1
+               ELSE 0 END AS max_step FROM u)
+        SELECT user_id, max_step FROM ms ORDER BY user_id""")),
+
     // FUNNELSTEPDURATIONSTATS (windowed): duration stats between
     // consecutive steps over each user's first completing window.
     GQuery("q_funnel_duration",

@@ -177,6 +177,29 @@ class FacadeAndFunctionsSpec extends SparkSpec {
     assert(hits.size <= exact.size + 5)
   }
 
+  test("IP prefix/min/max and RFC 5952 canonical forms") {
+    init
+    val r = QueryFacade.sql(spark,
+      """SELECT
+        ipprefix('192.168.1.100', 24) AS p4,
+        ipsubnetmin('192.168.1.0/24') AS mn4,
+        ipsubnetmax('192.168.1.0/24') AS mx4,
+        ipprefix('2001:0DB8:0:0:0:0:0:1', 48) AS p6,
+        ipsubnetmin('2001:db8::/116') AS mn6,
+        ipsubnetmax('2001:db8::/116') AS mx6,
+        ipprefix('not-an-ip', 8) AS bad,
+        issubnetof('::ffff:10.0.0.0/104', '::ffff:10.1.2.3') AS v4mapped
+      """).collect().head
+    assert(r.getString(0) == "192.168.1.0/24")
+    assert(r.getString(1) == "192.168.1.0")
+    assert(r.getString(2) == "192.168.1.255")
+    assert(r.getString(3) == "2001:db8::/48")
+    assert(r.getString(4) == "2001:db8::")
+    assert(r.getString(5) == "2001:db8::fff")
+    assert(r.isNullAt(6))
+    assert(r.getBoolean(7))
+  }
+
   test("H3 hex-grid identities: disk size, metric, center round-trip") {
     init
     val r = QueryFacade.sql(spark,
