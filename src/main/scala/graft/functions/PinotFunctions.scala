@@ -262,6 +262,68 @@ object PinotFunctions {
     "countmv" -> { case Seq(a) => sum(size(a)) },
     "minmv" -> { case Seq(a) => min(array_min(a)) },
     "maxmv" -> { case Seq(a) => max(array_max(a)) },
+    // MV sketch variants: the native HLL/KMV aggregates iterate array
+    // elements when the child is ArrayType (HllAgg/DistinctCountKmv MV
+    // path), so the MV names share one implementation
+    "distinctcounthllmv" -> { case Seq(a) =>
+      graft.plans.HllSketch.distinctCountHll(a) },
+    "distinctcountrawhllmv" -> { case Seq(a) =>
+      graft.plans.HllSketch.hllState(a) },
+    "distinctcountbitmapmv" -> { case Seq(a) =>
+      size(array_distinct(flatten(collect_list(a)))) },
+    // DISTINCTSUMMV / DISTINCTAVGMV: over the distinct ELEMENT set of
+    // the whole group (reference DistinctSumMVAggregationFunction)
+    "distinctsummv" -> { case Seq(a) =>
+      aggregate(transform(array_distinct(flatten(collect_list(a))),
+        x => x.cast(DoubleType)), lit(0.0), (acc, x) => acc + x) },
+    "distinctavgmv" -> { case Seq(a) =>
+      val distinctEls = array_distinct(flatten(collect_list(a)))
+      aggregate(transform(distinctEls, x => x.cast(DoubleType)),
+        lit(0.0), (acc, x) => acc + x) / size(distinctEls) },
+    // SUMARRAYLONG / SUMARRAYDOUBLE: ELEMENTWISE sum of array rows
+    // (reference SumArrayLongAggregationFunction) — fold of zip_with
+    "sumarraylong" -> { case Seq(a) =>
+      aggregate(collect_list(a.cast("array<long>")),
+        array().cast("array<long>"),
+        (acc, x) => when(size(acc) === 0, x)
+          .otherwise(zip_with(acc, x, (p, q) => p + q))) },
+    "sumarraydouble" -> { case Seq(a) =>
+      aggregate(collect_list(a.cast("array<double>")),
+        array().cast("array<double>"),
+        (acc, x) => when(size(acc) === 0, x)
+          .otherwise(zip_with(acc, x, (p, q) => p + q))) },
+    // PERCENTILEMV family: EXACT interpolated percentile over all
+    // elements of all arrays in the group (the reference's est/tdigest/
+    // kll MV variants are approximations of exactly this value)
+    "percentilemv" -> { case Seq(a, p) => percentileOverArray(a, p) },
+    "percentileestmv" -> { case Seq(a, p) => percentileOverArray(a, p) },
+    "percentiletdigestmv" -> { case Seq(a, p) => percentileOverArray(a, p) },
+    "percentilekllmv" -> { case Seq(a, p) => percentileOverArray(a, p) },
+    // typed aliases (reference keeps Int/Long/String-specialized names)
+    "sumint" -> { case Seq(c) => sum(c.cast(LongType)) },
+    "sumlong" -> { case Seq(c) => sum(c.cast(LongType)) },
+    "minlong" -> { case Seq(c) => min(c.cast(LongType)) },
+    "maxlong" -> { case Seq(c) => max(c.cast(LongType)) },
+    "minstring" -> { case Seq(c) => min(c.cast(StringType)) },
+    "maxstring" -> { case Seq(c) => max(c.cast(StringType)) },
+    // approximation-family aliases: CPC / UltraLogLog / HLL++ variants
+    // map onto the two native mergeable sketches (HLL registers, KMV
+    // theta) — same accuracy class, blob-compatible within this engine
+    "distinctcountcpcsketch" -> { case Seq(c) =>
+      graft.plans.KmvSketch.distinctCountKmv(c) },
+    "distinctcountrawcpcsketch" -> { case Seq(c) =>
+      graft.plans.KmvSketch.kmvState(c) },
+    "distinctcountrawthetasketch" -> { case Seq(c) =>
+      graft.plans.KmvSketch.kmvState(c) },
+    "distinctcountull" -> { case Seq(c) =>
+      graft.plans.HllSketch.distinctCountHll(c) },
+    "distinctcountsmartull" -> { case Seq(c) =>
+      graft.plans.HllSketch.distinctCountHll(c) },
+    "distinctcountsmarthllplus" -> { case Seq(c) => approx_count_distinct(c) },
+    "jsonextractscalarfast" -> {
+      case Seq(c, path, typ) => jsonScalar(c, path, typ, lit(null))
+      case Seq(c, path, typ, dflt) => jsonScalar(c, path, typ, dflt) },
+    "monthofyear" -> { case Seq(c) => month(c) },
     // ANYVALUE: reference picks an arbitrary value; we pick min for
     // determinism (a valid "any")
     "anyvalue" -> { case Seq(c) => min(c) },
@@ -289,6 +351,21 @@ object PinotFunctions {
         sum(when(inBin, 1L).otherwise(0L))
       }: _*) }
   )
+
+  /** Exact interpolated percentile (Pinot 0-100 scale) over every
+    * element of every array in the group: sort the flattened elements,
+    * linear-interpolate at rank (n−1)·p/100. */
+  private def percentileOverArray(a: Column, p: Column): Column = {
+    val s = array_sort(transform(flatten(collect_list(a)),
+      x => x.cast(DoubleType)))
+    val n = size(s)
+    val idx = (n - 1).cast(DoubleType) * (p.cast(DoubleType) / 100.0)
+    val lo = floor(idx).cast(IntegerType)
+    val frac = idx - floor(idx)
+    when(n === 0, lit(null).cast(DoubleType)).otherwise(
+      get(s, lo) * (lit(1.0) - frac) +
+        get(s, least(lo + 1, n - 1)) * frac)
+  }
 
   private def bfAgg(c: Column, estItems: Long): Column = {
     import org.apache.spark.sql.catalyst.expressions.Literal

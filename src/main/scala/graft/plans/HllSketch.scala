@@ -107,7 +107,18 @@ case class HllAgg(
 
   override def update(buf: Array[Byte], row: InternalRow): Array[Byte] = {
     val v = child.eval(row)
-    if (v != null) Hll.offer(buf, XxHash64Function.hash(v, child.dataType, 42L), p)
+    if (v != null) child.dataType match {
+      // MV column (DISTINCTCOUNTHLLMV family): each element counts
+      case ArrayType(et, _) =>
+        val arr = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        var i = 0
+        while (i < arr.numElements()) {
+          if (!arr.isNullAt(i))
+            Hll.offer(buf, XxHash64Function.hash(arr.get(i, et), et, 42L), p)
+          i += 1
+        }
+      case dt => Hll.offer(buf, XxHash64Function.hash(v, dt, 42L), p)
+    }
     buf
   }
 

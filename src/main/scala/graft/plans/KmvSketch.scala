@@ -45,9 +45,18 @@ case class DistinctCountKmv(
   override def update(buf: java.util.TreeSet[java.lang.Long], row: InternalRow)
       : java.util.TreeSet[java.lang.Long] = {
     val v = child.eval(row)
-    if (v != null) {
-      // non-negative 63-bit hash → uniform in [0, 2^63)
-      add(buf, XxHash64Function.hash(v, child.dataType, 42L) >>> 1)
+    // non-negative 63-bit hash → uniform in [0, 2^63)
+    if (v != null) child.dataType match {
+      // MV column (DISTINCTCOUNT…MV family): each element counts
+      case org.apache.spark.sql.types.ArrayType(et, _) =>
+        val arr = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        var i = 0
+        while (i < arr.numElements()) {
+          if (!arr.isNullAt(i))
+            add(buf, XxHash64Function.hash(arr.get(i, et), et, 42L) >>> 1)
+          i += 1
+        }
+      case dt => add(buf, XxHash64Function.hash(v, dt, 42L) >>> 1)
     }
     buf
   }

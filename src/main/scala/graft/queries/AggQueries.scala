@@ -4,6 +4,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.Tables
+import graft.functions.TextFunctions
 import QH._
 
 /** Aggregation surface — reference inventory at apache/pinot
@@ -395,6 +396,46 @@ object AggQueries {
         ROUND(quantile_cont(l_quantity, 0.5), 4) AS exact_p50,
         TRUE AS adc_ok, TRUE AS ap50_ok, TRUE AS kmv_ok
         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // MV aggregate long tail (DISTINCTSUMMV/DISTINCTAVGMV/PERCENTILEMV/
+    // SUMARRAYLONG/DISTINCTCOUNTBITMAPMV): fixed-width numeric arrays
+    // derived from document token lengths, mirrored element-for-element
+    // in DuckDB via unnest/list arithmetic.
+    GQuery("q_agg_mv2",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val toks = TextFunctions.tokens(col("text"))
+        val arr = transform(sequence(lit(0), lit(4)),
+          i => coalesce(length(get(toks, i)), lit(0)))
+        t.documents
+          .select((col("doc_id") % 10).as("g"), arr.as("a"))
+          .groupBy(col("g"))
+          .agg(
+            r4(expr("percentilemv(a, 50)")).as("p50_mv"),
+            expr("distinctsummv(a)").as("dsum_mv"),
+            r4(expr("distinctavgmv(a)")).as("davg_mv"),
+            expr("distinctcountbitmapmv(a)").as("dcb_mv"),
+            array_join(expr("sumarraylong(a)"), ",").as("sumarr_csv"))
+          .orderBy(col("g"))
+      },
+      Some("""WITH d AS (SELECT doc_id % 10 AS g,
+          list_transform(range(1, 6), i -> CASE
+            WHEN len(list_filter(string_split(text, ' '), x -> len(x) > 0)) >= i
+            THEN len(list_filter(string_split(text, ' '), x -> len(x) > 0)[i])
+            ELSE 0 END) AS a
+          FROM documents),
+        ex AS (SELECT g, unnest(a) AS v FROM d)
+        SELECT d2.g,
+          ROUND(quantile_cont(ex.v, 0.5), 4) AS p50_mv,
+          CAST(SUM(DISTINCT ex.v) AS DOUBLE) AS dsum_mv,
+          ROUND(SUM(DISTINCT ex.v) * 1.0 / COUNT(DISTINCT ex.v), 4) AS davg_mv,
+          CAST(COUNT(DISTINCT ex.v) AS INT) AS dcb_mv,
+          (SELECT CAST(SUM(a[1]) AS BIGINT) || ',' || CAST(SUM(a[2]) AS BIGINT)
+            || ',' || CAST(SUM(a[3]) AS BIGINT) || ',' || CAST(SUM(a[4]) AS BIGINT)
+            || ',' || CAST(SUM(a[5]) AS BIGINT)
+           FROM d WHERE d.g = d2.g) AS sumarr_csv
+        FROM (SELECT DISTINCT g FROM d) d2 JOIN ex ON ex.g = d2.g
+        GROUP BY d2.g ORDER BY d2.g""")),
 
     // Theta-family sketch SET ALGEBRA (reference
     // DistinctCountThetaSketchAggregationFunction setOperation params):
