@@ -57,14 +57,26 @@ object ScaleProbe {
         .drop("__rep")
         .write.mode("overwrite").parquet(s"$out/documents.parquet")
     }
-    // events: copy through the nanos-safe reader (writes plain NTZ micros)
-    Tables(spark, src).events.write.mode("overwrite")
-      .parquet(s"$out/events.parquet")
+    // events: replicate 10x with user/event id offsets through the
+    // nanos-safe reader — MORE users with the same per-user event count,
+    // the honest scaling model for funnel/upsert/sessionize plans
+    locally {
+      val ev = Tables(spark, src).events
+      val reps = spark.range(factor).select($"id".as("__rep"))
+      ev.crossJoin(reps)
+        .withColumn("user_id", col("user_id") + col("__rep") * 1000000L)
+        .withColumn("event_id", col("event_id") + col("__rep") * 100000000L)
+        .drop("__rep")
+        .write.mode("overwrite").parquet(s"$out/events.parquet")
+    }
 
     val probes = Seq("q1_pricing_summary", "q_join_inner", "q_join_left",
       "q_upsert_latest", "q_win_rank", "q_agg_distinct", "q_sort_topk",
       "q_join_asof", "q_dedup_exact", "q_dedup_minhash", "q_dedup_simhash",
-      "q_text_stats")
+      "q_text_stats",
+      // round-2 operators
+      "q_join_band", "q_funnel_matchstep", "q_agg_hll_remerge",
+      "q_dedup_jaccard_exact", "q_gapfill_agg")
     def time(dir: String, name: String): Double = {
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, dir).collect()
