@@ -239,7 +239,10 @@ object PinotFunctions {
     "distinctcountsmarthll" -> { case Seq(c) => approx_count_distinct(c) },
     "distinctcounthllplus" -> { case Seq(c) => approx_count_distinct(c) },
     "percentileest" -> { case Seq(c, p) => percentile_approx(c, p / 100.0, lit(10000)) },
-    "percentilekll" -> { case Seq(c, p) => percentile_approx(c, p / 100.0, lit(10000)) },
+    // native mergeable KLL (graft.plans.KllSketch): blob-compatible with
+    // PERCENTILERAWKLL / KLLMERGEPERCENTILE re-aggregation
+    "percentilekll" -> { case Seq(c, p) =>
+      graft.plans.KllSketch.percentileKll(c, ex(p).eval().toString.toDouble) },
     "minmaxrangemv" -> { case Seq(a) => max(array_max(a)) - min(array_min(a)) },
     "distinctcountmv" -> { case Seq(a) =>
       size(array_distinct(flatten(collect_list(a)))) },
@@ -423,5 +426,6 @@ object PinotFunctions {
     graft.plans.KmvSketch.registerAll(spark)
     graft.plans.FrequentItems.registerAll(spark)
     graft.plans.HllSketch.registerAll(spark)
+    graft.plans.KllSketch.registerAll(spark)
   }
 }

@@ -481,6 +481,36 @@ object AggQueries {
         TRUE AS union_ok, TRUE AS inter_ok
         FROM lineitem""")),
 
+    // Mergeable KLL quantile blobs (PERCENTILERAWKLL →
+    // KLLMERGEPERCENTILE): per-(flag,status) sketch blobs re-merged to
+    // per-flag must estimate the median within the sketch's rank-error
+    // bound of the exact percentile, as must the direct single-pass
+    // sketch. KLL merge is bound-preserving but not bit-associative, so
+    // (unlike HLL) the gate is the error bound, not equality.
+    GQuery("q_agg_kll_remerge",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val direct = t.lineitem.groupBy(col("l_returnflag"))
+          .agg(graft.plans.KllSketch.percentileKll(col("l_quantity"), 50.0)
+              .as("est_direct"),
+            r4(expr("percentile(l_quantity, 0.5)")).as("exact_p50"))
+        val merged = t.lineitem
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(graft.plans.KllSketch.kllState(col("l_quantity")).as("blob"))
+          .groupBy(col("l_returnflag"))
+          .agg(graft.plans.KllSketch.kllMergePercentile(col("blob"), 50.0)
+            .as("est_merged"))
+        direct.join(merged, "l_returnflag")
+          .select(col("l_returnflag"), col("exact_p50"),
+            (abs(col("est_direct") - col("exact_p50")) <= 2.0).as("direct_ok"),
+            (abs(col("est_merged") - col("exact_p50")) <= 2.0).as("merged_ok"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""SELECT l_returnflag,
+        ROUND(quantile_cont(l_quantity, 0.5), 4) AS exact_p50,
+        TRUE AS direct_ok, TRUE AS merged_ok
+        FROM lineitem GROUP BY 1 ORDER BY 1""")),
+
     // Mergeable HLL blobs (DISTINCTCOUNTRAWHLL → HLLMERGECOUNT,
     // DistinctCountRawHLLAggregationFunction.java): per-(flag,status)
     // sketch blobs re-merged to per-flag MUST give the bit-identical

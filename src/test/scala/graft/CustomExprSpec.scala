@@ -92,4 +92,48 @@ class CustomExprSpec extends SparkSpec {
         FROM li_kmv GROUP BY l_returnflag""").collect()
     assert(rows.length == 3 && rows.forall(_.getLong(1) > 0))
   }
+
+  test("KLL quantile sketch: small-input exactness and rank-error bound") {
+    // below capacity k the sketch never compacts -> exact quantiles
+    val small = new graft.plans.KllState(256)
+    (1 to 100).foreach(v => small.update(v.toDouble))
+    assert(small.query(0.5) == 50.0)
+    assert(small.query(0.01) == 1.0 && small.query(1.0) == 100.0)
+
+    // 100k uniform values: estimated rank within ~2% of true rank
+    val big = new graft.plans.KllState(256)
+    (1 to 100000).foreach(v => big.update(v.toDouble))
+    for (q <- Seq(0.1, 0.5, 0.9)) {
+      val est = big.query(q)
+      assert(math.abs(est - q * 100000) <= 2000,
+        s"q=$q est=$est true=${q * 100000}")
+    }
+
+    // merge of disjoint halves stays within the bound
+    val a = new graft.plans.KllState(256)
+    val b = new graft.plans.KllState(256)
+    (1 to 50000).foreach(v => a.update(v.toDouble))
+    (50001 to 100000).foreach(v => b.update(v.toDouble))
+    a.merge(b)
+    assert(math.abs(a.query(0.5) - 50000) <= 2000)
+
+    // serialization round-trip preserves the estimate exactly
+    val rt = graft.plans.KllState.deserialize(a.serialize())
+    assert(rt.query(0.5) == a.query(0.5) && rt.count == a.count)
+  }
+
+  test("KLL blob SQL path: raw state + merge-percentile re-aggregation") {
+    graft.plans.KllSketch.registerAll(spark)
+    spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+      .createOrReplaceTempView("li_kll")
+    val est = spark.sql(
+      """SELECT KLLMERGEPERCENTILE(blob, 50.0) AS p50 FROM (
+           SELECT PERCENTILERAWKLL(l_quantity) AS blob
+           FROM li_kll GROUP BY l_returnflag, l_linestatus)""")
+      .collect().head.getDouble(0)
+    val exact = spark.sql(
+      "SELECT percentile(l_quantity, 0.5) FROM li_kll")
+      .collect().head.getDouble(0)
+    assert(math.abs(est - exact) <= 2.0, s"est=$est exact=$exact")
+  }
 }
