@@ -125,6 +125,11 @@ object PinotFunctions {
       aggregate(a, lit(0.0), (acc, x) => acc + x.cast(DoubleType)) / size(a) },
     "arraysum" -> { case Seq(a) =>
       aggregate(a, lit(0.0), (acc, x) => acc + x.cast(DoubleType)) },
+    // typed row-wise array sums (TransformFunctionType ARRAY_SUM_INT/LONG)
+    "arraysumint" -> { case Seq(a) =>
+      aggregate(a, lit(0L), (acc, x) => acc + x.cast(LongType)) },
+    "arraysumlong" -> { case Seq(a) =>
+      aggregate(a, lit(0L), (acc, x) => acc + x.cast(LongType)) },
     "arraymin" -> { case Seq(a) => array_min(a) },
     "arraymax" -> { case Seq(a) => array_max(a) },
     "arraydistinct" -> { case Seq(a) => array_distinct(a) },
@@ -143,6 +148,34 @@ object PinotFunctions {
     "item" -> { case Seq(a, i) => element_at(a, i + 1) },
     // ——— map (:174) ———
     "mapvalue" -> { case Seq(m, k) => element_at(m, k) },
+    // LOOKUP (TransformFunctionType LOOKUP, reference
+    // LookupTransformFunction.java): scalar dim-table join —
+    // lookup('dimView', 'valueCol', 'dimKeyCol', factExpr[, k2, e2…]).
+    // The reference requires dimension tables to be small and fully
+    // replicated on every server; we mirror that contract exactly: the
+    // registered dim view is collected ONCE at plan time into a map
+    // literal that ships with the task binary (a plan-time broadcast),
+    // so per-row evaluation is a hash probe with no join or shuffle.
+    // Missing keys → null, matching the reference's default-null fill.
+    "lookup" -> { case cols if cols.size >= 4 && cols.size % 2 == 0 =>
+      import org.apache.spark.sql.catalyst.expressions.Literal
+      val tbl = ex(cols(0)).eval().toString
+      val valCol = ex(cols(1)).eval().toString
+      val dim = org.apache.spark.sql.SparkSession.active.table(tbl)
+      val pairs = cols.drop(2).grouped(2).map { p =>
+        (ex(p.head).eval().toString, p(1)) }.toSeq
+      val rows = dim.select((valCol +: pairs.map(_._1)).map(col): _*).collect()
+      require(rows.length <= 2000000,
+        s"lookup('$tbl'): ${rows.length} rows exceeds the replicated " +
+          "dimension-table bound; use a broadcast join instead")
+      val kvs: Map[String, Any] = rows.iterator.map { r =>
+        (1 to pairs.size).map(i => String.valueOf(r.get(i)))
+          .mkString("\u0000") -> r.get(0)
+      }.toMap
+      val mapLit = ColumnBridge.column(Literal.create(kvs,
+        MapType(StringType, dim.schema(valCol).dataType)))
+      element_at(mapLit,
+        concat_ws("\u0000", pairs.map(_._2.cast(StringType)): _*)) },
     // ——— vector (:233-239) ———
     "cosinedistance" -> { case Seq(a, b) => VectorFunctions.cosineDistance(a, b) },
     "innerproduct" -> { case Seq(a, b) => VectorFunctions.innerProduct(a, b) },
@@ -179,6 +212,17 @@ object PinotFunctions {
     "stastext" -> { case Seq(p) => concat(lit("POINT ("),
       p.getField("x").cast(StringType), lit(" "),
       p.getField("y").cast(StringType), lit(")")) },
+    // ——— WKB / GeoJSON / type / equality (ST_AS_BINARY,
+    // ST_GEOM_FROM_WKB, ST_AS_GEOJSON, ST_GEOM_FROM_GEOJSON,
+    // ST_GEOMETRY_TYPE, ST_EQUALS — point subset, see GeoBinary) ———
+    "stasbinary" -> { case Seq(p) => GeoBinary.stAsBinary(p) },
+    "stgeomfromwkb" -> { case Seq(b) => GeoBinary.stGeomFromWkb(b) },
+    "stgeogfromwkb" -> { case Seq(b) => GeoBinary.stGeomFromWkb(b) },
+    "stasgeojson" -> { case Seq(p) => GeoBinary.stAsGeoJson(p) },
+    "stgeomfromgeojson" -> { case Seq(j) => GeoBinary.stGeomFromGeoJson(j) },
+    "stgeogfromgeojson" -> { case Seq(j) => GeoBinary.stGeomFromGeoJson(j) },
+    "stgeometrytype" -> { case Seq(g) => GeoBinary.stGeometryType(g) },
+    "stequals" -> { case Seq(a, b) => GeoBinary.stEquals(a, b) },
     // ——— url / ip / hash extras (UrlFunctions.java,
     // IpAddressFunctions.java, HashFunctions.java) ———
     "encodeurl" -> { case Seq(s) => call_function("url_encode", s) },
@@ -336,6 +380,32 @@ object PinotFunctions {
     "lastwithtime" -> { case Seq(c, ts, _*) => max_by(c, ts) },
     "booland" -> { case Seq(c) => bool_and(c) },
     "boolor" -> { case Seq(c) => bool_or(c) },
+    // FOURTHMOMENT (reference PinotFourthMoment, the state behind
+    // SKEWNESS/KURTOSIS): 4th central moment from raw-power averages —
+    // E[x⁴] − 4μE[x³] + 6μ²E[x²] − 3μ⁴, all native codegen'd aggregates
+    "fourthmoment" -> { case Seq(c) =>
+      val x = c.cast(DoubleType)
+      val m1 = avg(x); val e2 = avg(x * x)
+      val e3 = avg(x * x * x); val e4 = avg(x * x * x * x)
+      e4 - m1 * e3 * 4 + m1 * m1 * e2 * 6 - m1 * m1 * m1 * m1 * 3 },
+    // SUM0 (Calcite $SUM0 surfaced in the reference enum): empty → 0
+    "sum0" -> { case Seq(c) => coalesce(sum(c), lit(0).cast(DoubleType)) },
+    // IS TRUE / IS FALSE family + IS [NOT] DISTINCT FROM
+    // (TransformFunctionType IS_TRUE…IS_NOT_DISTINCT_FROM): null-safe
+    "istrue" -> { case Seq(c) => c.cast(BooleanType) <=> lit(true) },
+    "isnottrue" -> { case Seq(c) => !(c.cast(BooleanType) <=> lit(true)) },
+    "isfalse" -> { case Seq(c) => c.cast(BooleanType) <=> lit(false) },
+    "isnotfalse" -> { case Seq(c) => !(c.cast(BooleanType) <=> lit(false)) },
+    "isdistinctfrom" -> { case Seq(a, b) => !(a <=> b) },
+    "isnotdistinctfrom" -> { case Seq(a, b) => a <=> b },
+    // STUNION (reference StUnionAggregationFunction): geometry union.
+    // WKT-POINT subset — the union of a group's points is its distinct
+    // point set, emitted as canonical sorted MULTIPOINT WKT
+    "stunion" -> { case Seq(g) =>
+      concat(lit("MULTIPOINT ("),
+        array_join(array_sort(collect_set(
+          regexp_replace(g, "^POINT \\(|\\)$", ""))), ", "),
+        lit(")")) },
     "arrayagg" -> { case Seq(c, _*) => collect_list(c) },
     // HISTOGRAM(col, lower, upper, numBins) — equal-width bins, counts
     // array; values outside [lower, upper] are dropped. The reference
@@ -427,5 +497,6 @@ object PinotFunctions {
     graft.plans.FrequentItems.registerAll(spark)
     graft.plans.HllSketch.registerAll(spark)
     graft.plans.KllSketch.registerAll(spark)
+    graft.plans.TupleSketch.registerAll(spark)
   }
 }

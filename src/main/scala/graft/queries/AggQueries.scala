@@ -540,6 +540,69 @@ object AggQueries {
       Some("""SELECT l_returnflag,
         COUNT(DISTINCT l_partkey) AS exact_distinct,
         TRUE AS remerge_exact, TRUE AS hll_ok
+        FROM lineitem GROUP BY 1 ORDER BY 1""")),
+
+    // Integer-sum TUPLE sketch family (reference
+    // DISTINCTCOUNTTUPLESKETCH / SUMVALUESINTEGERSUMTUPLESKETCH /
+    // AVGVALUEINTEGERSUMTUPLESKETCH, IntegerTupleSketchAggregation
+    // Function.java): per event_type, sketch keyed on user_id carrying
+    // floor(value) as the summed integer. k=16384 ≫ distinct users, so
+    // every estimate is EXACT and the DuckDB oracle can compute the
+    // same values directly; the remerge leg re-aggregates stored blobs
+    // (the rollup-table path) and must agree bit-for-bit.
+    GQuery("q_agg_tuple_sketch",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val vi = floor(col("value")).cast("long")
+        val ev = t.events.select(col("event_type"), col("user_id"),
+          vi.as("vi"), dayofmonth(col("ts")).as("sub"))
+        val direct = ev.groupBy(col("event_type")).agg(
+          graft.plans.TupleSketch.distinctCountTuple(col("user_id"), col("vi"))
+            .as("distinct_users"),
+          graft.plans.TupleSketch.sumValuesTuple(col("user_id"), col("vi"))
+            .as("sum_values"),
+          graft.plans.TupleSketch.avgValueTuple(col("user_id"), col("vi"))
+            .as("avg_per_user"))
+        val merged = ev.groupBy(col("event_type"), col("sub"))
+          .agg(graft.plans.TupleSketch.tupleState(col("user_id"), col("vi"))
+            .as("blob"))
+          .groupBy(col("event_type"))
+          .agg(graft.plans.TupleSketch.mergeSum(col("blob")).as("sum_merged"))
+        direct.join(merged, "event_type")
+          .select(col("event_type"), col("distinct_users"), col("sum_values"),
+            col("avg_per_user"),
+            (col("sum_values") === col("sum_merged")).as("remerge_exact"))
+          .orderBy(col("event_type"))
+      },
+      Some("""SELECT event_type,
+        COUNT(DISTINCT user_id) AS distinct_users,
+        CAST(SUM(CAST(FLOOR(value) AS BIGINT)) AS BIGINT) AS sum_values,
+        CAST(FLOOR(SUM(CAST(FLOOR(value) AS BIGINT)) * 1.0
+             / COUNT(DISTINCT user_id) + 0.5) AS BIGINT) AS avg_per_user,
+        TRUE AS remerge_exact
+        FROM events GROUP BY 1 ORDER BY 1""")),
+
+    // FOURTHMOMENT + SUM0 (reference PinotFourthMoment, Calcite $SUM0):
+    // 4th central moment from raw-power averages; rounded coarsely so
+    // cross-engine double noise cannot flip the value. SUM0's empty→0
+    // contract is exercised by an impossible FILTER clause.
+    GQuery("q_agg_fourthmoment",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        graft.functions.PinotFunctions.registerAll(s)
+        t.lineitem.groupBy(col("l_returnflag")).agg(
+          round(expr("fourthmoment(l_quantity)") / 1e5, 2).as("m4_e5"),
+          expr("sum0(CASE WHEN l_quantity > 1e9 THEN l_quantity END)")
+            .as("sum0_empty"),
+          QH.dsum(col("l_extendedprice")).as("sum_price"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""SELECT l_returnflag,
+        ROUND((AVG(POW(l_quantity,4)) - 4*AVG(l_quantity)*AVG(POW(l_quantity,3))
+          + 6*POW(AVG(l_quantity),2)*AVG(POW(l_quantity,2))
+          - 3*POW(AVG(l_quantity),4)) / 1e5, 2) AS m4_e5,
+        0.0 AS sum0_empty,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,4))) AS DOUBLE) AS sum_price
         FROM lineitem GROUP BY 1 ORDER BY 1"""))
   )
 }

@@ -292,6 +292,83 @@ object FunctionQueries {
           COUNT(*) AS n, CAST(400.0 AS DOUBLE) AS area
         FROM pts GROUP BY 1 ORDER BY inside""")),
 
+    // WKB + GeoJSON round-trips, ST_GeometryType/ST_Equals, STUNION
+    // (reference ST_AS_BINARY / ST_GEOM_FROM_WKB / ST_AS_GEOJSON /
+    // StUnionAggregationFunction — point subset, see GeoBinary).
+    // Round-trips must be bit-exact (WKB carries raw IEEE bits; Spark's
+    // double→string is shortest-roundtrip so GeoJSON re-parses exactly).
+    // The union leg uses integer-valued coordinates so Spark and DuckDB
+    // print identical point strings. WKB header bytes are asserted
+    // literally (01 = little-endian, 01000000 = Point).
+    GQuery("q_geo_wkb",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val k = col("c_custkey")
+        t.customer.filter(k <= 1000)
+          .withColumn("lng", (k * 7919 % 36000) / 100.0 - 180.0)
+          .withColumn("lat", (k * 104729 % 17000) / 100.0 - 85.0)
+          .withColumn("p", expr("stpoint(lng, lat)"))
+          .withColumn("wkb", expr("stasbinary(p)"))
+          .withColumn("rt", expr("stgeomfromwkb(wkb)"))
+          .withColumn("rt2", expr("stgeomfromgeojson(stasgeojson(p))"))
+          .withColumn("g", (k % 5).cast("int"))
+          .withColumn("ip", expr(
+            "stpoint(CAST(CAST(c_custkey % 37 AS INT) - 18 AS DOUBLE)," +
+            " CAST(CAST(c_custkey % 17 AS INT) - 8 AS DOUBLE))"))
+          .groupBy(col("g"))
+          .agg(
+            count(lit(1)).as("n"),
+            sum(when(expr("stequals(rt, p)"), 1L).otherwise(0L))
+              .as("wkb_roundtrip_ok"),
+            sum(when(expr("stequals(rt2, p)"), 1L).otherwise(0L))
+              .as("geojson_roundtrip_ok"),
+            max(substring(hex(col("wkb")), 1, 10)).as("wkb_header"),
+            max(expr("stgeometrytype(p)")).as("gtype"),
+            expr("stunion(stastext(ip))").as("union_wkt"))
+          .orderBy(col("g"))
+      },
+      Some("""WITH pts AS (SELECT c_custkey,
+          c_custkey % 5 AS g,
+          CAST(CAST(c_custkey % 37 AS INT) - 18 AS DOUBLE) AS ix,
+          CAST(CAST(c_custkey % 17 AS INT) - 8 AS DOUBLE) AS iy
+          FROM customer WHERE c_custkey <= 1000)
+        SELECT CAST(g AS INT) AS g, COUNT(*) AS n,
+          COUNT(*) AS wkb_roundtrip_ok, COUNT(*) AS geojson_roundtrip_ok,
+          '0101000000' AS wkb_header, 'Point' AS gtype,
+          'MULTIPOINT (' || array_to_string(
+            list_sort(list(DISTINCT ix::VARCHAR || ' ' || iy::VARCHAR)),
+            ', ') || ')' AS union_wkt
+        FROM pts GROUP BY 1 ORDER BY 1""")),
+
+    // LOOKUP dim-table scalar (reference LookupTransformFunction.java):
+    // the dim view is collected once at plan time into a map literal
+    // (the reference's replicated-dimension-table contract), so the
+    // probe is a per-row hash lookup — no join, no shuffle. A miss
+    // (sentinel key 0 via the 2-arg leg below) yields null.
+    GQuery("q_fn_lookup",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        t.nation.createOrReplaceTempView("nation_dim")
+        t.orders.filter(col("o_orderkey") <= 5000)
+          .withColumn("nkey", col("o_custkey") % 25)
+          .select(col("o_orderkey"),
+            expr("lookup('nation_dim', 'n_name', 'n_nationkey', nkey)")
+              .as("nation_name"),
+            expr("lookup('nation_dim', 'n_regionkey', 'n_nationkey', nkey)")
+              .as("region_key"),
+            expr("lookup('nation_dim', 'n_name', 'n_nationkey', o_orderkey + 1000)")
+              .as("miss_is_null"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""SELECT o_orderkey,
+        (SELECT n_name FROM nation WHERE n_nationkey = o_custkey % 25)
+          AS nation_name,
+        (SELECT n_regionkey FROM nation WHERE n_nationkey = o_custkey % 25)
+          AS region_key,
+        (SELECT n_name FROM nation WHERE n_nationkey = o_orderkey + 1000)
+          AS miss_is_null
+        FROM orders WHERE o_orderkey <= 5000 ORDER BY o_orderkey""")),
+
     // URL extraction family (UrlFunctions.java:42-553): URLs constructed
     // deterministically from part columns, components extracted by the
     // registered url* functions; the oracle states the expected

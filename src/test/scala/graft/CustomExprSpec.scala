@@ -136,4 +136,36 @@ class CustomExprSpec extends SparkSpec {
       .collect().head.getDouble(0)
     assert(math.abs(est - exact) <= 2.0, s"est=$est exact=$exact")
   }
+
+  test("tuple sketch: exact below k, bounded estimates when saturated") {
+    import graft.plans.TupleSketch
+    // 20k keys, value = key % 7 → exact totals known
+    val df = spark.range(0, 20000)
+      .selectExpr("id % 5000 AS key", "CAST(id % 7 AS LONG) AS v")
+    val exactDistinct = 5000L
+    val exactSum = spark.range(0, 20000)
+      .selectExpr("CAST(id % 7 AS LONG) v").agg(org.apache.spark.sql.functions.sum($"v"))
+      .collect().head.getLong(0)
+    // below k: all three estimators exact
+    val e = df.agg(
+      TupleSketch.distinctCountTuple($"key", $"v", 8192).as("d"),
+      TupleSketch.sumValuesTuple($"key", $"v", 8192).as("s"),
+      TupleSketch.avgValueTuple($"key", $"v", 8192).as("a")).collect().head
+    assert(e.getLong(0) == exactDistinct && e.getLong(1) == exactSum)
+    assert(e.getLong(2) == math.round(exactSum.toDouble / exactDistinct))
+    // saturated (k=512): KMV error ~1/sqrt(k) ≈ 4.4% — allow 15%
+    val s = df.agg(
+      TupleSketch.distinctCountTuple($"key", $"v", 512).as("d"),
+      TupleSketch.sumValuesTuple($"key", $"v", 512).as("s")).collect().head
+    assert(math.abs(s.getLong(0) - exactDistinct) < exactDistinct * 0.15)
+    assert(math.abs(s.getLong(1) - exactSum) < exactSum * 0.15)
+    // blob remerge equals direct when exact
+    val blobs = df.withColumn("part", $"key" % 4)
+      .groupBy($"part").agg(TupleSketch.tupleState($"key", $"v", 8192).as("b"))
+    val m = blobs.agg(
+      TupleSketch.mergeDistinct($"b", 8192).as("d"),
+      TupleSketch.mergeSum($"b", 8192).as("s"),
+      TupleSketch.mergeAvg($"b", 8192).as("a")).collect().head
+    assert(m.getLong(0) == exactDistinct && m.getLong(1) == exactSum)
+  }
 }
