@@ -32,20 +32,31 @@ object Bench {
     // the first run pays Janino codegen compilation, the second measures
     // steady-state execution. A query that throws is recorded as a
     // failure (time -1), NOT a timed success, and excluded from totals.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      var failure: Option[String] = None
-      val times = (1 to 2).map { _ =>
-        val t0 = System.nanoTime()
-        // fresh build on run 1 (measures plan+codegen+exec); cached
-        // Dataset on run 2 would skip only re-analysis — rebuild keeps
-        // the two runs comparable and the min reflects warm codegen
-        try { fn(spark, sfDir).collect() } catch {
-          case e: Throwable =>
-            failure = Some(Option(e.getMessage).getOrElse(e.getClass.getName))
-        }
-        (System.nanoTime() - t0) / 1e9
+    // optional filter for local iteration: SPARK_GRAFT_BENCH_ONLY=q_a,q_b
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").toSet).getOrElse(Set.empty[String])
+    // Two FULL interleaved passes (pass 1 pays Janino codegen; pass 2
+    // measures steady state), min per query across passes. Interleaving
+    // — rather than back-to-back runs of the same query — keeps a
+    // one-off environmental stall (GC pause, IO hiccup) from polluting
+    // BOTH measurements of one query: the two timings of any query are
+    // minutes apart, so the min sheds the stall.
+    val named = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.isEmpty || only(n) }
+    val failures = scala.collection.mutable.Map[String, String]()
+    def pass(): Map[String, Double] = named.map { case (name, fn) =>
+      val t0 = System.nanoTime()
+      try { fn(spark, sfDir).collect() } catch {
+        case e: Throwable =>
+          failures(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
       }
-      (name, if (failure.isEmpty) times.min else -1.0, failure)
+      name -> (System.nanoTime() - t0) / 1e9
+    }.toMap
+    val p1 = pass(); val p2 = pass()
+    val results = named.map { case (name, _) =>
+      (name,
+        if (failures.contains(name)) -1.0 else math.min(p1(name), p2(name)),
+        failures.get(name))
     }
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -56,4 +56,43 @@ object DateTimeConvert {
       case None => (bucketed / lit(out.sizeMs)).cast(LongType)
     }
   }
+
+  /** `dateTimeConvertWindowHop(col, inFmt, outFmt, granularity,
+    * hopWindowSize)` (TransformFunctionType.java:125,
+    * `BaseDateTimeWindowHopTransformer.hopWindows`): the ARRAY of
+    * hopping-window starts covering the timestamp — floor to the
+    * output granularity, then step back by the granularity while the
+    * start stays inside the window (start > ts − windowSize), each
+    * start emitted in the output format. Compiles to a native
+    * `sequence` — no UDF, no explode. */
+  def dateTimeConvertWindowHop(c: Column, inputFormat: String,
+      outputFormat: String, granularity: String, hopWindow: String): Column = {
+    val in = parseFmt(inputFormat)
+    val out = parseFmt(outputFormat)
+    val gran = parseGranularity(granularity)
+    val window = parseGranularity(hopWindow)
+
+    val epochMs: Column = in.sdf match {
+      case Some(p) => unix_millis(to_timestamp(c, p).cast(TimestampType))
+      case None => c.cast(LongType) * lit(in.sizeMs)
+    }
+    val adjusted = (epochMs / lit(gran)).cast(LongType) * lit(gran)
+    // hop count: i = 0 .. n-1 with adjusted − i·gran > epochMs − window;
+    // floor() (not long cast) so a window smaller than the granularity
+    // yields n ≤ 0 → empty array, matching the reference loop
+    val n = floor((adjusted - epochMs + lit(window) - 1) / lit(gran))
+      .cast(LongType) + 1
+    val starts = sequence(adjusted,
+      adjusted - (greatest(n, lit(1L)) - 1) * lit(gran), lit(-gran))
+    val emitted = out.sdf match {
+      case Some(p) => transform(starts,
+        s => date_format(timestamp_millis(s), p))
+      case None => transform(starts,
+        s => (s / lit(out.sizeMs)).cast(LongType))
+    }
+    val emptyT: DataType =
+      if (out.sdf.isDefined) ArrayType(StringType) else ArrayType(LongType)
+    when(lit(window) <= lit(0L) || n <= 0, array().cast(emptyT))
+      .otherwise(emitted)
+  }
 }

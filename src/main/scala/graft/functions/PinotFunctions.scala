@@ -65,6 +65,10 @@ object PinotFunctions {
     "datetimeconvert" -> { case Seq(c, in, out, gran) =>
       DateTimeConvert.dateTimeConvert(c, ex(in).eval().toString,
         ex(out).eval().toString, ex(gran).eval().toString) },
+    "datetimeconvertwindowhop" -> { case Seq(c, in, out, gran, hop) =>
+      DateTimeConvert.dateTimeConvertWindowHop(c, ex(in).eval().toString,
+        ex(out).eval().toString, ex(gran).eval().toString,
+        ex(hop).eval().toString) },
     "textmatch" -> { case Seq(c, q) => TextMatch.textMatch(c, ex(q).eval().toString) },
     "text_match" -> { case Seq(c, q) => TextMatch.textMatch(c, ex(q).eval().toString) },
     "fromepochseconds" -> { case Seq(v) => timestamp_seconds(v.cast(LongType)) },
@@ -367,6 +371,19 @@ object PinotFunctions {
     "distinctcountsmartull" -> { case Seq(c) =>
       graft.plans.HllSketch.distinctCountHll(c) },
     "distinctcountsmarthllplus" -> { case Seq(c) => approx_count_distinct(c) },
+    "distinctcounthllplusmv" -> { case Seq(a) =>
+      graft.plans.HllSketch.distinctCountHll(a) },
+    "distinctcountrawhllplus" -> { case Seq(c) =>
+      graft.plans.HllSketch.hllState(c) },
+    "distinctcountrawhllplusmv" -> { case Seq(a) =>
+      graft.plans.HllSketch.hllState(a) },
+    "distinctcountrawull" -> { case Seq(c) =>
+      graft.plans.HllSketch.hllState(c) },
+    // OFFHEAP variant is an execution-memory detail in the reference;
+    // the semantics are exact distinct count
+    "distinctcountoffheap" -> { case Seq(c) => size(collect_set(c)) },
+    "percentilesmarttdigest" -> { case Seq(c, p) =>
+      percentile_approx(c, p / 100.0, lit(1000)) },
     "jsonextractscalarfast" -> {
       case Seq(c, path, typ) => jsonScalar(c, path, typ, lit(null))
       case Seq(c, path, typ, dflt) => jsonScalar(c, path, typ, dflt) },

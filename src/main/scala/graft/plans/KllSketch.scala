@@ -146,8 +146,7 @@ case class KllAgg(
   override def createAggregationBuffer(): KllState = new KllState(k)
 
   override def update(buf: KllState, row: InternalRow): KllState = {
-    val v = child.eval(row)
-    if (v != null) buf.update(v match {
+    def one(x: Any): Unit = buf.update(x match {
       case d: Double => d
       case f: Float => f.toDouble
       case l: Long => l.toDouble
@@ -155,6 +154,18 @@ case class KllAgg(
       case n: Number => n.doubleValue()
       case d: org.apache.spark.sql.types.Decimal => d.toDouble
     })
+    child.eval(row) match {
+      case null => ()
+      // MV column (PERCENTILERAW…MV family): every element feeds in
+      case arr: org.apache.spark.sql.catalyst.util.ArrayData =>
+        val et = child.dataType.asInstanceOf[ArrayType].elementType
+        var i = 0
+        while (i < arr.numElements()) {
+          if (!arr.isNullAt(i)) one(arr.get(i, et))
+          i += 1
+        }
+      case x => one(x)
+    }
     buf
   }
 
@@ -253,10 +264,16 @@ object KllSketch {
       (e: Seq[Expression]) => KllAgg(e.head, 50.0,
         if (e.size > 1) num(e(1)).toInt else DefaultK, emitBlob = true),
       "built-in")
-    reg.createOrReplaceTempFunction("percentilerawtdigest",
-      (e: Seq[Expression]) => KllAgg(e.head, 50.0,
-        if (e.size > 1) num(e(1)).toInt else DefaultK, emitBlob = true),
-      "built-in")
+    // raw-blob aliases: EST (qdigest), TDIGEST and the MV names share
+    // the KLL blob in this engine (same accuracy class, mergeable);
+    // the native KLL update already iterates ArrayType children
+    Seq("percentilerawtdigest", "percentilerawest", "percentilerawkllmv",
+      "percentilerawestmv", "percentilerawtdigestmv").foreach { n =>
+      reg.createOrReplaceTempFunction(n,
+        (e: Seq[Expression]) => KllAgg(e.head, 50.0,
+          if (e.size > 1) num(e(1)).toInt else DefaultK, emitBlob = true),
+        "built-in")
+    }
     reg.createOrReplaceTempFunction("kllmergepercentile",
       (e: Seq[Expression]) => KllMergeAgg(e.head, num(e(1)),
         emitBlob = false), "built-in")

@@ -176,6 +176,39 @@ object ExtraQueries {
           '%Y-%m-%d %H:00') AS hour_str
         FROM orders WHERE o_orderkey <= 500 ORDER BY o_orderkey""")),
 
+    // DATETIMECONVERTWINDOWHOP (TransformFunctionType.java:125,
+    // BaseDateTimeWindowHopTransformer.hopWindows): the ARRAY of
+    // hopping-window starts covering each event — 15-min granularity
+    // within a 1-hour window ⇒ exactly 4 starts, floor-aligned,
+    // stepping back by the granularity. Array serialized to a joined
+    // string for the driver's checker; compiled to a native `sequence`
+    // + `transform`, no explode.
+    GQuery("q_fn_dtconvert_hop",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val ms = unix_millis(col("ts").cast(TimestampType))
+        t.events.filter(col("event_id") <= 2000)
+          .select(col("event_id"),
+            array_join(graft.functions.DateTimeConvert
+              .dateTimeConvertWindowHop(ms, "1:MILLISECONDS:EPOCH",
+                "1:MINUTES:EPOCH", "15:MINUTES", "1:HOURS")
+              .cast(ArrayType(StringType)), ",").as("hops"),
+            size(graft.functions.DateTimeConvert
+              .dateTimeConvertWindowHop(ms, "1:MILLISECONDS:EPOCH",
+                "1:MILLISECONDS:EPOCH", "30:MINUTES", "2:HOURS"))
+              .as("n_hops_2h"))
+          .orderBy(col("event_id"))
+      },
+      Some("""WITH e AS (SELECT event_id,
+          (epoch_ms(ts) // 900000) * 900000 AS b
+          FROM events WHERE event_id <= 2000)
+        SELECT event_id,
+          (b // 60000)::VARCHAR || ',' || ((b - 900000) // 60000)::VARCHAR
+            || ',' || ((b - 1800000) // 60000)::VARCHAR || ','
+            || ((b - 2700000) // 60000)::VARCHAR AS hops,
+          4 AS n_hops_2h
+        FROM e ORDER BY event_id""")),
+
     // LIKE / ILIKE / NOT LIKE / escape (Predicate.java RANGE/REGEXP
     // family; LexicalStructure suite analog).
     GQuery("q_fn_like",
