@@ -57,6 +57,36 @@ object DateTimeConvert {
     }
   }
 
+  /** `timeSeriesBucket(timeExpr, timeUnit, firstBucketValueSeconds,
+    * bucketWindowSeconds, offsetSeconds)`
+    * (`TimeSeriesBucketTransformFunction.java:45-76`): the time-series
+    * engine's bucket index — with everything converted from seconds to
+    * `timeUnit`, `(v + offset − (first − bucketSize) − 1) / bucketSize`
+    * truncated toward zero (Java long division), emitted as INT. Pure
+    * native arithmetic. */
+  def timeSeriesBucket(c: Column, timeUnit: String, firstBucketSeconds: Long,
+      bucketSeconds: Long, offsetSeconds: Long): Column = {
+    // TimeUnit.convert(Duration.ofSeconds(s)): scale up for sub-second
+    // units, truncate down for super-second units
+    def toUnit(s: Long): Long = timeUnit.toUpperCase match {
+      case "NANOSECONDS" => s * 1000000000L
+      case "MICROSECONDS" => s * 1000000L
+      case "MILLISECONDS" => s * 1000L
+      case "SECONDS" => s
+      case "MINUTES" => s / 60L
+      case "HOURS" => s / 3600L
+      case "DAYS" => s / 86400L
+      case u => throw new IllegalArgumentException(s"bad time unit: $u")
+    }
+    val reference = toUnit(firstBucketSeconds - bucketSeconds)
+    val divisor = toUnit(bucketSeconds)
+    val num = c.cast(LongType) + lit(toUnit(offsetSeconds)) -
+      lit(reference) - lit(1L)
+    // Java long division truncates toward zero (Spark % already keeps
+    // the dividend's sign, so subtracting it leaves an exact multiple)
+    ((num - num % lit(divisor)) / lit(divisor)).cast(IntegerType)
+  }
+
   /** `dateTimeConvertWindowHop(col, inFmt, outFmt, granularity,
     * hopWindowSize)` (TransformFunctionType.java:125,
     * `BaseDateTimeWindowHopTransformer.hopWindows`): the ARRAY of

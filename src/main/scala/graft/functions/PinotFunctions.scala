@@ -65,6 +65,10 @@ object PinotFunctions {
     "datetimeconvert" -> { case Seq(c, in, out, gran) =>
       DateTimeConvert.dateTimeConvert(c, ex(in).eval().toString,
         ex(out).eval().toString, ex(gran).eval().toString) },
+    "timeseriesbucket" -> { case Seq(c, unit, first, size, off) =>
+      DateTimeConvert.timeSeriesBucket(c, ex(unit).eval().toString,
+        ex(first).eval().toString.toLong, ex(size).eval().toString.toLong,
+        ex(off).eval().toString.toLong) },
     "datetimeconvertwindowhop" -> { case Seq(c, in, out, gran, hop) =>
       DateTimeConvert.dateTimeConvertWindowHop(c, ex(in).eval().toString,
         ex(out).eval().toString, ex(gran).eval().toString,

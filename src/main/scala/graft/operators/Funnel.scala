@@ -99,7 +99,8 @@ object Funnel {
       tsMillis: Column,
       steps: Seq[Column],
       windowMillis: Long,
-      modes: Modes = Modes()): DataFrame = {
+      modes: Modes = Modes(),
+      extra: Option[Column] = None): DataFrame = {
     val stepId = steps.zipWithIndex.foldLeft(lit(0)) {
       case (acc, (pred, i)) => when(pred, lit(i + 1)).otherwise(acc)
     }
@@ -107,12 +108,14 @@ object Funnel {
       .withColumn("__step", stepId)
       .filter(col("__step") > 0)
       .select(col(entityCol),
-        struct(tsMillis.cast("long").as("ts"), col("__step").as("step")).as("__evt"))
-    // per-anchor scan state: expected step, matched timestamps, ts of
-    // the last advance (STRICT_INCREASE), dead flag (strict aborts —
-    // the reference's early `return maxStep`)
+        struct(tsMillis.cast("long").as("ts"), col("__step").as("step"),
+          extra.getOrElse(lit("")).cast("string").as("ext")).as("__evt"))
+    // per-anchor scan state: expected step, matched timestamps + extra
+    // fields, ts of the last advance (STRICT_INCREASE), dead flag
+    // (strict aborts — the reference's early `return maxStep`)
     def zero = struct(lit(1).as("expect"),
       array().cast("array<long>").as("tss"),
+      array().cast("array<string>").as("exts"),
       lit(-1L).as("last_ts"), lit(false).as("dead"))
     tagged.groupBy(entityCol)
       .agg(sort_array(collect_list(col("__evt"))).as("__evts"))
@@ -126,9 +129,12 @@ object Funnel {
                 ts < a.getField("ts") + windowMillis
               val advance = struct((expect + 1).as("expect"),
                 concat(st.getField("tss"), array(ts)).as("tss"),
+                concat(st.getField("exts"),
+                  array(e.getField("ext"))).as("exts"),
                 ts.as("last_ts"), lit(false).as("dead"))
               val dead = struct(expect.as("expect"),
                 st.getField("tss").as("tss"),
+                st.getField("exts").as("exts"),
                 st.getField("last_ts").as("last_ts"), lit(true).as("dead"))
               // mirror of processWindow's check order: dedup abort,
               // order abort, increase skip, advance
@@ -140,7 +146,8 @@ object Funnel {
                 .when(step === expect, advance)
                 .otherwise(st)
             },
-            st => st.getField("tss"))))
+            st => struct(st.getField("tss").as("tss"),
+              st.getField("exts").as("exts")))))
       .drop("__evts")
   }
 
@@ -158,7 +165,8 @@ object Funnel {
     val n = steps.size
     runs(events, entityCol, tsMillis, steps, windowMillis, modes)
       .withColumn("max_step",
-        coalesce(array_max(transform(col("__runs"), r => size(r))), lit(0)))
+        coalesce(array_max(transform(col("__runs"),
+          r => size(r.getField("tss")))), lit(0)))
       .withColumn("match_steps",
         transform(sequence(lit(1), lit(n)),
           i => when(i <= col("max_step"), 1).otherwise(0)))
@@ -186,7 +194,8 @@ object Funnel {
       .withColumn("__tss",
         // get() (0-based) is null-safe on the empty array, unlike
         // element_at under ANSI mode
-        get(filter(col("__runs"), r => size(r) === n), lit(0)))
+        get(filter(col("__runs"), r => size(r.getField("tss")) === n), lit(0))
+          .getField("tss"))
       .filter(col("__tss").isNotNull)
       .select(col(entityCol),
         posexplode(zip_with(slice(col("__tss"), 2, n - 1),
@@ -198,6 +207,35 @@ object Funnel {
         min(col("__d")).as("min_ms"),
         max(col("__d")).as("max_ms"),
         round(expr("percentile(__d, 0.5)"), 4).as("med_ms"))
+  }
+
+  /** FUNNELEVENTSFUNCTIONEVAL (reference
+    * `funnel/window/FunnelEventsFunctionEvalAggregationFunction.java:59`):
+    * for entities that complete the funnel inside a window, surface the
+    * EXTRA FIELDS of the matched per-step events (the reference flattens
+    * them into a string array; callers then post-process). As with
+    * [[stepDurationStats]], this implementation takes each entity's FIRST
+    * completing window (the reference re-counts overlapping windows) —
+    * deterministic and SQL-mirrorable. Output: (entity, matched_csv)
+    * where matched_csv joins the n matched events' extra-field values in
+    * step order. Same ONE-shuffle plan as the rest of the family: the
+    * extra field rides the collected struct, the fold is pure Catalyst. */
+  def eventsFunctionEval(
+      events: DataFrame,
+      entityCol: String,
+      tsMillis: Column,
+      steps: Seq[Column],
+      windowMillis: Long,
+      extra: Column,
+      modes: Modes = Modes()): DataFrame = {
+    val n = steps.size
+    runs(events, entityCol, tsMillis, steps, windowMillis, modes,
+        extra = Some(extra))
+      .withColumn("__win",
+        get(filter(col("__runs"), r => size(r.getField("tss")) === n), lit(0)))
+      .filter(col("__win").isNotNull)
+      .select(col(entityCol),
+        array_join(col("__win").getField("exts"), ",").as("matched_csv"))
   }
 
   /** Number of entities that reached each step: rows (step, n_entities). */

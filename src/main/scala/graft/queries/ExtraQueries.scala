@@ -209,6 +209,30 @@ object ExtraQueries {
           4 AS n_hops_2h
         FROM e ORDER BY event_id""")),
 
+    // TIMESERIESBUCKET (TimeSeriesBucketTransformFunction.java:45-76):
+    // the time-series engine's bucket index over 1-hour buckets starting
+    // at firstBucketValue=1719800000s with a 60s offset — with
+    // everything in MILLISECONDS, ((v + off − (first − size) − 1) /
+    // size) truncated toward zero. Oracle mirrors the exact-multiple
+    // truncation arithmetic.
+    GQuery("q_fn_ts_bucket",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val ms = unix_millis(col("ts").cast(TimestampType))
+        t.events.filter(col("event_id") <= 2000)
+          .select(col("event_id"),
+            graft.functions.DateTimeConvert.timeSeriesBucket(
+              ms, "MILLISECONDS", 1719800000L, 3600L, 60L).as("bucket_idx"))
+          .orderBy(col("event_id"))
+      },
+      Some("""WITH n AS (SELECT event_id,
+          epoch_ms(ts) + 60000 - (1719800000::BIGINT - 3600) * 1000 - 1
+            AS num
+          FROM events WHERE event_id <= 2000)
+        SELECT event_id,
+          ((num - (num % 3600000)) // 3600000)::INT AS bucket_idx
+        FROM n ORDER BY event_id""")),
+
     // LIKE / ILIKE / NOT LIKE / escape (Predicate.java RANGE/REGEXP
     // family; LexicalStructure suite analog).
     GQuery("q_fn_like",

@@ -743,6 +743,45 @@ object PipelineQueries {
           ROUND(quantile_cont(d2, 0.5), 4) FROM d
         ORDER BY transition""")),
 
+    // FUNNELEVENTSFUNCTIONEVAL (windowed): for each user completing the
+    // funnel, the extra-field values (event_id) of the matched per-step
+    // events from the first completing window — the reference surfaces
+    // exactly these flattened extra fields for downstream function eval.
+    GQuery("q_funnel_events",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        Funnel.eventsFunctionEval(t.events, "user_id",
+            unix_millis(col("ts").cast(TimestampType)),
+            Seq(col("event_type") === "signup",
+              col("event_type") === "click",
+              col("event_type") === "purchase"),
+            windowMillis = 172800000L,
+            extra = col("event_id"))
+          .orderBy(col("user_id"))
+      },
+      Some("""WITH ev AS (SELECT user_id, epoch_ms(ts) AS ts, event_type,
+            event_id
+          FROM events WHERE event_type IN ('signup', 'click', 'purchase')),
+        a AS (SELECT user_id, ts AS ts1, event_id AS id1 FROM ev
+          WHERE event_type = 'signup'),
+        s2 AS (SELECT a.user_id, a.ts1, a.id1, MIN(e.ts) AS ts2,
+            arg_min(e.event_id, e.ts) AS id2
+          FROM a JOIN ev e ON e.user_id = a.user_id
+            AND e.event_type = 'click'
+            AND e.ts >= a.ts1 AND e.ts < a.ts1 + 172800000 GROUP BY 1, 2, 3),
+        s3 AS (SELECT s2.user_id, s2.ts1, s2.id1, s2.id2,
+            arg_min(e.event_id, e.ts) AS id3
+          FROM s2 JOIN ev e ON e.user_id = s2.user_id
+            AND e.event_type = 'purchase'
+            AND e.ts >= s2.ts2 AND e.ts < s2.ts1 + 172800000
+          GROUP BY 1, 2, 3, 4),
+        f AS (SELECT user_id, id1, id2, id3,
+          ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts1) AS rn
+          FROM s3)
+        SELECT user_id, id1::VARCHAR || ',' || id2::VARCHAR || ','
+            || id3::VARCHAR AS matched_csv
+        FROM f WHERE rn = 1 ORDER BY user_id""")),
+
     GQuery("q_funnel_complete",
       (s, dir) => {
         val t = Tables(s, dir)
