@@ -513,6 +513,7 @@ object PinotFunctions {
       if (!reg.functionExists(id))
         reg.createOrReplaceTempFunction(name, fn(f), "built-in")
     }
+    ScalarTail.registerAll(spark)
     graft.plans.VectorExpressions.registerAll(spark)
     graft.plans.KmvSketch.registerAll(spark)
     graft.plans.FrequentItems.registerAll(spark)

@@ -1,0 +1,457 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The long tail of the reference's scalar surface
+  * (`pinot-common/.../function/scalar/` `@ScalarFunction`
+  * registrations): typed array variants, the to/fromEpoch bucket
+  * families, MV (`…MV`) element-wise variants, URL cut/extract helpers,
+  * and datetime/string/math leftovers.
+  *
+  * Everything here is a composition of native Catalyst expressions —
+  * typed variants (`arrayConcatInt`/`…Long`/`…String`, …) collapse onto
+  * one generic Spark expression because Spark's array ops are already
+  * type-parametric; MV variants are `transform(arr, elem => f(elem))`
+  * which stays codegen'd. Null semantics follow the reference's
+  * null-handling-enabled mode (null in → null out) rather than the
+  * placeholder substitution of legacy mode
+  * (`NullValuePlaceHolder.java`).
+  */
+object ScalarTail {
+
+  private def ex(c: Column): Expression = ColumnBridge.expression(c)
+  private def str(c: Column): String = ex(c).eval().toString
+
+  // ——— element-wise bases reused by the `…MV` generators ———
+
+  private def tsOf(ms: Column): Column = timestamp_millis(ms.cast(LongType))
+
+  /** Pinot dayOfWeek is ISO (1=Mon..7=Sun, Joda getDayOfWeek);
+    * Spark dayofweek is 1=Sun..7=Sat. */
+  private def isoDow(ms: Column): Column =
+    ((dayofweek(tsOf(ms)) + 5) % 7) + 1
+
+  private val unitMs: Map[String, Long] = Map(
+    "DAYS" -> 86400000L, "HOURS" -> 3600000L,
+    "MINUTES" -> 60000L, "SECONDS" -> 1000L)
+
+  /** `timestampAdd(unit, interval, millis)` over UTC chronology
+    * (`DateTimeFunctions.java:1126`): calendar-aware for
+    * YEAR/QUARTER/MONTH, plain arithmetic for fixed-size units. */
+  private def tsAdd(unit: String, interval: Column, ms: Column): Column =
+    unit.toUpperCase.stripSuffix("S") match {
+      case "YEAR" => unix_millis(tsOf(ms) +
+        make_interval(lit(0), (interval * 12).cast(IntegerType)))
+      case "QUARTER" => unix_millis(tsOf(ms) +
+        make_interval(lit(0), (interval * 3).cast(IntegerType)))
+      case "MONTH" => unix_millis(tsOf(ms) +
+        make_interval(lit(0), interval.cast(IntegerType)))
+      case "WEEK" => ms.cast(LongType) + interval * 604800000L
+      case "DAY" => ms.cast(LongType) + interval * 86400000L
+      case "HOUR" => ms.cast(LongType) + interval * 3600000L
+      case "MINUTE" => ms.cast(LongType) + interval * 60000L
+      case "SECOND" => ms.cast(LongType) + interval * 1000L
+      case _ => ms.cast(LongType) + interval
+    }
+
+  /** `timestampDiff(unit, ts1, ts2)` = ts2 − ts1 in whole units
+    * (Joda field getDifferenceAsLong: truncation toward zero). */
+  private def tsDiff(unit: String, t1: Column, t2: Column): Column = {
+    val d = t2.cast(LongType) - t1.cast(LongType)
+    def trunc(den: Long): Column = ((d - d % den) / den).cast(LongType)
+    unit.toUpperCase.stripSuffix("S") match {
+      case "YEAR" =>
+        val m = months_between(tsOf(t2), tsOf(t1))
+        ((m - m % 12.0) / 12.0).cast(LongType)
+      case "MONTH" =>
+        // months_between is fractional; Joda counts whole months
+        floor(abs(months_between(tsOf(t2), tsOf(t1)))).cast(LongType) *
+          when(months_between(tsOf(t2), tsOf(t1)) < 0, -1L).otherwise(1L)
+      case "WEEK" => trunc(604800000L)
+      case "DAY" => trunc(86400000L)
+      case "HOUR" => trunc(3600000L)
+      case "MINUTE" => trunc(60000L)
+      case "SECOND" => trunc(1000L)
+      case _ => d
+    }
+  }
+
+  /** Timezone offset millis of `tz` at instant `ms` —
+    * `DateTimeZone.forID(tz).getOffset(ms)` re-expressed with Spark's
+    * own tz database: from_utc_timestamp shifts by +offset. */
+  private def tzOffsetMs(ms: Column, tz: String): Column =
+    unix_millis(from_utc_timestamp(tsOf(ms), tz)) - ms.cast(LongType)
+
+  // ——— the registry ———
+
+  /** Generic impls keyed by every typed/MV alias the reference
+    * registers. Suffix conventions: Int/Long/Float/Double/String typed
+    * copies share one untyped Spark expression. */
+  val registry: Map[String, Seq[Column] => Column] = {
+
+    val b = Map.newBuilder[String, Seq[Column] => Column]
+
+    // —— typed array family (scalar/ArrayFunctions.java) ——
+    for (t <- Seq("int", "long", "float", "double", "string")) {
+      b += s"arrayconcat$t" -> { case cs => concat(cs: _*) }
+      // 1-based index; out-of-range → null (reference: placeholder)
+      b += s"arrayelementat$t" -> { case Seq(a, i) =>
+        get(a, i.cast(IntegerType) - 1) }
+      b += s"arraypushback$t" -> { case Seq(a, v) => concat(a, array(v)) }
+      b += s"arraypushfront$t" -> { case Seq(a, v) => concat(array(v), a) }
+      // ArrayUtils.indexesOf: every 0-based position holding the value
+      b += s"arrayindexesof$t" -> { case Seq(a, v) =>
+        filter(transform(a, (x, i) => when(x === v, i).otherwise(-1)),
+          x => x >= 0) }
+    }
+    for (t <- Seq("int", "long", "string")) {
+      // Arrays.copyOfRange(start, end): 0-based, end-exclusive
+      b += s"arrayslice$t" -> { case Seq(a, s, e) =>
+        slice(a, s.cast(IntegerType) + 1,
+          (e - s).cast(IntegerType)) }
+    }
+    for (t <- Seq("int", "string")) {
+      b += s"arraycontains$t" -> { case Seq(a, v) => array_contains(a, v) }
+      b += s"arraydistinct$t" -> { case Seq(a) => array_distinct(a) }
+      // ArrayUtils.indexOf: 0-based, −1 when absent
+      b += s"arrayindexof$t" -> { case Seq(a, v) =>
+        (coalesce(array_position(a, v), lit(0L)) - 1).cast(IntegerType) }
+      b += s"arrayremove$t" -> { case Seq(a, v) => array_remove(a, v) }
+      b += s"arrayreverse$t" -> { case Seq(a) => reverse(a) }
+      b += s"arraysort$t" -> { case Seq(a) => array_sort(a) }
+      b += s"arrayunion$t" -> { case Seq(a, x) => array_union(a, x) }
+    }
+    b += "arraytostring" -> {
+      case Seq(a, d) => array_join(a, str(d))
+      case Seq(a, d, n) => array_join(a, str(d), str(n)) }
+    // sorted-index-array intersection (ArrayFunctions.java:108)
+    b += "intersectindices" -> { case Seq(a, x) => array_intersect(a, x) }
+    b += "arrayvalueconstructor" -> { case cs => array(cs: _*) }
+    // generate*Array(start, end, inc): (end−start)/inc + 1 values
+    b += "generateintarray" -> { case Seq(s, e, i) =>
+      sequence(s.cast(IntegerType), e.cast(IntegerType), i.cast(IntegerType)) }
+    b += "generatelongarray" -> { case Seq(s, e, i) =>
+      sequence(s.cast(LongType), e.cast(LongType), i.cast(LongType)) }
+    for (t <- Seq("float" -> FloatType, "double" -> DoubleType)) {
+      b += s"generate${t._1}array" -> { case Seq(s, e, i) =>
+        transform(
+          sequence(lit(0L),
+            ((e - s) / i).cast(LongType)),
+          k => (s + k * i).cast(t._2)) }
+    }
+
+    // —— to/fromEpoch bucket families (scalar/DateTimeFunctions.java) ——
+    for ((u, sz) <- unitMs) {
+      val n = u.toLowerCase.stripSuffix("s")
+      def div(c: Column): Column = (c.cast(LongType) / sz).cast(LongType)
+      b += s"toepoch${n}s" -> { case Seq(c) => div(c) }
+      b += s"toepoch${n}srounded" -> { case Seq(c, k) =>
+        (div(c) / k.cast(LongType)).cast(LongType) * k.cast(LongType) }
+      b += s"toepoch${n}sbucket" -> { case Seq(c, k) =>
+        (div(c) / k.cast(LongType)).cast(LongType) }
+      b += s"fromepoch${n}s" -> { case Seq(c) => c.cast(LongType) * sz }
+      b += s"fromepoch${n}sbucket" -> { case Seq(c, k) =>
+        c.cast(LongType) * k.cast(LongType) * sz }
+    }
+
+    // —— datetime leftovers ——
+    b += "ago" -> { case Seq(p) =>
+      unix_millis(current_timestamp()) -
+        java.time.Duration.parse(str(p)).toMillis }
+    b += "toiso8601" -> { case Seq(ms) =>
+      date_format(tsOf(ms), "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'") }
+    b += "fromiso8601" -> { case Seq(s) =>
+      unix_millis(to_timestamp(regexp_replace(s, "Z$", ""),
+        "yyyy-MM-dd'T'HH:mm:ss[.SSS]")) }
+    b += "totimestamp" -> { case Seq(ms) => tsOf(ms) }
+    b += "fromtimestamp" -> { case Seq(ts) =>
+      unix_millis(ts.cast(TimestampType)) }
+    b += "week" -> { case Seq(ms, _*) => weekofyear(tsOf(ms)) }
+    b += "yearofweek" -> { case Seq(ms, _*) =>
+      extract(lit("YEAROFWEEK"), tsOf(ms)).cast(IntegerType) }
+    b += "yow" -> { case Seq(ms, _*) =>
+      extract(lit("YEAROFWEEK"), tsOf(ms)).cast(IntegerType) }
+    b += "dow" -> { case Seq(ms, _*) => isoDow(ms) }
+    b += "doy" -> { case Seq(ms, _*) => dayofyear(tsOf(ms)) }
+    b += "datebin" -> { case Seq(w, src, origin) =>
+      val widthMs = java.time.Duration.parse(str(w)).toMillis
+      val off = src.cast(LongType) - origin.cast(LongType)
+      origin.cast(LongType) + ((off - off % widthMs) / widthMs)
+        .cast(LongType) * widthMs }
+    // dateAdd/timestampAdd/dateDiff/timestampDiff are reserved at the
+    // Spark-grammar level; QueryFacade.rewriteReserved maps the Pinot
+    // quoted-unit spelling onto these epoch-millis variants
+    b += "dateaddepoch" -> { case Seq(u, i, ts) =>
+      tsAdd(str(u), i.cast(LongType), ts) }
+    b += "datediffepoch" -> { case Seq(u, a, x) => tsDiff(str(u), a, x) }
+    b += "timezonehour" -> {
+      case Seq(tz) =>
+        (tzOffsetMs(lit(0L), str(tz)) / 3600000L).cast(IntegerType)
+      case Seq(tz, ms) =>
+        (tzOffsetMs(ms, str(tz)) / 3600000L).cast(IntegerType) }
+    b += "timezoneminute" -> {
+      case Seq(tz) =>
+        ((tzOffsetMs(lit(0L), str(tz)) / 60000L) % 60).cast(IntegerType)
+      case Seq(tz, ms) =>
+        ((tzOffsetMs(ms, str(tz)) / 60000L) % 60).cast(IntegerType) }
+
+    // —— MV (multi-value) element-wise variants ——
+    val mvBases: Map[String, Column => Column] = Map(
+      "year" -> (ms => year(tsOf(ms))),
+      "month" -> (ms => month(tsOf(ms))),
+      "monthofyear" -> (ms => month(tsOf(ms))),
+      "quarter" -> (ms => quarter(tsOf(ms))),
+      "week" -> (ms => weekofyear(tsOf(ms))),
+      "weekofyear" -> (ms => weekofyear(tsOf(ms))),
+      "day" -> (ms => dayofmonth(tsOf(ms))),
+      "dayofmonth" -> (ms => dayofmonth(tsOf(ms))),
+      "dayofweek" -> isoDow,
+      "dow" -> isoDow,
+      "dayofyear" -> (ms => dayofyear(tsOf(ms))),
+      "doy" -> (ms => dayofyear(tsOf(ms))),
+      "yearofweek" -> (ms =>
+        extract(lit("YEAROFWEEK"), tsOf(ms)).cast(IntegerType)),
+      "yow" -> (ms =>
+        extract(lit("YEAROFWEEK"), tsOf(ms)).cast(IntegerType)),
+      "hour" -> (ms => hour(tsOf(ms))),
+      "minute" -> (ms => minute(tsOf(ms))),
+      "second" -> (ms => second(tsOf(ms))),
+      "millisecond" -> (ms => pmod(ms.cast(LongType), lit(1000L))
+        .cast(IntegerType)),
+      "toiso8601" -> (ms =>
+        date_format(tsOf(ms), "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'")),
+      "totimestamp" -> (ms => tsOf(ms)),
+      "fromtimestamp" -> (ts => unix_millis(ts.cast(TimestampType))))
+    for ((name, f) <- mvBases)
+      b += s"${name}mv" -> { case Seq(a, _*) => transform(a, f) }
+    for ((u, sz) <- unitMs) {
+      val n = u.toLowerCase.stripSuffix("s")
+      b += s"toepoch${n}smv" -> { case Seq(a) =>
+        transform(a, c => (c.cast(LongType) / sz).cast(LongType)) }
+      b += s"toepoch${n}sroundedmv" -> { case Seq(a, k) =>
+        transform(a, c => ((c.cast(LongType) / sz).cast(LongType) /
+          k.cast(LongType)).cast(LongType) * k.cast(LongType)) }
+      b += s"toepoch${n}sbucketmv" -> { case Seq(a, k) =>
+        transform(a, c => ((c.cast(LongType) / sz).cast(LongType) /
+          k.cast(LongType)).cast(LongType)) }
+      b += s"fromepoch${n}smv" -> { case Seq(a) =>
+        transform(a, c => c.cast(LongType) * sz) }
+      b += s"fromepoch${n}sbucketmv" -> { case Seq(a, k) =>
+        transform(a, c => c.cast(LongType) * k.cast(LongType) * sz) }
+    }
+    b += "timestampaddmv" -> { case Seq(u, i, a) =>
+      transform(a, ts => tsAdd(str(u), i.cast(LongType), ts)) }
+    b += "dateaddmv" -> { case Seq(u, i, a) =>
+      transform(a, ts => tsAdd(str(u), i.cast(LongType), ts)) }
+    b += "timestampdiffmv" -> { case Seq(u, a, t2) =>
+      transform(a, t1 => tsDiff(str(u), t1, t2)) }
+    b += "datediffmv" -> { case Seq(u, a, t2) =>
+      transform(a, t1 => tsDiff(str(u), t1, t2)) }
+    b += "timestampdiffmvreverse" -> { case Seq(u, t1, a) =>
+      transform(a, t2 => tsDiff(str(u), t1, t2)) }
+    b += "datediffmvreverse" -> { case Seq(u, t1, a) =>
+      transform(a, t2 => tsDiff(str(u), t1, t2)) }
+    b += "roundmv" -> { case Seq(a, k) =>
+      transform(a, c => (c.cast(LongType) / k.cast(LongType))
+        .cast(LongType) * k.cast(LongType)) }
+
+    // —— URL cut/extract family (scalar/UrlFunctions.java) ——
+    // regex re-expressions of the reference's java.net.URI splitting;
+    // well-formed absolute URLs round-trip identically
+    b += "cutfragment" -> { case Seq(u) =>
+      regexp_replace(u, "#.*$", "") }
+    b += "cutquerystring" -> { case Seq(u) =>
+      regexp_replace(u, "\\?[^#]*", "") }
+    b += "cutquerystringandfragment" -> { case Seq(u) =>
+      regexp_replace(u, "[?#].*$", "") }
+    b += "cutwww" -> { case Seq(u) =>
+      regexp_replace(u, "^(\\w+://)www\\.", "$1") }
+    b += "urlpathwithquery" -> { case Seq(u) =>
+      // reference (UrlFunctions.java:228) returns getRawPath() — the
+      // path only, despite the name
+      nullIfEmpty(regexp_extract(u, "^\\w+://[^/?#]+(/[^?#]*)", 1)) }
+    b += "urlquerystringandfragment" -> { case Seq(u) =>
+      nullIfEmpty(regexp_extract(u, "(\\?[^#]*(?:#.*)?|#.*)$", 1)) }
+    b += "urlfirstsignificantsubdomain" -> { case Seq(u) =>
+      firstSignificantSubdomain(u, withTld = false) }
+    b += "cuttofirstsignificantsubdomain" -> { case Seq(u) =>
+      firstSignificantSubdomain(u, withTld = true) }
+    b += "urlhierarchy" -> { case Seq(u) =>
+      val base = regexp_extract(u, "^(\\w+://[^/?#]+)", 1)
+      val path = regexp_extract(u, "^\\w+://[^/?#]+(/[^?#]*)?", 1)
+      val parts = filter(split(path, "/"), p => p =!= "")
+      when(base === "", array().cast(ArrayType(StringType)))
+        .otherwise(concat(array(base),
+          transform(parts, (_, i) =>
+            concat(base, lit("/"),
+              array_join(slice(parts, lit(1), i.cast(IntegerType) + 1), "/"))))) }
+    b += "urlpathhierarchy" -> { case Seq(u) =>
+      val path = regexp_extract(u, "^\\w+://[^/?#]+(/[^?#]*)?", 1)
+      val parts = filter(split(path, "/"), p => p =!= "")
+      transform(parts, (_, i) =>
+        concat(lit("/"),
+          array_join(slice(parts, lit(1), i.cast(IntegerType) + 1), "/"))) }
+    b += "cuturlparameter" -> { case Seq(u, name) =>
+      val n = str(name)
+      regexp_replace(
+        regexp_replace(u, s"([?&])${java.util.regex.Pattern.quote(n)}=[^&#]*&", "$1"),
+        s"[?&]${java.util.regex.Pattern.quote(n)}=[^&#]*", "") }
+    b += "extracturlparameters" -> { case Seq(u) =>
+      filter(split(regexp_extract(u, "\\?([^#]*)", 1), "&"),
+        p => p =!= "") }
+    b += "extracturlparameternames" -> { case Seq(u) =>
+      transform(
+        filter(split(regexp_extract(u, "\\?([^#]*)", 1), "&"),
+          p => p =!= ""),
+        p => regexp_extract(p, "^([^=]*)", 1)) }
+    b += "urlencodeformcomponent" -> { case Seq(u) => url_encode(u) }
+    b += "urldecodeformcomponent" -> { case Seq(u) => url_decode(u) }
+
+    // —— string leftovers (scalar/StringFunctions.java) ——
+    b += "leftsubstr" -> { case Seq(s, n) =>
+      s.substr(lit(1), n.cast(IntegerType)) }
+    b += "rightsubstr" -> { case Seq(s, n) =>
+      s.substr(greatest(length(s) - n.cast(IntegerType) + 1, lit(1)),
+        n.cast(IntegerType)) }
+    b += "strcmp" -> { case Seq(a, x) =>
+      when(a < x, -1).when(a > x, 1).otherwise(0) }
+    b += "isvalidascii" -> { case Seq(s) => !s.rlike("[^\\x00-\\x7F]") }
+    b += "charlength" -> { case Seq(s) => length(s) }
+    b += "characterlength" -> { case Seq(s) => length(s) }
+    b += "toutf8" -> { case Seq(s) => encode(s, "UTF-8") }
+    b += "fromutf8" -> { case Seq(x) => decode(x, "UTF-8") }
+    b += "startswithcaseinsensitive" -> { case Seq(s, p) =>
+      lower(s).startsWith(lower(p)) }
+    b += "endswithcaseinsensitive" -> { case Seq(s, p) =>
+      lower(s).endsWith(lower(p)) }
+    b += "prefixes" -> { case Seq(s) =>
+      transform(sequence(lit(1), length(s)), i => s.substr(lit(1), i)) }
+    b += "suffixes" -> { case Seq(s) =>
+      transform(sequence(lit(1), length(s)),
+        i => s.substr(i, length(s) - i + 1)) }
+    b += "prefixeswithprefix" -> { case Seq(s, p) =>
+      transform(sequence(lit(1), length(s)),
+        i => concat(p, s.substr(lit(1), i))) }
+    b += "suffixeswithsuffix" -> { case Seq(s, p) =>
+      transform(sequence(lit(1), length(s)),
+        i => concat(s.substr(i, length(s) - i + 1), p)) }
+    // SQL DIFFERENCE: matching positions of the two 4-char soundex codes
+    b += "difference" -> { case Seq(a, x) =>
+      val sa = soundex(a); val sx = soundex(x)
+      size(filter(sequence(lit(1), lit(4)),
+        i => sa.substr(i, lit(1)) === sx.substr(i, lit(1)))) }
+
+    // —— math leftovers (ArithmeticFunctions.java) ——
+    b += "exp2" -> { case Seq(x) => pow(lit(2.0), x) }
+    b += "exp10" -> { case Seq(x) => pow(lit(10.0), x) }
+    b += "euler" -> { case Seq() => lit(math.E) }
+    b += "sigmoid" -> { case Seq(x) =>
+      lit(1.0) / (lit(1.0) + exp(-x.cast(DoubleType))) }
+    b += "intdivorzero" -> { case Seq(a, d) =>
+      when(d === 0, 0L).otherwise(
+        ((a.cast(LongType) - a.cast(LongType) % d.cast(LongType)) /
+          d.cast(LongType)).cast(LongType)) }
+    b += "isfinite" -> { case Seq(x) =>
+      !isnan(x.cast(DoubleType)) &&
+        abs(x.cast(DoubleType)) =!= lit(Double.PositiveInfinity) }
+    b += "isinfinite" -> { case Seq(x) =>
+      abs(x.cast(DoubleType)) === lit(Double.PositiveInfinity) }
+    b += "ifnotfinite" -> { case Seq(x, d) =>
+      when(isnan(x.cast(DoubleType)) ||
+        abs(x.cast(DoubleType)) === lit(Double.PositiveInfinity), d)
+        .otherwise(x) }
+    b += "byteswapint" -> { case Seq(x) =>
+      val v = x.cast(IntegerType)
+      (shiftleft(v, 24)
+        .bitwiseOR(shiftleft(v.bitwiseAND(lit(0xff00)), 8))
+        .bitwiseOR(shiftrightunsigned(v, 8).bitwiseAND(lit(0xff00)))
+        .bitwiseOR(shiftrightunsigned(v, 24))).cast(IntegerType) }
+    b += "byteswaplong" -> { case Seq(x) =>
+      val v = x.cast(LongType)
+      (0 until 8).map { i =>
+        shiftrightunsigned(v, i * 8).bitwiseAND(lit(0xffL))
+          .cast(LongType) * lit(1L << ((7 - i) * 8))
+      }.reduce(_ + _) }
+    b += "hexdecimaltolong" -> { case Seq(s) =>
+      conv(s, 16, 10).cast(LongType) }
+    b += "longtohexdecimal" -> { case Seq(x) => lower(hex(x.cast(LongType))) }
+    b += "sha224" -> { case Seq(x) => sha2(x, 224) }
+
+    // —— JSON path family (scalar/JsonFunctions.java) ——
+    def jp(c: Column, p: Column): Column = get_json_object(c, str(p))
+    b += "jsonpathstring" -> {
+      case Seq(c, p) => jp(c, p)
+      case Seq(c, p, d) => coalesce(jp(c, p), d) }
+    b += "jsonpathlong" -> {
+      case Seq(c, p) => jp(c, p).cast(LongType)
+      case Seq(c, p, d) => coalesce(jp(c, p).cast(LongType),
+        d.cast(LongType)) }
+    b += "jsonpathdouble" -> {
+      case Seq(c, p) => jp(c, p).cast(DoubleType)
+      case Seq(c, p, d) => coalesce(jp(c, p).cast(DoubleType),
+        d.cast(DoubleType)) }
+    for (sfx <- Seq("fast", "firstmatch")) {
+      b += s"jsonpathstring$sfx" -> { case Seq(c, p, _*) => jp(c, p) }
+      b += s"jsonpathlong$sfx" -> { case Seq(c, p, _*) =>
+        jp(c, p).cast(LongType) }
+      b += s"jsonpathdouble$sfx" -> { case Seq(c, p, _*) =>
+        jp(c, p).cast(DoubleType) }
+    }
+    b += "jsonpath" -> { case Seq(c, p) => jp(c, p) }
+    b += "jsonpathexists" -> { case Seq(c, p) => jp(c, p).isNotNull }
+    b += "jsonpatharray" -> { case Seq(c, p) =>
+      from_json(jp(c, p), ArrayType(StringType)) }
+    b += "jsonpatharraydefaultempty" -> { case Seq(c, p) =>
+      coalesce(from_json(jp(c, p), ArrayType(StringType)),
+        array().cast(ArrayType(StringType))) }
+    b += "jsonextractobject" -> { case Seq(c, p, _*) => jp(c, p) }
+    b += "jsonstringtoarray" -> { case Seq(c) =>
+      from_json(c, ArrayType(StringType)) }
+    b += "jsonstringtomap" -> { case Seq(c) =>
+      from_json(c, MapType(StringType, StringType)) }
+    b += "tojsonmapstr" -> { case Seq(c) => to_json(c) }
+    b += "isjson" -> { case Seq(c) =>
+      get_json_object(c, "$").isNotNull }
+
+    b.result()
+  }
+
+  private def nullIfEmpty(c: Column): Column = when(c === "", null).otherwise(c)
+
+  /** ClickHouse-style first-significant-subdomain
+    * (`UrlFunctions.java:107/133`): for short TLD lists (com/net/org/co)
+    * the significant part is the label left of the TLD, otherwise one
+    * label further left. */
+  private def firstSignificantSubdomain(u: Column, withTld: Boolean): Column = {
+    val host = regexp_extract(u, "^\\w+://(?:[^@/]*@)?([^:/?#]+)", 1)
+    val parts = split(host, "\\.")
+    val n = size(parts)
+    val shortTld = get(parts, n - 1).isin("com", "net", "org", "co")
+    val sig = when(shortTld, get(parts, n - 2)).otherwise(get(parts, n - 3))
+    val out =
+      if (!withTld) when(n <= 2, get(parts, lit(0))).otherwise(sig)
+      else when(n <= 2, host).otherwise(
+        when(shortTld,
+          concat_ws(".", get(parts, n - 2), get(parts, n - 1)))
+          .otherwise(concat_ws(".", get(parts, n - 3), get(parts, n - 2),
+            get(parts, n - 1))))
+    when(host === "", null).otherwise(out)
+  }
+
+  /** Register every name that doesn't already resolve (Spark builtins
+    * and the main PinotFunctions surface win). */
+  def registerAll(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    registry.foreach { case (name, f) =>
+      val id = org.apache.spark.sql.catalyst.FunctionIdentifier(name)
+      if (!reg.functionExists(id))
+        reg.createOrReplaceTempFunction(name,
+          (exprs: Seq[Expression]) => ColumnBridge.expression(
+            f(exprs.map(ColumnBridge.column))), "built-in")
+    }
+  }
+}

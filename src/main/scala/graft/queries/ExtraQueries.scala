@@ -233,6 +233,64 @@ object ExtraQueries {
           ((num - (num % 3600000)) // 3600000)::INT AS bucket_idx
         FROM n ORDER BY event_id""")),
 
+    // Scalar long-tail families (functions/ScalarTail.scala —
+    // scalar/DateTimeFunctions, StringFunctions, ArithmeticFunctions,
+    // UrlFunctions): epoch buckets, ISO dow/doy/week, calendar add,
+    // left/right substr, strcmp, sigmoid, prefixes, URL cut/extract —
+    // all exercised through the registered SQL names (selectExpr), the
+    // same resolution path a Pinot-flavored query takes.
+    GQuery("q_fn_scalar_tail",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        t.events.filter(col("event_id") <= 2000)
+          .withColumn("ms", unix_millis(col("ts").cast(TimestampType)))
+          .withColumn("url",
+            concat(lit("https://www.shop"),
+              (col("event_id") % 10).cast(StringType),
+              lit(".com/p/"), col("event_type"), lit("?u="),
+              col("user_id").cast(StringType), lit("&x=1")))
+          .selectExpr(
+            "event_id",
+            "toEpochDays(ms) AS epoch_day",
+            "toEpochHoursBucket(ms, 6) AS hour6_bucket",
+            "fromEpochDays(toEpochDays(ms)) AS day_floor_ms",
+            "dow(ms) AS iso_dow",
+            "doy(ms) AS day_of_year",
+            "week(ms) AS week_no",
+            "dateAddEpoch('MONTH', 1, ms) AS plus_month_ms",
+            "dateDiffEpoch('DAY', 0, ms) AS days_since_epoch",
+            "leftSubStr(event_type, 3) AS et3",
+            "rightSubStr(event_type, 2) AS et_r2",
+            "strcmp(event_type, 'click') AS cmp_click",
+            "round(sigmoid(value), 4) AS sig_v",
+            "arrayToString(prefixes(leftSubStr(event_type, 2)), ',') AS prefs",
+            "cutQueryString(url) AS url_nq",
+            "urlFirstSignificantSubdomain(url) AS url_sig",
+            "arrayToString(extractURLParameterNames(url), ',') AS url_params")
+          .orderBy(col("event_id"))
+      },
+      Some("""SELECT event_id,
+          epoch_ms(ts) // 86400000 AS epoch_day,
+          (epoch_ms(ts) // 3600000) // 6 AS hour6_bucket,
+          (epoch_ms(ts) // 86400000) * 86400000 AS day_floor_ms,
+          isodow(ts) AS iso_dow,
+          dayofyear(ts) AS day_of_year,
+          weekofyear(ts) AS week_no,
+          epoch_ms(ts + INTERVAL 1 MONTH) AS plus_month_ms,
+          epoch_ms(ts) // 86400000 AS days_since_epoch,
+          substr(event_type, 1, 3) AS et3,
+          right(event_type, 2) AS et_r2,
+          CASE WHEN event_type < 'click' THEN -1
+               WHEN event_type > 'click' THEN 1 ELSE 0 END AS cmp_click,
+          ROUND(1.0 / (1.0 + exp(-value)), 4) AS sig_v,
+          substr(event_type, 1, 1) || ',' || substr(event_type, 1, 2)
+            AS prefs,
+          'https://www.shop' || (event_id % 10) || '.com/p/' || event_type
+            AS url_nq,
+          'shop' || (event_id % 10) AS url_sig,
+          'u,x' AS url_params
+        FROM events WHERE event_id <= 2000 ORDER BY event_id""")),
+
     // LIKE / ILIKE / NOT LIKE / escape (Predicate.java RANGE/REGEXP
     // family; LexicalStructure suite analog).
     GQuery("q_fn_like",

@@ -73,6 +73,19 @@ object QueryFacade {
     Tables(spark, dir).registerAll()
   }
 
+  /** Pinot spells dateAdd/timestampAdd with a QUOTED unit
+    * (`DateTimeFunctions.java:1126` — `timestampAdd('days', 10, x)`
+    * over epoch millis); Spark's parser grabs those names at the
+    * grammar level and rejects string-literal units. Rewrite to the
+    * registered epoch variants so the Pinot spelling works unchanged. */
+  private val ReservedDateFn =
+    """(?i)\b(dateadd|datediff|timestampadd|timestampdiff)\s*\(\s*'""".r
+
+  private[graft] def rewriteReserved(stmt: String): String =
+    ReservedDateFn.replaceAllIn(stmt, m =>
+      (if (m.group(1).toLowerCase.endsWith("diff")) "dateDiffEpoch('"
+       else "dateAddEpoch('"))
+
   /** Run a Pinot-flavored SQL query: leading SET options are parsed off
     * (recognized: explicitLimit=true disables the implicit limit; all
     * others are accepted as no-op compat flags, e.g. enableNullHandling,
@@ -81,7 +94,8 @@ object QueryFacade {
     * unless the query bounds itself. */
   def sql(spark: SparkSession, query: String): DataFrame = {
     PinotFunctions.registerAll(spark)
-    val Parsed(opts, stmt) = parseOptions(query)
+    val Parsed(opts, stmt0) = parseOptions(query)
+    val stmt = rewriteReserved(stmt0)
     if (Ddl.isDdl(stmt)) return Ddl.execute(spark, stmt)
     val df = spark.sql(stmt)
     val explicit = opts.get("explicitlimit").exists(_.toBoolean)

@@ -1,0 +1,120 @@
+package graft
+
+import org.apache.spark.sql.Row
+
+/** The scalar long tail (functions/ScalarTail.scala) exercised through
+  * SQL — the same resolution path a user's Pinot-flavored query takes.
+  * Expected values follow the reference implementations in
+  * `pinot-common/.../function/scalar/` (cited per group in the
+  * implementation file).
+  */
+class ScalarTailSpec extends SparkSpec {
+
+  private def one(sql: String): Any = {
+    graft.functions.PinotFunctions.registerAll(spark)
+    spark.sql(s"SELECT $sql").head.get(0)
+  }
+
+  test("typed array family collapses onto generic Spark ops") {
+    assert(one("arrayConcatInt(array(1,2), array(3))") ==
+      Seq(1, 2, 3))
+    assert(one("arrayElementAtString(array('a','b'), 2)") == "b")
+    assert(one("arrayElementAtInt(array(1,2), 5)") == null)
+    assert(one("arrayIndexOfString(array('a','b','c'), 'b')") == 1)
+    assert(one("arrayIndexOfInt(array(1,2), 9)") == -1)
+    assert(one("arrayIndexesOfInt(array(5,7,5,5), 5)") == Seq(0, 2, 3))
+    assert(one("arrayPushFrontInt(array(2,3), 1)") == Seq(1, 2, 3))
+    assert(one("arraySliceInt(array(10,20,30,40), 1, 3)") == Seq(20, 30))
+    assert(one("arrayToString(array('x','y'), '-')") == "x-y")
+    assert(one("intersectIndices(array(1,3,5), array(3,4,5))") == Seq(3, 5))
+    assert(one("generateIntArray(0, 6, 2)") == Seq(0, 2, 4, 6))
+    assert(one("generateDoubleArray(0.0D, 1.0D, 0.5D)") ==
+      Seq(0.0, 0.5, 1.0))
+  }
+
+  test("epoch bucket family (DateTimeFunctions.java)") {
+    assert(one("toEpochDays(172800000)") == 2L)
+    assert(one("toEpochHoursRounded(7200000, 10)") == 0L)
+    assert(one("toEpochMinutesBucket(600000, 5)") == 2L)
+    assert(one("fromEpochDays(2)") == 172800000L)
+    assert(one("fromEpochHoursBucket(1, 24)") == 86400000L)
+    assert(one("toEpochDaysMV(array(86400000, 172800000))") ==
+      Seq(1L, 2L))
+  }
+
+  test("datetime leftovers: iso8601, dateBin, timestampAdd/Diff, dow/yow") {
+    assert(one("toIso8601(0)") == "1970-01-01T00:00:00.000Z")
+    assert(one("fromIso8601('1970-01-02T00:00:00.000Z')") == 86400000L)
+    assert(one("dateBin('PT15M', 1000000, 0)") == 900000L)
+    assert(one("dateAddEpoch('DAY', 2, 0)") == 172800000L)
+    assert(one("dateAddEpoch('MONTH', 1, 0)") == 2678400000L)
+    assert(graft.sql.QueryFacade.rewriteReserved(
+      "SELECT dateAdd('DAY', 1, 0), timestampDiff('HOUR', 0, x)") ==
+      "SELECT dateAddEpoch('DAY', 1, 0), dateDiffEpoch('HOUR', 0, x)")
+    assert(one("dateDiffEpoch('HOUR', 0, 7200000)") == 2L)
+    // 1970-01-01 was a Thursday: ISO dow = 4
+    assert(one("dow(0)") == 4)
+    assert(one("doy(86400000)") == 2)
+    assert(one("yow(0)") == 1970)
+    assert(one("timezoneHour('America/New_York', 0)") == -5)
+    assert(one("hourMV(array(0, 3600000))") == Seq(0, 1))
+    assert(one("timestampAddMV('HOUR', 1, array(0, 3600000))") ==
+      Seq(3600000L, 7200000L))
+  }
+
+  test("URL cut/extract family (UrlFunctions.java)") {
+    val u = "'https://www.sub.example.com/a/b?x=1&y=2#frag'"
+    assert(one(s"cutFragment($u)") ==
+      "https://www.sub.example.com/a/b?x=1&y=2")
+    assert(one(s"cutQueryString($u)") ==
+      "https://www.sub.example.com/a/b#frag")
+    assert(one(s"cutQueryStringAndFragment($u)") ==
+      "https://www.sub.example.com/a/b")
+    assert(one(s"cutWWW($u)") ==
+      "https://sub.example.com/a/b?x=1&y=2#frag")
+    assert(one(s"urlPathWithQuery($u)") == "/a/b")
+    assert(one(s"urlFirstSignificantSubdomain($u)") == "example")
+    assert(one(s"cutToFirstSignificantSubdomain($u)") == "example.com")
+    assert(one(s"urlHierarchy('https://h.io/a/b')") ==
+      Seq("https://h.io", "https://h.io/a", "https://h.io/a/b"))
+    assert(one(s"urlPathHierarchy('https://h.io/a/b')") ==
+      Seq("/a", "/a/b"))
+    assert(one(s"cutURLParameter($u, 'x')") ==
+      "https://www.sub.example.com/a/b?y=2#frag")
+    assert(one(s"extractURLParameters($u)") == Seq("x=1", "y=2"))
+    assert(one(s"extractURLParameterNames($u)") == Seq("x", "y"))
+  }
+
+  test("string leftovers") {
+    assert(one("leftSubStr('hello', 3)") == "hel")
+    assert(one("rightSubStr('hello', 3)") == "llo")
+    assert(one("rightSubStr('hi', 9)") == "hi")
+    assert(one("strcmp('a', 'b')") == -1)
+    assert(one("isValidAscii('plain')") == true)
+    assert(one("isValidAscii('naïve')") == false)
+    assert(one("prefixes('abc')") == Seq("a", "ab", "abc"))
+    assert(one("suffixes('abc')") == Seq("abc", "bc", "c"))
+    assert(one("startsWithCaseInsensitive('Hello', 'he')") == true)
+    assert(one("difference('Smith', 'Smyth')") == 4)
+  }
+
+  test("math + json leftovers") {
+    assert(one("exp2(10.0D)") == 1024.0)
+    assert(one("sigmoid(0.0D)") == 0.5)
+    assert(one("intDivOrZero(7, 0)") == 0L)
+    assert(one("intDivOrZero(7, 2)") == 3L)
+    assert(one("isFinite(1.0D)") == true)
+    assert(one("isInfinite(cast('Infinity' as double))") == true)
+    assert(one("ifNotFinite(cast('Infinity' as double), 9.0D)") == 9.0)
+    assert(one("byteSwapInt(1)") == 16777216)
+    assert(one("byteSwapLong(1)") == 72057594037927936L)
+    assert(one("hexDecimalToLong('ff')") == 255L)
+    assert(one("longToHexDecimal(255)") == "ff")
+    assert(one("jsonPathString('{\"a\":{\"b\":\"v\"}}', '$.a.b')") == "v")
+    assert(one("jsonPathLong('{\"n\":7}', '$.n')") == 7L)
+    assert(one("jsonPathExists('{\"n\":7}', '$.x')") == false)
+    assert(one("jsonPathArray('{\"a\":[1,2]}', '$.a')") == Seq("1", "2"))
+    assert(one("isJson('{\"a\":1}')") == true)
+    assert(one("isJson('nope{')") == false)
+  }
+}
