@@ -381,6 +381,41 @@ object ScalarTail {
     b += "longtohexdecimal" -> { case Seq(x) => lower(hex(x.cast(LongType))) }
     b += "sha224" -> { case Seq(x) => sha2(x, 224) }
 
+    // —— hash family (scalar/HashFunctions.java:102-287) ——
+    // native HashExpr (plans/HashExpr.scala) — static call inside
+    // whole-stage codegen. The `…UTF8` variants encode first, as the
+    // reference does input.getBytes(UTF_8). murmurHash3X64Bit* (the
+    // Infinispan x64-adapted variant) is not carried — the standard
+    // x86_32/x64_128 family is.
+    def hx(algo: String, defSeed: Int = 0): Seq[Column] => Column = {
+      case Seq(c) => graft.plans.HashExpr(c, algo, defSeed)
+      case Seq(c, s) =>
+        graft.plans.HashExpr(c, algo, str(s).toDouble.toInt)
+    }
+    def hxU(algo: String, defSeed: Int = 0): Seq[Column] => Column = {
+      case Seq(c) =>
+        graft.plans.HashExpr(encode(c, "UTF-8"), algo, defSeed)
+      case Seq(c, s) =>
+        graft.plans.HashExpr(encode(c, "UTF-8"), algo, str(s).toDouble.toInt)
+    }
+    b += "murmurhash2" -> hx("murmur2")
+    b += "murmurhash2utf8" -> hxU("murmur2")
+    b += "murmurhash2bit64" -> hx("murmur2_64", 0xe17a1465)
+    b += "murmurhash3bit32" -> hx("murmur3_32")
+    b += "murmurhash3bit64" -> hx("murmur3_64")
+    b += "murmurhash3bit128" -> hx("murmur3_128")
+    b += "fnv1hash32" -> hx("fnv1_32")
+    b += "fnv1hash32utf8" -> hxU("fnv1_32")
+    b += "fnv1ahash32" -> hx("fnv1a_32")
+    b += "fnv1ahash32utf8" -> hxU("fnv1a_32")
+    b += "fnv1hash64" -> hx("fnv1_64")
+    b += "fnv1hash64utf8" -> hxU("fnv1_64")
+    b += "fnv1ahash64" -> hx("fnv1a_64")
+    b += "fnv1ahash64utf8" -> hxU("fnv1a_64")
+    b += "adler32" -> hx("adler32")
+    b += "crc32c" -> hx("crc32c")
+    b += "md2" -> hx("md2")
+
     // —— JSON path family (scalar/JsonFunctions.java) ——
     def jp(c: Column, p: Column): Column = get_json_object(c, str(p))
     b += "jsonpathstring" -> {

@@ -98,6 +98,35 @@ class ScalarTailSpec extends SparkSpec {
     assert(one("difference('Smith', 'Smyth')") == 4)
   }
 
+  test("hash family matches published test vectors") {
+    // FNV canonical vectors (Fowler/Noll/Vo published test suite)
+    assert(one("fnv1aHash32UTF8('')") == 0x811c9dc5)
+    assert(one("fnv1Hash32UTF8('a')") == 0x050c5d7e)
+    assert(one("fnv1aHash32UTF8('a')") == 0xe40c292c)
+    assert(one("fnv1aHash64UTF8('')") == 0xcbf29ce484222325L)
+    // Adler32/CRC32C standard check values
+    assert(one("adler32(encode('abc', 'UTF-8'))") == 38600999)
+    assert(one("crc32c(encode('123456789', 'UTF-8'))") == 0xe3069283)
+    // MurmurHash3 x86_32 canonical ("hello", seed 0)
+    assert(one("murmurHash3Bit32(encode('hello', 'UTF-8'), 0)") ==
+      0x248bfa47)
+    // x64_128: 64-bit variant is the first 8 little-endian bytes
+    val full = one("murmurHash3Bit128(encode('hello', 'UTF-8'), 42)")
+      .asInstanceOf[Array[Byte]]
+    val lo = (0 until 8).map(i => (full(i) & 0xffL) << (8 * i)).reduce(_ | _)
+    assert(one("murmurHash3Bit64(encode('hello', 'UTF-8'), 42)") == lo)
+    // MD2 RFC 1319 test vectors
+    assert(one("md2(encode('', 'UTF-8'))") ==
+      "8350e5a3e24c153df2275c9f80692773")
+    assert(one("md2(encode('abc', 'UTF-8'))") ==
+      "da853b0d3f88d99b30283a69e6ded6bb")
+    // murmur2: deterministic + utf8 variant consistency
+    assert(one("murmurHash2(encode('pinot', 'UTF-8'))") ==
+      one("murmurHash2UTF8('pinot')"))
+    assert(one("murmurHash2Bit64(encode('x', 'UTF-8'))") !=
+      one("murmurHash2Bit64(encode('y', 'UTF-8'))"))
+  }
+
   test("math + json leftovers") {
     assert(one("exp2(10.0D)") == 1024.0)
     assert(one("sigmoid(0.0D)") == 0.5)
