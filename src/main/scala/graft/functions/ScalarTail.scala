@@ -452,6 +452,90 @@ object ScalarTail {
     b += "isjson" -> { case Seq(c) =>
       get_json_object(c, "$").isNotNull }
 
+    // —— geohash (scalar/GeohashFunctions.java:121-146) ——
+    b += "encodegeohash" -> { case Seq(lat, lon, p) =>
+      graft.plans.ScalarExprs.encodeGeoHash(lat, lon, str(p).toDouble.toInt) }
+    b += "decodegeohash" -> { case Seq(h) =>
+      graft.plans.ScalarExprs.decodeGeoHash(h, "latlon") }
+    for (n <- Seq("decodegeohashlat", "decodegeohashlatitude"))
+      b += n -> { case Seq(h) =>
+        graft.plans.ScalarExprs.decodeGeoHash(h, "lat") }
+    for (n <- Seq("decodegeohashlon", "decodegeohashlongitude"))
+      b += n -> { case Seq(h) =>
+        graft.plans.ScalarExprs.decodeGeoHash(h, "lon") }
+
+    // —— iterative math/string cores (plans/ScalarExprs.scala) ——
+    b += "gcd" -> { case Seq(a, x) =>
+      graft.plans.ScalarExprs.binaryAlgo(a, x, "gcd") }
+    b += "lcm" -> { case Seq(a, x) =>
+      graft.plans.ScalarExprs.binaryAlgo(a, x, "lcm") }
+    b += "hammingdistance" -> { case Seq(a, x) =>
+      graft.plans.ScalarExprs.binaryAlgo(a, x, "hamming") }
+    b += "levenshteindistance" -> { case Seq(a, x) => levenshtein(a, x) }
+
+    // —— conversion aliases (DataTypeConversionFunctions.java) ——
+    b += "base64encode" -> { case Seq(x) => base64(x) }
+    b += "base64decode" -> { case Seq(s) => unbase64(s) }
+    b += "bytestohex" -> { case Seq(x) => lower(hex(x)) }
+    b += "hextobytes" -> { case Seq(s) => unhex(s) }
+    b += "tobytes" -> { case Seq(s) => encode(s, "UTF-8") }
+    b += "frombytes" -> { case Seq(x) => decode(x, "UTF-8") }
+
+    // —— vector/geo/string/json aliases onto existing impls ——
+    b += "dotproduct" -> { case Seq(a, x) =>
+      VectorFunctions.innerProduct(a, x) }
+    b += "euclideandistance" -> { case Seq(a, x) =>
+      graft.plans.VectorExpressions.l2Distance(a, x) }
+    b += "stpolygon" -> { case Seq(wkt) => GeoFunctions.wktPolygon(wkt) }
+    b += "remove" -> { case Seq(s, sub) =>
+      replace(s, sub, lit("")) }
+    b += "divide" -> {
+      case Seq(a, x) => a.cast(DoubleType) / x.cast(DoubleType)
+      case Seq(a, x, dflt) =>
+        when(x.cast(DoubleType) === 0.0, dflt.cast(DoubleType))
+          .otherwise(a.cast(DoubleType) / x.cast(DoubleType)) }
+    b += "stringtoarray" -> {
+      case Seq(s) => split(s, ";")
+      case Seq(s, d) =>
+        split(s, java.util.regex.Pattern.quote(str(d))) }
+    b += "jsonkeyvaluearraytomap" -> { case Seq(c) =>
+      map_from_entries(transform(
+        from_json(c, ArrayType(MapType(StringType, StringType))),
+        e => struct(element_at(e, "key"), element_at(e, "value")))) }
+    b += "jsonstringtolistormap" -> { case Seq(c) =>
+      // list-or-map duality collapses to string-keyed map when the
+      // payload is an object, else the array form
+      coalesce(to_json(from_json(c, MapType(StringType, StringType))),
+        to_json(from_json(c, ArrayType(StringType)))) }
+
+    // —— IP string helpers (IpAddressFunctions.java) ——
+    b += "ipmasklen" -> { case Seq(cidr) =>
+      regexp_extract(cidr, "/(\\d+)$", 1).cast(IntegerType) }
+    b += "ipfamily" -> { case Seq(ip) =>
+      when(ip.contains(":"), "IPv6").otherwise("IPv4") }
+    b += "ipv4toipv6" -> { case Seq(ip) =>
+      concat(lit("::ffff:"), ip) }
+    b += "isprivateip" -> { case Seq(ip) =>
+      ip.rlike("^(10\\.|192\\.168\\.|172\\.(1[6-9]|2[0-9]|3[01])\\.)") ||
+        lower(ip).rlike("^(f[cd]|fe[89ab])") }
+
+    // —— remaining MV variants over existing bases ——
+    b += "datetruncmv" -> { case Seq(u, a) =>
+      transform(a, ts => date_trunc(str(u), ts)) }
+    b += "todatetimemv" -> { case Seq(a, pat) =>
+      transform(a, ms => date_format(tsOf(ms), str(pat))) }
+    b += "fromdatetimemv" -> { case Seq(a, pat) =>
+      transform(a, s => unix_millis(to_timestamp(s, str(pat)))) }
+    b += "fromiso8601mv" -> { case Seq(a) =>
+      transform(a, s => unix_millis(to_timestamp(
+        regexp_replace(s, "Z$", ""), "yyyy-MM-dd'T'HH:mm:ss[.SSS]"))) }
+    b += "timezonehourmv" -> { case Seq(tz, a) =>
+      transform(a, ms =>
+        (tzOffsetMs(ms, str(tz)) / 3600000L).cast(IntegerType)) }
+    b += "timezoneminutemv" -> { case Seq(tz, a) =>
+      transform(a, ms =>
+        ((tzOffsetMs(ms, str(tz)) / 60000L) % 60).cast(IntegerType)) }
+
     b.result()
   }
 

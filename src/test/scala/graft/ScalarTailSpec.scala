@@ -127,6 +127,41 @@ class ScalarTailSpec extends SparkSpec {
       one("murmurHash2Bit64(encode('y', 'UTF-8'))"))
   }
 
+  test("geohash round-trip and known cell") {
+    // canonical example: Jutland cell "u4pruydqqvj" ≈ (57.64911, 10.40744)
+    assert(one("encodeGeoHash(57.64911D, 10.40744D, 11)") == "u4pruydqqvj")
+    val lat = one("decodeGeoHashLatitude('u4pruydqqvj')")
+      .asInstanceOf[Double]
+    val lon = one("decodeGeoHashLongitude('u4pruydqqvj')")
+      .asInstanceOf[Double]
+    assert(math.abs(lat - 57.64911) < 1e-4 && math.abs(lon - 10.40744) < 1e-4)
+    assert(one("decodeGeoHash('u4pruydqqvj')")
+      .asInstanceOf[scala.collection.Seq[Double]].size == 2)
+  }
+
+  test("gcd/lcm/hamming/levenshtein + conversions + IP helpers") {
+    assert(one("gcd(12, 18)") == 6L)
+    assert(one("gcd(0, 5)") == 5L)
+    assert(one("lcm(4, 6)") == 12L)
+    assert(one("hammingDistance('karolin', 'kathrin')") == 3)
+    assert(one("levenshteinDistance('kitten', 'sitting')") == 3)
+    assert(one("base64Encode(toBytes('hi'))") == "aGk=")
+    assert(one("fromBytes(base64Decode('aGk='))") == "hi")
+    assert(one("bytesToHex(toBytes('A'))") == "41")
+    assert(one("fromBytes(hexToBytes('41'))") == "A")
+    assert(one("divide(7, 2)") == 3.5)
+    assert(one("divide(7, 0, -1.0D)") == -1.0)
+    assert(one("remove('banana', 'an')") == "ba")
+    assert(one("ipMaskLen('10.0.0.0/24')") == 24)
+    assert(one("ipFamily('::1')") == "IPv6")
+    assert(one("ipv4ToIpv6('1.2.3.4')") == "::ffff:1.2.3.4")
+    assert(one("isPrivateIp('192.168.1.9')") == true)
+    assert(one("isPrivateIp('8.8.8.8')") == false)
+    assert(one("dotProduct(array(1.0D,2.0D), array(3.0D,4.0D))") == 11.0)
+    assert(one("euclideanDistance(array(0.0D,0.0D), array(3.0D,4.0D))")
+      == 5.0)
+  }
+
   test("math + json leftovers") {
     assert(one("exp2(10.0D)") == 1024.0)
     assert(one("sigmoid(0.0D)") == 0.5)
