@@ -203,14 +203,17 @@ object Dedup {
 
     val a = banded.select(col("band"), col("bucket"), col("id").as("a"), col("signature").as("sig_a"))
     val b = banded.select(col("band"), col("bucket"), col("id").as("b"), col("signature").as("sig_b"))
+    // est_jaccard is computed BEFORE the pair-dedup: a pair surfacing in
+    // several bands recomputes the (codegen'd) position-match cheaply,
+    // but the distinct's exchange then carries 3 scalars per pair
+    // instead of two full k-long signatures.
     a.join(b, Seq("band", "bucket"))
       .filter(col("a") < col("b"))
-      .select(col("a"), col("b"), col("sig_a"), col("sig_b")).distinct()
       .withColumn("est_jaccard",
         size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), m => m))
           .cast("double") / lit(numHashes.toDouble))
       .filter(col("est_jaccard") >= threshold)
-      .select(col("a").as("id_a"), col("b").as("id_b"), col("est_jaccard"))
+      .select(col("a").as("id_a"), col("b").as("id_b"), col("est_jaccard")).distinct()
   }
 
   /** 64-bit SimHash over distinct tokens: bit j of the fingerprint is the
@@ -270,13 +273,14 @@ object Dedup {
       posexplode(bandKeys).as(Seq("band", "key")))
     val a = banded.select(col("band"), col("key"), col("id").as("id_a"), col("vec").as("va"))
     val b = banded.select(col("band"), col("key"), col("id").as("id_b"), col("vec").as("vb"))
+    // cosine before the pair-dedup: the distinct's exchange carries
+    // (id, id, sim) scalars, never the two embedding vectors.
     a.join(b, Seq("band", "key"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("va"), col("vb")).distinct()
       .withColumn("cos_sim", graft.plans.VectorExpressions
         .cosineSimilarity(col("va"), col("vb")))
       .filter(col("cos_sim") >= threshold)
-      .select(col("id_a"), col("id_b"), col("cos_sim"))
+      .select(col("id_a"), col("id_b"), col("cos_sim")).distinct()
   }
 
   /** Hamming distance between two int64 fingerprints. */
@@ -300,11 +304,12 @@ object Dedup {
       posexplode(bandKeys).as(Seq("band", "key")))
     val a = banded.select(col("band"), col("key"), col("id").as("a"), col("simhash").as("fp_a"))
     val b = banded.select(col("band"), col("key"), col("id").as("b"), col("simhash").as("fp_b"))
+    // hamming before the pair-dedup: filtering to dist <= maxDist first
+    // shrinks the distinct's input to true near-dups only.
     a.join(b, Seq("band", "key"))
       .filter(col("a") < col("b"))
-      .select(col("a"), col("b"), col("fp_a"), col("fp_b")).distinct()
       .withColumn("dist", hamming(col("fp_a"), col("fp_b")))
       .filter(col("dist") <= maxDist)
-      .select(col("a").as("id_a"), col("b").as("id_b"), col("dist"))
+      .select(col("a").as("id_a"), col("b").as("id_b"), col("dist")).distinct()
   }
 }

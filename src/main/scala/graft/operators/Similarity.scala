@@ -62,29 +62,19 @@ object Similarity {
   }
 
   /** Random-hyperplane signature: bit i = sign(<v, h_i>) where h_i is a
-    * deterministic pseudo-random hyperplane derived from xxhash64(i, j).
+    * deterministic pseudo-random hyperplane derived from xxhash64(j, i).
     * Hyperplane components in {-1,+1} (Rademacher), which preserves cosine
     * locality like Gaussian planes and needs no stored model.
     *
-    * Shape: posexplode the vector once, ONE hash-aggregate with `bits`
-    * plain signed sums (codegen'd) — not a bits-wide HOF tree per row,
-    * which would fall out of whole-stage codegen. Adds column `__sig`. */
+    * Computed by the fused [[graft.plans.HyperplaneSignature]] expression:
+    * one codegen'd pass per row, SHUFFLE-FREE (the previous
+    * posexplode → bits-wide aggregate → join-back shape cost one exchange
+    * of all vector components plus a join carrying the vectors — at
+    * corpus scale the join dominates). Adds column `__sig`. */
   def withHyperplaneSignature(df: DataFrame, idCol: String, vecCol: String,
-      bits: Int): DataFrame = {
-    val exploded = df.select(col(idCol).as("__hid"),
-      posexplode(col(vecCol)).as(Seq("j", "x")))
-    val dots = (0 until bits).map { i =>
-      sum(when(xxhash64(col("j"), lit(i)).bitwiseAND(lit(1L)) === 1L,
-        col("x").cast("double")).otherwise(-col("x").cast("double"))).as(s"d$i")
-    }
-    val fp = (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
-      acc.bitwiseOR(when(col(s"d$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L)))
-    }
-    val sigs = exploded.groupBy(col("__hid"))
-      .agg(dots.head, dots.tail: _*)
-      .select(col("__hid"), fp.as("__sig"))
-    df.join(sigs, col(idCol) === col("__hid")).drop("__hid")
-  }
+      bits: Int): DataFrame =
+    df.withColumn("__sig",
+      graft.plans.VectorExpressions.hyperplaneSignature(col(vecCol), bits))
 
   /** Approximate top-k per probe: candidates = corpus rows agreeing with
     * the probe on at least one LSH band, re-ranked by exact cosine. */
@@ -109,13 +99,17 @@ object Similarity {
     }
     val p = banded(probes, probeId, "probe_id", "__pv")
     val c = banded(corpus, corpusId, "neighbor_id", "__cv")
+    // sim is computed BEFORE the candidate-dedup: a pair agreeing on
+    // several bands recomputes the (codegen'd) cosine at most `bands`
+    // times, but the distinct's exchange then carries 3 scalars per
+    // candidate instead of two full embedding vectors.
     val cand = p.join(c, Seq("band", "key"))
       .filter(col("probe_id") =!= col("neighbor_id"))
-      .select("probe_id", "__pv", "neighbor_id", "__cv").distinct()
+      .withColumn("sim", cosineSimilarity(col("__pv"), col("__cv")))
+      .select(col("probe_id"), col("neighbor_id"), col("sim")).distinct()
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("sim").desc, col("neighbor_id").asc)
-    cand.withColumn("sim", cosineSimilarity(col("__pv"), col("__cv")))
-      .withColumn("rank", row_number().over(w))
+    cand.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("probe_id"), col("neighbor_id"), col("sim"), col("rank"))
   }

@@ -117,6 +117,128 @@ case class L2Distance(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Fused random-hyperplane LSH signature: bit i of the result =
+  * [sum_j sign(i,j) * vec[j] > 0] where sign(i,j) ∈ {-1,+1} is derived
+  * from Spark's xxhash64 of (j, i) — bit-identical to the exploded
+  * formulation `sum(when(xxhash64(j, lit(i)) & 1 === 1, x).otherwise(-x))`
+  * it replaces (same hash, same element-order accumulation, same `> 0`),
+  * but computed per ROW in one codegen'd pass: no posexplode, no
+  * 16-way aggregate, no join back — the signature step becomes
+  * shuffle-free, which is what matters when the corpus is 100 TB.
+  *
+  * Reference surface: apache/pinot vector index bucketing
+  * (`VectorSimilarityFilterOperator.java:69`). Hyperplane sign words are
+  * position-dependent only, so they are memoized process-wide.
+  */
+case class HyperplaneSignature(child: Expression, bits: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  require(bits >= 1 && bits <= 64, s"bits must be in [1,64], got $bits")
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = child.nullable
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType | DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"expects array<float|double> input, got $t")
+    }
+
+  private def isFloat = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    val acc = new Array[Double](bits)
+    var j = 0
+    while (j < n) {
+      if (!x.isNullAt(j)) {
+        val v = if (isFloat) x.getFloat(j).toDouble else x.getDouble(j)
+        val w = HyperplaneSignature.signWord(j)
+        var i = 0
+        while (i < bits) {
+          acc(i) += (if (((w >>> i) & 1L) == 1L) v else -v); i += 1
+        }
+      }
+      j += 1
+    }
+    var sig = 0L; var i = 0
+    while (i < bits) { if (acc(i) > 0) sig |= (1L << i); i += 1 }
+    sig
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val j = ctx.freshName("j"); val i = ctx.freshName("i")
+      val n = ctx.freshName("n"); val acc = ctx.freshName("acc")
+      val v = ctx.freshName("v"); val w = ctx.freshName("w")
+      val sig = ctx.freshName("sig")
+      val prim = if (isFloat) "Float" else "Double"
+      s"""
+        int $n = $a.numElements();
+        double[] $acc = new double[$bits];
+        for (int $j = 0; $j < $n; $j++) {
+          if (!$a.isNullAt($j)) {
+            double $v = (double) $a.get$prim($j);
+            long $w = graft.plans.HyperplaneSignature.signWord($j);
+            for (int $i = 0; $i < $bits; $i++) {
+              $acc[$i] += ((($w >>> $i) & 1L) == 1L) ? $v : -$v;
+            }
+          }
+        }
+        long $sig = 0L;
+        for (int $i = 0; $i < $bits; $i++) {
+          if ($acc[$i] > 0) $sig |= (1L << $i);
+        }
+        ${ev.value} = $sig;
+      """
+    })
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+object HyperplaneSignature {
+  // sign words memoized per element position; grown in power-of-two
+  // chunks. Bit i of word(j) = xxhash64(j, i) & 1 with Spark's seed
+  // chain (seed 42, then each value re-seeds the next hash).
+  @volatile private var words: Array[Long] = new Array[Long](0)
+
+  /** Java-callable (used from generated code). */
+  def signWord(j: Int): Long = {
+    var w = words
+    if (j >= w.length) {
+      synchronized {
+        w = words
+        if (j >= w.length) {
+          var cap = math.max(64, w.length)
+          while (cap <= j) cap *= 2
+          val grown = java.util.Arrays.copyOf(w, cap)
+          var p = w.length
+          while (p < cap) { grown(p) = computeWord(p); p += 1 }
+          words = grown; w = grown
+        }
+      }
+    }
+    w(j)
+  }
+
+  private def computeWord(j: Int): Long = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    val hj = XXH64.hashInt(j, 42L)
+    var word = 0L; var i = 0
+    while (i < 64) {
+      if ((XXH64.hashInt(i, hj) & 1L) == 1L) word |= (1L << i)
+      i += 1
+    }
+    word
+  }
+}
+
 object VectorExpressions {
   def cosineSimilarity(a: Column, b: Column): Column =
     ColumnBridge.column(CosineSimilarity(
@@ -125,6 +247,9 @@ object VectorExpressions {
   def l2Distance(a: Column, b: Column): Column =
     ColumnBridge.column(L2Distance(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  def hyperplaneSignature(v: Column, bits: Int): Column =
+    ColumnBridge.column(HyperplaneSignature(ColumnBridge.expression(v), bits))
 
   /** Register as SQL functions (cosine_sim / l2_dist). */
   def registerAll(spark: SparkSession): Unit = {

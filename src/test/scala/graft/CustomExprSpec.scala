@@ -20,6 +20,43 @@ class CustomExprSpec extends SparkSpec {
     assert(bad == 0)
   }
 
+  test("fused hyperplane signature matches exploded-aggregate formulation bit-exactly") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val bits = 16
+    // the formulation HyperplaneSignature replaced: posexplode -> bits
+    // signed sums keyed by xxhash64(j, i) & 1 -> OR the sign bits
+    val exploded = emb.select($"vec_id".as("__hid"),
+      posexplode($"embedding").as(Seq("j", "x")))
+    val dots = (0 until bits).map { i =>
+      sum(when(xxhash64($"j", lit(i)).bitwiseAND(lit(1L)) === 1L,
+        $"x".cast("double")).otherwise(-$"x".cast("double"))).as(s"d$i")
+    }
+    val fp = (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
+      acc.bitwiseOR(when(col(s"d$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L)))
+    }
+    val oldSigs = exploded.groupBy($"__hid").agg(dots.head, dots.tail: _*)
+      .select($"__hid".as("vec_id"), fp.as("old_sig"))
+    val fused = emb.select($"vec_id",
+      VectorExpressions.hyperplaneSignature($"embedding", bits).as("new_sig"))
+    val joined = fused.join(oldSigs, "vec_id")
+    assert(joined.count() > 0)
+    assert(joined.filter($"old_sig" =!= $"new_sig").count() == 0)
+    // interpreted path (no codegen) agrees with the codegen'd path
+    val interp = emb.limit(50).collect().map { r =>
+      val v = r.getAs[scala.collection.Seq[Float]]("embedding")
+      val expr = graft.plans.HyperplaneSignature(
+        org.apache.spark.sql.catalyst.expressions.Literal(
+          org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(v.toArray),
+          org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType)),
+        bits)
+      (r.getAs[Number]("vec_id").longValue(), expr.eval(null).asInstanceOf[Long])
+    }.toMap
+    fused.limit(50).collect().foreach { r =>
+      val id = r.getAs[Number]("vec_id").longValue()
+      if (interp.contains(id)) assert(interp(id) == r.getAs[Long]("new_sig"))
+    }
+  }
+
   test("fused cosine registered for SQL") {
     graft.plans.VectorExpressions.registerAll(spark)
     val r = spark.sql(
