@@ -1,0 +1,236 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.catalyst.expressions.{Expression, Like, RLike, RegExpExtract}
+import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
+import org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The remaining reference surface the other registries don't cover:
+  * operator-name scalars (`TransformFunctionType.java:46-118` —
+  * Pinot exposes EQUALS/NOT_EQUALS/… as callable functions), the
+  * CityHash/MurmurHash3-x64 family, UUID v4/v7 generators, IP mask and
+  * byte-conversion scalars, variable-pattern regex functions, filterMv,
+  * and BigDecimal byte serialization.
+  *
+  * Everything is Catalyst compositions or codegen'd static invokes —
+  * no UDFs. */
+object CompatAliases {
+
+  private def ex(c: Column): Expression = ColumnBridge.expression(c)
+  private def col(e: Expression): Column = ColumnBridge.column(e)
+  private def str(c: Column): String = ex(c).eval().toString
+
+  private val ipClass = Class.forName("graft.functions.IpHelper")
+  private val jvmClass = Class.forName("graft.functions.CompatJvm")
+
+  private[functions] def ipCall(name: String, dt: DataType, args: Column*): Column =
+    col(StaticInvoke(ipClass, dt, name, args.map(ex),
+      returnNullable = true))
+
+  private def jvmCall(name: String, dt: DataType, args: Column*): Column =
+    col(StaticInvoke(jvmClass, dt, name, args.map(ex),
+      returnNullable = true))
+
+  /** CASE WHEN c1 THEN v1 [WHEN c2 THEN v2 …] [ELSE d] as a variadic
+    * function (reference CASE transform, `CaseTransformFunction.java`). */
+  private def caseWhen(cols: Seq[Column]): Column = {
+    val (pairs, dflt) =
+      if (cols.size % 2 == 1) (cols.init, Some(cols.last)) else (cols, None)
+    var c = when(pairs.head, pairs(1))
+    var i = 2
+    while (i + 1 < pairs.size) {
+      c = c.when(pairs(i), pairs(i + 1))
+      i += 2
+    }
+    dflt.map(c.otherwise).getOrElse(c)
+  }
+
+  /** UUIDv7: 48-bit unix millis, version nibble 7, 74 random bits
+    * (RFC 9562 layout; random bits from rand() so each row differs). */
+  private def uuidV7(): Column = {
+    def rhex(n: Int): Column =
+      lpad(lower(hex((rand() * lit(math.pow(16, n).toLong)).cast(LongType))), n, "0")
+    val tsHex = lpad(lower(hex(unix_millis(current_timestamp()))), 12, "0")
+    concat(
+      substring(tsHex, 1, 8), lit("-"), substring(tsHex, 9, 4), lit("-"),
+      lit("7"), rhex(3), lit("-"),
+      substring(lit("89ab"), (rand() * 4 + 1).cast(IntegerType), lit(1)), rhex(3),
+      lit("-"), rhex(12))
+  }
+
+  /** filterMv(mvCol, 'predicate over placeholder v') — the predicate
+    * literal is parsed with the SQL expression grammar and applied
+    * per-element (reference `FilterMvScalarFunction.java`,
+    * `FilterMvPredicateEvaluator.java`: EQ/NOT_EQ/IN/NOT_IN/RANGE/
+    * REGEXP_LIKE over placeholder `v`, AND/OR/NOT combinable). */
+  private def filterMv(arr: Column, pred: Column): Column = {
+    val predStr = str(pred)
+    filter(arr, v => {
+      val parsed = CatalystSqlParser.parseExpression(predStr)
+      col(parsed.transformUp {
+        case a: UnresolvedAttribute if a.name.equalsIgnoreCase("v") => ex(v)
+      })
+    })
+  }
+
+  private def hashSeeds(cols: Seq[Column]): Seq[Long] =
+    cols.map(c => ex(c).eval().toString.toDouble.toLong)
+
+  private val registry: Map[String, Seq[Column] => Column] = Map(
+    // ——— operator-name scalars (TransformFunctionType.java:46-118) ———
+    "equals" -> { case Seq(a, b) => a === b },
+    "notequals" -> { case Seq(a, b) => a =!= b },
+    "greaterthan" -> { case Seq(a, b) => a > b },
+    "greaterthanorequal" -> { case Seq(a, b) => a >= b },
+    "lessthan" -> { case Seq(a, b) => a < b },
+    "lessthanorequal" -> { case Seq(a, b) => a <= b },
+    "notin" -> { case a +: vs => !a.isin(vs: _*) },
+    "isdistinctfrom" -> { case Seq(a, b) => !(a <=> b) },
+    "isnotdistinctfrom" -> { case Seq(a, b) => a <=> b },
+    "istrue" -> { case Seq(a) => coalesce(a.cast(BooleanType), lit(false)) },
+    "isnottrue" -> { case Seq(a) => !coalesce(a.cast(BooleanType), lit(false)) },
+    "isfalse" -> { case Seq(a) => coalesce(!a.cast(BooleanType), lit(false)) },
+    "isnotfalse" -> { case Seq(a) => !coalesce(!a.cast(BooleanType), lit(false)) },
+    "casewhen" -> (cols => caseWhen(cols)),
+
+    // ——— CityHash family (HashFunctions.java:289-328) ———
+    "cityhash32" -> { case Seq(c) => graft.plans.CityHashExpr(c, "city_32", Nil) },
+    "cityhash64" -> { case c +: seeds =>
+      graft.plans.CityHashExpr(c, "city_64", hashSeeds(seeds)) },
+    "cityhash128" -> { case Seq(c) => graft.plans.CityHashExpr(c, "city_128", Nil) },
+    // MurmurHash3 x64 (Infinispan variant; HashFunctions.java:161-187 —
+    // note the reference's Bit64 delegates to Bit32, mirrored here)
+    "murmurhash3x64bit32" -> { case Seq(c, s) =>
+      graft.plans.CityHashExpr(c, "mm3x64_32", hashSeeds(Seq(s))) },
+    "murmurhash3x64bit64" -> { case Seq(c, s) =>
+      graft.plans.CityHashExpr(c, "mm3x64_64", hashSeeds(Seq(s))) },
+    "murmurhash3x64bit128" -> { case Seq(c, s) =>
+      graft.plans.CityHashExpr(c, "mm3x64_128", hashSeeds(Seq(s))) },
+
+    // ——— UUID generators / conversions (scalar/uuid/) ———
+    "uuidv4" -> { case Seq() => expr("uuid()") },
+    "uuidv7" -> { case Seq() => uuidV7() },
+    "touuidbytes" -> { case Seq(u) => NetFunctions.uuidToBytes(u) },
+    "fromuuidbytes" -> { case Seq(b) => NetFunctions.bytesToUuid(b) },
+
+    // ——— ASCII / string leftovers (StringFunctions.java:370,1009) ———
+    "toascii" -> { case Seq(s) => encode(s, "US-ASCII") },
+    "fromascii" -> { case Seq(b) => decode(b, "US-ASCII") },
+    "firstline" -> { case Seq(s) => regexp_extract(s, "^[^\\n\\r]*", 0) },
+
+    // ——— variable-pattern regex/LIKE (…Var transform functions) ———
+    "likevar" -> { case Seq(s, p) => col(Like(ex(s), ex(p), '\\')) },
+    "regexplikevar" -> {
+      case Seq(s, p) => col(RLike(ex(s), ex(p)))
+      case Seq(s, p, f) =>
+        val pat = if (str(f).contains("i")) concat(lit("(?i)"), p) else p
+        col(RLike(ex(s), ex(pat)))
+    },
+    "regexpextractvar" -> {
+      case Seq(s, p) => col(RegExpExtract(ex(s), ex(p), ex(lit(0))))
+      case Seq(s, p, g) => col(RegExpExtract(ex(s), ex(p), ex(g.cast(IntegerType))))
+      case Seq(s, p, g, d) =>
+        val e = col(RegExpExtract(ex(s), ex(p), ex(g.cast(IntegerType))))
+        when(e === "", d).otherwise(e)
+    },
+
+    // ——— IP masks and byte conversions (IpAddressFunctions.java) ———
+    "ipnetmask" -> { case Seq(c) => ipCall("netmask", StringType, c, lit(false)) },
+    "iphostmask" -> { case Seq(c) => ipCall("netmask", StringType, c, lit(true)) },
+    "ipv4cidrtorange" -> { case Seq(c) =>
+      when(c.contains(":"), lit(null).cast(ArrayType(StringType)))
+        .otherwise(array(
+          ipCall("ipSubnetMin", StringType, c),
+          ipCall("ipSubnetMax", StringType, c))) },
+    "ipv6tobytes" -> { case Seq(c) => ipCall("ipv6ToBytes", BinaryType, c) },
+    "bytestoipv6" -> { case Seq(b) => ipCall("bytesToIpv6", StringType, b) },
+
+    // ——— BigDecimal byte serialization (DataTypeConversionFunctions) ———
+    "bigdecimaltobytes" -> { case Seq(d) =>
+      jvmCall("bigDecimalToBytes", BinaryType, d.cast(DecimalType(38, 18))) },
+    "bytestobigdecimal" -> { case Seq(b) =>
+      jvmCall("bytesToBigDecimal", DecimalType(38, 18), b) },
+
+    // ——— MV / period ———
+    "agomv" -> { case Seq(arr) =>
+      transform(arr, p =>
+        unix_millis(current_timestamp()) - jvmCall("periodMillis", LongType, p)) },
+    "filtermv" -> { case Seq(arr, pred) => filterMv(arr, pred) },
+
+    // ——— aggregate alias: SUMPRECISION (exact decimal sum) ———
+    "sumprecision" -> {
+      case Seq(c) => sum(c.cast(DecimalType(38, 18)))
+      case Seq(c, p) =>
+        val prec = str(p).toInt
+        sum(c.cast(DecimalType(38, 18))).cast(DecimalType(prec, math.min(prec - 1, 18)))
+      case Seq(c, p, s) =>
+        sum(c.cast(DecimalType(38, 18))).cast(DecimalType(str(p).toInt, str(s).toInt))
+    }
+  )
+
+  /** Pinot resolves function names with underscores stripped and
+    * lowercased (`FunctionRegistry.canonicalize` in the reference), so
+    * `ST_Contains`, `stContains` and `st_contains` are one function.
+    * Spark's registry is spelling-exact and its resolver throws before
+    * any extension rule could rewrite a miss, so the reference's
+    * alternate spellings are registered eagerly: each name below is
+    * aliased to the function whose canonical (underscore-stripped)
+    * form it matches — graft registration or Spark builtin alike. */
+  private val referenceSpellings = Seq(
+    // geo (TransformFunctionType ST_* enum spellings)
+    "st_point", "st_polygon", "st_distance", "st_contains", "st_within",
+    "st_equals", "st_area", "st_astext", "st_asbinary", "st_asgeojson",
+    "st_geometrytype", "st_geomfromtext", "st_geogfromtext",
+    "st_geomfromwkb", "st_geogfromwkb", "st_geomfromgeojson",
+    "st_geogfromgeojson", "st_union",
+    // predicate spellings (FilterKind names)
+    "is_null", "is_not_null", "is_true", "is_not_true", "is_false",
+    "is_not_false", "is_distinct_from", "is_not_distinct_from",
+    "greater_than", "greater_than_or_equal", "less_than",
+    "less_than_or_equal", "not_equals", "not_in",
+    // IP / UUID scalar alternate spellings
+    "is_private_ip", "is_subnet_of", "ip_family", "ip_mask_len",
+    "ip_netmask", "ip_hostmask", "ip_prefix", "ip_subnet_min",
+    "ip_subnet_max", "uuid_v4", "uuid_v7",
+    // Pinot camelCase forms of Spark snake_case builtins
+    "stddevpop", "stddevsamp", "varpop", "varsamp", "covarpop",
+    "covarsamp", "widthbucket", "octetlength", "bitcount", "bitlength",
+    "substringindex", "regexpcount", "regexpsubstr", "urlencode",
+    "urldecode", "arrayagg", "booland", "boolor", "percentilecont",
+    "anyvalue", "rownumber", "denserank")
+
+  private def canon(s: String): String =
+    s.replace("_", "").toLowerCase(java.util.Locale.ROOT)
+
+  /** Idempotent registration; never shadows an existing function. */
+  def registerAll(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    registry.foreach { case (name, f) =>
+      val id = org.apache.spark.sql.catalyst.FunctionIdentifier(name)
+      if (!reg.functionExists(id))
+        reg.createOrReplaceTempFunction(name,
+          (exprs: Seq[Expression]) => ColumnBridge.expression(
+            f(exprs.map(ColumnBridge.column))), "built-in")
+    }
+    // alias sweep: alternate reference spellings onto whatever function
+    // owns the canonical form (graft or builtin); misses stay absent
+    lazy val canonical: Map[String, String] = reg.listFunction()
+      .map(_.funcName).sortBy(identity).groupBy(canon)
+      .map { case (k, vs) => k -> vs.head }
+    referenceSpellings.foreach { name =>
+      val id = org.apache.spark.sql.catalyst.FunctionIdentifier(name)
+      if (!reg.functionExists(id)) {
+        canonical.get(canon(name)).foreach { actual =>
+          val actualId = org.apache.spark.sql.catalyst.FunctionIdentifier(actual)
+          reg.createOrReplaceTempFunction(name,
+            (exprs: Seq[Expression]) => reg.lookupFunction(actualId, exprs),
+            "built-in")
+        }
+      }
+    }
+  }
+}

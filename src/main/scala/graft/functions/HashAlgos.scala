@@ -159,6 +159,93 @@ object HashAlgos {
     (h1, h2)
   }
 
+  // —— MurmurHash3 x64, Infinispan variant (the reference's
+  // `MurmurHashFunctions.murmurHash3X64*`, which follows the
+  // Infinispan MurmurHash3 x64 design: distinct init constants
+  // h1=0x9368e53c2f6af274^seed / h2=0x586dcd208f7cd3fd^seed, rotating
+  // c1/c2 that evolve each block, sign-extending tail loads, and a
+  // final bmix on any non-empty tail). Re-implemented from the public
+  // algorithm; parity pinned by vectors in CityHashSpec. ——
+  private def murmur3X64Infinispan(key: Array[Byte], seed: Int): (Long, Long) = {
+    var h1 = 0x9368e53c2f6af274L ^ seed
+    var h2 = 0x586dcd208f7cd3fdL ^ seed
+    var c1 = 0x87c37b91114253d5L
+    var c2 = 0x4cf5ad432745937fL
+    var k1 = 0L
+    var k2 = 0L
+
+    def bmix(): Unit = {
+      k1 *= c1
+      k1 = (k1 << 23) | (k1 >>> 41)
+      k1 *= c2
+      h1 ^= k1
+      h1 += h2
+      h2 = (h2 << 41) | (h2 >>> 23)
+      k2 *= c2
+      k2 = (k2 << 23) | (k2 >>> 41)
+      k2 *= c1
+      h2 ^= k2
+      h2 += h1
+      h1 = h1 * 3 + 0x52dce729L
+      h2 = h2 * 3 + 0x38495ab5L
+      c1 = c1 * 5 + 0x7b7d159cL
+      c2 = c2 * 5 + 0x6bce6396L
+    }
+
+    val length = key.length
+    var i = 0
+    while (i + 16 <= length) {
+      k1 = littleLong(key, i)
+      k2 = littleLong(key, i + 8)
+      bmix()
+      i += 16
+    }
+    k1 = 0L
+    k2 = 0L
+    val tail = length & 0xFFFFFFF0
+    val rem = length & 15
+    // tail loads sign-extend (byte → long before shifting), matching
+    // the published variant
+    var j = rem - 1
+    while (j >= 8) {
+      k2 ^= key(tail + j).toLong << ((j - 8) * 8); j -= 1
+    }
+    while (j >= 1) {
+      k1 ^= key(tail + j).toLong << (j * 8); j -= 1
+    }
+    if (rem > 0) {
+      k1 ^= key(tail).toLong
+      bmix()
+    }
+    h2 ^= length
+    h1 += h2; h2 += h1
+    h1 = fmix64(h1); h2 = fmix64(h2)
+    h1 += h2; h2 += h1
+    (h1, h2)
+  }
+
+  def murmur3X64Bit32(data: Array[Byte], seed: Int): Int =
+    (murmur3X64Infinispan(data, seed)._1 >>> 32).toInt
+
+  /** The reference's SQL-facing murmurHash3X64Bit64
+    * (`HashFunctions.java:174`) delegates to the *32-bit* variant and
+    * widens — an observable quirk we mirror for result parity. */
+  def murmur3X64Bit64(data: Array[Byte], seed: Int): Long =
+    murmur3X64Bit32(data, seed).toLong
+
+  /** 16 bytes, big-endian h1 then h2 (reference ByteBuffer packing). */
+  def murmur3X64Bit128(data: Array[Byte], seed: Int): Array[Byte] = {
+    val (h1, h2) = murmur3X64Infinispan(data, seed)
+    val out = new Array[Byte](16)
+    var i = 0
+    while (i < 8) {
+      out(i) = ((h1 >>> (56 - 8 * i)) & 0xff).toByte
+      out(8 + i) = ((h2 >>> (56 - 8 * i)) & 0xff).toByte
+      i += 1
+    }
+    out
+  }
+
   private def fmix32(x0: Int): Int = {
     var x = x0
     x ^= x >>> 16; x *= 0x85ebca6b; x ^= x >>> 13

@@ -303,6 +303,60 @@ object IpHelper {
     UTF8String.fromString(format(maskBits(b, bits, setHostBits = max)))
   }
 
+  /** Reference ipNetmask/ipHostmask (`IpAddressFunctions.java:303-317`):
+    * the network (or inverted host) mask of a CIDR prefix, as an IP
+    * string of the same family; null on invalid input. */
+  def netmask(cidr: UTF8String, invert: Boolean): UTF8String = {
+    if (cidr == null) return null
+    val c = cidr.toString
+    val slash = c.indexOf('/')
+    if (slash < 0) return null
+    val base = parse(c.substring(0, slash))
+    if (base == null) return null
+    val bits =
+      try c.substring(slash + 1).toInt
+      catch { case _: NumberFormatException => return null }
+    if (bits < 0 || bits > base.length * 8) return null
+    val mask = new Array[Byte](base.length)
+    var i = 0
+    while (i < mask.length) {
+      val remaining = bits - i * 8
+      mask(i) =
+        if (remaining >= 8) 0xFF.toByte
+        else if (remaining <= 0) 0
+        else ((0xFF << (8 - remaining)) & 0xFF).toByte
+      if (invert) mask(i) = (~mask(i)).toByte
+      i += 1
+    }
+    UTF8String.fromString(format(mask))
+  }
+
+  /** Reference ipv6ToBytes (`IpAddressFunctions.java:195`): 16-byte
+    * form; null (instead of throwing) on non-IPv6 input. */
+  def ipv6ToBytes(ip: UTF8String): Array[Byte] = {
+    if (ip == null) return null
+    val b = parse(ip.toString)
+    if (b == null || b.length != 16) null else b
+  }
+
+  /** Reference bytesToIpv6 (`IpAddressFunctions.java:209`): canonical
+    * RFC 5952 string from 16 bytes; null on wrong length. */
+  def bytesToIpv6(b: Array[Byte]): UTF8String =
+    if (b == null || b.length != 16) null else UTF8String.fromString(format(b))
+
+  /** Reference ipv4ToIpv6 (`IpAddressFunctions.java:222`): the
+    * IPv4-mapped IPv6 form in canonical notation (`::ffff:c0a8:101`). */
+  def ipv4MappedV6(ip: UTF8String): UTF8String = {
+    if (ip == null) return null
+    val v4 = parse(ip.toString)
+    if (v4 == null || v4.length != 4) return null
+    val out = new Array[Byte](16)
+    out(10) = 0xFF.toByte
+    out(11) = 0xFF.toByte
+    System.arraycopy(v4, 0, out, 12, 4)
+    UTF8String.fromString(format(out))
+  }
+
   /** Reference ipSubnetMin(cidr): first address of the subnet. */
   def ipSubnetMin(cidr: UTF8String): UTF8String = subnetEnd(cidr, max = false)
 

@@ -514,6 +514,7 @@ object PinotFunctions {
         reg.createOrReplaceTempFunction(name, fn(f), "built-in")
     }
     ScalarTail.registerAll(spark)
+    CompatAliases.registerAll(spark)
     graft.plans.VectorExpressions.registerAll(spark)
     graft.plans.KmvSketch.registerAll(spark)
     graft.plans.FrequentItems.registerAll(spark)

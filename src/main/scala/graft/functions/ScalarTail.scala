@@ -188,6 +188,12 @@ object ScalarTail {
     b += "dateaddepoch" -> { case Seq(u, i, ts) =>
       tsAdd(str(u), i.cast(LongType), ts) }
     b += "datediffepoch" -> { case Seq(u, a, x) => tsDiff(str(u), a, x) }
+    // directly-callable registrations of the same epoch variants (the
+    // SQL grammar intercepts the bare names only when the unit is an
+    // unquoted identifier; call_function/DataFrame callers land here)
+    b += "timestampadd" -> { case Seq(u, i, ts) =>
+      tsAdd(str(u), i.cast(LongType), ts) }
+    b += "timestampdiff" -> { case Seq(u, a, x) => tsDiff(str(u), a, x) }
     b += "timezonehour" -> {
       case Seq(tz) =>
         (tzOffsetMs(lit(0L), str(tz)) / 3600000L).cast(IntegerType)
@@ -280,6 +286,12 @@ object ScalarTail {
       firstSignificantSubdomain(u, withTld = false) }
     b += "cuttofirstsignificantsubdomain" -> { case Seq(u) =>
       firstSignificantSubdomain(u, withTld = true) }
+    // keeps a "www." immediately preceding the significant part
+    // (UrlFunctions.cutToFirstSignificantSubdomainWithWWW)
+    b += "cuttofirstsignificantsubdomainwithwww" -> { case Seq(u) =>
+      val host = regexp_extract(u, "^\\w+://(?:[^@/]*@)?([^:/?#]+)", 1)
+      val fss = firstSignificantSubdomain(u, withTld = true)
+      when(host === concat(lit("www."), fss), host).otherwise(fss) }
     b += "urlhierarchy" -> { case Seq(u) =>
       val base = regexp_extract(u, "^(\\w+://[^/?#]+)", 1)
       val path = regexp_extract(u, "^\\w+://[^/?#]+(/[^?#]*)?", 1)
@@ -300,6 +312,18 @@ object ScalarTail {
       regexp_replace(
         regexp_replace(u, s"([?&])${java.util.regex.Pattern.quote(n)}=[^&#]*&", "$1"),
         s"[?&]${java.util.regex.Pattern.quote(n)}=[^&#]*", "") }
+    // plural form over an array of names (UrlFunctions.java:677);
+    // names are processed left-to-right like the reference's loop
+    b += "cuturlparameters" -> { case Seq(u, names) =>
+      val cutOne = (acc: Column, n: Column) => {
+        // runtime regex assembly: literal-quote each name via \Q…\E
+        val quoted = concat(lit("\\Q"), n, lit("\\E"))
+        regexp_replace(
+          regexp_replace(acc,
+            concat(lit("([?&])"), quoted, lit("=[^&#]*&")), lit("$1")),
+          concat(lit("[?&]"), quoted, lit("=[^&#]*")), lit(""))
+      }
+      aggregate(names, u, cutOne) }
     b += "extracturlparameters" -> { case Seq(u) =>
       filter(split(regexp_extract(u, "\\?([^#]*)", 1), "&"),
         p => p =!= "") }
@@ -511,13 +535,17 @@ object ScalarTail {
     // —— IP string helpers (IpAddressFunctions.java) ——
     b += "ipmasklen" -> { case Seq(cidr) =>
       regexp_extract(cidr, "/(\\d+)$", 1).cast(IntegerType) }
+    // reference returns the int version number (IpAddressFunctions:254)
     b += "ipfamily" -> { case Seq(ip) =>
-      when(ip.contains(":"), "IPv6").otherwise("IPv4") }
+      when(ip.contains(":"), 6).otherwise(4) }
+    // IPv4-mapped form in canonical RFC 5952 notation (::ffff:c0a8:101)
     b += "ipv4toipv6" -> { case Seq(ip) =>
-      concat(lit("::ffff:"), ip) }
+      CompatAliases.ipCall("ipv4MappedV6", StringType, ip) }
+    // RFC1918 + loopback + link-local v4; ::1 + fe80::/10 + fc00::/7 v6
+    // (reference isPrivateIp, IpAddressFunctions.java:335)
     b += "isprivateip" -> { case Seq(ip) =>
-      ip.rlike("^(10\\.|192\\.168\\.|172\\.(1[6-9]|2[0-9]|3[01])\\.)") ||
-        lower(ip).rlike("^(f[cd]|fe[89ab])") }
+      ip.rlike("^(10\\.|192\\.168\\.|172\\.(1[6-9]|2[0-9]|3[01])\\.|127\\.|169\\.254\\.)") ||
+        lower(ip).rlike("^(f[cd]|fe[89ab])") || ip === "::1" }
 
     // —— remaining MV variants over existing bases ——
     b += "datetruncmv" -> { case Seq(u, a) =>

@@ -88,3 +88,76 @@ object HashExpr {
   def apply(c: Column, algo: String, seed: Int): Column =
     ColumnBridge.column(HashExpr(ColumnBridge.expression(c), algo, seed))
 }
+
+/** CityHash + MurmurHash3-x64 scalar surface
+  * (`scalar/HashFunctions.java:161-328`): algorithms whose seeds are
+  * longs (cityHash64WithSeed/WithSeeds) or that return the reference's
+  * x64 quirk types. Same codegen shape as [[HashExpr]]: a direct
+  * static call into graft.functions.{CityHash,HashAlgos}. */
+case class CityHashExpr(child: Expression, algo: String,
+    seeds: Seq[Long] = Nil) extends UnaryExpression {
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == BinaryType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+      .TypeCheckFailure(s"$algo expects binary input, got ${child.dataType}")
+
+  override def dataType: DataType = algo match {
+    case "city_32" | "city_64" => LongType // reference returns long for both
+    case "mm3x64_32" => IntegerType
+    case "mm3x64_64" => LongType
+    case "city_128" | "mm3x64_128" => BinaryType
+    case _ => throw new IllegalArgumentException(s"unknown hash algo: $algo")
+  }
+
+  private def call(arg: String): String = {
+    val ch = "graft.functions.CityHash"
+    val ha = "graft.functions.HashAlgos"
+    val s0 = seeds.headOption.getOrElse(0L)
+    val s1 = seeds.drop(1).headOption.getOrElse(0L)
+    algo match {
+      case "city_32" => s"(long) $ch.cityHash32($arg)"
+      case "city_64" => seeds.size match {
+        case 0 => s"$ch.cityHash64($arg)"
+        case 1 => s"$ch.cityHash64WithSeed($arg, ${s0}L)"
+        case _ => s"$ch.cityHash64WithSeeds($arg, ${s0}L, ${s1}L)"
+      }
+      case "city_128" => s"$ch.cityHash128($arg)"
+      case "mm3x64_32" => s"$ha.murmur3X64Bit32($arg, ${s0.toInt})"
+      case "mm3x64_64" => s"$ha.murmur3X64Bit64($arg, ${s0.toInt})"
+      case "mm3x64_128" => s"$ha.murmur3X64Bit128($arg, ${s0.toInt})"
+    }
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val d = input.asInstanceOf[Array[Byte]]
+    import graft.functions.{CityHash => C, HashAlgos => H}
+    val s0 = seeds.headOption.getOrElse(0L)
+    val s1 = seeds.drop(1).headOption.getOrElse(0L)
+    algo match {
+      case "city_32" => C.cityHash32(d).toLong
+      case "city_64" => seeds.size match {
+        case 0 => C.cityHash64(d)
+        case 1 => C.cityHash64WithSeed(d, s0)
+        case _ => C.cityHash64WithSeeds(d, s0, s1)
+      }
+      case "city_128" => C.cityHash128(d)
+      case "mm3x64_32" => H.murmur3X64Bit32(d, s0.toInt)
+      case "mm3x64_64" => H.murmur3X64Bit64(d, s0.toInt)
+      case "mm3x64_128" => H.murmur3X64Bit128(d, s0.toInt)
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => call(c))
+
+  override protected def withNewChildInternal(newChild: Expression): CityHashExpr =
+    copy(child = newChild)
+}
+
+object CityHashExpr {
+  def apply(c: Column, algo: String, seeds: Seq[Long]): Column =
+    ColumnBridge.column(CityHashExpr(ColumnBridge.expression(c), algo, seeds))
+}

@@ -629,6 +629,61 @@ object FunctionQueries {
             t -> abs(t[1] - t[2]))), 4) AS l1,
           ROUND(sqrt(list_sum(list_transform(list_zip(CAST(embedding AS DOUBLE[]), p),
             t -> (t[1] - t[2]) * (t[1] - t[2])))), 4) AS l2
-        FROM embeddings, probe ORDER BY vec_id"""))
+        FROM embeddings, probe ORDER BY vec_id""")),
+
+    // Compat surface (CompatAliases.scala): Pinot's operator-name
+    // scalars and underscore spellings (FunctionRegistry.canonicalize),
+    // variadic caseWhen, firstline, filterMv, URL parameter cutting,
+    // BigDecimal byte round-trip, variable-pattern regex. Exercised
+    // through the registry (call_function) — the same resolution path
+    // a Pinot-flavored SQL query takes.
+    GQuery("q_fn_compat",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        graft.functions.PinotFunctions.registerAll(s)
+        def fc(name: String, cs: org.apache.spark.sql.Column*) =
+          org.apache.spark.sql.functions.call_function(name, cs: _*)
+        t.customer.filter(col("c_custkey") <= 200)
+          .select(
+            col("c_custkey"),
+            fc("not_equals", col("c_nationkey"), lit(5)).as("ne5"),
+            fc("greater_than_or_equal", col("c_acctbal"), lit(0.0)).as("ge0"),
+            fc("less_than", col("c_nationkey"), lit(12)).as("lt12"),
+            fc("is_distinct_from", col("c_nationkey"), col("c_custkey") % 25).as("idf"),
+            fc("caseWhen",
+              col("c_nationkey") < 8, lit("low"),
+              col("c_nationkey") < 16, lit("mid"),
+              lit("high")).as("band"),
+            fc("firstline",
+              concat(col("c_name"), lit("\n"), col("c_mktsegment"))).as("line1"),
+            fc("fromAscii", fc("toAscii", col("c_mktsegment"))).as("seg"),
+            fc("cutURLParameters",
+              concat(lit("http://x.com/p?a="), col("c_custkey"),
+                lit("&b=2&c=3")),
+              array(lit("a"), lit("c"))).as("cut_url"),
+            r6(fc("bytesToBigDecimal",
+              fc("bigDecimalToBytes", col("c_acctbal").cast(DecimalType(38, 18))))
+              .cast(DoubleType)).as("dec_rt"),
+            fc("regexpExtractVar", col("c_name"), lit("([0-9]+)"), lit(1)).as("digits"),
+            array_join(fc("filterMv",
+              array(col("c_nationkey"), col("c_custkey") % 10, lit(20)),
+              lit("v >= 10")), ",").as("mv_ge10"))
+          .orderBy(col("c_custkey"))
+      },
+      Some("""SELECT c_custkey,
+          c_nationkey <> 5 AS ne5,
+          c_acctbal >= 0.0 AS ge0,
+          c_nationkey < 12 AS lt12,
+          c_nationkey IS DISTINCT FROM (c_custkey % 25) AS idf,
+          CASE WHEN c_nationkey < 8 THEN 'low'
+               WHEN c_nationkey < 16 THEN 'mid' ELSE 'high' END AS band,
+          c_name AS line1,
+          c_mktsegment AS seg,
+          'http://x.com/p?b=2' AS cut_url,
+          ROUND(c_acctbal, 6) AS dec_rt,
+          regexp_extract(c_name, '([0-9]+)', 1) AS digits,
+          array_to_string(list_filter(
+            [c_nationkey, c_custkey % 10, 20], x -> x >= 10), ',') AS mv_ge10
+        FROM customer WHERE c_custkey <= 200 ORDER BY c_custkey"""))
   )
 }

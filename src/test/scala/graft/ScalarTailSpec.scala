@@ -153,10 +153,15 @@ class ScalarTailSpec extends SparkSpec {
     assert(one("divide(7, 0, -1.0D)") == -1.0)
     assert(one("remove('banana', 'an')") == "ba")
     assert(one("ipMaskLen('10.0.0.0/24')") == 24)
-    assert(one("ipFamily('::1')") == "IPv6")
-    assert(one("ipv4ToIpv6('1.2.3.4')") == "::ffff:1.2.3.4")
+    assert(one("ipFamily('::1')") == 6)
+    assert(one("ipFamily('8.8.8.8')") == 4)
+    // canonical RFC 5952 IPv4-mapped form (reference IpAddressFunctions)
+    assert(one("ipv4ToIpv6('1.2.3.4')") == "::ffff:102:304")
     assert(one("isPrivateIp('192.168.1.9')") == true)
     assert(one("isPrivateIp('8.8.8.8')") == false)
+    assert(one("isPrivateIp('127.0.0.1')") == true)
+    assert(one("isPrivateIp('169.254.10.1')") == true)
+    assert(one("isPrivateIp('::1')") == true)
     assert(one("dotProduct(array(1.0D,2.0D), array(3.0D,4.0D))") == 11.0)
     assert(one("euclideanDistance(array(0.0D,0.0D), array(3.0D,4.0D))")
       == 5.0)
