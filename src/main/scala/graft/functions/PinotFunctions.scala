@@ -521,5 +521,6 @@ object PinotFunctions {
     graft.plans.HllSketch.registerAll(spark)
     graft.plans.KllSketch.registerAll(spark)
     graft.plans.TupleSketch.registerAll(spark)
+    graft.plans.FunnelAgg.registerAll(spark)
   }
 }

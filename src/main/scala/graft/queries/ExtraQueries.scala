@@ -653,6 +653,104 @@ object ExtraQueries {
         FROM events
         WHERE ts >= TIMESTAMP '2024-01-01 00:00:00'
           AND ts < TIMESTAMP '2024-01-05 00:00:00'
-        GROUP BY 1, 2 ORDER BY bucket, event_type"""))
+        GROUP BY 1, 2 ORDER BY bucket, event_type""")),
+
+    // SQL-name funnel aggregate (graft.plans.FunnelWindowAgg): the
+    // reference's FUNNELMAXSTEP(ts, windowSize, numSteps, steps...)
+    // call shape (FunnelBaseAggregationFunction.java:33-77), verified
+    // against the greedy step-chain oracle over ALL users (untagged
+    // users score 0).
+    GQuery("q_funnel_agg_sql",
+      (s, dir) => {
+        Tables(s, dir).registerAll()
+        s.sql("""SELECT user_id,
+            funnelmaxstep(unix_millis(CAST(ts AS TIMESTAMP)), 172800000, 3,
+              event_type = 'signup', event_type = 'click',
+              event_type = 'purchase') AS max_step
+          FROM events GROUP BY user_id ORDER BY user_id""")
+      },
+      Some("""WITH ev AS (SELECT user_id, epoch_ms(ts) AS ts, event_type
+          FROM events WHERE event_type IN ('signup', 'click', 'purchase')),
+        u AS (SELECT DISTINCT user_id FROM events),
+        a AS (SELECT user_id, ts AS ts1 FROM ev WHERE event_type = 'signup'),
+        s2 AS (SELECT a.user_id, a.ts1, MIN(e.ts) AS ts2 FROM a JOIN ev e
+          ON e.user_id = a.user_id AND e.event_type = 'click'
+          AND e.ts >= a.ts1 AND e.ts < a.ts1 + 172800000 GROUP BY 1, 2),
+        s3 AS (SELECT s2.user_id, s2.ts1, s2.ts2, MIN(e.ts) AS ts3
+          FROM s2 JOIN ev e
+          ON e.user_id = s2.user_id AND e.event_type = 'purchase'
+          AND e.ts >= s2.ts2 AND e.ts < s2.ts1 + 172800000 GROUP BY 1, 2, 3)
+        SELECT u.user_id,
+          CASE WHEN u.user_id IN (SELECT user_id FROM s3) THEN 3
+               WHEN u.user_id IN (SELECT user_id FROM s2) THEN 2
+               WHEN u.user_id IN (SELECT user_id FROM a) THEN 1
+               ELSE 0 END AS max_step
+        FROM u ORDER BY user_id""")),
+
+    // FUNNELCOUNT set-intersection semantics (funnel/
+    // FunnelCountAggregationFunction.java + SetMergeStrategy.java:30-44):
+    // step k = distinct correlation ids present in ALL of steps 1..k,
+    // no time ordering — exactly mirrorable with INTERSECT.
+    GQuery("q_funnel_setcount",
+      (s, dir) => {
+        Tables(s, dir).registerAll()
+        s.sql("""SELECT pos AS step_idx, n AS n_entities
+          FROM (SELECT funnelcount(user_id, 3,
+              event_type = 'signup', event_type = 'click',
+              event_type = 'purchase') AS fc FROM events)
+          LATERAL VIEW posexplode(fc) t AS pos, n
+          ORDER BY step_idx""")
+      },
+      Some("""WITH s1 AS (SELECT DISTINCT user_id FROM events
+            WHERE event_type = 'signup'),
+          s2 AS (SELECT DISTINCT user_id FROM events
+            WHERE event_type = 'click'),
+          s3 AS (SELECT DISTINCT user_id FROM events
+            WHERE event_type = 'purchase'),
+          i2 AS (SELECT user_id FROM s1 INTERSECT SELECT user_id FROM s2),
+          i3 AS (SELECT user_id FROM i2 INTERSECT SELECT user_id FROM s3)
+        SELECT 0 AS step_idx, (SELECT COUNT(*) FROM s1) AS n_entities
+        UNION ALL SELECT 1, (SELECT COUNT(*) FROM i2)
+        UNION ALL SELECT 2, (SELECT COUNT(*) FROM i3)
+        ORDER BY step_idx""")),
+
+    // TIMESERIESAGGREGATE (TimeSeriesAggregationFunction.java:235):
+    // 24 hourly buckets over day 1, bucket index mirroring the
+    // reference's ((t + offset) - referencePoint - 1) / divisor in raw
+    // millis. Strictly-after-midnight filter keeps the index
+    // arithmetic in non-negative territory where trunc == floor, so
+    // the DuckDB // (floor) mirror is exact.
+    GQuery("q_ts_sql_agg",
+      (s, dir) => {
+        Tables(s, dir).registerAll()
+        s.sql("""WITH src AS (SELECT value,
+              unix_millis(CAST(ts AS TIMESTAMP)) AS t FROM events
+            WHERE unix_millis(CAST(ts AS TIMESTAMP)) > 1704067200000
+              AND unix_millis(CAST(ts AS TIMESTAMP)) <= 1704153600000),
+          agg AS (SELECT
+              timeseriesaggregate('m3ql', 'COUNT', value, t, 'MILLISECONDS',
+                0, 1704070800, 3600, 24, '') AS cnt,
+              timeseriesaggregate('m3ql', 'SUM', value, t, 'MILLISECONDS',
+                0, 1704070800, 3600, 24, '') AS sums
+            FROM src)
+          SELECT pos AS bucket_idx, CAST(c AS BIGINT) AS n_events,
+            ROUND(sums[pos], 4) AS sum_v
+          FROM agg LATERAL VIEW posexplode(cnt) t AS pos, c
+          ORDER BY bucket_idx""")
+      },
+      Some("""WITH e AS (SELECT epoch_ms(ts) AS t, value FROM events
+            WHERE epoch_ms(ts) > 1704067200000
+              AND epoch_ms(ts) <= 1704153600000),
+          b AS (SELECT CAST((t - 1704067200000 - 1) // 3600000 AS INTEGER)
+              AS bucket_idx, value FROM e),
+          g AS (SELECT bucket_idx, COUNT(*) AS n_events,
+              ROUND(SUM(value), 4) AS sum_v
+            FROM b GROUP BY bucket_idx),
+          spine AS (SELECT unnest(range(0, 24)) AS bucket_idx)
+        SELECT CAST(spine.bucket_idx AS INTEGER) AS bucket_idx,
+          COALESCE(g.n_events, 0) AS n_events,
+          COALESCE(g.sum_v, 0.0) AS sum_v
+        FROM spine LEFT JOIN g ON g.bucket_idx = spine.bucket_idx
+        ORDER BY bucket_idx"""))
   )
 }
