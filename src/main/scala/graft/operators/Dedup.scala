@@ -80,8 +80,15 @@ object Dedup {
       idCol: String,
       textCol: String,
       threshold: Double): DataFrame = {
+    // Work over 64-bit token hashes, not strings: |distinct hashes| ==
+    // |distinct tokens| (a cross-set xxhash64 collision, p ~ 1e-10 per
+    // candidate pair, would perturb one jaccard value and be caught by
+    // the brute-force oracle), longs intersect ~4x cheaper, and the
+    // inverted-index shuffle carries 8-byte keys instead of strings.
     val toks = docs.select(col(idCol).as("id"),
-      TextFunctions.tokenSet(col(textCol)).as("toks"))
+      array_distinct(transform(
+        TextFunctions.tokens(lower(col(textCol))), t => xxhash64(t)))
+        .as("toks"))
     val inv = toks.select(col("id"), size(col("toks")).as("sz"),
       explode(col("toks")).as("tok"))
     val dfreq = inv.groupBy("tok").agg(count(lit(1)).as("df"))
@@ -96,11 +103,17 @@ object Dedup {
       .filter(col("a") < col("b"))
       .select("a", "b").distinct()
 
-    val ta = toks.select(col("id").as("a"), col("toks").as("toks_a"))
-    val tb = toks.select(col("id").as("b"), col("toks").as("toks_b"))
+    val ta = toks.select(col("id").as("a"), col("toks").as("toks_a"),
+      size(col("toks")).as("sz_a"))
+    val tb = toks.select(col("id").as("b"), col("toks").as("toks_b"),
+      size(col("toks")).as("sz_b"))
     cand.join(ta, "a").join(tb, "b")
+      // length filter (AllPairs): jaccard >= t forces min/max size >= t,
+      // pruning BEFORE the O(|a|+|b|) intersect runs
+      .filter(least(col("sz_a"), col("sz_b")).cast("double") >=
+        lit(threshold) * greatest(col("sz_a"), col("sz_b")).cast("double"))
       .withColumn("inter", size(array_intersect(col("toks_a"), col("toks_b"))).cast("double"))
-      .withColumn("uni", (size(col("toks_a")) + size(col("toks_b"))).cast("double") - col("inter"))
+      .withColumn("uni", (col("sz_a") + col("sz_b")).cast("double") - col("inter"))
       .withColumn("jaccard", col("inter") / col("uni"))
       .filter(col("jaccard") >= threshold)
       .select(col("a").as("id_a"), col("b").as("id_b"), col("jaccard"))
