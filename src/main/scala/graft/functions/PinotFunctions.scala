@@ -522,5 +522,6 @@ object PinotFunctions {
     graft.plans.KllSketch.registerAll(spark)
     graft.plans.TupleSketch.registerAll(spark)
     graft.plans.FunnelAgg.registerAll(spark)
+    ClpFunctions.registerAll(spark)
   }
 }

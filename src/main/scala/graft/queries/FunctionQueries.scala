@@ -684,6 +684,40 @@ object FunctionQueries {
           regexp_extract(c_name, '([0-9]+)', 1) AS digits,
           array_to_string(list_filter(
             [c_nationkey, c_custkey % 10, 20], x -> x >= 10), ',') AS mv_ge10
-        FROM customer WHERE c_custkey <= 200 ORDER BY c_custkey"""))
+        FROM customer WHERE c_custkey <= 200 ORDER BY c_custkey""")),
+
+    // CLP log columns (functions/ClpFunctions.scala; reference
+    // CLPEncodingEnricher → clpDecode/clpEncodedVarsMatch): encode each
+    // document into (logtype, dict_vars, encoded_vars), decode it back,
+    // and assert the round trip IN the engine (roundtrip_ok is computed
+    // equality, not a constant) — the oracle mirrors the variable
+    // classification with regexes and pins roundtrip to TRUE.
+    GQuery("q_fn_clp",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val clp = graft.functions.ClpFunctions
+        t.documents
+          .select(col("doc_id"), col("text"),
+            clp.clpEncode(col("text")).as("e"))
+          .select(col("doc_id"),
+            (clp.clpDecode(col("e.logtype"), col("e.dict_vars"),
+              col("e.encoded_vars")) === col("text")).as("roundtrip_ok"),
+            size(col("e.dict_vars")).as("n_dict"),
+            size(col("e.encoded_vars")).as("n_enc"),
+            clp.clpEncodedVarsMatch(col("e.encoded_vars"), "1*")
+              .as("has_var_1x"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id, TRUE AS roundtrip_ok,
+          len(list_filter(string_split(text, ' '),
+            t -> regexp_matches(t, '[0-9]')
+             AND NOT regexp_full_match(t, '-?[0-9]{1,18}'))) AS n_dict,
+          len(list_filter(string_split(text, ' '),
+            t -> regexp_full_match(t, '-?[0-9]{1,18}'))) AS n_enc,
+          len(list_filter(string_split(text, ' '),
+            t -> regexp_full_match(t, '-?[0-9]{1,18}')
+             AND CAST(TRY_CAST(t AS BIGINT) AS VARCHAR) LIKE '1%')) > 0
+            AS has_var_1x
+        FROM documents ORDER BY doc_id"""))
   )
 }
