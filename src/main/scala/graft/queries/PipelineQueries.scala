@@ -234,24 +234,31 @@ object PipelineQueries {
           nearDupThreshold = 0.7)
         val docs = t.documents
         val text = col("text")
-        val gated = docs.filter(
+        val gateCond =
           TextFunctions.tokenCount(text).between(cfg.minTokens, cfg.maxTokens) &&
             TextFunctions.qualityScore(text) >= cfg.minQuality &&
-            TextFunctions.langId(text).isin(cfg.languages.toSeq: _*))
+            TextFunctions.langId(text).isin(cfg.languages.toSeq: _*)
         val cleaned = CorpusPipeline.clean(docs, "doc_id", "text", cfg)
-        val rows = Seq(
-          docs.agg(count(lit(1)).as("n_docs"))
-            .select(lit("1_input").as("stage"), col("n_docs")),
-          gated.agg(count(lit(1)).as("n_docs"))
-            .select(lit("2_quality_lang_gate").as("stage"), col("n_docs")),
-          gated.agg(countDistinct(text).as("n_docs"))
-            .select(lit("3_exact_dedup").as("stage"), col("n_docs")),
-          gated.agg(countDistinct(text).as("__ne"))
-            .crossJoin(cleaned.agg(count(lit(1)).as("__nc")))
-            .select(lit("4_neardup_bounded").as("stage"),
-              when(col("__nc") >= 1 && col("__nc") <= col("__ne"), 1L)
-                .otherwise(0L).as("n_docs")))
-        rows.reduce(_ unionByName _).orderBy(col("stage"))
+        // Stages 1-3 in ONE scan: the gate predicates evaluate once per
+        // row and feed three conditional aggregates (count, gated count,
+        // gated distinct count) — no repeated corpus passes.
+        val stages = docs.agg(
+          count(lit(1)).as("__n_in"),
+          count(when(gateCond, 1)).as("__n_gate"),
+          countDistinct(when(gateCond, text)).as("__n_exact"))
+        val rows = stages
+          .crossJoin(cleaned.agg(count(lit(1)).as("__nc")))
+          .select(explode(array(
+            struct(lit("1_input").as("stage"), col("__n_in").as("n_docs")),
+            struct(lit("2_quality_lang_gate").as("stage"),
+              col("__n_gate").as("n_docs")),
+            struct(lit("3_exact_dedup").as("stage"),
+              col("__n_exact").as("n_docs")),
+            struct(lit("4_neardup_bounded").as("stage"),
+              when(col("__nc") >= 1 && col("__nc") <= col("__n_exact"), 1L)
+                .otherwise(0L).as("n_docs")))).as("r"))
+          .select(col("r.stage"), col("r.n_docs"))
+        rows.orderBy(col("stage"))
       },
       Some("""WITH q AS (SELECT text,
           len(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS n_tok,
