@@ -68,4 +68,60 @@ object Multimodal {
         }
       }(enc)
   }
+
+  /** Deterministic fake "resize": a real implementation would decode,
+    * scale, and re-encode; the fake downsamples the byte stream so the
+    * content transform + metadata update plumbing is testable. Output
+    * size is proportional to target area — the property a real resize
+    * also has. */
+  def resizeStub(bytes: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    if (bytes == null || bytes.isEmpty) return Array.empty
+    val n = math.max(1, math.min(bytes.length, w * h / 64))
+    val step = math.max(1, bytes.length / n)
+    bytes.grouped(step).map(_.head).toArray
+  }
+
+  /** 1→1 batch transform: resize every payload to (w, h), updating the
+    * meta struct — same mapPartitions batch shape as extractFeatures. */
+  def resize(df: DataFrame, idCol: String, w: Int, h: Int): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("content", BinaryType),
+      StructField("meta", metaType)))
+    val enc = Encoders.row(schema)
+    df.select(col(idCol).cast(LongType).as("id"), col("content"), col("meta"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val bytes = r.getAs[Array[Byte]]("content")
+          val meta = r.getStruct(2)
+          Row(r.getLong(0), resizeStub(bytes, w, h),
+            Row(meta.getString(0), meta.getString(1), w, h))
+        }
+      }(enc)
+  }
+
+  /** 1→N batch transform: sample every `stride`-th frame of a "video"
+    * payload (fake frames = fixed-size byte windows; a real codec would
+    * seek keyframes). The flatMap shape is the load-bearing part: frame
+    * explosion happens executor-side, partition by partition, so a 10k×
+    * row blow-up never converges on the driver — the shape a frame-
+    * sampling training pipeline needs at 100 TB. */
+  def frameSample(df: DataFrame, idCol: String,
+      frameBytes: Int = 64, stride: Int = 4): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("frame_idx", IntegerType),
+      StructField("frame", BinaryType)))
+    val enc = Encoders.row(schema)
+    df.select(col(idCol).cast(LongType).as("id"), col("content"))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val bytes = r.getAs[Array[Byte]]("content")
+          if (bytes == null) Iterator.empty
+          else bytes.grouped(frameBytes).zipWithIndex
+            .filter(_._2 % stride == 0)
+            .map { case (frame, i) => Row(r.getLong(0), i, frame) }
+        }
+      }(enc)
+  }
 }

@@ -76,7 +76,9 @@ object ScaleProbe {
       "q_text_stats",
       // round-2 operators
       "q_join_band", "q_funnel_matchstep", "q_agg_hll_remerge",
-      "q_dedup_jaccard_exact", "q_gapfill_agg")
+      "q_dedup_jaccard_exact", "q_gapfill_agg",
+      // SQL-callable aggregates + CLP + one-pass corpus clean
+      "q_funnel_agg_sql", "q_funnel_setcount", "q_fn_clp", "q_corpus_clean")
     def time(dir: String, name: String): Double = {
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, dir).collect()

@@ -71,4 +71,29 @@ class SimilarityMultimodalSpec extends SparkSpec {
       .filter($"id" === 1L).select($"features").as[Seq[Float]].collect().head
     assert(feats.length == 8 && feats.sum > 0)
   }
+
+  test("multimodal resize updates meta and shrinks payload proportionally") {
+    val df = Multimodal.withBinary(
+      Seq((1L, "x" * 4096)).toDF("doc_id", "text"), "text",
+      kind = "image", mime = "image/png")
+    val out = Multimodal.resize(df, "doc_id", 16, 16).collect().head
+    val meta = out.getStruct(2)
+    assert(meta.getInt(2) == 16 && meta.getInt(3) == 16)
+    val smaller = out.getAs[Array[Byte]]("content")
+    assert(smaller.length == 16 * 16 / 64) // area-proportional
+    // larger target area keeps more bytes
+    val big = Multimodal.resize(df, "doc_id", 64, 64).collect().head
+    assert(big.getAs[Array[Byte]]("content").length > smaller.length)
+  }
+
+  test("multimodal frameSample explodes payloads executor-side 1->N") {
+    val df = Multimodal.withBinary(
+      Seq((1L, "v" * 640), (2L, "")).toDF("doc_id", "text"), "text",
+      kind = "video", mime = "video/mp4")
+    val frames = Multimodal.frameSample(df, "doc_id",
+        frameBytes = 64, stride = 4)
+      .select($"id", $"frame_idx").as[(Long, Int)].collect()
+    // 640 bytes / 64 = 10 frames, stride 4 keeps indexes 0,4,8
+    assert(frames.toSet == Set((1L, 0), (1L, 4), (1L, 8)))
+  }
 }
