@@ -176,10 +176,11 @@ object PipelineQueries {
           .filter(r4(graft.plans.VectorExpressions.cosineSimilarity(
             col("a.v"), col("b.v"))) >= 0.3)
         val nExact = exact.agg(count(lit(1)).as("n_exact_slice"))
-        val nFound = pairs.filter(col("id_a") < 200 && col("id_b") < 200)
-          .agg(count(lit(1)).as("__nf"))
-        val hasPairs = pairs.agg((count(lit(1)) >= 1).as("has_pairs"))
-        nExact.crossJoin(nFound).crossJoin(hasPairs)
+        // single pass over the LSH pair stream for both verdicts
+        val pairStats = pairs.agg(
+          count(when(col("id_a") < 200 && col("id_b") < 200, 1)).as("__nf"),
+          (count(lit(1)) >= 1).as("has_pairs"))
+        nExact.crossJoin(pairStats)
           .select(col("n_exact_slice"),
             (col("__nf") >= col("n_exact_slice") * 0.25).as("recall_floor_ok"),
             col("has_pairs"))
@@ -210,11 +211,14 @@ object PipelineQueries {
           .filter(col("a.id") < col("b.id"))
           .filter(Dedup.hamming(col("a.simhash"), col("b.simhash")) <= 3)
           .agg(count(lit(1)).as("__n_brute"))
-        val banded = pairs.filter(col("id_a") < 400 && col("id_b") < 400)
-          .agg(count(lit(1)).as("__n_banded"))
-        val hasPairs = pairs.agg((count(lit(1)) >= 1).as("has_pairs"))
+        // ONE pass over the banded-pair stream for both verdicts (the
+        // pipeline would otherwise execute once per consumer)
+        val pairStats = pairs.agg(
+          count(when(col("id_a") < 400 && col("id_b") < 400, 1))
+            .as("__n_banded"),
+          (count(lit(1)) >= 1).as("has_pairs"))
         val nDocs = t.documents.agg(count(lit(1)).as("n_docs"))
-        brute.crossJoin(banded).crossJoin(hasPairs).crossJoin(nDocs)
+        brute.crossJoin(pairStats).crossJoin(nDocs)
           .select((col("__n_brute") - col("__n_banded")).as("n_missed_slice"),
             col("has_pairs"), col("n_docs"))
       },
