@@ -25,6 +25,12 @@ object ScaleProbe {
     val src = "/root/testdata/sf0.1"
     val out = "/tmp/graft_sf1"
     val factor = 10
+    // reuse an existing replica (SPARK_GRAFT_PROBE_REUSE=1) and/or probe
+    // a subset (SPARK_GRAFT_PROBE_ONLY=q_a,q_b) for fast iteration
+    val reuse = sys.env.get("SPARK_GRAFT_PROBE_REUSE").contains("1") &&
+      new java.io.File(s"$out/lineitem.parquet").exists()
+    val only = sys.env.get("SPARK_GRAFT_PROBE_ONLY")
+      .map(_.split(",").toSet).getOrElse(Set.empty[String])
 
     // replicate with key offsets so join cardinalities scale honestly
     def replicate(table: String, keyCols: Map[String, Long]): Unit = {
@@ -36,12 +42,15 @@ object ScaleProbe {
       }.drop("__rep")
       shifted.write.mode("overwrite").parquet(s"$out/$table.parquet")
     }
+    if (!reuse) {
     replicate("lineitem", Map("l_orderkey" -> 10000000L, "l_partkey" -> 1000000L,
       "l_suppkey" -> 100000L))
     replicate("orders", Map("o_orderkey" -> 10000000L, "o_custkey" -> 1000000L))
     replicate("customer", Map("c_custkey" -> 1000000L))
     replicate("supplier", Map("s_suppkey" -> 100000L))
-    Seq("nation", "region", "embeddings").foreach { t =>
+    // part is copied unreplicated: no probe scales it, but the SQL-facade
+    // probes register every table as a view
+    Seq("nation", "region", "embeddings", "part").foreach { t =>
       spark.read.parquet(s"$src/$t.parquet").write.mode("overwrite")
         .parquet(s"$out/$t.parquet")
     }
@@ -69,6 +78,7 @@ object ScaleProbe {
         .drop("__rep")
         .write.mode("overwrite").parquet(s"$out/events.parquet")
     }
+    } // !reuse
 
     val probes = Seq("q1_pricing_summary", "q_join_inner", "q_join_left",
       "q_upsert_latest", "q_win_rank", "q_agg_distinct", "q_sort_topk",
@@ -79,6 +89,7 @@ object ScaleProbe {
       "q_dedup_jaccard_exact", "q_gapfill_agg",
       // SQL-callable aggregates + CLP + one-pass corpus clean
       "q_funnel_agg_sql", "q_funnel_setcount", "q_fn_clp", "q_corpus_clean")
+      .filter(q => only.isEmpty || only(q))
     def time(dir: String, name: String): Double = {
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, dir).collect()
