@@ -564,6 +564,75 @@ object ScalarTail {
       transform(a, ms =>
         ((tzOffsetMs(ms, str(tz)) / 60000L) % 60).cast(IntegerType)) }
 
+    // —— character n-grams (scalar/string/NgramFunctions.java:30-118) ——
+    // unique n-grams of exactly length n, first-occurrence order (the
+    // reference's LinkedOpenHashSet == array_distinct's order); empty
+    // when n == 0 or n > length
+    def ngramsExact(s: Column, n: Column): Column =
+      when(n <= 0 || n > length(s), array().cast("array<string>"))
+        .otherwise(array_distinct(
+          transform(sequence(lit(1), length(s) - n + 1),
+            i => s.substr(i, n))))
+    // lengths within [minGram, maxGram], n == 0 skipped
+    def ngramsRange(s: Column, lo: Column, hi: Column): Column =
+      when(hi < lo || hi <= 0, array().cast("array<string>"))
+        .otherwise(array_distinct(flatten(
+          transform(sequence(greatest(lo, lit(1)),
+              least(hi, greatest(length(s), lit(1)))),
+            n => when(n > length(s), array().cast("array<string>"))
+              .otherwise(transform(sequence(lit(1), length(s) - n + 1),
+                i => s.substr(i, n)))))))
+    val ngramBuilder: Seq[Column] => Column = {
+      case Seq(s, n) => ngramsExact(s, n.cast(IntegerType))
+      case Seq(s, lo, hi) =>
+        ngramsRange(s, lo.cast(IntegerType), hi.cast(IntegerType))
+    }
+    val ngramMvBuilder: Seq[Column] => Column = {
+      case Seq(a, n) => array_distinct(flatten(
+        transform(a, s => ngramsExact(s, n.cast(IntegerType)))))
+      case Seq(a, lo, hi) => array_distinct(flatten(
+        transform(a,
+          s => ngramsRange(s, lo.cast(IntegerType), hi.cast(IntegerType)))))
+    }
+    Seq("uniquengrams", "generateuniquengrams")
+      .foreach(n => b += n -> ngramBuilder)
+    Seq("uniquengramsmv", "generateuniquengramsmv")
+      .foreach(n => b += n -> ngramMvBuilder)
+
+    // —— spelling aliases onto Spark builtins ——
+    b += "concatws" -> { case cs => concat_ws(str(cs.head), cs.tail: _*) }
+    b += "regexplike" -> {
+      case Seq(s, p) => s.rlike(str(p))
+      case Seq(s, p, flags) => // match-parameters form (i = case-insensitive)
+        when(lit(str(flags).contains("i")),
+          upper(s).rlike(str(p).toUpperCase)).otherwise(s.rlike(str(p)))
+    }
+    // non-literal (variable) pattern variant — Spark's regexp_replace
+    // accepts column patterns natively
+    b += "regexpreplacevar" -> {
+      case Seq(s, p, r) => regexp_replace(s, p, r)
+    }
+
+    // —— engine introspection (scalar/InternalFunctions.java) —— the
+    // reference returns broker/server identity for debugging; the Spark
+    // equivalents are the application and query-session identities.
+    b += "brokerid" -> { case _ => lit("spark-driver") }
+    b += "queryengine" -> { case _ => lit("graft-spark") }
+    b += "reqid" -> { case _ =>
+      // deterministic within a query, unique across queries — the role
+      // the reference's request id plays in debug output
+      concat(lit("req-"), spark_partition_id().cast(StringType)) }
+    b += "cid" -> { case _ =>
+      concat(lit("cid-"), spark_partition_id().cast(StringType)) }
+    b += "stageid" -> { case _ => spark_partition_id() }
+    b += "workerid" -> { case _ => spark_partition_id() }
+    b += "starttime" -> { case _ => unix_millis(now()) }
+    b += "endtime" -> { case _ => unix_millis(now()) }
+    // sleep(ms) returns its argument after the reference sleeps — used
+    // only in latency tests; sleeping per-row inside a distributed scan
+    // is an anti-pattern, so this is the identity (documented divergence)
+    b += "sleep" -> { case Seq(ms) => ms }
+
     b.result()
   }
 

@@ -186,4 +186,30 @@ class ScalarTailSpec extends SparkSpec {
     assert(one("isJson('{\"a\":1}')") == true)
     assert(one("isJson('nope{')") == false)
   }
+
+  test("ngram family matches reference semantics (NgramFunctions.java)") {
+    // exact length, first-occurrence order, duplicates collapsed
+    assert(one("uniqueNgrams('abab', 2)") == Seq("ab", "ba"))
+    assert(one("generateUniqueNgrams('abc', 3)") == Seq("abc"))
+    // n > length or n == 0 → empty
+    assert(one("uniqueNgrams('ab', 3)") == Seq())
+    assert(one("uniqueNgrams('ab', 0)") == Seq())
+    // range form: lengths [1, 2]
+    assert(one("uniqueNgrams('aab', 1, 2)") ==
+      Seq("a", "b", "aa", "ab"))
+    // MV forms union across elements
+    assert(one("uniqueNgramsMV(array('ab', 'bc'), 2)") == Seq("ab", "bc"))
+    assert(one("uniqueNgramsMV(array('ab', 'cd'), 1, 1)") ==
+      Seq("a", "b", "c", "d"))
+  }
+
+  test("spelling aliases and internal functions resolve") {
+    assert(one("concatWs('-', 'a', 'b', 'c')") == "a-b-c")
+    assert(one("regexpLike('hello', '^h.*o$')") == true)
+    assert(one("regexpLike('HELLO', '^h.*o$', 'i')") == true)
+    assert(one("regexpReplaceVar('aXb', upper('x'), '-')") == "a-b")
+    assert(one("queryEngine()") == "graft-spark")
+    assert(one("sleep(5)") == 5)
+    assert(one("startTime()").asInstanceOf[Long] > 0L)
+  }
 }
