@@ -718,6 +718,36 @@ object FunctionQueries {
             t -> regexp_full_match(t, '-?[0-9]{1,18}')
              AND CAST(TRY_CAST(t AS BIGINT) AS VARCHAR) LIKE '1%')) > 0
             AS has_var_1x
-        FROM documents ORDER BY doc_id"""))
+        FROM documents ORDER BY doc_id""")),
+
+    // Character n-grams (scalar/string/NgramFunctions.java) + the
+    // concatWs/regexpLike spelling aliases — n-grams sorted in both
+    // engines so set equality is order-independent.
+    GQuery("q_fn_ngram",
+      (s, dir) => {
+        Tables(s, dir).registerAll()
+        s.sql("""SELECT doc_id,
+            array_join(array_sort(
+              uniqueNgrams(lower(substring(text, 1, 20)), 3)), ',')
+              AS tri_csv,
+            size(uniqueNgrams(lower(substring(text, 1, 20)), 1, 2))
+              AS n_grams_12,
+            concatWs('|', lang, substring(text, 1, 3)) AS tagged,
+            regexpLike(text, '[0-9]') AS has_digit
+          FROM documents ORDER BY doc_id""")
+      },
+      Some("""WITH s AS (SELECT doc_id, lang, text,
+            lower(substr(text, 1, 20)) AS t FROM documents)
+        SELECT doc_id,
+          array_to_string(list_sort(list_distinct(
+            list_transform(range(1, len(t) - 1), i -> t[i:i+2]))), ',')
+            AS tri_csv,
+          len(list_distinct(list_concat(
+            list_transform(range(1, len(t) + 1), i -> t[i:i]),
+            list_transform(range(1, len(t)), i -> t[i:i+1]))))
+            AS n_grams_12,
+          concat_ws('|', lang, substr(text, 1, 3)) AS tagged,
+          regexp_matches(text, '[0-9]') AS has_digit
+        FROM s ORDER BY doc_id"""))
   )
 }
