@@ -92,11 +92,23 @@ object QueryFacade {
     * timeoutMs, numGroupsLimit — Spark is always SQL-null-compliant and
     * exact, per SURVEY §2.4), then the implicit LIMIT 10 is applied
     * unless the query bounds itself. */
+  private val ExplainPrefix = """(?is)^\s*EXPLAIN\s+PLAN\s+FOR\s+""".r
+
   def sql(spark: SparkSession, query: String): DataFrame = {
     PinotFunctions.registerAll(spark)
     val Parsed(opts, stmt0) = parseOptions(query)
     val stmt = rewriteReserved(stmt0)
     if (Ddl.isDdl(stmt)) return Ddl.execute(spark, stmt)
+    // Pinot EXPLAIN PLAN FOR <query> (PinotQueryResource explain
+    // support): one row per plan-tree line, mirroring the reference's
+    // (operator, id, parent) tabular shape with Spark's formatted plan
+    ExplainPrefix.findFirstMatchIn(stmt).foreach { m =>
+      import spark.implicits._
+      val inner = spark.sql(stmt.substring(m.end))
+      val lines = inner.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode).split("\n")
+      return lines.toSeq.toDF("plan")
+    }
     val df = spark.sql(stmt)
     val explicit = opts.get("explicitlimit").exists(_.toBoolean)
     val isSelect = stmt.trim.toLowerCase.startsWith("select") ||

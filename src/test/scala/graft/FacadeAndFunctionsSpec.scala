@@ -252,4 +252,13 @@ class FacadeAndFunctionsSpec extends SparkSpec {
     assert(r.getAs[Double]("s") == 6.0)
     assert(r.getAs[Double]("mx") == 3.0)
   }
+
+  test("EXPLAIN PLAN FOR returns the formatted physical plan") {
+    QueryFacade.init(spark, sf)
+    val plan = QueryFacade.sql(spark,
+      "EXPLAIN PLAN FOR SELECT l_returnflag, SUM(l_quantity) FROM lineitem GROUP BY 1")
+      .collect().map(_.getString(0)).mkString("\n")
+    assert(plan.contains("HashAggregate"))
+    assert(plan.contains("Scan parquet"))
+  }
 }
