@@ -375,6 +375,7 @@ object PipelineQueries {
           .withColumn("rn", row_number().over(w))
           .filter(col("rn") <= 5)
           .select(col("probe_id"), col("cid"))
+          .localCheckpoint(true) // reused by tops and hits
         val tops = exactTop.groupBy(col("probe_id"))
           .agg(array_join(array_sort(collect_list(col("cid"))), ",")
             .as("exact_top5_csv"))
@@ -432,6 +433,7 @@ object PipelineQueries {
           .withColumn("rn", row_number().over(w))
           .filter(col("rn") <= 5)
           .select(col("probe_id"), col("cid"))
+          .localCheckpoint(true) // reused by tops and hits
         val tops = exactTop.groupBy(col("probe_id"))
           .agg(array_join(array_sort(collect_list(col("cid"))), ",")
             .as("exact_top5_csv"))
