@@ -51,14 +51,16 @@ object IvfIndex {
     Model(assign(base, centroids), centroids)
   }
 
-  private def assign(base: DataFrame, centroids: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("id")).orderBy(col("__d").asc, col("cell").asc)
+  private def assign(base: DataFrame, centroids: DataFrame): DataFrame =
+    // nearest centroid via min-struct aggregate (hash agg, partial
+    // map-side) — cheaper than a row_number sort window over the
+    // id × k expansion; ties break on cell id through the struct order
     base.crossJoin(broadcast(centroids))
       .withColumn("__d", l2Distance(col("vec"), col("cvec")))
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .select(col("id"), col("vec"), col("cell"))
-  }
+      .groupBy(col("id"))
+      .agg(min(struct(col("__d"), col("cell"))).as("__m"),
+        first(col("vec")).as("vec"))
+      .select(col("id"), col("vec"), col("__m.cell").as("cell"))
 
   /** Probe the nprobe nearest cells per query vector, exact cosine
     * re-rank, top-k. Returns (probe_id, neighbor_id, sim, rank). */
