@@ -107,7 +107,10 @@ object Dedup {
       size(col("toks")).as("sz_a"))
     val tb = toks.select(col("id").as("b"), col("toks").as("toks_b"),
       size(col("toks")).as("sz_b"))
-    cand.join(ta, "a").join(tb, "b")
+    // doc-count × avg-set-size hash arrays — megabytes against the
+    // candidate-pair stream's quadratic-ish growth: broadcast both
+    // sides so verification never shuffles the pair stream
+    cand.join(broadcast(ta), "a").join(broadcast(tb), "b")
       // length filter (AllPairs): jaccard >= t forces min/max size >= t,
       // pruning BEFORE the O(|a|+|b|) intersect runs
       .filter(least(col("sz_a"), col("sz_b")).cast("double") >=
