@@ -91,4 +91,38 @@ object TextFunctions {
       .otherwise(array().cast("array<int>"))
     array_distinct(transform(starts, i => array_join(slice(toks, i, lit(n)), " ")))
   }
+
+  // ——— PII scrubbing (training-data curation; no reference analog —
+  // the north-star pipeline ops the brief adds beyond Pinot) ———
+
+  /** Deterministic regex patterns for common PII classes. Kept simple
+    * and auditable — a production pipeline would layer NER on top; the
+    * regex tier is the cheap codegen'd first pass that runs at full
+    * scan speed. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\+?[0-9][0-9()\\-. ]{7,}[0-9]"
+  val Ipv4Re =
+    "\\b(?:(?:25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)\\.){3}" +
+      "(?:25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)\\b"
+  val SsnRe = "\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b"
+
+  /** Replace e-mail / phone / IPv4 / SSN-shaped spans with typed
+    * placeholder tags. Order matters: SSNs would otherwise match the
+    * phone pattern, so they are replaced first. */
+  def redactPii(text: Column): Column = {
+    val ssn = regexp_replace(text, SsnRe, "[SSN]")
+    val email = regexp_replace(ssn, EmailRe, "[EMAIL]")
+    val ip = regexp_replace(email, Ipv4Re, "[IP]")
+    regexp_replace(ip, PhoneRe, "[PHONE]")
+  }
+
+  /** Count of PII spans per class: (email, phone, ipv4, ssn) struct —
+    * the audit metric a curation pipeline reports per shard. */
+  def piiCounts(text: Column): Column = {
+    def n(re: String): Column =
+      size(regexp_extract_all(text, lit(re), lit(0))).cast("int")
+    struct(n(EmailRe).as("emails"),
+      n(SsnRe).as("ssns"),
+      n(Ipv4Re).as("ips"))
+  }
 }

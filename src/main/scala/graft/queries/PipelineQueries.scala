@@ -516,6 +516,39 @@ object PipelineQueries {
             WHEN fr > 0 THEN 'fr' ELSE 'unknown' END AS lang_pred
         FROM h ORDER BY doc_id""")),
 
+    // PII scrubbing (TextFunctions.redactPii/piiCounts) — the curation
+    // pass a training pipeline runs before near-dup: PII spans are
+    // synthesized deterministically per doc so both engines redact the
+    // same text (the raw corpus is synthetic and PII-free).
+    GQuery("q_text_redact",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val pii = concat(substring(col("text"), 1, 20),
+          lit(" mail u"), col("doc_id"), lit("@ex.com or 10.0.0."),
+          col("doc_id") % 200, lit(" ssn 123-45-6789 tel 555-123-4567"))
+        t.documents
+          .select(col("doc_id"), TextFunctions.redactPii(pii).as("clean"))
+          .withColumn("n_redacted",
+            regexp_count(col("clean"),
+              lit("\\[(EMAIL|PHONE|IP|SSN)\\]")).cast(LongType))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH pii AS (SELECT doc_id,
+            substr(text, 1, 20) || ' mail u' || CAST(doc_id AS VARCHAR)
+              || '@ex.com or 10.0.0.' || CAST(doc_id % 200 AS VARCHAR)
+              || ' ssn 123-45-6789 tel 555-123-4567' AS t
+          FROM documents),
+        red AS (SELECT doc_id,
+            regexp_replace(regexp_replace(regexp_replace(regexp_replace(t,
+              '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b', '[SSN]', 'g'),
+              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+              '\b(?:(?:25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)\.){3}(?:25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)\b', '[IP]', 'g'),
+              '\+?[0-9][0-9()\-. ]{7,}[0-9]', '[PHONE]', 'g') AS clean
+          FROM pii)
+        SELECT doc_id, clean,
+          len(regexp_extract_all(clean, '\[(EMAIL|PHONE|IP|SSN)\]')) AS n_redacted
+        FROM red ORDER BY doc_id""")),
+
     // Binary/multimodal plumbing: opaque bytes + typed metadata
     // (north-star multimodal columns; decode stays a stub, the
     // Spark-side schema/partition plumbing is real — see

@@ -44,4 +44,21 @@ class CorpusPipelineSpec extends SparkSpec {
       .filter(abs($"n" - 1.0) > 1e-9).count()
     assert(n == 0)
   }
+
+  test("PII redaction replaces typed spans and counts them") {
+    import graft.functions.TextFunctions._
+    val df = Seq(
+      "write bob@corp.io or call +1 (555) 123-4567",
+      "ssn 123-45-6789 from 192.168.1.1",
+      "clean text, no pii at all").toDF("t")
+    val out = df.select(redactPii($"t").as("r"), piiCounts($"t").as("c"))
+      .collect()
+    assert(out(0).getString(0) == "write [EMAIL] or call [PHONE]")
+    assert(out(1).getString(0) == "ssn [SSN] from [IP]")
+    assert(out(2).getString(0) == "clean text, no pii at all")
+    val c0 = out(0).getStruct(1)
+    assert(c0.getAs[Int]("emails") == 1 && c0.getAs[Int]("ssns") == 0)
+    val c1 = out(1).getStruct(1)
+    assert(c1.getAs[Int]("ssns") == 1 && c1.getAs[Int]("ips") == 1)
+  }
 }
