@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+
+/** Training-data curation operators beyond dedup: deterministic
+  * train/val/test splits and benchmark decontamination. North-star
+  * pipeline ops (no reference analog — Pinot is the query layer; these
+  * are the curation passes an LLM data pipeline runs on the same
+  * tables).
+  */
+object Curation {
+
+  /** Stable split bucket in [0, buckets): md5-based so any engine can
+    * reproduce the assignment from the id alone (mirrorable in SQL as
+    * `md5(id)` prefix arithmetic — unlike xxhash64, md5 is universal).
+    * Rows never migrate between splits when the corpus grows — the
+    * property random() splits lack. */
+  def splitBucket(id: Column, buckets: Int): Column =
+    (conv(substring(md5(id.cast("string")), 1, 8), 16, 10)
+      .cast("long") % buckets).cast("int")
+
+  /** Deterministic train/val/test assignment by per-mille weight:
+    * e.g. weights = (980, 10, 10). */
+  def assignSplit(df: DataFrame, idCol: String,
+      trainPerMille: Int, valPerMille: Int): DataFrame = {
+    val b = splitBucket(col(idCol), 1000)
+    df.withColumn("split",
+      when(b < trainPerMille, "train")
+        .when(b < trainPerMille + valPerMille, "val")
+        .otherwise("test"))
+  }
+
+  /** Benchmark decontamination: flag training docs sharing >= minHits
+    * word-shingle n-grams with any eval-set document. The shingle
+    * spaces are hashed (one shuffle each, fixed-size keys), the overlap
+    * is an equi-join on the 64-bit shingle hash — never a text×text
+    * comparison. At 100 TB the eval side is tiny and broadcastable; the
+    * train side streams through one join + one aggregate.
+    * Returns (train id, n_shared_shingles). */
+  def contaminated(
+      train: DataFrame, trainId: String, trainText: String,
+      eval_ : DataFrame, evalText: String,
+      shingleSize: Int = 3, minHits: Int = 2): DataFrame = {
+    val trainSh = Dedup
+      .shingleHashSets(train.select(col(trainId), col(trainText)),
+        trainId, trainText, shingleSize)
+      .select(col(trainId), explode(col("sh")).as("sh"))
+    val evalSh = Dedup
+      .shingleHashSets(
+        eval_.select(monotonically_increasing_id().as("__eid"),
+          col(evalText)),
+        "__eid", evalText, shingleSize)
+      .select(explode(col("sh")).as("sh")).distinct()
+    trainSh.join(broadcast(evalSh), "sh")
+      .groupBy(col(trainId))
+      .agg(count(lit(1)).as("n_shared_shingles"))
+      .filter(col("n_shared_shingles") >= minHits)
+  }
+}

@@ -516,6 +516,51 @@ object PipelineQueries {
             WHEN fr > 0 THEN 'fr' ELSE 'unknown' END AS lang_pred
         FROM h ORDER BY doc_id""")),
 
+    // Deterministic train/val/test split (Curation.assignSplit):
+    // md5-bucket assignment reproducible from the id alone in any
+    // engine — rows never migrate when the corpus grows.
+    GQuery("q_split_assign",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        Curation.assignSplit(t.documents, "doc_id", 980, 10)
+          .groupBy(col("split")).agg(count(lit(1)).as("n"))
+          .orderBy(col("split"))
+      },
+      Some("""WITH b AS (SELECT
+            CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+              AS BIGINT) % 1000 AS bk
+          FROM documents)
+        SELECT CASE WHEN bk < 980 THEN 'train'
+                    WHEN bk < 990 THEN 'val'
+                    ELSE 'test' END AS split, COUNT(*) AS n
+        FROM b GROUP BY 1 ORDER BY split""")),
+
+    // Benchmark decontamination (Curation.contaminated): training docs
+    // sharing >= 2 word-3-grams with the "eval set" (doc_id % 97 == 0
+    // here). The operator joins on 64-bit shingle hashes; the oracle
+    // recomputes the overlap on the string shingles — identical counts
+    // unless a cross-set xxhash64 collision (p ~ 1e-10) perturbs one.
+    GQuery("q_decontaminate",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val ev = t.documents.filter(col("doc_id") % 97 === 0)
+        val tr = t.documents.filter(col("doc_id") % 97 =!= 0)
+        Curation.contaminated(tr, "doc_id", "text", ev, "text",
+            shingleSize = 3, minHits = 2)
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH toks AS (SELECT doc_id,
+            list_filter(string_split(lower(text), ' '), x -> len(x) > 0) AS t
+          FROM documents),
+        sh AS (SELECT doc_id, list_distinct(list_transform(
+            range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+          FROM toks WHERE len(t) >= 3),
+        ev AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 97 = 0),
+        tr AS (SELECT doc_id, unnest(s) AS g FROM sh WHERE doc_id % 97 <> 0)
+        SELECT tr.doc_id, COUNT(*) AS n_shared_shingles
+        FROM tr JOIN ev USING (g)
+        GROUP BY 1 HAVING COUNT(*) >= 2 ORDER BY doc_id""")),
+
     // PII scrubbing (TextFunctions.redactPii/piiCounts) — the curation
     // pass a training pipeline runs before near-dup: PII spans are
     // synthesized deterministically per doc so both engines redact the
