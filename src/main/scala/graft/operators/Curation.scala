@@ -58,4 +58,37 @@ object Curation {
       .agg(count(lit(1)).as("n_shared_shingles"))
       .filter(col("n_shared_shingles") >= minHits)
   }
+
+  /** Unigram-LM score: train a unigram language model ON the corpus
+    * (token relative frequencies) and score each document by the mean
+    * negative log-probability of its tokens — the cheap proxy for
+    * perplexity-based quality filtering (degenerate/unnatural text
+    * scores high). Two shuffles: one groupBy for the frequency table
+    * (vocabulary-sized, broadcast back), one per-doc aggregate.
+    * Returns (id, n_tokens, avg_neg_logp). */
+  def unigramScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = docs.select(col(idCol),
+      explode(TextFunctions.tokens(lower(col(textCol)))).as("tok"))
+    val freq = toks.groupBy(col("tok")).agg(count(lit(1)).as("tf"))
+    val total = freq.agg(sum(col("tf")).as("__total"))
+    toks.join(broadcast(freq), "tok")
+      .crossJoin(broadcast(total))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        avg(-log(col("tf").cast("double") / col("__total")))
+          .as("avg_neg_logp"))
+  }
+
+  /** Repetition ratio: 1 − (distinct word-bigrams / total word-bigrams)
+    * per document — the standard degenerate-text detector (looping
+    * generations repeat bigrams). Pure per-row expression, no shuffle. */
+  def repetitionRatio(text: Column): Column = {
+    val toks = TextFunctions.tokens(lower(text))
+    val n = size(toks)
+    val bigrams = transform(sequence(lit(1), greatest(n - 1, lit(0))),
+      i => concat(element_at(toks, i), lit(" "), element_at(toks, i + 1)))
+    when(n < 2, 0.0).otherwise(
+      lit(1.0) - size(array_distinct(bigrams)).cast("double") /
+        size(bigrams).cast("double"))
+  }
 }

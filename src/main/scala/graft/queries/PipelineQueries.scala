@@ -561,6 +561,41 @@ object PipelineQueries {
         FROM tr JOIN ev USING (g)
         GROUP BY 1 HAVING COUNT(*) >= 2 ORDER BY doc_id""")),
 
+    // Unigram-LM quality score + repetition ratio (Curation): the
+    // perplexity-proxy filter pass — LM trained on the corpus itself
+    // (token relative frequencies), scored per doc; repetition ratio
+    // flags degenerate looping text. Both exactly mirrored in SQL.
+    GQuery("q_text_lm",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        Curation.unigramScore(t.documents, "doc_id", "text")
+          .join(t.documents.select(col("doc_id"),
+            r4(Curation.repetitionRatio(col("text"))).as("rep_ratio")),
+            "doc_id")
+          .select(col("doc_id"), col("n_tokens"),
+            r4(col("avg_neg_logp")).as("avg_neg_logp"), col("rep_ratio"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH toks AS (SELECT doc_id,
+            unnest(list_filter(string_split(lower(text), ' '),
+              x -> len(x) > 0)) AS tok
+          FROM documents),
+        freq AS (SELECT tok, COUNT(*) AS tf FROM toks GROUP BY tok),
+        tot AS (SELECT SUM(tf) AS total FROM freq),
+        lm AS (SELECT doc_id, COUNT(*) AS n_tokens,
+            ROUND(AVG(-ln(tf * 1.0 / total)), 4) AS avg_neg_logp
+          FROM toks JOIN freq USING (tok) CROSS JOIN tot GROUP BY doc_id),
+        rep AS (SELECT doc_id,
+            list_filter(string_split(lower(text), ' '), x -> len(x) > 0) AS t
+          FROM documents),
+        rr AS (SELECT doc_id, CASE WHEN len(t) < 2 THEN 0.0 ELSE
+            ROUND(1.0 - len(list_distinct(list_transform(range(1, len(t)),
+              i -> t[i] || ' ' || t[i+1]))) * 1.0 / (len(t) - 1), 4) END
+            AS rep_ratio
+          FROM rep)
+        SELECT doc_id, n_tokens, avg_neg_logp, rep_ratio
+        FROM lm JOIN rr USING (doc_id) ORDER BY doc_id""")),
+
     // PII scrubbing (TextFunctions.redactPii/piiCounts) — the curation
     // pass a training pipeline runs before near-dup: PII spans are
     // synthesized deterministically per doc so both engines redact the
