@@ -406,6 +406,26 @@ object ExtraQueries {
         COUNT(*) AS n_rows
         FROM embeddings GROUP BY label ORDER BY label""")),
 
+    // GROUP BY on a multi-value column (reference
+    // DictionaryBasedGroupKeyGenerator MV path: each row contributes
+    // one group key PER ELEMENT) — Spark expresses the same semantic
+    // as explode + groupBy. Top-20 with count+key tie-break so the
+    // limit is deterministic cross-engine.
+    GQuery("q_agg_mv_groupby",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        t.documents
+          .select(explode(TextFunctions.tokens(lower(col("text"))))
+            .as("tok"))
+          .groupBy(col("tok")).agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("tok").asc)
+          .limit(20)
+      },
+      Some("""SELECT tok, COUNT(*) AS n
+        FROM (SELECT unnest(list_filter(string_split(lower(text), ' '),
+            x -> len(x) > 0)) AS tok FROM documents)
+        GROUP BY tok ORDER BY n DESC, tok ASC LIMIT 20""")),
+
     // Type casting / coercion matrix (TypeCasting.json / TypeCoercion
     // .json suite analog).
     GQuery("q_typecast",
