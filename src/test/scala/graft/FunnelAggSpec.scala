@@ -161,6 +161,60 @@ class FunnelAggSpec extends SparkSpec {
     assert(avg == Seq(1.5, 10.0, 0.0, 5.0, 0.0))
   }
 
+  test("funnelmaxstep matches a direct in-memory replay on random streams") {
+    // reference-shaped scalar replay, independent of the Spark code path
+    def replay(evts: Seq[(Long, Int)], win: Long, n: Int): Int = {
+      val sorted = evts.sorted
+      var qi = 0
+      val w = scala.collection.mutable.ArrayDeque.empty[(Long, Int)]
+      var best = 0
+      var go = true
+      while (go && qi < sorted.length) {
+        while (w.nonEmpty && w.head._2 != 0) w.removeHead()
+        if (w.isEmpty) {
+          while (qi < sorted.length && sorted(qi)._2 != 0) qi += 1
+          if (qi < sorted.length) { w.append(sorted(qi)); qi += 1 }
+        }
+        if (w.isEmpty) go = false
+        else {
+          val end = w.head._1 + win
+          while (qi < sorted.length && sorted(qi)._1 < end) {
+            w.append(sorted(qi)); qi += 1
+          }
+          var ms = 0
+          val it = w.iterator
+          var run = true
+          while (run && it.hasNext) {
+            val e = it.next()
+            if (ms == e._2) ms += 1
+            if (ms == n) run = false
+          }
+          best = math.max(best, ms)
+          if (best == n) go = false
+          else if (w.nonEmpty) w.removeHead()
+        }
+      }
+      best
+    }
+    val rnd = new scala.util.Random(42)
+    val cases = (1 to 30).map { _ =>
+      Seq.fill(14)((rnd.nextInt(30).toLong, rnd.nextInt(4))) // step 3 = untagged
+    }
+    val rows = cases.zipWithIndex.flatMap { case (evts, g) =>
+      evts.map { case (ts, st) => (g, ts, st) }
+    }
+    rows.toDF("g", "ts", "st").createOrReplaceTempView("fx_rand")
+    val got = spark.sql(
+      """SELECT g, funnelmaxstep(ts, 10, 3, st = 0, st = 1, st = 2) AS ms
+         FROM fx_rand GROUP BY g""")
+      .collect().map(r => (r.getInt(0), r.getInt(1))).toMap
+    cases.zipWithIndex.foreach { case (evts, g) =>
+      val tagged = evts.filter(_._2 < 3)
+      val expect = replay(tagged, 10, 3)
+      assert(got(g) == expect, s"case $g: got ${got(g)} expect $expect")
+    }
+  }
+
   test("funnel aggregates survive partial/final shuffle (repartitioned input)") {
     fixture.repartition(7).createOrReplaceTempView("fx_shuf")
     val got = spark.sql(
