@@ -81,12 +81,20 @@ object Curation {
 
   /** Repetition ratio: 1 − (distinct word-bigrams / total word-bigrams)
     * per document — the standard degenerate-text detector (looping
-    * generations repeat bigrams). Pure per-row expression, no shuffle. */
+    * generations repeat bigrams). Pure per-row expression, no shuffle.
+    *
+    * PERF: bigrams come from zip_with over two slices of the token
+    * array — the tokenization subtree evaluates twice per ROW. The
+    * index-lambda formulation (element_at(toks, i) inside a transform)
+    * re-inlines the whole split per ELEMENT, turning a scan into
+    * O(bigrams × tokenization) — 100× slower on real documents. */
   def repetitionRatio(text: Column): Column = {
     val toks = TextFunctions.tokens(lower(text))
     val n = size(toks)
-    val bigrams = transform(sequence(lit(1), greatest(n - 1, lit(0))),
-      i => concat(element_at(toks, i), lit(" "), element_at(toks, i + 1)))
+    val bigrams = zip_with(
+      slice(toks, lit(1), greatest(n - 1, lit(0))),
+      slice(toks, lit(2), greatest(n - 1, lit(0))),
+      (a, b) => concat(a, lit(" "), b))
     when(n < 2, 0.0).otherwise(
       lit(1.0) - size(array_distinct(bigrams)).cast("double") /
         size(bigrams).cast("double"))
