@@ -217,19 +217,27 @@ object Dedup {
     val banded = sigs.select(col("id"), col("signature"),
       posexplode(bandHashes).as(Seq("band", "bucket")))
 
-    val a = banded.select(col("band"), col("bucket"), col("id").as("a"), col("signature").as("sig_a"))
-    val b = banded.select(col("band"), col("bucket"), col("id").as("b"), col("signature").as("sig_b"))
+    // Self-join with BOTH sides left canonically identical up to the
+    // exchange (same projection, same (band, bucket) keys): Spark's
+    // ReuseExchange then runs the whole signature pipeline ONCE and
+    // reads the single shuffle twice — the map side of LSH is the
+    // expensive half, so this halves the job. The shuffle_hash hint
+    // keeps it a shuffle join (a broadcast side would re-execute the
+    // pipeline instead of reusing the exchange); at corpus scale both
+    // sides are huge and SHJ is the right join anyway.
     // est_jaccard is computed BEFORE the pair-dedup: a pair surfacing in
     // several bands recomputes the (codegen'd) position-match cheaply,
     // but the distinct's exchange then carries 3 scalars per pair
     // instead of two full k-long signatures.
-    a.join(b, Seq("band", "bucket"))
-      .filter(col("a") < col("b"))
+    banded.as("l").hint("shuffle_hash")
+      .join(banded.as("r"),
+        col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket"))
+      .filter(col("l.id") < col("r.id"))
       .withColumn("est_jaccard",
-        size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), m => m))
+        size(filter(zip_with(col("l.signature"), col("r.signature"), (x, y) => x === y), m => m))
           .cast("double") / lit(numHashes.toDouble))
       .filter(col("est_jaccard") >= threshold)
-      .select(col("a").as("id_a"), col("b").as("id_b"), col("est_jaccard")).distinct()
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"), col("est_jaccard")).distinct()
   }
 
   /** 64-bit SimHash over distinct tokens: bit j of the fingerprint is the
@@ -287,16 +295,18 @@ object Dedup {
     }: _*)
     val banded = sigs.select(col("id"), col("vec"),
       posexplode(bandKeys).as(Seq("band", "key")))
-    val a = banded.select(col("band"), col("key"), col("id").as("id_a"), col("vec").as("va"))
-    val b = banded.select(col("band"), col("key"), col("id").as("id_b"), col("vec").as("vb"))
+    // Canonically-identical self-join sides -> ReuseExchange computes the
+    // hyperplane signatures once (see minhashLsh for the full rationale).
     // cosine before the pair-dedup: the distinct's exchange carries
     // (id, id, sim) scalars, never the two embedding vectors.
-    a.join(b, Seq("band", "key"))
-      .filter(col("id_a") < col("id_b"))
+    banded.as("l").hint("shuffle_hash")
+      .join(banded.as("r"),
+        col("l.band") === col("r.band") && col("l.key") === col("r.key"))
+      .filter(col("l.id") < col("r.id"))
       .withColumn("cos_sim", graft.plans.VectorExpressions
-        .cosineSimilarity(col("va"), col("vb")))
+        .cosineSimilarity(col("l.vec"), col("r.vec")))
       .filter(col("cos_sim") >= threshold)
-      .select(col("id_a"), col("id_b"), col("cos_sim")).distinct()
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"), col("cos_sim")).distinct()
   }
 
   /** Hamming distance between two int64 fingerprints. */
@@ -318,14 +328,16 @@ object Dedup {
     }: _*)
     val banded = fps.select(col("id"), col("simhash"),
       posexplode(bandKeys).as(Seq("band", "key")))
-    val a = banded.select(col("band"), col("key"), col("id").as("a"), col("simhash").as("fp_a"))
-    val b = banded.select(col("band"), col("key"), col("id").as("b"), col("simhash").as("fp_b"))
+    // Canonically-identical self-join sides -> ReuseExchange computes the
+    // fingerprints once (see minhashLsh for the full rationale).
     // hamming before the pair-dedup: filtering to dist <= maxDist first
     // shrinks the distinct's input to true near-dups only.
-    a.join(b, Seq("band", "key"))
-      .filter(col("a") < col("b"))
-      .withColumn("dist", hamming(col("fp_a"), col("fp_b")))
+    banded.as("l").hint("shuffle_hash")
+      .join(banded.as("r"),
+        col("l.band") === col("r.band") && col("l.key") === col("r.key"))
+      .filter(col("l.id") < col("r.id"))
+      .withColumn("dist", hamming(col("l.simhash"), col("r.simhash")))
       .filter(col("dist") <= maxDist)
-      .select(col("a").as("id_a"), col("b").as("id_b"), col("dist")).distinct()
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"), col("dist")).distinct()
   }
 }

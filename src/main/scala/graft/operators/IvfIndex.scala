@@ -25,30 +25,64 @@ object IvfIndex {
     * assignments (id, vec, cell), centroids (cell, cvec). */
   final case class Model(assignments: DataFrame, centroids: DataFrame)
 
+  /** Train the coarse quantizer on a BOUNDED sample collected to the
+    * driver (the standard IVF recipe — FAISS trains its quantizer on
+    * ~10^5 sampled vectors regardless of corpus size), then make ONE
+    * distributed assignment pass over the full corpus. The driver only
+    * ever holds `maxTrainRows` vectors and the k centroids — at 100 TB
+    * the sample stays the same size and the assignment pass is the only
+    * corpus-scale job (its output is written with `cell` as a partition
+    * column so searches read nprobe/k of the table).
+    *
+    * Deterministic: sample = smallest `maxTrainRows` ids, init = first k
+    * of those, fixed Lloyd iterations, fixed per-cell summation order. */
   def build(
       corpus: DataFrame,
       idCol: String,
       vecCol: String,
       k: Int,
-      iterations: Int = 2): Model = {
+      iterations: Int = 2,
+      maxTrainRows: Int = 65536): Model = {
+    val spark = corpus.sparkSession
     val base = corpus.select(col(idCol).as("id"),
       transform(col(vecCol), x => x.cast("double")).as("vec"))
 
-    var centroids = base.orderBy(col("id")).limit(k)
-      .select((row_number().over(Window.orderBy(col("id"))) - 1).as("cell"),
-        col("vec").as("cvec"))
-
-    var assigned: DataFrame = null
+    val train: Array[Array[Double]] = base.orderBy(col("id")).limit(maxTrainRows)
+      .select(col("vec")).collect()
+      .map(_.getSeq[Double](0).toArray)
+    require(train.length >= k, s"IVF needs >= $k training vectors")
+    val dim = train.head.length
+    var centroids: Array[Array[Double]] = train.take(k).map(_.clone())
     for (_ <- 0 until iterations) {
-      assigned = assign(base, centroids)
-      // new centroid = per-dimension mean over the cell's members
-      val dims = assigned.select(col("cell"), posexplode(col("vec")).as(Seq("i", "x")))
-      centroids = dims.groupBy(col("cell"), col("i")).agg(avg(col("x")).as("m"))
-        .groupBy(col("cell"))
-        .agg(array_sort(collect_list(struct(col("i"), col("m")))).as("pairs"))
-        .select(col("cell"), transform(col("pairs"), p => p.getField("m")).as("cvec"))
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val counts = new Array[Long](k)
+      train.foreach { v =>
+        var bestC = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < k) {
+          var d = 0.0; var i = 0
+          while (i < dim) { val t = v(i) - centroids(c)(i); d += t * t; i += 1 }
+          if (d < bestD) { bestD = d; bestC = c }
+          c += 1
+        }
+        var i = 0
+        while (i < dim) { sums(bestC)(i) += v(i); i += 1 }
+        counts(bestC) += 1
+      }
+      centroids = Array.tabulate(k) { c =>
+        if (counts(c) == 0) centroids(c)
+        else sums(c).map(_ / counts(c))
+      }
     }
-    Model(assign(base, centroids), centroids)
+    import spark.implicits._
+    val centroidDf = centroids.zipWithIndex
+      .map { case (v, c) => (c, v.toSeq) }.toSeq
+      .toDF("cell", "cvec")
+    // an index build SHOULD materialize its artifact: at cluster scale
+    // the assignments are written out partitioned by cell; locally
+    // localCheckpoint gives the same build-once/probe-many behavior
+    // instead of re-clustering per downstream consumer
+    Model(assign(base, centroidDf).localCheckpoint(), centroidDf)
   }
 
   private def assign(base: DataFrame, centroids: DataFrame): DataFrame =
