@@ -771,6 +771,39 @@ object ExtraQueries {
           COALESCE(g.n_events, 0) AS n_events,
           COALESCE(g.sum_v, 0.0) AS sum_v
         FROM spine LEFT JOIN g ON g.bucket_idx = spine.bucket_idx
-        ORDER BY bucket_idx"""))
+        ORDER BY bucket_idx""")),
+
+    // Incremental MV maintenance (reference MaterializedViewTask,
+    // MaterializedViewTaskExecutor.java:96): the MV is built one time
+    // window at a time (MaterializedView.compute per day — the same
+    // aggregation APPEND/OVERWRITE write per partition), and the union
+    // of the window partitions must answer the rollup query with
+    // exactly the totals of a direct aggregation over the same range —
+    // the invariant windowed maintenance preserves. n_windows proves
+    // the result really is assembled from 3 per-day partitions.
+    GQuery("q_mv_task",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val day = 86400L * 1000L
+        val w0 = 1704067200000L // 2024-01-01T00:00:00Z
+        val d = graft.sources.MaterializedView.ViewDef("ts", day,
+          Seq("event_type"),
+          Seq(count(lit(1)).as("cnt"), sum(dec(col("value"))).as("sv")))
+        val mv = (0 until 3)
+          .map(i => graft.sources.MaterializedView.compute(t.events, d, w0 + i * day))
+          .reduce(_ unionAll _)
+        mv.groupBy(col("event_type"))
+          .agg(sum(col("cnt")).as("n_events"),
+            r4(sum(col("sv")).cast(DoubleType)).as("sum_v"),
+            countDistinct(col("window_start_ms")).as("n_windows"))
+          .orderBy(col("event_type"))
+      },
+      Some("""SELECT event_type, COUNT(*) AS n_events,
+        ROUND(CAST(SUM(CAST(value AS DECIMAL(20,4))) AS DOUBLE), 4) AS sum_v,
+        COUNT(DISTINCT date_trunc('day', ts)) AS n_windows
+        FROM events
+        WHERE ts >= TIMESTAMP '2024-01-01 00:00:00'
+          AND ts < TIMESTAMP '2024-01-04 00:00:00'
+        GROUP BY 1 ORDER BY 1"""))
   )
 }
