@@ -85,10 +85,16 @@ object Dedup {
     // candidate pair, would perturb one jaccard value and be caught by
     // the brute-force oracle), longs intersect ~4x cheaper, and the
     // inverted-index shuffle carries 8-byte keys instead of strings.
+    // Materialize the tokenized corpus ONCE: four consumers need it
+    // (the inverted index, the df table behind it, and both sides of
+    // the verification join) and lazy lineage would re-tokenize for
+    // each. At cluster scale this IS the PPJoin recipe — write the
+    // hashed token sets out, then index/join against the stored form.
     val toks = docs.select(col(idCol).as("id"),
       array_distinct(transform(
         TextFunctions.tokens(lower(col(textCol))), t => xxhash64(t)))
         .as("toks"))
+      .localCheckpoint()
     val inv = toks.select(col("id"), size(col("toks")).as("sz"),
       explode(col("toks")).as("tok"))
     val dfreq = inv.groupBy("tok").agg(count(lit(1)).as("df"))
@@ -98,10 +104,12 @@ object Dedup {
       .filter(col("rn") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
       .select(col("id"), col("tok"))
 
-    val cand = prefix.select(col("tok"), col("id").as("a"))
-      .join(prefix.select(col("tok"), col("id").as("b")), "tok")
-      .filter(col("a") < col("b"))
-      .select("a", "b").distinct()
+    // canonically-identical self-join sides -> ReuseExchange runs the
+    // prefix pipeline once (see minhashLsh for the rationale)
+    val cand = prefix.as("l").hint("shuffle_hash")
+      .join(prefix.as("r"), col("l.tok") === col("r.tok"))
+      .filter(col("l.id") < col("r.id"))
+      .select(col("l.id").as("a"), col("r.id").as("b")).distinct()
 
     val ta = toks.select(col("id").as("a"), col("toks").as("toks_a"),
       size(col("toks")).as("sz_a"))
