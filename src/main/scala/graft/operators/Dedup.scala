@@ -348,4 +348,69 @@ object Dedup {
       .filter(col("dist") <= maxDist)
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"), col("dist")).distinct()
   }
+
+  /** Connected components over an undirected duplicate-pair graph:
+    * (id, comp) where comp = min node id in the component. This is the
+    * missing last step of every near-dup pipeline — pair emitters
+    * (tokenJaccard / minhashLsh / simhashPairs / embeddingNearDups)
+    * find EDGES, but "keep one copy" is defined per duplicate CLUSTER,
+    * and transitive closure is what turns edges into clusters.
+    *
+    * Algorithm: iterative min-label propagation with pointer jumping
+    * (label(x) <- min over neighbors, then label(x) <- label(label(x))),
+    * the dataframe form of hash-to-min [Rastogi et al. 2012; see also
+    * Kiveris et al., "Connected Components in MapReduce and Beyond"].
+    * Each round is two shuffles (one neighbor groupBy, one label
+    * self-join); pointer jumping makes convergence O(log d) rounds in
+    * the component diameter d, not O(d). Labels are localCheckpoint()ed
+    * per round — mandatory in iterative Spark, otherwise the lineage
+    * (and thus every stage DAG) doubles each round. Near-dup graphs
+    * from banded LSH are unions of near-cliques, so in practice this
+    * converges in 2-3 rounds; maxIters is a safety bound, hit only by
+    * adversarial path-shaped graphs ~2^maxIters nodes long. */
+  def components(pairs: DataFrame, aCol: String = "id_a",
+      bCol: String = "id_b", maxIters: Int = 25): DataFrame = {
+    val und = pairs.select(col(aCol).cast("long").as("src"),
+      col(bCol).cast("long").as("dst"))
+    val edges = und.union(und.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().localCheckpoint()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("comp")).localCheckpoint()
+    var changed = 1L
+    var it = 0
+    while (changed > 0 && it < maxIters) {
+      val prop = edges.join(labels.withColumnRenamed("id", "src"), "src")
+        .groupBy(col("dst").as("id"))
+        .agg(min(col("comp")).as("pcomp"))
+      val stepped = labels.join(prop, Seq("id"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("pcomp"), col("comp"))).as("comp"))
+      // pointer jumping: follow the label one hop (comp is itself a node
+      // id, so look up ITS current label and adopt it)
+      val jumped = stepped.as("x")
+        .join(stepped.select(col("id").as("jid"), col("comp").as("jcomp")).as("j"),
+          col("x.comp") === col("j.jid"), "left")
+        .select(col("x.id").as("id"),
+          coalesce(col("jcomp"), col("x.comp")).as("comp"))
+        .localCheckpoint()
+      changed = jumped.as("n")
+        .join(labels.select(col("id"), col("comp").as("prev")), "id")
+        .filter(col("comp") =!= col("prev")).count()
+      labels = jumped
+      it += 1
+    }
+    labels
+  }
+
+  /** Keep-one-per-cluster dedup: drops every doc that is a non-minimal
+    * member of a duplicate component. Docs with no near-dup pair are
+    * untouched (they never enter the edge set). One anti-join over the
+    * (tiny relative to the corpus) non-representative set. */
+  def keepRepresentatives(docs: DataFrame, idCol: String, pairs: DataFrame,
+      aCol: String = "id_a", bCol: String = "id_b"): DataFrame = {
+    val drop = components(pairs, aCol, bCol)
+      .filter(col("id") =!= col("comp"))
+      .select(col("id").as(idCol))
+    docs.join(drop, Seq(idCol), "left_anti")
+  }
 }

@@ -93,6 +93,47 @@ object PipelineQueries {
         SELECT ia AS id_a, ib AS id_b, ROUND(j, 4) AS jaccard
         FROM scored WHERE j >= 0.6 ORDER BY id_a, id_b""")),
 
+    // Duplicate CLUSTERS: connected components over the exact-Jaccard
+    // pair graph (Dedup.components — iterative min-label propagation
+    // with pointer jumping). The salted corpus (same derivation as
+    // q_dedup_jaccard_exact, block = doc_id div 25) yields ~20 disjoint
+    // components, so the transitive closure is non-trivial. The oracle
+    // computes the same closure via a recursive CTE: comp(x) = min id
+    // reachable from x. is_keep marks the per-cluster representative —
+    // the row a keep-one-per-cluster dedup retains.
+    GQuery("q_dedup_components",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val salted = t.documents.select(col("doc_id"),
+          array_join(transform(
+            TextFunctions.tokens(lower(col("text"))),
+            tok => concat(tok, lit("_"),
+              expr("doc_id div 25").cast(StringType))), " ").as("text"))
+        val pairs = Dedup.tokenJaccardExact(salted, "doc_id", "text",
+          threshold = 0.6)
+        Dedup.components(pairs)
+          .select(col("id"), col("comp"),
+            (col("id") === col("comp")).as("is_keep"))
+          .orderBy(col("id"))
+      },
+      Some("""WITH RECURSIVE toks AS (
+          SELECT doc_id AS id, list_sort(list_distinct(list_transform(
+            list_filter(string_split(lower(text), ' '), x -> len(x) > 0),
+            x -> x || '_' || CAST(doc_id // 25 AS VARCHAR)))) AS t
+          FROM documents),
+        pairs AS (SELECT a.id AS ia, b.id AS ib
+          FROM toks a JOIN toks b ON a.id < b.id
+          WHERE len(list_intersect(a.t, b.t)) * 1.0 /
+            (len(a.t) + len(b.t) - len(list_intersect(a.t, b.t))) >= 0.6),
+        edges AS (SELECT ia AS a, ib AS b FROM pairs
+                  UNION SELECT ib, ia FROM pairs),
+        reach(id, r) AS (
+          SELECT a, a FROM edges
+          UNION
+          SELECT e.a, r.r FROM edges e JOIN reach r ON e.b = r.id)
+        SELECT id, MIN(r) AS comp, id = MIN(r) AS is_keep
+        FROM reach GROUP BY id ORDER BY id""")),
+
     // MinHash + LSH near-dup (Dedup.minhashLsh) — hash-defined, so the
     // oracle is a PROPERTY check. DuckDB computes the exact 3-shingle
     // Jaccard pairs >= 0.9 on a fixed slice (doc_id < 200) by brute
