@@ -99,4 +99,54 @@ object Curation {
       lit(1.0) - size(array_distinct(bigrams)).cast("double") /
         size(bigrams).cast("double"))
   }
+
+  /** 32-bit md5 bucket of the id, uniform on [0, 2^32): the same
+    * engine-portable hash splitBucket uses, kept at full width so
+    * sampling rates resolve to ~2e-10 instead of 1e-3. */
+  def bucket32(id: Column): Column =
+    conv(substring(md5(id.cast("string")), 1, 8), 16, 10).cast("long")
+
+  /** Deterministic per-stratum Bernoulli sample: keep a row iff its
+    * md5 bucket falls under the stratum's rate. Strata absent from
+    * `rates` are dropped (rate 0). Rows never flip in/out when other
+    * strata grow — the reproducibility property Dataset.sample's
+    * per-partition RNG lacks (its draw depends on partition layout).
+    * One broadcast of a |strata|-row table; no shuffle of `df`. */
+  def sampleStratified(df: DataFrame, idCol: String, strataCol: String,
+      rates: Map[String, Double]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val r = rates.toSeq.toDF(strataCol, "__rate")
+    df.join(broadcast(r), strataCol)
+      .filter(bucket32(col(idCol)) <
+        col("__rate") * lit(4294967296.0))
+      .drop("__rate")
+  }
+
+  /** Data mixing: downsample so stratum proportions match `weights`
+    * (training-mixture rebalancing, e.g. 50% en / 20% de / ...), with
+    * maximal retention: the binding stratum (smallest count/weight) is
+    * kept whole and every other stratum is sampled down to match.
+    * Two passes over `df`: one count aggregate (|strata| rows — the
+    * per-stratum rate table stays broadcast-sized at any corpus size,
+    * strata are languages/domains, not rows) and one filter pass.
+    * Sampling is the same deterministic md5 bucket as
+    * [[sampleStratified]], so the output is stable across engines,
+    * partitionings and runs. */
+  def mixToProportions(df: DataFrame, idCol: String, strataCol: String,
+      weights: Map[String, Double]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val w = weights.toSeq.toDF(strataCol, "__w")
+    val counts = df.groupBy(col(strataCol)).agg(count(lit(1)).as("__c"))
+      .join(w, strataCol)
+    val t = counts.agg(min(col("__c") / col("__w")).as("__t"))
+    val rateTbl = counts.crossJoin(t)
+      .select(col(strataCol),
+        least(lit(1.0), col("__w") * col("__t") / col("__c")).as("__rate"))
+    df.join(broadcast(rateTbl), strataCol)
+      .filter(bucket32(col(idCol)) <
+        col("__rate") * lit(4294967296.0))
+      .drop("__rate")
+  }
 }

@@ -376,15 +376,25 @@ object Dedup {
       .distinct().localCheckpoint()
     var labels = edges.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("comp")).localCheckpoint()
-    var changed = 1L
+    // convergence tracker: per-node labels only ever DECREASE, so the
+    // global label sum is strictly monotone until fixpoint — comparing
+    // sums replaces a join-with-previous-labels with one tiny aggregate
+    def labelSum(l: DataFrame): Long =
+      l.agg(sum(col("comp"))).head().getLong(0)
+    var prevSum = labelSum(labels)
     var it = 0
-    while (changed > 0 && it < maxIters) {
+    var converged = false
+    while (!converged && it < maxIters) {
       val prop = edges.join(labels.withColumnRenamed("id", "src"), "src")
         .groupBy(col("dst").as("id"))
         .agg(min(col("comp")).as("pcomp"))
+      // checkpoint before the pointer-jump self-join: both sides read
+      // `stepped`, and un-materialized it would evaluate the whole
+      // propagation chain twice per round
       val stepped = labels.join(prop, Seq("id"), "left")
         .select(col("id"),
           least(col("comp"), coalesce(col("pcomp"), col("comp"))).as("comp"))
+        .localCheckpoint()
       // pointer jumping: follow the label one hop (comp is itself a node
       // id, so look up ITS current label and adopt it)
       val jumped = stepped.as("x")
@@ -393,14 +403,45 @@ object Dedup {
         .select(col("x.id").as("id"),
           coalesce(col("jcomp"), col("x.comp")).as("comp"))
         .localCheckpoint()
-      changed = jumped.as("n")
-        .join(labels.select(col("id"), col("comp").as("prev")), "id")
-        .filter(col("comp") =!= col("prev")).count()
+      val s = labelSum(jumped)
+      converged = s == prevSum
+      prevSum = s
       labels = jumped
       it += 1
     }
     labels
   }
+
+  /** SemDeDup-style semantic near-dup pairs [Abbas et al. 2023,
+    * "SemDeDup: Data-efficient learning at web-scale through semantic
+    * deduplication"]: partition the embedding space with the IVF coarse
+    * quantizer (k-means, [[IvfIndex.build]]), then compare pairs ONLY
+    * within each cell — exact cosine, so precision is 1.0 by
+    * construction and the approximation is recall on pairs that
+    * straddle a cell boundary. Cell-scoped all-pairs is the published
+    * algorithm's definition, and the scale contract: k grows with the
+    * corpus (n/k bounded), the cell id becomes a partition column, and
+    * the self-join is partition-local — the O(n²) global pair space is
+    * never touched. Returns (id_a, id_b, cosine). */
+  def semanticPairs(embeddings: DataFrame, idCol: String, vecCol: String,
+      k: Int = 16, threshold: Double = 0.9): DataFrame = {
+    val a = IvfIndex.build(embeddings, idCol, vecCol, k).assignments
+    a.as("l").hint("shuffle_hash")
+      .join(a.as("r"), col("l.cell") === col("r.cell"))
+      .filter(col("l.id") < col("r.id"))
+      .withColumn("cosine", graft.plans.VectorExpressions
+        .cosineSimilarity(col("l.vec"), col("r.vec")))
+      .filter(col("cosine") >= threshold)
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"), col("cosine"))
+  }
+
+  /** Full semantic dedup: cluster-scoped cosine pairs -> transitive
+    * closure -> keep the min-id representative of each duplicate group.
+    * The end-to-end SemDeDup pass a training pipeline runs. */
+  def semanticDedup(embeddings: DataFrame, idCol: String, vecCol: String,
+      k: Int = 16, threshold: Double = 0.9): DataFrame =
+    keepRepresentatives(embeddings, idCol,
+      semanticPairs(embeddings, idCol, vecCol, k, threshold))
 
   /** Keep-one-per-cluster dedup: drops every doc that is a non-minimal
     * member of a duplicate component. Docs with no near-dup pair are

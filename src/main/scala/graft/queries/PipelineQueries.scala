@@ -235,6 +235,52 @@ object PipelineQueries {
         SELECT n AS n_exact_slice, TRUE AS recall_floor_ok, TRUE AS has_pairs
         FROM p""")),
 
+    // SemDeDup semantic dedup (Dedup.semanticPairs): k-means cells via
+    // the IVF quantizer, exact cosine only within cells. Precision is
+    // 1.0 by construction (pairs carry exact cosine, asserted via
+    // min_cos_ok); recall loses only cell-straddling pairs, floored
+    // against the DuckDB brute-force count on the vec_id < 200 slice.
+    // n_total is an exact cross-engine count proving conservation of
+    // the keepRepresentatives partition (kept + dropped = total).
+    GQuery("q_dedup_semantic",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        // one pair stream feeds both the stats aggregate and the
+        // keep-set (a second semanticDedup call would rebuild the IVF
+        // quantizer and re-run the cell self-join)
+        val pairs = Dedup.semanticPairs(t.embeddings, "vec_id",
+          "embedding", k = 8, threshold = 0.3).localCheckpoint()
+        val kept = Dedup.keepRepresentatives(t.embeddings, "vec_id", pairs)
+        val slice = t.embeddings.filter(col("vec_id") < 200)
+          .select(col("vec_id").as("id"),
+            col("embedding").cast("array<double>").as("v"))
+        val exact = slice.as("a").crossJoin(slice.as("b"))
+          .filter(col("a.id") < col("b.id"))
+          .filter(r4(graft.plans.VectorExpressions.cosineSimilarity(
+            col("a.v"), col("b.v"))) >= 0.3)
+        val nExact = exact.agg(count(lit(1)).as("n_exact_slice"))
+        val pairStats = pairs.agg(
+          count(when(col("id_a") < 200 && col("id_b") < 200, 1)).as("__nf"),
+          (min(col("cosine")) >= 0.3).as("min_cos_ok"))
+        val totals = t.embeddings.agg(count(lit(1)).as("n_total"))
+          .crossJoin(kept.agg(count(lit(1)).as("__nk")))
+        nExact.crossJoin(pairStats).crossJoin(totals)
+          .select(col("n_exact_slice"),
+            (col("__nf") >= col("n_exact_slice") * 0.25).as("recall_floor_ok"),
+            col("min_cos_ok"), col("n_total"),
+            (col("__nk") <= col("n_total")).as("kept_bounded"))
+      },
+      Some("""WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+          FROM embeddings WHERE vec_id < 200),
+        p AS (SELECT COUNT(*) AS n FROM e a JOIN e b ON a.id < b.id
+          WHERE ROUND(list_sum(list_transform(list_zip(a.v, b.v), t -> t[1] * t[2]))
+            / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
+             * sqrt(list_sum(list_transform(b.v, x -> x * x)))), 4) >= 0.3),
+        tot AS (SELECT COUNT(*) AS n_total FROM embeddings)
+        SELECT p.n AS n_exact_slice, TRUE AS recall_floor_ok,
+          TRUE AS min_cos_ok, tot.n_total, TRUE AS kept_bounded
+        FROM p, tot""")),
+
     // SimHash near-dup pairs (Dedup.simhashPairs) — PROPERTY oracle:
     // pigeonhole banding claims COMPLETENESS (any pair within Hamming
     // maxDist must agree on >= 1 of maxDist+1 bands), so the query
@@ -575,6 +621,33 @@ object PipelineQueries {
                     WHEN bk < 990 THEN 'val'
                     ELSE 'test' END AS split, COUNT(*) AS n
         FROM b GROUP BY 1 ORDER BY split""")),
+
+    // Training-mixture rebalance (Curation.mixToProportions): downsample
+    // so language proportions hit 50/20/20/10 en/de/fr/zh with maximal
+    // retention (binding stratum kept whole), es dropped (no weight).
+    // Sampling is the deterministic md5 bucket, so the oracle reproduces
+    // the EXACT kept set — rates derive from counts in double arithmetic
+    // identical in both engines. Output: per-language kept counts.
+    GQuery("q_mix_proportions",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        Curation.mixToProportions(t.documents, "doc_id", "lang",
+            Map("en" -> 0.5, "de" -> 0.2, "fr" -> 0.2, "zh" -> 0.1))
+          .groupBy(col("lang")).agg(count(lit(1)).as("n_kept"))
+          .orderBy(col("lang"))
+      },
+      Some("""WITH w(lang, w) AS (VALUES
+            ('en', CAST(0.5 AS DOUBLE)), ('de', CAST(0.2 AS DOUBLE)),
+            ('fr', CAST(0.2 AS DOUBLE)), ('zh', CAST(0.1 AS DOUBLE))),
+        c AS (SELECT lang, COUNT(*) AS c FROM documents GROUP BY 1),
+        t AS (SELECT MIN(c.c / w.w) AS t FROM c JOIN w USING (lang)),
+        r AS (SELECT lang, LEAST(CAST(1.0 AS DOUBLE), w.w * t.t / c.c) AS rate
+          FROM c JOIN w USING (lang), t),
+        kept AS (SELECT d.lang FROM documents d JOIN r USING (lang)
+          WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+            AS BIGINT) < rate * 4294967296.0)
+        SELECT lang, COUNT(*) AS n_kept FROM kept
+        GROUP BY 1 ORDER BY lang""")),
 
     // Benchmark decontamination (Curation.contaminated): training docs
     // sharing >= 2 word-3-grams with the "eval set" (doc_id % 97 == 0

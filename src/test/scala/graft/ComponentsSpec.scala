@@ -63,6 +63,26 @@ class ComponentsSpec extends SparkSpec {
     for (c <- cliques; x <- c) assert(got(x) == c.min)
   }
 
+  test("semanticDedup collapses identical-embedding groups to one representative") {
+    // 3 well-separated directions; members of a group are exact copies
+    // (cosine 1.0), so regardless of the k-means cell layout each group
+    // must collapse — copies always land in the same cell.
+    val dirs = Seq(
+      Seq(1.0f, 0.0f, 0.0f, 0.0f), Seq(0.0f, 1.0f, 0.0f, 0.0f),
+      Seq(0.0f, 0.0f, 1.0f, 0.0f))
+    val rows = for (g <- 0 until 3; m <- 0 until 4)
+      yield ((g * 10 + m).toLong, dirs(g))
+    val emb = rows.toDF("vec_id", "embedding")
+    val kept = Dedup.semanticDedup(emb, "vec_id", "embedding",
+        k = 3, threshold = 0.99)
+      .select("vec_id").collect().map(_.getLong(0)).sorted
+    assert(kept.toSeq == Seq(0L, 10L, 20L))
+    val pairs = Dedup.semanticPairs(emb, "vec_id", "embedding",
+      k = 3, threshold = 0.99)
+    // no cross-group pair (orthogonal directions)
+    assert(pairs.filter(expr("id_a div 10 != id_b div 10")).count() == 0)
+  }
+
   test("keepRepresentatives drops non-minimal members only") {
     val docs = Seq.tabulate(8)(i => (i.toLong, s"doc $i")).toDF("doc_id", "text")
     val pairs = Seq((1L, 3L), (3L, 5L), (6L, 7L)).toDF("id_a", "id_b")

@@ -38,4 +38,48 @@ class CurationSpec extends SparkSpec {
     // doc 3 shares only "quick brown fox" (1 shingle) — below minHits
     assert(!hits.contains(3L))
   }
+
+  test("stratified sample: per-row stability, stratum isolation, rate accuracy") {
+    val base = (0L until 2000L).map(i => (i, if (i % 4 == 0) "a" else "b"))
+      .toDF("id", "s")
+    val rates = Map("a" -> 0.3, "b" -> 0.5)
+    val kept = Curation.sampleStratified(base, "id", "s", rates)
+      .select("id").as[Long].collect().toSet
+    // deterministic: second run identical
+    val kept2 = Curation.sampleStratified(base, "id", "s", rates)
+      .select("id").as[Long].collect().toSet
+    assert(kept == kept2)
+    // rate accuracy within binomial noise (n=500/1500, 4 sigma)
+    val nA = kept.count(_ % 4 == 0)
+    val nB = kept.size - nA
+    assert(math.abs(nA - 0.3 * 500) < 4 * math.sqrt(500 * 0.3 * 0.7))
+    assert(math.abs(nB - 0.5 * 1500) < 4 * math.sqrt(1500 * 0.5 * 0.25))
+    // stratum isolation: growing stratum b never flips a's kept set
+    val grown = base.union(
+      (5000L until 6000L).map(i => (i, "b")).toDF("id", "s"))
+    val keptG = Curation.sampleStratified(grown, "id", "s", rates)
+      .filter($"s" === "a").select("id").as[Long].collect().toSet
+    assert(keptG == kept.filter(_ % 4 == 0))
+    // stratum with no rate is dropped entirely
+    val keptNoA = Curation.sampleStratified(base, "id", "s", Map("b" -> 0.5))
+      .filter($"s" === "a").count()
+    assert(keptNoA == 0L)
+  }
+
+  test("mixToProportions hits target mixture with maximal retention") {
+    // 1000 a, 300 b, target 50/50 -> b binds (kept whole), a sampled to ~300
+    val df = ((0L until 1000L).map(i => (i, "a")) ++
+      (10000L until 10300L).map(i => (i, "b"))).toDF("id", "s")
+    val out = Curation.mixToProportions(df, "id", "s",
+      Map("a" -> 0.5, "b" -> 0.5))
+    val byS = out.groupBy("s").count().as[(String, Long)].collect().toMap
+    assert(byS("b") == 300L) // binding stratum retained in full
+    assert(math.abs(byS("a") - 300L) < 4 * math.sqrt(300))
+    // kept set is a subset of the deterministic stratified sample at the
+    // derived rate (same hash, so mix == sampleStratified at rate 0.3)
+    val direct = Curation.sampleStratified(df, "id", "s",
+      Map("a" -> 0.3, "b" -> 1.0)).select("id").as[Long].collect().toSet
+    val got = out.select("id").as[Long].collect().toSet
+    assert(got == direct)
+  }
 }
