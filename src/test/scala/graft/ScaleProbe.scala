@@ -88,7 +88,9 @@ object ScaleProbe {
       "q_join_band", "q_funnel_matchstep", "q_agg_hll_remerge",
       "q_dedup_jaccard_exact", "q_gapfill_agg",
       // SQL-callable aggregates + CLP + one-pass corpus clean
-      "q_funnel_agg_sql", "q_funnel_setcount", "q_fn_clp", "q_corpus_clean")
+      "q_funnel_agg_sql", "q_funnel_setcount", "q_fn_clp", "q_corpus_clean",
+      // clustering / curation round-2 additions
+      "q_dedup_components", "q_dedup_semantic", "q_mix_proportions")
       .filter(q => only.isEmpty || only(q))
     def time(dir: String, name: String): Double = {
       val t0 = System.nanoTime()
