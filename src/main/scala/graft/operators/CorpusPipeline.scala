@@ -43,11 +43,13 @@ object CorpusPipeline {
       .select(col("keep_id").as(idCol))
     val exactDeduped = gated.join(keep, idCol).cache()
 
-    // near-dup removal: drop the larger id of each candidate pair
-    val dropIds = Dedup.minhashLsh(exactDeduped, idCol, textCol,
-        cfg.nearDupThreshold, cfg.minhashBits, cfg.bands)
-      .select(col("id_b").as(idCol)).distinct()
-    exactDeduped.join(dropIds, Seq(idCol), "left_anti")
+    // near-dup removal: transitive closure over the LSH pair graph,
+    // keep one representative per duplicate CLUSTER. (Dropping the
+    // larger id of each pair under-dedups transitive chains: with
+    // pairs (2,9),(1,9) it keeps both 1 and 2 although 1~9~2.)
+    val pairs = Dedup.minhashLsh(exactDeduped, idCol, textCol,
+      cfg.nearDupThreshold, cfg.minhashBits, cfg.bands)
+    Dedup.keepRepresentatives(exactDeduped, idCol, pairs)
   }
 
   /** Per-stage survivor counts, for pipeline observability. */

@@ -369,13 +369,45 @@ object Dedup {
     * converges in 2-3 rounds; maxIters is a safety bound, hit only by
     * adversarial path-shaped graphs ~2^maxIters nodes long. */
   def components(pairs: DataFrame, aCol: String = "id_a",
-      bCol: String = "id_b", maxIters: Int = 25): DataFrame = {
+      bCol: String = "id_b", maxIters: Int = 25,
+      driverEdgeLimit: Long = 1L << 20): DataFrame = {
     val und = pairs.select(col(aCol).cast("long").as("src"),
       col(bCol).cast("long").as("dst"))
     val edges = und.union(und.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().localCheckpoint()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("comp")).localCheckpoint()
+    // Size-gated hybrid: a dup-pair graph is usually TINY relative to
+    // the corpus (dedup pairs, not all rows). Under the bound, a
+    // driver-side union-find replaces ~3 jobs/round of distributed
+    // loop overhead — the same bounded-driver-memory contract as the
+    // IVF quantizer's training sample. Above it, the distributed
+    // propagation below handles arbitrarily large graphs.
+    val nEdges = edges.count()
+    if (nEdges <= driverEdgeLimit) {
+      val spark = pairs.sparkSession
+      import spark.implicits._
+      val es = edges.filter(col("src") < col("dst"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      es.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        // union by min id so the root IS the component label
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val nodes = es.iterator.flatMap(e => Iterator(e._1, e._2)).toSeq.distinct
+      return nodes.map(n => (n, find(n))).toDF("id", "comp")
+    }
+    // init at the NEIGHBORHOOD min, not the node id: one groupBy that
+    // the first propagation round would do anyway, folded into init —
+    // near-clique components (the LSH output shape) converge here, so
+    // the loop body runs once just to confirm the fixpoint
+    var labels = edges.groupBy(col("src").as("id"))
+      .agg(min(col("dst")).as("__mn"))
+      .select(col("id"), least(col("id"), col("__mn")).as("comp"))
+      .localCheckpoint()
     // convergence tracker: per-node labels only ever DECREASE, so the
     // global label sum is strictly monotone until fixpoint — comparing
     // sums replaces a join-with-previous-labels with one tiny aggregate

@@ -30,9 +30,14 @@ class ComponentsSpec extends SparkSpec {
 
   private def check(edges: Seq[(Long, Long)]): Unit = {
     val expected = unionFind(edges)
-    val got = Dedup.components(edges.toDF("id_a", "id_b"))
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(got == expected)
+    // driverEdgeLimit = 0 forces the distributed propagation loop;
+    // the default exercises the driver union-find shortcut
+    for (limit <- Seq(0L, 1L << 20)) {
+      val got = Dedup.components(edges.toDF("id_a", "id_b"),
+          driverEdgeLimit = limit)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected, s"limit=$limit")
+    }
   }
 
   test("random graphs match union-find (15 seeds)") {
@@ -49,9 +54,11 @@ class ComponentsSpec extends SparkSpec {
 
   test("path graph of 60 nodes collapses to one component") {
     // worst case for plain min-propagation (diameter = n); pointer
-    // jumping must still converge inside maxIters = 25 since 2^25 >> 60
+    // jumping must still converge inside maxIters = 25 since 2^25 >> 60.
+    // driverEdgeLimit = 0 forces the distributed loop.
     val edges = (0L until 59L).map(i => (i, i + 1))
-    val got = Dedup.components(edges.toDF("id_a", "id_b")).collect()
+    val got = Dedup.components(edges.toDF("id_a", "id_b"),
+      driverEdgeLimit = 0L).collect()
     assert(got.length == 60 && got.forall(_.getLong(1) == 0L))
   }
 
