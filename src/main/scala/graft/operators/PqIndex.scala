@@ -90,19 +90,27 @@ object PqIndex {
     }
     val codebooks = books.toDF("sub", "code", "cvec")
 
-    // distributed encode: explode into (id, sub, subvec), broadcast-join
-    // the m*k codebook, min-struct per (id, sub), re-assemble the code
-    // array ordered by sub. Two hash aggregates, both map-side partial.
-    val subs = base.select(col("id"),
-      posexplode(subvectors(col("vec"), m, dsub)).as(Seq("sub", "sv")))
-    val assigned = subs.join(broadcast(codebooks), "sub")
-      .withColumn("__d", l2Sq(col("sv"), col("cvec")))
-      .groupBy(col("id"), col("sub"))
-      .agg(min(struct(col("__d"), col("code"))).as("__m"))
-      .select(col("id"), col("sub"), col("__m.code").as("code"))
-    val codes = assigned.groupBy(col("id"))
-      .agg(transform(array_sort(collect_list(struct(col("sub"), col("code")))),
-        s => s.getField("code")).as("codes"))
+    // MAP-ONLY encode: the full codebook is tiny (m·k·dsub doubles =
+    // the whole model), so it rides into the plan as a literal and
+    // each row's m codes are m argmin folds — a pure projection, no
+    // explode, no join, no shuffle. The checkpoint of `base` first is
+    // load-bearing: without it Catalyst's CollapseProject would
+    // re-inline the normalize() subtree into every one of the m·k
+    // subspace distances.
+    val cbLit = typedLit(
+      books.grouped(k).map(_.map(_._3).toSeq).toSeq)
+    val baseCp = base.localCheckpoint()
+    val codes = baseCp.select(col("id"),
+      transform(sequence(lit(0), lit(m - 1)), j => {
+        val sv = slice(col("vec"), j * lit(dsub) + 1, lit(dsub))
+        aggregate(sequence(lit(0), lit(k - 1)),
+          struct(lit(Double.MaxValue).as("d"), lit(-1).as("c")),
+          (acc, c) => {
+            val d0 = l2Sq(sv, element_at(element_at(cbLit, j + 1), c + 1))
+            when(d0 < acc.getField("d"),
+              struct(d0.as("d"), c.as("c"))).otherwise(acc)
+          }).getField("c")
+      }).as("codes"))
       // an index build materializes its artifact (cluster scale: written
       // out as the PQ-compressed table); localCheckpoint is the local
       // equivalent of build-once/probe-many
@@ -153,6 +161,84 @@ object PqIndex {
       .filter(col("rank") <= topK)
       .select(col("probe_id"), col("id").as("neighbor_id"),
         col("adc_dist"), col("rank"))
+  }
+
+  /** IVF-PQ: the composed two-level index (FAISS `IVFx,PQy` with
+    * by_residual=false) — the IVF coarse quantizer restricts the ADC
+    * scan to the `nprobe` nearest cells, PQ codes make that scan a
+    * table-lookup pass, and the raw vectors are touched only for the
+    * exact re-rank of the shortlist. At 100 TB: cell = partition
+    * column of the code table, so a query reads nprobe/k of an
+    * already-30×-compressed table.
+    *
+    * Plan shape: broadcast(centroids) → per-probe cell top-nprobe;
+    * broadcast(probe cells + distance tables) joined to the code table
+    * filtered by cell — map-side semi-join, no corpus shuffle; one
+    * top-k window; rerank join against the raw vectors by id. */
+  def searchIvfPq(
+      ivf: IvfIndex.Model,
+      pq: Model,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      probes: DataFrame,
+      probeId: String,
+      topK: Int,
+      nprobe: Int,
+      rerankFactor: Int = 4): DataFrame = {
+    val k = pq.k
+    val p = probes.select(col(probeId).as("probe_id"),
+      VectorFunctions.normalize(
+        transform(col(vecCol), x => x.cast("double"))).as("pvec"))
+    // cell selection runs in the IVF's RAW vector space (the quantizer
+    // trained un-normalized); only the PQ distance tables use the
+    // normalized probe
+    val praw0 = probes.select(col(probeId).as("probe_id"),
+      transform(col(vecCol), x => x.cast("double")).as("rawv"))
+    val wc = Window.partitionBy(col("probe_id"))
+      .orderBy(col("__d").asc, col("cell").asc)
+    val probeCells = praw0.crossJoin(broadcast(ivf.centroids))
+      .withColumn("__d", VectorFunctions.l2Distance(col("rawv"), col("cvec")))
+      .withColumn("__rn", row_number().over(wc))
+      .filter(col("__rn") <= nprobe)
+      .select(col("probe_id"), col("cell"))
+    val psubs = p.select(col("probe_id"),
+      posexplode(subvectors(col("pvec"), pq.m, pq.dsub))
+        .as(Seq("sub", "psv")))
+    val dtabs = psubs.join(pq.codebooks, "sub")
+      .select(col("probe_id"), col("sub"), col("code"),
+        l2Sq(col("psv"), col("cvec")).as("pd"))
+      .groupBy(col("probe_id"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("sub"), col("code"), col("pd")))),
+        s => s.getField("pd")).as("dtab"))
+    // code table + cell id, restricted to probed cells
+    val cells = ivf.assignments.select(col("id"), col("cell"))
+    val candidates = pq.codes.join(cells, "id")
+      .join(broadcast(probeCells), "cell")
+      .filter(col("id") =!= col("probe_id"))
+    val wa = Window.partitionBy(col("probe_id"))
+      .orderBy(col("adc_dist").asc, col("id").asc)
+    val shortlist = candidates.join(broadcast(dtabs), "probe_id")
+      .withColumn("adc_dist", aggregate(
+        zip_with(col("codes"), sequence(lit(0), lit(pq.m - 1)),
+          (code, i) => element_at(col("dtab"), i * lit(k) + code + 1)),
+        lit(0.0), (acc, x) => acc + x))
+      .withColumn("__rn", row_number().over(wa))
+      .filter(col("__rn") <= topK * rerankFactor)
+      .select(col("probe_id"), col("id").as("neighbor_id"))
+    val praw = probes.select(col(probeId).as("probe_id"),
+      transform(col(vecCol), x => x.cast("double")).as("pvec"))
+    val cv = corpus.select(col(idCol).as("neighbor_id"),
+      transform(col(vecCol), x => x.cast("double")).as("nvec"))
+    val wr = Window.partitionBy(col("probe_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    shortlist.join(cv, "neighbor_id").join(broadcast(praw), "probe_id")
+      .withColumn("sim",
+        VectorFunctions.cosineSimilarity(col("pvec"), col("nvec")))
+      .withColumn("rank", row_number().over(wr))
+      .filter(col("rank") <= topK)
+      .select(col("probe_id"), col("neighbor_id"), col("sim"), col("rank"))
   }
 
   /** ADC shortlist (rerankFactor × topK candidates) then exact cosine

@@ -609,6 +609,76 @@ object PipelineQueries {
           TRUE AS recall_ok
         FROM r WHERE rn <= 5 GROUP BY probe_id ORDER BY probe_id""")),
 
+    // IVF-PQ composed two-level ANN (PqIndex.searchIvfPq): coarse cells
+    // restrict the ADC lookup pass to nprobe/k of the code table, exact
+    // re-rank on the shortlist. Same property-oracle shape as
+    // q_ann_pq/q_ann_ivf: exact top-5 CSV cross-checked, recall >= 3/5.
+    GQuery("q_ann_ivfpq",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        // cosine targets want cosine-aligned cells: L2-normalize before
+        // indexing (the standard "normalize then L2-IVF" recipe — cosine
+        // results are invariant, cell boundaries stop cutting across
+        // directionally-close but magnitude-far vectors)
+        val embN = t.embeddings.select(col("vec_id"),
+          graft.functions.VectorFunctions.normalize(col("embedding"))
+            .as("embedding"))
+        val probes = embN.filter(col("vec_id") < 5)
+        val ivf = IvfIndex.build(embN, "vec_id", "embedding", k = 16)
+        val pq = PqIndex.build(embN, "vec_id", "embedding",
+          m = 8, k = 16)
+        // synthetic embeddings are near-isotropic (top-5 cosine ~0.3 —
+        // no cluster structure for the coarse quantizer to exploit), so
+        // the probe budget is generous: nprobe 12/16 cells, 16x
+        // shortlist. Real embedding corpora cluster, which is the only
+        // regime where IVF pruning wins anything.
+        val res = PqIndex.searchIvfPq(ivf, pq, embN, "vec_id",
+          "embedding", probes, "vec_id", topK = 5, nprobe = 12,
+          rerankFactor = 16)
+        val pv = probes.select(col("vec_id").as("probe_id"),
+          col("embedding").cast("array<double>").as("pv"))
+        val cv = t.embeddings.select(col("vec_id").as("cid"),
+          col("embedding").cast("array<double>").as("cv"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("probe_id"))
+          .orderBy(col("sim").desc, col("cid").asc)
+        val exactTop = pv.crossJoin(cv)
+          .filter(col("cid") =!= col("probe_id"))
+          .withColumn("sim", r4(graft.plans.VectorExpressions.cosineSimilarity(
+            col("pv"), col("cv"))))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 5)
+          .select(col("probe_id"), col("cid"))
+          .localCheckpoint(true)
+        val tops = exactTop.groupBy(col("probe_id"))
+          .agg(array_join(array_sort(collect_list(col("cid"))), ",")
+            .as("exact_top5_csv"))
+        val hits = exactTop
+          .join(res, exactTop("probe_id") === res("probe_id") &&
+            col("cid") === col("neighbor_id"), "left_semi")
+          .groupBy(col("probe_id")).agg(count(lit(1)).as("__hits"))
+        tops.join(hits, Seq("probe_id"), "left")
+          .select(col("probe_id"), col("exact_top5_csv"),
+            (coalesce(col("__hits"), lit(0L)) >= 3).as("recall_ok"))
+          .orderBy(col("probe_id"))
+      },
+      Some("""WITH p AS (SELECT vec_id AS probe_id, CAST(embedding AS DOUBLE[]) AS pv
+          FROM embeddings WHERE vec_id < 5),
+        c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+          FROM embeddings),
+        s AS (SELECT probe_id, cid,
+          ROUND(list_sum(list_transform(list_zip(cv, pv), t -> t[1] * t[2]))
+            / (sqrt(list_sum(list_transform(cv, x -> x * x)))
+             * sqrt(list_sum(list_transform(pv, x -> x * x)))), 4) AS sim
+          FROM p, c WHERE cid <> probe_id),
+        r AS (SELECT probe_id, cid,
+          ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY sim DESC, cid ASC) AS rn
+          FROM s)
+        SELECT probe_id,
+          array_to_string(list_sort(list(cid)), ',') AS exact_top5_csv,
+          TRUE AS recall_ok
+        FROM r WHERE rn <= 5 GROUP BY probe_id ORDER BY probe_id""")),
+
     // ——— Text analysis ———
 
     // Token counts, punctuation/stopword ratios, fingerprint.

@@ -44,6 +44,44 @@ class PqSpec extends SparkSpec {
     assert(bad == 0, s"$bad cross-cluster neighbors in ADC top-10")
   }
 
+  test("IVF-PQ with full probe coverage equals brute force") {
+    val emb = clustered(100, 16, 4, 7).toDF("vec_id", "embedding")
+    val ivf = graft.operators.IvfIndex.build(emb, "vec_id", "embedding", k = 4)
+    val pq = PqIndex.build(emb, "vec_id", "embedding", m = 4, k = 8)
+    val probes = emb.filter($"vec_id" < 3)
+    // nprobe = all cells + shortlist = corpus -> must equal brute force
+    val got = PqIndex.searchIvfPq(ivf, pq, emb, "vec_id", "embedding",
+        probes, "vec_id", topK = 5, nprobe = 4, rerankFactor = 20)
+      .select("probe_id", "neighbor_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val p = probes.select($"vec_id".as("probe_id"),
+      $"embedding".cast("array<double>").as("pv"))
+    val c = emb.select($"vec_id".as("cid"),
+      $"embedding".cast("array<double>").as("cv"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"probe_id").orderBy($"sim".desc, $"cid".asc)
+    val exact = p.crossJoin(c).filter($"cid" =!= $"probe_id")
+      .withColumn("sim", VectorExpressions.cosineSimilarity($"pv", $"cv"))
+      .withColumn("rn", row_number().over(w)).filter($"rn" <= 5)
+      .collect().map(r => (r.getAs[Long]("probe_id"),
+        r.getAs[Long]("cid"), r.getAs[Int]("rn"))).toSet
+    assert(got == exact)
+  }
+
+  test("IVF-PQ nprobe=1 stays within the probe's own cluster") {
+    val emb = clustered(200, 16, 4, 8).toDF("vec_id", "embedding")
+    val ivf = graft.operators.IvfIndex.build(emb, "vec_id", "embedding", k = 4)
+    val pq = PqIndex.build(emb, "vec_id", "embedding", m = 4, k = 8)
+    val probes = emb.filter($"vec_id" < 4)
+    val res = PqIndex.searchIvfPq(ivf, pq, emb, "vec_id", "embedding",
+      probes, "vec_id", topK = 5, nprobe = 1).collect()
+    assert(res.nonEmpty)
+    // well-separated clusters: nprobe=1 neighbors all share the probe's
+    // cluster (ids ≡ probe mod 4)
+    val bad = res.count(r => r.getLong(1) % 4 != r.getLong(0) % 4)
+    assert(bad == 0)
+  }
+
   test("searchRerank equals brute force when shortlist covers the corpus") {
     val emb = clustered(80, 16, 4, 3).toDF("vec_id", "embedding")
     val model = PqIndex.build(emb, "vec_id", "embedding", m = 4, k = 8)
