@@ -123,6 +123,34 @@ object Curation {
       .drop("__rate")
   }
 
+  /** Sequence-packing plan (concat-and-chunk, the standard LLM
+    * pretraining layout): documents are laid out in a deterministic
+    * pseudo-random order (md5 of the id, salted differently from the
+    * shard hash) and the concatenated token stream is chunked every
+    * `budget` tokens. Returns (id, shard, seq_id, offset): document id
+    * starts at token `offset` of training sequence `seq_id` in `shard`.
+    *
+    * Sharding bounds the sequential dependency: the running-total
+    * window runs per shard, so at 100 TB the shard count scales with
+    * the corpus and each window partition stays executor-sized —
+    * a single global ordering would serialize the whole corpus through
+    * one partition. Fully deterministic (hash order + exact integer
+    * cumsum), so any engine reproduces the identical layout. */
+  def packSequences(df: DataFrame, idCol: String, nTokens: Column,
+      budget: Int, shards: Int = 64): DataFrame = {
+    val shard = (bucket32(col(idCol)) % shards).cast("int")
+    val ord = md5(concat(lit("pack:"), col(idCol).cast("string")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("__ord"), col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    df.select(col(idCol), shard.as("shard"), ord.as("__ord"),
+        nTokens.cast("long").as("__nt"))
+      .withColumn("__start", coalesce(sum(col("__nt")).over(w), lit(0L)))
+      .select(col(idCol), col("shard"),
+        floor(col("__start") / budget).cast("long").as("seq_id"),
+        (col("__start") % budget).as("offset"))
+  }
+
   /** Data mixing: downsample so stratum proportions match `weights`
     * (training-mixture rebalancing, e.g. 50% en / 20% de / ...), with
     * maximal retention: the binding stratum (smallest count/weight) is

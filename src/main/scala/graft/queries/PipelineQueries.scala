@@ -778,6 +778,31 @@ object PipelineQueries {
         SELECT lang, COUNT(*) AS n_kept FROM kept
         GROUP BY 1 ORDER BY lang""")),
 
+    // Sequence packing (Curation.packSequences): concat-and-chunk
+    // layout, 16 shards, 512-token budget. Exact cross-engine check:
+    // the layout is pure hash-order + integer cumsum, so DuckDB
+    // reproduces every (shard, seq_id, offset) bit-for-bit.
+    GQuery("q_pack_sequences",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        Curation.packSequences(t.documents, "doc_id",
+            TextFunctions.tokenCount(col("text")), budget = 512, shards = 16)
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH d AS (SELECT doc_id,
+            CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+              AS BIGINT) % 16 AS INT) AS shard,
+            md5('pack:' || CAST(doc_id AS VARCHAR)) AS ord,
+            len(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS nt
+          FROM documents),
+        c AS (SELECT doc_id, shard,
+            COALESCE(SUM(nt) OVER (PARTITION BY shard ORDER BY ord, doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS st
+          FROM d)
+        SELECT doc_id, shard, CAST(st // 512 AS BIGINT) AS seq_id,
+          CAST(st % 512 AS BIGINT) AS offset
+        FROM c ORDER BY doc_id""")),
+
     // Benchmark decontamination (Curation.contaminated): training docs
     // sharing >= 2 word-3-grams with the "eval set" (doc_id % 97 == 0
     // here). The operator joins on 64-bit shingle hashes; the oracle

@@ -66,6 +66,31 @@ class CurationSpec extends SparkSpec {
     assert(keptNoA == 0L)
   }
 
+  test("packSequences is a lossless contiguous layout per shard") {
+    val rnd = new scala.util.Random(11)
+    val docs = (0L until 300L).map(i => (i, 1 + rnd.nextInt(200)))
+      .toDF("id", "nt")
+    val plan = Curation.packSequences(docs, "id", $"nt", budget = 256,
+        shards = 4)
+      .join(docs, "id")
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[Int]("shard"),
+        r.getAs[Long]("seq_id"), r.getAs[Long]("offset"), r.getAs[Int]("nt")))
+    // every doc present exactly once
+    assert(plan.length == 300 && plan.map(_._1).distinct.length == 300)
+    // offsets in [0, budget)
+    assert(plan.forall(p => p._4 >= 0 && p._4 < 256))
+    // within a shard, start positions (seq*budget + offset) tile the
+    // token stream contiguously: sorted starts differ by exactly nt
+    plan.groupBy(_._2).foreach { case (_, ds) =>
+      val sorted = ds.sortBy(d => d._3 * 256 + d._4)
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b._3 * 256 + b._4 == a._3 * 256 + a._4 + a._5)
+        case _ =>
+      }
+    }
+  }
+
   test("mixToProportions hits target mixture with maximal retention") {
     // 1000 a, 300 b, target 50/50 -> b binds (kept whole), a sampled to ~300
     val df = ((0L until 1000L).map(i => (i, "a")) ++
