@@ -248,6 +248,51 @@ object Dedup {
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"), col("est_jaccard")).distinct()
   }
 
+  /** Incremental near-dup: LSH-join a NEW batch of documents against a
+    * pre-built corpus signature table ([[minhashSignatures]] output the
+    * pipeline stores alongside the corpus) — the daily-crawl shape:
+    * only the increment is shingled and hashed; the existing corpus is
+    * touched through its fixed-size signatures alone, never re-read as
+    * text. Asymmetric join, no self-join: candidate buckets come from
+    * the same banding as [[minhashLsh]], so an (increment, corpus)
+    * pair surfaces iff the symmetric batch run would have found it.
+    * At scale the increment side is small — AQE broadcasts its banded
+    * buckets and the corpus signature table is never shuffled.
+    * Returns (new_id, corpus_id, est_jaccard >= threshold). */
+  def minhashLshAgainst(
+      newDocs: DataFrame,
+      idCol: String,
+      textCol: String,
+      corpusSigs: DataFrame,
+      threshold: Double,
+      numHashes: Int = 32,
+      bands: Int = 8,
+      shingleSize: Int = 3): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val rows = numHashes / bands
+    def banded(sigs: DataFrame): DataFrame = {
+      val bandHashes = array((0 until bands).map { b =>
+        hash(slice(col("signature"), b * rows + 1, rows), lit(b))
+      }: _*)
+      sigs.select(col("id"), col("signature"),
+        posexplode(bandHashes).as(Seq("band", "bucket")))
+    }
+    val nb = banded(minhashSignatures(newDocs, idCol, textCol,
+      numHashes, shingleSize))
+    val cb = banded(corpusSigs)
+    nb.as("l")
+      .join(cb.as("r"),
+        col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket"))
+      .filter(col("l.id") =!= col("r.id"))
+      .withColumn("est_jaccard",
+        size(filter(zip_with(col("l.signature"), col("r.signature"),
+          (x, y) => x === y), m => m))
+          .cast("double") / lit(numHashes.toDouble))
+      .filter(col("est_jaccard") >= threshold)
+      .select(col("l.id").as("new_id"), col("r.id").as("corpus_id"),
+        col("est_jaccard")).distinct()
+  }
+
   /** 64-bit SimHash over distinct tokens: bit j of the fingerprint is the
     * sign of the sum over tokens of (bit j of token-hash ? +1 : -1).
     *

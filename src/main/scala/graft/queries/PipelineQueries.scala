@@ -197,6 +197,64 @@ object PipelineQueries {
         SELECT n AS n_high_exact, n AS n_high_found,
           CAST(0 AS BIGINT) AS n_gross_fp, TRUE AS has_pairs FROM high""")),
 
+    // Incremental near-dup (Dedup.minhashLshAgainst): the "daily crawl"
+    // shape — docs with doc_id % 10 == 0 are the increment, the rest is
+    // the pre-indexed corpus (signatures only). Same property-oracle
+    // discipline as q_dedup_minhash, on cross-split pairs: DuckDB
+    // brute-forces the exact 3-shingle Jaccard >= 0.9 increment×corpus
+    // pairs on the doc_id < 200 slice; the query proves that count
+    // cross-engine, full recall of them, and zero gross FPs.
+    GQuery("q_dedup_incremental",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val newDocs = t.documents.filter(col("doc_id") % 10 === 0)
+        val corpus = t.documents.filter(col("doc_id") % 10 =!= 0)
+        val corpusSigs = Dedup.minhashSignatures(corpus, "doc_id", "text",
+          32, 3)
+        val pairs = Dedup.minhashLshAgainst(newDocs, "doc_id", "text",
+          corpusSigs, threshold = 0.5, numHashes = 32, bands = 8,
+          shingleSize = 3)
+        val shSlice = Dedup
+          .shingleHashSets(t.documents.filter(col("doc_id") < 200),
+            "doc_id", "text", 3)
+          .withColumnRenamed("doc_id", "id")
+          .filter(size(col("sh")) > 0)
+        def jac(a: Column, b: Column): Column =
+          size(array_intersect(a, b)).cast("double") /
+            size(array_union(a, b)).cast("double")
+        val exactHigh = shSlice.as("a").crossJoin(shSlice.as("b"))
+          .filter(col("a.id") % 10 === 0 && col("b.id") % 10 =!= 0)
+          .filter(jac(col("a.sh"), col("b.sh")) >= 0.9)
+          .select(col("a.id").as("new_id"), col("b.id").as("corpus_id"))
+          .localCheckpoint(true)
+        val annotated = pairs
+          .join(broadcast(exactHigh.select(col("new_id"), col("corpus_id"),
+            lit(1).as("is_high"))), Seq("new_id", "corpus_id"), "left")
+          .join(broadcast(shSlice.select(col("id").as("new_id"),
+            col("sh").as("sh_a"))), Seq("new_id"), "left")
+          .join(broadcast(shSlice.select(col("id").as("corpus_id"),
+            col("sh").as("sh_b"))), Seq("corpus_id"), "left")
+        val stats = annotated.agg(
+          (count(lit(1)) >= 1).as("has_pairs"),
+          coalesce(sum(col("is_high")), lit(0L)).as("n_high_found"),
+          count(when(col("sh_a").isNotNull && col("sh_b").isNotNull &&
+            jac(col("sh_a"), col("sh_b")) < 0.2, 1)).as("n_gross_fp"))
+        val nHighExact = exactHigh.agg(count(lit(1)).as("n_high_exact"))
+        nHighExact.crossJoin(stats)
+      },
+      Some("""WITH toks AS (SELECT doc_id AS id,
+          list_filter(string_split(lower(text), ' '), x -> len(x) > 0) AS t
+          FROM documents WHERE doc_id < 200),
+        sh AS (SELECT id, list_distinct(list_transform(range(1, len(t) - 1),
+            i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+          FROM toks WHERE len(t) >= 3),
+        high AS (SELECT COUNT(*) AS n FROM sh a JOIN sh b
+          ON a.id % 10 = 0 AND b.id % 10 <> 0
+          WHERE len(list_intersect(a.s, b.s)) * 1.0 /
+            len(list_distinct(list_concat(a.s, b.s))) >= 0.9)
+        SELECT n AS n_high_exact, n AS n_high_found,
+          CAST(0 AS BIGINT) AS n_gross_fp, TRUE AS has_pairs FROM high""")),
+
     // Embedding-cosine near-dup pairs (LSH candidates + exact cosine
     // verification) — hash-defined candidates, PROPERTY oracle: DuckDB
     // brute-forces the exact cosine >= 0.3 pair count on a fixed slice

@@ -53,6 +53,22 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("incremental LSH against stored signatures equals symmetric cross-pairs") {
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val newDocs = corpus.filter($"doc_id" % 7 === 0)
+    val oldDocs = corpus.filter($"doc_id" % 7 =!= 0)
+    val sigs = Dedup.minhashSignatures(oldDocs, "doc_id", "text", 32, 3)
+    val inc = Dedup.minhashLshAgainst(newDocs, "doc_id", "text", sigs,
+        threshold = 0.5)
+      .select($"new_id", $"corpus_id").as[(Long, Long)].collect().toSet
+    // symmetric batch run over everything, restricted to cross pairs
+    val sym = Dedup.minhashLsh(corpus, "doc_id", "text", threshold = 0.5)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect()
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      .filter { case (n, c) => n % 7 == 0 && c % 7 != 0 }.toSet
+    assert(inc == sym)
+  }
+
   test("simhash distance zero for identical docs, small for near dups") {
     val fps = Dedup.simhash(docs, "doc_id", "text")
       .as[(Long, Long)].collect().toMap
