@@ -53,8 +53,7 @@ object PqIndex {
     val spark = corpus.sparkSession
     import spark.implicits._
     val base = corpus.select(col(idCol).as("id"),
-      VectorFunctions.normalize(
-        transform(col(vecCol), x => x.cast("double"))).as("vec"))
+      graft.plans.VectorExpressions.normalize(col(vecCol)).as("vec"))
 
     val train: Array[Array[Double]] = base.orderBy(col("id")).limit(maxTrainRows)
       .select(col("vec")).collect().map(_.getSeq[Double](0).toArray)
@@ -135,8 +134,7 @@ object PqIndex {
       topK: Int): DataFrame = {
     val k = model.k
     val p = probes.select(col(probeId).as("probe_id"),
-      VectorFunctions.normalize(
-        transform(col(vecCol), x => x.cast("double"))).as("pvec"))
+      graft.plans.VectorExpressions.normalize(col(vecCol)).as("pvec"))
     val psubs = p.select(col("probe_id"),
       posexplode(subvectors(col("pvec"), model.m, model.dsub))
         .as(Seq("sub", "psv")))
@@ -188,8 +186,7 @@ object PqIndex {
       rerankFactor: Int = 4): DataFrame = {
     val k = pq.k
     val p = probes.select(col(probeId).as("probe_id"),
-      VectorFunctions.normalize(
-        transform(col(vecCol), x => x.cast("double"))).as("pvec"))
+      graft.plans.VectorExpressions.normalize(col(vecCol)).as("pvec"))
     // cell selection runs in the IVF's RAW vector space (the quantizer
     // trained un-normalized); only the PQ distance tables use the
     // normalized probe

@@ -239,6 +239,76 @@ object HyperplaneSignature {
   }
 }
 
+/** Fused L2-normalize: one pass for the norm, one for the division,
+  * emitting an unsafe double array — the HOF form
+  * (`transform(v, x -> x / norm(v))`) re-inlines the norm subtree into
+  * EVERY element and runs interpreted (higher-order functions have no
+  * codegen), ~0.5 ms/row at dim 64; this is the same work in ~µs.
+  * Zero vectors pass through (cast to double), matching
+  * [[graft.functions.VectorFunctions.normalize]]. */
+case class NormalizeVector(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType | DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"expects array<float|double>, got $t")
+    }
+
+  private def isFloat = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    val out = new Array[Double](n)
+    var ss = 0.0
+    var i = 0
+    while (i < n) {
+      val v = if (isFloat) x.getFloat(i).toDouble else x.getDouble(i)
+      out(i) = v; ss += v * v; i += 1
+    }
+    if (ss > 0.0) {
+      val nrm = math.sqrt(ss)
+      i = 0
+      while (i < n) { out(i) /= nrm; i += 1 }
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val i = ctx.freshName("i"); val n = ctx.freshName("n")
+      val ss = ctx.freshName("ss"); val inv = ctx.freshName("inv")
+      val arr = ctx.freshName("arr")
+      val prim = if (isFloat) "Float" else "Double"
+      s"""
+        int $n = $a.numElements();
+        double[] $arr = new double[$n];
+        double $ss = 0.0;
+        for (int $i = 0; $i < $n; $i++) {
+          double v = (double) $a.get$prim($i);
+          $arr[$i] = v; $ss += v * v;
+        }
+        if ($ss > 0.0) {
+          double $inv = java.lang.Math.sqrt($ss);
+          for (int $i = 0; $i < $n; $i++) { $arr[$i] /= $inv; }
+        }
+        ${ev.value} = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData($arr);
+      """
+    })
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
 object VectorExpressions {
   def cosineSimilarity(a: Column, b: Column): Column =
     ColumnBridge.column(CosineSimilarity(
@@ -250,6 +320,9 @@ object VectorExpressions {
 
   def hyperplaneSignature(v: Column, bits: Int): Column =
     ColumnBridge.column(HyperplaneSignature(ColumnBridge.expression(v), bits))
+
+  def normalize(a: Column): Column =
+    ColumnBridge.column(NormalizeVector(ColumnBridge.expression(a)))
 
   /** Register as SQL functions (cosine_sim / l2_dist). */
   def registerAll(spark: SparkSession): Unit = {

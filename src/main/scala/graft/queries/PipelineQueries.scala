@@ -679,7 +679,7 @@ object PipelineQueries {
         // results are invariant, cell boundaries stop cutting across
         // directionally-close but magnitude-far vectors)
         val embN = t.embeddings.select(col("vec_id"),
-          graft.functions.VectorFunctions.normalize(col("embedding"))
+          graft.plans.VectorExpressions.normalize(col("embedding"))
             .as("embedding"))
         val probes = embN.filter(col("vec_id") < 5)
         val ivf = IvfIndex.build(embN, "vec_id", "embedding", k = 16)
