@@ -90,7 +90,8 @@ object ScaleProbe {
       // SQL-callable aggregates + CLP + one-pass corpus clean
       "q_funnel_agg_sql", "q_funnel_setcount", "q_fn_clp", "q_corpus_clean",
       // clustering / curation round-2 additions
-      "q_dedup_components", "q_dedup_semantic", "q_mix_proportions")
+      "q_dedup_components", "q_dedup_semantic", "q_mix_proportions",
+      "q_pack_sequences", "q_dedup_incremental", "q_ann_pq", "q_ann_ivfpq")
       .filter(q => only.isEmpty || only(q))
     def time(dir: String, name: String): Double = {
       val t0 = System.nanoTime()
