@@ -9,17 +9,26 @@ object StageProbe {
       .withExtensions(new graft.plans.GraftExtensions)
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        sys.env.getOrElse("SPARK_GRAFT_ADVISORY", "67108864"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     graft.functions.PinotFunctions.registerAll(spark)
     val q = args.headOption.getOrElse("q_ann_ivfpq")
     val stages = mutable.ArrayBuffer[(Int, String, Long, Int)]()
+    val jobOfStage = mutable.Map[Int, String]()
     spark.sparkContext.addSparkListener(new SparkListener {
+      override def onJobStart(js: SparkListenerJobStart): Unit = {
+        val site = Option(js.properties)
+          .flatMap(p => Option(p.getProperty("callSite.short"))).getOrElse("?")
+        js.stageIds.foreach(id => jobOfStage(id) = site)
+      }
       override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
         val si = sc.stageInfo
         val dur = si.completionTime.getOrElse(0L) - si.submissionTime.getOrElse(0L)
-        stages += ((si.stageId, si.name.take(60), dur, si.numTasks))
+        val label = jobOfStage.getOrElse(si.stageId, si.name.take(50))
+        stages += ((si.stageId, label.take(60), dur, si.numTasks))
       }
     })
     // warm pass
