@@ -26,71 +26,41 @@ import org.apache.spark.sql.types._
   *    keeps decode exact, a documented divergence);
   *  - all other tokens stay in the logtype unchanged.
   *
-  * Everything is pure Catalyst (split/transform/filter/aggregate HOFs)
-  * — codegen'd, no UDFs, scan-parallel at 100 TB.
+  * Encode/decode are fused single-pass native expressions
+  * ([[graft.plans.ClpEncode]]/[[graft.plans.ClpDecode]] — see the
+  * rationale there); the wildcard match stays a plain Catalyst
+  * composition. No UDFs, scan-parallel at 100 TB.
   */
 object ClpFunctions {
 
-  private val DictPh = "\u0011"
-  private val IntPh = "\u0012"
-
-  private def isIntVar(t: Column): Column =
-    t.rlike("^-?[0-9]{1,18}$")
-
-  private def isDictVar(t: Column): Column =
-    !isIntVar(t) && t.rlike("[0-9]")
-
-  private def toks(msg: Column): Column = split(msg, " ", -1)
+  /** One-shot encoder: struct(logtype, dict_vars, encoded_vars) — the
+    * three columns the reference's enricher adds per message field.
+    * Fused single-pass expression ([[graft.plans.ClpEncode]]): the HOF
+    * formulation split the message three times and regex-classified
+    * every token repeatedly, all interpreted (HOFs have no codegen). */
+  def clpEncode(msg: Column): Column =
+    ColumnBridge.column(graft.plans.ClpEncode(ColumnBridge.expression(msg)))
 
   /** logtype: variables replaced by placeholders. */
-  def clpLogtype(msg: Column): Column =
-    array_join(transform(toks(msg),
-      t => when(isIntVar(t), lit(IntPh))
-        .when(isDictVar(t), lit(DictPh))
-        .otherwise(t)), " ")
+  def clpLogtype(msg: Column): Column = clpEncode(msg).getField("logtype")
 
   /** Dictionary variables in token order. */
-  def clpDictVars(msg: Column): Column =
-    filter(toks(msg), isDictVar(_))
+  def clpDictVars(msg: Column): Column = clpEncode(msg).getField("dict_vars")
 
   /** Encoded (integer) variables in token order. */
   def clpEncodedVars(msg: Column): Column =
-    transform(filter(toks(msg), isIntVar(_)), _.cast(LongType))
-
-  /** One-shot encoder: struct(logtype, dict_vars, encoded_vars) — the
-    * three columns the reference's enricher adds per message field. */
-  def clpEncode(msg: Column): Column =
-    struct(clpLogtype(msg).as("logtype"),
-      clpDictVars(msg).as("dict_vars"),
-      clpEncodedVars(msg).as("encoded_vars"))
+    clpEncode(msg).getField("encoded_vars")
 
   /** Reassemble the original message (reference clpDecode): walk the
     * logtype's tokens, substituting the next dictionary / encoded
-    * variable at each placeholder. Single aggregate HOF — one pass. */
-  def clpDecode(logtype: Column, dictVars: Column, encodedVars: Column): Column = {
-    val zero = struct(lit("").as("s"), lit(0).as("di"), lit(0).as("ei"),
-      lit(true).as("first"))
-    aggregate(
-      split(logtype, " ", -1),
-      zero,
-      (st, t) => {
-        val sep = when(st.getField("first"), lit("")).otherwise(lit(" "))
-        val di = st.getField("di")
-        val ei = st.getField("ei")
-        val s = st.getField("s")
-        when(t === DictPh,
-          struct(concat(s, sep, element_at(dictVars, di + 1)).as("s"),
-            (di + 1).as("di"), ei.as("ei"), lit(false).as("first")))
-        .when(t === IntPh,
-          struct(concat(s, sep,
-              element_at(encodedVars, ei + 1).cast(StringType)).as("s"),
-            di.as("di"), (ei + 1).as("ei"), lit(false).as("first")))
-        .otherwise(
-          struct(concat(s, sep, t).as("s"),
-            di.as("di"), ei.as("ei"), lit(false).as("first")))
-      },
-      st => st.getField("s"))
-  }
+    * variable at each placeholder. Fused one-pass expression
+    * ([[graft.plans.ClpDecode]]) — the aggregate-HOF form concatenated a
+    * growing string per token, O(len²) bytes per row. */
+  def clpDecode(logtype: Column, dictVars: Column, encodedVars: Column): Column =
+    ColumnBridge.column(graft.plans.ClpDecode(
+      ColumnBridge.expression(logtype),
+      ColumnBridge.expression(dictVars),
+      ColumnBridge.expression(encodedVars)))
 
   /** Wildcard match over the encoded variables' decimal renderings
     * (reference clpEncodedVarsMatch; `*` = any run, `?` = one char).
