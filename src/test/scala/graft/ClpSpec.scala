@@ -37,6 +37,43 @@ class ClpSpec extends SparkSpec {
     assert(big.getSeq[Long](1).isEmpty)
   }
 
+  test("property: random messages round-trip and classify like the reference rules") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val token = Gen.oneOf(
+      Gen.oneOf("INFO", "error", "done", "x", "", "-", "=", "a-b"),
+      Gen.choose(-999999L, 999999L).map(_.toString),
+      Gen.oneOf("999999999999999999999", "-000000000000000000123",
+        "0xdead", "code=7", "3.14", "12:30:07", "v2", "2024-01-01"))
+    val msgGen = Gen.choose(0, 12).flatMap(n =>
+      Gen.listOfN(n, token).map(_.mkString(" ")))
+    val msgs = (1 to 200).map(s =>
+      msgGen.pureApply(Gen.Parameters.default, Seed(s.toLong)))
+
+    // reference rules (CLPEncodingEnricher): int token = optional '-' +
+    // 1..18 digits -> encoded var; any other token containing a digit
+    // -> dictionary var; else stays in the logtype.
+    def isInt(t: String): Boolean =
+      t.matches("-?[0-9]{1,18}")
+    val expectDict = msgs.map(_.split(" ", -1).toSeq
+      .filter(t => !isInt(t) && t.exists(_.isDigit)))
+    val expectEnc = msgs.map(_.split(" ", -1).toSeq
+      .filter(isInt).map(_.toLong))
+
+    val rows = msgs.toDF("msg")
+      .withColumn("e", ClpFunctions.clpEncode($"msg"))
+      .select($"msg",
+        ClpFunctions.clpDecode(
+          $"e.logtype", $"e.dict_vars", $"e.encoded_vars").as("back"),
+        $"e.dict_vars", $"e.encoded_vars")
+      .collect()
+    rows.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getString(1) == r.getString(0), s"round-trip case $i")
+      assert(r.getSeq[String](2) == expectDict(i), s"dict case $i")
+      assert(r.getSeq[Long](3) == expectEnc(i), s"enc case $i")
+    }
+  }
+
   test("SQL names clpencode/clpdecode/clpencodedvarsmatch resolve") {
     msgs.toDF("msg").createOrReplaceTempView("clp_in")
     val n = spark.sql(
