@@ -748,6 +748,50 @@ object FunctionQueries {
             AS n_grams_12,
           concat_ws('|', lang, substr(text, 1, 3)) AS tagged,
           regexp_matches(text, '[0-9]') AS has_digit
-        FROM s ORDER BY doc_id"""))
+        FROM s ORDER BY doc_id""")),
+
+    // IDSET / IN_ID_SET round trip (reference TransformFunctionType
+    // IN_ID_SET + IdSetFunctions: build a serialized id-set by
+    // aggregation, probe it as a filter predicate). Here the blob is a
+    // bloom filter built in one aggregation pass and shipped to the
+    // orders scan as a scalar subquery — Spark plans that as a
+    // broadcast subquery result, the 100 TB-safe shape (the fact table
+    // never shuffles; each task probes the broadcast blob). Bloom
+    // guarantees no false negatives, so every true member row matches:
+    // the member-rows-matched count is EXACT and oracle-checkable, and
+    // missed_members is identically 0. The false-positive rate over
+    // non-member rows depends only on this engine's fixed bloom layout
+    // (deterministic), asserted under 2% as a boolean the oracle pins
+    // to TRUE.
+    GQuery("q_fn_idset",
+      (s, dir) => {
+        Tables(s, dir).registerAll()
+        graft.functions.PinotFunctions.registerAll(s)
+        s.sql("""
+          WITH probed AS (
+            SELECT o_custkey,
+              inidset(o_custkey,
+                (SELECT idset(c_custkey) FROM customer
+                 WHERE c_mktsegment = 'BUILDING')) AS bloom_hit,
+              o_custkey IN (SELECT c_custkey FROM customer
+                            WHERE c_mktsegment = 'BUILDING') AS is_member
+            FROM orders)
+          SELECT
+            count(CASE WHEN is_member AND bloom_hit THEN 1 END)
+              AS member_rows_matched,
+            count(CASE WHEN is_member AND NOT bloom_hit THEN 1 END)
+              AS missed_members,
+            (count(CASE WHEN NOT is_member AND bloom_hit THEN 1 END)
+              <= 0.02 * count(CASE WHEN NOT is_member THEN 1 END))
+              AS fp_rate_ok
+          FROM probed""")
+      },
+      Some("""SELECT
+          (SELECT count(*) FROM orders
+           WHERE o_custkey IN (SELECT c_custkey FROM customer
+                               WHERE c_mktsegment = 'BUILDING'))
+            AS member_rows_matched,
+          CAST(0 AS BIGINT) AS missed_members,
+          TRUE AS fp_rate_ok"""))
   )
 }
