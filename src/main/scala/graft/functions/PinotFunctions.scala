@@ -428,23 +428,44 @@ object PinotFunctions {
           regexp_replace(g, "^POINT \\(|\\)$", ""))), ", "),
         lit(")")) },
     "arrayagg" -> { case Seq(c, _*) => collect_list(c) },
-    // HISTOGRAM(col, lower, upper, numBins) — equal-width bins, counts
-    // array; values outside [lower, upper] are dropped. The reference
-    // (HistogramAggregationFunction equal-length mode) counts
-    // val == upper into the LAST bin via an explicit branch, so the
-    // last bin is closed: [lo_i, hi_i] while the rest are [lo_i, hi_i)
-    "histogram" -> { case Seq(c, lo, hi, bins) =>
-      val l = ex(lo).eval().toString.toDouble
-      val h = ex(hi).eval().toString.toDouble
-      val n = ex(bins).eval().toString.toInt
-      val width = (h - l) / n
-      array((0 until n).map { i =>
-        val inBin =
-          if (i == n - 1) c >= l + i * width && c <= h
-          else c >= l + i * width && c < l + (i + 1) * width
-        sum(when(inBin, 1L).otherwise(0L))
-      }: _*) }
+    // HISTOGRAM — two modes per the reference HistogramAggregationFunction
+    // (pinot-core/.../function/HistogramAggregationFunction.java:40-42):
+    // HISTOGRAM(col, lower, upper, numBins) equal-width, or
+    // HISTOGRAM(col, ARRAY[e0, e1, …]) explicit strictly-increasing bin
+    // edges. Counts array out; values outside [e0, eN] are dropped. The
+    // reference counts val == upper into the LAST bin via an explicit
+    // branch, so the last bin is closed: [lo_i, hi_i] while the rest
+    // are [lo_i, hi_i).
+    "histogram" -> {
+      case Seq(c, edgesC) =>
+        val e = ex(edgesC)
+        val et = e.dataType.asInstanceOf[ArrayType].elementType
+        val edges = e.eval()
+          .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+          .toObjectArray(et).map(_.toString.toDouble).toSeq
+        require(edges.size > 1 && edges.sliding(2).forall(p => p(0) < p(1)),
+          "histogram bin edges must be strictly increasing")
+        histogramBins(c, edges)
+      case Seq(c, lo, hi, bins) =>
+        val l = ex(lo).eval().toString.toDouble
+        val h = ex(hi).eval().toString.toDouble
+        val n = ex(bins).eval().toString.toInt
+        val width = (h - l) / n
+        histogramBins(c, (0 until n).map(l + _ * width) :+ h)
+    }
   )
+
+  /** Per-bin conditional counts over the edge list; bins are
+    * [e_i, e_{i+1}) except the last, which is closed. One scan, all
+    * bins as parallel sum(when) aggregates — map-side partial agg
+    * keeps this a single shuffle of numBins longs per group. */
+  private def histogramBins(c: Column, edges: Seq[Double]): Column =
+    array(edges.sliding(2).toSeq.zipWithIndex.map { case (Seq(a, b), i) =>
+      val inBin =
+        if (i == edges.length - 2) c >= a && c <= b
+        else c >= a && c < b
+      sum(when(inBin, 1L).otherwise(0L))
+    }: _*)
 
   /** Exact interpolated percentile (Pinot 0-100 scale) over every
     * element of every array in the group: sort the flattened elements,

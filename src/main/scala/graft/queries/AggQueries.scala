@@ -291,6 +291,49 @@ object AggQueries {
       Some("""SELECT CAST(FLOOR(l_quantity / 5.0) AS INT) AS bucket, COUNT(*) AS n
         FROM lineitem GROUP BY 1 ORDER BY bucket""")),
 
+    // HISTOGRAM aggregation function proper, both reference modes
+    // (HistogramAggregationFunction.java:40-42): equal-width
+    // histogram(col, 1, 51, 10) and explicit edges
+    // histogram(col, ARRAY[1,5,10,30,51]); last bin closed. Counts
+    // arrays serialized to csv for the driver's hash compare. One scan,
+    // all bins are parallel partial-aggregated sum(when) counters.
+    GQuery("q_agg_histogram_fn",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        graft.functions.PinotFunctions.registerAll(s)
+        t.lineitem.groupBy(col("l_returnflag")).agg(
+          array_join(transform(expr("histogram(l_quantity, 1, 51, 10)"),
+            _.cast(StringType)), ",").as("hist_eq_csv"),
+          array_join(transform(
+            expr("histogram(l_quantity, array(1, 5, 10, 30, 51))"),
+            _.cast(StringType)), ",").as("hist_edges_csv"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""WITH eq AS (
+          SELECT l_returnflag, b.i,
+            count(*) FILTER (WHERE l_quantity >= 1 + 5 * b.i
+              AND (l_quantity < 1 + 5 * (b.i + 1)
+                   OR (b.i = 9 AND l_quantity <= 51))) AS n
+          FROM lineitem CROSS JOIN (SELECT unnest(range(0, 10)) AS i) b
+          GROUP BY 1, 2),
+        ed AS (
+          SELECT l_returnflag, b.i,
+            count(*) FILTER (WHERE l_quantity >= b.lo
+              AND (l_quantity < b.hi OR (b.i = 3 AND l_quantity <= b.hi)))
+              AS n
+          FROM lineitem CROSS JOIN (
+            SELECT * FROM (VALUES (0, 1, 5), (1, 5, 10), (2, 10, 30),
+              (3, 30, 51)) AS t(i, lo, hi)) b
+          GROUP BY 1, 2),
+        eqc AS (SELECT l_returnflag,
+            string_agg(CAST(n AS VARCHAR), ',' ORDER BY i) AS hist_eq_csv
+          FROM eq GROUP BY 1),
+        edc AS (SELECT l_returnflag,
+            string_agg(CAST(n AS VARCHAR), ',' ORDER BY i) AS hist_edges_csv
+          FROM ed GROUP BY 1)
+        SELECT eqc.l_returnflag, hist_eq_csv, hist_edges_csv
+        FROM eqc JOIN edc USING (l_returnflag) ORDER BY 1""")),
+
     // Exact percentiles (PERCENTILE, :122-139) — interpolated, matches
     // DuckDB quantile_cont.
     GQuery("q_agg_percentile",

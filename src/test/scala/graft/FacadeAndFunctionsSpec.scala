@@ -253,6 +253,39 @@ class FacadeAndFunctionsSpec extends SparkSpec {
     assert(r.getAs[Double]("mx") == 3.0)
   }
 
+  test("histogram: explicit-edges mode, last bin closed, both modes agree") {
+    init
+    Seq(0.5, 1.0, 4.9, 5.0, 9.9, 30.0, 51.0, 51.1).toDF("v")
+      .createOrReplaceTempView("hist_in")
+    // edges [1,5,10,30,51]: 0.5 and 51.1 dropped; {1.0, 4.9} -> bin0;
+    // {5.0, 9.9} -> bin1; bin2 [10,30) empty; 30.0 -> bin3, and 51.0
+    // hits the CLOSED last edge -> bin3.
+    val edges = spark.sql(
+      "SELECT histogram(v, array(1, 5, 10, 30, 51)) AS h FROM hist_in")
+      .collect().head.getSeq[Long](0)
+    assert(edges == Seq(2L, 2L, 0L, 2L))
+    // equal-width histogram(v, 1, 51, 10): width 5 -> {1.0, 4.9, 5.0}
+    // in [1,6); 51.0 closed into the last bin [46,51].
+    val eq = spark.sql(
+      "SELECT histogram(v, 1, 51, 10) AS h FROM hist_in")
+      .collect().head.getSeq[Long](0)
+    assert(eq.sum == 6L && eq.head == 3L && eq.last == 1L)
+    intercept[Exception] {
+      spark.sql("SELECT histogram(v, array(5, 5)) FROM hist_in").collect()
+    }
+  }
+
+  test("idset/inidset: bloom blob has no false negatives via scalar subquery") {
+    init
+    val matched = spark.sql("""
+      SELECT count(*) AS n FROM lineitem
+      WHERE l_orderkey IN (SELECT l_orderkey FROM lineitem WHERE l_partkey <= 20)
+        AND NOT inidset(l_orderkey,
+          (SELECT idset(l_orderkey) FROM lineitem WHERE l_partkey <= 20))""")
+      .collect().head.getLong(0)
+    assert(matched == 0L, "bloom id-set must match every true member")
+  }
+
   test("EXPLAIN PLAN FOR returns the formatted physical plan") {
     QueryFacade.init(spark, sf)
     val plan = QueryFacade.sql(spark,
