@@ -427,7 +427,14 @@ object PinotFunctions {
         array_join(array_sort(collect_set(
           regexp_replace(g, "^POINT \\(|\\)$", ""))), ", "),
         lit(")")) },
-    "arrayagg" -> { case Seq(c, _*) => collect_list(c) },
+    // ARRAY_AGG(col[, 'dataType'][, isDistinct]) — the reference's
+    // ArrayAggFunction; the type tag is a hint we don't need, the
+    // trailing boolean switches to distinct accumulation
+    // (ListAggDistinctFunction analog: first-occurrence order kept).
+    "arrayagg" -> { case Seq(c, rest @ _*) =>
+      val distinct = rest.lastOption.map(ex).exists(e =>
+        e.foldable && String.valueOf(e.eval()).equalsIgnoreCase("true"))
+      if (distinct) array_distinct(collect_list(c)) else collect_list(c) },
     // HISTOGRAM — two modes per the reference HistogramAggregationFunction
     // (pinot-core/.../function/HistogramAggregationFunction.java:40-42):
     // HISTOGRAM(col, lower, upper, numBins) equal-width, or

@@ -155,6 +155,13 @@ class FacadeAndFunctionsSpec extends SparkSpec {
     assert(r.getAs[Int]("dc") == 3)
     assert(r.getAs[Double]("mmr") == 49.0)
     assert(r.getAs[Boolean]("ba"))
+    // ARRAY_AGG distinct flag (ArrayAggFunction 3rd arg)
+    val aa = QueryFacade.sql(spark,
+      """SELECT sort_array(ARRAYAGG(l_returnflag, 'STRING', true)) AS d,
+        size(ARRAYAGG(l_returnflag, 'STRING')) AS n FROM lineitem""")
+      .collect().head
+    assert(aa.getSeq[String](0) == Seq("A", "N", "R"))
+    assert(aa.getAs[Int]("n") > 3)
   }
 
   test("IDSET / INIDSET bloom semi-join semantics") {
