@@ -395,6 +395,28 @@ object PinotFunctions {
     // ANYVALUE: reference picks an arbitrary value; we pick min for
     // determinism (a valid "any")
     "anyvalue" -> { case Seq(c) => min(c) },
+    // MODE(col[, 'reducer']) — reference ModeAggregationFunction returns
+    // DOUBLE; multiple modes are reduced per MultiModeReducerType,
+    // default MIN. Spark's deterministic mode IS the MIN reducer; MAX
+    // maps to the reverse-ordered native Mode. AVG/SUM reducers are
+    // intentionally unsupported (would need a dedicated count-map
+    // buffer for a variant the reference itself flags as rarely used).
+    // Registered under a non-colliding name (Spark's builtin `mode` is
+    // long-typed and tie-arbitrary); QueryFacade rewrites MODE( → this.
+    "pinotmode" -> { case Seq(c, rest @ _*) =>
+      val d = c.cast(DoubleType)
+      rest.headOption.map(e => ex(e).eval().toString.toUpperCase)
+        .getOrElse("MIN") match {
+        case "MIN" => mode(d, deterministic = true)
+        case "MAX" => ColumnBridge.column(
+          // reverseOpt polarity: Some(true) is the deterministic
+          // lowest-tie mode (what mode(col, true) builds); Some(false)
+          // keeps the natural key ordering in the tie maxBy → highest
+          new org.apache.spark.sql.catalyst.expressions.aggregate.Mode(
+            ex(d), 0, 0, Some(false)).toAggregateExpression())
+        case r => throw new IllegalArgumentException(
+          s"MODE reducer $r not supported (MIN/MAX only)")
+      } },
     "exprmin" -> { case Seq(ret, ord) => min_by(ret, ord) },
     "exprmax" -> { case Seq(ret, ord) => max_by(ret, ord) },
     "firstwithtime" -> { case Seq(c, ts, _*) => min_by(c, ts) },

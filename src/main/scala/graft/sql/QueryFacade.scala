@@ -81,10 +81,17 @@ object QueryFacade {
   private val ReservedDateFn =
     """(?i)\b(dateadd|datediff|timestampadd|timestampdiff)\s*\(\s*'""".r
 
+  /** MODE collides with a Spark builtin of different semantics (long
+    * out, arbitrary tie) — route to the reference-compliant aggregate
+    * (double out, MultiModeReducerType tie handling). */
+  private val ModeFn = """(?i)\bmode\s*\(""".r
+
   private[graft] def rewriteReserved(stmt: String): String =
-    ReservedDateFn.replaceAllIn(stmt, m =>
-      (if (m.group(1).toLowerCase.endsWith("diff")) "dateDiffEpoch('"
-       else "dateAddEpoch('"))
+    ModeFn.replaceAllIn(
+      ReservedDateFn.replaceAllIn(stmt, m =>
+        (if (m.group(1).toLowerCase.endsWith("diff")) "dateDiffEpoch('"
+         else "dateAddEpoch('")),
+      "pinotmode(")
 
   /** Run a Pinot-flavored SQL query: leading SET options are parsed off
     * (recognized: explicitLimit=true disables the implicit limit; all

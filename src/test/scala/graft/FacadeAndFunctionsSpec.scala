@@ -260,6 +260,15 @@ class FacadeAndFunctionsSpec extends SparkSpec {
     assert(r.getAs[Double]("mx") == 3.0)
   }
 
+  test("MODE multi-mode reducers: MIN default, MAX reverse (double out)") {
+    init
+    Seq(1, 1, 3, 3, 2).toDF("v").createOrReplaceTempView("mode_in")
+    val r = QueryFacade.sql(spark,
+      "SELECT MODE(v) AS mn, MODE(v, 'MIN') AS mn2, MODE(v, 'MAX') AS mx FROM mode_in")
+      .collect().head
+    assert(r.getDouble(0) == 1.0 && r.getDouble(1) == 1.0 && r.getDouble(2) == 3.0)
+  }
+
   test("histogram: explicit-edges mode, last bin closed, both modes agree") {
     init
     Seq(0.5, 1.0, 4.9, 5.0, 9.9, 30.0, 51.0, 51.1).toDF("v")
