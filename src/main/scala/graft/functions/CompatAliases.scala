@@ -195,7 +195,7 @@ object CompatAliases {
     // IP / UUID scalar alternate spellings
     "is_private_ip", "is_subnet_of", "ip_family", "ip_mask_len",
     "ip_netmask", "ip_hostmask", "ip_prefix", "ip_subnet_min",
-    "ip_subnet_max", "uuid_v4", "uuid_v7",
+    "ip_subnet_max", "uuid_v4", "uuid_v7", "bytes_to_uuid", "uuid_to_bytes",
     // Pinot camelCase forms of Spark snake_case builtins
     "stddevpop", "stddevsamp", "varpop", "varsamp", "covarpop",
     "covarsamp", "widthbucket", "octetlength", "bitcount", "bitlength",

@@ -59,6 +59,9 @@ class CompatAliasesSpec extends SparkSpec {
     assert(v7.matches("[0-9a-f]{8}-[0-9a-f]{4}-7[0-9a-f]{3}-[89ab][0-9a-f]{3}-[0-9a-f]{12}"))
     assert(one("fromUUIDBytes(toUUIDBytes('550e8400-e29b-41d4-a716-446655440000'))")
       == "550e8400-e29b-41d4-a716-446655440000")
+    // snake_case spellings from the reference scalar/uuid registration
+    assert(one("bytes_to_uuid(uuid_to_bytes('550e8400-e29b-41d4-a716-446655440000'))")
+      == "550e8400-e29b-41d4-a716-446655440000")
   }
 
   test("ip masks, ranges, byte forms") {
