@@ -177,4 +177,33 @@ object Curation {
         col("__rate") * lit(4294967296.0))
       .drop("__rate")
   }
+
+  /** Per-domain quota cap (the Common-Crawl "max N pages per host"
+    * rule): keep the `cap` rows with the smallest deterministic hash
+    * per domain — a stable uniform sample, not "first by crawl order".
+    *
+    * EXACT and skew-safe: a single row_number window over the raw
+    * corpus would sort every row of a hot domain in one partition, so
+    * the top-k runs in two levels — (1) row_number within (domain,
+    * salt), salts splitting a domain's rows ~evenly, keeping `cap` per
+    * salt (the global per-domain top-k is a subset of the union of
+    * per-salt top-k's, so no true row is lost); (2) row_number over
+    * the survivors, now <= salts*cap rows per domain — bounded however
+    * skewed the domain. Ordering is (md5(id), id): engine-portable and
+    * tie-free. */
+  def domainCap(df: DataFrame, idCol: String, domainCol: String,
+      cap: Int, salts: Int = 8): DataFrame = {
+    val ordKey = md5(col(idCol).cast("string"))
+    val salted = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(domainCol), pmod(bucket32(col(idCol)), lit(salts)))
+      .orderBy(ordKey, col(idCol))
+    val global = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(domainCol))
+      .orderBy(ordKey, col(idCol))
+    df.withColumn("__rn", row_number().over(salted))
+      .filter(col("__rn") <= cap)
+      .withColumn("__rn", row_number().over(global))
+      .filter(col("__rn") <= cap)
+      .drop("__rn")
+  }
 }

@@ -531,4 +531,45 @@ object Dedup {
       .select(col("id").as(idCol))
     docs.join(drop, Seq(idCol), "left_anti")
   }
+
+  /** LINE-level boilerplate dedup (the C4 / RefinedWeb cleaning step):
+    * a line whose normalized form appears in >= minDocFreq DISTINCT
+    * documents corpus-wide (navigation chrome, cookie banners, license
+    * headers) is removed from EVERY document, and each document's text
+    * is reassembled from its surviving lines in original order.
+    *
+    * Input is a pre-split lines table (idCol, lineNoCol, lineCol) so
+    * the caller owns the line definition (\n split, sentence split,
+    * fixed-width chunks for unstructured text).
+    *
+    * Scale shape: (1) distinct (doc, line-hash) then count per hash —
+    * two map-combinable shuffles carrying a 128-bit hash, never the
+    * line text twice; (2) the frequent-line set joined back is tiny
+    * relative to the corpus (boilerplate is by definition a small
+    * distinct set), so AQE broadcasts it; (3) one groupBy doc to
+    * reassemble. No stage is quadratic and no partition holds more
+    * than one document's lines at reassembly.
+    *
+    * Returns (idCol, n_lines, n_kept, text_clean). */
+  def lineDedup(lines: DataFrame, idCol: String, lineNoCol: String,
+      lineCol: String, minDocFreq: Int, delim: String = " "): DataFrame = {
+    val h = md5(trim(lower(col(lineCol))))
+    val withH = lines.select(
+      col(idCol), col(lineNoCol), col(lineCol), h.as("__lh"))
+    val frequent = withH.select(col(idCol), col("__lh")).distinct()
+      .groupBy(col("__lh")).agg(count(lit(1)).as("__df"))
+      .filter(col("__df") >= minDocFreq)
+      .select(col("__lh"), lit(true).as("__boiler"))
+    withH.join(frequent, Seq("__lh"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        count(when(col("__boiler").isNull, lit(1))).as("n_kept"),
+        array_join(
+          transform(
+            array_sort(collect_list(when(col("__boiler").isNull,
+              struct(col(lineNoCol).as("n"), col(lineCol).as("l"))))),
+            x => x("l")),
+          delim).as("text_clean"))
+  }
 }

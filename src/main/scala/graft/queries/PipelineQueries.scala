@@ -836,6 +836,64 @@ object PipelineQueries {
         SELECT lang, COUNT(*) AS n_kept FROM kept
         GROUP BY 1 ORDER BY lang""")),
 
+    // LINE-level boilerplate dedup (Dedup.lineDedup, the C4/RefinedWeb
+    // cleaning step): lines appearing in >= 3 distinct docs corpus-wide
+    // are removed from every doc. The synthetic corpus has no newlines,
+    // so "lines" are fixed 8-word chunks — the chunking is part of the
+    // query and mirrored exactly in the oracle. Output hashes the
+    // cleaned text so the driver compares scalars.
+    GQuery("q_dedup_lines",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val w = split(col("text"), " ")
+        val nChunks = ceil(size(w) / lit(8.0)).cast("int")
+        val lines = t.documents.select(col("doc_id"),
+            posexplode(transform(sequence(lit(0), nChunks - 1),
+              i => concat_ws(" ", slice(w, i * 8 + 1, lit(8))))))
+          .toDF("doc_id", "line_no", "line")
+        Dedup.lineDedup(lines, "doc_id", "line_no", "line", minDocFreq = 3)
+          .select(col("doc_id"), col("n_lines"), col("n_kept"),
+            md5(col("text_clean")).as("clean_hash"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH words AS (
+          SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        lines AS (
+          SELECT doc_id, gs - 1 AS line_no,
+            array_to_string(w[((gs-1)*8+1):(gs*8)], ' ') AS line
+          FROM words,
+            UNNEST(generate_series(1, CAST(ceil(len(w)/8.0) AS BIGINT))) AS t(gs)),
+        freq AS (
+          SELECT md5(trim(lower(line))) AS lh, COUNT(DISTINCT doc_id) AS df
+          FROM lines GROUP BY 1),
+        flagged AS (
+          SELECT l.doc_id, l.line_no, l.line, (f.df >= 3) AS boiler
+          FROM lines l JOIN freq f ON md5(trim(lower(l.line))) = f.lh)
+        SELECT doc_id,
+          COUNT(*) AS n_lines,
+          COUNT(CASE WHEN NOT boiler THEN 1 END) AS n_kept,
+          md5(coalesce(string_agg(CASE WHEN NOT boiler THEN line END,
+            ' ' ORDER BY line_no), '')) AS clean_hash
+        FROM flagged GROUP BY doc_id ORDER BY doc_id""")),
+
+    // Per-domain quota cap (Curation.domainCap): keep the 10 smallest-
+    // hash docs per source — the Common-Crawl "max N pages per host"
+    // rule as a stable uniform sample. The salted two-level top-k is
+    // exact, so the single-window oracle reproduces the kept set.
+    GQuery("q_sample_domain_cap",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        Curation.domainCap(t.documents, "doc_id", "source", cap = 10)
+          .select(col("doc_id"), col("source"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id, source FROM (
+          SELECT doc_id, source, row_number() OVER (
+            PARTITION BY source
+            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+          FROM documents) t
+        WHERE rn <= 10 ORDER BY doc_id""")),
+
     // Sequence packing (Curation.packSequences): concat-and-chunk
     // layout, 16 shards, 512-token budget. Exact cross-engine check:
     // the layout is pure hash-order + integer cumsum, so DuckDB

@@ -107,4 +107,40 @@ class CurationSpec extends SparkSpec {
     val got = out.select("id").as[Long].collect().toSet
     assert(got == direct)
   }
+
+  test("domainCap: salted two-level top-k equals the single-window result") {
+    // one hot domain (1000 rows), one small (3 rows < cap), one at cap
+    val df = ((0L until 1000L).map(i => (i, "hot")) ++
+      (2000L until 2003L).map(i => (i, "tiny")) ++
+      (3000L until 3007L).map(i => (i, "atcap"))).toDF("id", "s")
+    val got = Curation.domainCap(df, "id", "s", cap = 7, salts = 4)
+      .select($"id").as[Long].collect().toSet
+    // reference: unsalted global window
+    val w = org.apache.spark.sql.expressions.Window.partitionBy($"s")
+      .orderBy(md5($"id".cast("string")), $"id")
+    val ref = df.withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 7).select($"id").as[Long].collect().toSet
+    assert(got == ref)
+    assert(got.count(_ >= 2000L && got.contains(2000L)) >= 1) // tiny kept whole
+    assert(got.size == 7 + 3 + 7)
+  }
+
+  test("lineDedup: boilerplate removed everywhere, order kept, all-boiler doc -> empty") {
+    val lines = Seq(
+      // docs 1..3 share the "cookie banner" line; doc 4 is ONLY that line
+      (1L, 0, "accept all cookies"), (1L, 1, "real content one"),
+      (2L, 0, "accept all cookies"), (2L, 1, "zeta"), (2L, 2, "alpha"),
+      (3L, 0, "Accept All Cookies "), // normalization: case+trim
+      (3L, 1, "more real content"),
+      (4L, 0, "accept all cookies")).toDF("doc_id", "line_no", "line")
+    val out = graft.operators.Dedup
+      .lineDedup(lines, "doc_id", "line_no", "line", minDocFreq = 3)
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(1L) == ((2L, 1L, "real content one")))
+    // surviving lines stay in line_no order, not alphabetical
+    assert(out(2L) == ((3L, 2L, "zeta alpha")))
+    assert(out(3L) == ((2L, 1L, "more real content")))
+    assert(out(4L) == ((1L, 0L, "")))
+  }
 }
