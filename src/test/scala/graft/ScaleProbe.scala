@@ -91,7 +91,8 @@ object ScaleProbe {
       "q_funnel_agg_sql", "q_funnel_setcount", "q_fn_clp", "q_corpus_clean",
       // clustering / curation round-2 additions
       "q_dedup_components", "q_dedup_semantic", "q_mix_proportions",
-      "q_pack_sequences", "q_dedup_incremental", "q_ann_pq", "q_ann_ivfpq")
+      "q_pack_sequences", "q_dedup_incremental", "q_ann_pq", "q_ann_ivfpq",
+      "q_dedup_lines", "q_sample_domain_cap")
       .filter(q => only.isEmpty || only(q))
     def time(dir: String, name: String): Double = {
       val t0 = System.nanoTime()
