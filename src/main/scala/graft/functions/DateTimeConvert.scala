@@ -41,16 +41,25 @@ object DateTimeConvert {
   /** Column-level implementation; format/granularity args are literals
     * (as in the reference, where they shape the plan). */
   def dateTimeConvert(c: Column, inputFormat: String, outputFormat: String,
-      granularity: String): Column = {
+      granularity: String, bucketTz: Option[String] = None): Column = {
     val in = parseFmt(inputFormat)
     val out = parseFmt(outputFormat)
     val gran = parseGranularity(granularity)
 
     val epochMs: Column = in.sdf match {
       case Some(p) => unix_millis(to_timestamp(c, p).cast(TimestampType))
-      case None => c.cast(LongType) * lit(in.sizeMs)
+      case None => graft.plans.ScalarExprs.epochNumeric(c) * lit(in.sizeMs)
     }
-    val bucketed = (epochMs / lit(gran)).cast(LongType) * lit(gran)
+    // optional bucketing zone: floor in local wall-clock time, convert
+    // back (exactly the reference's zoned-bucket hint semantics; for
+    // UTC the round trip is the identity)
+    val bucketed = bucketTz.filter(_.toUpperCase != "UTC") match {
+      case Some(tz) =>
+        val localMs = unix_millis(from_utc_timestamp(timestamp_millis(epochMs), tz))
+        val localBucket = (localMs / lit(gran)).cast(LongType) * lit(gran)
+        unix_millis(to_utc_timestamp(timestamp_millis(localBucket), tz))
+      case None => (epochMs / lit(gran)).cast(LongType) * lit(gran)
+    }
     out.sdf match {
       case Some(p) => date_format(timestamp_millis(bucketed), p)
       case None => (bucketed / lit(out.sizeMs)).cast(LongType)
@@ -104,7 +113,7 @@ object DateTimeConvert {
 
     val epochMs: Column = in.sdf match {
       case Some(p) => unix_millis(to_timestamp(c, p).cast(TimestampType))
-      case None => c.cast(LongType) * lit(in.sizeMs)
+      case None => graft.plans.ScalarExprs.epochNumeric(c) * lit(in.sizeMs)
     }
     val adjusted = (epochMs / lit(gran)).cast(LongType) * lit(gran)
     // hop count: i = 0 .. n-1 with adjusted − i·gran > epochMs − window;

@@ -25,11 +25,38 @@ import org.apache.spark.sql.types._
 object PinotFunctions {
 
   private def fn(f: Seq[Column] => Column): Seq[Expression] => Expression =
-    exprs => ColumnBridge.expression(f(exprs.map(ColumnBridge.column)))
+    exprs =>
+      try ColumnBridge.expression(f(exprs.map(ColumnBridge.column)))
+      catch {
+        case _: MatchError => throw new IllegalArgumentException(
+          s"unsupported argument count (${exprs.size}) for this function")
+      }
 
   /** Unwrap a Column to its Catalyst expression (for literal args that
     * shape the expression tree, e.g. a round scale or format string). */
   private def ex(c: Column): Expression = ColumnBridge.expression(c)
+
+  /** Pinot exact percentile: floor-index order statistic (no
+    * interpolation), `PercentileAggregationFunction.java:246-250`. */
+  private def pinotPct(c: Column, p: Column): Column = {
+    val pct = ex(p).eval().toString.toDouble
+    val arr = sort_array(collect_list(c))
+    val idx =
+      if (pct >= 100.0) size(arr)
+      else least(floor(size(arr) * pct / 100.0).cast(IntegerType) + 1, size(arr))
+    element_at(arr, idx)
+  }
+
+  // Column-shift variants (functions.shiftleft only takes a literal Int)
+  private def shiftL(a: Column, s: Column): Column =
+    ColumnBridge.column(org.apache.spark.sql.catalyst.expressions.ShiftLeft(
+      ex(a), ex(s.cast(IntegerType))))
+  private def shiftR(a: Column, s: Column): Column =
+    ColumnBridge.column(org.apache.spark.sql.catalyst.expressions.ShiftRight(
+      ex(a), ex(s.cast(IntegerType))))
+  private def shiftRU(a: Column, s: Column): Column =
+    ColumnBridge.column(org.apache.spark.sql.catalyst.expressions.ShiftRightUnsigned(
+      ex(a), ex(s.cast(IntegerType))))
 
   /** Haversine distance in meters between two (lon, lat) points — the
     * geography mode of Pinot's ST_Distance
@@ -46,11 +73,50 @@ object PinotFunctions {
   private val registry: Map[String, Seq[Column] => Column] = Map(
     // ——— arithmetic (TransformFunctionType.java:46-66) ———
     "add" -> { case Seq(a, b) => a + b },
+    "plus" -> { case Seq(a, b) => a + b },
     "sub" -> { case Seq(a, b) => a - b },
+    "minus" -> { case Seq(a, b) => a - b },
     "mult" -> { case Seq(a, b) => a * b },
+    "times" -> { case Seq(a, b) => a * b },
     "intdiv" -> { case Seq(a, b) => (a / b).cast(LongType) },
-    "roundecimal" -> { case Seq(a, s) => round(a, ex(s).eval().toString.toInt) },
-    "rounddecimal" -> { case Seq(a, s) => round(a, ex(s).eval().toString.toInt) },
+    // ——— Pinot concat: separator LAST (scalar/string/StringFunctions
+    // .java:33 `concat(input1, input2, separator)`); concatWS is
+    // separator-first like Spark's concat_ws. The facade rewrites the
+    // reserved spelling `concat(` to `pinotconcat(`. ———
+    "pinotconcat" -> {
+      case Seq(a, b) => concat(a.cast(StringType), b.cast(StringType))
+      case Seq(a, b, sep) =>
+        concat(a.cast(StringType), sep.cast(StringType), b.cast(StringType))
+      case args => concat(args.map(_.cast(StringType)): _*)
+    },
+    "concatws" -> { case sep +: rest =>
+      ColumnBridge.column(org.apache.spark.sql.catalyst.expressions.ConcatWs(
+        (sep +: rest).map(c => ex(c.cast(StringType))))) },
+    // ——— bitwise scalars (scalar/bitwise/Bit*ScalarFunction.java) ———
+    // width-polymorphic like the reference (Bit*ScalarFunction int/long
+    // overloads): Catalyst keeps int ops 32-bit, so int >>> stays int
+    "bitand" -> { case Seq(a, b) => a.bitwiseAND(b) },
+    "bitor" -> { case Seq(a, b) => a.bitwiseOR(b) },
+    "bitxor" -> { case Seq(a, b) => a.bitwiseXOR(b) },
+    "bitnot" -> { case Seq(a) => bitwise_not(a) },
+    "bitshiftleft" -> { case Seq(a, s) => shiftL(a, s) },
+    "bitshiftright" -> { case Seq(a, s) => shiftR(a, s) },
+    "bitshiftrightunsigned" -> { case Seq(a, s) => shiftRU(a, s) },
+    "bitshiftrightlogical" -> { case Seq(a, s) => shiftRU(a, s) },
+    // BitMaskScalarFunction.java:66 — 1L << bit for bit in [0,63], else 0
+    "bitmask" -> { case Seq(bit) =>
+      when(bit >= 0 && bit < 64, shiftL(lit(1L), bit)).otherwise(0L) },
+    "bitextract" -> { case Seq(v, bit) =>
+      when(bit >= 0 && bit < 64,
+        shiftRU(v.cast(LongType), bit).bitwiseAND(lit(1L))).otherwise(0L) },
+    "extractbit" -> { case Seq(v, bit) =>
+      when(bit >= 0 && bit < 64,
+        shiftRU(v.cast(LongType), bit).bitwiseAND(lit(1L))).otherwise(0L) },
+    // 1-arg roundDecimal = Math.round (ArithmeticFunctions.java)
+    "roundecimal" -> { case Seq(a) => round(a).cast(DoubleType)
+      case Seq(a, s) => round(a, ex(s).eval().toString.toInt) },
+    "rounddecimal" -> { case Seq(a) => round(a).cast(DoubleType)
+      case Seq(a, s) => round(a, ex(s).eval().toString.toInt) },
     "truncate" -> { case Seq(a) =>
       when(a >= 0, floor(a)).otherwise(ceil(a)).cast(DoubleType) },
     // ——— time (:120-157, DateTimeFunctions.java) ———
@@ -62,9 +128,16 @@ object PinotFunctions {
         .when(upper(u) === "DAYS", 86400000L)
       ((v * unitMs(from)) / unitMs(to)).cast(LongType) },
     "datetrunc" -> { case Seq(u, ts) => date_trunc(ex(u).eval().toString, ts) },
-    "datetimeconvert" -> { case Seq(c, in, out, gran) =>
-      DateTimeConvert.dateTimeConvert(c, ex(in).eval().toString,
-        ex(out).eval().toString, ex(gran).eval().toString) },
+    "datetimeconvert" -> {
+      case Seq(c, in, out, gran) =>
+        DateTimeConvert.dateTimeConvert(c, ex(in).eval().toString,
+          ex(out).eval().toString, ex(gran).eval().toString)
+      // 5th arg = bucketing time zone (DateTimeConversionHint)
+      case Seq(c, in, out, gran, tz) =>
+        DateTimeConvert.dateTimeConvert(c, ex(in).eval().toString,
+          ex(out).eval().toString, ex(gran).eval().toString,
+          Some(ex(tz).eval().toString))
+    },
     "timeseriesbucket" -> { case Seq(c, unit, first, size, off) =>
       DateTimeConvert.timeSeriesBucket(c, ex(unit).eval().toString,
         ex(first).eval().toString.toLong, ex(size).eval().toString.toLong,
@@ -90,7 +163,10 @@ object PinotFunctions {
     "jsonextractscalar" -> {
       case Seq(c, path, typ) => jsonScalar(c, path, typ, lit(null))
       case Seq(c, path, typ, dflt) => jsonScalar(c, path, typ, dflt) },
-    "jsonextractkey" -> { case Seq(c, _) => json_object_keys(c) },
+    // keys come back as JsonPath strings (`$['key']`), matching
+    // JsonFunctions.jsonExtractKey's path-style output
+    "jsonextractkey" -> { case Seq(c, _) =>
+      transform(json_object_keys(c), k => concat(lit("$['"), k, lit("']"))) },
     // jsonExtractScalarFirstMatch (TransformFunctionType.java:108): first
     // scalar matched by a (possibly wildcard) path — a wildcard path
     // yields a JSON array of matches, so take its [0]; a plain path
@@ -124,7 +200,11 @@ object PinotFunctions {
         (length(s) - revPos - lit(lit_.length) + 1).cast(LongType)) },
     "regexpextract" -> { case Seq(s, p) => regexp_extract(s, ex(p).eval().toString, 0)
       case Seq(s, p, g) => regexp_extract(s, ex(p).eval().toString,
-        ex(g).eval().toString.toInt) },
+        ex(g).eval().toString.toInt)
+      // 4-arg: default value when no match (RegexpExtractConstFunctions)
+      case Seq(s, p, g, d) =>
+        val hit = regexp_extract(s, ex(p).eval().toString, ex(g).eval().toString.toInt)
+        when(s.rlike(ex(p).eval().toString), hit).otherwise(d) },
     "regexpreplace" -> { case Seq(s, p, r) =>
       regexp_replace(s, ex(p).eval().toString, ex(r).eval().toString) },
     // ——— array / MV (:162-172, ArrayFunctions.java) ———
@@ -283,14 +363,64 @@ object PinotFunctions {
     // native dense HLL (graft.plans.HllSketch): blob-compatible with
     // DISTINCTCOUNTRAWHLL / HLLMERGECOUNT, unlike Spark's HLL++ whose
     // state can't be stored or re-aggregated
-    "distinctcounthll" -> { case Seq(c) => graft.plans.HllSketch.distinctCountHll(c) },
+    "distinctcounthll" -> {
+      case Seq(c) => graft.plans.HllSketch.distinctCountHll(c)
+      // optional 2nd arg = log2m (DistinctCountHLLAggregationFunction)
+      case Seq(c, p) =>
+        graft.plans.HllSketch.distinctCountHll(c, ex(p).eval().toString.toInt)
+    },
     // exact-bitmap / partitioned variants are exact distinct counts in
     // Spark (no segment boundary); smart/HLL+ variants map to HLL++
     "distinctcountbitmap" -> { case Seq(c) => size(collect_set(c)) },
     "segmentpartitioneddistinctcount" -> { case Seq(c) => size(collect_set(c)) },
-    "distinctcountsmarthll" -> { case Seq(c) => approx_count_distinct(c) },
-    "distinctcounthllplus" -> { case Seq(c) => approx_count_distinct(c) },
-    "percentileest" -> { case Seq(c, p) => percentile_approx(c, p / 100.0, lit(10000)) },
+    "distinctcountsmarthll" -> {
+      case Seq(c) => approx_count_distinct(c)
+      // 2nd arg = settings like 'hllConversionThreshold=10;hllLog2m=8' —
+      // route to the native HLL at the requested log2m
+      case Seq(c, settings) =>
+        val s = ex(settings).eval().toString
+        val p = "(?i)hllLog2m\\s*=\\s*(\\d+)".r.findFirstMatchIn(s)
+          .map(_.group(1).toInt).getOrElse(graft.plans.HllSketch.DefaultP)
+        graft.plans.HllSketch.distinctCountHll(c, p)
+    },
+    // registered expression-level in registerAll (bare AggregateFunction
+    // so the analyzer can attach FILTER (WHERE ...) itself)
+    // Pinot SKEWNESS/KURTOSIS are commons-math SAMPLE statistics
+    // (PinotFourthMoment.java:97-103 → Skewness/Kurtosis.getResult),
+    // while Spark's are population moments; apply the bias-correction
+    // factors. Facade rewrites the reserved spellings here.
+    "pinotskewness" -> { case Seq(c) =>
+      val n = count(c).cast(DoubleType)
+      when(n < 3, lit(0.0)).otherwise(
+        skewness(c) * sqrt(n * (n - lit(1.0))) / (n - lit(2.0))) },
+    "pinotkurtosis" -> { case Seq(c) =>
+      val n = count(c).cast(DoubleType)
+      when(n < 4, lit(0.0)).otherwise(
+        ((n + lit(1.0)) * kurtosis(c) + lit(6.0)) * (n - lit(1.0)) /
+          ((n - lit(2.0)) * (n - lit(3.0)))) },
+    // Pinot ROUND(timeValue, roundTo) is DateTimeFunctions.round: FLOOR
+    // to the nearest multiple (the decimal rounding is ROUNDDECIMAL)
+    "pinotround" -> {
+      case Seq(v) => round(v)
+      case Seq(v, n) =>
+        (v.cast(LongType) - pmod(v.cast(LongType), n.cast(LongType))) },
+    // Pinot substr is 0-based with an END index (not a length), and
+    // endIndex=-1 means to-the-end (StringFunctions.java substr)
+    "pinotsubstr" -> {
+      case Seq(s, b) => s.substr(b.cast(IntegerType) + 1, lit(Int.MaxValue))
+      case Seq(s, b, e) =>
+        val begin = b.cast(IntegerType)
+        val end = e.cast(IntegerType)
+        when(end === -1, s.substr(begin + 1, lit(Int.MaxValue)))
+          .otherwise(s.substr(begin + 1, greatest(end - begin, lit(0))))
+    },
+    // Pinot exact PERCENTILE (PercentileAggregationFunction.java:249):
+    // sorted values[(int)(n*pct/100)], NO interpolation (pct=100 → max).
+    // Facade rewrites the reserved `percentile(` spelling here.
+    "pinotpercentile" -> { case Seq(c, p) => pinotPct(c.cast(DoubleType), p) },
+    // PERCENTILEEST (QDigest over longs): values quantized to long; the
+    // small-data behavior is the floor-index order statistic
+    "percentileest" -> { case Seq(c, p) => pinotPct(c.cast(LongType), p) },
     // native mergeable KLL (graft.plans.KllSketch): blob-compatible with
     // PERCENTILERAWKLL / KLLMERGEPERCENTILE re-aggregation
     "percentilekll" -> { case Seq(c, p) =>
@@ -368,8 +498,16 @@ object PinotFunctions {
       graft.plans.KmvSketch.distinctCountKmv(c) },
     "distinctcountrawcpcsketch" -> { case Seq(c) =>
       graft.plans.KmvSketch.kmvState(c) },
-    "distinctcountrawthetasketch" -> { case Seq(c) =>
-      graft.plans.KmvSketch.kmvState(c) },
+    "distinctcountrawthetasketch" -> {
+      case Seq(c) => graft.plans.KmvSketch.kmvState(c)
+      // optional params string, e.g. 'nominalEntries=16'
+      case Seq(c, params) =>
+        val k = "(?i)nominalEntries\\s*=\\s*(\\d+)".r
+          .findFirstMatchIn(ex(params).eval() match {
+            case null => ""; case s => s.toString
+          }).map(_.group(1).toInt).getOrElse(1024)
+        graft.plans.KmvSketch.kmvState(c, k)
+    },
     "distinctcountull" -> { case Seq(c) =>
       graft.plans.HllSketch.distinctCountHll(c) },
     "distinctcountsmartull" -> { case Seq(c) =>
@@ -563,6 +701,13 @@ object PinotFunctions {
       if (!reg.functionExists(id))
         reg.createOrReplaceTempFunction(name, fn(f), "built-in")
     }
+    // bare AggregateFunction (not pre-wrapped in AggregateExpression):
+    // ResolveFunctions then supports FILTER (WHERE ...) / DISTINCT on it
+    reg.createOrReplaceTempFunction("distinctcounthllplus",
+      (e: Seq[Expression]) =>
+        new org.apache.spark.sql.catalyst.expressions.aggregate
+          .HyperLogLogPlusPlus(e.head),
+      "built-in")
     ScalarTail.registerAll(spark)
     CompatAliases.registerAll(spark)
     graft.plans.VectorExpressions.registerAll(spark)

@@ -16,6 +16,71 @@ import org.apache.spark.sql.types.ArrayType
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectResolutionRule(_ => MvPredicateRewrite)
+    e.injectResolutionRule(_ => TimestampNumericComparison)
+    // hint-resolution batch: must run BEFORE ResolveFunctions, which
+    // throws (rather than leaving the node unresolved) on unknown names
+    e.injectHintResolutionRule(s => UnderscoreFunctionNames(s))
+  }
+}
+
+/** Pinot compares TIMESTAMP and numeric columns directly — TIMESTAMP's
+  * physical representation IS epoch millis (`DataType.TIMESTAMP`,
+  * `TimestampUtils`), so `ts_col = long_col` is a millis comparison.
+  * Spark ANSI rejects the mixed comparison; rewrite the TIMESTAMP side
+  * to `unix_millis` when compared against an integral type. Filter
+  * predicates only, like the reference's predicate evaluators. */
+object TimestampNumericComparison extends Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.expressions.{BinaryComparison, UnixMillis}
+  import org.apache.spark.sql.types.{IntegerType, LongType, TimestampType}
+
+  private def integral(e: Expression): Boolean =
+    e.resolved && (e.dataType == LongType || e.dataType == IntegerType)
+  private def ts(e: Expression): Boolean =
+    e.resolved && e.dataType == TimestampType
+
+  // a CAST(integral AS TIMESTAMP) inside the mixed comparison is a
+  // Pinot millis value, not Spark's seconds cast — unwrap it so both
+  // sides stay in millis (valid Spark queries never reach this rule:
+  // ANSI rejects the mixed comparison outright)
+  private def millisView(e: Expression): Expression = e match {
+    case Cast(inner, TimestampType, _, _) if integral(inner) => inner
+    case _ => UnixMillis(e)
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case f @ Filter(cond, child) if child.resolved =>
+      val newCond = cond.transformUp {
+        case c: BinaryComparison if ts(c.left) && integral(c.right) =>
+          c.withNewChildren(Seq(millisView(c.left), c.right))
+        case c: BinaryComparison if integral(c.left) && ts(c.right) =>
+          c.withNewChildren(Seq(c.left, millisView(c.right)))
+      }
+      if (newCond fastEquals cond) f else Filter(newCond, child)
+  }
+}
+
+/** Pinot resolves function names underscore-insensitively
+  * (`AggregationFunctionType.getAggregationFunctionType` /
+  * `TransformFunctionType.getTransformFunctionType` canonicalize by
+  * removing underscores, so `SEGMENT_PARTITIONED_DISTINCT_COUNT` and
+  * `segmentPartitionedDistinctCount` are the same function). Spark's
+  * registry is spelling-exact; this rule retries an unresolved
+  * single-part function name with underscores stripped when that
+  * spelling IS registered — giving the whole registered surface the
+  * reference's spelling flexibility without enumerating variants. */
+final case class UnderscoreFunctionNames(spark: org.apache.spark.sql.SparkSession)
+    extends Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.FunctionIdentifier
+  import org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+
+  private def exists(name: String): Boolean =
+    spark.sessionState.functionRegistry.functionExists(FunctionIdentifier(name))
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformAllExpressions {
+    case uf: UnresolvedFunction
+        if uf.nameParts.size == 1 && uf.nameParts.head.contains("_") &&
+          !exists(uf.nameParts.head) && exists(uf.nameParts.head.replace("_", "")) =>
+      uf.copy(nameParts = Seq(uf.nameParts.head.replace("_", "")))
   }
 }
 

@@ -95,7 +95,10 @@ case class HllAgg(
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[Array[Byte]] {
 
-  require(p >= 4 && p <= 18, "HLL precision p must be in [4, 18]")
+  // reference log2m accepts tiny registers too (clearspring HLL via
+  // DistinctCountHLLAggregationFunction — log2m >= 0); keep 18 as the
+  // sane upper bound (256 KiB state per group)
+  require(p >= 2 && p <= 18, "HLL precision p must be in [2, 18]")
 
   override def children: Seq[Expression] = Seq(child)
   override def nullable: Boolean = false

@@ -163,6 +163,65 @@ object KmvSetOps {
   }
 }
 
+/** Scalar set algebra over serialized KMV blobs — the MSE theta
+  * surface `THETA_SKETCH_UNION` / `THETA_SKETCH_INTERSECT` /
+  * `THETA_SKETCH_DIFF` (reference
+  * `DistinctCountThetaSketchAggregationFunction.java` set operations,
+  * sketch scalar functions in `ThetaSketchFunctions`). Operates on the
+  * exact retained hash sets; when a saturated (k-capped) sketch flows
+  * in, union keeps all retained mins (small overestimate vs a re-capped
+  * union) — for the principled capped path use [[KmvSetOps.estimate]].
+  */
+case class KmvBlobSetOp(left: Expression, right: Expression, op: String)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = s"theta_sketch_$op"
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val sa = KmvBlob.decode(a.asInstanceOf[Array[Byte]])
+    val sb = KmvBlob.decode(b.asInstanceOf[Array[Byte]])
+    val res = op match {
+      case "union" => sa union sb
+      case "intersect" => sa intersect sb
+      case _ => sa diff sb
+    }
+    KmvBlob.encode(res)
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
+/** `GET_THETA_SKETCH_ESTIMATE(blob)`: retained-set size. Exact in
+  * exact mode (n < k, which the reference also guarantees exactness
+  * for); a saturated sketch should be estimated through the aggregate
+  * path that knows k. */
+case class KmvBlobEstimate(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "get_theta_sketch_estimate"
+  override protected def nullSafeEval(a: Any): Any =
+    KmvBlob.decode(a.asInstanceOf[Array[Byte]]).size.toLong
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+private[plans] object KmvBlob {
+  def decode(bytes: Array[Byte]): Set[Long] = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val out = scala.collection.mutable.HashSet.empty[Long]
+    var i = 0
+    while (i < n) { out += bb.getLong; i += 1 }
+    out.toSet
+  }
+  def encode(s: Set[Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(4 + s.size * 8)
+    bb.putInt(s.size)
+    s.toArray.sorted.foreach(bb.putLong)
+    bb.array()
+  }
+}
+
 object KmvSketch {
 
   /** Column API: sketch state aggregate (binary). */
@@ -186,6 +245,12 @@ object KmvSketch {
     }
     Seq("distinctcountkmv", "distinctcountthetasketch").foreach { n =>
       reg.createOrReplaceTempFunction(n, build, "built-in")
+    }
+    reg.createOrReplaceTempFunction("getthetasketchestimate",
+      (e: Seq[Expression]) => KmvBlobEstimate(e.head), "built-in")
+    Seq("union", "intersect", "diff").foreach { op =>
+      reg.createOrReplaceTempFunction(s"thetasketch$op",
+        (e: Seq[Expression]) => e.reduce(KmvBlobSetOp(_, _, op)), "built-in")
     }
   }
 }

@@ -104,9 +104,31 @@ case class BinaryAlgoExpr(left: Expression, right: Expression, algo: String)
     copy(left = newLeft, right = newRight)
 }
 
+/** Type-dispatching epoch view of a column: TIMESTAMP → epoch millis
+  * (Pinot's TIMESTAMP physical type IS millis, `DateTimeFunctions`
+  * accept either spelling), anything else → LONG as-is. Resolution is
+  * deferred until the child's type is known (RuntimeReplaceable), which
+  * a FunctionRegistry builder can't do eagerly. */
+case class EpochNumeric(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.RuntimeReplaceable
+    with org.apache.spark.sql.catalyst.trees.UnaryLike[Expression] {
+  override lazy val replacement: Expression = child.dataType match {
+    case org.apache.spark.sql.types.TimestampType =>
+      org.apache.spark.sql.catalyst.expressions.UnixMillis(child)
+    case _ =>
+      org.apache.spark.sql.catalyst.expressions.Cast(
+        child, org.apache.spark.sql.types.LongType)
+  }
+  override protected def withNewChildInternal(newChild: Expression): EpochNumeric =
+    copy(child = newChild)
+}
+
 object ScalarExprs {
   private def col(e: Expression): Column = ColumnBridge.column(e)
   private def ex(c: Column): Expression = ColumnBridge.expression(c)
+
+  /** TIMESTAMP → millis, numeric → long (see [[EpochNumeric]]). */
+  def epochNumeric(c: Column): Column = col(EpochNumeric(ex(c)))
 
   def encodeGeoHash(lat: Column, lon: Column, precision: Int): Column =
     col(GeoHashEncode(ex(lat.cast(DoubleType)), ex(lon.cast(DoubleType)),

@@ -86,12 +86,194 @@ object QueryFacade {
     * (double out, MultiModeReducerType tie handling). */
   private val ModeFn = """(?i)\bmode\s*\(""".r
 
-  private[graft] def rewriteReserved(stmt: String): String =
-    ModeFn.replaceAllIn(
+  /** CONCAT is separator-LAST in Pinot when 3 args
+    * (`scalar/string/StringFunctions.java:33`) — route to
+    * `pinotconcat`. The lookbehind keeps `concat_ws`, `group_concat`
+    * and `arrayConcat…` untouched (no '(' directly after "concat"). */
+  private val ConcatFn = """(?i)(?<![a-z0-9_])concat\s*\(""".r
+
+  /** Pinot's 2-arg bitwise SCALARS spelled with underscores collide
+    * with Spark's 1-arg bitwise AGGREGATES (`bit_and` etc.), so the
+    * underscore-stripping resolution rule cannot retarget them —
+    * rewrite the spelling directly (Pinot has no bit_and aggregate). */
+  private val BitScalarFn = """(?i)\bbit_(and|or|xor)\s*\(""".r
+
+  /** Pinot allows ROW_NUMBER() over an unordered window
+    * (`RowNumberWindowFunction.java` — arbitrary tie order); Spark
+    * requires ORDER BY, so supply a constant ordering (same arbitrary
+    * semantics). */
+  private val UnorderedRowNumber =
+    """(?i)\brow_number\s*\(\s*\)\s+over\s*\(([^()]*)\)""".r
+
+  /** More Pinot-vs-Spark semantic collisions routed to reference-
+    * compliant registrations: PERCENTILE is 0-100 floor-index (Spark's
+    * is 0-1 interpolated), SUBSTR is 0-based with an end index (Spark's
+    * is 1-based with a length), SKEWNESS/KURTOSIS are sample statistics
+    * (Spark's are population). Lookbehind/lookahead keep derived names
+    * (percentile_est, percentileest, substring, …) untouched. */
+  private val CollidingFns =
+    """(?i)(?<![a-z0-9_])(percentile|substr|skewness|kurtosis|round)\s*\(""".r
+
+  /** Calcite's lexer splits a numeric literal from a following keyword
+    * without whitespace (`1.75GROUP BY` parses); Spark's does not. */
+  private val NumKeyword = """(?i)(\d)(GROUP\s+BY|ORDER\s+BY|LIMIT\b)""".r
+
+  /** Pinot CAST target types Spark spells differently
+    * (`DataTypeConversionFunctions.java` cast surface). */
+  private val CastTypes =
+    """(?i)\bAS\s+(BIG_DECIMAL|VARCHAR|BYTES)\s*\)""".r
+
+  private[graft] def rewriteReserved(stmt: String): String = {
+    val base = ModeFn.replaceAllIn(
       ReservedDateFn.replaceAllIn(stmt, m =>
         (if (m.group(1).toLowerCase.endsWith("diff")) "dateDiffEpoch('"
          else "dateAddEpoch('")),
       "pinotmode(")
+    val withLexer = NumKeyword.replaceAllIn(base, m =>
+      java.util.regex.Matcher.quoteReplacement(s"${m.group(1)} ${m.group(2)}"))
+    val withSym = BetweenSymmetric.replaceAllIn(withLexer, m => {
+      val (a, b) = (m.group(1), m.group(2))
+      java.util.regex.Matcher.quoteReplacement(
+        s"BETWEEN least($a, $b) AND greatest($a, $b)")
+    })
+    val withExclude = rewriteExcludeWindows(withSym)
+    val withCasts = CastTypes.replaceAllIn(withExclude, m =>
+      m.group(1).toUpperCase match {
+        case "BIG_DECIMAL" => "AS DECIMAL(38,18))"
+        case "VARCHAR" => "AS STRING)"
+        case _ => "AS BINARY)"
+      })
+    val withColliding = CollidingFns.replaceAllIn(withCasts, m =>
+      s"pinot${m.group(1).toLowerCase}(")
+    val withConcat = BitScalarFn.replaceAllIn(
+      ConcatFn.replaceAllIn(withColliding, "pinotconcat("),
+      m => s"bit${m.group(1).toLowerCase}(")
+    UnorderedRowNumber.replaceAllIn(withConcat, m => {
+      val spec = m.group(1)
+      if (spec.toLowerCase.contains("order by"))
+        java.util.regex.Matcher.quoteReplacement(m.matched)
+      else {
+        val sep = if (spec.trim.isEmpty) "" else spec.trim + " "
+        java.util.regex.Matcher.quoteReplacement(
+          s"row_number() OVER ($sep ORDER BY 'arbitrary')")
+      }
+    })
+  }
+
+  /** Pinot hint comments (slash-star-plus `aggOptions(k='v')` blocks,
+    * `PinotHintOptions.java`) carry key='value' pairs Spark's hint
+    * grammar rejects; they are execution hints with no semantic
+    * content, so the facade drops them. */
+  private val HintComment = """(?s)/\*\+.*?\*/""".r
+
+  private[graft] def stripHints(stmt: String): String =
+    HintComment.replaceAllIn(stmt, " ")
+
+  /** `BETWEEN SYMMETRIC a AND b` (Calcite): bounds in either order. */
+  private val BetweenSymmetric =
+    """(?i)\bBETWEEN\s+SYMMETRIC\s+(\w+(?:\.\w+)?)\s+AND\s+(\w+(?:\.\w+)?)""".r
+
+  /** Window frame EXCLUDE clause (`WindowAggregateOperator` supports
+    * SQL:2003 frame exclusion; Spark's grammar does not). SUM/COUNT/AVG
+    * are rewritten to frame-aggregate minus excluded-part — current row
+    * (`COALESCE(expr, 0)` / null-aware count) and/or the ORDER-BY peer
+    * group (a `RANGE CURRENT ROW` window). MIN/MAX/value functions are
+    * not subtraction-decomposable and stay unsupported. */
+  private val ExcludeWindow =
+    ("""(?i)\b(SUM|COUNT|AVG)\s*\(\s*(\*|[^()]*?)\s*\)\s*OVER\s*\(""" +
+      """([^()]*?)\s+EXCLUDE\s+(CURRENT\s+ROW|GROUP|TIES|NO\s+OTHERS)\s*\)""").r
+
+  private[graft] def rewriteExcludeWindows(stmt: String): String =
+    ExcludeWindow.replaceAllIn(stmt, m => {
+      val agg = m.group(1).toUpperCase
+      val e = m.group(2).trim
+      val spec = m.group(3).trim
+      val mode = m.group(4).toUpperCase.replaceAll("\\s+", " ")
+      // partition/order prefix of the spec, without the frame clause
+      val po = spec.split("(?i)\\b(ROWS|RANGE)\\b")(0).trim
+      val peers = s"OVER ($po RANGE BETWEEN CURRENT ROW AND CURRENT ROW)"
+      val whole = s"OVER ($spec)"
+      def sum(w: String) = s"COALESCE(SUM($e) $w, 0)"
+      def cnt(w: String) =
+        if (e == "*") s"COUNT(*) $w"
+        else s"COUNT($e) $w"
+      def curSum = if (e == "*") "0" else s"COALESCE($e, 0)"
+      def curCnt = if (e == "*") "1" else s"(CASE WHEN $e IS NULL THEN 0 ELSE 1 END)"
+      // SUM over an empty remaining set must be NULL, not 0
+      def sumOrNull(total: String, remaining: String) =
+        s"(CASE WHEN $remaining = 0 THEN NULL ELSE $total END)"
+      val res = (agg, mode) match {
+        case (_, "NO OTHERS") => s"$agg($e) $whole"
+        case ("SUM", "CURRENT ROW") =>
+          sumOrNull(s"${sum(whole)} - $curSum", s"${cnt(whole)} - $curCnt")
+        case ("SUM", "GROUP") =>
+          sumOrNull(s"${sum(whole)} - ${sum(peers)}", s"${cnt(whole)} - ${cnt(peers)}")
+        case ("SUM", "TIES") =>
+          sumOrNull(s"${sum(whole)} - ${sum(peers)} + $curSum",
+            s"${cnt(whole)} - ${cnt(peers)} + $curCnt")
+        case ("COUNT", "CURRENT ROW") => s"(${cnt(whole)} - $curCnt)"
+        case ("COUNT", "GROUP") => s"(${cnt(whole)} - ${cnt(peers)})"
+        case ("COUNT", "TIES") => s"(${cnt(whole)} - ${cnt(peers)} + $curCnt)"
+        case ("AVG", excl) =>
+          val (s2, c2) = excl match {
+            case "CURRENT ROW" =>
+              (s"(${sum(whole)} - $curSum)", s"(${cnt(whole)} - $curCnt)")
+            case "GROUP" =>
+              (s"(${sum(whole)} - ${sum(peers)})", s"(${cnt(whole)} - ${cnt(peers)})")
+            case _ =>
+              (s"(${sum(whole)} - ${sum(peers)} + $curSum)",
+                s"(${cnt(whole)} - ${cnt(peers)} + $curCnt)")
+          }
+          s"(CASE WHEN $c2 = 0 THEN NULL ELSE CAST($s2 AS DOUBLE) / $c2 END)"
+        case _ => m.matched
+      }
+      java.util.regex.Matcher.quoteReplacement(res)
+    })
+
+  /** Pinot ASOF JOIN SQL surface (`AsofJoinOperator.java:37`,
+    * match conditions `>=,>,<=,<` at `:137-163`, ASOF + LEFT ASOF only):
+    * `FROM l [LEFT] ASOF JOIN r MATCH_CONDITION(l.x OP r.y) ON cond`
+    * picks, per left row, the single best matching right row (max right
+    * match-key for `>`/`>=`, min for `<`/`<=`). Spark has no ASOF
+    * grammar; rewrite to a correlated LATERAL subquery with
+    * ORDER BY + LIMIT 1 — Catalyst plans it as a join. (For the
+    * shuffle-optimal bulk path use `graft.operators.AsOfJoin`.)
+    * Shapes the reference itself rejects (compound/equality match
+    * conditions, missing ON) are left unrewritten so they surface the
+    * same way. */
+  private val AsOfPattern =
+    """(?is)\bFROM\s+(\S+)\s+(LEFT\s+)?ASOF\s+JOIN\s+(\S+)\s+MATCH_CONDITION\s*\(([^()]*)\)(\s+ON\s+(.*?))?\s*;?\s*$""".r
+  private val CmpOp = """(>=|<=|>|<)""".r
+
+  private[graft] def rewriteAsOf(stmt: String): String = {
+    val m = AsOfPattern.findFirstMatchIn(stmt).getOrElse(return stmt)
+    val left = m.group(1)
+    val isLeft = m.group(2) != null
+    val right = m.group(3)
+    val mc = m.group(4).trim
+    val on = Option(m.group(6)).map(_.trim).getOrElse(return stmt)
+    if ((mc.toUpperCase.contains(" AND ") || mc.toUpperCase.contains(" OR ")) ||
+        mc.contains("!=")) return stmt
+    val ops = CmpOp.findAllMatchIn(mc).toSeq
+    if (ops.size != 1) return stmt
+    val op = ops.head
+    val lhs = mc.substring(0, op.start).trim
+    val rhs = mc.substring(op.end).trim
+    def refsRight(e: String) = e.toLowerCase.contains(right.toLowerCase + ".")
+    val (rexpr, effOp) =
+      if (refsRight(rhs) && !refsRight(lhs)) (rhs, op.matched)
+      else if (refsRight(lhs) && !refsRight(rhs))
+        (lhs, op.matched match {
+          case ">" => "<"; case ">=" => "<="; case "<" => ">"; case _ => ">="
+        })
+      else return stmt
+    val dir = if (effOp == ">" || effOp == ">=") "DESC" else "ASC"
+    val joinKw = if (isLeft) "LEFT OUTER JOIN LATERAL" else "JOIN LATERAL"
+    val onKw = if (isLeft) " ON TRUE" else ""
+    stmt.substring(0, m.start) +
+      s"FROM $left $joinKw (SELECT * FROM $right WHERE ($on) AND ($mc) " +
+      s"ORDER BY $rexpr $dir LIMIT 1) $right$onKw"
+  }
 
   /** Run a Pinot-flavored SQL query: leading SET options are parsed off
     * (recognized: explicitLimit=true disables the implicit limit; all
@@ -104,7 +286,7 @@ object QueryFacade {
   def sql(spark: SparkSession, query: String): DataFrame = {
     PinotFunctions.registerAll(spark)
     val Parsed(opts, stmt0) = parseOptions(query)
-    val stmt = rewriteReserved(stmt0)
+    val stmt = rewriteAsOf(rewriteReserved(stripHints(stmt0)))
     if (Ddl.isDdl(stmt)) return Ddl.execute(spark, stmt)
     // Pinot EXPLAIN PLAN FOR <query> (PinotQueryResource explain
     // support): one row per plan-tree line, mirroring the reference's
