@@ -34,8 +34,20 @@ object MseCompat {
     * to every row; tests never assert on its value). */
   val TsValue = 1640995200000L
 
+  /** The reference harness splits each fixture table's rows into this
+    * many segments, round-robin by row index (`------` breaker rows
+    * flush early; `partitionColumns` switches to hash partitioning) —
+    * `ResourceBasedQueriesTest.java:82,160-180`. Segment identity is
+    * observable through SEGMENT_PARTITIONED_DISTINCT_COUNT, so fixture
+    * DataFrames reproduce the layout as one Spark partition per
+    * segment. */
+  val DefaultNumPartitions = 4
+
   final case class MCol(name: String, typ: String, mv: Boolean)
-  final case class MTable(key: String, cols: Seq[MCol], rows: Seq[JsonNode])
+  final case class MTable(key: String, cols: Seq[MCol], rows: Seq[JsonNode],
+      rawRows: Seq[JsonNode] = Seq.empty,
+      partitionColumns: Seq[String] = Seq.empty,
+      partitionCount: Int = DefaultNumPartitions)
   final case class MCase(
       file: String, suite: String, idx: Int, sql: String, desc: String,
       outputs: Option[Seq[JsonNode]], keepOrder: Boolean,
@@ -86,9 +98,13 @@ object MseCompat {
           val sv = !c.has("isSingleValue") || c.path("isSingleValue").asBoolean(true)
           MCol(c.path("name").asText(), raw.stripSuffix("[]"), arr || !sv)
         }
-        val rows = opt(tv, "inputs").toSeq.flatMap(_.elements().asScala)
-          .filterNot(r => r.size == 1 && r.path(0).asText() == "------") // segment breaker
-        MTable(te.getKey, cols, rows)
+        val rawRows = opt(tv, "inputs").toSeq.flatMap(_.elements().asScala)
+        val rows = rawRows.filterNot(isBreaker)
+        val partCols = opt(tv, "partitionColumns").toSeq
+          .flatMap(_.elements().asScala).map(_.asText())
+        val partCount = tv.path("partitionCount")
+          .asInt(DefaultNumPartitions)
+        MTable(te.getKey, cols, rows, rawRows, partCols, partCount)
       })
       val cases = opt(s, "queries").toSeq.flatMap(_.elements().asScala).zipWithIndex.map {
         case (q, i) =>
@@ -106,6 +122,9 @@ object MseCompat {
 
   private def opt(n: JsonNode, f: String): Option[JsonNode] =
     if (n.has(f)) Some(n.get(f)) else None
+
+  private def isBreaker(r: JsonNode): Boolean =
+    r.size == 1 && r.path(0).asText() == "------"
 
   // ------------------------------------------------------------ table build
 
@@ -143,23 +162,30 @@ object MseCompat {
     if (scaled.precision > dt.precision) null else scaled
   }
 
+  /** The reference harness pins the JVM default timezone
+    * (`ResourceBasedQueriesTest.java:98`,
+    * `TimeZone.setDefault(America/Los_Angeles)`), so every zoneless
+    * fixture literal — and every epoch-millis gold derived from one —
+    * is defined in this zone. */
+  val HarnessZone: java.time.ZoneId = java.time.ZoneId.of("America/Los_Angeles")
+
   /** Timestamp literals appear as `yyyy-MM-dd HH:mm:ss[.f]`, ISO-8601
-    * with zone (`...T...Z`), or epoch millis. */
-  private[compat] def parseTs(s: String): java.sql.Timestamp =
-    try java.sql.Timestamp.valueOf(s)
+    * with zone (`...T...Z`), or epoch millis. Zoneless forms are
+    * interpreted in [[HarnessZone]] like the reference's
+    * `Timestamp.valueOf`. */
+  private[compat] def parseTs(s: String): java.sql.Timestamp = {
+    val iso = if (s.contains(' ')) s.replaceFirst(" ", "T") else s
+    try java.sql.Timestamp.from(
+      java.time.LocalDateTime.parse(iso).atZone(HarnessZone).toInstant)
     catch {
-      case _: IllegalArgumentException =>
-        val iso = if (s.contains(' ')) s.replaceFirst(" ", "T") else s
+      case _: java.time.format.DateTimeParseException =>
         try java.sql.Timestamp.from(java.time.OffsetDateTime.parse(iso).toInstant)
         catch {
           case _: java.time.format.DateTimeParseException =>
-            try java.sql.Timestamp.valueOf(java.time.LocalDateTime.parse(iso))
-            catch {
-              case _: java.time.format.DateTimeParseException =>
-                new java.sql.Timestamp(s.toLong)
-            }
+            new java.sql.Timestamp(s.toLong)
         }
     }
+  }
 
   private def hexBytes(s: String): Array[Byte] =
     s.grouped(2).map(h => Integer.parseInt(h, 16).toByte).toArray
@@ -187,14 +213,34 @@ object MseCompat {
     else if (c.mv) v.elements().asScala.map(e => jvm(e, c.typ, dec)).toSeq
     else jvm(v, c.typ, dec)
 
+  /** Exact-representability check: a decimal column whose fixture
+    * values cannot fit a Spark DecimalType LOSSLESSLY (the reference's
+    * BIG_DECIMAL is arbitrary-precision, e.g. 1E+328) falls back to
+    * StringType — arithmetic coerces per SQL rules and the
+    * arbitrary-precision aggregates (SUMPRECISION) parse the string. */
+  private def decTypeOrString(vals: Seq[java.math.BigDecimal]): Option[DecimalType] = {
+    val dt = decTypeFor(vals)
+    val exact = vals.forall { v =>
+      try v.setScale(dt.scale, java.math.RoundingMode.UNNECESSARY).precision <= dt.precision
+      catch { case _: ArithmeticException => false }
+    }
+    if (exact) Some(dt) else None
+  }
+
   /** Register a suite's fixture tables as temp views; returns
-    * placeholder-key -> view-name. */
+    * placeholder-key -> view-name. Each fixture DataFrame reproduces
+    * the reference harness's segment layout (one Spark partition per
+    * segment, [[DefaultNumPartitions]]-way round-robin by raw row
+    * index, `------` rows flushing early, hash partitioning when
+    * `partitionColumns` is set) so segment-identity-dependent
+    * aggregates see the same grouping the gold outputs were produced
+    * with. */
   def register(spark: SparkSession, s: MSuite): Map[String, String] =
     s.tables.map { t =>
       val view = s"mse_${s.name}_${t.key}".replaceAll("[^A-Za-z0-9_]", "_")
       val hasTs = t.cols.exists(_.name.equalsIgnoreCase("ts"))
       val cols = if (hasTs) t.cols else t.cols :+ MCol("ts", "LONG", mv = false)
-      val decTypes: Map[Int, DecimalType] = t.cols.zipWithIndex.collect {
+      val decTypes: Map[Int, Option[DecimalType]] = t.cols.zipWithIndex.collect {
         case (c, i) if c.typ == "BIG_DECIMAL" =>
           val vals = t.rows.flatMap { r =>
             val v = r.path(i)
@@ -202,20 +248,65 @@ object MseCompat {
             else if (c.mv) v.elements().asScala.map(e => new java.math.BigDecimal(e.asText())).toSeq
             else Seq(new java.math.BigDecimal(v.asText()))
           }
-          i -> decTypeFor(vals)
+          i -> decTypeOrString(vals)
       }.toMap
+      def colType(c: MCol, i: Int): DataType =
+        if (c.typ == "BIG_DECIMAL")
+          decTypes.getOrElse(i, Some(DecimalType(38, 18))).getOrElse(StringType)
+        else sparkType(c.typ)
       val schema = StructType(cols.zipWithIndex.map { case (c, i) =>
-        val base = if (c.typ == "BIG_DECIMAL")
-          decTypes.getOrElse(i, DecimalType(38, 18)) else sparkType(c.typ)
+        val base = colType(c, i)
         StructField(c.name, if (c.mv) ArrayType(base) else base)
       })
-      val rows = t.rows.map { r =>
+      def mkRow(r: JsonNode): Row = {
         val base = t.cols.zipWithIndex.map { case (c, i) =>
-          cell(r.path(i), c, decTypes.getOrElse(i, DecimalType(38, 18)))
+          decTypes.get(i) match {
+            case Some(None) => // string-typed decimal column
+              val v = r.path(i)
+              if (v == null || v.isNull) null
+              else if (c.mv) v.elements().asScala.map(_.asText()).toSeq
+              else v.asText()
+            case _ =>
+              cell(r.path(i), c, decTypes.get(i).flatten.getOrElse(DecimalType(38, 18)))
+          }
         }
         Row.fromSeq(if (hasTs) base else base :+ TsValue)
       }
-      spark.createDataFrame(rows.asJava, schema).createOrReplaceTempView(view)
+      // --- reference segment layout (ResourceBasedQueriesTest) ---
+      val numPartitions = t.partitionCount
+      val partColIdx = t.partitionColumns
+        .map(pc => t.cols.indexWhere(_.name == pc)).filter(_ >= 0)
+      val buckets = Array.fill(numPartitions)(
+        scala.collection.mutable.ArrayBuffer.empty[Row])
+      val segments = scala.collection.mutable.ArrayBuffer.empty[Seq[Row]]
+      def flush(): Unit = buckets.foreach { b =>
+        if (b.nonEmpty) { segments += b.toSeq; b.clear() }
+      }
+      val raw = if (t.rawRows.nonEmpty) t.rawRows else t.rows
+      raw.zipWithIndex.foreach { case (r, i) =>
+        if (isBreaker(r)) flush()
+        else {
+          val pid =
+            if (partColIdx.isEmpty || t.partitionColumns.size != partColIdx.size)
+              i % numPartitions
+            else {
+              // reference: sum of Java hashCodes of the partition values
+              val h = partColIdx.map { ci =>
+                val v = cell(r.path(ci), t.cols(ci),
+                  decTypes.get(ci).flatten.getOrElse(DecimalType(38, 18)))
+                if (v == null) 0 else v.hashCode()
+              }.sum
+              (h & Int.MaxValue) % numPartitions
+            }
+          buckets(pid) += mkRow(r)
+        }
+      }
+      flush()
+      val sc = spark.sparkContext
+      val rdd =
+        if (segments.isEmpty) sc.parallelize(Seq.empty[Row], 1)
+        else sc.union(segments.map(sg => sc.parallelize(sg, 1)).toSeq)
+      spark.createDataFrame(rdd, schema).createOrReplaceTempView(view)
       t.key -> view
     }.toMap
 
@@ -355,7 +446,11 @@ object MseCompat {
     * two-char regex, not an escape). */
   val DialectConf: Seq[(String, String)] = Seq(
     "spark.sql.ansi.doubleQuotedIdentifiers" -> "true",
-    "spark.sql.parser.escapedStringLiterals" -> "true")
+    "spark.sql.parser.escapedStringLiterals" -> "true",
+    // the reference harness runs with JVM default TZ America/Los_Angeles
+    // (ResourceBasedQueriesTest.java:98); session-TZ-sensitive casts and
+    // the gold epoch values assume it
+    "spark.sql.session.timeZone" -> "America/Los_Angeles")
 
   def runAll(spark: SparkSession, dir: String = DefaultDir): Seq[MResult] = {
     graft.functions.PinotFunctions.registerAll(spark)

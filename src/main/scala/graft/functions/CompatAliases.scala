@@ -24,6 +24,9 @@ object CompatAliases {
   private def col(e: Expression): Column = ColumnBridge.column(e)
   private def str(c: Column): String = ex(c).eval().toString
 
+  private def bigSum(c: Column, p: Option[Int], s: Option[Int]): Column =
+    col(graft.plans.BigDecimalSumAgg(ex(c), p, s).toAggregateExpression())
+
   private val ipClass = Class.forName("graft.functions.IpHelper")
   private val jvmClass = Class.forName("graft.functions.CompatJvm")
 
@@ -161,14 +164,12 @@ object CompatAliases {
         unix_millis(current_timestamp()) - jvmCall("periodMillis", LongType, p)) },
     "filtermv" -> { case Seq(arr, pred) => filterMv(arr, pred) },
 
-    // ——— aggregate alias: SUMPRECISION (exact decimal sum) ———
+    // ——— aggregate alias: SUMPRECISION (arbitrary-precision sum,
+    // graft.plans.BigDecimalSumAgg — no 38-digit cap) ———
     "sumprecision" -> {
-      case Seq(c) => sum(c.cast(DecimalType(38, 18)))
-      case Seq(c, p) =>
-        val prec = str(p).toInt
-        sum(c.cast(DecimalType(38, 18))).cast(DecimalType(prec, math.min(prec - 1, 18)))
-      case Seq(c, p, s) =>
-        sum(c.cast(DecimalType(38, 18))).cast(DecimalType(str(p).toInt, str(s).toInt))
+      case Seq(c) => bigSum(c, None, None)
+      case Seq(c, p) => bigSum(c, Some(str(p).toInt), None)
+      case Seq(c, p, s) => bigSum(c, Some(str(p).toInt), Some(str(s).toInt))
     }
   )
 

@@ -127,7 +127,25 @@ object PinotFunctions {
         .when(upper(u) === "HOURS", 3600000L)
         .when(upper(u) === "DAYS", 86400000L)
       ((v * unitMs(from)) / unitMs(to)).cast(LongType) },
-    "datetrunc" -> { case Seq(u, ts) => date_trunc(ex(u).eval().toString, ts) },
+    // reference dateTrunc(unit, value[, inputTimeUnit[, tz[, outUnit]]])
+    // → LONG in inputTimeUnit (UTC truncation), DateTimeFunctions.java
+    "datetrunc" -> { case args if args.size >= 2 =>
+      val unit = ex(args.head).eval().toString
+      def unitMs(c: Column): Long = ex(c).eval().toString.toUpperCase match {
+        case "MILLISECONDS" => 1L
+        case "SECONDS" => 1000L
+        case "MINUTES" => 60000L
+        case "HOURS" => 3600000L
+        case "DAYS" => 86400000L
+      }
+      val inMs = if (args.size >= 3) unitMs(args(2)) else 1L
+      val tz = if (args.size >= 4) ex(args(3)).eval().toString else "UTC"
+      val outMs = if (args.size >= 5) unitMs(args(4)) else inMs
+      val ms = graft.plans.ScalarExprs.epochNumeric(args(1)) * lit(inMs)
+      val truncated = ColumnBridge.column(
+        graft.plans.DateTruncEpoch(unit, ex(ms.cast(LongType)), tz))
+      if (outMs == 1L) truncated else (truncated / lit(outMs)).cast(LongType)
+    },
     "datetimeconvert" -> {
       case Seq(c, in, out, gran) =>
         DateTimeConvert.dateTimeConvert(c, ex(in).eval().toString,
@@ -358,30 +376,46 @@ object PinotFunctions {
     "langid" -> { case Seq(t) => TextFunctions.langId(t) },
     "qualityscore" -> { case Seq(t) => TextFunctions.qualityScore(t) },
     "fingerprint" -> { case Seq(t) => TextFunctions.fingerprint(t) },
+    // CAST(x AS BIG_DECIMAL) — unbounded precision (plain string form;
+    // Spark decimals cap at 38 digits), facade routes the cast here
+    "bigdecimal" -> { case Seq(c) =>
+      ColumnBridge.column(graft.plans.ToBigDecimalString(ex(c))) },
     // ——— aggregates with Pinot names (AggregationFunctionType.java) ———
     "distinctcount" -> { case Seq(c) => size(collect_set(c)) },
     // native dense HLL (graft.plans.HllSketch): blob-compatible with
     // DISTINCTCOUNTRAWHLL / HLLMERGECOUNT, unlike Spark's HLL++ whose
     // state can't be stored or re-aggregated
     "distinctcounthll" -> {
-      case Seq(c) => graft.plans.HllSketch.distinctCountHll(c)
+      // SQL surface defaults to the reference's log2m = 8
+      case Seq(c) => graft.plans.HllSketch.distinctCountHll(
+        c, graft.plans.HllSketch.ReferenceDefaultLog2m)
       // optional 2nd arg = log2m (DistinctCountHLLAggregationFunction)
       case Seq(c, p) =>
         graft.plans.HllSketch.distinctCountHll(c, ex(p).eval().toString.toInt)
     },
-    // exact-bitmap / partitioned variants are exact distinct counts in
-    // Spark (no segment boundary); smart/HLL+ variants map to HLL++
+    // exact-bitmap variant is an exact distinct count in Spark
     "distinctcountbitmap" -> { case Seq(c) => size(collect_set(c)) },
-    "segmentpartitioneddistinctcount" -> { case Seq(c) => size(collect_set(c)) },
+    // sums per-SEGMENT distinct counts (reference
+    // SegmentPartitionedDistinctCountAggregationFunction assumes values
+    // are partitioned by segment); segment ≙ input partition here
+    "segmentpartitioneddistinctcount" -> { case Seq(c) =>
+      ColumnBridge.column(graft.plans.SegmentPartitionedDistinctCount(
+        ex(c)).toAggregateExpression()) },
+    // exact set until threshold, then clearspring HLL at log2m
+    // (DistinctCountSmartHLLAggregationFunction parameters
+    // 'threshold=…;log2m=…', legacy spellings hllConversionThreshold /
+    // hllLog2m accepted like the reference)
     "distinctcountsmarthll" -> {
-      case Seq(c) => approx_count_distinct(c)
-      // 2nd arg = settings like 'hllConversionThreshold=10;hllLog2m=8' —
-      // route to the native HLL at the requested log2m
+      case Seq(c) => ColumnBridge.column(graft.plans.SmartHllAgg(
+        ex(c), 100000, 12).toAggregateExpression())
       case Seq(c, settings) =>
         val s = ex(settings).eval().toString
-        val p = "(?i)hllLog2m\\s*=\\s*(\\d+)".r.findFirstMatchIn(s)
-          .map(_.group(1).toInt).getOrElse(graft.plans.HllSketch.DefaultP)
-        graft.plans.HllSketch.distinctCountHll(c, p)
+        def num(keys: String, dflt: Int): Int =
+          s"(?i)(?:$keys)\\s*=\\s*(\\d+)".r.findFirstMatchIn(s)
+            .map(_.group(1).toInt).getOrElse(dflt)
+        ColumnBridge.column(graft.plans.SmartHllAgg(ex(c),
+          num("threshold|hllConversionThreshold", 100000),
+          num("log2m|hllLog2m", 12)).toAggregateExpression())
     },
     // registered expression-level in registerAll (bare AggregateFunction
     // so the analyzer can attach FILTER (WHERE ...) itself)
@@ -389,15 +423,17 @@ object PinotFunctions {
     // (PinotFourthMoment.java:97-103 → Skewness/Kurtosis.getResult),
     // while Spark's are population moments; apply the bias-correction
     // factors. Facade rewrites the reserved spellings here.
+    // zero variance → Spark's moments are null, commons-math returns
+    // 0.0 (Skewness/Kurtosis.getResult variance < 10E-20 branch)
     "pinotskewness" -> { case Seq(c) =>
       val n = count(c).cast(DoubleType)
-      when(n < 3, lit(0.0)).otherwise(
-        skewness(c) * sqrt(n * (n - lit(1.0))) / (n - lit(2.0))) },
+      when(n < 3, lit(0.0)).otherwise(coalesce(
+        skewness(c) * sqrt(n * (n - lit(1.0))) / (n - lit(2.0)), lit(0.0))) },
     "pinotkurtosis" -> { case Seq(c) =>
       val n = count(c).cast(DoubleType)
-      when(n < 4, lit(0.0)).otherwise(
+      when(n < 4, lit(0.0)).otherwise(coalesce(
         ((n + lit(1.0)) * kurtosis(c) + lit(6.0)) * (n - lit(1.0)) /
-          ((n - lit(2.0)) * (n - lit(3.0)))) },
+          ((n - lit(2.0)) * (n - lit(3.0))), lit(0.0))) },
     // Pinot ROUND(timeValue, roundTo) is DateTimeFunctions.round: FLOOR
     // to the nearest multiple (the decimal rounding is ROUNDDECIMAL)
     "pinotround" -> {
@@ -439,7 +475,13 @@ object PinotFunctions {
     "distinctsum" -> { case Seq(c) => sum_distinct(c) },
     "distinctavg" -> { case Seq(c) => sum_distinct(c) / size(collect_set(c)) },
     "minmaxrange" -> { case Seq(c) => max(c) - min(c) },
-    "percentiletdigest" -> { case Seq(c, p) => percentile_approx(c, p / 100.0, lit(1000)) },
+    // TDigest with compression ≫ n keeps singleton centroids, and the
+    // reference's quantile then lands on the floor-index order statistic
+    // (verified against the reference's own MSE gold outputs); the
+    // compression argument is accepted and ignored
+    "percentiletdigest" -> {
+      case Seq(c, p) => pinotPct(c.cast(DoubleType), p)
+      case Seq(c, p, _) => pinotPct(c.cast(DoubleType), p) },
     "avgmv" -> { case Seq(a) => sum(aggregate(a, lit(0.0),
       (acc, x) => acc + x.cast(DoubleType))) / sum(size(a)) },
     "summv" -> { case Seq(a) => sum(aggregate(a, lit(0.0),
@@ -694,7 +736,16 @@ object PinotFunctions {
     * that collide with differently-scaled builtins (PERCENTILE's 0-100
     * argument) are intentionally left to the Spark builtin; use
     * PERCENTILETDIGEST for the Pinot-scaled variant. */
+  /** Sessions already carrying the full surface — registration walks
+    * ~330 names through the registry, which costs real milliseconds
+    * when repeated per query (the facade calls registerAll on every
+    * `sql()`), so it short-circuits after the first pass. Weak keys:
+    * sessions must stay collectable. */
+  private val registered = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, java.lang.Boolean]())
+
   def registerAll(spark: SparkSession): Unit = {
+    if (registered.put(spark, java.lang.Boolean.TRUE) != null) return
     val reg = spark.sessionState.functionRegistry
     registry.foreach { case (name, f) =>
       val id = org.apache.spark.sql.catalyst.FunctionIdentifier(name)

@@ -8,12 +8,16 @@ import org.apache.spark.sql.types._
   * `binary` columns with a typed metadata struct, and run feature
   * extraction as a partition-wise batch transform.
   *
-  * The actual media decoding is STUBBED (no image/audio libs in this
-  * container — see the deterministic fake in [[decodeStub]]); everything
-  * Spark-side is real: the (content, meta) schema, the mapPartitions
-  * batch shape (the Scala analog of a Pandas-UDF-over-mapInPandas
-  * pipeline), and the partitioning contract (payloads stay distributed;
-  * nothing is collected to the driver).
+  * Decoding is REAL for the pure-JVM formats ([[MediaCodec]]:
+  * PNG/JPEG/BMP/GIF via the JDK's javax.imageio, RIFF/PCM WAV via a
+  * direct parse); payloads in formats the JVM cannot decode natively
+  * (e.g. compressed video) fall back to the deterministic byte-level
+  * featurizer [[decodeStub]] so the pipeline never fails on foreign
+  * bytes. Everything Spark-side is the production shape: the
+  * (content, meta) schema, the mapPartitions batch shape (the Scala
+  * analog of a Pandas-UDF-over-mapInPandas pipeline), and the
+  * partitioning contract (payloads stay distributed; nothing is
+  * collected to the driver).
   */
 object Multimodal {
 
@@ -48,6 +52,32 @@ object Multimodal {
     out
   }
 
+  /** Decode a payload to an 8-wide feature vector. Slot 0 is a format
+    * tag (1 = image, 2 = audio, 0 = byte-level fallback):
+    * image → [1, w, h, meanR, meanG, meanB, luma, 0];
+    * audio → [2, sampleRate, channels, nSamples, rms, peak, zcr, 0];
+    * unknown → [[decodeStub]] byte histogram folded to 8 floats. */
+  def decodeFeatures(bytes: Array[Byte]): Array[Float] = {
+    if (bytes == null) return Array.empty
+    MediaCodec.sniff(bytes) match {
+      case "bmp" | "png" | "jpeg" | "gif" =>
+        MediaCodec.decodeImage(bytes) match {
+          case Some(s) => Array(1f, s.width.toFloat, s.height.toFloat,
+            s.meanR.toFloat, s.meanG.toFloat, s.meanB.toFloat,
+            s.luma.toFloat, 0f)
+          case None => decodeStub(bytes)
+        }
+      case "wav" =>
+        MediaCodec.decodeWav(bytes) match {
+          case Some(s) => Array(2f, s.sampleRate.toFloat, s.channels.toFloat,
+            s.nSamples.toFloat, s.rms.toFloat, s.peak.toFloat,
+            s.zeroCrossRate.toFloat, 0f)
+          case None => decodeStub(bytes)
+        }
+      case _ => decodeStub(bytes)
+    }
+  }
+
   /** Partition-wise feature extraction over the binary column: the Scala
     * analog of mapInPandas — each partition is processed as a batch, the
     * decoder is instantiated once per partition (the expensive step for a
@@ -63,7 +93,7 @@ object Multimodal {
         // per-partition decoder init would go here (real codec handle)
         rows.map { r =>
           val bytes = r.getAs[Array[Byte]]("content")
-          Row(r.getLong(0), decodeStub(bytes).toSeq,
+          Row(r.getLong(0), decodeFeatures(bytes).toSeq,
             if (bytes == null) 0 else bytes.length)
         }
       }(enc)
@@ -82,7 +112,10 @@ object Multimodal {
   }
 
   /** 1→1 batch transform: resize every payload to (w, h), updating the
-    * meta struct — same mapPartitions batch shape as extractFeatures. */
+    * meta struct — same mapPartitions batch shape as extractFeatures.
+    * Image payloads go through the REAL raster pipeline
+    * ([[MediaCodec.resizeImage]], re-encoded PNG); non-image payloads
+    * fall back to the byte-downsampling stub. */
   def resize(df: DataFrame, idCol: String, w: Int, h: Int): DataFrame = {
     val schema = StructType(Seq(
       StructField("id", LongType),
@@ -94,8 +127,15 @@ object Multimodal {
         rows.map { r =>
           val bytes = r.getAs[Array[Byte]]("content")
           val meta = r.getStruct(2)
-          Row(r.getLong(0), resizeStub(bytes, w, h),
-            Row(meta.getString(0), meta.getString(1), w, h))
+          val resized = MediaCodec.sniff(bytes) match {
+            case "bmp" | "png" | "jpeg" | "gif" =>
+              MediaCodec.resizeImage(bytes, w, h)
+                .getOrElse(resizeStub(bytes, w, h))
+            case _ => resizeStub(bytes, w, h)
+          }
+          val mime = if (MediaCodec.sniff(resized) == "png") "image/png"
+            else meta.getString(1)
+          Row(r.getLong(0), resized, Row(meta.getString(0), mime, w, h))
         }
       }(enc)
   }

@@ -1,0 +1,161 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** String front-end for the time-series engine: the reference's M3QL
+  * pipeline language
+  * (`pinot-plugins/pinot-timeseries-lang/pinot-timeseries-m3ql` —
+  * `M3qlParser`, `M3TimeSeriesPlanner.planQuery`), driven by a
+  * `RangeTimeSeriesRequest`-shaped (query, start, end, step) tuple
+  * (`RangeTimeSeriesRequest.java`, entry
+  * `TimeSeriesRequestHandler.java:226-248`).
+  *
+  * Surface: `fetch{table="m", ts_column="t", ts_unit="SECONDS",
+  * value="v", filter="host='web1'"} | sum{tag1,tag2}` with optional
+  * post-stages `keepLastValue{}` (forward fill along the bucket spine)
+  * and `transformNull{0}` (constant fill) — the plugin's exact command
+  * set, plus min/max/avg/count aggregations.
+  *
+  * Planning maps onto [[TimeSeries.rangeQuery]] semantics: range
+  * filter ([start, end] inclusive per the SPI) → step buckets → group
+  * by tags. Fill stages densify against the bucket spine per observed
+  * series, exactly the plugin's TimeBuckets contract. Everything is
+  * declarative DataFrame code — one shuffle for the aggregation, a
+  * broadcastable spine join for the fill.
+  */
+object TimeSeriesQL {
+
+  final case class Command(name: String, kv: Map[String, String], args: Seq[String])
+
+  private val CmdPattern = """(?s)\s*(\w+)\s*\{(.*)\}\s*""".r
+
+  /** Split on top-level `|`, then each command `name{body}`; body items
+    * are `key="value"` / `key='value'` pairs or bare positional args
+    * (comma-split outside quotes). */
+  def parse(query: String): Seq[Command] = {
+    def splitTop(s: String, sep: Char): Seq[String] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      val cur = new StringBuilder
+      var quote: Char = 0
+      s.foreach { ch =>
+        if (quote != 0) { cur += ch; if (ch == quote) quote = 0 }
+        else if (ch == '"' || ch == '\'') { quote = ch; cur += ch }
+        else if (ch == sep) { out += cur.toString; cur.clear() }
+        else cur += ch
+      }
+      out += cur.toString
+      out.toSeq.map(_.trim).filter(_.nonEmpty)
+    }
+    splitTop(query, '|').map {
+      case CmdPattern(name, body) =>
+        val items = splitTop(body, ',')
+        val kv = scala.collection.mutable.Map.empty[String, String]
+        val args = scala.collection.mutable.ArrayBuffer.empty[String]
+        items.foreach { it =>
+          val eq = it.indexOf('=')
+          if (eq > 0 && !it.take(eq).trim.contains(' ')) {
+            val v = it.substring(eq + 1).trim
+            kv(it.take(eq).trim) = v.stripPrefix("\"").stripSuffix("\"")
+              .stripPrefix("'").stripSuffix("'")
+          } else args += it.trim
+        }
+        Command(name, kv.toMap, args.toSeq)
+      case other =>
+        throw new IllegalArgumentException(s"M3QL: cannot parse command '$other'")
+    }
+  }
+
+  private def unitSeconds(u: String): Double = u.toUpperCase match {
+    case "SECONDS" => 1.0
+    case "MILLISECONDS" => 1e-3
+    case "MICROSECONDS" => 1e-6
+    case "NANOSECONDS" => 1e-9
+    case "MINUTES" => 60.0
+    case "HOURS" => 3600.0
+    case other => throw new IllegalArgumentException(s"ts_unit: $other")
+  }
+
+  /** Plan + run an M3QL range query. `resolve` maps a table name to its
+    * DataFrame (e.g. `Tables(spark, dir).table`). */
+  def query(resolve: String => DataFrame, q: String,
+      startSeconds: Long, endSeconds: Long, stepSeconds: Long): DataFrame = {
+    val cmds = parse(q)
+    require(cmds.nonEmpty && cmds.head.name == "fetch",
+      "M3QL: query must start with fetch{...}")
+    val fetch = cmds.head
+    val table = fetch.kv.getOrElse("table",
+      throw new IllegalArgumentException("fetch: table is required"))
+    val tsCol = fetch.kv.getOrElse("ts_column", "ts")
+    val valueCol = fetch.kv.get("value")
+    val filter = fetch.kv.get("filter")
+
+    val aggCmd = cmds.find(c => Set("sum", "min", "max", "avg", "count")(c.name))
+      .getOrElse(throw new IllegalArgumentException(
+        "M3QL: an aggregation command (sum/min/max/avg/count) is required"))
+    val tags = aggCmd.args.flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+
+    val df0 = resolve(table)
+    // epoch seconds view of the time column: native timestamps
+    // directly, numerics via ts_unit
+    val tsSec: Column = df0.schema(tsCol).dataType match {
+      case TimestampType | TimestampNTZType =>
+        (unix_millis(col(tsCol).cast(TimestampType)) / 1000.0)
+      case _ =>
+        col(tsCol).cast(DoubleType) * lit(unitSeconds(
+          fetch.kv.getOrElse("ts_unit", "SECONDS")))
+    }
+    val base = filter.map(df0.filter).getOrElse(df0)
+      .withColumn("__ts_sec", tsSec)
+      // [start, end] inclusive (RangeTimeSeriesRequest contract)
+      .filter(col("__ts_sec") >= startSeconds && col("__ts_sec") <= endSeconds)
+      .withColumn("__bucket",
+        floor((col("__ts_sec") - startSeconds) / stepSeconds).cast(LongType))
+
+    val v = valueCol.map(c => col(c).cast(DoubleType)).getOrElse(lit(1.0))
+    val aggExpr = aggCmd.name match {
+      case "sum" => sum(v)
+      case "min" => min(v)
+      case "max" => max(v)
+      case "avg" => avg(v)
+      case "count" => count(lit(1)).cast(DoubleType)
+    }
+    val agg = base.groupBy(col("__bucket") +: tags.map(col): _*)
+      .agg(aggExpr.as("value"))
+
+    val fills = cmds.filter(c => c.name == "keepLastValue" || c.name == "transformNull")
+    val result =
+      if (fills.isEmpty) agg
+      else {
+        // dense bucket spine per observed series (the plugin's
+        // TimeBuckets: every step bucket exists, empty ones null)
+        val n = (endSeconds - startSeconds) / stepSeconds + 1
+        val spark = df0.sparkSession
+        val spine = broadcast(spark.range(n).select(col("id").as("__bucket")))
+        val dense =
+          if (tags.isEmpty) spine.join(agg, Seq("__bucket"), "left")
+          else {
+            val series = agg.select(tags.map(col): _*).distinct()
+            spine.crossJoin(broadcast(series))
+              .join(agg, "__bucket" +: tags, "left")
+          }
+        fills.foldLeft(dense) { (d, f) =>
+          f.name match {
+            case "keepLastValue" =>
+              val w = org.apache.spark.sql.expressions.Window
+                .partitionBy(tags.map(col): _*).orderBy(col("__bucket"))
+                .rowsBetween(Long.MinValue, 0)
+              d.withColumn("value", last(col("value"), ignoreNulls = true).over(w))
+            case _ => // transformNull{default}
+              val dflt = f.args.headOption.map(_.toDouble).getOrElse(0.0)
+              d.withColumn("value", coalesce(col("value"), lit(dflt)))
+          }
+        }
+      }
+    result
+      .withColumn("bucket_seconds",
+        lit(startSeconds) + col("__bucket") * lit(stepSeconds))
+      .select(col("bucket_seconds") +: tags.map(col) :+ col("value"): _*)
+  }
+}

@@ -17,6 +17,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectResolutionRule(_ => MvPredicateRewrite)
     e.injectResolutionRule(_ => TimestampNumericComparison)
+    e.injectResolutionRule(_ => OrderByExpressionAlias)
     // hint-resolution batch: must run BEFORE ResolveFunctions, which
     // throws (rather than leaving the node unresolved) on unknown names
     e.injectHintResolutionRule(s => UnderscoreFunctionNames(s))
@@ -47,15 +48,104 @@ object TimestampNumericComparison extends Rule[LogicalPlan] {
     case _ => UnixMillis(e)
   }
 
+  private def num(e: Expression): Boolean =
+    e.resolved && e.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType]
+  private def str(e: Expression): Boolean =
+    e.resolved && e.dataType == org.apache.spark.sql.types.StringType
+
+  private def rewrite(cond: Expression): Expression = cond.transformUp {
+    case c: BinaryComparison if ts(c.left) && integral(c.right) =>
+      c.withNewChildren(Seq(millisView(c.left), c.right))
+    case c: BinaryComparison if integral(c.left) && ts(c.right) =>
+      c.withNewChildren(Seq(c.left, millisView(c.right)))
+    // Calcite coerces a string compared to a numeric APPROXIMATELY
+    // (double), not ANSI-Spark's integral cast that rejects
+    // '1e404'-style decimal strings. Spark's own coercion may have
+    // already wrapped the string side in Cast(_, integral) — unwrap.
+    case c: BinaryComparison =>
+      def strSide(e: Expression): Option[Expression] = e match {
+        case Cast(inner, t, _, _)
+            if str(inner) && (t == org.apache.spark.sql.types.LongType ||
+              t == org.apache.spark.sql.types.IntegerType ||
+              t == org.apache.spark.sql.types.ShortType ||
+              t == org.apache.spark.sql.types.ByteType) =>
+          Some(inner)
+        case _ if str(e) => Some(e)
+        case _ => None
+      }
+      val dbl = org.apache.spark.sql.types.DoubleType
+      (strSide(c.left), strSide(c.right)) match {
+        case (Some(s), None) if num(c.right) =>
+          c.withNewChildren(Seq(Cast(s, dbl), Cast(c.right, dbl)))
+        case (None, Some(s)) if num(c.left) =>
+          c.withNewChildren(Seq(Cast(c.left, dbl), Cast(s, dbl)))
+        case _ => c
+      }
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case f @ Filter(cond, child) if child.resolved =>
-      val newCond = cond.transformUp {
-        case c: BinaryComparison if ts(c.left) && integral(c.right) =>
-          c.withNewChildren(Seq(millisView(c.left), c.right))
-        case c: BinaryComparison if integral(c.left) && ts(c.right) =>
-          c.withNewChildren(Seq(c.left, millisView(c.right)))
-      }
+      val newCond = rewrite(cond)
       if (newCond fastEquals cond) f else Filter(newCond, child)
+    // the same millis semantics hold for join conditions
+    // (`ON t1.ts_col = t2.long_col` — reference TypeCoercion suite)
+    case j: org.apache.spark.sql.catalyst.plans.logical.Join
+        if j.condition.isDefined && j.left.resolved && j.right.resolved =>
+      val newCond = rewrite(j.condition.get)
+      if (newCond fastEquals j.condition.get) j
+      else j.copy(condition = Some(newCond))
+  }
+}
+
+/** Calcite (the reference's planner) resolves ORDER BY / sort
+  * expressions by matching them against the select list
+  * (`SqlValidatorImpl` expandOrderExpr): `GROUP BY upper(c) …
+  * ORDER BY upper(c)` orders by the output column even though `c`
+  * itself is not visible above the aggregate. Spark resolves sort
+  * expressions against child output attributes only, so the repeated
+  * expression fails with UNRESOLVED_COLUMN. This rule retargets an
+  * unresolved non-trivial sort expression to the child output
+  * attribute whose auto-generated alias text matches it. */
+object OrderByExpressionAlias extends Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+  import org.apache.spark.sql.catalyst.plans.logical.Sort
+
+  private def norm(s: String): String =
+    s.toLowerCase.replaceAll("[`'\"\\s()]", "")
+
+  /** Best-effort text of a (partially) unresolved expression, shaped
+    * like Spark's auto-generated output alias for the same expression.
+    * A miss only means no rewrite — the query fails exactly as before. */
+  private def render(e: Expression): Option[String] =
+    try {
+      def go(x: Expression): String = x match {
+        case a: UnresolvedAttribute => a.name
+        case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction =>
+          f.nameParts.mkString(".") + "(" +
+            f.arguments.map(go).mkString(",") + ")"
+        case UnaryMinus(c, _) => "-" + go(c)
+        case _ if x.children.isEmpty => x.sql
+        case _ => x.prettyName + "(" + x.children.map(go).mkString(",") + ")"
+      }
+      Some(norm(go(e)))
+    } catch { case _: Throwable => None }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case s @ Sort(order, global, child, hint)
+        if !s.resolved && child.resolved =>
+      val byAlias: Map[String, Attribute] =
+        child.output.map(a => norm(a.name) -> a).toMap
+      val newOrder = order.map { so =>
+        val e = so.child
+        val replaceable = !e.resolved && !e.isInstanceOf[UnresolvedAttribute] &&
+          e.exists(_.isInstanceOf[UnresolvedAttribute])
+        if (!replaceable) so
+        else render(e).flatMap(byAlias.get) match {
+          case Some(attr) => so.copy(child = attr)
+          case None => so
+        }
+      }
+      if (newOrder == order) s else Sort(newOrder, global, child, hint)
   }
 }
 

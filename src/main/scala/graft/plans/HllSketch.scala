@@ -1,104 +1,88 @@
 package graft.plans
 
+import com.clearspring.analytics.stream.cardinality.HyperLogLog
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Expression, XxHash64Function}
+import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.graft.ColumnBridge
 import org.apache.spark.sql.types._
 
-/** Dense HyperLogLog with FIRST-CLASS SERIALIZED STATE — the mergeable
-  * sketch-blob surface of the reference's `DISTINCTCOUNTHLL` /
-  * `DISTINCTCOUNTRAWHLL` pair (`DistinctCountHLLAggregationFunction
-  * .java`, `DistinctCountRawHLLAggregationFunction.java`): a rollup
-  * table can STORE per-group sketch blobs and later answer
-  * distinct-count queries by merging blobs — the star-tree use case
-  * Spark's built-in `approx_count_distinct` can't serve (its HLL++
-  * state is locked inside the aggregate).
+/** HyperLogLog with FIRST-CLASS SERIALIZED STATE, WIRE-COMPATIBLE with
+  * the reference's stored sketch columns.
   *
-  * Blob format: [p: 1 byte][2^p register bytes]. Register merge is an
-  * elementwise max — associative and commutative, so partial/final
-  * plans and blob re-aggregation give BIT-IDENTICAL estimates to a
-  * direct pass (asserted by the q_agg_hll_remerge oracle query).
+  * The reference's `DISTINCTCOUNTHLL` / `DISTINCTCOUNTRAWHLL`
+  * (`DistinctCountHLLAggregationFunction.java`,
+  * `DistinctCountRawHLLAggregationFunction.java`) are backed by the
+  * stream-lib (clearspring) HyperLogLog, serialized via
+  * `ObjectSerDeUtils.HYPER_LOG_LOG_SER_DE` → `HyperLogLog.getBytes()`.
+  * The very same library ships on the Spark classpath (`stream-*.jar`,
+  * used by `RDD.countApproxDistinct`), so these aggregates delegate to
+  * it directly: register contents, estimates, and blob bytes are
+  * BIT-IDENTICAL to the reference's (verified against the reference's
+  * own MSE gold outputs, `CountDistinct:countDistinct_non_h2:28-34`).
+  * Blobs written by a reference deployment (rollup tables, star-tree
+  * MVs) deserialize and re-merge here unchanged.
   *
-  * State crossing the shuffle is 2^p bytes (4 KiB at the default
-  * p=12, ~1.6% rse) regardless of input size.
+  * Merge is an elementwise register max — associative and commutative,
+  * so partial/final plans and blob re-aggregation give BIT-IDENTICAL
+  * estimates to a direct pass. State crossing the shuffle is the packed
+  * register array (2^log2m · 5 bits) regardless of input size.
   */
 object Hll {
 
-  def m(p: Int): Int = 1 << p
-
-  private def alpha(m: Int): Double = m match {
-    case 16 => 0.673
-    case 32 => 0.697
-    case 64 => 0.709
-    case _  => 0.7213 / (1.0 + 1.079 / m)
+  /** Boxed offer value matching the reference's per-type
+    * `HyperLogLog.offer` calls (stream-lib `MurmurHash.hash(Object)`
+    * dispatches on the runtime class): integral types as
+    * Integer/Long, FLOAT kept as Float (1.01f hashes via its raw int
+    * bits, ≠ 1.01d), STRING via its UTF-8 bytes, BYTES as byte[]. */
+  def canonical(v: Any, dt: DataType): AnyRef = dt match {
+    case IntegerType => Integer.valueOf(v.asInstanceOf[Int])
+    case ShortType => Integer.valueOf(v.asInstanceOf[Short].toInt)
+    case ByteType => Integer.valueOf(v.asInstanceOf[Byte].toInt)
+    case LongType => java.lang.Long.valueOf(v.asInstanceOf[Long])
+    case BooleanType =>
+      Integer.valueOf(if (v.asInstanceOf[Boolean]) 1 else 0)
+    case FloatType => java.lang.Float.valueOf(v.asInstanceOf[Float])
+    case DoubleType => java.lang.Double.valueOf(v.asInstanceOf[Double])
+    case StringType => v.toString // UTF8String → String (offer hashes getBytes)
+    case BinaryType => v.asInstanceOf[Array[Byte]]
+    // reference TIMESTAMP is epoch millis stored as long
+    case TimestampType | TimestampNTZType =>
+      java.lang.Long.valueOf(Math.floorDiv(v.asInstanceOf[Long], 1000L))
+    case _ => v.toString
   }
 
-  /** Standard Flajolet HLL estimator + small-range linear counting. */
-  def estimate(regs: Array[Byte]): Long = {
-    val m = regs.length
-    var sum = 0.0
-    var zeros = 0
-    var i = 0
-    while (i < m) {
-      val r = regs(i) & 0xFF
-      sum += java.lang.Math.scalb(1.0, -r) // 2^-r exactly
-      if (r == 0) zeros += 1
-      i += 1
-    }
-    var e = alpha(m) * m * m / sum
-    if (e <= 2.5 * m && zeros > 0) e = m * math.log(m.toDouble / zeros)
-    math.round(e)
+  def offer(h: HyperLogLog, v: Any, dt: DataType): Unit = {
+    h.offer(canonical(v, dt))
+    ()
   }
 
-  def offer(regs: Array[Byte], h: Long, p: Int): Unit = {
-    val idx = (h >>> (64 - p)).toInt
-    val w = h << p
-    val cap = 64 - p + 1
-    val rank =
-      if (w == 0) cap
-      else math.min(java.lang.Long.numberOfLeadingZeros(w) + 1, cap)
-    if (rank > (regs(idx) & 0xFF)) regs(idx) = rank.toByte
+  def merge(into: HyperLogLog, from: HyperLogLog): HyperLogLog = {
+    into.addAll(from)
+    into
   }
 
-  def toBlob(p: Int, regs: Array[Byte]): Array[Byte] = {
-    val out = new Array[Byte](1 + regs.length)
-    out(0) = p.toByte
-    System.arraycopy(regs, 0, out, 1, regs.length)
-    out
-  }
+  def fromBlob(bytes: Array[Byte]): HyperLogLog =
+    HyperLogLog.Builder.build(bytes)
 
-  def fromBlob(blob: Array[Byte]): (Int, Array[Byte]) = {
-    val p = blob(0).toInt
-    require(blob.length == 1 + (1 << p), s"corrupt HLL blob (p=$p, len=${blob.length})")
-    (p, java.util.Arrays.copyOfRange(blob, 1, blob.length))
-  }
-
-  def mergeInto(into: Array[Byte], from: Array[Byte]): Unit = {
-    var i = 0
-    while (i < into.length) {
-      if ((from(i) & 0xFF) > (into(i) & 0xFF)) into(i) = from(i)
-      i += 1
-    }
-  }
+  def toBlob(h: HyperLogLog): Array[Byte] = h.getBytes
 }
 
 /** DISTINCTCOUNTHLL / DISTINCTCOUNTRAWHLL over raw values.
-  * `emitBlob = false` → LongType estimate; `true` → BinaryType blob. */
+  * `emitBlob = false` → LongType estimate; `true` → BinaryType blob in
+  * the reference wire format. */
 case class HllAgg(
     child: Expression,
     p: Int,
     emitBlob: Boolean,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[Array[Byte]] {
+  extends TypedImperativeAggregate[HyperLogLog] {
 
-  // reference log2m accepts tiny registers too (clearspring HLL via
-  // DistinctCountHLLAggregationFunction — log2m >= 0); keep 18 as the
-  // sane upper bound (256 KiB state per group)
-  require(p >= 2 && p <= 18, "HLL precision p must be in [2, 18]")
+  // clearspring RegisterSet bound; 16 caps state at 64 KiB per group
+  require(p >= 1 && p <= 16, "HLL log2m must be in [1, 16]")
 
   override def children: Seq[Expression] = Seq(child)
   override def nullable: Boolean = false
@@ -106,9 +90,9 @@ case class HllAgg(
   override def prettyName: String =
     if (emitBlob) "distinct_count_raw_hll" else "distinct_count_hll"
 
-  override def createAggregationBuffer(): Array[Byte] = new Array[Byte](Hll.m(p))
+  override def createAggregationBuffer(): HyperLogLog = new HyperLogLog(p)
 
-  override def update(buf: Array[Byte], row: InternalRow): Array[Byte] = {
+  override def update(buf: HyperLogLog, row: InternalRow): HyperLogLog = {
     val v = child.eval(row)
     if (v != null) child.dataType match {
       // MV column (DISTINCTCOUNTHLLMV family): each element counts
@@ -116,25 +100,22 @@ case class HllAgg(
         val arr = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
         var i = 0
         while (i < arr.numElements()) {
-          if (!arr.isNullAt(i))
-            Hll.offer(buf, XxHash64Function.hash(arr.get(i, et), et, 42L), p)
+          if (!arr.isNullAt(i)) Hll.offer(buf, arr.get(i, et), et)
           i += 1
         }
-      case dt => Hll.offer(buf, XxHash64Function.hash(v, dt, 42L), p)
+      case dt => Hll.offer(buf, v, dt)
     }
     buf
   }
 
-  override def merge(buf: Array[Byte], other: Array[Byte]): Array[Byte] = {
-    Hll.mergeInto(buf, other)
-    buf
-  }
+  override def merge(buf: HyperLogLog, other: HyperLogLog): HyperLogLog =
+    Hll.merge(buf, other)
 
-  override def eval(buf: Array[Byte]): Any =
-    if (emitBlob) Hll.toBlob(p, buf) else Hll.estimate(buf)
+  override def eval(buf: HyperLogLog): Any =
+    if (emitBlob) Hll.toBlob(buf) else buf.cardinality()
 
-  override def serialize(buf: Array[Byte]): Array[Byte] = buf
-  override def deserialize(b: Array[Byte]): Array[Byte] = b
+  override def serialize(buf: HyperLogLog): Array[Byte] = buf.getBytes
+  override def deserialize(b: Array[Byte]): HyperLogLog = Hll.fromBlob(b)
 
   override def withNewMutableAggBufferOffset(o: Int): HllAgg =
     copy(mutableAggBufferOffset = o)
@@ -144,55 +125,52 @@ case class HllAgg(
     copy(child = c.head)
 }
 
-/** Re-aggregation over STORED sketch blobs (the rollup-table read path):
-  * merges [p][regs] blobs; emits the merged blob or the estimate. */
+/** Re-aggregation over STORED sketch blobs (the rollup-table read
+  * path): merges reference-wire-format blobs — including blobs written
+  * by an actual reference deployment — and emits the merged blob or
+  * the estimate. */
 case class HllMergeAgg(
     child: Expression,
     emitBlob: Boolean,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[Array[Byte]] {
+  extends TypedImperativeAggregate[Option[HyperLogLog]] {
 
   override def children: Seq[Expression] = Seq(child)
-  override def nullable: Boolean = false
+  override def nullable: Boolean = emitBlob
   override def dataType: DataType = if (emitBlob) BinaryType else LongType
   override def prettyName: String =
     if (emitBlob) "hll_merge_raw" else "hll_merge_count"
 
-  // empty marker until the first blob fixes p
-  override def createAggregationBuffer(): Array[Byte] = Array.emptyByteArray
+  override def createAggregationBuffer(): Option[HyperLogLog] = None
 
-  private def combine(buf: Array[Byte], blob: Array[Byte]): Array[Byte] =
-    if (blob.length == 0) buf
-    else if (buf.length == 0) blob.clone()
-    else {
-      require(buf.length == blob.length,
-        s"HLL blobs built with different p (${buf.length} vs ${blob.length})")
-      // skip the shared 1-byte header, max-merge registers
-      var i = 1
-      while (i < buf.length) {
-        if ((blob(i) & 0xFF) > (buf(i) & 0xFF)) buf(i) = blob(i)
-        i += 1
-      }
-      buf
+  private def combine(buf: Option[HyperLogLog], h: HyperLogLog): Option[HyperLogLog] =
+    buf match {
+      case None => Some(h)
+      case Some(b) => Some(Hll.merge(b, h))
     }
 
-  override def update(buf: Array[Byte], row: InternalRow): Array[Byte] = {
+  override def update(buf: Option[HyperLogLog], row: InternalRow): Option[HyperLogLog] = {
     val v = child.eval(row)
     if (v == null) buf
-    else combine(buf, v.asInstanceOf[Array[Byte]])
+    else combine(buf, Hll.fromBlob(v.asInstanceOf[Array[Byte]]))
   }
 
-  override def merge(buf: Array[Byte], other: Array[Byte]): Array[Byte] =
-    combine(buf, other)
+  override def merge(buf: Option[HyperLogLog], other: Option[HyperLogLog]): Option[HyperLogLog] =
+    other match {
+      case None => buf
+      case Some(h) => combine(buf, h)
+    }
 
-  override def eval(buf: Array[Byte]): Any =
-    if (emitBlob) buf
-    else if (buf.length == 0) 0L
-    else Hll.estimate(Hll.fromBlob(buf)._2)
+  override def eval(buf: Option[HyperLogLog]): Any = buf match {
+    case None => if (emitBlob) null else 0L
+    case Some(h) => if (emitBlob) Hll.toBlob(h) else h.cardinality()
+  }
 
-  override def serialize(buf: Array[Byte]): Array[Byte] = buf
-  override def deserialize(b: Array[Byte]): Array[Byte] = b
+  override def serialize(buf: Option[HyperLogLog]): Array[Byte] =
+    buf.map(_.getBytes).getOrElse(Array.emptyByteArray)
+  override def deserialize(b: Array[Byte]): Option[HyperLogLog] =
+    if (b.isEmpty) None else Some(Hll.fromBlob(b))
 
   override def withNewMutableAggBufferOffset(o: Int): HllMergeAgg =
     copy(mutableAggBufferOffset = o)
@@ -202,9 +180,173 @@ case class HllMergeAgg(
     copy(child = c.head)
 }
 
+/** DISTINCTCOUNTSMARTHLL (`DistinctCountSmartHLLAggregationFunction`):
+  * exact value set until `threshold` distinct values, then converts to
+  * HLL at `log2m`. Exact-mode state stores the canonical offer values
+  * (tagged so set equality matches the reference's per-type sets);
+  * conversion re-offers the stored values, so the resulting HLL is
+  * identical to one built directly. */
+case class SmartHllAgg(
+    child: Expression,
+    threshold: Int,
+    p: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[SmartHllAgg.State] {
+  import SmartHllAgg._
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = LongType
+  override def prettyName: String = "distinct_count_smart_hll"
+
+  override def createAggregationBuffer(): State = new State(null, null)
+
+  /** Set-friendly form of the canonical offer value: byte arrays wrap
+    * to Seq for equality, everything else is a value-equal box. */
+  private def setKey(v: AnyRef): Any = v match {
+    case b: Array[Byte] => b.toSeq
+    case x => x
+  }
+
+  private def offerKey(h: HyperLogLog, k: Any): Unit = {
+    val v: AnyRef = k match {
+      case b: Seq[_] => b.asInstanceOf[Seq[Byte]].toArray
+      case x => x.asInstanceOf[AnyRef]
+    }
+    h.offer(v)
+    ()
+  }
+
+  private def toHll(st: State): Unit = {
+    st.hll = new HyperLogLog(p)
+    if (st.set != null) {
+      val it = st.set.iterator()
+      while (it.hasNext) offerKey(st.hll, it.next())
+      st.set = null
+    }
+  }
+
+  override def update(st: State, row: InternalRow): State = {
+    val v = child.eval(row)
+    if (v != null) {
+      val c = Hll.canonical(v, child.dataType)
+      if (st.hll != null) { st.hll.offer(c); () }
+      else {
+        if (st.set == null) st.set = new java.util.HashSet[Any]()
+        st.set.add(setKey(c))
+        if (st.set.size > threshold) toHll(st)
+      }
+    }
+    st
+  }
+
+  override def merge(st: State, other: State): State = {
+    if (other.hll != null && st.hll == null) toHll(st)
+    if (other.set != null) {
+      if (st.hll != null) {
+        val it = other.set.iterator()
+        while (it.hasNext) offerKey(st.hll, it.next())
+      } else {
+        if (st.set == null) st.set = new java.util.HashSet[Any]()
+        st.set.addAll(other.set)
+        if (st.set.size > threshold) toHll(st)
+      }
+    }
+    if (other.hll != null) Hll.merge(st.hll, other.hll)
+    st
+  }
+
+  override def eval(st: State): Any =
+    if (st.hll != null) st.hll.cardinality()
+    else if (st.set == null) 0L
+    else st.set.size.toLong
+
+  override def serialize(st: State): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    if (st.hll != null) {
+      out.writeByte(1)
+      out.write(st.hll.getBytes)
+    } else {
+      out.writeByte(0)
+      val n = if (st.set == null) 0 else st.set.size
+      out.writeInt(n)
+      if (n > 0) {
+        val it = st.set.iterator()
+        while (it.hasNext) it.next() match {
+          case i: Integer => out.writeByte(0); out.writeLong(i.longValue())
+          case l: java.lang.Long => out.writeByte(0); out.writeLong(l)
+          case f: java.lang.Float => out.writeByte(1); out.writeInt(
+            java.lang.Float.floatToRawIntBits(f))
+          case d: java.lang.Double => out.writeByte(2); out.writeLong(
+            java.lang.Double.doubleToRawLongBits(d))
+          case s: String =>
+            val b = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            out.writeByte(3); out.writeInt(b.length); out.write(b)
+          case b: Seq[_] =>
+            val arr = b.asInstanceOf[Seq[Byte]].toArray
+            out.writeByte(4); out.writeInt(arr.length); out.write(arr)
+        }
+      }
+    }
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): State = {
+    val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes))
+    val st = new State(null, null)
+    if (in.readByte() == 1) {
+      val rest = new Array[Byte](bytes.length - 1)
+      in.readFully(rest)
+      st.hll = Hll.fromBlob(rest)
+    } else {
+      val n = in.readInt()
+      if (n > 0) {
+        st.set = new java.util.HashSet[Any]()
+        var i = 0
+        while (i < n) {
+          in.readByte() match {
+            case 0 => st.set.add(java.lang.Long.valueOf(in.readLong()))
+            case 1 => st.set.add(java.lang.Float.valueOf(
+              java.lang.Float.intBitsToFloat(in.readInt())))
+            case 2 => st.set.add(java.lang.Double.valueOf(
+              java.lang.Double.longBitsToDouble(in.readLong())))
+            case 3 =>
+              val b = new Array[Byte](in.readInt()); in.readFully(b)
+              st.set.add(new String(b, java.nio.charset.StandardCharsets.UTF_8))
+            case _ =>
+              val b = new Array[Byte](in.readInt()); in.readFully(b)
+              st.set.add(b.toSeq)
+          }
+          i += 1
+        }
+      }
+    }
+    st
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): SmartHllAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): SmartHllAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) =
+    copy(child = c.head)
+}
+
+object SmartHllAgg {
+  /** Exact-or-sketch state: `set` until threshold, then `hll`. */
+  final class State(var set: java.util.HashSet[Any], var hll: HyperLogLog)
+}
+
 object HllSketch {
 
+  /** Column-API default precision (rse ≈ 1.6%); the SQL surface
+    * defaults to the reference's log2m = 8
+    * (`CommonConstants.DEFAULT_HYPERLOGLOG_LOG2M`). */
   val DefaultP = 12
+  val ReferenceDefaultLog2m = 8
 
   /** Estimate over raw values (DISTINCTCOUNTHLL). */
   def distinctCountHll(c: Column, p: Int = DefaultP): Column =
@@ -226,11 +368,12 @@ object HllSketch {
     ColumnBridge.column(
       HllMergeAgg(ColumnBridge.expression(c), emitBlob = true).toAggregateExpression())
 
-  /** SQL names mirroring the reference aggregate family. */
+  /** SQL names mirroring the reference aggregate family (reference
+    * default log2m = 8). */
   def registerAll(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     def p(exprs: Seq[Expression]): Int =
-      if (exprs.size > 1) exprs(1).eval().toString.toInt else DefaultP
+      if (exprs.size > 1) exprs(1).eval().toString.toInt else ReferenceDefaultLog2m
     reg.createOrReplaceTempFunction("distinctcountrawhll",
       (e: Seq[Expression]) => HllAgg(e.head, p(e), emitBlob = true), "built-in")
     reg.createOrReplaceTempFunction("hllmergecount",

@@ -71,7 +71,10 @@ final class KllState(val k: Int) {
     }
   }
 
-  /** Quantile q in [0,1]: value at weighted rank q·N. */
+  /** Quantile q in [0,1]: smallest item whose inclusive weighted rank
+    * reaches ⌈q·N⌉ — the DataSketches INCLUSIVE search criterion
+    * (`KllDoublesSketch.getQuantile` default), which the reference's
+    * PERCENTILE_KLL surfaces. */
   def query(q: Double): Double = {
     val items = ArrayBuffer.empty[(Double, Long)]
     var i = 0
@@ -83,7 +86,7 @@ final class KllState(val k: Int) {
     if (items.isEmpty) return Double.NaN
     val sorted = items.sortBy(_._1)
     val total = sorted.iterator.map(_._2).sum
-    val target = math.max(1L, math.round(q * total))
+    val target = math.max(1L, math.ceil(q * total).toLong)
     var cum = 0L
     var idx = 0
     while (idx < sorted.length) {

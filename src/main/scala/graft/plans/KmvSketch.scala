@@ -42,6 +42,20 @@ case class DistinctCountKmv(
     if (buf.size > k) buf.pollLast() // keep k smallest
   }
 
+  /** Hash with VALUE-equality semantics matching the reference's theta
+    * sketches (DataSketches `UpdateSketch`): all integral types hash
+    * through the long path (int 2 and long 2 collide → union dedups),
+    * float promotes to double (1.01f ≠ 1.01d, 300f == 300d) — verified
+    * against the reference's own MSE gold outputs
+    * (`UDFAggregates:pinot_sketch_agg_udf_tests`). */
+  private def hashValue(v: Any, dt: DataType): Long = dt match {
+    case ByteType | ShortType | IntegerType =>
+      XxHash64Function.hash(v.asInstanceOf[Number].longValue(), LongType, 42L) >>> 1
+    case FloatType =>
+      XxHash64Function.hash(v.asInstanceOf[Float].toDouble, DoubleType, 42L) >>> 1
+    case _ => XxHash64Function.hash(v, dt, 42L) >>> 1
+  }
+
   override def update(buf: java.util.TreeSet[java.lang.Long], row: InternalRow)
       : java.util.TreeSet[java.lang.Long] = {
     val v = child.eval(row)
@@ -53,10 +67,10 @@ case class DistinctCountKmv(
         var i = 0
         while (i < arr.numElements()) {
           if (!arr.isNullAt(i))
-            add(buf, XxHash64Function.hash(arr.get(i, et), et, 42L) >>> 1)
+            add(buf, hashValue(arr.get(i, et), et))
           i += 1
         }
-      case dt => add(buf, XxHash64Function.hash(v, dt, 42L) >>> 1)
+      case dt => add(buf, hashValue(v, dt))
     }
     buf
   }

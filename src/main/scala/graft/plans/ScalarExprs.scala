@@ -104,6 +104,22 @@ case class BinaryAlgoExpr(left: Expression, right: Expression, algo: String)
     copy(left = newLeft, right = newRight)
 }
 
+/** Reference `dateTrunc`: epoch millis floored to a calendar unit
+  * boundary in an explicit zone (UTC unless given), LONG out — unlike
+  * Spark's `date_trunc` (TIMESTAMP out, session zone). */
+case class DateTruncEpoch(unit: String, child: Expression, tz: String = "UTC")
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any =
+    graft.functions.DateTimeAlgos.dateTruncEpoch(
+      unit, input.asInstanceOf[Long], tz)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"""graft.functions.DateTimeAlgos.dateTruncEpoch("$unit", $c, "$tz")""")
+  override protected def withNewChildInternal(newChild: Expression): DateTruncEpoch =
+    copy(child = newChild)
+}
+
 /** Type-dispatching epoch view of a column: TIMESTAMP → epoch millis
   * (Pinot's TIMESTAMP physical type IS millis, `DateTimeFunctions`
   * accept either spelling), anything else → LONG as-is. Resolution is

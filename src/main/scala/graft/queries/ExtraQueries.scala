@@ -675,6 +675,39 @@ object ExtraQueries {
           AND ts < TIMESTAMP '2024-01-05 00:00:00'
         GROUP BY 1, 2 ORDER BY bucket, event_type""")),
 
+    // Time-series STRING front-end (M3QL pipeline language —
+    // M3TimeSeriesPlanner.planQuery, RangeTimeSeriesRequest): parse
+    // `fetch{...} | sum{tags} | transformNull{0}` and plan it; dense
+    // bucket spine with zero fill, verified against a DuckDB spine.
+    GQuery("q_ts_promql",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val start = 1704067200L // 2024-01-01T00:00:00Z
+        graft.operators.TimeSeriesQL.query(
+            _ => t.events.withColumn("value", dec(col("value"))),
+            """fetch{table="events", ts_column="ts", value="value"}
+               | sum{event_type} | transformNull{0}""",
+            start, start + 2 * 86400, 7200)
+          .withColumn("value", r4(col("value")))
+          .orderBy(col("bucket_seconds"), col("event_type"))
+      },
+      Some("""WITH spine AS (SELECT UNNEST(range(0, 25)) AS i),
+        types AS (SELECT DISTINCT event_type FROM events
+          WHERE epoch_us(ts) >= 1704067200000000
+            AND epoch_us(ts) <= 1704240000000000),
+        agg AS (SELECT CAST((epoch_us(ts) - 1704067200000000) // 7200000000 AS BIGINT) AS i,
+            event_type, SUM(CAST(value AS DECIMAL(20,4))) AS v
+          FROM events
+          WHERE epoch_us(ts) >= 1704067200000000
+            AND epoch_us(ts) <= 1704240000000000
+          GROUP BY 1, 2)
+        SELECT (1704067200 + spine.i * 7200) AS bucket_seconds,
+          types.event_type AS event_type,
+          ROUND(CAST(COALESCE(agg.v, 0) AS DOUBLE), 4) AS value
+        FROM spine CROSS JOIN types
+        LEFT JOIN agg ON agg.i = spine.i AND agg.event_type = types.event_type
+        ORDER BY bucket_seconds, types.event_type""")),
+
     // SQL-name funnel aggregate (graft.plans.FunnelWindowAgg): the
     // reference's FUNNELMAXSTEP(ts, windowSize, numSteps, steps...)
     // call shape (FunnelBaseAggregationFunction.java:33-77), verified

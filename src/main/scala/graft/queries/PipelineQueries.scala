@@ -1033,6 +1033,42 @@ object PipelineQueries {
         'text' AS kind
         FROM documents ORDER BY doc_id""")),
 
+    // REAL image decode end-to-end (graft.operators.MediaCodec):
+    // manufacture a deterministic solid-color BMP per document
+    // (channels derived from doc_id), decode it through the JDK's
+    // actual javax.imageio raster path inside the mapPartitions batch
+    // transform, and emit pixel statistics. The oracle recomputes the
+    // channel math directly — if the decoder were fake, width/height/
+    // means would not reproduce.
+    GQuery("q_multimodal_decode",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        import s.implicits._
+        val withImg = t.documents.filter(col("doc_id") <= 100)
+          .select(col("doc_id").cast(LongType)).as[Long]
+          .mapPartitions { ids =>
+            ids.map { id =>
+              (id, Multimodal.decodeFeatures(MediaCodec.solidBmp(
+                8, 6, (id % 256).toInt, (id * 7 % 256).toInt,
+                (id * 13 % 256).toInt)))
+            }
+          }
+          .toDF("doc_id", "f")
+        withImg.select(col("doc_id"),
+            col("f")(0).cast(IntegerType).as("tag"),
+            col("f")(1).cast(IntegerType).as("width"),
+            col("f")(2).cast(IntegerType).as("height"),
+            col("f")(3).cast(IntegerType).as("mean_r"),
+            col("f")(4).cast(IntegerType).as("mean_g"),
+            col("f")(5).cast(IntegerType).as("mean_b"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id, 1 AS tag, 8 AS width, 6 AS height,
+        CAST(doc_id % 256 AS INT) AS mean_r,
+        CAST(doc_id * 7 % 256 AS INT) AS mean_g,
+        CAST(doc_id * 13 % 256 AS INT) AS mean_b
+        FROM documents WHERE doc_id <= 100 ORDER BY doc_id""")),
+
     // ——— Upsert / dedup-table / hybrid semantics (§2.9) ———
 
     // FULL upsert view: latest row per user_id (Upsert.latestByKey).

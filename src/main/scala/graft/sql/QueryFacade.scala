@@ -118,12 +118,41 @@ object QueryFacade {
     * without whitespace (`1.75GROUP BY` parses); Spark's does not. */
   private val NumKeyword = """(?i)(\d)(GROUP\s+BY|ORDER\s+BY|LIMIT\b)""".r
 
+  /** SQL-standard Unicode string literals `U&'d\0061ta'` (Calcite
+    * lexical structure; default escape char `\` + 4 hex digits).
+    * Spark has no U& syntax — decode to a plain literal. */
+  private val UnicodeLiteral = """(?i)U&'((?:[^']|'')*)'""".r
+  private val UnicodeEscape = """\\([0-9a-fA-F]{4})""".r
+
+  /** Calcite array constructor `ARRAY [1, 2]`; Spark spells it
+    * `array(1, 2)`. */
+  private val ArrayBracket = """(?i)\barray\s*\[([^\[\]]*)\]""".r
+
+  private[graft] def rewriteLexical(stmt: String): String = {
+    val u = UnicodeLiteral.replaceAllIn(stmt, m => {
+      val decoded = UnicodeEscape.replaceAllIn(m.group(1), e =>
+        java.util.regex.Matcher.quoteReplacement(
+          Integer.parseInt(e.group(1), 16).toChar.toString))
+      java.util.regex.Matcher.quoteReplacement(s"'$decoded'")
+    })
+    ArrayBracket.replaceAllIn(u, m =>
+      java.util.regex.Matcher.quoteReplacement(s"array(${m.group(1)})"))
+  }
+
   /** Pinot CAST target types Spark spells differently
     * (`DataTypeConversionFunctions.java` cast surface). */
   private val CastTypes =
     """(?i)\bAS\s+(BIG_DECIMAL|VARCHAR|BYTES)\s*\)""".r
 
-  private[graft] def rewriteReserved(stmt: String): String = {
+  /** `CAST(x AS BIG_DECIMAL)` with a simple operand → the unbounded
+    * `bigdecimal(x)` scalar (reference BIG_DECIMAL has no 38-digit
+    * cap); nested-paren operands fall through to the DECIMAL(38,18)
+    * approximation below. */
+  private val CastBigDecimal =
+    """(?i)\bCAST\s*\(([^()]+?)\s+AS\s+(?:BIG_)?DECIMAL\s*\)""".r
+
+  private[graft] def rewriteReserved(stmt0: String): String = {
+    val stmt = rewriteLexical(stmt0)
     val base = ModeFn.replaceAllIn(
       ReservedDateFn.replaceAllIn(stmt, m =>
         (if (m.group(1).toLowerCase.endsWith("diff")) "dateDiffEpoch('"
@@ -137,7 +166,9 @@ object QueryFacade {
         s"BETWEEN least($a, $b) AND greatest($a, $b)")
     })
     val withExclude = rewriteExcludeWindows(withSym)
-    val withCasts = CastTypes.replaceAllIn(withExclude, m =>
+    val withBigDec = CastBigDecimal.replaceAllIn(withExclude, m =>
+      java.util.regex.Matcher.quoteReplacement(s"bigdecimal(${m.group(1)})"))
+    val withCasts = CastTypes.replaceAllIn(withBigDec, m =>
       m.group(1).toUpperCase match {
         case "BIG_DECIMAL" => "AS DECIMAL(38,18))"
         case "VARCHAR" => "AS STRING)"
@@ -183,7 +214,79 @@ object QueryFacade {
     ("""(?i)\b(SUM|COUNT|AVG)\s*\(\s*(\*|[^()]*?)\s*\)\s*OVER\s*\(""" +
       """([^()]*?)\s+EXCLUDE\s+(CURRENT\s+ROW|GROUP|TIES|NO\s+OTHERS)\s*\)""").r
 
-  private[graft] def rewriteExcludeWindows(stmt: String): String =
+  /** EXCLUDE on non-decomposable window functions (MIN/MAX/FIRST_VALUE/
+    * LAST_VALUE), full-partition ROWS frame only. MIN/MAX EXCLUDE
+    * GROUP/TIES collect the partition into an array and filter out the
+    * ORDER-BY peer group per row (quadratic in partition size — EXCLUDE
+    * is a rarity; documented trade-off), FIRST/LAST_VALUE variants use
+    * row_number/nth_value arithmetic. Shapes outside this surface are
+    * left unrewritten and fail with the same parse error as before. */
+  private val ExcludeWindowV =
+    ("""(?i)\b(MIN|MAX|FIRST_VALUE|LAST_VALUE)\s*\(\s*([^()]*?)\s*\)\s*OVER\s*\(""" +
+      """([^()]*?)\s+EXCLUDE\s+(CURRENT\s+ROW|GROUP|TIES|NO\s+OTHERS)\s*\)""").r
+
+  private val OrderKeys = """(?i)\bORDER\s+BY\s+(.*?)\s*$""".r
+  private val FullFrame =
+    """(?i)ROWS\s+BETWEEN\s+UNBOUNDED\s+PRECEDING\s+AND\s+UNBOUNDED\s+FOLLOWING\s*$""".r
+
+  private def rewriteExcludeValueFns(stmt: String): String =
+    ExcludeWindowV.replaceAllIn(stmt, m => {
+      val fn = m.group(1).toUpperCase
+      val x = m.group(2).trim
+      val spec = m.group(3).trim
+      val mode = m.group(4).toUpperCase.replaceAll("\\s+", " ")
+      val w = s"OVER ($spec)"
+      val po = spec.split("(?i)\\b(ROWS|RANGE)\\b")(0).trim
+      // single ORDER BY key (peer identity), direction keywords stripped
+      val oKey: Option[String] = OrderKeys.findFirstMatchIn(po).flatMap { om =>
+        val keys = om.group(1).split(",").map(
+          _.trim.replaceAll("(?i)\\s+(ASC|DESC)\\b", "")
+            .replaceAll("(?i)\\s+NULLS\\s+(FIRST|LAST)\\b", "").trim)
+        if (keys.length == 1) Some(keys.head) else None
+      }
+      val full = FullFrame.findFirstIn(spec).isDefined
+      def minMax(asc: Boolean): Option[String] = mode match {
+        case "GROUP" | "TIES" => oKey.map { o =>
+          val amin = if (asc) "array_min" else "array_max"
+          val others = s"$amin(transform(filter(collect_list(" +
+            s"named_struct('k', $o, 'v', $x)) $w, s -> NOT(s.k <=> $o)), s -> s.v))"
+          if (mode == "GROUP") others
+          else if (asc) s"least($others, $x)" else s"greatest($others, $x)"
+        }
+        case "CURRENT ROW" =>
+          val sorted = s"sort_array(collect_list($x) $w${if (asc) "" else ", false"})"
+          Some(s"(CASE WHEN try_element_at($sorted, 1) <=> $x " +
+            s"THEN try_element_at($sorted, 2) ELSE try_element_at($sorted, 1) END)")
+        case _ => None
+      }
+      val res: Option[String] =
+        if (mode == "NO OTHERS") Some(s"$fn($x) $w")
+        else if (!full) None
+        else fn match {
+          case "MIN" => minMax(asc = true)
+          case "MAX" => minMax(asc = false)
+          case "FIRST_VALUE" => mode match {
+            case "CURRENT ROW" =>
+              Some(s"(CASE WHEN ROW_NUMBER() OVER ($po) = 1 " +
+                s"THEN NTH_VALUE($x, 2) $w ELSE FIRST_VALUE($x) $w END)")
+            case "TIES" => oKey.map(o =>
+              s"(CASE WHEN $o <=> (FIRST_VALUE($o) $w) THEN $x " +
+                s"ELSE FIRST_VALUE($x) $w END)")
+            case _ => None
+          }
+          case "LAST_VALUE" => mode match {
+            case "TIES" => oKey.map(o =>
+              s"(CASE WHEN $o <=> (LAST_VALUE($o) $w) THEN $x " +
+                s"ELSE LAST_VALUE($x) $w END)")
+            case _ => None
+          }
+          case _ => None
+        }
+      java.util.regex.Matcher.quoteReplacement(res.getOrElse(m.matched))
+    })
+
+  private[graft] def rewriteExcludeWindows(stmt0: String): String = {
+    val stmt = rewriteExcludeValueFns(stmt0)
     ExcludeWindow.replaceAllIn(stmt, m => {
       val agg = m.group(1).toUpperCase
       val e = m.group(2).trim
@@ -229,6 +332,7 @@ object QueryFacade {
       }
       java.util.regex.Matcher.quoteReplacement(res)
     })
+  }
 
   /** Pinot ASOF JOIN SQL surface (`AsofJoinOperator.java:37`,
     * match conditions `>=,>,<=,<` at `:137-163`, ASOF + LEFT ASOF only):
