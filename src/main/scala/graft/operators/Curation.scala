@@ -59,23 +59,39 @@ object Curation {
       .filter(col("n_shared_shingles") >= minHits)
   }
 
+  /** Broadcast vocabulary cap for [[unigramScore]]: corpus vocabulary
+    * is heavy-tailed and UNBOUNDED at 100 TB, so only the most
+    * frequent `VocabCap` tokens travel in the broadcast; rarer tokens
+    * score at the smoothed OOV floor (tf = 0.5 — standard unigram-LM
+    * smoothing, and a tight approximation: every capped-out token has
+    * true tf below any kept token, so its true −log p is within
+    * log(2·tf_min) of the floor). Below the cap the result is exactly
+    * the uncapped computation. */
+  val VocabCap: Int = 1 << 18
+
   /** Unigram-LM score: train a unigram language model ON the corpus
     * (token relative frequencies) and score each document by the mean
     * negative log-probability of its tokens — the cheap proxy for
     * perplexity-based quality filtering (degenerate/unnatural text
     * scores high). Two shuffles: one groupBy for the frequency table
-    * (vocabulary-sized, broadcast back), one per-doc aggregate.
+    * (df-capped to [[VocabCap]] rows, broadcast back), one per-doc
+    * aggregate. The broadcast is BOUNDED regardless of corpus size;
+    * the token total still counts every occurrence.
     * Returns (id, n_tokens, avg_neg_logp). */
-  def unigramScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def unigramScore(docs: DataFrame, idCol: String, textCol: String,
+      vocabCap: Int = VocabCap): DataFrame = {
     val toks = docs.select(col(idCol),
       explode(TextFunctions.tokens(lower(col(textCol)))).as("tok"))
-    val freq = toks.groupBy(col("tok")).agg(count(lit(1)).as("tf"))
-    val total = freq.agg(sum(col("tf")).as("__total"))
-    toks.join(broadcast(freq), "tok")
+    val freqAll = toks.groupBy(col("tok")).agg(count(lit(1)).as("tf"))
+    val total = freqAll.agg(sum(col("tf")).as("__total"))
+    // top-K by frequency: TakeOrderedAndProject keeps the broadcast at
+    // most vocabCap rows at any corpus size
+    val freq = freqAll.orderBy(col("tf").desc, col("tok")).limit(vocabCap)
+    toks.join(broadcast(freq), Seq("tok"), "left")
       .crossJoin(broadcast(total))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_tokens"),
-        avg(-log(col("tf").cast("double") / col("__total")))
+        avg(-log(coalesce(col("tf").cast("double"), lit(0.5)) / col("__total")))
           .as("avg_neg_logp"))
   }
 

@@ -153,6 +153,28 @@ object ExtraQueries {
            OR regexp_matches(lower(text), '(^|[^a-zA-Z0-9_])filter')
         ORDER BY doc_id""")),
 
+    // TEXT_MATCH long tail (lucene/): `term~N` fuzzy (FuzzyQuery,
+    // Levenshtein ≤ N on any token) and `"a b"~N` phrase proximity
+    // (ordered, ≤ N intervening tokens). The oracle mirrors fuzzy with
+    // DuckDB's levenshtein over the token list and proximity with a
+    // bounded-gap regex — two independent formulations of the same
+    // semantics.
+    GQuery("q_text_match_fuzzy",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        t.documents
+          .filter(graft.functions.TextMatch.textMatch(col("text"),
+            "qery~1 OR \"stream processing\"~2"))
+          .select(col("doc_id"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id FROM documents
+        WHERE len(list_filter(regexp_split_to_array(lower(text), '\W+'),
+                t -> levenshtein(t, 'qery') <= 1)) > 0
+           OR regexp_matches(lower(text),
+                '(^|[^a-z0-9_])stream([^a-z0-9_]+[a-z0-9_]+){0,2}[^a-z0-9_]+processing($|[^a-z0-9_])')
+        ORDER BY doc_id""")),
+
     // DATETIMECONVERT (TransformFunctionType dateTimeConvert): epoch-ms
     // input → 15-minute bucket → minutes-since-epoch output.
     GQuery("q_fn_dtconvert",

@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{StructField, StructType}
 
 /** Kafka stream-source wiring — the reference's realtime-table stream
   * config surface (`stream.kafka.*` keys in table config
@@ -93,4 +93,43 @@ object KafkaSource {
     decodeJson(
       spark.readStream.format("kafka").options(options(cfg)).load(),
       schema)
+
+  /** Exact record schema the Spark Kafka source emits — the shape both
+    * [[decodeJson]] and the file-backed log below adhere to. */
+  val RecordSchema: StructType = StructType(Seq(
+    StructField("key", org.apache.spark.sql.types.BinaryType),
+    StructField("value", org.apache.spark.sql.types.BinaryType),
+    StructField("topic", org.apache.spark.sql.types.StringType),
+    StructField("partition", org.apache.spark.sql.types.IntegerType),
+    StructField("offset", org.apache.spark.sql.types.LongType),
+    StructField("timestamp", org.apache.spark.sql.types.TimestampType),
+    StructField("timestampType", org.apache.spark.sql.types.IntegerType)))
+
+  /** Protocol-faithful FILE-BACKED topic log (the container has no
+    * broker): records carry the full Kafka record schema
+    * ([[RecordSchema]] — key/value/topic/partition/offset/timestamp),
+    * appended as parquet batches and consumed through Spark's file
+    * stream source, whose checkpoint tracks consumed files the way the
+    * Kafka source tracks offsets — replay after a crash re-delivers
+    * exactly the unprocessed batches. Combined with
+    * [[UpsertStream.startDurable]] this exercises the full
+    * source→decode→durable-merge→restart path broker-free; against a
+    * real cluster only [[readStream]]'s format string differs. */
+  object FileTopicLog {
+    def append(spark: SparkSession, dir: String, topic: String,
+        records: Seq[(Array[Byte], Array[Byte], Int, Long, Long)]): Unit = {
+      import scala.jdk.CollectionConverters._
+      val rows = records.map { case (k, v, part, off, tsMs) =>
+        org.apache.spark.sql.Row(k, v, topic, part, off,
+          new java.sql.Timestamp(tsMs), 0)
+      }
+      spark.createDataFrame(rows.asJava, RecordSchema)
+        .coalesce(1).write.mode("append").parquet(dir)
+    }
+
+    def readStream(spark: SparkSession, dir: String): DataFrame =
+      spark.readStream.schema(RecordSchema)
+        .option("maxFilesPerTrigger", "4")
+        .parquet(dir)
+  }
 }

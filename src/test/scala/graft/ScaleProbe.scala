@@ -92,7 +92,9 @@ object ScaleProbe {
       // clustering / curation round-2 additions
       "q_dedup_components", "q_dedup_semantic", "q_mix_proportions",
       "q_pack_sequences", "q_dedup_incremental", "q_ann_pq", "q_ann_ivfpq",
-      "q_dedup_lines", "q_sample_domain_cap")
+      "q_dedup_lines", "q_sample_domain_cap",
+      // round-3: df-capped unigram LM broadcast + M3QL front-end
+      "q_text_lm", "q_ts_promql")
       .filter(q => only.isEmpty || only(q))
     def time(dir: String, name: String): Double = {
       val t0 = System.nanoTime()
