@@ -152,7 +152,7 @@ object PipelineQueries {
         // strings, and a 64-bit collision altering a count (p ~ 1e-10)
         // would be caught by the deterministic oracle compare
         val shSlice = Dedup
-          .shingleHashSets(t.documents.filter(col("doc_id") < 200),
+          .shingleHashSets(t.documents.filter(col("doc_id") < PropSlice),
             "doc_id", "text", 3)
           .withColumnRenamed("doc_id", "id")
           .filter(size(col("sh")) > 0)
@@ -185,9 +185,9 @@ object PipelineQueries {
         val nHighExact = exactHigh.agg(count(lit(1)).as("n_high_exact"))
         nHighExact.crossJoin(stats)
       },
-      Some("""WITH toks AS (SELECT doc_id AS id,
+      Some(s"""WITH toks AS (SELECT doc_id AS id,
           list_filter(string_split(lower(text), ' '), x -> len(x) > 0) AS t
-          FROM documents WHERE doc_id < 200),
+          FROM documents WHERE doc_id < ${PropSlice}),
         sh AS (SELECT id, list_distinct(list_transform(range(1, len(t) - 1),
             i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
           FROM toks WHERE len(t) >= 3),
@@ -215,7 +215,7 @@ object PipelineQueries {
           corpusSigs, threshold = 0.5, numHashes = 32, bands = 8,
           shingleSize = 3)
         val shSlice = Dedup
-          .shingleHashSets(t.documents.filter(col("doc_id") < 200),
+          .shingleHashSets(t.documents.filter(col("doc_id") < PropSlice),
             "doc_id", "text", 3)
           .withColumnRenamed("doc_id", "id")
           .filter(size(col("sh")) > 0)
@@ -242,9 +242,9 @@ object PipelineQueries {
         val nHighExact = exactHigh.agg(count(lit(1)).as("n_high_exact"))
         nHighExact.crossJoin(stats)
       },
-      Some("""WITH toks AS (SELECT doc_id AS id,
+      Some(s"""WITH toks AS (SELECT doc_id AS id,
           list_filter(string_split(lower(text), ' '), x -> len(x) > 0) AS t
-          FROM documents WHERE doc_id < 200),
+          FROM documents WHERE doc_id < ${PropSlice}),
         sh AS (SELECT id, list_distinct(list_transform(range(1, len(t) - 1),
             i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
           FROM toks WHERE len(t) >= 3),
@@ -267,7 +267,7 @@ object PipelineQueries {
         val t = Tables(s, dir)
         val pairs = Dedup.embeddingNearDups(t.embeddings, "vec_id",
           "embedding", threshold = 0.3)
-        val slice = t.embeddings.filter(col("vec_id") < 200)
+        val slice = t.embeddings.filter(col("vec_id") < PropSlice)
           .select(col("vec_id").as("id"),
             col("embedding").cast("array<double>").as("v"))
         val exact = slice.as("a").crossJoin(slice.as("b"))
@@ -277,15 +277,15 @@ object PipelineQueries {
         val nExact = exact.agg(count(lit(1)).as("n_exact_slice"))
         // single pass over the LSH pair stream for both verdicts
         val pairStats = pairs.agg(
-          count(when(col("id_a") < 200 && col("id_b") < 200, 1)).as("__nf"),
+          count(when(col("id_a") < PropSlice && col("id_b") < PropSlice, 1)).as("__nf"),
           (count(lit(1)) >= 1).as("has_pairs"))
         nExact.crossJoin(pairStats)
           .select(col("n_exact_slice"),
             (col("__nf") >= col("n_exact_slice") * 0.25).as("recall_floor_ok"),
             col("has_pairs"))
       },
-      Some("""WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
-          FROM embeddings WHERE vec_id < 200),
+      Some(s"""WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+          FROM embeddings WHERE vec_id < ${PropSlice}),
         p AS (SELECT COUNT(*) AS n FROM e a JOIN e b ON a.id < b.id
           WHERE ROUND(list_sum(list_transform(list_zip(a.v, b.v), t -> t[1] * t[2]))
             / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
@@ -309,7 +309,7 @@ object PipelineQueries {
         val pairs = Dedup.semanticPairs(t.embeddings, "vec_id",
           "embedding", k = 8, threshold = 0.3).localCheckpoint()
         val kept = Dedup.keepRepresentatives(t.embeddings, "vec_id", pairs)
-        val slice = t.embeddings.filter(col("vec_id") < 200)
+        val slice = t.embeddings.filter(col("vec_id") < PropSlice)
           .select(col("vec_id").as("id"),
             col("embedding").cast("array<double>").as("v"))
         val exact = slice.as("a").crossJoin(slice.as("b"))
@@ -318,7 +318,7 @@ object PipelineQueries {
             col("a.v"), col("b.v"))) >= 0.3)
         val nExact = exact.agg(count(lit(1)).as("n_exact_slice"))
         val pairStats = pairs.agg(
-          count(when(col("id_a") < 200 && col("id_b") < 200, 1)).as("__nf"),
+          count(when(col("id_a") < PropSlice && col("id_b") < PropSlice, 1)).as("__nf"),
           (min(col("cosine")) >= 0.3).as("min_cos_ok"))
         val totals = t.embeddings.agg(count(lit(1)).as("n_total"))
           .crossJoin(kept.agg(count(lit(1)).as("__nk")))
@@ -328,8 +328,8 @@ object PipelineQueries {
             col("min_cos_ok"), col("n_total"),
             (col("__nk") <= col("n_total")).as("kept_bounded"))
       },
-      Some("""WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
-          FROM embeddings WHERE vec_id < 200),
+      Some(s"""WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+          FROM embeddings WHERE vec_id < ${PropSlice}),
         p AS (SELECT COUNT(*) AS n FROM e a JOIN e b ON a.id < b.id
           WHERE ROUND(list_sum(list_transform(list_zip(a.v, b.v), t -> t[1] * t[2]))
             / (sqrt(list_sum(list_transform(a.v, x -> x * x)))

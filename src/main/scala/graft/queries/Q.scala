@@ -26,4 +26,10 @@ object QH {
   def dsum(c: Column): Column = sum(dec(c)).cast(DoubleType)
   def r4(c: Column): Column = round(c, 4)
   def r6(c: Column): Column = round(c, 6)
+
+  /** Shared exact-verification slice bound for the approximate-operator
+    * property oracles (q_dedup_* / embedding queries): the SAME
+    * constant is rendered into both the Spark query and the DuckDB
+    * oracle SQL, so the two sides cannot silently drift. */
+  val PropSlice = 200
 }
