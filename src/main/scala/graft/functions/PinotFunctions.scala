@@ -533,23 +533,9 @@ object PinotFunctions {
     "maxlong" -> { case Seq(c) => max(c.cast(LongType)) },
     "minstring" -> { case Seq(c) => min(c.cast(StringType)) },
     "maxstring" -> { case Seq(c) => max(c.cast(StringType)) },
-    // approximation-family aliases: CPC / UltraLogLog / HLL++ variants
-    // map onto the two native mergeable sketches (HLL registers, KMV
-    // theta) — same accuracy class, blob-compatible within this engine
-    "distinctcountcpcsketch" -> { case Seq(c) =>
-      graft.plans.KmvSketch.distinctCountKmv(c) },
-    "distinctcountrawcpcsketch" -> { case Seq(c) =>
-      graft.plans.KmvSketch.kmvState(c) },
-    "distinctcountrawthetasketch" -> {
-      case Seq(c) => graft.plans.KmvSketch.kmvState(c)
-      // optional params string, e.g. 'nominalEntries=16'
-      case Seq(c, params) =>
-        val k = "(?i)nominalEntries\\s*=\\s*(\\d+)".r
-          .findFirstMatchIn(ex(params).eval() match {
-            case null => ""; case s => s.toString
-          }).map(_.group(1).toInt).getOrElse(1024)
-        graft.plans.KmvSketch.kmvState(c, k)
-    },
+    // theta / CPC families are registered expression-level by
+    // graft.plans.ThetaSketchDs (DataSketches wire format); ULL maps
+    // onto the HLL registers (same accuracy class)
     "distinctcountull" -> { case Seq(c) =>
       graft.plans.HllSketch.distinctCountHll(c) },
     "distinctcountsmartull" -> { case Seq(c) =>
@@ -763,6 +749,7 @@ object PinotFunctions {
     CompatAliases.registerAll(spark)
     graft.plans.VectorExpressions.registerAll(spark)
     graft.plans.KmvSketch.registerAll(spark)
+    graft.plans.ThetaSketchDs.registerAll(spark)
     graft.plans.FrequentItems.registerAll(spark)
     graft.plans.HllSketch.registerAll(spark)
     graft.plans.KllSketch.registerAll(spark)

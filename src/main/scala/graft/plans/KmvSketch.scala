@@ -248,8 +248,11 @@ object KmvSketch {
     ColumnBridge.column(
       DistinctCountKmv(ColumnBridge.expression(c), k).toAggregateExpression())
 
-  /** SQL names: DISTINCTCOUNTKMV(col[, k]); DISTINCTCOUNTTHETASKETCH is
-    * aliased to the same estimator (theta-family). */
+  /** SQL name: DISTINCTCOUNTKMV(col[, k]). The reference theta-sketch
+    * names (DISTINCTCOUNTTHETASKETCH, THETA_SKETCH_* scalars) are owned
+    * by the DataSketches-wire-format implementation in
+    * [[graft.plans.ThetaSketchDs]]; KMV remains as the lightweight
+    * engine-native theta-family estimator. */
   def registerAll(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     def build(exprs: Seq[Expression]): Expression = {
@@ -257,14 +260,6 @@ object KmvSketch {
         exprs(1).eval().toString.toInt else 1024
       DistinctCountKmv(exprs.head, k)
     }
-    Seq("distinctcountkmv", "distinctcountthetasketch").foreach { n =>
-      reg.createOrReplaceTempFunction(n, build, "built-in")
-    }
-    reg.createOrReplaceTempFunction("getthetasketchestimate",
-      (e: Seq[Expression]) => KmvBlobEstimate(e.head), "built-in")
-    Seq("union", "intersect", "diff").foreach { op =>
-      reg.createOrReplaceTempFunction(s"thetasketch$op",
-        (e: Seq[Expression]) => e.reduce(KmvBlobSetOp(_, _, op)), "built-in")
-    }
+    reg.createOrReplaceTempFunction("distinctcountkmv", build, "built-in")
   }
 }

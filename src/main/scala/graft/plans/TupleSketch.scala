@@ -1,89 +1,105 @@
 package graft.plans
 
-import java.nio.ByteBuffer
+import org.apache.datasketches.memory.Memory
+import org.apache.datasketches.tuple.{Sketches => DsTupleSketches, Union => DsTupleUnion}
+import org.apache.datasketches.tuple.aninteger.{IntegerSketch, IntegerSummary, IntegerSummaryDeserializer, IntegerSummarySetOperations}
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Expression, XxHash64Function}
+import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.graft.ColumnBridge
 import org.apache.spark.sql.types._
 
-/** Integer-sum TUPLE sketch — a KMV/theta sketch that carries a summed
-  * 64-bit value per retained key: the reference's
-  * `DISTINCTCOUNTTUPLESKETCH` / `SUMVALUESINTEGERSUMTUPLESKETCH` /
-  * `AVGVALUEINTEGERSUMTUPLESKETCH` family
-  * (`IntegerTupleSketchAggregationFunction.java`,
+/** Integer-sum TUPLE sketch — a theta sketch carrying a summed integer
+  * per retained key — backed by the REAL Apache DataSketches
+  * `aninteger.IntegerSketch` on Spark's own classpath,
+  * WIRE-COMPATIBLE with the reference's stored sketch columns: the
+  * reference's `DISTINCTCOUNTTUPLESKETCH` /
+  * `SUMVALUESINTEGERSUMTUPLESKETCH` / `AVGVALUEINTEGERSUMTUPLESKETCH`
+  * family (`IntegerTupleSketchAggregationFunction.java`,
   * `SumValuesIntegerTupleSketchAggregationFunction.java:49-59`,
-  * `AvgValueIntegerTupleSketchAggregationFunction.java:51-65`,
-  * `AggregationFunctionType.java` DISTINCTCOUNTTUPLESKETCH…).
+  * `AvgValueIntegerTupleSketchAggregationFunction.java:51-65`) builds
+  * the same library type in SUM mode and serializes
+  * `sketch.compact().toByteArray()` — the blob format emitted and
+  * accepted here.
   *
-  * Keep the k smallest key-hashes; for each retained hash keep the SUM
-  * of the value column over all rows with that key. Estimators match
-  * the reference exactly:
-  *   - distinct  = size (exact) below k, else (k-1)/θ
-  *   - sumValues = retainedTotal / θ        (θ = k-th min / 2^63)
-  *   - avgValue  = retainedTotal / retainedEntries (per-key average)
-  * Below k the sketch retains every key, θ = 1, and all three are
-  * EXACT — which is what makes the oracle query checkable.
-  *
-  * Shuffle state is ≤ k (hash, value) pairs regardless of input size;
-  * merge sums values on hash collision then re-trims — associative and
-  * commutative, so partial/final plans and stored-blob re-aggregation
-  * agree bit-for-bit.
+  * Estimators match the reference: distinct = getEstimate (exact below
+  * nominal entries), sumValues = Σ retained values / θ, avgValue =
+  * Σ retained values / retained count. Shuffle state is the compact
+  * sketch; merge is the library's native tuple Union with summing
+  * summary semantics — associative and commutative.
   */
 object TupleSketchImpl {
-  type Buf = java.util.TreeMap[java.lang.Long, java.lang.Long]
 
-  def add(buf: Buf, k: Int, h: Long, v: Long): Unit = {
-    val prev = buf.get(h)
-    buf.put(h, if (prev == null) v else prev + v)
-    if (buf.size > k) buf.pollLastEntry() // keep k smallest hashes
-  }
+  /** Mutable update-or-merged state, like [[ThetaDs.State]]. */
+  final class State(val lgK: Int) {
+    var upd: IntegerSketch = _
+    var uni: DsTupleUnion[IntegerSummary] = _
 
-  def merge(buf: Buf, other: Buf, k: Int): Buf = {
-    val it = other.entrySet().iterator()
-    while (it.hasNext) {
-      val e = it.next()
-      add(buf, k, e.getKey, e.getValue)
+    def forUpdate(): IntegerSketch = {
+      if (upd == null) upd = new IntegerSketch(lgK, IntegerSummary.Mode.Sum)
+      upd
     }
-    buf
-  }
 
-  /** θ = normalized k-th minimum when saturated, else 1 (exact). */
-  def theta(buf: Buf, k: Int): Double =
-    if (buf.size < k) 1.0
-    else buf.lastKey().toDouble / (1L << 62).toDouble / 2.0
-
-  def retainedTotal(buf: Buf): Long = {
-    var s = 0L
-    val it = buf.values().iterator()
-    while (it.hasNext) s += it.next()
-    s
-  }
-
-  def serialize(buf: Buf): Array[Byte] = {
-    val bb = ByteBuffer.allocate(4 + buf.size * 16)
-    bb.putInt(buf.size)
-    val it = buf.entrySet().iterator()
-    while (it.hasNext) {
-      val e = it.next(); bb.putLong(e.getKey); bb.putLong(e.getValue)
+    def mergeSketch(s: org.apache.datasketches.tuple.Sketch[IntegerSummary]): Unit = {
+      if (uni == null) uni = new DsTupleUnion[IntegerSummary](1 << lgK,
+        new IntegerSummarySetOperations(IntegerSummary.Mode.Sum, IntegerSummary.Mode.Sum))
+      uni.union(s)
+      ()
     }
-    bb.array()
+
+    def result(): org.apache.datasketches.tuple.CompactSketch[IntegerSummary] = {
+      if (uni != null) {
+        if (upd != null) { uni.union(upd.compact()); upd = null }
+        uni.getResult
+      } else if (upd != null) upd.compact()
+      else new IntegerSketch(lgK, IntegerSummary.Mode.Sum).compact()
+    }
   }
 
-  def deserialize(bytes: Array[Byte]): Buf = {
-    val bb = ByteBuffer.wrap(bytes)
-    val n = bb.getInt
-    val buf = new Buf()
-    var i = 0
-    while (i < n) { buf.put(bb.getLong, bb.getLong); i += 1 }
-    buf
+  def heapify(bytes: Array[Byte]): org.apache.datasketches.tuple.Sketch[IntegerSummary] =
+    DsTupleSketches.heapifySketch(Memory.wrap(bytes), new IntegerSummaryDeserializer())
+
+  def updateKey(sk: IntegerSketch, key: Any, dt: DataType, v: Int): Unit = {
+    dt match {
+      case IntegerType => sk.update(key.asInstanceOf[Int].toLong, v)
+      case ShortType => sk.update(key.asInstanceOf[Short].toLong, v)
+      case ByteType => sk.update(key.asInstanceOf[Byte].toLong, v)
+      case LongType => sk.update(key.asInstanceOf[Long], v)
+      case BooleanType => sk.update(if (key.asInstanceOf[Boolean]) 1L else 0L, v)
+      case FloatType => sk.update(key.asInstanceOf[Float].toDouble, v)
+      case DoubleType => sk.update(key.asInstanceOf[Double], v)
+      case StringType => sk.update(key.toString, v)
+      case BinaryType => sk.update(key.asInstanceOf[Array[Byte]], v)
+      case _ => sk.update(key.toString, v)
+    }
+    ()
+  }
+
+  /** (distinctEstimate, Σ values / θ, Σ values / retained). */
+  def estimates(c: org.apache.datasketches.tuple.CompactSketch[IntegerSummary])
+      : (Long, Long, Long) = {
+    var sum = 0.0
+    var n = 0L
+    val it = c.iterator()
+    while (it.next()) { sum += it.getSummary.getValue; n += 1 }
+    (math.round(c.getEstimate),
+      math.round(sum / c.getTheta),
+      if (n == 0) 0L else math.round(sum / n))
+  }
+
+  def eval(c: org.apache.datasketches.tuple.CompactSketch[IntegerSummary],
+      mode: Int): Any = mode match {
+    case 0 => estimates(c)._1
+    case 1 => estimates(c)._2
+    case 2 => estimates(c)._3
+    case _ => c.toByteArray
   }
 }
 
 /** mode: 0 = distinct count, 1 = sum of values, 2 = avg value per key,
-  * 3 = raw serialized sketch blob. */
+  * 3 = raw serialized sketch blob (reference wire format). */
 case class IntegerTupleSketchAgg(
     keyChild: Expression,
     valueChild: Expression,
@@ -91,9 +107,10 @@ case class IntegerTupleSketchAgg(
     mode: Int,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[TupleSketchImpl.Buf] {
-
+  extends TypedImperativeAggregate[TupleSketchImpl.State] {
   import TupleSketchImpl._
+
+  private val lgK = math.max(4, 64 - java.lang.Long.numberOfLeadingZeros(k.toLong - 1)).toInt
 
   override def children: Seq[Expression] = Seq(keyChild, valueChild)
   override def nullable: Boolean = false
@@ -105,42 +122,38 @@ case class IntegerTupleSketchAgg(
     case _ => "tuple_sketch_state"
   }
 
-  override def createAggregationBuffer(): Buf = new Buf()
+  override def createAggregationBuffer(): State = new State(lgK)
 
-  override def update(buf: Buf, row: InternalRow): Buf = {
+  override def update(st: State, row: InternalRow): State = {
     val kv = keyChild.eval(row)
     if (kv != null) {
       val vv = valueChild.eval(row)
-      val v: Long = vv match {
-        case null       => 0L
-        case l: Long    => l
-        case i: Integer => i.toLong
-        case s: Short   => s.toLong
-        case b: Byte    => b.toLong
-        case o          => o.toString.toLong
+      val v: Int = vv match {
+        case null       => 0
+        case l: Long    => l.toInt
+        case i: Integer => i
+        case s: Short   => s.toInt
+        case b: Byte    => b.toInt
+        case o          => o.toString.toDouble.toInt
       }
-      add(buf, k, XxHash64Function.hash(kv, keyChild.dataType, 42L) >>> 1, v)
+      updateKey(st.forUpdate(), kv, keyChild.dataType, v)
     }
-    buf
+    st
   }
 
-  override def merge(buf: Buf, other: Buf): Buf =
-    TupleSketchImpl.merge(buf, other, k)
-
-  override def eval(buf: Buf): Any = mode match {
-    case 0 =>
-      if (buf.size < k) buf.size.toLong
-      else math.round((k - 1) / theta(buf, k))
-    case 1 => math.round(retainedTotal(buf) / theta(buf, k))
-    case 2 =>
-      if (buf.isEmpty) 0L
-      else math.round(retainedTotal(buf).toDouble / buf.size)
-    case _ => serialize(buf)
+  override def merge(st: State, other: State): State = {
+    st.mergeSketch(other.result())
+    st
   }
 
-  override def serialize(buf: Buf): Array[Byte] = TupleSketchImpl.serialize(buf)
-  override def deserialize(bytes: Array[Byte]): Buf =
-    TupleSketchImpl.deserialize(bytes)
+  override def eval(st: State): Any = TupleSketchImpl.eval(st.result(), mode)
+
+  override def serialize(st: State): Array[Byte] = st.result().toByteArray
+  override def deserialize(bytes: Array[Byte]): State = {
+    val st = new State(lgK)
+    st.mergeSketch(heapify(bytes))
+    st
+  }
 
   override def withNewMutableAggBufferOffset(o: Int): IntegerTupleSketchAgg =
     copy(mutableAggBufferOffset = o)
@@ -151,51 +164,45 @@ case class IntegerTupleSketchAgg(
 }
 
 /** Re-aggregation over STORED tuple-sketch blobs (the rollup-table
-  * path): merge binary states produced by `tuplesketchstate` and
-  * extract any of the three estimates — mirrors the reference's
-  * segment-level `IntegerTupleSketchValueAggregator` merge. */
+  * path): merge binary states produced by `tuplesketchstate` — or by a
+  * reference deployment — and extract any of the three estimates. */
 case class TupleSketchMergeAgg(
     child: Expression,
     k: Int,
     mode: Int,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[TupleSketchImpl.Buf] {
-
+  extends TypedImperativeAggregate[TupleSketchImpl.State] {
   import TupleSketchImpl._
+
+  private val lgK = math.max(4, 64 - java.lang.Long.numberOfLeadingZeros(k.toLong - 1)).toInt
 
   override def children: Seq[Expression] = Seq(child)
   override def nullable: Boolean = false
   override def dataType: DataType = if (mode == 3) BinaryType else LongType
   override def prettyName: String = "tuple_sketch_merge"
 
-  override def createAggregationBuffer(): Buf = new Buf()
+  override def createAggregationBuffer(): State = new State(lgK)
 
-  override def update(buf: Buf, row: InternalRow): Buf = {
+  override def update(st: State, row: InternalRow): State = {
     val v = child.eval(row)
-    if (v != null)
-      TupleSketchImpl.merge(buf, TupleSketchImpl.deserialize(
-        v.asInstanceOf[Array[Byte]]), k)
-    else buf
+    if (v != null) st.mergeSketch(heapify(v.asInstanceOf[Array[Byte]]))
+    st
   }
 
-  override def merge(buf: Buf, other: Buf): Buf =
-    TupleSketchImpl.merge(buf, other, k)
-
-  override def eval(buf: Buf): Any = mode match {
-    case 0 =>
-      if (buf.size < k) buf.size.toLong
-      else math.round((k - 1) / theta(buf, k))
-    case 1 => math.round(retainedTotal(buf) / theta(buf, k))
-    case 2 =>
-      if (buf.isEmpty) 0L
-      else math.round(retainedTotal(buf).toDouble / buf.size)
-    case _ => serialize(buf)
+  override def merge(st: State, other: State): State = {
+    st.mergeSketch(other.result())
+    st
   }
 
-  override def serialize(buf: Buf): Array[Byte] = TupleSketchImpl.serialize(buf)
-  override def deserialize(bytes: Array[Byte]): Buf =
-    TupleSketchImpl.deserialize(bytes)
+  override def eval(st: State): Any = TupleSketchImpl.eval(st.result(), mode)
+
+  override def serialize(st: State): Array[Byte] = st.result().toByteArray
+  override def deserialize(bytes: Array[Byte]): State = {
+    val st = new State(lgK)
+    st.mergeSketch(heapify(bytes))
+    st
+  }
 
   override def withNewMutableAggBufferOffset(o: Int): TupleSketchMergeAgg =
     copy(mutableAggBufferOffset = o)

@@ -131,32 +131,35 @@ class CustomExprSpec extends SparkSpec {
   }
 
   test("KLL quantile sketch: small-input exactness and rank-error bound") {
+    import org.apache.datasketches.kll.KllDoublesSketch
     // below capacity k the sketch never compacts -> exact quantiles
-    val small = new graft.plans.KllState(256)
+    // (INCLUSIVE rule: smallest item with rank >= q)
+    val small = KllDoublesSketch.newHeapInstance(256)
     (1 to 100).foreach(v => small.update(v.toDouble))
-    assert(small.query(0.5) == 50.0)
-    assert(small.query(0.01) == 1.0 && small.query(1.0) == 100.0)
+    assert(small.getQuantile(0.5) == 50.0)
+    assert(small.getQuantile(0.01) == 1.0 && small.getQuantile(1.0) == 100.0)
 
     // 100k uniform values: estimated rank within ~2% of true rank
-    val big = new graft.plans.KllState(256)
+    val big = KllDoublesSketch.newHeapInstance(256)
     (1 to 100000).foreach(v => big.update(v.toDouble))
     for (q <- Seq(0.1, 0.5, 0.9)) {
-      val est = big.query(q)
+      val est = big.getQuantile(q)
       assert(math.abs(est - q * 100000) <= 2000,
         s"q=$q est=$est true=${q * 100000}")
     }
 
     // merge of disjoint halves stays within the bound
-    val a = new graft.plans.KllState(256)
-    val b = new graft.plans.KllState(256)
+    val a = KllDoublesSketch.newHeapInstance(256)
+    val b = KllDoublesSketch.newHeapInstance(256)
     (1 to 50000).foreach(v => a.update(v.toDouble))
     (50001 to 100000).foreach(v => b.update(v.toDouble))
     a.merge(b)
-    assert(math.abs(a.query(0.5) - 50000) <= 2000)
+    assert(math.abs(a.getQuantile(0.5) - 50000) <= 2000)
 
-    // serialization round-trip preserves the estimate exactly
-    val rt = graft.plans.KllState.deserialize(a.serialize())
-    assert(rt.query(0.5) == a.query(0.5) && rt.count == a.count)
+    // serialization round-trip (reference wire format) preserves the
+    // estimate exactly
+    val rt = graft.plans.KllSketchOps.heapify(a.toByteArray)
+    assert(rt.getQuantile(0.5) == a.getQuantile(0.5) && rt.getN == a.getN)
   }
 
   test("KLL blob SQL path: raw state + merge-percentile re-aggregation") {
