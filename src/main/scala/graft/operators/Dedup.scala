@@ -551,6 +551,71 @@ object Dedup {
     * than one document's lines at reassembly.
     *
     * Returns (idCol, n_lines, n_kept, text_clean). */
+  /** Exact duplicated-substring removal (Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better" — the
+    * ExactSubstr dedup the big open corpora run, usually at 50-token
+    * granularity): every k-token window whose text occurs at more than
+    * one (doc, position) is a duplicated span; all occurrences except
+    * the globally-first (ordered by doc id, then position) have their
+    * tokens removed, and each document is reassembled from its
+    * surviving tokens.
+    *
+    * Spark shape (no suffix array; the same result by relational
+    * means — exactness is per-window text equality):
+    *   1. posexplode tokens, one row per (doc, pos);
+    *   2. per position, the k-token window's md5 (bounded shuffle key;
+    *      md5 is engine-portable so the DuckDB oracle can recompute);
+    *   3. one groupBy window-hash: occurrence count + global first
+    *      occurrence;
+    *   4. every non-first occurrence explodes to its covered token
+    *      positions (sequence(pos, pos+k-1)); distinct (doc, pos)
+    *      anti-joins the token stream;
+    *   5. reassemble surviving tokens in order.
+    *
+    * Scale: work is O(total tokens · k) map-side plus two shuffles
+    * (window groupBy, doc reassembly) — never pairwise in documents.
+    * Returns (id, n_tokens, n_removed, text_clean). */
+  def substringDedup(docs: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    val toks = docs.select(col(idCol),
+      TextFunctions.tokens(col(textCol)).as("__toks"))
+    val pos = toks.select(col(idCol), col("__toks"),
+        posexplode(col("__toks")).as(Seq("__pos", "__tok")))
+      .withColumn("__n", size(col("__toks")))
+      .drop("__toks")
+    val winHash = toks.select(col(idCol),
+        posexplode(col("__toks")).as(Seq("__pos", "__tok")),
+        size(col("__toks")).as("__n"),
+        md5(array_join(slice(col("__toks"), col("__pos") + 1, lit(k)), " "))
+          .as("__wh"))
+      .filter(col("__pos") + k <= col("__n"))
+      .select(col(idCol), col("__pos"), col("__wh"))
+    // global first occurrence per duplicated window text
+    val dupOccurrences = winHash
+      .withColumn("__rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("__wh"))
+          .orderBy(col(idCol), col("__pos"))))
+      .withColumn("__cnt", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("__wh"))))
+      .filter(col("__cnt") > 1 && col("__rk") > 1)
+    val removedTokens = dupOccurrences
+      .select(col(idCol),
+        explode(sequence(col("__pos"), col("__pos") + (k - 1))).as("__pos"))
+      .distinct()
+      .withColumn("__rm", lit(true))
+    pos.join(removedTokens, Seq(idCol, "__pos"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        count(when(col("__rm"), 1)).as("n_removed"),
+        array_join(
+          transform(
+            array_sort(collect_list(when(col("__rm").isNull,
+              struct(col("__pos").as("p"), col("__tok").as("t"))))),
+            x => x("t")),
+          " ").as("text_clean"))
+  }
+
   def lineDedup(lines: DataFrame, idCol: String, lineNoCol: String,
       lineCol: String, minDocFreq: Int, delim: String = " "): DataFrame = {
     val h = md5(trim(lower(col(lineCol))))

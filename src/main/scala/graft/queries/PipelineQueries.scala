@@ -1033,6 +1033,46 @@ object PipelineQueries {
         'text' AS kind
         FROM documents ORDER BY doc_id""")),
 
+    // Exact duplicated-substring removal (Lee et al. 2022 ExactSubstr,
+    // the 50-token-granularity dedup the big open corpora run; k=8
+    // here so the fixture corpus has plenty of duplicated spans).
+    // Every k-token window occurring at >1 (doc, pos) loses all but
+    // its globally-first occurrence, token-wise; the full DuckDB
+    // oracle recomputes the identical relational pipeline.
+    GQuery("q_dedup_substring",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        Dedup.substringDedup(t.documents, "doc_id", "text", 8)
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH toks AS (
+          SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS tk
+          FROM documents),
+        pos AS (
+          SELECT doc_id, tk, UNNEST(range(1, len(tk) + 1)) AS p FROM toks),
+        wins AS (
+          SELECT doc_id, p, md5(array_to_string(tk[p:p+7], ' ')) AS wh
+          FROM pos WHERE p + 7 <= len(tk)),
+        ranked AS (
+          SELECT doc_id, p,
+                 ROW_NUMBER() OVER (PARTITION BY wh ORDER BY doc_id, p) AS rk,
+                 COUNT(*) OVER (PARTITION BY wh) AS cnt
+          FROM wins),
+        removed AS (
+          SELECT DISTINCT doc_id, UNNEST(range(p, p + 8)) AS p
+          FROM ranked WHERE cnt > 1 AND rk > 1),
+        tok_rows AS (SELECT doc_id, p, tk[p] AS t FROM pos),
+        kept AS (
+          SELECT tr.doc_id, tr.p, tr.t, r.p IS NOT NULL AS rm
+          FROM tok_rows tr LEFT JOIN removed r
+            ON tr.doc_id = r.doc_id AND tr.p = r.p)
+        SELECT doc_id,
+          COUNT(*) AS n_tokens,
+          COUNT(CASE WHEN rm THEN 1 END) AS n_removed,
+          COALESCE(string_agg(CASE WHEN NOT rm THEN t END, ' ' ORDER BY p), '')
+            AS text_clean
+        FROM kept GROUP BY doc_id ORDER BY doc_id""")),
+
     // REAL image decode end-to-end (graft.operators.MediaCodec):
     // manufacture a deterministic solid-color BMP per document
     // (channels derived from doc_id), decode it through the JDK's

@@ -94,7 +94,7 @@ object ScaleProbe {
       "q_pack_sequences", "q_dedup_incremental", "q_ann_pq", "q_ann_ivfpq",
       "q_dedup_lines", "q_sample_domain_cap",
       // round-3: df-capped unigram LM broadcast + M3QL front-end
-      "q_text_lm", "q_ts_promql")
+      "q_text_lm", "q_ts_promql", "q_dedup_substring")
       .filter(q => only.isEmpty || only(q))
     def time(dir: String, name: String): Double = {
       val t0 = System.nanoTime()
