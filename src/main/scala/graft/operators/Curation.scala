@@ -122,6 +122,24 @@ object Curation {
   def bucket32(id: Column): Column =
     conv(substring(md5(id.cast("string")), 1, 8), 16, 10).cast("long")
 
+  /** fastText-style hashed-bag-of-words linear classifier INFERENCE
+    * (the quality-scoring stage of DCLM/FineWeb-edu-style curation
+    * pipelines): feature index = engine-portable md5 bucket of the
+    * token, logit = bias + mean of the indexed weights (fastText
+    * average pooling), score = sigmoid(logit). The weight vector is a
+    * literal array column (model trained offline) that travels with
+    * the plan — pure Catalyst HOFs, no UDF, no shuffle, and the
+    * whole expression stays inside whole-stage codegen. */
+  def classifierScore(text: Column, weights: Column, dim: Int,
+      bias: Double): Column = {
+    val toks = TextFunctions.tokens(lower(text))
+    val logit = lit(bias) + when(size(toks) > 0,
+      aggregate(toks, lit(0.0), (acc, t) =>
+        acc + element_at(weights, (bucket32(t) % dim).cast("int") + 1))
+        / size(toks)).otherwise(lit(0.0))
+    lit(1.0) / (lit(1.0) + exp(-logit))
+  }
+
   /** Deterministic per-stratum Bernoulli sample: keep a row iff its
     * md5 bucket falls under the stratum's rate. Strata absent from
     * `rates` are dropped (rate 0). Rows never flip in/out when other

@@ -809,6 +809,37 @@ object PipelineQueries {
                     ELSE 'test' END AS split, COUNT(*) AS n
         FROM b GROUP BY 1 ORDER BY split""")),
 
+    // Hashed-feature linear quality classifier inference
+    // (Curation.classifierScore — fastText-style average-pooled
+    // bag-of-words with feature hashing, the scoring stage of
+    // DCLM/FineWeb-edu curation). Deterministic pseudo-weights derive
+    // from the feature index in BOTH engines, so the oracle reproduces
+    // the exact scores; at production scale the weights literal is a
+    // trained model vector shipped with the plan.
+    GQuery("q_quality_classifier",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val dim = 1024
+        val weights = transform(sequence(lit(0), lit(dim - 1)),
+          i => ((i.cast(LongType) * 2654435761L) % 2001L - 1000L) / lit(1000.0))
+        t.documents
+          .select(col("doc_id"),
+            r6(Curation.classifierScore(col("text"), weights, dim, -0.1))
+              .as("quality"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH w AS (SELECT [((i * 2654435761) % 2001 - 1000) / 1000.0
+            FOR i IN range(0, 1024)] AS wv),
+        t AS (SELECT doc_id,
+            list_filter(string_split(lower(text), ' '), x -> len(x) > 0) AS tk
+          FROM documents)
+        SELECT doc_id,
+          ROUND(1.0 / (1.0 + exp(-((CASE WHEN len(tk) = 0 THEN 0.0
+            ELSE list_sum([wv[CAST(('0x' || substr(md5(x), 1, 8)) AS BIGINT)
+                              % 1024 + 1] FOR x IN tk]) / len(tk) END)
+            - 0.1))), 6) AS quality
+        FROM t CROSS JOIN w ORDER BY doc_id""")),
+
     // Training-mixture rebalance (Curation.mixToProportions): downsample
     // so language proportions hit 50/20/20/10 en/de/fr/zh with maximal
     // retention (binding stratum kept whole), es dropped (no weight).
