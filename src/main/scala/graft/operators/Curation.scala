@@ -240,4 +240,89 @@ object Curation {
       .filter(col("__rn") <= cap)
       .drop("__rn")
   }
+
+  /** Hashed uni+bigram feature buckets of a document — the DSIR
+    * feature map (Xie et al. 2023, "Data Selection for Language Models
+    * via Importance Resampling"): every whitespace token and every
+    * adjacent token pair hashes into one of `dim` buckets via the same
+    * engine-portable md5 bucket the sampling ops use. Pure per-row
+    * expression (array of ints, with multiplicity). */
+  def dsirFeatures(text: Column, dim: Int): Column = {
+    val toks = TextFunctions.tokens(lower(text))
+    val n = size(toks)
+    val bigrams = zip_with(
+      slice(toks, lit(1), greatest(n - 1, lit(0))),
+      slice(toks, lit(2), greatest(n - 1, lit(0))),
+      (a, b) => concat(a, lit(" "), b))
+    transform(concat(toks, bigrams),
+      t => pmod(bucket32(t), lit(dim)).cast("int"))
+  }
+
+  /** DSIR bucket log-ratio table: log p_target(b) − log p_raw(b) for
+    * every feature bucket, from Laplace-smoothed (+1) hashed-n-gram
+    * counts of the target and raw corpora.
+    *
+    * The output is `dim` rows BY CONSTRUCTION — unlike a vocabulary
+    * table it cannot grow with the corpus, so broadcasting it is safe
+    * at any scale (this bounded-by-hashing property is the reason DSIR
+    * uses hashed features at all). Each side costs one scan + one
+    * dim-bounded hash aggregate with map-side partials. Ratios are
+    * rounded to 6 dp so downstream sums are engine-stable. */
+  def dsirLogRatios(raw: DataFrame, target: DataFrame, textCol: String,
+      dim: Int): DataFrame = {
+    // ONE corpus scan per side: rollup(bucket) emits the per-bucket
+    // counts AND the grand total (bucket NULL) from the same aggregate;
+    // the ≤ dim+1-row result is materialized so the two consumers below
+    // don't re-scan the corpus
+    def bucketCounts(df: DataFrame): DataFrame =
+      df.select(explode(dsirFeatures(col(textCol), dim)).as("bucket"))
+        .rollup(col("bucket")).agg(count(lit(1)).as("c"))
+        .localCheckpoint()
+    val ct = bucketCounts(target)
+    val cr = bucketCounts(raw)
+    raw.sparkSession.range(dim)
+      .select(col("id").cast("int").as("bucket"))
+      .join(ct.filter(col("bucket").isNotNull)
+        .withColumnRenamed("c", "__ct"), Seq("bucket"), "left")
+      .join(cr.filter(col("bucket").isNotNull)
+        .withColumnRenamed("c", "__cr"), Seq("bucket"), "left")
+      .crossJoin(ct.filter(col("bucket").isNull).select(col("c").as("__nt")))
+      .crossJoin(cr.filter(col("bucket").isNull).select(col("c").as("__nr")))
+      .select(col("bucket"), round(
+        log((coalesce(col("__ct"), lit(0L)) + 1).cast("double") /
+            (col("__nt") + dim)) -
+        log((coalesce(col("__cr"), lit(0L)) + 1).cast("double") /
+            (col("__nr") + dim)), 6).as("log_ratio"))
+  }
+
+  /** Per-document DSIR importance weight: Σ over the doc's hashed
+    * features (with multiplicity) of the bucket log-ratio. One explode
+    * + broadcast join against the dim-bounded ratio table + one per-doc
+    * aggregate. Returns (id, n_feats, log_w) with log_w rounded to
+    * 4 dp (sums of 6-dp terms in engine-specific order agree far below
+    * that). */
+  def dsirLogWeights(docs: DataFrame, idCol: String, textCol: String,
+      ratios: DataFrame, dim: Int): DataFrame =
+    docs.select(col(idCol),
+        explode(dsirFeatures(col(textCol), dim)).as("bucket"))
+      .join(broadcast(ratios), "bucket")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_feats"),
+        round(sum(col("log_ratio")), 4).as("log_w"))
+
+  /** DSIR selection: sample `n` documents WITHOUT replacement with
+    * probability ∝ exp(log_w / temperature) via the Gumbel-top-k
+    * trick — key = log_w/T + Gumbel noise, take the n largest keys.
+    * The noise is deterministic (md5-bucket uniform of the id), so the
+    * draw is reproducible across engines, partitionings and reruns;
+    * keys are rounded to 6 dp with an id tie-break so the cut is
+    * engine-stable. TakeOrderedAndProject: no global sort. */
+  def dsirResample(weighted: DataFrame, idCol: String, n: Int,
+      temperature: Double = 1.0): DataFrame = {
+    val u = (bucket32(col(idCol)) + 0.5) / lit(4294967296.0)
+    val key = round(col("log_w") / temperature - log(-log(u)), 6)
+    weighted.withColumn("gumbel_key", key)
+      .orderBy(col("gumbel_key").desc, col(idCol))
+      .limit(n)
+  }
 }

@@ -1525,6 +1525,142 @@ object PipelineQueries {
         SELECT s.step, COUNT(*) AS n_entities
         FROM (SELECT unnest([1, 2, 3]) AS step) s
         JOIN ms ON ms.max_step >= s.step
-        GROUP BY s.step ORDER BY s.step"""))
+        GROUP BY s.step ORDER BY s.step""")),
+
+    // ——— Round-3 additions: corpus-scale clustering / selection ———
+
+    // Fully distributed Lloyd's k-means (Clustering.kmeans): per
+    // iteration ONE pass reduces to a k×dim moment matrix — no vector
+    // ever reaches the driver (the scale path complementing IVF's
+    // bounded-sample trainer). CROSS-ENGINE: seeds are deterministic
+    // (k smallest ids), so DuckDB independently recomputes the first
+    // TWO Lloyd iterations — assignment under the seeds, per-cell
+    // means, and both SSEs — from the raw parquet; the engine's
+    // moment-derived SSEs must match the oracle's direct sums to 4 dp.
+    // sse_monotone_ok additionally asserts Lloyd's convergence
+    // guarantee across ALL iterations.
+    GQuery("q_cluster_kmeans",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val m = Clustering.kmeans(t.embeddings, "vec_id", "embedding",
+          k = 8, iterations = 3)
+        val monotone = m.sseByIteration.sliding(2)
+          .forall(p => p.last <= p.head + 1e-6)
+        m.assignments.agg(count(lit(1)).as("n_total"))
+          .select(col("n_total"),
+            r4(lit(m.sseByIteration.head)).as("sse_first"),
+            r4(lit(m.sseByIteration(1))).as("sse_second"),
+            lit(monotone).as("sse_monotone_ok"))
+      },
+      Some("""WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+          FROM embeddings),
+        seeds AS (SELECT row_number() OVER (ORDER BY id) - 1 AS cell, v AS c
+          FROM (SELECT * FROM e ORDER BY id LIMIT 8)),
+        d1 AS (SELECT e.id, e.v, s.cell,
+            list_sum(list_transform(list_zip(e.v, s.c),
+              t -> (t[1] - t[2]) * (t[1] - t[2]))) AS d2
+          FROM e CROSS JOIN seeds s),
+        m1 AS (SELECT id, MIN(d2) AS dmin FROM d1 GROUP BY 1),
+        a1 AS (SELECT d1.id, ANY_VALUE(d1.v) AS v, MIN(d1.cell) AS cell
+          FROM d1 JOIN m1 ON d1.id = m1.id AND d1.d2 = m1.dmin GROUP BY d1.id),
+        cm AS (SELECT cell, i, AVG(v[i]) AS m
+          FROM a1, (SELECT unnest(range(1, 65)) AS i) ii GROUP BY 1, 2),
+        c1 AS (SELECT cell, list(m ORDER BY i) AS c FROM cm GROUP BY 1),
+        d2p AS (SELECT e.id,
+            MIN(list_sum(list_transform(list_zip(e.v, c1.c),
+              t -> (t[1] - t[2]) * (t[1] - t[2])))) AS dmin
+          FROM e CROSS JOIN c1 GROUP BY e.id)
+        SELECT (SELECT COUNT(*) FROM e) AS n_total,
+          (SELECT ROUND(SUM(dmin), 4) FROM m1) AS sse_first,
+          (SELECT ROUND(SUM(dmin), 4) FROM d2p) AS sse_second,
+          TRUE AS sse_monotone_ok""")),
+
+    // DSIR data selection (Xie et al. 2023): hashed uni+bigram features
+    // (dim-bounded by construction — the broadcast CANNOT grow with the
+    // corpus, unlike a vocabulary table), Laplace-smoothed
+    // target-vs-raw bucket log-ratios, per-doc importance weights, and
+    // Gumbel-top-k sampling ∝ exp(log_w). Everything is the
+    // engine-portable md5 hash, so the oracle recomputes the ENTIRE
+    // pipeline — features, distributions, weights, noise, selection —
+    // and must reproduce the exact 100-row draw. Target distribution:
+    // English docs; raw: the whole corpus.
+    GQuery("q_dsir_select",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val dim = 2048
+        val target = t.documents.filter(col("lang") === "en")
+        val ratios = Curation.dsirLogRatios(t.documents, target, "text", dim)
+        val w = Curation.dsirLogWeights(t.documents, "doc_id", "text",
+          ratios, dim)
+        Curation.dsirResample(w, "doc_id", n = 100)
+          .select(col("doc_id"), col("n_feats"), col("log_w"),
+            col("gumbel_key"))
+          .orderBy(col("gumbel_key").desc, col("doc_id"))
+      },
+      Some("""WITH tk AS (SELECT doc_id, lang,
+            list_filter(string_split(lower(text), ' '), x -> len(x) > 0) AS tk
+          FROM documents),
+        f AS (SELECT doc_id, lang,
+            tk || [tk[i] || ' ' || tk[i + 1] FOR i IN range(1, len(tk))] AS feats
+          FROM tk),
+        ex AS (SELECT doc_id, lang,
+            CAST(('0x' || substr(md5(ft), 1, 8)) AS BIGINT) % 2048 AS bucket
+          FROM (SELECT doc_id, lang, unnest(feats) AS ft FROM f)),
+        ct AS (SELECT bucket, COUNT(*) AS c FROM ex WHERE lang = 'en'
+          GROUP BY 1),
+        cr AS (SELECT bucket, COUNT(*) AS c FROM ex GROUP BY 1),
+        nt AS (SELECT COUNT(*) AS n FROM ex WHERE lang = 'en'),
+        nr AS (SELECT COUNT(*) AS n FROM ex),
+        ratio AS (SELECT b.bucket,
+            ROUND(ln((COALESCE(ct.c, 0) + 1) * 1.0 / (nt.n + 2048))
+                - ln((COALESCE(cr.c, 0) + 1) * 1.0 / (nr.n + 2048)), 6) AS lr
+          FROM (SELECT unnest(range(0, 2048)) AS bucket) b
+          LEFT JOIN ct USING (bucket) LEFT JOIN cr USING (bucket), nt, nr),
+        w AS (SELECT e.doc_id, COUNT(*) AS n_feats,
+            ROUND(SUM(r.lr), 4) AS log_w
+          FROM ex e JOIN ratio r USING (bucket) GROUP BY 1)
+        SELECT doc_id, n_feats, log_w,
+          ROUND(log_w - ln(-ln(
+            (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+              AS BIGINT) + 0.5) / 4294967296.0)), 6) AS gumbel_key
+        FROM w
+        ORDER BY gumbel_key DESC, doc_id LIMIT 100""")),
+
+    // REAL byte-pair-encoding tokenization (Bpe): merges learned from
+    // the corpus-wide top-2^14 word-frequency table (bounded collect at
+    // any corpus size), applied as a map-only scalar expression. The
+    // oracle checks the exact cross-engine word/char totals; the
+    // BPE-specific claims are per-doc invariants aggregated to
+    // verdicts — every doc's token concatenation reproduces its
+    // squeezed text (losslessness), token counts lie in
+    // [words, non-space chars], and the learned merges strictly
+    // compress the corpus.
+    GQuery("q_tokenize_bpe",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val merges = graft.functions.Bpe.train(t.documents, "text",
+          numMerges = 120)
+        val toks = graft.functions.Bpe.encode(col("text"), merges)
+        val squeezed = regexp_replace(lower(col("text")), "\\s+", "")
+        t.documents.select(
+            size(toks).as("n_bpe"),
+            size(TextFunctions.tokens(col("text"))).as("n_words"),
+            length(regexp_replace(col("text"), "\\s+", "")).as("n_chars"),
+            (concat_ws("", toks) === squeezed).as("lossless"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_words")).cast("long").as("total_words"),
+            sum(col("n_chars")).cast("long").as("total_chars"),
+            bool_and(col("lossless")).as("lossless_ok"),
+            bool_and(col("n_bpe").between(col("n_words"), col("n_chars")))
+              .as("bounds_ok"),
+            (sum(col("n_bpe")) < sum(col("n_chars"))).as("compresses_ok"))
+      },
+      Some("""SELECT COUNT(*) AS n_docs,
+          CAST(SUM(len(list_filter(string_split(text, ' '),
+            x -> len(x) > 0))) AS BIGINT) AS total_words,
+          CAST(SUM(len(regexp_replace(text, '\s+', '', 'g'))) AS BIGINT)
+            AS total_chars,
+          TRUE AS lossless_ok, TRUE AS bounds_ok, TRUE AS compresses_ok
+        FROM documents"""))
   )
 }
