@@ -50,9 +50,27 @@ object ScaleProbe {
     replicate("supplier", Map("s_suppkey" -> 100000L))
     // part is copied unreplicated: no probe scales it, but the SQL-facade
     // probes register every table as a view
-    Seq("nation", "region", "embeddings", "part").foreach { t =>
+    Seq("nation", "region", "part").foreach { t =>
       spark.read.parquet(s"$src/$t.parquet").write.mode("overwrite")
         .parquet(s"$out/$t.parquet")
+    }
+    // embeddings: replicate with id offsets and a tiny deterministic
+    // perturbation of the first coordinate — replicas are DISTINCT
+    // vectors but near-duplicates of their original (cosine ≈ 1), the
+    // adversarial load for semantic dedup / ANN probes (an exact copy
+    // would be degenerate; an independent vector would dodge the
+    // near-dup pair growth the operators must absorb)
+    locally {
+      val df = spark.read.parquet(s"$src/embeddings.parquet")
+      val reps = spark.range(factor).select($"id".as("__rep"))
+      df.crossJoin(reps)
+        .withColumn("vec_id", col("vec_id") + col("__rep") * 1000000L)
+        .withColumn("embedding",
+          transform(col("embedding"), (x, i) =>
+            when(i === 0, x + col("__rep").cast("float") * lit(0.001f))
+              .otherwise(x)))
+        .drop("__rep")
+        .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
     }
     // documents: replicate with id offsets and a per-replica suffix
     // token — every original doc gains 9 NEAR-duplicates (one token
@@ -94,7 +112,9 @@ object ScaleProbe {
       "q_pack_sequences", "q_dedup_incremental", "q_ann_pq", "q_ann_ivfpq",
       "q_dedup_lines", "q_sample_domain_cap",
       // round-3: df-capped unigram LM broadcast + M3QL front-end
-      "q_text_lm", "q_ts_promql", "q_dedup_substring")
+      "q_text_lm", "q_ts_promql", "q_dedup_substring",
+      // round-3: distributed k-means / DSIR / BPE
+      "q_cluster_kmeans", "q_dsir_select", "q_tokenize_bpe")
       .filter(q => only.isEmpty || only(q))
     def time(dir: String, name: String): Double = {
       val t0 = System.nanoTime()
