@@ -295,6 +295,33 @@ object Curation {
             (col("__nr") + dim)), 6).as("log_ratio"))
   }
 
+  /** [[dsirLogRatios]] for the common case where the target is a
+    * FLAGGED SUBSET of the raw corpus (e.g. "high-quality English
+    * docs"): ONE corpus pass — the bucket aggregate carries a
+    * conditional count for the target side — instead of two, and the
+    * totals fall out of the dim-bounded bucket table itself (no rollup
+    * needed). Identical math to the two-DF form. */
+  def dsirLogRatiosFlagged(docs: DataFrame, targetFlag: Column,
+      textCol: String, dim: Int): DataFrame = {
+    val counts = docs
+      .select(targetFlag.as("__t"),
+        explode(dsirFeatures(col(textCol), dim)).as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(when(col("__t"), 1)).as("__ct"), count(lit(1)).as("__cr"))
+      .localCheckpoint()
+    val totals = counts.agg(sum(col("__ct")).as("__nt"),
+      sum(col("__cr")).as("__nr"))
+    docs.sparkSession.range(dim)
+      .select(col("id").cast("int").as("bucket"))
+      .join(counts, Seq("bucket"), "left")
+      .crossJoin(totals)
+      .select(col("bucket"), round(
+        log((coalesce(col("__ct"), lit(0L)) + 1).cast("double") /
+            (col("__nt") + dim)) -
+        log((coalesce(col("__cr"), lit(0L)) + 1).cast("double") /
+            (col("__nr") + dim)), 6).as("log_ratio"))
+  }
+
   /** Per-document DSIR importance weight: Σ over the doc's hashed
     * features (with multiplicity) of the bucket log-ratio. One explode
     * + broadcast join against the dim-bounded ratio table + one per-doc

@@ -1588,8 +1588,10 @@ object PipelineQueries {
       (s, dir) => {
         val t = Tables(s, dir)
         val dim = 2048
-        val target = t.documents.filter(col("lang") === "en")
-        val ratios = Curation.dsirLogRatios(t.documents, target, "text", dim)
+        // target = English docs, a flagged subset of raw → single-pass
+        // conditional-count ratio estimation
+        val ratios = Curation.dsirLogRatiosFlagged(t.documents,
+          col("lang") === "en", "text", dim)
         val w = Curation.dsirLogWeights(t.documents, "doc_id", "text",
           ratios, dim)
         Curation.dsirResample(w, "doc_id", n = 100)

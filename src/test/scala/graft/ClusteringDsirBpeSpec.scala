@@ -61,6 +61,15 @@ class ClusteringDsirBpeSpec extends SparkSpec {
       isnan(col("log_ratio"))).count() == 0L)
   }
 
+  test("dsir: flagged single-pass ratios equal the two-DF form") {
+    val dim = 512
+    val a = Curation.dsirLogRatios(docs,
+      docs.filter(col("lang") === "en"), "text", dim)
+    val b = Curation.dsirLogRatiosFlagged(docs,
+      col("lang") === "en", "text", dim)
+    assert(a.except(b).count() == 0L && b.except(a).count() == 0L)
+  }
+
   test("dsir: target-like docs outweigh off-target docs on average") {
     val dim = 1024
     val target = docs.filter(col("lang") === "en")
