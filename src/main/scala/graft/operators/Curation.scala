@@ -95,6 +95,42 @@ object Curation {
           .as("avg_neg_logp"))
   }
 
+  /** Gopher quality rules (Rae et al. 2021, app. A — the standard
+    * rule-based document gate): word count within bounds, mean word
+    * length within [3, 10], ≥ 80% of words contain an alphabetic
+    * character, ≥ 2 distinct English stopwords present, symbol-to-word
+    * ratio ('#', '…') below 10%. Pure per-row Catalyst expressions —
+    * map-only at any scale. Returns a struct of per-rule booleans plus
+    * the conjunction (`keep`). */
+  def gopherFlags(text: Column, minWords: Int = 10,
+      maxWords: Int = 100000): Column = {
+    val toks = TextFunctions.tokens(lower(text))
+    val n = size(toks)
+    val nf = n.cast("double")
+    val meanLen = when(n > 0,
+      aggregate(toks, lit(0), (acc, t) => acc + length(t)).cast("double") / nf)
+      .otherwise(lit(0.0))
+    val alphaFrac = when(n > 0,
+      size(filter(toks, t => t.rlike("[a-z]"))).cast("double") / nf)
+      .otherwise(lit(0.0))
+    val stopwords = typedLit(Seq("the", "be", "to", "of", "and", "that",
+      "have", "with"))
+    val nStop = size(filter(stopwords, s => array_contains(toks, s)))
+    val symbolRatio = when(n > 0,
+      size(filter(toks, t => t.contains("#") || t.contains("...")))
+        .cast("double") / nf).otherwise(lit(0.0))
+    val wc = n.between(minWords, maxWords)
+    val ml = meanLen.between(3.0, 10.0)
+    val af = alphaFrac >= 0.8
+    val sw = nStop >= 2
+    val sr = symbolRatio < 0.1
+    struct(
+      wc.as("word_count_ok"), ml.as("mean_word_len_ok"),
+      af.as("alpha_frac_ok"), sw.as("stopwords_ok"),
+      sr.as("symbol_ratio_ok"),
+      (wc && ml && af && sw && sr).as("keep"))
+  }
+
   /** Repetition ratio: 1 − (distinct word-bigrams / total word-bigrams)
     * per document — the standard degenerate-text detector (looping
     * generations repeat bigrams). Pure per-row expression, no shuffle.

@@ -820,8 +820,14 @@ object PipelineQueries {
       (s, dir) => {
         val t = Tables(s, dir)
         val dim = 1024
-        val weights = transform(sequence(lit(0), lit(dim - 1)),
-          i => ((i.cast(LongType) * 2654435761L) % 2001L - 1000L) / lit(1000.0))
+        // a TRUE literal array: the transform(sequence(...)) expression
+        // form re-materialized all 1024 elements for EVERY element_at
+        // inside the scoring aggregate (same per-element re-inlining
+        // pitfall as repetitionRatio's index-lambda note) — 89 s at
+        // sf0.1; as a literal the lookup is O(1) and the query is
+        // sub-second
+        val weights = typedLit(Array.tabulate(dim)(i =>
+          ((i.toLong * 2654435761L) % 2001L - 1000L) / 1000.0))
         t.documents
           .select(col("doc_id"),
             r6(Curation.classifierScore(col("text"), weights, dim, -0.1))
@@ -1627,6 +1633,90 @@ object PipelineQueries {
               AS BIGINT) + 0.5) / 4294967296.0)), 6) AS gumbel_key
         FROM w
         ORDER BY gumbel_key DESC, doc_id LIMIT 100""")),
+
+    // Gopher rule-based quality gate (Rae et al. 2021 app. A,
+    // Curation.gopherFlags): per-rule pass counts and the kept-doc
+    // count, every rule a map-only Catalyst expression. EXACT oracle:
+    // all five rules are integer/single-division arithmetic DuckDB
+    // reproduces bit-for-bit.
+    GQuery("q_gopher_rules",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        def cnt(c: Column) = sum(c.cast("long"))
+        t.documents
+          .select(Curation.gopherFlags(col("text"), minWords = 10).as("g"))
+          .agg(count(lit(1)).as("n_docs"),
+            cnt(col("g.word_count_ok")).as("n_word_count_ok"),
+            cnt(col("g.mean_word_len_ok")).as("n_mean_word_len_ok"),
+            cnt(col("g.alpha_frac_ok")).as("n_alpha_frac_ok"),
+            cnt(col("g.stopwords_ok")).as("n_stopwords_ok"),
+            cnt(col("g.symbol_ratio_ok")).as("n_symbol_ratio_ok"),
+            cnt(col("g.keep")).as("n_keep"))
+      },
+      Some("""WITH t AS (SELECT doc_id,
+            list_filter(string_split(lower(text), ' '), x -> len(x) > 0) AS tk
+          FROM documents),
+        f AS (SELECT doc_id, len(tk) AS n,
+            CASE WHEN len(tk) > 0 THEN
+              list_sum(list_transform(tk, x -> len(x))) * 1.0 / len(tk)
+              ELSE 0.0 END AS mean_len,
+            CASE WHEN len(tk) > 0 THEN
+              len(list_filter(tk, x -> regexp_matches(x, '[a-z]')))
+                * 1.0 / len(tk) ELSE 0.0 END AS alpha_frac,
+            len(list_filter(['the','be','to','of','and','that','have','with'],
+              s -> list_contains(tk, s))) AS n_stop,
+            CASE WHEN len(tk) > 0 THEN
+              len(list_filter(tk, x -> contains(x, '#') OR contains(x, '...')))
+                * 1.0 / len(tk) ELSE 0.0 END AS sym
+          FROM t),
+        r AS (SELECT doc_id,
+            n BETWEEN 10 AND 100000 AS wc,
+            mean_len BETWEEN 3.0 AND 10.0 AS ml,
+            alpha_frac >= 0.8 AS af, n_stop >= 2 AS sw, sym < 0.1 AS sr
+          FROM f)
+        SELECT COUNT(*) AS n_docs,
+          CAST(SUM(CASE WHEN wc THEN 1 ELSE 0 END) AS BIGINT) AS n_word_count_ok,
+          CAST(SUM(CASE WHEN ml THEN 1 ELSE 0 END) AS BIGINT) AS n_mean_word_len_ok,
+          CAST(SUM(CASE WHEN af THEN 1 ELSE 0 END) AS BIGINT) AS n_alpha_frac_ok,
+          CAST(SUM(CASE WHEN sw THEN 1 ELSE 0 END) AS BIGINT) AS n_stopwords_ok,
+          CAST(SUM(CASE WHEN sr THEN 1 ELSE 0 END) AS BIGINT) AS n_symbol_ratio_ok,
+          CAST(SUM(CASE WHEN wc AND ml AND af AND sw AND sr THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_keep
+        FROM r""")),
+
+    // CCNet-style perplexity bucketing: score every doc with the
+    // corpus unigram LM (Curation.unigramScore), split into
+    // head/middle/tail terciles by score, report per-bucket counts and
+    // mean scores. ntile is a deterministic global ranking (rounded
+    // score + doc_id tie-break) that DuckDB reproduces exactly; at
+    // corpus scale the tercile THRESHOLDS would come from a quantile
+    // sketch and the bucket assignment stays map-only — the global
+    // sort here is the exactness path, not the scale path.
+    GQuery("q_ppl_buckets",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(r6(col("avg_neg_logp")), col("doc_id"))
+        Curation.unigramScore(t.documents, "doc_id", "text")
+          .withColumn("bucket", ntile(3).over(w))
+          .groupBy(col("bucket"))
+          .agg(count(lit(1)).as("n"),
+            r4(avg(col("avg_neg_logp"))).as("mean_nlp"))
+          .orderBy(col("bucket"))
+      },
+      Some("""WITH toks AS (SELECT doc_id,
+            unnest(list_filter(string_split(lower(text), ' '),
+              x -> len(x) > 0)) AS tok
+          FROM documents),
+        freq AS (SELECT tok, COUNT(*) AS tf FROM toks GROUP BY 1),
+        tot AS (SELECT COUNT(*) AS n FROM toks),
+        sc AS (SELECT t.doc_id, AVG(-ln(f.tf * 1.0 / tot.n)) AS s
+          FROM toks t JOIN freq f USING (tok), tot GROUP BY 1),
+        b AS (SELECT doc_id, s,
+            NTILE(3) OVER (ORDER BY ROUND(s, 6), doc_id) AS bucket
+          FROM sc)
+        SELECT bucket, COUNT(*) AS n, ROUND(AVG(s), 4) AS mean_nlp
+        FROM b GROUP BY 1 ORDER BY bucket""")),
 
     // REAL byte-pair-encoding tokenization (Bpe): merges learned from
     // the corpus-wide top-2^14 word-frequency table (bounded collect at

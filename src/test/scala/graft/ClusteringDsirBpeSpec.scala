@@ -100,6 +100,24 @@ class ClusteringDsirBpeSpec extends SparkSpec {
     assert(unselectedMax <= minSel)
   }
 
+  test("gopher rules: synthetic edge cases gate as specified") {
+    val df = Seq(
+      (1L, "the cat sat and that dog ran to be of good cheer with haste now"),
+      (2L, "a b c d e f g h i j k l m n o p"), // mean word len 1 → ml fails
+      (3L, "### #tag #x ### the and to of be that have with more words here"),
+      (4L, "short text")                        // word count < 10
+    ).toDF("doc_id", "text")
+    val g = df.select(col("doc_id"),
+        graft.operators.Curation.gopherFlags(col("text"), minWords = 10).as("g"))
+      .select(col("doc_id"), col("g.*")).orderBy(col("doc_id"))
+      .collect()
+    assert(g(0).getAs[Boolean]("keep"))
+    assert(!g(1).getAs[Boolean]("mean_word_len_ok"))
+    assert(!g(1).getAs[Boolean]("stopwords_ok"))
+    assert(!g(2).getAs[Boolean]("symbol_ratio_ok"))
+    assert(!g(3).getAs[Boolean]("word_count_ok"))
+  }
+
   test("bpe: training learns the most frequent pair first") {
     val merges = Bpe.trainFromCounts(
       Seq(("low", 5L), ("lower", 2L), ("newest", 6L), ("widest", 3L)), 4)
