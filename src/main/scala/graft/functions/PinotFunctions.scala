@@ -393,8 +393,11 @@ object PinotFunctions {
       case Seq(c, p) =>
         graft.plans.HllSketch.distinctCountHll(c, ex(p).eval().toString.toInt)
     },
-    // exact-bitmap variant is an exact distinct count in Spark
-    "distinctcountbitmap" -> { case Seq(c) => size(collect_set(c)) },
+    // RoaringBitmap distinct count, WIRE-FORMAT faithful: value for INT
+    // columns, Type.hashCode otherwise, BYTES or-merges serialized
+    // bitmaps (DistinctCountBitmapAggregationFunction.java:74-140)
+    "distinctcountbitmap" -> { case Seq(c) =>
+      graft.plans.IdSetSketch.distinctCountBitmap(c) },
     // sums per-SEGMENT distinct counts (reference
     // SegmentPartitionedDistinctCountAggregationFunction assumes values
     // are partitioned by segment); segment ≙ input partition here
@@ -464,14 +467,31 @@ object PinotFunctions {
     "minmaxrangemv" -> { case Seq(a) => max(array_max(a)) - min(array_min(a)) },
     "distinctcountmv" -> { case Seq(a) =>
       size(array_distinct(flatten(collect_list(a)))) },
-    // IDSET / IN_ID_SET (TransformFunctionType.java:177): a bloom-filter
-    // id set built by aggregation, probed as a scalar predicate — maps
-    // to Spark's native BloomFilterAggregate/MightContain over xxhash64
-    "idset" -> { case Seq(c) => bfAgg(c, 100000L)
-      case Seq(c, n) => bfAgg(c, ex(n).eval().toString.toLong) },
+    // IDSET / IN_ID_SET (TransformFunctionType.java:177,
+    // IdSetAggregationFunction.java): reference-WIRE-FORMAT id sets —
+    // base64 of [type byte][RoaringBitmap | Roaring64NavigableMap |
+    // guava BloomFilter] picked by id type, same libraries, same
+    // layout (plans/IdSetSketch.scala). Second arg: either the
+    // reference's 'sizeThresholdInBytes=..;expectedInsertions=..;fpp=..'
+    // option string or a bare number (expectedInsertions).
+    "idset" -> { case Seq(c) => graft.plans.IdSetSketch.idSet(c)
+      case Seq(c, a) =>
+        val s = ex(a).eval().toString
+        if (s.contains("=")) {
+          val kv = s.split(";").iterator.map(_.trim.split("=", 2))
+            .collect { case Array(k, v) => (k.trim.toLowerCase, v.trim) }
+            .toMap
+          graft.plans.IdSetSketch.idSet(c,
+            kv.get("sizethresholdinbytes").map(_.toInt)
+              .getOrElse(graft.plans.IdSetSketch.DefaultSizeThresholdBytes),
+            kv.get("expectedinsertions").map(_.toInt)
+              .getOrElse(graft.plans.IdSetSketch.DefaultExpectedInsertions),
+            kv.get("fpp").map(_.toDouble)
+              .getOrElse(graft.plans.IdSetSketch.DefaultFpp))
+        } else graft.plans.IdSetSketch.idSet(c,
+          expectedInsertions = s.toDouble.toInt) },
     "inidset" -> { case Seq(c, blob) =>
-      ColumnBridge.column(org.apache.spark.sql.catalyst.expressions
-        .BloomFilterMightContain(ex(blob), ex(xxhash64(c)))) },
+      graft.plans.IdSetSketch.inIdSet(c, blob) },
     "distinctsum" -> { case Seq(c) => sum_distinct(c) },
     "distinctavg" -> { case Seq(c) => sum_distinct(c) / size(collect_set(c)) },
     "minmaxrange" -> { case Seq(c) => max(c) - min(c) },
@@ -496,8 +516,9 @@ object PinotFunctions {
       graft.plans.HllSketch.distinctCountHll(a) },
     "distinctcountrawhllmv" -> { case Seq(a) =>
       graft.plans.HllSketch.hllState(a) },
+    // MV path: BitmapDistinctAgg iterates array elements
     "distinctcountbitmapmv" -> { case Seq(a) =>
-      size(array_distinct(flatten(collect_list(a)))) },
+      graft.plans.IdSetSketch.distinctCountBitmap(a) },
     // DISTINCTSUMMV / DISTINCTAVGMV: over the distinct ELEMENT set of
     // the whole group (reference DistinctSumMVAggregationFunction)
     "distinctsummv" -> { case Seq(a) =>

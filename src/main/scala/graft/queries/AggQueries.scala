@@ -600,6 +600,37 @@ object AggQueries {
         (COUNT(DISTINCT l_partkey) >= 0) AS hll_ok
         FROM lineitem GROUP BY 1 ORDER BY 1""")),
 
+    // RoaringBitmap distinct blobs (DISTINCTCOUNTBITMAP,
+    // DistinctCountBitmapAggregationFunction.java:74-140): per-(flag,
+    // status) serialized bitmaps re-aggregated per flag via the
+    // reference's BYTES or-merge path must equal the direct bitmap
+    // count — and for in-range LONG keys Long.hashCode(v) == v, so the
+    // bitmap count IS the exact distinct count the oracle computes.
+    // Blobs are the plain RoaringBitmap serialization the reference
+    // ships between servers (wire-compat gated in IdSetWireSpec).
+    GQuery("q_agg_bitmap_remerge",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val direct = t.lineitem.groupBy(col("l_returnflag"))
+          .agg(graft.plans.IdSetSketch.distinctCountBitmap(col("l_partkey"))
+            .as("n_direct"))
+        val merged = t.lineitem
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(graft.plans.IdSetSketch.bitmapState(col("l_partkey"))
+            .as("blob"))
+          .groupBy(col("l_returnflag"))
+          .agg(graft.plans.IdSetSketch.distinctCountBitmap(col("blob"))
+            .as("n_merged"))
+        direct.join(merged, "l_returnflag")
+          .select(col("l_returnflag"), col("n_direct"),
+            (col("n_direct") === col("n_merged")).as("remerge_exact"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""SELECT l_returnflag,
+        CAST(COUNT(DISTINCT l_partkey) AS INT) AS n_direct,
+        TRUE AS remerge_exact
+        FROM lineitem GROUP BY 1 ORDER BY 1""")),
+
     // Integer-sum TUPLE sketch family (reference
     // DISTINCTCOUNTTUPLESKETCH / SUMVALUESINTEGERSUMTUPLESKETCH /
     // AVGVALUEINTEGERSUMTUPLESKETCH, IntegerTupleSketchAggregation
