@@ -140,7 +140,22 @@ object FrequentItems {
       val k = if (exprs.size > 1) exprs(1).eval().toString.toInt else 64
       FrequentItemsSketch(exprs.head, k)
     }
-    Seq("frequentstringssketch", "frequentlongssketch", "frequentitems")
-      .foreach(n => reg.createOrReplaceTempFunction(n, build, "built-in"))
+    // the MAP-returning heavy-hitter surface
+    reg.createOrReplaceTempFunction("frequentitems", build, "built-in")
+    // the reference names return WIRE-FORMAT DataSketches blobs
+    // (FrequentStringsSketchAggregationFunction.java:46 — base64
+    // ItemsSketch<String> / LongsSketch, default maxMapSize 256)
+    def buildStrings(exprs: Seq[Expression]): Expression =
+      FrequentStringsSketchAgg(exprs.head,
+        if (exprs.size > 1) exprs(1).eval().toString.toInt
+        else FrequentSketchDs.DefaultMaxMapSize)
+    def buildLongs(exprs: Seq[Expression]): Expression =
+      FrequentLongsSketchAgg(exprs.head,
+        if (exprs.size > 1) exprs(1).eval().toString.toInt
+        else FrequentSketchDs.DefaultMaxMapSize)
+    reg.createOrReplaceTempFunction("frequentstringssketch", buildStrings,
+      "built-in")
+    reg.createOrReplaceTempFunction("frequentlongssketch", buildLongs,
+      "built-in")
   }
 }

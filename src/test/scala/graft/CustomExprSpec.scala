@@ -112,12 +112,18 @@ class CustomExprSpec extends SparkSpec {
     // Misra-Gries bound: reported >= true - n/(k+1)
     assert(m("hot") >= 5000 - n / 17 && m("hot") <= 5000)
     assert(m("warm") >= 1000 - n / 17 && m("warm") <= 1000)
-    // SQL name + group-by (partial/final merge)
+    // SQL names: FREQUENTITEMS keeps the MAP surface; the reference
+    // FREQUENTSTRINGSSKETCH name returns the DataSketches wire blob
+    // (FrequentSketchWireSpec covers its format in depth)
     FrequentItems.registerAll(spark)
     df.createOrReplaceTempView("fi_t")
-    val viaSql = spark.sql("SELECT FREQUENTSTRINGSSKETCH(s, 8) AS m FROM fi_t")
+    val viaSql = spark.sql("SELECT FREQUENTITEMS(s, 8) AS m FROM fi_t")
       .collect().head.getMap[String, Long](0)
     assert(viaSql.contains("hot"))
+    val blob = spark.sql("SELECT FREQUENTSTRINGSSKETCH(s, 64) FROM fi_t")
+      .collect().head.getString(0)
+    assert(graft.plans.FrequentSketchDs.stringSketchEstimate(blob, "hot")
+      >= 4000L)
   }
 
   test("kmv sketch SQL name with group-by (partial/final merge path)") {
