@@ -113,8 +113,10 @@ object ScaleProbe {
       "q_dedup_lines", "q_sample_domain_cap",
       // round-3: df-capped unigram LM broadcast + M3QL front-end
       "q_text_lm", "q_ts_promql", "q_dedup_substring",
-      // round-3: distributed k-means / DSIR / BPE
-      "q_cluster_kmeans", "q_dsir_select", "q_tokenize_bpe")
+      // round-3: distributed k-means / DSIR / BPE / quality gates /
+      // roaring re-merge
+      "q_cluster_kmeans", "q_dsir_select", "q_tokenize_bpe",
+      "q_agg_bitmap_remerge", "q_gopher_rules", "q_ppl_buckets")
       .filter(q => only.isEmpty || only(q))
     def time(dir: String, name: String): Double = {
       val t0 = System.nanoTime()
