@@ -329,6 +329,14 @@ object PinotFunctions {
     "stgeogfromgeojson" -> { case Seq(j) => GeoBinary.stGeomFromGeoJson(j) },
     "stgeometrytype" -> { case Seq(g) => GeoBinary.stGeometryType(g) },
     "stequals" -> { case Seq(a, b) => GeoBinary.stEquals(a, b) },
+    // ——— JTS blob engine (plans/GeoJts): the reference's serialized-
+    // geometry BYTES layout over the FULL geometry-type surface. The
+    // struct subset above keeps its names for the legacy point/polygon
+    // query paths; these names (absent from the legacy registry) and
+    // the GeoJts Column API carry the blob surface. ———
+    "tosphericalgeography" -> { case Seq(g) =>
+      graft.plans.GeoJts.toSphericalGeography(g) },
+    "togeometry" -> { case Seq(g) => graft.plans.GeoJts.toGeometry(g) },
     // ——— url / ip / hash extras (UrlFunctions.java,
     // IpAddressFunctions.java, HashFunctions.java) ———
     "encodeurl" -> { case Seq(s) => call_function("url_encode", s) },

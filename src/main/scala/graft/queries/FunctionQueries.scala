@@ -340,6 +340,49 @@ object FunctionQueries {
             ', ') || ')' AS union_wkt
         FROM pts GROUP BY 1 ORDER BY 1""")),
 
+    // JTS blob engine over the FULL geometry-type surface
+    // (plans/GeoJts, reference GeometrySerializer layout): a
+    // multipolygon with a hole, point-in-polygon over the serialized
+    // blob (reference INT 0/1 contains with strict-interior boundary
+    // semantics — boundary points are NOT contained, mirrored exactly
+    // in the oracle's inequalities), JTS planar area, and planar
+    // distance. Wire compatibility is gated in GeoJtsSpec.
+    GQuery("q_geo_jts",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        import graft.plans.GeoJts
+        val k = col("c_custkey")
+        val mp = "MULTIPOLYGON (((0 0, 20 0, 20 20, 0 20, 0 0), " +
+          "(5 5, 10 5, 10 10, 5 10, 5 5)), " +
+          "((30 30, 40 30, 40 40, 30 40, 30 30)))"
+        t.customer.filter(k <= 2000)
+          .withColumn("x", (k * 13 % 50).cast("double"))
+          .withColumn("y", (k * 29 % 50).cast("double"))
+          .withColumn("inside", GeoJts.contains(
+            GeoJts.geomFromText(lit(mp)), GeoJts.point(col("x"), col("y"))))
+          .agg(count(lit(1)).as("n"),
+            sum(col("inside")).cast("long").as("n_inside"),
+            r4(max(GeoJts.area(GeoJts.geomFromText(lit(mp))))).as("area"),
+            max(GeoJts.geometryType(GeoJts.geomFromText(lit(mp))))
+              .as("gtype"),
+            r4(max(GeoJts.distance(GeoJts.point(lit(0.0), lit(0.0)),
+              GeoJts.point(lit(3.0), lit(4.0))))).as("planar_d"))
+      },
+      Some("""WITH pts AS (SELECT
+          CAST(c_custkey * 13 % 50 AS DOUBLE) AS x,
+          CAST(c_custkey * 29 % 50 AS DOUBLE) AS y
+          FROM customer WHERE c_custkey <= 2000)
+        SELECT COUNT(*) AS n,
+          CAST(SUM(CASE WHEN
+            (x > 0 AND x < 20 AND y > 0 AND y < 20
+              AND NOT (x >= 5 AND x <= 10 AND y >= 5 AND y <= 10))
+            OR (x > 30 AND x < 40 AND y > 30 AND y < 40)
+            THEN 1 ELSE 0 END) AS BIGINT) AS n_inside,
+          CAST(475.0 AS DOUBLE) AS area,
+          'MultiPolygon' AS gtype,
+          CAST(5.0 AS DOUBLE) AS planar_d
+        FROM pts""")),
+
     // LOOKUP dim-table scalar (reference LookupTransformFunction.java):
     // the dim view is collected once at plan time into a map literal
     // (the reference's replicated-dimension-table contract), so the
