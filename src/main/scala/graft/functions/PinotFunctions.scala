@@ -570,12 +570,19 @@ object PinotFunctions {
     "distinctcountsmartull" -> { case Seq(c) =>
       graft.plans.HllSketch.distinctCountHll(c) },
     "distinctcountsmarthllplus" -> { case Seq(c) => approx_count_distinct(c) },
+    // HLL++ family delegates to stream-lib HyperLogLogPlus — the exact
+    // object the reference serializes (wire-compatible blobs; BYTES
+    // input re-merges stored sketches). Defaults p=14, sp=0.
     "distinctcounthllplusmv" -> { case Seq(a) =>
-      graft.plans.HllSketch.distinctCountHll(a) },
-    "distinctcountrawhllplus" -> { case Seq(c) =>
-      graft.plans.HllSketch.hllState(c) },
+      graft.plans.HllSketch.distinctCountHllPlus(a) },
+    "distinctcountrawhllplus" -> {
+      case Seq(c) => graft.plans.HllSketch.hllPlusState(c)
+      case Seq(c, p) => graft.plans.HllSketch.hllPlusState(c,
+        ex(p).eval().toString.toInt)
+      case Seq(c, p, sp) => graft.plans.HllSketch.hllPlusState(c,
+        ex(p).eval().toString.toInt, ex(sp).eval().toString.toInt) },
     "distinctcountrawhllplusmv" -> { case Seq(a) =>
-      graft.plans.HllSketch.hllState(a) },
+      graft.plans.HllSketch.hllPlusState(a) },
     "distinctcountrawull" -> { case Seq(c) =>
       graft.plans.HllSketch.hllState(c) },
     // OFFHEAP variant is an execution-memory detail in the reference;
@@ -768,11 +775,14 @@ object PinotFunctions {
         reg.createOrReplaceTempFunction(name, fn(f), "built-in")
     }
     // bare AggregateFunction (not pre-wrapped in AggregateExpression):
-    // ResolveFunctions then supports FILTER (WHERE ...) / DISTINCT on it
+    // ResolveFunctions then supports FILTER (WHERE ...) / DISTINCT on
+    // it. Delegates to stream-lib HyperLogLogPlus (reference wire
+    // format, reference estimator); optional args (p[, sp]).
     reg.createOrReplaceTempFunction("distinctcounthllplus",
-      (e: Seq[Expression]) =>
-        new org.apache.spark.sql.catalyst.expressions.aggregate
-          .HyperLogLogPlusPlus(e.head),
+      (e: Seq[Expression]) => graft.plans.HllPlusAgg(e.head,
+        if (e.size > 1) e(1).eval().toString.toInt else 14,
+        if (e.size > 2) e(2).eval().toString.toInt else 0,
+        emitBlob = false),
       "built-in")
     ScalarTail.registerAll(spark)
     CompatAliases.registerAll(spark)

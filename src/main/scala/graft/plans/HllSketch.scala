@@ -368,6 +368,20 @@ object HllSketch {
     ColumnBridge.column(
       HllMergeAgg(ColumnBridge.expression(c), emitBlob = true).toAggregateExpression())
 
+  /** DISTINCTCOUNTHLLPLUS / DISTINCTCOUNTRAWHLLPLUS, reference-WIRE-
+    * FORMAT: the same stream-lib HyperLogLogPlus the reference
+    * serializes (`DistinctCountHLLPlusAggregationFunction.java`,
+    * `ObjectSerDeUtils.HYPER_LOG_LOG_PLUS_SER_DE` — getBytes /
+    * Builder.build; defaults p=14, sp=0,
+    * `CommonConstants.java:129-130`). */
+  def distinctCountHllPlus(c: Column, p: Int = 14, sp: Int = 0): Column =
+    ColumnBridge.column(HllPlusAgg(ColumnBridge.expression(c), p, sp,
+      emitBlob = false).toAggregateExpression())
+
+  def hllPlusState(c: Column, p: Int = 14, sp: Int = 0): Column =
+    ColumnBridge.column(HllPlusAgg(ColumnBridge.expression(c), p, sp,
+      emitBlob = true).toAggregateExpression())
+
   /** SQL names mirroring the reference aggregate family (reference
     * default log2m = 8). */
   def registerAll(spark: SparkSession): Unit = {
@@ -381,4 +395,70 @@ object HllSketch {
     reg.createOrReplaceTempFunction("hllmergestate",
       (e: Seq[Expression]) => HllMergeAgg(e.head, emitBlob = true), "built-in")
   }
+}
+
+/** HLL++ aggregate delegating to stream-lib HyperLogLogPlus — the
+  * EXACT sketch object the reference serializes for
+  * DISTINCTCOUNT(RAW)HLLPLUS, so blobs interchange with a reference
+  * deployment; a BYTES child is treated as serialized HyperLogLogPlus
+  * sketches to merge (the reference's stored-column path,
+  * DistinctCountHLLPlusAggregationFunction.java:96-110). */
+case class HllPlusAgg(
+    child: Expression,
+    p: Int,
+    sp: Int,
+    emitBlob: Boolean,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[
+    com.clearspring.analytics.stream.cardinality.HyperLogLogPlus] {
+  import com.clearspring.analytics.stream.cardinality.HyperLogLogPlus
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = if (emitBlob) BinaryType else LongType
+  override def prettyName: String =
+    if (emitBlob) "distinct_count_raw_hll_plus" else "distinct_count_hll_plus"
+
+  override def createAggregationBuffer(): HyperLogLogPlus =
+    new HyperLogLogPlus(p, sp)
+
+  override def update(buf: HyperLogLogPlus, row: InternalRow): HyperLogLogPlus = {
+    val v = child.eval(row)
+    if (v == null) return buf
+    child.dataType match {
+      case BinaryType => // stored sketch column → merge
+        merge(buf, HyperLogLogPlus.Builder.build(v.asInstanceOf[Array[Byte]]))
+      case ArrayType(et, _) =>
+        val arr = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        var i = 0
+        while (i < arr.numElements()) {
+          if (!arr.isNullAt(i)) buf.offer(Hll.canonical(arr.get(i, et), et))
+          i += 1
+        }
+        buf
+      case dt =>
+        buf.offer(Hll.canonical(v, dt))
+        buf
+    }
+  }
+
+  override def merge(buf: HyperLogLogPlus, other: HyperLogLogPlus): HyperLogLogPlus = {
+    buf.addAll(other)
+    buf
+  }
+
+  override def eval(buf: HyperLogLogPlus): Any =
+    if (emitBlob) buf.getBytes else buf.cardinality()
+
+  override def serialize(buf: HyperLogLogPlus): Array[Byte] = buf.getBytes
+  override def deserialize(b: Array[Byte]): HyperLogLogPlus =
+    HyperLogLogPlus.Builder.build(b)
+
+  override def withNewMutableAggBufferOffset(o: Int): HllPlusAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): HllPlusAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) =
+    copy(child = c.head)
 }
