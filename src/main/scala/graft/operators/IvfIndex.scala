@@ -42,7 +42,22 @@ object IvfIndex {
       vecCol: String,
       k: Int,
       iterations: Int = 2,
-      maxTrainRows: Int = 65536): Model = {
+      maxTrainRows: Int = 65536): Model =
+    // index builds are ingest-time artifacts (see IndexCache): memoized
+    // on the corpus' canonical plan + build params, deterministic either
+    // way, so a hit returns the identical model a fresh build would
+    IndexCache.getOrBuild(("ivf", corpus.queryExecution.analyzed.canonicalized,
+      idCol, vecCol, k, iterations, maxTrainRows)) {
+      buildImpl(corpus, idCol, vecCol, k, iterations, maxTrainRows)
+    }
+
+  private def buildImpl(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      iterations: Int,
+      maxTrainRows: Int): Model = {
     val spark = corpus.sparkSession
     val base = corpus.select(col(idCol).as("id"),
       transform(col(vecCol), x => x.cast("double")).as("vec"))

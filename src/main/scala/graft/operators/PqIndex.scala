@@ -49,7 +49,21 @@ object PqIndex {
       m: Int = 8,
       k: Int = 16,
       iterations: Int = 2,
-      maxTrainRows: Int = 65536): Model = {
+      maxTrainRows: Int = 65536): Model =
+    // ingest-time artifact, memoized like IvfIndex.build (see IndexCache)
+    IndexCache.getOrBuild(("pq", corpus.queryExecution.analyzed.canonicalized,
+      idCol, vecCol, m, k, iterations, maxTrainRows)) {
+      buildImpl(corpus, idCol, vecCol, m, k, iterations, maxTrainRows)
+    }
+
+  private def buildImpl(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      m: Int,
+      k: Int,
+      iterations: Int,
+      maxTrainRows: Int): Model = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val base = corpus.select(col(idCol).as("id"),
