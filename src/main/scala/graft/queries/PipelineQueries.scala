@@ -1753,6 +1753,63 @@ object PipelineQueries {
           CAST(SUM(len(regexp_replace(text, '\s+', '', 'g'))) AS BIGINT)
             AS total_chars,
           TRUE AS lossless_ok, TRUE AS bounds_ok, TRUE AS compresses_ok
-        FROM documents"""))
+        FROM documents""")),
+
+    // BM25 ranked retrieval (operators/Bm25): corpus stats (N, avgdl,
+    // per-term df) in ONE map-side-combined scan, scoring as a pure
+    // projection against the broadcast stats row, only the final top-k
+    // window shuffles. EXACT oracle: DuckDB recomputes the identical
+    // Robertson BM25 (k1=1.2, b=0.75) and must reproduce every score
+    // (round 4) and rank.
+    GQuery("q_bm25_topk",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        Bm25.topK(t.documents, "doc_id", "text",
+            Seq("hash_join" -> Seq("hash", "join"),
+              "window_agg" -> Seq("window", "agg")), k = 10)
+          .orderBy(col("query_id"), col("doc_id"))
+      },
+      Some("""WITH d2 AS (
+          SELECT doc_id,
+                 list_filter(string_split(lower(text), ' '),
+                   x -> len(x) > 0) AS toks
+          FROM documents),
+        d3 AS (SELECT doc_id, toks,
+                 CAST(len(toks) AS DOUBLE) AS dl FROM d2),
+        s AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl,
+                CAST(sum(CASE WHEN list_contains(toks, 'hash') THEN 1 ELSE 0 END) AS DOUBLE) AS df_hash,
+                CAST(sum(CASE WHEN list_contains(toks, 'join') THEN 1 ELSE 0 END) AS DOUBLE) AS df_join,
+                CAST(sum(CASE WHEN list_contains(toks, 'window') THEN 1 ELSE 0 END) AS DOUBLE) AS df_window,
+                CAST(sum(CASE WHEN list_contains(toks, 'agg') THEN 1 ELSE 0 END) AS DOUBLE) AS df_agg
+              FROM d3),
+        scored AS (
+          SELECT 'hash_join' AS query_id, doc_id, round(
+              ln((n_docs - df_hash + 0.5) / (df_hash + 0.5) + 1.0)
+                * tf_hash * 2.2 / (tf_hash + 1.2 * (0.25 + 0.75 * dl / avgdl))
+            + ln((n_docs - df_join + 0.5) / (df_join + 0.5) + 1.0)
+                * tf_join * 2.2 / (tf_join + 1.2 * (0.25 + 0.75 * dl / avgdl)),
+            4) AS score
+          FROM (SELECT doc_id, dl,
+                  CAST(len(list_filter(toks, x -> x = 'hash')) AS DOUBLE) AS tf_hash,
+                  CAST(len(list_filter(toks, x -> x = 'join')) AS DOUBLE) AS tf_join
+                FROM d3), s
+          UNION ALL
+          SELECT 'window_agg', doc_id, round(
+              ln((n_docs - df_window + 0.5) / (df_window + 0.5) + 1.0)
+                * tf_window * 2.2 / (tf_window + 1.2 * (0.25 + 0.75 * dl / avgdl))
+            + ln((n_docs - df_agg + 0.5) / (df_agg + 0.5) + 1.0)
+                * tf_agg * 2.2 / (tf_agg + 1.2 * (0.25 + 0.75 * dl / avgdl)),
+            4) AS score
+          FROM (SELECT doc_id, dl,
+                  CAST(len(list_filter(toks, x -> x = 'window')) AS DOUBLE) AS tf_window,
+                  CAST(len(list_filter(toks, x -> x = 'agg')) AS DOUBLE) AS tf_agg
+                FROM d3), s),
+        ranked AS (
+          SELECT query_id, doc_id, score,
+                 CAST(row_number() OVER (PARTITION BY query_id
+                   ORDER BY score DESC, doc_id) AS INT) AS rank
+          FROM scored WHERE score > 0)
+        SELECT query_id, doc_id, score, rank FROM ranked
+        WHERE rank <= 10 ORDER BY query_id, doc_id"""))
   )
 }
