@@ -65,6 +65,32 @@ object PinotSchema {
           case None => d
         }
       }
+
+    /** Schema evolution — the reference's default-column backfill
+      * (`pinot-segment-local/.../index/loader/defaultcolumn/
+      * BaseDefaultColumnHandler.java`): reading an OLD stored table
+      * through an evolved schema materializes newly-added columns with
+      * the field's default value (MV fields get a one-element array of
+      * the default, mirroring the handler's `new Integer[]
+      * {defaultNullValue}`), drops stored columns the schema no longer
+      * declares, casts retained columns to the schema type, and emits
+      * columns in schema order. Pure projection: at any scale this is
+      * map-only over the scan, and Parquet never rewrites. */
+    def evolve(df: DataFrame): DataFrame = {
+      val existing = df.columns.toSet
+      val cols = fields.map { f =>
+        val t = if (f.singleValue) f.dataType else ArrayType(f.dataType)
+        if (existing.contains(f.name)) col(f.name).cast(t).as(f.name)
+        else {
+          val dv = defaultNullValue(f)
+          val c =
+            if (f.singleValue) lit(dv).cast(f.dataType)
+            else array(lit(dv).cast(f.dataType))
+          c.as(f.name)
+        }
+      }
+      df.select(cols: _*)
+    }
   }
 
   /** Parse the reference's JSON schema shape:

@@ -41,6 +41,26 @@ class IngestSchemaSpec extends SparkSpec {
     assert(out(1) == ((Int.MinValue, 0.0, "null")))
   }
 
+  test("schema evolution backfills new columns with field defaults") {
+    // stored table predates the evolved schema: no `m2`, no `mv`, and
+    // it still carries a column (`legacy`) the schema dropped
+    val stored = Seq((1, "a", 10L), (2, "b", 20L))
+      .toDF("id", "legacy", "m1")
+    val evolved = PinotSchema.Schema("t", Seq(
+      PinotSchema.Field("id", IntegerType, PinotSchema.Dimension),
+      PinotSchema.Field("m1", DoubleType, PinotSchema.Metric), // LONG→DOUBLE widen
+      PinotSchema.Field("m2", LongType, PinotSchema.Metric),   // new metric → 0
+      PinotSchema.Field("tag", StringType, PinotSchema.Dimension), // new dim → "null"
+      PinotSchema.Field("mv", IntegerType, PinotSchema.Dimension,
+        singleValue = false)))                                 // new MV → [default]
+    val out = evolved.evolve(stored)
+    assert(out.columns.toSeq == Seq("id", "m1", "m2", "tag", "mv"))
+    val rows = out.orderBy($"id")
+      .as[(Int, Double, Long, String, Seq[Int])].collect()
+    assert(rows(0) == ((1, 10.0, 0L, "null", Seq(Int.MinValue))))
+    assert(rows(1) == ((2, 20.0, 0L, "null", Seq(Int.MinValue))))
+  }
+
   test("batch ingest applies transforms and writes pruned layout") {
     val dir = Files.createTempDirectory("graft_ingest").toString
     val input = Seq(

@@ -116,7 +116,11 @@ object ScaleProbe {
       // round-3: distributed k-means / DSIR / BPE / quality gates /
       // roaring re-merge
       "q_cluster_kmeans", "q_dsir_select", "q_tokenize_bpe",
-      "q_agg_bitmap_remerge", "q_gopher_rules", "q_ppl_buckets")
+      "q_agg_bitmap_remerge", "q_gopher_rules", "q_ppl_buckets",
+      // round-3: BM25 (stats scan + map-only scoring; with the
+      // ingest-time IndexCache, q_ann_* ratios measure warm-index
+      // search — the reference's serving cost model)
+      "q_bm25_topk")
       .filter(q => only.isEmpty || only(q))
     def time(dir: String, name: String): Double = {
       val t0 = System.nanoTime()
