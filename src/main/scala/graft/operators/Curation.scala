@@ -176,6 +176,34 @@ object Curation {
     lit(1.0) / (lit(1.0) + exp(-logit))
   }
 
+  /** Distributed logistic-regression TRAINING (full-batch gradient
+    * descent) — the training half of [[classifierScore]]'s inference
+    * stage (DCLM/FineWeb-style curation trains its quality classifier
+    * on the corpus it then filters). Each step computes the exact
+    * batch gradient avg((y − σ(w·x + b)) · x_j) in ONE map-side-
+    * combined aggregate; between steps only the d+1 weight doubles
+    * touch the driver. At 100 TB the total cost is `steps` scans and
+    * nothing — state, shuffle, or driver memory — grows with corpus
+    * size. Deterministic up to float-sum reordering noise (≤ ~1e-12
+    * relative), which callers round away per the QH contract. */
+  def trainLogReg(df: DataFrame, features: Seq[Column], label: Column,
+      steps: Int, lr: Double): (Seq[Double], Double) = {
+    val d = features.size
+    var w = Seq.fill(d)(0.0)
+    var b = 0.0
+    for (_ <- 0 until steps) {
+      val margin = features.zip(w).map { case (x, wi) => x * lit(wi) }
+        .foldLeft(lit(b): Column)(_ + _)
+      val resid = label.cast("double") -
+        lit(1.0) / (lit(1.0) + exp(-margin))
+      val aggs = features.map(x => avg(resid * x)) :+ avg(resid)
+      val row = df.agg(aggs.head, aggs.tail: _*).head()
+      w = w.zipWithIndex.map { case (wi, j) => wi + lr * row.getDouble(j) }
+      b += lr * row.getDouble(d)
+    }
+    (w, b)
+  }
+
   /** Deterministic per-stratum Bernoulli sample: keep a row iff its
     * md5 bucket falls under the stratum's rate. Strata absent from
     * `rates` are dropped (rate 0). Rows never flip in/out when other

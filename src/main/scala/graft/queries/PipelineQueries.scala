@@ -1810,6 +1810,57 @@ object PipelineQueries {
                    ORDER BY score DESC, doc_id) AS INT) AS rank
           FROM scored WHERE score > 0)
         SELECT query_id, doc_id, score, rank FROM ranked
-        WHERE rank <= 10 ORDER BY query_id, doc_id"""))
+        WHERE rank <= 10 ORDER BY query_id, doc_id""")),
+
+    // Distributed classifier TRAINING (Curation.trainLogReg): 3 full-
+    // batch GD steps, each one aggregate pass; the oracle UNROLLS the
+    // same three steps in SQL (w=0 start, lr=1), so the learned weights
+    // and final train logloss must agree to 4 decimals cross-engine —
+    // an exact end-to-end check that distributed training reproduces
+    // the sequential math.
+    GQuery("q_classifier_train",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val x1 = col("n_chars").cast("double") / 100.0
+        val x2 = TextFunctions.tokenCount(col("text")).cast("double") / 10.0
+        val y = (col("lang") === "en").cast("double")
+        val (w, b) = Curation.trainLogReg(t.documents, Seq(x1, x2), y,
+          steps = 3, lr = 1.0)
+        val margin = x1 * w.head + x2 * w(1) + b
+        val p = lit(1.0) / (lit(1.0) + exp(-margin))
+        t.documents.agg(
+          round(lit(w.head), 4).as("w_chars"),
+          round(lit(w(1)), 4).as("w_tokens"),
+          round(lit(b), 4).as("bias"),
+          r4(avg(-(y * log(p) + (lit(1.0) - y) * log(lit(1.0) - p))))
+            .as("train_logloss"))
+      },
+      Some("""WITH f AS (SELECT CAST(n_chars AS DOUBLE)/100.0 AS x1,
+          CAST(len(list_filter(string_split(text, ' '),
+            t -> len(t) > 0)) AS DOUBLE)/10.0 AS x2,
+          CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+        FROM documents),
+        g1 AS (SELECT avg((y - 0.5) * x1) AS d1,
+                      avg((y - 0.5) * x2) AS d2,
+                      avg(y - 0.5) AS db FROM f),
+        s1 AS (SELECT d1 AS w1, d2 AS w2, db AS b FROM g1),
+        g2 AS (SELECT avg((y - 1.0/(1.0 + exp(-(w1*x1 + w2*x2 + b)))) * x1) AS d1,
+                      avg((y - 1.0/(1.0 + exp(-(w1*x1 + w2*x2 + b)))) * x2) AS d2,
+                      avg(y - 1.0/(1.0 + exp(-(w1*x1 + w2*x2 + b)))) AS db
+               FROM f, s1),
+        s2 AS (SELECT w1 + d1 AS w1, w2 + d2 AS w2, b + db AS b
+               FROM s1, g2),
+        g3 AS (SELECT avg((y - 1.0/(1.0 + exp(-(w1*x1 + w2*x2 + b)))) * x1) AS d1,
+                      avg((y - 1.0/(1.0 + exp(-(w1*x1 + w2*x2 + b)))) * x2) AS d2,
+                      avg(y - 1.0/(1.0 + exp(-(w1*x1 + w2*x2 + b)))) AS db
+               FROM f, s2),
+        s3 AS (SELECT w1 + d1 AS w1, w2 + d2 AS w2, b + db AS b
+               FROM s2, g3)
+        SELECT round(w1, 4) AS w_chars, round(w2, 4) AS w_tokens,
+               round(b, 4) AS bias,
+               round(avg(-(y * ln(1.0/(1.0 + exp(-(w1*x1 + w2*x2 + b))))
+                 + (1.0 - y) * ln(1.0 - 1.0/(1.0 + exp(-(w1*x1 + w2*x2 + b)))))), 4)
+                 AS train_logloss
+        FROM f, s3 GROUP BY w1, w2, b"""))
   )
 }
