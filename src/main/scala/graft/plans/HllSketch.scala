@@ -394,7 +394,34 @@ object HllSketch {
       (e: Seq[Expression]) => HllMergeAgg(e.head, emitBlob = false), "built-in")
     reg.createOrReplaceTempFunction("hllmergestate",
       (e: Seq[Expression]) => HllMergeAgg(e.head, emitBlob = true), "built-in")
+    // legacy fastHLL: STRING column of char-encoded serialized HLLs
+    // (FastHLLAggregationFunction.java — byte + 129 per char); decode
+    // then the normal blob merge
+    reg.createOrReplaceTempFunction("fasthll",
+      (e: Seq[Expression]) => HllMergeAgg(FastHllDecode(e.head),
+        emitBlob = false), "built-in")
   }
+}
+
+/** Decodes the reference's legacy fastHLL STRING encoding back to the
+  * serialized HLL blob: each char is the blob byte + 129
+  * (`FastHLLAggregationFunction.java` BYTE_TO_CHAR_OFFSET / its
+  * `convertStringToHLL`). Deprecated compat surface — eval-mode only,
+  * feeds [[HllMergeAgg]]. */
+case class FastHllDecode(child: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+  with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def dataType: DataType = BinaryType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(input: Any): Any = {
+    val s = input.toString
+    val out = new Array[Byte](s.length)
+    var i = 0
+    while (i < s.length) { out(i) = (s.charAt(i) - 129).toByte; i += 1 }
+    out
+  }
+  override protected def withNewChildInternal(c: Expression): FastHllDecode =
+    copy(child = c)
 }
 
 /** HLL++ aggregate delegating to stream-lib HyperLogLogPlus — the

@@ -25,3 +25,26 @@ class ClearspringHllSpec extends AnyFunSuite {
     assert(hex(h.getBytes) == exp)
   }
 }
+
+/** Legacy fastHLL: STRING column of char-encoded serialized HLLs
+  * (byte + 129 per char, `FastHLLAggregationFunction.java`). */
+class FastHllSpec extends SparkSpec {
+
+  private def encode(h: HyperLogLog): String =
+    new String(h.getBytes.map(b => (b + 129).toChar))
+
+  test("fasthll merges char-encoded HLL strings to the union estimate") {
+    import spark.implicits._
+    val h1 = new HyperLogLog(8); Seq("a", "b", "c").foreach(h1.offer)
+    val h2 = new HyperLogLog(8); Seq("c", "d").foreach(h2.offer)
+    val expected = {
+      val m = new HyperLogLog(8); m.addAll(h1); m.addAll(h2)
+      m.cardinality()
+    }
+    graft.functions.PinotFunctions.registerAll(spark)
+    Seq(encode(h1), encode(h2)).toDF("s").createOrReplaceTempView("t_fh")
+    val got = spark.sql("SELECT fasthll(s) AS c FROM t_fh")
+      .head().getLong(0)
+    assert(got == expected && got == 4L)
+  }
+}

@@ -120,7 +120,7 @@ object ScaleProbe {
       // round-3: BM25 (stats scan + map-only scoring; with the
       // ingest-time IndexCache, q_ann_* ratios measure warm-index
       // search — the reference's serving cost model)
-      "q_bm25_topk")
+      "q_bm25_topk", "q_classifier_train")
       .filter(q => only.isEmpty || only(q))
     def time(dir: String, name: String): Double = {
       val t0 = System.nanoTime()
