@@ -51,6 +51,46 @@ object Upsert {
       .filter(col("__rn") === 1).drop("__rn")
   }
 
+  /** Dedup table with metadata TTL (`DedupConfig._metadataTTL` /
+    * `_dedupTimeColumn`; expiry rule
+    * `ConcurrentMapPartitionDedupMetadataManager.java:107` —
+    * `smallestTimeToKeep = largestSeenTime - TTL`): an incoming record
+    * is dropped iff its key has an UNEXPIRED store entry; an expired
+    * key re-inserts and stores the new time. Processed in dedup-time
+    * order the watermark rule reduces to a per-key greedy gap test —
+    * keep iff `t - lastKeptTime(key) > ttl` — because largestSeenTime
+    * equals the current record's time under a time-ordered replay.
+    *
+    * Scale shape: ONE hash repartition on the key, in-partition sort,
+    * and a single-pass iterator carrying only (currentKey,
+    * lastKeptTime) — constant memory per partition, no driver state,
+    * no window materialization. The per-partition fold is genuinely
+    * sequential state (greedy selection is not expressible as a
+    * window/aggregate), the documented mapPartitions exception. */
+  def dedupTtl(df: DataFrame, keys: Seq[String], timeMillis: Column,
+      ttlMillis: Long, tieCols: Seq[String] = Nil): DataFrame = {
+    val withT = df.withColumn("__t", timeMillis.cast("long"))
+    val sortCols = keys.map(col) ++ (col("__t") +: tieCols.map(col))
+    val parted = withT.repartition(keys.map(col): _*)
+      .sortWithinPartitions(sortCols: _*)
+    val schema = parted.schema
+    val kIdx = keys.map(schema.fieldIndex)
+    val tIdx = schema.fieldIndex("__t")
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    parted.mapPartitions { it =>
+      var curKey: Seq[Any] = null
+      var lastKept = Long.MinValue
+      it.filter { r =>
+        val k = kIdx.map(r.get)
+        if (k != curKey) { curKey = k; lastKept = Long.MinValue }
+        val t = r.getLong(tIdx)
+        val keep = lastKept == Long.MinValue || t - lastKept > ttlMillis
+        if (keep) lastKept = t
+        keep
+      }
+    }(enc).drop("__t")
+  }
+
   /** Partial-upsert merge strategies (reference merger/columnar). */
   sealed trait Merge { def column: String }
   /** latest non-null wins (OVERWRITE) */

@@ -1200,6 +1200,40 @@ object PipelineQueries {
         SELECT user_id, event_id, event_type FROM r WHERE rn = 1
         ORDER BY user_id""")),
 
+    // Dedup table with metadata TTL (Upsert.dedupTtl — reference
+    // DedupConfig.metadataTTL watermark expiry, reduced to the per-key
+    // greedy gap rule under time-ordered replay). EXACT oracle: DuckDB
+    // replays the same greedy selection with a recursive CTE (each
+    // step joins the next record more than TTL after the last kept),
+    // aggregated per key.
+    GQuery("q_dedup_ttl",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val ms = unix_millis(col("ts").cast(TimestampType))
+        val kept = Upsert.dedupTtl(t.events, Seq("user_id"), ms,
+          ttlMillis = 43200000L, tieCols = Seq("event_id"))
+        kept.groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_kept"),
+            min(unix_millis(col("ts").cast(TimestampType))).as("t_first"),
+            max(unix_millis(col("ts").cast(TimestampType))).as("t_last"))
+          .orderBy(col("user_id"))
+      },
+      Some("""WITH RECURSIVE base AS (
+          SELECT user_id AS k, epoch_ms(ts) AS t, event_id,
+                 row_number() OVER (PARTITION BY user_id
+                   ORDER BY epoch_ms(ts), event_id) AS rn
+          FROM events),
+        keep AS (
+          SELECT k, t, rn FROM base WHERE rn = 1
+          UNION ALL
+          SELECT b.k, b.t, b.rn FROM keep kp JOIN base b
+            ON b.k = kp.k AND b.rn = (
+              SELECT min(b2.rn) FROM base b2
+              WHERE b2.k = kp.k AND b2.t - kp.t > 43200000))
+        SELECT k AS user_id, count(*) AS n_kept,
+               min(t) AS t_first, max(t) AS t_last
+        FROM keep GROUP BY k ORDER BY user_id""")),
+
     // Hybrid offline/realtime time-boundary view (TimeBoundaryManager).
     GQuery("q_hybrid_boundary",
       (s, dir) => {

@@ -41,6 +41,22 @@ class UpsertFunnelGapfillSpec extends SparkSpec {
     assert(out == Map(1L -> 1L, 2L -> 4L, 3L -> 7L))
   }
 
+  test("dedup TTL: drops within window, re-inserts after expiry, ties keep first") {
+    import org.apache.spark.sql.functions.col
+    // key A: t=0 kept, t=100 dropped (gap <= ttl), t=101 dropped
+    // (gap from last KEPT, not last seen), t=201 kept (201-0 > 200);
+    // key B: tie at t=5 -> smaller id kept; t=205 gap == ttl -> still
+    // unexpired (reference expiry is STRICT: stored < t - ttl), t=206 kept
+    val rows = Seq(("A", 0L, 1L), ("A", 100L, 2L), ("A", 101L, 3L),
+      ("A", 201L, 4L), ("B", 5L, 6L), ("B", 5L, 5L), ("B", 205L, 7L),
+      ("B", 206L, 8L))
+      .toDF("k", "t", "id")
+    val kept = Upsert.dedupTtl(rows, Seq("k"), col("t"), ttlMillis = 200L,
+      tieCols = Seq("id"))
+      .select($"k", $"id").as[(String, Long)].collect().toSet
+    assert(kept == Set(("A", 1L), ("A", 4L), ("B", 5L), ("B", 8L)))
+  }
+
   test("partial upsert merges per strategy") {
     val out = Upsert.partialUpsert(events, Seq("user_id"), "ts",
       Seq(Upsert.Increment("value"), Upsert.Overwrite("event_type"),
