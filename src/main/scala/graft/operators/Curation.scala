@@ -249,6 +249,51 @@ object Curation {
         (col("__start") % budget).as("offset"))
   }
 
+  /** First-fit-decreasing bin packing into fixed-capacity context
+    * windows — the NO-SPLIT alternative to [[packSequences]]'
+    * concat-and-chunk (every document stays whole in exactly one bin;
+    * the standard choice when examples must not cross attention
+    * boundaries). Docs longer than `capacity` are excluded (callers
+    * gate or truncate first). Deterministic: shard = md5 bucket of the
+    * id, order within a shard = (tokens desc, id) — classic FFD.
+    *
+    * Scale: one repartition+sort clusters each shard, then a
+    * single-pass iterator packs it holding only the open-bin residual
+    * array (bounded by shard size, which is FIXED by design — shard
+    * COUNT grows with the corpus, shards pack in parallel). Sequential
+    * greedy state, the same documented mapPartitions exception as
+    * `Upsert.dedupTtl`. FFD invariant (verified by the q_pack_ffd
+    * oracle): at most one bin per shard ends ≤ half-full, so bins per
+    * shard ≤ 2·tokens/capacity + 1. Returns (id, shard, bin, n_tokens). */
+  def packBinsFfd(df: DataFrame, idCol: String, nTokens: Column,
+      capacity: Long, shards: Int = 64): DataFrame = {
+    val spark = df.sparkSession
+    val base = df.select(col(idCol).as("id"),
+        (bucket32(col(idCol)) % shards).cast("int").as("shard"),
+        nTokens.cast("long").as("n_tokens"))
+      .filter(col("n_tokens") <= capacity && col("n_tokens") > 0)
+      .repartition(col("shard"))
+      .sortWithinPartitions(col("shard"), col("n_tokens").desc, col("id"))
+    val enc = org.apache.spark.sql.Encoders.row(
+      org.apache.spark.sql.types.StructType(base.schema.fields :+
+        org.apache.spark.sql.types.StructField("bin",
+          org.apache.spark.sql.types.IntegerType, nullable = false)))
+    base.mapPartitions { it =>
+      var curShard = Int.MinValue
+      val residuals = scala.collection.mutable.ArrayBuffer.empty[Long]
+      it.map { r =>
+        val s = r.getInt(1)
+        if (s != curShard) { curShard = s; residuals.clear() }
+        val nt = r.getLong(2)
+        var b = 0
+        while (b < residuals.length && residuals(b) < nt) b += 1
+        if (b == residuals.length) residuals += capacity
+        residuals(b) -= nt
+        org.apache.spark.sql.Row(r.get(0), s, nt, b)
+      }
+    }(enc)
+  }
+
   /** Data mixing: downsample so stratum proportions match `weights`
     * (training-mixture rebalancing, e.g. 50% en / 20% de / ...), with
     * maximal retention: the binding stratum (smallest count/weight) is

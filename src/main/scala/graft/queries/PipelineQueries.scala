@@ -1846,6 +1846,42 @@ object PipelineQueries {
         SELECT query_id, doc_id, score, rank FROM ranked
         WHERE rank <= 10 ORDER BY query_id, doc_id""")),
 
+    // First-fit-decreasing bin packing (Curation.packBinsFfd — the
+    // no-split sequence-packing layout). Per-shard doc counts and token
+    // sums are EXACT cross-engine (md5 shard + token gate mirrored in
+    // SQL); the packing itself is checked through its invariants: no
+    // bin over capacity, at most one bin per shard ending <= half-full
+    // (the first-fit property that implies bins <= 2*tokens/cap + 1),
+    // and bin count >= the ceil(tokens/cap) lower bound.
+    GQuery("q_pack_ffd",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val cap = 128
+        val packed = Curation.packBinsFfd(t.documents, "doc_id",
+          TextFunctions.tokenCount(col("text")), capacity = cap, shards = 8)
+        packed.groupBy(col("shard"), col("bin"))
+          .agg(sum(col("n_tokens")).as("load"), count(lit(1)).as("n"))
+          .groupBy(col("shard")).agg(
+            sum(col("n")).cast("long").as("n_docs"),
+            sum(col("load")).cast("long").as("tok_sum"),
+            bool_and(col("load") <= cap).as("cap_ok"),
+            (count(when(col("load") <= cap / 2, 1)) <= 1).as("halffull_ok"),
+            (count(lit(1)) >= ceil(sum(col("load")) / lit(cap.toDouble)))
+              .as("lower_ok"))
+          .orderBy(col("shard"))
+      },
+      Some("""WITH d AS (SELECT doc_id,
+            len(list_filter(string_split(text, ' '),
+              x -> len(x) > 0)) AS nt,
+            CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+              AS BIGINT) % 8 AS shard
+          FROM documents)
+        SELECT CAST(shard AS INT) AS shard, COUNT(*) AS n_docs,
+               CAST(SUM(nt) AS BIGINT) AS tok_sum,
+               TRUE AS cap_ok, TRUE AS halffull_ok, TRUE AS lower_ok
+        FROM d WHERE nt <= 128 AND nt > 0
+        GROUP BY shard ORDER BY shard""")),
+
     // Distributed classifier TRAINING (Curation.trainLogReg): 3 full-
     // batch GD steps, each one aggregate pass; the oracle UNROLLS the
     // same three steps in SQL (w=0 start, lr=1), so the learned weights
