@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.Tables
-import graft.operators.{AsOfJoin, BandJoin}
+import graft.operators.{AsOfJoin, BandJoin, SpatialJoin}
 import QH._
 
 /** Filter/predicate surface (reference `Predicate.java:29-41`: EQ, NOT_EQ,
@@ -285,6 +285,49 @@ object FilterJoinQueries {
           p.purchase_id AS p_purchase_id, p.ts AS p_ts
         FROM clicks c ASOF LEFT JOIN purchases p
           ON c.user_id = p.user_id AND c.ts > p.ts
-        ORDER BY user_id, event_id"""))
+        ORDER BY user_id, event_id""")),
+
+    // Grid-bucketed spatial join (operators/SpatialJoin): points hash
+    // to one grid cell each, regions explode over their bbox cover,
+    // equi-join on the cell replaces the cross product, exact bbox
+    // predicate filters. Oracle: DuckDB computes the same join as a
+    // direct range join (regions × points is tiny at oracle scale).
+    GQuery("q_join_spatial",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val points = t.events.filter(col("event_id") <= 4000)
+          .withColumn("px", (col("event_id") * 7919 % 10000) / 100.0)
+          .withColumn("py", (col("event_id") * 104729 % 10000) / 100.0)
+          .select(col("event_id"), col("px"), col("py"))
+        val boxes = t.nation
+          .withColumn("xmin", (col("n_nationkey") * 7 % 80).cast("double"))
+          .withColumn("ymin", (col("n_nationkey") * 13 % 80).cast("double"))
+          .withColumn("xmax", col("xmin") + 5 + col("n_nationkey") % 10)
+          .withColumn("ymax", col("ymin") + 4 + col("n_nationkey") % 7)
+          .select(col("n_nationkey"), col("xmin"), col("ymin"),
+            col("xmax"), col("ymax"))
+        SpatialJoin.pointInBox(points, "px", "py",
+            boxes, "xmin", "ymin", "xmax", "ymax", cellSize = 10.0)
+          .groupBy(col("n_nationkey"))
+          .agg(count(lit(1)).as("n_points"),
+            sum(col("event_id")).cast("long").as("id_sum"))
+          .orderBy(col("n_nationkey"))
+      },
+      Some("""WITH pts AS (SELECT event_id,
+            (event_id * 7919 % 10000) / 100.0 AS px,
+            (event_id * 104729 % 10000) / 100.0 AS py
+          FROM events WHERE event_id <= 4000),
+        boxes AS (SELECT n_nationkey,
+            CAST(n_nationkey * 7 % 80 AS DOUBLE) AS xmin,
+            CAST(n_nationkey * 13 % 80 AS DOUBLE) AS ymin,
+            CAST(n_nationkey * 7 % 80 AS DOUBLE) + 5 + n_nationkey % 10 AS xmax,
+            CAST(n_nationkey * 13 % 80 AS DOUBLE) + 4 + n_nationkey % 7 AS ymax
+          FROM nation)
+        SELECT b.n_nationkey, COUNT(*) AS n_points,
+               CAST(SUM(p.event_id) AS BIGINT) AS id_sum
+        FROM boxes b JOIN pts p
+          ON p.px >= b.xmin AND p.px < b.xmax
+         AND p.py >= b.ymin AND p.py < b.ymax
+        GROUP BY b.n_nationkey ORDER BY b.n_nationkey"""))
   )
 }
