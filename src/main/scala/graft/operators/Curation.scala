@@ -249,6 +249,48 @@ object Curation {
         (col("__start") % budget).as("offset"))
   }
 
+  /** Overlapping token-window chunking (the RAG-indexing / long-doc
+    * layout: windows of `chunkTokens` every `stride` tokens, stride <
+    * chunk ⇒ overlap). Pure map-side row expansion — tokenize once,
+    * explode the start offsets, slice — no shuffle, no state; output
+    * size is n_tokens/stride per doc at any scale. Returns (id,
+    * chunk_idx, chunk_text, n_chunk_tokens). */
+  def chunkOverlap(df: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int, stride: Int): DataFrame = {
+    require(chunkTokens > 0 && stride > 0)
+    df.select(col(idCol), TextFunctions.tokens(col(textCol)).as("__toks"))
+      .filter(size(col("__toks")) > 0)
+      .select(col(idCol),
+        posexplode(sequence(lit(0), size(col("__toks")) - 1, lit(stride)))
+          .as(Seq("chunk_idx", "__start")),
+        col("__toks"))
+      .select(col(idCol), col("chunk_idx"),
+        concat_ws(" ",
+          slice(col("__toks"), col("__start") + 1, lit(chunkTokens)))
+          .as("chunk_text"),
+        least(lit(chunkTokens), size(col("__toks")) - col("__start"))
+          .as("n_chunk_tokens"))
+  }
+
+  /** Snapshot diff — the incremental-update primitive between two
+    * corpus versions: full outer join on the id, content compared by
+    * hash. One co-partitioned shuffle join; only ids and digests move
+    * if callers pre-project. Returns (id, status ∈
+    * added|removed|changed|unchanged). */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, idCol: String,
+      contentCol: String): DataFrame = {
+    val o = oldDf.select(col(idCol).as("id"),
+      md5(col(contentCol).cast("string")).as("__oh"))
+    val n = newDf.select(col(idCol).as("id"),
+      md5(col(contentCol).cast("string")).as("__nh"))
+    o.join(n, Seq("id"), "full_outer")
+      .select(col("id"),
+        when(col("__oh").isNull, "added")
+          .when(col("__nh").isNull, "removed")
+          .when(col("__oh") === col("__nh"), "unchanged")
+          .otherwise("changed").as("status"))
+  }
+
   /** First-fit-decreasing bin packing into fixed-capacity context
     * windows — the NO-SPLIT alternative to [[packSequences]]'
     * concat-and-chunk (every document stays whole in exactly one bin;

@@ -1846,6 +1846,57 @@ object PipelineQueries {
         SELECT query_id, doc_id, score, rank FROM ranked
         WHERE rank <= 10 ORDER BY query_id, doc_id""")),
 
+    // Overlapping token-window chunking (Curation.chunkOverlap — RAG /
+    // long-doc layout). EXACT oracle: DuckDB re-derives every chunk
+    // (same tokenization, same slicing) and the md5 of each chunk's
+    // text must match.
+    GQuery("q_chunk_overlap",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        Curation.chunkOverlap(t.documents, "doc_id", "text",
+            chunkTokens = 32, stride = 16)
+          .select(col("doc_id"), col("chunk_idx"),
+            md5(col("chunk_text")).as("chunk_md5"), col("n_chunk_tokens"))
+          .orderBy(col("doc_id"), col("chunk_idx"))
+      },
+      Some("""WITH d AS (SELECT doc_id,
+            list_filter(string_split(text, ' '), x -> len(x) > 0) AS toks
+          FROM documents),
+        e AS (SELECT doc_id, toks,
+            unnest(range(0, len(toks), 16)) AS start
+          FROM d WHERE len(toks) > 0)
+        SELECT doc_id, CAST(start // 16 AS INT) AS chunk_idx,
+          md5(array_to_string(toks[start + 1 : start + 32], ' ')) AS chunk_md5,
+          CAST(LEAST(32, len(toks) - start) AS INT) AS n_chunk_tokens
+        FROM e ORDER BY doc_id, chunk_idx""")),
+
+    // Snapshot diff (Curation.snapshotDiff): added/removed/changed/
+    // unchanged between two corpus versions via a full-outer hash join
+    // on content digests. The two versions are deterministic slices of
+    // documents, so DuckDB derives every status arithmetically.
+    GQuery("q_snapshot_diff",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val old = t.documents.filter(col("doc_id") % 10 =!= 3)
+        val neu = t.documents.filter(col("doc_id") % 10 =!= 7)
+          .withColumn("text", when(col("doc_id") % 7 === 0,
+            concat(col("text"), lit(" v2"))).otherwise(col("text")))
+        Curation.snapshotDiff(old, neu, "doc_id", "text")
+          .groupBy(col("status"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("id")).cast("long").as("id_sum"))
+          .orderBy(col("status"))
+      },
+      Some("""SELECT status, COUNT(*) AS n,
+          CAST(SUM(doc_id) AS BIGINT) AS id_sum
+        FROM (SELECT doc_id,
+            CASE WHEN doc_id % 10 = 3 THEN 'added'
+                 WHEN doc_id % 10 = 7 THEN 'removed'
+                 WHEN doc_id % 7 = 0 THEN 'changed'
+                 ELSE 'unchanged' END AS status
+          FROM documents)
+        GROUP BY status ORDER BY status""")),
+
     // First-fit-decreasing bin packing (Curation.packBinsFfd — the
     // no-split sequence-packing layout). Per-shard doc counts and token
     // sums are EXACT cross-engine (md5 shard + token gate mirrored in
