@@ -120,7 +120,10 @@ object ScaleProbe {
       // round-3: BM25 (stats scan + map-only scoring; with the
       // ingest-time IndexCache, q_ann_* ratios measure warm-index
       // search — the reference's serving cost model)
-      "q_bm25_topk", "q_classifier_train")
+      "q_bm25_topk", "q_classifier_train",
+      // round-3: TTL dedup, FFD packing, spatial join, chunking, diff
+      "q_dedup_ttl", "q_pack_ffd", "q_join_spatial", "q_chunk_overlap",
+      "q_snapshot_diff")
       .filter(q => only.isEmpty || only(q))
     def time(dir: String, name: String): Double = {
       val t0 = System.nanoTime()
