@@ -46,4 +46,34 @@ object SpatialJoin {
         col(y) >= col(ymin) && col(y) < col(ymax))
       .drop("__cx", "__cy")
   }
+
+  /** Radius join: all (left, right) pairs within Euclidean `radius`.
+    * Grid cell size = radius, so a match can only lie in the right
+    * point's own cell or one of its 8 neighbors: the LEFT side
+    * explodes to that fixed 9-cell neighborhood (constant ×9, no data
+    * dependence), the right side maps to its single cell, and the
+    * equi-join on the cell bounds candidates — each true pair meets
+    * exactly once, so no dedup pass. Exact predicate compares SQUARED
+    * distance (no sqrt in the hot path, and products of exact doubles
+    * compare identically across engines). */
+  def pointsWithinRadius(
+      left: DataFrame, lx: String, ly: String,
+      right: DataFrame, rx: String, ry: String,
+      radius: Double): DataFrame = {
+    require(radius > 0)
+    val offsets = for { dx <- -1 to 1; dy <- -1 to 1 } yield (dx, dy)
+    val lc = left
+      .withColumn("__o", explode(typedLit(offsets)))
+      .withColumn("__cx", floor(col(lx) / radius) + col("__o._1"))
+      .withColumn("__cy", floor(col(ly) / radius) + col("__o._2"))
+      .drop("__o")
+    val rc = right
+      .withColumn("__cx", floor(col(rx) / radius))
+      .withColumn("__cy", floor(col(ry) / radius))
+    val d2 = (col(lx) - col(rx)) * (col(lx) - col(rx)) +
+      (col(ly) - col(ry)) * (col(ly) - col(ry))
+    lc.join(rc, Seq("__cx", "__cy"))
+      .filter(d2 <= radius * radius)
+      .drop("__cx", "__cy")
+  }
 }

@@ -328,6 +328,65 @@ object FilterJoinQueries {
         FROM boxes b JOIN pts p
           ON p.px >= b.xmin AND p.px < b.xmax
          AND p.py >= b.ymin AND p.py < b.ymax
-        GROUP BY b.n_nationkey ORDER BY b.n_nationkey"""))
+        GROUP BY b.n_nationkey ORDER BY b.n_nationkey""")),
+
+    // Radius join (SpatialJoin.pointsWithinRadius): grid cells of size
+    // = radius, left explodes the fixed 9-cell neighborhood, equi-join
+    // on the cell, exact squared-distance filter. Oracle: DuckDB
+    // brute-forces the same pair set.
+    GQuery("q_join_radius",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val pts = t.events.filter(col("event_id") <= 1500)
+          .withColumn("px", (col("event_id") * 7919 % 10000) / 100.0)
+          .withColumn("py", (col("event_id") * 104729 % 10000) / 100.0)
+        val l = pts.select(col("event_id").as("lid"),
+          col("px").as("lx"), col("py").as("ly"))
+        val r = pts.select(col("event_id").as("rid"),
+          col("px").as("rx"), col("py").as("ry"))
+        SpatialJoin.pointsWithinRadius(l, "lx", "ly", r, "rx", "ry",
+            radius = 1.5)
+          .filter(col("lid") < col("rid"))
+          .agg(count(lit(1)).as("n_pairs"),
+            sum(col("lid")).cast("long").as("l_sum"),
+            sum(col("rid")).cast("long").as("r_sum"))
+      },
+      Some("""WITH pts AS (SELECT event_id,
+            (event_id * 7919 % 10000) / 100.0 AS px,
+            (event_id * 104729 % 10000) / 100.0 AS py
+          FROM events WHERE event_id <= 1500)
+        SELECT COUNT(*) AS n_pairs,
+               CAST(SUM(l.event_id) AS BIGINT) AS l_sum,
+               CAST(SUM(r.event_id) AS BIGINT) AS r_sum
+        FROM pts l JOIN pts r ON l.event_id < r.event_id
+         AND (l.px - r.px) * (l.px - r.px)
+           + (l.py - r.py) * (l.py - r.py) <= 2.25""")),
+
+    // Cohort retention (the OLAP workload the reference's user-facing
+    // analytics serve): cohort = first active week per user, retention
+    // = distinct users active at each week offset. Pure composition of
+    // native ops — two shuffles (distinct user-week, cohort join).
+    GQuery("q_cohort_retention",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val uw = t.events.select(col("user_id"),
+          date_trunc("week", col("ts")).cast(DateType).as("wk")).distinct()
+        val cohort = uw.groupBy(col("user_id")).agg(min(col("wk")).as("cw"))
+        uw.join(cohort, "user_id")
+          .withColumn("week_offset",
+            (datediff(col("wk"), col("cw")) / 7).cast("int"))
+          .groupBy(date_format(col("cw"), "yyyy-MM-dd").as("cohort_week"),
+            col("week_offset"))
+          .agg(countDistinct(col("user_id")).as("n_users"))
+          .orderBy(col("cohort_week"), col("week_offset"))
+      },
+      Some("""WITH uw AS (SELECT DISTINCT user_id,
+            CAST(date_trunc('week', ts) AS DATE) AS wk FROM events),
+        c AS (SELECT user_id, min(wk) AS cw FROM uw GROUP BY 1)
+        SELECT strftime(c.cw, '%Y-%m-%d') AS cohort_week,
+               CAST((uw.wk - c.cw) // 7 AS INT) AS week_offset,
+               COUNT(DISTINCT uw.user_id) AS n_users
+        FROM uw JOIN c ON uw.user_id = c.user_id
+        GROUP BY 1, 2 ORDER BY 1, 2"""))
   )
 }
