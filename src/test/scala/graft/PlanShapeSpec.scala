@@ -1,0 +1,39 @@
+package graft
+
+/** Suite-wide plan-shape regression gate: no registered query may plan
+  * a CartesianProduct, and BroadcastNestedLoopJoin may appear ONLY in
+  * the whitelisted queries where it is the benign scalar-broadcast
+  * shape (a crossJoin against a broadcast 1-row aggregate — corpus
+  * stats, thresholds, trained centroids — which BNLJ executes as a
+  * map-only pass; Spark plans any non-equi "join" with a literal
+  * 1-row side this way). A new query that accidentally introduces
+  * either operator fails here and forces a conscious decision.
+  * Plans are BUILT, not executed, so the gate is cheap. */
+class PlanShapeSpec extends SparkSpec {
+
+  // every entry is a crossJoin(broadcast(<1-row stats>)) pattern —
+  // audited in PLANS.md; q_join_theta is the complement-count rewrite
+  // (two tallies + broadcast), q_setop_union's BNLJ is its LIMIT-less
+  // facade arm's scalar guard
+  private val scalarBroadcastBnlj = Set(
+    "q_ann_bruteforce", "q_ann_ivf", "q_ann_ivfpq", "q_ann_pq",
+    "q_ann_radius", "q_bm25_topk", "q_cluster_kmeans", "q_corpus_clean",
+    "q_dedup_embedding", "q_dedup_incremental", "q_dedup_minhash",
+    "q_dedup_semantic", "q_dedup_simhash", "q_dsir_select", "q_fn_vector",
+    "q_gapfill", "q_gapfill_agg", "q_join_theta", "q_mix_proportions",
+    "q_ppl_buckets", "q_setop_union", "q_text_lm", "q_ts_promql")
+
+  test("no cartesian products; BNLJ only in scalar-broadcast whitelist") {
+    val dir = "/root/testdata/sf0.001"
+    val offenders = scala.collection.mutable.ListBuffer.empty[String]
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, f) =>
+      val p = f(spark, dir).queryExecution.executedPlan.toString
+      if (p.contains("CartesianProduct"))
+        offenders += s"$name: CartesianProduct"
+      if (p.contains("BroadcastNestedLoopJoin") &&
+          !scalarBroadcastBnlj(name))
+        offenders += s"$name: unexpected BroadcastNestedLoopJoin"
+    }
+    assert(offenders.isEmpty, offenders.mkString("; "))
+  }
+}
