@@ -385,7 +385,10 @@ object QueryFacade {
     * timeoutMs, numGroupsLimit — Spark is always SQL-null-compliant and
     * exact, per SURVEY §2.4), then the implicit LIMIT 10 is applied
     * unless the query bounds itself. */
-  private val ExplainPrefix = """(?is)^\s*EXPLAIN\s+PLAN\s+FOR\s+""".r
+  // both reference explain forms: EXPLAIN PLAN FOR and
+  // EXPLAIN IMPLEMENTATION PLAN FOR (PinotQueryResource)
+  private val ExplainPrefix =
+    """(?is)^\s*EXPLAIN\s+(?:IMPLEMENTATION\s+)?PLAN\s+FOR\s+""".r
 
   def sql(spark: SparkSession, query: String): DataFrame = {
     PinotFunctions.registerAll(spark)
