@@ -119,6 +119,14 @@ object CompatAliases {
     "uuidv7" -> { case Seq() => uuidV7() },
     "touuidbytes" -> { case Seq(u) => NetFunctions.uuidToBytes(u) },
     "fromuuidbytes" -> { case Seq(b) => NetFunctions.bytesToUuid(b) },
+    // TO_UUID / UUID_TO_STRING (ToUuidScalarFunction.java,
+    // UuidToStringScalarFunction.java): canonical lowercase UUID
+    // string for the STRING input form; the BYTES form is
+    // fromuuidbytes/bytes_to_uuid
+    "touuid" -> { case Seq(u) =>
+      when(NetFunctions.isUuid(lower(u)), lower(u)) },
+    "uuidtostring" -> { case Seq(u) =>
+      when(NetFunctions.isUuid(lower(u)), lower(u)) },
 
     // ——— ASCII / string leftovers (StringFunctions.java:370,1009) ———
     "toascii" -> { case Seq(s) => encode(s, "US-ASCII") },
@@ -197,6 +205,8 @@ object CompatAliases {
     "is_private_ip", "is_subnet_of", "ip_family", "ip_mask_len",
     "ip_netmask", "ip_hostmask", "ip_prefix", "ip_subnet_min",
     "ip_subnet_max", "uuid_v4", "uuid_v7", "bytes_to_uuid", "uuid_to_bytes",
+    "is_uuid", "to_uuid", "uuid_timestamp", "uuid_to_string",
+    "uuid_version",
     // Pinot camelCase forms of Spark snake_case builtins
     "stddevpop", "stddevsamp", "varpop", "varsamp", "covarpop",
     "covarsamp", "widthbucket", "octetlength", "bitcount", "bitlength",
