@@ -1752,6 +1752,41 @@ object PipelineQueries {
         SELECT bucket, COUNT(*) AS n, ROUND(AVG(s), 4) AS mean_nlp
         FROM b GROUP BY 1 ORDER BY bucket""")),
 
+    // The SCALE PATH for perplexity bucketing: thresholds from a KLL
+    // quantile sketch (one aggregate, mergeable state) instead of
+    // q_ppl_buckets' global ntile sort — assignment becomes a map-only
+    // comparison against two broadcast thresholds, nothing ever
+    // single-partitions. Verdicts: exact total, 3 buckets, balance
+    // within KLL rank-error tolerance, bucket means monotone.
+    GQuery("q_ppl_buckets_kll",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val scored = Curation.unigramScore(t.documents, "doc_id", "text")
+        val th = scored.agg(
+          graft.plans.KllSketch.percentileKll(col("avg_neg_logp"),
+            100.0 / 3).as("t1"),
+          graft.plans.KllSketch.percentileKll(col("avg_neg_logp"),
+            200.0 / 3).as("t2"))
+        val stats = scored.crossJoin(broadcast(th))
+          .withColumn("bucket",
+            when(col("avg_neg_logp") <= col("t1"), 1)
+              .when(col("avg_neg_logp") <= col("t2"), 2).otherwise(3))
+          .groupBy(col("bucket"))
+          .agg(count(lit(1)).as("bn"), avg(col("avg_neg_logp")).as("bm"))
+        stats.agg(
+          sum(col("bn")).cast("long").as("n_total"),
+          (count(lit(1)) === 3).as("three_buckets"),
+          ((max(col("bn")) - min(col("bn"))).cast("double") <=
+            sum(col("bn")) * 0.1).as("balance_ok"),
+          (max(when(col("bucket") === 1, col("bm"))) <=
+            max(when(col("bucket") === 2, col("bm"))) &&
+            max(when(col("bucket") === 2, col("bm"))) <=
+              max(when(col("bucket") === 3, col("bm")))).as("monotone_ok"))
+      },
+      Some("""SELECT CAST(COUNT(*) AS BIGINT) AS n_total,
+          TRUE AS three_buckets, TRUE AS balance_ok, TRUE AS monotone_ok
+        FROM documents""")),
+
     // REAL byte-pair-encoding tokenization (Bpe): merges learned from
     // the corpus-wide top-2^14 word-frequency table (bounded collect at
     // any corpus size), applied as a map-only scalar expression. The
