@@ -36,6 +36,24 @@ class IndexCacheSpec extends SparkSpec {
     assert(a1.sameElements(a5), "cold rebuild must reproduce assignments")
   }
 
+  test("ivf assignments written partitioned by cell prune at read") {
+    IndexCache.clear()
+    val m = IvfIndex.build(corpus, "vec_id", "embedding", k = 4)
+    val dir = java.nio.file.Files.createTempDirectory("ivfcells").toString
+    // the 100 TB layout: the index artifact IS a table partitioned by
+    // its cell id, so an nprobe search reads nprobe/k of the files
+    m.assignments.write.partitionBy("cell").parquet(s"$dir/cells")
+    val back = spark.read.parquet(s"$dir/cells")
+      .filter(org.apache.spark.sql.functions.col("cell").isin(0, 1))
+    val plan = back.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      (plan.contains("cell#") || plan.contains("cell IN")),
+      s"cell filter must prune partitions:\n$plan")
+    val cells = back.select("cell").distinct()
+      .collect().map(_.getInt(0)).toSet
+    assert(cells.subsetOf(Set(0, 1)) && cells.nonEmpty)
+  }
+
   test("pq build memoizes and cold rebuild reproduces the codes") {
     IndexCache.clear()
     val m1 = PqIndex.build(corpus, "vec_id", "embedding", m = 2, k = 4)
