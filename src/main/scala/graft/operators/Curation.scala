@@ -249,6 +249,38 @@ object Curation {
         (col("__start") % budget).as("offset"))
   }
 
+  /** Canonical URL form — the first dedup key of every web-corpus
+    * pipeline (C4/CommonCrawl preprocessing): lowercase scheme and
+    * host, strip `www.`, drop scheme-default ports, drop the fragment,
+    * remove tracking parameters (`utm_*`, `gclid`, `fbclid`), sort the
+    * surviving query parameters, and normalize the path's trailing
+    * slash. Pure regexp/array expressions — map-only, codegen-friendly,
+    * no UDF. */
+  def canonicalUrl(u: Column): Column = {
+    val noFrag = regexp_replace(u, "#.*$", "")
+    val scheme = lower(regexp_extract(noFrag,
+      "^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1))
+    val rest = regexp_replace(noFrag, "^[a-zA-Z][a-zA-Z0-9+.-]*://", "")
+    val hostPort = regexp_extract(rest, "^([^/?]*)", 1)
+    val pathQ = regexp_replace(rest, "^[^/?]*", "")
+    val host = lower(regexp_replace(hostPort, ":[0-9]+$", ""))
+    val hostNoWww = regexp_replace(host, "^www\\.", "")
+    val port = regexp_extract(hostPort, ":([0-9]+)$", 1)
+    val keepPort = when(port === "" ||
+        (scheme === "http" && port === "80") ||
+        (scheme === "https" && port === "443"), "")
+      .otherwise(concat(lit(":"), port))
+    val path0 = regexp_extract(pathQ, "^([^?]*)", 1)
+    val stripped = regexp_replace(path0, "/+$", "")
+    val pathNorm = when(stripped === "", "/").otherwise(stripped)
+    val query = regexp_extract(pathQ, "\\?(.*)$", 1)
+    val params = filter(split(query, "&"), p =>
+      p =!= "" && !p.rlike("^(utm_[^=]*|gclid|fbclid)="))
+    val qNorm = array_join(array_sort(params), "&")
+    concat(scheme, lit("://"), hostNoWww, keepPort, pathNorm,
+      when(qNorm === "", "").otherwise(concat(lit("?"), qNorm)))
+  }
+
   /** Overlapping token-window chunking (the RAG-indexing / long-doc
     * layout: windows of `chunkTokens` every `stride` tokens, stride <
     * chunk ⇒ overlap). Pure map-side row expansion — tokenize once,

@@ -1752,6 +1752,72 @@ object PipelineQueries {
         SELECT bucket, COUNT(*) AS n, ROUND(AVG(s), 4) AS mean_nlp
         FROM b GROUP BY 1 ORDER BY bucket""")),
 
+    // Canonical URL normalization (Curation.canonicalUrl — the first
+    // dedup key of web-corpus pipelines). Synthetic URLs exercise
+    // every rule (case, www, default vs explicit ports, trailing
+    // slash, tracking params, param order, fragments); DuckDB
+    // replicates the full regexp pipeline and every canonical string
+    // must match exactly.
+    GQuery("q_dedup_url",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val id = col("doc_id")
+        val url = concat(
+          when(id % 2 === 0, "HTTPS").otherwise("http"), lit("://"),
+          when(id % 3 === 0, "WWW.").otherwise(lit("")),
+          lit("Site"), (id % 5).cast("string"), lit(".com"),
+          when(id % 2 === 0, ":443")
+            .when(id % 4 === 1, ":8080").otherwise(":80"),
+          lit("/Path/"), (id % 7).cast("string"),
+          when(id % 2 === 0, "/").otherwise(lit("")),
+          lit("?utm_source=x&b="), (id % 3).cast("string"), lit("&a=1"),
+          when(id % 5 === 0, "#frag").otherwise(lit("")))
+        t.documents.filter(id < 120)
+          .select(id, Curation.canonicalUrl(url).as("canon"))
+          .orderBy(id)
+      },
+      Some("""WITH u AS (SELECT doc_id,
+          (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'http' END) || '://' ||
+          (CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END) ||
+          'Site' || CAST(doc_id % 5 AS VARCHAR) || '.com' ||
+          (CASE WHEN doc_id % 2 = 0 THEN ':443'
+                WHEN doc_id % 4 = 1 THEN ':8080' ELSE ':80' END) ||
+          '/Path/' || CAST(doc_id % 7 AS VARCHAR) ||
+          (CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END) ||
+          '?utm_source=x&b=' || CAST(doc_id % 3 AS VARCHAR) || '&a=1' ||
+          (CASE WHEN doc_id % 5 = 0 THEN '#frag' ELSE '' END) AS url
+          FROM documents WHERE doc_id < 120),
+        c1 AS (SELECT doc_id, regexp_replace(url, '#.*$', '') AS nofrag FROM u),
+        c2 AS (SELECT doc_id,
+            lower(regexp_extract(nofrag, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) AS scheme,
+            regexp_replace(nofrag, '^[a-zA-Z][a-zA-Z0-9+.-]*://', '') AS rest
+          FROM c1),
+        c3 AS (SELECT doc_id, scheme,
+            regexp_extract(rest, '^([^/?]*)', 1) AS hostport,
+            regexp_replace(rest, '^[^/?]*', '') AS pathq
+          FROM c2),
+        c4 AS (SELECT doc_id, scheme, pathq,
+            regexp_replace(lower(regexp_replace(hostport, ':[0-9]+$', '')),
+              '^www\.', '') AS hostnowww,
+            regexp_extract(hostport, ':([0-9]+)$', 1) AS port
+          FROM c3),
+        c5 AS (SELECT doc_id, scheme, hostnowww,
+            CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
+                 OR (scheme = 'https' AND port = '443')
+                 THEN '' ELSE ':' || port END AS keepport,
+            CASE WHEN regexp_replace(regexp_extract(pathq, '^([^?]*)', 1),
+                   '/+$', '') = '' THEN '/'
+                 ELSE regexp_replace(regexp_extract(pathq, '^([^?]*)', 1),
+                   '/+$', '') END AS pathnorm,
+            array_to_string(list_sort(list_filter(
+              string_split(regexp_extract(pathq, '\?(.*)$', 1), '&'),
+              p -> p <> '' AND NOT regexp_matches(p,
+                '^(utm_[^=]*|gclid|fbclid)='))), '&') AS qnorm
+          FROM c4)
+        SELECT doc_id, scheme || '://' || hostnowww || keepport || pathnorm ||
+          (CASE WHEN qnorm = '' THEN '' ELSE '?' || qnorm END) AS canon
+        FROM c5 ORDER BY doc_id""")),
+
     // The SCALE PATH for perplexity bucketing: thresholds from a KLL
     // quantile sketch (one aggregate, mergeable state) instead of
     // q_ppl_buckets' global ntile sort — assignment becomes a map-only
