@@ -123,7 +123,8 @@ object ScaleProbe {
       "q_bm25_topk", "q_classifier_train",
       // round-3: TTL dedup, FFD packing, spatial join, chunking, diff
       "q_dedup_ttl", "q_pack_ffd", "q_join_spatial", "q_chunk_overlap",
-      "q_snapshot_diff", "q_join_radius", "q_cohort_retention")
+      "q_snapshot_diff", "q_join_radius", "q_cohort_retention",
+      "q_ppl_buckets_kll", "q_dedup_url")
       .filter(q => only.isEmpty || only(q))
     def time(dir: String, name: String): Double = {
       val t0 = System.nanoTime()
