@@ -372,24 +372,38 @@ object Dedup {
       docs: DataFrame,
       idCol: String,
       textCol: String,
-      maxDist: Int = 3): DataFrame = {
+      maxDist: Int = 3): DataFrame =
+    fingerprintPairs(
+      simhash(docs, idCol, textCol), "id", "simhash", maxDist)
+
+  /** Near-dup pairs over ANY 64-bit fingerprint column (SimHash, image
+    * dHash, audio fingerprints …) with hamming distance <= maxDist via
+    * pigeonhole banding: split 64 bits into (maxDist+1) bands — any
+    * pair within maxDist must agree exactly on >= 1 band, so the
+    * banded equi-self-join bounds candidates and the exact hamming
+    * filter runs only on them. Canonically-identical self-join sides →
+    * ReuseExchange computes the fingerprints once. */
+  def fingerprintPairs(
+      fps0: DataFrame,
+      idCol: String,
+      fpCol: String,
+      maxDist: Int): DataFrame = {
     val bands = maxDist + 1
     val width = 64 / bands
-    val fps = simhash(docs, idCol, textCol)
+    val fps = fps0.select(col(idCol).as("id"), col(fpCol).as("__fp"))
+      .filter(col("__fp").isNotNull)
     val bandKeys = array((0 until bands).map { b =>
-      shiftrightunsigned(col("simhash"), b * width).bitwiseAND(lit((1L << width) - 1))
+      shiftrightunsigned(col("__fp"), b * width).bitwiseAND(lit((1L << width) - 1))
     }: _*)
-    val banded = fps.select(col("id"), col("simhash"),
+    val banded = fps.select(col("id"), col("__fp"),
       posexplode(bandKeys).as(Seq("band", "key")))
-    // Canonically-identical self-join sides -> ReuseExchange computes the
-    // fingerprints once (see minhashLsh for the full rationale).
     // hamming before the pair-dedup: filtering to dist <= maxDist first
     // shrinks the distinct's input to true near-dups only.
     banded.as("l").hint("shuffle_hash")
       .join(banded.as("r"),
         col("l.band") === col("r.band") && col("l.key") === col("r.key"))
       .filter(col("l.id") < col("r.id"))
-      .withColumn("dist", hamming(col("l.simhash"), col("r.simhash")))
+      .withColumn("dist", hamming(col("l.__fp"), col("r.__fp")))
       .filter(col("dist") <= maxDist)
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"), col("dist")).distinct()
   }

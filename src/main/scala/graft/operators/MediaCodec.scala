@@ -64,6 +64,42 @@ object MediaCodec {
       }
     } catch { case _: Throwable => None }
 
+  /** 64-bit difference hash (dHash) — the standard perceptual near-dup
+    * key for image pipelines: downscale to 9×8 grayscale (bilinear),
+    * bit (y·8 + x) set iff gray(x,y) < gray(x+1,y). Identical under
+    * uniform brightness shifts and resizes (the adjacent-difference
+    * SIGNS survive both); similarity = Hamming distance of the longs. */
+  def dHash(bytes: Array[Byte]): Option[Long] =
+    try {
+      val img = javax.imageio.ImageIO.read(new ByteArrayInputStream(bytes))
+      if (img == null) None
+      else {
+        val small = new java.awt.image.BufferedImage(9, 8,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = small.createGraphics()
+        g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g.drawImage(img, 0, 0, 9, 8, null)
+        g.dispose()
+        def gray(x: Int, y: Int): Double = {
+          val rgb = small.getRGB(x, y)
+          0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) +
+            0.114 * (rgb & 0xff)
+        }
+        var h = 0L
+        var y = 0
+        while (y < 8) {
+          var x = 0
+          while (x < 8) {
+            if (gray(x, y) < gray(x + 1, y)) h |= 1L << (y * 8 + x)
+            x += 1
+          }
+          y += 1
+        }
+        Some(h)
+      }
+    } catch { case _: Throwable => None }
+
   /** Decode a RIFF/WAVE PCM-16LE payload to sample statistics (direct
     * header parse; chunk-walk to `fmt ` and `data`). */
   def decodeWav(bytes: Array[Byte]): Option[AudioStats] =

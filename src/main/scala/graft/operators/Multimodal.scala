@@ -99,6 +99,52 @@ object Multimodal {
       }(enc)
   }
 
+  /** Perceptual image hashes for the corpus: 64-bit dHash per image
+    * (real decode via MediaCodec/javax.imageio — null for undecodable
+    * bytes). Same mapPartitions batch shape as extractFeatures; the
+    * hash is 8 bytes per image, so downstream near-dup joins
+    * ([[Dedup.fingerprintPairs]]) never touch image bytes again. */
+  def imageDHash(df: DataFrame, idCol: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("dhash", LongType, nullable = true)))
+    val enc = Encoders.row(schema)
+    df.select(col(idCol).cast(LongType).as("id"), col("content"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val bytes = r.getAs[Array[Byte]]("content")
+          val h =
+            if (bytes == null) None else MediaCodec.dHash(bytes)
+          Row(r.getLong(0), h.map(java.lang.Long.valueOf).orNull)
+        }
+      }(enc)
+  }
+
+  /** Deterministic 16×16 random-pattern BMP for a `base` id, shifted
+    * uniformly by `brightness`: images sharing a base are exact
+    * perceptual near-dups (dHash invariant under the shift), images of
+    * different bases are random 64-bit-apart. Test/fixture generator
+    * for the image-dedup path. */
+  def patternBmp(base: Int, brightness: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(16, 16,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val rnd = new java.util.Random(base.toLong * 2654435761L)
+    var y = 0
+    while (y < 16) {
+      var x = 0
+      while (x < 16) {
+        val v0 = rnd.nextInt(200)
+        val v = math.min(255, v0 + brightness)
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "bmp", out)
+    out.toByteArray
+  }
+
   /** Deterministic fake "resize": a real implementation would decode,
     * scale, and re-encode; the fake downsamples the byte stream so the
     * content transform + metadata update plumbing is testable. Output

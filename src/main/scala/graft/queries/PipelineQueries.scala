@@ -1752,6 +1752,31 @@ object PipelineQueries {
         SELECT bucket, COUNT(*) AS n, ROUND(AVG(s), 4) AS mean_nlp
         FROM b GROUP BY 1 ORDER BY bucket""")),
 
+    // Image near-dup dedup over REAL decoded pixels: 200 synthetic BMP
+    // fixtures (40 random 16x16 patterns x 5 uniform brightness
+    // shifts), perceptual dHash per image (javax.imageio decode +
+    // 9x8 bilinear downscale), pigeonhole-banded hamming self-join.
+    // dHash is exactly invariant under the un-clipped brightness shift,
+    // so the pair set is CLOSED-FORM: all 40*C(5,2)=400 within-pattern
+    // pairs at distance 0, and no cross-pattern pair survives dist<=3.
+    GQuery("q_image_neardup",
+      (s, dir) => {
+        import s.implicits._
+        val imgs = (0 until 200).map { i =>
+          (i.toLong, Multimodal.patternBmp(i / 5, (i % 5) * 8))
+        }.toDF("img_id", "content")
+        val hashes = Multimodal.imageDHash(imgs, "img_id")
+        val pairs = Dedup.fingerprintPairs(hashes, "id", "dhash",
+          maxDist = 3)
+        pairs.agg(
+          count(lit(1)).cast("long").as("n_pairs"),
+          count(when(col("dist") === 0, 1)).cast("long").as("n_zero"),
+          coalesce(bool_and(floor(col("id_a") / 5) ===
+            floor(col("id_b") / 5)), lit(false)).as("same_pattern_ok"))
+      },
+      Some("""SELECT CAST(400 AS BIGINT) AS n_pairs,
+          CAST(400 AS BIGINT) AS n_zero, TRUE AS same_pattern_ok""")),
+
     // Canonical URL normalization (Curation.canonicalUrl — the first
     // dedup key of web-corpus pipelines). Synthetic URLs exercise
     // every rule (case, www, default vs explicit ports, trailing

@@ -41,6 +41,23 @@ class MediaCodecSpec extends AnyFunSuite {
     assert(txt.length == 8 && txt(0) != 1f && txt(0) != 2f)
   }
 
+  test("dHash: brightness-invariant, resize-robust, pattern-sensitive") {
+    import graft.operators.{MediaCodec, Multimodal}
+    val base = Multimodal.patternBmp(7, 0)
+    val bright = Multimodal.patternBmp(7, 24)
+    val other = Multimodal.patternBmp(8, 0)
+    val h0 = MediaCodec.dHash(base).get
+    assert(MediaCodec.dHash(bright).get == h0,
+      "uniform un-clipped brightness shift preserves the hash exactly")
+    val resized = MediaCodec.resizeImage(base, 64, 64).get
+    val hr = MediaCodec.dHash(resized).get
+    assert(java.lang.Long.bitCount(h0 ^ hr) <= 12,
+      s"resize keeps the hash close (got ${java.lang.Long.bitCount(h0 ^ hr)})")
+    val ho = MediaCodec.dHash(other).get
+    assert(java.lang.Long.bitCount(h0 ^ ho) > 12,
+      "different patterns land far apart")
+  }
+
   test("resizeImage really rescales through the raster pipeline") {
     val src = MediaCodec.solidBmp(16, 16, 10, 200, 30)
     val out = MediaCodec.resizeImage(src, 4, 4).get
