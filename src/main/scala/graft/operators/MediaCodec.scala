@@ -152,6 +152,51 @@ object MediaCodec {
       }
     } catch { case _: Throwable => None }
 
+  /** 64-bit audio fingerprint — the dHash idea in the time-frequency-
+    * free form buildable without an FFT: split the PCM stream into 65
+    * equal frames, bit i set iff energy(frame i) < energy(frame i+1).
+    * Exactly invariant under uniform gain (energies scale by g², the
+    * comparison signs survive) — the audio analog of dHash's
+    * brightness invariance. Pairs via [[graft.operators.Dedup
+    * .fingerprintPairs]]. */
+  def audioFingerprint(bytes: Array[Byte]): Option[Long] =
+    try {
+      if (sniff(bytes) != "wav") return None
+      val bb = java.nio.ByteBuffer.wrap(bytes)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      var pos = 12
+      var dataOff = -1
+      var dataLen = 0
+      while (pos + 8 <= bytes.length && dataOff < 0) {
+        val id = new String(bytes, pos, 4, "US-ASCII")
+        val sz = bb.getInt(pos + 4)
+        if (id == "data") {
+          dataOff = pos + 8
+          dataLen = math.min(sz, bytes.length - dataOff)
+        }
+        pos += 8 + sz + (sz & 1)
+      }
+      val n = dataLen / 2
+      if (dataOff < 0 || n < 65) None
+      else {
+        val frames = 65
+        val energies = new Array[Double](frames)
+        var i = 0
+        while (i < n) {
+          val s = bb.getShort(dataOff + 2 * i).toDouble
+          energies(i * frames / n) += s * s
+          i += 1
+        }
+        var h = 0L
+        var f = 0
+        while (f < 64) {
+          if (energies(f) < energies(f + 1)) h |= 1L << f
+          f += 1
+        }
+        Some(h)
+      }
+    } catch { case _: Throwable => None }
+
   /** Real image resize via the JDK raster pipeline; re-encoded as PNG. */
   def resizeImage(bytes: Array[Byte], w: Int, h: Int): Option[Array[Byte]] =
     try {

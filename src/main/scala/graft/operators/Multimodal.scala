@@ -120,6 +120,34 @@ object Multimodal {
       }(enc)
   }
 
+  /** Audio counterpart of [[imageDHash]]: 64-bit energy-difference
+    * fingerprint per WAV payload (MediaCodec.audioFingerprint). */
+  def audioFingerprints(df: DataFrame, idCol: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("afp", LongType, nullable = true)))
+    val enc = Encoders.row(schema)
+    df.select(col(idCol).cast(LongType).as("id"), col("content"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val bytes = r.getAs[Array[Byte]]("content")
+          val h =
+            if (bytes == null) None else MediaCodec.audioFingerprint(bytes)
+          Row(r.getLong(0), h.map(java.lang.Long.valueOf).orNull)
+        }
+      }(enc)
+  }
+
+  /** Deterministic random PCM-16 WAV for a `base` id at an integer
+    * `gain`: same base ⇒ exact fingerprint match (energy ratios are
+    * gain-invariant), different bases ⇒ independent fingerprints. */
+  def patternWav(base: Int, gain: Int): Array[Byte] = {
+    val rnd = new java.util.Random(base.toLong * 1099511628211L)
+    val samples = Array.tabulate(650)(_ =>
+      ((rnd.nextInt(6001) - 3000) * gain).toShort)
+    MediaCodec.pcm16Wav(8000, samples)
+  }
+
   /** Deterministic 16×16 random-pattern BMP for a `base` id, shifted
     * uniformly by `brightness`: images sharing a base are exact
     * perceptual near-dups (dHash invariant under the shift), images of

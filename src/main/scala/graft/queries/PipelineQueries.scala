@@ -1777,6 +1777,28 @@ object PipelineQueries {
       Some("""SELECT CAST(400 AS BIGINT) AS n_pairs,
           CAST(400 AS BIGINT) AS n_zero, TRUE AS same_pattern_ok""")),
 
+    // Audio near-dup dedup over REAL WAV decode: 40 random PCM
+    // waveforms x 5 integer gains; the energy-difference fingerprint
+    // is exactly gain-invariant, so all 400 within-waveform pairs (and
+    // only those) match at distance 0 — same closed-form oracle shape
+    // as q_image_neardup.
+    GQuery("q_audio_neardup",
+      (s, dir) => {
+        import s.implicits._
+        val wavs = (0 until 200).map { i =>
+          (i.toLong, Multimodal.patternWav(i / 5, (i % 5) + 1))
+        }.toDF("wav_id", "content")
+        val fps = Multimodal.audioFingerprints(wavs, "wav_id")
+        val pairs = Dedup.fingerprintPairs(fps, "id", "afp", maxDist = 3)
+        pairs.agg(
+          count(lit(1)).cast("long").as("n_pairs"),
+          count(when(col("dist") === 0, 1)).cast("long").as("n_zero"),
+          coalesce(bool_and(floor(col("id_a") / 5) ===
+            floor(col("id_b") / 5)), lit(false)).as("same_wave_ok"))
+      },
+      Some("""SELECT CAST(400 AS BIGINT) AS n_pairs,
+          CAST(400 AS BIGINT) AS n_zero, TRUE AS same_wave_ok""")),
+
     // Canonical URL normalization (Curation.canonicalUrl — the first
     // dedup key of web-corpus pipelines). Synthetic URLs exercise
     // every rule (case, www, default vs explicit ports, trailing
