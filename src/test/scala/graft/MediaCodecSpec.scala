@@ -58,6 +58,15 @@ class MediaCodecSpec extends AnyFunSuite {
       "different patterns land far apart")
   }
 
+  test("audioFingerprint: gain-invariant, waveform-sensitive") {
+    import graft.operators.{MediaCodec, Multimodal}
+    val h1 = MediaCodec.audioFingerprint(Multimodal.patternWav(3, 1)).get
+    val h5 = MediaCodec.audioFingerprint(Multimodal.patternWav(3, 5)).get
+    assert(h1 == h5, "integer gain preserves energy-difference signs")
+    val other = MediaCodec.audioFingerprint(Multimodal.patternWav(4, 1)).get
+    assert(java.lang.Long.bitCount(h1 ^ other) > 12)
+  }
+
   test("resizeImage really rescales through the raster pipeline") {
     val src = MediaCodec.solidBmp(16, 16, 10, 200, 30)
     val out = MediaCodec.resizeImage(src, 4, 4).get
