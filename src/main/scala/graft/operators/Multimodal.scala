@@ -148,6 +148,71 @@ object Multimodal {
     MediaCodec.pcm16Wav(8000, samples)
   }
 
+  /** Length-prefixed frame container ("GFRV" magic + count + [len,
+    * bytes] per frame). A stand-in for a video codec — the container
+    * is trivial by design (no codec ships in this environment,
+    * documented), but every FRAME is a real image that decodes through
+    * javax.imageio. */
+  def packFrames(frames: Seq[Array[Byte]]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val d = new java.io.DataOutputStream(out)
+    d.writeBytes("GFRV")
+    d.writeInt(frames.size)
+    frames.foreach { f => d.writeInt(f.length); d.write(f) }
+    out.toByteArray
+  }
+
+  def unpackFrames(bytes: Array[Byte]): Seq[Array[Byte]] =
+    try {
+      if (bytes == null || bytes.length < 8 ||
+        new String(bytes, 0, 4, "US-ASCII") != "GFRV") return Nil
+      val d = new java.io.DataInputStream(
+        new java.io.ByteArrayInputStream(bytes, 4, bytes.length - 4))
+      val n = d.readInt()
+      (0 until n).map { _ =>
+        val len = d.readInt()
+        val f = new Array[Byte](len)
+        d.readFully(f)
+        f
+      }
+    } catch { case _: Throwable => Nil }
+
+  /** Video fingerprint: sample every `stride`-th frame, dHash each
+    * (real per-frame decode), then fold temporally by BIT MAJORITY —
+    * bit i of the video hash is set iff set in more than half the
+    * sampled frame hashes. Inherits dHash's brightness invariance
+    * frame-wise and tolerates frame drops/insertions that don't flip
+    * a bit's majority. Pairs via [[Dedup.fingerprintPairs]]. */
+  def videoFingerprints(df: DataFrame, idCol: String,
+      stride: Int = 2): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("vfp", LongType, nullable = true)))
+    val enc = Encoders.row(schema)
+    df.select(col(idCol).cast(LongType).as("id"), col("content"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val frames = unpackFrames(r.getAs[Array[Byte]]("content"))
+          val hs = frames.zipWithIndex
+            .collect { case (f, i) if i % stride == 0 => f }
+            .flatMap(MediaCodec.dHash)
+          val v: java.lang.Long =
+            if (hs.isEmpty) null
+            else {
+              var h = 0L
+              var bit = 0
+              while (bit < 64) {
+                val ones = hs.count(x => ((x >>> bit) & 1L) == 1L)
+                if (ones * 2 > hs.size) h |= 1L << bit
+                bit += 1
+              }
+              java.lang.Long.valueOf(h)
+            }
+          Row(r.getLong(0), v)
+        }
+      }(enc)
+  }
+
   /** Deterministic 16×16 random-pattern BMP for a `base` id, shifted
     * uniformly by `brightness`: images sharing a base are exact
     * perceptual near-dups (dHash invariant under the shift), images of

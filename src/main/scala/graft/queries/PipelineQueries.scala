@@ -1799,6 +1799,31 @@ object PipelineQueries {
       Some("""SELECT CAST(400 AS BIGINT) AS n_pairs,
           CAST(400 AS BIGINT) AS n_zero, TRUE AS same_wave_ok""")),
 
+    // Video near-dup: 30 base frame sequences (8 real BMP frames each)
+    // x 5 uniform brightness variants in a length-prefixed frame
+    // container (codec stand-in, documented); per-frame dHash + bit-
+    // majority temporal fold. Frame-wise invariance makes the pair set
+    // closed-form: 30*C(5,2)=300 pairs, all distance 0.
+    GQuery("q_video_neardup",
+      (s, dir) => {
+        import s.implicits._
+        val vids = (0 until 150).map { i =>
+          val base = i / 5; val bright = (i % 5) * 8
+          val frames = (0 until 8).map(f =>
+            Multimodal.patternBmp(base * 31 + f, bright))
+          (i.toLong, Multimodal.packFrames(frames))
+        }.toDF("vid_id", "content")
+        val fps = Multimodal.videoFingerprints(vids, "vid_id")
+        val pairs = Dedup.fingerprintPairs(fps, "id", "vfp", maxDist = 3)
+        pairs.agg(
+          count(lit(1)).cast("long").as("n_pairs"),
+          count(when(col("dist") === 0, 1)).cast("long").as("n_zero"),
+          coalesce(bool_and(floor(col("id_a") / 5) ===
+            floor(col("id_b") / 5)), lit(false)).as("same_video_ok"))
+      },
+      Some("""SELECT CAST(300 AS BIGINT) AS n_pairs,
+          CAST(300 AS BIGINT) AS n_zero, TRUE AS same_video_ok""")),
+
     // Canonical URL normalization (Curation.canonicalUrl — the first
     // dedup key of web-corpus pipelines). Synthetic URLs exercise
     // every rule (case, www, default vs explicit ports, trailing
