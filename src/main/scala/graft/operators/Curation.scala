@@ -249,6 +249,30 @@ object Curation {
         (col("__start") % budget).as("offset"))
   }
 
+  /** Temperature-based mixture rebalancing — the multilingual
+    * α-sampling rule (target share ∝ n_s^α; α=1 keeps the corpus
+    * distribution, α→0 equalizes strata): with maximal retention and
+    * no replacement the keep rate reduces to
+    * rate_s = (n_min / n_s)^(1-α) — the smallest stratum is kept whole
+    * and larger strata downsample toward the tempered distribution.
+    * Fully in-plan: one |strata|-row count aggregate broadcast against
+    * the corpus, the same deterministic md5-bucket Bernoulli draw as
+    * [[sampleStratified]]; upsampling (α-weights above 1) is a
+    * training-loader concern, not a corpus transform. */
+  def mixByTemperature(df: DataFrame, idCol: String, strataCol: String,
+      alpha: Double): DataFrame = {
+    require(alpha >= 0 && alpha <= 1, "alpha in [0,1]")
+    val counts = df.groupBy(col(strataCol)).agg(count(lit(1)).as("__c"))
+    val mn = counts.agg(min(col("__c")).as("__mn"))
+    val rateTbl = counts.crossJoin(mn)
+      .select(col(strataCol),
+        pow(col("__mn").cast("double") / col("__c"), 1.0 - alpha)
+          .as("__rate"))
+    df.join(broadcast(rateTbl), strataCol)
+      .filter(bucket32(col(idCol)) < col("__rate") * lit(4294967296.0))
+      .drop("__rate")
+  }
+
   /** Canonical URL form — the first dedup key of every web-corpus
     * pipeline (C4/CommonCrawl preprocessing): lowercase scheme and
     * host, strip `www.`, drop scheme-default ports, drop the fragment,

@@ -873,6 +873,28 @@ object PipelineQueries {
         SELECT lang, COUNT(*) AS n_kept FROM kept
         GROUP BY 1 ORDER BY lang""")),
 
+    // Temperature mixing (Curation.mixByTemperature, the multilingual
+    // alpha-sampling rule): keep rate (n_min/n_s)^(1-alpha) per
+    // stratum, derived fully in-plan from the stratum counts. EXACT
+    // oracle: DuckDB recomputes the rates and the md5-bucket draw.
+    GQuery("q_mix_temperature",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        Curation.mixByTemperature(t.documents, "doc_id", "lang",
+            alpha = 0.5)
+          .groupBy(col("lang")).agg(count(lit(1)).as("n_kept"))
+          .orderBy(col("lang"))
+      },
+      Some("""WITH c AS (SELECT lang, COUNT(*) AS c FROM documents GROUP BY 1),
+        mn AS (SELECT MIN(c) AS mn FROM c),
+        r AS (SELECT lang, pow(mn.mn * 1.0 / c.c, 0.5) AS rate
+          FROM c, mn),
+        kept AS (SELECT d.lang FROM documents d JOIN r USING (lang)
+          WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+            AS BIGINT) < rate * 4294967296.0)
+        SELECT lang, COUNT(*) AS n_kept FROM kept
+        GROUP BY 1 ORDER BY lang""")),
+
     // LINE-level boilerplate dedup (Dedup.lineDedup, the C4/RefinedWeb
     // cleaning step): lines appearing in >= 3 distinct docs corpus-wide
     // are removed from every doc. The synthetic corpus has no newlines,
