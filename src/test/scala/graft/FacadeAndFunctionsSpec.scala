@@ -309,5 +309,9 @@ class FacadeAndFunctionsSpec extends SparkSpec {
       .collect().map(_.getString(0)).mkString("\n")
     assert(plan.contains("HashAggregate"))
     assert(plan.contains("Scan parquet"))
+    val impl = QueryFacade.sql(spark,
+      "EXPLAIN IMPLEMENTATION PLAN FOR SELECT COUNT(*) FROM lineitem")
+      .collect().map(_.getString(0)).mkString("\n")
+    assert(impl.contains("HashAggregate"), "IMPLEMENTATION form accepted")
   }
 }
