@@ -23,8 +23,10 @@ object ScaleProbe {
     import spark.implicits._
 
     val src = "/root/testdata/sf0.1"
-    val out = "/tmp/graft_sf1"
-    val factor = 10
+    // SPARK_GRAFT_PROBE_FACTOR=100 builds a ~60M-row lineitem replica
+    // (several GB) for the 100x headroom experiment
+    val factor = sys.env.getOrElse("SPARK_GRAFT_PROBE_FACTOR", "10").toInt
+    val out = s"/tmp/graft_sf${factor / 10}"
     // reuse an existing replica (SPARK_GRAFT_PROBE_REUSE=1) and/or probe
     // a subset (SPARK_GRAFT_PROBE_ONLY=q_a,q_b) for fast iteration
     val reuse = sys.env.get("SPARK_GRAFT_PROBE_REUSE").contains("1") &&
