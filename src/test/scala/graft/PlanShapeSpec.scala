@@ -21,6 +21,7 @@ class PlanShapeSpec extends SparkSpec {
     "q_dedup_embedding", "q_dedup_incremental", "q_dedup_minhash",
     "q_dedup_semantic", "q_dedup_simhash", "q_dsir_select", "q_fn_vector",
     "q_gapfill", "q_gapfill_agg", "q_join_theta", "q_mix_proportions",
+    "q_mix_temperature",
     "q_ppl_buckets", "q_ppl_buckets_kll", "q_setop_union", "q_text_lm",
     "q_ts_promql")
 
