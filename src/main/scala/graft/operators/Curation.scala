@@ -249,6 +249,29 @@ object Curation {
         (col("__start") % budget).as("offset"))
   }
 
+  /** SEMANTIC benchmark decontamination — the embedding-space
+    * complement of the n-gram [[contaminated]] check (paraphrased eval
+    * items that share no 8-gram still sit next to their source in
+    * embedding space): flag a training item iff its max cosine against
+    * the eval set reaches `threshold`. Eval sets are small by nature,
+    * so the eval side BROADCASTS and the corpus-scale pass is one
+    * broadcast join + a map-side-combined max aggregate — no shuffle
+    * of the training embeddings. The comparison uses the ROUNDED
+    * similarity (6 dp) so the flag is reproducible cross-engine.
+    * Returns (id, max_sim (r6), contaminated). */
+  def semanticContaminated(train: DataFrame, eval: DataFrame,
+      idCol: String, vecCol: String, threshold: Double): DataFrame = {
+    val t = train.select(col(idCol).as("id"),
+      transform(col(vecCol), x => x.cast("double")).as("__tv"))
+    val e = eval.select(
+      transform(col(vecCol), x => x.cast("double")).as("__ev"))
+    t.join(broadcast(e))
+      .groupBy(col("id"))
+      .agg(round(max(graft.functions.VectorFunctions
+        .cosineSimilarity(col("__tv"), col("__ev"))), 6).as("max_sim"))
+      .withColumn("contaminated", col("max_sim") >= threshold)
+  }
+
   /** Temperature-based mixture rebalancing — the multilingual
     * α-sampling rule (target share ∝ n_s^α; α=1 keeps the corpus
     * distribution, α→0 equalizes strata): with maximal retention and

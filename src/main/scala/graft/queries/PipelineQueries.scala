@@ -873,6 +873,29 @@ object PipelineQueries {
         SELECT lang, COUNT(*) AS n_kept FROM kept
         GROUP BY 1 ORDER BY lang""")),
 
+    // SEMANTIC decontamination (Curation.semanticContaminated):
+    // max cosine of every training embedding against the broadcast
+    // eval set. EXACT oracle: DuckDB recomputes every max similarity
+    // (list_cosine_similarity over double-cast lists, round 6).
+    GQuery("q_decontaminate_semantic",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val eval = t.embeddings.filter(col("vec_id") < 40)
+        val train = t.embeddings.filter(col("vec_id") >= 40)
+        Curation.semanticContaminated(train, eval, "vec_id", "embedding",
+            threshold = 0.9)
+          .orderBy(col("id"))
+      },
+      Some("""WITH e AS (SELECT CAST(embedding AS DOUBLE[]) AS ev
+          FROM embeddings WHERE vec_id < 40),
+        t AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS tv
+          FROM embeddings WHERE vec_id >= 40),
+        m AS (SELECT t.vec_id AS id,
+            round(max(list_cosine_similarity(t.tv, e.ev)), 6) AS max_sim
+          FROM t, e GROUP BY 1)
+        SELECT id, max_sim, max_sim >= 0.9 AS contaminated
+        FROM m ORDER BY id""")),
+
     // Temperature mixing (Curation.mixByTemperature, the multilingual
     // alpha-sampling rule): keep rate (n_min/n_s)^(1-alpha) per
     // stratum, derived fully in-plan from the stratum counts. EXACT

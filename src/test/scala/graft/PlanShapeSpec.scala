@@ -18,6 +18,7 @@ class PlanShapeSpec extends SparkSpec {
   private val scalarBroadcastBnlj = Set(
     "q_ann_bruteforce", "q_ann_ivf", "q_ann_ivfpq", "q_ann_pq",
     "q_ann_radius", "q_bm25_topk", "q_cluster_kmeans", "q_corpus_clean",
+    "q_decontaminate_semantic",
     "q_dedup_embedding", "q_dedup_incremental", "q_dedup_minhash",
     "q_dedup_semantic", "q_dedup_simhash", "q_dsir_select", "q_fn_vector",
     "q_gapfill", "q_gapfill_agg", "q_join_theta", "q_mix_proportions",
