@@ -67,6 +67,39 @@ object Dedup {
       .select(col("a").as("id_a"), col("b").as("id_b"), col("jaccard"))
   }
 
+  /** DIRECTED containment near-dup pairs [Broder 1997, c(A,B) =
+    * |A∩B| / |A|]: catches quotes and subsets that symmetric Jaccard
+    * structurally misses — a snippet inside an article has J ≈
+    * |A|/|B| ≈ 0 but c ≈ 1. Same df-capped inverted-index candidate
+    * generation as [[tokenJaccard]] (same documented recall
+    * relaxation), exact containment verified per candidate, emitted in
+    * the (contained → container) direction. */
+  def tokenContainment(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double,
+      dfCap: Long = 100): DataFrame = {
+    val toks = docs.select(col(idCol).as("id"),
+      TextFunctions.tokenSet(col(textCol)).as("toks"))
+    val inv = toks.select(col("id"), explode(col("toks")).as("tok"))
+    val rare = inv.groupBy("tok")
+      .agg(count("*").as("df"), collect_list("id").as("ids"))
+      .filter(col("df") <= dfCap)
+    val cand = rare.select(explode(col("ids")).as("a"), col("ids"))
+      .select(col("a"), explode(col("ids")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val ta = toks.select(col("id").as("a"), col("toks").as("toks_a"))
+    val tb = toks.select(col("id").as("b"), col("toks").as("toks_b"))
+    cand.join(ta, "a").join(tb, "b")
+      .withColumn("containment",
+        size(array_intersect(col("toks_a"), col("toks_b"))).cast("double") /
+          size(col("toks_a")))
+      .filter(col("containment") >= threshold)
+      .select(col("a").as("contained_id"), col("b").as("container_id"),
+        col("containment"))
+  }
+
   /** EXACT threshold-Jaccard pairs via positional prefix filtering
     * (AllPairs/PPJoin): tokens globally ordered by (document frequency,
     * token); a doc's prefix is its |d| - ceil(t*|d|) + 1 rarest tokens.

@@ -58,6 +58,51 @@ object PipelineQueries {
         SELECT ia AS id_a, ib AS id_b, ROUND(j, 4) AS jaccard
         FROM scored WHERE j >= 0.5 ORDER BY id_a, id_b""")),
 
+    // DIRECTED containment (Dedup.tokenContainment — Broder's
+    // c(A,B)=|A∩B|/|A|, the quote/subset detector symmetric Jaccard
+    // misses): corpus = documents plus 12-token snippets of every 5th
+    // doc; each snippet must surface as contained in its source with
+    // c=1. EXACT oracle: DuckDB replicates the snippet derivation, the
+    // df-capped candidate generation, and every containment value.
+    GQuery("q_dedup_containment",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val snippets = t.documents.filter(col("doc_id") % 5 === 0)
+          .select((col("doc_id") + 100000).as("doc_id"),
+            array_join(slice(TextFunctions.tokens(lower(col("text"))),
+              1, 12), " ").as("text"))
+        val corpus = t.documents.select(col("doc_id"), col("text"))
+          .unionByName(snippets)
+        Dedup.tokenContainment(corpus, "doc_id", "text",
+            threshold = 0.8, dfCap = 60)
+          .select(col("contained_id"), col("container_id"),
+            r4(col("containment")).as("containment"))
+          .orderBy(col("contained_id"), col("container_id"))
+      },
+      Some("""WITH corpus AS (
+          SELECT doc_id AS id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 100000,
+            array_to_string(list_filter(string_split(lower(text), ' '),
+              x -> len(x) > 0)[1:12], ' ')
+          FROM documents WHERE doc_id % 5 = 0),
+        toks AS (SELECT id, list_sort(list_distinct(
+            list_filter(string_split(lower(text), ' '),
+              x -> len(x) > 0))) AS t
+          FROM corpus),
+        inv AS (SELECT id, unnest(t) AS tok FROM toks),
+        rare AS (SELECT tok FROM inv GROUP BY tok HAVING COUNT(*) <= 60),
+        cand AS (SELECT DISTINCT a.id AS ia, b.id AS ib
+          FROM inv a JOIN rare USING (tok) JOIN inv b USING (tok)
+          WHERE a.id <> b.id),
+        scored AS (SELECT ia, ib,
+            len(list_intersect(ta.t, tb.t)) * 1.0 / len(ta.t) AS c
+          FROM cand JOIN toks ta ON ta.id = ia JOIN toks tb ON tb.id = ib)
+        SELECT ia AS contained_id, ib AS container_id,
+               ROUND(c, 4) AS containment
+        FROM scored WHERE c >= 0.8
+        ORDER BY contained_id, container_id""")),
+
     // EXACT threshold-Jaccard via positional prefix filtering
     // (Dedup.tokenJaccardExact) — complete result set over the FULL
     // corpus, verified against a brute-force all-pairs oracle. The raw
