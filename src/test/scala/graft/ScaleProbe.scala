@@ -126,7 +126,8 @@ object ScaleProbe {
       // round-3: TTL dedup, FFD packing, spatial join, chunking, diff
       "q_dedup_ttl", "q_pack_ffd", "q_join_spatial", "q_chunk_overlap",
       "q_snapshot_diff", "q_join_radius", "q_cohort_retention",
-      "q_ppl_buckets_kll", "q_dedup_url", "q_mix_temperature")
+      "q_ppl_buckets_kll", "q_dedup_url", "q_mix_temperature",
+      "q_decontaminate_semantic", "q_dedup_containment")
       .filter(q => only.isEmpty || only(q))
     def time(dir: String, name: String): Double = {
       val t0 = System.nanoTime()
