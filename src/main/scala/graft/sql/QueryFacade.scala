@@ -135,9 +135,28 @@ object QueryFacade {
           Integer.parseInt(e.group(1), 16).toChar.toString))
       java.util.regex.Matcher.quoteReplacement(s"'$decoded'")
     })
-    ArrayBracket.replaceAllIn(u, m =>
-      java.util.regex.Matcher.quoteReplacement(s"array(${m.group(1)})"))
+    rewriteVirtualCols(ArrayBracket.replaceAllIn(u, m =>
+      java.util.regex.Matcher.quoteReplacement(s"array(${m.group(1)})")))
   }
+
+  /** Built-in virtual columns (`CommonConstants.Segment
+    * .BuiltInVirtualColumn`: $docId, $hostName, $segmentName — the
+    * reference materializes them per segment). Segment ≙ input
+    * partition here: $docId is the row index within its partition
+    * (the low 33 bits of monotonically_increasing_id), $segmentName
+    * names the partition, $hostName is this host (single JVM —
+    * executors would substitute their own). */
+  private lazy val localHost =
+    try java.net.InetAddress.getLocalHost.getHostName
+    catch { case _: Throwable => "localhost" }
+  private[graft] def rewriteVirtualCols(stmt: String): String =
+    if (!stmt.contains("$")) stmt
+    else stmt
+      .replaceAll("(?i)\\$docId\\b",
+        "(monotonically_increasing_id() & 8589934591)")
+      .replaceAll("(?i)\\$segmentName\\b",
+        "concat('partition-', cast(spark_partition_id() as string))")
+      .replaceAll("(?i)\\$hostName\\b", s"'$localHost'")
 
   /** Pinot CAST target types Spark spells differently
     * (`DataTypeConversionFunctions.java` cast surface). */

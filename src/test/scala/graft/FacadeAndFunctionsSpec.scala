@@ -314,4 +314,19 @@ class FacadeAndFunctionsSpec extends SparkSpec {
       .collect().map(_.getString(0)).mkString("\n")
     assert(impl.contains("HashAggregate"), "IMPLEMENTATION form accepted")
   }
+
+  test("built-in virtual columns $docId / $segmentName / $hostName") {
+    QueryFacade.init(spark, sf)
+    val rows = QueryFacade.sql(spark,
+      "SELECT $docId AS d, $segmentName AS seg, $hostName AS h FROM region")
+      .collect()
+    assert(rows.nonEmpty)
+    // doc ids are per-segment row indexes: (segment, docId) unique,
+    // starting at 0 within each segment
+    val pairs = rows.map(r => (r.getString(1), r.getLong(0)))
+    assert(pairs.distinct.length == pairs.length)
+    assert(pairs.groupBy(_._1).values.forall(_.map(_._2).min == 0L))
+    assert(rows.forall(_.getString(1).startsWith("partition-")))
+    assert(rows.map(_.getString(2)).distinct.length == 1)
+  }
 }
