@@ -58,6 +58,42 @@ object PipelineQueries {
         SELECT ia AS id_a, ib AS id_b, ROUND(j, 4) AS jaccard
         FROM scored WHERE j >= 0.5 ORDER BY id_a, id_b""")),
 
+    // Dedup observability report: exact-duplicate cluster-size
+    // histogram + the keep-LONGEST-per-cluster selection rule real
+    // pipelines use (longest text, ties to smallest id) — verified via
+    // the kept-id sum per cluster size. All exact cross-engine.
+    GQuery("q_dedup_report",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val h = t.documents.select(col("doc_id"),
+          md5(col("text")).as("h"), length(col("text")).as("l"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("h")).orderBy(col("l").desc, col("doc_id"))
+        val marked = h.withColumn("__rn", row_number().over(w))
+        val clusters = marked.groupBy(col("h")).agg(
+          count(lit(1)).as("sz"),
+          sum(when(col("__rn") === 1, col("doc_id"))).as("kept"))
+        clusters.groupBy(col("sz").as("cluster_size")).agg(
+            count(lit(1)).as("n_clusters"),
+            (count(lit(1)) * col("sz").cast("long")).as("n_docs"),
+            sum(col("kept")).cast("long").as("kept_id_sum"))
+          .select(col("cluster_size").cast("long"), col("n_clusters"),
+            col("n_docs"), col("kept_id_sum"))
+          .orderBy(col("cluster_size"))
+      },
+      Some("""WITH h AS (SELECT doc_id, md5(text) AS h, len(text) AS l
+          FROM documents),
+        m AS (SELECT doc_id, h,
+            row_number() OVER (PARTITION BY h ORDER BY l DESC, doc_id)
+              AS rn FROM h),
+        c AS (SELECT h, COUNT(*) AS sz,
+            SUM(CASE WHEN rn = 1 THEN doc_id END) AS kept
+          FROM m GROUP BY h)
+        SELECT sz AS cluster_size, COUNT(*) AS n_clusters,
+               CAST(COUNT(*) * sz AS BIGINT) AS n_docs,
+               CAST(SUM(kept) AS BIGINT) AS kept_id_sum
+        FROM c GROUP BY sz ORDER BY cluster_size""")),
+
     // DIRECTED containment (Dedup.tokenContainment — Broder's
     // c(A,B)=|A∩B|/|A|, the quote/subset detector symmetric Jaccard
     // misses): corpus = documents plus 12-token snippets of every 5th
