@@ -122,6 +122,57 @@ class PipelineOpsPropertySpec extends SparkSpec {
     }
   }
 
+  test("tokenContainment equals the in-memory df-capped reference (6 cases)") {
+    val word = Gen.oneOf((1 to 30).map(i => s"w$i"))
+    val doc = Gen.choose(3, 15).flatMap(n => Gen.listOfN(n, word))
+      .map(_.mkString(" "))
+    for (seed <- 1 to 6) {
+      val texts = sample(Gen.listOfN(18, doc), seed)
+      val df = texts.zipWithIndex.map(_.swap).toDF("id", "text")
+      val got = graft.operators.Dedup
+        .tokenContainment(df, "id", "text", threshold = 0.6, dfCap = 8)
+        .select($"contained_id", $"container_id", $"containment")
+        .as[(Int, Int, Double)].collect()
+        .map { case (a, b, c) => ((a, b), math.rint(c * 1e9) / 1e9) }.toMap
+      // reference: candidates share a token with df <= 8, directed pairs
+      val sets = texts.map(_.split(" ").toSet)
+      val dfCount = sets.flatten.groupBy(identity).view.mapValues(_.size)
+      val expect = (for {
+        a <- sets.indices; b <- sets.indices if a != b
+        if (sets(a) & sets(b)).exists(t => dfCount(t) <= 8)
+        c = (sets(a) & sets(b)).size.toDouble / sets(a).size
+        if c >= 0.6
+      } yield ((a, b), math.rint(c * 1e9) / 1e9)).toMap
+      assert(got == expect, s"seed $seed")
+    }
+  }
+
+  test("semanticContaminated equals brute-force max cosine (4 cases)") {
+    for (seed <- 1 to 4) {
+      val vecs = sample(Gen.listOfN(30,
+        Gen.listOfN(6, Gen.choose(-10, 10).map(_ / 10.0f))), seed)
+        .zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .filter(_._2.exists(_ != 0f))
+      val df = vecs.toDF("vec_id", "embedding")
+      val eval = df.filter($"vec_id" < 8)
+      val train = df.filter($"vec_id" >= 8)
+      val got = graft.operators.Curation
+        .semanticContaminated(train, eval, "vec_id", "embedding", 0.8)
+        .select($"id", $"max_sim").as[(Long, Double)].collect().toMap
+      def cos(a: Seq[Float], b: Seq[Float]): Double = {
+        val ad = a.map(_.toDouble); val bd = b.map(_.toDouble)
+        val dot = ad.zip(bd).map { case (x, y) => x * y }.sum
+        dot / (math.sqrt(ad.map(x => x * x).sum) *
+          math.sqrt(bd.map(x => x * x).sum))
+      }
+      val ev = vecs.filter(_._1 < 8).map(_._2)
+      vecs.filter(_._1 >= 8).foreach { case (id, v) =>
+        val expect = ev.map(e => cos(v, e)).max
+        assert(math.abs(got(id) - expect) < 2e-6, s"seed $seed id $id")
+      }
+    }
+  }
+
   test("trainLogReg equals sequential full-batch GD (5 cases)") {
     for (seed <- 1 to 5) {
       val data = sample(Gen.listOfN(50,
