@@ -579,6 +579,27 @@ object Dedup {
     docs.join(drop, Seq(idCol), "left_anti")
   }
 
+  /** [[keepRepresentatives]] with an explicit PREFERENCE: keep the
+    * cluster member with the HIGHEST `preference(docs-row)` (ties to
+    * smallest id) instead of the smallest id — production pipelines
+    * keep the longest text or the highest quality score, not an
+    * arbitrary member. One extra shuffle over the clustered ids only
+    * (docs outside any cluster never enter the window). */
+  def keepRepresentativesBy(docs: DataFrame, idCol: String,
+      pairs: DataFrame, preference: Column,
+      aCol: String = "id_a", bCol: String = "id_b"): DataFrame = {
+    val comp = components(pairs, aCol, bCol)
+      .select(col("id").as(idCol), col("comp"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("comp"))
+      .orderBy(preference.desc, col(idCol).asc)
+    val drop = docs.join(comp, idCol)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") =!= 1)
+      .select(col(idCol))
+    docs.join(drop, Seq(idCol), "left_anti")
+  }
+
   /** LINE-level boilerplate dedup (the C4 / RefinedWeb cleaning step):
     * a line whose normalized form appears in >= minDocFreq DISTINCT
     * documents corpus-wide (navigation chrome, cookie banners, license

@@ -98,4 +98,16 @@ class ComponentsSpec extends SparkSpec {
     // component {1,3,5} keeps 1; {6,7} keeps 6; 0,2,4 untouched
     assert(kept.toSeq == Seq(0L, 1L, 2L, 4L, 6L))
   }
+
+  test("keepRepresentativesBy keeps the highest-preference member") {
+    import org.apache.spark.sql.functions.length
+    // text lengths: doc 5 longest in {1,3,5}; 6 and 7 tie -> smaller id
+    val docs = Seq((0L, "a"), (1L, "bb"), (3L, "ccc"), (5L, "dddd"),
+      (6L, "ee"), (7L, "ff")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 3L), (3L, 5L), (6L, 7L)).toDF("id_a", "id_b")
+    val kept = Dedup.keepRepresentativesBy(docs, "doc_id", pairs,
+        length(org.apache.spark.sql.functions.col("text")))
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(kept.toSeq == Seq(0L, 5L, 6L))
+  }
 }
