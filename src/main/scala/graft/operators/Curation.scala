@@ -258,18 +258,25 @@ object Curation {
     * broadcast join + a map-side-combined max aggregate — no shuffle
     * of the training embeddings. The comparison uses the ROUNDED
     * similarity (6 dp) so the flag is reproducible cross-engine.
-    * Returns (id, max_sim (r6), contaminated). */
+    * Returns (id, max_sim (r6), contaminated) for EVERY train id —
+    * rows with no comparable similarity (empty eval set, null vector)
+    * come back with max_sim null / contaminated false instead of
+    * silently vanishing, so callers can treat the result as the full
+    * corpus with flags. */
   def semanticContaminated(train: DataFrame, eval: DataFrame,
       idCol: String, vecCol: String, threshold: Double): DataFrame = {
     val t = train.select(col(idCol).as("id"),
       transform(col(vecCol), x => x.cast("double")).as("__tv"))
     val e = eval.select(
       transform(col(vecCol), x => x.cast("double")).as("__ev"))
-    t.join(broadcast(e))
+    val sims = t.join(broadcast(e))
       .groupBy(col("id"))
       .agg(round(max(graft.functions.VectorFunctions
         .cosineSimilarity(col("__tv"), col("__ev"))), 6).as("max_sim"))
-      .withColumn("contaminated", col("max_sim") >= threshold)
+    t.select(col("id")).distinct()
+      .join(sims, Seq("id"), "left")
+      .withColumn("contaminated",
+        coalesce(col("max_sim") >= threshold, lit(false)))
   }
 
   /** Temperature-based mixture rebalancing — the multilingual

@@ -421,12 +421,18 @@ object Dedup {
       idCol: String,
       fpCol: String,
       maxDist: Int): DataFrame = {
-    val bands = maxDist + 1
+    require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
+    // bands capped at 64 (one bit each) — more can't pigeonhole 64 bits.
+    val bands = math.min(maxDist + 1, 64)
     val width = 64 / bands
+    // JVM `1L << 64 == 1L`, so the single-band (maxDist=0) mask must be
+    // special-cased to all-ones or every row lands in band key 0 and the
+    // banded self-join degenerates into an all-pairs cross.
+    val mask = if (width == 64) -1L else (1L << width) - 1
     val fps = fps0.select(col(idCol).as("id"), col(fpCol).as("__fp"))
       .filter(col("__fp").isNotNull)
     val bandKeys = array((0 until bands).map { b =>
-      shiftrightunsigned(col("__fp"), b * width).bitwiseAND(lit((1L << width) - 1))
+      shiftrightunsigned(col("__fp"), b * width).bitwiseAND(lit(mask))
     }: _*)
     val banded = fps.select(col("id"), col("__fp"),
       posexplode(bandKeys).as(Seq("band", "key")))

@@ -123,10 +123,13 @@ object MediaCodec {
             bits = bb.getShort(pos + 22).toInt
           case "data" =>
             dataOff = pos + 8
-            dataLen = math.min(sz, bytes.length - dataOff)
+            dataLen = math.max(0, math.min(sz, bytes.length - dataOff))
           case _ =>
         }
-        pos += 8 + sz + (sz & 1)
+        // Hostile/corrupt chunk sizes (negative, or so large the cursor
+        // stops advancing) must terminate the walk, not spin the executor.
+        if (sz < 0) pos = bytes.length
+        else pos += 8 + sz + (sz & 1)
       }
       if (dataOff < 0 || sampleRate == 0 || bits != 16 || channels < 1) None
       else {
@@ -172,9 +175,10 @@ object MediaCodec {
         val sz = bb.getInt(pos + 4)
         if (id == "data") {
           dataOff = pos + 8
-          dataLen = math.min(sz, bytes.length - dataOff)
+          dataLen = math.max(0, math.min(sz, bytes.length - dataOff))
         }
-        pos += 8 + sz + (sz & 1)
+        if (sz < 0) pos = bytes.length
+        else pos += 8 + sz + (sz & 1)
       }
       val n = dataLen / 2
       if (dataOff < 0 || n < 65) None

@@ -149,14 +149,30 @@ object QueryFacade {
   private lazy val localHost =
     try java.net.InetAddress.getLocalHost.getHostName
     catch { case _: Throwable => "localhost" }
+  // Matches a single-quoted SQL string literal ('' = escaped quote);
+  // virtual-column substitution must leave literal text untouched —
+  // the reference resolves $docId & co. as identifiers, not by text.
+  private val SqlStringLiteral = "'(?:[^']|'')*'".r
   private[graft] def rewriteVirtualCols(stmt: String): String =
     if (!stmt.contains("$")) stmt
-    else stmt
-      .replaceAll("(?i)\\$docId\\b",
-        "(monotonically_increasing_id() & 8589934591)")
-      .replaceAll("(?i)\\$segmentName\\b",
-        "concat('partition-', cast(spark_partition_id() as string))")
-      .replaceAll("(?i)\\$hostName\\b", s"'$localHost'")
+    else {
+      def sub(s: String): String = s
+        .replaceAll("(?i)\\$docId\\b",
+          "(monotonically_increasing_id() & 8589934591)")
+        .replaceAll("(?i)\\$segmentName\\b",
+          "concat('partition-', cast(spark_partition_id() as string))")
+        .replaceAll("(?i)\\$hostName\\b",
+          java.util.regex.Matcher.quoteReplacement(s"'$localHost'"))
+      // Rewrite only the regions between string literals.
+      val sb = new StringBuilder
+      var last = 0
+      for (m <- SqlStringLiteral.findAllMatchIn(stmt)) {
+        sb.append(sub(stmt.substring(last, m.start))).append(m.matched)
+        last = m.end
+      }
+      sb.append(sub(stmt.substring(last)))
+      sb.toString
+    }
 
   /** Pinot CAST target types Spark spells differently
     * (`DataTypeConversionFunctions.java` cast surface). */

@@ -17,7 +17,14 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * per live key (lastKeptTime); kept records emit in Append mode.
   * Within a micro-batch, records sort by (time, id) so batch-boundary
   * placement never changes which records survive (same greedy rule as
-  * the batch operator).
+  * the batch operator) — PROVIDED records arrive time-ordered ACROSS
+  * batches per key. A late record with t < lastKept (still inside the
+  * watermark) is unconditionally dropped by the gap test here, whereas
+  * the batch operator's global per-key sort could have kept it and
+  * dropped a different record instead; on out-of-order cross-batch
+  * arrival the streaming and batch results may therefore diverge.
+  * Buffering per key until the watermark would restore exact
+  * equivalence at the cost of one watermark-delay of latency.
   */
 object TtlDedupStream {
 
