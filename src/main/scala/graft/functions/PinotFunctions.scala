@@ -792,6 +792,8 @@ object PinotFunctions {
     graft.plans.FrequentItems.registerAll(spark)
     graft.plans.HllSketch.registerAll(spark)
     graft.plans.KllSketch.registerAll(spark)
+    graft.plans.TDigestSketch.registerAll(spark)
+    graft.plans.QDigestSketch.registerAll(spark)
     graft.plans.TupleSketch.registerAll(spark)
     graft.plans.FunnelAgg.registerAll(spark)
     ClpFunctions.registerAll(spark)

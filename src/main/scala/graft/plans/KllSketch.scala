@@ -175,11 +175,11 @@ object KllSketch {
       (e: Seq[Expression]) => KllAgg(e.head, 50.0,
         if (e.size > 1) num(e(1)).toInt else DefaultK, emitBlob = true),
       "built-in")
-    // raw-blob aliases: EST (qdigest), TDIGEST and the MV names share
-    // the KLL blob in this engine (same accuracy class, mergeable);
-    // the native KLL update already iterates ArrayType children
-    Seq("percentilerawtdigest", "percentilerawest", "percentilerawkllmv",
-      "percentilerawestmv", "percentilerawtdigestmv").foreach { n =>
+    // MV name shares the KLL blob (the native KLL update already
+    // iterates ArrayType children); TDIGEST/EST raw blobs have their
+    // own reference-wire-format implementations (TDigestSketch,
+    // QDigestSketch)
+    Seq("percentilerawkllmv").foreach { n =>
       reg.createOrReplaceTempFunction(n,
         (e: Seq[Expression]) => KllAgg(e.head, 50.0,
           if (e.size > 1) num(e(1)).toInt else DefaultK, emitBlob = true),

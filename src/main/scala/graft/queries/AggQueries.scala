@@ -564,6 +564,70 @@ object AggQueries {
         TRUE AS direct_ok, TRUE AS merged_ok
         FROM lineitem GROUP BY 1 ORDER BY 1""")),
 
+    // Mergeable t-digest blobs in the reference WIRE FORMAT
+    // (PERCENTILERAWTDIGEST → TDIGESTMERGEPERCENTILE,
+    // PercentileTDigestAggregationFunction.java + TDigestUtils.java
+    // MergingDigest layout, byte-exactness unit-gated in
+    // DigestWireFormatSpec): per-(flag,status) digests re-merged to
+    // per-flag must land within the digest's rank-error envelope of
+    // the exact median, as must the direct single-pass digest. Like
+    // KLL, the merge is bound-preserving but not bit-associative, so
+    // the gate is the error bound, not equality.
+    GQuery("q_agg_tdigest_remerge",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val direct = t.lineitem.groupBy(col("l_returnflag"))
+          .agg(graft.plans.TDigestSketch
+              .percentileTDigest(col("l_quantity"), 50.0).as("est_direct"),
+            r4(expr("percentile(l_quantity, 0.5)")).as("exact_p50"))
+        val merged = t.lineitem
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(graft.plans.TDigestSketch.tdigestState(col("l_quantity"))
+            .as("blob"))
+          .groupBy(col("l_returnflag"))
+          .agg(graft.plans.TDigestSketch
+            .tdigestMergePercentile(col("blob"), 50.0).as("est_merged"))
+        direct.join(merged, "l_returnflag")
+          .select(col("l_returnflag"), col("exact_p50"),
+            (abs(col("est_direct") - col("exact_p50")) <= 2.0).as("direct_ok"),
+            (abs(col("est_merged") - col("exact_p50")) <= 2.0).as("merged_ok"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""SELECT l_returnflag,
+        ROUND(quantile_cont(l_quantity, 0.5), 4) AS exact_p50,
+        TRUE AS direct_ok, TRUE AS merged_ok
+        FROM lineitem GROUP BY 1 ORDER BY 1""")),
+
+    // Mergeable q-digest blobs in the reference WIRE FORMAT
+    // (PERCENTILERAWEST → QDIGESTMERGEPERCENTILE,
+    // PercentileEstAggregationFunction.java + QuantileDigest.java
+    // trie layout, byte-exactness unit-gated in DigestWireFormatSpec).
+    // The q-digest answer is a range UPPER bound with one-sided rank
+    // error <= maxError (0.05), so the gate is rank-based: the
+    // estimate's exact rank must sit in [p, p + maxError + slack].
+    GQuery("q_agg_qdigest_remerge",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val est = t.lineitem
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(graft.plans.QDigestSketch.qdigestState(col("l_partkey"))
+            .as("blob"))
+          .groupBy(col("l_returnflag"))
+          .agg(graft.plans.QDigestSketch
+            .qdigestMergePercentile(col("blob"), 50.0).as("est_merged"))
+        val ranks = t.lineitem.join(est, "l_returnflag")
+          .groupBy(col("l_returnflag"))
+          .agg((sum(when(col("l_partkey") <= col("est_merged"), 1)
+            .otherwise(0)) / count(lit(1))).as("rank"),
+            count(lit(1)).as("n"))
+        ranks.select(col("l_returnflag"), col("n"),
+            (col("rank") >= 0.5 && col("rank") <= 0.5 + 0.05 + 0.02)
+              .as("rank_ok"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""SELECT l_returnflag, COUNT(*) AS n, TRUE AS rank_ok
+        FROM lineitem GROUP BY 1 ORDER BY 1""")),
+
     // Mergeable HLL blobs (DISTINCTCOUNTRAWHLL → HLLMERGECOUNT,
     // DistinctCountRawHLLAggregationFunction.java): per-(flag,status)
     // sketch blobs re-merged to per-flag MUST give the bit-identical
