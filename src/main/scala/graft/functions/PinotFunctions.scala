@@ -563,12 +563,13 @@ object PinotFunctions {
     "minstring" -> { case Seq(c) => min(c.cast(StringType)) },
     "maxstring" -> { case Seq(c) => max(c.cast(StringType)) },
     // theta / CPC families are registered expression-level by
-    // graft.plans.ThetaSketchDs (DataSketches wire format); ULL maps
-    // onto the HLL registers (same accuracy class)
+    // graft.plans.ThetaSketchDs (DataSketches wire format); ULL is the
+    // real hash4j-layout UltraLogLog (plans/UltraLogLog.scala; the
+    // bare names here, RAW variants registered expression-level)
     "distinctcountull" -> { case Seq(c) =>
-      graft.plans.HllSketch.distinctCountHll(c) },
+      graft.plans.UltraLogLogSketch.distinctCountUll(c) },
     "distinctcountsmartull" -> { case Seq(c) =>
-      graft.plans.HllSketch.distinctCountHll(c) },
+      graft.plans.UltraLogLogSketch.distinctCountUll(c) },
     "distinctcountsmarthllplus" -> { case Seq(c) => approx_count_distinct(c) },
     // HLL++ family delegates to stream-lib HyperLogLogPlus — the exact
     // object the reference serializes (wire-compatible blobs; BYTES
@@ -583,8 +584,6 @@ object PinotFunctions {
         ex(p).eval().toString.toInt, ex(sp).eval().toString.toInt) },
     "distinctcountrawhllplusmv" -> { case Seq(a) =>
       graft.plans.HllSketch.hllPlusState(a) },
-    "distinctcountrawull" -> { case Seq(c) =>
-      graft.plans.HllSketch.hllState(c) },
     // OFFHEAP variant is an execution-memory detail in the reference;
     // the semantics are exact distinct count
     "distinctcountoffheap" -> { case Seq(c) => size(collect_set(c)) },
@@ -794,6 +793,7 @@ object PinotFunctions {
     graft.plans.KllSketch.registerAll(spark)
     graft.plans.TDigestSketch.registerAll(spark)
     graft.plans.QDigestSketch.registerAll(spark)
+    graft.plans.UltraLogLogSketch.registerAll(spark)
     graft.plans.TupleSketch.registerAll(spark)
     graft.plans.FunnelAgg.registerAll(spark)
     ClpFunctions.registerAll(spark)

@@ -628,6 +628,39 @@ object AggQueries {
       Some("""SELECT l_returnflag, COUNT(*) AS n, TRUE AS rank_ok
         FROM lineitem GROUP BY 1 ORDER BY 1""")),
 
+    // Mergeable UltraLogLog blobs in the reference WIRE FORMAT
+    // (DISTINCTCOUNT(RAW)ULL, DistinctCountULLAggregationFunction.java:
+    // hash4j register layout framed [p][2^p registers], wyhash-final-4
+    // value hashing — both byte-exactness-gated in
+    // UltraLogLogWireSpec). Register merge is a position-wise OR, so
+    // the re-merged estimate must be BIT-IDENTICAL to the direct
+    // single-pass sketch, and the ML estimate must sit within the
+    // p=12 accuracy envelope of the exact distinct count.
+    GQuery("q_agg_ull_remerge",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val direct = t.lineitem.groupBy(col("l_returnflag"))
+          .agg(graft.plans.UltraLogLogSketch
+              .distinctCountUll(col("l_partkey")).as("est_direct"),
+            countDistinct(col("l_partkey")).as("exact_n"))
+        val merged = t.lineitem
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(graft.plans.UltraLogLogSketch.ullState(col("l_partkey"))
+            .as("blob"))
+          .groupBy(col("l_returnflag"))
+          .agg(graft.plans.UltraLogLogSketch.distinctCountUll(col("blob"))
+            .as("est_merged"))
+        direct.join(merged, "l_returnflag")
+          .select(col("l_returnflag"), col("exact_n"),
+            (col("est_merged") === col("est_direct")).as("bitwise_ok"),
+            (abs(col("est_direct") - col("exact_n")) <=
+              greatest(col("exact_n") * 0.05, lit(10.0))).as("est_ok"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS exact_n,
+        TRUE AS bitwise_ok, TRUE AS est_ok
+        FROM lineitem GROUP BY 1 ORDER BY 1""")),
+
     // Mergeable HLL blobs (DISTINCTCOUNTRAWHLL → HLLMERGECOUNT,
     // DistinctCountRawHLLAggregationFunction.java): per-(flag,status)
     // sketch blobs re-merged to per-flag MUST give the bit-identical

@@ -1,0 +1,88 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.plans.{GraftUll, WyHashFinal4}
+
+/** Wire-format and hash gates for the UltraLogLog implementation
+  * (reference DISTINCTCOUNT(RAW)ULL — hash4j register layout framed
+  * as [p][2^p registers] by ObjectSerDeUtils). */
+class UltraLogLogWireSpec extends AnyFunSuite {
+
+  private def hex(b: Array[Byte]) = b.map("%02x".format(_)).mkString
+
+  test("wyhash final-4 matches the published test vectors") {
+    // the wyhash repository's test_vector list for final version 4
+    // (default secret, seeds 0..6) — every input-length regime:
+    // empty, <4, 4..16, 16..48, >48 bytes
+    def h(s: String, seed: Long): Long =
+      WyHashFinal4.hash(s.getBytes("UTF-8"), seed)
+    assert(h("", 0) == 0x0409638ee2bde459L)
+    assert(h("a", 1) == 0xa8412d091b5fe0a9L)
+    assert(h("abc", 2) == 0x32dd92e4b2915153L)
+    assert(h("message digest", 3) == 0x8619124089a3a16bL)
+    assert(h("abcdefghijklmnopqrstuvwxyz", 4) == 0x7a43afb61d7f5f40L)
+    assert(h("ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789",
+      5) == 0xff42329b90e50d58L)
+    assert(h("1234567890123456789012345678901234567890" +
+      "1234567890123456789012345678901234567890", 6) == 0xc39cab13b115aad3L)
+  }
+
+  test("ull blob layout is [p][2^p registers] and round-trips") {
+    val u = GraftUll(6)
+    (1 to 100).foreach(i => u.addHash(WyHashFinal4.hashLong(i.toLong)))
+    val bytes = u.toBytes
+    assert(bytes.length == 65)
+    assert(bytes(0) == 6)
+    assert(hex(GraftUll.fromBytes(bytes).toBytes) == hex(bytes))
+  }
+
+  test("ull registers encode u = 4k+t with flag bits below the lead") {
+    val u = GraftUll(6)
+    // craft a hash landing in register 0 with q = 0: top 6 bits 0,
+    // bit 57 (the first value bit) set → k = q+p-1 = 5, t = 0
+    u.addHash(1L << 57)
+    assert((u.state(0) & 0xff) == (5 << 2))
+    // same register, q = 1 → position 6... wait q=1 means value part
+    // leading zero count 1: bit 56 set, bit 57 clear → k stays 6? no:
+    // pos = q+p-1 = 6 > 5 → new lead k=6, old bit 5 becomes flag b1
+    u.addHash(1L << 56)
+    assert((u.state(0) & 0xff) == ((6 << 2) | 2))
+  }
+
+  test("ull merge is register-monotone and order-independent (bit-exact)") {
+    val rnd = new scala.util.Random(3)
+    val hashes = Array.fill(5000)(rnd.nextLong())
+    val parts = hashes.grouped(1000).map { g =>
+      val u = GraftUll()
+      g.foreach(u.addHash)
+      u
+    }.toSeq
+    val ab = GraftUll()
+    parts.foreach(p => ab.merge(GraftUll.fromBytes(p.toBytes)))
+    val ba = GraftUll()
+    parts.reverse.foreach(p => ba.merge(GraftUll.fromBytes(p.toBytes)))
+    assert(hex(ab.toBytes) == hex(ba.toBytes))
+    // and merging equals single-pass construction
+    val direct = GraftUll()
+    hashes.foreach(direct.addHash)
+    assert(hex(direct.toBytes) == hex(ab.toBytes))
+  }
+
+  test("ull ML estimator stays within the p=12 accuracy class") {
+    for (n <- Seq(100, 1000, 10000, 100000)) {
+      val u = GraftUll()
+      (1 to n).foreach(i => u.addHash(WyHashFinal4.hashLong(i.toLong * 7919)))
+      val est = u.estimate
+      val err = math.abs(est - n) / n
+      // p=12 relative standard error ≈ 1.2%; gate at 4 sigma
+      assert(err < 0.05, s"n=$n est=$est err=$err")
+    }
+  }
+
+  test("ull small cardinalities are near-exact") {
+    val u = GraftUll()
+    (1 to 25).foreach(i => u.addHash(WyHashFinal4.hashString(s"id-$i")))
+    assert(math.round(u.estimate) == 25)
+  }
+}
