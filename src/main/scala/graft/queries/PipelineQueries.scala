@@ -689,6 +689,67 @@ object PipelineQueries {
           TRUE AS recall_ok
         FROM r WHERE rn <= 5 GROUP BY probe_id ORDER BY probe_id""")),
 
+    // HNSW graph ANN (HnswIndex) — the reference's per-segment
+    // Lucene-HNSW profile (HnswVectorIndexCreator.java) re-expressed
+    // as per-shard executor-built graphs + fan-out beam search + one
+    // top-k merge window. Same PROPERTY oracle shape as q_ann_ivf:
+    // DuckDB brute-forces the exact cosine top-5 ids per probe; the
+    // query emits that exact set plus an HNSW recall verdict (>= 4 of
+    // 5 at ef=64 — graph ANN recalls are the strongest of the family;
+    // deterministic under hash-derived node levels + sorted-id
+    // insertion).
+    GQuery("q_ann_hnsw",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val probes = t.embeddings.filter(col("vec_id") < 5)
+        val model = HnswIndex.build(t.embeddings, "vec_id", "embedding",
+          m = 16, efConstruction = 100, nShards = 8)
+        val hnsw = HnswIndex.search(model, probes, "vec_id", "embedding",
+          k = 5, ef = 64)
+        val pv = probes.select(col("vec_id").as("probe_id"),
+          col("embedding").cast("array<double>").as("pv"))
+        val cv = t.embeddings.select(col("vec_id").as("cid"),
+          col("embedding").cast("array<double>").as("cv"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("probe_id"))
+          .orderBy(col("sim").desc, col("cid").asc)
+        val exactTop = pv.crossJoin(cv)
+          .filter(col("cid") =!= col("probe_id"))
+          .withColumn("sim", r4(graft.plans.VectorExpressions.cosineSimilarity(
+            col("pv"), col("cv"))))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 5)
+          .select(col("probe_id"), col("cid"))
+          .localCheckpoint(true) // reused by tops and hits
+        val tops = exactTop.groupBy(col("probe_id"))
+          .agg(array_join(array_sort(collect_list(col("cid"))), ",")
+            .as("exact_top5_csv"))
+        val hits = exactTop
+          .join(hnsw, exactTop("probe_id") === hnsw("probe_id") &&
+            col("cid") === col("neighbor_id"), "left_semi")
+          .groupBy(col("probe_id")).agg(count(lit(1)).as("__hits"))
+        tops.join(hits, Seq("probe_id"), "left")
+          .select(col("probe_id"), col("exact_top5_csv"),
+            (coalesce(col("__hits"), lit(0L)) >= 4).as("recall_ok"))
+          .orderBy(col("probe_id"))
+      },
+      Some("""WITH p AS (SELECT vec_id AS probe_id, CAST(embedding AS DOUBLE[]) AS pv
+          FROM embeddings WHERE vec_id < 5),
+        c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+          FROM embeddings),
+        s AS (SELECT probe_id, cid,
+          ROUND(list_sum(list_transform(list_zip(cv, pv), t -> t[1] * t[2]))
+            / (sqrt(list_sum(list_transform(cv, x -> x * x)))
+             * sqrt(list_sum(list_transform(pv, x -> x * x)))), 4) AS sim
+          FROM p, c WHERE cid <> probe_id),
+        r AS (SELECT probe_id, cid,
+          ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY sim DESC, cid ASC) AS rn
+          FROM s)
+        SELECT probe_id,
+          array_to_string(list_sort(list(cid)), ',') AS exact_top5_csv,
+          TRUE AS recall_ok
+        FROM r WHERE rn <= 5 GROUP BY probe_id ORDER BY probe_id""")),
+
     // PQ (product-quantization) ANN with ADC shortlist + exact re-rank
     // (PqIndex) — same property-oracle shape as q_ann_ivf: DuckDB
     // brute-forces the exact cosine top-5 per probe; the query must

@@ -1,0 +1,92 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.operators.{HnswGraph, HnswIndex}
+
+/** HNSW graph ANN: in-memory recall vs brute force, blob round-trip,
+  * deterministic rebuild, and the distributed shard path. */
+class HnswSpec extends SparkSpec {
+
+  private def cosine(a: Array[Float], b: Array[Float]): Double = {
+    var d = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < a.length) {
+      d += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+      nb += b(i).toDouble * b(i); i += 1
+    }
+    d / math.sqrt(na * nb)
+  }
+
+  private def randomVecs(n: Int, dim: Int, seed: Int): Array[Array[Float]] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(n)(Array.fill(dim)(rnd.nextGaussian().toFloat))
+  }
+
+  test("graph search recall >= 0.9 vs brute-force top-10 (2000 × 32d)") {
+    val vs = randomVecs(2000, 32, 42)
+    val g = new HnswGraph(32, 16, 100)
+    vs.zipWithIndex.foreach { case (v, i) => g.add(i.toLong, v) }
+    val rnd = new scala.util.Random(1)
+    var hits = 0
+    var total = 0
+    for (_ <- 0 until 20) {
+      val qi = rnd.nextInt(vs.length)
+      val exact = vs.indices.filter(_ != qi)
+        .sortBy(j => -cosine(vs(qi), vs(j))).take(10).toSet
+      val got = g.search(vs(qi), 11, 64).map(_._1.toInt).filter(_ != qi)
+        .take(10).toSet
+      hits += exact.intersect(got).size
+      total += 10
+    }
+    assert(hits.toDouble / total >= 0.9, s"recall ${hits.toDouble / total}")
+  }
+
+  test("blob round-trips to an identical graph (byte-exact)") {
+    val vs = randomVecs(500, 16, 7)
+    val g = new HnswGraph(16, 8, 60)
+    vs.zipWithIndex.foreach { case (v, i) => g.add(100L + i, v) }
+    val bytes = g.toBytes
+    val back = HnswGraph.fromBytes(bytes)
+    assert(back.toBytes.sameElements(bytes))
+    // identical answers after the round trip
+    val q = vs(3)
+    assert(back.search(q, 5, 32) == g.search(q, 5, 32))
+  }
+
+  test("rebuild is deterministic (same insertion order, same levels)") {
+    val vs = randomVecs(300, 16, 9)
+    def build(): Array[Byte] = {
+      val g = new HnswGraph(16, 8, 60)
+      vs.zipWithIndex.foreach { case (v, i) => g.add(i.toLong, v) }
+      g.toBytes
+    }
+    assert(build().sameElements(build()))
+  }
+
+  test("distributed shard path finds the brute-force neighbors") {
+    val t = Tables(spark, sf)
+    val probes = t.embeddings.filter(col("vec_id") < 3)
+    val model = HnswIndex.build(t.embeddings, "vec_id", "embedding",
+      m = 16, efConstruction = 100, nShards = 4)
+    val got = HnswIndex.search(model, probes, "vec_id", "embedding",
+      k = 5, ef = 64)
+      .select("probe_id", "neighbor_id").collect()
+      .groupBy(_.getLong(0)).map { case (p, rows) =>
+        p -> rows.map(_.getLong(1)).toSet
+      }
+    val all = t.embeddings
+      .select(col("vec_id"), col("embedding").cast("array<float>"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val pv = all.filter(_._1 < 3)
+    pv.foreach { case (pid, v) =>
+      val exact = all.filter(_._1 != pid)
+        .sortBy { case (cid, cv) => (-cosine(v, cv), cid) }
+        .take(5).map(_._1).toSet
+      assert(exact.intersect(got(pid)).size >= 4,
+        s"probe $pid: got ${got(pid)}, exact $exact")
+    }
+  }
+}
