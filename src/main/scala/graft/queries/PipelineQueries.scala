@@ -1442,6 +1442,55 @@ object PipelineQueries {
             WHERE ts > TIMESTAMP '2024-01-03 00:00:00')
         GROUP BY src, event_type ORDER BY src, event_type""")),
 
+    // Logical table spanning N physical tables (LogicalTableConfig /
+    // PhysicalTableConfig + TimeBoundaryConfig "min" strategy): two
+    // OFFLINE members with different ingestion horizons + one
+    // REALTIME member; the boundary is the minimum over offline
+    // members of (max(time) − 1 day) — the latest instant EVERY
+    // offline member has fully ingested — so the overlap region is
+    // answered exactly once. EXACT oracle: DuckDB composes the same
+    // members and boundary formula.
+    GQuery("q_logical_table",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val cfg = graft.schema.LogicalTable.Config("orders_logical",
+          Seq(
+            graft.schema.LogicalTable.Physical("orders_even_OFFLINE",
+              t.orders, "OFFLINE", Some(col("o_orderkey") % 2 === 0)),
+            graft.schema.LogicalTable.Physical("orders_odd_OFFLINE",
+              t.orders, "OFFLINE", Some(col("o_orderkey") % 2 === 1 &&
+                col("o_orderdate") <=
+                  lit("1997-12-31 00:00:00").cast(TimestampType))),
+            graft.schema.LogicalTable.Physical("orders_tail_REALTIME",
+              t.orders, "REALTIME", Some(col("o_orderdate") >=
+                lit("1995-01-01 00:00:00").cast(TimestampType)))),
+          "o_orderdate", "1 day", "min")
+        graft.schema.LogicalTable.view(cfg)
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"),
+            dsum(col("o_totalprice")).as("price_sum"))
+          .orderBy(col("o_orderstatus"))
+      },
+      Some("""WITH off_even AS (SELECT * FROM orders WHERE o_orderkey % 2 = 0),
+        off_odd AS (SELECT * FROM orders WHERE o_orderkey % 2 = 1
+          AND o_orderdate <= TIMESTAMP '1997-12-31 00:00:00'),
+        rt AS (SELECT * FROM orders
+          WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'),
+        b AS (SELECT LEAST((SELECT MAX(o_orderdate) FROM off_even),
+          (SELECT MAX(o_orderdate) FROM off_odd)) - INTERVAL 1 DAY AS x),
+        v AS (
+          SELECT o_orderstatus, o_totalprice FROM off_even
+            WHERE o_orderdate <= (SELECT x FROM b)
+          UNION ALL
+          SELECT o_orderstatus, o_totalprice FROM off_odd
+            WHERE o_orderdate <= (SELECT x FROM b)
+          UNION ALL
+          SELECT o_orderstatus, o_totalprice FROM rt
+            WHERE o_orderdate > (SELECT x FROM b))
+        SELECT o_orderstatus, COUNT(*) AS n,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(20,4))) AS DOUBLE) AS price_sum
+        FROM v GROUP BY 1 ORDER BY 1""")),
+
     // ——— Gapfill (GapfillProcessor.java:48) ———
 
     GQuery("q_gapfill",
