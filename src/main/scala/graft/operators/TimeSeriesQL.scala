@@ -14,9 +14,14 @@ import org.apache.spark.sql.types._
   *
   * Surface: `fetch{table="m", ts_column="t", ts_unit="SECONDS",
   * value="v", filter="host='web1'"} | sum{tag1,tag2}` with optional
-  * post-stages `keepLastValue{}` (forward fill along the bucket spine)
-  * and `transformNull{0}` (constant fill) — the plugin's exact command
-  * set, plus min/max/avg/count aggregations.
+  * post-stages — the plugin's command set plus min/max/avg/count
+  * aggregations and the series-function surface:
+  * `keepLastValue{}` (forward fill along the bucket spine),
+  * `transformNull{0}` (constant fill), `increase{}` (delta vs the
+  * previous bucket), `rate{}` (increase per second), `offset{sec}`
+  * (time shift), `topk{n}` / `bottomk{n}` (keep the n series with the
+  * largest/smallest range-total). Stages apply in pipe order; the
+  * series-relative ones densify against the bucket spine first.
   *
   * Planning maps onto [[TimeSeries.rangeQuery]] semantics: range
   * filter ([start, end] inclusive per the SPI) → step buckets → group
@@ -124,35 +129,71 @@ object TimeSeriesQL {
     val agg = base.groupBy(col("__bucket") +: tags.map(col): _*)
       .agg(aggExpr.as("value"))
 
-    val fills = cmds.filter(c => c.name == "keepLastValue" || c.name == "transformNull")
-    val result =
-      if (fills.isEmpty) agg
-      else {
-        // dense bucket spine per observed series (the plugin's
-        // TimeBuckets: every step bucket exists, empty ones null)
-        val n = (endSeconds - startSeconds) / stepSeconds + 1
-        val spark = df0.sparkSession
-        val spine = broadcast(spark.range(n).select(col("id").as("__bucket")))
-        val dense =
+    val PostStages = Set("keepLastValue", "transformNull", "rate",
+      "increase", "offset", "topk", "bottomk")
+    val post = cmds.filter(c => PostStages(c.name))
+    // series-relative stages (fill, rate, offset) need the dense bucket
+    // spine (the plugin's TimeBuckets: every step bucket exists, empty
+    // ones null); pure series selection (topk/bottomk) does not
+    val needsSpine = post.exists(c => c.name != "topk" && c.name != "bottomk")
+    val seriesW = org.apache.spark.sql.expressions.Window
+      .partitionBy(tags.map(col): _*).orderBy(col("__bucket"))
+    val result = {
+      val start =
+        if (!needsSpine) agg
+        else {
+          val n = (endSeconds - startSeconds) / stepSeconds + 1
+          val spark = df0.sparkSession
+          val spine = broadcast(spark.range(n).select(col("id").as("__bucket")))
           if (tags.isEmpty) spine.join(agg, Seq("__bucket"), "left")
           else {
             val series = agg.select(tags.map(col): _*).distinct()
             spine.crossJoin(broadcast(series))
               .join(agg, "__bucket" +: tags, "left")
           }
-        fills.foldLeft(dense) { (d, f) =>
-          f.name match {
-            case "keepLastValue" =>
-              val w = org.apache.spark.sql.expressions.Window
-                .partitionBy(tags.map(col): _*).orderBy(col("__bucket"))
-                .rowsBetween(Long.MinValue, 0)
-              d.withColumn("value", last(col("value"), ignoreNulls = true).over(w))
-            case _ => // transformNull{default}
-              val dflt = f.args.headOption.map(_.toDouble).getOrElse(0.0)
-              d.withColumn("value", coalesce(col("value"), lit(dflt)))
-          }
+        }
+      post.foldLeft(start) { (d, f) =>
+        f.name match {
+          case "keepLastValue" =>
+            d.withColumn("value", last(col("value"), ignoreNulls = true)
+              .over(seriesW.rowsBetween(Long.MinValue, 0)))
+          case "transformNull" =>
+            val dflt = f.args.headOption.map(_.toDouble).getOrElse(0.0)
+            d.withColumn("value", coalesce(col("value"), lit(dflt)))
+          // delta vs the previous bucket of the same series (the first
+          // bucket has no predecessor → null, Prom/M3 convention)
+          case "increase" =>
+            d.withColumn("value", col("value") - lag(col("value"), 1).over(seriesW))
+          // per-second rate: increase / step
+          case "rate" =>
+            d.withColumn("value",
+              (col("value") - lag(col("value"), 1).over(seriesW)) / stepSeconds)
+          // time shift: value(t) = value(t - offsetSeconds); the
+          // argument is seconds, converted to whole buckets
+          case "offset" =>
+            val offSec = f.args.headOption.map(_.toLong).getOrElse(
+              throw new IllegalArgumentException("offset: seconds argument required"))
+            val shift = (offSec / stepSeconds).toInt
+            d.withColumn("value", lag(col("value"), shift).over(seriesW))
+          // keep the n series with the largest (smallest) range-total
+          // value; all buckets of a kept series survive
+          case "topk" | "bottomk" =>
+            require(tags.nonEmpty, s"${f.name}: requires grouping tags")
+            val n = f.args.headOption.map(_.toInt).getOrElse(
+              throw new IllegalArgumentException(s"${f.name}: k argument required"))
+            val totals = d.groupBy(tags.map(col): _*)
+              .agg(sum(col("value")).as("__total"))
+            val rankW = org.apache.spark.sql.expressions.Window
+              .orderBy((if (f.name == "topk") col("__total").desc
+                else col("__total").asc) +: tags.map(c => col(c).asc): _*)
+            val kept = totals
+              .withColumn("__rk", row_number().over(rankW))
+              .filter(col("__rk") <= n)
+              .select(tags.map(col): _*)
+            d.join(broadcast(kept), tags)
         }
       }
+    }
     result
       .withColumn("bucket_seconds",
         lit(startSeconds) + col("__bucket") * lit(stepSeconds))

@@ -730,6 +730,48 @@ object ExtraQueries {
         LEFT JOIN agg ON agg.i = spine.i AND agg.event_type = types.event_type
         ORDER BY bucket_seconds, types.event_type""")),
 
+    // M3QL transform stages beyond plain agg+fill (the plugin's
+    // series-function surface): increase{} (delta vs previous bucket,
+    // null first bucket) piped into topk{3} (keep the 3 series with
+    // the largest range-total, ties by tag asc). EXACT oracle: DuckDB
+    // replays the dense spine, LAG delta, and the ranked keep set.
+    GQuery("q_ts_transforms",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val start = 1704067200L // 2024-01-01T00:00:00Z
+        graft.operators.TimeSeriesQL.query(
+            _ => t.events.withColumn("value", dec(col("value"))),
+            """fetch{table="events", ts_column="ts", value="value"}
+               | sum{event_type} | transformNull{0} | increase{} | topk{3}""",
+            start, start + 2 * 86400, 7200)
+          .withColumn("value", r4(col("value")))
+          .orderBy(col("bucket_seconds"), col("event_type"))
+      },
+      Some("""WITH spine AS (SELECT UNNEST(range(0, 25)) AS i),
+        types AS (SELECT DISTINCT event_type FROM events
+          WHERE epoch_us(ts) >= 1704067200000000
+            AND epoch_us(ts) <= 1704240000000000),
+        agg AS (SELECT CAST((epoch_us(ts) - 1704067200000000) // 7200000000 AS BIGINT) AS i,
+            event_type, SUM(CAST(value AS DECIMAL(20,4))) AS v
+          FROM events
+          WHERE epoch_us(ts) >= 1704067200000000
+            AND epoch_us(ts) <= 1704240000000000
+          GROUP BY 1, 2),
+        dense AS (SELECT spine.i AS i, types.event_type AS event_type,
+            CAST(COALESCE(agg.v, 0) AS DOUBLE) AS v
+          FROM spine CROSS JOIN types
+          LEFT JOIN agg ON agg.i = spine.i AND agg.event_type = types.event_type),
+        inc AS (SELECT i, event_type,
+            v - LAG(v) OVER (PARTITION BY event_type ORDER BY i) AS v
+          FROM dense),
+        tot AS (SELECT event_type, SUM(v) AS total FROM inc GROUP BY 1),
+        keep AS (SELECT event_type FROM tot
+          ORDER BY total DESC, event_type ASC LIMIT 3)
+        SELECT (1704067200 + i * 7200) AS bucket_seconds, inc.event_type,
+          ROUND(v, 4) AS value
+        FROM inc JOIN keep USING (event_type)
+        ORDER BY bucket_seconds, event_type""")),
+
     // SQL-name funnel aggregate (graft.plans.FunnelWindowAgg): the
     // reference's FUNNELMAXSTEP(ts, windowSize, numSteps, steps...)
     // call shape (FunnelBaseAggregationFunction.java:33-77), verified
