@@ -1,5 +1,7 @@
 package graft.functions
 
+import scala.collection.mutable.ArrayBuffer
+
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
@@ -10,65 +12,128 @@ import org.apache.spark.sql.functions._
   * this is a full scan unless paired with a precomputed token layout).
   *
   * Supported query subset: terms (whole-token match), `"quoted
-  * phrases"` (substring), `prefix*` wildcards, fuzzy terms `term~N`
-  * (Levenshtein distance ≤ N against any token; bare `term~` uses
-  * Lucene's default 2), phrase proximity `"a b"~N` (ordered terms
-  * with at most N intervening tokens between consecutive terms — a
-  * subset of Lucene's move-based slop, exact for 2-term phrases), and
-  * top-level AND / OR combinators (AND binds tighter than OR, as in
-  * Lucene's default parser).
+  * phrases"` (substring), wildcard terms `pre*`, `mi*dle`, `te?t`
+  * (`*` = any run, `?` = one char, within a token — WildcardQuery),
+  * wildcards INSIDE phrases (`"big da*"` — ordered adjacent tokens,
+  * each matched by its pattern, the MultiPhrase/prefix-phrase shape),
+  * fuzzy terms `term~N` (Levenshtein distance ≤ N against any token;
+  * bare `term~` uses Lucene's default 2), phrase proximity `"a b"~N`
+  * (ordered terms with at most N intervening tokens between
+  * consecutive terms — a subset of Lucene's move-based slop, exact
+  * for 2-term phrases), grouping parentheses, and AND / OR
+  * combinators (AND binds tighter than OR; adjacency means AND, as
+  * in the reference's text-match default).
   */
 object TextMatch {
+
+  // per-term matcher inside phrase/proximity shapes
+  private sealed trait TermPat
+  private final case class ExactT(t: String) extends TermPat
+  private final case class WildT(regex: String) extends TermPat
 
   private sealed trait Node
   private final case class Term(t: String) extends Node
   private final case class Phrase(p: String) extends Node
   private final case class Prefix(p: String) extends Node
+  private final case class Wild(regex: String) extends Node
   private final case class Fuzzy(t: String, maxEdits: Int) extends Node
-  private final case class Proximity(terms: Seq[String], slop: Int) extends Node
+  private final case class Proximity(terms: Seq[TermPat], slop: Int) extends Node
   private final case class AndN(xs: Seq[Node]) extends Node
   private final case class OrN(xs: Seq[Node]) extends Node
 
-  private def parse(q: String): Node = {
-    // tokenize: quoted phrases (with optional ~slop), parens-free
-    // AND/OR grammar
-    val tokens = """"[^"]*"(~\d+)?|\S+""".r.findAllIn(q.trim).toList
-    val orParts = splitOn(tokens, "OR").map { part =>
-      val andParts = splitOn(part, "AND").map(atomSeq)
-      if (andParts.size == 1) andParts.head else AndN(andParts)
-    }
-    if (orParts.size == 1) orParts.head else OrN(orParts)
-  }
+  private def tokenize(q: String): Vector[String] =
+    """"[^"]*"(~\d+)?|\(|\)|[^\s()]+""".r.findAllIn(q.trim).toVector
 
-  private def splitOn(tokens: List[String], sep: String): List[List[String]] = {
-    val out = scala.collection.mutable.ListBuffer[List[String]]()
-    var cur = List.newBuilder[String]
-    tokens.foreach { t =>
-      if (t.equalsIgnoreCase(sep)) { out += cur.result(); cur = List.newBuilder }
-      else cur += t
+  /** Recursive descent: or := and (OR and)*; and := unary ((AND)? unary)*;
+    * unary := '(' or ')' | atom. Adjacency = AND. */
+  private def parse(q: String): Node = {
+    val tokens = tokenize(q)
+    var i = 0
+    def peek: Option[String] = if (i < tokens.length) Some(tokens(i)) else None
+    def parseOr(): Node = {
+      val parts = ArrayBuffer(parseAnd())
+      while (peek.exists(_.equalsIgnoreCase("OR"))) {
+        i += 1
+        parts += parseAnd()
+      }
+      if (parts.size == 1) parts.head else OrN(parts.toSeq)
     }
-    out += cur.result()
-    out.toList
+    def parseAnd(): Node = {
+      val parts = ArrayBuffer(parseUnary())
+      var more = true
+      while (more) peek match {
+        case Some(t) if t.equalsIgnoreCase("AND") =>
+          i += 1
+          parts += parseUnary()
+        case Some(t) if !t.equalsIgnoreCase("OR") && t != ")" =>
+          parts += parseUnary()
+        case _ => more = false
+      }
+      if (parts.size == 1) parts.head else AndN(parts.toSeq)
+    }
+    def parseUnary(): Node = peek match {
+      case Some("(") =>
+        i += 1
+        val n = parseOr()
+        require(peek.contains(")"), s"TEXT_MATCH: unbalanced parens in '$q'")
+        i += 1
+        n
+      case Some(t) =>
+        i += 1
+        atom(t)
+      case None =>
+        throw new IllegalArgumentException(s"TEXT_MATCH: empty group in '$q'")
+    }
+    val n = parseOr()
+    require(i == tokens.length, s"TEXT_MATCH: trailing tokens in '$q'")
+    n
   }
 
   private val PhraseSlop = """"([^"]*)"~(\d+)""".r
   private val FuzzyTerm = """([^"\s~]+)~(\d*)""".r
 
-  private def atomSeq(ts: List[String]): Node = {
-    val atoms = ts.filter(_.nonEmpty).map {
-      case PhraseSlop(p, slop) =>
-        val terms = p.trim.split("\\s+").toSeq.filter(_.nonEmpty)
-        if (terms.size < 2) Phrase(p) else Proximity(terms, slop.toInt)
-      case t if t.startsWith("\"") => Phrase(t.stripPrefix("\"").stripSuffix("\""))
-      case FuzzyTerm(t, n) =>
-        Fuzzy(t, if (n.isEmpty) 2 else n.toInt) // Lucene default maxEdits = 2
-      case t if t.endsWith("*") => Prefix(t.stripSuffix("*"))
-      case t => Term(t)
-    }
-    if (atoms.size == 1) atoms.head else AndN(atoms)
+  private def hasWildcard(t: String): Boolean =
+    t.contains('*') || t.contains('?')
+
+  /** Lucene wildcard → anchored token regex (`*` any run, `?` one char). */
+  private def wildRegex(t: String): String =
+    t.toLowerCase.map {
+      case '*' => ".*"
+      case '?' => "."
+      case c if "\\.[]{}()<>+-=!$^|".contains(c) => "\\" + c
+      case c => c.toString
+    }.mkString
+
+  private def patFor(term: String): TermPat =
+    if (hasWildcard(term)) WildT(wildRegex(term)) else ExactT(term.toLowerCase)
+
+  private def phraseNode(p: String, slop: Int): Node = {
+    val terms = p.trim.split("\\s+").toSeq.filter(_.nonEmpty)
+    if (terms.size < 2) {
+      if (terms.nonEmpty && hasWildcard(terms.head)) Wild(wildRegex(terms.head))
+      else Phrase(p)
+    } else if (slop == 0 && terms.forall(!hasWildcard(_))) Phrase(p)
+    else Proximity(terms.map(patFor), slop)
+  }
+
+  private def atom(tok: String): Node = tok match {
+    case PhraseSlop(p, slop) => phraseNode(p, slop.toInt)
+    case t if t.startsWith("\"") =>
+      phraseNode(t.stripPrefix("\"").stripSuffix("\""), 0)
+    case FuzzyTerm(t, n) =>
+      Fuzzy(t, if (n.isEmpty) 2 else n.toInt) // Lucene default maxEdits = 2
+    case t if t.endsWith("*") && !hasWildcard(t.dropRight(1)) =>
+      Prefix(t.stripSuffix("*")) // pure prefix — cheaper than the regex
+    case t if hasWildcard(t) => Wild(wildRegex(t))
+    case t => Term(t)
   }
 
   private def toks(c: Column): Column = split(lower(c), "\\W+")
+
+  private def tokenMatches(tok: Column, p: TermPat): Column = p match {
+    case ExactT(t) => tok === lit(t)
+    case WildT(re) => tok.rlike("^" + re + "$")
+  }
 
   private def compile(n: Node, c: Column): Column = n match {
     case Term(t) =>
@@ -76,18 +141,20 @@ object TextMatch {
       array_contains(toks(c), t.toLowerCase)
     case Phrase(p) => lower(c).contains(p.toLowerCase)
     case Prefix(p) => lower(c).rlike("(^|\\W)" + java.util.regex.Pattern.quote(p.toLowerCase))
+    case Wild(re) => exists(toks(c), tok => tok.rlike("^" + re + "$"))
     case Fuzzy(t, n) =>
       // any token within Levenshtein distance n (FuzzyQuery)
       exists(toks(c), tok => levenshtein(tok, lit(t.toLowerCase)) <= n)
     case Proximity(terms, slop) =>
       // consecutive term pairs in order, ≤ slop intervening tokens:
       // per pair, ∃ p1∈pos(a), p2∈pos(b): p1 < p2 ≤ p1 + slop + 1
+      // (slop 0 = adjacent — the wildcard-phrase shape)
       val tk = toks(c)
-      def positions(term: String): Column =
+      def positions(p: TermPat): Column =
         filter(
-          transform(tk, (t, i) => when(t === lit(term.toLowerCase), i)
+          transform(tk, (t, i) => when(tokenMatches(t, p), i)
             .otherwise(lit(-1))),
-          p => p >= 0)
+          x => x >= 0)
       terms.sliding(2).map { pair =>
         val (a, b) = (pair.head, pair(1))
         exists(positions(a), p1 =>

@@ -154,25 +154,32 @@ object ExtraQueries {
         ORDER BY doc_id""")),
 
     // TEXT_MATCH long tail (lucene/): `term~N` fuzzy (FuzzyQuery,
-    // Levenshtein ≤ N on any token) and `"a b"~N` phrase proximity
-    // (ordered, ≤ N intervening tokens). The oracle mirrors fuzzy with
-    // DuckDB's levenshtein over the token list and proximity with a
-    // bounded-gap regex — two independent formulations of the same
-    // semantics.
+    // Levenshtein ≤ N on any token), `"a b"~N` phrase proximity
+    // (ordered, ≤ N intervening tokens), grouping PARENS, a wildcard
+    // INSIDE a phrase (`"scan quer*"` — adjacent tokens, second
+    // matched by prefix pattern: MultiPhrase/prefix-phrase), and a
+    // `?` single-char wildcard term. The oracle mirrors fuzzy with
+    // DuckDB's levenshtein over the token list and the wildcard
+    // shapes with anchored regexes — independent formulations of the
+    // same semantics.
     GQuery("q_text_match_fuzzy",
       (s, dir) => {
         val t = Tables(s, dir)
         t.documents
           .filter(graft.functions.TextMatch.textMatch(col("text"),
-            "qery~1 OR \"stream processing\"~2"))
+            "(qery~1 OR \"stream processing\"~2) AND (\"scan quer*\" OR wind?w)"))
           .select(col("doc_id"))
           .orderBy(col("doc_id"))
       },
       Some("""SELECT doc_id FROM documents
-        WHERE len(list_filter(regexp_split_to_array(lower(text), '\W+'),
+        WHERE (len(list_filter(regexp_split_to_array(lower(text), '\W+'),
                 t -> levenshtein(t, 'qery') <= 1)) > 0
            OR regexp_matches(lower(text),
-                '(^|[^a-z0-9_])stream([^a-z0-9_]+[a-z0-9_]+){0,2}[^a-z0-9_]+processing($|[^a-z0-9_])')
+                '(^|[^a-z0-9_])stream([^a-z0-9_]+[a-z0-9_]+){0,2}[^a-z0-9_]+processing($|[^a-z0-9_])'))
+          AND (regexp_matches(lower(text),
+                '(^|[^a-z0-9_])scan[^a-z0-9_]+quer[a-z0-9_]*([^a-z0-9_]|$)')
+           OR len(list_filter(regexp_split_to_array(lower(text), '\W+'),
+                t -> regexp_matches(t, '^wind.w$'))) > 0)
         ORDER BY doc_id""")),
 
     // DATETIMECONVERT (TransformFunctionType dateTimeConvert): epoch-ms
