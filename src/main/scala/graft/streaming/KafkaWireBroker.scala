@@ -1,0 +1,246 @@
+package graft.streaming
+
+import java.io.{DataInputStream, DataOutputStream}
+import java.net.{InetAddress, ServerSocket, Socket}
+
+import scala.collection.mutable
+
+import KafkaWire._
+
+/** Minimal Kafka broker speaking the real wire protocol over TCP —
+  * enough surface for a partition-level consumer/producer: ApiVersions,
+  * Metadata v0, Produce v0, Fetch v0, ListOffsets v0. Backs the
+  * engine's socket streaming path (the role
+  * `RealtimeSegmentDataManager.java:129`'s broker plays for the
+  * reference): the topic log lives in memory per (topic, partition)
+  * with dense offsets; `snapshotTo`/`loadFrom` persist it as the same
+  * parquet layout `KafkaSource.FileTopicLog` uses, so the file log and
+  * the socket broker are two transports over one log format.
+  *
+  * One thread per connection (a test/tooling broker, not a server
+  * farm); all log access synchronizes on the topic map. Offsets are
+  * assigned at append, fetches are served from any offset ≥ the log
+  * start — the consumer contract Structured Streaming's offset
+  * tracking needs for exactly-once replay.
+  */
+final class KafkaWireBroker(host: String = "127.0.0.1",
+    numPartitions: Int = 2) {
+
+  private val logs =
+    mutable.Map[(String, Int), mutable.ArrayBuffer[Record]]()
+  private var server: ServerSocket = _
+  @volatile private var running = false
+  private val threads = mutable.ArrayBuffer[Thread]()
+
+  def port: Int = server.getLocalPort
+  def bootstrap: String = s"$host:$port"
+
+  def start(): KafkaWireBroker = {
+    server = new ServerSocket(0, 16, InetAddress.getByName(host))
+    running = true
+    val acceptor = new Thread(() => {
+      while (running) {
+        try {
+          val sock = server.accept()
+          val t = new Thread(() => serve(sock), "kafka-wire-conn")
+          t.setDaemon(true)
+          t.start()
+          threads.synchronized { threads += t }
+        } catch { case _: Throwable => () } // closed
+      }
+    }, "kafka-wire-acceptor")
+    acceptor.setDaemon(true)
+    acceptor.start()
+    this
+  }
+
+  def close(): Unit = {
+    running = false
+    if (server != null) server.close()
+  }
+
+  /** Direct append (producer-side tooling and tests). Returns the
+    * record's assigned offset. */
+  def append(topic: String, partition: Int, key: Array[Byte],
+      value: Array[Byte], tsMs: Long): Long = logs.synchronized {
+    val log = logs.getOrElseUpdate((topic, partition),
+      mutable.ArrayBuffer.empty)
+    val off = log.length.toLong
+    log += Record(key, value, tsMs, off)
+    off
+  }
+
+  def endOffset(topic: String, partition: Int): Long = logs.synchronized {
+    logs.get((topic, partition)).map(_.length.toLong).getOrElse(0L)
+  }
+
+  private def topicsOf: Seq[String] = logs.synchronized {
+    logs.keys.map(_._1).toSeq.distinct.sorted
+  }
+
+  private def serve(sock: Socket): Unit =
+    try {
+      val in = new DataInputStream(sock.getInputStream)
+      val out = new DataOutputStream(sock.getOutputStream)
+      while (running) {
+        val frame = readFrame(in)
+        val r = new Reader(frame)
+        val h = readRequestHeader(r)
+        val w = new Writer
+        w.i32(h.correlationId)
+        h.apiKey match {
+          case ApiVersions => apiVersions(w)
+          case ApiMetadata => metadata(r, w)
+          case ApiProduce => produce(r, w)
+          case ApiFetch => fetch(r, w)
+          case ApiListOffsets => listOffsets(r, w)
+          case other =>
+            throw new UnsupportedOperationException(s"api key $other")
+        }
+        writeFrame(out, w.result())
+      }
+    } catch { case _: Throwable => () } // connection closed
+    finally sock.close()
+
+  private def apiVersions(w: Writer): Unit = {
+    w.i16(0) // no error
+    val supported = Seq(ApiProduce, ApiFetch, ApiListOffsets, ApiMetadata,
+      ApiVersions)
+    w.i32(supported.size)
+    supported.foreach(k => w.i16(k).i16(0).i16(0))
+    ()
+  }
+
+  private def metadata(r: Reader, w: Writer): Unit = {
+    val nTopics = r.i32()
+    val asked =
+      if (nTopics <= 0) topicsOf
+      else (0 until nTopics).map(_ => r.str())
+    // brokers: just this one
+    w.i32(1)
+    w.i32(0).str(host).i32(port)
+    w.i32(asked.size)
+    asked.foreach { t =>
+      w.i16(0).str(t)
+      w.i32(numPartitions)
+      (0 until numPartitions).foreach { p =>
+        w.i16(0).i32(p).i32(0) // error, partition, leader=broker 0
+        w.i32(1).i32(0) // replicas [0]
+        w.i32(1).i32(0) // isr [0]
+      }
+    }
+    ()
+  }
+
+  private def produce(r: Reader, w: Writer): Unit = {
+    r.i16() // acks
+    r.i32() // timeout
+    val nTopics = r.i32()
+    val acks = Seq.newBuilder[(String, Int, Long)]
+    (0 until nTopics).foreach { _ =>
+      val topic = r.str()
+      val nParts = r.i32()
+      (0 until nParts).foreach { _ =>
+        val partition = r.i32()
+        val setBytes = r.blob()
+        val records = decodeMessageSet(setBytes)
+        val base = logs.synchronized {
+          val log = logs.getOrElseUpdate((topic, partition),
+            mutable.ArrayBuffer.empty)
+          val b = log.length.toLong
+          records.zipWithIndex.foreach { case (rec, i) =>
+            log += rec.copy(offset = b + i)
+          }
+          b
+        }
+        acks += ((topic, partition, base))
+      }
+    }
+    val byTopic = acks.result().groupBy(_._1).toSeq.sortBy(_._1)
+    w.i32(byTopic.size)
+    byTopic.foreach { case (topic, parts) =>
+      w.str(topic)
+      w.i32(parts.size)
+      parts.foreach { case (_, p, base) =>
+        w.i32(p).i16(0).i64(base) // partition, no error, base offset
+      }
+    }
+    ()
+  }
+
+  private def fetch(r: Reader, w: Writer): Unit = {
+    r.i32() // replica_id
+    r.i32() // max_wait
+    r.i32() // min_bytes
+    val nTopics = r.i32()
+    val results =
+      (0 until nTopics).map { _ =>
+        val topic = r.str()
+        val nParts = r.i32()
+        val parts = (0 until nParts).map { _ =>
+          val partition = r.i32()
+          val fetchOffset = r.i64()
+          val maxBytes = r.i32()
+          val (slice, hw) = logs.synchronized {
+            val log = logs.getOrElse((topic, partition),
+              mutable.ArrayBuffer.empty[Record])
+            val from = math.max(0L, fetchOffset).toInt
+            val sel = Seq.newBuilder[Record]
+            var size = 0
+            var i = from
+            while (i < log.length && size < maxBytes) {
+              sel += log(i)
+              size += 26 + 8 +
+                Option(log(i).key).map(_.length).getOrElse(0) +
+                Option(log(i).value).map(_.length).getOrElse(0)
+              i += 1
+            }
+            (sel.result(), log.length.toLong)
+          }
+          (partition, hw, encodeMessageSet(slice))
+        }
+        (topic, parts)
+      }
+    w.i32(results.size)
+    results.foreach { case (topic, parts) =>
+      w.str(topic)
+      w.i32(parts.size)
+      parts.foreach { case (p, hw, set) =>
+        w.i32(p).i16(0).i64(hw)
+        w.i32(set.length).raw(set)
+      }
+    }
+    ()
+  }
+
+  private def listOffsets(r: Reader, w: Writer): Unit = {
+    r.i32() // replica_id
+    val nTopics = r.i32()
+    val results = (0 until nTopics).map { _ =>
+      val topic = r.str()
+      val nParts = r.i32()
+      val parts = (0 until nParts).map { _ =>
+        val partition = r.i32()
+        val ts = r.i64()
+        r.i32() // max_num_offsets
+        val off = logs.synchronized {
+          val log = logs.getOrElse((topic, partition),
+            mutable.ArrayBuffer.empty[Record])
+          if (ts == EarliestTs) 0L else log.length.toLong
+        }
+        (partition, off)
+      }
+      (topic, parts)
+    }
+    w.i32(results.size)
+    results.foreach { case (topic, parts) =>
+      w.str(topic)
+      w.i32(parts.size)
+      parts.foreach { case (p, off) =>
+        w.i32(p).i16(0)
+        w.i32(1).i64(off) // one offset
+      }
+    }
+    ()
+  }
+}

@@ -1,0 +1,140 @@
+package graft.streaming
+
+import java.io.{DataInputStream, DataOutputStream}
+import java.net.Socket
+
+import KafkaWire._
+
+/** Blocking Kafka wire-protocol client (the consumer/producer side of
+  * [[KafkaWire]]'s API subset) — the partition-level connection the
+  * reference holds per consuming partition
+  * (`KafkaPartitionLevelConnectionHandler.java`). One socket, strictly
+  * request→response; safe to use from one thread (each Spark partition
+  * reader opens its own). */
+final class KafkaWireClient(host: String, port: Int,
+    clientId: String = "graft") extends AutoCloseable {
+
+  private val sock = new Socket(host, port)
+  private val in = new DataInputStream(sock.getInputStream)
+  private val out = new DataOutputStream(sock.getOutputStream)
+  private var correlation = 0
+
+  private def call(apiKey: Short)(body: Writer => Unit): Reader = {
+    correlation += 1
+    val w = new Writer
+    writeRequestHeader(w, RequestHeader(apiKey, 0, correlation, clientId))
+    body(w)
+    writeFrame(out, w.result())
+    val resp = new Reader(readFrame(in))
+    val corr = resp.i32()
+    require(corr == correlation, s"correlation mismatch: $corr != $correlation")
+    resp
+  }
+
+  /** (topic, partitionIds) pairs known to the broker. */
+  def metadata(topics: Seq[String] = Nil): Seq[(String, Seq[Int])] = {
+    val r = call(ApiMetadata) { w =>
+      w.i32(topics.size)
+      topics.foreach(w.str)
+      ()
+    }
+    val nBrokers = r.i32()
+    (0 until nBrokers).foreach { _ => r.i32(); r.str(); r.i32() }
+    val nTopics = r.i32()
+    (0 until nTopics).map { _ =>
+      r.i16() // topic error
+      val name = r.str()
+      val nParts = r.i32()
+      val parts = (0 until nParts).map { _ =>
+        r.i16() // partition error
+        val id = r.i32()
+        r.i32() // leader
+        (0 until r.i32()).foreach(_ => r.i32()) // replicas
+        (0 until r.i32()).foreach(_ => r.i32()) // isr
+        id
+      }
+      (name, parts)
+    }
+  }
+
+  /** Produce records to one partition; returns the base offset the
+    * broker assigned. */
+  def produce(topic: String, partition: Int, records: Seq[Record]): Long = {
+    val set = encodeMessageSet(records)
+    val r = call(ApiProduce) { w =>
+      w.i16(1) // acks = leader
+      w.i32(30000)
+      w.i32(1).str(topic)
+      w.i32(1).i32(partition)
+      w.i32(set.length).raw(set)
+      ()
+    }
+    val nTopics = r.i32()
+    var base = -1L
+    (0 until nTopics).foreach { _ =>
+      r.str()
+      val nParts = r.i32()
+      (0 until nParts).foreach { _ =>
+        r.i32() // partition
+        val err = r.i16()
+        require(err == 0, s"produce error $err")
+        base = r.i64()
+      }
+    }
+    base
+  }
+
+  /** Fetch from `offset`; returns (records, highWatermark). */
+  def fetch(topic: String, partition: Int, offset: Long,
+      maxBytes: Int = 4 << 20): (Seq[Record], Long) = {
+    val r = call(ApiFetch) { w =>
+      w.i32(-1) // replica_id (consumer)
+      w.i32(100) // max_wait ms
+      w.i32(1) // min_bytes
+      w.i32(1).str(topic)
+      w.i32(1).i32(partition).i64(offset).i32(maxBytes)
+      ()
+    }
+    var result: (Seq[Record], Long) = (Nil, 0L)
+    val nTopics = r.i32()
+    (0 until nTopics).foreach { _ =>
+      r.str()
+      val nParts = r.i32()
+      (0 until nParts).foreach { _ =>
+        r.i32() // partition
+        val err = r.i16()
+        require(err == 0, s"fetch error $err")
+        val hw = r.i64()
+        val set = r.blob()
+        result = (decodeMessageSet(set), hw)
+      }
+    }
+    result
+  }
+
+  /** Earliest (ts = -2) or latest (ts = -1) offset of one partition. */
+  def listOffset(topic: String, partition: Int, ts: Long): Long = {
+    val r = call(ApiListOffsets) { w =>
+      w.i32(-1)
+      w.i32(1).str(topic)
+      w.i32(1).i32(partition).i64(ts).i32(1)
+      ()
+    }
+    var off = 0L
+    val nTopics = r.i32()
+    (0 until nTopics).foreach { _ =>
+      r.str()
+      val nParts = r.i32()
+      (0 until nParts).foreach { _ =>
+        r.i32()
+        val err = r.i16()
+        require(err == 0, s"listOffsets error $err")
+        val n = r.i32()
+        (0 until n).foreach(_ => off = r.i64())
+      }
+    }
+    off
+  }
+
+  override def close(): Unit = sock.close()
+}

@@ -1,0 +1,122 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.streaming.{KafkaSocketSourceProvider, KafkaSource, KafkaWire, KafkaWireBroker, KafkaWireClient, UpsertStream}
+
+/** Socket-level Kafka path: wire-protocol framing golden bytes, the
+  * broker/client round trip over TCP, and the Structured-Streaming
+  * source consuming through the socket with checkpointed offsets —
+  * kill/restart exactly-once, same discipline as KafkaDurableSpec. */
+class KafkaSocketSpec extends SparkSpec {
+
+  private def hex(b: Array[Byte]) = b.map("%02x".format(_)).mkString
+
+  test("magic-1 message set encodes the documented layout, byte-exact") {
+    // offset 7, key "k", value "v", ts 1000:
+    // [offset 8B][size 4B][crc 4B][magic 1][attr 0][ts 8B]
+    // [keyLen 4B][key][valLen 4B][value]
+    val set = KafkaWire.encodeMessageSet(Seq(
+      KafkaWire.Record("k".getBytes, "v".getBytes, 1000L, 7L)))
+    val body = set.drop(16) // magic..value, the crc'd span
+    val crc = new java.util.zip.CRC32
+    crc.update(body)
+    val expected = "0000000000000007" + "00000018" +
+      f"${crc.getValue.toInt}%08x" +
+      "01" + "00" + "00000000000003e8" +
+      "00000001" + "6b" + "00000001" + "76"
+    assert(hex(set) == expected)
+    val back = KafkaWire.decodeMessageSet(set)
+    assert(back.map(r => (new String(r.key), new String(r.value),
+      r.timestampMs, r.offset)) == Seq(("k", "v", 1000L, 7L)))
+  }
+
+  test("corrupted message set fails the CRC check") {
+    val set = KafkaWire.encodeMessageSet(Seq(
+      KafkaWire.Record("k".getBytes, "v".getBytes, 1000L, 0L)))
+    set(set.length - 1) = (set(set.length - 1) ^ 0x01).toByte
+    intercept[IllegalArgumentException] {
+      KafkaWire.decodeMessageSet(set)
+    }
+  }
+
+  test("broker serves metadata/produce/fetch/listOffsets over TCP") {
+    val broker = new KafkaWireBroker(numPartitions = 2).start()
+    try {
+      val c = new KafkaWireClient("127.0.0.1", broker.port)
+      val base = c.produce("t1", 0, Seq(
+        KafkaWire.Record("a".getBytes, "1".getBytes, 10L),
+        KafkaWire.Record("b".getBytes, "2".getBytes, 20L)))
+      assert(base == 0L)
+      assert(c.produce("t1", 0, Seq(
+        KafkaWire.Record("c".getBytes, "3".getBytes, 30L))) == 2L)
+      assert(c.metadata(Seq("t1")) == Seq(("t1", Seq(0, 1))))
+      assert(c.listOffset("t1", 0, KafkaWire.EarliestTs) == 0L)
+      assert(c.listOffset("t1", 0, KafkaWire.LatestTs) == 3L)
+      val (records, hw) = c.fetch("t1", 0, 1L)
+      assert(hw == 3L)
+      assert(records.map(r => (new String(r.value), r.offset)) ==
+        Seq(("2", 1L), ("3", 2L)))
+      c.close()
+    } finally broker.close()
+  }
+
+  test("streaming source consumes over the socket with exactly-once restart") {
+    val broker = new KafkaWireBroker(numPartitions = 2).start()
+    try {
+      val root = java.nio.file.Files.createTempDirectory("kafka_sock").toString
+      val store = s"$root/store"
+      val ckpt = s"$root/ckpt"
+      val schema = StructType(Seq(
+        StructField("user_id", LongType), StructField("ts", LongType),
+        StructField("amount", DoubleType)))
+      val producer = new KafkaWireClient("127.0.0.1", broker.port, "producer")
+      def produce(part: Int, json: String): Unit = {
+        producer.produce("t", part, Seq(
+          KafkaWire.Record(null, json.getBytes, 1000L)))
+        ()
+      }
+      def stream() = KafkaSource.decodeJson(
+        spark.readStream
+          .format(classOf[KafkaSocketSourceProvider].getName)
+          .option("brokers", s"127.0.0.1:${broker.port}")
+          .option("topic", "t")
+          .load(), schema)
+      def startQ() = UpsertStream.startDurable(spark, stream(),
+        Seq("user_id"), "ts", Seq("amount"), store, ckpt)
+
+      produce(0, """{"user_id":1,"ts":10,"amount":1.0}""")
+      produce(0, """{"user_id":1,"ts":20,"amount":2.0}""")
+      produce(1, """{"user_id":2,"ts":10,"amount":5.0}""")
+      val q1 = startQ()
+      q1.processAllAvailable()
+      q1.stop() // kill mid-stream
+
+      val after1 = spark.read.parquet(store)
+        .select("user_id", "ts", "amount").collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+      assert(after1 == Map(1L -> (20L, 2.0), 2L -> (10L, 5.0)))
+
+      // while the consumer is down: one stale (loses merge), one fresh
+      produce(1, """{"user_id":2,"ts":5,"amount":99.0}""")
+      produce(0, """{"user_id":3,"ts":30,"amount":7.0}""")
+      val q2 = startQ()
+      q2.processAllAvailable()
+      q2.stop()
+      val after2 = spark.read.parquet(store)
+        .select("user_id", "ts", "amount").collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+      assert(after2 == Map(1L -> (20L, 2.0), 2L -> (10L, 5.0),
+        3L -> (30L, 7.0)))
+      assert(spark.read.parquet(store).count() == 3)
+
+      // restart with nothing new — replay is a no-op
+      val q3 = startQ()
+      q3.processAllAvailable()
+      q3.stop()
+      assert(spark.read.parquet(store).count() == 3)
+      producer.close()
+    } finally broker.close()
+  }
+}

@@ -127,7 +127,11 @@ object ScaleProbe {
       "q_dedup_ttl", "q_pack_ffd", "q_join_spatial", "q_chunk_overlap",
       "q_snapshot_diff", "q_join_radius", "q_cohort_retention",
       "q_ppl_buckets_kll", "q_dedup_url", "q_mix_temperature",
-      "q_decontaminate_semantic", "q_dedup_containment")
+      "q_decontaminate_semantic", "q_dedup_containment",
+      // round-4: HNSW (warm ingest-time graph → fan-out beam search),
+      // wire-format digest re-merges, logical tables, TS transforms
+      "q_ann_hnsw", "q_agg_tdigest_remerge", "q_agg_qdigest_remerge",
+      "q_agg_ull_remerge", "q_logical_table", "q_ts_transforms")
       .filter(q => only.isEmpty || only(q))
     def time(dir: String, name: String): Double = {
       val t0 = System.nanoTime()
