@@ -61,5 +61,23 @@ object syntax {
     def annTopK(idCol: String, vecCol: String, probe: Seq[Double],
         k: Int): DataFrame =
       Similarity.bruteForceTopK(df, idCol, vecCol, probe, k)
+
+    /** Graph-ANN top-k: build (or reuse the memoized) HNSW index over
+      * this corpus and beam-search it with `probes`. */
+    def hnswTopK(idCol: String, vecCol: String, probes: DataFrame,
+        probeId: String, k: Int, ef: Int = 64): DataFrame =
+      HnswIndex.search(
+        HnswIndex.build(df, idCol, vecCol), probes, probeId, vecCol, k, ef)
+
+    /** Compose this frame (OFFLINE) with realtime tails into one
+      * logical-table view under the min time-boundary strategy. */
+    def withRealtimeTail(timeCol: String, realtime: DataFrame*): DataFrame =
+      graft.schema.LogicalTable.view(graft.schema.LogicalTable.Config(
+        "logical",
+        graft.schema.LogicalTable.Physical("offline_OFFLINE", df, "OFFLINE") +:
+          realtime.zipWithIndex.map { case (rt, i) =>
+            graft.schema.LogicalTable.Physical(s"rt${i}_REALTIME", rt, "REALTIME")
+          },
+        timeCol))
   }
 }

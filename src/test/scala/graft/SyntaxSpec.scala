@@ -39,4 +39,24 @@ class SyntaxSpec extends SparkSpec {
       .select($"vec_id").as[Long].collect()
     assert(nn.toSeq == Seq(0L))
   }
+
+  test("hnswTopK and withRealtimeTail forward faithfully") {
+    val rnd = new scala.util.Random(5)
+    val emb = (0L until 64L).map(i =>
+        (i, Seq.fill(8)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    val probes = emb.filter($"vec_id" < 2)
+    val got = emb.hnswTopK("vec_id", "embedding", probes, "vec_id", k = 3)
+    assert(got.groupBy($"probe_id").count().collect()
+      .forall(_.getLong(1) == 3))
+
+    import org.apache.spark.sql.types.TimestampType
+    def mk(rows: Seq[(Long, String)]) = rows.toDF("id", "t")
+      .withColumn("t", $"t".cast(TimestampType))
+    val off = mk(Seq((1L, "2024-01-01 00:00:00"), (2L, "2024-01-05 00:00:00")))
+    val rt = mk(Seq((2L, "2024-01-05 00:00:00"), (3L, "2024-01-09 00:00:00")))
+    val ids = off.withRealtimeTail("t", rt)
+      .select($"id").as[Long].collect().sorted.toSeq
+    assert(ids == Seq(1L, 2L, 3L))
+  }
 }
