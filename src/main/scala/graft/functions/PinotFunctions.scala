@@ -465,9 +465,14 @@ object PinotFunctions {
     // sorted values[(int)(n*pct/100)], NO interpolation (pct=100 → max).
     // Facade rewrites the reserved `percentile(` spelling here.
     "pinotpercentile" -> { case Seq(c, p) => pinotPct(c.cast(DoubleType), p) },
-    // PERCENTILEEST (QDigest over longs): values quantized to long; the
-    // small-data behavior is the floor-index order statistic
-    "percentileest" -> { case Seq(c, p) => pinotPct(c.cast(LongType), p) },
+    // PERCENTILEEST: the real wire-format q-digest aggregate
+    // (plans/QuantileDigestSketch) — on small data the trie stays
+    // uncompressed and the answer IS the floor-index order statistic
+    // (the upper-bound rank rule coincides with it); BYTES children
+    // re-merge stored blobs under the same name, as in the reference
+    "percentileest" -> { case Seq(c, p) =>
+      graft.plans.QDigestSketch.percentileEst(c,
+        ex(p).eval().toString.toDouble) },
     // native mergeable KLL (graft.plans.KllSketch): blob-compatible with
     // PERCENTILERAWKLL / KLLMERGEPERCENTILE re-aggregation
     "percentilekll" -> { case Seq(c, p) =>
@@ -503,13 +508,17 @@ object PinotFunctions {
     "distinctsum" -> { case Seq(c) => sum_distinct(c) },
     "distinctavg" -> { case Seq(c) => sum_distinct(c) / size(collect_set(c)) },
     "minmaxrange" -> { case Seq(c) => max(c) - min(c) },
-    // TDigest with compression ≫ n keeps singleton centroids, and the
-    // reference's quantile then lands on the floor-index order statistic
-    // (verified against the reference's own MSE gold outputs); the
-    // compression argument is accepted and ignored
+    // PERCENTILETDIGEST: the real wire-format merging t-digest
+    // (plans/TDigestSketch) — singleton centroids (small data)
+    // reproduce the floor-index order statistic exactly, the behavior
+    // the MSE golds exercise; BYTES children re-merge stored blobs
+    // under the same name, as in the reference
     "percentiletdigest" -> {
-      case Seq(c, p) => pinotPct(c.cast(DoubleType), p)
-      case Seq(c, p, _) => pinotPct(c.cast(DoubleType), p) },
+      case Seq(c, p) => graft.plans.TDigestSketch.percentileTDigest(c,
+        ex(p).eval().toString.toDouble)
+      case Seq(c, p, comp) => graft.plans.TDigestSketch.percentileTDigest(c,
+        ex(p).eval().toString.toDouble,
+        ex(comp).eval().toString.toDouble) },
     "avgmv" -> { case Seq(a) => sum(aggregate(a, lit(0.0),
       (acc, x) => acc + x.cast(DoubleType))) / sum(size(a)) },
     "summv" -> { case Seq(a) => sum(aggregate(a, lit(0.0),

@@ -345,17 +345,21 @@ case class QDigestAgg(
     GraftQDigest(maxError)
 
   override def update(buf: GraftQDigest, row: InternalRow): GraftQDigest = {
-    def one(x: Any): Unit = buf.add(x match {
-      case l: Long => l
-      case i: Int => i.toLong
-      case d: Double => d.toLong
-      case f: Float => f.toLong
-      case d: org.apache.spark.sql.types.Decimal => d.toLong
-      case n: Number => n.longValue()
-    })
+    def one(x: Any): Unit = x match {
+      // BYTES child: a stored digest blob — re-merge (the reference's
+      // re-aggregation path under the same function name)
+      case b: Array[Byte] => buf.merge(GraftQDigest.fromBytes(b))
+      case l: Long => buf.add(l)
+      case i: Int => buf.add(i.toLong)
+      case d: Double => buf.add(d.toLong)
+      case f: Float => buf.add(f.toLong)
+      case d: org.apache.spark.sql.types.Decimal => buf.add(d.toLong)
+      case n: Number => buf.add(n.longValue())
+    }
     child.eval(row) match {
       case null => ()
-      case arr: org.apache.spark.sql.catalyst.util.ArrayData =>
+      case arr: org.apache.spark.sql.catalyst.util.ArrayData
+          if child.dataType.isInstanceOf[ArrayType] =>
         val et = child.dataType.asInstanceOf[ArrayType].elementType
         var i = 0
         while (i < arr.numElements()) {

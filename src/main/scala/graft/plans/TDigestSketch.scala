@@ -269,17 +269,21 @@ case class TDigestAgg(
     GraftTDigest(compression)
 
   override def update(buf: GraftTDigest, row: InternalRow): GraftTDigest = {
-    def one(x: Any): Unit = buf.add(x match {
-      case d: Double => d
-      case f: Float => f.toDouble
-      case l: Long => l.toDouble
-      case i: Int => i.toDouble
-      case d: org.apache.spark.sql.types.Decimal => d.toDouble
-      case n: Number => n.doubleValue()
-    })
+    def one(x: Any): Unit = x match {
+      // BYTES child: a stored digest blob — re-merge (the reference's
+      // re-aggregation path under the same function name)
+      case b: Array[Byte] => buf.merge(GraftTDigest.fromBytes(b))
+      case d: Double => buf.add(d)
+      case f: Float => buf.add(f.toDouble)
+      case l: Long => buf.add(l.toDouble)
+      case i: Int => buf.add(i.toDouble)
+      case d: org.apache.spark.sql.types.Decimal => buf.add(d.toDouble)
+      case n: Number => buf.add(n.doubleValue())
+    }
     child.eval(row) match {
       case null => ()
-      case arr: org.apache.spark.sql.catalyst.util.ArrayData =>
+      case arr: org.apache.spark.sql.catalyst.util.ArrayData
+          if child.dataType.isInstanceOf[ArrayType] =>
         val et = child.dataType.asInstanceOf[ArrayType].elementType
         var i = 0
         while (i < arr.numElements()) {

@@ -24,7 +24,12 @@ class PlanShapeSpec extends SparkSpec {
     "q_gapfill", "q_gapfill_agg", "q_join_theta", "q_mix_proportions",
     "q_mix_temperature",
     "q_ppl_buckets", "q_ppl_buckets_kll", "q_setop_union", "q_text_lm",
-    "q_ts_promql")
+    "q_ts_promql",
+    // q_ann_hnsw: S shard-blob rows crossJoin broadcast(bounded probes)
+    // — the deliberate per-segment fan-out; q_ts_transforms: the dense
+    // bucket-spine crossJoin broadcast(series), same shape as
+    // q_ts_promql's fill stage
+    "q_ann_hnsw", "q_ts_transforms")
 
   test("no cartesian products; BNLJ only in scalar-broadcast whitelist") {
     val dir = "/root/testdata/sf0.001"
