@@ -74,6 +74,41 @@ final class KafkaWireBroker(host: String = "127.0.0.1",
     logs.get((topic, partition)).map(_.length.toLong).getOrElse(0L)
   }
 
+  /** Persist the in-memory log as the FileTopicLog parquet layout —
+    * the two transports share one log format. */
+  def snapshotTo(spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    val entries = logs.synchronized {
+      logs.toSeq.flatMap { case ((topic, part), log) =>
+        log.map(r => (topic, part, r))
+      }
+    }
+    entries.groupBy(_._1).foreach { case (topic, rows) =>
+      KafkaSource.FileTopicLog.append(spark, dir, topic,
+        rows.map { case (_, part, r) =>
+          (r.key, r.value, part, r.offset, r.timestampMs)
+        })
+    }
+  }
+
+  /** Load a FileTopicLog parquet dir into the in-memory log (offsets
+    * kept dense in stored order per partition). */
+  def loadFrom(spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    val rows = spark.read.schema(KafkaSource.RecordSchema).parquet(dir)
+      .select("key", "value", "topic", "partition", "offset", "timestamp")
+      .collect()
+      .sortBy(r => (r.getString(2), r.getInt(3), r.getLong(4)))
+    logs.synchronized {
+      rows.foreach { r =>
+        val log = logs.getOrElseUpdate((r.getString(2), r.getInt(3)),
+          mutable.ArrayBuffer.empty)
+        log += Record(
+          if (r.isNullAt(0)) null else r.getAs[Array[Byte]](0),
+          if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1),
+          r.getTimestamp(5).getTime, log.length.toLong)
+      }
+    }
+  }
+
   private def topicsOf: Seq[String] = logs.synchronized {
     logs.keys.map(_._1).toSeq.distinct.sorted
   }

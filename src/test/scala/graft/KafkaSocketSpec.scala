@@ -62,6 +62,28 @@ class KafkaSocketSpec extends SparkSpec {
     } finally broker.close()
   }
 
+  test("broker snapshot/load round-trips through the FileTopicLog layout") {
+    val dir = java.nio.file.Files.createTempDirectory("ktl").toString + "/log"
+    val b1 = new KafkaWireBroker(numPartitions = 2).start()
+    try {
+      b1.append("t", 0, "k0".getBytes, "v0".getBytes, 100L)
+      b1.append("t", 1, null, "v1".getBytes, 200L)
+      b1.snapshotTo(spark, dir)
+      val b2 = new KafkaWireBroker(numPartitions = 2).start()
+      try {
+        b2.loadFrom(spark, dir)
+        val c = new KafkaWireClient("127.0.0.1", b2.port)
+        val (r0, _) = c.fetch("t", 0, 0L)
+        assert(r0.map(r => (new String(r.key), new String(r.value),
+          r.timestampMs)) == Seq(("k0", "v0", 100L)))
+        val (r1, _) = c.fetch("t", 1, 0L)
+        assert(r1.map(r => (r.key, new String(r.value))).head._2 == "v1")
+        assert(r1.head.key == null)
+        c.close()
+      } finally b2.close()
+    } finally b1.close()
+  }
+
   test("streaming source consumes over the socket with exactly-once restart") {
     val broker = new KafkaWireBroker(numPartitions = 2).start()
     try {
