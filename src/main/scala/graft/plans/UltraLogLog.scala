@@ -91,15 +91,31 @@ object WyHashFinal4 {
   // --- the reference's hash funnels (UltraLogLogUtils.OBJECT_FUNNEL:
   // fixed-width little-endian primitives; strings as UTF-16LE code
   // units followed by the int length) ---
-  def hashInt(v: Int): Long = {
-    val b = new Array[Byte](4)
-    writeInt(b, 0, v)
-    hash(b)
+
+  // seed state after the fixed seed-0 initialization — a constant
+  private val Seed0 = 0L ^ mix(0L ^ S0, S1)
+
+  @inline private def finish(a0: Long, b0: Long, len: Long): Long = {
+    val a = a0 ^ S1
+    val b = b0 ^ Seed0
+    val lo = a * b
+    val hi = java.lang.Math.multiplyHigh(a, b) +
+      (if (a < 0) b else 0L) + (if (b < 0) a else 0L)
+    mix(lo ^ S0 ^ len, hi ^ S1)
   }
+
+  /** Allocation-free specialization of the 4-byte path (equals
+    * hash(LE bytes of v) — spec-gated). */
+  def hashInt(v: Int): Long = {
+    val w = v & 0xffffffffL
+    finish((w << 32) | w, (w << 32) | w, 4L)
+  }
+
+  /** Allocation-free specialization of the 8-byte path. */
   def hashLong(v: Long): Long = {
-    val b = new Array[Byte](8)
-    writeLong(b, 0, v)
-    hash(b)
+    val lo = v & 0xffffffffL
+    val hi = v >>> 32
+    finish((lo << 32) | hi, (hi << 32) | lo, 8L)
   }
   def hashFloat(v: Float): Long = hashInt(java.lang.Float.floatToRawIntBits(v))
   def hashDouble(v: Double): Long =

@@ -28,6 +28,18 @@ class UltraLogLogWireSpec extends AnyFunSuite {
       "1234567890123456789012345678901234567890", 6) == 0xc39cab13b115aad3L)
   }
 
+  test("int/long fast paths equal the generic byte-array hash") {
+    def le(v: Long, n: Int): Array[Byte] =
+      (0 until n).map(i => (v >>> (8 * i)).toByte).toArray
+    val rnd = new scala.util.Random(13)
+    (0 until 500).foreach { _ =>
+      val i = rnd.nextInt()
+      assert(WyHashFinal4.hashInt(i) == WyHashFinal4.hash(le(i.toLong, 4)))
+      val l = rnd.nextLong()
+      assert(WyHashFinal4.hashLong(l) == WyHashFinal4.hash(le(l, 8)))
+    }
+  }
+
   test("ull blob layout is [p][2^p registers] and round-trips") {
     val u = GraftUll(6)
     (1 to 100).foreach(i => u.addHash(WyHashFinal4.hashLong(i.toLong)))
