@@ -103,9 +103,10 @@ object HnswIndex {
             graph = HnswGraph.fromBytes(blob)
             lastShard = shard
           }
-          graph.search(pvec.toArray, k, ef).map { case (nid, sim) =>
-            (pid, nid, sim.toDouble)
-          }
+          // k+1 per shard: an in-corpus probe finds itself at rank 1
+          // and the self-match filter below must not short the count
+          graph.search(pvec.toArray, k + 1, math.max(ef, k + 1))
+            .map { case (nid, sim) => (pid, nid, sim.toDouble) }
         }
       }
       .toDF("probe_id", "neighbor_id", "sim")

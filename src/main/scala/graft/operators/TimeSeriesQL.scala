@@ -173,6 +173,10 @@ object TimeSeriesQL {
           case "offset" =>
             val offSec = f.args.headOption.map(_.toLong).getOrElse(
               throw new IllegalArgumentException("offset: seconds argument required"))
+            // reject silently-lossy offsets rather than truncating
+            require(offSec > 0 && offSec % stepSeconds == 0,
+              s"offset{$offSec}: must be a positive multiple of the " +
+                s"step ($stepSeconds s)")
             val shift = (offSec / stepSeconds).toInt
             d.withColumn("value", lag(col("value"), shift).over(seriesW))
           // keep the n series with the largest (smallest) range-total

@@ -346,9 +346,6 @@ case class QDigestAgg(
 
   override def update(buf: GraftQDigest, row: InternalRow): GraftQDigest = {
     def one(x: Any): Unit = x match {
-      // BYTES child: a stored digest blob — re-merge (the reference's
-      // re-aggregation path under the same function name)
-      case b: Array[Byte] => buf.merge(GraftQDigest.fromBytes(b))
       case l: Long => buf.add(l)
       case i: Int => buf.add(i.toLong)
       case d: Double => buf.add(d.toLong)
@@ -357,7 +354,13 @@ case class QDigestAgg(
       case n: Number => buf.add(n.longValue())
     }
     child.eval(row) match {
-      case null => ()
+      case null => buf
+      // BYTES child: a stored digest blob — re-merge (the reference's
+      // re-aggregation path under the same function name); an empty
+      // buffer ADOPTS the first blob so its stored maxError governs
+      case b: Array[Byte] =>
+        val incoming = GraftQDigest.fromBytes(b)
+        if (buf.isEmpty) incoming else { buf.merge(incoming); buf }
       case arr: org.apache.spark.sql.catalyst.util.ArrayData
           if child.dataType.isInstanceOf[ArrayType] =>
         val et = child.dataType.asInstanceOf[ArrayType].elementType
@@ -366,15 +369,16 @@ case class QDigestAgg(
           if (!arr.isNullAt(i)) one(arr.get(i, et))
           i += 1
         }
-      case x => one(x)
+        buf
+      case x =>
+        one(x)
+        buf
     }
-    buf
   }
 
-  override def merge(buf: GraftQDigest, other: GraftQDigest): GraftQDigest = {
-    buf.merge(other)
-    buf
-  }
+  override def merge(buf: GraftQDigest, other: GraftQDigest): GraftQDigest =
+    if (buf.isEmpty && buf.maxError != other.maxError) other
+    else { buf.merge(other); buf }
 
   override def eval(buf: GraftQDigest): Any =
     if (emitBlob) buf.toBytes
@@ -412,14 +416,17 @@ case class QDigestMergeAgg(
 
   override def update(buf: GraftQDigest, row: InternalRow): GraftQDigest = {
     val v = child.eval(row)
-    if (v != null) buf.merge(GraftQDigest.fromBytes(v.asInstanceOf[Array[Byte]]))
-    buf
+    if (v == null) buf
+    else {
+      // the first blob's stored maxError governs the merged digest
+      val incoming = GraftQDigest.fromBytes(v.asInstanceOf[Array[Byte]])
+      if (buf.isEmpty) incoming else { buf.merge(incoming); buf }
+    }
   }
 
-  override def merge(buf: GraftQDigest, other: GraftQDigest): GraftQDigest = {
-    buf.merge(other)
-    buf
-  }
+  override def merge(buf: GraftQDigest, other: GraftQDigest): GraftQDigest =
+    if (buf.isEmpty && buf.maxError != other.maxError) other
+    else { buf.merge(other); buf }
 
   override def eval(buf: GraftQDigest): Any =
     if (emitBlob) buf.toBytes

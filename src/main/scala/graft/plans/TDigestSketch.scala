@@ -175,10 +175,12 @@ final class GraftTDigest(val compression: Double) extends Serializable {
       wSoFar += dw
       i += 1
     }
-    // tail: between the last centroid's half-weight point and max
-    val z1 = index - total + wArr(used - 1) / 2.0
-    val z2 = wArr(used - 1) / 2.0 - z1
-    (meanArr(used - 1) * z1 + maxV * z2) / (z1 + z2)
+    // tail: interpolate between the last centroid's half-weight
+    // position (total − w/2) and max (position total); each endpoint
+    // is weighted by the index's distance to the OTHER one
+    val z1 = index - total + wArr(used - 1) / 2.0 // distance from the centroid
+    val z2 = wArr(used - 1) / 2.0 - z1 // distance from max
+    (meanArr(used - 1) * z2 + maxV * z1) / (z1 + z2)
   }
 
   /** Reference-wire-format blob (VERBOSE MergingDigest — always fits:
@@ -270,9 +272,6 @@ case class TDigestAgg(
 
   override def update(buf: GraftTDigest, row: InternalRow): GraftTDigest = {
     def one(x: Any): Unit = x match {
-      // BYTES child: a stored digest blob — re-merge (the reference's
-      // re-aggregation path under the same function name)
-      case b: Array[Byte] => buf.merge(GraftTDigest.fromBytes(b))
       case d: Double => buf.add(d)
       case f: Float => buf.add(f.toDouble)
       case l: Long => buf.add(l.toDouble)
@@ -281,7 +280,13 @@ case class TDigestAgg(
       case n: Number => buf.add(n.doubleValue())
     }
     child.eval(row) match {
-      case null => ()
+      case null => buf
+      // BYTES child: a stored digest blob — re-merge (the reference's
+      // re-aggregation path under the same function name); an empty
+      // buffer ADOPTS the first blob so its stored compression governs
+      case b: Array[Byte] =>
+        val incoming = GraftTDigest.fromBytes(b)
+        if (buf.isEmpty) incoming else { buf.merge(incoming); buf }
       case arr: org.apache.spark.sql.catalyst.util.ArrayData
           if child.dataType.isInstanceOf[ArrayType] =>
         val et = child.dataType.asInstanceOf[ArrayType].elementType
@@ -290,15 +295,16 @@ case class TDigestAgg(
           if (!arr.isNullAt(i)) one(arr.get(i, et))
           i += 1
         }
-      case x => one(x)
+        buf
+      case x =>
+        one(x)
+        buf
     }
-    buf
   }
 
-  override def merge(buf: GraftTDigest, other: GraftTDigest): GraftTDigest = {
-    buf.merge(other)
-    buf
-  }
+  override def merge(buf: GraftTDigest, other: GraftTDigest): GraftTDigest =
+    if (buf.isEmpty && buf.compression != other.compression) other
+    else { buf.merge(other); buf }
 
   override def eval(buf: GraftTDigest): Any =
     if (emitBlob) buf.toBytes
@@ -339,14 +345,18 @@ case class TDigestMergeAgg(
 
   override def update(buf: GraftTDigest, row: InternalRow): GraftTDigest = {
     val v = child.eval(row)
-    if (v != null) buf.merge(GraftTDigest.fromBytes(v.asInstanceOf[Array[Byte]]))
-    buf
+    if (v == null) buf
+    else {
+      // the first blob's stored compression governs the merged digest
+      // (the reference merges into the deserialized digest)
+      val incoming = GraftTDigest.fromBytes(v.asInstanceOf[Array[Byte]])
+      if (buf.isEmpty) incoming else { buf.merge(incoming); buf }
+    }
   }
 
-  override def merge(buf: GraftTDigest, other: GraftTDigest): GraftTDigest = {
-    buf.merge(other)
-    buf
-  }
+  override def merge(buf: GraftTDigest, other: GraftTDigest): GraftTDigest =
+    if (buf.isEmpty && buf.compression != other.compression) other
+    else { buf.merge(other); buf }
 
   override def eval(buf: GraftTDigest): Any =
     if (emitBlob) buf.toBytes
@@ -388,11 +398,15 @@ object TDigestSketch {
   def registerAll(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     def num(e: Expression): Double = e.eval().toString.toDouble
-    // PERCENTILERAWTDIGEST(col[, compression]) → wire-format blob
+    // PERCENTILERAWTDIGEST(col, percentile[, compression]) →
+    // wire-format blob. The 2nd argument is the PERCENTILE (reference
+    // signature — irrelevant to the blob but part of the call shape);
+    // compression is the optional 3rd.
     Seq("percentilerawtdigest", "percentilerawtdigestmv").foreach { n =>
       reg.createOrReplaceTempFunction(n,
-        (e: Seq[Expression]) => TDigestAgg(e.head, 50.0,
-          if (e.size > 1) num(e(1)) else GraftTDigest.DefaultCompression,
+        (e: Seq[Expression]) => TDigestAgg(e.head,
+          if (e.size > 1) num(e(1)) else 50.0,
+          if (e.size > 2) num(e(2)) else GraftTDigest.DefaultCompression,
           emitBlob = true),
         "built-in")
     }

@@ -132,17 +132,11 @@ object WyHashFinal4 {
     writeInt(b, 2 * s.length, s.length)
     hash(b)
   }
-  def hashBytes(v: Array[Byte]): Long = hash(v)
-
   @inline private def writeInt(b: Array[Byte], off: Int, v: Int): Unit = {
     b(off) = v.toByte
     b(off + 1) = (v >>> 8).toByte
     b(off + 2) = (v >>> 16).toByte
     b(off + 3) = (v >>> 24).toByte
-  }
-  @inline private def writeLong(b: Array[Byte], off: Int, v: Long): Unit = {
-    var i = 0
-    while (i < 8) { b(off + i) = (v >>> (8 * i)).toByte; i += 1 }
   }
 }
 
@@ -184,15 +178,51 @@ final class GraftUll private (val p: Int, val state: Array[Byte])
     state(idx) = pack(prefix)
   }
 
-  def merge(o: GraftUll): Unit = {
-    require(o.p == p,
-      s"cannot merge UltraLogLog p=${o.p} into p=$p")
+  def merge(o0: GraftUll): Unit = {
+    // mixed precisions fold the higher-p side down (hash-prefix
+    // positions are absolute, so downsizing is exact — the property
+    // the paper designs for); merging into a SMALLER own p is the
+    // aggregate's job (it swaps buffers via [[UltraLogLogSketch.combine]])
+    require(o0.p >= p,
+      s"cannot merge UltraLogLog p=${o0.p} into larger p=$p — downsize first")
+    val o = if (o0.p > p) o0.downsize(p) else o0
     var i = 0
     while (i < state.length) {
       val u = unpack(state(i)) | unpack(o.state(i))
       if (u != 0) state(i) = pack(u)
       i += 1
     }
+  }
+
+  /** Exact fold-down to a smaller precision. A register's hash-prefix
+    * positions are absolute (k = q + p − 1 with the index bits above),
+    * so registers whose dropped index bits are all zero transfer
+    * verbatim; otherwise every hash in the register shares the q
+    * determined by the dropped bits' leading zeros, contributing one
+    * position. */
+  def downsize(targetP: Int): GraftUll = {
+    require(targetP >= 3 && targetP <= p, s"bad downsize target $targetP")
+    if (targetP == p) return this
+    val d = GraftUll(targetP)
+    val shift = p - targetP
+    var idx = 0
+    while (idx < state.length) {
+      if (state(idx) != 0) {
+        val idx1 = idx >>> shift
+        val dropped = idx & ((1 << shift) - 1)
+        val addPrefix =
+          if (dropped == 0) unpack(state(idx))
+          else {
+            // dropped index bits become the head of the value part:
+            // q1 = their leading-zero count within `shift` bits
+            val q1 = shift - (32 - java.lang.Integer.numberOfLeadingZeros(dropped))
+            1L << (q1 + targetP - 1)
+          }
+        d.state(idx1) = pack(unpack(d.state(idx1)) | addPrefix)
+      }
+      idx += 1
+    }
+    d
   }
 
   def isEmpty: Boolean = state.forall(_ == 0)
@@ -328,9 +358,12 @@ case class UllAgg(
 
   override def createAggregationBuffer(): GraftUll = GraftUll(p)
 
-  override def update(buf: GraftUll, row: InternalRow): GraftUll = {
+  override def update(buf0: GraftUll, row: InternalRow): GraftUll = {
+    var buf = buf0
     def one(x: Any): Unit = x match {
-      case b: Array[Byte] => buf.merge(GraftUll.fromBytes(b))
+      // BYTES: stored sketch — fold precisions per combine()
+      case b: Array[Byte] =>
+        buf = UltraLogLogSketch.combine(buf, GraftUll.fromBytes(b))
       case i: Int => buf.addHash(WyHashFinal4.hashInt(i))
       case l: Long => buf.addHash(WyHashFinal4.hashLong(l))
       case f: Float => buf.addHash(WyHashFinal4.hashFloat(f))
@@ -356,10 +389,8 @@ case class UllAgg(
     buf
   }
 
-  override def merge(buf: GraftUll, other: GraftUll): GraftUll = {
-    buf.merge(other)
-    buf
-  }
+  override def merge(buf: GraftUll, other: GraftUll): GraftUll =
+    UltraLogLogSketch.combine(buf, other)
 
   override def eval(buf: GraftUll): Any =
     if (emitBlob) buf.toBytes
@@ -377,6 +408,16 @@ case class UllAgg(
 }
 
 object UltraLogLogSketch {
+
+  /** Merge two sketches, folding mixed precisions to the SMALLER p
+    * (the reference/hash4j rule) and letting an empty buffer adopt
+    * the other's precision; may return either argument. */
+  private[plans] def combine(a: GraftUll, b: GraftUll): GraftUll =
+    if (a.p == b.p) { a.merge(b); a }
+    else if (a.isEmpty) b
+    else if (b.isEmpty) a
+    else if (b.p < a.p) { val f = a.downsize(b.p); f.merge(b); f }
+    else { a.merge(b); a } // b.p > a.p: merge folds b down
 
   def distinctCountUll(c: Column, p: Int = GraftUll.DefaultP): Column =
     ColumnBridge.column(UllAgg(ColumnBridge.expression(c), p,

@@ -45,17 +45,29 @@ object LogicalTable {
   /** The time boundary for a set of offline tables: strategy `min` =
     * min over tables of (max(time) − granularity); strategy `max` =
     * max over tables (the laxest member governs). */
+  /** None = at least one offline member has ingested NOTHING under
+    * the min strategy (its horizon is −∞), or every member is empty
+    * under max — offline then answers nothing and realtime answers
+    * everything. */
   def timeBoundary(offline: Seq[DataFrame], timeCol: String,
-      granularity: String, strategy: String): Column = {
+      granularity: String, strategy: String): Option[Column] = {
     require(offline.nonEmpty, "logical table needs >= 1 offline table")
     val perTable = offline.map { df =>
-      df.agg(max(col(timeCol)).minus(expr(s"INTERVAL $granularity"))).head.get(0)
+      Option(df.agg(max(col(timeCol))
+        .minus(expr(s"INTERVAL $granularity"))).head.get(0))
     }
-    val ordered = perTable.sortWith((a, b) =>
-      a.asInstanceOf[Comparable[Any]].compareTo(b) < 0)
     strategy.toLowerCase match {
-      case "min" => lit(ordered.head)
-      case "max" => lit(ordered.last)
+      case "min" =>
+        // an empty member's horizon is −∞: it has fully ingested
+        // nothing, so nothing is safely answerable offline
+        if (perTable.exists(_.isEmpty)) None
+        else Some(lit(perTable.flatten.sortWith((a, b) =>
+          a.asInstanceOf[Comparable[Any]].compareTo(b) < 0).head))
+      case "max" =>
+        val nonEmpty = perTable.flatten
+        if (nonEmpty.isEmpty) None
+        else Some(lit(nonEmpty.sortWith((a, b) =>
+          a.asInstanceOf[Comparable[Any]].compareTo(b) < 0).last))
       case other =>
         throw new IllegalArgumentException(s"unknown boundary strategy: $other")
     }
@@ -73,13 +85,15 @@ object LogicalTable {
       p.predicate.map(p.df.filter).getOrElse(p.df)
     val boundary = timeBoundary(offline.map(sliced), config.timeColumn,
       config.boundaryGranularity, config.boundaryStrategy)
-    val offView = offline.map(p =>
-        sliced(p).filter(col(config.timeColumn) <= boundary))
+    def offPred = boundary
+      .map(b => col(config.timeColumn) <= b).getOrElse(lit(false))
+    def rtPred = boundary
+      .map(b => col(config.timeColumn) > b).getOrElse(lit(true))
+    val offView = offline.map(p => sliced(p).filter(offPred))
       .reduce(_.unionByName(_))
     if (realtime.isEmpty) offView
     else {
-      val rtView = realtime.map(p =>
-          sliced(p).filter(col(config.timeColumn) > boundary))
+      val rtView = realtime.map(p => sliced(p).filter(rtPred))
         .reduce(_.unionByName(_))
       offView.unionByName(rtView)
     }

@@ -149,10 +149,13 @@ object QueryFacade {
   private lazy val localHost =
     try java.net.InetAddress.getLocalHost.getHostName
     catch { case _: Throwable => "localhost" }
-  // Matches a single-quoted SQL string literal ('' = escaped quote);
-  // virtual-column substitution must leave literal text untouched —
-  // the reference resolves $docId & co. as identifiers, not by text.
-  private val SqlStringLiteral = "'(?:[^']|'')*'".r
+  // Matches a SQL string literal — single-quoted ('' or \' escapes)
+  // or double-quoted (Spark's default treats "..." as a literal, with
+  // \" escapes); virtual-column substitution must leave literal text
+  // untouched — the reference resolves $docId & co. as identifiers,
+  // not by text.
+  private val SqlStringLiteral =
+    ("'(?:[^'\\\\]|\\\\.|'')*'" + "|\"(?:[^\"\\\\]|\\\\.)*\"").r
   private[graft] def rewriteVirtualCols(stmt: String): String =
     if (!stmt.contains("$")) stmt
     else {

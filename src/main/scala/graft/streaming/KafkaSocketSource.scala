@@ -39,11 +39,15 @@ class KafkaSocketSourceProvider extends TableProvider with DataSourceRegister {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     KafkaSource.RecordSchema
   override def getTable(schema: StructType, partitioning: Array[Transform],
-      properties: JMap[String, String]): Table =
+      properties: JMap[String, String]): Table = {
+    // getTable receives the CASE-SENSITIVE map — normalize so the
+    // stock Kafka source's spellings (startingOffsets) work verbatim
+    val opts = new CaseInsensitiveStringMap(properties)
     new KafkaSocketTable(
-      properties.get("brokers"),
-      properties.get("topic"),
-      Option(properties.get("startingoffsets")).getOrElse("earliest"))
+      opts.get("brokers"),
+      opts.get("topic"),
+      Option(opts.get("startingoffsets")).getOrElse("earliest"))
+  }
 }
 
 final class KafkaSocketTable(brokers: String, topic: String,

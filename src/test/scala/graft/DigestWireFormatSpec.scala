@@ -90,6 +90,19 @@ class DigestWireFormatSpec extends AnyFunSuite {
     }
   }
 
+  test("re-merge adopts the stored blobs' compression, not the default") {
+    val d = new GraftTDigest(500.0)
+    (1 to 1000).foreach(i => d.add(i.toDouble))
+    val blob = d.toBytes
+    // the aggregate path: empty default buffer + first blob → the
+    // merged digest must carry compression 500 end to end
+    val adopted = GraftTDigest.fromBytes(blob)
+    assert(adopted.compression == 500.0)
+    val reblob = adopted.toBytes
+    // compression field lives at offset 20 in the verbose layout
+    assert(java.nio.ByteBuffer.wrap(reblob).getDouble(20) == 500.0)
+  }
+
   // ---- q-digest ----
 
   test("qdigest blob is byte-exact for a two-leaf trie") {

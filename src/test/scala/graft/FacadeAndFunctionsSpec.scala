@@ -329,4 +329,19 @@ class FacadeAndFunctionsSpec extends SparkSpec {
     assert(rows.forall(_.getString(1).startsWith("partition-")))
     assert(rows.map(_.getString(2)).distinct.length == 1)
   }
+
+  test("virtual-column rewrite leaves string literals untouched") {
+    def rw(s: String) = QueryFacade.rewriteVirtualCols(s)
+    // single- and double-quoted literals keep their $names verbatim
+    assert(rw("SELECT 'see $docId' AS a") == "SELECT 'see $docId' AS a")
+    assert(rw("SELECT \"cost $hostName\" AS a") ==
+      "SELECT \"cost $hostName\" AS a")
+    // backslash-escaped quote inside the literal does not desync the
+    // protected region
+    assert(rw("SELECT 'it\\'s $docId' AS a, $segmentName AS s")
+      == "SELECT 'it\\'s $docId' AS a, " +
+        "concat('partition-', cast(spark_partition_id() as string)) AS s")
+    // outside literals the substitution still applies
+    assert(rw("SELECT $docId AS d").contains("monotonically_increasing_id"))
+  }
 }

@@ -65,6 +65,18 @@ class HnswSpec extends SparkSpec {
     assert(build().sameElements(build()))
   }
 
+  test("in-corpus probes still receive a full k neighbors (self excluded)") {
+    val t = Tables(spark, sf)
+    val probes = t.embeddings.filter(col("vec_id") < 3)
+    val model = HnswIndex.build(t.embeddings, "vec_id", "embedding",
+      m = 16, efConstruction = 100, nShards = 1) // worst case: one shard
+    val counts = HnswIndex.search(model, probes, "vec_id", "embedding",
+        k = 5, ef = 64)
+      .groupBy(col("probe_id")).count().collect()
+    assert(counts.nonEmpty && counts.forall(_.getLong(1) == 5),
+      counts.mkString(","))
+  }
+
   test("distributed shard path finds the brute-force neighbors") {
     val t = Tables(spark, sf)
     val probes = t.embeddings.filter(col("vec_id") < 3)

@@ -15,12 +15,29 @@ class LogicalTableSpec extends SparkSpec {
       .toDF("k", "t").withColumn("t", col("t").cast(TimestampType))
     val offB = Seq(("b", "2024-01-07 00:00:00"))
       .toDF("k", "t").withColumn("t", col("t").cast(TimestampType))
-    val bMin = LogicalTable.timeBoundary(Seq(offA, offB), "t", "1 day", "min")
-    val bMax = LogicalTable.timeBoundary(Seq(offA, offB), "t", "1 day", "max")
+    val bMin = LogicalTable.timeBoundary(Seq(offA, offB), "t", "1 day", "min").get
+    val bMax = LogicalTable.timeBoundary(Seq(offA, offB), "t", "1 day", "max").get
     val row = spark.range(1).select(bMin.cast("string").as("mn"),
       bMax.cast("string").as("mx")).head
     assert(row.getString(0) == "2024-01-06 00:00:00")
     assert(row.getString(1) == "2024-01-09 00:00:00")
+  }
+
+  test("empty offline member: min strategy routes everything realtime") {
+    import spark.implicits._
+    def mk(rows: Seq[(Long, String)]) = rows.toDF("id", "t")
+      .withColumn("t", col("t").cast(TimestampType))
+    val empty = mk(Nil)
+    val off = mk(Seq((1, "2024-01-05 00:00:00")))
+    val rt = mk(Seq((1, "2024-01-05 00:00:00"), (2, "2024-01-08 00:00:00")))
+    // an empty offline member's horizon is −∞ under min: no crash,
+    // offline answers nothing, realtime answers everything
+    val v = LogicalTable.view(Config("lt",
+      Seq(Physical("a_OFFLINE", off, "OFFLINE"),
+        Physical("b_OFFLINE", empty, "OFFLINE"),
+        Physical("r_REALTIME", rt, "REALTIME")), "t"))
+    assert(v.select("id").collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(1L, 2L))
   }
 
   test("overlapping members answer each row exactly once") {

@@ -1,13 +1,11 @@
 package graft
 
-import org.scalatest.funsuite.AnyFunSuite
-
 import graft.plans.{GraftUll, WyHashFinal4}
 
 /** Wire-format and hash gates for the UltraLogLog implementation
   * (reference DISTINCTCOUNT(RAW)ULL — hash4j register layout framed
   * as [p][2^p registers] by ObjectSerDeUtils). */
-class UltraLogLogWireSpec extends AnyFunSuite {
+class UltraLogLogWireSpec extends SparkSpec {
 
   private def hex(b: Array[Byte]) = b.map("%02x".format(_)).mkString
 
@@ -79,6 +77,33 @@ class UltraLogLogWireSpec extends AnyFunSuite {
     val direct = GraftUll()
     hashes.foreach(direct.addHash)
     assert(hex(direct.toBytes) == hex(ab.toBytes))
+  }
+
+  test("downsize is exact: direct p1 build == p2 build folded to p1") {
+    val rnd = new scala.util.Random(21)
+    val hashes = Array.fill(20000)(rnd.nextLong())
+    val hi = GraftUll(12)
+    val lo = GraftUll(8)
+    hashes.foreach { h => hi.addHash(h); lo.addHash(h) }
+    assert(hex(hi.downsize(8).toBytes) == hex(lo.toBytes))
+  }
+
+  test("mixed-p blobs fold to the smaller p through the aggregate path") {
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(33)
+    def blob(p: Int, seed: Int): Array[Byte] = {
+      val u = GraftUll(p)
+      val r = new scala.util.Random(seed)
+      (0 until 3000).foreach(_ => u.addHash(r.nextLong()))
+      u.toBytes
+    }
+    import spark.implicits._
+    val df = Seq(blob(8, 1), blob(12, 2), blob(10, 3)).toDF("b")
+    val est = df.agg(
+      graft.plans.UltraLogLogSketch.distinctCountUll(col("b")).as("n"))
+      .head.getLong(0)
+    // 3 × 3000 independent draws ≈ 9000 distinct; p=8 rse ≈ 5%
+    assert(math.abs(est - 9000.0) / 9000.0 < 0.2, s"est=$est")
   }
 
   test("ull ML estimator stays within the p=12 accuracy class") {
