@@ -633,6 +633,10 @@ object PinotFunctions {
     "lastwithtime" -> { case Seq(c, ts, _*) => max_by(c, ts) },
     "booland" -> { case Seq(c) => bool_and(c) },
     "boolor" -> { case Seq(c) => bool_or(c) },
+    // Calcite's internal sum-or-zero ($SUM0 — empty/all-null groups
+    // yield 0, not null), surfaced in the reference's function enum;
+    // coalesce's coercion picks the sum's own result type
+    "$sum0" -> { case Seq(c) => coalesce(sum(c), lit(0L)) },
     // FOURTHMOMENT (reference PinotFourthMoment, the state behind
     // SKEWNESS/KURTOSIS): 4th central moment from raw-power averages —
     // E[x⁴] − 4μE[x³] + 6μ²E[x²] − 3μ⁴, all native codegen'd aggregates
