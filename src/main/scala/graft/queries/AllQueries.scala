@@ -6,7 +6,8 @@ package graft.queries
 object AllQueries {
   val all: Seq[GQuery] =
     AggQueries.all ++ FilterJoinQueries.all ++ WindowSetQueries.all ++
-      FunctionQueries.all ++ PipelineQueries.all ++ ExtraQueries.all
+      FunctionQueries.all ++ PipelineQueries.all ++ ExtraQueries.all ++
+      TpchQueries.all
 
   require(all.map(_.name).distinct.size == all.size, "duplicate query names")
 }
