@@ -29,7 +29,11 @@ class PlanShapeSpec extends SparkSpec {
     // — the deliberate per-segment fan-out; q_ts_transforms: the dense
     // bucket-spine crossJoin broadcast(series), same shape as
     // q_ts_promql's fill stage
-    "q_ann_hnsw", "q_ts_transforms")
+    "q_ann_hnsw", "q_ts_transforms",
+    // TPC-H members whose partsupp prelude (and Q11's HAVING-vs-total)
+    // carry the `(SELECT count(*) FROM supplier)` 1-row scalar
+    // broadcast — the canonical benign BNLJ shape
+    "q_tpch_02", "q_tpch_09", "q_tpch_11", "q_tpch_18", "q_tpch_22")
 
   test("no cartesian products; BNLJ only in scalar-broadcast whitelist") {
     val dir = "/root/testdata/sf0.001"
