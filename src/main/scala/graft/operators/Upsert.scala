@@ -41,6 +41,44 @@ object Upsert {
     }
   }
 
+  /** FULL upsert view with metadata TTL (`UpsertConfig._metadataTTL`,
+    * `BasePartitionUpsertMetadataManager.isOutOfMetadataTTL`: a
+    * segment whose max comparison value sits below
+    * `largestSeenComparisonValue − TTL` has its primary keys dropped
+    * from upsert metadata): records OUTSIDE the TTL window of the
+    * largest seen comparison value carry no upsert guarantee and are
+    * served as-is; records inside resolve latest-per-key as usual.
+    * The reference's documented contract for out-of-TTL data is
+    * exactly this pass-through. The watermark is one scalar row
+    * pulled to the driver (a max aggregate).
+    *
+    * `deletedKeysTTL` reduces to the same rule for delete tombstones:
+    * a tombstone inside the window suppresses its key; one outside
+    * the window has been forgotten, so its row simply vanishes (the
+    * delete row itself is never served). */
+  def latestByKeyMetadataTtl(df: DataFrame, keys: Seq[String],
+      cmpCol: Column, ttl: Double, tieCols: Seq[String] = Nil,
+      deleteCol: Option[String] = None): DataFrame = {
+    val watermark = df.agg(max(cmpCol)).head.get(0)
+    val cutoff = lit(watermark).cast("double") - ttl
+    val frozen = df.filter(cmpCol < cutoff)
+    val live0 = df.filter(cmpCol >= cutoff)
+      .withColumn("__cmp", cmpCol)
+    val ord = (col("__cmp").desc +: tieCols.map(col(_).desc))
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(ord: _*)
+    val live = live0.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn", "__cmp")
+    val resolved = deleteCol match {
+      case Some(d) =>
+        // frozen tombstones are forgotten metadata — never served
+        frozen.filter(!coalesce(col(d), lit(false)))
+          .unionByName(live.filter(!coalesce(col(d), lit(false))))
+          .drop(d)
+      case None => frozen.unionByName(live)
+    }
+    resolved
+  }
+
   /** Dedup-table view: the FIRST row per key ever seen (reference keeps
     * the first and drops all later duplicates). */
   def firstByKey(df: DataFrame, keys: Seq[String], cmpCol: String,

@@ -1349,6 +1349,37 @@ object PipelineQueries {
         SELECT user_id, event_id, event_type, value FROM r WHERE rn = 1
         ORDER BY user_id""")),
 
+    // FULL upsert with metadata TTL (UpsertConfig.metadataTTL,
+    // BasePartitionUpsertMetadataManager.isOutOfMetadataTTL): records
+    // below largestSeenComparisonValue − TTL carry no upsert
+    // guarantee and pass through as-is; records inside the window
+    // resolve latest-per-key. EXACT oracle: DuckDB replays the same
+    // watermark/cutoff split (12h TTL over the events span).
+    GQuery("q_upsert_metadata_ttl",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val cmp = unix_millis(col("ts").cast(TimestampType)).cast(DoubleType)
+        Upsert.latestByKeyMetadataTtl(t.events, Seq("user_id"), cmp,
+            ttl = 43200000.0, tieCols = Seq("event_id"))
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_served"),
+            max(col("event_id")).as("max_event"),
+            min(unix_millis(col("ts").cast(TimestampType))).as("t_min"))
+          .orderBy(col("user_id"))
+      },
+      Some("""WITH w AS (SELECT MAX(epoch_ms(ts)) AS mx FROM events),
+        frozen AS (SELECT user_id, event_id, epoch_ms(ts) AS t
+          FROM events WHERE epoch_ms(ts) < (SELECT mx FROM w) - 43200000),
+        live AS (SELECT user_id, event_id, epoch_ms(ts) AS t,
+            ROW_NUMBER() OVER (PARTITION BY user_id
+              ORDER BY epoch_ms(ts) DESC, event_id DESC) AS rn
+          FROM events WHERE epoch_ms(ts) >= (SELECT mx FROM w) - 43200000),
+        served AS (SELECT user_id, event_id, t FROM frozen
+          UNION ALL SELECT user_id, event_id, t FROM live WHERE rn = 1)
+        SELECT user_id, COUNT(*) AS n_served, MAX(event_id) AS max_event,
+          MIN(t) AS t_min
+        FROM served GROUP BY 1 ORDER BY 1""")),
+
     // PARTIAL upsert with per-column mergers (Upsert.partialUpsert:
     // INCREMENT=sum, OVERWRITE=latest, MAX, UNION).
     GQuery("q_upsert_partial",
