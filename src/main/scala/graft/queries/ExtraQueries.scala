@@ -737,6 +737,33 @@ object ExtraQueries {
         LEFT JOIN agg ON agg.i = spine.i AND agg.event_type = types.event_type
         ORDER BY bucket_seconds, types.event_type""")),
 
+    // The reference's VECTOR_SIMILARITY SQL predicate
+    // (VectorSimilarityPredicate.java / VectorSimilarityFilterOperator
+    // .java: "vectorSimilarity(col, q, 10) must return at most 10
+    // docs", cosine): the facade rewrites the WHERE predicate to a
+    // ranked subquery. EXACT oracle: DuckDB computes the same cosine
+    // top-10 id set.
+    GQuery("q_ann_sql_predicate",
+      (s, dir) => {
+        graft.sql.QueryFacade.init(s, dir)
+        val vec = (1.0 +: Seq.fill(63)(0.0)).mkString("ARRAY[", ", ", "]")
+        graft.sql.QueryFacade.sql(s,
+          s"""SET explicitLimit = true;
+              SELECT vec_id FROM embeddings
+              WHERE VECTOR_SIMILARITY(embedding, $vec, 10)
+              ORDER BY vec_id""")
+      },
+      Some {
+        val vec = (1.0 +: Seq.fill(63)(0.0)).mkString("[", ", ", "]")
+        s"""WITH r AS (SELECT vec_id, ROW_NUMBER() OVER (ORDER BY
+            list_sum(list_transform(list_zip(CAST(embedding AS DOUBLE[]),
+              CAST($vec AS DOUBLE[])), t -> t[1] * t[2]))
+            / sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+              x -> x * x))) DESC, vec_id ASC) AS rn
+          FROM embeddings)
+          SELECT vec_id FROM r WHERE rn <= 10 ORDER BY vec_id"""
+      }),
+
     // M3QL transform stages beyond plain agg+fill (the plugin's
     // series-function surface): increase{} (delta vs previous bucket,
     // null first bucket) piped into topk{3} (keep the 3 series with

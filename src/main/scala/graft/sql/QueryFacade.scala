@@ -417,6 +417,85 @@ object QueryFacade {
       s"ORDER BY $rexpr $dir LIMIT 1) $right$onKw"
   }
 
+  /** `WHERE VECTOR_SIMILARITY(col, queryVec, k)` — the reference's
+    * ANN filter predicate (`VectorSimilarityPredicate.java`,
+    * `VectorSimilarityFilterOperator.java`: "vectorSimilarity(col, q,
+    * 10) must return at most 10 docs", cosine by default). Rewritten
+    * to a ranked subquery over the source table: the remaining AND
+    * conditions move inside (the reference also applies them before
+    * the top-k), ORDER BY cosine DESC LIMIT k. Supported shape:
+    * single source table, predicate first in WHERE. */
+  private val VsimPattern =
+    """(?is)(from\s+(\w+)\s+where\s+)vector_similarity\s*\(""".r
+
+  private[graft] def rewriteVectorSimilarity(stmt: String): String = {
+    val m = VsimPattern.findFirstMatchIn(stmt).getOrElse(return stmt)
+    val table = m.group(2)
+    val open = m.end - 1
+    // balanced args: col, vecExpr, k
+    var depth = 0
+    var i = open
+    var close = -1
+    while (i < stmt.length && close < 0) {
+      stmt.charAt(i) match {
+        case '(' => depth += 1
+        case ')' => depth -= 1; if (depth == 0) close = i
+        case _ =>
+      }
+      i += 1
+    }
+    require(close > 0, "VECTOR_SIMILARITY: unbalanced parens")
+    val args = {
+      // split top-level commas
+      val out = Seq.newBuilder[String]
+      var d = 0
+      var last = open + 1
+      var j = open + 1
+      while (j < close) {
+        stmt.charAt(j) match {
+          case '(' | '[' => d += 1
+          case ')' | ']' => d -= 1
+          case ',' if d == 0 =>
+            out += stmt.substring(last, j)
+            last = j + 1
+          case _ =>
+        }
+        j += 1
+      }
+      out += stmt.substring(last, close)
+      out.result().map(_.trim)
+    }
+    require(args.size == 3,
+      s"VECTOR_SIMILARITY expects (column, vector, topK), got ${args.size} args")
+    val Seq(vcol, vec, k) = args
+    // remaining conjuncts (if any) move into the ranked subquery;
+    // GROUP BY / ORDER BY / LIMIT tails stay outside
+    val after = stmt.substring(close + 1)
+    val TailKw = """(?is)^\s*(group\s+by|order\s+by|limit|having)\b.*""".r
+    val AndRest = """(?is)^\s*and\s+(.*)""".r
+    val (innerWhere, outerTail) = after match {
+      case AndRest(rest) =>
+        // split rest at the first top-level tail keyword
+        val kw = """(?i)\b(group\s+by|order\s+by|limit|having)\b""".r
+          .findFirstMatchIn(rest)
+        kw match {
+          case Some(t) =>
+            (s" WHERE ${rest.substring(0, t.start).trim}",
+              " " + rest.substring(t.start))
+          case None => (s" WHERE ${rest.trim}", "")
+        }
+      case t if TailKw.matches(t) || t.trim.isEmpty => ("", after)
+      case other =>
+        throw new IllegalArgumentException(
+          s"VECTOR_SIMILARITY: unsupported trailing clause '${other.take(40)}'")
+    }
+    stmt.substring(0, m.start) +
+      s"FROM (SELECT * FROM $table$innerWhere " +
+      s"ORDER BY cosine_sim($vcol, cast(($vec) as array<double>)) " +
+      s"DESC LIMIT $k) $table" +
+      outerTail
+  }
+
   /** Run a Pinot-flavored SQL query: leading SET options are parsed off
     * (recognized: explicitLimit=true disables the implicit limit; all
     * others are accepted as no-op compat flags, e.g. enableNullHandling,
@@ -431,7 +510,8 @@ object QueryFacade {
   def sql(spark: SparkSession, query: String): DataFrame = {
     PinotFunctions.registerAll(spark)
     val Parsed(opts, stmt0) = parseOptions(query)
-    val stmt = rewriteAsOf(rewriteReserved(stripHints(stmt0)))
+    val stmt = rewriteVectorSimilarity(
+      rewriteAsOf(rewriteReserved(stripHints(stmt0))))
     if (Ddl.isDdl(stmt)) return Ddl.execute(spark, stmt)
     // Pinot EXPLAIN PLAN FOR <query> (PinotQueryResource explain
     // support): one row per plan-tree line, mirroring the reference's
