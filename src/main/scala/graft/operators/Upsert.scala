@@ -42,41 +42,40 @@ object Upsert {
   }
 
   /** FULL upsert view with metadata TTL (`UpsertConfig._metadataTTL`,
-    * `BasePartitionUpsertMetadataManager.isOutOfMetadataTTL`: a
-    * segment whose max comparison value sits below
-    * `largestSeenComparisonValue − TTL` has its primary keys dropped
-    * from upsert metadata): records OUTSIDE the TTL window of the
-    * largest seen comparison value carry no upsert guarantee and are
-    * served as-is; records inside resolve latest-per-key as usual.
-    * The reference's documented contract for out-of-TTL data is
-    * exactly this pass-through. The watermark is one scalar row
-    * pulled to the driver (a max aggregate).
+    * `BasePartitionUpsertMetadataManager.isOutOfMetadataTTL`: keys
+    * whose current doc ages below `largestSeenComparisonValue − TTL`
+    * leave the metadata map, and invalidations already applied to a
+    * segment's validDocIds persist).
     *
-    * `deletedKeysTTL` reduces to the same rule for delete tombstones:
-    * a tombstone inside the window suppresses its key; one outside
-    * the window has been forgotten, so its row simply vanishes (the
-    * delete row itself is never served). */
+    * Under comparison-ordered replay (the same canonical-order
+    * reduction as [[dedupTtl]]) the observable rule collapses to the
+    * per-VERSION gap test: a record is invalidated exactly when its
+    * next-newer version arrives within TTL of it (the key was still
+    * tracked), and survives when the gap exceeds TTL (the key's
+    * metadata had expired first — the reference's documented
+    * duplicate-row hazard for gapped histories). So a row is served
+    * iff it has no newer version, or its successor is more than TTL
+    * away. Two rows of one key in the trailing TTL window always have
+    * gap ≤ TTL, so in-window data resolves latest-per-key exactly as
+    * plain upsert. One key-partitioned window (`lead`), fully lazy,
+    * no driver scalar.
+    *
+    * `deletedKeysTTL` follows from the same rule: a tombstone
+    * suppresses the versions it arrived within TTL of, is itself
+    * never served, and once expired is forgotten — a later re-insert
+    * starts the key fresh. */
   def latestByKeyMetadataTtl(df: DataFrame, keys: Seq[String],
       cmpCol: Column, ttl: Double, tieCols: Seq[String] = Nil,
       deleteCol: Option[String] = None): DataFrame = {
-    val watermark = df.agg(max(cmpCol)).head.get(0)
-    val cutoff = lit(watermark).cast("double") - ttl
-    val frozen = df.filter(cmpCol < cutoff)
-    val live0 = df.filter(cmpCol >= cutoff)
-      .withColumn("__cmp", cmpCol)
-    val ord = (col("__cmp").desc +: tieCols.map(col(_).desc))
+    val ord = (cmpCol.asc +: tieCols.map(col(_).asc))
     val w = Window.partitionBy(keys.map(col): _*).orderBy(ord: _*)
-    val live = live0.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1).drop("__rn", "__cmp")
-    val resolved = deleteCol match {
-      case Some(d) =>
-        // frozen tombstones are forgotten metadata — never served
-        frozen.filter(!coalesce(col(d), lit(false)))
-          .unionByName(live.filter(!coalesce(col(d), lit(false))))
-          .drop(d)
-      case None => frozen.unionByName(live)
+    val served = df.withColumn("__gap", lead(cmpCol, 1).over(w) - cmpCol)
+      .filter(col("__gap").isNull || col("__gap") > ttl)
+      .drop("__gap")
+    deleteCol match {
+      case Some(d) => served.filter(!coalesce(col(d), lit(false))).drop(d)
+      case None => served
     }
-    resolved
   }
 
   /** Dedup-table view: the FIRST row per key ever seen (reference keeps

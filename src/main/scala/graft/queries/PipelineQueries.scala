@@ -1350,11 +1350,13 @@ object PipelineQueries {
         ORDER BY user_id""")),
 
     // FULL upsert with metadata TTL (UpsertConfig.metadataTTL,
-    // BasePartitionUpsertMetadataManager.isOutOfMetadataTTL): records
-    // below largestSeenComparisonValue − TTL carry no upsert
-    // guarantee and pass through as-is; records inside the window
-    // resolve latest-per-key. EXACT oracle: DuckDB replays the same
-    // watermark/cutoff split (12h TTL over the events span).
+    // BasePartitionUpsertMetadataManager.isOutOfMetadataTTL): under
+    // comparison-ordered replay the observable rule is the
+    // per-version gap test — a record is served iff it has no newer
+    // version or its successor is more than TTL away (the key's
+    // metadata had already expired, the reference's documented
+    // duplicate-row hazard). EXACT oracle: DuckDB replays the same
+    // LEAD gap rule (12h TTL over the events span).
     GQuery("q_upsert_metadata_ttl",
       (s, dir) => {
         val t = Tables(s, dir)
@@ -1367,15 +1369,12 @@ object PipelineQueries {
             min(unix_millis(col("ts").cast(TimestampType))).as("t_min"))
           .orderBy(col("user_id"))
       },
-      Some("""WITH w AS (SELECT MAX(epoch_ms(ts)) AS mx FROM events),
-        frozen AS (SELECT user_id, event_id, epoch_ms(ts) AS t
-          FROM events WHERE epoch_ms(ts) < (SELECT mx FROM w) - 43200000),
-        live AS (SELECT user_id, event_id, epoch_ms(ts) AS t,
-            ROW_NUMBER() OVER (PARTITION BY user_id
-              ORDER BY epoch_ms(ts) DESC, event_id DESC) AS rn
-          FROM events WHERE epoch_ms(ts) >= (SELECT mx FROM w) - 43200000),
-        served AS (SELECT user_id, event_id, t FROM frozen
-          UNION ALL SELECT user_id, event_id, t FROM live WHERE rn = 1)
+      Some("""WITH g AS (SELECT user_id, event_id, epoch_ms(ts) AS t,
+          LEAD(epoch_ms(ts)) OVER (PARTITION BY user_id
+            ORDER BY epoch_ms(ts), event_id) - epoch_ms(ts) AS gap
+        FROM events),
+        served AS (SELECT user_id, event_id, t FROM g
+          WHERE gap IS NULL OR gap > 43200000)
         SELECT user_id, COUNT(*) AS n_served, MAX(event_id) AS max_event,
           MIN(t) AS t_min
         FROM served GROUP BY 1 ORDER BY 1""")),

@@ -190,15 +190,17 @@ region_t AS (SELECT * FROM region)
     s"WITH $Prelude\n$s"
   }
 
-  private def run(n: Int): (org.apache.spark.sql.SparkSession, String) => DataFrame =
-    (s, dir) => {
-      Tables(s, dir).registerAll()
-      s.sql(adapt(n))
-    }
-
-  // lazily materialized (reads the reference's .sql files); an absent
-  // reference checkout simply contributes no queries
+  // lazily materialized (reads the reference's .sql files once per
+  // query); an absent reference checkout contributes no queries
   lazy val all: Seq[GQuery] =
     if (!new java.io.File(Dir).isDirectory) Seq.empty
-    else Runnable.map(n => GQuery(f"q_tpch_$n%02d", run(n), Some(adapt(n))))
+    else Runnable.map { n =>
+      val text = adapt(n)
+      GQuery(f"q_tpch_$n%02d",
+        (s, dir) => {
+          Tables(s, dir).registerAll()
+          s.sql(text)
+        },
+        Some(text))
+    }
 }

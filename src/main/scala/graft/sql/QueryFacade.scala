@@ -421,10 +421,12 @@ object QueryFacade {
     * ANN filter predicate (`VectorSimilarityPredicate.java`,
     * `VectorSimilarityFilterOperator.java`: "vectorSimilarity(col, q,
     * 10) must return at most 10 docs", cosine by default). Rewritten
-    * to a ranked subquery over the source table: the remaining AND
-    * conditions move inside (the reference also applies them before
-    * the top-k), ORDER BY cosine DESC LIMIT k. Supported shape:
-    * single source table, predicate first in WHERE. */
+    * to a ranked subquery over the source table with the remaining
+    * AND conjuncts applied OUTSIDE it — the reference's default path
+    * builds the top-k doc set from the index first and intersects
+    * sibling predicates after, so the result is the subset of the
+    * global top-k that satisfies the rest. Supported shape: single
+    * source table, predicate first in WHERE. */
   private val VsimPattern =
     """(?is)(from\s+(\w+)\s+where\s+)vector_similarity\s*\(""".r
 
@@ -468,20 +470,40 @@ object QueryFacade {
     require(args.size == 3,
       s"VECTOR_SIMILARITY expects (column, vector, topK), got ${args.size} args")
     val Seq(vcol, vec, k) = args
-    // remaining conjuncts (if any) move into the ranked subquery;
-    // GROUP BY / ORDER BY / LIMIT tails stay outside
+    // remaining conjuncts (if any) stay OUTSIDE the ranked subquery
+    // (top-k first, intersect after — the reference's default path);
+    // GROUP BY / ORDER BY / LIMIT tails follow them
     val after = stmt.substring(close + 1)
     val TailKw = """(?is)^\s*(group\s+by|order\s+by|limit|having)\b.*""".r
     val AndRest = """(?is)^\s*and\s+(.*)""".r
-    val (innerWhere, outerTail) = after match {
+    // first TOP-LEVEL tail keyword: outside parens and quotes
+    def topLevelTail(s0: String): Option[Int] = {
+      val kw = """(?i)^(group\s+by|order\s+by|limit|having)\b""".r
+      var depth = 0
+      var quote: Char = 0
+      var j = 0
+      while (j < s0.length) {
+        val c = s0.charAt(j)
+        if (quote != 0) { if (c == quote) quote = 0 }
+        else c match {
+          case '\'' | '"' => quote = c
+          case '(' => depth += 1
+          case ')' => depth -= 1
+          case _ if depth == 0 &&
+              kw.findFirstIn(s0.substring(j)).isDefined &&
+              (j == 0 || !s0.charAt(j - 1).isLetterOrDigit) =>
+            return Some(j)
+          case _ =>
+        }
+        j += 1
+      }
+      None
+    }
+    val (outerWhere, outerTail) = after match {
       case AndRest(rest) =>
-        // split rest at the first top-level tail keyword
-        val kw = """(?i)\b(group\s+by|order\s+by|limit|having)\b""".r
-          .findFirstMatchIn(rest)
-        kw match {
-          case Some(t) =>
-            (s" WHERE ${rest.substring(0, t.start).trim}",
-              " " + rest.substring(t.start))
+        topLevelTail(rest) match {
+          case Some(at) =>
+            (s" WHERE ${rest.substring(0, at).trim}", " " + rest.substring(at))
           case None => (s" WHERE ${rest.trim}", "")
         }
       case t if TailKw.matches(t) || t.trim.isEmpty => ("", after)
@@ -490,10 +512,10 @@ object QueryFacade {
           s"VECTOR_SIMILARITY: unsupported trailing clause '${other.take(40)}'")
     }
     stmt.substring(0, m.start) +
-      s"FROM (SELECT * FROM $table$innerWhere " +
+      s"FROM (SELECT * FROM $table " +
       s"ORDER BY cosine_sim($vcol, cast(($vec) as array<double>)) " +
       s"DESC LIMIT $k) $table" +
-      outerTail
+      outerWhere + outerTail
   }
 
   /** Run a Pinot-flavored SQL query: leading SET options are parsed off

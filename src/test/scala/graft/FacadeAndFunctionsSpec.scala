@@ -330,6 +330,36 @@ class FacadeAndFunctionsSpec extends SparkSpec {
     assert(rows.map(_.getString(2)).distinct.length == 1)
   }
 
+  test("VECTOR_SIMILARITY rewrite: topk-then-filter, top-level tail split") {
+    QueryFacade.init(spark, sf)
+    val vec = (1.0 +: Seq.fill(63)(0.0)).mkString("ARRAY[", ", ", "]")
+    // remaining conjunct applies AFTER the top-k (the reference's
+    // default path): result must be a subset of the unfiltered top-5
+    val top5 = QueryFacade.sql(spark,
+      s"""SET explicitLimit = true;
+          SELECT vec_id FROM embeddings
+          WHERE VECTOR_SIMILARITY(embedding, $vec, 5)""")
+      .collect().map(_.getLong(0)).toSet
+    val filtered = QueryFacade.sql(spark,
+      s"""SET explicitLimit = true;
+          SELECT vec_id FROM embeddings
+          WHERE VECTOR_SIMILARITY(embedding, $vec, 5) AND vec_id % 2 = 0""")
+      .collect().map(_.getLong(0)).toSet
+    assert(filtered.subsetOf(top5))
+    assert(filtered == top5.filter(_ % 2 == 0))
+    // a conjunct containing a subquery with ORDER BY/LIMIT must not
+    // desync the tail split
+    val sub = QueryFacade.sql(spark,
+      s"""SET explicitLimit = true;
+          SELECT vec_id FROM embeddings
+          WHERE VECTOR_SIMILARITY(embedding, $vec, 5)
+            AND vec_id IN (SELECT vec_id FROM embeddings
+                           ORDER BY vec_id LIMIT 1000)
+          ORDER BY vec_id""")
+      .collect().map(_.getLong(0)).toSet
+    assert(sub == top5.filter(_ < 1000))
+  }
+
   test("virtual-column rewrite leaves string literals untouched") {
     def rw(s: String) = QueryFacade.rewriteVirtualCols(s)
     // single- and double-quoted literals keep their $names verbatim
