@@ -131,7 +131,9 @@ object ScaleProbe {
       // round-4: HNSW (warm ingest-time graph → fan-out beam search),
       // wire-format digest re-merges, logical tables, TS transforms
       "q_ann_hnsw", "q_agg_tdigest_remerge", "q_agg_qdigest_remerge",
-      "q_agg_ull_remerge", "q_logical_table", "q_ts_transforms")
+      "q_agg_ull_remerge", "q_logical_table", "q_ts_transforms",
+      "q_upsert_metadata_ttl", "q_ann_sql_predicate", "q_tpch_01",
+      "q_tpch_09", "q_tpch_20")
       .filter(q => only.isEmpty || only(q))
     def time(dir: String, name: String): Double = {
       val t0 = System.nanoTime()
