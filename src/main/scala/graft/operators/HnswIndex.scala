@@ -78,13 +78,19 @@ object HnswIndex {
 
   /** Beam-search every shard graph for each probe, merge to global
     * top-k. Returns (probe_id, neighbor_id, sim, rank). */
+  /** @param excludeSelf drop the candidate whose neighbor_id equals the
+    *   probe_id. Only sound when the probes ARE (a subset of) the corpus
+    *   frame, where the equal-id candidate is the probe's own row; for
+    *   out-of-corpus probes whose id space merely overlaps corpus ids,
+    *   pass false or a legitimate nearest neighbor is silently dropped. */
   def search(
       model: Model,
       probes: DataFrame,
       probeId: String,
       vecCol: String,
       k: Int,
-      ef: Int = 64): DataFrame = {
+      ef: Int = 64,
+      excludeSelf: Boolean = true): DataFrame = {
     val spark = probes.sparkSession
     import spark.implicits._
     val p = probes.select(col(probeId).cast("long").as("probe_id"),
@@ -103,16 +109,20 @@ object HnswIndex {
             graph = HnswGraph.fromBytes(blob)
             lastShard = shard
           }
-          // k+1 per shard: an in-corpus probe finds itself at rank 1
-          // and the self-match filter below must not short the count
-          graph.search(pvec.toArray, k + 1, math.max(ef, k + 1))
+          // k+1 per shard when excluding self: an in-corpus probe finds
+          // itself at rank 1 and the filter below must not short the count
+          val kk = if (excludeSelf) k + 1 else k
+          graph.search(pvec.toArray, kk, math.max(ef, kk))
             .map { case (nid, sim) => (pid, nid, sim.toDouble) }
         }
       }
       .toDF("probe_id", "neighbor_id", "sim")
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("sim").desc, col("neighbor_id").asc)
-    candidates.filter(col("probe_id") =!= col("neighbor_id"))
+    val kept =
+      if (excludeSelf) candidates.filter(col("probe_id") =!= col("neighbor_id"))
+      else candidates
+    kept
       .withColumn("sim", round(col("sim"), 4))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

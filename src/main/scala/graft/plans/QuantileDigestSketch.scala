@@ -352,6 +352,12 @@ case class QDigestAgg(
       case f: Float => buf.add(f.toLong)
       case d: org.apache.spark.sql.types.Decimal => buf.add(d.toLong)
       case n: Number => buf.add(n.longValue())
+      // STRING child: the reference parses string values numerically
+      case s: org.apache.spark.unsafe.types.UTF8String =>
+        buf.add(java.lang.Double.parseDouble(s.toString).toLong)
+      case other => throw new IllegalArgumentException(
+        s"$prettyName: unsupported input type ${other.getClass.getSimpleName}" +
+          " (expected a numeric, numeric-string, array, or digest-blob column)")
     }
     child.eval(row) match {
       case null => buf

@@ -38,7 +38,15 @@ object RollupRewrite {
       // measures with stored hll_<m> sketch blobs (column → precision p):
       // lets the rollup answer DISTINCTCOUNTHLL queries by blob merge —
       // the star-tree distinct-count trick
-      hlls: Map[String, Int] = Map.empty)
+      hlls: Map[String, Int] = Map.empty,
+      // percentile-sketch blob columns (the star-tree agg-pair contract
+      // accepts ANY function whose intermediate merges,
+      // `StarTreeUtils.java:55-178` — the percentile sketches qualify):
+      // td_<m> t-digest blobs (column → compression), qd_<m> q-digest
+      // blobs (column → maxError), kll_<m> KLL blobs (column → k)
+      tds: Map[String, Double] = Map.empty,
+      qds: Map[String, Double] = Map.empty,
+      klls: Map[String, Int] = Map.empty)
 
   private val specs =
     new java.util.concurrent.ConcurrentHashMap[String, Spec]()
@@ -54,16 +62,31 @@ object RollupRewrite {
       measures: Seq[String],
       outPath: String,
       distinctMeasures: Seq[String] = Nil,
-      hllP: Int = HllSketch.DefaultP): Spec = {
+      hllP: Int = HllSketch.DefaultP,
+      tdigestMeasures: Seq[String] = Nil,
+      tdCompression: Double = GraftTDigest.DefaultCompression,
+      qdigestMeasures: Seq[String] = Nil,
+      qdMaxError: Double = GraftQDigest.DefaultMaxError,
+      kllMeasures: Seq[String] = Nil,
+      kllK: Int = KllSketch.DefaultK): Spec = {
     val aggs = (count(lit(1)).as("cnt") +:
       measures.flatMap(m => Seq(sum(col(m)).as(s"sum_$m"),
         min(col(m)).as(s"min_$m"), max(col(m)).as(s"max_$m")))) ++
-      distinctMeasures.map(m => HllSketch.hllState(col(m), hllP).as(s"hll_$m"))
+      distinctMeasures.map(m => HllSketch.hllState(col(m), hllP).as(s"hll_$m")) ++
+      tdigestMeasures.map(m =>
+        TDigestSketch.tdigestState(col(m), tdCompression).as(s"td_$m")) ++
+      qdigestMeasures.map(m =>
+        QDigestSketch.qdigestState(col(m), qdMaxError).as(s"qd_$m")) ++
+      kllMeasures.map(m =>
+        KllSketch.kllState(col(m), kllK).as(s"kll_$m"))
     fact.groupBy(dims.map(col): _*).agg(aggs.head, aggs.tail: _*)
       .write.mode("overwrite").parquet(outPath)
     val spec = Spec(factPath, spark.read.parquet(outPath),
       dims.toSet, measures.toSet, measures.toSet, measures.toSet,
-      distinctMeasures.map(_ -> hllP).toMap)
+      distinctMeasures.map(_ -> hllP).toMap,
+      tdigestMeasures.map(_ -> tdCompression).toMap,
+      qdigestMeasures.map(_ -> qdMaxError).toMap,
+      kllMeasures.map(_ -> kllK).toMap)
     register(spark, spec)
     spec
   }
@@ -160,6 +183,23 @@ object RollupRewrite {
             // merge is associative, so the estimate is bit-identical to
             // a direct pass over the fact table
             Some(HllMergeAgg(rollupAttr(s"hll_${a.name}"), emitBlob = false)
+              .toAggregateExpression())
+          // percentile sketches answered from stored blobs (the
+          // star-tree agg-pair contract: any intermediate that merges,
+          // StarTreeUtils.java:55-178). The digest/KLL merge is the
+          // SAME state machine a direct fact pass shuffles through, so
+          // the estimate stays within the sketch's documented error.
+          case TDigestAgg(a: AttributeReference, p, compression, blob, _, _)
+              if spec.tds.get(a.name).contains(compression) =>
+            Some(TDigestMergeAgg(rollupAttr(s"td_${a.name}"), p, blob)
+              .toAggregateExpression())
+          case QDigestAgg(a: AttributeReference, p, maxError, blob, _, _)
+              if spec.qds.get(a.name).contains(maxError) =>
+            Some(QDigestMergeAgg(rollupAttr(s"qd_${a.name}"), p, blob)
+              .toAggregateExpression())
+          case KllAgg(a: AttributeReference, p, k, blob, _, _)
+              if spec.klls.get(a.name).contains(k) =>
+            Some(KllMergeAgg(rollupAttr(s"kll_${a.name}"), p, blob)
               .toAggregateExpression())
           case Count(Seq(Literal(_, _))) =>
             // COUNT(*) is 0 on empty input but SUM(cnt) is NULL — for a

@@ -278,6 +278,12 @@ case class TDigestAgg(
       case i: Int => buf.add(i.toDouble)
       case d: org.apache.spark.sql.types.Decimal => buf.add(d.toDouble)
       case n: Number => buf.add(n.doubleValue())
+      // STRING child: the reference parses string values numerically
+      case s: org.apache.spark.unsafe.types.UTF8String =>
+        buf.add(java.lang.Double.parseDouble(s.toString))
+      case other => throw new IllegalArgumentException(
+        s"$prettyName: unsupported input type ${other.getClass.getSimpleName}" +
+          " (expected a numeric, numeric-string, array, or digest-blob column)")
     }
     child.eval(row) match {
       case null => buf

@@ -764,6 +764,36 @@ object ExtraQueries {
           SELECT vec_id FROM r WHERE rn <= 10 ORDER BY vec_id"""
       }),
 
+    // The reference's VECTOR_SIMILARITY_RADIUS SQL predicate
+    // (VectorSimilarityRadiusPredicate.java / VectorRadiusFilterOperator
+    // .java:239-241: keep docs with distance <= threshold): the facade
+    // rewrites the predicate in place to a cosine-distance filter, so
+    // sibling conjuncts compose. EXACT oracle: DuckDB applies the same
+    // distance threshold with full cosine arithmetic.
+    GQuery("q_ann_radius_sql_predicate",
+      (s, dir) => {
+        graft.sql.QueryFacade.init(s, dir)
+        val vec = (1.0 +: Seq.fill(63)(0.0)).mkString("ARRAY[", ", ", "]")
+        graft.sql.QueryFacade.sql(s,
+          s"""SET explicitLimit = true;
+              SELECT vec_id FROM embeddings
+              WHERE VECTOR_SIMILARITY_RADIUS(embedding, $vec, 0.8)
+                AND vec_id <> 0
+              ORDER BY vec_id""")
+      },
+      Some {
+        val vec = (1.0 +: Seq.fill(63)(0.0)).mkString("[", ", ", "]")
+        s"""SELECT vec_id FROM embeddings
+          WHERE (1 - list_sum(list_transform(list_zip(CAST(embedding AS DOUBLE[]),
+              CAST($vec AS DOUBLE[])), t -> t[1] * t[2]))
+            / (sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+              x -> x * x)))
+             * sqrt(list_sum(list_transform(CAST($vec AS DOUBLE[]),
+              x -> x * x))))) <= 0.8
+            AND vec_id <> 0
+          ORDER BY vec_id"""
+      }),
+
     // M3QL transform stages beyond plain agg+fill (the plugin's
     // series-function surface): increase{} (delta vs previous bucket,
     // null first bucket) piped into topk{3} (keep the 3 series with
@@ -935,6 +965,47 @@ object ExtraQueries {
         FROM events
         WHERE ts >= TIMESTAMP '2024-01-01 00:00:00'
           AND ts < TIMESTAMP '2024-01-04 00:00:00'
-        GROUP BY 1 ORDER BY 1"""))
+        GROUP BY 1 ORDER BY 1""")),
+
+    // Percentile-from-rollup (the star-tree agg-pair contract,
+    // StarTreeUtils.java:55-178: any agg whose intermediate merges —
+    // which includes the wire-format t-digest): a PERCENTILETDIGEST
+    // query over the fact table is answered from a rollup table's
+    // stored td blobs via TDigestMergeAgg. used_rollup is read off the
+    // optimized plan (the td_ column only exists in the rollup scan),
+    // so a silent fall-through to the fact scan fails the gate.
+    GQuery("q_rollup_tdigest",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_rollup_q").toString
+        val factPath = s"$tmp/fact"
+        t.lineitem
+          .select(col("l_returnflag"), col("l_linestatus"), col("l_quantity"))
+          .write.mode("overwrite").parquet(factPath)
+        val fact = s.read.parquet(factPath)
+        graft.plans.RollupRewrite.buildRollup(s, fact,
+          graft.plans.RollupRewrite.pathOf(fact).get,
+          dims = Seq("l_returnflag", "l_linestatus"),
+          measures = Seq("l_quantity"),
+          outPath = s"$tmp/rollup",
+          tdigestMeasures = Seq("l_quantity"))
+        val est = fact.groupBy(col("l_returnflag"))
+          .agg(graft.plans.TDigestSketch
+            .percentileTDigest(col("l_quantity"), 50.0).as("est"))
+        val usedRollup = est.queryExecution.optimizedPlan.toString
+          .contains("td_l_quantity")
+        val exact = fact.groupBy(col("l_returnflag"))
+          .agg(r4(expr("percentile(l_quantity, 0.5)")).as("exact_p50"))
+        est.join(exact, "l_returnflag")
+          .select(col("l_returnflag"), col("exact_p50"),
+            (abs(col("est") - col("exact_p50")) <= 2.0).as("est_ok"),
+            lit(usedRollup).as("used_rollup"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""SELECT l_returnflag,
+        ROUND(quantile_cont(l_quantity, 0.5), 4) AS exact_p50,
+        TRUE AS est_ok, TRUE AS used_rollup
+        FROM lineitem GROUP BY 1 ORDER BY 1"""))
   )
 }

@@ -428,10 +428,20 @@ object QueryFacade {
     * global top-k that satisfies the rest. Supported shape: single
     * source table, predicate first in WHERE. */
   private val VsimPattern =
-    """(?is)(from\s+(\w+)\s+where\s+)vector_similarity\s*\(""".r
+    """(?is)(from\s+(\w+)\s+where\s+)vector_similarity(_radius)?\s*\(""".r
 
+  /** Applies to every occurrence in the statement (e.g. both branches
+    * of a UNION): each pass rewrites the first remaining predicate —
+    * whose replacement text contains no `vector_similarity(` — then
+    * recurses on the result until none are left.
+    * `VECTOR_SIMILARITY_RADIUS(col, vec, threshold)` keeps all rows
+    * whose cosine DISTANCE (1 - cosine similarity) is <= threshold —
+    * the reference's distance-threshold contract
+    * (`VectorRadiusFilterOperator.java:239-241` `distance <= threshold`)
+    * under this facade's cosine distance function. */
   private[graft] def rewriteVectorSimilarity(stmt: String): String = {
     val m = VsimPattern.findFirstMatchIn(stmt).getOrElse(return stmt)
+    val isRadius = m.group(3) != null
     val table = m.group(2)
     val open = m.end - 1
     // balanced args: col, vecExpr, k
@@ -468,30 +478,46 @@ object QueryFacade {
       out.result().map(_.trim)
     }
     require(args.size == 3,
-      s"VECTOR_SIMILARITY expects (column, vector, topK), got ${args.size} args")
+      s"VECTOR_SIMILARITY expects (column, vector, topK|threshold), got ${args.size} args")
     val Seq(vcol, vec, k) = args
-    // remaining conjuncts (if any) stay OUTSIDE the ranked subquery
-    // (top-k first, intersect after — the reference's default path);
-    // GROUP BY / ORDER BY / LIMIT tails follow them
     val after = stmt.substring(close + 1)
-    val TailKw = """(?is)^\s*(group\s+by|order\s+by|limit|having)\b.*""".r
+    if (isRadius) {
+      // in-place predicate substitution: the radius form is a plain
+      // row filter, so sibling conjuncts and tails stay untouched
+      return rewriteVectorSimilarity(
+        stmt.substring(0, m.start) + m.group(1) +
+          s"(1 - cosine_sim($vcol, cast(($vec) as array<double>))) <= $k" +
+          after)
+    }
+    // topK form: remaining conjuncts (if any) stay OUTSIDE the ranked
+    // subquery (top-k first, intersect after — the reference's default
+    // path); GROUP BY / ORDER BY / LIMIT / set-op tails follow them
+    val TailKw =
+      """(?is)^\s*(group\s+by|order\s+by|limit|having|union|intersect|except)\b.*""".r
     val AndRest = """(?is)^\s*and\s+(.*)""".r
-    // first TOP-LEVEL tail keyword: outside parens and quotes
+    // first TOP-LEVEL tail keyword: outside parens and quotes; a
+    // keyword match only counts on a word boundary ('_' is an
+    // identifier char, so my_limit / col_having are NOT boundaries)
     def topLevelTail(s0: String): Option[Int] = {
-      val kw = """(?i)^(group\s+by|order\s+by|limit|having)\b""".r
+      val kw =
+        """(?i)^(group\s+by|order\s+by|limit|having|union|intersect|except)\b""".r
+      def isIdentChar(c: Char) = c.isLetterOrDigit || c == '_'
       var depth = 0
       var quote: Char = 0
       var j = 0
       while (j < s0.length) {
         val c = s0.charAt(j)
-        if (quote != 0) { if (c == quote) quote = 0 }
+        if (quote != 0) {
+          if (c == '\\') j += 1 // backslash-escaped char inside quotes
+          else if (c == quote) quote = 0
+        }
         else c match {
           case '\'' | '"' => quote = c
           case '(' => depth += 1
           case ')' => depth -= 1
           case _ if depth == 0 &&
               kw.findFirstIn(s0.substring(j)).isDefined &&
-              (j == 0 || !s0.charAt(j - 1).isLetterOrDigit) =>
+              (j == 0 || !isIdentChar(s0.charAt(j - 1))) =>
             return Some(j)
           case _ =>
         }
@@ -511,11 +537,12 @@ object QueryFacade {
         throw new IllegalArgumentException(
           s"VECTOR_SIMILARITY: unsupported trailing clause '${other.take(40)}'")
     }
-    stmt.substring(0, m.start) +
-      s"FROM (SELECT * FROM $table " +
-      s"ORDER BY cosine_sim($vcol, cast(($vec) as array<double>)) " +
-      s"DESC LIMIT $k) $table" +
-      outerWhere + outerTail
+    rewriteVectorSimilarity(
+      stmt.substring(0, m.start) +
+        s"FROM (SELECT * FROM $table " +
+        s"ORDER BY cosine_sim($vcol, cast(($vec) as array<double>)) " +
+        s"DESC LIMIT $k) $table" +
+        outerWhere + outerTail)
   }
 
   /** Run a Pinot-flavored SQL query: leading SET options are parsed off

@@ -151,7 +151,12 @@ final class KafkaSocketPartitionReader(p: KafkaSocketInputPartition)
       val (records, _) = client.fetch(p.topic, p.partition, nextOffset)
       val inRange = records.filter(r =>
         r.offset >= nextOffset && r.offset < p.endOffset)
-      if (inRange.isEmpty) return false // log truncated below endOffset
+      // a planned [start, end) range the broker can no longer serve
+      // (log truncation) must FAIL, not silently under-deliver — the
+      // exactly-once replay contract depends on the full range
+      if (inRange.isEmpty) throw new IllegalStateException(
+        s"Kafka fetch for ${p.topic}-${p.partition} returned no records in " +
+          s"[$nextOffset, ${p.endOffset}): log truncated below planned range")
       buffer ++= inRange
       nextOffset = inRange.last.offset + 1
     }

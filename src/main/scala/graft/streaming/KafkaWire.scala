@@ -2,17 +2,34 @@ package graft.streaming
 
 import java.io.{DataInputStream, DataOutputStream}
 import java.nio.ByteBuffer
-import java.util.zip.CRC32
+import java.util.zip.{CRC32, CRC32C}
 
 /** Kafka wire-protocol codec — the public binary protocol
-  * (kafka.apache.org/protocol) at the pre-flexible API versions whose
-  * layouts are fixed-width and stable: Produce v0 (api key 0),
-  * Fetch v0 (1), ListOffsets v0 (2), Metadata v0 (3), ApiVersions v0
-  * (18), and the magic-1 MessageSet record format (offset, size, crc,
-  * magic, attributes, timestamp, key, value; CRC32 over magic..value).
+  * (kafka.apache.org/protocol) at two dialects:
+  *
+  *  - the pre-flexible fixed-width versions: Produce v0 (api key 0),
+  *    Fetch v0 (1), ListOffsets v0 (2), Metadata v0 (3), ApiVersions v0
+  *    (18), with the magic-1 MessageSet record format (offset, size,
+  *    crc, magic, attributes, timestamp, key, value; CRC32 over
+  *    magic..value);
+  *  - the MODERN record format a Kafka 3/4 broker actually serves:
+  *    magic-2 RecordBatch (baseOffset, batchLength,
+  *    partitionLeaderEpoch, magic=2, CRC32C over attributes..end,
+  *    attributes, lastOffsetDelta, base/maxTimestamp, producer
+  *    id/epoch/baseSequence, then records with zigzag-varint lengths
+  *    and offset/timestamp DELTAS plus headers), carried by
+  *    Produce v3 (transactional_id, log_append_time + throttle in the
+  *    response) and Fetch v4 (max_bytes + isolation_level in the
+  *    request; throttle, last_stable_offset + aborted_transactions in
+  *    the response), plus ListOffsets v1 (timestamp-keyed, single
+  *    offset per partition). Message-format v0/v1 was removed in
+  *    Kafka 4.0, so the v2 batch path is what interoperates today.
+  *
   * Everything is big-endian; strings are int16-length-prefixed,
   * byte blobs int32-length-prefixed, arrays int32-counted — exactly
   * the framing a real broker or client of these versions emits.
+  * Varints inside v2 record bodies are ZIGZAG-encoded (protobuf
+  * style), as the record spec requires.
   *
   * This codec backs both sides of the engine's socket path: the
   * in-process broker ([[KafkaWireBroker]]) serving the topic log and
@@ -178,6 +195,139 @@ object KafkaWire {
           }
         }
         out += Record(blob(), blob(), ts, offset)
+      }
+    }
+    out.result()
+  }
+
+  // ---- magic-2 RecordBatch (the modern Kafka 3/4 format) ----
+
+  /** Zigzag varint append (the v2 record body integer encoding). */
+  def writeVarLong(w: Writer, v: Long): Unit = {
+    var z = (v << 1) ^ (v >> 63) // zigzag
+    while ((z & ~0x7fL) != 0L) {
+      w.i8(((z & 0x7f) | 0x80).toByte)
+      z >>>= 7
+    }
+    w.i8(z.toByte)
+  }
+
+  def readVarLong(bb: ByteBuffer): Long = {
+    var z = 0L
+    var shift = 0
+    var b = 0
+    do {
+      b = bb.get() & 0xff
+      z |= (b & 0x7fL) << shift
+      shift += 7
+      require(shift <= 70, "varlong too long")
+    } while ((b & 0x80) != 0)
+    (z >>> 1) ^ -(z & 1L) // un-zigzag
+  }
+
+  def readVarInt(bb: ByteBuffer): Int = readVarLong(bb).toInt
+
+  /** Encode records as ONE v2 RecordBatch. Record offsets are encoded
+    * as deltas from `baseOffset`; timestamps as deltas from the first
+    * record's. CRC32C covers attributes..end (everything after the crc
+    * field), per the RecordBatch spec. */
+  def encodeRecordBatch(records: Seq[Record], baseOffset: Long): Array[Byte] = {
+    require(records.nonEmpty, "empty record batch")
+    val baseTs = records.head.timestampMs
+    val maxTs = records.map(_.timestampMs).max
+    // batch body from `attributes` onward (the CRC32C coverage)
+    val body = new Writer
+    body.i16(0) // attributes: no compression, CREATE_TIME, non-txn
+    body.i32(records.length - 1) // lastOffsetDelta
+    body.i64(baseTs)
+    body.i64(maxTs)
+    body.i64(-1L) // producerId (non-idempotent)
+    body.i16(-1) // producerEpoch
+    body.i32(-1) // baseSequence
+    body.i32(records.length)
+    records.zipWithIndex.foreach { case (rec, i) =>
+      val rb = new Writer
+      rb.i8(0) // record attributes
+      writeVarLong(rb, rec.timestampMs - baseTs)
+      writeVarLong(rb, i.toLong) // offsetDelta
+      if (rec.key == null) writeVarLong(rb, -1L)
+      else { writeVarLong(rb, rec.key.length.toLong); rb.raw(rec.key) }
+      if (rec.value == null) writeVarLong(rb, -1L)
+      else { writeVarLong(rb, rec.value.length.toLong); rb.raw(rec.value) }
+      writeVarLong(rb, 0L) // headers count
+      val recBytes = rb.result()
+      writeVarLong(body, recBytes.length.toLong)
+      body.raw(recBytes)
+    }
+    val bodyBytes = body.result()
+    val crc = new CRC32C
+    crc.update(bodyBytes)
+    val w = new Writer
+    w.i64(baseOffset)
+    // batchLength: bytes after this field = leaderEpoch(4) + magic(1)
+    // + crc(4) + body
+    w.i32(9 + bodyBytes.length)
+    w.i32(-1) // partitionLeaderEpoch
+    w.i8(2) // magic
+    w.i32(crc.getValue.toInt)
+    w.raw(bodyBytes)
+    w.result()
+  }
+
+  /** Decode a sequence of v2 RecordBatches (a fetched record-set may
+    * concatenate several); tolerates a trailing partial batch, rejects
+    * CRC mismatches and non-v2 magic. */
+  def decodeRecordBatches(bytes: Array[Byte]): Seq[Record] = {
+    val out = Seq.newBuilder[Record]
+    val bb = ByteBuffer.wrap(bytes)
+    var ok = true
+    while (ok && bb.remaining >= 12) {
+      val baseOffset = bb.getLong()
+      val batchLength = bb.getInt()
+      if (batchLength < 9 || bb.remaining < batchLength) ok = false
+      else {
+        val batch = new Array[Byte](batchLength)
+        bb.get(batch)
+        val m = ByteBuffer.wrap(batch)
+        m.getInt() // partitionLeaderEpoch
+        val magic = m.get()
+        require(magic == 2, s"RecordBatch magic $magic (expected 2)")
+        val storedCrc = m.getInt()
+        val crc = new CRC32C
+        crc.update(batch, 9, batch.length - 9)
+        require(crc.getValue.toInt == storedCrc,
+          s"RecordBatch CRC32C mismatch at baseOffset $baseOffset")
+        m.getShort() // attributes (no compression supported here)
+        m.getInt() // lastOffsetDelta
+        val baseTs = m.getLong()
+        m.getLong() // maxTimestamp
+        m.getLong() // producerId
+        m.getShort() // producerEpoch
+        m.getInt() // baseSequence
+        val n = m.getInt()
+        (0 until n).foreach { _ =>
+          val len = readVarInt(m)
+          val end = m.position() + len
+          m.get() // record attributes
+          val tsDelta = readVarLong(m)
+          val offDelta = readVarLong(m)
+          def vblob(): Array[Byte] = {
+            val sz = readVarInt(m)
+            if (sz < 0) null
+            else {
+              val b = new Array[Byte](sz)
+              m.get(b)
+              b
+            }
+          }
+          val key = vblob()
+          val value = vblob()
+          val nHeaders = readVarInt(m)
+          (0 until nHeaders).foreach { _ => vblob(); vblob() } // skip
+          require(m.position() == end,
+            s"record length mismatch: at ${m.position()} expected $end")
+          out += Record(key, value, baseTs + tsDelta, baseOffset + offDelta)
+        }
       }
     }
     out.result()

@@ -126,9 +126,9 @@ final class KafkaWireBroker(host: String = "127.0.0.1",
         h.apiKey match {
           case ApiVersions => apiVersions(w)
           case ApiMetadata => metadata(r, w)
-          case ApiProduce => produce(r, w)
-          case ApiFetch => fetch(r, w)
-          case ApiListOffsets => listOffsets(r, w)
+          case ApiProduce => produce(r, w, h.apiVersion)
+          case ApiFetch => fetch(r, w, h.apiVersion)
+          case ApiListOffsets => listOffsets(r, w, h.apiVersion)
           case other =>
             throw new UnsupportedOperationException(s"api key $other")
         }
@@ -139,10 +139,15 @@ final class KafkaWireBroker(host: String = "127.0.0.1",
 
   private def apiVersions(w: Writer): Unit = {
     w.i16(0) // no error
-    val supported = Seq(ApiProduce, ApiFetch, ApiListOffsets, ApiMetadata,
-      ApiVersions)
+    // (api key, min, max): Produce through v3 and Fetch through v4
+    // carry magic-2 record batches — the modern dialect
+    val supported = Seq((ApiProduce, 0, 3), (ApiFetch, 0, 4),
+      (ApiListOffsets, 0, 1), (ApiMetadata, 0, 0),
+      (ApiVersions, 0, 0))
     w.i32(supported.size)
-    supported.foreach(k => w.i16(k).i16(0).i16(0))
+    supported.foreach { case (k, lo, hi) =>
+      w.i16(k).i16(lo.toShort).i16(hi.toShort)
+    }
     ()
   }
 
@@ -167,7 +172,8 @@ final class KafkaWireBroker(host: String = "127.0.0.1",
     ()
   }
 
-  private def produce(r: Reader, w: Writer): Unit = {
+  private def produce(r: Reader, w: Writer, version: Short): Unit = {
+    if (version >= 3) r.str() // transactional_id (v3+)
     r.i16() // acks
     r.i32() // timeout
     val nTopics = r.i32()
@@ -178,7 +184,10 @@ final class KafkaWireBroker(host: String = "127.0.0.1",
       (0 until nParts).foreach { _ =>
         val partition = r.i32()
         val setBytes = r.blob()
-        val records = decodeMessageSet(setBytes)
+        // v3+ carries magic-2 record batches; v0 the magic-1 MessageSet
+        val records =
+          if (version >= 3) decodeRecordBatches(setBytes)
+          else decodeMessageSet(setBytes)
         val base = logs.synchronized {
           val log = logs.getOrElseUpdate((topic, partition),
             mutable.ArrayBuffer.empty)
@@ -198,15 +207,19 @@ final class KafkaWireBroker(host: String = "127.0.0.1",
       w.i32(parts.size)
       parts.foreach { case (_, p, base) =>
         w.i32(p).i16(0).i64(base) // partition, no error, base offset
+        if (version >= 2) w.i64(-1L) // log_append_time (CREATE_TIME)
       }
     }
+    if (version >= 1) w.i32(0) // throttle_time_ms
     ()
   }
 
-  private def fetch(r: Reader, w: Writer): Unit = {
+  private def fetch(r: Reader, w: Writer, version: Short): Unit = {
     r.i32() // replica_id
     r.i32() // max_wait
     r.i32() // min_bytes
+    if (version >= 3) r.i32() // max_bytes (whole response)
+    if (version >= 4) r.i8() // isolation_level
     val nTopics = r.i32()
     val results =
       (0 until nTopics).map { _ =>
@@ -232,23 +245,33 @@ final class KafkaWireBroker(host: String = "127.0.0.1",
             }
             (sel.result(), log.length.toLong)
           }
-          (partition, hw, encodeMessageSet(slice))
+          val set =
+            if (slice.isEmpty) Array.emptyByteArray
+            else if (version >= 4)
+              encodeRecordBatch(slice, slice.head.offset)
+            else encodeMessageSet(slice)
+          (partition, hw, set)
         }
         (topic, parts)
       }
+    if (version >= 1) w.i32(0) // throttle_time_ms
     w.i32(results.size)
     results.foreach { case (topic, parts) =>
       w.str(topic)
       w.i32(parts.size)
       parts.foreach { case (p, hw, set) =>
         w.i32(p).i16(0).i64(hw)
+        if (version >= 4) {
+          w.i64(hw) // last_stable_offset (no open txns)
+          w.i32(0) // aborted_transactions: none
+        }
         w.i32(set.length).raw(set)
       }
     }
     ()
   }
 
-  private def listOffsets(r: Reader, w: Writer): Unit = {
+  private def listOffsets(r: Reader, w: Writer, version: Short): Unit = {
     r.i32() // replica_id
     val nTopics = r.i32()
     val results = (0 until nTopics).map { _ =>
@@ -257,13 +280,13 @@ final class KafkaWireBroker(host: String = "127.0.0.1",
       val parts = (0 until nParts).map { _ =>
         val partition = r.i32()
         val ts = r.i64()
-        r.i32() // max_num_offsets
+        if (version == 0) r.i32() // max_num_offsets (v0 only)
         val off = logs.synchronized {
           val log = logs.getOrElse((topic, partition),
             mutable.ArrayBuffer.empty[Record])
           if (ts == EarliestTs) 0L else log.length.toLong
         }
-        (partition, off)
+        (partition, ts, off)
       }
       (topic, parts)
     }
@@ -271,9 +294,10 @@ final class KafkaWireBroker(host: String = "127.0.0.1",
     results.foreach { case (topic, parts) =>
       w.str(topic)
       w.i32(parts.size)
-      parts.foreach { case (p, off) =>
+      parts.foreach { case (p, ts, off) =>
         w.i32(p).i16(0)
-        w.i32(1).i64(off) // one offset
+        if (version == 0) w.i32(1).i64(off) // [offsets] array
+        else w.i64(ts).i64(off) // v1: timestamp + single offset
       }
     }
     ()

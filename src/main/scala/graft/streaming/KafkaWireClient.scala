@@ -10,19 +10,27 @@ import KafkaWire._
   * reference holds per consuming partition
   * (`KafkaPartitionLevelConnectionHandler.java`). One socket, strictly
   * request→response; safe to use from one thread (each Spark partition
-  * reader opens its own). */
+  * reader opens its own).
+  *
+  * `modern = true` (default) speaks the Kafka 3/4 dialect — Produce v3
+  * / Fetch v4 / ListOffsets v1 with magic-2 record batches; `false`
+  * falls back to the pre-flexible v0 APIs + magic-1 MessageSet (which
+  * Kafka 4 brokers no longer serve). */
 final class KafkaWireClient(host: String, port: Int,
-    clientId: String = "graft") extends AutoCloseable {
+    clientId: String = "graft", modern: Boolean = true)
+  extends AutoCloseable {
 
   private val sock = new Socket(host, port)
   private val in = new DataInputStream(sock.getInputStream)
   private val out = new DataOutputStream(sock.getOutputStream)
   private var correlation = 0
 
-  private def call(apiKey: Short)(body: Writer => Unit): Reader = {
+  private def call(apiKey: Short, version: Short = 0)
+      (body: Writer => Unit): Reader = {
     correlation += 1
     val w = new Writer
-    writeRequestHeader(w, RequestHeader(apiKey, 0, correlation, clientId))
+    writeRequestHeader(w,
+      RequestHeader(apiKey, version, correlation, clientId))
     body(w)
     writeFrame(out, w.result())
     val resp = new Reader(readFrame(in))
@@ -58,10 +66,14 @@ final class KafkaWireClient(host: String, port: Int,
   }
 
   /** Produce records to one partition; returns the base offset the
-    * broker assigned. */
+    * broker assigned. Modern: Produce v3 with a magic-2 record batch. */
   def produce(topic: String, partition: Int, records: Seq[Record]): Long = {
-    val set = encodeMessageSet(records)
-    val r = call(ApiProduce) { w =>
+    val version: Short = if (modern) 3 else 0
+    val set =
+      if (modern) encodeRecordBatch(records, 0L)
+      else encodeMessageSet(records)
+    val r = call(ApiProduce, version) { w =>
+      if (modern) w.str(null) // transactional_id (v3+)
       w.i16(1) // acks = leader
       w.i32(30000)
       w.i32(1).str(topic)
@@ -79,22 +91,31 @@ final class KafkaWireClient(host: String, port: Int,
         val err = r.i16()
         require(err == 0, s"produce error $err")
         base = r.i64()
+        if (modern) r.i64() // log_append_time (v2+)
       }
     }
+    if (modern) r.i32() // throttle_time_ms (v1+)
     base
   }
 
-  /** Fetch from `offset`; returns (records, highWatermark). */
+  /** Fetch from `offset`; returns (records, highWatermark). Modern:
+    * Fetch v4, record-set decoded as magic-2 batches. */
   def fetch(topic: String, partition: Int, offset: Long,
       maxBytes: Int = 4 << 20): (Seq[Record], Long) = {
-    val r = call(ApiFetch) { w =>
+    val version: Short = if (modern) 4 else 0
+    val r = call(ApiFetch, version) { w =>
       w.i32(-1) // replica_id (consumer)
       w.i32(100) // max_wait ms
       w.i32(1) // min_bytes
+      if (modern) {
+        w.i32(maxBytes) // max_bytes, whole response (v3+)
+        w.i8(0) // isolation_level READ_UNCOMMITTED (v4+)
+      }
       w.i32(1).str(topic)
       w.i32(1).i32(partition).i64(offset).i32(maxBytes)
       ()
     }
+    if (modern) r.i32() // throttle_time_ms (v1+)
     var result: (Seq[Record], Long) = (Nil, 0L)
     val nTopics = r.i32()
     (0 until nTopics).foreach { _ =>
@@ -105,19 +126,29 @@ final class KafkaWireClient(host: String, port: Int,
         val err = r.i16()
         require(err == 0, s"fetch error $err")
         val hw = r.i64()
+        if (modern) {
+          r.i64() // last_stable_offset (v4+)
+          val nAborted = r.i32()
+          (0 until math.max(0, nAborted)).foreach { _ => r.i64(); r.i64() }
+        }
         val set = r.blob()
-        result = (decodeMessageSet(set), hw)
+        result =
+          (if (modern) decodeRecordBatches(set) else decodeMessageSet(set),
+            hw)
       }
     }
     result
   }
 
-  /** Earliest (ts = -2) or latest (ts = -1) offset of one partition. */
+  /** Earliest (ts = -2) or latest (ts = -1) offset of one partition.
+    * Modern: ListOffsets v1 (timestamp-keyed single offset). */
   def listOffset(topic: String, partition: Int, ts: Long): Long = {
-    val r = call(ApiListOffsets) { w =>
+    val version: Short = if (modern) 1 else 0
+    val r = call(ApiListOffsets, version) { w =>
       w.i32(-1)
       w.i32(1).str(topic)
-      w.i32(1).i32(partition).i64(ts).i32(1)
+      w.i32(1).i32(partition).i64(ts)
+      if (!modern) w.i32(1) // max_num_offsets (v0 only)
       ()
     }
     var off = 0L
@@ -129,8 +160,11 @@ final class KafkaWireClient(host: String, port: Int,
         r.i32()
         val err = r.i16()
         require(err == 0, s"listOffsets error $err")
-        val n = r.i32()
-        (0 until n).foreach(_ => off = r.i64())
+        if (modern) { r.i64(); off = r.i64() } // timestamp, offset
+        else {
+          val n = r.i32()
+          (0 until n).foreach(_ => off = r.i64())
+        }
       }
     }
     off

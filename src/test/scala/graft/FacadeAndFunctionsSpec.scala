@@ -360,6 +360,50 @@ class FacadeAndFunctionsSpec extends SparkSpec {
     assert(sub == top5.filter(_ < 1000))
   }
 
+  test("VECTOR_SIMILARITY_RADIUS rewrite + multi-occurrence + '_' boundary") {
+    QueryFacade.init(spark, sf)
+    val vec = (1.0 +: Seq.fill(63)(0.0)).mkString("ARRAY[", ", ", "]")
+    // radius form = distance threshold (VectorRadiusFilterOperator
+    // .java:239-241): every kept row is within cosine distance 0.8,
+    // and the set equals the brute-force >= 0.2-similarity set
+    val viaSql = QueryFacade.sql(spark,
+      s"""SET explicitLimit = true;
+          SELECT vec_id FROM embeddings
+          WHERE VECTOR_SIMILARITY_RADIUS(embedding, $vec, 0.8)
+            AND vec_id <> 0""")
+      .collect().map(_.getLong(0)).toSet
+    val brute = QueryFacade.sql(spark,
+      s"""SET explicitLimit = true;
+          SELECT vec_id FROM embeddings
+          WHERE cosine_sim(embedding, cast($vec as array<double>)) >= 0.2
+            AND vec_id <> 0""")
+      .collect().map(_.getLong(0)).toSet
+    assert(viaSql == brute && viaSql.nonEmpty)
+    // both branches of a UNION ALL are rewritten (multi-occurrence)
+    val union = QueryFacade.sql(spark,
+      s"""SET explicitLimit = true;
+          SELECT vec_id FROM embeddings
+          WHERE VECTOR_SIMILARITY(embedding, $vec, 3)
+          UNION ALL
+          SELECT vec_id FROM embeddings
+          WHERE VECTOR_SIMILARITY(embedding, $vec, 5)""")
+      .collect()
+    assert(union.length == 8)
+    // string-level: '_' is an identifier char, not a keyword boundary
+    val rw = QueryFacade.rewriteVectorSimilarity(
+      "SELECT * FROM t WHERE VECTOR_SIMILARITY(v, ARRAY[1.0], 5) " +
+        "AND my_limit > 2 ORDER BY id")
+    assert(rw.contains("WHERE my_limit > 2 ORDER BY id"),
+      s"identifier split mid-word: $rw")
+    // backslash-escaped quote inside a literal does not desync the
+    // quote tracker of the tail scanner
+    val rw2 = QueryFacade.rewriteVectorSimilarity(
+      "SELECT * FROM t WHERE VECTOR_SIMILARITY(v, ARRAY[1.0], 5) " +
+        "AND name = 'o\\'brien limit' ORDER BY id")
+    assert(rw2.contains("WHERE name = 'o\\'brien limit' ORDER BY id"),
+      s"escaped quote desync: $rw2")
+  }
+
   test("virtual-column rewrite leaves string literals untouched") {
     def rw(s: String) = QueryFacade.rewriteVirtualCols(s)
     // single- and double-quoted literals keep their $names verbatim

@@ -41,6 +41,89 @@ class KafkaSocketSpec extends SparkSpec {
     }
   }
 
+  test("magic-2 RecordBatch encodes the documented layout, byte-exact") {
+    // baseOffset 5, two records (k1/v1 @1000, k2/value-two @1010):
+    // [baseOffset 8B][batchLength 4B][leaderEpoch 4B][magic=2]
+    // [crc32c 4B][attrs 2B][lastOffsetDelta 4B][baseTs 8B][maxTs 8B]
+    // [producerId 8B][producerEpoch 2B][baseSeq 4B][count 4B]
+    // then per record: varint len, attrs, zigzag ts/offset deltas,
+    // varint-framed key/value, varint headers count.
+    // Golden hex computed from an independent implementation of the
+    // RecordBatch spec (kafka.apache.org/documentation/#recordbatch).
+    val batch = KafkaWire.encodeRecordBatch(Seq(
+      KafkaWire.Record("k1".getBytes, "v1".getBytes, 1000L),
+      KafkaWire.Record("k2".getBytes, "value-two".getBytes, 1010L)), 5L)
+    val golden =
+      "00000000000000050000004effffffff02fe24c3c2" +
+        "0000" + "00000001" + "00000000000003e8" + "00000000000003f2" +
+        "ffffffffffffffff" + "ffff" + "ffffffff" + "00000002" +
+        "14" + "00" + "00" + "00" + "04" + "6b31" + "04" + "7631" + "00" +
+        "22" + "00" + "14" + "02" + "04" + "6b32" + "12" +
+        "76616c75652d74776f" + "00"
+    assert(hex(batch) == golden)
+    val back = KafkaWire.decodeRecordBatches(batch)
+    assert(back.map(r => (new String(r.key), new String(r.value),
+      r.timestampMs, r.offset)) ==
+      Seq(("k1", "v1", 1000L, 5L), ("k2", "value-two", 1010L, 6L)))
+    // null key round-trips (varint -1 = 0x01 zigzag)
+    val nullKey = KafkaWire.encodeRecordBatch(Seq(
+      KafkaWire.Record(null, "v".getBytes, 1L)), 0L)
+    val nk = KafkaWire.decodeRecordBatches(nullKey)
+    assert(nk.head.key == null && new String(nk.head.value) == "v")
+    // two concatenated batches decode as one stream
+    val two = batch ++ nullKey
+    assert(KafkaWire.decodeRecordBatches(two).size == 3)
+  }
+
+  test("corrupted v2 batch fails the CRC32C check; wrong magic rejected") {
+    val batch = KafkaWire.encodeRecordBatch(Seq(
+      KafkaWire.Record("k".getBytes, "v".getBytes, 1000L)), 0L)
+    val bad = batch.clone()
+    bad(bad.length - 1) = (bad(bad.length - 1) ^ 0x01).toByte
+    intercept[IllegalArgumentException] {
+      KafkaWire.decodeRecordBatches(bad)
+    }
+    val wrongMagic = batch.clone()
+    wrongMagic(16) = 1 // magic byte position: 8 + 4 + 4
+    intercept[IllegalArgumentException] {
+      KafkaWire.decodeRecordBatches(wrongMagic)
+    }
+  }
+
+  test("zigzag varints cover the int64 range") {
+    val vals = Seq(0L, -1L, 1L, 63L, -64L, 64L, 300L, -301L,
+      Int.MaxValue.toLong, Long.MaxValue, Long.MinValue)
+    vals.foreach { v =>
+      val w = new KafkaWire.Writer
+      KafkaWire.writeVarLong(w, v)
+      val bb = java.nio.ByteBuffer.wrap(w.result())
+      assert(KafkaWire.readVarLong(bb) == v, s"varlong round-trip $v")
+    }
+  }
+
+  test("v0 client still interoperates (legacy MessageSet dialect)") {
+    val broker = new KafkaWireBroker(numPartitions = 1).start()
+    try {
+      val legacy = new KafkaWireClient("127.0.0.1", broker.port,
+        modern = false)
+      val base = legacy.produce("t0", 0, Seq(
+        KafkaWire.Record("a".getBytes, "1".getBytes, 10L)))
+      assert(base == 0L)
+      // a modern client reads what the legacy client wrote, and
+      // vice versa — same log, two wire dialects
+      val mod = new KafkaWireClient("127.0.0.1", broker.port)
+      assert(mod.produce("t0", 0, Seq(
+        KafkaWire.Record("b".getBytes, "2".getBytes, 20L))) == 1L)
+      val (viaLegacy, _) = legacy.fetch("t0", 0, 0L)
+      val (viaModern, _) = mod.fetch("t0", 0, 0L)
+      assert(viaLegacy.map(r => new String(r.value)) == Seq("1", "2"))
+      assert(viaModern.map(r => (new String(r.value), r.offset)) ==
+        Seq(("1", 0L), ("2", 1L)))
+      assert(mod.listOffset("t0", 0, KafkaWire.LatestTs) == 2L)
+      legacy.close(); mod.close()
+    } finally broker.close()
+  }
+
   test("broker serves metadata/produce/fetch/listOffsets over TCP") {
     val broker = new KafkaWireBroker(numPartitions = 2).start()
     try {

@@ -95,4 +95,118 @@ class RollupRewriteSpec extends SparkSpec {
       }
     } finally RollupRewrite.clear()
   }
+
+  test("percentile queries answered from rollup-stored digest blobs") {
+    val fact = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+    val out = Files.createTempDirectory("graft_rollup_pct").toString
+
+    // exact per-group percentiles BEFORE registering the rule
+    val exact = fact.groupBy($"l_returnflag")
+      .agg(expr("percentile(l_quantity, 0.5)").as("p50q"),
+        expr("percentile(l_partkey, 0.9)").as("p90k"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+
+    RollupRewrite.buildRollup(spark, fact,
+      RollupRewrite.pathOf(fact).get,
+      dims = Seq("l_returnflag", "l_linestatus"),
+      measures = Seq("l_quantity"),
+      outPath = s"$out/rollup",
+      tdigestMeasures = Seq("l_quantity"),
+      qdigestMeasures = Seq("l_partkey"),
+      kllMeasures = Seq("l_quantity"))
+    try {
+      // PERCENTILETDIGEST over the fact → TDigestMergeAgg over td blobs
+      val td = fact.groupBy($"l_returnflag")
+        .agg(graft.plans.TDigestSketch
+          .percentileTDigest($"l_quantity", 50.0).as("est"))
+      val tdPlan = td.queryExecution.optimizedPlan.toString
+      assert(tdPlan.contains("td_l_quantity"), s"plan not rewritten:\n$tdPlan")
+      td.collect().foreach { r =>
+        val e = exact(r.getString(0))._1
+        assert(math.abs(r.getDouble(1) - e) <= 2.0,
+          s"${r.getString(0)}: tdigest ${r.getDouble(1)} off exact $e")
+      }
+
+      // PERCENTILEEST (q-digest) over the fact → QDigestMergeAgg; the
+      // q-digest answer is a one-sided range upper bound — gate on the
+      // estimate's exact rank being within maxError(+slack) of 0.9
+      val qd = fact.groupBy($"l_returnflag")
+        .agg(graft.plans.QDigestSketch
+          .percentileEst($"l_partkey", 90.0).as("est"))
+      val qdPlan = qd.queryExecution.optimizedPlan.toString
+      assert(qdPlan.contains("qd_l_partkey"), s"plan not rewritten:\n$qdPlan")
+      val ranks = qd.collect().map { r =>
+        val flag = r.getString(0)
+        val est = r.getLong(1)
+        val grp = fact.filter($"l_returnflag" === flag)
+        val rank = grp.filter($"l_partkey" <= est).count().toDouble /
+          grp.count().toDouble
+        flag -> rank
+      }
+      ranks.foreach { case (flag, rank) =>
+        assert(rank >= 0.9 - 0.02 && rank <= 0.9 + 0.08,
+          s"$flag: qdigest estimate rank $rank outside [0.88, 0.98]")
+      }
+
+      // PERCENTILEKLL over the fact → KllMergeAgg over kll blobs
+      val kll = fact.groupBy($"l_returnflag")
+        .agg(graft.plans.KllSketch
+          .percentileKll($"l_quantity", 50.0).as("est"))
+      val kllPlan = kll.queryExecution.optimizedPlan.toString
+      assert(kllPlan.contains("kll_l_quantity"), s"plan not rewritten:\n$kllPlan")
+      kll.collect().foreach { r =>
+        val e = exact(r.getString(0))._1
+        assert(math.abs(r.getDouble(1) - e) <= 2.0,
+          s"${r.getString(0)}: kll ${r.getDouble(1)} off exact $e")
+      }
+
+      // a compression/k MISMATCH must fall through to the fact scan
+      val wrongCompression = fact.groupBy($"l_returnflag")
+        .agg(graft.plans.TDigestSketch
+          .percentileTDigest($"l_quantity", 50.0, compression = 500.0))
+      assert(!wrongCompression.queryExecution.optimizedPlan.toString
+        .contains("td_l_quantity"))
+    } finally RollupRewrite.clear()
+  }
+
+  test("MV maintenance carries digest blob columns through append/overwrite") {
+    import graft.sources.MaterializedView
+    val out = Files.createTempDirectory("graft_mv_pct").toString
+    val src = Files.createTempDirectory("graft_mv_src_pct").toString
+    val day = 86400000L
+    def write(rows: Seq[(Long, String, Double)]): Unit =
+      rows.toDF("ms", "k", "v")
+        .select(timestamp_millis($"ms").as("ts"), $"k", $"v")
+        .write.mode("overwrite").parquet(src)
+
+    val w0 = (0 until 200).map(i => (i * 1000L, s"g${i % 2}", i.toDouble))
+    write(w0)
+    val source = () => spark.read.parquet(src)
+    val d = MaterializedView.ViewDef("ts", day, Seq("k"),
+      Seq(graft.plans.TDigestSketch.tdigestState($"v").as("td"),
+        count(lit(1)).as("n")))
+    val store = new MaterializedView.Store(spark, out, d)
+    store.append(source(), 0L)
+
+    // the MV's blob column answers percentile queries via merge
+    val p = store.read().groupBy($"k")
+      .agg(graft.plans.TDigestSketch
+        .tdigestMergePercentile($"td", 50.0).as("p50"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // g0 holds evens 0..198 (median ~99), g1 odds 1..199 (median ~101)
+    assert(math.abs(p("g0") - 99.0) <= 3.0 && math.abs(p("g1") - 101.0) <= 3.0,
+      s"mv percentiles off: $p")
+
+    // backfill the window → STALE → OVERWRITE refreshes the blobs
+    write(w0 ++ (200 until 300).map(i => (i * 100L, "g0", 1000.0 + i)))
+    assert(store.markStaleIfChanged(source(), 0L))
+    store.overwrite(source(), 0L)
+    val p2 = store.read().groupBy($"k")
+      .agg(graft.plans.TDigestSketch
+        .tdigestMergePercentile($"td", 90.0).as("p90"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // g0 now has 100 heavy values (1200..1299) in 200 rows: p90 > 1000
+    assert(p2("g0") > 1000.0, s"overwritten blob not refreshed: $p2")
+  }
 }
