@@ -26,16 +26,17 @@ import org.apache.spark.sql.functions._
   */
 object TextMatch {
 
-  // per-term matcher inside phrase/proximity shapes
+  // per-term matcher inside phrase/proximity shapes (raw term kept so
+  // each execution strategy can build its own regex form)
   private sealed trait TermPat
   private final case class ExactT(t: String) extends TermPat
-  private final case class WildT(regex: String) extends TermPat
+  private final case class WildT(term: String) extends TermPat
 
   private sealed trait Node
   private final case class Term(t: String) extends Node
   private final case class Phrase(p: String) extends Node
   private final case class Prefix(p: String) extends Node
-  private final case class Wild(regex: String) extends Node
+  private final case class Wild(term: String) extends Node
   private final case class Fuzzy(t: String, maxEdits: Int) extends Node
   private final case class Proximity(terms: Seq[TermPat], slop: Int) extends Node
   private final case class AndN(xs: Seq[Node]) extends Node
@@ -104,13 +105,32 @@ object TextMatch {
       case c => c.toString
     }.mkString
 
+  // Tokens are split(lower(c), "\\W+") runs, so token chars are exactly
+  // [a-z0-9_]. These regexes match ONE WHOLE STRING instead of per
+  // token: wildcard runs are confined to token chars (`.*` would leak
+  // across separators) and anchored by non-token-char boundaries — one
+  // regex pass per row instead of one per token, which is what lets
+  // wildcard/proximity predicates keep up with the exact-term ones.
+  private val NotTok = "[^a-z0-9_]"
+  private def wildInlineRegex(t: String): String =
+    t.toLowerCase.map {
+      case '*' => "[a-z0-9_]*"
+      case '?' => "[a-z0-9_]"
+      case c if "\\.[]{}()<>+-=!$^|".contains(c) => "\\" + c
+      case c => c.toString
+    }.mkString
+  private def inlinePat(p: TermPat): String = p match {
+    case ExactT(t) => wildInlineRegex(t) // no wildcards → just escaping
+    case WildT(t) => wildInlineRegex(t)
+  }
+
   private def patFor(term: String): TermPat =
-    if (hasWildcard(term)) WildT(wildRegex(term)) else ExactT(term.toLowerCase)
+    if (hasWildcard(term)) WildT(term) else ExactT(term.toLowerCase)
 
   private def phraseNode(p: String, slop: Int): Node = {
     val terms = p.trim.split("\\s+").toSeq.filter(_.nonEmpty)
     if (terms.size < 2) {
-      if (terms.nonEmpty && hasWildcard(terms.head)) Wild(wildRegex(terms.head))
+      if (terms.nonEmpty && hasWildcard(terms.head)) Wild(terms.head)
       else Phrase(p)
     } else if (slop == 0 && terms.forall(!hasWildcard(_))) Phrase(p)
     else Proximity(terms.map(patFor), slop)
@@ -124,7 +144,7 @@ object TextMatch {
       Fuzzy(t, if (n.isEmpty) 2 else n.toInt) // Lucene default maxEdits = 2
     case t if t.endsWith("*") && !hasWildcard(t.dropRight(1)) =>
       Prefix(t.stripSuffix("*")) // pure prefix — cheaper than the regex
-    case t if hasWildcard(t) => Wild(wildRegex(t))
+    case t if hasWildcard(t) => Wild(t)
     case t => Term(t)
   }
 
@@ -132,7 +152,7 @@ object TextMatch {
 
   private def tokenMatches(tok: Column, p: TermPat): Column = p match {
     case ExactT(t) => tok === lit(t)
-    case WildT(re) => tok.rlike("^" + re + "$")
+    case WildT(t) => tok.rlike("^" + wildRegex(t) + "$")
   }
 
   private def compile(n: Node, c: Column): Column = n match {
@@ -141,14 +161,28 @@ object TextMatch {
       array_contains(toks(c), t.toLowerCase)
     case Phrase(p) => lower(c).contains(p.toLowerCase)
     case Prefix(p) => lower(c).rlike("(^|\\W)" + java.util.regex.Pattern.quote(p.toLowerCase))
-    case Wild(re) => exists(toks(c), tok => tok.rlike("^" + re + "$"))
+    case Wild(t) =>
+      // one whole-string regex, wildcards confined to token chars
+      lower(c).rlike("(^|" + NotTok + ")" + wildInlineRegex(t) +
+        "(" + NotTok + "|$)")
     case Fuzzy(t, n) =>
       // any token within Levenshtein distance n (FuzzyQuery)
       exists(toks(c), tok => levenshtein(tok, lit(t.toLowerCase)) <= n)
+    case Proximity(terms, slop) if terms.size == 2 =>
+      // 2-term fast path: ∃ p1∈pos(a), p2∈pos(b): p1 < p2 ≤ p1+slop+1
+      // is EXACTLY "a, then ≤ slop whole tokens, then b" as one
+      // whole-string regex — one pass per row instead of building
+      // per-token position arrays
+      val between =
+        if (slop == 0) NotTok + "+"
+        else "(" + NotTok + "+[a-z0-9_]+){0," + slop + "}" + NotTok + "+"
+      lower(c).rlike("(^|" + NotTok + ")" + inlinePat(terms.head) +
+        between + inlinePat(terms(1)) + "(" + NotTok + "|$)")
     case Proximity(terms, slop) =>
-      // consecutive term pairs in order, ≤ slop intervening tokens:
-      // per pair, ∃ p1∈pos(a), p2∈pos(b): p1 < p2 ≤ p1 + slop + 1
-      // (slop 0 = adjacent — the wildcard-phrase shape)
+      // ≥3 terms: consecutive term pairs in order, ≤ slop intervening
+      // tokens PER PAIR with independently chosen positions — not a
+      // single consistent chain, so the regex shape above does not
+      // apply; keep the token-position evaluation
       val tk = toks(c)
       def positions(p: TermPat): Column =
         filter(
@@ -160,6 +194,10 @@ object TextMatch {
         exists(positions(a), p1 =>
           exists(positions(b), p2 => p2 > p1 && p2 <= p1 + slop + 1))
       }.reduce(_ && _)
+    // AND/OR children keep the user's written order (as Lucene does):
+    // an A/B of static cheapest-first reordering LOST on matching-heavy
+    // data — exists()-based arms short-circuit positives early, and
+    // static cost can't see selectivity
     case AndN(xs) => xs.map(compile(_, c)).reduce(_ && _)
     case OrN(xs) => xs.map(compile(_, c)).reduce(_ || _)
   }
