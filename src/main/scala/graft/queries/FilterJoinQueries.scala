@@ -109,6 +109,40 @@ object FilterJoinQueries {
         FROM events WHERE CAST(json_extract_string(props, '$.k') AS INT) >= 50
         GROUP BY event_type ORDER BY event_type""")),
 
+    // JSON_MATCH over a SHREDDED ingest layout (the json-index analog:
+    // JsonMatchFilterOperator.java:37 resolves the predicate from an
+    // ingest-time flattened-path index instead of parsing documents).
+    // Here ingest materializes $.k as a typed column; jsonMatch targets
+    // it, so the predicate pushes into the parquet scan. used_shred is
+    // read off the executed plan (PushedFilters on props__k) — a silent
+    // fall-through to string parsing fails the gate. Same oracle as the
+    // string-parse form.
+    GQuery("q_filter_json_shred",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_json_shred").toString
+        val shredded = graft.sources.JsonShred.ingestShredded(
+          s, t.events.select(col("event_type"), col("props")),
+          s"$tmp/events_shred", "props",
+          Seq("$.k" -> IntegerType))
+        val filtered = shredded.filter(
+          graft.sources.JsonShred.jsonMatch(shredded, "props", "\"$.k\" >= 50"))
+        val usedShred = filtered.queryExecution.executedPlan.toString
+          .linesIterator.exists(l =>
+            l.contains("PushedFilters") && l.contains("props__k"))
+        filtered
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), max(col("props__k")).as("max_k"))
+          .withColumn("used_shred", lit(usedShred))
+          .orderBy(col("event_type"))
+      },
+      Some("""SELECT event_type, COUNT(*) AS n,
+        MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k,
+        TRUE AS used_shred
+        FROM events WHERE CAST(json_extract_string(props, '$.k') AS INT) >= 50
+        GROUP BY event_type ORDER BY event_type""")),
+
     // Inner equi-join chain with broadcast dims → group-by
     // (HashJoinOperator.java:47 + LookupJoinOperator.java:56).
     GQuery("q_join_inner",

@@ -22,7 +22,9 @@ object QueryFacade {
 
   final case class Parsed(options: Map[String, String], sql: String)
 
-  private val SetPattern = """(?is)^\s*SET\s+(\w+)\s*=\s*('[^']*'|"[^"]*"|\S+?)\s*;""".r
+  // key charset includes '-' for the reference's RLS option keys
+  // (`RlsUtils.buildRlsFilterKey`: "rlsFilters-<table>")
+  private val SetPattern = """(?is)^\s*SET\s+([\w-]+)\s*=\s*('[^']*'|"[^"]*"|\S+?)\s*;""".r
 
   private val OptionSuffix = """(?is)\s+OPTION\s*\(([^)]*)\)\s*$""".r
 
@@ -417,6 +419,96 @@ object QueryFacade {
       s"ORDER BY $rexpr $dir LIMIT 1) $right$onKw"
   }
 
+  // ---- Row-level security ----
+  // Reference: `sql/parsers/rewriter/RlsFiltersRewriter.java` — the
+  // broker stamps per-table filter predicates into query options under
+  // `rlsFilters-<table>` (RlsUtils.buildRlsFilterKey) and the rewriter
+  // ANDs them into the WHERE clause. Here each option's table reference
+  // is substituted with a filtered subquery — the same semantics,
+  // robust to missing WHERE clauses, aliases, and multiple references —
+  // and the predicate lands directly above the scan, so Catalyst pushes
+  // it into the parquet read (PushedFilters, gated in the spec).
+
+  private val SqlKeywords = Set("where", "group", "order", "limit",
+    "having", "on", "join", "left", "right", "full", "inner", "outer",
+    "cross", "union", "intersect", "except", "as", "using", "and", "or",
+    "semi", "anti", "lateral", "tablesample", "set", "option")
+
+  private[graft] def applyRlsFilters(
+      stmt: String, opts: Map[String, String]): String =
+    opts.foldLeft(stmt) {
+      case (s, (k, pred)) if k.startsWith("rlsfilters-") && pred.nonEmpty =>
+        injectRlsFilter(s, k.stripPrefix("rlsfilters-"), pred)
+      case (s, _) => s
+    }
+
+  private def injectRlsFilter(stmt: String, table: String,
+      pred: String): String = {
+    val pat = ("""(?is)\b(from|join)\s+""" +
+      java.util.regex.Pattern.quote(table) +
+      """\b(\s+(?:as\s+)?([A-Za-z_]\w*))?""").r
+    pat.replaceAllIn(stmt, m => {
+      val kw = m.group(1)
+      val alias = Option(m.group(3)).filterNot(a =>
+        SqlKeywords(a.toLowerCase))
+      val as = alias.getOrElse(table)
+      java.util.regex.Matcher.quoteReplacement(
+        s"$kw (SELECT * FROM $table WHERE $pred) $as") +
+        (if (alias.isEmpty && m.group(2) != null) m.group(2) else "")
+    })
+  }
+
+  /** Facade-side RLS policy store — the role the broker's access
+    * control plays when it stamps `rlsFilters-*` options onto the
+    * request. A protected table DENIES BY DEFAULT: a user with no
+    * granted filter cannot query it at all. */
+  object Rls {
+    private val policies =
+      new java.util.concurrent.ConcurrentHashMap[String,
+        Map[String, String]]()
+
+    /** Mark `table` RLS-protected with no grants yet (deny everyone). */
+    def protect(table: String): Unit =
+      policies.putIfAbsent(table.toLowerCase, Map.empty)
+
+    def grant(table: String, user: String, filterSql: String): Unit =
+      policies.compute(table.toLowerCase, (_, cur) =>
+        Option(cur).getOrElse(Map.empty) + (user -> filterSql))
+
+    def clear(): Unit = policies.clear()
+
+    /** The option map the broker would stamp for `user`; throws if the
+      * statement references a protected table the user has no grant
+      * for (deny-by-default). */
+    private[graft] def optionsFor(user: String, stmt: String)
+        : Map[String, String] = {
+      import scala.jdk.CollectionConverters._
+      policies.asScala.flatMap { case (table, grants) =>
+        val referenced =
+          ("""(?is)\b(?:from|join)\s+""" +
+            java.util.regex.Pattern.quote(table) + """\b""").r
+            .findFirstIn(stmt).isDefined
+        if (!referenced) None
+        else grants.get(user) match {
+          case Some(f) => Some(s"rlsfilters-$table" -> f)
+          case None => throw new SecurityException(
+            s"RLS: user '$user' has no row filter for protected " +
+              s"table '$table' (deny by default)")
+        }
+      }.toMap
+    }
+  }
+
+  /** Run a query as `user`: RLS options are stamped from the policy
+    * store (the broker's access-control role) and then applied by the
+    * rewriter exactly as explicit SET rlsFilters-* options would be. */
+  def sqlAs(spark: SparkSession, user: String, query: String): DataFrame = {
+    val Parsed(_, stmt) = parseOptions(query)
+    val stamped = Rls.optionsFor(user, stmt)
+    val sets = stamped.map { case (k, v) => s"SET $k = '$v';" }.mkString
+    sql(spark, sets + query)
+  }
+
   /** `WHERE VECTOR_SIMILARITY(col, queryVec, k)` — the reference's
     * ANN filter predicate (`VectorSimilarityPredicate.java`,
     * `VectorSimilarityFilterOperator.java`: "vectorSimilarity(col, q,
@@ -560,7 +652,8 @@ object QueryFacade {
     PinotFunctions.registerAll(spark)
     val Parsed(opts, stmt0) = parseOptions(query)
     val stmt = rewriteVectorSimilarity(
-      rewriteAsOf(rewriteReserved(stripHints(stmt0))))
+      rewriteAsOf(rewriteReserved(stripHints(
+        applyRlsFilters(stmt0, opts)))))
     if (Ddl.isDdl(stmt)) return Ddl.execute(spark, stmt)
     // Pinot EXPLAIN PLAN FOR <query> (PinotQueryResource explain
     // support): one row per plan-tree line, mirroring the reference's

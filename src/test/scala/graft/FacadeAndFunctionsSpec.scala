@@ -404,6 +404,55 @@ class FacadeAndFunctionsSpec extends SparkSpec {
       s"escaped quote desync: $rw2")
   }
 
+  test("RLS filters: injected predicate pushes down; deny by default") {
+    QueryFacade.init(spark, sf)
+    // explicit SET rlsFilters-<table> (RlsFiltersRewriter.java option
+    // path): same rows as writing the predicate by hand
+    val rls = QueryFacade.sql(spark,
+      "SET rlsFilters-nation = 'n_regionkey = 1'; SET explicitLimit = true; " +
+        "SELECT count(*) AS n FROM nation")
+    val direct = QueryFacade.sql(spark,
+      "SET explicitLimit = true; " +
+        "SELECT count(*) AS n FROM nation WHERE n_regionkey = 1")
+    assert(rls.collect().head.getLong(0) == direct.collect().head.getLong(0))
+    // composes with an existing WHERE, and the predicate reaches the
+    // parquet scan (PushedFilters) — RLS must not defeat pushdown
+    val q = QueryFacade.sql(spark,
+      "SET rlsFilters-nation = 'n_regionkey = 1'; SET explicitLimit = true; " +
+        "SELECT n_name FROM nation WHERE n_nationkey > 5")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("n_regionkey"),
+      s"RLS predicate not pushed:\n$plan")
+    val expect = QueryFacade.sql(spark,
+      "SET explicitLimit = true; SELECT n_name FROM nation " +
+        "WHERE n_regionkey = 1 AND n_nationkey > 5")
+    assert(q.collect().map(_.getString(0)).sorted.toSeq ==
+      expect.collect().map(_.getString(0)).sorted.toSeq)
+    // aliased reference keeps its alias
+    val aliased = QueryFacade.sql(spark,
+      "SET rlsFilters-nation = 'n_regionkey = 1'; SET explicitLimit = true; " +
+        "SELECT x.n_name FROM nation x ORDER BY x.n_name")
+    assert(aliased.collect().length == direct.collect().head.getLong(0))
+    // policy store: protected table DENIES a user with no grant
+    QueryFacade.Rls.clear()
+    QueryFacade.Rls.protect("nation")
+    intercept[SecurityException] {
+      QueryFacade.sqlAs(spark, "alice", "SELECT * FROM nation")
+    }
+    QueryFacade.Rls.grant("nation", "alice", "n_regionkey = 2")
+    val granted = QueryFacade.sqlAs(spark, "alice",
+      "SET explicitLimit = true; SELECT count(*) AS n FROM nation")
+    val expect2 = QueryFacade.sql(spark,
+      "SET explicitLimit = true; " +
+        "SELECT count(*) AS n FROM nation WHERE n_regionkey = 2")
+    assert(granted.collect().head.getLong(0) ==
+      expect2.collect().head.getLong(0))
+    // tables without policies stay open
+    QueryFacade.sqlAs(spark, "bob",
+      "SET explicitLimit = true; SELECT count(*) AS n FROM region").collect()
+    QueryFacade.Rls.clear()
+  }
+
   test("virtual-column rewrite leaves string literals untouched") {
     def rw(s: String) = QueryFacade.rewriteVirtualCols(s)
     // single- and double-quoted literals keep their $names verbatim
