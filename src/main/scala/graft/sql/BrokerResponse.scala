@@ -1,0 +1,180 @@
+package graft.sql
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+/** BrokerResponse-shaped JSON result layer — the serving surface of
+  * the reference's broker (`PinotClientRequest.java:144` →
+  * `BrokerResponseNative.java`): query results travel as
+  *
+  * {{{
+  * { "resultTable": { "dataSchema": { "columnNames": [...],
+  *                                    "columnDataTypes": [...] },
+  *                    "rows": [[...], ...] },
+  *   "numRowsResultSet": N, "exceptions": [...], "timeUsedMs": ...,
+  *   "requestId": ..., "brokerId": ..., "numDocsScanned": N,
+  *   "totalDocs": N, "numServersQueried": 1, ... }
+  * }}}
+  *
+  * with the field names and nesting of `@JsonPropertyOrder` on
+  * `BrokerResponseNative` / `ResultTable` / `DataSchema`. Errors
+  * surface as `exceptions: [{errorCode, message}]` with HTTP-200
+  * semantics (`QueryProcessingException`), never as a transport
+  * failure. Cursor pages reuse [[ResponseStore]] and add the
+  * `CursorResponseNative` fields (offset, numRows, cursor
+  * expiration).
+  *
+  * Stats mapping: `numDocsScanned` sums the leaf scan operators'
+  * `numOutputRows` metric from the executed plan (docs surviving the
+  * pushed filters — the reference's post-filter scan count);
+  * `totalDocs` is unknown to a Spark plan and reported as -1, the
+  * reference's own "not applicable" marker.
+  */
+object BrokerResponse {
+
+  /** Pinot `DataSchema.ColumnDataType` name for a Spark type. */
+  def columnDataType(dt: DataType): String = dt match {
+    case IntegerType | ShortType | ByteType => "INT"
+    case LongType => "LONG"
+    case FloatType => "FLOAT"
+    case DoubleType => "DOUBLE"
+    case _: DecimalType => "BIG_DECIMAL"
+    case BooleanType => "BOOLEAN"
+    case TimestampType | TimestampNTZType => "TIMESTAMP"
+    case DateType => "TIMESTAMP"
+    case StringType => "STRING"
+    case BinaryType => "BYTES"
+    case ArrayType(e, _) => columnDataType(e) + "_ARRAY"
+    case _ => "JSON"
+  }
+
+  private def jStr(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
+  /** One result cell, Pinot JSON conventions: numbers bare, BYTES as
+    * a hex string, timestamps as their SQL string form, arrays
+    * nested, null as null. */
+  private def jCell(v: Any): String = v match {
+    case null => "null"
+    case b: Array[Byte] => jStr(b.map("%02x".format(_)).mkString)
+    case s: String => jStr(s)
+    case t: java.sql.Timestamp => jStr(t.toString)
+    case t: java.time.LocalDateTime => jStr(t.toString.replace('T', ' '))
+    case d: java.sql.Date => jStr(d.toString)
+    case b: Boolean => b.toString
+    case d: Double if d.isNaN || d.isInfinite => jStr(d.toString)
+    case f: Float if f.isNaN || f.isInfinite => jStr(f.toString)
+    case n: java.math.BigDecimal => n.toPlainString
+    case n: scala.math.BigDecimal => n.bigDecimal.toPlainString
+    case seq: scala.collection.Seq[_] => seq.map(jCell).mkString("[", ",", "]")
+    case m: scala.collection.Map[_, _] =>
+      m.map { case (k, x) => jStr(String.valueOf(k)) + ":" + jCell(x) }
+        .mkString("{", ",", "}")
+    case r: Row => r.toSeq.map(jCell).mkString("[", ",", "]")
+    case other => other.toString
+  }
+
+  private def resultTableJson(schema: StructType, rows: Seq[Row]): String = {
+    val names = schema.fields.map(f => jStr(f.name)).mkString("[", ",", "]")
+    val types = schema.fields.map(f => jStr(columnDataType(f.dataType)))
+      .mkString("[", ",", "]")
+    val body = rows.map(r => r.toSeq.map(jCell).mkString("[", ",", "]"))
+      .mkString("[", ",", "]")
+    s"""{"dataSchema":{"columnNames":$names,"columnDataTypes":$types},""" +
+      s""""rows":$body}"""
+  }
+
+  /** Sum of the executed plan's leaf-scan output rows — the
+    * numDocsScanned analog (docs surviving pushed filters). */
+  private def docsScanned(df: DataFrame): Long =
+    try {
+      import org.apache.spark.sql.execution.SparkPlan
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      // AQE wraps materialized stages as leaves (QueryStageExec), so a
+      // plain collect() never reaches the scans — descend explicitly
+      def scans(p: SparkPlan): Seq[SparkPlan] = p match {
+        case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+        case q: QueryStageExec => scans(q.plan)
+        case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+          scans(r.child)
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => Seq(s)
+        case other => other.children.flatMap(scans)
+      }
+      scans(df.queryExecution.executedPlan)
+        .flatMap(_.metrics.get("numOutputRows").map(_.value)).sum
+    } catch { case _: Throwable => -1L }
+
+  /** Execute `query` through the facade and assemble the broker
+    * response JSON. Query failures become `exceptions` entries (the
+    * broker's HTTP-200 error contract), not thrown errors. */
+  def execute(spark: SparkSession, query: String,
+      requestId: Long = 1L, brokerId: String = "graft-broker"): String = {
+    val t0 = System.nanoTime()
+    try {
+      val df = QueryFacade.sql(spark, query)
+      val rows = df.collect().toSeq
+      val ms = (System.nanoTime() - t0) / 1000000L
+      assemble(df.schema, rows, docsScanned(df), ms, requestId, brokerId)
+    } catch {
+      case e: Throwable =>
+        val ms = (System.nanoTime() - t0) / 1000000L
+        val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
+        // QueryErrorCode.QUERY_EXECUTION = 200 in the reference enum
+        s"""{"resultTable":null,"numRowsResultSet":0,""" +
+          s""""exceptions":[{"errorCode":200,"message":${jStr(msg.take(500))}}],""" +
+          s""""timeUsedMs":$ms,"requestId":"$requestId",""" +
+          s""""brokerId":${jStr(brokerId)},"numDocsScanned":0,""" +
+          s""""totalDocs":-1,"numServersQueried":1,"numServersResponded":1}"""
+    }
+  }
+
+  private def assemble(schema: StructType, rows: Seq[Row], scanned: Long,
+      timeUsedMs: Long, requestId: Long, brokerId: String,
+      cursorFields: String = "", numRowsResultSet: Long = -1L): String =
+    s"""{"resultTable":${resultTableJson(schema, rows)},""" +
+      s""""numRowsResultSet":${
+        if (numRowsResultSet >= 0) numRowsResultSet else rows.size
+      },"exceptions":[],""" +
+      s""""timeUsedMs":$timeUsedMs,"requestId":"$requestId",""" +
+      s""""brokerId":${jStr(brokerId)},"numDocsScanned":$scanned,""" +
+      s""""totalDocs":-1,"numServersQueried":1,"numServersResponded":1""" +
+      cursorFields + "}"
+
+  /** Execute and store under a cursor, returning page 0 with the
+    * `CursorResponseNative` pagination fields. */
+  def executeWithCursor(spark: SparkSession, store: ResponseStore,
+      query: String, requestId: Long, numRows: Int,
+      nowMs: Long): String = {
+    val t0 = System.nanoTime()
+    val df = QueryFacade.sql(spark, query)
+    val meta = store.storeResponse(requestId.toString, df, nowMs)
+    val ms = (System.nanoTime() - t0) / 1000000L
+    fetchPage(spark, store, requestId, 0L, numRows, ms,
+      totalRows = meta.numRows)
+  }
+
+  /** Fetch an (offset, numRows) page of a stored cursor response. */
+  def fetchPage(spark: SparkSession, store: ResponseStore,
+      requestId: Long, offset: Long, numRows: Int,
+      timeUsedMs: Long = 0L, totalRows: Long = -1L): String = {
+    val total =
+      if (totalRows >= 0) totalRows
+      else store.readMeta(requestId.toString).map(_.numRows).getOrElse(-1L)
+    val page = store.handleCursorRequest(requestId.toString, offset, numRows)
+    val rows = page.collect().toSeq
+    // CursorResponseNative: numRowsResultSet stays the FULL stored
+    // count; the page itself sits in resultTable with (offset, numRows)
+    assemble(page.schema, rows, rows.size, timeUsedMs, requestId,
+      "graft-broker",
+      s""","offset":$offset,"numRows":$numRows""",
+      numRowsResultSet = total)
+  }
+}
