@@ -100,4 +100,83 @@ class IngestSchemaSpec extends SparkSpec {
       .orderBy($"bucket").select($"value").as[Double].collect()
     assert(out.toSeq == Seq(3.0, 4.0))
   }
+
+  test("open-struct value inference follows the reference policy table") {
+    import graft.schema.OpenStruct
+    // OpenStructTypeInference.java: BYTE/CHAR/SHORT/INT → INT; LONG;
+    // FLOAT; DOUBLE; BIG_DECIMAL; BOOLEAN; TIMESTAMP kept;
+    // STRING/DATE/TIME/UUID → STRING; BYTES; unrepresentable → None
+    assert(OpenStruct.inferDataType(1.toByte).contains(IntegerType))
+    assert(OpenStruct.inferDataType('c').contains(IntegerType))
+    assert(OpenStruct.inferDataType(1.toShort).contains(IntegerType))
+    assert(OpenStruct.inferDataType(42).contains(IntegerType))
+    assert(OpenStruct.inferDataType(42L).contains(LongType))
+    assert(OpenStruct.inferDataType(1.5f).contains(FloatType))
+    assert(OpenStruct.inferDataType(1.5d).contains(DoubleType))
+    assert(OpenStruct.inferDataType(new java.math.BigDecimal("1.5"))
+      .exists(_.isInstanceOf[DecimalType]))
+    assert(OpenStruct.inferDataType(true).contains(BooleanType))
+    assert(OpenStruct.inferDataType(
+      java.sql.Timestamp.valueOf("2024-01-01 00:00:00"))
+      .contains(TimestampType))
+    assert(OpenStruct.inferDataType("s").contains(StringType))
+    assert(OpenStruct.inferDataType(
+      java.sql.Date.valueOf("2024-01-01")).contains(StringType))
+    assert(OpenStruct.inferDataType(
+      java.util.UUID.randomUUID()).contains(StringType))
+    assert(OpenStruct.inferDataType(Array[Byte](1, 2)).contains(BinaryType))
+    assert(OpenStruct.inferDataType(List(1, 2)).isEmpty)
+  }
+
+  test("open-struct split over a divergent-schema file set") {
+    import graft.schema.OpenStruct
+    val dir = Files.createTempDirectory("openstruct").toString
+    // two JSON files whose `props` objects disagree on keys and types
+    Files.writeString(java.nio.file.Paths.get(s"$dir/a.json"),
+      """{"id": 1, "props": {"k": 10, "tag": "x", "rare": "r1"}}
+        |{"id": 2, "props": {"k": 20, "tag": "y"}}
+        |{"id": 3, "props": {"k": 30, "tag": "z"}}
+        |""".stripMargin)
+    Files.writeString(java.nio.file.Paths.get(s"$dir/b.json"),
+      """{"id": 4, "props": {"k": 40, "nested": {"a": 1}}}
+        |{"id": 5, "props": {"k": "not-a-number", "tag": "w"}}
+        |""".stripMargin)
+    // schema-merge read: key union, absent keys null (the presence
+    // bitmap analog); k's int/string conflict widens to string
+    val df = spark.read.json(s"$dir/a.json", s"$dir/b.json")
+
+    // fill rates over 5 docs: k 5/5, tag 4/5, rare 1/5, nested 1/5
+    val rates = OpenStruct.fillRates(df, "props")
+    assert(rates("k") == 1.0 && rates("tag") == 0.8 &&
+      rates("rare") == 0.2 && rates("nested") == 0.2)
+
+    // classify: fill-rate desc, min fill 0.5 → dense {k, tag}
+    val cfg = OpenStruct.Config(
+      childSpecs = Map("k" -> IntegerType))
+    assert(OpenStruct.classify(rates, cfg) == Seq("k", "tag"))
+    // maxDenseKeys caps the ranked set; configured keys go first
+    assert(OpenStruct.classify(rates,
+      OpenStruct.Config(denseKeys = Seq("rare"), maxDenseKeys = 2)) ==
+      Seq("rare", "k"))
+
+    val out = OpenStruct.split(df, "props", cfg)
+    assert(out.columns.toSet ==
+      Set("id", "props$k", "props$tag", "props$__sparse__"))
+    // declared child spec INT coerces; the "not-a-number" row fails
+    // coercion → null (the reference's dropped presence bit)
+    assert(out.schema("props$k").dataType == IntegerType)
+    val byId = out.collect().map(r => r.getLong(r.fieldIndex("id")) -> r).toMap
+    assert(byId(1L).getInt(byId(1L).fieldIndex("props$k")) == 10)
+    assert(byId(5L).isNullAt(byId(5L).fieldIndex("props$k")))
+    // sparse column: only present keys serialize; rows with no sparse
+    // keys are null
+    val s1 = byId(1L).getString(byId(1L).fieldIndex("props$__sparse__"))
+    assert(s1.contains("\"rare\":\"r1\"") && !s1.contains("nested"))
+    assert(byId(2L).isNullAt(byId(2L).fieldIndex("props$__sparse__")))
+    val s4 = byId(4L).getString(byId(4L).fieldIndex("props$__sparse__"))
+    assert(s4.contains("\"nested\""))
+    // naming helpers round-trip
+    assert(OpenStruct.materializedColumnName("props", "k") == "props$k")
+    assert(OpenStruct.sparseColumnName("props") == "props$__sparse__")
+  }
 }
