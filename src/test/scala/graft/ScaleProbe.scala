@@ -133,7 +133,12 @@ object ScaleProbe {
       "q_ann_hnsw", "q_agg_tdigest_remerge", "q_agg_qdigest_remerge",
       "q_agg_ull_remerge", "q_logical_table", "q_ts_transforms",
       "q_upsert_metadata_ttl", "q_ann_sql_predicate", "q_tpch_01",
-      "q_tpch_09", "q_tpch_20")
+      "q_tpch_09", "q_tpch_20",
+      // round-5: the heavy TPC-H members (14% of bench wall) at 100x
+      "q_tpch_05", "q_tpch_07", "q_tpch_08",
+      // round-5 additions
+      "q_ann_radius_sql_predicate", "q_rollup_tdigest",
+      "q_filter_json_shred", "q_text_match_fuzzy")
       .filter(q => only.isEmpty || only(q))
     def time(dir: String, name: String): Double = {
       val t0 = System.nanoTime()
