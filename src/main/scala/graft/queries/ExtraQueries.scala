@@ -1006,6 +1006,56 @@ object ExtraQueries {
       Some("""SELECT l_returnflag,
         ROUND(quantile_cont(l_quantity, 0.5), 4) AS exact_p50,
         TRUE AS est_ok, TRUE AS used_rollup
-        FROM lineitem GROUP BY 1 ORDER BY 1"""))
+        FROM lineitem GROUP BY 1 ORDER BY 1""")),
+
+    // Row-level security option rewrite (RlsFiltersRewriter.java /
+    // RlsUtils.buildRlsFilterKey): a rlsFilters-<table> SET option is
+    // injected as a filtered-subquery substitution, composing with the
+    // query's own WHERE. EXACT oracle: DuckDB with the predicate ANDed
+    // by hand.
+    GQuery("q_rls_filter",
+      (s, dir) => {
+        graft.sql.QueryFacade.init(s, dir)
+        graft.sql.QueryFacade.sql(s,
+          """SET rlsFilters-customer = 'c_custkey % 2 = 0';
+             SET explicitLimit = true;
+             SELECT c_nationkey AS nk, count(*) AS n FROM customer
+             WHERE c_acctbal > 0 GROUP BY c_nationkey ORDER BY nk""")
+      },
+      Some("""SELECT c_nationkey AS nk, COUNT(*) AS n FROM customer
+        WHERE c_custkey % 2 = 0 AND c_acctbal > 0
+        GROUP BY 1 ORDER BY 1""")),
+
+    // OPEN_STRUCT split (OpenStructColumnSplitter.java classify +
+    // OpenStructNaming): a struct column with mixed-fill keys splits
+    // into dense typed columns (fill >= 0.5) and one sparse JSON
+    // column. dense_cols pins the classification; the agg reads the
+    // materialized columns. EXACT oracle: DuckDB replays the same key
+    // construction and fill arithmetic.
+    GQuery("q_openstruct_split",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val base = t.documents.select(col("doc_id"),
+          struct(
+            length(col("text")).as("k"),
+            when(col("doc_id") % 4 < 3, lit("tagged")).as("tag"),
+            when(col("doc_id") % 10 === 0,
+              concat(lit("r"), col("doc_id"))).as("rare")).as("attrs"))
+        val out = graft.schema.OpenStruct.split(base, "attrs")
+        val denseCols = out.columns.filter(_.contains("$")).sorted.mkString(",")
+        out.groupBy(coalesce(col("`attrs$tag`"), lit("none")).as("tag"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("`attrs$k`")).as("sum_k"),
+            count(col("`attrs$__sparse__`")).as("n_sparse"))
+          .withColumn("dense_cols", lit(denseCols))
+          .orderBy(col("tag"))
+      },
+      Some("""SELECT COALESCE(CASE WHEN doc_id % 4 < 3 THEN 'tagged' END,
+          'none') AS tag,
+        COUNT(*) AS n,
+        CAST(SUM(length(text)) AS BIGINT) AS sum_k,
+        COUNT(CASE WHEN doc_id % 10 = 0 THEN 1 END) AS n_sparse,
+        'attrs$__sparse__,attrs$k,attrs$tag' AS dense_cols
+        FROM documents GROUP BY 1 ORDER BY 1"""))
   )
 }

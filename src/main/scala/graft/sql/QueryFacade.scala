@@ -509,6 +509,116 @@ object QueryFacade {
     sql(spark, sets + query)
   }
 
+  // ---- vector-index-served VECTOR_SIMILARITY ----
+  // The reference's filter operator consults the table's vector index
+  // when one is configured (`VectorSimilarityFilterOperator.java:69`:
+  // index → candidate doc-id bitmap → sibling predicates after) and
+  // brute-forces otherwise. Analog: an opt-in registry of ingest-built
+  // HNSW models per (table, vectorColumn); a registered predicate is
+  // answered by the graph search and becomes an id IN-list — which
+  // PUSHES DOWN into the scan, so the full-corpus cosine scan never
+  // runs. Unregistered tables keep the exact ORDER-BY rewrite below.
+  object VectorIndexes {
+    final case class Entry(idCol: String, model: graft.operators.HnswIndex.Model)
+    private val reg = new java.util.concurrent.ConcurrentHashMap[
+      (String, String), Entry]()
+
+    /** Build (memoized via IndexCache) + register an HNSW index for
+      * `table`.`vecCol`; `idCol` is the doc-id the IN-list filters. */
+    def register(table: String, corpus: DataFrame, idCol: String,
+        vecCol: String, m: Int = 16, efConstruction: Int = 100,
+        nShards: Int = 8): Unit =
+      reg.put((table.toLowerCase, vecCol.toLowerCase),
+        Entry(idCol, graft.operators.HnswIndex.build(
+          corpus, idCol, vecCol, m, efConstruction, nShards)))
+
+    def clear(): Unit = reg.clear()
+
+    private[graft] def lookup(table: String, vecCol: String): Option[Entry] =
+      Option(reg.get((table.toLowerCase, vecCol.toLowerCase)))
+  }
+
+  /** Literal vector of numbers → floats; None for anything else
+    * (expressions fall back to the exact rewrite). Accepts both the
+    * source form `ARRAY[...]` and the post-rewriteLexical form
+    * `array(...)` (this pass runs after the lexical rewrite in the
+    * facade chain). */
+  private def parseVectorLiteral(vec: String): Option[Array[Float]] = {
+    val t = vec.trim
+    val u = t.toUpperCase
+    val body =
+      if (u.startsWith("ARRAY[") && t.endsWith("]"))
+        t.substring(6, t.length - 1)
+      else if (u.startsWith("ARRAY(") && t.endsWith(")"))
+        t.substring(6, t.length - 1)
+      else return None
+    try Some(body.split(",").map(_.trim.toFloat))
+    catch { case _: NumberFormatException => None }
+  }
+
+  /** Index-served rewrite pass: runs before the text-only rewrite and
+    * handles occurrences whose (table, column) has a registered index
+    * and a literal probe vector; the predicate collapses to
+    * `idCol IN (top-k ids)`. Approximate per the index contract — the
+    * reference's behavior when a vector index is configured. */
+  private[graft] def rewriteVectorSimilarityIndexed(
+      spark: SparkSession, stmt: String): String = {
+    val m = VsimPattern.findFirstMatchIn(stmt).getOrElse(return stmt)
+    if (m.group(3) != null) return stmt // radius: exact filter is the path
+    val table = m.group(2)
+    val open = m.end - 1
+    var depth = 0
+    var i = open
+    var close = -1
+    while (i < stmt.length && close < 0) {
+      stmt.charAt(i) match {
+        case '(' => depth += 1
+        case ')' => depth -= 1; if (depth == 0) close = i
+        case _ =>
+      }
+      i += 1
+    }
+    if (close < 0) return stmt
+    // balanced top-level comma split (the probe vector may be
+    // `array(...)` after the lexical rewrite, or `ARRAY[...]`)
+    val args = {
+      val out = Seq.newBuilder[String]
+      var d = 0
+      var last = open + 1
+      var j = open + 1
+      while (j < close) {
+        stmt.charAt(j) match {
+          case '(' | '[' => d += 1
+          case ')' | ']' => d -= 1
+          case ',' if d == 0 =>
+            out += stmt.substring(last, j)
+            last = j + 1
+          case _ =>
+        }
+        j += 1
+      }
+      out += stmt.substring(last, close)
+      out.result().map(_.trim)
+    }
+    if (args.length != 3) return stmt
+    val Seq(vcol, vec, kStr) = args
+    val entry = VectorIndexes.lookup(table, vcol).getOrElse(return stmt)
+    val probe = parseVectorLiteral(vec).getOrElse(return stmt)
+    val k = try kStr.trim.toInt catch { case _: NumberFormatException => return stmt }
+    import spark.implicits._
+    val probeDf = Seq((0L, probe.toSeq)).toDF("pid", "pvec")
+    val ids = graft.operators.HnswIndex.search(entry.model, probeDf,
+      "pid", "pvec", k, ef = math.max(64, 4 * k), excludeSelf = false)
+      .select(org.apache.spark.sql.functions.col("neighbor_id"))
+      .collect().map(_.getLong(0))
+    val inList =
+      if (ids.isEmpty) s"${entry.idCol} IS NULL AND FALSE"
+      else s"${entry.idCol} IN (${ids.mkString(", ")})"
+    rewriteVectorSimilarityIndexed(spark,
+      stmt.substring(0, m.start) + m.group(1) + s"($inList)" +
+        stmt.substring(close + 1))
+  }
+
   /** `WHERE VECTOR_SIMILARITY(col, queryVec, k)` — the reference's
     * ANN filter predicate (`VectorSimilarityPredicate.java`,
     * `VectorSimilarityFilterOperator.java`: "vectorSimilarity(col, q,
@@ -652,8 +762,9 @@ object QueryFacade {
     PinotFunctions.registerAll(spark)
     val Parsed(opts, stmt0) = parseOptions(query)
     val stmt = rewriteVectorSimilarity(
-      rewriteAsOf(rewriteReserved(stripHints(
-        applyRlsFilters(stmt0, opts)))))
+      rewriteVectorSimilarityIndexed(spark,
+        rewriteAsOf(rewriteReserved(stripHints(
+          applyRlsFilters(stmt0, opts))))))
     if (Ddl.isDdl(stmt)) return Ddl.execute(spark, stmt)
     // Pinot EXPLAIN PLAN FOR <query> (PinotQueryResource explain
     // support): one row per plan-tree line, mirroring the reference's

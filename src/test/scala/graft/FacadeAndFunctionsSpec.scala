@@ -404,6 +404,46 @@ class FacadeAndFunctionsSpec extends SparkSpec {
       s"escaped quote desync: $rw2")
   }
 
+  test("VECTOR_SIMILARITY served from a registered HNSW index") {
+    QueryFacade.init(spark, sf)
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    QueryFacade.VectorIndexes.register("embeddings", emb, "vec_id", "embedding")
+    try {
+      val vec = (1.0 +: Seq.fill(63)(0.0)).mkString("ARRAY[", ", ", "]")
+      val df = QueryFacade.sql(spark,
+        s"""SET explicitLimit = true;
+            SELECT vec_id FROM embeddings
+            WHERE VECTOR_SIMILARITY(embedding, $vec, 5)
+            ORDER BY vec_id""")
+      val got = df.collect().map(_.getLong(0)).toSet
+      // the index path collapses the predicate to an id IN-list that
+      // PUSHES DOWN — the full-corpus cosine scan never runs
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.linesIterator.exists(l =>
+        l.contains("PushedFilters") && l.contains("In(vec_id")),
+        s"index ids not pushed:\n$plan")
+      assert(!plan.contains("cosine_sim"), "brute-force path still present")
+      // approximate per the index contract (the reference's configured-
+      // index behavior): >= 4/5 overlap with the exact top-5
+      val exact = QueryFacade.sql(spark,
+        s"""SET explicitLimit = true;
+            SELECT vec_id FROM embeddings
+            ORDER BY cosine_sim(embedding, cast($vec as array<double>)) DESC,
+              vec_id LIMIT 5""")
+        .collect().map(_.getLong(0)).toSet
+      assert(got.size == 5 && got.intersect(exact).size >= 4,
+        s"recall too low: got=$got exact=$exact")
+      // sibling conjuncts still apply AFTER the index candidates
+      val even = QueryFacade.sql(spark,
+        s"""SET explicitLimit = true;
+            SELECT vec_id FROM embeddings
+            WHERE VECTOR_SIMILARITY(embedding, $vec, 5)
+              AND vec_id % 2 = 0""")
+        .collect().map(_.getLong(0)).toSet
+      assert(even == got.filter(_ % 2 == 0))
+    } finally QueryFacade.VectorIndexes.clear()
+  }
+
   test("RLS filters: injected predicate pushes down; deny by default") {
     QueryFacade.init(spark, sf)
     // explicit SET rlsFilters-<table> (RlsFiltersRewriter.java option
