@@ -60,6 +60,12 @@ case class KllAgg(
       case i: Int => i.toDouble
       case d: org.apache.spark.sql.types.Decimal => d.toDouble
       case n: Number => n.doubleValue()
+      // STRING child: the reference parses string values numerically
+      case s: org.apache.spark.unsafe.types.UTF8String =>
+        java.lang.Double.parseDouble(s.toString)
+      case other => throw new IllegalArgumentException(
+        s"$prettyName: unsupported input type ${other.getClass.getSimpleName}" +
+          " (expected a numeric, numeric-string, or array column)")
     })
     child.eval(row) match {
       case null => ()

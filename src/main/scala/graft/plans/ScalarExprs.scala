@@ -28,6 +28,10 @@ case class GeoHashEncode(left: Expression, right: Expression, precision: Int)
     case d: Double => d
     case f: Float => f.toDouble
     case n: Number => n.doubleValue()
+    case s: org.apache.spark.unsafe.types.UTF8String =>
+      java.lang.Double.parseDouble(s.toString)
+    case other => throw new IllegalArgumentException(
+      s"expected a numeric coordinate, got ${other.getClass.getSimpleName}")
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =

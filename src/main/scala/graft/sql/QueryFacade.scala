@@ -519,7 +519,13 @@ object QueryFacade {
   // PUSHES DOWN into the scan, so the full-corpus cosine scan never
   // runs. Unregistered tables keep the exact ORDER-BY rewrite below.
   object VectorIndexes {
-    final case class Entry(idCol: String, model: graft.operators.HnswIndex.Model)
+    /** `VectorSimilarityRadiusPredicate.DEFAULT_INTERNAL_LIMIT` — the
+      * ANN candidate cap before exact distance filtering. */
+    val DefaultInternalLimit = 100000
+
+    final case class Entry(idCol: String,
+        model: graft.operators.HnswIndex.Model,
+        numDocs: Long, internalLimit: Int)
     private val reg = new java.util.concurrent.ConcurrentHashMap[
       (String, String), Entry]()
 
@@ -527,10 +533,12 @@ object QueryFacade {
       * `table`.`vecCol`; `idCol` is the doc-id the IN-list filters. */
     def register(table: String, corpus: DataFrame, idCol: String,
         vecCol: String, m: Int = 16, efConstruction: Int = 100,
-        nShards: Int = 8): Unit =
+        nShards: Int = 8,
+        internalLimit: Int = DefaultInternalLimit): Unit =
       reg.put((table.toLowerCase, vecCol.toLowerCase),
         Entry(idCol, graft.operators.HnswIndex.build(
-          corpus, idCol, vecCol, m, efConstruction, nShards)))
+          corpus, idCol, vecCol, m, efConstruction, nShards),
+          corpus.count(), internalLimit))
 
     def clear(): Unit = reg.clear()
 
@@ -564,7 +572,7 @@ object QueryFacade {
   private[graft] def rewriteVectorSimilarityIndexed(
       spark: SparkSession, stmt: String): String = {
     val m = VsimPattern.findFirstMatchIn(stmt).getOrElse(return stmt)
-    if (m.group(3) != null) return stmt // radius: exact filter is the path
+    val isRadius = m.group(3) != null
     val table = m.group(2)
     val open = m.end - 1
     var depth = 0
@@ -604,13 +612,35 @@ object QueryFacade {
     val Seq(vcol, vec, kStr) = args
     val entry = VectorIndexes.lookup(table, vcol).getOrElse(return stmt)
     val probe = parseVectorLiteral(vec).getOrElse(return stmt)
-    val k = try kStr.trim.toInt catch { case _: NumberFormatException => return stmt }
     import spark.implicits._
+    import org.apache.spark.sql.functions.{col => fcol}
     val probeDf = Seq((0L, probe.toSeq)).toDF("pid", "pvec")
-    val ids = graft.operators.HnswIndex.search(entry.model, probeDf,
-      "pid", "pvec", k, ef = math.max(64, 4 * k), excludeSelf = false)
-      .select(org.apache.spark.sql.functions.col("neighbor_id"))
-      .collect().map(_.getLong(0))
+    val ids: Array[Long] =
+      if (isRadius) {
+        // VectorRadiusFilterOperator.executeIndexAssistedSearch: pull
+        // up to internalLimit candidates from the index, filter by the
+        // exact distance threshold; a SATURATED candidate pool falls
+        // back to the exact scan — "a radius predicate must return ALL
+        // matching docs, not a truncated subset"
+        val threshold =
+          try kStr.trim.toDouble
+          catch { case _: NumberFormatException => return stmt }
+        val lim = math.min(entry.internalLimit.toLong, entry.numDocs).toInt
+        val cands = graft.operators.HnswIndex.search(entry.model, probeDf,
+          "pid", "pvec", lim, ef = math.max(64, lim / 4),
+          excludeSelf = false)
+          .select(fcol("neighbor_id"), fcol("sim")).collect()
+        if (cands.length >= entry.internalLimit) return stmt // saturated
+        cands.filter(r => 1.0 - r.getDouble(1) <= threshold)
+          .map(_.getLong(0))
+      } else {
+        val k =
+          try kStr.trim.toInt
+          catch { case _: NumberFormatException => return stmt }
+        graft.operators.HnswIndex.search(entry.model, probeDf,
+          "pid", "pvec", k, ef = math.max(64, 4 * k), excludeSelf = false)
+          .select(fcol("neighbor_id")).collect().map(_.getLong(0))
+      }
     val inList =
       if (ids.isEmpty) s"${entry.idCol} IS NULL AND FALSE"
       else s"${entry.idCol} IN (${ids.mkString(", ")})"

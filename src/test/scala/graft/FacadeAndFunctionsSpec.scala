@@ -441,6 +441,34 @@ class FacadeAndFunctionsSpec extends SparkSpec {
               AND vec_id % 2 = 0""")
         .collect().map(_.getLong(0)).toSet
       assert(even == got.filter(_ % 2 == 0))
+      // RADIUS with an index: candidates filtered by the exact
+      // threshold (VectorRadiusFilterOperator index-assisted path)
+      val viaIdx = QueryFacade.sql(spark,
+        s"""SET explicitLimit = true;
+            SELECT vec_id FROM embeddings
+            WHERE VECTOR_SIMILARITY_RADIUS(embedding, $vec, 0.8)""")
+      val idxPlan = viaIdx.queryExecution.executedPlan.toString
+      assert(idxPlan.linesIterator.exists(l =>
+        l.contains("PushedFilters") && l.contains("In(vec_id")),
+        s"radius index ids not pushed:\n$idxPlan")
+      val idxIds = viaIdx.collect().map(_.getLong(0)).toSet
+      val bruteIds = QueryFacade.sql(spark,
+        s"""SET explicitLimit = true;
+            SELECT vec_id FROM embeddings
+            WHERE cosine_sim(embedding, cast($vec as array<double>))
+              >= 0.2""").collect().map(_.getLong(0)).toSet
+      assert(bruteIds.nonEmpty &&
+        idxIds.intersect(bruteIds).size >= (bruteIds.size * 9) / 10,
+        s"radius recall too low: ${idxIds.size} vs ${bruteIds.size}")
+      // a SATURATED candidate pool must fall back to the exact scan
+      QueryFacade.VectorIndexes.register("embeddings", emb, "vec_id",
+        "embedding", internalLimit = 10)
+      val sat = QueryFacade.sql(spark,
+        s"""SET explicitLimit = true;
+            SELECT vec_id FROM embeddings
+            WHERE VECTOR_SIMILARITY_RADIUS(embedding, $vec, 0.8)""")
+      assert(sat.collect().map(_.getLong(0)).toSet == bruteIds,
+        "saturated radius did not fall back to the exact path")
     } finally QueryFacade.VectorIndexes.clear()
   }
 
