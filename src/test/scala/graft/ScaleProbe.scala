@@ -138,7 +138,8 @@ object ScaleProbe {
       "q_tpch_05", "q_tpch_07", "q_tpch_08",
       // round-5 additions
       "q_ann_radius_sql_predicate", "q_rollup_tdigest",
-      "q_filter_json_shred", "q_text_match_fuzzy")
+      "q_filter_json_shred", "q_text_match_fuzzy",
+      "q_rls_filter", "q_openstruct_split")
       .filter(q => only.isEmpty || only(q))
     def time(dir: String, name: String): Double = {
       val t0 = System.nanoTime()
