@@ -26,6 +26,17 @@ object TableConfig {
   case object UpsertFull extends UpsertMode
   case object UpsertPartial extends UpsertMode
 
+  /** One `fieldConfigList` entry (`FieldConfig.java:99-108`): the
+    * per-column index declarations this engine acts on — JSON (shred
+    * paths from properties.shredPaths "path:TYPE;…"), VECTOR (HNSW
+    * registration via properties.idColumn), OPENSTRUCT (dense/sparse
+    * split per `OpenStructIndexConfig.java:84-90`). */
+  final case class FieldIndex(
+      column: String,
+      indexTypes: Seq[String],
+      properties: Map[String, String] = Map.empty,
+      openStruct: Option[OpenStruct.Config] = None)
+
   final case class Config(
       tableName: String,
       tableType: String, // OFFLINE | REALTIME
@@ -36,7 +47,8 @@ object TableConfig {
       comparisonColumn: Option[String] = None,
       deleteRecordColumn: Option[String] = None,
       partialStrategies: Map[String, String] = Map.empty, // col -> strategy
-      dedupEnabled: Boolean = false)
+      dedupEnabled: Boolean = false,
+      fieldIndexes: Seq[FieldIndex] = Nil)
 
   private def str(json: String, key: String): Option[String] =
     ("\"" + key + "\"\\s*:\\s*\"([^\"]*)\"").r
@@ -94,7 +106,137 @@ object TableConfig {
         .orElse(str(upsertSec, "comparisonColumn")),
       deleteRecordColumn = str(upsertSec, "deleteRecordColumn"),
       partialStrategies = partial,
-      dedupEnabled = dedupSec.nonEmpty)
+      dedupEnabled = dedupSec.nonEmpty,
+      fieldIndexes = parseFieldConfigs(json))
+  }
+
+  /** Parse `fieldConfigList` entries: name, indexTypes, properties,
+    * and a nested `indexes.openstruct` section when present. */
+  private def parseFieldConfigs(json: String): Seq[FieldIndex] = {
+    val i = json.indexOf("\"fieldConfigList\"")
+    if (i < 0) return Nil
+    val start = json.indexOf('[', i)
+    if (start < 0) return Nil
+    // balanced-bracket list slice
+    var depth = 0; var end = start
+    do {
+      json(end) match {
+        case '[' => depth += 1
+        case ']' => depth -= 1
+        case _ =>
+      }
+      end += 1
+    } while (depth > 0 && end < json.length)
+    val body = json.substring(start + 1, end - 1)
+    // split top-level objects
+    val objs = Seq.newBuilder[String]
+    var d = 0; var objStart = -1
+    body.zipWithIndex.foreach { case (c, j) =>
+      c match {
+        case '{' =>
+          if (d == 0) objStart = j
+          d += 1
+        case '}' =>
+          d -= 1
+          if (d == 0) objs += body.substring(objStart, j + 1)
+        case _ =>
+      }
+    }
+    objs.result().flatMap { obj =>
+      str(obj, "name").map { name =>
+        val types = strList(obj, "indexTypes") ++
+          str(obj, "indexType").toSeq
+        val props = {
+          val pi = obj.indexOf("\"properties\"")
+          if (pi < 0) Map.empty[String, String]
+          else {
+            val ps = obj.indexOf('{', pi)
+            val pe = obj.indexOf('}', ps)
+            "\"([^\"]+)\"\\s*:\\s*\"([^\"]*)\"".r
+              .findAllMatchIn(obj.substring(ps, pe + 1))
+              .map(m => m.group(1) -> m.group(2)).toMap
+          }
+        }
+        val os = {
+          // the KEY "openstruct": { ... } — not the "OPENSTRUCT"
+          // indexTypes VALUE, which has no section body
+          val oi = "(?i)\"openstruct\"\\s*:\\s*\\{".r
+            .findFirstMatchIn(obj).map(_.start).getOrElse(-1)
+          if (oi < 0 && !types.exists(_.equalsIgnoreCase("OPENSTRUCT"))) None
+          else {
+            val sec = if (oi < 0) obj else {
+              val ss = obj.indexOf('{', oi)
+              var dd = 0; var se = ss
+              do {
+                obj(se) match {
+                  case '{' => dd += 1
+                  case '}' => dd -= 1
+                  case _ =>
+                }
+                se += 1
+              } while (dd > 0)
+              obj.substring(ss, se)
+            }
+            Some(OpenStruct.Config(
+              denseKeys = strList(sec, "denseKeys"),
+              maxDenseKeys = str(sec, "maxDenseKeys")
+                .orElse("\"maxDenseKeys\"\\s*:\\s*(-?\\d+)".r
+                  .findFirstMatchIn(sec).map(_.group(1)))
+                .map(_.toInt).getOrElse(-1),
+              denseKeyMinFillRate =
+                "\"denseKeyMinFillRate\"\\s*:\\s*([0-9.]+)".r
+                  .findFirstMatchIn(sec).map(_.group(1).toDouble)
+                  .getOrElse(0.5)))
+          }
+        }
+        FieldIndex(name, types.map(_.toUpperCase), props, os)
+      }
+    }
+  }
+
+  /** Apply the config's field indexes to an ingested frame: JSON
+    * fields shred their configured paths (`JsonShred`), VECTOR fields
+    * register an HNSW index for the facade's predicate rewrites
+    * (`QueryFacade.VectorIndexes`), OPENSTRUCT fields split
+    * dense/sparse. Returns the transformed frame. */
+  def applyIndexes(spark: SparkSession, cfg: Config, df: DataFrame,
+      shredOutPath: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    def dt(s: String): DataType = s.toUpperCase match {
+      case "INT" => IntegerType
+      case "LONG" => LongType
+      case "FLOAT" => FloatType
+      case "DOUBLE" => DoubleType
+      case "BOOLEAN" => BooleanType
+      case "TIMESTAMP" => TimestampType
+      case _ => StringType
+    }
+    cfg.fieldIndexes.foldLeft(df) { (d, fi) =>
+      if (fi.indexTypes.contains("JSON") &&
+          fi.properties.contains("shredPaths")) {
+        val paths = fi.properties("shredPaths").split(";").toSeq
+          .map(_.trim).filter(_.nonEmpty).map { p =>
+            p.split(":") match {
+              case Array(path, t) => path.trim -> dt(t)
+              case Array(path) => path.trim -> (StringType: DataType)
+            }
+          }
+        graft.sources.JsonShred.ingestShredded(spark, d,
+          s"$shredOutPath/${fi.column}_shred", fi.column, paths)
+      } else if (fi.indexTypes.contains("VECTOR")) {
+        graft.sql.QueryFacade.VectorIndexes.register(cfg.tableName, d,
+          fi.properties.getOrElse("idColumn", cfg.primaryKeys.headOption
+            .getOrElse(throw new IllegalArgumentException(
+              s"vector index on ${fi.column} needs an idColumn property" +
+                " or a primary key"))),
+          fi.column)
+        d
+      } else if (fi.openStruct.isDefined ||
+          fi.indexTypes.contains("OPENSTRUCT")) {
+        OpenStruct.split(d, fi.column,
+          fi.openStruct.getOrElse(OpenStruct.Config()))
+      } else d
+    }
   }
 
   /** Ingest per the config's layout: partition dir + sorted files. */

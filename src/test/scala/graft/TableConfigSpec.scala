@@ -68,4 +68,82 @@ class TableConfigSpec extends SparkSpec {
     assert(new java.io.File(s"$dir/out").listFiles
       .exists(_.getName.startsWith("name=")))
   }
+
+  test("fieldConfigList parses JSON/VECTOR/OPENSTRUCT index declarations") {
+    val json = """{
+      "tableName": "docs",
+      "tableType": "OFFLINE",
+      "primaryKeyColumns": ["id"],
+      "fieldConfigList": [
+        { "name": "props", "indexTypes": ["JSON"],
+          "properties": { "shredPaths": "$.k:INT;$.tag" } },
+        { "name": "embedding", "indexTypes": ["VECTOR"],
+          "properties": { "idColumn": "id" } },
+        { "name": "attrs", "indexTypes": ["OPENSTRUCT"],
+          "indexes": { "openstruct": {
+            "maxDenseKeys": 2, "denseKeys": ["pinned"],
+            "denseKeyMinFillRate": 0.4 } } }
+      ]
+    }"""
+    val cfg = TableConfig.fromJson(json)
+    assert(cfg.fieldIndexes.map(_.column) == Seq("props", "embedding", "attrs"))
+    assert(cfg.fieldIndexes(0).indexTypes == Seq("JSON"))
+    assert(cfg.fieldIndexes(0).properties("shredPaths") == "$.k:INT;$.tag")
+    assert(cfg.fieldIndexes(1).properties("idColumn") == "id")
+    val os = cfg.fieldIndexes(2).openStruct.get
+    assert(os.maxDenseKeys == 2 && os.denseKeys == Seq("pinned") &&
+      os.denseKeyMinFillRate == 0.4)
+  }
+
+  test("applyIndexes drives shred, vector registration and open-struct split") {
+    import org.apache.spark.sql.types._
+    val json = """{
+      "tableName": "cfg_docs",
+      "tableType": "OFFLINE",
+      "primaryKeyColumns": ["id"],
+      "fieldConfigList": [
+        { "name": "props", "indexTypes": ["JSON"],
+          "properties": { "shredPaths": "$.k:INT" } },
+        { "name": "attrs", "indexTypes": ["OPENSTRUCT"] }
+      ]
+    }"""
+    val cfg = TableConfig.fromJson(json)
+    val df = Seq(
+      (1L, """{"k": 5}""", ("a", 1)),
+      (2L, """{"k": 50}""", ("b", 2)))
+      .toDF("id", "props", "attrs")
+    val dir = java.nio.file.Files.createTempDirectory("graft_tcidx").toString
+    try {
+      val out = TableConfig.applyIndexes(spark, cfg, df, dir)
+      // JSON index shredded $.k; OPENSTRUCT split attrs into dense cols
+      assert(out.columns.contains("props__k"))
+      assert(out.columns.exists(_.startsWith("attrs$")))
+      assert(out.filter(col("props__k") >= 50).count() == 1)
+      // VECTOR field on a real table registers the facade index
+      val embJson = """{
+        "tableName": "embeddings",
+        "tableType": "OFFLINE",
+        "primaryKeyColumns": ["vec_id"],
+        "fieldConfigList": [
+          { "name": "embedding", "indexTypes": ["VECTOR"] }
+        ]
+      }"""
+      graft.sql.QueryFacade.init(spark, sf)
+      val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      TableConfig.applyIndexes(spark,
+        TableConfig.fromJson(embJson), emb, dir)
+      val vec = (1.0 +: Seq.fill(63)(0.0)).mkString("ARRAY[", ", ", "]")
+      val served = graft.sql.QueryFacade.sql(spark,
+        s"""SET explicitLimit = true;
+            SELECT vec_id FROM embeddings
+            WHERE VECTOR_SIMILARITY(embedding, $vec, 5)""")
+      assert(served.collect().length == 5)
+      assert(served.queryExecution.executedPlan.toString
+        .linesIterator.exists(l =>
+          l.contains("PushedFilters") && l.contains("In(vec_id")))
+    } finally {
+      graft.sql.QueryFacade.VectorIndexes.clear()
+      graft.sources.JsonShred.clear()
+    }
+  }
 }
