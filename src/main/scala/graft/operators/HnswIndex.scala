@@ -128,6 +128,39 @@ object HnswIndex {
       .filter(col("rank") <= k)
       .select(col("probe_id"), col("neighbor_id"), col("sim"), col("rank"))
   }
+
+  /** Distributed approximate radius search: every shard graph expands
+    * within the similarity threshold, results union across shards
+    * (no global top-k exchange — a radius result is a SET). Sims are
+    * exact, unrounded. Returns (probe_id, neighbor_id, sim). */
+  def searchRadius(
+      model: Model,
+      probes: DataFrame,
+      probeId: String,
+      vecCol: String,
+      minSim: Double,
+      limitPerShard: Int): DataFrame = {
+    val spark = probes.sparkSession
+    import spark.implicits._
+    val p = probes.select(col(probeId).cast("long").as("probe_id"),
+      transform(col(vecCol), x => x.cast("float")).as("pvec"))
+    model.shards.crossJoin(broadcast(p))
+      .select(col("shard"), col("blob"), col("probe_id"), col("pvec"))
+      .as[(Int, Array[Byte], Long, Seq[Float])]
+      .mapPartitions { it =>
+        var lastShard = Int.MinValue
+        var graph: HnswGraph = null
+        it.flatMap { case (shard, blob, pid, pvec) =>
+          if (shard != lastShard || graph == null) {
+            graph = HnswGraph.fromBytes(blob)
+            lastShard = shard
+          }
+          graph.searchRadius(pvec.toArray, minSim.toFloat, limitPerShard)
+            .map { case (nid, sim) => (pid, nid, sim.toDouble) }
+        }
+      }
+      .toDF("probe_id", "neighbor_id", "sim")
+  }
 }
 
 /** One shard's in-memory HNSW graph. Layered proximity graph: node
@@ -309,6 +342,62 @@ final class HnswGraph(val dim: Int, val m: Int, val efConstruction: Int) {
       .take(k)
       .map { case (node, sim) => (ids(node), sim) }
       .toSeq
+  }
+
+  /** Approximate radius search (`ApproximateRadiusVectorIndexReader
+    * .getDocIdsWithinApproximateRadius` analog): all nodes with
+    * cosine similarity >= `minSim`, up to `limit`, found by greedy
+    * descent + layer-0 expansion from in-radius nodes (plus a bounded
+    * patience of near-miss expansions to bridge graph gaps).
+    * Similarities are EXACT dot products over normalized vectors, so
+    * every returned node genuinely clears the threshold — the
+    * approximation is only possible recall loss, as in the reference
+    * (which re-checks candidates against the forward index anyway). */
+  def searchRadius(rawQ: Array[Float], minSim: Float,
+      limit: Int): Seq[(Long, Float)] = {
+    if (entry == -1) return Seq.empty
+    val q = normalize(rawQ)
+    var ep = entry
+    var lc = maxLevel
+    while (lc > 0) {
+      var improved = true
+      while (improved) {
+        improved = false
+        val nbrs = links(ep)(lc)
+        var best = dot(q, vecs(ep))
+        var i = 0
+        while (i < nbrs.length) {
+          val s = dot(q, vecs(nbrs(i)))
+          if (s > best) { best = s; ep = nbrs(i); improved = true }
+          i += 1
+        }
+      }
+      lc -= 1
+    }
+    val visited = new java.util.BitSet(ids.length)
+    // max-heap on similarity: expand most-promising first
+    val cand = scala.collection.mutable.PriorityQueue.empty[(Float, Int)](
+      Ordering.by(_._1))
+    val out = ArrayBuffer[(Long, Float)]()
+    def push(node: Int): Unit =
+      if (!visited.get(node)) {
+        visited.set(node)
+        cand.enqueue((dot(q, vecs(node)), node))
+      }
+    push(ep)
+    var misses = 0
+    val patience = 16
+    while (cand.nonEmpty && out.length < limit && misses < patience) {
+      val (sim, node) = cand.dequeue()
+      if (sim >= minSim) {
+        out += ((ids(node), sim))
+        misses = 0
+      } else misses += 1
+      val nbrs = links(node)(0)
+      var i = 0
+      while (i < nbrs.length) { push(nbrs(i)); i += 1 }
+    }
+    out.toSeq
   }
 
   /** Shard blob: header + ids + levels + vectors + adjacency. */

@@ -617,22 +617,23 @@ object QueryFacade {
     val probeDf = Seq((0L, probe.toSeq)).toDF("pid", "pvec")
     val ids: Array[Long] =
       if (isRadius) {
-        // VectorRadiusFilterOperator.executeIndexAssistedSearch: pull
-        // up to internalLimit candidates from the index, filter by the
-        // exact distance threshold; a SATURATED candidate pool falls
-        // back to the exact scan — "a radius predicate must return ALL
-        // matching docs, not a truncated subset"
+        // VectorRadiusFilterOperator.executeIndexAssistedSearch with
+        // the approximate-radius reader path
+        // (ApproximateRadiusVectorIndexReader): the graph expands only
+        // within the similarity threshold (exact sims — no separate
+        // distance re-check needed), capped at internalLimit; a
+        // SATURATED candidate pool falls back to the exact scan —
+        // "a radius predicate must return ALL matching docs, not a
+        // truncated subset"
         val threshold =
           try kStr.trim.toDouble
           catch { case _: NumberFormatException => return stmt }
-        val lim = math.min(entry.internalLimit.toLong, entry.numDocs).toInt
-        val cands = graft.operators.HnswIndex.search(entry.model, probeDf,
-          "pid", "pvec", lim, ef = math.max(64, lim / 4),
-          excludeSelf = false)
-          .select(fcol("neighbor_id"), fcol("sim")).collect()
+        val cands = graft.operators.HnswIndex.searchRadius(entry.model,
+          probeDf, "pid", "pvec", minSim = 1.0 - threshold,
+          limitPerShard = entry.internalLimit)
+          .select(fcol("neighbor_id")).collect()
         if (cands.length >= entry.internalLimit) return stmt // saturated
-        cands.filter(r => 1.0 - r.getDouble(1) <= threshold)
-          .map(_.getLong(0))
+        cands.map(_.getLong(0))
       } else {
         val k =
           try kStr.trim.toInt

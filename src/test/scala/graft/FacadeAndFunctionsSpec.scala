@@ -462,7 +462,7 @@ class FacadeAndFunctionsSpec extends SparkSpec {
         s"radius recall too low: ${idxIds.size} vs ${bruteIds.size}")
       // a SATURATED candidate pool must fall back to the exact scan
       QueryFacade.VectorIndexes.register("embeddings", emb, "vec_id",
-        "embedding", internalLimit = 10)
+        "embedding", internalLimit = 1)
       val sat = QueryFacade.sql(spark,
         s"""SET explicitLimit = true;
             SELECT vec_id FROM embeddings

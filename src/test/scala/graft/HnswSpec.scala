@@ -101,4 +101,33 @@ class HnswSpec extends SparkSpec {
         s"probe $pid: got ${got(pid)}, exact $exact")
     }
   }
+
+  test("approximate radius search: no false positives, high recall, cap honored") {
+    val t = Tables(spark, sf)
+    val probes = t.embeddings.filter(col("vec_id") === 0)
+    val model = HnswIndex.build(t.embeddings, "vec_id", "embedding",
+      m = 16, efConstruction = 100, nShards = 4)
+    val minSim = 0.2
+    val got = HnswIndex.searchRadius(model, probes, "vec_id", "embedding",
+      minSim, limitPerShard = 10000).collect()
+    // every returned sim genuinely clears the threshold (exact dots)
+    assert(got.forall(_.getDouble(2) >= minSim - 1e-6))
+    val all = t.embeddings
+      .select(col("vec_id"), col("embedding").cast("array<float>"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val pv = all.find(_._1 == 0L).get._2
+    val exact = all.filter { case (_, v) => cosine(pv, v) >= minSim }
+      .map(_._1).toSet
+    val gotIds = got.map(_.getLong(1)).toSet
+    assert(gotIds.subsetOf(exact + 0L),
+      s"false positives: ${gotIds -- exact}")
+    assert(exact.nonEmpty &&
+      gotIds.intersect(exact).size * 10 >= exact.size * 9,
+      s"recall < 0.9: ${gotIds.intersect(exact).size}/${exact.size}")
+    // the per-shard cap bounds the result
+    val capped = HnswIndex.searchRadius(model, probes, "vec_id",
+      "embedding", minSim, limitPerShard = 1).collect()
+    assert(capped.length <= 4) // nShards = 4
+  }
 }
