@@ -109,6 +109,26 @@ object FilterJoinQueries {
         FROM events WHERE CAST(json_extract_string(props, '$.k') AS INT) >= 50
         GROUP BY event_type ORDER BY event_type""")),
 
+    // JSON_MATCH as a SQL predicate through the facade (FilterKind
+    // .JSON_MATCH; JsonMatchFilterOperator.java:37): the predicate
+    // string compiles to a boolean expression via the facade rewrite.
+    // Same oracle as the functional form.
+    GQuery("q_filter_json_sql",
+      (s, dir) => {
+        graft.sql.QueryFacade.init(s, dir)
+        graft.sql.QueryFacade.sql(s,
+          """SET explicitLimit = true;
+             SELECT event_type, COUNT(*) AS n,
+               MAX(CAST(get_json_object(props, '$.k') AS INT)) AS max_k
+             FROM events
+             WHERE JSON_MATCH(props, '"$.k" >= 50')
+             GROUP BY event_type ORDER BY event_type""")
+      },
+      Some("""SELECT event_type, COUNT(*) AS n,
+        MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
+        FROM events WHERE CAST(json_extract_string(props, '$.k') AS INT) >= 50
+        GROUP BY event_type ORDER BY event_type""")),
+
     // JSON_MATCH over a SHREDDED ingest layout (the json-index analog:
     // JsonMatchFilterOperator.java:37 resolves the predicate from an
     // ingest-time flattened-path index instead of parsing documents).

@@ -61,7 +61,7 @@ object JsonShred {
     out
   }
 
-  def clear(): Unit = specs.clear()
+  def clear(): Unit = { specs.clear(); tableSpecs.clear() }
 
   private def specFor(df: DataFrame): Option[Spec] =
     graft.plans.RollupRewrite.pathOf(df).flatMap(p => Option(specs.get(p)))
@@ -107,15 +107,73 @@ object JsonShred {
     out.result()
   }
 
+  // predicate AST (shared by the Column and SQL-text emitters)
+  private sealed trait PNode
+  private final case class Cmp(path: String, op: String,
+      lit: Either[Double, String]) extends PNode
+  private final case class NullChk(path: String, not: Boolean) extends PNode
+  private final case class AndP(l: PNode, r: PNode) extends PNode
+  private final case class OrP(l: PNode, r: PNode) extends PNode
+
+  private def parsePredicate(predicate: String): PNode = {
+    val toks = tokenize(predicate)
+    var i = 0
+    def peek: Option[Tok] = if (i < toks.length) Some(toks(i)) else None
+    def parseOr(): PNode = {
+      var acc = parseAnd()
+      while (peek.contains(WordTok("OR"))) { i += 1; acc = OrP(acc, parseAnd()) }
+      acc
+    }
+    def parseAnd(): PNode = {
+      var acc = parseUnary()
+      while (peek.contains(WordTok("AND"))) { i += 1; acc = AndP(acc, parseUnary()) }
+      acc
+    }
+    def parseUnary(): PNode = peek match {
+      case Some(LPar) =>
+        i += 1
+        val n = parseOr()
+        require(peek.contains(RPar),
+          s"JSON_MATCH: unbalanced parens in '$predicate'")
+        i += 1
+        n
+      case Some(PathTok(p)) =>
+        i += 1
+        peek match {
+          case Some(OpTok(op)) =>
+            i += 1
+            val rhs = peek match {
+              case Some(NumTok(v)) => i += 1; Left(v)
+              case Some(StrTok(s)) => i += 1; Right(s)
+              case other => throw new IllegalArgumentException(
+                s"JSON_MATCH: expected literal after $op, got $other")
+            }
+            Cmp(p, op, rhs)
+          case Some(WordTok("IS")) =>
+            i += 1
+            val not = peek.contains(WordTok("NOT"))
+            if (not) i += 1
+            require(peek.contains(WordTok("NULL")),
+              s"JSON_MATCH: expected NULL in '$predicate'")
+            i += 1
+            NullChk(p, not)
+          case other => throw new IllegalArgumentException(
+            s"JSON_MATCH: expected operator after \"$p\", got $other")
+        }
+      case other => throw new IllegalArgumentException(
+        s"JSON_MATCH: unexpected token $other in '$predicate'")
+    }
+    val n = parseOr()
+    require(i == toks.length, s"JSON_MATCH: trailing tokens in '$predicate'")
+    n
+  }
+
   /** Compile a JSON_MATCH predicate against `df`. When the frame's
     * scan location was shredded with the referenced path, the typed
     * shredded column is used (pushdown-eligible); otherwise the raw
     * JSON string is parsed per row. */
   def jsonMatch(df: DataFrame, jsonCol: String, predicate: String): Column = {
     val spec = specFor(df).filter(_.jsonCol == jsonCol)
-    val toks = tokenize(predicate)
-    var i = 0
-    def peek: Option[Tok] = if (i < toks.length) Some(toks(i)) else None
     def pathCol(path: String, wantNum: Boolean): Column =
       spec.flatMap(s => s.paths.get(path).map(_ =>
         col(colNameFor(jsonCol, path)))) match {
@@ -124,60 +182,78 @@ object JsonShred {
           val raw = get_json_object(col(jsonCol), path)
           if (wantNum) raw.cast(DoubleType) else raw
       }
-    def parseOr(): Column = {
-      var acc = parseAnd()
-      while (peek.contains(WordTok("OR"))) { i += 1; acc = acc || parseAnd() }
-      acc
-    }
-    def parseAnd(): Column = {
-      var acc = parseUnary()
-      while (peek.contains(WordTok("AND"))) { i += 1; acc = acc && parseUnary() }
-      acc
-    }
-    def parseUnary(): Column = peek match {
-      case Some(LPar) =>
-        i += 1
-        val c = parseOr()
-        require(peek.contains(RPar), s"JSON_MATCH: unbalanced parens in '$predicate'")
-        i += 1
-        c
-      case Some(PathTok(p)) =>
-        i += 1
-        peek match {
-          case Some(OpTok(op)) =>
-            i += 1
-            val (rhs, wantNum) = peek match {
-              case Some(NumTok(v)) => i += 1; (lit(v), true)
-              case Some(StrTok(s)) => i += 1; (lit(s), false)
-              case other => throw new IllegalArgumentException(
-                s"JSON_MATCH: expected literal after $op, got $other")
-            }
-            val lhs = pathCol(p, wantNum)
-            op match {
-              case "=" => lhs === rhs
-              case "<>" | "!=" => lhs =!= rhs
-              case ">" => lhs > rhs
-              case ">=" => lhs >= rhs
-              case "<" => lhs < rhs
-              case "<=" => lhs <= rhs
-            }
-          case Some(WordTok("IS")) =>
-            i += 1
-            val not = peek.contains(WordTok("NOT"))
-            if (not) i += 1
-            require(peek.contains(WordTok("NULL")),
-              s"JSON_MATCH: expected NULL in '$predicate'")
-            i += 1
-            if (not) pathCol(p, wantNum = false).isNotNull
-            else pathCol(p, wantNum = false).isNull
-          case other => throw new IllegalArgumentException(
-            s"JSON_MATCH: expected operator after \"$p\", got $other")
+    def emit(n: PNode): Column = n match {
+      case Cmp(p, op, rhs) =>
+        val (r, wantNum) = rhs match {
+          case Left(v) => (lit(v), true)
+          case Right(s) => (lit(s), false)
         }
-      case other => throw new IllegalArgumentException(
-        s"JSON_MATCH: unexpected token $other in '$predicate'")
+        val lhs = pathCol(p, wantNum)
+        op match {
+          case "=" => lhs === r
+          case "<>" | "!=" => lhs =!= r
+          case ">" => lhs > r
+          case ">=" => lhs >= r
+          case "<" => lhs < r
+          case "<=" => lhs <= r
+        }
+      case NullChk(p, not) =>
+        if (not) pathCol(p, wantNum = false).isNotNull
+        else pathCol(p, wantNum = false).isNull
+      case AndP(l, r) => emit(l) && emit(r)
+      case OrP(l, r) => emit(l) || emit(r)
     }
-    val c = parseOr()
-    require(i == toks.length, s"JSON_MATCH: trailing tokens in '$predicate'")
-    c
+    emit(parsePredicate(predicate))
+  }
+
+  // table-name registrations for the SQL-surface rewrite (the broker
+  // resolves JSON_MATCH against the TABLE's json index; the facade
+  // resolves against the table name in the statement)
+  private val tableSpecs =
+    new java.util.concurrent.ConcurrentHashMap[String, Spec]()
+
+  /** Register `table`'s shred spec for the facade's SQL JSON_MATCH
+    * rewrite (typically after re-registering the shredded frame as
+    * the table's view). */
+  def registerTable(table: String, spec: Spec): Unit =
+    tableSpecs.put(table.toLowerCase, spec)
+
+  def registerTable(table: String, jsonCol: String,
+      paths: Seq[(String, DataType)]): Unit =
+    registerTable(table, Spec(jsonCol, paths.toMap))
+
+  private[graft] def tableSpec(table: String): Option[Spec] =
+    Option(tableSpecs.get(table.toLowerCase))
+
+  /** Compile a JSON_MATCH predicate to a SQL boolean expression over
+    * `jsonCol`, using `spec`'s shredded columns when the path is
+    * materialized — the facade's text-level rewrite backend. */
+  private[graft] def compileToSql(jsonCol: String, predicate: String,
+      spec: Option[Spec]): String = {
+    def sqlLit(s: String): String = "'" + s.replace("'", "''") + "'"
+    def pathSql(path: String, wantNum: Boolean): String =
+      spec.filter(_.jsonCol == jsonCol)
+        .flatMap(s => s.paths.get(path).map(_ =>
+          "`" + colNameFor(jsonCol, path) + "`")) match {
+        case Some(c) =>
+          if (wantNum) s"cast($c as double)" else s"cast($c as string)"
+        case None =>
+          val raw = s"get_json_object(`$jsonCol`, ${sqlLit(path)})"
+          if (wantNum) s"cast($raw as double)" else raw
+      }
+    def emit(n: PNode): String = n match {
+      case Cmp(p, op, rhs) =>
+        val (r, wantNum) = rhs match {
+          case Left(v) => (v.toString, true)
+          case Right(s) => (sqlLit(s), false)
+        }
+        val o = if (op == "!=") "<>" else op
+        s"(${pathSql(p, wantNum)} $o $r)"
+      case NullChk(p, not) =>
+        s"(${pathSql(p, wantNum = false)} IS ${if (not) "NOT " else ""}NULL)"
+      case AndP(l, r) => s"(${emit(l)} AND ${emit(r)})"
+      case OrP(l, r) => s"(${emit(l)} OR ${emit(r)})"
+    }
+    emit(parsePredicate(predicate))
   }
 }

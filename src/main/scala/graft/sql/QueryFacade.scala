@@ -650,6 +650,77 @@ object QueryFacade {
         stmt.substring(close + 1))
   }
 
+  // ---- JSON_MATCH SQL predicate ----
+  // `JSON_MATCH(column, '"$.path" = literal AND …')` — the reference's
+  // json-index predicate (`JsonMatchFilterOperator.java:37`; SQL shape
+  // in `FilterKind.JSON_MATCH`). The inner predicate string compiles to
+  // a SQL boolean expression (JsonShred grammar: comparisons,
+  // AND/OR/parens, IS [NOT] NULL); when the statement's FROM table has
+  // a registered shred spec, materialized paths resolve to the typed
+  // shredded columns and push down.
+  private val JmPattern = """(?is)\bjson_match\s*\(""".r
+  private val FromTable = """(?is)\bfrom\s+(\w+)""".r
+
+  private[graft] def rewriteJsonMatch(stmt: String): String = {
+    val m = JmPattern.findFirstMatchIn(stmt).getOrElse(return stmt)
+    val open = m.end - 1
+    // balanced close, quote-aware (the predicate is a string literal)
+    var depth = 0
+    var quote = false
+    var i = open
+    var close = -1
+    while (i < stmt.length && close < 0) {
+      val c = stmt.charAt(i)
+      if (quote) {
+        if (c == '\'')
+          if (i + 1 < stmt.length && stmt.charAt(i + 1) == '\'') i += 1
+          else quote = false
+      } else c match {
+        case '\'' => quote = true
+        case '(' => depth += 1
+        case ')' => depth -= 1; if (depth == 0) close = i
+        case _ =>
+      }
+      i += 1
+    }
+    require(close > 0, "JSON_MATCH: unbalanced parens")
+    val inner = stmt.substring(open + 1, close)
+    // first top-level comma outside quotes splits (column, 'predicate')
+    var d = 0
+    var q2 = false
+    var commaAt = -1
+    var j = 0
+    while (j < inner.length && commaAt < 0) {
+      val c = inner.charAt(j)
+      if (q2) {
+        if (c == '\'')
+          if (j + 1 < inner.length && inner.charAt(j + 1) == '\'') j += 1
+          else q2 = false
+      } else c match {
+        case '\'' => q2 = true
+        case '(' | '[' => d += 1
+        case ')' | ']' => d -= 1
+        case ',' if d == 0 => commaAt = j
+        case _ =>
+      }
+      j += 1
+    }
+    require(commaAt > 0, "JSON_MATCH expects (column, 'predicate')")
+    val colName = inner.substring(0, commaAt).trim.stripPrefix("`")
+      .stripSuffix("`")
+    val predLit = inner.substring(commaAt + 1).trim
+    require(predLit.length >= 2 && predLit.head == '\'' && predLit.last == '\'',
+      s"JSON_MATCH predicate must be a string literal, got '$predLit'")
+    val predicate = predLit.substring(1, predLit.length - 1)
+      .replace("''", "'")
+    val spec = FromTable.findFirstMatchIn(stmt)
+      .flatMap(t => graft.sources.JsonShred.tableSpec(t.group(1)))
+    val compiled = graft.sources.JsonShred
+      .compileToSql(colName, predicate, spec)
+    rewriteJsonMatch(
+      stmt.substring(0, m.start) + compiled + stmt.substring(close + 1))
+  }
+
   /** `WHERE VECTOR_SIMILARITY(col, queryVec, k)` — the reference's
     * ANN filter predicate (`VectorSimilarityPredicate.java`,
     * `VectorSimilarityFilterOperator.java`: "vectorSimilarity(col, q,
@@ -794,8 +865,9 @@ object QueryFacade {
     val Parsed(opts, stmt0) = parseOptions(query)
     val stmt = rewriteVectorSimilarity(
       rewriteVectorSimilarityIndexed(spark,
-        rewriteAsOf(rewriteReserved(stripHints(
-          applyRlsFilters(stmt0, opts))))))
+        rewriteJsonMatch(
+          rewriteAsOf(rewriteReserved(stripHints(
+            applyRlsFilters(stmt0, opts)))))))
     if (Ddl.isDdl(stmt)) return Ddl.execute(spark, stmt)
     // Pinot EXPLAIN PLAN FOR <query> (PinotQueryResource explain
     // support): one row per plan-tree line, mirroring the reference's

@@ -472,6 +472,60 @@ class FacadeAndFunctionsSpec extends SparkSpec {
     } finally QueryFacade.VectorIndexes.clear()
   }
 
+  test("JSON_MATCH SQL predicate compiles; shredded tables push down") {
+    QueryFacade.init(spark, sf)
+    // functional form over the raw JSON string
+    val viaJm = QueryFacade.sql(spark,
+      """SET explicitLimit = true;
+         SELECT event_type, count(*) AS n FROM events
+         WHERE JSON_MATCH(props, '"$.k" >= 50')
+         GROUP BY event_type ORDER BY event_type""")
+    val direct = QueryFacade.sql(spark,
+      """SET explicitLimit = true;
+         SELECT event_type, count(*) AS n FROM events
+         WHERE cast(get_json_object(props, '$.k') as double) >= 50
+         GROUP BY event_type ORDER BY event_type""")
+    assert(viaJm.collect().toSeq == direct.collect().toSeq)
+    // composed predicate with doubled-quote escapes and sibling filter
+    val composed = QueryFacade.sql(spark,
+      """SET explicitLimit = true;
+         SELECT count(*) AS n FROM events
+         WHERE JSON_MATCH(props, '("$.k" >= 90 OR "$.k" < 5)
+           AND "$.k" IS NOT NULL') AND event_id % 2 = 0""")
+      .collect().head.getLong(0)
+    val composedDirect = QueryFacade.sql(spark,
+      """SET explicitLimit = true;
+         SELECT count(*) AS n FROM events
+         WHERE (cast(get_json_object(props, '$.k') as double) >= 90
+             OR cast(get_json_object(props, '$.k') as double) < 5)
+           AND get_json_object(props, '$.k') IS NOT NULL
+           AND event_id % 2 = 0""")
+      .collect().head.getLong(0)
+    assert(composed == composedDirect && composed > 0)
+    // a table registered with a shred spec resolves the path to the
+    // typed column — the predicate reaches the scan
+    val tmp = java.nio.file.Files.createTempDirectory("jm_sql").toString
+    import org.apache.spark.sql.types.IntegerType
+    try {
+      val shredded = graft.sources.JsonShred.ingestShredded(spark,
+        spark.table("events").select($"event_type", $"props"),
+        s"$tmp/shred", "props", Seq("$.k" -> IntegerType))
+      shredded.createOrReplaceTempView("events_shredded")
+      graft.sources.JsonShred.registerTable("events_shredded", "props",
+        Seq("$.k" -> IntegerType))
+      val q = QueryFacade.sql(spark,
+        """SET explicitLimit = true;
+           SELECT count(*) AS n FROM events_shredded
+           WHERE JSON_MATCH(props, '"$.k" >= 50')""")
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.linesIterator.exists(l =>
+        l.contains("PushedFilters") && l.contains("props__k")),
+        s"shredded JSON_MATCH not pushed:\n$plan")
+      assert(q.collect().head.getLong(0) ==
+        direct.collect().map(_.getLong(1)).sum)
+    } finally graft.sources.JsonShred.clear()
+  }
+
   test("RLS filters: injected predicate pushes down; deny by default") {
     QueryFacade.init(spark, sf)
     // explicit SET rlsFilters-<table> (RlsFiltersRewriter.java option
