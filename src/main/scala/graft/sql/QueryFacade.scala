@@ -661,8 +661,24 @@ object QueryFacade {
   private val JmPattern = """(?is)\bjson_match\s*\(""".r
   private val FromTable = """(?is)\bfrom\s+(\w+)""".r
 
+  /** Unescaped-single-quote parity up to `pos`: odd = inside a string
+    * literal (doubled '' counts as escape, so parity stays odd). */
+  private def insideLiteral(stmt: String, pos: Int): Boolean = {
+    var quotes = 0
+    var i = 0
+    while (i < pos) {
+      if (stmt.charAt(i) == '\'') quotes += 1
+      i += 1
+    }
+    quotes % 2 == 1
+  }
+
   private[graft] def rewriteJsonMatch(stmt: String): String = {
-    val m = JmPattern.findFirstMatchIn(stmt).getOrElse(return stmt)
+    // first occurrence OUTSIDE string literals (a literal mentioning
+    // json_match(...) must stay verbatim)
+    val m = JmPattern.findAllMatchIn(stmt)
+      .find(mm => !insideLiteral(stmt, mm.start))
+      .getOrElse(return stmt)
     val open = m.end - 1
     // balanced close, quote-aware (the predicate is a string literal)
     var depth = 0

@@ -502,6 +502,11 @@ class FacadeAndFunctionsSpec extends SparkSpec {
            AND event_id % 2 = 0""")
       .collect().head.getLong(0)
     assert(composed == composedDirect && composed > 0)
+    // a string literal mentioning json_match stays verbatim
+    val literalSafe = QueryFacade.sql(spark,
+      "SET explicitLimit = true; SELECT 'json_match(a, b)' AS s")
+      .collect().head.getString(0)
+    assert(literalSafe == "json_match(a, b)")
     // a table registered with a shred spec resolves the path to the
     // typed column — the predicate reaches the scan
     val tmp = java.nio.file.Files.createTempDirectory("jm_sql").toString
