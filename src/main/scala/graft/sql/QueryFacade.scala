@@ -749,6 +749,98 @@ object QueryFacade {
     * source table, predicate first in WHERE. */
   private val VsimPattern =
     """(?is)(from\s+(\w+)\s+where\s+)vector_similarity(_radius)?\s*\(""".r
+  private val WherePattern = """(?is)\bfrom\s+\w+\s+where\s+""".r
+  private val VsimAnywhere = """(?is)^vector_similarity(_radius)?\s*\(""".r
+
+  /** Normalization pre-pass: the rewrites below anchor on the
+    * predicate being FIRST in the WHERE clause; a top-level all-AND
+    * conjunct chain containing one VECTOR_SIMILARITY[_RADIUS] call at
+    * any position is reordered to put it first (legal — the
+    * reference's path applies the vector predicate from the index
+    * first and intersects siblings after, regardless of where the
+    * user wrote it). Non-AND shapes are left untouched. */
+  private[graft] def reorderVectorSimilarity(stmt: String): String = {
+    val m = WherePattern.findFirstMatchIn(stmt).getOrElse(return stmt)
+    val rest = stmt.substring(m.end)
+    // WHERE clause body = up to the first top-level tail keyword
+    val bodyEnd = topLevelTailPublic(rest).getOrElse(rest.length)
+    val body = rest.substring(0, bodyEnd)
+    // split top-level AND conjuncts (quote/paren aware); bail on a
+    // top-level OR (reordering would change semantics grouping)
+    val parts = Seq.newBuilder[String]
+    var depth = 0
+    var quote: Char = 0
+    var last = 0
+    var i = 0
+    val lower = body.toLowerCase
+    def isIdent(c: Char) = c.isLetterOrDigit || c == '_'
+    while (i < body.length) {
+      val c = body.charAt(i)
+      if (quote != 0) {
+        if (c == '\\') i += 1
+        else if (c == quote) quote = 0
+      } else c match {
+        case '\'' | '"' => quote = c
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case _ if depth == 0 && (c == 'o' || c == 'O') &&
+            lower.startsWith("or", i) &&
+            (i == 0 || !isIdent(body.charAt(i - 1))) &&
+            (i + 2 >= body.length || !isIdent(body.charAt(i + 2))) =>
+          return stmt // top-level OR: leave untouched
+        case _ if depth == 0 && (c == 'a' || c == 'A') &&
+            lower.startsWith("and", i) &&
+            (i == 0 || !isIdent(body.charAt(i - 1))) &&
+            (i + 3 >= body.length || !isIdent(body.charAt(i + 3))) =>
+          parts += body.substring(last, i)
+          i += 2
+          last = i + 1
+        case _ =>
+      }
+      i += 1
+    }
+    parts += body.substring(last)
+    val conjuncts = parts.result().map(_.trim).filter(_.nonEmpty)
+    val vsimIdx = conjuncts.indexWhere(c =>
+      VsimAnywhere.findFirstIn(c).isDefined)
+    if (vsimIdx <= 0) return stmt // absent or already first
+    if (conjuncts.count(c => VsimAnywhere.findFirstIn(c).isDefined) > 1)
+      return stmt // two vector predicates in one chain: ambiguous
+    val reordered = (conjuncts(vsimIdx) +:
+      (conjuncts.take(vsimIdx) ++ conjuncts.drop(vsimIdx + 1)))
+      .mkString(" AND ")
+    stmt.substring(0, m.end) + reordered + " " + rest.substring(bodyEnd)
+  }
+
+  // expose the tail scanner for the reorder pass (defined inside the
+  // main rewrite below with identical semantics)
+  private def topLevelTailPublic(s0: String): Option[Int] = {
+    val kw =
+      """(?i)^(group\s+by|order\s+by|limit|having|union|intersect|except)\b""".r
+    def isIdentChar(c: Char) = c.isLetterOrDigit || c == '_'
+    var depth = 0
+    var quote: Char = 0
+    var j = 0
+    while (j < s0.length) {
+      val c = s0.charAt(j)
+      if (quote != 0) {
+        if (c == '\\') j += 1
+        else if (c == quote) quote = 0
+      }
+      else c match {
+        case '\'' | '"' => quote = c
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case _ if depth == 0 &&
+            kw.findFirstIn(s0.substring(j)).isDefined &&
+            (j == 0 || !isIdentChar(s0.charAt(j - 1))) =>
+          return Some(j)
+        case _ =>
+      }
+      j += 1
+    }
+    None
+  }
 
   /** Applies to every occurrence in the statement (e.g. both branches
     * of a UNION): each pass rewrites the first remaining predicate —
@@ -881,9 +973,10 @@ object QueryFacade {
     val Parsed(opts, stmt0) = parseOptions(query)
     val stmt = rewriteVectorSimilarity(
       rewriteVectorSimilarityIndexed(spark,
-        rewriteJsonMatch(
-          rewriteAsOf(rewriteReserved(stripHints(
-            applyRlsFilters(stmt0, opts)))))))
+        reorderVectorSimilarity(
+          rewriteJsonMatch(
+            rewriteAsOf(rewriteReserved(stripHints(
+              applyRlsFilters(stmt0, opts))))))))
     if (Ddl.isDdl(stmt)) return Ddl.execute(spark, stmt)
     // Pinot EXPLAIN PLAN FOR <query> (PinotQueryResource explain
     // support): one row per plan-tree line, mirroring the reference's

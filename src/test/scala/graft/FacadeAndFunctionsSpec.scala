@@ -347,6 +347,16 @@ class FacadeAndFunctionsSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet
     assert(filtered.subsetOf(top5))
     assert(filtered == top5.filter(_ % 2 == 0))
+    // the predicate may sit at ANY top-level AND position — the
+    // reorder pre-pass normalizes it to the front (same semantics:
+    // index top-k first, siblings intersect after)
+    val notFirst = QueryFacade.sql(spark,
+      s"""SET explicitLimit = true;
+          SELECT vec_id FROM embeddings
+          WHERE vec_id % 2 = 0 AND VECTOR_SIMILARITY(embedding, $vec, 5)
+          ORDER BY vec_id""")
+      .collect().map(_.getLong(0)).toSet
+    assert(notFirst == filtered, s"reorder mismatch: $notFirst vs $filtered")
     // a conjunct containing a subquery with ORDER BY/LIMIT must not
     // desync the tail split
     val sub = QueryFacade.sql(spark,
