@@ -812,8 +812,10 @@ object QueryFacade {
     stmt.substring(0, m.end) + reordered + " " + rest.substring(bodyEnd)
   }
 
-  // expose the tail scanner for the reorder pass (defined inside the
-  // main rewrite below with identical semantics)
+  /** First TOP-LEVEL tail keyword (GROUP BY / ORDER BY / LIMIT /
+    * HAVING / set-ops): outside parens and quotes, word-boundary
+    * aware ('_' is an identifier char). Shared by the reorder pass
+    * and the brute vector-similarity rewrite. */
   private def topLevelTailPublic(s0: String): Option[Int] = {
     val kw =
       """(?i)^(group\s+by|order\s+by|limit|having|union|intersect|except)\b""".r
@@ -910,33 +912,7 @@ object QueryFacade {
     // first TOP-LEVEL tail keyword: outside parens and quotes; a
     // keyword match only counts on a word boundary ('_' is an
     // identifier char, so my_limit / col_having are NOT boundaries)
-    def topLevelTail(s0: String): Option[Int] = {
-      val kw =
-        """(?i)^(group\s+by|order\s+by|limit|having|union|intersect|except)\b""".r
-      def isIdentChar(c: Char) = c.isLetterOrDigit || c == '_'
-      var depth = 0
-      var quote: Char = 0
-      var j = 0
-      while (j < s0.length) {
-        val c = s0.charAt(j)
-        if (quote != 0) {
-          if (c == '\\') j += 1 // backslash-escaped char inside quotes
-          else if (c == quote) quote = 0
-        }
-        else c match {
-          case '\'' | '"' => quote = c
-          case '(' => depth += 1
-          case ')' => depth -= 1
-          case _ if depth == 0 &&
-              kw.findFirstIn(s0.substring(j)).isDefined &&
-              (j == 0 || !isIdentChar(s0.charAt(j - 1))) =>
-            return Some(j)
-          case _ =>
-        }
-        j += 1
-      }
-      None
-    }
+    def topLevelTail(s0: String): Option[Int] = topLevelTailPublic(s0)
     val (outerWhere, outerTail) = after match {
       case AndRest(rest) =>
         topLevelTail(rest) match {
