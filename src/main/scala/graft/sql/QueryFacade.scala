@@ -504,9 +504,9 @@ object QueryFacade {
     * rewriter exactly as explicit SET rlsFilters-* options would be. */
   def sqlAs(spark: SparkSession, user: String, query: String): DataFrame = {
     val Parsed(_, stmt) = parseOptions(query)
-    val stamped = Rls.optionsFor(user, stmt)
-    val sets = stamped.map { case (k, v) => s"SET $k = '$v';" }.mkString
-    sql(spark, sets + query)
+    // stamped options pass programmatically — a granted filter may
+    // contain string literals that SET quoting would mangle
+    sqlWithExtraOptions(spark, query, Rls.optionsFor(user, stmt))
   }
 
   // ---- vector-index-served VECTOR_SIMILARITY ----
@@ -944,9 +944,17 @@ object QueryFacade {
   private val ExplainPrefix =
     """(?is)^\s*EXPLAIN\s+(?:IMPLEMENTATION\s+)?PLAN\s+FOR\s+""".r
 
-  def sql(spark: SparkSession, query: String): DataFrame = {
+  def sql(spark: SparkSession, query: String): DataFrame =
+    sqlWithExtraOptions(spark, query, Map.empty)
+
+  /** `sql` with options merged in programmatically — the path the
+    * broker's access control uses to stamp RLS filters without
+    * round-tripping predicate text through SET literal quoting. */
+  private[graft] def sqlWithExtraOptions(spark: SparkSession,
+      query: String, extra: Map[String, String]): DataFrame = {
     PinotFunctions.registerAll(spark)
-    val Parsed(opts, stmt0) = parseOptions(query)
+    val Parsed(parsedOpts, stmt0) = parseOptions(query)
+    val opts = parsedOpts ++ extra
     val stmt = rewriteVectorSimilarity(
       rewriteVectorSimilarityIndexed(spark,
         reorderVectorSimilarity(

@@ -587,6 +587,13 @@ class FacadeAndFunctionsSpec extends SparkSpec {
     // tables without policies stay open
     QueryFacade.sqlAs(spark, "bob",
       "SET explicitLimit = true; SELECT count(*) AS n FROM region").collect()
+    // a granted filter containing a STRING LITERAL survives stamping
+    // (options pass programmatically, not through SET quoting)
+    QueryFacade.Rls.protect("region")
+    QueryFacade.Rls.grant("region", "carol", "r_name = 'EUROPE'")
+    val carol = QueryFacade.sqlAs(spark, "carol",
+      "SET explicitLimit = true; SELECT count(*) AS n FROM region")
+    assert(carol.collect().head.getLong(0) == 1L)
     QueryFacade.Rls.clear()
   }
 
