@@ -231,6 +231,10 @@ object JsonShred {
   private[graft] def compileToSql(jsonCol: String, predicate: String,
       spec: Option[Spec]): String = {
     def sqlLit(s: String): String = "'" + s.replace("'", "''") + "'"
+    // a qualified reference (t.col) must keep its dot outside quotes
+    def ident(c: String): String =
+      if (c.contains('.')) c.split('.').map(p => s"`$p`").mkString(".")
+      else s"`$c`"
     def pathSql(path: String, wantNum: Boolean): String =
       spec.filter(_.jsonCol == jsonCol)
         .flatMap(s => s.paths.get(path).map(_ =>
@@ -238,7 +242,7 @@ object JsonShred {
         case Some(c) =>
           if (wantNum) s"cast($c as double)" else s"cast($c as string)"
         case None =>
-          val raw = s"get_json_object(`$jsonCol`, ${sqlLit(path)})"
+          val raw = s"get_json_object(${ident(jsonCol)}, ${sqlLit(path)})"
           if (wantNum) s"cast($raw as double)" else raw
       }
     def emit(n: PNode): String = n match {

@@ -512,6 +512,19 @@ class FacadeAndFunctionsSpec extends SparkSpec {
            AND event_id % 2 = 0""")
       .collect().head.getLong(0)
     assert(composed == composedDirect && composed > 0)
+    // qualified column references keep their table prefix
+    val joined = QueryFacade.sql(spark,
+      """SET explicitLimit = true;
+         SELECT count(*) AS n FROM events e
+         JOIN events e2 ON e.event_id = e2.event_id
+         WHERE JSON_MATCH(e.props, '"$.k" >= 95')""")
+      .collect().head.getLong(0)
+    val joinedDirect = QueryFacade.sql(spark,
+      """SET explicitLimit = true;
+         SELECT count(*) AS n FROM events
+         WHERE cast(get_json_object(props, '$.k') as double) >= 95""")
+      .collect().head.getLong(0)
+    assert(joined == joinedDirect && joined > 0)
     // a string literal mentioning json_match stays verbatim
     val literalSafe = QueryFacade.sql(spark,
       "SET explicitLimit = true; SELECT 'json_match(a, b)' AS s")
