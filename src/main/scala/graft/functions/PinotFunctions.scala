@@ -70,6 +70,10 @@ object PinotFunctions {
     lit(2.0) * r * asin(sqrt(a))
   }
 
+  /** Column-builder lookup for engine-internal callers (e.g. the
+    * timestamp-index ingestion transform reusing `datetrunc`). */
+  def builder(name: String): Seq[Column] => Column = registry(name)
+
   private val registry: Map[String, Seq[Column] => Column] = Map(
     // ——— arithmetic (TransformFunctionType.java:46-66) ———
     "add" -> { case Seq(a, b) => a + b },

@@ -135,6 +135,14 @@ case class EpochNumeric(child: Expression)
   override lazy val replacement: Expression = child.dataType match {
     case org.apache.spark.sql.types.TimestampType =>
       org.apache.spark.sql.catalyst.expressions.UnixMillis(child)
+    // NTZ cannot cast to LONG directly; with the engine's fixed UTC
+    // session timezone the TZ reinterpretation is the identity
+    case org.apache.spark.sql.types.TimestampNTZType =>
+      // explicit zone: the analyzer's ResolveTimeZone does not descend
+      // into a RuntimeReplaceable's replacement tree
+      org.apache.spark.sql.catalyst.expressions.UnixMillis(
+        org.apache.spark.sql.catalyst.expressions.Cast(
+          child, org.apache.spark.sql.types.TimestampType, Some("UTC")))
     case _ =>
       org.apache.spark.sql.catalyst.expressions.Cast(
         child, org.apache.spark.sql.types.LongType)

@@ -129,6 +129,43 @@ object FilterJoinQueries {
         FROM events WHERE CAST(json_extract_string(props, '$.k') AS INT) >= 50
         GROUP BY event_type ORDER BY event_type""")),
 
+    // TIMESTAMP index (TimestampIndexUtils.java + RequestUtils.java:
+    // 703-711): dateTrunc('day', ts) over a table with a configured DAY
+    // granularity is overridden to the ingest-materialized $ts$DAY
+    // column, so the predicate pushes into the scan. used_index is read
+    // off the executed plan. EXACT oracle: DuckDB date_trunc.
+    GQuery("q_filter_tsindex",
+      (s, dir) => {
+        graft.sql.QueryFacade.init(s, dir)
+        val indexed = graft.operators.IndexCache.getOrBuild(
+          ("q_filter_tsindex", dir)) {
+          val tmp = java.nio.file.Files
+            .createTempDirectory("graft_tsindex").toString
+          graft.sources.TimestampIndex(
+            Tables(s, dir).events.select(col("event_type"), col("ts")),
+            "ts", Seq("DAY"))
+            .write.mode("overwrite").parquet(s"$tmp/t")
+          s.read.parquet(s"$tmp/t")
+        }
+        indexed.createOrReplaceTempView("events_tsindexed")
+        graft.sources.TimestampIndex.registerTable(
+          "events_tsindexed", "ts", Seq("DAY"))
+        // 2024-01-02T00:00:00Z in epoch millis
+        val q = graft.sql.QueryFacade.sql(s,
+          """SET explicitLimit = true;
+             SELECT event_type, count(*) AS n FROM events_tsindexed
+             WHERE datetrunc('day', ts) = 1704153600000
+             GROUP BY event_type ORDER BY event_type""")
+        val usedIndex = q.queryExecution.executedPlan.toString
+          .linesIterator.exists(l =>
+            l.contains("PushedFilters") && l.contains("ts$DAY"))
+        q.withColumn("used_index", lit(usedIndex))
+      },
+      Some("""SELECT event_type, COUNT(*) AS n, TRUE AS used_index
+        FROM events
+        WHERE date_trunc('day', ts) = TIMESTAMP '2024-01-02 00:00:00'
+        GROUP BY event_type ORDER BY event_type""")),
+
     // JSON_MATCH over a SHREDDED ingest layout (the json-index analog:
     // JsonMatchFilterOperator.java:37 resolves the predicate from an
     // ingest-time flattened-path index instead of parsing documents).

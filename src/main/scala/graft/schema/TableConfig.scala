@@ -35,7 +35,10 @@ object TableConfig {
       column: String,
       indexTypes: Seq[String],
       properties: Map[String, String] = Map.empty,
-      openStruct: Option[OpenStruct.Config] = None)
+      openStruct: Option[OpenStruct.Config] = None,
+      // timestampConfig.granularities (TimestampIndexUtils.java):
+      // derived $col$GRANULARITY columns + the dateTrunc override
+      timestampGranularities: Seq[String] = Nil)
 
   final case class Config(
       tableName: String,
@@ -189,7 +192,17 @@ object TableConfig {
                   .getOrElse(0.5)))
           }
         }
-        FieldIndex(name, types.map(_.toUpperCase), props, os)
+        val tsGrans = {
+          val ti = "(?i)\"timestampConfig\"\\s*:\\s*\\{".r
+            .findFirstMatchIn(obj).map(_.start).getOrElse(-1)
+          if (ti < 0) Nil
+          else {
+            val ss = obj.indexOf('{', ti)
+            val se = obj.indexOf('}', ss)
+            strList(obj.substring(ss, se + 1), "granularities")
+          }
+        }
+        FieldIndex(name, types.map(_.toUpperCase), props, os, tsGrans)
       }
     }
   }
@@ -235,6 +248,11 @@ object TableConfig {
           fi.indexTypes.contains("OPENSTRUCT")) {
         OpenStruct.split(d, fi.column,
           fi.openStruct.getOrElse(OpenStruct.Config()))
+      } else if (fi.timestampGranularities.nonEmpty) {
+        graft.sources.TimestampIndex.registerTable(cfg.tableName,
+          fi.column, fi.timestampGranularities)
+        graft.sources.TimestampIndex(d, fi.column,
+          fi.timestampGranularities)
       } else d
     }
   }

@@ -650,6 +650,31 @@ object QueryFacade {
         stmt.substring(close + 1))
   }
 
+  // ---- TIMESTAMP index override ----
+  // `RequestUtils.java:703-711`: `dateTrunc('<granularity>', col)` — the
+  // 2-arg form or 3-arg with MILLISECONDS output — over a column whose
+  // table has that granularity configured is overridden to the
+  // materialized `$col$GRANULARITY` identifier, so the predicate hits
+  // the ingest-time derived column (range-index analog: parquet
+  // row-group stats on a plain LONG column) instead of evaluating the
+  // function per row.
+  private val DtruncPattern =
+    ("""(?is)\bdatetrunc\s*\(\s*'(\w+)'\s*,\s*(\w+)\s*""" +
+      """(?:,\s*'milliseconds'\s*)?\)""").r
+
+  private[graft] def rewriteTimestampIndex(stmt: String): String = {
+    val table = FromTable.findFirstMatchIn(stmt).map(_.group(1))
+      .getOrElse(return stmt)
+    DtruncPattern.replaceAllIn(stmt, m =>
+      java.util.regex.Matcher.quoteReplacement(
+        if (!insideLiteral(stmt, m.start) &&
+            graft.sources.TimestampIndex
+              .hasGranularity(table, m.group(2), m.group(1)))
+          "`" + graft.sources.TimestampIndex
+            .columnWithGranularity(m.group(2), m.group(1)) + "`"
+        else m.matched))
+  }
+
   // ---- JSON_MATCH SQL predicate ----
   // `JSON_MATCH(column, '"$.path" = literal AND …')` — the reference's
   // json-index predicate (`JsonMatchFilterOperator.java:37`; SQL shape
@@ -960,7 +985,8 @@ object QueryFacade {
         reorderVectorSimilarity(
           rewriteJsonMatch(
             rewriteAsOf(rewriteReserved(stripHints(
-              applyRlsFilters(stmt0, opts))))))))
+              rewriteTimestampIndex(
+                applyRlsFilters(stmt0, opts)))))))))
     if (Ddl.isDdl(stmt)) return Ddl.execute(spark, stmt)
     // Pinot EXPLAIN PLAN FOR <query> (PinotQueryResource explain
     // support): one row per plan-tree line, mirroring the reference's
