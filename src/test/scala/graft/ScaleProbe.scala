@@ -139,7 +139,8 @@ object ScaleProbe {
       // round-5 additions
       "q_ann_radius_sql_predicate", "q_rollup_tdigest",
       "q_filter_json_shred", "q_text_match_fuzzy",
-      "q_rls_filter", "q_openstruct_split", "q_filter_json_sql")
+      "q_rls_filter", "q_openstruct_split", "q_filter_json_sql",
+      "q_filter_tsindex")
       .filter(q => only.isEmpty || only(q))
     def time(dir: String, name: String): Double = {
       val t0 = System.nanoTime()
