@@ -198,6 +198,19 @@ object MvPredicateRewrite extends Rule[LogicalPlan] {
   // `BaseDictionaryBasedPredicateEvaluator.applyMV` requires every
   // value to pass): a doc matches only when NO element equals v —
   // i.e. Not(ArrayContains), which the plain negation already gives.
+  /** ∃ element of `arr` satisfying `body(elem)` — a pre-bound
+    * higher-order exists (the analyzer leaves an already-bound
+    * lambda untouched). */
+  private def existsElem(arr: Expression,
+      body: Expression => Expression): Expression = {
+    val et = elem(arr)
+    val x = NamedLambdaVariable("mv_elem", et.elementType, et.containsNull)
+    ArrayExists(arr, LambdaFunction(body(x), Seq(x)))
+  }
+
+  private def castTo(arr: Expression, v: Expression): Expression =
+    Cast(v, elem(arr).elementType)
+
   private def rewrite(cond: Expression): Expression = cond.transformDown {
     case EqualTo(arr, v) if isMv(arr) && v.resolved && !isMv(v) =>
       ArrayContains(arr, Cast(v, elem(arr).elementType))
@@ -209,6 +222,36 @@ object MvPredicateRewrite extends Rule[LogicalPlan] {
     case In(arr, vs) if isMv(arr) && vs.forall(v => v.resolved && !isMv(v)) =>
       vs.map(v => ArrayContains(arr, Cast(v, elem(arr).elementType))
         .asInstanceOf[Expression]).reduce(Or)
+    // RANGE over MV: ONE element must satisfy the WHOLE range
+    // (`RangePredicateEvaluator` applyMV: any single value passes the
+    // predicate). BETWEEN arrives parsed as GTE ∧ LTE over the same
+    // child (possibly via Spark 4's common-expression ref), so the
+    // conjunction must fuse into a single exists BEFORE the individual
+    // comparisons are rewritten independently — which would accept a
+    // doc whose bounds are met by DIFFERENT elements.
+    case And(GreaterThanOrEqual(a, lo), LessThanOrEqual(b, hi))
+        if isMv(a) && a.fastEquals(b) &&
+          lo.resolved && !isMv(lo) && hi.resolved && !isMv(hi) =>
+      existsElem(a, x =>
+        And(GreaterThanOrEqual(x, castTo(a, lo)),
+          LessThanOrEqual(x, castTo(a, hi))))
+    case GreaterThan(arr, v) if isMv(arr) && v.resolved && !isMv(v) =>
+      existsElem(arr, x => GreaterThan(x, castTo(arr, v)))
+    case GreaterThanOrEqual(arr, v) if isMv(arr) && v.resolved && !isMv(v) =>
+      existsElem(arr, x => GreaterThanOrEqual(x, castTo(arr, v)))
+    case LessThan(arr, v) if isMv(arr) && v.resolved && !isMv(v) =>
+      existsElem(arr, x => LessThan(x, castTo(arr, v)))
+    case LessThanOrEqual(arr, v) if isMv(arr) && v.resolved && !isMv(v) =>
+      existsElem(arr, x => LessThanOrEqual(x, castTo(arr, v)))
+    // literal-on-the-left forms
+    case GreaterThan(v, arr) if isMv(arr) && v.resolved && !isMv(v) =>
+      existsElem(arr, x => GreaterThan(castTo(arr, v), x))
+    case GreaterThanOrEqual(v, arr) if isMv(arr) && v.resolved && !isMv(v) =>
+      existsElem(arr, x => GreaterThanOrEqual(castTo(arr, v), x))
+    case LessThan(v, arr) if isMv(arr) && v.resolved && !isMv(v) =>
+      existsElem(arr, x => LessThan(castTo(arr, v), x))
+    case LessThanOrEqual(v, arr) if isMv(arr) && v.resolved && !isMv(v) =>
+      existsElem(arr, x => LessThanOrEqual(castTo(arr, v), x))
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {

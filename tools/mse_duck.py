@@ -121,6 +121,7 @@ def main(root):
     manifest = json.load(open(os.path.join(root, "manifest.json")))
     n_pass = n_fail = n_skip = n_tie = n_col = 0
     failures = []
+    n_subset = 0
     for q in manifest:
         rid, sql, ordered = q["id"], q["sql"], q["ordered"]
         rpath = os.path.join(root, "results", rid + ".json")
@@ -133,6 +134,27 @@ def main(root):
                          for row in con.execute(sql).fetchall()]
         except Exception:
             n_skip += 1  # DuckDB can't run this dialect/function
+            continue
+        if q.get("subset"):
+            # selection-with-LIMIT discipline (the reference's
+            # ClusterIntegrationTestUtils.testQuery): every engine row
+            # must appear in the full (un-LIMITed) result, with
+            # multiplicity
+            remaining = list(duck_rows)
+            missing = None
+            for a in engine_rows:
+                hit = next((i for i, d in enumerate(remaining)
+                            if row_eq(a, d)), -1)
+                if hit < 0:
+                    missing = a
+                    break
+                remaining.pop(hit)
+            if missing is None:
+                n_subset += 1
+            else:
+                n_fail += 1
+                failures.append((rid, sql[:160],
+                                 f"subset miss: {missing}"))
             continue
         diff = compare(engine_rows, duck_rows, ordered)
         if diff is None:
@@ -154,8 +176,10 @@ def main(root):
             continue
         n_fail += 1
         failures.append((rid, sql[:160], diff[:240]))
+    subset_note = f" subset-pass={n_subset}" if n_subset else ""
     print(f"cross-checked: pass={n_pass} tie-order-pass={n_tie} "
-          f"colorder-pass={n_col} fail={n_fail} duckdb-skip={n_skip}")
+          f"colorder-pass={n_col}{subset_note} fail={n_fail} "
+          f"duckdb-skip={n_skip}")
     for rid, sql, diff in failures[:40]:
         print(f"FAIL {rid}\n  sql: {sql}\n  {diff}")
     return 1 if n_fail else 0
