@@ -40,6 +40,8 @@ object OnTimeCompat {
     s"$Resources/On_Time_On_Time_Performance_2014_Min_100_subset_nonulls.tar.gz"
   private val QueryFile =
     s"$Resources/On_Time_On_Time_Performance_2014_100k_subset.test_queries_200.sql"
+  private val QueryFile10K =
+    s"$Resources/On_Time_On_Time_Performance_2014_100k_subset.test_queries_10K.sql"
 
   /** Untar the committed archive and return the avro entry's path. */
   def extractAvro(destDir: String): String = {
@@ -109,6 +111,11 @@ object OnTimeCompat {
 
   def main(args: Array[String]): Unit = {
     val outDir = args.headOption.getOrElse("/tmp/ontime_duck")
+    // second arg "10k" switches to the 10,000-query corpus the same
+    // reference harness can run (`getQueryFileName` override)
+    val queryFile =
+      if (args.lift(1).exists(_.equalsIgnoreCase("10k"))) QueryFile10K
+      else QueryFile
     val spark = SparkSession.builder()
       .master("local[8]")
       .appName("ontime-compat")
@@ -137,7 +144,7 @@ object OnTimeCompat {
       case c => c.toString
     } + "\""
 
-    val entries = Files.readAllLines(Paths.get(QueryFile)).asScala
+    val entries = Files.readAllLines(Paths.get(queryFile)).asScala
       .map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#"))
     val manifest = new StringBuilder("[")
     var first = true
