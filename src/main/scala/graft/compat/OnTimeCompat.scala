@@ -184,13 +184,23 @@ object OnTimeCompat {
           sb.append(']')
           Files.writeString(Paths.get(s"$outDir/results/$id.json"),
             sb.toString)
-          // selection query with LIMIT and no aggregation/grouping:
-          // the reference's subset discipline — DuckDB runs WITHOUT
-          // the LIMIT and the engine rows must all appear in it
+          // the reference's comparison discipline
+          // (ClusterIntegrationTestUtils.testQuery):
+          //  - selection with LIMIT → engine rows ⊆ the full result;
+          //  - group-by with LIMIT but NO ORDER BY → which groups land
+          //    in the window is engine-arbitrary; the reference skips
+          //    these outright ("TODO: compare results for aggregation
+          //    group by queries w/o order by") — here they are
+          //    compared as subsets of the FULL grouping instead
+          //    (stronger than the reference, still order-free)
+          val upper = sql.toUpperCase
           val isAgg = AggRe.findFirstIn(sql).isDefined ||
-            sql.toUpperCase.contains("GROUP BY")
+            upper.contains("GROUP BY")
           val hasLimit = LimitRe.findFirstIn(sql).isDefined
-          val subset = !isAgg && hasLimit
+          val hasOrder = "(?is).*\\bORDER\\s+BY\\b.*".r
+            .matches(sql.replaceAll("\\([^()]*\\)", ""))
+          val subset = hasLimit &&
+            (!isAgg || (upper.contains("GROUP BY") && !hasOrder))
           // the H2 variants quote identifiers with backticks; the
           // ANSI engine on the other side wants double quotes
           val duckSql0 = hsql.getOrElse(sql).replace('`', '"')
