@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.schema.{PinotSchema, TableConfig}
+
+/** The reference's own upsert acceptance scenario, replayed over its
+  * committed fixture data: `gameScores_csv.tar.gz` +
+  * `upsert_table_test.schema` through the FULL-upsert delete/revive
+  * flow of `UpsertTableIntegrationTest.java` (count contract :157-169;
+  * delete + revive records and expected rows :239-290). */
+class GameScoresUpsertSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val csvSchema =
+    "playerId INT, name STRING, game STRING, score FLOAT, " +
+      "timestampInEpoch LONG, deleted BOOLEAN"
+
+  private lazy val baseRows = {
+    val tmp = java.nio.file.Files.createTempDirectory("gamescores").toString
+    val p = new java.io.File(tmp)
+    val proc = new ProcessBuilder("tar", "xzf",
+      "/root/reference/pinot-integration-tests/src/test/resources/gameScores_csv.tar.gz",
+      "-C", tmp).start()
+    require(proc.waitFor() == 0, "untar failed")
+    spark.read.schema(csvSchema).csv(s"$tmp/gameScores.csv")
+  }
+
+  private val cfg = TableConfig.Config(
+    tableName = "gameScoresWithDelete",
+    tableType = "REALTIME",
+    primaryKeys = Seq("playerId"),
+    upsertMode = TableConfig.UpsertFull,
+    comparisonColumn = Some("timestampInEpoch"),
+    deleteRecordColumn = Some("deleted"))
+
+  private def rows(csv: String*) =
+    spark.read.schema(csvSchema).csv(csv.toDS)
+
+  test("base data: 3 live pks of 10 raw rows (getCountStarResult)") {
+    assert(baseRows.count() == 10) // skipUpsert=true contract
+    val view = TableConfig.view(cfg, baseRows)
+    assert(view.count() == 3)
+    assert(view.select($"playerId").collect().map(_.getInt(0)).sorted.toSeq
+      == Seq(100, 101, 102))
+    // latest-by-comparison values: pk 100 -> score 12000.55 @1681256390000?
+    // no: 1681256400000 (Zook, 2050) is NEWER than 1681256390000
+    val s100 = view.filter($"playerId" === 100).select($"score", $"name")
+      .collect().head
+    assert(s100.getFloat(0) == 2050f && s100.getString(1) == "Zook")
+  }
+
+  test("delete then revive (testDeleteWithFullUpsert TEST 1 + TEST 2)") {
+    // TEST 1: two deleted=true records tombstone pks 100 and 102
+    val deletes = rows(
+      "102,Clifford,counter-strike,102,1681254200000,true",
+      "100,Zook,counter-strike,2050,1681377200000,true")
+    val afterDelete = TableConfig.view(cfg, baseRows.unionAll(deletes))
+    val live = afterDelete.select($"playerId").collect().map(_.getInt(0))
+    assert(live.toSeq == Seq(101), s"expected only pk 101, got ${live.toSeq}")
+    // skipUpsert view still holds the tombstones
+    val tombstoned = baseRows.unionAll(deletes)
+      .filter($"deleted" === true).select($"playerId")
+      .collect().map(_.getInt(0)).sorted
+    assert(tombstoned.toSeq == Seq(100, 102))
+
+    // TEST 2: a newer non-deleted record revives pk 100; all columns
+    // take the new values, absent game becomes the "null" default
+    val revive = rows("100,Zook-New,,0.0,1684707335000,false")
+    val schema = PinotSchema.Schema("playerScores", Seq(
+      PinotSchema.Field("playerId", IntegerType, PinotSchema.Dimension),
+      PinotSchema.Field("name", StringType, PinotSchema.Dimension),
+      PinotSchema.Field("game", StringType, PinotSchema.Dimension),
+      PinotSchema.Field("score", FloatType, PinotSchema.Metric),
+      PinotSchema.Field("timestampInEpoch", LongType, PinotSchema.DateTime),
+      PinotSchema.Field("deleted", BooleanType, PinotSchema.Dimension)))
+    val afterRevive = TableConfig.view(cfg,
+      schema.withDefaultNulls(
+        baseRows.unionAll(deletes).unionAll(revive)))
+    assert(afterRevive.select($"playerId").collect().map(_.getInt(0)).sorted
+      .toSeq == Seq(100, 101))
+    val pk100 = afterRevive.filter($"playerId" === 100)
+      .select($"playerId", $"name", $"game").collect().head
+    assert(pk100.getInt(0) == 100)
+    assert(pk100.getString(1) == "Zook-New")
+    assert(pk100.getString(2) == "null") // Pinot STRING default for null
+  }
+}
