@@ -153,7 +153,33 @@ object Upsert {
     * OVERWRITE / min_by for IGNORE), so this is one shuffle, partial
     * aggregation enabled. */
   def partialUpsert(df: DataFrame, keys: Seq[String], cmpCol: String,
-      merges: Seq[Merge]): DataFrame = {
+      merges: Seq[Merge]): DataFrame =
+    partialUpsert(df, keys, cmpCol, merges, None)
+
+  /** PARTIAL upsert with `UpsertConfig.deleteRecordColumn` semantics
+    * (`UpsertTableIntegrationTest.testDeleteWithPartialUpsert`): a
+    * tombstone record deletes the key AND resets its merge state — a
+    * later revival record starts merging fresh from itself, not from
+    * the pre-delete history. One window pass finds each key's last
+    * tombstone time; only strictly-newer versions enter the merge, and
+    * keys whose history ends at a tombstone disappear. */
+  def partialUpsert(df: DataFrame, keys: Seq[String], cmpCol: String,
+      merges: Seq[Merge], deleteCol: Option[String]): DataFrame = {
+    val live = deleteCol match {
+      case Some(d) =>
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(keys.map(col): _*)
+        df.withColumn("__del_ts",
+            max(when(col(d) === true, col(cmpCol))).over(w))
+          .filter(col("__del_ts").isNull || col(cmpCol) > col("__del_ts"))
+          .drop("__del_ts")
+      case None => df
+    }
+    partialUpsertImpl(live, keys, cmpCol, merges)
+  }
+
+  private def partialUpsertImpl(df: DataFrame, keys: Seq[String],
+      cmpCol: String, merges: Seq[Merge]): DataFrame = {
     val aggs: Seq[Column] = merges.map {
       // OVERWRITE takes the latest NON-NULL version (the reference's
       // partial-upsert handler skips null incoming values for regular

@@ -286,7 +286,8 @@ object TableConfig {
               case _ => Upsert.Overwrite(c)
             }
           }
-        Upsert.partialUpsert(raw, cfg.primaryKeys, cmp, merges.toSeq)
+        Upsert.partialUpsert(raw, cfg.primaryKeys, cmp, merges.toSeq,
+          cfg.deleteRecordColumn)
       case UpsertNone =>
         if (cfg.dedupEnabled) Upsert.firstByKey(raw, cfg.primaryKeys, cmp)
         else raw

@@ -85,4 +85,51 @@ class GameScoresUpsertSpec extends SparkSpec {
     assert(pk100.getString(1) == "Zook-New")
     assert(pk100.getString(2) == "null") // Pinot STRING default for null
   }
+
+  test("partial upsert: a delete resets merge state (testDeleteWithPartialUpsert)") {
+    // fixture: gameScores_partial_upsert_csv.tar.gz; strategies
+    // game=UNION score=INCREMENT (UpsertTableIntegrationTest.java:392-393)
+    val tmp = java.nio.file.Files.createTempDirectory("gamescores_p").toString
+    val proc = new ProcessBuilder("tar", "xzf",
+      "/root/reference/pinot-integration-tests/src/test/resources/gameScores_partial_upsert_csv.tar.gz",
+      "-C", tmp).start()
+    require(proc.waitFor() == 0, "untar failed")
+    val basePartial = spark.read.schema(csvSchema)
+      .csv(s"$tmp/gameScores_partial_upsert.csv")
+    val pCfg = cfg.copy(
+      tableName = "gameScoresPartialUpsertWithDelete",
+      upsertMode = TableConfig.UpsertPartial,
+      partialStrategies = Map("game" -> "UNION", "score" -> "INCREMENT"))
+
+    // TEST 1 (:401-403): tombstones delete pks 100 and 102
+    val deletes = rows(
+      "102,Clifford,counter-strike,102,1681054200000,true",
+      "100,Zook,counter-strike,2050,1681377200000,true")
+    val afterDelete = TableConfig.view(pCfg, basePartial.unionAll(deletes))
+    assert(afterDelete.select($"playerId").collect().map(_.getInt(0)).toSeq
+      == Seq(101))
+
+    // TEST 2 (:436-449): the revival record starts a FRESH merge —
+    // game is ONLY the revival's (defaulted) value, score restarts at
+    // 0.0 instead of incrementing the pre-delete history
+    val schema = PinotSchema.Schema("playerScores", Seq(
+      PinotSchema.Field("playerId", IntegerType, PinotSchema.Dimension),
+      PinotSchema.Field("name", StringType, PinotSchema.Dimension),
+      PinotSchema.Field("game", StringType, PinotSchema.Dimension),
+      PinotSchema.Field("score", FloatType, PinotSchema.Metric),
+      PinotSchema.Field("timestampInEpoch", LongType, PinotSchema.DateTime),
+      PinotSchema.Field("deleted", BooleanType, PinotSchema.Dimension)))
+    val revive = rows("100,Zook,,0.0,1684707335000,false")
+    val afterRevive = TableConfig.view(pCfg, schema.withDefaultNulls(
+      basePartial.unionAll(deletes).unionAll(revive)))
+    assert(afterRevive.select($"playerId").collect().map(_.getInt(0)).sorted
+      .toSeq == Seq(100, 101))
+    val pk100 = afterRevive.filter($"playerId" === 100)
+      .select($"name", $"game", $"score").collect().head
+    assert(pk100.getString(0) == "Zook")
+    // reference expects game = ["null"] (the revival's defaulted value
+    // alone, rendered as a single-element MV)
+    assert(pk100.getSeq[String](1) == Seq("null"))
+    assert(pk100.getDouble(2) == 0.0) // INCREMENT sums to DOUBLE
+  }
 }
