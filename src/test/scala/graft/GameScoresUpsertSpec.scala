@@ -1,5 +1,7 @@
 package graft
 
+import scala.collection.JavaConverters._
+
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.schema.{PinotSchema, TableConfig}
@@ -131,5 +133,34 @@ class GameScoresUpsertSpec extends SparkSpec {
     // alone, rendered as a single-element MV)
     assert(pk100.getSeq[String](1) == Seq("null"))
     assert(pk100.getDouble(2) == 0.0) // INCREMENT sums to DOUBLE
+  }
+
+  test("reference dedup fixture: the FIRST value persists per pk") {
+    // dedupIngestionTestData.tar.gz through the dedup-table view:
+    // 10 records over pks 0..4 — BaseDedupIntegrationTest.java:215-232
+    // expects 5 rows and the OLDER name ("" + pk) to persist
+    val tmp = java.nio.file.Files.createTempDirectory("dedupfix").toString
+    val proc = new ProcessBuilder("tar", "xzf",
+      "/root/reference/pinot-integration-tests/src/test/resources/dedupIngestionTestData.tar.gz",
+      "-C", tmp).start()
+    require(proc.waitFor() == 0, "untar failed")
+    val (schema, rows) = graft.compat.OnTimeCompat.readAvro(
+      s"$tmp/dedupIngestionTestData.avro")
+    val indexed = spark.createDataFrame(
+      new java.util.ArrayList(rows.zipWithIndex.map { case (r, i) =>
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i.toLong)
+      }.asJava),
+      schema.add("arrival_idx", LongType))
+    val deduped = graft.operators.Upsert.firstByKey(
+      indexed, Seq("id"), "arrival_idx")
+    assert(deduped.count() == 5)
+    deduped.select($"id", $"name").collect().foreach { r =>
+      assert(r.getString(1) == r.getInt(0).toString,
+        s"pk ${r.getInt(0)}: first value did not persist: ${r.getString(1)}")
+    }
+    // testSegmentReload: pushing the data AGAIN changes nothing
+    val repushed = graft.operators.Upsert.firstByKey(
+      indexed.unionAll(indexed), Seq("id"), "arrival_idx")
+    assert(repushed.count() == 5)
   }
 }
