@@ -76,6 +76,12 @@ object OnTimeCompat {
       case org.apache.avro.Schema.Type.STRING => StringType
       case org.apache.avro.Schema.Type.ARRAY =>
         ArrayType(sparkType(t.getElementType))
+      case org.apache.avro.Schema.Type.UNION =>
+        // nullable-field unions ["null", T] (avro_data_with_nulls)
+        val nonNull = t.getTypes.asScala
+          .filter(_.getType != org.apache.avro.Schema.Type.NULL)
+        require(nonNull.size == 1, s"unsupported avro union $t")
+        sparkType(nonNull.head)
       case other =>
         throw new IllegalArgumentException(s"avro type $other")
     }

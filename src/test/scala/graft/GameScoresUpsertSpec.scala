@@ -163,4 +163,41 @@ class GameScoresUpsertSpec extends SparkSpec {
       indexed.unionAll(indexed), Seq("id"), "arrival_idx")
     assert(repushed.count() == 5)
   }
+
+  test("reference null-handling fixture: inline count golds + distinct-from") {
+    // avro_data_with_nulls through NullHandlingIntegrationTest.java's
+    // inline expectations (:140-142 count=100, :173-180 OR-null=57,
+    // :188-196 neq-or-null=99) and the IS [NOT] DISTINCT FROM
+    // identities (:214-232)
+    val tmp = java.nio.file.Files.createTempDirectory("nullfix").toString
+    val proc = new ProcessBuilder("tar", "xzf",
+      "/root/reference/pinot-integration-tests/src/test/resources/avro_data_with_nulls.tar.gz",
+      "-C", tmp).start()
+    require(proc.waitFor() == 0, "untar failed")
+    val (schema, rows) = graft.compat.OnTimeCompat.readAvro(
+      s"$tmp/avro_data_with_nulls.avro")
+    val df = spark.createDataFrame(
+      new java.util.ArrayList(rows.asJava), schema)
+    assert(df.count() == 100) // getCountStarResult
+    assert(df.filter($"salary" === 4398214 || $"salary".isNull).count()
+      == 57)
+    assert(df.filter($"salary" =!= 46314 || $"salary".isNull).count()
+      == 99)
+    // three-valued logic: a null salary matches NEITHER branch of a
+    // plain != — so without the IS NULL arm the count drops by the
+    // null count
+    val nullSalaries = df.filter($"salary".isNull).count()
+    assert(nullSalaries > 0)
+    assert(df.filter($"salary" =!= 46314).count() == 99 - nullSalaries)
+    // IS DISTINCT FROM self is never true (nulls included);
+    // IS NOT DISTINCT FROM self always is
+    df.createOrReplaceTempView("nulls_fixture")
+    assert(spark.sql(
+      "SELECT * FROM nulls_fixture WHERE salary IS DISTINCT FROM salary")
+      .count() == 0)
+    assert(spark.sql(
+      "SELECT * FROM nulls_fixture " +
+        "WHERE description IS NOT DISTINCT FROM description")
+      .count() == 100)
+  }
 }
