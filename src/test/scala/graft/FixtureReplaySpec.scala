@@ -6,12 +6,17 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.schema.{PinotSchema, TableConfig}
 
-/** The reference's own upsert acceptance scenario, replayed over its
+/** The reference's own integration-test acceptance scenarios, replayed
+  * over its committed fixture archives with the Java tests' inline
+  * expected values: gameScores full/partial upsert delete+revive, the
+  * dedup ingestion data, the null-handling avro, and the CLP log data.
+  *
+  * Upsert scenario source: its
   * committed fixture data: `gameScores_csv.tar.gz` +
   * `upsert_table_test.schema` through the FULL-upsert delete/revive
   * flow of `UpsertTableIntegrationTest.java` (count contract :157-169;
   * delete + revive records and expected rows :239-290). */
-class GameScoresUpsertSpec extends SparkSpec {
+class FixtureReplaySpec extends SparkSpec {
   import spark.implicits._
 
   private val csvSchema =
@@ -199,5 +204,32 @@ class GameScoresUpsertSpec extends SparkSpec {
       "SELECT * FROM nulls_fixture " +
         "WHERE description IS NOT DISTINCT FROM description")
       .count() == 100)
+  }
+
+  test("reference CLP fixture: 100 real log lines round-trip; regex gold") {
+    // clpEncodingITData through CLPEncodingRealtimeTest.java's inline
+    // expectations (:70-72 count=100; :125-131 REGEXP_LIKE
+    // '.*executor.*' = 53) — the logLine column is CLP-encoded at
+    // ingest and queried transparently
+    val tmp = java.nio.file.Files.createTempDirectory("clpfix").toString
+    val proc = new ProcessBuilder("tar", "xzf",
+      "/root/reference/pinot-integration-tests/src/test/resources/clpEncodingITData.tar.gz",
+      "-C", tmp).start()
+    require(proc.waitFor() == 0, "untar failed")
+    val (schema, rows) = graft.compat.OnTimeCompat.readAvro(
+      s"$tmp/data.avro")
+    val df = spark.createDataFrame(new java.util.ArrayList(rows.asJava),
+      schema)
+    assert(df.count() == 100)
+    assert(df.filter($"logLine".rlike(".*executor.*")).count() == 53)
+    // CLP encode → decode round-trips every REAL log line byte-exact,
+    // and the regex gold holds over the DECODED column
+    import graft.functions.ClpFunctions
+    val enc = df.withColumn("e", ClpFunctions.clpEncode($"logLine"))
+    val roundTrip = enc.withColumn("back",
+      ClpFunctions.clpDecode($"e.logtype", $"e.dict_vars",
+        $"e.encoded_vars"))
+    assert(roundTrip.filter($"back" =!= $"logLine").count() == 0)
+    assert(roundTrip.filter($"back".rlike(".*executor.*")).count() == 53)
   }
 }
