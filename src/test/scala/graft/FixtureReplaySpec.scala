@@ -232,4 +232,33 @@ class FixtureReplaySpec extends SparkSpec {
     assert(roundTrip.filter($"back" =!= $"logLine").count() == 0)
     assert(roundTrip.filter($"back".rlike(".*executor.*")).count() == 53)
   }
+
+  test("reference geospatial fixtures: complex WKT round-trips the wire format") {
+    // pinot-core/src/test/resources/geospatial/complex-*.txt — the
+    // real-world geometries the reference's serde benchmark
+    // (BenchmarkGeospatialSerde.java) feeds through
+    // GeometrySerializer; each must survive our
+    // serialize → deserialize byte layout with geometry equality
+    val dir = new java.io.File(
+      "/root/reference/pinot-core/src/test/resources/geospatial")
+    val files = dir.listFiles().filter(_.getName.endsWith(".txt"))
+    assert(files.nonEmpty)
+    val reader = new org.locationtech.jts.io.WKTReader()
+    files.foreach { f =>
+      val wkt = new String(
+        java.nio.file.Files.readAllBytes(f.toPath), "UTF-8").trim
+      val g = reader.read(wkt)
+      val bytes = graft.plans.GeoJts.serialize(g)
+      val back = graft.plans.GeoJts.deserialize(bytes)
+      // norm() canonicalizes ring orientation/order without topology
+      // ops (real-world fixtures include invalid self-touching rings
+      // that equalsTopo cannot relate)
+      assert(back.norm().equalsExact(g.norm(), 0.0),
+        s"${f.getName}: wire round-trip changed the geometry")
+      assert(math.abs(back.getArea - g.getArea) <= 1e-12 * (1 + g.getArea),
+        s"${f.getName}: area drifted")
+      assert(back.getNumPoints == g.getNumPoints,
+        s"${f.getName}: point count changed")
+    }
+  }
 }
