@@ -19,6 +19,13 @@ import graft.schema.{PinotSchema, TableConfig}
 class FixtureReplaySpec extends SparkSpec {
   import spark.implicits._
 
+  // cancel (not fail) when the reference checkout is absent — same
+  // graceful degradation as the TPC-H query loader
+  private def requireReference(): Unit = assume(
+    new java.io.File(
+      "/root/reference/pinot-integration-tests/src/test/resources").isDirectory,
+    "reference checkout not present")
+
   private val csvSchema =
     "playerId INT, name STRING, game STRING, score FLOAT, " +
       "timestampInEpoch LONG, deleted BOOLEAN"
@@ -45,6 +52,7 @@ class FixtureReplaySpec extends SparkSpec {
     spark.read.schema(csvSchema).csv(csv.toDS)
 
   test("base data: 3 live pks of 10 raw rows (getCountStarResult)") {
+    requireReference()
     assert(baseRows.count() == 10) // skipUpsert=true contract
     val view = TableConfig.view(cfg, baseRows)
     assert(view.count() == 3)
@@ -58,6 +66,7 @@ class FixtureReplaySpec extends SparkSpec {
   }
 
   test("delete then revive (testDeleteWithFullUpsert TEST 1 + TEST 2)") {
+    requireReference()
     // TEST 1: two deleted=true records tombstone pks 100 and 102
     val deletes = rows(
       "102,Clifford,counter-strike,102,1681254200000,true",
@@ -94,6 +103,7 @@ class FixtureReplaySpec extends SparkSpec {
   }
 
   test("partial upsert: a delete resets merge state (testDeleteWithPartialUpsert)") {
+    requireReference()
     // fixture: gameScores_partial_upsert_csv.tar.gz; strategies
     // game=UNION score=INCREMENT (UpsertTableIntegrationTest.java:392-393)
     val tmp = java.nio.file.Files.createTempDirectory("gamescores_p").toString
@@ -141,6 +151,7 @@ class FixtureReplaySpec extends SparkSpec {
   }
 
   test("reference dedup fixture: the FIRST value persists per pk") {
+    requireReference()
     // dedupIngestionTestData.tar.gz through the dedup-table view:
     // 10 records over pks 0..4 — BaseDedupIntegrationTest.java:215-232
     // expects 5 rows and the OLDER name ("" + pk) to persist
@@ -170,6 +181,7 @@ class FixtureReplaySpec extends SparkSpec {
   }
 
   test("reference null-handling fixture: inline count golds + distinct-from") {
+    requireReference()
     // avro_data_with_nulls through NullHandlingIntegrationTest.java's
     // inline expectations (:140-142 count=100, :173-180 OR-null=57,
     // :188-196 neq-or-null=99) and the IS [NOT] DISTINCT FROM
@@ -207,6 +219,7 @@ class FixtureReplaySpec extends SparkSpec {
   }
 
   test("reference CLP fixture: 100 real log lines round-trip; regex gold") {
+    requireReference()
     // clpEncodingITData through CLPEncodingRealtimeTest.java's inline
     // expectations (:70-72 count=100; :125-131 REGEXP_LIKE
     // '.*executor.*' = 53) — the logLine column is CLP-encoded at
@@ -234,6 +247,7 @@ class FixtureReplaySpec extends SparkSpec {
   }
 
   test("reference geospatial fixtures: complex WKT round-trips the wire format") {
+    requireReference()
     // pinot-core/src/test/resources/geospatial/complex-*.txt — the
     // real-world geometries the reference's serde benchmark
     // (BenchmarkGeospatialSerde.java) feeds through
