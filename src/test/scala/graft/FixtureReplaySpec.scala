@@ -246,6 +246,43 @@ class FixtureReplaySpec extends SparkSpec {
     assert(roundTrip.filter($"back".rlike(".*executor.*")).count() == 53)
   }
 
+  test("reference eats fixture: aggregation and time-series golds") {
+    requireReference()
+    // sampleEatsData30k.avro through QueryExecutorTest.java's inline
+    // golds (:189-224 aggregations over TWO identical segments;
+    // :228-299 time-series with TimeBuckets' half-open-left buckets,
+    // TimeBuckets.java:64-73)
+    val avro = "/root/reference/pinot-core/src/test/resources/data/" +
+      "sampleEatsData30k.avro"
+    assume(new java.io.File(avro).isFile)
+    val (schema, rows) = graft.compat.OnTimeCompat.readAvro(avro)
+    val one = spark.createDataFrame(new java.util.ArrayList(rows.asJava),
+      schema)
+    val two = one.unionAll(one) // the harness builds 2 segments of it
+    assert(two.count() == 60000L)
+    assert(two.agg(sum($"orderItemCount")).head.getLong(0) == 120306L)
+    assert(two.agg(max($"orderAmount")).head.getInt(0) == 999)
+    assert(two.agg(min($"orderAmount")).head.getInt(0) == 0)
+    // SUM series, 2 buckets of 2h from 1726228400: first bucket empty
+    // (null), second sums to 29885544
+    val start = 1726228400L
+    val bucket1 = two.filter($"orderCreatedTimestamp" > start &&
+        $"orderCreatedTimestamp" <= start + 7200)
+      .agg(sum($"orderAmount")).head.getLong(0)
+    assert(bucket1 == 29885544L)
+    assert(two.filter($"orderCreatedTimestamp" > start - 7200 &&
+      $"orderCreatedTimestamp" <= start).count() == 0L)
+    // per-city MAX/MIN over the 100x1-minute window: 5 cities;
+    // New York max item count 4, Chicago min 0
+    val windowed = two.filter($"orderCreatedTimestamp" > start - 60 &&
+      $"orderCreatedTimestamp" <= start - 60 + 100L * 60)
+    assert(windowed.select($"cityName").distinct().count() == 5L)
+    assert(windowed.filter($"cityName" === "New York")
+      .agg(max($"orderItemCount")).head.getInt(0) == 4)
+    assert(windowed.filter($"cityName" === "Chicago")
+      .agg(min($"orderItemCount")).head.getInt(0) == 0)
+  }
+
   test("reference geospatial fixtures: complex WKT round-trips the wire format") {
     requireReference()
     // pinot-core/src/test/resources/geospatial/complex-*.txt — the
