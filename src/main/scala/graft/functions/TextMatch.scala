@@ -204,4 +204,91 @@ object TextMatch {
 
   /** Boolean Column: does `col` match the Lucene-ish `query`. */
   def textMatch(c: Column, query: String): Column = compile(parse(query), c)
+
+  /** Candidate doc ids from a token-posting index
+    * ([[graft.sources.TextIndex]]): resolves the query AST against the
+    * token DICTIONARY (vocabulary-sized — Lucene's term-dictionary
+    * role) and the `(token, doc_id)` POSTING frame. The returned set is
+    * always a SUPERSET of the true matches — callers re-verify with
+    * [[textMatch]] on the pruned rows, so over-approximation never
+    * changes results. Returns None when the query can't be bounded by
+    * the index: a token-free phrase, or a leaf whose dictionary match
+    * count exceeds `maxTokensPerLeaf` (the leaf would enumerate too
+    * much of the vocabulary — scan is the better plan).
+    *
+    * Leaf shapes → dictionary predicates:
+    *   term        exact posting lookup (no dictionary scan)
+    *   prefix*     startsWith (range-prunable on the sorted dictionary)
+    *   wild/`?`    anchored regex over the dictionary
+    *   fuzzy ~N    levenshtein over the dictionary (FuzzyQuery's
+    *               automaton walk, materialized)
+    *   "phrase"    interior words exact; FIRST word is a token SUFFIX
+    *               and LAST a token PREFIX (substring semantics can
+    *               start/end mid-token), single word → contains
+    *   proximity   per-term lookups intersected (order/slop ignored —
+    *               the re-verify applies them)
+    * AND intersects whichever children are indexable (dropping an
+    * unindexable conjunct keeps the superset); OR must union ALL
+    * children, so one unindexable branch makes the whole OR unindexable. */
+  private[graft] def candidateIds(
+      query: String,
+      dict: org.apache.spark.sql.DataFrame,
+      postings: org.apache.spark.sql.DataFrame,
+      maxTokensPerLeaf: Int = 1024): Option[org.apache.spark.sql.DataFrame] = {
+    type DF = org.apache.spark.sql.DataFrame
+    def tokensWhere(pred: Column): Option[Seq[String]] = {
+      val ts = dict.filter(pred).limit(maxTokensPerLeaf + 1)
+        .collect().map(_.getString(0)).toSeq
+      if (ts.length > maxTokensPerLeaf) None else Some(ts)
+    }
+    def docs(tokens: Seq[String]): DF =
+      if (tokens.isEmpty) postings.filter(lit(false)).select("doc_id")
+      else postings.filter(col("token").isin(tokens: _*))
+        .select("doc_id").distinct()
+    def exact(t: String): DF = docs(Seq(t.toLowerCase))
+    def inter(a: DF, b: DF): DF = a.join(b, "doc_id").select("doc_id")
+    def reduceOpt(parts: Seq[Option[DF]], requireAll: Boolean)
+        (combine: (DF, DF) => DF): Option[DF] =
+      if (requireAll) {
+        if (parts.exists(_.isEmpty)) None
+        else Some(parts.flatten.reduce(combine))
+      } else {
+        val some = parts.flatten
+        if (some.isEmpty) None else Some(some.reduce(combine))
+      }
+    def phraseCands(p: String): Option[DF] = {
+      val ws = p.toLowerCase.split("\\W+").filter(_.nonEmpty).toSeq
+      if (ws.isEmpty) None
+      else if (ws.size == 1) tokensWhere(col("token").contains(ws.head)).map(docs)
+      else {
+        val parts =
+          tokensWhere(col("token").endsWith(ws.head)).map(docs) +:
+            ws.slice(1, ws.size - 1).map(w => Some(exact(w))) :+
+            tokensWhere(col("token").startsWith(ws.last)).map(docs)
+        // every word is a required conjunct of the substring match —
+        // but an unbounded edge leaf may be dropped (superset holds)
+        reduceOpt(parts, requireAll = false)(inter)
+      }
+    }
+    def patDocs(p: TermPat): Option[DF] = p match {
+      case ExactT(t) => Some(exact(t))
+      case WildT(t) =>
+        tokensWhere(col("token").rlike("^" + wildRegex(t) + "$")).map(docs)
+    }
+    def go(n: Node): Option[DF] = n match {
+      case Term(t) => Some(exact(t))
+      case Phrase(p) => phraseCands(p)
+      case Prefix(p) => tokensWhere(col("token").startsWith(p.toLowerCase)).map(docs)
+      case Wild(t) =>
+        tokensWhere(col("token").rlike("^" + wildRegex(t) + "$")).map(docs)
+      case Fuzzy(t, n2) =>
+        tokensWhere(levenshtein(col("token"), lit(t.toLowerCase)) <= n2).map(docs)
+      case Proximity(terms, _) => reduceOpt(terms.map(patDocs),
+        requireAll = false)(inter)
+      case AndN(xs) => reduceOpt(xs.map(go), requireAll = false)(inter)
+      case OrN(xs) => reduceOpt(xs.map(go), requireAll = true)(
+        (a, b) => a.unionByName(b).distinct())
+    }
+    go(parse(query))
+  }
 }

@@ -76,13 +76,20 @@ object HnswIndex {
     Model(blobs.localCheckpoint(), m, efConstruction)
   }
 
+  /** A same-id candidate counts as "self" only when it is also
+    * vector-IDENTICAL to the probe (normalized dot ≈ 1): an in-corpus
+    * probe's own row clears this, an out-of-corpus probe that merely
+    * shares a corpus id does not — its same-id nearest neighbor has
+    * sim < 1 and is kept. Float-dot error is ~dim·1e-7, far below
+    * this margin. */
+  private val SelfSimFloor = 1.0 - 1e-4
+
   /** Beam-search every shard graph for each probe, merge to global
     * top-k. Returns (probe_id, neighbor_id, sim, rank). */
-  /** @param excludeSelf drop the candidate whose neighbor_id equals the
-    *   probe_id. Only sound when the probes ARE (a subset of) the corpus
-    *   frame, where the equal-id candidate is the probe's own row; for
-    *   out-of-corpus probes whose id space merely overlaps corpus ids,
-    *   pass false or a legitimate nearest neighbor is silently dropped. */
+  /** @param excludeSelf drop the candidate that IS the probe's own row —
+    *   same id AND vector-identical (sim ≈ 1). Safe for out-of-corpus
+    *   probes whose id space overlaps corpus ids: a same-id candidate
+    *   with a different vector is a legitimate neighbor and is kept. */
   def search(
       model: Model,
       probes: DataFrame,
@@ -120,7 +127,9 @@ object HnswIndex {
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("sim").desc, col("neighbor_id").asc)
     val kept =
-      if (excludeSelf) candidates.filter(col("probe_id") =!= col("neighbor_id"))
+      if (excludeSelf) candidates.filter(
+        col("probe_id") =!= col("neighbor_id") ||
+          col("sim") < lit(SelfSimFloor))
       else candidates
     kept
       .withColumn("sim", round(col("sim"), 4))
@@ -134,6 +143,28 @@ object HnswIndex {
     * (no global top-k exchange — a radius result is a SET). Sims are
     * exact, unrounded. Returns (probe_id, neighbor_id, sim). */
   def searchRadius(
+      model: Model,
+      probes: DataFrame,
+      probeId: String,
+      vecCol: String,
+      minSim: Double,
+      limitPerShard: Int): DataFrame =
+    searchRadiusWithStatus(model, probes, probeId, vecCol, minSim,
+      limitPerShard)
+      .filter(col("neighbor_id").isNotNull)
+      .select(col("probe_id"), col("neighbor_id"), col("sim"))
+
+  /** [[searchRadius]] plus a per-(shard, probe) completeness signal:
+    * `exhausted` is true only when that shard's expansion DRAINED its
+    * frontier below the cap — the result provably contains every
+    * in-radius node reachable in the shard graph. A shard-probe pair
+    * that terminated early (patience or `limitPerShard`) reports
+    * `exhausted = false`, and a pair with no in-radius hits still emits
+    * one null-neighbor marker row so the signal survives empty results.
+    * Callers that promised exact radius semantics (the facade's indexed
+    * VECTOR_SIMILARITY_RADIUS path) must fall back to the exact scan
+    * when any row reports `exhausted = false`. */
+  def searchRadiusWithStatus(
       model: Model,
       probes: DataFrame,
       probeId: String,
@@ -155,11 +186,16 @@ object HnswIndex {
             graph = HnswGraph.fromBytes(blob)
             lastShard = shard
           }
-          graph.searchRadius(pvec.toArray, minSim.toFloat, limitPerShard)
-            .map { case (nid, sim) => (pid, nid, sim.toDouble) }
+          val (hits, exhausted) = graph.searchRadius(
+            pvec.toArray, minSim.toFloat, limitPerShard)
+          if (hits.isEmpty)
+            Seq((pid, None: Option[Long], None: Option[Double], exhausted))
+          else hits.map { case (nid, sim) =>
+            (pid, Some(nid), Some(sim.toDouble), exhausted)
+          }
         }
       }
-      .toDF("probe_id", "neighbor_id", "sim")
+      .toDF("probe_id", "neighbor_id", "sim", "exhausted")
   }
 }
 
@@ -352,10 +388,19 @@ final class HnswGraph(val dim: Int, val m: Int, val efConstruction: Int) {
     * Similarities are EXACT dot products over normalized vectors, so
     * every returned node genuinely clears the threshold — the
     * approximation is only possible recall loss, as in the reference
-    * (which re-checks candidates against the forward index anyway). */
+    * (which re-checks candidates against the forward index anyway).
+    *
+    * Returns (hits, exhausted). `exhausted = true` means the frontier
+    * DRAINED below the cap: every in-radius node reachable in this
+    * graph is in the result (complete, not approximate). Shards up to
+    * [[HnswGraph.ExhaustiveRadiusLimit]] nodes never patience-stop, so
+    * their radius answers are always complete; larger shards stop after
+    * a patience that scales with graph and result size and report
+    * `exhausted = false` so callers can fall back to an exact scan
+    * instead of silently losing recall. */
   def searchRadius(rawQ: Array[Float], minSim: Float,
-      limit: Int): Seq[(Long, Float)] = {
-    if (entry == -1) return Seq.empty
+      limit: Int): (Seq[(Long, Float)], Boolean) = {
+    if (entry == -1) return (Seq.empty, true)
     val q = normalize(rawQ)
     var ep = entry
     var lc = maxLevel
@@ -386,7 +431,14 @@ final class HnswGraph(val dim: Int, val m: Int, val efConstruction: Int) {
       }
     push(ep)
     var misses = 0
-    val patience = 16
+    // small graphs drain fully (exact answers, bounded in-memory work);
+    // large ones use a patience that grows with graph + result size so
+    // below-threshold bridges to further in-radius pockets survive
+    val exhaustive = ids.length <= HnswGraph.ExhaustiveRadiusLimit
+    def patience: Int =
+      if (exhaustive) Int.MaxValue
+      else math.max(64, math.max(2 * out.length,
+        math.ceil(math.sqrt(ids.length.toDouble)).toInt))
     while (cand.nonEmpty && out.length < limit && misses < patience) {
       val (sim, node) = cand.dequeue()
       if (sim >= minSim) {
@@ -397,7 +449,9 @@ final class HnswGraph(val dim: Int, val m: Int, val efConstruction: Int) {
       var i = 0
       while (i < nbrs.length) { push(nbrs(i)); i += 1 }
     }
-    out.toSeq
+    // a drained frontier means every reachable node was evaluated —
+    // complete even if the hit count landed exactly on the cap
+    (out.toSeq, cand.isEmpty)
   }
 
   /** Shard blob: header + ids + levels + vectors + adjacency. */
@@ -443,6 +497,12 @@ final class HnswGraph(val dim: Int, val m: Int, val efConstruction: Int) {
 
 object HnswGraph {
   val Magic = 0x484e5357 // "HNSW"
+
+  /** Shards at or below this node count answer radius searches by full
+    * frontier drain — complete results, ~64Ki in-memory dot products
+    * worst case. Above it the patience heuristic applies and results
+    * carry `exhausted = false` when it fires. */
+  val ExhaustiveRadiusLimit = 65536
 
   def fromBytes(bytes: Array[Byte]): HnswGraph = {
     val bb = ByteBuffer.wrap(bytes)

@@ -161,17 +161,24 @@ object Upsert {
     * tombstone record deletes the key AND resets its merge state — a
     * later revival record starts merging fresh from itself, not from
     * the pre-delete history. One window pass finds each key's last
-    * tombstone time; only strictly-newer versions enter the merge, and
-    * keys whose history ends at a tombstone disappear. */
+    * tombstone time; newer versions enter the merge, and keys whose
+    * history ends at a tombstone disappear. Ties break in favor of
+    * NON-DELETE records: the reference's upsert comparison lets the
+    * later-arriving record win on equal comparison values
+    * (`UpsertUtils`/partial-upsert handler uses >=), so a
+    * same-comparison-value delete-then-revive revives the key. */
   def partialUpsert(df: DataFrame, keys: Seq[String], cmpCol: String,
       merges: Seq[Merge], deleteCol: Option[String]): DataFrame = {
     val live = deleteCol match {
       case Some(d) =>
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(keys.map(col): _*)
+        val isDel = coalesce(col(d).cast("boolean"), lit(false))
         df.withColumn("__del_ts",
             max(when(col(d) === true, col(cmpCol))).over(w))
-          .filter(col("__del_ts").isNull || col(cmpCol) > col("__del_ts"))
+          .filter(col("__del_ts").isNull ||
+            col(cmpCol) > col("__del_ts") ||
+            (col(cmpCol) === col("__del_ts") && !isDel))
           .drop("__del_ts")
       case None => df
     }

@@ -224,7 +224,12 @@ object TableConfig {
       case "TIMESTAMP" => TimestampType
       case _ => StringType
     }
-    cfg.fieldIndexes.foldLeft(df) { (d, fi) =>
+    // a fieldConfig entry's index declarations are INDEPENDENT in the
+    // reference (one entry may set both an indexType and a
+    // timestampConfig) — apply every matching family in sequence
+    // rather than stopping at the first
+    cfg.fieldIndexes.foldLeft(df) { (d0, fi) =>
+      var d = d0
       if (fi.indexTypes.contains("JSON") &&
           fi.properties.contains("shredPaths")) {
         val paths = fi.properties("shredPaths").split(";").toSeq
@@ -234,26 +239,29 @@ object TableConfig {
               case Array(path) => path.trim -> (StringType: DataType)
             }
           }
-        graft.sources.JsonShred.ingestShredded(spark, d,
+        d = graft.sources.JsonShred.ingestShredded(spark, d,
           s"$shredOutPath/${fi.column}_shred", fi.column, paths)
-      } else if (fi.indexTypes.contains("VECTOR")) {
+      }
+      if (fi.indexTypes.contains("VECTOR")) {
         graft.sql.QueryFacade.VectorIndexes.register(cfg.tableName, d,
           fi.properties.getOrElse("idColumn", cfg.primaryKeys.headOption
             .getOrElse(throw new IllegalArgumentException(
               s"vector index on ${fi.column} needs an idColumn property" +
                 " or a primary key"))),
           fi.column)
-        d
-      } else if (fi.openStruct.isDefined ||
+      }
+      if (fi.openStruct.isDefined ||
           fi.indexTypes.contains("OPENSTRUCT")) {
-        OpenStruct.split(d, fi.column,
+        d = OpenStruct.split(d, fi.column,
           fi.openStruct.getOrElse(OpenStruct.Config()))
-      } else if (fi.timestampGranularities.nonEmpty) {
+      }
+      if (fi.timestampGranularities.nonEmpty) {
         graft.sources.TimestampIndex.registerTable(cfg.tableName,
           fi.column, fi.timestampGranularities)
-        graft.sources.TimestampIndex(d, fi.column,
+        d = graft.sources.TimestampIndex(d, fi.column,
           fi.timestampGranularities)
-      } else d
+      }
+      d
     }
   }
 

@@ -434,28 +434,81 @@ object QueryFacade {
     "cross", "union", "intersect", "except", "as", "using", "and", "or",
     "semi", "anti", "lateral", "tablesample", "set", "option")
 
-  private[graft] def applyRlsFilters(
-      stmt: String, opts: Map[String, String]): String =
-    opts.foldLeft(stmt) {
-      case (s, (k, pred)) if k.startsWith("rlsfilters-") && pred.nonEmpty =>
-        injectRlsFilter(s, k.stripPrefix("rlsfilters-"), pred)
-      case (s, _) => s
-    }
+  /** Tables referenced by `stmt`, resolved from a real parse
+    * (UnresolvedRelation collection, subqueries included), normalized to
+    * the lowercase base name with quoting/qualification stripped — the
+    * role `RlsFiltersRewriter.java`'s data-source resolution plays, so
+    * backtick quoting or catalog qualification cannot dodge a policy.
+    * None when the statement doesn't parse as plain Spark SQL (facade
+    * dialect pre-rewrites); callers must then fall back conservatively. */
+  private[graft] def referencedTables(spark: SparkSession,
+      stmt: String): Option[Set[String]] =
+    try {
+      import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
+      val plan = spark.sessionState.sqlParser.parsePlan(stmt)
+      Some(plan.collectWithSubqueries {
+        case r: UnresolvedRelation => r.multipartIdentifier.last.toLowerCase
+      }.toSet)
+    } catch { case scala.util.control.NonFatal(_) => None }
 
+  /** Conservative fallback when the statement doesn't parse: any
+    * identifier-shaped mention of the table counts as a reference.
+    * Over-approximates (deny-by-default may fire on a literal), never
+    * under-approximates (no quoting bypass). */
+  private def mentionsTableToken(stmt: String, table: String): Boolean = {
+    val q = java.util.regex.Pattern.quote(table)
+    (s"(?is)(?:\\b$q\\b|`$q`)").r.findFirstIn(stmt).isDefined
+  }
+
+  private[graft] def applyRlsFilters(spark: SparkSession,
+      stmt: String, opts: Map[String, String]): String = {
+    val rlsOpts = opts.toSeq.collect {
+      case (k, pred) if k.startsWith("rlsfilters-") && pred.nonEmpty =>
+        (k.stripPrefix("rlsfilters-"), pred)
+    }
+    if (rlsOpts.isEmpty) return stmt
+    lazy val parsed = referencedTables(spark, stmt)
+    rlsOpts.foldLeft(stmt) { case (s, (table, pred)) =>
+      val (out, n) = injectRlsFilter(s, table, pred)
+      if (n == 0) {
+        // fail closed: a stamped filter the rewriter could not anchor to
+        // any reference must not silently serve unfiltered rows when the
+        // parser says the table IS read by this statement
+        val referenced = parsed match {
+          case Some(ts) => ts.contains(table)
+          case None => mentionsTableToken(s, table)
+        }
+        if (referenced) throw new SecurityException(
+          s"RLS: row filter for protected table '$table' could not be " +
+            "applied to this statement shape (fail closed)")
+      }
+      out
+    }
+  }
+
+  /** Wraps every `FROM`/`JOIN` reference to `table` — bare,
+    * backtick-quoted, or catalog/db-qualified — in a filtered subquery.
+    * Returns the rewritten statement and the number of references
+    * wrapped (0 lets the caller fail closed). */
   private def injectRlsFilter(stmt: String, table: String,
-      pred: String): String = {
-    val pat = ("""(?is)\b(from|join)\s+""" +
-      java.util.regex.Pattern.quote(table) +
-      """\b(\s+(?:as\s+)?([A-Za-z_]\w*))?""").r
-    pat.replaceAllIn(stmt, m => {
+      pred: String): (String, Int) = {
+    val q = java.util.regex.Pattern.quote(table)
+    val ref = s"(?:(?:`[^`]+`|[A-Za-z_]\\w*)\\s*\\.\\s*)*(?:`$q`|$q\\b)"
+    val pat = ("""(?is)\b(from|join)\s+(""" + ref +
+      """)(\s+(?:as\s+)?([A-Za-z_]\w*|`[^`]+`))?""").r
+    var n = 0
+    val out = pat.replaceAllIn(stmt, m => {
       val kw = m.group(1)
-      val alias = Option(m.group(3)).filterNot(a =>
-        SqlKeywords(a.toLowerCase))
+      val orig = m.group(2)
+      val alias = Option(m.group(4)).filterNot(a =>
+        SqlKeywords(a.stripPrefix("`").stripSuffix("`").toLowerCase))
       val as = alias.getOrElse(table)
+      n += 1
       java.util.regex.Matcher.quoteReplacement(
-        s"$kw (SELECT * FROM $table WHERE $pred) $as") +
-        (if (alias.isEmpty && m.group(2) != null) m.group(2) else "")
+        s"$kw (SELECT * FROM $orig WHERE $pred) $as") +
+        (if (alias.isEmpty && m.group(3) != null) m.group(3) else "")
     })
+    (out, n)
   }
 
   /** Facade-side RLS policy store — the role the broker's access
@@ -480,14 +533,19 @@ object QueryFacade {
     /** The option map the broker would stamp for `user`; throws if the
       * statement references a protected table the user has no grant
       * for (deny-by-default). */
-    private[graft] def optionsFor(user: String, stmt: String)
-        : Map[String, String] = {
+    private[graft] def optionsFor(spark: SparkSession, user: String,
+        stmt: String): Map[String, String] = {
       import scala.jdk.CollectionConverters._
+      // resolve references from a real parse (quoting/qualification
+      // can't bypass the policy); an unparseable facade-dialect
+      // statement over-approximates via identifier-token scan —
+      // over-denial is safe, under-detection would leak rows
+      lazy val parsed = referencedTables(spark, stmt)
       policies.asScala.flatMap { case (table, grants) =>
-        val referenced =
-          ("""(?is)\b(?:from|join)\s+""" +
-            java.util.regex.Pattern.quote(table) + """\b""").r
-            .findFirstIn(stmt).isDefined
+        val referenced = parsed match {
+          case Some(ts) => ts.contains(table)
+          case None => mentionsTableToken(stmt, table)
+        }
         if (!referenced) None
         else grants.get(user) match {
           case Some(f) => Some(s"rlsfilters-$table" -> f)
@@ -506,7 +564,7 @@ object QueryFacade {
     val Parsed(_, stmt) = parseOptions(query)
     // stamped options pass programmatically — a granted filter may
     // contain string literals that SET quoting would mangle
-    sqlWithExtraOptions(spark, query, Rls.optionsFor(user, stmt))
+    sqlWithExtraOptions(spark, query, Rls.optionsFor(spark, user, stmt))
   }
 
   // ---- vector-index-served VECTOR_SIMILARITY ----
@@ -628,12 +686,18 @@ object QueryFacade {
         val threshold =
           try kStr.trim.toDouble
           catch { case _: NumberFormatException => return stmt }
-        val cands = graft.operators.HnswIndex.searchRadius(entry.model,
-          probeDf, "pid", "pvec", minSim = 1.0 - threshold,
+        val cands = graft.operators.HnswIndex.searchRadiusWithStatus(
+          entry.model, probeDf, "pid", "pvec", minSim = 1.0 - threshold,
           limitPerShard = entry.internalLimit)
-          .select(fcol("neighbor_id")).collect()
-        if (cands.length >= entry.internalLimit) return stmt // saturated
-        cands.map(_.getLong(0))
+          .select(fcol("neighbor_id"), fcol("exhausted")).collect()
+        // fall back to the exact rewrite unless EVERY shard drained its
+        // frontier: a patience- or cap-terminated expansion may have
+        // missed in-radius docs, and "a radius predicate must return
+        // ALL matching docs, not a truncated subset"
+        if (cands.exists(!_.getBoolean(1))) return stmt
+        val hits = cands.filter(!_.isNullAt(0)).map(_.getLong(0))
+        if (hits.length >= entry.internalLimit) return stmt // saturated
+        hits
       } else {
         val k =
           try kStr.trim.toInt
@@ -986,7 +1050,7 @@ object QueryFacade {
           rewriteJsonMatch(
             rewriteAsOf(rewriteReserved(stripHints(
               rewriteTimestampIndex(
-                applyRlsFilters(stmt0, opts)))))))))
+                applyRlsFilters(spark, stmt0, opts)))))))))
     if (Ddl.isDdl(stmt)) return Ddl.execute(spark, stmt)
     // Pinot EXPLAIN PLAN FOR <query> (PinotQueryResource explain
     // support): one row per plan-tree line, mirroring the reference's

@@ -151,14 +151,26 @@ final class KafkaSocketPartitionReader(p: KafkaSocketInputPartition)
       val (records, _) = client.fetch(p.topic, p.partition, nextOffset)
       val inRange = records.filter(r =>
         r.offset >= nextOffset && r.offset < p.endOffset)
-      // a planned [start, end) range the broker can no longer serve
-      // (log truncation) must FAIL, not silently under-deliver — the
-      // exactly-once replay contract depends on the full range
-      if (inRange.isEmpty) throw new IllegalStateException(
-        s"Kafka fetch for ${p.topic}-${p.partition} returned no records in " +
-          s"[$nextOffset, ${p.endOffset}): log truncated below planned range")
-      buffer ++= inRange
-      nextOffset = inRange.last.offset + 1
+      if (inRange.nonEmpty) {
+        buffer ++= inRange
+        nextOffset = inRange.last.offset + 1
+      } else {
+        // a COMPACTED topic can legitimately return a batch whose
+        // surviving records all fall outside the planned range —
+        // offsets are monotonic, so advance past what the broker
+        // returned and keep scanning. Only an empty fetch below
+        // endOffset (nothing left to serve at all) is log truncation,
+        // which must FAIL, not silently under-deliver: the
+        // exactly-once replay contract depends on the full range.
+        val maxReturned =
+          if (records.isEmpty) -1L else records.map(_.offset).max
+        if (maxReturned >= nextOffset) nextOffset = maxReturned + 1
+        else throw new IllegalStateException(
+          s"Kafka fetch for ${p.topic}-${p.partition} returned no " +
+            s"records at or above $nextOffset (planned " +
+            s"[$nextOffset, ${p.endOffset})): log truncated below " +
+            "planned range")
+      }
     }
     if (buffer.isEmpty) false
     else {

@@ -235,10 +235,21 @@ object KafkaWire {
     require(records.nonEmpty, "empty record batch")
     val baseTs = records.head.timestampMs
     val maxTs = records.map(_.timestampMs).max
+    // offset deltas: when the records carry real assigned offsets
+    // (broker fetch path: ascending, anchored at baseOffset) PRESERVE
+    // them — a compacted log's surviving batch keeps its original
+    // offsets, with gaps. Producer-side records (no meaningful
+    // offsets) fall back to positional deltas, as a producer batch is
+    // always dense.
+    val ownOffsets = records.head.offset == baseOffset &&
+      records.iterator.sliding(2).withPartial(false)
+        .forall(p => p(1).offset > p(0).offset)
+    def delta(rec: Record, i: Int): Long =
+      if (ownOffsets) rec.offset - baseOffset else i.toLong
     // batch body from `attributes` onward (the CRC32C coverage)
     val body = new Writer
     body.i16(0) // attributes: no compression, CREATE_TIME, non-txn
-    body.i32(records.length - 1) // lastOffsetDelta
+    body.i32(delta(records.last, records.length - 1).toInt) // lastOffsetDelta
     body.i64(baseTs)
     body.i64(maxTs)
     body.i64(-1L) // producerId (non-idempotent)
@@ -249,7 +260,7 @@ object KafkaWire {
       val rb = new Writer
       rb.i8(0) // record attributes
       writeVarLong(rb, rec.timestampMs - baseTs)
-      writeVarLong(rb, i.toLong) // offsetDelta
+      writeVarLong(rb, delta(rec, i)) // offsetDelta
       if (rec.key == null) writeVarLong(rb, -1L)
       else { writeVarLong(rb, rec.key.length.toLong); rb.raw(rec.key) }
       if (rec.value == null) writeVarLong(rb, -1L)

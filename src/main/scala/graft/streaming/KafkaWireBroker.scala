@@ -65,13 +65,26 @@ final class KafkaWireBroker(host: String = "127.0.0.1",
       value: Array[Byte], tsMs: Long): Long = logs.synchronized {
     val log = logs.getOrElseUpdate((topic, partition),
       mutable.ArrayBuffer.empty)
-    val off = log.length.toLong
+    val off = if (log.isEmpty) 0L else log.last.offset + 1
     log += Record(key, value, tsMs, off)
     off
   }
 
   def endOffset(topic: String, partition: Int): Long = logs.synchronized {
-    logs.get((topic, partition)).map(_.length.toLong).getOrElse(0L)
+    logs.get((topic, partition))
+      .map(l => if (l.isEmpty) 0L else l.last.offset + 1).getOrElse(0L)
+  }
+
+  /** Simulate log compaction: drop records `retain` rejects, KEEPING
+    * the survivors' assigned offsets — as Kafka compaction does, so a
+    * fetch at a compacted offset returns the next surviving batch. */
+  def compact(topic: String, partition: Int,
+      retain: Record => Boolean): Unit = logs.synchronized {
+    logs.get((topic, partition)).foreach { log =>
+      val kept = log.filter(retain)
+      log.clear()
+      log ++= kept
+    }
   }
 
   /** Persist the in-memory log as the FileTopicLog parquet layout —
@@ -232,7 +245,11 @@ final class KafkaWireBroker(host: String = "127.0.0.1",
           val (slice, hw) = logs.synchronized {
             val log = logs.getOrElse((topic, partition),
               mutable.ArrayBuffer.empty[Record])
-            val from = math.max(0L, fetchOffset).toInt
+            // select by record OFFSET, not buffer position — after
+            // compaction the two diverge and a fetch at a compacted
+            // offset must return the next surviving records
+            val from = log.indexWhere(_.offset >= math.max(0L, fetchOffset))
+              match { case -1 => log.length case idx => idx }
             val sel = Seq.newBuilder[Record]
             var size = 0
             var i = from

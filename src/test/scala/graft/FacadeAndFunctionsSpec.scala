@@ -607,7 +607,35 @@ class FacadeAndFunctionsSpec extends SparkSpec {
     val carol = QueryFacade.sqlAs(spark, "carol",
       "SET explicitLimit = true; SELECT count(*) AS n FROM region")
     assert(carol.collect().head.getLong(0) == 1L)
+    // quoting/qualification cannot dodge the policy: the reference's
+    // RlsFiltersRewriter resolves the table from the parsed data source
+    // (a) backtick-quoted reference still gets the granted filter
+    val quoted = QueryFacade.sqlAs(spark, "alice",
+      "SET explicitLimit = true; SELECT count(*) AS n FROM `nation`")
+    assert(quoted.collect().head.getLong(0) ==
+      expect2.collect().head.getLong(0),
+      "backtick-quoted reference must not bypass the RLS filter")
+    // (b) backtick-quoted reference still deny-by-defaults an
+    // unauthorized user
+    intercept[SecurityException] {
+      QueryFacade.sqlAs(spark, "mallory", "SELECT * FROM `nation`")
+    }
+    // (c) qualified reference the rewriter can't anchor fails CLOSED
+    // (SecurityException), never serves unfiltered rows
+    intercept[SecurityException] {
+      QueryFacade.sqlAs(spark, "mallory", "SELECT * FROM db.nation")
+    }
     QueryFacade.Rls.clear()
+    // (d) SET-stamped filter on a quoted reference applies (the
+    // non-policy-store path through applyRlsFilters)
+    val setQuoted = QueryFacade.sql(spark,
+      "SET rlsFilters-nation = 'n_regionkey = 1'; SET explicitLimit = true; " +
+        "SELECT count(*) AS n FROM `nation` x")
+    val setExpect = QueryFacade.sql(spark,
+      "SET explicitLimit = true; " +
+        "SELECT count(*) AS n FROM nation WHERE n_regionkey = 1")
+    assert(setQuoted.collect().head.getLong(0) ==
+      setExpect.collect().head.getLong(0))
   }
 
   test("virtual-column rewrite leaves string literals untouched") {

@@ -129,5 +129,57 @@ class HnswSpec extends SparkSpec {
     val capped = HnswIndex.searchRadius(model, probes, "vec_id",
       "embedding", minSim, limitPerShard = 1).collect()
     assert(capped.length <= 4) // nShards = 4
+    // ... and a capped shard self-reports incomplete (exhausted=false),
+    // the signal the facade's indexed radius path falls back on
+    val status = HnswIndex.searchRadiusWithStatus(model, probes, "vec_id",
+      "embedding", minSim, limitPerShard = 1).collect()
+    assert(status.exists(!_.getBoolean(3)),
+      "limit-terminated shard must report exhausted=false")
+    // an uncapped search over executor-sized shards drains fully:
+    // complete by construction, so every row reports exhausted=true
+    val full = HnswIndex.searchRadiusWithStatus(model, probes, "vec_id",
+      "embedding", minSim, limitPerShard = 10000).collect()
+    assert(full.nonEmpty && full.forall(_.getBoolean(3)))
+  }
+
+  test("graph radius search reports exhaustion honestly") {
+    val vs = randomVecs(500, 16, 11)
+    val g = new HnswGraph(16, 8, 60)
+    vs.zipWithIndex.foreach { case (v, i) => g.add(i.toLong, v) }
+    // generous limit on a small graph: full drain, complete answer
+    val (hits, done) = g.searchRadius(vs(0), 0.2f, 10000)
+    assert(done, "small graph must drain its frontier")
+    assert(hits.nonEmpty)
+    // a hit-count cap stops early and must say so
+    val (_, capped) = g.searchRadius(vs(0), -1.0f, 3)
+    assert(!capped, "limit-stopped search must report exhausted=false")
+  }
+
+  test("out-of-corpus probe sharing a corpus id keeps its true neighbor") {
+    val t = Tables(spark, sf)
+    val spk = spark
+    import spk.implicits._
+    val model = HnswIndex.build(t.embeddings, "vec_id", "embedding",
+      m = 16, efConstruction = 100, nShards = 4)
+    // probe id 0 is NOT row 0 of the corpus: its vector is corpus row
+    // 0's vector with one component nudged, so the true nearest
+    // neighbor is corpus id 0 — same id as the probe, different vector
+    val v0 = t.embeddings.filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<float>")).collect()
+      .head.getSeq[Float](0).toArray
+    val nudged = v0.clone()
+    nudged(0) = nudged(0) + 0.05f
+    val probes = Seq((0L, nudged.toSeq)).toDF("vec_id", "embedding")
+    val got = HnswIndex.search(model, probes, "vec_id", "embedding",
+      k = 1, ef = 64).collect()
+    assert(got.length == 1 && got.head.getLong(1) == 0L,
+      s"expected corpus id 0 as nearest, got ${got.mkString(",")}")
+    // while a genuinely identical same-id vector (the probe's own row,
+    // when probing in-corpus) is still excluded
+    val inCorpus = t.embeddings.filter(col("vec_id") === 0)
+    val self = HnswIndex.search(model, inCorpus, "vec_id", "embedding",
+      k = 3, ef = 64).collect()
+    assert(self.forall(_.getLong(1) != 0L),
+      s"in-corpus probe must not return itself: ${self.mkString(",")}")
   }
 }

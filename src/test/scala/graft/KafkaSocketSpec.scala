@@ -224,4 +224,36 @@ class KafkaSocketSpec extends SparkSpec {
       producer.close()
     } finally broker.close()
   }
+
+  test("compacted topic: reader skips compacted gaps, still fails on truncation") {
+    val broker = new KafkaWireBroker(numPartitions = 1).start()
+    try {
+      (0 until 10).foreach { i =>
+        broker.append("c", 0, s"k${i % 2}".getBytes,
+          s"v$i".getBytes, 1000L + i)
+      }
+      // compact away offsets 3..6: survivors keep their offsets, so a
+      // fetch inside the gap returns a batch entirely outside it —
+      // which must NOT be read as truncation
+      broker.compact("c", 0, r => r.offset < 3 || r.offset > 6)
+      def read(start: Long, end: Long): Seq[Long] = {
+        val reader = new graft.streaming.KafkaSocketPartitionReader(
+          graft.streaming.KafkaSocketInputPartition(
+            "127.0.0.1", broker.port, "c", 0, start, end))
+        val got = Seq.newBuilder[Long]
+        try {
+          while (reader.next()) got += reader.get().getLong(4)
+        } finally reader.close()
+        got.result()
+      }
+      // range straddling the gap: surviving offsets on both sides
+      assert(read(0, 10) == Seq(0L, 1L, 2L, 7L, 8L, 9L))
+      // range entirely inside the compacted gap: zero rows, no error
+      assert(read(3, 7) == Seq.empty)
+      // genuine truncation (nothing at or above the requested offset
+      // remains below endOffset) still FAILS the exactly-once contract
+      broker.compact("c", 0, _ => false) // drop everything
+      intercept[IllegalStateException] { read(0, 10) }
+    } finally broker.close()
+  }
 }

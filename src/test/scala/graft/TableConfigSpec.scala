@@ -146,4 +146,35 @@ class TableConfigSpec extends SparkSpec {
       graft.sources.JsonShred.clear()
     }
   }
+
+  test("one fieldConfig entry applies EVERY declared index family") {
+    // in the reference a fieldConfig entry's index declarations are
+    // independent — JSON shredding and a timestampConfig on the same
+    // entry must both take effect, not first-match-wins
+    val json = """{
+      "tableName": "cfg_multi",
+      "tableType": "OFFLINE",
+      "primaryKeyColumns": ["id"],
+      "fieldConfigList": [
+        { "name": "props", "indexTypes": ["JSON"],
+          "properties": { "shredPaths": "$.k:INT" },
+          "timestampConfig": { "granularities": ["DAY"] } }
+      ]
+    }"""
+    val cfg = TableConfig.fromJson(json)
+    assert(cfg.fieldIndexes.head.timestampGranularities == Seq("DAY"))
+    val df = Seq((1L, """{"k": 5}"""), (2L, """{"k": 50}"""))
+      .toDF("id", "props")
+    val dir = java.nio.file.Files.createTempDirectory("graft_tcmulti").toString
+    try {
+      val out = TableConfig.applyIndexes(spark, cfg, df, dir)
+      // JSON family shredded $.k AND the timestamp family added its
+      // derived granularity column
+      assert(out.columns.contains("props__k"), out.columns.mkString(","))
+      assert(out.columns.exists(_.contains("$DAY")), out.columns.mkString(","))
+    } finally {
+      graft.sources.JsonShred.clear()
+      graft.sources.TimestampIndex.clear()
+    }
+  }
 }

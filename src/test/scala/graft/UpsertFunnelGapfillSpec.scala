@@ -114,6 +114,25 @@ class UpsertFunnelGapfillSpec extends SparkSpec {
     assert(ov == Map(1L -> Some("a"), 2L -> Some("b"), 3L -> Some("c")))
   }
 
+  test("partial-upsert tombstone ties: same-comparison revive wins") {
+    // the reference's upsert comparison lets the later-arriving record
+    // win on EQUAL comparison values, so a delete-then-revive at the
+    // same timestamp revives the key (merge state still reset — the
+    // pre-delete history stays gone)
+    val rows = Seq(
+      (1L, 10L, Some(5L), false),  // pre-delete history
+      (1L, 20L, None,     true),   // tombstone at ts=20
+      (1L, 20L, Some(7L), false),  // revive at the SAME ts
+      (2L, 10L, Some(1L), false),
+      (2L, 20L, None,     true)    // tombstone, no revive: key gone
+    ).toDF("k", "v", "score", "deleted")
+    val out = Upsert.partialUpsert(rows, Seq("k"), "v",
+        Seq(Upsert.Increment("score")), deleteCol = Some("deleted"))
+      .select($"k", $"score").as[(Long, Option[Long])].collect().toMap
+    // key 1 revived with RESET state: 7, not 5+7; key 2 deleted
+    assert(out == Map(1L -> Some(7L)), out.toString)
+  }
+
   test("gapfillAggregate averages over filled buckets") {
     val agg = Seq(
       ("2024-01-01 00:00:00", "a", 4.0),
