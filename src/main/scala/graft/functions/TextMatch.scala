@@ -217,77 +217,167 @@ object TextMatch {
     * much of the vocabulary — scan is the better plan).
     *
     * Leaf shapes → dictionary predicates:
-    *   term        exact posting lookup (no dictionary scan)
-    *   prefix*     startsWith (range-prunable on the sorted dictionary)
-    *   wild/`?`    anchored regex over the dictionary
+    *   term        exact posting lookup (no dictionary scan) — EXACT
+    *   prefix*     startsWith (range-prunable dictionary walk) — EXACT
+    *   wild/`?`    anchored regex over the dictionary — EXACT
     *   fuzzy ~N    levenshtein over the dictionary (FuzzyQuery's
-    *               automaton walk, materialized)
-    *   "phrase"    interior words exact; FIRST word is a token SUFFIX
-    *               and LAST a token PREFIX (substring semantics can
-    *               start/end mid-token), single word → contains
+    *               automaton walk, materialized) — EXACT
+    *   "phrase"    POSITIONAL adjacency chain (Lucene PhraseQuery):
+    *               interior words exact tokens, FIRST word a token
+    *               SUFFIX and LAST a token PREFIX (substring semantics
+    *               can start/end mid-token), consecutive positions —
+    *               tight superset of the substring match; single word →
+    *               token-contains, which IS exact
     *   proximity   per-term lookups intersected (order/slop ignored —
-    *               the re-verify applies them)
+    *               the re-verify applies them) — superset
     * AND intersects whichever children are indexable (dropping an
     * unindexable conjunct keeps the superset); OR must union ALL
-    * children, so one unindexable branch makes the whole OR unindexable. */
+    * children, so one unindexable branch makes the whole OR unindexable.
+    *
+    * Returns (candidates, exact, bound):
+    *   - `exact = true` means the set provably EQUALS the match set
+    *     (every leaf exact, no conjunct dropped), so callers may skip
+    *     the re-verify and serve the ids alone.
+    *   - `bound` is an UPPER bound on the candidate count, computed
+    *     from dictionary doc frequencies BEFORE any posting is read
+    *     (AND → min of children, OR → sum, leaf → Σ df of its tokens) —
+    *     the planner's cost input: a caller can fall back to the scan
+    *     without paying for a doomed evaluation. */
   private[graft] def candidateIds(
       query: String,
       dict: org.apache.spark.sql.DataFrame,
       postings: org.apache.spark.sql.DataFrame,
-      maxTokensPerLeaf: Int = 1024): Option[org.apache.spark.sql.DataFrame] = {
+      maxTokensPerLeaf: Int = 1024)
+      : Option[(org.apache.spark.sql.DataFrame, Boolean, Long)] = {
     type DF = org.apache.spark.sql.DataFrame
-    def tokensWhere(pred: Column): Option[Seq[String]] = {
-      val ts = dict.filter(pred).limit(maxTokensPerLeaf + 1)
-        .collect().map(_.getString(0)).toSeq
-      if (ts.length > maxTokensPerLeaf) None else Some(ts)
+    // (candidates, exact, count upper bound)
+    type Cand = (DF, Boolean, Long)
+    def tokensWhere(pred: Column): Option[(Seq[String], Long)] = {
+      // word-level leaves scan the UNIGRAM dictionary only — bigram
+      // shingles live in the same table (space-separated) and must not
+      // satisfy a word pattern (a fuzzy/suffix match against a shingle
+      // would admit docs the word-level predicate rejects)
+      val ts = dict.filter(pred && !col("token").contains(" "))
+        .select(col("token"), col("df"))
+        .limit(maxTokensPerLeaf + 1)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      if (ts.length > maxTokensPerLeaf) None
+      else Some((ts.map(_._1), ts.map(_._2).sum))
+    }
+    def bigramLeaf(a: String, b: String): (Seq[String], Long) = {
+      val tok = s"$a $b"
+      val df = dict.filter(col("token") === tok).select(col("df"))
+        .collect().headOption.map(_.getLong(0)).getOrElse(0L)
+      (Seq(tok), df)
     }
     def docs(tokens: Seq[String]): DF =
       if (tokens.isEmpty) postings.filter(lit(false)).select("doc_id")
       else postings.filter(col("token").isin(tokens: _*))
         .select("doc_id").distinct()
-    def exact(t: String): DF = docs(Seq(t.toLowerCase))
+    def leaf(ts: (Seq[String], Long), exact: Boolean): Cand =
+      (docs(ts._1), exact, ts._2)
+    def termLeaf(t: String): Cand =
+      leaf(tokensWhere(col("token") === t.toLowerCase)
+        .getOrElse((Seq(t.toLowerCase), 0L)), exact = true)
     def inter(a: DF, b: DF): DF = a.join(b, "doc_id").select("doc_id")
-    def reduceOpt(parts: Seq[Option[DF]], requireAll: Boolean)
-        (combine: (DF, DF) => DF): Option[DF] =
-      if (requireAll) {
-        if (parts.exists(_.isEmpty)) None
-        else Some(parts.flatten.reduce(combine))
-      } else {
-        val some = parts.flatten
-        if (some.isEmpty) None else Some(some.reduce(combine))
-      }
-    def phraseCands(p: String): Option[DF] = {
+    def union(a: DF, b: DF): DF = a.unionByName(b).distinct()
+    /** Per-doc merged position array for a set of matching tokens. */
+    def posFrame(tokens: Seq[String]): DF =
+      postings.filter(col("token").isin(tokens: _*))
+        .groupBy(col("doc_id"))
+        .agg(flatten(collect_list(col("positions"))).as("cpos"))
+    /** One adjacency step of a positional chain: keep, per doc, the
+      * positions of `f` immediately following a surviving position. */
+    def chainStep(cur: DF, f: DF): DF =
+      cur.withColumnRenamed("cpos", "prev")
+        .join(f, "doc_id")
+        .select(col("doc_id"),
+          filter(col("cpos"), q =>
+            exists(col("prev"), p2 => p2 === q - lit(1))).as("cpos"))
+        .filter(size(col("cpos")) > 0)
+    def chain(frames: Seq[DF]): DF =
+      frames.tail.foldLeft(frames.head)(chainStep)
+        .select("doc_id").distinct()
+    def combineAnd(parts: Seq[Option[Cand]]): Option[Cand] = {
+      val some = parts.flatten
+      if (some.isEmpty) None
+      else Some((some.map(_._1).reduce(inter),
+        // dropping an unindexable conjunct widens the set
+        parts.forall(_.isDefined) && some.forall(_._2),
+        some.map(_._3).min))
+    }
+    def combineOr(parts: Seq[Option[Cand]]): Option[Cand] =
+      if (parts.exists(_.isEmpty)) None
+      else Some((parts.flatten.map(_._1).reduce(union),
+        parts.flatten.forall(_._2),
+        parts.flatten.map(_._3).sum))
+    def phraseCands(p: String): Option[Cand] = {
       val ws = p.toLowerCase.split("\\W+").filter(_.nonEmpty).toSeq
       if (ws.isEmpty) None
-      else if (ws.size == 1) tokensWhere(col("token").contains(ws.head)).map(docs)
+      else if (ws.size == 1)
+        // contains(text, w) over word chars ⟺ some token contains w
+        tokensWhere(col("token").contains(ws.head))
+          .map(ts => leaf(ts, exact = true))
       else {
-        val parts =
-          tokensWhere(col("token").endsWith(ws.head)).map(docs) +:
-            ws.slice(1, ws.size - 1).map(w => Some(exact(w))) :+
-            tokensWhere(col("token").startsWith(ws.last)).map(docs)
-        // every word is a required conjunct of the substring match —
-        // but an unbounded edge leaf may be dropped (superset holds)
-        reduceOpt(parts, requireAll = false)(inter)
+        // can a substring occurrence start or end MID-TOKEN? Only if
+        // the dictionary holds a proper suffix-extension of the first
+        // word or prefix-extension of the last
+        val suffixExtra = tokensWhere(
+          col("token").endsWith(ws.head) && col("token") =!= ws.head)
+        val prefixExtra = tokensWhere(
+          col("token").startsWith(ws.last) && col("token") =!= ws.last)
+        if (suffixExtra.exists(_._1.isEmpty) &&
+            prefixExtra.exists(_._1.isEmpty)) {
+          // every occurrence is an exact-token phrase → BIGRAM shingle
+          // chain: each step's doc frequency is the PAIR's (typically
+          // orders of magnitude below either word's), and the
+          // positional chain makes n-gram adjacency exact
+          val steps = ws.sliding(2).map(p => bigramLeaf(p(0), p(1))).toSeq
+          Some((chain(steps.map(s => posFrame(s._1))),
+            false, steps.map(_._2).min))
+        } else {
+          // word-level positional chain with the partial-edge token
+          // sets merged in
+          val stepTokens: Seq[Option[(Seq[String], Long)]] =
+            tokensWhere(col("token").endsWith(ws.head)) +:
+              ws.slice(1, ws.size - 1).map(w =>
+                tokensWhere(col("token") === w)
+                  .orElse(Some((Seq(w), 0L)))) :+
+              tokensWhere(col("token").startsWith(ws.last))
+          if (stepTokens.exists(_.isEmpty))
+            // an unbounded edge leaf: fall back to plain doc
+            // intersection over the bounded words (still a superset)
+            combineAnd(stepTokens.flatten.map(ts =>
+              Some(leaf(ts, exact = false))))
+              .map { case (df, _, b) => (df, false, b) }
+          else
+            Some((chain(stepTokens.map(ts => posFrame(ts.get._1))),
+              false, stepTokens.flatten.map(_._2).min))
+        }
       }
     }
-    def patDocs(p: TermPat): Option[DF] = p match {
-      case ExactT(t) => Some(exact(t))
+    def patDocs(p: TermPat): Option[Cand] = p match {
+      case ExactT(t) => Some(termLeaf(t))
       case WildT(t) =>
-        tokensWhere(col("token").rlike("^" + wildRegex(t) + "$")).map(docs)
+        tokensWhere(col("token").rlike("^" + wildRegex(t) + "$"))
+          .map(ts => leaf(ts, exact = true))
     }
-    def go(n: Node): Option[DF] = n match {
-      case Term(t) => Some(exact(t))
+    def go(n: Node): Option[Cand] = n match {
+      case Term(t) => Some(termLeaf(t))
       case Phrase(p) => phraseCands(p)
-      case Prefix(p) => tokensWhere(col("token").startsWith(p.toLowerCase)).map(docs)
+      case Prefix(p) =>
+        tokensWhere(col("token").startsWith(p.toLowerCase))
+          .map(ts => leaf(ts, exact = true))
       case Wild(t) =>
-        tokensWhere(col("token").rlike("^" + wildRegex(t) + "$")).map(docs)
+        tokensWhere(col("token").rlike("^" + wildRegex(t) + "$"))
+          .map(ts => leaf(ts, exact = true))
       case Fuzzy(t, n2) =>
-        tokensWhere(levenshtein(col("token"), lit(t.toLowerCase)) <= n2).map(docs)
-      case Proximity(terms, _) => reduceOpt(terms.map(patDocs),
-        requireAll = false)(inter)
-      case AndN(xs) => reduceOpt(xs.map(go), requireAll = false)(inter)
-      case OrN(xs) => reduceOpt(xs.map(go), requireAll = true)(
-        (a, b) => a.unionByName(b).distinct())
+        tokensWhere(levenshtein(col("token"), lit(t.toLowerCase)) <= n2)
+          .map(ts => leaf(ts, exact = true))
+      case Proximity(terms, _) =>
+        combineAnd(terms.map(patDocs)).map { case (df, _, b) => (df, false, b) }
+      case AndN(xs) => combineAnd(xs.map(go))
+      case OrN(xs) => combineOr(xs.map(go))
     }
     go(parse(query))
   }

@@ -153,6 +153,39 @@ object ExtraQueries {
            OR regexp_matches(lower(text), '(^|[^a-zA-Z0-9_])filter')
         ORDER BY doc_id""")),
 
+    // TEXT_MATCH served from the token-posting INDEX layout
+    // (TextMatchFilterOperator.java:38 + the Lucene text index dir —
+    // index-first candidates, forward-index re-check). The index is an
+    // INGEST artifact (IndexCache-memoized, like q_filter_json_shred's
+    // shred); the query measures the index-served path: term + prefix
+    // leaves resolve on the dictionary, the phrase by POSITIONAL
+    // adjacency, the AND takes the min-df bound, and the candidate ids
+    // become a literal IN-list that prunes the parquet scan. used_index
+    // is read off the executed plan (PushedFilters In(doc_id,...)) — a
+    // silent fall-through to the scan fails the gate. Oracle mirrors
+    // the exact scan semantics.
+    GQuery("q_text_match_indexed",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        graft.sql.QueryFacade.init(s, dir)
+        graft.sources.TextIndex.register("documents",
+          t.documents, "doc_id", "text")
+        val q = graft.sql.QueryFacade.sql(s,
+          """SET explicitLimit = true;
+             SELECT doc_id FROM documents
+             WHERE TEXT_MATCH(text, 'query AND "column key" AND filter*')
+             ORDER BY doc_id""")
+        val usedIndex = q.queryExecution.executedPlan.toString
+          .linesIterator.exists(l =>
+            l.contains("PushedFilters") && l.contains("In(doc_id"))
+        q.withColumn("used_index", lit(usedIndex))
+      },
+      Some("""SELECT doc_id, TRUE AS used_index FROM documents
+        WHERE list_contains(regexp_split_to_array(lower(text), '\W+'), 'query')
+          AND contains(lower(text), 'column key')
+          AND regexp_matches(lower(text), '(^|[^a-zA-Z0-9_])filter')
+        ORDER BY doc_id""")),
+
     // TEXT_MATCH long tail (lucene/): `term~N` fuzzy (FuzzyQuery,
     // Levenshtein ≤ N on any token), `"a b"~N` phrase proximity
     // (ordered, ≤ N intervening tokens), grouping PARENS, a wildcard

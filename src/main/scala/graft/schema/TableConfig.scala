@@ -250,6 +250,14 @@ object TableConfig {
                 " or a primary key"))),
           fi.column)
       }
+      if (fi.indexTypes.contains("TEXT")) {
+        graft.sources.TextIndex.register(cfg.tableName, d,
+          fi.properties.getOrElse("idColumn", cfg.primaryKeys.headOption
+            .getOrElse(throw new IllegalArgumentException(
+              s"text index on ${fi.column} needs an idColumn property" +
+                " or a primary key"))),
+          fi.column)
+      }
       if (fi.openStruct.isDefined ||
           fi.indexTypes.contains("OPENSTRUCT")) {
         d = OpenStruct.split(d, fi.column,

@@ -55,19 +55,48 @@ object TextIndex {
     graft.operators.IndexCache.getOrBuild(("textidx",
       corpus.queryExecution.analyzed.canonicalized,
       idCol, textCol, nBuckets)) {
-      val toks = corpus.select(col(idCol).cast("long").as("doc_id"),
-        explode(array_distinct(filter(
+      val spark = corpus.sparkSession
+      // WRITTEN parquet tables, token-sorted: a term lookup pushes
+      // `In(token, ...)` into the scan and prunes to the token's row
+      // groups — the on-disk inverted-index layout (an in-memory frame
+      // cannot prune, so every lookup would re-scan all postings)
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_textidx").toString
+      // POSITIONAL postings (Lucene stores positions for PhraseQuery):
+      // position = index in the empty-filtered token sequence, so
+      // consecutive words are adjacent positions. BIGRAM shingles
+      // ("w1 w2", position of w1) are indexed alongside — a phrase of
+      // exact tokens resolves to bigram lookups whose doc frequency is
+      // the PAIR's, typically orders of magnitude below either word's
+      // (the shingle-index trick for phrase selectivity).
+      val words = corpus.select(col(idCol).cast("long").as("doc_id"),
+        posexplode(filter(
           split(lower(col(textCol)), "\\W+"),
-          t => t =!= lit("")))).as("token"))
-      val postings = toks.select(col("token"), col("doc_id"))
+          t => t =!= lit(""))))
+        .toDF("doc_id", "pos", "token")
+      val nextTok = lead(col("token"), 1).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("doc_id")).orderBy(col("pos")))
+      val bigrams = words
+        .withColumn("token", concat(col("token"), lit(" "), nextTok))
+        .filter(col("token").isNotNull)
+      words.unionByName(bigrams)
+        .groupBy(col("token"), col("doc_id"))
+        .agg(sort_array(collect_list(col("pos"))).as("positions"))
         .repartitionByRange(nBuckets, col("token"))
         .sortWithinPartitions("token")
-        .localCheckpoint()
-      val dict = postings.select("token").distinct()
+        .write.mode("overwrite").parquet(s"$dir/postings")
+      val postings = spark.read.parquet(s"$dir/postings")
+      // dictionary carries per-token DOC FREQUENCY — the planner's
+      // cost input: candidate-set size bounds are computed from df
+      // sums BEFORE any posting is touched, so an unselective query
+      // falls back to the scan without paying for a doomed evaluation
+      postings.groupBy(col("token"))
+        .agg(count(lit(1)).as("df"))
         .repartitionByRange(math.max(1, nBuckets / 4), col("token"))
         .sortWithinPartitions("token")
-        .localCheckpoint()
-      Model(postings, dict)
+        .write.mode("overwrite").parquet(s"$dir/dict")
+      Model(postings, spark.read.parquet(s"$dir/dict"))
     }
 
   final case class Entry(idCol: String, model: Model, internalLimit: Int)

@@ -714,6 +714,81 @@ object QueryFacade {
         stmt.substring(close + 1))
   }
 
+  // ---- text-index-served TEXT_MATCH ----
+  // The reference serves TEXT_MATCH from a per-segment Lucene index
+  // (`TextMatchFilterOperator.java:38`) when one is configured and
+  // scans otherwise. Analog: [[graft.sources.TextIndex]] registers an
+  // ingest-built token-posting layout per (table, textColumn); a
+  // registered predicate resolves to a candidate doc-id set
+  // (dictionary walk + posting lookups) and rewrites to
+  // `idCol IN (ids) AND text_match(col, 'q')` — the IN-list pushes
+  // into the scan (row-group pruning on the id), the kept predicate
+  // re-verifies only the pruned rows so results NEVER change (the
+  // reference's operator also re-checks candidates against the
+  // forward index). Unbounded candidates (> internalLimit) or
+  // unindexable query shapes keep the exact scan.
+  private val TextMatchCall =
+    """(?is)\btext_match\s*\(\s*(\w+(?:\.\w+)?)\s*,\s*('(?:[^']|'')*')\s*\)""".r
+  private val FromTablePattern = """(?is)\bfrom\s+(\w+)\b""".r
+  /** Literal IN-lists above this size stop paying for their parse/plan
+    * cost; an EXACT candidate set that large serves as a distributed
+    * semi-join against a temp view instead (no driver transfer at all). */
+  private val MaxTextInList = 10000
+  private val textCandCounter = new java.util.concurrent.atomic.AtomicLong()
+
+  private[graft] def rewriteTextMatchIndexed(spark: SparkSession,
+      stmt: String): String = {
+    if (!stmt.toLowerCase.contains("text_match")) return stmt
+    val table = FromTablePattern.findFirstMatchIn(stmt).map(_.group(1))
+      .getOrElse(return stmt)
+    TextMatchCall.replaceAllIn(stmt, m => {
+      val colRef = m.group(1)
+      val bare = colRef.substring(colRef.lastIndexOf('.') + 1)
+      val served: Option[String] =
+        try {
+          graft.sources.TextIndex.lookup(table, bare).flatMap { entry =>
+            val q = m.group(2).stripPrefix("'").stripSuffix("'")
+              .replace("''", "'")
+            graft.functions.TextMatch.candidateIds(
+              q, entry.model.dict, entry.model.postings).flatMap {
+              case (cand, exactSet, bound) =>
+                val verify = s" AND text_match($colRef, ${m.group(2)})"
+                if (exactSet && bound > MaxTextInList) {
+                  // EXACT and (by df bound) possibly large: distributed
+                  // semi-join — the ids never visit the driver and no
+                  // re-verify is needed, so the plan is
+                  // scan ⋉ posting-lookup at any scale
+                  val view =
+                    s"graft_text_cands_${textCandCounter.incrementAndGet()}"
+                  cand.withColumnRenamed("doc_id", entry.idCol)
+                    .createOrReplaceTempView(view)
+                  Some(s"(${entry.idCol} IN " +
+                    s"(SELECT ${entry.idCol} FROM $view))")
+                } else if (!exactSet && bound > entry.internalLimit) {
+                  // approximate and (by bound) unpayable: the re-verify
+                  // would run under the join on the whole scan anyway —
+                  // fall back WITHOUT evaluating the candidate plan
+                  None
+                } else {
+                  // approximate sets keep the re-verify, so the only
+                  // id-serving shape left is the literal IN-list —
+                  // worth its parse cost up to internalLimit ids
+                  val ids = cand.limit(entry.internalLimit + 1)
+                    .collect().map(_.getLong(0))
+                  if (ids.isEmpty)
+                    Some(s"(${entry.idCol} IS NULL AND FALSE)")
+                  else if (ids.length <= entry.internalLimit)
+                    Some(s"(${entry.idCol} IN (${ids.mkString(", ")})" +
+                      (if (exactSet) "" else verify) + ")")
+                  else None // bound under-shot reality: scan it is
+                }
+            }
+          }
+        } catch { case scala.util.control.NonFatal(_) => None }
+      java.util.regex.Matcher.quoteReplacement(served.getOrElse(m.matched))
+    })
+  }
+
   // ---- TIMESTAMP index override ----
   // `RequestUtils.java:703-711`: `dateTrunc('<granularity>', col)` — the
   // 2-arg form or 3-arg with MILLISECONDS output — over a column whose
@@ -1047,10 +1122,11 @@ object QueryFacade {
     val stmt = rewriteVectorSimilarity(
       rewriteVectorSimilarityIndexed(spark,
         reorderVectorSimilarity(
+          rewriteTextMatchIndexed(spark,
           rewriteJsonMatch(
             rewriteAsOf(rewriteReserved(stripHints(
               rewriteTimestampIndex(
-                applyRlsFilters(spark, stmt0, opts)))))))))
+                applyRlsFilters(spark, stmt0, opts))))))))))
     if (Ddl.isDdl(stmt)) return Ddl.execute(spark, stmt)
     // Pinot EXPLAIN PLAN FOR <query> (PinotQueryResource explain
     // support): one row per plan-tree line, mirroring the reference's

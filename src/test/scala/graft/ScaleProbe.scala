@@ -140,7 +140,10 @@ object ScaleProbe {
       "q_ann_radius_sql_predicate", "q_rollup_tdigest",
       "q_filter_json_shred", "q_text_match_fuzzy",
       "q_rls_filter", "q_openstruct_split", "q_filter_json_sql",
-      "q_filter_tsindex")
+      "q_filter_tsindex",
+      // round-6: index-served TEXT_MATCH (token postings + IN-list
+      // pushdown) vs the scan it replaces
+      "q_text_match_indexed", "q_text_match")
       .filter(q => only.isEmpty || only(q))
     def time(dir: String, name: String): Double = {
       val t0 = System.nanoTime()

@@ -1,0 +1,130 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextMatch
+import graft.sources.TextIndex
+
+/** Token-posting text index: candidate sets are supersets (index-first
+  * + re-verify never changes results), the facade rewrite serves a
+  * registered TEXT_MATCH with an id IN-list pushdown, and unindexable
+  * or unbounded shapes keep the exact scan. */
+class TextIndexSpec extends SparkSpec {
+
+  private lazy val t = Tables(spark, sf)
+  private lazy val model = TextIndex.build(t.documents, "doc_id", "text")
+
+  private def scanIds(q: String): Set[Long] =
+    t.documents.filter(TextMatch.textMatch(col("text"), q))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+
+  private def cands(q: String): Option[(Set[Long], Boolean, Long)] =
+    TextMatch.candidateIds(q, model.dict, model.postings)
+      .map { case (df, exact, bound) =>
+        (df.collect().map(_.getLong(0)).toSet, exact, bound)
+      }
+
+  private def candIds(q: String): Option[Set[Long]] = cands(q).map(_._1)
+
+  test("candidates are supersets of scan matches for every leaf shape") {
+    val queries = Seq(
+      "query",                                   // term
+      "filter*",                                 // prefix
+      "wind?w",                                  // wildcard
+      "qery~1",                                  // fuzzy
+      "\"the stream\"",                          // phrase
+      "\"stream processing\"~2",                 // proximity
+      "query AND \"the stream\" OR filter*",     // boolean mix
+      "(query OR stream) AND scan")              // grouping
+    queries.foreach { q =>
+      val scan = scanIds(q)
+      val cand = candIds(q)
+      assert(cand.isDefined, s"'$q' should be indexable")
+      assert(scan.subsetOf(cand.get),
+        s"'$q': scan matches missing from candidates: ${scan -- cand.get}")
+    }
+  }
+
+  test("pure term/boolean candidates are EXACT (no re-verify needed)") {
+    Seq("query", "query AND stream", "query OR stream", "filter*",
+      "wind?w", "qery~1").foreach { q =>
+      val (ids, exact, bound) = cands(q).get
+      assert(ids == scanIds(q), s"'$q'")
+      assert(exact, s"'$q' should report an exact candidate set")
+      assert(bound >= ids.size,
+        s"'$q': df bound $bound below actual ${ids.size}")
+    }
+    // phrase/proximity shapes stay marked approximate (re-verified)
+    Seq("\"the stream\"", "\"stream processing\"~2").foreach { q =>
+      assert(!cands(q).get._2, s"'$q' must not claim exactness")
+    }
+  }
+
+  test("positional phrase candidates are tight (adjacency, not co-occurrence)") {
+    val q = "\"big data stream\""
+    val scan = scanIds(q)
+    val (ids, _, _) = cands(q).get
+    assert(scan.subsetOf(ids), s"missing: ${scan -- ids}")
+    // co-occurrence of these three COMMON tokens would admit most of
+    // the corpus; the positional chain must stay close to the true set
+    val cooccur = candIds("big AND data AND stream").get
+    assert(ids.size < cooccur.size / 10,
+      s"positional ${ids.size} vs co-occurrence ${cooccur.size}")
+    assert(ids.size <= scan.size * 2 + 8,
+      s"positional candidates ${ids.size} too loose vs ${scan.size} matches")
+  }
+
+  test("unindexable shapes report None (scan is the plan)") {
+    // a phrase with no word characters yields no postings to anchor on
+    assert(candIds("\"...\"").isEmpty)
+    // an OR with an unindexable branch can't be bounded either
+    assert(candIds("query OR \"...\"").isEmpty)
+    // but an AND drops the unindexable conjunct and stays bounded
+    val and = candIds("query AND \"...\"")
+    assert(and.isDefined && scanIds("query AND \"...\"").subsetOf(and.get))
+    // a leaf matching too much of the dictionary refuses to enumerate
+    assert(TextMatch.candidateIds("*", model.dict, model.postings,
+      maxTokensPerLeaf = 4).isEmpty)
+  }
+
+  test("facade serves a registered TEXT_MATCH index-first, same answers") {
+    graft.sql.QueryFacade.init(spark, sf)
+    TextIndex.register("documents", t.documents, "doc_id", "text")
+    try {
+      val q = "query AND \"the stream\" OR filter*"
+      val served = graft.sql.QueryFacade.sql(spark,
+        s"SET explicitLimit = true; SELECT doc_id FROM documents " +
+          s"WHERE TEXT_MATCH(text, '$q') ORDER BY doc_id")
+      // the id IN-list reached the parquet scan (row-group pruning)
+      assert(served.queryExecution.executedPlan.toString
+        .linesIterator.exists(l =>
+          l.contains("PushedFilters") && l.contains("In(doc_id")),
+        "candidate IN-list did not push into the scan")
+      assert(served.collect().map(_.getLong(0)).toSeq ==
+        scanIds(q).toSeq.sorted)
+      // a no-hit query serves an empty result, still index-first
+      val none = graft.sql.QueryFacade.sql(spark,
+        "SET explicitLimit = true; SELECT doc_id FROM documents " +
+          "WHERE TEXT_MATCH(text, 'zzzqqqxyzzy')")
+      assert(none.collect().isEmpty)
+      // an UNREGISTERED column keeps the exact scan path
+      val stmt = graft.sql.QueryFacade.rewriteTextMatchIndexed(spark,
+        "SELECT doc_id FROM documents WHERE text_match(title, 'query')")
+      assert(stmt.contains("text_match(title"))
+    } finally TextIndex.clear()
+  }
+
+  test("escaped quotes in the query literal survive the rewrite") {
+    graft.sql.QueryFacade.init(spark, sf)
+    TextIndex.register("documents", t.documents, "doc_id", "text")
+    try {
+      // '' is a SQL-escaped single quote; the candidate parse sees '
+      val served = graft.sql.QueryFacade.sql(spark,
+        "SET explicitLimit = true; SELECT count(*) AS n FROM documents " +
+          "WHERE TEXT_MATCH(text, 'query AND \"the stream\" OR filter*')")
+      val expect = t.documents.filter(TextMatch.textMatch(col("text"),
+        "query AND \"the stream\" OR filter*")).count()
+      assert(served.collect().head.getLong(0) == expect)
+    } finally TextIndex.clear()
+  }
+}
