@@ -28,12 +28,16 @@ import org.apache.spark.sql.functions._
   * Determinism: insertion order is ascending id within a shard and
   * node levels derive from a splitmix of the id — a rebuilt index is
   * byte-identical, so recall verdicts are stable across runs.
-  * Vectors are L2-normalized at build; similarity = dot = cosine.
+  * COSINE indexes L2-normalize at build (similarity = dot);
+  * INNER_PRODUCT/DOT_PRODUCT score raw dot products and EUCLIDEAN
+  * negated L2 distances (`VectorIndexConfig.VectorDistanceFunction`),
+  * so unnormalized-vector top-k sets are expressible per metric.
   */
 object HnswIndex {
 
   /** (shard, blob) rows — the ingest-time artifact. */
-  final case class Model(shards: DataFrame, m: Int, efConstruction: Int)
+  final case class Model(shards: DataFrame, m: Int, efConstruction: Int,
+      metric: VectorDistance.Metric = VectorDistance.Cosine)
 
   def build(
       corpus: DataFrame,
@@ -41,11 +45,12 @@ object HnswIndex {
       vecCol: String,
       m: Int = 16,
       efConstruction: Int = 100,
-      nShards: Int = 8): Model =
+      nShards: Int = 8,
+      metric: VectorDistance.Metric = VectorDistance.Cosine): Model =
     IndexCache.getOrBuild(("hnsw",
       corpus.queryExecution.analyzed.canonicalized,
-      idCol, vecCol, m, efConstruction, nShards)) {
-      buildImpl(corpus, idCol, vecCol, m, efConstruction, nShards)
+      idCol, vecCol, m, efConstruction, nShards, metric.name)) {
+      buildImpl(corpus, idCol, vecCol, m, efConstruction, nShards, metric)
     }
 
   private def buildImpl(
@@ -54,9 +59,11 @@ object HnswIndex {
       vecCol: String,
       m: Int,
       efConstruction: Int,
-      nShards: Int): Model = {
+      nShards: Int,
+      metric: VectorDistance.Metric): Model = {
     val spark = corpus.sparkSession
     import spark.implicits._
+    val metricId = VectorDistance.id(metric)
     val base = corpus.select(
       col(idCol).cast("long").as("id"),
       transform(col(vecCol), x => x.cast("float")).as("vec"),
@@ -68,12 +75,13 @@ object HnswIndex {
         // by construction (nShards scales with the corpus)
         val sorted = rows.map(r => (r._1, r._2.toArray)).toArray
           .sortBy(_._1)
-        val g = new HnswGraph(sorted.head._2.length, m, efConstruction)
+        val g = new HnswGraph(sorted.head._2.length, m, efConstruction,
+          metricId)
         sorted.foreach { case (id, v) => g.add(id, v) }
         (shard, g.toBytes)
       }(Encoders.tuple(Encoders.scalaInt, Encoders.BINARY))
       .toDF("shard", "blob")
-    Model(blobs.localCheckpoint(), m, efConstruction)
+    Model(blobs.localCheckpoint(), m, efConstruction, metric)
   }
 
   /** A same-id candidate counts as "self" only when it is also
@@ -127,10 +135,15 @@ object HnswIndex {
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("sim").desc, col("neighbor_id").asc)
     val kept =
-      if (excludeSelf) candidates.filter(
-        col("probe_id") =!= col("neighbor_id") ||
-          col("sim") < lit(SelfSimFloor))
-      else candidates
+      if (excludeSelf) {
+        // the vector-identity refinement (self-score ≈ 1) only holds
+        // for cosine; other metrics' self-scores are row-dependent, so
+        // they exclude by id alone
+        if (model.metric == VectorDistance.Cosine)
+          candidates.filter(col("probe_id") =!= col("neighbor_id") ||
+            col("sim") < lit(SelfSimFloor))
+        else candidates.filter(col("probe_id") =!= col("neighbor_id"))
+      } else candidates
     kept
       .withColumn("sim", round(col("sim"), 4))
       .withColumn("rank", row_number().over(w))
@@ -203,7 +216,8 @@ object HnswIndex {
   * levels ~ geometric(1/ln M); greedy descent through upper layers,
   * best-first beam (ef candidates) at each construction layer and at
   * layer 0 for queries. */
-final class HnswGraph(val dim: Int, val m: Int, val efConstruction: Int) {
+final class HnswGraph(val dim: Int, val m: Int, val efConstruction: Int,
+    val metric: Byte = VectorDistance.id(VectorDistance.Cosine)) {
   import HnswGraph._
 
   private val mL = 1.0 / math.log(m.toDouble)
@@ -234,6 +248,26 @@ final class HnswGraph(val dim: Int, val m: Int, val efConstruction: Int) {
     s
   }
 
+  /** Internal comparison score, higher = closer: dot for COSINE
+    * (vectors normalized at add) and INNER/DOT_PRODUCT (raw), negated
+    * SQUARED L2 for EUCLIDEAN (monotone with the distance, no sqrt in
+    * the hot loop). [[emitScore]] converts to the API scale. */
+  @inline private def score(a: Array[Float], b: Array[Float]): Float =
+    if (metric == 2) {
+      var s = 0f
+      var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s -= d * d; i += 1 }
+      s
+    } else dot(a, b)
+
+  /** API-scale score: EUCLIDEAN emits the negated TRUE distance so the
+    * graph's output matches the Column-level metric score. */
+  @inline private def emitScore(s: Float): Float =
+    if (metric == 2) -math.sqrt(-s.toDouble).toFloat else s
+
+  @inline private def maybeNormalize(v: Array[Float]): Array[Float] =
+    if (metric == 0) normalize(v) else v
+
   private def normalize(v: Array[Float]): Array[Float] = {
     var n = 0.0
     var i = 0
@@ -258,7 +292,7 @@ final class HnswGraph(val dim: Int, val m: Int, val efConstruction: Int) {
       (a: (Int, Float), b: (Int, Float)) => java.lang.Float.compare(a._2, b._2))
     eps.foreach { ep =>
       if (visited.add(ep)) {
-        val s = dot(q, vecs(ep))
+        val s = score(q, vecs(ep))
         cand.add((ep, s))
         res.add((ep, s))
         if (res.size > ef) res.poll()
@@ -274,7 +308,7 @@ final class HnswGraph(val dim: Int, val m: Int, val efConstruction: Int) {
         while (i < nbrs.length) {
           val nb = nbrs(i)
           if (visited.add(nb)) {
-            val s = dot(q, vecs(nb))
+            val s = score(q, vecs(nb))
             if (res.size < ef || s > res.peek()._2) {
               cand.add((nb, s))
               res.add((nb, s))
@@ -293,7 +327,7 @@ final class HnswGraph(val dim: Int, val m: Int, val efConstruction: Int) {
   }
 
   def add(id: Long, rawVec: Array[Float]): Unit = {
-    val v = normalize(rawVec)
+    val v = maybeNormalize(rawVec)
     val l = levelFor(id)
     val node = ids.length
     ids += id
@@ -313,10 +347,10 @@ final class HnswGraph(val dim: Int, val m: Int, val efConstruction: Int) {
       while (improved) {
         improved = false
         val nbrs = links(ep)(lc)
-        var best = dot(v, vecs(ep))
+        var best = score(v, vecs(ep))
         var i = 0
         while (i < nbrs.length) {
-          val s = dot(v, vecs(nbrs(i)))
+          val s = score(v, vecs(nbrs(i)))
           if (s > best) { best = s; ep = nbrs(i); improved = true }
           i += 1
         }
@@ -337,7 +371,7 @@ final class HnswGraph(val dim: Int, val m: Int, val efConstruction: Int) {
         if (back.length > mMax) {
           // prune to the mMax closest of nb's neighbors
           val nv = vecs(nb)
-          val kept = back.map(x => (x, dot(nv, vecs(x))))
+          val kept = back.map(x => (x, score(nv, vecs(x))))
             .sortBy(-_._2).take(mMax).map(_._1)
           back.clear()
           back ++= kept
@@ -356,7 +390,7 @@ final class HnswGraph(val dim: Int, val m: Int, val efConstruction: Int) {
     * (id, cosine) pairs. */
   def search(rawQ: Array[Float], k: Int, ef: Int): Seq[(Long, Float)] = {
     if (entry == -1) return Seq.empty
-    val q = normalize(rawQ)
+    val q = maybeNormalize(rawQ)
     var ep = entry
     var lc = maxLevel
     while (lc > 0) {
@@ -364,10 +398,10 @@ final class HnswGraph(val dim: Int, val m: Int, val efConstruction: Int) {
       while (improved) {
         improved = false
         val nbrs = links(ep)(lc)
-        var best = dot(q, vecs(ep))
+        var best = score(q, vecs(ep))
         var i = 0
         while (i < nbrs.length) {
-          val s = dot(q, vecs(nbrs(i)))
+          val s = score(q, vecs(nbrs(i)))
           if (s > best) { best = s; ep = nbrs(i); improved = true }
           i += 1
         }
@@ -376,7 +410,7 @@ final class HnswGraph(val dim: Int, val m: Int, val efConstruction: Int) {
     }
     searchLayer(q, Seq(ep), math.max(ef, k), 0)
       .take(k)
-      .map { case (node, sim) => (ids(node), sim) }
+      .map { case (node, sim) => (ids(node), emitScore(sim)) }
       .toSeq
   }
 
@@ -401,7 +435,10 @@ final class HnswGraph(val dim: Int, val m: Int, val efConstruction: Int) {
   def searchRadius(rawQ: Array[Float], minSim: Float,
       limit: Int): (Seq[(Long, Float)], Boolean) = {
     if (entry == -1) return (Seq.empty, true)
-    val q = normalize(rawQ)
+    require(metric == 0,
+      "searchRadius thresholds are cosine-similarity scaled; " +
+        "non-cosine indexes must use the exact scan path")
+    val q = maybeNormalize(rawQ)
     var ep = entry
     var lc = maxLevel
     while (lc > 0) {
@@ -409,10 +446,10 @@ final class HnswGraph(val dim: Int, val m: Int, val efConstruction: Int) {
       while (improved) {
         improved = false
         val nbrs = links(ep)(lc)
-        var best = dot(q, vecs(ep))
+        var best = score(q, vecs(ep))
         var i = 0
         while (i < nbrs.length) {
-          val s = dot(q, vecs(nbrs(i)))
+          val s = score(q, vecs(nbrs(i)))
           if (s > best) { best = s; ep = nbrs(i); improved = true }
           i += 1
         }
@@ -427,7 +464,7 @@ final class HnswGraph(val dim: Int, val m: Int, val efConstruction: Int) {
     def push(node: Int): Unit =
       if (!visited.get(node)) {
         visited.set(node)
-        cand.enqueue((dot(q, vecs(node)), node))
+        cand.enqueue((score(q, vecs(node)), node))
       }
     push(ep)
     var misses = 0
@@ -459,7 +496,7 @@ final class HnswGraph(val dim: Int, val m: Int, val efConstruction: Int) {
     val n = ids.length
     var adjInts = 0
     links.foreach(perLevel => perLevel.foreach(l => adjInts += 1 + l.length))
-    val bb = ByteBuffer.allocate(28 + n * (8 + 1 + 4 * dim) + 4 * adjInts)
+    val bb = ByteBuffer.allocate(29 + n * (8 + 1 + 4 * dim) + 4 * adjInts)
     bb.putInt(Magic)
     bb.putInt(dim)
     bb.putInt(m)
@@ -467,6 +504,7 @@ final class HnswGraph(val dim: Int, val m: Int, val efConstruction: Int) {
     bb.putInt(entry)
     bb.putInt(maxLevel)
     bb.putInt(efConstruction)
+    bb.put(metric)
     var i = 0
     while (i < n) { bb.putLong(ids(i)); i += 1 }
     i = 0
@@ -513,7 +551,8 @@ object HnswGraph {
     val entry = bb.getInt()
     val maxLevel = bb.getInt()
     val efC = bb.getInt()
-    val g = new HnswGraph(dim, m, efC)
+    val metric = bb.get()
+    val g = new HnswGraph(dim, m, efC, metric)
     var i = 0
     while (i < n) { g.ids += bb.getLong(); i += 1 }
     i = 0

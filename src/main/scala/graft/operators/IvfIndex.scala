@@ -119,7 +119,25 @@ object IvfIndex {
       probeId: String,
       vecCol: String,
       k: Int,
-      nprobe: Int): DataFrame = {
+      nprobe: Int): DataFrame =
+    search(model, probes, probeId, vecCol, k, nprobe,
+      VectorDistance.Cosine)
+
+  /** Cell-probed search under any of the reference's distance
+    * functions (`VectorIndexConfig.VectorDistanceFunction`): the cells
+    * are an L2 Voronoi partition either way (the standard IVF coarse
+    * quantizer — FAISS probes L2 cells for IP/L2/cosine alike); only
+    * the exact in-cell re-rank scores by `metric`. `sim` is the
+    * metric's score, higher = closer (negated distance for
+    * EUCLIDEAN). */
+  def search(
+      model: Model,
+      probes: DataFrame,
+      probeId: String,
+      vecCol: String,
+      k: Int,
+      nprobe: Int,
+      metric: VectorDistance.Metric): DataFrame = {
     val p = probes.select(col(probeId).as("probe_id"),
       transform(col(vecCol), x => x.cast("double")).as("pvec"))
     val wc = Window.partitionBy(col("probe_id")).orderBy(col("__d").asc, col("cell").asc)
@@ -133,7 +151,7 @@ object IvfIndex {
       .orderBy(col("sim").desc, col("id").asc)
     probeCells.join(model.assignments, "cell")
       .filter(col("probe_id") =!= col("id"))
-      .withColumn("sim", cosineSimilarity(col("pvec"), col("vec")))
+      .withColumn("sim", metric.score(col("pvec"), col("vec")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("probe_id"), col("id").as("neighbor_id"), col("sim"), col("rank"))

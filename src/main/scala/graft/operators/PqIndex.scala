@@ -30,7 +30,8 @@ object PqIndex {
   /** codes: (id, codes array<int> of length m) — the stored index;
     * codebooks: (sub, code, cvec) broadcastable table. */
   final case class Model(codes: DataFrame, codebooks: DataFrame,
-      m: Int, k: Int, dsub: Int)
+      m: Int, k: Int, dsub: Int,
+      metric: VectorDistance.Metric = VectorDistance.Cosine)
 
   private def subvectors(vec: Column, m: Int, dsub: Int): Column =
     transform(sequence(lit(0), lit(m - 1)),
@@ -49,12 +50,34 @@ object PqIndex {
       m: Int = 8,
       k: Int = 16,
       iterations: Int = 2,
-      maxTrainRows: Int = 65536): Model =
+      maxTrainRows: Int = 65536,
+      metric: VectorDistance.Metric = VectorDistance.Cosine): Model =
     // ingest-time artifact, memoized like IvfIndex.build (see IndexCache)
     IndexCache.getOrBuild(("pq", corpus.queryExecution.analyzed.canonicalized,
-      idCol, vecCol, m, k, iterations, maxTrainRows)) {
-      buildImpl(corpus, idCol, vecCol, m, k, iterations, maxTrainRows)
+      idCol, vecCol, m, k, iterations, maxTrainRows, metric.name)) {
+      buildImpl(corpus, idCol, vecCol, m, k, iterations, maxTrainRows, metric)
     }
+
+  /** Probe/corpus vectors L2-normalize only for scale-invariant
+    * metrics (COSINE); EUCLIDEAN/DOT_PRODUCT codebooks train on raw
+    * vectors so the ADC sums approximate the raw metric. */
+  private def prep(vecCol: Column,
+      metric: VectorDistance.Metric): Column =
+    if (metric.normalizeAtBuild)
+      graft.plans.VectorExpressions.normalize(vecCol)
+    else transform(vecCol, x => x.cast("double"))
+
+  /** Per-subspace ADC table entry, oriented so ASCENDING sums are
+    * always "closer": squared L2 for COSINE (= 2−2cos on normalized
+    * vectors) and EUCLIDEAN; NEGATED sub-dot for DOT/INNER_PRODUCT
+    * (subspace dots sum exactly to the full dot product). */
+  private def adcEntry(a: Column, b: Column,
+      metric: VectorDistance.Metric): Column = metric match {
+    case VectorDistance.DotProduct | VectorDistance.InnerProduct =>
+      -aggregate(zip_with(a, b, (x, y) => x * y),
+        lit(0.0), (acc, x) => acc + x)
+    case _ => l2Sq(a, b)
+  }
 
   private def buildImpl(
       corpus: DataFrame,
@@ -63,11 +86,12 @@ object PqIndex {
       m: Int,
       k: Int,
       iterations: Int,
-      maxTrainRows: Int): Model = {
+      maxTrainRows: Int,
+      metric: VectorDistance.Metric): Model = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val base = corpus.select(col(idCol).as("id"),
-      graft.plans.VectorExpressions.normalize(col(vecCol)).as("vec"))
+      prep(col(vecCol), metric).as("vec"))
 
     val train: Array[Array[Double]] = base.orderBy(col("id")).limit(maxTrainRows)
       .select(col("vec")).collect().map(_.getSeq[Double](0).toArray)
@@ -128,7 +152,7 @@ object PqIndex {
       // out as the PQ-compressed table); localCheckpoint is the local
       // equivalent of build-once/probe-many
       .localCheckpoint()
-    Model(codes, codebooks, m, k, dsub)
+    Model(codes, codebooks, m, k, dsub, metric)
   }
 
   /** ADC search: per probe, exact subspace distances to every
@@ -148,7 +172,7 @@ object PqIndex {
       topK: Int): DataFrame = {
     val k = model.k
     val p = probes.select(col(probeId).as("probe_id"),
-      graft.plans.VectorExpressions.normalize(col(vecCol)).as("pvec"))
+      prep(col(vecCol), model.metric).as("pvec"))
     val psubs = p.select(col("probe_id"),
       posexplode(subvectors(col("pvec"), model.m, model.dsub))
         .as(Seq("sub", "psv")))
@@ -156,7 +180,7 @@ object PqIndex {
     // structs yields exactly that order)
     val dtabs = psubs.join(model.codebooks, "sub")
       .select(col("probe_id"), col("sub"), col("code"),
-        l2Sq(col("psv"), col("cvec")).as("pd"))
+        adcEntry(col("psv"), col("cvec"), model.metric).as("pd"))
       .groupBy(col("probe_id"))
       .agg(transform(
         array_sort(collect_list(struct(col("sub"), col("code"), col("pd")))),
@@ -200,7 +224,7 @@ object PqIndex {
       rerankFactor: Int = 4): DataFrame = {
     val k = pq.k
     val p = probes.select(col(probeId).as("probe_id"),
-      graft.plans.VectorExpressions.normalize(col(vecCol)).as("pvec"))
+      prep(col(vecCol), pq.metric).as("pvec"))
     // cell selection runs in the IVF's RAW vector space (the quantizer
     // trained un-normalized); only the PQ distance tables use the
     // normalized probe
@@ -218,7 +242,7 @@ object PqIndex {
         .as(Seq("sub", "psv")))
     val dtabs = psubs.join(pq.codebooks, "sub")
       .select(col("probe_id"), col("sub"), col("code"),
-        l2Sq(col("psv"), col("cvec")).as("pd"))
+        adcEntry(col("psv"), col("cvec"), pq.metric).as("pd"))
       .groupBy(col("probe_id"))
       .agg(transform(
         array_sort(collect_list(struct(col("sub"), col("code"), col("pd")))),
@@ -245,8 +269,7 @@ object PqIndex {
     val wr = Window.partitionBy(col("probe_id"))
       .orderBy(col("sim").desc, col("neighbor_id").asc)
     shortlist.join(cv, "neighbor_id").join(broadcast(praw), "probe_id")
-      .withColumn("sim",
-        VectorFunctions.cosineSimilarity(col("pvec"), col("nvec")))
+      .withColumn("sim", pq.metric.score(col("pvec"), col("nvec")))
       .withColumn("rank", row_number().over(wr))
       .filter(col("rank") <= topK)
       .select(col("probe_id"), col("neighbor_id"), col("sim"), col("rank"))
@@ -274,8 +297,7 @@ object PqIndex {
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("sim").desc, col("neighbor_id").asc)
     shortlist.join(cv, "neighbor_id").join(broadcast(p), "probe_id")
-      .withColumn("sim",
-        VectorFunctions.cosineSimilarity(col("pvec"), col("nvec")))
+      .withColumn("sim", model.metric.score(col("pvec"), col("nvec")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= topK)
       .select(col("probe_id"), col("neighbor_id"), col("sim"), col("rank"))

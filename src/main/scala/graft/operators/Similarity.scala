@@ -30,10 +30,24 @@ object Similarity {
       idCol: String,
       vecCol: String,
       probe: Seq[Double],
-      k: Int): DataFrame = {
+      k: Int): DataFrame =
+    bruteForceTopK(corpus, idCol, vecCol, probe, k, VectorDistance.Cosine)
+
+  /** Exact top-k under any of the reference's distance functions
+    * (`VectorIndexConfig.VectorDistanceFunction`): the `sim` column is
+    * the metric's score, higher = closer (Euclidean scores are negated
+    * distances, so `-sim` is the L2 distance). Same single-scan
+    * TakeOrderedAndProject shape for every metric. */
+  def bruteForceTopK(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      probe: Seq[Double],
+      k: Int,
+      metric: VectorDistance.Metric): DataFrame = {
     val p = array(probe.map(lit): _*)
     corpus
-      .withColumn("sim", cosineSimilarity(col(vecCol), p))
+      .withColumn("sim", metric.score(col(vecCol), p))
       .select(col(idCol), col("sim"))
       .orderBy(col("sim").desc, col(idCol).asc)
       .limit(k)

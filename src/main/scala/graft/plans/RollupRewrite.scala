@@ -46,7 +46,15 @@ object RollupRewrite {
       // blobs (column → maxError), kll_<m> KLL blobs (column → k)
       tds: Map[String, Double] = Map.empty,
       qds: Map[String, Double] = Map.empty,
-      klls: Map[String, Int] = Map.empty)
+      klls: Map[String, Int] = Map.empty,
+      // set-sketch blob columns, completing the star-tree agg-pair
+      // contract (any mergeable intermediate, StarTreeUtils.java:55-178):
+      // theta_<m> compact-theta blobs (column → nominalEntries),
+      // cpc_<m> CPC blobs (column → lgK), tuple_<k>_<v> integer-tuple
+      // blobs ((keyCol, valueCol) → nominalEntries)
+      thetas: Map[String, Int] = Map.empty,
+      cpcs: Map[String, Int] = Map.empty,
+      tuples: Map[(String, String), Int] = Map.empty)
 
   private val specs =
     new java.util.concurrent.ConcurrentHashMap[String, Spec]()
@@ -68,7 +76,13 @@ object RollupRewrite {
       qdigestMeasures: Seq[String] = Nil,
       qdMaxError: Double = GraftQDigest.DefaultMaxError,
       kllMeasures: Seq[String] = Nil,
-      kllK: Int = KllSketch.DefaultK): Spec = {
+      kllK: Int = KllSketch.DefaultK,
+      thetaMeasures: Seq[String] = Nil,
+      thetaK: Int = ThetaDs.DefaultNominalEntries,
+      cpcMeasures: Seq[String] = Nil,
+      cpcLgK: Int = 12,
+      tupleMeasures: Seq[(String, String)] = Nil,
+      tupleK: Int = 16384): Spec = {
     val aggs = (count(lit(1)).as("cnt") +:
       measures.flatMap(m => Seq(sum(col(m)).as(s"sum_$m"),
         min(col(m)).as(s"min_$m"), max(col(m)).as(s"max_$m")))) ++
@@ -78,7 +92,14 @@ object RollupRewrite {
       qdigestMeasures.map(m =>
         QDigestSketch.qdigestState(col(m), qdMaxError).as(s"qd_$m")) ++
       kllMeasures.map(m =>
-        KllSketch.kllState(col(m), kllK).as(s"kll_$m"))
+        KllSketch.kllState(col(m), kllK).as(s"kll_$m")) ++
+      thetaMeasures.map(m =>
+        ThetaSketchDs.thetaState(col(m), thetaK).as(s"theta_$m")) ++
+      cpcMeasures.map(m =>
+        ThetaSketchDs.cpcState(col(m), cpcLgK).as(s"cpc_$m")) ++
+      tupleMeasures.map { case (kc, vc) =>
+        TupleSketch.tupleState(col(kc), col(vc), tupleK)
+          .as(s"tuple_${kc}_$vc") }
     fact.groupBy(dims.map(col): _*).agg(aggs.head, aggs.tail: _*)
       .write.mode("overwrite").parquet(outPath)
     val spec = Spec(factPath, spark.read.parquet(outPath),
@@ -86,7 +107,10 @@ object RollupRewrite {
       distinctMeasures.map(_ -> hllP).toMap,
       tdigestMeasures.map(_ -> tdCompression).toMap,
       qdigestMeasures.map(_ -> qdMaxError).toMap,
-      kllMeasures.map(_ -> kllK).toMap)
+      kllMeasures.map(_ -> kllK).toMap,
+      thetaMeasures.map(_ -> thetaK).toMap,
+      cpcMeasures.map(_ -> cpcLgK).toMap,
+      tupleMeasures.map(_ -> tupleK).toMap)
     register(spark, spec)
     spec
   }
@@ -200,6 +224,28 @@ object RollupRewrite {
           case KllAgg(a: AttributeReference, p, k, blob, _, _)
               if spec.klls.get(a.name).contains(k) =>
             Some(KllMergeAgg(rollupAttr(s"kll_${a.name}"), p, blob)
+              .toAggregateExpression())
+          // set sketches answered from stored blobs: union merges are
+          // associative (exact below nominal entries), completing the
+          // star-tree agg-pair contract for the theta/tuple/CPC family
+          // NB: fully qualified — Spark 4 ships a same-named
+          // ThetaSketchAgg under catalyst.expressions.aggregate, which
+          // the wildcard import above would otherwise resolve to
+          case graft.plans.ThetaSketchAgg(
+              a: AttributeReference, k, emitBlob, _, _)
+              if spec.thetas.get(a.name).contains(k) =>
+            Some(ThetaMergeAgg(rollupAttr(s"theta_${a.name}"), k, emitBlob)
+              .toAggregateExpression())
+          case graft.plans.CpcSketchAgg(
+              a: AttributeReference, lgK, emitBlob, _, _)
+              if spec.cpcs.get(a.name).contains(lgK) =>
+            Some(CpcMergeAgg(rollupAttr(s"cpc_${a.name}"), lgK, emitBlob)
+              .toAggregateExpression())
+          case IntegerTupleSketchAgg(ka: AttributeReference,
+              va: AttributeReference, k, mode, _, _)
+              if spec.tuples.get((ka.name, va.name)).contains(k) =>
+            Some(TupleSketchMergeAgg(
+              rollupAttr(s"tuple_${ka.name}_${va.name}"), k, mode)
               .toAggregateExpression())
           case Count(Seq(Literal(_, _))) =>
             // COUNT(*) is 0 on empty input but SUM(cnt) is NULL — for a

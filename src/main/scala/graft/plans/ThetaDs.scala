@@ -145,6 +145,58 @@ case class ThetaSketchAgg(
     copy(child = c.head)
 }
 
+/** Re-aggregation over STORED theta blobs (the rollup-table path):
+  * union-merge compact sketches produced by `thetaState` — or by a
+  * reference deployment — and emit the estimate or the merged blob.
+  * Union is associative, so a rollup answer is the same sketch a
+  * direct fact pass builds (exact below nominal entries). */
+case class ThetaMergeAgg(
+    child: Expression,
+    k: Int,
+    emitBlob: Boolean,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[ThetaDs.State] {
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = if (emitBlob) BinaryType else LongType
+  override def prettyName: String = "theta_sketch_merge"
+
+  override def createAggregationBuffer(): ThetaDs.State = new ThetaDs.State(k)
+
+  override def update(st: ThetaDs.State, row: InternalRow): ThetaDs.State = {
+    val v = child.eval(row)
+    if (v != null)
+      st.mergeSketch(ThetaDs.heapify(v.asInstanceOf[Array[Byte]]))
+    st
+  }
+
+  override def merge(st: ThetaDs.State, other: ThetaDs.State): ThetaDs.State = {
+    st.mergeSketch(other.result())
+    st
+  }
+
+  override def eval(st: ThetaDs.State): Any =
+    if (emitBlob) st.result().toByteArray
+    else math.round(st.result().getEstimate)
+
+  override def serialize(st: ThetaDs.State): Array[Byte] =
+    st.result().toByteArray
+  override def deserialize(b: Array[Byte]): ThetaDs.State = {
+    val st = new ThetaDs.State(k)
+    st.mergeSketch(ThetaDs.heapify(b))
+    st
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): ThetaMergeAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): ThetaMergeAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) =
+    copy(child = c.head)
+}
+
 /** Scalar set algebra over reference-wire-format theta blobs —
   * THETA_SKETCH_UNION / THETA_SKETCH_INTERSECT / THETA_SKETCH_DIFF
   * (`ThetaSketchFunctions` scalars in the reference). */
@@ -259,6 +311,58 @@ case class CpcSketchAgg(
     copy(child = c.head)
 }
 
+/** Re-aggregation over STORED CPC blobs (the rollup-table path):
+  * CpcUnion-merge blobs produced by `cpcState` — or by a reference
+  * deployment — and emit the estimate or the merged blob. */
+case class CpcMergeAgg(
+    child: Expression,
+    lgK: Int,
+    emitBlob: Boolean,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[org.apache.datasketches.cpc.CpcSketch] {
+  import org.apache.datasketches.cpc.{CpcSketch, CpcUnion}
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = if (emitBlob) BinaryType else LongType
+  override def prettyName: String = "cpc_sketch_merge"
+
+  override def createAggregationBuffer(): CpcSketch = new CpcSketch(lgK)
+
+  override def update(sk: CpcSketch, row: InternalRow): CpcSketch = {
+    val v = child.eval(row)
+    if (v == null) sk
+    else {
+      val u = new CpcUnion(lgK)
+      u.update(sk)
+      u.update(CpcSketch.heapify(Memory.wrap(v.asInstanceOf[Array[Byte]])))
+      u.getResult
+    }
+  }
+
+  override def merge(sk: CpcSketch, other: CpcSketch): CpcSketch = {
+    val u = new CpcUnion(lgK)
+    u.update(sk)
+    u.update(other)
+    u.getResult
+  }
+
+  override def eval(sk: CpcSketch): Any =
+    if (emitBlob) sk.toByteArray else math.round(sk.getEstimate)
+
+  override def serialize(sk: CpcSketch): Array[Byte] = sk.toByteArray
+  override def deserialize(b: Array[Byte]): CpcSketch =
+    CpcSketch.heapify(Memory.wrap(b))
+
+  override def withNewMutableAggBufferOffset(o: Int): CpcMergeAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): CpcMergeAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) =
+    copy(child = c.head)
+}
+
 object ThetaSketchDs {
 
   def distinctCountTheta(c: Column, k: Int = ThetaDs.DefaultNominalEntries): Column =
@@ -268,6 +372,24 @@ object ThetaSketchDs {
   def thetaState(c: Column, k: Int = ThetaDs.DefaultNominalEntries): Column =
     ColumnBridge.column(ThetaSketchAgg(ColumnBridge.expression(c), k,
       emitBlob = true).toAggregateExpression())
+
+  def thetaMerge(blob: Column, k: Int = ThetaDs.DefaultNominalEntries,
+      emitBlob: Boolean = false): Column =
+    ColumnBridge.column(ThetaMergeAgg(ColumnBridge.expression(blob), k,
+      emitBlob).toAggregateExpression())
+
+  def cpcState(c: Column, lgK: Int = 12): Column =
+    ColumnBridge.column(CpcSketchAgg(ColumnBridge.expression(c), lgK,
+      emitBlob = true).toAggregateExpression())
+
+  def distinctCountCpc(c: Column, lgK: Int = 12): Column =
+    ColumnBridge.column(CpcSketchAgg(ColumnBridge.expression(c), lgK,
+      emitBlob = false).toAggregateExpression())
+
+  def cpcMerge(blob: Column, lgK: Int = 12,
+      emitBlob: Boolean = false): Column =
+    ColumnBridge.column(CpcMergeAgg(ColumnBridge.expression(blob), lgK,
+      emitBlob).toAggregateExpression())
 
   /** SQL names — takes over the theta surface with reference-format
     * blobs (the KMV variant stays available as DISTINCTCOUNTKMV). */

@@ -1050,6 +1050,67 @@ object ExtraQueries {
         TRUE AS est_ok, TRUE AS used_rollup
         FROM lineitem GROUP BY 1 ORDER BY 1""")),
 
+    // Set-sketch-from-rollup — completes the star-tree agg-pair
+    // contract (StarTreeUtils.java:55-178 accepts ANY mergeable
+    // intermediate) for the theta/tuple/CPC family: DISTINCTCOUNT
+    // THETA/CPC and SUMVALUESINTEGERSUMTUPLESKETCH queries over the
+    // fact table are answered from a rollup's stored blobs via the
+    // union-merge aggregates. theta/tuple are EXACT below nominal
+    // entries (l_suppkey cardinality ≪ 16384); CPC is probabilistic,
+    // gated by a 5% tolerance boolean. used_rollup is read off the
+    // optimized plan (the theta_ column only exists in the rollup).
+    GQuery("q_rollup_theta",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val (fact, spec) = graft.operators.IndexCache.getOrBuild(
+          ("q_rollup_theta", dir)) {
+          val tmp = java.nio.file.Files
+            .createTempDirectory("graft_rollup_th").toString
+          val factPath = s"$tmp/fact"
+          t.lineitem
+            .select(col("l_returnflag"), col("l_linestatus"),
+              col("l_suppkey"), col("l_linenumber"))
+            .write.mode("overwrite").parquet(factPath)
+          val f = s.read.parquet(factPath)
+          val sp = graft.plans.RollupRewrite.buildRollup(s, f,
+            graft.plans.RollupRewrite.pathOf(f).get,
+            dims = Seq("l_returnflag", "l_linestatus"),
+            measures = Seq("l_linenumber"),
+            outPath = s"$tmp/rollup",
+            thetaMeasures = Seq("l_suppkey"),
+            cpcMeasures = Seq("l_suppkey"),
+            tupleMeasures = Seq(("l_suppkey", "l_linenumber")))
+          (f, sp)
+        }
+        graft.plans.RollupRewrite.register(s, spec)
+        val est = fact.groupBy(col("l_returnflag"))
+          .agg(graft.plans.ThetaSketchDs
+              .distinctCountTheta(col("l_suppkey")).as("theta_distinct"),
+            graft.plans.ThetaSketchDs
+              .distinctCountCpc(col("l_suppkey")).as("cpc_est"),
+            graft.plans.TupleSketch.sumValuesTuple(
+              col("l_suppkey"), col("l_linenumber")).as("tuple_sum"))
+        val plan = est.queryExecution.optimizedPlan.toString
+        val usedRollup = plan.contains("theta_l_suppkey") &&
+          plan.contains("cpc_l_suppkey") &&
+          plan.contains("tuple_l_suppkey_l_linenumber")
+        val exact = fact.groupBy(col("l_returnflag"))
+          .agg(countDistinct(col("l_suppkey")).as("__nd"))
+        est.join(exact, "l_returnflag")
+          .select(col("l_returnflag"), col("theta_distinct"),
+            (abs(col("cpc_est") - col("__nd")) <=
+              col("__nd") * 0.05).as("cpc_ok"),
+            col("tuple_sum"),
+            lit(usedRollup).as("used_rollup"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""SELECT l_returnflag,
+        COUNT(DISTINCT l_suppkey) AS theta_distinct,
+        TRUE AS cpc_ok,
+        CAST(SUM(l_linenumber) AS BIGINT) AS tuple_sum,
+        TRUE AS used_rollup
+        FROM lineitem GROUP BY 1 ORDER BY 1""")),
+
     // Row-level security option rewrite (RlsFiltersRewriter.java /
     // RlsUtils.buildRlsFilterKey): a rlsFilters-<table> SET option is
     // injected as a filtered-subquery substitution, composing with the

@@ -750,6 +750,118 @@ object PipelineQueries {
           TRUE AS recall_ok
         FROM r WHERE rn <= 5 GROUP BY probe_id ORDER BY probe_id""")),
 
+    // EUCLIDEAN (L2) vector search — VectorIndexConfig.java:216 declares
+    // COSINE/INNER_PRODUCT/EUCLIDEAN/DOT_PRODUCT/L2; over unnormalized
+    // vectors L2 produces a DIFFERENT top-k than cosine (magnitude
+    // matters), so "dot = cosine on normalized" cannot express it.
+    // DuckDB brute-forces the exact L2 top-5 per probe (list_distance);
+    // the query reproduces that exact set and shows the EUCLIDEAN HNSW
+    // graph (negated-squared-L2 beam scores) recalls >= 4 of 5.
+    GQuery("q_ann_l2",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val probes = t.embeddings.filter(col("vec_id") < 5)
+        val model = HnswIndex.build(t.embeddings, "vec_id", "embedding",
+          m = 16, efConstruction = 100, nShards = 8,
+          metric = graft.operators.VectorDistance.Euclidean)
+        val hnsw = HnswIndex.search(model, probes, "vec_id", "embedding",
+          k = 5, ef = 64)
+        val pv = probes.select(col("vec_id").as("probe_id"),
+          col("embedding").cast("array<double>").as("pv"))
+        val cv = t.embeddings.select(col("vec_id").as("cid"),
+          col("embedding").cast("array<double>").as("cv"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("probe_id"))
+          .orderBy(col("dist").asc, col("cid").asc)
+        val exactTop = pv.crossJoin(cv)
+          .filter(col("cid") =!= col("probe_id"))
+          .withColumn("dist", r4(graft.functions.VectorFunctions
+            .l2Distance(col("pv"), col("cv"))))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 5)
+          .select(col("probe_id"), col("cid"))
+          .localCheckpoint(true)
+        val tops = exactTop.groupBy(col("probe_id"))
+          .agg(array_join(array_sort(collect_list(col("cid"))), ",")
+            .as("exact_top5_csv"))
+        val hits = exactTop
+          .join(hnsw, exactTop("probe_id") === hnsw("probe_id") &&
+            col("cid") === col("neighbor_id"), "left_semi")
+          .groupBy(col("probe_id")).agg(count(lit(1)).as("__hits"))
+        tops.join(hits, Seq("probe_id"), "left")
+          .select(col("probe_id"), col("exact_top5_csv"),
+            (coalesce(col("__hits"), lit(0L)) >= 4).as("recall_ok"))
+          .orderBy(col("probe_id"))
+      },
+      Some("""WITH p AS (SELECT vec_id AS probe_id, CAST(embedding AS DOUBLE[]) AS pv
+          FROM embeddings WHERE vec_id < 5),
+        c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+          FROM embeddings),
+        s AS (SELECT probe_id, cid, ROUND(list_distance(cv, pv), 4) AS dist
+          FROM p, c WHERE cid <> probe_id),
+        r AS (SELECT probe_id, cid,
+          ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY dist ASC, cid ASC) AS rn
+          FROM s)
+        SELECT probe_id,
+          array_to_string(list_sort(list(cid)), ',') AS exact_top5_csv,
+          TRUE AS recall_ok
+        FROM r WHERE rn <= 5 GROUP BY probe_id ORDER BY probe_id""")),
+
+    // DOT_PRODUCT / INNER_PRODUCT vector search (magnitude-sensitive —
+    // a long vector can out-score a better-aligned short one, so the
+    // top-k differs from cosine). Exact dot top-5 per probe from DuckDB
+    // (list_inner_product); INNER_PRODUCT HNSW (raw-dot beam) recall
+    // >= 4 of 5.
+    GQuery("q_ann_dot",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val probes = t.embeddings.filter(col("vec_id") < 5)
+        val model = HnswIndex.build(t.embeddings, "vec_id", "embedding",
+          m = 16, efConstruction = 100, nShards = 8,
+          metric = graft.operators.VectorDistance.DotProduct)
+        val hnsw = HnswIndex.search(model, probes, "vec_id", "embedding",
+          k = 5, ef = 64)
+        val pv = probes.select(col("vec_id").as("probe_id"),
+          col("embedding").cast("array<double>").as("pv"))
+        val cv = t.embeddings.select(col("vec_id").as("cid"),
+          col("embedding").cast("array<double>").as("cv"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("probe_id"))
+          .orderBy(col("dot").desc, col("cid").asc)
+        val exactTop = pv.crossJoin(cv)
+          .filter(col("cid") =!= col("probe_id"))
+          .withColumn("dot", r4(graft.functions.VectorFunctions
+            .innerProduct(col("pv"), col("cv"))))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 5)
+          .select(col("probe_id"), col("cid"))
+          .localCheckpoint(true)
+        val tops = exactTop.groupBy(col("probe_id"))
+          .agg(array_join(array_sort(collect_list(col("cid"))), ",")
+            .as("exact_top5_csv"))
+        val hits = exactTop
+          .join(hnsw, exactTop("probe_id") === hnsw("probe_id") &&
+            col("cid") === col("neighbor_id"), "left_semi")
+          .groupBy(col("probe_id")).agg(count(lit(1)).as("__hits"))
+        tops.join(hits, Seq("probe_id"), "left")
+          .select(col("probe_id"), col("exact_top5_csv"),
+            (coalesce(col("__hits"), lit(0L)) >= 4).as("recall_ok"))
+          .orderBy(col("probe_id"))
+      },
+      Some("""WITH p AS (SELECT vec_id AS probe_id, CAST(embedding AS DOUBLE[]) AS pv
+          FROM embeddings WHERE vec_id < 5),
+        c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+          FROM embeddings),
+        s AS (SELECT probe_id, cid, ROUND(list_inner_product(cv, pv), 4) AS dot
+          FROM p, c WHERE cid <> probe_id),
+        r AS (SELECT probe_id, cid,
+          ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY dot DESC, cid ASC) AS rn
+          FROM s)
+        SELECT probe_id,
+          array_to_string(list_sort(list(cid)), ',') AS exact_top5_csv,
+          TRUE AS recall_ok
+        FROM r WHERE rn <= 5 GROUP BY probe_id ORDER BY probe_id""")),
+
     // PQ (product-quantization) ANN with ADC shortlist + exact re-rank
     // (PqIndex) — same property-oracle shape as q_ann_ivf: DuckDB
     // brute-forces the exact cosine top-5 per probe; the query must

@@ -243,12 +243,21 @@ object TableConfig {
           s"$shredOutPath/${fi.column}_shred", fi.column, paths)
       }
       if (fi.indexTypes.contains("VECTOR")) {
+        // the reference's VectorIndexConfig property surface:
+        // vectorDistanceFunction (VectorIndexConfig.java:48) and
+        // vectorExactRerank (VectorExecutionMode.java:47)
         graft.sql.QueryFacade.VectorIndexes.register(cfg.tableName, d,
           fi.properties.getOrElse("idColumn", cfg.primaryKeys.headOption
             .getOrElse(throw new IllegalArgumentException(
               s"vector index on ${fi.column} needs an idColumn property" +
                 " or a primary key"))),
-          fi.column)
+          fi.column,
+          distanceFunction =
+            fi.properties.getOrElse("vectorDistanceFunction", "COSINE"),
+          exactRerank = fi.properties.get("vectorExactRerank")
+            .exists(_.toBoolean),
+          filterThenAnnLimit = fi.properties.get("filterThenAnnLimit")
+            .map(_.toInt).getOrElse(0))
       }
       if (fi.indexTypes.contains("TEXT")) {
         graft.sources.TextIndex.register(cfg.tableName, d,

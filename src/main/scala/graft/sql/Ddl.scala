@@ -114,13 +114,34 @@ object Ddl {
         val df = spark.sql(select)
         val out = s"$workspace/$name"
         // rollup-shape inference (MaterializedViewSchemaInferer analog):
-        // Aggregate(plain dims, Sum/Min/Max/Count over plain measures)
-        // over a parquet scan → build + register the rewrite; otherwise
-        // materialize without a rewrite
+        // Aggregate(plain dims, Sum/Min/Max/Count — or any of the
+        // mergeable sketch families, the star-tree agg-pair contract —
+        // over plain measures) over a parquet scan → build + register
+        // the rewrite; otherwise materialize without a rewrite
         val rollup = inferRollup(spark, df)
         val registered = rollup match {
-          case Some((fact, factPath, dims, measures)) =>
-            RollupRewrite.buildRollup(spark, fact, factPath, dims, measures, out)
+          case Some(sh) =>
+            RollupRewrite.buildRollup(spark, sh.fact, sh.factPath,
+              sh.dims, sh.measures, out,
+              distinctMeasures = sh.hlls.keys.toSeq.sorted,
+              hllP = sh.hlls.values.headOption
+                .getOrElse(graft.plans.HllSketch.DefaultP),
+              tdigestMeasures = sh.tds.keys.toSeq.sorted,
+              tdCompression = sh.tds.values.headOption
+                .getOrElse(graft.plans.GraftTDigest.DefaultCompression),
+              qdigestMeasures = sh.qds.keys.toSeq.sorted,
+              qdMaxError = sh.qds.values.headOption
+                .getOrElse(graft.plans.GraftQDigest.DefaultMaxError),
+              kllMeasures = sh.klls.keys.toSeq.sorted,
+              kllK = sh.klls.values.headOption
+                .getOrElse(graft.plans.KllSketch.DefaultK),
+              thetaMeasures = sh.thetas.keys.toSeq.sorted,
+              thetaK = sh.thetas.values.headOption
+                .getOrElse(graft.plans.ThetaDs.DefaultNominalEntries),
+              cpcMeasures = sh.cpcs.keys.toSeq.sorted,
+              cpcLgK = sh.cpcs.values.headOption.getOrElse(12),
+              tupleMeasures = sh.tuples.keys.toSeq.sorted,
+              tupleK = sh.tuples.values.headOption.getOrElse(16384))
             true
           case None =>
             df.write.mode("overwrite").parquet(out)
@@ -159,31 +180,82 @@ object Ddl {
 
   /** (fact, factPath, dims, measures) when the MV query is a
     * rollup-shaped aggregate over a parquet-backed scan. */
+  /** The rollup shape an MV's defining SELECT implies: plain dims,
+    * sum/min/max measures, plus one map per mergeable-sketch family
+    * (measure → param). Conflicting params within a family reject the
+    * rewrite (a rollup stores ONE blob per measure). */
+  private final case class RollupShape(
+      fact: DataFrame, factPath: String,
+      dims: Seq[String], measures: Seq[String],
+      hlls: Map[String, Int], tds: Map[String, Double],
+      qds: Map[String, Double], klls: Map[String, Int],
+      thetas: Map[String, Int], cpcs: Map[String, Int],
+      tuples: Map[(String, String), Int])
+
   private def inferRollup(spark: SparkSession, df: DataFrame)
-      : Option[(DataFrame, String, Seq[String], Seq[String])] = {
+      : Option[RollupShape] = {
     df.queryExecution.analyzed match {
       case Aggregate(groups, aggs, child, _) =>
         val dims = groups.map {
           case a: AttributeReference => a.name
           case _ => return None
         }
-        val measures = aggs.flatMap {
-          case a: AttributeReference if dims.contains(a.name) => Nil
-          case Alias(a: AttributeReference, _) if dims.contains(a.name) => Nil
+        val measures = Seq.newBuilder[String]
+        val hlls = scala.collection.mutable.Map[String, Int]()
+        val tds = scala.collection.mutable.Map[String, Double]()
+        val qds = scala.collection.mutable.Map[String, Double]()
+        val klls = scala.collection.mutable.Map[String, Int]()
+        val thetas = scala.collection.mutable.Map[String, Int]()
+        val cpcs = scala.collection.mutable.Map[String, Int]()
+        val tuples = scala.collection.mutable.Map[(String, String), Int]()
+        def put[K](m: scala.collection.mutable.Map[K, Int], k: K,
+            v: Int): Boolean =
+          m.getOrElseUpdate(k, v) == v
+        def putD[K](m: scala.collection.mutable.Map[K, Double], k: K,
+            v: Double): Boolean =
+          m.getOrElseUpdate(k, v) == v
+        aggs.foreach {
+          case a: AttributeReference if dims.contains(a.name) =>
+          case Alias(a: AttributeReference, _) if dims.contains(a.name) =>
           case Alias(ae: AggregateExpression, _) => ae.aggregateFunction match {
-            case Sum(m: AttributeReference, _) => Seq(m.name)
-            case Min(m: AttributeReference) => Seq(m.name)
-            case Max(m: AttributeReference) => Seq(m.name)
-            case Count(Seq(_)) => Nil
+            case Sum(m: AttributeReference, _) => measures += m.name
+            case Min(m: AttributeReference) => measures += m.name
+            case Max(m: AttributeReference) => measures += m.name
+            case Count(Seq(_)) =>
+            case graft.plans.HllAgg(m: AttributeReference, p, false, _, _) =>
+              if (!put(hlls, m.name, p)) return None
+            case graft.plans.TDigestAgg(
+                m: AttributeReference, _, c, _, _, _) =>
+              if (!putD(tds, m.name, c)) return None
+            case graft.plans.QDigestAgg(
+                m: AttributeReference, _, e, _, _, _) =>
+              if (!putD(qds, m.name, e)) return None
+            case graft.plans.KllAgg(m: AttributeReference, _, k, _, _, _) =>
+              if (!put(klls, m.name, k)) return None
+            case graft.plans.ThetaSketchAgg(
+                m: AttributeReference, k, _, _, _) =>
+              if (!put(thetas, m.name, k)) return None
+            case graft.plans.CpcSketchAgg(
+                m: AttributeReference, lgK, _, _, _) =>
+              if (!put(cpcs, m.name, lgK)) return None
+            case graft.plans.IntegerTupleSketchAgg(
+                k: AttributeReference, v: AttributeReference, kk, _, _, _) =>
+              if (!put(tuples, (k.name, v.name), kk)) return None
             case _ => return None
           }
           case _ => return None
-        }.distinct
+        }
+        // one param per family (a rollup stores one blob per measure)
+        if (Seq(hlls.values, klls.values, thetas.values, cpcs.values,
+            tuples.values).exists(_.toSet.size > 1)) return None
+        if (Seq(tds.values, qds.values).exists(_.toSet.size > 1)) return None
         // child must be a BARE parquet scan (attr-only projections ok):
         // a WHERE in the MV query would make the whole-fact rollup
         // diverge from the defining SELECT
         val factPath = pathOfBareScan(child).getOrElse(return None)
-        Some((spark.read.parquet(factPath), factPath, dims, measures))
+        Some(RollupShape(spark.read.parquet(factPath), factPath, dims,
+          measures.result().distinct, hlls.toMap, tds.toMap, qds.toMap,
+          klls.toMap, thetas.toMap, cpcs.toMap, tuples.toMap))
       case _ => None
     }
   }

@@ -581,27 +581,62 @@ object QueryFacade {
       * ANN candidate cap before exact distance filtering. */
     val DefaultInternalLimit = 100000
 
-    final case class Entry(idCol: String,
+    final case class Entry(idCol: String, vecCol: String,
         model: graft.operators.HnswIndex.Model,
-        numDocs: Long, internalLimit: Int)
+        corpus: DataFrame,
+        numDocs: Long, internalLimit: Int,
+        distance: graft.operators.VectorDistance.Metric,
+        exactRerank: Boolean,
+        filterThenAnnLimit: Int)
+
     private val reg = new java.util.concurrent.ConcurrentHashMap[
       (String, String), Entry]()
+    // the planner "reports [the chosen mode] in explain/debug output"
+    // (VectorExecutionMode.java:26) — per (table, vecCol), last query
+    private val modes = new java.util.concurrent.ConcurrentHashMap[
+      (String, String), String]()
 
     /** Build (memoized via IndexCache) + register an HNSW index for
-      * `table`.`vecCol`; `idCol` is the doc-id the IN-list filters. */
+      * `table`.`vecCol`; `idCol` is the doc-id the IN-list filters.
+      * `distanceFunction` is the reference's
+      * `VectorIndexConfig.vectorDistanceFunction` (COSINE,
+      * INNER_PRODUCT, EUCLIDEAN, DOT_PRODUCT, L2); `exactRerank`
+      * enables ANN_TOP_K_WITH_RERANK (overfetch + exact re-score from
+      * the forward index); `filterThenAnnLimit` > 0 opts into
+      * FILTER_THEN_ANN — when the sibling metadata filter keeps at most
+      * that many survivors, the plan flips to an exact search on the
+      * filtered subset (top-k AMONG the survivors, the mode's semantics
+      * per VectorExecutionMode.java:61 — deliberately different from
+      * the default ANN-then-intersect result, so it is opt-in exactly
+      * as the reference gates modes on index config). */
     def register(table: String, corpus: DataFrame, idCol: String,
         vecCol: String, m: Int = 16, efConstruction: Int = 100,
         nShards: Int = 8,
-        internalLimit: Int = DefaultInternalLimit): Unit =
+        internalLimit: Int = DefaultInternalLimit,
+        distanceFunction: String = "COSINE",
+        exactRerank: Boolean = false,
+        filterThenAnnLimit: Int = 0): Unit = {
+      val metric = graft.operators.VectorDistance.fromName(distanceFunction)
       reg.put((table.toLowerCase, vecCol.toLowerCase),
-        Entry(idCol, graft.operators.HnswIndex.build(
-          corpus, idCol, vecCol, m, efConstruction, nShards),
-          corpus.count(), internalLimit))
+        Entry(idCol, vecCol, graft.operators.HnswIndex.build(
+          corpus, idCol, vecCol, m, efConstruction, nShards, metric),
+          corpus, corpus.count(), internalLimit, metric, exactRerank,
+          filterThenAnnLimit))
+    }
 
-    def clear(): Unit = reg.clear()
+    def clear(): Unit = { reg.clear(); modes.clear() }
 
     private[graft] def lookup(table: String, vecCol: String): Option[Entry] =
       Option(reg.get((table.toLowerCase, vecCol.toLowerCase)))
+
+    private[graft] def recordMode(table: String, vecCol: String,
+        mode: String): Unit =
+      modes.put((table.toLowerCase, vecCol.toLowerCase), mode)
+
+    /** The `VectorExecutionMode` the planner chose for the last query
+      * against this (table, vector column). */
+    def lastMode(table: String, vecCol: String): Option[String] =
+      Option(modes.get((table.toLowerCase, vecCol.toLowerCase)))
   }
 
   /** Literal vector of numbers → floats; None for anything else
@@ -620,6 +655,35 @@ object QueryFacade {
       else return None
     try Some(body.split(",").map(_.trim.toFloat))
     catch { case _: NumberFormatException => None }
+  }
+
+  /** The `AND <conjuncts>` immediately following a WHERE-leading
+    * predicate, up to the first top-level clause terminator — the
+    * sibling metadata filter the vector execution modes reason about. */
+  private def leadingConjuncts(tail: String): Option[String] = {
+    val m = """(?is)^\s*AND\s+""".r.findFirstMatchIn(tail)
+      .getOrElse(return None)
+    val rest = tail.substring(m.end)
+    val lower = rest.toLowerCase
+    val terms = Seq("group by", "order by", "limit ", "limit\n", "having ",
+      "union", "intersect", "except", ";")
+    var depth = 0
+    var i = 0
+    var end = rest.length
+    while (i < rest.length && end == rest.length) {
+      rest.charAt(i) match {
+        case '(' | '[' => depth += 1
+        case ')' | ']' =>
+          depth -= 1
+          if (depth < 0) end = i // closing an enclosing paren
+        case _ if depth == 0 =>
+          if (terms.exists(t => lower.startsWith(t, i))) end = i
+        case _ =>
+      }
+      i += 1
+    }
+    val s = rest.substring(0, end).trim
+    if (s.isEmpty) None else Some(s)
   }
 
   /** Index-served rewrite pass: runs before the text-only rewrite and
@@ -671,8 +735,16 @@ object QueryFacade {
     val entry = VectorIndexes.lookup(table, vcol).getOrElse(return stmt)
     val probe = parseVectorLiteral(vec).getOrElse(return stmt)
     import spark.implicits._
-    import org.apache.spark.sql.functions.{col => fcol}
+    import org.apache.spark.sql.functions.{col => fcol, array => farr,
+      lit => flit, desc => fdesc, asc => fasc, expr => fexpr}
     val probeDf = Seq((0L, probe.toSeq)).toDF("pid", "pvec")
+    val probeLit = farr(probe.map(v => flit(v.toDouble)): _*)
+    // sibling metadata-filter conjuncts after the call (the reorder
+    // pre-pass anchors the call first in WHERE) — the planner input
+    // for FILTER_THEN_ANN / *_THEN_FILTER mode selection
+    val sibling = leadingConjuncts(stmt.substring(close + 1))
+      .filterNot(_.toLowerCase.contains("vector_similarity"))
+    def mode(m: String): Unit = VectorIndexes.recordMode(table, vcol, m)
     val ids: Array[Long] =
       if (isRadius) {
         // VectorRadiusFilterOperator.executeIndexAssistedSearch with
@@ -686,6 +758,12 @@ object QueryFacade {
         val threshold =
           try kStr.trim.toDouble
           catch { case _: NumberFormatException => return stmt }
+        // radius thresholds are cosine-distance scaled (the predicate's
+        // contract); a non-cosine index cannot serve them
+        if (entry.distance != graft.operators.VectorDistance.Cosine) {
+          mode("EXACT_SCAN")
+          return stmt
+        }
         val cands = graft.operators.HnswIndex.searchRadiusWithStatus(
           entry.model, probeDf, "pid", "pvec", minSim = 1.0 - threshold,
           limitPerShard = entry.internalLimit)
@@ -694,17 +772,63 @@ object QueryFacade {
         // frontier: a patience- or cap-terminated expansion may have
         // missed in-radius docs, and "a radius predicate must return
         // ALL matching docs, not a truncated subset"
-        if (cands.exists(!_.getBoolean(1))) return stmt
+        if (cands.exists(!_.getBoolean(1))) { mode("EXACT_SCAN"); return stmt }
         val hits = cands.filter(!_.isNullAt(0)).map(_.getLong(0))
-        if (hits.length >= entry.internalLimit) return stmt // saturated
+        if (hits.length >= entry.internalLimit) {
+          mode("EXACT_SCAN")
+          return stmt // saturated
+        }
+        mode(if (sibling.isDefined) "ANN_THRESHOLD_THEN_FILTER"
+             else "ANN_THRESHOLD_SCAN")
         hits
       } else {
         val k =
           try kStr.trim.toInt
           catch { case _: NumberFormatException => return stmt }
-        graft.operators.HnswIndex.search(entry.model, probeDf,
-          "pid", "pvec", k, ef = math.max(64, 4 * k), excludeSelf = false)
-          .select(fcol("neighbor_id")).collect().map(_.getLong(0))
+        def exactTopK(base: DataFrame): Array[Long] =
+          base.withColumn("__score",
+              entry.distance.score(fcol(entry.vecCol), probeLit))
+            .orderBy(fdesc("__score"), fasc(entry.idCol))
+            .limit(k).select(fcol(entry.idCol).cast("long"))
+            .collect().map(_.getLong(0))
+        // FILTER_THEN_ANN (VectorExecutionMode.java:61), opt-in via
+        // filterThenAnnLimit: when the sibling filter is selective
+        // (bounded survivor count), search the FILTERED subset exactly —
+        // no ANN recall loss, and the work is proportional to the
+        // survivors, not the corpus
+        val filterFirst: Option[Array[Long]] =
+          if (entry.filterThenAnnLimit <= 0) None
+          else sibling.flatMap { cond =>
+            try {
+              val survivors = entry.corpus.filter(fexpr(cond))
+              val n = survivors.limit(entry.filterThenAnnLimit + 1).count()
+              if (n <= entry.filterThenAnnLimit) Some(exactTopK(survivors))
+              else None
+            } catch { case scala.util.control.NonFatal(_) => None }
+          }
+        filterFirst match {
+          case Some(found) =>
+            mode("FILTER_THEN_ANN")
+            found
+          case None if entry.exactRerank =>
+            // ANN overfetch + exact re-score from the forward index
+            // (ANN_TOP_K_WITH_RERANK / ANN_THEN_FILTER_THEN_RERANK)
+            val overfetch = math.max(4 * k, k + 16)
+            val cand = graft.operators.HnswIndex.search(entry.model,
+              probeDf, "pid", "pvec", overfetch,
+              ef = math.max(64, 4 * overfetch), excludeSelf = false)
+              .select(fcol("neighbor_id")).collect().map(_.getLong(0))
+            mode(if (sibling.isDefined) "ANN_THEN_FILTER_THEN_RERANK"
+                 else "ANN_TOP_K_WITH_RERANK")
+            exactTopK(entry.corpus.filter(
+              fcol(entry.idCol).isin(cand.map(Long.box): _*)))
+          case None =>
+            mode(if (sibling.isDefined) "ANN_THEN_FILTER" else "ANN_TOP_K")
+            graft.operators.HnswIndex.search(entry.model, probeDf,
+              "pid", "pvec", k, ef = math.max(64, 4 * k),
+              excludeSelf = false)
+              .select(fcol("neighbor_id")).collect().map(_.getLong(0))
+        }
       }
     val inList =
       if (ids.isEmpty) s"${entry.idCol} IS NULL AND FALSE"

@@ -72,6 +72,49 @@ class DdlSpec extends SparkSpec {
     }
   }
 
+  test("CREATE MV with sketch agg columns builds blob rollups the rewrite serves") {
+    Ddl.reset()
+    Ddl.workspace = java.nio.file.Files
+      .createTempDirectory("graft_ddl_mv_sk").toString
+    QueryFacade.sql(spark,
+      s"CREATE TABLE ddl_li3 WITH (path = '$sf/lineitem.parquet')")
+    // the star-tree agg-pair contract end-to-end: the defining SELECT's
+    // sketch aggregates become stored blob columns of the rollup
+    val status = QueryFacade.sql(spark,
+      """CREATE MATERIALIZED VIEW ddl_mv_sk AS
+        |SELECT l_returnflag, l_linestatus,
+        |  SUM(l_quantity) AS sum_qty,
+        |  PERCENTILETDIGEST(l_quantity, 50) AS p50_qty,
+        |  DISTINCTCOUNTTHETASKETCH(l_suppkey) AS nd_supp
+        |FROM ddl_li3 GROUP BY l_returnflag, l_linestatus""".stripMargin)
+      .select($"status").as[String].collect().head
+    assert(status == "CREATED_WITH_REWRITE")
+    try {
+      val fact = spark.read.parquet(s"$sf/lineitem.parquet")
+      // a base-table percentile query is answered from the td blob...
+      val p50 = fact.groupBy($"l_returnflag")
+        .agg(graft.plans.TDigestSketch
+          .percentileTDigest($"l_quantity", 50.0).as("p50"))
+      assert(p50.queryExecution.optimizedPlan.toString
+        .contains("td_l_quantity"), "percentile not served from rollup")
+      // ...and a theta distinct count from the theta blob, with values
+      // exact below nominal entries
+      val nd = fact.groupBy($"l_returnflag")
+        .agg(graft.plans.ThetaSketchDs
+          .distinctCountTheta($"l_suppkey").as("nd"))
+      assert(nd.queryExecution.optimizedPlan.toString
+        .contains("theta_l_suppkey"), "theta not served from rollup")
+      val direct = fact.groupBy($"l_returnflag")
+        .agg(countDistinct($"l_suppkey").as("nd"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(nd.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        == direct)
+    } finally {
+      QueryFacade.sql(spark, "DROP MATERIALIZED VIEW ddl_mv_sk")
+      QueryFacade.sql(spark, "DROP TABLE ddl_li3")
+    }
+  }
+
   test("non-rollup MV materializes without a rewrite") {
     Ddl.reset()
     QueryFacade.sql(spark,

@@ -482,6 +482,116 @@ class FacadeAndFunctionsSpec extends SparkSpec {
     } finally QueryFacade.VectorIndexes.clear()
   }
 
+  test("vector execution modes: FILTER_THEN_ANN, rerank, mode reporting") {
+    QueryFacade.init(spark, sf)
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val vec = (1.0 +: Seq.fill(63)(0.0)).mkString("ARRAY[", ", ", "]")
+    def exactTopKWhere(cond: String, k: Int): Set[Long] =
+      QueryFacade.sql(spark,
+        s"""SET explicitLimit = true;
+            SELECT vec_id FROM embeddings WHERE $cond
+            ORDER BY cosine_sim(embedding, cast($vec as array<double>)) DESC,
+              vec_id LIMIT $k""").collect().map(_.getLong(0)).toSet
+    try {
+      // default registration: sibling filters intersect AFTER the ANN
+      // candidates (ANN_THEN_FILTER) and the planner reports it
+      QueryFacade.VectorIndexes.register("embeddings", emb, "vec_id",
+        "embedding")
+      QueryFacade.sql(spark,
+        s"""SET explicitLimit = true;
+            SELECT vec_id FROM embeddings
+            WHERE VECTOR_SIMILARITY(embedding, $vec, 5)
+              AND vec_id % 2 = 0""").collect()
+      assert(QueryFacade.VectorIndexes.lastMode("embeddings", "embedding")
+        .contains("ANN_THEN_FILTER"))
+      QueryFacade.sql(spark,
+        s"""SET explicitLimit = true;
+            SELECT vec_id FROM embeddings
+            WHERE VECTOR_SIMILARITY(embedding, $vec, 5)""").collect()
+      assert(QueryFacade.VectorIndexes.lastMode("embeddings", "embedding")
+        .contains("ANN_TOP_K"))
+      // FILTER_THEN_ANN opt-in: a SELECTIVE sibling filter flips the
+      // plan to an exact search on the filtered subset — the top-k
+      // AMONG survivors (VectorExecutionMode.java:61), which ANN-then-
+      // intersect could only under-deliver
+      QueryFacade.VectorIndexes.register("embeddings", emb, "vec_id",
+        "embedding", filterThenAnnLimit = 1000)
+      val filtered = QueryFacade.sql(spark,
+        s"""SET explicitLimit = true;
+            SELECT vec_id FROM embeddings
+            WHERE VECTOR_SIMILARITY(embedding, $vec, 5)
+              AND vec_id % 7 = 0""").collect().map(_.getLong(0)).toSet
+      assert(QueryFacade.VectorIndexes.lastMode("embeddings", "embedding")
+        .contains("FILTER_THEN_ANN"))
+      assert(filtered == exactTopKWhere("vec_id % 7 = 0", 5),
+        s"FILTER_THEN_ANN must return the exact top-5 among survivors")
+      // ANN_TOP_K_WITH_RERANK: overfetch + exact re-score — for cosine
+      // the reranked top-5 must equal the exact top-5
+      QueryFacade.VectorIndexes.register("embeddings", emb, "vec_id",
+        "embedding", exactRerank = true)
+      val reranked = QueryFacade.sql(spark,
+        s"""SET explicitLimit = true;
+            SELECT vec_id FROM embeddings
+            WHERE VECTOR_SIMILARITY(embedding, $vec, 5)""")
+        .collect().map(_.getLong(0)).toSet
+      assert(QueryFacade.VectorIndexes.lastMode("embeddings", "embedding")
+        .contains("ANN_TOP_K_WITH_RERANK"))
+      assert(reranked == exactTopKWhere("TRUE", 5),
+        s"rerank: $reranked vs ${exactTopKWhere("TRUE", 5)}")
+    } finally QueryFacade.VectorIndexes.clear()
+  }
+
+  test("non-cosine distance functions flow from the index config") {
+    QueryFacade.init(spark, sf)
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val vec = (0.5 +: Seq.fill(62)(0.1) :+ 2.0).mkString("ARRAY[", ", ", "]")
+    try {
+      // EUCLIDEAN index: the SQL predicate's top-k is by L2 distance
+      QueryFacade.VectorIndexes.register("embeddings", emb, "vec_id",
+        "embedding", distanceFunction = "L2", exactRerank = true)
+      val l2Got = QueryFacade.sql(spark,
+        s"""SET explicitLimit = true;
+            SELECT vec_id FROM embeddings
+            WHERE VECTOR_SIMILARITY(embedding, $vec, 5)""")
+        .collect().map(_.getLong(0)).toSet
+      val l2Exact = QueryFacade.sql(spark,
+        s"""SET explicitLimit = true;
+            SELECT vec_id FROM embeddings
+            ORDER BY l2distance(embedding, cast($vec as array<double>)) ASC,
+              vec_id LIMIT 5""").collect().map(_.getLong(0)).toSet
+      assert(l2Got == l2Exact, s"L2 index top-k: $l2Got vs exact $l2Exact")
+      // DOT_PRODUCT index: ranked by raw inner product
+      QueryFacade.VectorIndexes.register("embeddings", emb, "vec_id",
+        "embedding", distanceFunction = "DOT_PRODUCT", exactRerank = true)
+      val dotGot = QueryFacade.sql(spark,
+        s"""SET explicitLimit = true;
+            SELECT vec_id FROM embeddings
+            WHERE VECTOR_SIMILARITY(embedding, $vec, 5)""")
+        .collect().map(_.getLong(0)).toSet
+      val dotExact = QueryFacade.sql(spark,
+        s"""SET explicitLimit = true;
+            SELECT vec_id FROM embeddings
+            ORDER BY innerproduct(embedding, cast($vec as array<double>)) DESC,
+              vec_id LIMIT 5""").collect().map(_.getLong(0)).toSet
+      assert(dotGot == dotExact, s"dot index top-k: $dotGot vs $dotExact")
+      // a RADIUS predicate on a non-cosine index must keep the exact
+      // cosine semantics (fall back), reported as EXACT_SCAN
+      val radius = QueryFacade.sql(spark,
+        s"""SET explicitLimit = true;
+            SELECT vec_id FROM embeddings
+            WHERE VECTOR_SIMILARITY_RADIUS(embedding, $vec, 0.8)""")
+        .collect().map(_.getLong(0)).toSet
+      assert(QueryFacade.VectorIndexes.lastMode("embeddings", "embedding")
+        .contains("EXACT_SCAN"))
+      val radiusExact = QueryFacade.sql(spark,
+        s"""SET explicitLimit = true;
+            SELECT vec_id FROM embeddings
+            WHERE cosine_sim(embedding, cast($vec as array<double>)) >= 0.2""")
+        .collect().map(_.getLong(0)).toSet
+      assert(radius == radiusExact)
+    } finally QueryFacade.VectorIndexes.clear()
+  }
+
   test("JSON_MATCH SQL predicate compiles; shredded tables push down") {
     QueryFacade.init(spark, sf)
     // functional form over the raw JSON string

@@ -30,6 +30,10 @@ class PlanShapeSpec extends SparkSpec {
     // bucket-spine crossJoin broadcast(series), same shape as
     // q_ts_promql's fill stage
     "q_ann_hnsw", "q_ts_transforms",
+    // q_ann_l2 / q_ann_dot: the q_ann_hnsw shape for the non-cosine
+    // metrics — bounded probes (< 5 rows) crossJoin the corpus for the
+    // exact-oracle side, plus the HNSW shard fan-out
+    "q_ann_l2", "q_ann_dot",
     // TPC-H members whose partsupp prelude (and Q11's HAVING-vs-total)
     // carry the `(SELECT count(*) FROM supplier)` 1-row scalar
     // broadcast — the canonical benign BNLJ shape

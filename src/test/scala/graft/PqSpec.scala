@@ -103,4 +103,45 @@ class PqSpec extends SparkSpec {
         r.getAs[Long]("cid"), r.getAs[Int]("rn"))).toSet
     assert(got == exact)
   }
+
+  test("non-cosine metrics: PQ/IVF rerank equals the metric's brute force") {
+    import graft.operators.{IvfIndex, VectorDistance}
+    val emb = clustered(80, 16, 4, 5).toDF("vec_id", "embedding")
+    val probes = emb.filter($"vec_id" < 3)
+    val p = probes.select($"vec_id".as("probe_id"),
+      $"embedding".cast("array<double>").as("pv"))
+    val c = emb.select($"vec_id".as("cid"),
+      $"embedding".cast("array<double>").as("cv"))
+    def exact(metric: VectorDistance.Metric): Set[(Long, Long, Int)] = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"probe_id").orderBy($"sim".desc, $"cid".asc)
+      p.crossJoin(c).filter($"cid" =!= $"probe_id")
+        .withColumn("sim", metric.score($"pv", $"cv"))
+        .withColumn("rn", row_number().over(w)).filter($"rn" <= 5)
+        .collect().map(r => (r.getAs[Long]("probe_id"),
+          r.getAs[Long]("cid"), r.getAs[Int]("rn"))).toSet
+    }
+    Seq(VectorDistance.Euclidean, VectorDistance.DotProduct).foreach {
+      metric =>
+        // PQ with a corpus-wide shortlist: exact rerank under the metric
+        val pq = PqIndex.build(emb, "vec_id", "embedding", m = 4, k = 8,
+          metric = metric)
+        val got = PqIndex.searchRerank(pq, emb, "vec_id", "embedding",
+            probes, "vec_id", topK = 5, rerankFactor = 16)
+          .select("probe_id", "neighbor_id", "rank")
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+        assert(got == exact(metric), s"PQ rerank under ${metric.name}")
+        // IVF with full probe coverage: in-cell rerank under the metric
+        val ivf = IvfIndex.build(emb, "vec_id", "embedding", k = 4)
+        val ivfGot = IvfIndex.search(ivf, probes, "vec_id", "embedding",
+            k = 5, nprobe = 4, metric = metric)
+          .select("probe_id", "neighbor_id", "rank")
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+        assert(ivfGot == exact(metric), s"IVF under ${metric.name}")
+    }
+    // and the metrics genuinely disagree on this corpus (magnitude
+    // sensitivity) — otherwise the cases above prove nothing
+    assert(exact(VectorDistance.DotProduct) !=
+      exact(VectorDistance.Cosine))
+  }
 }
