@@ -56,4 +56,44 @@ class TimeSeriesQlSpec extends SparkSpec {
       value="v"} | sum{host} | bottomk{1}""")
     assert(bot.keySet.map(_._1) == Set("b"))
   }
+
+  test("query_range endpoint: Prometheus-shaped matrix over TimeBuckets") {
+    import graft.sql.TimeSeriesEndpoint
+    // the reference's response contract
+    // (PinotBrokerTimeSeriesResponse.java): status/data/resultType,
+    // one result entry per series keyed by tag values, __name__ =
+    // serialized tags, values = [epochSec, "v"|null] per TIME BUCKET
+    val json = TimeSeriesEndpoint.queryRange(_ => metrics, Map(
+      "query" -> """fetch{table="m", ts_column="t", ts_unit="SECONDS",
+        value="v"} | sum{host}""",
+      "start" -> "0", "end" -> "39", "step" -> "10s"))
+    assert(json.contains("\"status\":\"success\""), json)
+    assert(json.contains("\"resultType\":\"matrix\""))
+    // both series present, keyed by their tag values, with the
+    // __name__ default (TimeSeries.getTagsSerialized: k=v)
+    assert(json.contains("\"__name__\":\"host=a\""))
+    assert(json.contains("\"__name__\":\"host=b\""))
+    assert(json.contains("\"host\":\"a\"") && json.contains("\"host\":\"b\""))
+    // series a: all four buckets valued; series b: bucket 2 (t=20) is
+    // a NULL cell, not a missing one — the TimeBuckets contract
+    assert(json.contains("""[0,"10.0"],[10,"30.0"],[20,"60.0"],[30,"100.0"]"""),
+      json)
+    assert(json.contains("""[0,"5.0"],[10,"6.0"],[20,null],[30,"8.0"]"""),
+      json)
+    // human-readable step strings parse (getStepSeconds analog)
+    assert(TimeSeriesEndpoint.stepSeconds("2m") == 120L)
+    assert(TimeSeriesEndpoint.stepSeconds("1h") == 3600L)
+    assert(TimeSeriesEndpoint.stepSeconds("90") == 90L)
+    // missing params fail closed with the reference's messages
+    val err = TimeSeriesEndpoint.queryRange(_ => metrics,
+      Map("start" -> "0", "end" -> "39", "step" -> "10"))
+    assert(err.contains("\"status\":\"error\""))
+    assert(err.contains("Query cannot be null"))
+    // a series LIMIT caps the result entries (DEFAULT_SERIES_LIMIT role)
+    val limited = TimeSeriesEndpoint.queryRange(_ => metrics, Map(
+      "query" -> """fetch{table="m", ts_column="t", ts_unit="SECONDS",
+        value="v"} | sum{host}""",
+      "start" -> "0", "end" -> "39", "step" -> "10", "limit" -> "1"))
+    assert(limited.contains("host=a") && !limited.contains("host=b"))
+  }
 }
