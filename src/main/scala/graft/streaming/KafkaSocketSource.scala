@@ -46,12 +46,16 @@ class KafkaSocketSourceProvider extends TableProvider with DataSourceRegister {
     new KafkaSocketTable(
       opts.get("brokers"),
       opts.get("topic"),
-      Option(opts.get("startingoffsets")).getOrElse("earliest"))
+      Option(opts.get("startingoffsets")).getOrElse("earliest"),
+      // dialect=flexible upgrades the wire encodings to the
+      // post-KIP-482 versions (Produce v9 / Fetch v12 / ApiVersions v3)
+      Option(opts.get("dialect")).contains("flexible"))
   }
 }
 
 final class KafkaSocketTable(brokers: String, topic: String,
-    startingOffsets: String) extends Table with SupportsRead {
+    startingOffsets: String, flexible: Boolean = false)
+  extends Table with SupportsRead {
   require(brokers != null, "option 'brokers' is required")
   require(topic != null, "option 'topic' is required")
   override def name(): String = s"graft-kafka:$topic"
@@ -63,7 +67,8 @@ final class KafkaSocketTable(brokers: String, topic: String,
       override def build(): Scan = new Scan {
         override def readSchema(): StructType = KafkaSource.RecordSchema
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-          new KafkaSocketMicroBatchStream(brokers, topic, startingOffsets)
+          new KafkaSocketMicroBatchStream(brokers, topic, startingOffsets,
+            flexible)
       }
     }
 }
@@ -84,11 +89,13 @@ object KafkaSocketOffset {
 }
 
 final class KafkaSocketMicroBatchStream(brokers: String, topic: String,
-    startingOffsets: String) extends MicroBatchStream {
+    startingOffsets: String, flexible: Boolean = false)
+  extends MicroBatchStream {
 
   private val Array(host, portStr) = brokers.split(":", 2)
   private val port = portStr.toInt
-  private lazy val client = new KafkaWireClient(host, port, "graft-driver")
+  private lazy val client = new KafkaWireClient(host, port, "graft-driver",
+    flexible = flexible)
 
   private def partitions(): Seq[Int] =
     client.metadata(Seq(topic)).headOption.map(_._2).getOrElse(Nil)
@@ -115,7 +122,8 @@ final class KafkaSocketMicroBatchStream(brokers: String, topic: String,
     e.toSeq.sortBy(_._1).flatMap { case (p, endOff) =>
       val startOff = s.getOrElse(p, 0L)
       if (endOff > startOff)
-        Some(KafkaSocketInputPartition(host, port, topic, p, startOff, endOff))
+        Some(KafkaSocketInputPartition(host, port, topic, p, startOff,
+          endOff, flexible))
       else None
     }.toArray
   }
@@ -132,7 +140,8 @@ final class KafkaSocketMicroBatchStream(brokers: String, topic: String,
 }
 
 final case class KafkaSocketInputPartition(host: String, port: Int,
-    topic: String, partition: Int, startOffset: Long, endOffset: Long)
+    topic: String, partition: Int, startOffset: Long, endOffset: Long,
+    flexible: Boolean = false)
   extends InputPartition
 
 /** Executor-side reader: its own socket, fetch loop over
@@ -141,7 +150,7 @@ final class KafkaSocketPartitionReader(p: KafkaSocketInputPartition)
   extends PartitionReader[InternalRow] {
 
   private val client = new KafkaWireClient(p.host, p.port,
-    s"graft-exec-${p.partition}")
+    s"graft-exec-${p.partition}", flexible = p.flexible)
   private val buffer = mutable.Queue[KafkaWire.Record]()
   private var nextOffset = p.startOffset
   private var current: KafkaWire.Record = _

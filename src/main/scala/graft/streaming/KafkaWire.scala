@@ -68,6 +68,36 @@ object KafkaWire {
     def i32(v: Int): Writer = { ensure(4); buf.putInt(v); this }
     def i64(v: Long): Writer = { ensure(8); buf.putLong(v); this }
     def raw(b: Array[Byte]): Writer = { ensure(b.length); buf.put(b); this }
+    /** KIP-482 unsigned varint (NOT zigzag — that's the record-batch
+      * encoding; flexible framing uses plain base-128). */
+    def uvarint(v0: Int): Writer = {
+      var v = v0
+      while ((v & ~0x7f) != 0) {
+        i8(((v & 0x7f) | 0x80).toByte)
+        v = v >>> 7
+      }
+      i8((v & 0x7f).toByte)
+    }
+
+    /** Compact string: uvarint(len + 1), 0 = null. */
+    def compactStr(s: String): Writer =
+      if (s == null) uvarint(0)
+      else {
+        val b = s.getBytes("UTF-8")
+        uvarint(b.length + 1).raw(b)
+      }
+
+    /** Compact bytes: uvarint(len + 1), 0 = null. */
+    def compactBytes(b: Array[Byte]): Writer =
+      if (b == null) uvarint(0)
+      else uvarint(b.length + 1).raw(b)
+
+    /** Compact array header: uvarint(n + 1). */
+    def compactArray(n: Int): Writer = uvarint(n + 1)
+
+    /** Empty tagged-fields section. */
+    def tags(): Writer = uvarint(0)
+
     def str(s: String): Writer =
       if (s == null) i16(-1)
       else {
@@ -94,6 +124,53 @@ object KafkaWire {
         new String(b, "UTF-8")
       }
     }
+    def uvarint(): Int = {
+      var v = 0
+      var shift = 0
+      var b = 0
+      do {
+        b = bb.get() & 0xff
+        v |= (b & 0x7f) << shift
+        shift += 7
+      } while ((b & 0x80) != 0)
+      v
+    }
+
+    /** Compact string: uvarint(len + 1), 0 = null. */
+    def compactStr(): String = {
+      val n = uvarint() - 1
+      if (n < 0) null
+      else {
+        val b = new Array[Byte](n)
+        bb.get(b)
+        new String(b, "UTF-8")
+      }
+    }
+
+    /** Compact bytes: uvarint(len + 1), 0 = null. */
+    def compactBytes(): Array[Byte] = {
+      val n = uvarint() - 1
+      if (n < 0) null
+      else {
+        val b = new Array[Byte](n)
+        bb.get(b)
+        b
+      }
+    }
+
+    /** Compact array length (-1 = null array). */
+    def compactArrayLen(): Int = uvarint() - 1
+
+    /** Skip a tagged-fields section. */
+    def tags(): Unit = {
+      val n = uvarint()
+      (0 until n).foreach { _ =>
+        uvarint() // tag
+        val size = uvarint()
+        bb.position(bb.position() + size)
+      }
+    }
+
     def blob(): Array[Byte] = {
       val n = bb.getInt()
       if (n < 0) null
@@ -132,13 +209,29 @@ object KafkaWire {
   final case class RequestHeader(apiKey: Short, apiVersion: Short,
       correlationId: Int, clientId: String)
 
-  def readRequestHeader(r: Reader): RequestHeader =
-    RequestHeader(r.i16(), r.i16(), r.i32(), r.str())
+  def readRequestHeader(r: Reader): RequestHeader = {
+    val h = RequestHeader(r.i16(), r.i16(), r.i32(), r.str())
+    // flexible request versions use header v2: same fields (client_id
+    // stays a legacy nullable STRING, per KIP-482) plus tagged fields
+    if (isFlexible(h.apiKey, h.apiVersion)) r.tags()
+    h
+  }
 
   def writeRequestHeader(w: Writer, h: RequestHeader): Unit = {
     w.i16(h.apiKey).i16(h.apiVersion).i32(h.correlationId).str(h.clientId)
+    if (isFlexible(h.apiKey, h.apiVersion)) w.tags()
     ()
   }
+
+  /** Post-KIP-482 flexible request versions this stack speaks:
+    * ApiVersions v3+, Produce v9+, Fetch v12+. Flexible responses use
+    * header v1 (correlation id + tagged fields) — EXCEPT ApiVersions,
+    * whose response header stays v0 so a client can always parse the
+    * version-negotiation reply. */
+  def isFlexible(apiKey: Short, version: Short): Boolean =
+    (apiKey == ApiVersions && version >= 3) ||
+      (apiKey == ApiProduce && version >= 9) ||
+      (apiKey == ApiFetch && version >= 12)
 
   // ---- magic-1 MessageSet ----
   /** Encode records as a v1 MessageSet with the given base offsets

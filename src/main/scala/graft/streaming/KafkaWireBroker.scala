@@ -136,11 +136,20 @@ final class KafkaWireBroker(host: String = "127.0.0.1",
         val h = readRequestHeader(r)
         val w = new Writer
         w.i32(h.correlationId)
+        // flexible responses use header v1 (tagged fields after the
+        // correlation id) — except ApiVersions, always header v0
+        if (isFlexible(h.apiKey, h.apiVersion) && h.apiKey != ApiVersions)
+          w.tags()
         h.apiKey match {
-          case ApiVersions => apiVersions(w)
+          case ApiVersions =>
+            if (h.apiVersion >= 3) apiVersionsV3(r, w) else apiVersions(w)
           case ApiMetadata => metadata(r, w)
-          case ApiProduce => produce(r, w, h.apiVersion)
-          case ApiFetch => fetch(r, w, h.apiVersion)
+          case ApiProduce =>
+            if (h.apiVersion >= 9) produceFlexible(r, w)
+            else produce(r, w, h.apiVersion)
+          case ApiFetch =>
+            if (h.apiVersion >= 12) fetchFlexible(r, w)
+            else fetch(r, w, h.apiVersion)
           case ApiListOffsets => listOffsets(r, w, h.apiVersion)
           case other =>
             throw new UnsupportedOperationException(s"api key $other")
@@ -150,18 +159,172 @@ final class KafkaWireBroker(host: String = "127.0.0.1",
     } catch { case _: Throwable => () } // connection closed
     finally sock.close()
 
+  // (api key, min, max): Produce v3/Fetch v4 carry magic-2 record
+  // batches (the pre-flexible modern dialect); Produce v9/Fetch v12/
+  // ApiVersions v3 are the post-KIP-482 FLEXIBLE versions (compact
+  // strings, tagged fields) current clients negotiate first
+  private val supportedApis = Seq((ApiProduce, 0, 9), (ApiFetch, 0, 12),
+    (ApiListOffsets, 0, 1), (ApiMetadata, 0, 0), (ApiVersions, 0, 3))
+
   private def apiVersions(w: Writer): Unit = {
     w.i16(0) // no error
-    // (api key, min, max): Produce through v3 and Fetch through v4
-    // carry magic-2 record batches — the modern dialect
-    val supported = Seq((ApiProduce, 0, 3), (ApiFetch, 0, 4),
-      (ApiListOffsets, 0, 1), (ApiMetadata, 0, 0),
-      (ApiVersions, 0, 0))
-    w.i32(supported.size)
-    supported.foreach { case (k, lo, hi) =>
+    w.i32(supportedApis.size)
+    supportedApis.foreach { case (k, lo, hi) =>
       w.i16(k).i16(lo.toShort).i16(hi.toShort)
     }
     ()
+  }
+
+  /** ApiVersions v3 (KIP-511): the request carries the client software
+    * name/version as compact strings + tagged fields; the response is
+    * flexible (compact api-key array, per-entry and trailing tagged
+    * fields) under a v0 header. */
+  private def apiVersionsV3(r: Reader, w: Writer): Unit = {
+    r.compactStr() // client_software_name
+    r.compactStr() // client_software_version
+    r.tags()
+    w.i16(0) // no error
+    w.compactArray(supportedApis.size)
+    supportedApis.foreach { case (k, lo, hi) =>
+      w.i16(k).i16(lo.toShort).i16(hi.toShort).tags()
+    }
+    w.i32(0) // throttle_time_ms
+    w.tags()
+    ()
+  }
+
+  /** Produce v9 (flexible): compact strings/bytes/arrays + tagged
+    * fields throughout; records arrive as magic-2 batches. */
+  private def produceFlexible(r: Reader, w: Writer): Unit = {
+    r.compactStr() // transactional_id
+    r.i16() // acks
+    r.i32() // timeout
+    val acks = Seq.newBuilder[(String, Int, Long)]
+    val nTopics = r.compactArrayLen()
+    (0 until nTopics).foreach { _ =>
+      val topic = r.compactStr()
+      val nParts = r.compactArrayLen()
+      (0 until nParts).foreach { _ =>
+        val partition = r.i32()
+        val setBytes = r.compactBytes()
+        r.tags()
+        val records =
+          if (setBytes == null) Nil else decodeRecordBatches(setBytes)
+        val base = logs.synchronized {
+          val log = logs.getOrElseUpdate((topic, partition),
+            mutable.ArrayBuffer.empty)
+          val b = if (log.isEmpty) 0L else log.last.offset + 1
+          records.zipWithIndex.foreach { case (rec, i) =>
+            log += rec.copy(offset = b + i)
+          }
+          b
+        }
+        acks += ((topic, partition, base))
+      }
+      r.tags()
+    }
+    r.tags()
+    val byTopic = acks.result().groupBy(_._1).toSeq.sortBy(_._1)
+    w.compactArray(byTopic.size)
+    byTopic.foreach { case (topic, parts) =>
+      w.compactStr(topic)
+      w.compactArray(parts.size)
+      parts.foreach { case (_, p, base) =>
+        w.i32(p).i16(0).i64(base)
+        w.i64(-1L) // log_append_time (CREATE_TIME)
+        w.i64(0L) // log_start_offset
+        w.compactArray(0) // record_errors: none
+        w.compactStr(null) // error_message
+        w.tags()
+      }
+      w.tags()
+    }
+    w.i32(0) // throttle_time_ms
+    w.tags()
+    ()
+  }
+
+  /** Fetch v12 (flexible — the last topic-NAME-keyed fetch version):
+    * session fields read and ignored (sessionless, session_id 0),
+    * records served as magic-2 batches in compact bytes. */
+  private def fetchFlexible(r: Reader, w: Writer): Unit = {
+    r.i32() // replica_id
+    r.i32() // max_wait_ms
+    r.i32() // min_bytes
+    val maxBytesTotal = r.i32()
+    r.i8() // isolation_level
+    r.i32() // session_id
+    r.i32() // session_epoch
+    val results =
+      (0 until r.compactArrayLen()).map { _ =>
+        val topic = r.compactStr()
+        val parts = (0 until r.compactArrayLen()).map { _ =>
+          val partition = r.i32()
+          r.i32() // current_leader_epoch
+          val fetchOffset = r.i64()
+          r.i32() // last_fetched_epoch
+          r.i64() // log_start_offset
+          val maxBytes = math.min(r.i32(), maxBytesTotal)
+          r.tags()
+          val (slice, hw) = sliceLog(topic, partition, fetchOffset, maxBytes)
+          (partition, hw, slice)
+        }
+        r.tags()
+        (topic, parts)
+      }
+    (0 until r.compactArrayLen()).foreach { _ => // forgotten_topics_data
+      r.compactStr()
+      (0 until r.compactArrayLen()).foreach(_ => r.i32())
+      r.tags()
+    }
+    r.compactStr() // rack_id
+    r.tags()
+    w.i32(0) // throttle_time_ms
+    w.i16(0) // error_code
+    w.i32(0) // session_id (sessionless)
+    w.compactArray(results.size)
+    results.foreach { case (topic, parts) =>
+      w.compactStr(topic)
+      w.compactArray(parts.size)
+      parts.foreach { case (p, hw, slice) =>
+        w.i32(p).i16(0).i64(hw)
+        w.i64(hw) // last_stable_offset (no open txns)
+        w.i64(0L) // log_start_offset
+        w.compactArray(0) // aborted_transactions: none
+        w.i32(-1) // preferred_read_replica
+        w.compactBytes(
+          if (slice.isEmpty) Array.emptyByteArray
+          else encodeRecordBatch(slice, slice.head.offset))
+        w.tags()
+      }
+      w.tags()
+    }
+    w.tags()
+    ()
+  }
+
+  /** Up to `maxBytes` of records at or above `from` (selected by
+    * record OFFSET — post-compaction offsets and positions diverge),
+    * plus the high watermark. */
+  private def sliceLog(topic: String, partition: Int, from: Long,
+      maxBytes: Int): (Seq[Record], Long) = logs.synchronized {
+    val log = logs.getOrElse((topic, partition),
+      mutable.ArrayBuffer.empty[Record])
+    val start = log.indexWhere(_.offset >= math.max(0L, from)) match {
+      case -1 => log.length
+      case idx => idx
+    }
+    val sel = Seq.newBuilder[Record]
+    var size = 0
+    var i = start
+    while (i < log.length && size < maxBytes) {
+      sel += log(i)
+      size += 26 + 8 +
+        Option(log(i).key).map(_.length).getOrElse(0) +
+        Option(log(i).value).map(_.length).getOrElse(0)
+      i += 1
+    }
+    (sel.result(), if (log.isEmpty) 0L else log.last.offset + 1)
   }
 
   private def metadata(r: Reader, w: Writer): Unit = {
@@ -242,26 +405,7 @@ final class KafkaWireBroker(host: String = "127.0.0.1",
           val partition = r.i32()
           val fetchOffset = r.i64()
           val maxBytes = r.i32()
-          val (slice, hw) = logs.synchronized {
-            val log = logs.getOrElse((topic, partition),
-              mutable.ArrayBuffer.empty[Record])
-            // select by record OFFSET, not buffer position — after
-            // compaction the two diverge and a fetch at a compacted
-            // offset must return the next surviving records
-            val from = log.indexWhere(_.offset >= math.max(0L, fetchOffset))
-              match { case -1 => log.length case idx => idx }
-            val sel = Seq.newBuilder[Record]
-            var size = 0
-            var i = from
-            while (i < log.length && size < maxBytes) {
-              sel += log(i)
-              size += 26 + 8 +
-                Option(log(i).key).map(_.length).getOrElse(0) +
-                Option(log(i).value).map(_.length).getOrElse(0)
-              i += 1
-            }
-            (sel.result(), log.length.toLong)
-          }
+          val (slice, hw) = sliceLog(topic, partition, fetchOffset, maxBytes)
           val set =
             if (slice.isEmpty) Array.emptyByteArray
             else if (version >= 4)

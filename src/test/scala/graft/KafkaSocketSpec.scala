@@ -225,6 +225,112 @@ class KafkaSocketSpec extends SparkSpec {
     } finally broker.close()
   }
 
+  test("KIP-482 primitives encode the documented layouts, byte-exact") {
+    def enc(f: KafkaWire.Writer => Unit): String = {
+      val w = new KafkaWire.Writer
+      f(w)
+      hex(w.result())
+    }
+    // unsigned varint (NOT zigzag): 0→00, 1→01, 127→7f, 128→8001,
+    // 300→ac02 (the protocol-doc vectors)
+    assert(enc(_.uvarint(0)) == "00")
+    assert(enc(_.uvarint(1)) == "01")
+    assert(enc(_.uvarint(127)) == "7f")
+    assert(enc(_.uvarint(128)) == "8001")
+    assert(enc(_.uvarint(300)) == "ac02")
+    // compact string: uvarint(len+1) + utf8; null = 00
+    assert(enc(_.compactStr("hi")) == "036869")
+    assert(enc(_.compactStr(null)) == "00")
+    assert(enc(_.compactStr("")) == "01")
+    // compact bytes + empty tagged-fields section
+    assert(enc(_.compactBytes(Array[Byte](0x0a, 0x0b))) == "030a0b")
+    assert(enc(_.tags()) == "00")
+    // round trips, including a multi-byte varint boundary
+    val w = new KafkaWire.Writer
+    w.uvarint(16384).compactStr("graft").compactBytes(null).tags()
+    val r = new KafkaWire.Reader(w.result())
+    assert(r.uvarint() == 16384)
+    assert(r.compactStr() == "graft")
+    assert(r.compactBytes() == null)
+    r.tags()
+    assert(r.remaining == 0)
+  }
+
+  test("flexible dialect: ApiVersions v3 negotiation + Produce v9 / Fetch v12") {
+    val broker = new KafkaWireBroker(numPartitions = 1).start()
+    try {
+      val c = new KafkaWireClient("127.0.0.1", broker.port, "flex",
+        flexible = true)
+      // negotiation reports the flexible maxima
+      val versions = c.apiVersions().map(v => v._1 -> v._3).toMap
+      assert(versions(KafkaWire.ApiProduce) == 9, versions.toString)
+      assert(versions(KafkaWire.ApiFetch) == 12)
+      assert(versions(KafkaWire.ApiVersions) == 3)
+      // produce v9 → fetch v12 round trip, offsets and payloads intact
+      val base = c.produce("fx", 0, Seq(
+        KafkaWire.Record("k1".getBytes, "v1".getBytes, 1000L),
+        KafkaWire.Record(null, "v2".getBytes, 1001L)))
+      assert(base == 0L)
+      assert(c.produce("fx", 0, Seq(
+        KafkaWire.Record("k3".getBytes, "v3".getBytes, 1002L))) == 2L)
+      val (records, hw) = c.fetch("fx", 0, 0L)
+      assert(hw == 3L)
+      assert(records.map(r => (Option(r.key).map(new String(_)),
+        new String(r.value), r.offset)) == Seq(
+        (Some("k1"), "v1", 0L), (None, "v2", 1L), (Some("k3"), "v3", 2L)))
+      // and a NON-flexible client still talks to the same broker
+      val legacy = new KafkaWireClient("127.0.0.1", broker.port, "old")
+      assert(legacy.fetch("fx", 0, 1L)._1.map(r =>
+        new String(r.value)) == Seq("v2", "v3"))
+      legacy.close()
+      c.close()
+    } finally broker.close()
+  }
+
+  test("streaming exactly-once restart over the FLEXIBLE dialect") {
+    val broker = new KafkaWireBroker(numPartitions = 1).start()
+    try {
+      val root = java.nio.file.Files
+        .createTempDirectory("kafka_flex").toString
+      val schema = StructType(Seq(
+        StructField("user_id", LongType), StructField("ts", LongType),
+        StructField("amount", DoubleType)))
+      val producer = new KafkaWireClient("127.0.0.1", broker.port,
+        "flex-producer", flexible = true)
+      def produce(json: String): Unit = {
+        producer.produce("ft", 0, Seq(
+          KafkaWire.Record(null, json.getBytes, 1000L)))
+        ()
+      }
+      def startQ() = UpsertStream.startDurable(spark,
+        KafkaSource.decodeJson(
+          spark.readStream
+            .format(classOf[KafkaSocketSourceProvider].getName)
+            .option("brokers", s"127.0.0.1:${broker.port}")
+            .option("topic", "ft")
+            .option("dialect", "flexible")
+            .load(), schema),
+        Seq("user_id"), "ts", Seq("amount"),
+        s"$root/store", s"$root/ckpt")
+      produce("""{"user_id":1,"ts":10,"amount":1.0}""")
+      produce("""{"user_id":1,"ts":20,"amount":2.0}""")
+      val q1 = startQ()
+      q1.processAllAvailable()
+      q1.stop() // kill mid-stream
+      // while down: a stale version and a new key
+      produce("""{"user_id":1,"ts":5,"amount":9.0}""")
+      produce("""{"user_id":2,"ts":30,"amount":7.0}""")
+      val q2 = startQ()
+      q2.processAllAvailable()
+      q2.stop()
+      val got = spark.read.parquet(s"$root/store")
+        .select("user_id", "ts", "amount").collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+      assert(got == Map(1L -> (20L, 2.0), 2L -> (30L, 7.0)))
+      producer.close()
+    } finally broker.close()
+  }
+
   test("compacted topic: reader skips compacted gaps, still fails on truncation") {
     val broker = new KafkaWireBroker(numPartitions = 1).start()
     try {
