@@ -22,8 +22,12 @@ import graft.functions.VectorFunctions._
 object IvfIndex {
 
   /** (cell assignments, centroids) — both plain DataFrames:
-    * assignments (id, vec, cell), centroids (cell, cvec). */
-  final case class Model(assignments: DataFrame, centroids: DataFrame)
+    * assignments (id, vec, cell) — or (id, qvec, cell) int8/int4 codes
+    * when scalar-quantized (`VectorQuantizerType` SQ8/SQ4: the stored
+    * index is 4–8× smaller; searches dequantize on the fly) — and
+    * centroids (cell, cvec). */
+  final case class Model(assignments: DataFrame, centroids: DataFrame,
+      quant: Option[ScalarQuantize.Params] = None)
 
   /** Train the coarse quantizer on a BOUNDED sample collected to the
     * driver (the standard IVF recipe — FAISS trains its quantizer on
@@ -42,13 +46,15 @@ object IvfIndex {
       vecCol: String,
       k: Int,
       iterations: Int = 2,
-      maxTrainRows: Int = 65536): Model =
+      maxTrainRows: Int = 65536,
+      quantizerBits: Int = 0): Model =
     // index builds are ingest-time artifacts (see IndexCache): memoized
     // on the corpus' canonical plan + build params, deterministic either
     // way, so a hit returns the identical model a fresh build would
     IndexCache.getOrBuild(("ivf", corpus.queryExecution.analyzed.canonicalized,
-      idCol, vecCol, k, iterations, maxTrainRows)) {
-      buildImpl(corpus, idCol, vecCol, k, iterations, maxTrainRows)
+      idCol, vecCol, k, iterations, maxTrainRows, quantizerBits)) {
+      buildImpl(corpus, idCol, vecCol, k, iterations, maxTrainRows,
+        quantizerBits)
     }
 
   private def buildImpl(
@@ -57,7 +63,8 @@ object IvfIndex {
       vecCol: String,
       k: Int,
       iterations: Int,
-      maxTrainRows: Int): Model = {
+      maxTrainRows: Int,
+      quantizerBits: Int): Model = {
     val spark = corpus.sparkSession
     val base = corpus.select(col(idCol).as("id"),
       transform(col(vecCol), x => x.cast("double")).as("vec"))
@@ -97,7 +104,16 @@ object IvfIndex {
     // the assignments are written out partitioned by cell; locally
     // localCheckpoint gives the same build-once/probe-many behavior
     // instead of re-clustering per downstream consumer
-    Model(assign(base, centroidDf).localCheckpoint(), centroidDf)
+    val assigned = assign(base, centroidDf)
+    if (quantizerBits > 0) {
+      // SQ8/SQ4 (VectorQuantizerType): store per-dimension codes, not
+      // floats — the materialized index shrinks 4–8×
+      val p = ScalarQuantize.train(base, "vec", quantizerBits)
+      Model(assigned
+        .withColumn("qvec", ScalarQuantize.quantize(col("vec"), p))
+        .drop("vec")
+        .localCheckpoint(), centroidDf, Some(p))
+    } else Model(assigned.localCheckpoint(), centroidDf)
   }
 
   private def assign(base: DataFrame, centroids: DataFrame): DataFrame =
@@ -149,9 +165,14 @@ object IvfIndex {
 
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("sim").desc, col("id").asc)
+    // a quantized index scores against the on-the-fly reconstruction
+    // (error ≤ half a quantization step per dimension)
+    val stored = model.quant
+      .map(p => ScalarQuantize.dequantize(col("qvec"), p))
+      .getOrElse(col("vec"))
     probeCells.join(model.assignments, "cell")
       .filter(col("probe_id") =!= col("id"))
-      .withColumn("sim", metric.score(col("pvec"), col("vec")))
+      .withColumn("sim", metric.score(col("pvec"), stored))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("probe_id"), col("id").as("neighbor_id"), col("sim"), col("rank"))

@@ -31,7 +31,13 @@ object Upsert {
     *                  tombstoned — removed from the view entirely. */
   def latestByKey(df: DataFrame, keys: Seq[String], cmpCol: String,
       tieCols: Seq[String] = Nil, deleteCol: Option[String] = None): DataFrame = {
-    val ord = (col(cmpCol).desc +: tieCols.map(col(_).desc))
+    // non-delete records win comparison ties (same rule as the partial
+    // path): the reference's upsert comparison lets the later-arriving
+    // record win on equal values, so same-cmp delete-then-revive
+    // revives — and the pick is deterministic either way
+    val ord = (col(cmpCol).desc +: tieCols.map(col(_).desc)) ++
+      deleteCol.map(d =>
+        coalesce(col(d).cast("boolean"), lit(false)).asc).toSeq
     val w = Window.partitionBy(keys.map(col): _*).orderBy(ord: _*)
     val latest = df.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")

@@ -631,6 +631,63 @@ object PipelineQueries {
           TRUE AS recall_ok
         FROM r WHERE rn <= 5 GROUP BY probe_id ORDER BY probe_id""")),
 
+    // IVF over a SCALAR-QUANTIZED store (VectorQuantizerType SQ8,
+    // ScalarQuantizer.java: per-dimension trained linear codes in
+    // [0, 255], the index 4x smaller than float32) — searches score
+    // the on-the-fly reconstruction, error <= half a step per dim.
+    // Same property-oracle shape as q_ann_ivf, recall >= 3 of 5.
+    GQuery("q_ann_ivf_sq8",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val probes = t.embeddings.filter(col("vec_id") < 5)
+        val model = IvfIndex.build(t.embeddings, "vec_id", "embedding",
+          k = 16, iterations = 2, quantizerBits = 8)
+        val ivf = IvfIndex.search(model, probes, "vec_id", "embedding",
+          k = 5, nprobe = 4)
+        val pv = probes.select(col("vec_id").as("probe_id"),
+          col("embedding").cast("array<double>").as("pv"))
+        val cv = t.embeddings.select(col("vec_id").as("cid"),
+          col("embedding").cast("array<double>").as("cv"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("probe_id"))
+          .orderBy(col("sim").desc, col("cid").asc)
+        val exactTop = pv.crossJoin(cv)
+          .filter(col("cid") =!= col("probe_id"))
+          .withColumn("sim", r4(graft.plans.VectorExpressions.cosineSimilarity(
+            col("pv"), col("cv"))))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 5)
+          .select(col("probe_id"), col("cid"))
+          .localCheckpoint(true)
+        val tops = exactTop.groupBy(col("probe_id"))
+          .agg(array_join(array_sort(collect_list(col("cid"))), ",")
+            .as("exact_top5_csv"))
+        val hits = exactTop
+          .join(ivf, exactTop("probe_id") === ivf("probe_id") &&
+            col("cid") === col("neighbor_id"), "left_semi")
+          .groupBy(col("probe_id")).agg(count(lit(1)).as("__hits"))
+        tops.join(hits, Seq("probe_id"), "left")
+          .select(col("probe_id"), col("exact_top5_csv"),
+            (coalesce(col("__hits"), lit(0L)) >= 3).as("recall_ok"))
+          .orderBy(col("probe_id"))
+      },
+      Some("""WITH p AS (SELECT vec_id AS probe_id, CAST(embedding AS DOUBLE[]) AS pv
+          FROM embeddings WHERE vec_id < 5),
+        c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+          FROM embeddings),
+        s AS (SELECT probe_id, cid,
+          ROUND(list_sum(list_transform(list_zip(cv, pv), t -> t[1] * t[2]))
+            / (sqrt(list_sum(list_transform(cv, x -> x * x)))
+             * sqrt(list_sum(list_transform(pv, x -> x * x)))), 4) AS sim
+          FROM p, c WHERE cid <> probe_id),
+        r AS (SELECT probe_id, cid,
+          ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY sim DESC, cid ASC) AS rn
+          FROM s)
+        SELECT probe_id,
+          array_to_string(list_sort(list(cid)), ',') AS exact_top5_csv,
+          TRUE AS recall_ok
+        FROM r WHERE rn <= 5 GROUP BY probe_id ORDER BY probe_id""")),
+
     // IVF (inverted-file) ANN — the second scale path (IvfIndex): a
     // deterministic k-means coarse quantizer, probe the 4 nearest of 16
     // cells, exact cosine re-rank. Same PROPERTY oracle shape as

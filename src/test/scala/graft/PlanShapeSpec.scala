@@ -16,7 +16,8 @@ class PlanShapeSpec extends SparkSpec {
   // (two tallies + broadcast), q_setop_union's BNLJ is its LIMIT-less
   // facade arm's scalar guard
   private val scalarBroadcastBnlj = Set(
-    "q_ann_bruteforce", "q_ann_ivf", "q_ann_ivfpq", "q_ann_pq",
+    "q_ann_bruteforce", "q_ann_ivf", "q_ann_ivf_sq8", "q_ann_ivfpq",
+    "q_ann_pq",
     "q_ann_radius", "q_bm25_topk", "q_cluster_kmeans", "q_corpus_clean",
     "q_decontaminate_semantic",
     "q_dedup_embedding", "q_dedup_incremental", "q_dedup_minhash",

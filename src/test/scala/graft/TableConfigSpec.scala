@@ -147,6 +147,63 @@ class TableConfigSpec extends SparkSpec {
     }
   }
 
+  test("TEXT and VECTOR fieldConfig properties drive the index configs") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_tcfg2").toString
+    try {
+      graft.sql.QueryFacade.init(spark, sf)
+      // TEXT index family → facade TEXT_MATCH served index-first
+      val docsJson = """{
+        "tableName": "documents",
+        "tableType": "OFFLINE",
+        "primaryKeyColumns": ["doc_id"],
+        "fieldConfigList": [
+          { "name": "text", "indexTypes": ["TEXT"] }
+        ]
+      }"""
+      val docs = spark.read.parquet(s"$sf/documents.parquet")
+      TableConfig.applyIndexes(spark, TableConfig.fromJson(docsJson),
+        docs, dir)
+      val served = graft.sql.QueryFacade.sql(spark,
+        "SET explicitLimit = true; SELECT doc_id FROM documents " +
+          "WHERE TEXT_MATCH(text, 'query AND stream')")
+      assert(served.queryExecution.executedPlan.toString
+        .linesIterator.exists(l =>
+          l.contains("PushedFilters") && l.contains("In(doc_id")),
+        "TEXT fieldConfig did not register the posting index")
+      // VECTOR index with the reference's vectorDistanceFunction /
+      // vectorExactRerank properties → top-k by THAT metric, exact
+      val embJson = """{
+        "tableName": "embeddings",
+        "tableType": "OFFLINE",
+        "primaryKeyColumns": ["vec_id"],
+        "fieldConfigList": [
+          { "name": "embedding", "indexTypes": ["VECTOR"],
+            "properties": { "vectorDistanceFunction": "L2",
+                            "vectorExactRerank": "true" } }
+        ]
+      }"""
+      val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      TableConfig.applyIndexes(spark, TableConfig.fromJson(embJson),
+        emb, dir)
+      val vec = (0.5 +: Seq.fill(62)(0.1) :+ 2.0)
+        .mkString("ARRAY[", ", ", "]")
+      val got = graft.sql.QueryFacade.sql(spark,
+        s"""SET explicitLimit = true;
+            SELECT vec_id FROM embeddings
+            WHERE VECTOR_SIMILARITY(embedding, $vec, 5)""")
+        .collect().map(_.getLong(0)).toSet
+      val exact = graft.sql.QueryFacade.sql(spark,
+        s"""SET explicitLimit = true;
+            SELECT vec_id FROM embeddings
+            ORDER BY l2distance(embedding, cast($vec as array<double>)) ASC,
+              vec_id LIMIT 5""").collect().map(_.getLong(0)).toSet
+      assert(got == exact, s"config-driven L2 top-k: $got vs $exact")
+    } finally {
+      graft.sources.TextIndex.clear()
+      graft.sql.QueryFacade.VectorIndexes.clear()
+    }
+  }
+
   test("one fieldConfig entry applies EVERY declared index family") {
     // in the reference a fieldConfig entry's index declarations are
     // independent — JSON shredding and a timestampConfig on the same

@@ -114,6 +114,19 @@ class UpsertFunnelGapfillSpec extends SparkSpec {
     assert(ov == Map(1L -> Some("a"), 2L -> Some("b"), 3L -> Some("c")))
   }
 
+  test("full-upsert tombstone ties: same-comparison revive wins") {
+    val rows = Seq(
+      (1L, 10L, "old", false),
+      (1L, 20L, "", true),      // tombstone at ts=20
+      (1L, 20L, "revived", false), // revive at the SAME ts
+      (2L, 20L, "", true)       // tombstone, no revive: key gone
+    ).toDF("k", "ts", "payload", "deleted")
+    val out = Upsert.latestByKey(rows, Seq("k"), "ts",
+        deleteCol = Some("deleted"))
+      .select($"k", $"payload").as[(Long, String)].collect().toMap
+    assert(out == Map(1L -> "revived"), out.toString)
+  }
+
   test("partial-upsert tombstone ties: same-comparison revive wins") {
     // the reference's upsert comparison lets the later-arriving record
     // win on EQUAL comparison values, so a delete-then-revive at the
