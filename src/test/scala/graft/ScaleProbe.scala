@@ -142,8 +142,10 @@ object ScaleProbe {
       "q_rls_filter", "q_openstruct_split", "q_filter_json_sql",
       "q_filter_tsindex",
       // round-6: index-served TEXT_MATCH (token postings + IN-list
-      // pushdown) vs the scan it replaces
-      "q_text_match_indexed", "q_text_match")
+      // pushdown) vs the scan it replaces; non-cosine ANN; set-sketch
+      // rollups; quantized IVF
+      "q_text_match_indexed", "q_text_match",
+      "q_ann_l2", "q_ann_dot", "q_ann_ivf_sq8", "q_rollup_theta")
       .filter(q => only.isEmpty || only(q))
     def time(dir: String, name: String): Double = {
       val t0 = System.nanoTime()
