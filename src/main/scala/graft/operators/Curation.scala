@@ -271,7 +271,7 @@ object Curation {
       transform(col(vecCol), x => x.cast("double")).as("__ev"))
     val sims = t.join(broadcast(e))
       .groupBy(col("id"))
-      .agg(round(max(graft.functions.VectorFunctions
+      .agg(round(max(graft.plans.VectorExpressions
         .cosineSimilarity(col("__tv"), col("__ev"))), 6).as("max_sim"))
     t.select(col("id")).distinct()
       .join(sims, Seq("id"), "left")

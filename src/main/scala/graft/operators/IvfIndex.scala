@@ -121,7 +121,8 @@ object IvfIndex {
     // map-side) — cheaper than a row_number sort window over the
     // id × k expansion; ties break on cell id through the struct order
     base.crossJoin(broadcast(centroids))
-      .withColumn("__d", l2Distance(col("vec"), col("cvec")))
+      .withColumn("__d", graft.plans.VectorExpressions
+        .l2Distance(col("vec"), col("cvec")))
       .groupBy(col("id"))
       .agg(min(struct(col("__d"), col("cell"))).as("__m"),
         first(col("vec")).as("vec"))
@@ -158,7 +159,8 @@ object IvfIndex {
       transform(col(vecCol), x => x.cast("double")).as("pvec"))
     val wc = Window.partitionBy(col("probe_id")).orderBy(col("__d").asc, col("cell").asc)
     val probeCells = p.crossJoin(broadcast(model.centroids))
-      .withColumn("__d", l2Distance(col("pvec"), col("cvec")))
+      .withColumn("__d", graft.plans.VectorExpressions
+        .l2Distance(col("pvec"), col("cvec")))
       .withColumn("__rn", row_number().over(wc))
       .filter(col("__rn") <= nprobe)
       .select(col("probe_id"), col("pvec"), col("cell"))

@@ -233,7 +233,8 @@ object PqIndex {
     val wc = Window.partitionBy(col("probe_id"))
       .orderBy(col("__d").asc, col("cell").asc)
     val probeCells = praw0.crossJoin(broadcast(ivf.centroids))
-      .withColumn("__d", VectorFunctions.l2Distance(col("rawv"), col("cvec")))
+      .withColumn("__d", graft.plans.VectorExpressions
+        .l2Distance(col("rawv"), col("cvec")))
       .withColumn("__rn", row_number().over(wc))
       .filter(col("__rn") <= nprobe)
       .select(col("probe_id"), col("cell"))

@@ -67,7 +67,8 @@ object Similarity {
     val c = corpus.select(col(corpusId).as("neighbor_id"), col(vecCol).as("__cv"))
     val scored = p.crossJoin(broadcast(c))
       .filter(col("probe_id") =!= col("neighbor_id"))
-      .withColumn("sim", cosineSimilarity(col("__pv"), col("__cv")))
+      .withColumn("sim", graft.plans.VectorExpressions
+        .cosineSimilarity(col("__pv"), col("__cv")))
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("sim").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -119,7 +120,8 @@ object Similarity {
     // candidate instead of two full embedding vectors.
     val cand = p.join(c, Seq("band", "key"))
       .filter(col("probe_id") =!= col("neighbor_id"))
-      .withColumn("sim", cosineSimilarity(col("__pv"), col("__cv")))
+      .withColumn("sim", graft.plans.VectorExpressions
+        .cosineSimilarity(col("__pv"), col("__cv")))
       .select(col("probe_id"), col("neighbor_id"), col("sim")).distinct()
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("sim").desc, col("neighbor_id").asc)
