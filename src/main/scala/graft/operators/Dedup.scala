@@ -553,9 +553,23 @@ object Dedup {
     * corpus (n/k bounded), the cell id becomes a partition column, and
     * the self-join is partition-local — the O(n²) global pair space is
     * never touched. Returns (id_a, id_b, cosine). */
+  /** Cells for a corpus of n vectors: pairs-per-cell stays bounded
+    * (~2M at the 2048 target), so the total pair count grows LINEARLY
+    * with the corpus — the published contract ("k grows with the
+    * corpus"). A fixed k would make each cell's self-join quadratic in
+    * corpus size: at 100× data that is a 241×-wall (measured,
+    * PLANS.md round 6) — exactly the failure mode this bound exists
+    * to prevent. */
+  private def autoCells(n: Long): Int =
+    math.max(8, math.ceil(n.toDouble / 2048).toInt)
+
+  /** @param k IVF cell count; <= 0 (the default) sizes the cell count
+    *   from the corpus (`autoCells`) so pairs-per-cell stays bounded
+    *   at any scale. */
   def semanticPairs(embeddings: DataFrame, idCol: String, vecCol: String,
-      k: Int = 16, threshold: Double = 0.9): DataFrame = {
-    val a = IvfIndex.build(embeddings, idCol, vecCol, k).assignments
+      k: Int = 0, threshold: Double = 0.9): DataFrame = {
+    val cells = if (k > 0) k else autoCells(embeddings.count())
+    val a = IvfIndex.build(embeddings, idCol, vecCol, cells).assignments
     a.as("l").hint("shuffle_hash")
       .join(a.as("r"), col("l.cell") === col("r.cell"))
       .filter(col("l.id") < col("r.id"))
@@ -569,7 +583,7 @@ object Dedup {
     * closure -> keep the min-id representative of each duplicate group.
     * The end-to-end SemDeDup pass a training pipeline runs. */
   def semanticDedup(embeddings: DataFrame, idCol: String, vecCol: String,
-      k: Int = 16, threshold: Double = 0.9): DataFrame =
+      k: Int = 0, threshold: Double = 0.9): DataFrame =
     keepRepresentatives(embeddings, idCol,
       semanticPairs(embeddings, idCol, vecCol, k, threshold))
 

@@ -387,8 +387,11 @@ object PipelineQueries {
         // one pair stream feeds both the stats aggregate and the
         // keep-set (a second semanticDedup call would rebuild the IVF
         // quantizer and re-run the cell self-join)
+        // k is AUTO-sized from the corpus (pairs-per-cell bounded —
+        // the SemDeDup scale contract): 8 cells at the test SFs,
+        // hundreds at 100× so the cell self-join stays linear
         val pairs = Dedup.semanticPairs(t.embeddings, "vec_id",
-          "embedding", k = 8, threshold = 0.3).localCheckpoint()
+          "embedding", threshold = 0.3).localCheckpoint()
         val kept = Dedup.keepRepresentatives(t.embeddings, "vec_id", pairs)
         val slice = t.embeddings.filter(col("vec_id") < PropSlice)
           .select(col("vec_id").as("id"),
