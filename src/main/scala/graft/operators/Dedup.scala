@@ -365,17 +365,31 @@ object Dedup {
     * generation (Similarity's signature machinery) + exact cosine
     * verification — semantic near-dups that token methods miss.
     * Returns (id_a, id_b, cos_sim >= threshold), id_a < id_b. */
+  /** @param bits total signature bits; <= 0 (the default) sizes the
+    *   per-band key width from the corpus so bucket sizes stay bounded
+    *   (`width = log2(n / 1024)`, floor 4) — a FIXED width makes each
+    *   band bucket n/2^width rows and the bucket self-join quadratic
+    *   in corpus size (181× wall at 100× data, measured — PLANS.md
+    *   round 6). Wider keys trade recall for boundedness exactly as
+    *   LSH theory prescribes (collision prob p^width per band); the
+    *   near-dup regime (cos ≳ 0.95, p ≳ 0.9) keeps multi-band recall
+    *   high at any width this rule produces. */
   def embeddingNearDups(
       corpus: DataFrame,
       idCol: String,
       vecCol: String,
       threshold: Double,
-      bits: Int = 16,
+      bits: Int = 0,
       bands: Int = 4): DataFrame = {
-    require(bits % bands == 0)
-    val width = bits / bands
+    val width =
+      if (bits > 0) { require(bits % bands == 0); bits / bands }
+      else math.min(64 / bands, math.max(4,
+        math.ceil(math.log(corpus.count().toDouble / 1024.0) /
+          math.log(2.0)).toInt))
+    val nBits = width * bands
     val sigs = Similarity.withHyperplaneSignature(
-      corpus.select(col(idCol).as("id"), col(vecCol).as("vec")), "id", "vec", bits)
+      corpus.select(col(idCol).as("id"), col(vecCol).as("vec")), "id",
+      "vec", nBits)
     val bandKeys = array((0 until bands).map { b =>
       shiftrightunsigned(col("__sig"), b * width).bitwiseAND(lit((1L << width) - 1))
     }: _*)

@@ -145,7 +145,8 @@ object ScaleProbe {
       // pushdown) vs the scan it replaces; non-cosine ANN; set-sketch
       // rollups; quantized IVF
       "q_text_match_indexed", "q_text_match",
-      "q_ann_l2", "q_ann_dot", "q_ann_ivf_sq8", "q_rollup_theta")
+      "q_ann_l2", "q_ann_dot", "q_ann_ivf_sq8", "q_rollup_theta",
+      "q_dedup_embedding")
       .filter(q => only.isEmpty || only(q))
     def time(dir: String, name: String): Double = {
       val t0 = System.nanoTime()
