@@ -14,6 +14,7 @@ import org.apache.spark.sql.functions._
   * Supported query subset: terms (whole-token match), `"quoted
   * phrases"` (substring), wildcard terms `pre*`, `mi*dle`, `te?t`
   * (`*` = any run, `?` = one char, within a token — WildcardQuery),
+  * `NOT <clause>` complements (tightest binding, as Lucene's),
   * wildcards INSIDE phrases (`"big da*"` — ordered adjacent tokens,
   * each matched by its pattern, the MultiPhrase/prefix-phrase shape),
   * fuzzy terms `term~N` (Levenshtein distance ≤ N against any token;
@@ -41,6 +42,7 @@ object TextMatch {
   private final case class Proximity(terms: Seq[TermPat], slop: Int) extends Node
   private final case class AndN(xs: Seq[Node]) extends Node
   private final case class OrN(xs: Seq[Node]) extends Node
+  private final case class NotN(x: Node) extends Node
 
   private def tokenize(q: String): Vector[String] =
     """"[^"]*"(~\d+)?|\(|\)|[^\s()]+""".r.findAllIn(q.trim).toVector
@@ -73,6 +75,11 @@ object TextMatch {
       if (parts.size == 1) parts.head else AndN(parts.toSeq)
     }
     def parseUnary(): Node = peek match {
+      case Some(t) if t.equalsIgnoreCase("NOT") =>
+        // Lucene NOT: complement of the next unary (binds tightest,
+        // so `a AND NOT b OR c` is `(a AND !b) OR c`)
+        i += 1
+        NotN(parseUnary())
       case Some("(") =>
         i += 1
         val n = parseOr()
@@ -200,6 +207,7 @@ object TextMatch {
     // static cost can't see selectivity
     case AndN(xs) => xs.map(compile(_, c)).reduce(_ && _)
     case OrN(xs) => xs.map(compile(_, c)).reduce(_ || _)
+    case NotN(x) => !compile(x, c)
   }
 
   /** Boolean Column: does `col` match the Lucene-ish `query`. */
@@ -378,6 +386,10 @@ object TextMatch {
         combineAnd(terms.map(patDocs)).map { case (df, _, b) => (df, false, b) }
       case AndN(xs) => combineAnd(xs.map(go))
       case OrN(xs) => combineOr(xs.map(go))
+      // a complement can't be bounded by postings (it's everything the
+      // index does NOT list); an enclosing AND drops the conjunct
+      // (superset holds), a lone/OR-side NOT keeps the exact scan
+      case NotN(_) => None
     }
     go(parse(query))
   }

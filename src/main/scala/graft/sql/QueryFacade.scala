@@ -863,8 +863,15 @@ object QueryFacade {
   private[graft] def rewriteTextMatchIndexed(spark: SparkSession,
       stmt: String): String = {
     if (!stmt.toLowerCase.contains("text_match")) return stmt
-    val table = FromTablePattern.findFirstMatchIn(stmt).map(_.group(1))
-      .getOrElse(return stmt)
+    // single-source statements only: with joins, a column-name match
+    // could resolve a predicate against the WRONG table's index, and a
+    // wrong candidate set under-delivers even with the re-verify (the
+    // IN-list prunes rows the verify never sees)
+    val refs = FromTablePattern.findAllMatchIn(stmt).map(_.group(1))
+      .toSeq.distinct
+    if (refs.size != 1 ||
+        """(?is)\bjoin\b""".r.findFirstIn(stmt).isDefined) return stmt
+    val table = refs.head
     TextMatchCall.replaceAllIn(stmt, m => {
       val colRef = m.group(1)
       val bare = colRef.substring(colRef.lastIndexOf('.') + 1)

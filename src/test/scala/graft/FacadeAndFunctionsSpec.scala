@@ -97,6 +97,11 @@ class FacadeAndFunctionsSpec extends SparkSpec {
     assert(ids("spark AND fast") == Seq(1L))
     assert(ids("fox OR art") == Seq(2L, 3L))
     assert(ids("spark AND missing OR fox") == Seq(2L)) // AND binds tighter
+    // Lucene NOT: complement, tightest binding
+    assert(ids("NOT fast") == Seq(2L, 3L))
+    assert(ids("art NOT fox") == Seq(3L))           // adjacency AND
+    assert(ids("engines AND NOT missing") == Seq(1L))
+    assert(ids("fast OR NOT quick") == Seq(1L, 3L)) // (fast) OR (!quick)
   }
 
   test("url / ip / hash extras") {

@@ -85,6 +85,12 @@ class TextIndexSpec extends SparkSpec {
     // a leaf matching too much of the dictionary refuses to enumerate
     assert(TextMatch.candidateIds("*", model.dict, model.postings,
       maxTokensPerLeaf = 4).isEmpty)
+    // a complement can't be bounded by postings...
+    assert(candIds("NOT stream").isEmpty)
+    // ...but an AND drops the NOT conjunct and stays a superset
+    val notAnd = candIds("query AND NOT stream")
+    assert(notAnd.isDefined &&
+      scanIds("query AND NOT stream").subsetOf(notAnd.get))
   }
 
   test("facade serves a registered TEXT_MATCH index-first, same answers") {
@@ -111,6 +117,13 @@ class TextIndexSpec extends SparkSpec {
       val stmt = graft.sql.QueryFacade.rewriteTextMatchIndexed(spark,
         "SELECT doc_id FROM documents WHERE text_match(title, 'query')")
       assert(stmt.contains("text_match(title"))
+      // a JOINed statement keeps the scan path too: a same-named column
+      // on another table must never be served by this table's index
+      val joined = graft.sql.QueryFacade.rewriteTextMatchIndexed(spark,
+        "SELECT d.doc_id FROM other o JOIN documents d ON o.id = d.doc_id " +
+          "WHERE text_match(text, 'query')")
+      assert(joined.contains("text_match(text"),
+        s"join statement must not be index-served: $joined")
     } finally TextIndex.clear()
   }
 
