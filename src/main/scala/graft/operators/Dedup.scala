@@ -384,7 +384,7 @@ object Dedup {
     val width =
       if (bits > 0) { require(bits % bands == 0); bits / bands }
       else math.min(64 / bands, math.max(4,
-        math.ceil(math.log(corpus.count().toDouble / 1024.0) /
+        math.ceil(math.log(corpusCount(corpus).toDouble / 1024.0) /
           math.log(2.0)).toInt))
     val nBits = width * bands
     val sigs = Similarity.withHyperplaneSignature(
@@ -577,12 +577,20 @@ object Dedup {
   private def autoCells(n: Long): Int =
     math.max(8, math.ceil(n.toDouble / 2048).toInt)
 
+  /** Corpus row count, memoized per canonical plan (IndexCache): the
+    * auto-sizing rules need it once per corpus, not once per query —
+    * an ingest-time statistic, like the reference's segment metadata. */
+  private def corpusCount(df: DataFrame): Long =
+    IndexCache.getOrBuild(("count",
+      df.queryExecution.analyzed.canonicalized))(
+      java.lang.Long.valueOf(df.count())).longValue()
+
   /** @param k IVF cell count; <= 0 (the default) sizes the cell count
     *   from the corpus (`autoCells`) so pairs-per-cell stays bounded
     *   at any scale. */
   def semanticPairs(embeddings: DataFrame, idCol: String, vecCol: String,
       k: Int = 0, threshold: Double = 0.9): DataFrame = {
-    val cells = if (k > 0) k else autoCells(embeddings.count())
+    val cells = if (k > 0) k else autoCells(corpusCount(embeddings))
     val a = IvfIndex.build(embeddings, idCol, vecCol, cells).assignments
     a.as("l").hint("shuffle_hash")
       .join(a.as("r"), col("l.cell") === col("r.cell"))
