@@ -257,7 +257,11 @@ object TableConfig {
           exactRerank = fi.properties.get("vectorExactRerank")
             .exists(_.toBoolean),
           filterThenAnnLimit = fi.properties.get("filterThenAnnLimit")
-            .map(_.toInt).getOrElse(0))
+            .map(_.toInt).getOrElse(0),
+          vectorIndexType =
+            fi.properties.getOrElse("vectorIndexType", "HNSW"),
+          nlist = fi.properties.get("nlist").map(_.toInt).getOrElse(0),
+          nprobe = fi.properties.get("nprobe").map(_.toInt).getOrElse(8))
       }
       if (fi.indexTypes.contains("TEXT")) {
         graft.sources.TextIndex.register(cfg.tableName, d,

@@ -582,12 +582,16 @@ object QueryFacade {
     val DefaultInternalLimit = 100000
 
     final case class Entry(idCol: String, vecCol: String,
-        model: graft.operators.HnswIndex.Model,
+        backend: String,
+        model: Option[graft.operators.HnswIndex.Model],
+        ivf: Option[graft.operators.IvfIndex.Model],
+        pq: Option[graft.operators.PqIndex.Model],
         corpus: DataFrame,
         numDocs: Long, internalLimit: Int,
         distance: graft.operators.VectorDistance.Metric,
         exactRerank: Boolean,
-        filterThenAnnLimit: Int)
+        filterThenAnnLimit: Int,
+        nprobe: Int)
 
     private val reg = new java.util.concurrent.ConcurrentHashMap[
       (String, String), Entry]()
@@ -609,19 +613,56 @@ object QueryFacade {
       * per VectorExecutionMode.java:61 — deliberately different from
       * the default ANN-then-intersect result, so it is opt-in exactly
       * as the reference gates modes on index config). */
+    /** `vectorIndexType` is the reference's backend selector
+      * (`VectorBackendType` via `VectorIndexConfig.resolveBackendType`,
+      * defaulting to HNSW): HNSW (graph), IVF_FLAT (coarse cells +
+      * exact in-cell re-rank), IVF_PQ (cells + product-quantized ADC
+      * shortlist + exact re-rank). IVF `nlist` defaults to ~√n (the
+      * FAISS rule); `nprobe` cells are probed per query. */
     def register(table: String, corpus: DataFrame, idCol: String,
         vecCol: String, m: Int = 16, efConstruction: Int = 100,
         nShards: Int = 8,
         internalLimit: Int = DefaultInternalLimit,
         distanceFunction: String = "COSINE",
         exactRerank: Boolean = false,
-        filterThenAnnLimit: Int = 0): Unit = {
+        filterThenAnnLimit: Int = 0,
+        vectorIndexType: String = "HNSW",
+        nlist: Int = 0,
+        nprobe: Int = 8): Unit = {
       val metric = graft.operators.VectorDistance.fromName(distanceFunction)
-      reg.put((table.toLowerCase, vecCol.toLowerCase),
-        Entry(idCol, vecCol, graft.operators.HnswIndex.build(
-          corpus, idCol, vecCol, m, efConstruction, nShards, metric),
-          corpus, corpus.count(), internalLimit, metric, exactRerank,
-          filterThenAnnLimit))
+      val n = corpus.count()
+      val backend = vectorIndexType.trim.toUpperCase match {
+        case "" | "HNSW" => "HNSW"
+        case t @ ("IVF_FLAT" | "IVF_PQ") => t
+        case other => throw new IllegalArgumentException(
+          s"unknown vectorIndexType '$other' (HNSW, IVF_FLAT, IVF_PQ)")
+      }
+      val cells =
+        if (nlist > 0) nlist
+        else math.max(16, math.ceil(math.sqrt(n.toDouble)).toInt)
+      val entry = backend match {
+        case "HNSW" =>
+          Entry(idCol, vecCol, backend,
+            Some(graft.operators.HnswIndex.build(
+              corpus, idCol, vecCol, m, efConstruction, nShards, metric)),
+            None, None, corpus, n, internalLimit, metric, exactRerank,
+            filterThenAnnLimit, nprobe)
+        case "IVF_FLAT" =>
+          Entry(idCol, vecCol, backend, None,
+            Some(graft.operators.IvfIndex.build(corpus, idCol, vecCol,
+              cells)),
+            None, corpus, n, internalLimit, metric, exactRerank,
+            filterThenAnnLimit, nprobe)
+        case "IVF_PQ" =>
+          Entry(idCol, vecCol, backend, None,
+            Some(graft.operators.IvfIndex.build(corpus, idCol, vecCol,
+              cells)),
+            Some(graft.operators.PqIndex.build(corpus, idCol, vecCol,
+              metric = metric)),
+            corpus, n, internalLimit, metric, exactRerank,
+            filterThenAnnLimit, nprobe)
+      }
+      reg.put((table.toLowerCase, vecCol.toLowerCase), entry)
     }
 
     def clear(): Unit = { reg.clear(); modes.clear() }
@@ -759,13 +800,16 @@ object QueryFacade {
           try kStr.trim.toDouble
           catch { case _: NumberFormatException => return stmt }
         // radius thresholds are cosine-distance scaled (the predicate's
-        // contract); a non-cosine index cannot serve them
-        if (entry.distance != graft.operators.VectorDistance.Cosine) {
+        // contract) and only the graph backend has a radius reader; a
+        // non-cosine or non-HNSW index cannot serve them
+        if (entry.distance != graft.operators.VectorDistance.Cosine ||
+            entry.backend != "HNSW") {
           mode("EXACT_SCAN")
           return stmt
         }
         val cands = graft.operators.HnswIndex.searchRadiusWithStatus(
-          entry.model, probeDf, "pid", "pvec", minSim = 1.0 - threshold,
+          entry.model.get, probeDf, "pid", "pvec",
+          minSim = 1.0 - threshold,
           limitPerShard = entry.internalLimit)
           .select(fcol("neighbor_id"), fcol("exhausted")).collect()
         // fall back to the exact rewrite unless EVERY shard drained its
@@ -806,6 +850,31 @@ object QueryFacade {
               else None
             } catch { case scala.util.control.NonFatal(_) => None }
           }
+        // backend-dispatched ANN candidates (VectorBackendType): the
+        // IVF paths use a probe id OUTSIDE the corpus id space (-1) so
+        // their in-corpus self-exclusion never drops a legitimate
+        // neighbor of the synthetic probe row
+        // both IVF readers take the probe vector under the CORPUS
+        // column name
+        def ivfProbe: DataFrame = probeDf.select(flit(-1L).as("pid"),
+          fcol("pvec").as(entry.vecCol))
+        def annIds(kk: Int): Array[Long] = entry.backend match {
+          case "IVF_FLAT" =>
+            graft.operators.IvfIndex.search(entry.ivf.get, ivfProbe,
+              "pid", entry.vecCol, kk, nprobe = entry.nprobe,
+              metric = entry.distance)
+              .select(fcol("neighbor_id")).collect().map(_.getLong(0))
+          case "IVF_PQ" =>
+            graft.operators.PqIndex.searchIvfPq(entry.ivf.get,
+              entry.pq.get, entry.corpus, entry.idCol, entry.vecCol,
+              ivfProbe, "pid", kk, nprobe = entry.nprobe)
+              .select(fcol("neighbor_id")).collect().map(_.getLong(0))
+          case _ =>
+            graft.operators.HnswIndex.search(entry.model.get, probeDf,
+              "pid", "pvec", kk, ef = math.max(64, 4 * kk),
+              excludeSelf = false)
+              .select(fcol("neighbor_id")).collect().map(_.getLong(0))
+        }
         filterFirst match {
           case Some(found) =>
             mode("FILTER_THEN_ANN")
@@ -813,21 +882,14 @@ object QueryFacade {
           case None if entry.exactRerank =>
             // ANN overfetch + exact re-score from the forward index
             // (ANN_TOP_K_WITH_RERANK / ANN_THEN_FILTER_THEN_RERANK)
-            val overfetch = math.max(4 * k, k + 16)
-            val cand = graft.operators.HnswIndex.search(entry.model,
-              probeDf, "pid", "pvec", overfetch,
-              ef = math.max(64, 4 * overfetch), excludeSelf = false)
-              .select(fcol("neighbor_id")).collect().map(_.getLong(0))
+            val cand = annIds(math.max(4 * k, k + 16))
             mode(if (sibling.isDefined) "ANN_THEN_FILTER_THEN_RERANK"
                  else "ANN_TOP_K_WITH_RERANK")
             exactTopK(entry.corpus.filter(
               fcol(entry.idCol).isin(cand.map(Long.box): _*)))
           case None =>
             mode(if (sibling.isDefined) "ANN_THEN_FILTER" else "ANN_TOP_K")
-            graft.operators.HnswIndex.search(entry.model, probeDf,
-              "pid", "pvec", k, ef = math.max(64, 4 * k),
-              excludeSelf = false)
-              .select(fcol("neighbor_id")).collect().map(_.getLong(0))
+            annIds(k)
         }
       }
     val inList =

@@ -579,6 +579,47 @@ class FacadeAndFunctionsSpec extends SparkSpec {
             ORDER BY innerproduct(embedding, cast($vec as array<double>)) DESC,
               vec_id LIMIT 5""").collect().map(_.getLong(0)).toSet
       assert(dotGot == dotExact, s"dot index top-k: $dotGot vs $dotExact")
+      // IVF backends (VectorBackendType via vectorIndexType): the same
+      // predicate served from cell-probed candidates. IVF_FLAT with
+      // nprobe covering all cells + exact rerank is EXACT; IVF_PQ's
+      // 4-bit ADC shortlist is lossy by design — same >= 3/5 floor as
+      // q_ann_pq
+      Seq("IVF_FLAT", "IVF_PQ").foreach { backend =>
+        QueryFacade.VectorIndexes.register("embeddings", emb, "vec_id",
+          "embedding", vectorIndexType = backend, nlist = 16,
+          nprobe = 16, exactRerank = true)
+        val got = QueryFacade.sql(spark,
+          s"""SET explicitLimit = true;
+              SELECT vec_id FROM embeddings
+              WHERE VECTOR_SIMILARITY(embedding, $vec, 5)""")
+          .collect().map(_.getLong(0)).toSet
+        val exact = QueryFacade.sql(spark,
+          s"""SET explicitLimit = true;
+              SELECT vec_id FROM embeddings
+              ORDER BY cosine_sim(embedding, cast($vec as array<double>))
+                DESC, vec_id LIMIT 5""")
+          .collect().map(_.getLong(0)).toSet
+        if (backend == "IVF_FLAT")
+          assert(got == exact, s"$backend full-probe top-5: $got vs $exact")
+        else
+          assert(got.size == 5 && got.intersect(exact).size >= 3,
+            s"$backend recall: $got vs $exact")
+        // radius predicates have no IVF reader — EXACT_SCAN fallback,
+        // same answers as the brute path
+        val radius = QueryFacade.sql(spark,
+          s"""SET explicitLimit = true;
+              SELECT vec_id FROM embeddings
+              WHERE VECTOR_SIMILARITY_RADIUS(embedding, $vec, 0.8)""")
+          .collect().map(_.getLong(0)).toSet
+        assert(QueryFacade.VectorIndexes.lastMode("embeddings", "embedding")
+          .contains("EXACT_SCAN"))
+        val radiusExact2 = QueryFacade.sql(spark,
+          s"""SET explicitLimit = true;
+              SELECT vec_id FROM embeddings
+              WHERE cosine_sim(embedding, cast($vec as array<double>))
+                >= 0.2""").collect().map(_.getLong(0)).toSet
+        assert(radius == radiusExact2)
+      }
       // a RADIUS predicate on a non-cosine index must keep the exact
       // cosine semantics (fall back), reported as EXACT_SCAN
       val radius = QueryFacade.sql(spark,
