@@ -106,7 +106,7 @@ object SsbCompat {
           sb.toString)
         val ordered = "(?is).*\\bORDER\\s+BY\\b.*".r
           .matches(sql.replaceAll("\\([^()]*\\)", ""))
-        if (ok + failed > 0) manifest.append(',')
+        if (ok > 0) manifest.append(',')
         manifest.append(s"""{"id":${jstr(id)},"sql":${jstr(sql)},""" +
           s""""ordered":$ordered,"subset":false}""")
         ok += 1

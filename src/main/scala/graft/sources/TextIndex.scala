@@ -62,6 +62,7 @@ object TextIndex {
       // cannot prune, so every lookup would re-scan all postings)
       val dir = java.nio.file.Files
         .createTempDirectory("graft_textidx").toString
+      registerTempDir(dir)
       // POSITIONAL postings (Lucene stores positions for PhraseQuery):
       // position = index in the empty-filtered token sequence, so
       // consecutive words are adjacent positions. BIGRAM shingles
@@ -98,6 +99,26 @@ object TextIndex {
         .write.mode("overwrite").parquet(s"$dir/dict")
       Model(postings, spark.read.parquet(s"$dir/dict"))
     }
+
+  // Index artifacts are session-lifetime temp tables; without cleanup
+  // a long-lived process accumulates one directory per distinct
+  // (corpus, column) build. A single shutdown hook reaps them all.
+  private val tempDirs =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private lazy val cleanupHook: Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      tempDirs.forEach { d =>
+        try deleteRecursively(java.nio.file.Paths.get(d))
+        catch { case _: Throwable => () }
+      }))
+  private def registerTempDir(dir: String): Unit = {
+    cleanupHook; tempDirs.add(dir); ()
+  }
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    if (java.nio.file.Files.isDirectory(p))
+      java.nio.file.Files.list(p).forEach(deleteRecursively)
+    java.nio.file.Files.deleteIfExists(p); ()
+  }
 
   final case class Entry(idCol: String, model: Model, internalLimit: Int)
 

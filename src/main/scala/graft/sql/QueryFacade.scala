@@ -920,7 +920,32 @@ object QueryFacade {
     * cost; an EXACT candidate set that large serves as a distributed
     * semi-join against a temp view instead (no driver transfer at all). */
   private val MaxTextInList = 10000
-  private val textCandCounter = new java.util.concurrent.atomic.AtomicLong()
+  // Candidate views are keyed by CONTENT hash (table, column, query):
+  // the same statement re-run reuses one view whose contents are
+  // identical (deterministic candidate plan), so replace is harmless,
+  // and a long-lived session holds at most one view per DISTINCT
+  // text query instead of one per execution. Beyond the cap the
+  // eldest is dropped — safe unless >MaxTextCandViews distinct text
+  // queries are simultaneously in flight between rewrite and run.
+  private val MaxTextCandViews = 256
+  private val textCandViews =
+    new java.util.LinkedHashMap[String, String]()
+
+  private def textCandViewName(spark: SparkSession, table: String,
+      col: String, query: String): String = textCandViews.synchronized {
+    val key = java.lang.Integer.toHexString(
+      (table, col, query).hashCode())
+    val view = s"graft_text_cands_$key"
+    textCandViews.remove(view)
+    textCandViews.put(view, view)
+    if (textCandViews.size > MaxTextCandViews) {
+      val it = textCandViews.keySet.iterator
+      val eldest = it.next(); it.remove()
+      try { spark.catalog.dropTempView(eldest) }
+      catch { case scala.util.control.NonFatal(_) => () }
+    }
+    view
+  }
 
   private[graft] def rewriteTextMatchIndexed(spark: SparkSession,
       stmt: String): String = {
@@ -951,8 +976,7 @@ object QueryFacade {
                   // semi-join — the ids never visit the driver and no
                   // re-verify is needed, so the plan is
                   // scan ⋉ posting-lookup at any scale
-                  val view =
-                    s"graft_text_cands_${textCandCounter.incrementAndGet()}"
+                  val view = textCandViewName(spark, table, bare, q)
                   cand.withColumnRenamed("doc_id", entry.idCol)
                     .createOrReplaceTempView(view)
                   Some(s"(${entry.idCol} IN " +

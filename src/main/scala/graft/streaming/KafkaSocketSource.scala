@@ -160,17 +160,31 @@ final class KafkaSocketPartitionReader(p: KafkaSocketInputPartition)
       val (records, _) = client.fetch(p.topic, p.partition, nextOffset)
       val inRange = records.filter(r =>
         r.offset >= nextOffset && r.offset < p.endOffset)
+      // a COMPACTED topic can legitimately serve a batch with a GAP at
+      // nextOffset (survivors keep their offsets); retention
+      // TRUNCATION produces the same fetch shape but must FAIL, not
+      // silently under-deliver — the exactly-once replay contract
+      // depends on the full range. The log start offset (ListOffsets
+      // ts=-2) distinguishes them: compaction removes records without
+      // advancing it, deletion/retention advances it. Checked only
+      // when a gap is observed, so the hot path pays nothing.
+      val gapAtNext =
+        inRange.headOption.map(_.offset != nextOffset).getOrElse(true)
+      if (gapAtNext) {
+        val logStart =
+          try client.listOffset(p.topic, p.partition, -2L)
+          catch { case _: Throwable => Long.MinValue }
+        if (logStart > nextOffset)
+          throw new IllegalStateException(
+            s"Kafka log start for ${p.topic}-${p.partition} advanced " +
+              s"to $logStart past planned offset $nextOffset (range " +
+              s"[$nextOffset, ${p.endOffset})): records were " +
+              "truncated by retention, not compacted")
+      }
       if (inRange.nonEmpty) {
         buffer ++= inRange
         nextOffset = inRange.last.offset + 1
       } else {
-        // a COMPACTED topic can legitimately return a batch whose
-        // surviving records all fall outside the planned range —
-        // offsets are monotonic, so advance past what the broker
-        // returned and keep scanning. Only an empty fetch below
-        // endOffset (nothing left to serve at all) is log truncation,
-        // which must FAIL, not silently under-deliver: the
-        // exactly-once replay contract depends on the full range.
         val maxReturned =
           if (records.isEmpty) -1L else records.map(_.offset).max
         if (maxReturned >= nextOffset) nextOffset = maxReturned + 1

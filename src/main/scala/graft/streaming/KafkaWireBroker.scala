@@ -28,6 +28,11 @@ final class KafkaWireBroker(host: String = "127.0.0.1",
 
   private val logs =
     mutable.Map[(String, Int), mutable.ArrayBuffer[Record]]()
+  // Kafka tracks the log start offset EXPLICITLY: compaction removes
+  // records without advancing it; deletion/retention advances it.
+  // Consumers use the distinction (ListOffsets ts=-2) to tell
+  // compacted gaps from truncated-away data.
+  private val logStarts = mutable.Map[(String, Int), Long]()
   private var server: ServerSocket = _
   @volatile private var running = false
   private val threads = mutable.ArrayBuffer[Thread]()
@@ -85,6 +90,20 @@ final class KafkaWireBroker(host: String = "127.0.0.1",
       log.clear()
       log ++= kept
     }
+  }
+
+  /** Simulate retention deletion: drop records below `beforeOffset`
+    * AND advance the log start offset — unlike [[compact]], a fetch
+    * planned below the new start must fail the replay contract. */
+  def truncate(topic: String, partition: Int,
+      beforeOffset: Long): Unit = logs.synchronized {
+    logs.get((topic, partition)).foreach { log =>
+      val kept = log.filter(_.offset >= beforeOffset)
+      log.clear()
+      log ++= kept
+    }
+    val cur = logStarts.getOrElse((topic, partition), 0L)
+    logStarts((topic, partition)) = math.max(cur, beforeOffset)
   }
 
   /** Persist the in-memory log as the FileTopicLog parquet layout —
@@ -445,7 +464,13 @@ final class KafkaWireBroker(host: String = "127.0.0.1",
         val off = logs.synchronized {
           val log = logs.getOrElse((topic, partition),
             mutable.ArrayBuffer.empty[Record])
-          if (ts == EarliestTs) 0L else log.length.toLong
+          if (ts == EarliestTs)
+            logStarts.getOrElse((topic, partition), 0L)
+          // offsets survive compaction, so the end offset is the last
+          // record's offset + 1, NOT the buffer length
+          else if (log.isEmpty)
+            logStarts.getOrElse((topic, partition), 0L)
+          else log.last.offset + 1
         }
         (partition, ts, off)
       }

@@ -362,4 +362,34 @@ class KafkaSocketSpec extends SparkSpec {
       intercept[IllegalStateException] { read(0, 10) }
     } finally broker.close()
   }
+
+  test("retention truncation fails even when later records survive") {
+    val broker = new KafkaWireBroker(numPartitions = 1).start()
+    try {
+      (0 until 10).foreach { i =>
+        broker.append("t", 0, s"k$i".getBytes, s"v$i".getBytes, 1000L + i)
+      }
+      def read(start: Long, end: Long): Seq[Long] = {
+        val reader = new graft.streaming.KafkaSocketPartitionReader(
+          graft.streaming.KafkaSocketInputPartition(
+            "127.0.0.1", broker.port, "t", 0, start, end))
+        val got = Seq.newBuilder[Long]
+        try {
+          while (reader.next()) got += reader.get().getLong(4)
+        } finally reader.close()
+        got.result()
+      }
+      assert(read(0, 10) == (0L until 10L))
+      // retention deletes offsets < 4 and ADVANCES the log start: a
+      // planned range below it must fail — unlike a compacted gap,
+      // the data is gone, not superseded. The fetch response looks
+      // identical to the compaction case (records at/above 4 only);
+      // the log start offset is what distinguishes them.
+      broker.truncate("t", 0, 4L)
+      val e = intercept[IllegalStateException] { read(0, 10) }
+      assert(e.getMessage.contains("retention"))
+      // ranges entirely at/above the new log start still read fine
+      assert(read(4, 10) == (4L until 10L))
+    } finally broker.close()
+  }
 }
