@@ -52,6 +52,63 @@ object FilterJoinQueries {
         WHERE regexp_matches(p_type, '^[A-Z]+ BRUSHED')
         ORDER BY p_partkey""")),
 
+    // REGEXP_LIKE served from the value-dictionary INDEX — the FST
+    // index analog (FstIndexType.java;
+    // FSTBasedRegexpPredicateEvaluatorFactory.java:52-59 materializes
+    // matching dictionary ids). The regex is evaluated once per
+    // DISTINCT value over the written dictionary and the predicate
+    // rewrites to an exact `p_type IN (...)` that pushes into the
+    // parquet scan — used_index reads PushedFilters off the executed
+    // plan, so a silent fall-through to the per-row regex scan fails
+    // the gate. Oracle mirrors the plain regex semantics.
+    GQuery("q_filter_regex_indexed",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        graft.sql.QueryFacade.init(s, dir)
+        graft.sources.RegexpIndex.register("part", t.part, "p_type")
+        val q = graft.sql.QueryFacade.sql(s,
+          """SET explicitLimit = true;
+             SELECT p_partkey, p_type FROM part
+             WHERE REGEXP_LIKE(p_type, '^(STAND|ECON)') AND p_size > 10
+             ORDER BY p_partkey""")
+        val usedIndex = q.queryExecution.executedPlan.toString
+          .linesIterator.exists(l =>
+            l.contains("PushedFilters") &&
+              (l.contains("In(p_type") || l.contains("EqualTo(p_type")))
+        q.withColumn("used_index", lit(usedIndex))
+      },
+      Some("""SELECT p_partkey, p_type, TRUE AS used_index FROM part
+        WHERE regexp_matches(p_type, '^(STAND|ECON)') AND p_size > 10
+        ORDER BY p_partkey""")),
+
+    // LIKE / NOT LIKE through the same dictionary
+    // (RegexpPatternConverterUtils.likeToRegexpLike routes LIKE into
+    // the FST path): the infix LIKE — which parquet cannot serve from
+    // stats — becomes an exact IN-list, and the NOT LIKE wraps its
+    // leaf's IN-list in NOT (NULL semantics preserved: IN is NULL for
+    // NULL input exactly as LIKE is).
+    GQuery("q_filter_like_indexed",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        graft.sql.QueryFacade.init(s, dir)
+        graft.sources.RegexpIndex.register("part", t.part, "p_name")
+        graft.sources.RegexpIndex.register("part", t.part, "p_brand")
+        val q = graft.sql.QueryFacade.sql(s,
+          """SET explicitLimit = true;
+             SELECT p_partkey, p_name, p_brand FROM part
+             WHERE p_name LIKE '%widget%' AND p_brand NOT LIKE 'Brand#1%'
+             ORDER BY p_partkey""")
+        val usedIndex = q.queryExecution.executedPlan.toString
+          .linesIterator.exists(l =>
+            l.contains("PushedFilters") &&
+              (l.contains("In(p_name") || l.contains("EqualTo(p_name")))
+        q.withColumn("used_index", lit(usedIndex))
+      },
+      Some("""SELECT p_partkey, p_name, p_brand, TRUE AS used_index
+        FROM part
+        WHERE p_name LIKE '%widget%' AND p_brand NOT LIKE 'Brand#1%'
+        ORDER BY p_partkey""")),
+
     // TEXT_MATCH approximation: LIKE / contains scan
     // (TextMatchFilterOperator.java:38 — we map Lucene matches to
     // substring/regex scans per SURVEY §2.2).

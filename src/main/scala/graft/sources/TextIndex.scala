@@ -111,7 +111,7 @@ object TextIndex {
         try deleteRecursively(java.nio.file.Paths.get(d))
         catch { case _: Throwable => () }
       }))
-  private def registerTempDir(dir: String): Unit = {
+  private[sources] def registerTempDir(dir: String): Unit = {
     cleanupHook; tempDirs.add(dir); ()
   }
   private def deleteRecursively(p: java.nio.file.Path): Unit = {

@@ -1,7 +1,8 @@
 package graft.sql
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.functions.col
 import graft.Tables
 import graft.functions.PinotFunctions
 
@@ -915,7 +916,66 @@ object QueryFacade {
   // unindexable query shapes keep the exact scan.
   private val TextMatchCall =
     """(?is)\btext_match\s*\(\s*(\w+(?:\.\w+)?)\s*,\s*('(?:[^']|'')*')\s*\)""".r
-  private val FromTablePattern = """(?is)\bfrom\s+(\w+)\b""".r
+
+  /** Alias → table bindings from the parsed plan: `SubqueryAlias` over
+    * a relation binds the alias, a bare relation binds its own name —
+    * the multi-source resolution `RlsFiltersRewriter`-style parsing
+    * enables (round-6 RLS pattern). None when the statement doesn't
+    * parse as plain Spark SQL. */
+  private[graft] def relationAliases(spark: SparkSession,
+      stmt: String): Option[Map[String, String]] =
+    try {
+      import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
+      import org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias
+      val plan = spark.sessionState.sqlParser.parsePlan(stmt)
+      val out = scala.collection.mutable.Map[String, String]()
+      plan.foreachWithSubqueries {
+        case SubqueryAlias(id, r: UnresolvedRelation) =>
+          out(id.name.toLowerCase) = r.multipartIdentifier.last.toLowerCase
+        case r: UnresolvedRelation =>
+          val t = r.multipartIdentifier.last.toLowerCase
+          if (!out.contains(t)) out(t) = t
+        case _ => ()
+      }
+      Some(out.toMap)
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Which referenced table owns `colRef`, for index-rewrite passes
+    * that must not serve a predicate from the WRONG table's index.
+    * Returns (table, alias-to-qualify-emissions-with). Resolution:
+    *   - qualified `alias.col` → the alias's relation, exactly;
+    *   - single-relation statement → that relation;
+    *   - unqualified in a join → the ONE referenced table whose schema
+    *     has the column, provided EVERY referenced table's schema is
+    *     resolvable (an unknown schema could hide the same column —
+    *     fall back rather than guess; Spark's analyzer enforces the
+    *     same uniqueness for the query itself to run). */
+  private[graft] def columnOwner(spark: SparkSession, stmt: String,
+      colRef: String): Option[(String, Option[String])] = {
+    val aliases = relationAliases(spark, stmt).getOrElse(return None)
+    if (aliases.isEmpty) return None
+    val dot = colRef.lastIndexOf('.')
+    if (dot >= 0) {
+      val prefix = colRef.substring(0, dot).toLowerCase
+      aliases.get(prefix).map(t => (t, Some(prefix)))
+    } else if (aliases.values.toSet.size == 1) {
+      Some((aliases.values.head, None))
+    } else {
+      val bare = colRef.toLowerCase
+      // the alias map holds both alias→table and table→table rows;
+      // uniqueness is over distinct TABLES, emission picks any alias
+      val schemas = aliases.values.toSet.toSeq.map { (t: String) =>
+        (t, try Some(spark.table(t).columns.map(_.toLowerCase).toSet)
+            catch { case scala.util.control.NonFatal(_) => None })
+      }
+      if (schemas.exists(_._2.isEmpty)) None
+      else schemas.filter(_._2.exists(_.contains(bare))) match {
+        case Seq((t, _)) =>
+          Some((t, aliases.collectFirst { case (a, `t`) => a }))
+        case _ => None
+      }
+    }
+  }
   /** Literal IN-lists above this size stop paying for their parse/plan
     * cost; an EXACT candidate set that large serves as a distributed
     * semi-join against a temp view instead (no driver transfer at all). */
@@ -950,21 +1010,24 @@ object QueryFacade {
   private[graft] def rewriteTextMatchIndexed(spark: SparkSession,
       stmt: String): String = {
     if (!stmt.toLowerCase.contains("text_match")) return stmt
-    // single-source statements only: with joins, a column-name match
-    // could resolve a predicate against the WRONG table's index, and a
-    // wrong candidate set under-delivers even with the re-verify (the
-    // IN-list prunes rows the verify never sees)
-    val refs = FromTablePattern.findAllMatchIn(stmt).map(_.group(1))
-      .toSeq.distinct
-    if (refs.size != 1 ||
-        """(?is)\bjoin\b""".r.findFirstIn(stmt).isDefined) return stmt
-    val table = refs.head
     TextMatchCall.replaceAllIn(stmt, m => {
       val colRef = m.group(1)
       val bare = colRef.substring(colRef.lastIndexOf('.') + 1)
       val served: Option[String] =
         try {
+          // ownership must be PROVEN, not guessed: with joins, a
+          // column-name match against the WRONG table's index would
+          // under-deliver even with the re-verify (the IN-list prunes
+          // rows the verify never sees). columnOwner resolves the
+          // qualified alias / single relation / schema-unique column
+          // from the parsed plan and falls back otherwise.
+          columnOwner(spark, stmt, colRef).flatMap { case (table, qual) =>
           graft.sources.TextIndex.lookup(table, bare).flatMap { entry =>
+            // in a join the id column must carry the owning relation's
+            // qualifier, or Spark could resolve it against the other
+            // side (or reject it as ambiguous)
+            val idRef = qual.map(q => s"$q.${entry.idCol}")
+              .getOrElse(entry.idCol)
             val q = m.group(2).stripPrefix("'").stripSuffix("'")
               .replace("''", "'")
             graft.functions.TextMatch.candidateIds(
@@ -979,7 +1042,7 @@ object QueryFacade {
                   val view = textCandViewName(spark, table, bare, q)
                   cand.withColumnRenamed("doc_id", entry.idCol)
                     .createOrReplaceTempView(view)
-                  Some(s"(${entry.idCol} IN " +
+                  Some(s"($idRef IN " +
                     s"(SELECT ${entry.idCol} FROM $view))")
                 } else if (!exactSet && bound > entry.internalLimit) {
                   // approximate and (by bound) unpayable: the re-verify
@@ -993,14 +1056,99 @@ object QueryFacade {
                   val ids = cand.limit(entry.internalLimit + 1)
                     .collect().map(_.getLong(0))
                   if (ids.isEmpty)
-                    Some(s"(${entry.idCol} IS NULL AND FALSE)")
+                    Some(s"($idRef IS NULL AND FALSE)")
                   else if (ids.length <= entry.internalLimit)
-                    Some(s"(${entry.idCol} IN (${ids.mkString(", ")})" +
+                    Some(s"($idRef IN (${ids.mkString(", ")})" +
                       (if (exactSet) "" else verify) + ")")
                   else None // bound under-shot reality: scan it is
                 }
             }
           }
+          }
+        } catch { case scala.util.control.NonFatal(_) => None }
+      java.util.regex.Matcher.quoteReplacement(served.getOrElse(m.matched))
+    })
+  }
+
+  // ---- REGEXP_LIKE / LIKE served from the value-dictionary index ----
+  // The reference's FST index answers REGEXP_LIKE (and LIKE via
+  // `RegexpPatternConverterUtils.likeToRegexpLike`) by materializing
+  // the MATCHING DICTIONARY IDS (`FSTBasedRegexpPredicateEvaluator
+  // Factory.java:52-59`, with zero-ids → alwaysFalse and all-ids →
+  // alwaysTrue short circuits). Analog: [[graft.sources.RegexpIndex]]
+  // holds the column's value dictionary; the predicate is evaluated
+  // over it with Spark's OWN rlike/like (the engine that would run the
+  // fallback scan, so the match set is identical by construction) and
+  // the leaf rewrites to `col IN (values)` — EXACT, since
+  // REGEXP_LIKE(col, p) ⟺ col ∈ {v ∈ dict : p finds in v}, and
+  // NULL-preserving (IN is NULL for NULL input exactly as REGEXP_LIKE
+  // is, so the rewrite survives any NOT context). Large exact sets
+  // serve as a distributed semi-join; the degenerate all/none cases
+  // keep NULL semantics through CASE.
+  private val RegexpLikeCall =
+    ("""(?is)\bregexp_like\s*\(\s*(\w+(?:\.\w+)?)\s*,\s*""" +
+      """('(?:[^']|'')*')\s*(?:,\s*'([a-zA-Z])'\s*)?\)""").r
+  private val LikePredPattern =
+    ("""(?is)\b(\w+(?:\.\w+)?)\s+(not\s+)?like\s+""" +
+      """('(?:[^']|'')*')(?!\s*(?i:escape)\b)""").r
+
+  private def sqlStringLiteral(v: String): String =
+    "'" + v.replace("\\", "\\\\").replace("'", "''") + "'"
+
+  private def serveRegexpLeaf(spark: SparkSession, stmt: String,
+      colRef: String, pred: Column, predKey: String): Option[String] = {
+    val bare = colRef.substring(colRef.lastIndexOf('.') + 1)
+    columnOwner(spark, stmt, colRef).flatMap { case (table, _) =>
+      graft.sources.RegexpIndex.lookup(table, bare).flatMap { entry =>
+        import graft.sources.RegexpIndex._
+        resolve(entry, pred, predKey).map {
+          case AlwaysTrue =>
+            s"(CASE WHEN $colRef IS NULL THEN CAST(NULL AS BOOLEAN) " +
+              "ELSE TRUE END)"
+          case AlwaysFalse =>
+            s"(CASE WHEN $colRef IS NULL THEN CAST(NULL AS BOOLEAN) " +
+              "ELSE FALSE END)"
+          case InList(vs) =>
+            s"($colRef IN (${vs.map(sqlStringLiteral).mkString(", ")}))"
+          case SemiJoin(values) =>
+            val view = textCandViewName(spark, table, bare, predKey)
+            values.createOrReplaceTempView(view)
+            s"($colRef IN (SELECT value FROM $view))"
+        }
+      }
+    }
+  }
+
+  private[graft] def rewriteRegexpIndexed(spark: SparkSession,
+      stmt: String): String = {
+    if (graft.sources.RegexpIndex.isEmpty) return stmt
+    val low = stmt.toLowerCase
+    if (!low.contains("regexp_like") && !low.contains("like")) return stmt
+    val afterRegexp = RegexpLikeCall.replaceAllIn(stmt, m => {
+      val served =
+        if (insideLiteral(stmt, m.start)) None
+        else try {
+          val pattern = m.group(2).stripPrefix("'").stripSuffix("'")
+            .replace("''", "'")
+          // 3-arg match parameter ('i'/'c' —
+          // RegexpPatternConverterUtils.isCaseInsensitive)
+          val ci = Option(m.group(3)).exists(f =>
+            f.equalsIgnoreCase("i"))
+          val p = if (ci) "(?i)" + pattern else pattern
+          serveRegexpLeaf(spark, stmt, m.group(1),
+            col("value").rlike(p), "re:" + p)
+        } catch { case scala.util.control.NonFatal(_) => None }
+      java.util.regex.Matcher.quoteReplacement(served.getOrElse(m.matched))
+    })
+    LikePredPattern.replaceAllIn(afterRegexp, m => {
+      val served =
+        if (insideLiteral(afterRegexp, m.start)) None
+        else try {
+          val pattern = m.group(2 + 1).stripPrefix("'").stripSuffix("'")
+            .replace("''", "'")
+          serveRegexpLeaf(spark, afterRegexp, m.group(1),
+            col("value").like(pattern), "like:" + pattern)
+            .map(r => if (m.group(2) != null) s"(NOT $r)" else r)
         } catch { case scala.util.control.NonFatal(_) => None }
       java.util.regex.Matcher.quoteReplacement(served.getOrElse(m.matched))
     })
@@ -1340,10 +1488,11 @@ object QueryFacade {
       rewriteVectorSimilarityIndexed(spark,
         reorderVectorSimilarity(
           rewriteTextMatchIndexed(spark,
+          rewriteRegexpIndexed(spark,
           rewriteJsonMatch(
             rewriteAsOf(rewriteReserved(stripHints(
               rewriteTimestampIndex(
-                applyRlsFilters(spark, stmt0, opts))))))))))
+                applyRlsFilters(spark, stmt0, opts)))))))))))
     if (Ddl.isDdl(stmt)) return Ddl.execute(spark, stmt)
     // Pinot EXPLAIN PLAN FOR <query> (PinotQueryResource explain
     // support): one row per plan-tree line, mirroring the reference's

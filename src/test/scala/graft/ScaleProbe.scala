@@ -50,9 +50,13 @@ object ScaleProbe {
     replicate("orders", Map("o_orderkey" -> 10000000L, "o_custkey" -> 1000000L))
     replicate("customer", Map("c_custkey" -> 1000000L))
     replicate("supplier", Map("s_suppkey" -> 100000L))
-    // part is copied unreplicated: no probe scales it, but the SQL-facade
-    // probes register every table as a view
-    Seq("nation", "region", "part").foreach { t =>
+    // part replicates with the SAME offset lineitem.l_partkey uses, so
+    // part joins scale replica-to-replica; its STRING columns repeat
+    // unchanged — the value dictionary stays fixed-size as the corpus
+    // grows, which is exactly the FST-index cost model the regexp
+    // probes measure
+    replicate("part", Map("p_partkey" -> 1000000L))
+    Seq("nation", "region").foreach { t =>
       spark.read.parquet(s"$src/$t.parquet").write.mode("overwrite")
         .parquet(s"$out/$t.parquet")
     }
@@ -99,6 +103,11 @@ object ScaleProbe {
         .write.mode("overwrite").parquet(s"$out/events.parquet")
     }
     } // !reuse
+    // round-7 replica upgrade: part used to be copied unreplicated —
+    // refresh just it when reusing an older replica
+    if (reuse && spark.read.parquet(s"$out/part.parquet").count() ==
+        spark.read.parquet(s"$src/part.parquet").count())
+      replicate("part", Map("p_partkey" -> 1000000L))
 
     val probes = Seq("q1_pricing_summary", "q_join_inner", "q_join_left",
       "q_upsert_latest", "q_win_rank", "q_agg_distinct", "q_sort_topk",
@@ -146,7 +155,10 @@ object ScaleProbe {
       // rollups; quantized IVF
       "q_text_match_indexed", "q_text_match",
       "q_ann_l2", "q_ann_dot", "q_ann_ivf_sq8", "q_rollup_theta",
-      "q_dedup_embedding")
+      "q_dedup_embedding",
+      // round-7: dictionary-served regexp/LIKE vs the per-row regex
+      // scan they replace
+      "q_filter_regex", "q_filter_regex_indexed", "q_filter_like_indexed")
       .filter(q => only.isEmpty || only(q))
     def time(dir: String, name: String): Double = {
       val t0 = System.nanoTime()

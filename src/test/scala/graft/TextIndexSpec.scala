@@ -117,13 +117,57 @@ class TextIndexSpec extends SparkSpec {
       val stmt = graft.sql.QueryFacade.rewriteTextMatchIndexed(spark,
         "SELECT doc_id FROM documents WHERE text_match(title, 'query')")
       assert(stmt.contains("text_match(title"))
-      // a JOINed statement keeps the scan path too: a same-named column
-      // on another table must never be served by this table's index
+      // a join against an UNRESOLVABLE relation keeps the scan path: a
+      // same-named column on an unknown table must never be served by
+      // this table's index
       val joined = graft.sql.QueryFacade.rewriteTextMatchIndexed(spark,
         "SELECT d.doc_id FROM other o JOIN documents d ON o.id = d.doc_id " +
           "WHERE text_match(text, 'query')")
       assert(joined.contains("text_match(text"),
-        s"join statement must not be index-served: $joined")
+        s"unknown-relation join must not be index-served: $joined")
+    } finally TextIndex.clear()
+  }
+
+  test("multi-source statements serve the index when ownership is provable") {
+    graft.sql.QueryFacade.init(spark, sf)
+    TextIndex.register("documents", t.documents, "doc_id", "text")
+    try {
+      // QUALIFIED column in a join: alias resolves to the indexed
+      // table; the emitted id filter must carry the SAME qualifier
+      val qualified = graft.sql.QueryFacade.rewriteTextMatchIndexed(spark,
+        "SELECT d.doc_id FROM nation n JOIN documents d " +
+          "ON n.n_nationkey = CAST(d.doc_id % 25 AS INT) " +
+          "WHERE text_match(d.text, 'query')")
+      assert(qualified.contains("d.doc_id IN ("),
+        s"qualified join reference should be index-served: $qualified")
+      // and the served statement returns the scan's answers
+      val df = graft.sql.QueryFacade.sql(spark,
+        "SET explicitLimit = true; " +
+          "SELECT d.doc_id FROM nation n JOIN documents d " +
+          "ON n.n_nationkey = CAST(d.doc_id % 25 AS INT) " +
+          "WHERE text_match(d.text, 'query') ORDER BY d.doc_id")
+      val expect = t.documents
+        .filter(TextMatch.textMatch(col("text"), "query"))
+        .join(t.nation,
+          t.nation("n_nationkey") === (col("doc_id") % 25).cast("int"))
+        .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+      assert(df.collect().map(_.getLong(0)).toSeq == expect)
+      // UNQUALIFIED column, but schema-unique across referenced
+      // tables: nation has no `text`, so ownership is provable; the
+      // id filter is emitted with the owner's qualifier
+      val unq = graft.sql.QueryFacade.rewriteTextMatchIndexed(spark,
+        "SELECT d.doc_id FROM nation n JOIN documents d " +
+          "ON n.n_nationkey = CAST(d.doc_id % 25 AS INT) " +
+          "WHERE text_match(text, 'query')")
+      assert(unq.contains(".doc_id IN ("),
+        s"schema-unique unqualified column should be served: $unq")
+      // AMBIGUOUS: both sides carry a `text` column — fall back
+      t.documents.limit(5).createOrReplaceTempView("docs2")
+      val amb = graft.sql.QueryFacade.rewriteTextMatchIndexed(spark,
+        "SELECT d.doc_id FROM docs2 o JOIN documents d " +
+          "ON o.doc_id = d.doc_id WHERE text_match(text, 'query')")
+      assert(amb.contains("text_match(text"),
+        s"ambiguous column must not be index-served: $amb")
     } finally TextIndex.clear()
   }
 
