@@ -264,6 +264,105 @@ object FunctionQueries {
           CAST(0 AS BIGINT) AS center_roundtrip
         FROM c ORDER BY k""")),
 
+    // ST_Distance radius predicate served from the H3-INDEX analog
+    // (H3IndexFilterOperator.java:120-200 — always-match kRing cells
+    // skip the exact check, boundary cells re-verify): the layout
+    // stores derived hex-cell columns sorted by cell, the facade
+    // rewrites the predicate to cell BETWEEN-ranges (pushed into the
+    // parquet scan — used_index reads PushedFilters off the executed
+    // plan) conjoined with the exact haversine, so a silent
+    // fall-through to the per-row scan fails the gate. The oracle
+    // re-derives haversine in SQL (same mean-radius constant).
+    GQuery("q_geo_radius_indexed",
+      (s, dir) => {
+        graft.sql.QueryFacade.init(s, dir)
+        val indexed = graft.operators.IndexCache.getOrBuild(
+          ("q_geo_radius_indexed", dir)) {
+          val tmp = java.nio.file.Files
+            .createTempDirectory("graft_geoidx").toString
+          val k = col("c_custkey")
+          val pts = Tables(s, dir).customer.select(k)
+            .withColumn("lng", (k * 7919 % 36000) / 100.0 - 180.0)
+            .withColumn("lat", (k * 104729 % 17000) / 100.0 - 85.0)
+          graft.sources.GeoIndex(pts, "lng", "lat", Seq(2, 4, 6))
+            .repartition(4)
+            .sortWithinPartitions(
+              col(graft.sources.GeoIndex.cellColumn("lng", "lat", 6)))
+            .write.mode("overwrite").parquet(s"$tmp/t")
+          s.read.parquet(s"$tmp/t")
+        }
+        indexed.createOrReplaceTempView("customer_geoindexed")
+        graft.sources.GeoIndex.registerTable(
+          "customer_geoindexed", "lng", "lat", Seq(2, 4, 6))
+        val q = graft.sql.QueryFacade.sql(s,
+          """SET explicitLimit = true;
+             SELECT c_custkey, lng, lat FROM customer_geoindexed
+             WHERE ST_Distance(ST_Point(lng, lat), ST_Point(11.0, 22.0))
+               < 2000000
+             ORDER BY c_custkey""")
+        val usedIndex = q.queryExecution.executedPlan.toString
+          .linesIterator.exists(l =>
+            l.contains("PushedFilters") && l.contains("h3$lng$lat"))
+        q.withColumn("used_index", lit(usedIndex))
+      },
+      Some("""WITH pts AS (SELECT c_custkey,
+          (c_custkey * 7919 % 36000) / 100.0 - 180.0 AS lng,
+          (c_custkey * 104729 % 17000) / 100.0 - 85.0 AS lat
+          FROM customer)
+        SELECT c_custkey, lng, lat, TRUE AS used_index FROM pts
+        WHERE 2 * 6371008.8 * asin(sqrt(
+          pow(sin(radians(lat - 22.0) / 2), 2) +
+          cos(radians(22.0)) * cos(radians(lat)) *
+          pow(sin(radians(lng - 11.0) / 2), 2))) < 2000000
+        ORDER BY c_custkey""")),
+
+    // Polygon inclusion served from the same index
+    // (H3InclusionIndexFilterOperator.java): bbox candidate cells push
+    // into the scan, every survivor re-verifies with the exact
+    // ray-cast. Axis-aligned rectangle so the oracle states
+    // containment as bounds checks (ray-cast boundary rule as in
+    // q_geo_polygon).
+    GQuery("q_geo_polygon_indexed",
+      (s, dir) => {
+        graft.sql.QueryFacade.init(s, dir)
+        val indexed = graft.operators.IndexCache.getOrBuild(
+          ("q_geo_radius_indexed", dir)) {
+          val tmp = java.nio.file.Files
+            .createTempDirectory("graft_geoidx").toString
+          val k = col("c_custkey")
+          val pts = Tables(s, dir).customer.select(k)
+            .withColumn("lng", (k * 7919 % 36000) / 100.0 - 180.0)
+            .withColumn("lat", (k * 104729 % 17000) / 100.0 - 85.0)
+          graft.sources.GeoIndex(pts, "lng", "lat", Seq(2, 4, 6))
+            .repartition(4)
+            .sortWithinPartitions(
+              col(graft.sources.GeoIndex.cellColumn("lng", "lat", 6)))
+            .write.mode("overwrite").parquet(s"$tmp/t")
+          s.read.parquet(s"$tmp/t")
+        }
+        indexed.createOrReplaceTempView("customer_geoindexed")
+        graft.sources.GeoIndex.registerTable(
+          "customer_geoindexed", "lng", "lat", Seq(2, 4, 6))
+        val q = graft.sql.QueryFacade.sql(s,
+          """SET explicitLimit = true;
+             SELECT c_custkey, lng, lat FROM customer_geoindexed
+             WHERE ST_Contains(ST_GeogFromText(
+               'POLYGON ((10 20, 30 20, 30 40, 10 40, 10 20))'),
+               ST_Point(lng, lat))
+             ORDER BY c_custkey""")
+        val usedIndex = q.queryExecution.executedPlan.toString
+          .linesIterator.exists(l =>
+            l.contains("PushedFilters") && l.contains("h3$lng$lat"))
+        q.withColumn("used_index", lit(usedIndex))
+      },
+      Some("""WITH pts AS (SELECT c_custkey,
+          (c_custkey * 7919 % 36000) / 100.0 - 180.0 AS lng,
+          (c_custkey * 104729 % 17000) / 100.0 - 85.0 AS lat
+          FROM customer)
+        SELECT c_custkey, lng, lat, TRUE AS used_index FROM pts
+        WHERE lng >= 10 AND lng < 30 AND lat >= 20 AND lat < 40
+        ORDER BY c_custkey""")),
+
     // WKT POLYGON parsing + ST_Contains/ST_Area over it: an axis-aligned
     // rectangle so the oracle can state containment as bounds checks
     // (ray-cast boundary rule: left/bottom edges inclusive, right/top

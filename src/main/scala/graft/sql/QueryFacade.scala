@@ -1154,6 +1154,144 @@ object QueryFacade {
     })
   }
 
+  // ---- H3 geo index: ST_Distance / polygon-inclusion predicates ----
+  // The reference's H3 index serves `ST_Distance(col, literal) < r` by
+  // splitting the kRing into always-match cells (no exact check) and
+  // possible-match cells (exact re-verify), unioning posting bitmaps
+  // (`H3IndexFilterOperator.java:120-200`; polygon inclusion in
+  // `H3InclusionIndexFilterOperator.java`). Analog: the statement's
+  // leaf rewrites to
+  //   (`$h3$lng$lat$res` ranges AND (full-ranges OR <original leaf>))
+  // — the candidate ranges (OR of BETWEENs on the stored cell column,
+  // computed driver-side from the LITERAL point by
+  // [[graft.sources.GeoIndex]]) push into the parquet scan; the
+  // full-range disjunct short-circuits the exact predicate for
+  // interior cells exactly as the reference skips verification on
+  // always-match postings. The conjunction is ≡ the original leaf
+  // (superset candidates, provable full cells, NULL-propagating cell
+  // ids), so any boolean context — including NOT — is safe.
+  private val GeoNumLit = """-?\d+(?:\.\d+)?(?:[eE][+-]?\d+)?"""
+  private val GeoArg = s"""(\\w+(?:\\.\\w+)?|$GeoNumLit)"""
+  private def geoPointPat =
+    s"""st_?point\\s*\\(\\s*$GeoArg\\s*,\\s*$GeoArg\\s*(?:,\\s*\\d+\\s*)?\\)"""
+  private val GeoDistCall =
+    (s"""(?is)\\bst_?distance\\s*\\(\\s*$geoPointPat\\s*,\\s*""" +
+      s"""$geoPointPat\\s*\\)\\s*(<=?)\\s*($GeoNumLit)""").r
+  private val GeoContainsCall =
+    ("""(?is)\b(?:st_?contains\s*\(\s*st_?(?:geogfromtext|geomfromtext|""" +
+      """polygonfromtext)\s*\(\s*('(?:[^']|'')*')\s*\)\s*,\s*""" +
+      s"""$geoPointPat|st_?within\\s*\\(\\s*$geoPointPat\\s*,\\s*""" +
+      """st_?(?:geogfromtext|geomfromtext|polygonfromtext)\s*\(\s*""" +
+      """('(?:[^']|'')*')\s*\))\s*\)""").r
+
+  private def isGeoColRef(s: String): Boolean =
+    s.matches("""[A-Za-z_]\w*(?:\.\w+)?""") &&
+      !s.matches("""(?i)(?:e\d+.*)""")
+
+  private def geoRangesPred(cellCol: String,
+      ranges: Seq[graft.sources.GeoIndex.CellRange]): String =
+    ranges.map(r =>
+      if (r.lo == r.hi) s"`$cellCol` = ${r.lo}"
+      else s"`$cellCol` BETWEEN ${r.lo} AND ${r.hi}")
+      .mkString("(", " OR ", ")")
+
+  /** Emit the index-served form for a geo leaf over (lngRef, latRef),
+    * given the per-resolution range computer. None = keep the scan. */
+  private def serveGeoLeaf(spark: SparkSession, stmt: String,
+      lngRef: String, latRef: String, orig: String,
+      f: Int => Option[graft.sources.GeoIndex.Ranges]): Option[String] = {
+    val lngBare = lngRef.substring(lngRef.lastIndexOf('.') + 1)
+    val latBare = latRef.substring(latRef.lastIndexOf('.') + 1)
+    // both coordinate refs must resolve to the SAME table, and that
+    // table must have a registered geo index on the pair
+    columnOwner(spark, stmt, lngRef).flatMap { case (table, qual) =>
+      columnOwner(spark, stmt, latRef).filter(_._1 == table).flatMap { _ =>
+        graft.sources.GeoIndex.lookup(table, lngBare, latBare)
+          .flatMap { regEntry =>
+            graft.sources.GeoIndex.bestRanges(regEntry.resolutions, f)
+              .flatMap { case (res, ranges) =>
+                if (ranges.candidates.isEmpty) None
+                else {
+                  val cellCol = graft.sources.GeoIndex.cellColumn(
+                    regEntry.lngCol, regEntry.latCol, res)
+                  val qualCol = qual.map(q => s"$q.`$cellCol`")
+                    .getOrElse(s"`$cellCol`")
+                  val cand = geoRangesPred(cellCol, ranges.candidates)
+                    .replace(s"`$cellCol`", qualCol)
+                  val verify =
+                    if (ranges.full.isEmpty) orig
+                    else geoRangesPred(cellCol, ranges.full)
+                      .replace(s"`$cellCol`", qualCol) + s" OR $orig"
+                  Some(s"($cand AND ($verify))")
+                }
+              }
+          }
+      }
+    }
+  }
+
+  private[graft] def rewriteGeoIndexed(spark: SparkSession,
+      stmt: String): String = {
+    if (graft.sources.GeoIndex.isEmpty) return stmt
+    val low = stmt.toLowerCase
+    if (!low.contains("st_distance") && !low.contains("stdistance") &&
+        !low.contains("stcontains") && !low.contains("st_contains") &&
+        !low.contains("stwithin") && !low.contains("st_within")) return stmt
+    val afterDist = GeoDistCall.replaceAllIn(stmt, m => {
+      val served =
+        if (insideLiteral(stmt, m.start)) None
+        else try {
+          val (a1, a2, b1, b2) =
+            (m.group(1), m.group(2), m.group(3), m.group(4))
+          // exactly one point is the (col, col) pair, the other the
+          // literal center — in either argument order
+          val arms = Seq((a1, a2, b1, b2), (b1, b2, a1, a2))
+            .filter { case (lng, lat, clng, clat) =>
+              isGeoColRef(lng) && isGeoColRef(lat) &&
+                !isGeoColRef(clng) && !isGeoColRef(clat) }
+          arms.headOption.flatMap { case (lngRef, latRef, cLng, cLat) =>
+            val r = m.group(6).toDouble
+            // `< r` is served with the ≤ superset (boundary rows are
+            // re-verified by the exact leaf anyway)
+            serveGeoLeaf(spark, stmt, lngRef, latRef, m.matched,
+              graft.sources.GeoIndex.circleRanges(
+                cLng.toDouble, cLat.toDouble, r, _))
+          }
+        } catch { case scala.util.control.NonFatal(_) => None }
+      java.util.regex.Matcher.quoteReplacement(served.getOrElse(m.matched))
+    })
+    GeoContainsCall.replaceAllIn(afterDist, m => {
+      val served =
+        if (insideLiteral(afterDist, m.start)) None
+        else try {
+          // contains-form groups: (1 wkt, 2 lng, 3 lat); within-form:
+          // (4 lng, 5 lat, 6 wkt)
+          val (wktLit, lngRef, latRef) =
+            if (m.group(1) != null) (m.group(1), m.group(2), m.group(3))
+            else (m.group(6), m.group(4), m.group(5))
+          if (!isGeoColRef(lngRef) || !isGeoColRef(latRef)) None
+          else {
+            val wkt = wktLit.stripPrefix("'").stripSuffix("'")
+              .replace("''", "'")
+            val ring = """POLYGON\s*\(\(([^)]*)\)""".r
+              .findFirstMatchIn(wkt).map(_.group(1))
+            ring.flatMap { pts =>
+              val coords = pts.split(",").map(_.trim.split("\\s+"))
+                .collect { case Array(x, y, _*) =>
+                  (x.toDouble, y.toDouble) }
+              if (coords.isEmpty) None
+              else serveGeoLeaf(spark, afterDist, lngRef, latRef,
+                m.matched,
+                graft.sources.GeoIndex.bboxRanges(
+                  coords.map(_._1).min, coords.map(_._2).min,
+                  coords.map(_._1).max, coords.map(_._2).max, _))
+            }
+          }
+        } catch { case scala.util.control.NonFatal(_) => None }
+      java.util.regex.Matcher.quoteReplacement(served.getOrElse(m.matched))
+    })
+  }
+
   // ---- TIMESTAMP index override ----
   // `RequestUtils.java:703-711`: `dateTrunc('<granularity>', col)` — the
   // 2-arg form or 3-arg with MILLISECONDS output — over a column whose
@@ -1489,10 +1627,11 @@ object QueryFacade {
         reorderVectorSimilarity(
           rewriteTextMatchIndexed(spark,
           rewriteRegexpIndexed(spark,
+          rewriteGeoIndexed(spark,
           rewriteJsonMatch(
             rewriteAsOf(rewriteReserved(stripHints(
               rewriteTimestampIndex(
-                applyRlsFilters(spark, stmt0, opts)))))))))))
+                applyRlsFilters(spark, stmt0, opts))))))))))))
     if (Ddl.isDdl(stmt)) return Ddl.execute(spark, stmt)
     // Pinot EXPLAIN PLAN FOR <query> (PinotQueryResource explain
     // support): one row per plan-tree line, mirroring the reference's

@@ -158,7 +158,9 @@ object ScaleProbe {
       "q_dedup_embedding",
       // round-7: dictionary-served regexp/LIKE vs the per-row regex
       // scan they replace
-      "q_filter_regex", "q_filter_regex_indexed", "q_filter_like_indexed")
+      "q_filter_regex", "q_filter_regex_indexed", "q_filter_like_indexed",
+      // round-7: H3-analog cell-range serving vs the haversine scan
+      "q_geo_radius_indexed", "q_geo_polygon_indexed")
       .filter(q => only.isEmpty || only(q))
     def time(dir: String, name: String): Double = {
       val t0 = System.nanoTime()
