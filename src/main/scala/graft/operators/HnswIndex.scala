@@ -435,9 +435,19 @@ final class HnswGraph(val dim: Int, val m: Int, val efConstruction: Int,
   def searchRadius(rawQ: Array[Float], minSim: Float,
       limit: Int): (Seq[(Long, Float)], Boolean) = {
     if (entry == -1) return (Seq.empty, true)
-    require(metric == 0,
-      "searchRadius thresholds are cosine-similarity scaled; " +
-        "non-cosine indexes must use the exact scan path")
+    // the expansion is metric-generic — it thresholds the metric's
+    // SCORE (higher = closer), so cosine radii pass minSim = 1−t and
+    // Euclidean radii pass minSim = −t (negated distance). INNER
+    // product stays rejected: its scores are magnitude-unbounded, so a
+    // "radius" has no distance semantics to promise
+    require(metric == 0 || metric == 2,
+      "searchRadius thresholds are distance-scaled (cosine or L2); " +
+        "inner-product indexes must use the exact scan path")
+    // the INTERNAL Euclidean score is the negated SQUARED distance
+    // (no sqrt in the hot loop); the caller's minSim is on the
+    // API scale (negated true distance), so square the bound once
+    val minInternal =
+      if (metric == 2) -(minSim * minSim) else minSim
     val q = maybeNormalize(rawQ)
     var ep = entry
     var lc = maxLevel
@@ -478,8 +488,8 @@ final class HnswGraph(val dim: Int, val m: Int, val efConstruction: Int,
         math.ceil(math.sqrt(ids.length.toDouble)).toInt))
     while (cand.nonEmpty && out.length < limit && misses < patience) {
       val (sim, node) = cand.dequeue()
-      if (sim >= minSim) {
-        out += ((ids(node), sim))
+      if (sim >= minInternal) {
+        out += ((ids(node), emitScore(sim)))
         misses = 0
       } else misses += 1
       val nbrs = links(node)(0)

@@ -179,4 +179,51 @@ object IvfIndex {
       .filter(col("rank") <= k)
       .select(col("probe_id"), col("id").as("neighbor_id"), col("sim"), col("rank"))
   }
+
+  /** Per-cell covering radius (max L2 distance from the centroid to
+    * any member), memoized per model: ~nlist rows, one corpus pass —
+    * an ingest-time statistic exactly like the centroids themselves. */
+  private def cellRadii(model: Model): DataFrame =
+    IndexCache.getOrBuild(("ivfradii",
+      model.assignments.queryExecution.analyzed.canonicalized)) {
+      model.assignments.join(broadcast(model.centroids), "cell")
+        .groupBy(col("cell"))
+        .agg(max(graft.plans.VectorExpressions
+          .l2Distance(col("vec"), col("cvec"))).as("crad"))
+        .localCheckpoint(true)
+    }
+
+  /** COMPLETE Euclidean radius search: every id whose vector lies
+    * within `radius` of the probe — no approximation, no exhaustion
+    * signal needed. Cells are pruned by the triangle inequality
+    * (`dist(probe, centroid) − coveringRadius(cell) > radius` ⟹ no
+    * member can qualify); surviving cells re-verify exactly, so the
+    * result is provably the full in-radius set — the contract
+    * `VectorRadiusFilterOperator` demands ("a radius predicate must
+    * return ALL matching docs"). Quantized models are rejected: the
+    * stored codes only reconstruct approximate vectors, which cannot
+    * promise the exact-set contract. */
+  def searchRadiusL2(
+      model: Model,
+      probes: DataFrame,
+      probeId: String,
+      vecCol: String,
+      radius: Double): DataFrame = {
+    require(model.quant.isEmpty,
+      "L2 radius requires an unquantized IVF_FLAT index (exact-set contract)")
+    val p = probes.select(col(probeId).as("probe_id"),
+      transform(col(vecCol), x => x.cast("double")).as("pvec"))
+    val probeCells = p.crossJoin(broadcast(
+        model.centroids.join(cellRadii(model), "cell")))
+      .withColumn("__d", graft.plans.VectorExpressions
+        .l2Distance(col("pvec"), col("cvec")))
+      .filter(col("__d") <= lit(radius) + col("crad"))
+      .select(col("probe_id"), col("pvec"), col("cell"))
+    probeCells.join(model.assignments, "cell")
+      .withColumn("dist", graft.plans.VectorExpressions
+        .l2Distance(col("pvec"), col("vec")))
+      .filter(col("dist") <= radius)
+      .select(col("probe_id"), col("id").as("neighbor_id"),
+        negate(col("dist")).as("sim"))
+  }
 }

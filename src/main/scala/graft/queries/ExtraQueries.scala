@@ -827,6 +827,72 @@ object ExtraQueries {
           ORDER BY vec_id"""
       }),
 
+    // L2 (EUCLIDEAN) radius, INDEX-SERVED through HNSW: the threshold
+    // is an L2 DISTANCE (the metric the column's index declares —
+    // VectorIndexConfig.vectorDistanceFunction), served by the graph
+    // radius reader on negated-distance scores with the exhaustion
+    // contract (any early-terminated shard → exact-scan fallback,
+    // which would flip mode_ok and fail the gate). Registered under a
+    // dedicated view so the EUCLIDEAN registration never leaks into
+    // the cosine-threshold queries. EXACT oracle: DuckDB applies the
+    // same distance threshold (1.23 sits ≥2e-3 from every corpus
+    // distance at the verify SF — far beyond float32/float64 noise).
+    GQuery("q_ann_radius_l2",
+      (s, dir) => {
+        graft.sql.QueryFacade.init(s, dir)
+        val t = Tables(s, dir)
+        t.embeddings.createOrReplaceTempView("embeddings_l2")
+        graft.sql.QueryFacade.VectorIndexes.register(
+          "embeddings_l2", t.embeddings, "vec_id", "embedding",
+          distanceFunction = "EUCLIDEAN")
+        val vec = (1.0 +: Seq.fill(63)(0.0)).mkString("ARRAY[", ", ", "]")
+        val q = graft.sql.QueryFacade.sql(s,
+          s"""SET explicitLimit = true;
+              SELECT vec_id FROM embeddings_l2
+              WHERE VECTOR_SIMILARITY_RADIUS(embedding, $vec, 1.23)
+              ORDER BY vec_id""")
+        val mode = graft.sql.QueryFacade.VectorIndexes
+          .lastMode("embeddings_l2", "embedding").getOrElse("")
+        q.withColumn("mode_ok", lit(mode == "ANN_THRESHOLD_SCAN"))
+      },
+      Some {
+        val vec = (1.0 +: Seq.fill(63)(0.0)).mkString("[", ", ", "]")
+        s"""SELECT vec_id, TRUE AS mode_ok FROM embeddings
+          WHERE list_distance(CAST(embedding AS DOUBLE[]),
+            CAST($vec AS DOUBLE[])) <= 1.23
+          ORDER BY vec_id"""
+      }),
+
+    // Same predicate through IVF_FLAT: triangle-inequality cell
+    // pruning (dist(probe, centroid) − coveringRadius > r ⟹ skip
+    // cell) makes the search COMPLETE — no exhaustion signal, the
+    // exact in-radius set by construction (IvfIndex.searchRadiusL2).
+    GQuery("q_ann_radius_l2_ivf",
+      (s, dir) => {
+        graft.sql.QueryFacade.init(s, dir)
+        val t = Tables(s, dir)
+        t.embeddings.createOrReplaceTempView("embeddings_l2ivf")
+        graft.sql.QueryFacade.VectorIndexes.register(
+          "embeddings_l2ivf", t.embeddings, "vec_id", "embedding",
+          distanceFunction = "EUCLIDEAN", vectorIndexType = "IVF_FLAT")
+        val vec = (1.0 +: Seq.fill(63)(0.0)).mkString("ARRAY[", ", ", "]")
+        val q = graft.sql.QueryFacade.sql(s,
+          s"""SET explicitLimit = true;
+              SELECT vec_id FROM embeddings_l2ivf
+              WHERE VECTOR_SIMILARITY_RADIUS(embedding, $vec, 1.23)
+              ORDER BY vec_id""")
+        val mode = graft.sql.QueryFacade.VectorIndexes
+          .lastMode("embeddings_l2ivf", "embedding").getOrElse("")
+        q.withColumn("mode_ok", lit(mode == "ANN_THRESHOLD_SCAN"))
+      },
+      Some {
+        val vec = (1.0 +: Seq.fill(63)(0.0)).mkString("[", ", ", "]")
+        s"""SELECT vec_id, TRUE AS mode_ok FROM embeddings
+          WHERE list_distance(CAST(embedding AS DOUBLE[]),
+            CAST($vec AS DOUBLE[])) <= 1.23
+          ORDER BY vec_id"""
+      }),
+
     // M3QL transform stages beyond plain agg+fill (the plugin's
     // series-function surface): increase{} (delta vs previous bucket,
     // null first bucket) piped into topk{3} (keep the 3 series with

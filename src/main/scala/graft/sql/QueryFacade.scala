@@ -800,25 +800,46 @@ object QueryFacade {
         val threshold =
           try kStr.trim.toDouble
           catch { case _: NumberFormatException => return stmt }
-        // radius thresholds are cosine-distance scaled (the predicate's
-        // contract) and only the graph backend has a radius reader; a
-        // non-cosine or non-HNSW index cannot serve them
-        if (entry.distance != graft.operators.VectorDistance.Cosine ||
-            entry.backend != "HNSW") {
-          mode("EXACT_SCAN")
-          return stmt
+        // the threshold is metric-scaled (cosine DISTANCE for COSINE,
+        // meters-of-displacement L2 DISTANCE for EUCLIDEAN — both
+        // "smaller = closer", matching VectorRadiusFilterOperator's
+        // distance-threshold contract). Serveable combinations:
+        //   COSINE + HNSW      — graph radius reader (score ≥ 1−t)
+        //   EUCLIDEAN + HNSW   — same reader, score ≥ −t (negated dist)
+        //   EUCLIDEAN + IVF_FLAT (unquantized) — COMPLETE
+        //     triangle-inequality cell pruning (IvfIndex.searchRadiusL2)
+        // anything else honestly refuses (EXACT_SCAN).
+        import graft.operators.VectorDistance.{Cosine, Euclidean}
+        val hits: Array[Long] = (entry.distance, entry.backend) match {
+          case (Cosine, "HNSW") | (Euclidean, "HNSW") =>
+            val minSim =
+              if (entry.distance == Cosine) 1.0 - threshold
+              else -threshold
+            val cands = graft.operators.HnswIndex.searchRadiusWithStatus(
+              entry.model.get, probeDf, "pid", "pvec",
+              minSim = minSim,
+              limitPerShard = entry.internalLimit)
+              .select(fcol("neighbor_id"), fcol("exhausted")).collect()
+            // fall back to the exact rewrite unless EVERY shard drained
+            // its frontier: a patience- or cap-terminated expansion may
+            // have missed in-radius docs, and "a radius predicate must
+            // return ALL matching docs, not a truncated subset"
+            if (cands.exists(!_.getBoolean(1))) {
+              mode("EXACT_SCAN"); return stmt
+            }
+            cands.filter(!_.isNullAt(0)).map(_.getLong(0))
+          case (Euclidean, "IVF_FLAT")
+              if entry.ivf.exists(_.quant.isEmpty) =>
+            // complete by construction — no exhaustion signal to check
+            graft.operators.IvfIndex.searchRadiusL2(entry.ivf.get,
+              probeDf, "pid", "pvec", threshold)
+              .select(fcol("neighbor_id"))
+              .limit(entry.internalLimit + 1)
+              .collect().map(_.getLong(0))
+          case _ =>
+            mode("EXACT_SCAN")
+            return stmt
         }
-        val cands = graft.operators.HnswIndex.searchRadiusWithStatus(
-          entry.model.get, probeDf, "pid", "pvec",
-          minSim = 1.0 - threshold,
-          limitPerShard = entry.internalLimit)
-          .select(fcol("neighbor_id"), fcol("exhausted")).collect()
-        // fall back to the exact rewrite unless EVERY shard drained its
-        // frontier: a patience- or cap-terminated expansion may have
-        // missed in-radius docs, and "a radius predicate must return
-        // ALL matching docs, not a truncated subset"
-        if (cands.exists(!_.getBoolean(1))) { mode("EXACT_SCAN"); return stmt }
-        val hits = cands.filter(!_.isNullAt(0)).map(_.getLong(0))
         if (hits.length >= entry.internalLimit) {
           mode("EXACT_SCAN")
           return stmt // saturated
@@ -1564,11 +1585,20 @@ object QueryFacade {
     val after = stmt.substring(close + 1)
     if (isRadius) {
       // in-place predicate substitution: the radius form is a plain
-      // row filter, so sibling conjuncts and tails stay untouched
+      // row filter, so sibling conjuncts and tails stay untouched.
+      // The threshold is metric-scaled: cosine DISTANCE by default,
+      // L2 DISTANCE when the column's registered index declares
+      // EUCLIDEAN — the same contract the indexed path serves, so
+      // fallback and index-served answers agree.
+      val dist = VectorIndexes.lookup(table, vcol)
+        .map(_.distance).getOrElse(graft.operators.VectorDistance.Cosine)
+      val pred =
+        if (dist == graft.operators.VectorDistance.Euclidean)
+          s"l2distance($vcol, cast(($vec) as array<double>)) <= $k"
+        else
+          s"(1 - cosine_sim($vcol, cast(($vec) as array<double>))) <= $k"
       return rewriteVectorSimilarity(
-        stmt.substring(0, m.start) + m.group(1) +
-          s"(1 - cosine_sim($vcol, cast(($vec) as array<double>))) <= $k" +
-          after)
+        stmt.substring(0, m.start) + m.group(1) + pred + after)
     }
     // topK form: remaining conjuncts (if any) stay OUTSIDE the ranked
     // subquery (top-k first, intersect after — the reference's default

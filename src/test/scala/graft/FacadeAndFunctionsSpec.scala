@@ -487,6 +487,57 @@ class FacadeAndFunctionsSpec extends SparkSpec {
     } finally QueryFacade.VectorIndexes.clear()
   }
 
+  test("L2 radius: HNSW and IVF_FLAT index-served, IP/quantized refused") {
+    QueryFacade.init(spark, sf)
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val vec = (1.0 +: Seq.fill(63)(0.0)).mkString("ARRAY[", ", ", "]")
+    // exact in-radius set by plain double arithmetic (no rewrite fires
+    // on a statement without the predicate spelling)
+    def exact(thr: Double): Set[Long] = QueryFacade.sql(spark,
+      s"""SET explicitLimit = true;
+          SELECT vec_id FROM embeddings
+          WHERE l2distance(embedding, cast($vec as array<double>))
+            <= $thr""").collect().map(_.getLong(0)).toSet
+    def radius(thr: Double): Set[Long] = QueryFacade.sql(spark,
+      s"""SET explicitLimit = true;
+          SELECT vec_id FROM embeddings
+          WHERE VECTOR_SIMILARITY_RADIUS(embedding, $vec, $thr)""")
+      .collect().map(_.getLong(0)).toSet
+    def mode: String = QueryFacade.VectorIndexes
+      .lastMode("embeddings", "embedding").getOrElse("")
+    try {
+      val want = exact(1.23)
+      assert(want.nonEmpty)
+      // HNSW: graph radius reader on negated-distance scores
+      QueryFacade.VectorIndexes.register("embeddings", emb, "vec_id",
+        "embedding", distanceFunction = "EUCLIDEAN")
+      assert(radius(1.23) == want, "HNSW L2 radius diverged from exact")
+      assert(mode == "ANN_THRESHOLD_SCAN", s"mode: $mode")
+      // sibling conjunct reports the THEN_FILTER mode
+      QueryFacade.sql(spark,
+        s"""SET explicitLimit = true;
+            SELECT vec_id FROM embeddings
+            WHERE VECTOR_SIMILARITY_RADIUS(embedding, $vec, 1.23)
+              AND vec_id % 2 = 0""").collect()
+      assert(mode == "ANN_THRESHOLD_THEN_FILTER", s"mode: $mode")
+      // IVF_FLAT: complete triangle-inequality pruning
+      QueryFacade.VectorIndexes.register("embeddings", emb, "vec_id",
+        "embedding", distanceFunction = "EUCLIDEAN",
+        vectorIndexType = "IVF_FLAT")
+      assert(radius(1.23) == want, "IVF_FLAT L2 radius diverged from exact")
+      assert(mode == "ANN_THRESHOLD_SCAN", s"mode: $mode")
+      // the exact-fallback rewrite is metric-aware too: an
+      // out-of-reach threshold on a EUCLIDEAN registration means L2
+      // semantics (everything within distance 99), not cosine
+      assert(radius(99.0) == exact(99.0))
+      // INNER_PRODUCT cannot promise a distance radius → EXACT_SCAN
+      QueryFacade.VectorIndexes.register("embeddings", emb, "vec_id",
+        "embedding", distanceFunction = "INNER_PRODUCT")
+      radius(0.8)
+      assert(mode == "EXACT_SCAN", s"mode: $mode")
+    } finally QueryFacade.VectorIndexes.clear()
+  }
+
   test("vector execution modes: FILTER_THEN_ANN, rerank, mode reporting") {
     QueryFacade.init(spark, sf)
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
