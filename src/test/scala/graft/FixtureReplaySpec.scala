@@ -283,6 +283,99 @@ class FixtureReplaySpec extends SparkSpec {
       .agg(min($"orderItemCount")).head.getInt(0) == 0)
   }
 
+  test("reference SV corpus: InterSegmentAggregationSingleValueQueriesTest golds") {
+    // `pinot-core/src/test/resources/data/test_data-sv.avro` (30k rows)
+    // queried through the BaseQueriesTest inter-segment convention —
+    // the one built segment served as 4 copies (2 identical segments
+    // × 2 instances), hence totalDocs 120000 in every gold
+    // (`BaseSingleValueQueriesTest.java:99-104` FILTER;
+    // `InterSegmentAggregationSingleValueQueriesTest.java:46-260`
+    // inline expected result tables).
+    val avroPath =
+      "/root/reference/pinot-core/src/test/resources/data/test_data-sv.avro"
+    assume(new java.io.File(avroPath).isFile, "reference checkout absent")
+    val (schema, rows) = graft.compat.OnTimeCompat.readAvro(avroPath)
+    val seg = spark.createDataFrame(rows.asJava, schema)
+    val table = seg.union(seg).union(seg).union(seg)
+    table.createOrReplaceTempView("sv_testtable")
+    val FILTER = "column1 > 100000000" +
+      " AND column3 BETWEEN 20000000 AND 1000000000" +
+      " AND column5 = 'gFuH'" +
+      " AND (column6 < 500000000 OR column11 NOT IN ('t', 'P'))" +
+      " AND daysSinceEpoch = 126164076"
+    // GROUP_BY convention (:38): keep the top group by (v1, v2) desc
+    val GROUP_BY = " GROUP BY column9 ORDER BY v1 DESC, v2 DESC LIMIT 1"
+    def got(sel: String, tail: String = ""): Seq[Any] =
+      spark.sql(s"SELECT $sel FROM sv_testtable$tail")
+        .collect().head.toSeq
+    def approx(a: Any, b: Double, tol: Double = 1e-9): Boolean =
+      math.abs(a.toString.toDouble - b) <= tol * math.max(1.0, math.abs(b))
+
+    // testCount
+    assert(got("COUNT(*)") == Seq(120000L))
+    assert(got("COUNT(*)", s" WHERE $FILTER") == Seq(24516L))
+    assert(got("COUNT(*) AS v1",
+      " GROUP BY column9 ORDER BY v1 DESC LIMIT 1") == Seq(64420L))
+    assert(got("COUNT(*) AS v1",
+      s" WHERE $FILTER GROUP BY column9 ORDER BY v1 DESC LIMIT 1") ==
+      Seq(17080L))
+    // testMax
+    def maxSel = "CAST(MAX(column1) AS DOUBLE) AS v1, " +
+      "CAST(MAX(column3) AS DOUBLE) AS v2"
+    assert(got(maxSel) == Seq(2146952047.0, 2147419555.0))
+    assert(got(maxSel, s" WHERE $FILTER") == Seq(2146952047.0, 999813884.0))
+    assert(got(maxSel, GROUP_BY) == Seq(2146952047.0, 2146630496.0))
+    assert(got(maxSel, s" WHERE $FILTER$GROUP_BY") ==
+      Seq(2146952047.0, 999813884.0))
+    // testMin (its own group-by orders ascending)
+    def minSel = "CAST(MIN(column1) AS DOUBLE) AS v1, " +
+      "CAST(MIN(column3) AS DOUBLE) AS v2"
+    assert(got(minSel) == Seq(240528.0, 17891.0))
+    assert(got(minSel, s" WHERE $FILTER") == Seq(101116473.0, 20396372.0))
+    assert(got(minSel, " GROUP BY column9 ORDER BY v1, v2 LIMIT 1") ==
+      Seq(240528.0, 17891.0))
+    assert(got(minSel,
+      s" WHERE $FILTER GROUP BY column9 ORDER BY v1, v2 LIMIT 1") ==
+      Seq(101116473.0, 91804599.0))
+    // testSum
+    def sumSel = "CAST(SUM(column1) AS DOUBLE) AS v1, " +
+      "CAST(SUM(column3) AS DOUBLE) AS v2"
+    assert(got(sumSel) == Seq(129268741751388.0, 129156636756600.0))
+    assert(got(sumSel, s" WHERE $FILTER") ==
+      Seq(27503790384288.0, 12429178874916.0))
+    assert(got(sumSel, GROUP_BY) == Seq(69526727335224.0, 69225631719808.0))
+    assert(got(sumSel, s" WHERE $FILTER$GROUP_BY") ==
+      Seq(19058003631876.0, 8606725456500.0))
+    // testAvg (reference allows 1e-5)
+    def avgSel = "AVG(column1) AS v1, AVG(column3) AS v2"
+    val avg0 = got(avgSel)
+    assert(approx(avg0(0), 1077239514.5949, 1e-5) &&
+      approx(avg0(1), 1076305306.305, 1e-5))
+    val avgF = got(avgSel, s" WHERE $FILTER")
+    assert(approx(avgF(0), 1121871038.68037, 1e-5) &&
+      approx(avgF(1), 506982332.96280, 1e-5))
+    assert(got(avgSel, GROUP_BY) == Seq(2142595699.0, 334963174.0))
+    assert(got(avgSel, s" WHERE $FILTER$GROUP_BY") ==
+      Seq(2142595699.0, 334963174.0))
+    // testMinMaxRange
+    def rangeSel =
+      "CAST(MAX(column1) - MIN(column1) AS DOUBLE) AS v1, " +
+        "CAST(MAX(column3) - MIN(column3) AS DOUBLE) AS v2"
+    assert(got(rangeSel) == Seq(2146711519.0, 2147401664.0))
+    assert(got(rangeSel, s" WHERE $FILTER") ==
+      Seq(2045835574.0, 979417512.0))
+    assert(got(rangeSel, GROUP_BY) == Seq(2146711519.0, 2146612605.0))
+    assert(got(rangeSel, s" WHERE $FILTER$GROUP_BY") ==
+      Seq(2044094181.0, 979417512.0))
+    // testDistinctCount
+    def dcSel = "CAST(COUNT(DISTINCT column1) AS INT) AS v1, " +
+      "CAST(COUNT(DISTINCT column3) AS INT) AS v2"
+    assert(got(dcSel) == Seq(6582, 21910))
+    assert(got(dcSel, s" WHERE $FILTER") == Seq(1872, 4556))
+    assert(got(dcSel, GROUP_BY) == Seq(3495, 11961))
+    assert(got(dcSel, s" WHERE $FILTER$GROUP_BY") == Seq(1272, 3289))
+  }
+
   test("reference geospatial fixtures: complex WKT round-trips the wire format") {
     requireReference()
     // pinot-core/src/test/resources/geospatial/complex-*.txt — the
