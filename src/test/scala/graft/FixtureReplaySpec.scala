@@ -376,6 +376,236 @@ class FixtureReplaySpec extends SparkSpec {
     assert(got(dcSel, s" WHERE $FILTER$GROUP_BY") == Seq(1272, 3289))
   }
 
+  test("reference SV corpus: InterSegmentGroupBySingleValueQueriesTest golds") {
+    // `InterSegmentGroupBySingleValueQueriesTest.java:58-284`
+    // (groupByOrderByDataProvider) — 21 ordered group-by result tables
+    // over the same 4x-served `test_data-sv.avro` corpus. Pinot's
+    // default LIMIT is 10; SUM/MIN/AVG surface as DOUBLE,
+    // DISTINCTCOUNT as INT, PERCENTILE90 is the floor-index order
+    // statistic (`pinotpercentile`).
+    val avroPath =
+      "/root/reference/pinot-core/src/test/resources/data/test_data-sv.avro"
+    assume(new java.io.File(avroPath).isFile, "reference checkout absent")
+    val (schema, rows) = graft.compat.OnTimeCompat.readAvro(avroPath)
+    val seg = spark.createDataFrame(rows.asJava, schema)
+    seg.union(seg).union(seg).union(seg)
+      .createOrReplaceTempView("sv_gb_testtable")
+    def near(a: Any, b: Any): Boolean = (a, b) match {
+      case (x: java.lang.Number, y: Double) =>
+        math.abs(x.doubleValue - y) <= 1e-9 * math.max(1.0, math.abs(y))
+      case _ => a == b
+    }
+    def check(sql: String, expected: Seq[Seq[Any]]): Unit = {
+      val got = spark.sql(sql).collect().toSeq.map(_.toSeq)
+      assert(got.length == expected.length,
+        s"$sql: ${got.length} rows vs ${expected.length}")
+      got.zip(expected).zipWithIndex.foreach { case ((g, e), i) =>
+        assert(g.length == e.length && g.lazyZip(e).forall(near),
+          s"$sql row $i: $g vs $e")
+      }
+    }
+    val t = "sv_gb_testtable"
+    def sum1 = "CAST(SUM(column1) AS DOUBLE)"
+
+    // order by one of the group by columns (ASC / DESC / LIMIT 3)
+    val byCol11 = Seq(
+      Seq("", 5935285005452.0), Seq("P", 88832999206836.0),
+      Seq("gFuH", 63202785888.0), Seq("o", 18105331533948.0),
+      Seq("t", 16331923219264.0))
+    check(s"SELECT column11, $sum1 FROM $t GROUP BY column11" +
+      " ORDER BY column11 LIMIT 10", byCol11)
+    check(s"SELECT column11, $sum1 FROM $t GROUP BY column11" +
+      " ORDER BY column11 DESC LIMIT 10", byCol11.reverse)
+    check(s"SELECT column11, $sum1 FROM $t GROUP BY column11" +
+      " ORDER BY column11 LIMIT 3", byCol11.take(3))
+
+    // group by 2 dimensions, order by both (default limit / 15 / DESC)
+    val byBoth = Seq(
+      Seq("", "HEuxNvH", 3789390396216.0),
+      Seq("", "KrNxpdycSiwoRohEiTIlLqDHnx", 733802350944.0),
+      Seq("", "MaztCmmxxgguBUxPti", 1333941430664.0),
+      Seq("", "dJWwFk", 55470665124.0),
+      Seq("", "oZgnrlDEtjjVpUoFLol", 22680162504.0),
+      Seq("P", "HEuxNvH", 21998672845052.0),
+      Seq("P", "KrNxpdycSiwoRohEiTIlLqDHnx", 18069909216728.0),
+      Seq("P", "MaztCmmxxgguBUxPti", 27177029040008.0),
+      Seq("P", "TTltMtFiRqUjvOG", 4462670055540.0),
+      Seq("P", "XcBNHe", 120021767504.0))
+    check(s"SELECT column11, column12, $sum1 FROM $t" +
+      " GROUP BY column11, column12 ORDER BY column11, column12 LIMIT 10",
+      byBoth)
+    check(s"SELECT column11, column12, $sum1 FROM $t" +
+      " GROUP BY column11, column12 ORDER BY column11, column12 LIMIT 15",
+      byBoth ++ Seq(
+        Seq("P", "dJWwFk", 6224665921376.0),
+        Seq("P", "fykKFqiw", 1574451324140.0),
+        Seq("P", "gFuH", 860077643636.0),
+        Seq("P", "oZgnrlDEtjjVpUoFLol", 8345501392852.0),
+        Seq("gFuH", "HEuxNvH", 29872400856.0)))
+    check(s"SELECT column11, column12, $sum1 FROM $t" +
+      " GROUP BY column11, column12 ORDER BY column11, column12 DESC" +
+      " LIMIT 10",
+      Seq(
+        Seq("", "oZgnrlDEtjjVpUoFLol", 22680162504.0),
+        Seq("", "dJWwFk", 55470665124.0),
+        Seq("", "MaztCmmxxgguBUxPti", 1333941430664.0),
+        Seq("", "KrNxpdycSiwoRohEiTIlLqDHnx", 733802350944.0),
+        Seq("", "HEuxNvH", 3789390396216.0),
+        Seq("P", "oZgnrlDEtjjVpUoFLol", 8345501392852.0),
+        Seq("P", "gFuH", 860077643636.0),
+        Seq("P", "fykKFqiw", 1574451324140.0),
+        Seq("P", "dJWwFk", 6224665921376.0),
+        Seq("P", "XcBNHe", 120021767504.0)))
+
+    // order by group by column and an aggregation
+    check(s"SELECT column11, column12, $sum1 AS s FROM $t" +
+      " GROUP BY column11, column12 ORDER BY column11, s LIMIT 10",
+      Seq(
+        Seq("", "oZgnrlDEtjjVpUoFLol", 22680162504.0),
+        Seq("", "dJWwFk", 55470665124.0),
+        Seq("", "KrNxpdycSiwoRohEiTIlLqDHnx", 733802350944.0),
+        Seq("", "MaztCmmxxgguBUxPti", 1333941430664.0),
+        Seq("", "HEuxNvH", 3789390396216.0),
+        Seq("P", "XcBNHe", 120021767504.0),
+        Seq("P", "gFuH", 860077643636.0),
+        Seq("P", "fykKFqiw", 1574451324140.0),
+        Seq("P", "TTltMtFiRqUjvOG", 4462670055540.0),
+        Seq("P", "dJWwFk", 6224665921376.0)))
+
+    // order by only aggregation, DESC, LIMIT 50 (34 groups exist)
+    check(s"SELECT column11, column12, $sum1 AS s FROM $t" +
+      " GROUP BY column11, column12 ORDER BY s DESC LIMIT 50",
+      Seq(
+        Seq("P", "MaztCmmxxgguBUxPti", 27177029040008.0),
+        Seq("P", "HEuxNvH", 21998672845052.0),
+        Seq("P", "KrNxpdycSiwoRohEiTIlLqDHnx", 18069909216728.0),
+        Seq("P", "oZgnrlDEtjjVpUoFLol", 8345501392852.0),
+        Seq("o", "MaztCmmxxgguBUxPti", 6905624581072.0),
+        Seq("P", "dJWwFk", 6224665921376.0),
+        Seq("o", "HEuxNvH", 5026384681784.0),
+        Seq("t", "MaztCmmxxgguBUxPti", 4492405624940.0),
+        Seq("P", "TTltMtFiRqUjvOG", 4462670055540.0),
+        Seq("t", "HEuxNvH", 4424489490364.0),
+        Seq("o", "KrNxpdycSiwoRohEiTIlLqDHnx", 4051812250524.0),
+        Seq("", "HEuxNvH", 3789390396216.0),
+        Seq("t", "KrNxpdycSiwoRohEiTIlLqDHnx", 3529048341192.0),
+        Seq("P", "fykKFqiw", 1574451324140.0),
+        Seq("t", "dJWwFk", 1349058948804.0),
+        Seq("", "MaztCmmxxgguBUxPti", 1333941430664.0),
+        Seq("o", "dJWwFk", 1152689463360.0),
+        Seq("t", "oZgnrlDEtjjVpUoFLol", 1039101333316.0),
+        Seq("P", "gFuH", 860077643636.0),
+        Seq("", "KrNxpdycSiwoRohEiTIlLqDHnx", 733802350944.0),
+        Seq("o", "oZgnrlDEtjjVpUoFLol", 699381633640.0),
+        Seq("t", "TTltMtFiRqUjvOG", 675238030848.0),
+        Seq("t", "fykKFqiw", 480973878052.0),
+        Seq("t", "gFuH", 330331507792.0),
+        Seq("o", "TTltMtFiRqUjvOG", 203835153352.0),
+        Seq("P", "XcBNHe", 120021767504.0),
+        Seq("o", "fykKFqiw", 62975165296.0),
+        Seq("", "dJWwFk", 55470665124.0),
+        Seq("gFuH", "HEuxNvH", 29872400856.0),
+        Seq("gFuH", "MaztCmmxxgguBUxPti", 29170832184.0),
+        Seq("", "oZgnrlDEtjjVpUoFLol", 22680162504.0),
+        Seq("t", "XcBNHe", 11276063956.0),
+        Seq("gFuH", "KrNxpdycSiwoRohEiTIlLqDHnx", 4159552848.0),
+        Seq("o", "gFuH", 2628604920.0)))
+
+    // multiple aggregations; group-by column not in select
+    check(s"SELECT $sum1, CAST(MIN(column6) AS DOUBLE) FROM $t" +
+      " GROUP BY column11 ORDER BY column11 LIMIT 10",
+      Seq(Seq(5935285005452.0, 2.96467636e8),
+        Seq(88832999206836.0, 1689277.0),
+        Seq(63202785888.0, 2.96467636e8),
+        Seq(18105331533948.0, 2.96467636e8),
+        Seq(16331923219264.0, 1980174.0)))
+
+    // whitespace inside the aggregate call in ORDER BY
+    check(s"SELECT column11, column12, $sum1 FROM $t" +
+      " GROUP BY column11, column12 ORDER BY SUM  (\tcolumn1) DESC LIMIT 3",
+      Seq(
+        Seq("P", "MaztCmmxxgguBUxPti", 27177029040008.0),
+        Seq("P", "HEuxNvH", 21998672845052.0),
+        Seq("P", "KrNxpdycSiwoRohEiTIlLqDHnx", 18069909216728.0)))
+
+    // order by an aggregation DESC + group by column tie-break
+    val minByCol12 = Seq(
+      Seq("XcBNHe", 329467557.0), Seq("fykKFqiw", 296467636.0),
+      Seq("gFuH", 296467636.0), Seq("HEuxNvH", 6043515.0),
+      Seq("MaztCmmxxgguBUxPti", 6043515.0), Seq("dJWwFk", 6043515.0),
+      Seq("KrNxpdycSiwoRohEiTIlLqDHnx", 1980174.0),
+      Seq("TTltMtFiRqUjvOG", 1980174.0),
+      Seq("oZgnrlDEtjjVpUoFLol", 1689277.0))
+    check(s"SELECT column12, CAST(MIN(column6) AS DOUBLE) FROM $t" +
+      " GROUP BY column12 ORDER BY MIN(column6) DESC, column12 LIMIT 10",
+      minByCol12)
+    // aggregations in order-by but not in select
+    check(s"SELECT column12 FROM $t GROUP BY column12" +
+      " ORDER BY MIN(column6) DESC, column12 LIMIT 10",
+      minByCol12.map(r => Seq(r.head)))
+    check(s"SELECT column12 FROM $t GROUP BY column12" +
+      " ORDER BY MIN(column6) DESC, SUM(column1) LIMIT 3",
+      Seq(Seq("XcBNHe"), Seq("gFuH"), Seq("fykKFqiw")))
+    check(s"SELECT column12, CAST(MIN(column6) AS DOUBLE) FROM $t" +
+      " GROUP BY column12 ORDER BY MIN(column6) DESC, SUM(column1) LIMIT 3",
+      Seq(Seq("XcBNHe", 329467557.0), Seq("gFuH", 296467636.0),
+        Seq("fykKFqiw", 296467636.0)))
+
+    // numeric dimension follows numeric ordering
+    check(s"SELECT column17, COUNT(*) FROM $t GROUP BY column17" +
+      " ORDER BY column17 LIMIT 15",
+      Seq(Seq(83386499, 2924L), Seq(217787432, 3892L),
+        Seq(227908817, 6564L), Seq(402773817, 7304L),
+        Seq(423049234, 6556L), Seq(561673250, 7420L),
+        Seq(635942547, 3308L), Seq(638936844, 3816L),
+        Seq(939479517, 3116L), Seq(984091268, 3824L),
+        Seq(1230252339, 5620L), Seq(1284373442, 7428L),
+        Seq(1555255521, 2900L), Seq(1618904660, 2744L),
+        Seq(1670085862, 3388L)))
+
+    // group by a scalar transform, order by it (sub(column1, 100000))
+    val subGolds = Seq(Seq(140528.0, 28L), Seq(194355.0, 12L),
+      Seq(532157.0, 12L))
+    check("SELECT CAST(column1 - 100000 AS DOUBLE) AS s, COUNT(*)" +
+      s" FROM $t GROUP BY s ORDER BY s LIMIT 3", subGolds)
+    check("SELECT sub(column1, 100000) AS s, COUNT(*)" +
+      s" FROM $t GROUP BY s ORDER BY SUB(   column1, 100000\t) LIMIT 3",
+      subGolds)
+
+    // comparable object-type intermediate results: AVG
+    check(s"SELECT column11, AVG(column6) FROM $t GROUP BY column11" +
+      " ORDER BY column11 LIMIT 10",
+      Seq(Seq("", 2.96467636e8), Seq("P", 909380310.3521485),
+        Seq("gFuH", 2.96467636e8), Seq("o", 2.96467636e8),
+        Seq("t", 526245333.3900426)))
+    check(s"SELECT column11, AVG(column6) FROM $t GROUP BY column11" +
+      " ORDER BY AVG(column6), column11 DESC LIMIT 10",
+      Seq(Seq("o", 2.96467636e8), Seq("gFuH", 2.96467636e8),
+        Seq("", 2.96467636e8), Seq("t", 526245333.3900426),
+        Seq("P", 909380310.3521485)))
+
+    // non-comparable intermediates: DISTINCTCOUNT
+    val dcByCol12 = Seq(
+      Seq("HEuxNvH", 5), Seq("KrNxpdycSiwoRohEiTIlLqDHnx", 5),
+      Seq("MaztCmmxxgguBUxPti", 5), Seq("TTltMtFiRqUjvOG", 3),
+      Seq("XcBNHe", 2), Seq("dJWwFk", 4), Seq("fykKFqiw", 3),
+      Seq("gFuH", 3), Seq("oZgnrlDEtjjVpUoFLol", 4))
+    check(s"SELECT column12, CAST(COUNT(DISTINCT column11) AS INT)" +
+      s" FROM $t GROUP BY column12 ORDER BY column12 LIMIT 10", dcByCol12)
+    check(s"SELECT column12, CAST(COUNT(DISTINCT column11) AS INT) AS dc" +
+      s" FROM $t GROUP BY column12 ORDER BY dc, column12 DESC LIMIT 10",
+      Seq(Seq("XcBNHe", 2), Seq("gFuH", 3), Seq("fykKFqiw", 3),
+        Seq("TTltMtFiRqUjvOG", 3), Seq("oZgnrlDEtjjVpUoFLol", 4),
+        Seq("dJWwFk", 4), Seq("MaztCmmxxgguBUxPti", 5),
+        Seq("KrNxpdycSiwoRohEiTIlLqDHnx", 5), Seq("HEuxNvH", 5)))
+
+    // PERCENTILE90: floor-index order statistic
+    check(s"SELECT column11, pinotpercentile(column6, 90) AS p FROM $t" +
+      " GROUP BY column11 ORDER BY p, column11 LIMIT 3",
+      Seq(Seq("", 2.96467636e8), Seq("gFuH", 2.96467636e8),
+        Seq("o", 2.96467636e8)))
+  }
+
   test("reference geospatial fixtures: complex WKT round-trips the wire format") {
     requireReference()
     // pinot-core/src/test/resources/geospatial/complex-*.txt — the

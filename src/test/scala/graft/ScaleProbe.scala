@@ -160,7 +160,9 @@ object ScaleProbe {
       // scan they replace
       "q_filter_regex", "q_filter_regex_indexed", "q_filter_like_indexed",
       // round-7: H3-analog cell-range serving vs the haversine scan
-      "q_geo_radius_indexed", "q_geo_polygon_indexed")
+      "q_geo_radius_indexed", "q_geo_polygon_indexed",
+      // round-7: L2 radius search through HNSW / IVF_FLAT readers
+      "q_ann_radius_l2", "q_ann_radius_l2_ivf")
       .filter(q => only.isEmpty || only(q))
     def time(dir: String, name: String): Double = {
       val t0 = System.nanoTime()
@@ -169,7 +171,7 @@ object ScaleProbe {
     }
     // warm
     probes.foreach(time(src, _))
-    println(f"${"query"}%-22s ${"sf0.1"}%8s ${"sf1(10x)"}%9s ${"ratio"}%6s")
+    println(f"${"query"}%-22s ${"sf0.1"}%8s ${s"${factor}x"}%9s ${"ratio"}%6s")
     probes.foreach { q =>
       val small = Seq(time(src, q), time(src, q)).min
       val big = Seq(time(out, q), time(out, q)).min
