@@ -18,6 +18,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectResolutionRule(_ => MvPredicateRewrite)
     e.injectResolutionRule(_ => TimestampNumericComparison)
     e.injectResolutionRule(_ => OrderByExpressionAlias)
+    // dateTrunc-comparison → raw-column range (the reference's
+    // TimePredicateFilterOptimizer); operator-optimization batch so the
+    // emitted ranges feed the same run's pushdown/unwrap-cast rules
+    e.injectOptimizerRule(_ => TimePredicateRewrite)
     // hint-resolution batch: must run BEFORE ResolveFunctions, which
     // throws (rather than leaving the node unresolved) on unknown names
     e.injectHintResolutionRule(s => UnderscoreFunctionNames(s))

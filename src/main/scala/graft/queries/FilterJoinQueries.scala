@@ -223,6 +223,56 @@ object FilterJoinQueries {
         WHERE date_trunc('day', ts) = TIMESTAMP '2024-01-02 00:00:00'
         GROUP BY event_type ORDER BY event_type""")),
 
+    // Time-predicate OPTIMIZER rewrite (TimePredicateFilterOptimizer
+    // .java): dateTrunc-vs-literal comparisons invert to ranges on the
+    // RAW time column — no index config required, unlike
+    // q_filter_tsindex. Over a plain unindexed layout the rewritten
+    // range pushes into the parquet scan; used_rewrite asserts BOTH
+    // that no optimized Filter still evaluates DateTruncEpoch per row
+    // AND that the raw ts range landed in PushedFilters.
+    GQuery("q_filter_timepred",
+      (s, dir) => {
+        graft.sql.QueryFacade.init(s, dir)
+        val plain = graft.operators.IndexCache.getOrBuild(
+          ("q_filter_timepred", dir)) {
+          val tmp = java.nio.file.Files
+            .createTempDirectory("graft_timepred_plain").toString
+          Tables(s, dir).events
+            .select(col("event_type"), col("ts"), col("value"))
+            .write.mode("overwrite").parquet(s"$tmp/t")
+          s.read.parquet(s"$tmp/t")
+        }
+        plain.createOrReplaceTempView("events_timepred")
+        val q = graft.sql.QueryFacade.sql(s,
+          """SET explicitLimit = true;
+             SELECT event_type, datetrunc('day', ts) AS day_ms,
+               count(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(20,4))) AS DOUBLE) AS sv
+             FROM events_timepred
+             WHERE datetrunc('day', ts) >= 1704153600000
+               AND datetrunc('day', ts) < 1704326400000
+             GROUP BY event_type, day_ms
+             ORDER BY event_type, day_ms""")
+        val truncInFilter = q.queryExecution.optimizedPlan.collect {
+          case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f
+        }.exists(_.condition.exists(
+          _.isInstanceOf[graft.plans.DateTruncEpoch]))
+        val pushed = q.queryExecution.executedPlan.toString
+          .linesIterator.exists(l => l.contains("PushedFilters") &&
+            l.matches(""".*\(ts[,)].*"""))
+        q.withColumn("used_rewrite", lit(!truncInFilter && pushed))
+      },
+      Some("""SELECT event_type,
+          (epoch_ms(ts) // 86400000) * 86400000 AS day_ms,
+          COUNT(*) AS n,
+          CAST(SUM(CAST(value AS DECIMAL(20,4))) AS DOUBLE) AS sv,
+          TRUE AS used_rewrite
+        FROM events
+        WHERE (epoch_ms(ts) // 86400000) * 86400000 >= 1704153600000
+          AND (epoch_ms(ts) // 86400000) * 86400000 < 1704326400000
+        GROUP BY event_type, day_ms
+        ORDER BY event_type, day_ms""")),
+
     // JSON_MATCH over a SHREDDED ingest layout (the json-index analog:
     // JsonMatchFilterOperator.java:37 resolves the predicate from an
     // ingest-time flattened-path index instead of parsing documents).

@@ -34,7 +34,15 @@ object HttpGateway {
 
   final case class Gateway(server: HttpServer, port: Int,
       requestIds: AtomicLong) {
-    def stop(): Unit = server.stop(0)
+    def stop(): Unit = {
+      server.stop(0)
+      // the transport pool's threads are non-daemon — shut them down so
+      // a session that starts/stops gateways doesn't accrete threads
+      server.getExecutor match {
+        case es: java.util.concurrent.ExecutorService => es.shutdown()
+        case _ =>
+      }
+    }
   }
 
   /** Minimal JSON string-field extractor for `{"sql": "..."}` bodies:
