@@ -54,7 +54,13 @@ object RollupRewrite {
       // blobs ((keyCol, valueCol) → nominalEntries)
       thetas: Map[String, Int] = Map.empty,
       cpcs: Map[String, Int] = Map.empty,
-      tuples: Map[(String, String), Int] = Map.empty)
+      tuples: Map[(String, String), Int] = Map.empty,
+      // measures with nulls_<m> per-group null counts: lets the rollup
+      // answer COUNT(col) as SUM(cnt) - SUM(nulls_col) — populated by
+      // the footer-statistics store (sources/FooterStats), where the
+      // "rollup" is parquet row-group metadata and a null count is all
+      // the footer knows about a column
+      nullCounts: Set[String] = Set.empty)
 
   private val specs =
     new java.util.concurrent.ConcurrentHashMap[String, Spec]()
@@ -247,6 +253,17 @@ object RollupRewrite {
             Some(TupleSketchMergeAgg(
               rollupAttr(s"tuple_${ka.name}_${va.name}"), k, mode)
               .toAggregateExpression())
+          case Count(Seq(a: AttributeReference))
+              if spec.nullCounts(a.name) =>
+            // COUNT(col) = rows - nulls, both tracked per group (the
+            // NonScanBasedAggregationOperator.java count-from-metadata
+            // case); Coalesce for the ungrouped-empty-input shape as in
+            // COUNT(*) below
+            Some(Cast(Coalesce(Seq(
+              Subtract(
+                Sum(rollupAttr("cnt")).toAggregateExpression(),
+                Sum(rollupAttr(s"nulls_${a.name}")).toAggregateExpression()),
+              Literal(0L))), ae.dataType))
           case Count(Seq(Literal(_, _))) =>
             // COUNT(*) is 0 on empty input but SUM(cnt) is NULL — for a
             // global (ungrouped) aggregate the rewritten query would

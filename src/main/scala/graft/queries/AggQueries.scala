@@ -62,6 +62,50 @@ object AggQueries {
         COUNT(l_orderkey) AS n_nonnull
         FROM lineitem""")),
 
+    // Metadata-only aggregation (NonScanBasedAggregationOperator.java /
+    // FastFilteredCountOperator.java): unfiltered COUNT/MIN/MAX answer
+    // from the parquet FOOTER statistics table — used_metadata asserts
+    // the executed plan reads NO data file, so a silent fall-through to
+    // the scan fails the gate. The layout derives a nullable column so
+    // COUNT(col) exercises the null-count bookkeeping; the oracle
+    // recomputes everything from the raw rows.
+    GQuery("q_agg_metadata",
+      (s, dir) => {
+        val fact = graft.operators.IndexCache.getOrBuild(
+          ("q_agg_metadata", dir)) {
+          val tmp = java.nio.file.Files
+            .createTempDirectory("graft_footer_layout").toString
+          Tables(s, dir).events
+            .select(col("event_type"), col("user_id"), col("value"))
+            .withColumn("val_n",
+              when(col("value") < 0.1, lit(null)).otherwise(col("value")))
+            .repartition(4)
+            .write.mode("overwrite").parquet(s"$tmp/t")
+          val df = s.read.parquet(s"$tmp/t")
+          graft.sources.FooterStats.register(s, df)
+          df
+        }
+        val q = fact.agg(
+          count(lit(1)).as("n_rows"),
+          count(col("val_n")).as("n_vals"),
+          min(col("user_id")).as("min_uid"),
+          max(col("user_id")).as("max_uid"),
+          min(col("event_type")).as("min_et"),
+          max(col("event_type")).as("max_et"),
+          min(col("value")).as("min_v"),
+          max(col("value")).as("max_v"))
+        val usedMetadata =
+          !q.queryExecution.executedPlan.toString.contains("FileScan")
+        q.withColumn("used_metadata", lit(usedMetadata))
+      },
+      Some("""SELECT COUNT(*) AS n_rows,
+        COUNT(CASE WHEN value < 0.1 THEN NULL ELSE value END) AS n_vals,
+        MIN(user_id) AS min_uid, MAX(user_id) AS max_uid,
+        MIN(event_type) AS min_et, MAX(event_type) AS max_et,
+        MIN(value) AS min_v, MAX(value) AS max_v,
+        TRUE AS used_metadata
+        FROM events""")),
+
     // FILTER clause per aggregation (FilteredAggregationOperator.java).
     GQuery("q_agg_filtered",
       (s, dir) => {
