@@ -84,4 +84,105 @@ object Gapfill {
       .groupBy((col(coarseBucketName) +: groupCols.map(col)): _*)
       .agg(aggs.head, aggs.tail: _*)
   }
+
+  /** The reference's RAW-SELECTION gapfill
+    * (`GapfillProcessor.java:173-238` `gapfill`): for every time bucket
+    * in [startMs, endMs) emit every raw row whose bucket equals it —
+    * ORIGINAL MULTIPLICITY, no aggregation — plus ONE synthesized row
+    * per TIMESERIESON series key with no raw row in that bucket.
+    * FILL_PREVIOUS carries the series' most recent raw value (rows
+    * before the window seed it, `putRawRowsIntoTimeBucket:352`);
+    * FILL_DEFAULT / no previous value falls back to the type default
+    * (`GapfillUtils.getDefaultValue`). The series-key universe is all
+    * keys observed ANYWHERE in the raw result before endMs — a key
+    * first seen in bucket 7 is back-filled from bucket 0 on, exactly as
+    * the processor's upfront `_groupByKeys` collection behaves.
+    *
+    * Scale design: raw rows pass through untouched; the synthesized
+    * side is (spine × series) anti-joined against the observed
+    * (bucket, series) pairs — buckets and series are both tiny relative
+    * to the fact table — and FILL_PREVIOUS is ONE window pass over
+    * carriers ∪ markers partitioned by series, never a driver loop.
+    *
+    * @param raw       rows carrying `bucketCol` (LONG epoch millis,
+    *                  already bucketed), the series columns, and the
+    *                  fill columns. Rows with bucket < startMs seed
+    *                  FILL_PREVIOUS; rows ≥ endMs are ignored.
+    * @param orderCol  optional intra-bucket tiebreaker for which raw
+    *                  row is "the previous value" when a series has
+    *                  several rows in one bucket (the processor keeps
+    *                  the last one in merged order).
+    */
+  def gapfillSelect(
+      raw: DataFrame,
+      bucketCol: String,
+      seriesCols: Seq[String],
+      startMs: Long,
+      endMs: Long,
+      stepMs: Long,
+      fills: Seq[Fill],
+      orderCol: Option[String] = None): DataFrame = {
+    require(stepMs > 0 && endMs > startMs, "empty gapfill window")
+    val outCols = raw.columns.filterNot(orderCol.contains).toSeq
+    val spark = raw.sparkSession
+    val considered = raw.filter(col(bucketCol) < endMs)
+    val inWindow = considered.filter(col(bucketCol) >= startMs)
+
+    val spine = spark.range(startMs, endMs, stepMs)
+      .select(col("id").as(bucketCol))
+    val series = considered.select(seriesCols.map(col): _*).distinct()
+    val grid = spine.crossJoin(broadcast(series))
+    // buckets where a series has raw rows need no synthesized row
+    val missing = grid.join(inWindow.select((col(bucketCol) +:
+        seriesCols.map(col)): _*).distinct(),
+      bucketCol +: seriesCols, "left_anti")
+
+    val fillCols = fills.map(_.column)
+    val passthrough = outCols.filterNot(c =>
+      c == bucketCol || seriesCols.contains(c) || fillCols.contains(c))
+
+    // carriers (raw values, seeds included) ∪ markers (missing cells):
+    // the last raw value at or before each marker's bucket is the
+    // processor's _previousByGroupKey state when it synthesizes the row
+    val order = orderCol.map(col).getOrElse(lit(0))
+    val carriers = considered.select((col(bucketCol) +:
+      seriesCols.map(col)) ++ fillCols.map(col) ++
+      Seq(order.as("__ord"), lit(1).as("__raw")): _*)
+    val markers = missing.select((col(bucketCol) +:
+      seriesCols.map(col)) ++ fillCols.map(c =>
+        lit(null).cast(considered.schema(c).dataType).as(c)) ++
+      Seq(lit(null).cast("long").as("__ord"), lit(0).as("__raw")): _*)
+    val w = Window.partitionBy(seriesCols.map(col): _*)
+      .orderBy(col(bucketCol), col("__raw"), col("__ord").asc_nulls_first)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filledMarkers = fills.foldLeft(carriers.unionByName(markers)) {
+      case (df, FillPrevious(c)) =>
+        df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+      case (df, FillDefault(c, d)) => df.withColumn(c, coalesce(col(c), d))
+    }.filter(col("__raw") === 0 && col(bucketCol) >= startMs)
+      // a series with no previous value falls back to the default
+      .select((col(bucketCol) +: seriesCols.map(col)) ++ fills.map {
+        case FillPrevious(c) => coalesce(col(c),
+          lit(typeDefault(considered.schema(c).dataType))
+            .cast(considered.schema(c).dataType)).as(c)
+        case FillDefault(c, _) => col(c).as(c)
+      }: _*)
+    // synthesized rows carry defaults for the untouched columns
+    val synthesized = passthrough.foldLeft(filledMarkers) { (df, c) =>
+      df.withColumn(c, lit(typeDefault(raw.schema(c).dataType))
+        .cast(raw.schema(c).dataType))
+    }.select(outCols.map(col): _*)
+
+    inWindow.select(outCols.map(col): _*).unionByName(synthesized)
+  }
+
+  /** `GapfillUtils.getDefaultValue` — the zero the processor
+    * synthesizes when no fill expression / no previous value applies. */
+  private def typeDefault(dt: org.apache.spark.sql.types.DataType): Any =
+    dt match {
+      case org.apache.spark.sql.types.StringType => ""
+      case _: org.apache.spark.sql.types.DecimalType => BigDecimal(0)
+      case org.apache.spark.sql.types.BooleanType => false
+      case _ => 0
+    }
 }

@@ -1116,6 +1116,41 @@ object QueryFacade {
   private def sqlStringLiteral(v: String): String =
     "'" + v.replace("\\", "\\\\").replace("'", "''") + "'"
 
+  /** Decode a quoted SQL string literal the way Spark's parser does
+    * (ParserUtils.unescapeSQLString): backslash escapes (\\ \' \" \n
+    * \t \r \b \f \0, \uXXXX) plus the doubled-quote form. A rewrite
+    * that reads literal TEXT out of the statement must apply this
+    * before handing the value to a programmatic Column, or patterns
+    * like 'co\\..*' reach the dictionary with a double backslash the
+    * scan path would never see. */
+  private[graft] def unescapeSqlLiteral(quoted: String): String = {
+    val body = quoted.stripPrefix("'").stripSuffix("'")
+    val sb = new StringBuilder(body.length)
+    var i = 0
+    while (i < body.length) {
+      val c = body.charAt(i)
+      if (c == '\\' && i + 1 < body.length) {
+        body.charAt(i + 1) match {
+          case 'n' => sb.append('\n'); i += 2
+          case 't' => sb.append('\t'); i += 2
+          case 'r' => sb.append('\r'); i += 2
+          case 'b' => sb.append('\b'); i += 2
+          case 'f' => sb.append('\f'); i += 2
+          case '0' => sb.append('\u0000'); i += 2
+          case 'u' if i + 5 < body.length =>
+            sb.append(Integer.parseInt(body.substring(i + 2, i + 6), 16)
+              .toChar)
+            i += 6
+          case other => sb.append(other); i += 2
+        }
+      } else if (c == '\'' && i + 1 < body.length &&
+          body.charAt(i + 1) == '\'') {
+        sb.append('\''); i += 2
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
   private def serveRegexpLeaf(spark: SparkSession, stmt: String,
       colRef: String, pred: Column, predKey: String): Option[String] = {
     val bare = colRef.substring(colRef.lastIndexOf('.') + 1)
@@ -1149,8 +1184,7 @@ object QueryFacade {
       val served =
         if (insideLiteral(stmt, m.start)) None
         else try {
-          val pattern = m.group(2).stripPrefix("'").stripSuffix("'")
-            .replace("''", "'")
+          val pattern = unescapeSqlLiteral(m.group(2))
           // 3-arg match parameter ('i'/'c' —
           // RegexpPatternConverterUtils.isCaseInsensitive)
           val ci = Option(m.group(3)).exists(f =>
@@ -1165,8 +1199,7 @@ object QueryFacade {
       val served =
         if (insideLiteral(afterRegexp, m.start)) None
         else try {
-          val pattern = m.group(2 + 1).stripPrefix("'").stripSuffix("'")
-            .replace("''", "'")
+          val pattern = unescapeSqlLiteral(m.group(2 + 1))
           serveRegexpLeaf(spark, afterRegexp, m.group(1),
             col("value").like(pattern), "like:" + pattern)
             .map(r => if (m.group(2) != null) s"(NOT $r)" else r)

@@ -606,6 +606,256 @@ class FixtureReplaySpec extends SparkSpec {
         Seq("o", 2.96467636e8)))
   }
 
+  test("reference gapfill suite: GapfillQueriesTest parkingData golds") {
+    // `GapfillQueriesTest.java:104-140` — the 26-record parkingData
+    // corpus (deterministic, built in-code), served through the
+    // BaseQueriesTest convention where the selection path returns each
+    // row TWICE (2 identical segments); golds are the per-bucket
+    // occupied/empty compositions of its inline expected arrays.
+    // Replayed through Gapfill.gapfillSelect — the raw-selection
+    // gapfill (GapfillProcessor.java:173-238).
+    val fmt = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm:ss.SSS")
+      .withZone(java.time.ZoneOffset.UTC)
+    def ms(s: String): Long =
+      java.time.Instant.from(fmt.parse(s)).toEpochMilli
+    val recs = Seq(
+      ("2021-11-07 04:11:00.000", 0, 0, 1), ("2021-11-07 04:21:00.000", 0, 0, 1),
+      ("2021-11-07 04:31:00.000", 1, 0, 1), ("2021-11-07 05:17:00.000", 0, 1, 1),
+      ("2021-11-07 05:37:00.000", 0, 1, 1), ("2021-11-07 05:47:00.000", 1, 2, 1),
+      ("2021-11-07 06:25:00.000", 0, 2, 1), ("2021-11-07 06:35:00.000", 0, 2, 1),
+      ("2021-11-07 06:36:00.000", 1, 1, 1), ("2021-11-07 07:44:00.000", 0, 3, 1),
+      ("2021-11-07 07:46:00.000", 1, 3, 1), ("2021-11-07 07:54:00.000", 1, 3, 1),
+      ("2021-11-07 08:44:00.000", 0, 2, 0), ("2021-11-07 08:44:00.000", 1, 2, 0),
+      ("2021-11-07 09:31:00.000", 0, 3, 0), ("2021-11-07 09:31:00.000", 1, 3, 0),
+      ("2021-11-07 10:17:00.000", 0, 0, 0), ("2021-11-07 10:33:00.000", 0, 0, 0),
+      ("2021-11-07 10:33:00.000", 1, 0, 0), ("2021-11-07 11:54:00.000", 0, 1, 0),
+      ("2021-11-07 11:57:00.000", 1, 1, 0), ("2023-09-07 04:01:00.000", 1, 1, 0),
+      ("2023-09-07 04:02:00.000", 1, 1, 1), ("2023-09-07 05:11:00.000", 1, 1, 0),
+      ("2023-09-07 07:07:00.000", 1, 1, 1), ("2023-09-07 09:37:00.000", 1, 1, 0))
+      .map { case (t, lvl, lot, occ) =>
+        (ms(t), s"Level_$lvl", s"LotId_$lot", occ) }
+    val one = recs
+      .toDF("eventTime", "levelId", "lotId", "isOccupied")
+    val served = one.union(one) // 2 identical segments on the selection path
+    val start = ms("2021-11-07 04:00:00.000")
+    val end = ms("2021-11-07 12:00:00.000")
+    val hourMs = 3600000L
+    val windowed = served
+      .filter($"eventTime" >= start && $"eventTime" <= end)
+      .withColumn("bucket", ($"eventTime" / hourMs).cast("long") * hourMs)
+
+    import graft.operators.Gapfill
+    def buckets(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long)] =
+      df.groupBy($"bucket")
+        .agg(sum(when($"isOccupied" === 1, 1).otherwise(0)).as("ones"),
+          sum(when($"isOccupied" === 1, 0).otherwise(1)).as("zeros"))
+        .orderBy($"bucket").collect()
+        .map(r => (r.getLong(1), r.getLong(2))).toSeq
+
+    // datetimeconvertGapfillTestSelectSelect (:151) golds
+    val filled = Gapfill.gapfillSelect(
+      windowed.select($"bucket", $"levelId", $"lotId", $"isOccupied",
+        $"eventTime"),
+      "bucket", Seq("levelId", "lotId"), start, end, hourMs,
+      Seq(Gapfill.FillPrevious("isOccupied")), orderCol = Some("eventTime"))
+    assert(buckets(filled) == Seq((6L, 6L), (8L, 4L), (10L, 2L), (12L, 0L),
+      (6L, 4L), (4L, 6L), (2L, 10L), (0L, 10L)))
+    // its isOccupied=1 post-gapfill filter variant (gapfillQuery2)
+    assert(buckets(filled.filter($"isOccupied" === 1))
+      .map(_._1) == Seq(6L, 8L, 10L, 12L, 6L, 4L, 2L))
+
+    // datetimeconvertGapfillTestGapfillAggregate (:321): SUM(isOccupied)
+    // per bucket over the gapfilled rows
+    val sums = filled.groupBy($"bucket")
+      .agg(sum($"isOccupied").as("s")).orderBy($"bucket")
+      .collect().map(_.getLong(1)).toSeq
+    assert(sums == Seq(6L, 8L, 10L, 12L, 6L, 4L, 2L, 0L))
+
+    // datetimeconvertGapfillTestAggregateSelect (:233): the inner query
+    // aggregates lastWithTime per (bucket, series) FIRST (dedupes the
+    // double serving), then gapfills — one row per series per bucket
+    val aggregated = windowed
+      .groupBy($"bucket", $"levelId", $"lotId")
+      .agg(max_by($"isOccupied", $"eventTime").as("isOccupied"))
+    val filledAgg = Gapfill.gapfillSelect(aggregated,
+      "bucket", Seq("levelId", "lotId"), start, end, hourMs,
+      Seq(Gapfill.FillPrevious("isOccupied")))
+    assert(buckets(filledAgg) == Seq((2L, 6L), (4L, 4L), (6L, 2L), (8L, 0L),
+      (6L, 2L), (4L, 4L), (2L, 6L), (0L, 8L)))
+    // its occupied=1 variant (gapfillQuery2, :284)
+    assert(buckets(filledAgg.filter($"isOccupied" === 1))
+      .map(_._1) == Seq(2L, 4L, 6L, 8L, 6L, 4L, 2L))
+
+    // datetimeconvertGapfillTestAggregateAggregate (:563): aggregate →
+    // gapfill → aggregate
+    val sums2 = filledAgg.groupBy($"bucket")
+      .agg(sum($"isOccupied").as("s")).orderBy($"bucket")
+      .collect().map(_.getLong(1)).toSeq
+    assert(sums2 == Seq(2L, 4L, 6L, 8L, 6L, 4L, 2L, 0L))
+  }
+
+  test("reference FST suite: FSTBasedRegexpLikeQueriesTest golds via the value-dictionary index") {
+    // `BaseFSTBasedRegexpLikeQueriesTest.java:140-173` builds 1024 rows
+    // over 16 domains × 4 URL suffixes × 5 no-index tags;
+    // `FSTBasedRegexpLikeQueriesTest.java:37-240` asserts REGEXP_LIKE /
+    // LIKE result sizes and rows with DOMAIN_NAMES+URL_COL FST-indexed
+    // and NO_INDEX_COL scanned. Replayed with RegexpIndex registered on
+    // exactly the two indexed columns; the inter-segment cases serve
+    // the segment twice, as BaseQueriesTest does.
+    val domains = Seq(
+      "www.domain1.com", "www.domain1.co.ab", "www.domain1.co.bc",
+      "www.domain1.co.cd", "www.sd.domain1.com", "www.sd.domain1.co.ab",
+      "www.sd.domain1.co.bc", "www.sd.domain1.co.cd", "www.domain2.com",
+      "www.domain2.co.ab", "www.domain2.co.bc", "www.domain2.co.cd",
+      "www.sd.domain2.com", "www.sd.domain2.co.ab", "www.sd.domain2.co.bc",
+      "www.sd.domain2.co.cd")
+    val suffixes = Seq("/a", "/b", "/c", "/d")
+    val noIdx = Seq("test1", "test2", "test3", "test4", "test5")
+    val rows = (0 until 1024).map { i =>
+      (1000 + i, noIdx(i % 5), domains(i % 16),
+        domains(i % 16) + suffixes(i % 4))
+    }
+    graft.sql.QueryFacade.init(spark, sf)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_fst_replay").toString
+    rows.toDF("INT_COL", "NO_INDEX_COL", "DOMAIN_NAMES", "URL_COL")
+      .write.mode("overwrite").parquet(s"$dir/t")
+    val seg = spark.read.parquet(s"$dir/t")
+    seg.createOrReplaceTempView("fst_testtable")
+    seg.union(seg).createOrReplaceTempView("fst_testtable2")
+    graft.sources.RegexpIndex.clear()
+    for (t <- Seq("fst_testtable", "fst_testtable2");
+         c <- Seq("DOMAIN_NAMES", "URL_COL"))
+      graft.sources.RegexpIndex.register(t,
+        spark.table(t).select(col(c)), c)
+
+    def q(sql: String) = graft.sql.QueryFacade.sql(spark,
+      s"SET explicitLimit = true; $sql")
+    def cnt(pred: String, t: String = "fst_testtable"): Long =
+      q(s"SELECT count(*) AS n FROM $t WHERE $pred").head.getLong(0)
+    def top5(pred: String): Seq[(Int, String)] =
+      q("SELECT INT_COL, URL_COL FROM fst_testtable WHERE " + pred +
+        " ORDER BY INT_COL LIMIT 5").collect()
+        .map(r => (r.getInt(0), r.getString(1))).toSeq
+
+    // testFSTBasedRegexLike result sizes (:37-96)
+    assert(cnt("REGEXP_LIKE(DOMAIN_NAMES, 'www.domain1.*')") == 256)
+    assert(cnt("REGEXP_LIKE(DOMAIN_NAMES, 'www.sd.domain1.*')") == 256)
+    assert(cnt("REGEXP_LIKE(DOMAIN_NAMES, '.*domain1.*')") == 512)
+    assert(cnt("REGEXP_LIKE(DOMAIN_NAMES, '.*domain.*')") == 1024)
+    assert(cnt("REGEXP_LIKE(DOMAIN_NAMES, '.*com')") == 256)
+    assert(cnt("REGEXP_LIKE(URL_COL, 'www.domain1.*')") == 256)
+    assert(cnt("REGEXP_LIKE(URL_COL, 'www.sd.domain1.*')") == 256)
+    assert(cnt("REGEXP_LIKE(URL_COL, '.*domain1.*')") == 512)
+    assert(cnt("REGEXP_LIKE(URL_COL, '.*domain.*')") == 1024)
+    assert(cnt("REGEXP_LIKE(URL_COL, '.*/a')") == 256)
+    // its asserted LIMIT-5 row sets (docId order ≡ INT_COL order)
+    assert(top5("REGEXP_LIKE(URL_COL, 'www.domain1.*')") == Seq(
+      (1000, "www.domain1.com/a"), (1001, "www.domain1.co.ab/b"),
+      (1002, "www.domain1.co.bc/c"), (1003, "www.domain1.co.cd/d"),
+      (1016, "www.domain1.com/a")))
+    assert(top5("REGEXP_LIKE(URL_COL, '.*domain.*')") == Seq(
+      (1000, "www.domain1.com/a"), (1001, "www.domain1.co.ab/b"),
+      (1002, "www.domain1.co.bc/c"), (1003, "www.domain1.co.cd/d"),
+      (1004, "www.sd.domain1.com/a")))
+
+    // the dictionary must actually serve: the anchored-prefix regex
+    // resolves to a 4-value IN-list pushed into the scan
+    val served = q("SELECT INT_COL FROM fst_testtable" +
+      " WHERE REGEXP_LIKE(DOMAIN_NAMES, 'www.domain1.*')")
+    assert(served.queryExecution.executedPlan.toString.linesIterator
+      .exists(l => l.contains("PushedFilters") && l.contains("DOMAIN_NAMES")),
+      "regexp not served from the dictionary")
+
+    // testLikeOperator (:99-117)
+    assert(cnt("DOMAIN_NAMES LIKE 'www.dom_in1.com'") == 64)
+    assert(cnt("DOMAIN_NAMES LIKE 'www.do_ai%'") == 512)
+    assert(cnt("DOMAIN_NAMES LIKE 'www.domain1%'") == 256)
+    assert(cnt("DOMAIN_NAMES LIKE 'www.sd.domain1%'") == 256)
+    assert(cnt("DOMAIN_NAMES LIKE '%domain1%'") == 512)
+    assert(cnt("DOMAIN_NAMES LIKE '%com'") == 256)
+
+    // testFSTBasedRegexpLikeWithOtherFilters (:120-153) — indexed
+    // predicates AND the unindexed NO_INDEX_COL scan AND numerics
+    assert(cnt("REGEXP_LIKE(URL_COL, '.*/a')" +
+      " AND REGEXP_LIKE(NO_INDEX_COL, 'test1')") == 52)
+    assert(cnt("REGEXP_LIKE(URL_COL, '.*/b')" +
+      " AND REGEXP_LIKE(NO_INDEX_COL, 'test1')") == 51)
+    assert(cnt("REGEXP_LIKE(DOMAIN_NAMES, 'www.domain1.*')" +
+      " AND REGEXP_LIKE(URL_COL, '.*/a')" +
+      " AND REGEXP_LIKE(NO_INDEX_COL, 'test1')") == 13)
+    assert(cnt("REGEXP_LIKE(DOMAIN_NAMES, 'www.domain1.co\\\\..*')" +
+      " AND REGEXP_LIKE(URL_COL, '.*/a')" +
+      " AND REGEXP_LIKE(NO_INDEX_COL, 'test1')") == 0)
+    assert(cnt("REGEXP_LIKE(DOMAIN_NAMES, 'www.domain1.co\\\\..*')" +
+      " AND REGEXP_LIKE(URL_COL, '.*/b')" +
+      " AND REGEXP_LIKE(NO_INDEX_COL, 'test1')") == 12)
+    assert(top5("REGEXP_LIKE(URL_COL, '.*/a')" +
+      " AND REGEXP_LIKE(NO_INDEX_COL, 'test1') AND INT_COL = 1000") ==
+      Seq((1000, "www.domain1.com/a")))
+    assert(top5("REGEXP_LIKE(DOMAIN_NAMES, 'www.domain1.*')" +
+      " AND REGEXP_LIKE(URL_COL, '.*/b')" +
+      " AND REGEXP_LIKE(NO_INDEX_COL, 'test2') AND INT_COL = 1001") ==
+      Seq((1001, "www.domain1.co.ab/b")))
+
+    // testGroupByOnFSTBasedRegexpLike (:156-195)
+    def groups(sql: String): Map[String, Long] =
+      q(sql).collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val g1 = groups("SELECT DOMAIN_NAMES, count(*) AS n FROM fst_testtable" +
+      " WHERE REGEXP_LIKE(DOMAIN_NAMES, 'www.domain1.*')" +
+      " GROUP BY DOMAIN_NAMES LIMIT 50000")
+    assert(g1 == Map("www.domain1.com" -> 64L, "www.domain1.co.ab" -> 64L,
+      "www.domain1.co.bc" -> 64L, "www.domain1.co.cd" -> 64L))
+    val g2 = groups("SELECT URL_COL, count(*) AS n FROM fst_testtable" +
+      " WHERE REGEXP_LIKE(URL_COL, '.*/a')" +
+      " AND REGEXP_LIKE(NO_INDEX_COL, 'test1') GROUP BY URL_COL LIMIT 5000")
+    assert(g2("www.domain1.com/a") == 13L &&
+      g2("www.sd.domain1.com/a") == 13L &&
+      g2("www.domain2.com/a") == 13L && g2("www.sd.domain2.com/a") == 13L)
+    val g3 = groups("SELECT URL_COL, count(*) AS n FROM fst_testtable" +
+      " WHERE REGEXP_LIKE(URL_COL, '.*/b')" +
+      " AND REGEXP_LIKE(NO_INDEX_COL, 'test1') GROUP BY URL_COL LIMIT 5000")
+    assert(g3("www.domain1.co.ab/b") == 12L &&
+      g3("www.sd.domain1.co.ab/b") == 13L &&
+      g3("www.domain2.co.ab/b") == 13L && g3("www.sd.domain2.co.ab/b") == 13L)
+    val g4 = groups("SELECT URL_COL, count(*) AS n FROM fst_testtable" +
+      " WHERE REGEXP_LIKE(URL_COL, '.*/b')" +
+      " AND REGEXP_LIKE(NO_INDEX_COL, 'test1') AND INT_COL > 1005" +
+      " GROUP BY URL_COL LIMIT 5000")
+    assert(g4("www.domain1.co.ab/b") == 12L &&
+      g4("www.sd.domain1.co.ab/b") == 12L &&
+      g4("www.domain2.co.ab/b") == 13L && g4("www.sd.domain2.co.ab/b") == 13L)
+    val g5 = groups("SELECT URL_COL, count(*) AS n FROM fst_testtable" +
+      " WHERE REGEXP_LIKE(URL_COL, 'www.domain1.*/a')" +
+      " GROUP BY URL_COL LIMIT 50000")
+    assert(g5 == Map("www.domain1.com/a" -> 64L))
+
+    // testInterSegment (:197-239): the segment served twice
+    assert(cnt("REGEXP_LIKE(URL_COL, 'www.domain1.*/a')",
+      "fst_testtable2") == 128)
+    assert(cnt("REGEXP_LIKE(URL_COL, '.*/b')" +
+      " AND REGEXP_LIKE(NO_INDEX_COL, 'test1') AND INT_COL > 1005",
+      "fst_testtable2") == 100)
+    assert(cnt("REGEXP_LIKE(URL_COL, '.*/b')" +
+      " AND REGEXP_LIKE(NO_INDEX_COL, 'test1')", "fst_testtable2") == 102)
+    assert(cnt("REGEXP_LIKE(URL_COL, '.*/a')" +
+      " AND REGEXP_LIKE(NO_INDEX_COL, 'test1')", "fst_testtable2") == 104)
+    assert(cnt("REGEXP_LIKE(DOMAIN_NAMES, 'www.domain1.*')",
+      "fst_testtable2") == 512)
+    val dup = q("SELECT INT_COL, URL_COL FROM fst_testtable2" +
+      " WHERE REGEXP_LIKE(DOMAIN_NAMES, 'www.domain1.*')" +
+      " AND REGEXP_LIKE(URL_COL, '.*/b')" +
+      " AND REGEXP_LIKE(NO_INDEX_COL, 'test2') AND INT_COL = 1001" +
+      " LIMIT 50000").collect().map(r => (r.getInt(0), r.getString(1)))
+    assert(dup.toSeq == Seq((1001, "www.domain1.co.ab/b"),
+      (1001, "www.domain1.co.ab/b")))
+    assert(cnt("REGEXP_LIKE(DOMAIN_NAMES, 'www.domain1.co\\\\..*')" +
+      " AND REGEXP_LIKE(URL_COL, '.*/b')" +
+      " AND REGEXP_LIKE(NO_INDEX_COL, 'test1')", "fst_testtable2") == 24)
+    graft.sources.RegexpIndex.clear()
+  }
+
   test("reference geospatial fixtures: complex WKT round-trips the wire format") {
     requireReference()
     // pinot-core/src/test/resources/geospatial/complex-*.txt — the

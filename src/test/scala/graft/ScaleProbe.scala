@@ -162,7 +162,10 @@ object ScaleProbe {
       // round-7: H3-analog cell-range serving vs the haversine scan
       "q_geo_radius_indexed", "q_geo_polygon_indexed",
       // round-7: L2 radius search through HNSW / IVF_FLAT readers
-      "q_ann_radius_l2", "q_ann_radius_l2_ivf")
+      "q_ann_radius_l2", "q_ann_radius_l2_ivf",
+      // round-7: optimizer-rewritten time predicate (raw-range pushdown)
+      // and footer-statistics metadata aggregation (no data I/O)
+      "q_filter_timepred", "q_agg_metadata")
       .filter(q => only.isEmpty || only(q))
     def time(dir: String, name: String): Double = {
       val t0 = System.nanoTime()
