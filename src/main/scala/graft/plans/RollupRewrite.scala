@@ -286,6 +286,17 @@ object RollupRewrite {
             case Some(e) => Alias(e, name)(exprId = al.exprId)
             case None => return None
           }
+        // agg-free expressions over dims (or literals CollapseProject
+        // folded into the Aggregate — e.g. a gate/constant column):
+        // transplant with attrs remapped to the rollup's
+        case al @ Alias(e, name)
+            if !e.exists(_.isInstanceOf[AggregateExpression]) &&
+              e.deterministic &&
+              e.references.forall(a => spec.dims(a.name)) =>
+          val remapped = e.transform {
+            case a: AttributeReference => rollupAttr(a.name)
+          }
+          Alias(remapped, name)(exprId = al.exprId)
         case _ => return None
       }
       val newGroups: Seq[Expression] = groupNames.map(rollupAttr)

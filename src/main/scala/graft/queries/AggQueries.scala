@@ -94,8 +94,12 @@ object AggQueries {
           max(col("event_type")).as("max_et"),
           min(col("value")).as("min_v"),
           max(col("value")).as("max_v"))
-        val usedMetadata =
-          !q.queryExecution.executedPlan.toString.contains("FileScan")
+        // gate on the FINAL plan shape: CollapseProject folds the added
+        // literal column INTO the Aggregate, so a pre-withColumn check
+        // could pass while the real plan still scanned (caught by the
+        // 100× probe — 13.5× where metadata serving is ~flat)
+        val usedMetadata = !q.withColumn("used_metadata", lit(true))
+          .queryExecution.executedPlan.toString.contains("FileScan")
         q.withColumn("used_metadata", lit(usedMetadata))
       },
       Some("""SELECT COUNT(*) AS n_rows,

@@ -1763,6 +1763,53 @@ object PipelineQueries {
           CAST(SUM(CAST(v AS DECIMAL(20,4))) AS DOUBLE) AS sum_v
         FROM filled GROUP BY 1, 2 ORDER BY day, event_type""")),
 
+    // RAW-SELECTION gapfill (GapfillProcessor.java:173-238 — the
+    // SELECT-shape GapFill(...) table function): every bucket keeps its
+    // raw rows at ORIGINAL multiplicity and gains one synthesized row
+    // per missing TIMESERIESON series; FILL_PREVIOUS carries the
+    // series' latest raw value, tiebroken by the unique event_id the
+    // way the processor keeps the last merged row. Oracle reconstructs
+    // the same contract with an anti-join + correlated latest-row pick.
+    GQuery("q_gapfill_select",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val start = 1704153600000L // 2024-01-02T00:00:00Z
+        val end = start + 8 * 900000L
+        val ms = unix_millis(col("ts").cast(TimestampType))
+        val raw = t.events.select(
+          ((ms / 900000L).cast(LongType) * 900000L).as("bucket"),
+          col("event_type"), round(col("value"), 4).as("v"),
+          col("event_id"))
+        Gapfill.gapfillSelect(raw, "bucket", Seq("event_type"),
+            start, end, 900000L,
+            Seq(Gapfill.FillPrevious("v")), orderCol = Some("event_id"))
+          .orderBy(col("bucket"), col("event_type"), col("v"))
+      },
+      Some("""WITH raw AS (
+          SELECT (epoch_ms(ts) // 900000) * 900000 AS bucket, event_type,
+            round(value, 4) AS v, event_id
+          FROM events
+          WHERE (epoch_ms(ts) // 900000) * 900000 < 1704160800000),
+        series AS (SELECT DISTINCT event_type FROM raw),
+        grid AS (SELECT r.range AS bucket, s.event_type
+          FROM range(1704153600000, 1704160800000, 900000) r
+          CROSS JOIN series s),
+        missing AS (
+          SELECT g.bucket, g.event_type FROM grid g
+          ANTI JOIN (SELECT DISTINCT bucket, event_type FROM raw
+                     WHERE bucket >= 1704153600000) r
+            USING (bucket, event_type)),
+        filled AS (
+          SELECT m.bucket, m.event_type,
+            COALESCE((SELECT r.v FROM raw r
+              WHERE r.event_type = m.event_type AND r.bucket < m.bucket
+              ORDER BY r.bucket DESC, r.event_id DESC LIMIT 1), 0.0) AS v
+          FROM missing m)
+        SELECT bucket, event_type, v FROM filled
+        UNION ALL
+        SELECT bucket, event_type, v FROM raw WHERE bucket >= 1704153600000
+        ORDER BY bucket, event_type, v""")),
+
     // ——— Funnel (AggregationFunctionType.java:193-202) ———
 
     GQuery("q_funnel_maxstep",
