@@ -28,7 +28,11 @@ object ScalarTail {
 
   // ——— element-wise bases reused by the `…MV` generators ———
 
-  private def tsOf(ms: Column): Column = timestamp_millis(ms.cast(LongType))
+  // epochNumeric first: the reference's DateTimeFunctions accept both
+  // epoch-millis numerics AND TIMESTAMP values (whose physical type IS
+  // millis) — a bare cast(ts AS LONG) would read Spark's SECONDS scale
+  private def tsOf(ms: Column): Column =
+    timestamp_millis(graft.plans.ScalarExprs.epochNumeric(ms).cast(LongType))
 
   /** Pinot dayOfWeek is ISO (1=Mon..7=Sun, Joda getDayOfWeek);
     * Spark dayofweek is 1=Sun..7=Sat. */

@@ -117,6 +117,14 @@ object QueryFacade {
   private val CollidingFns =
     """(?i)(?<![a-z0-9_])(percentile|substr|skewness|kurtosis|round)\s*\(""".r
 
+  /** Pinot `TO_TIMESTAMP(millis)` (`DateTimeFunctions.java` toTimestamp)
+    * collides with Spark's builtin `to_timestamp(string|seconds)` —
+    * which silently lands millis in year ~52971. Route to the
+    * reference-compliant registration (caught by the
+    * TimestampQueriesTest gold replay). */
+  private val ToTimestampFn =
+    """(?i)(?<![a-z0-9_])to_timestamp\s*\(""".r
+
   /** Calcite's lexer splits a numeric literal from a following keyword
     * without whitespace (`1.75GROUP BY` parses); Spark's does not. */
   private val NumKeyword = """(?i)(\d)(GROUP\s+BY|ORDER\s+BY|LIMIT\b)""".r
@@ -215,8 +223,10 @@ object QueryFacade {
         case "VARCHAR" => "AS STRING)"
         case _ => "AS BINARY)"
       })
-    val withColliding = CollidingFns.replaceAllIn(withCasts, m =>
-      s"pinot${m.group(1).toLowerCase}(")
+    val withColliding = ToTimestampFn.replaceAllIn(
+      CollidingFns.replaceAllIn(withCasts, m =>
+        s"pinot${m.group(1).toLowerCase}("),
+      "totimestamp(")
     val withConcat = BitScalarFn.replaceAllIn(
       ConcatFn.replaceAllIn(withColliding, "pinotconcat("),
       m => s"bit${m.group(1).toLowerCase}(")

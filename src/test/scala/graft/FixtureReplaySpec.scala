@@ -856,6 +856,71 @@ class FixtureReplaySpec extends SparkSpec {
     graft.sources.RegexpIndex.clear()
   }
 
+  test("reference timestamp suite: TimestampQueriesTest golds") {
+    // `TimestampQueriesTest.java:88-225`: 1000 rows at BASE+i millis
+    // (UTC here; the golds are base-relative so any base is
+    // self-consistent), selections served once, aggregations through
+    // the 4×-served convention (`_indexSegments = [seg, seg]` × 2
+    // instances). Exercises the facade's implicit LIMIT 10, TIMESTAMP
+    // vs STRING and vs LONG comparisons, FROM_/TO_TIMESTAMP.
+    val base = 1609459200000L // 2021-01-01T00:00:00Z
+    val one = (0 until 1000).map(i => base + i).toDF("ms")
+      .select(timestamp_micros($"ms" * 1000).as("timestampColumn"))
+    one.createOrReplaceTempView("ts_testtable")
+    one.union(one).union(one).union(one)
+      .createOrReplaceTempView("ts_testtable4")
+    def q(sql: String): Seq[Seq[Any]] =
+      graft.sql.QueryFacade.sql(spark, sql).collect().toSeq.map(_.toSeq)
+    def msOf(v: Any): Long = v match {
+      case t: java.sql.Timestamp => t.getTime
+      case t: java.time.Instant => t.toEpochMilli
+      case l: java.lang.Long => l
+      case o => fail(s"unexpected $o")
+    }
+
+    // SELECT * — implicit LIMIT 10 (doc order ≡ ts order)
+    val r1 = q("SELECT timestampColumn FROM ts_testtable" +
+      " ORDER BY timestampColumn")
+    assert(r1.map(r => msOf(r.head)) == (0 until 10).map(base + _))
+
+    // ORDER BY DESC LIMIT 40 over the 4×-served table
+    val r2 = q("SELECT timestampColumn FROM ts_testtable4" +
+      " ORDER BY timestampColumn DESC LIMIT 40")
+    assert(r2.size == 40)
+    for (i <- 0 until 10; j <- 0 until 4)
+      assert(msOf(r2(i * 4 + j).head) == base + 1000 - 1 - i)
+
+    // FROM_TIMESTAMP + string AND long comparisons, implicit limit
+    val r3 = q("SELECT FROM_TIMESTAMP(timestampColumn) AS longTimestamp" +
+      " FROM ts_testtable" +
+      " WHERE timestampColumn > '2021-01-01 00:00:00.123'" +
+      s" AND timestampColumn >= ${base + 234} ORDER BY longTimestamp")
+    assert(r3.map(_.head) == (0 until 10).map(i => base + 234 + i))
+
+    // DISTINCT collapses the 4× serving
+    val r4 = q("SELECT DISTINCT timestampColumn FROM ts_testtable4" +
+      " ORDER BY timestampColumn")
+    assert(r4.map(r => msOf(r.head)) == (0 until 10).map(base + _))
+
+    // grouped count: every timestamp appears 4 times
+    val r5 = q("SELECT COUNT(*) AS count, timestampColumn" +
+      " FROM ts_testtable4 GROUP BY timestampColumn" +
+      " ORDER BY timestampColumn DESC")
+    assert(r5.size == 10)
+    r5.zipWithIndex.foreach { case (row, i) =>
+      assert(row.head == 4L && msOf(row(1)) == base + 1000 - 1 - i)
+    }
+
+    // TO_TIMESTAMP(MAX(...)) + HAVING against a timestamp string —
+    // verbatim reference SQL (:207); TO_TIMESTAMP must resolve to the
+    // Pinot millis semantics, not Spark's seconds-based builtin
+    val r6 = q("SELECT TO_TIMESTAMP(MAX(timestampColumn))" +
+      " AS maxTimestamp FROM ts_testtable4 GROUP BY timestampColumn" +
+      " HAVING maxTimestamp < '2021-01-01 00:00:00.005'" +
+      " ORDER BY maxTimestamp")
+    assert(r6.map(r => msOf(r.head)) == (0 until 5).map(base + _))
+  }
+
   test("reference geospatial fixtures: complex WKT round-trips the wire format") {
     requireReference()
     // pinot-core/src/test/resources/geospatial/complex-*.txt — the

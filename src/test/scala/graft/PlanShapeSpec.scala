@@ -29,8 +29,10 @@ class PlanShapeSpec extends SparkSpec {
     // q_ann_hnsw: S shard-blob rows crossJoin broadcast(bounded probes)
     // — the deliberate per-segment fan-out; q_ts_transforms: the dense
     // bucket-spine crossJoin broadcast(series), same shape as
-    // q_ts_promql's fill stage
-    "q_ann_hnsw", "q_ts_transforms",
+    // q_ts_promql's fill stage; q_gapfill_select: the same
+    // spine × broadcast(distinct series) grid (bounded: buckets and
+    // series are both tiny relative to the fact rows passing through)
+    "q_ann_hnsw", "q_ts_transforms", "q_gapfill_select",
     // q_ann_l2 / q_ann_dot: the q_ann_hnsw shape for the non-cosine
     // metrics — bounded probes (< 5 rows) crossJoin the corpus for the
     // exact-oracle side, plus the HNSW shard fan-out
