@@ -17,6 +17,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectResolutionRule(_ => MvPredicateRewrite)
     e.injectResolutionRule(_ => TimestampNumericComparison)
+    e.injectResolutionRule(_ => BooleanNumericSemantics)
     e.injectResolutionRule(_ => OrderByExpressionAlias)
     // dateTrunc-comparison → raw-column range (the reference's
     // TimePredicateFilterOptimizer); operator-optimization batch so the
@@ -99,6 +100,39 @@ object TimestampNumericComparison extends Rule[LogicalPlan] {
       if (newCond fastEquals j.condition.get) j
       else j.copy(condition = Some(newCond))
   }
+}
+
+/** Pinot stores BOOLEAN as INT and lets it flow through numeric
+  * aggregates and comparisons (`PinotDataType.BOOLEAN` toInt/getDouble;
+  * `BooleanQueriesTest.java:244-256` — `MAX(booleanColumn)` is a
+  * DOUBLE, `HAVING maxBoolean < 1` compares it numerically). Spark
+  * types the column BooleanType: MAX/MIN stay boolean, SUM/AVG and
+  * numeric comparisons fail analysis. Rewrite the boolean operand to
+  * its 0/1 INT view in exactly those numeric contexts; pure-boolean
+  * comparisons (`b = false`, bare predicates) are untouched. */
+object BooleanNumericSemantics extends Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.expressions.aggregate._
+  import org.apache.spark.sql.types.{BooleanType, IntegerType, NumericType}
+
+  private def bool(e: Expression): Boolean =
+    e.resolved && e.dataType == BooleanType
+  private def num(e: Expression): Boolean =
+    e.resolved && e.dataType.isInstanceOf[NumericType]
+  private def asInt(e: Expression): Expression = Cast(e, IntegerType)
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.resolveOperatorsUp { case p =>
+      p.transformExpressionsUp {
+        case c: BinaryComparison if bool(c.left) && num(c.right) =>
+          c.withNewChildren(Seq(asInt(c.left), c.right))
+        case c: BinaryComparison if num(c.left) && bool(c.right) =>
+          c.withNewChildren(Seq(c.left, asInt(c.right)))
+        case Max(c) if bool(c) => Max(asInt(c))
+        case Min(c) if bool(c) => Min(asInt(c))
+        case s @ Sum(c, _) if bool(c) => s.copy(child = asInt(c))
+        case a @ Average(c, _) if bool(c) => a.copy(child = asInt(c))
+      }
+    }
 }
 
 /** Calcite (the reference's planner) resolves ORDER BY / sort

@@ -1126,6 +1126,188 @@ object QueryFacade {
   private def sqlStringLiteral(v: String): String =
     "'" + v.replace("\\", "\\\\").replace("'", "''") + "'"
 
+  // ---- MV group-key flatten ----
+  // The reference's group-key generator emits one key PER ELEMENT of a
+  // multi-value column (`DictionaryBasedGroupKeyGenerator` MV path), so
+  // `SELECT DISTINCT mv1, mv2 FROM t` yields the per-row CROSS-PRODUCT
+  // of their elements, and a non-aggregating GROUP BY over MV columns
+  // is the same query (`DistinctQueriesTest.java:1181-1410` — 200·2^5
+  // combinations for five MV columns). Spark's DISTINCT over arrays
+  // compares whole arrays; the facade re-expresses the Pinot semantic
+  // as LATERAL VIEW explode per MV column. Shape-restricted to a
+  // single-source statement with the MV columns as bare identifiers;
+  // anything else keeps Spark semantics untouched.
+
+  /** Blank out quoted-literal contents (same length) so clause-keyword
+    * scans can't match inside strings. */
+  private def maskLiterals(s: String): String = {
+    val sb = new StringBuilder(s)
+    var i = 0
+    var in = false
+    while (i < sb.length) {
+      if (sb.charAt(i) == '\'') in = !in
+      else if (in) sb.setCharAt(i, ' ')
+      i += 1
+    }
+    sb.toString
+  }
+
+  /** Split on commas at paren-depth 0 outside string literals. */
+  private def splitTopLevel(s: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var depth = 0
+    var in = false
+    var start = 0
+    var i = 0
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '\'' => in = !in
+        case '(' if !in => depth += 1
+        case ')' if !in => depth -= 1
+        case ',' if !in && depth == 0 =>
+          out += s.substring(start, i); start = i + 1
+        case _ =>
+      }
+      i += 1
+    }
+    out += s.substring(start)
+    out.result().map(_.trim).filter(_.nonEmpty)
+  }
+
+  /** First top-level (paren-depth-0, outside literals) occurrence of a
+    * keyword in MASKED text; -1 when absent. */
+  private def findTopLevel(masked: String, kw: String, from: Int = 0): Int = {
+    val lower = masked.toLowerCase
+    var depth = 0
+    var i = 0
+    while (i < lower.length) {
+      lower.charAt(i) match {
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case _ =>
+          def wordChar(c: Char) = c.isLetterOrDigit || c == '_'
+          if (depth == 0 && i >= from && lower.startsWith(kw, i) &&
+              (i == 0 || !wordChar(lower.charAt(i - 1))) &&
+              (i + kw.length >= lower.length ||
+                !wordChar(lower.charAt(i + kw.length))))
+            return i
+      }
+      i += 1
+    }
+    -1
+  }
+
+  /** Calcite resolves an ORDER BY expression by syntactic match against
+    * the select list (`SqlValidatorImpl.expandOrderExpr`):
+    * `SELECT DISTINCT ADD(a, b), s … ORDER BY s DESC, ADD(a, b)` orders
+    * by the first output column even though the built expression's
+    * auto-alias is `(a + b)`. Spark resolves sort expressions against
+    * alias TEXT, which no longer matches after function building.
+    * Re-express the Calcite rule: a non-bare ORDER BY item whose
+    * normalized text equals a select item's expression is replaced by
+    * that item's 1-based ordinal (SQL-standard, spelling-proof). */
+  private[graft] def rewriteOrderBySelectExpr(stmt: String): String = try {
+    val masked = maskLiterals(stmt)
+    val low = masked.toLowerCase
+    val sel0 = low.indexOf("select")
+    if (sel0 < 0 || low.indexOf("select", sel0 + 1) >= 0) return stmt
+    val ob = findTopLevel(masked, "order")
+    if (ob < 0) return stmt
+    val by = masked.indexWhere(!_.isWhitespace, ob + 5)
+    if (by < 0 || !masked.regionMatches(true, by, "by", 0, 2)) return stmt
+    val fromIdx = findTopLevel(masked, "from")
+    if (fromIdx < 0 || fromIdx > ob) return stmt
+    val selBodyStart = {
+      val afterSel = sel0 + "select".length
+      val m = """(?is)^\s*distinct\s+""".r
+        .findFirstMatchIn(masked.substring(afterSel))
+      afterSel + m.map(_.end).getOrElse(0)
+    }
+    val selectItems = splitTopLevel(stmt.substring(selBodyStart, fromIdx))
+    def norm(s: String): String = s.toLowerCase.replaceAll("\\s+", "")
+    // expression text of each select item (alias stripped)
+    val selExprs = selectItems.map(it =>
+      norm("""(?is)\s+as\s+\S+\s*$""".r.replaceAllIn(it, "")))
+    val obEnd = {
+      val lim = findTopLevel(masked, "limit", ob)
+      if (lim < 0) stmt.length else lim
+    }
+    val obBody = stmt.substring(by + 2, obEnd)
+    val Dir = """(?is)(\s+(?:asc|desc))?(\s+nulls\s+(?:first|last))?\s*$""".r
+    var changed = false
+    val newItems = splitTopLevel(obBody).map { item =>
+      val dirM = Dir.findFirstMatchIn(item)
+      val core = dirM.map(m => item.substring(0, m.start)).getOrElse(item)
+      val suffix = dirM.map(_.matched.trim).filter(_.nonEmpty)
+        .map(" " + _).getOrElse("")
+      if (BareIdent.findFirstIn(core.trim).isDefined) item
+      else selExprs.indexOf(norm(core)) match {
+        case -1 => item
+        case i => changed = true; s"${i + 1}$suffix"
+      }
+    }
+    if (!changed) stmt
+    else stmt.substring(0, by + 2) + " " + newItems.mkString(", ") +
+      (if (obEnd < stmt.length) " " + stmt.substring(obEnd) else "")
+  } catch { case scala.util.control.NonFatal(_) => stmt }
+
+  private val MvDistinctShape =
+    ("""(?is)^\s*SELECT\s+(DISTINCT\s+)?(.*?)\s+FROM\s+([A-Za-z_]\w*)""" +
+      """((?:\s+WHERE\s+.*?)?)((?:\s+GROUP\s+BY\s+.*?)?)""" +
+      """((?:\s+ORDER\s+BY\s+.*?)?)((?:\s+LIMIT\s+\d+)?)\s*$""").r
+
+  private val BareIdent = """^[A-Za-z_]\w*$""".r
+
+  private[graft] def rewriteMvDistinct(spark: SparkSession,
+      stmt: String): String = try {
+    val masked = maskLiterals(stmt)
+    val low = masked.toLowerCase
+    // one SELECT only (no subqueries), and something to flatten
+    if (low.indexOf("select", low.indexOf("select") + 1) >= 0) return stmt
+    val m = MvDistinctShape.findFirstMatchIn(masked).getOrElse(return stmt)
+    def slice(i: Int): String =
+      if (m.group(i) == null) "" else stmt.substring(m.start(i), m.end(i))
+    val isDistinct = m.group(1) != null
+    val items = splitTopLevel(slice(2))
+    val table = m.group(3)
+    val (whereC, groupC, orderC, limitC) =
+      (slice(4), slice(5), slice(6), slice(7))
+
+    // non-aggregating GROUP BY over exactly the selected columns is the
+    // reference's distinct rewrite; anything else is a real aggregation
+    // and not this pass's business
+    val distinctLike =
+      if (isDistinct && groupC.isEmpty) true
+      else if (!isDistinct && groupC.nonEmpty) {
+        val gl = splitTopLevel(groupC.replaceAll("(?is)^\\s+GROUP\\s+BY", ""))
+        items.forall(BareIdent.findFirstIn(_).isDefined) &&
+          gl.map(_.toLowerCase).toSet == items.map(_.toLowerCase).toSet
+      } else false
+    if (!distinctLike) return stmt
+
+    val schema = try spark.table(table).schema catch {
+      case scala.util.control.NonFatal(_) => return stmt
+    }
+    def mvField(it: String): Option[String] =
+      if (BareIdent.findFirstIn(it).isEmpty) None
+      else schema.fields.find(f => f.name.equalsIgnoreCase(it) &&
+        f.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType])
+        .map(_.name)
+    val mv = items.flatMap(it => mvField(it).map(it -> _))
+    if (mv.isEmpty) return stmt
+
+    val newItems = items.map { it =>
+      mv.find(_._1 == it) match {
+        case Some((_, f)) => s"`${f}__mvx` AS `$it`"
+        case None => it
+      }
+    }
+    val laterals = mv.map(_._2).distinct.map(f =>
+      s" LATERAL VIEW explode(`$f`) __mvv_$f AS `${f}__mvx`").mkString
+    s"SELECT DISTINCT ${newItems.mkString(", ")} FROM $table" +
+      s"$laterals$whereC$orderC$limitC"
+  } catch { case scala.util.control.NonFatal(_) => stmt }
+
   /** Decode a quoted SQL string literal the way Spark's parser does
     * (ParserUtils.unescapeSQLString): backslash escapes (\\ \' \" \n
     * \t \r \b \f \0, \uXXXX) plus the doubled-quote form. A rewrite
@@ -1701,10 +1883,12 @@ object QueryFacade {
           rewriteTextMatchIndexed(spark,
           rewriteRegexpIndexed(spark,
           rewriteGeoIndexed(spark,
+          rewriteOrderBySelectExpr(
+          rewriteMvDistinct(spark,
           rewriteJsonMatch(
             rewriteAsOf(rewriteReserved(stripHints(
               rewriteTimestampIndex(
-                applyRlsFilters(spark, stmt0, opts))))))))))))
+                applyRlsFilters(spark, stmt0, opts))))))))))))))
     if (Ddl.isDdl(stmt)) return Ddl.execute(spark, stmt)
     // Pinot EXPLAIN PLAN FOR <query> (PinotQueryResource explain
     // support): one row per plan-tree line, mirroring the reference's

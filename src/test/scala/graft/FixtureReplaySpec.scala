@@ -921,6 +921,182 @@ class FixtureReplaySpec extends SparkSpec {
     assert(r6.map(r => msOf(r.head)) == (0 until 5).map(base + _))
   }
 
+  test("reference boolean suite: BooleanQueriesTest golds") {
+    // `BooleanQueriesTest.java:88-258`: 1000 rows whose BOOLEAN column
+    // ingests from six source shapes per `PinotDataType` conversion —
+    // false, 1→true, 0L→false, 0.1f→true (non-zero numeric), 0.0→false,
+    // "true"→true — i.e. true ⟺ i odd. The typed-union row ingest has
+    // no DataFrame analog (a column has one type), so the conversion is
+    // applied at build; the QUERY golds are replayed verbatim:
+    // bare-boolean predicates, boolean ORDER BY/DISTINCT/GROUP BY,
+    // CAST to string, and the numeric MAX/HAVING treatment of BOOLEAN.
+    val one = (0 until 1000).map(i => Tuple1(i % 2 == 1))
+      .toDF("booleanColumn")
+    one.createOrReplaceTempView("bool_testtable")
+    one.union(one).union(one).union(one)
+      .createOrReplaceTempView("bool_testtable4")
+    def q(sql: String): Seq[Seq[Any]] =
+      graft.sql.QueryFacade.sql(spark, sql).collect().toSeq.map(_.toSeq)
+
+    // SELECT * — implicit LIMIT 10, local order preserved: alternating
+    val r1 = q("SELECT booleanColumn FROM bool_testtable")
+    assert(r1.map(_.head) == (0 until 10).map(_ % 2 == 1))
+
+    // boolean literal equality and the BARE-PREDICATE form
+    val r2 = q("SELECT booleanColumn FROM bool_testtable" +
+      " WHERE booleanColumn = false")
+    assert(r2.size == 10 && r2.forall(_.head == false))
+    val r3 = q("SELECT booleanColumn FROM bool_testtable" +
+      " WHERE booleanColumn")
+    assert(r3.size == 10 && r3.forall(_.head == true))
+
+    // boolean ordering: true sorts above false DESC
+    val r4 = q("SELECT booleanColumn FROM bool_testtable" +
+      " ORDER BY booleanColumn DESC LIMIT 20")
+    assert(r4.size == 20 && r4.forall(_.head == true))
+
+    // CAST renders true/false; STARTS_WITH over it
+    val r5 = q("SELECT STARTS_WITH(CAST(booleanColumn AS STRING), 'fa')" +
+      " AS boolResult FROM bool_testtable")
+    assert(r5.map(_.head) == (0 until 10).map(_ % 2 == 0))
+
+    val r6 = q("SELECT DISTINCT booleanColumn FROM bool_testtable4" +
+      " ORDER BY booleanColumn DESC")
+    assert(r6.map(_.head) == Seq(true, false))
+
+    // grouped count over the 4×-served table: 2 * NUM_RECORDS each
+    val r7 = q("SELECT COUNT(*) AS count, booleanColumn" +
+      " FROM bool_testtable4 GROUP BY booleanColumn" +
+      " ORDER BY booleanColumn")
+    assert(r7 == Seq(Seq(2000L, false), Seq(2000L, true)))
+
+    // Pinot treats BOOLEAN numerically in aggregates and HAVING:
+    // MAX(booleanColumn) is 0/1 and compares against the 1 literal
+    val r8 = q("SELECT MAX(booleanColumn) AS maxBoolean" +
+      " FROM bool_testtable4 GROUP BY booleanColumn" +
+      " HAVING maxBoolean < 1 ORDER BY booleanColumn")
+    assert(r8.size == 1 &&
+      r8.head.head.asInstanceOf[Number].doubleValue == 0.0)
+  }
+
+  test("reference distinct suite: DistinctQueriesTest inter-segment golds") {
+    // `DistinctQueriesTest.java:161-215` — two segments of 10000 rows
+    // each holding 100 unique base values (0..99 and 1000..1099,
+    // repeated 100×); every column carries the same value in a
+    // different type, MV columns hold {v, v+100}. The inter-segment
+    // helper's expectations (:1181-1410) hinge on the MV-flatten
+    // contract: DISTINCT over k MV columns yields the per-row
+    // cross-product of elements (200·2^k rows).
+    val df = (for (base <- Seq(0, 1000); i <- 0 until 100;
+                   _ <- 0 until 100) yield base + i)
+      .toDF("v").select(
+        col("v").cast(IntegerType).as("intColumn"),
+        col("v").cast(LongType).as("longColumn"),
+        col("v").cast(FloatType).as("floatColumn"),
+        col("v").cast(DoubleType).as("doubleColumn"),
+        col("v").cast(DecimalType(10, 0)).as("bigDecimalColumn"),
+        col("v").cast(StringType).as("stringColumn"),
+        lpad(col("v").cast(StringType), 4, " ").cast(BinaryType)
+          .as("bytesColumn"),
+        col("v").cast(StringType).cast(BinaryType).as("rawBytesColumn"),
+        array(col("v"), col("v") + 100).as("intMVColumn"),
+        array(col("v"), col("v") + 100).cast(ArrayType(LongType))
+          .as("longMVColumn"),
+        array(col("v"), col("v") + 100).cast(ArrayType(FloatType))
+          .as("floatMVColumn"),
+        array(col("v"), col("v") + 100).cast(ArrayType(DoubleType))
+          .as("doubleMVColumn"),
+        array(col("v"), col("v") + 100).cast(ArrayType(StringType))
+          .as("stringMVColumn"))
+    df.createOrReplaceTempView("distinct_testtable")
+    def q(sql: String) = graft.sql.QueryFacade.sql(spark, sql).collect().toSeq
+    val t = "distinct_testtable"
+    val allVals = ((0 until 100) ++ (1000 until 1100)).toSet
+
+    // all dictionary-encoded SV columns: the 200 unique rows
+    val r0 = q("SELECT DISTINCT intColumn, longColumn, floatColumn," +
+      " doubleColumn, bigDecimalColumn, stringColumn, bytesColumn" +
+      s" FROM $t LIMIT 10000")
+    assert(r0.size == 200)
+    assert(r0.map { r =>
+      val v = r.getInt(0)
+      assert(r.getLong(1) == v && r.getFloat(2) == v && r.getDouble(3) == v)
+      assert(r.getDecimal(4).intValueExact == v)
+      assert(r.getString(5) == v.toString)
+      assert(new String(r.getAs[Array[Byte]](6), "UTF-8").trim == v.toString)
+      v
+    }.toSet == allVals)
+
+    // all MV columns: 200 · 2^5 element combinations
+    val r1 = q("SELECT DISTINCT intMVColumn, longMVColumn, floatMVColumn," +
+      s" doubleMVColumn, stringMVColumn FROM $t LIMIT 10000")
+    assert(r1.size == 200 * 32)
+    assert(r1.map { r =>
+      val vals = Seq(r.getInt(0), r.getLong(1).toInt, r.getFloat(2).toInt,
+        r.getDouble(3).toInt, r.getString(4).toInt)
+      val base = vals.head
+      val lo = if (base < 1000) base % 100 else base % 100 + 1000
+      assert(vals.forall(x => x == lo || x == lo + 100), s"$vals")
+      vals
+    }.distinct.size == 200 * 32)
+
+    // SV + MV mix: 200 · 2^2
+    val r2 = q("SELECT DISTINCT longColumn, bigDecimalColumn," +
+      s" floatMVColumn, stringMVColumn FROM $t LIMIT 10000")
+    assert(r2.size == 200 * 4)
+
+    // filtered: (200 - 60) matched values · 2 elements
+    val r3 = q("SELECT DISTINCT stringColumn, bytesColumn, intMVColumn" +
+      s" FROM $t WHERE intColumn >= 60 LIMIT 10000")
+    assert(r3.size == 140 * 2)
+    r3.foreach { r =>
+      val v = r.getString(0).toInt
+      assert(v >= 60)
+      assert(r.getInt(2) == v || r.getInt(2) == v + 100)
+    }
+
+    // ORDER BY the MV column DESC — implicit LIMIT 10, top elements
+    val r4 = q("SELECT DISTINCT floatColumn, doubleMVColumn" +
+      s" FROM $t ORDER BY doubleMVColumn DESC")
+    assert(r4.size == 10)
+    r4.zipWithIndex.foreach { case (r, i) =>
+      val expected = 1199 - i
+      assert(r.getFloat(0).toInt == expected - 100 &&
+        r.getDouble(1).toInt == expected)
+    }
+
+    // ORDER BY raw BYTES ascending: unpadded digit strings sort as
+    // bytes — "0" < "1" < "10" < "1000" < "1001" (no 100 in the data)
+    val r5 = q("SELECT DISTINCT intColumn, rawBytesColumn" +
+      s" FROM $t ORDER BY rawBytesColumn LIMIT 5")
+    assert(r5.map(_.getInt(0)) == Seq(0, 1, 10, 1000, 1001))
+
+    // transform + filter + two-key order + limit
+    val r6 = q("SELECT DISTINCT ADD(intColumn, floatColumn), stringColumn" +
+      s" FROM $t WHERE longColumn < 60" +
+      " ORDER BY stringColumn DESC, ADD(intColumn, floatColumn) ASC" +
+      " LIMIT 10")
+    assert(r6.map(r =>
+      (r.get(0).asInstanceOf[Number].doubleValue / 2).toInt) ==
+      Seq(9, 8, 7, 6, 59, 58, 57, 56, 55, 54))
+
+    // filter matching nothing
+    assert(q("SELECT DISTINCT floatColumn, longMVColumn" +
+      s" FROM $t WHERE stringColumn = 'a' ORDER BY longMVColumn").isEmpty)
+
+    // filter matching only one segment's range
+    val r8 = q("SELECT DISTINCT intColumn FROM" +
+      s" $t WHERE floatColumn > 200 ORDER BY intColumn ASC LIMIT 5")
+    assert(r8.map(_.getInt(0)) == Seq(1000, 1001, 1002, 1003, 1004))
+
+    // the non-aggregating GROUP BY spelling is the same query
+    // (NonAggGroupByRewriteToDistinct, :1632)
+    val r9 = q("SELECT stringColumn, bytesColumn, intMVColumn" +
+      s" FROM $t WHERE intColumn >= 60" +
+      " GROUP BY stringColumn, bytesColumn, intMVColumn LIMIT 10000")
+    assert(r9.size == 140 * 2)
+  }
+
   test("reference geospatial fixtures: complex WKT round-trips the wire format") {
     requireReference()
     // pinot-core/src/test/resources/geospatial/complex-*.txt — the
