@@ -82,6 +82,10 @@ object PinotFunctions {
     "minus" -> { case Seq(a, b) => a - b },
     "mult" -> { case Seq(a, b) => a * b },
     "times" -> { case Seq(a, b) => a * b },
+    // Pinot DIV is double division (ArithmeticFunctions.divide) —
+    // Spark's builtin `div` is INTEGER division, so the facade routes
+    // the spelling here via CollidingFns
+    "pinotdiv" -> { case Seq(a, b) => a / b },
     "intdiv" -> { case Seq(a, b) => (a / b).cast(LongType) },
     // ——— Pinot concat: separator LAST (scalar/string/StringFunctions
     // .java:33 `concat(input1, input2, separator)`); concatWS is
@@ -686,10 +690,24 @@ object PinotFunctions {
     "histogram" -> {
       case Seq(c, edgesC) =>
         val e = ex(edgesC)
-        val et = e.dataType.asInstanceOf[ArrayType].elementType
-        val edges = e.eval()
-          .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
-          .toObjectArray(et).map(_.toString.toDouble).toSeq
+        // the reference accepts ±Infinity edges spelled as strings
+        // (`HistogramQueriesTest.java:141` ARRAY["-Infinity",1,…]);
+        // Spark's array coercion wraps those literals in numeric casts
+        // that fail eval — read the raw literal under the cast instead
+        def rawLit(x: Expression): Any = x match {
+          case org.apache.spark.sql.catalyst.expressions.Cast(in, _, _, _) =>
+            rawLit(in)
+          case other => other.eval()
+        }
+        val edges: Seq[Double] = e match {
+          case ca: org.apache.spark.sql.catalyst.expressions.CreateArray =>
+            ca.children.map(ch => rawLit(ch).toString.toDouble)
+          case _ =>
+            val et = e.dataType.asInstanceOf[ArrayType].elementType
+            e.eval()
+              .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+              .toObjectArray(et).map(_.toString.toDouble).toSeq
+        }
         require(edges.size > 1 && edges.sliding(2).forall(p => p(0) < p(1)),
           "histogram bin edges must be strictly increasing")
         histogramBins(c, edges)
@@ -711,7 +729,10 @@ object PinotFunctions {
       val inBin =
         if (i == edges.length - 2) c >= a && c <= b
         else c >= a && c < b
-      sum(when(inBin, 1L).otherwise(0L))
+      // ZERO counts on empty input, not SQL-null sums — the reference
+      // initializes its bin array to zeros (HistogramQueriesTest :173
+      // expects {0,…} for a no-match filter)
+      coalesce(sum(when(inBin, 1L).otherwise(0L)), lit(0L))
     }: _*)
 
   /** Exact interpolated percentile (Pinot 0-100 scale) over every

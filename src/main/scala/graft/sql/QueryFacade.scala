@@ -112,10 +112,11 @@ object QueryFacade {
     * compliant registrations: PERCENTILE is 0-100 floor-index (Spark's
     * is 0-1 interpolated), SUBSTR is 0-based with an end index (Spark's
     * is 1-based with a length), SKEWNESS/KURTOSIS are sample statistics
-    * (Spark's are population). Lookbehind/lookahead keep derived names
-    * (percentile_est, percentileest, substring, …) untouched. */
+    * (Spark's are population), DIV is double division (Spark's builtin
+    * is integer division). Lookbehind/lookahead keep derived names
+    * (percentile_est, percentileest, substring, intdiv, …) untouched. */
   private val CollidingFns =
-    """(?i)(?<![a-z0-9_])(percentile|substr|skewness|kurtosis|round)\s*\(""".r
+    """(?i)(?<![a-z0-9_])(percentile|substr|skewness|kurtosis|round|div)\s*\(""".r
 
   /** Pinot `TO_TIMESTAMP(millis)` (`DateTimeFunctions.java` toTimestamp)
     * collides with Spark's builtin `to_timestamp(string|seconds)` —

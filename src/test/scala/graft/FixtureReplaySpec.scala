@@ -1097,6 +1097,72 @@ class FixtureReplaySpec extends SparkSpec {
     assert(r9.size == 140 * 2)
   }
 
+  test("reference histogram suite: HistogramQueriesTest golds") {
+    // `HistogramQueriesTest.java:98-260`: 2000 rows with intColumn=i,
+    // doubleColumn=i; both HISTOGRAM forms (explicit edges incl.
+    // ±Infinity strings, equal-width lo/hi/bins), filters, the
+    // 4×-served inter-segment counts, CEIL(DIV(...)) group keys, and
+    // nested transform inputs. Bin contract: [e_i, e_{i+1}) with the
+    // last bin closed.
+    val one = (0 until 2000).map(i => (i, i.toDouble))
+      .toDF("intColumn", "doubleColumn")
+    one.createOrReplaceTempView("hist_testtable")
+    one.union(one).union(one).union(one)
+      .createOrReplaceTempView("hist_testtable4")
+    def hist(sql: String): Seq[Seq[Double]] =
+      graft.sql.QueryFacade.sql(spark, sql).collect().toSeq
+        .map(_.getSeq[Double](0))
+
+    // explicit ARRAY edges (inner-segment golds, :137)
+    assert(hist("SELECT HISTOGRAM(intColumn,ARRAY[0,1,10,100,1000,10000])" +
+      " FROM hist_testtable") == Seq(Seq(1.0, 9, 90, 900, 1000)))
+    // ±Infinity edges spelled as strings (:141-149)
+    assert(hist("SELECT HISTOGRAM(intColumn," +
+      "ARRAY[\"-Infinity\",1,10,100,1000,\"Infinity\"])" +
+      " FROM hist_testtable") == Seq(Seq(1.0, 9, 90, 900, 1000)))
+    // with the suite filter (:159)
+    assert(hist("SELECT HISTOGRAM(intColumn," +
+      "ARRAY[\"-Infinity\",1,10,100,1000,\"Infinity\"])" +
+      " FROM hist_testtable WHERE intColumn >= 500") ==
+      Seq(Seq(0.0, 0, 0, 500, 1000)))
+    // inter-segment ×4 (:165) and the no-match shape (:173)
+    assert(hist("SELECT HISTOGRAM(intColumn,ARRAY[0,1,10,100,1000,10000])" +
+      " FROM hist_testtable4") == Seq(Seq(4.0, 36, 360, 3600, 4000)))
+    assert(hist("SELECT HISTOGRAM(intColumn,ARRAY[0,1,10,100,1000,10000])" +
+      " FROM hist_testtable4 WHERE (intColumn < 0)") ==
+      Seq(Seq(0.0, 0, 0, 0, 0)))
+
+    // equal-width form (:186-205)
+    assert(hist("SELECT HISTOGRAM(intColumn,0,1000,10) FROM hist_testtable")
+      == Seq(Seq(100.0, 100, 100, 100, 100, 100, 100, 100, 100, 101)))
+    assert(hist("SELECT HISTOGRAM(intColumn,0,1000,10) FROM hist_testtable" +
+      " WHERE intColumn >= 500") ==
+      Seq(Seq(0.0, 0, 0, 0, 0, 100, 100, 100, 100, 101)))
+    assert(hist("SELECT HISTOGRAM(intColumn,0,1000,10) FROM hist_testtable4")
+      == Seq(Seq(400.0, 400, 400, 400, 400, 400, 400, 400, 400, 404)))
+
+    // group by CEIL(DIV(...)) (:210-240, inter-segment golds)
+    val grouped = hist("SELECT HISTOGRAM(doubleColumn,0,2000,20)" +
+      " FROM hist_testtable4 GROUP BY CEIL(DIV(intColumn, 400))" +
+      " ORDER BY CEIL(DIV(intColumn, 400))")
+    val z = Seq.fill(20)(0.0)
+    assert(grouped == Seq(
+      z.updated(0, 4.0),
+      Seq(396.0, 400, 400, 400, 4) ++ z.drop(5),
+      z.take(4) ++ Seq(396.0, 400, 400, 400, 4) ++ z.drop(9),
+      z.take(8) ++ Seq(396.0, 400, 400, 400, 4) ++ z.drop(13),
+      z.take(12) ++ Seq(396.0, 400, 400, 400, 4) ++ z.drop(17),
+      z.take(16) ++ Seq(396.0, 400, 400, 400)))
+
+    // nested transform input (:243-260)
+    assert(hist("SELECT HISTOGRAM(ADD(intColumn,doubleColumn),0,2000,20)" +
+      " FROM hist_testtable") ==
+      Seq(Seq.fill(19)(50.0) :+ 51.0))
+    assert(hist("SELECT HISTOGRAM(ADD(intColumn,doubleColumn),0,2000,20)" +
+      " FROM hist_testtable WHERE intColumn >= 500") ==
+      Seq(Seq.fill(10)(0.0) ++ Seq.fill(9)(50.0) :+ 51.0))
+  }
+
   test("reference geospatial fixtures: complex WKT round-trips the wire format") {
     requireReference()
     // pinot-core/src/test/resources/geospatial/complex-*.txt — the
