@@ -783,7 +783,19 @@ object PinotFunctions {
       case "BOOLEAN" => BooleanType
       case _ => StringType
     }
-    coalesce(raw.cast(target), dflt.cast(target))
+    // integral extraction NARROWS non-integral JSON numbers
+    // (PinotDataType numeric coercion: "161.5" as INT is 161 —
+    // JsonDataTypeQueriesTest.java:211); ANSI's direct string→int cast
+    // rejects the decimal point. Integral-looking strings cast
+    // directly (exact for 64-bit longs); anything else routes through
+    // DOUBLE and truncates.
+    val converted = target match {
+      case IntegerType | LongType =>
+        when(raw.rlike("^-?\\d+$"), raw.cast(target))
+          .otherwise(raw.cast(DoubleType).cast(target))
+      case _ => raw.cast(target)
+    }
+    coalesce(converted, dflt.cast(target))
   }
 
   /** Idempotently register the surface into the session.

@@ -79,10 +79,11 @@ object JsonShred {
   private case class WordTok(w: String) extends Tok
   private case object LPar extends Tok
   private case object RPar extends Tok
+  private case object CommaTok extends Tok
 
   private val TokRe =
     ("""\s*(?:"([^"]*)"|'([^']*)'|(-?\d+(?:\.\d+)?)|(<>|>=|<=|!=|=|>|<)""" +
-      """|(\(|\))|([A-Za-z_]+))""").r
+      """|(\(|\)|,)|([A-Za-z_]+))""").r
 
   private def tokenize(s: String): Vector[Tok] = {
     var i = 0
@@ -96,6 +97,7 @@ object JsonShred {
           else if (m.group(4) != null) out += OpTok(m.group(4))
           else if (m.group(5) == "(") out += LPar
           else if (m.group(5) == ")") out += RPar
+          else if (m.group(5) == ",") out += CommaTok
           else out += WordTok(m.group(6).toUpperCase)
           i += m.end
         case None =>
@@ -112,6 +114,8 @@ object JsonShred {
   private final case class Cmp(path: String, op: String,
       lit: Either[Double, String]) extends PNode
   private final case class NullChk(path: String, not: Boolean) extends PNode
+  private final case class InP(path: String, vals: Seq[Either[Double, String]],
+      not: Boolean) extends PNode
   private final case class AndP(l: PNode, r: PNode) extends PNode
   private final case class OrP(l: PNode, r: PNode) extends PNode
 
@@ -149,6 +153,31 @@ object JsonShred {
                 s"JSON_MATCH: expected literal after $op, got $other")
             }
             Cmp(p, op, rhs)
+          case Some(WordTok("IN")) | Some(WordTok("NOT"))
+              if peek.contains(WordTok("IN")) ||
+                (i + 1 < toks.length && toks(i + 1) == WordTok("IN")) =>
+            val not = peek.contains(WordTok("NOT"))
+            i += (if (not) 2 else 1)
+            require(peek.contains(LPar),
+              s"JSON_MATCH: expected ( after IN in '$predicate'")
+            i += 1
+            val vals = Seq.newBuilder[Either[Double, String]]
+            var done = false
+            while (!done) {
+              peek match {
+                case Some(NumTok(v)) => i += 1; vals += Left(v)
+                case Some(StrTok(v)) => i += 1; vals += Right(v)
+                case other => throw new IllegalArgumentException(
+                  s"JSON_MATCH: expected literal in IN list, got $other")
+              }
+              peek match {
+                case Some(CommaTok) => i += 1
+                case Some(RPar) => i += 1; done = true
+                case other => throw new IllegalArgumentException(
+                  s"JSON_MATCH: expected , or ) in IN list, got $other")
+              }
+            }
+            InP(p, vals.result(), not)
           case Some(WordTok("IS")) =>
             i += 1
             val not = peek.contains(WordTok("NOT"))
@@ -197,6 +226,15 @@ object JsonShred {
           case "<" => lhs < r
           case "<=" => lhs <= r
         }
+      case InP(p, vals, not) =>
+        // numeric when EVERY member is numeric, else string compare
+        val wantNum = vals.forall(_.isLeft)
+        val lhs = pathCol(p, wantNum)
+        val lits = vals.map {
+          case Left(v) => if (wantNum) lit(v) else lit(v.toString)
+          case Right(s) => lit(s)
+        }
+        if (not) !lhs.isin(lits: _*) else lhs.isin(lits: _*)
       case NullChk(p, not) =>
         if (not) pathCol(p, wantNum = false).isNotNull
         else pathCol(p, wantNum = false).isNull
@@ -253,6 +291,14 @@ object JsonShred {
         }
         val o = if (op == "!=") "<>" else op
         s"(${pathSql(p, wantNum)} $o $r)"
+      case InP(p, vals, not) =>
+        val wantNum = vals.forall(_.isLeft)
+        val lits = vals.map {
+          case Left(v) => if (wantNum) v.toString else sqlLit(v.toString)
+          case Right(v) => sqlLit(v)
+        }
+        val neg = if (not) "NOT " else ""
+        s"(${pathSql(p, wantNum)} ${neg}IN (${lits.mkString(", ")}))"
       case NullChk(p, not) =>
         s"(${pathSql(p, wantNum = false)} IS ${if (not) "NOT " else ""}NULL)"
       case AndP(l, r) => s"(${emit(l)} AND ${emit(r)})"

@@ -1163,6 +1163,81 @@ class FixtureReplaySpec extends SparkSpec {
       Seq(Seq.fill(10)(0.0) ++ Seq.fill(9)(50.0) :+ 51.0))
   }
 
+  test("reference JSON suite: JsonDataTypeQueriesTest golds") {
+    // `JsonDataTypeQueriesTest.java:100-386`: 13 in-code records with a
+    // JSON column (nested objects, arrays, nested arrays of objects,
+    // multidimensional arrays); asserts json_extract_scalar typed
+    // extraction and JSON_MATCH at several nesting levels.
+    val recs = Seq(
+      (1, "daffy duck", """{"name": {"first": "daffy", "last": "duck"}, "id": 101, "data": ["a", "b", "c", "d"]}"""),
+      (2, "mickey mouse", """{"name": {"first": "mickey", "last": "mouse"}, "id": 111, "data": ["e", "b", "c", "d"]}"""),
+      (3, "donald duck", """{"name": {"first": "donald", "last": "duck"}, "id": 121, "data": ["f", "b", "c", "d"]}"""),
+      (4, "scrooge mcduck", """{"name": {"first": "scrooge", "last": "mcduck"}, "id": 131, "data": ["g", "b", "c", "d"]}"""),
+      (5, "minnie mouse", """{"name": {"first": "minnie", "last": "mouse"}, "id": 141, "data": ["h", "b", "c", "d"]}"""),
+      (6, "daisy duck", """{"name": {"first": "daisy", "last": "duck"}, "id": 161.5, "data": ["i", "b", "c", "d"]}"""),
+      (7, "pluto dog", """{"name": {"first": "pluto", "last": "dog"}, "id": 161, "data": ["j", "b", "c", "d"]}"""),
+      (8, "goofy dwag", """{"name": {"first": "goofy", "last": "dwag"}, "id": 171, "data": ["k", "b", "c", "d"]}"""),
+      (9, "ludwik von drake", """{"name": {"first": "ludwik", "last": "von drake"}, "id": 181, "data": ["l", "b", "c", "d"]}"""),
+      (10, "nested array", """{"name":{"first":"nested","last":"array"},"id":111,"data":[{"e":[{"x":[{"i1":1,"i2":2}]},{"y":[{"i1":1,"i2":2}]},{"z":[{"i1":1,"i2":2}]}]},{"b":[{"x":[{"i1":1,"i2":2}]},{"y":[{"i1":1,"i2":2}]},{"z":[{"i1":10,"i2":20}]}]}]}"""),
+      (11, "multi-dimensional-1 array", """{"name": {"first": "multi-dimensional-1","last": "array"},"id": 111,"data": [[[1,2],[3,4]],[["a","b"],["c","d"]]]}"""),
+      (12, "multi-dimensional-2 array", """{"name": {"first": "multi-dimensional-2","last": "array"},"id": 111,"data": [[[1,2],[3,4]],[["a","b"],["c","d"]]]}"""),
+      (13, "multi-dimensional-1 array", """{"name": {"first": "multi-dimensional-1","last": "array"},"id": 111,"data": [[[1,2],[3,4]],[["a","b"],["c","d"]]]}"""))
+    recs.toDF("intColumn", "stringColumn", "jsonColumn")
+      .createOrReplaceTempView("json_testtable")
+    def q(sql: String) = graft.sql.QueryFacade.sql(spark,
+      s"SET explicitLimit = true; $sql").collect().toSeq
+
+    // typed scalar extraction + filters (:179-268)
+    val r1 = q("select intColumn," +
+      " json_extract_scalar(jsonColumn, '$.name.last', 'STRING') AS l" +
+      " FROM json_testtable WHERE json_extract_scalar(jsonColumn," +
+      " '$.name.first', 'STRING') = 'daffy'")
+    assert(r1.size == 1 && r1.head.getInt(0) == 1 &&
+      r1.head.getString(1) == "duck")
+    val r2 = q("select json_extract_scalar(jsonColumn, '$.name.last'," +
+      " 'STRING') AS l FROM json_testtable" +
+      " WHERE json_extract_scalar(jsonColumn, '$.id', 'INT') = 171")
+    assert(r2.map(_.getString(0)) == Seq("dwag"))
+    val r3a = q("select json_extract_scalar(jsonColumn, '$.id', 'INT')" +
+      " AS v FROM json_testtable WHERE json_extract_scalar(jsonColumn," +
+      " '$.id', 'FLOAT') = 161.5")
+    assert(r3a.size == 1 && r3a.head.getInt(0) == 161)
+    val r3b = q("select json_extract_scalar(jsonColumn, '$.id', 'DOUBLE')" +
+      " AS v FROM json_testtable WHERE json_extract_scalar(jsonColumn," +
+      " '$.id', 'FLOAT') = 161.5")
+    assert(r3b.size == 1 && r3b.head.getDouble(0) == 161.5)
+    val r4 = q("select json_extract_scalar(jsonColumn, '$.data', 'STRING')" +
+      " AS d FROM json_testtable WHERE json_extract_scalar(jsonColumn," +
+      " '$.name.first', 'STRING') = 'daffy'")
+    assert(r4.map(_.getString(0)) == Seq("""["a","b","c","d"]"""))
+    val r5 = q("select json_extract_scalar(jsonColumn, '$.name.first'," +
+      " 'STRING') AS f FROM json_testtable" +
+      " WHERE json_extract_scalar(jsonColumn, '$.data[0]', 'STRING')" +
+      " IN ('i', 'k')")
+    assert(r5.map(_.getString(0)).toSet == Set("daisy", "goofy"))
+
+    // JSON_MATCH at nesting levels (:281-356)
+    def firsts(pred: String): Seq[String] =
+      q("select json_extract_scalar(jsonColumn, '$.name.first', 'STRING')" +
+        s" AS f FROM json_testtable WHERE json_match(jsonColumn, '$pred')")
+        .map(_.getString(0))
+    assert(firsts("\"$.id\"=101") == Seq("daffy"))
+    assert(firsts("\"$.name.first\" = ''daffy''") == Seq("daffy"))
+    assert(firsts("\"$.data[0]\" IN (''k'', ''j'')").toSet ==
+      Set("pluto", "goofy"))
+    assert(firsts("\"$.data[0].e[1].y[0].i1\" = 1") == Seq("nested"))
+    assert(firsts("\"$.data[0][1][0]\" = ''3''").sorted == Seq(
+      "multi-dimensional-1", "multi-dimensional-1", "multi-dimensional-2"))
+
+    // the group-by form (:358): counts per first name
+    val r6 = q("select json_extract_scalar(jsonColumn, '$.name.first'," +
+      " 'STRING') AS f, count(*) AS n FROM json_testtable" +
+      " WHERE json_match(jsonColumn, '\"$.data[0][1][0]\" = ''3''')" +
+      " GROUP BY f")
+    assert(r6.map(r => r.getString(0) -> r.getLong(1)).toMap ==
+      Map("multi-dimensional-1" -> 2L, "multi-dimensional-2" -> 1L))
+  }
+
   test("reference geospatial fixtures: complex WKT round-trips the wire format") {
     requireReference()
     // pinot-core/src/test/resources/geospatial/complex-*.txt — the
