@@ -1238,6 +1238,73 @@ class FixtureReplaySpec extends SparkSpec {
       Map("multi-dimensional-1" -> 2L, "multi-dimensional-2" -> 1L))
   }
 
+  test("reference subnet suite: IsSubnetOfQueriesTest golds") {
+    // `IsSubnetOfQueriesTest.java:88-200`: 21 in-code rows pairing CIDR
+    // prefixes with addresses and the expected membership; IPv4 rows
+    // carry a default IPv6 triple and vice versa. Served ×4.
+    val v4 = Seq(
+      ("105.25.245.115/27", "105.25.245.98", true),
+      ("122.152.0.204/28", "122.152.0.198", true),
+      ("130.191.23.32/26", "130.191.23.33", true),
+      ("122.152.15.0/26", "122.152.15.28", true),
+      ("96.141.228.254/26", "96.141.228.254", true),
+      ("3.175.47.128/26", "3.175.47.178", true),
+      ("105.25.245.115/27", "105.25.245.0", false),
+      ("122.152.0.204/28", "122.152.0.254", false),
+      ("130.191.23.32/26", "130.192.23.33", false),
+      ("122.152.15.0/26", "122.152.0.63", false),
+      ("96.141.228.254/26", "96.141.227.254", false),
+      ("3.175.47.128/26", "3.175.48.178", false),
+      ("10.3.128.1/22", "1.2.3.1", false),
+      ("1.2.3.128/26", "1.2.5.1", false),
+      ("1.2.3.128/26", "1.1.3.1", false))
+    val v6 = Seq(
+      ("2001:4800:7825:103::/64", "2001:4800:7825:103::2050", true),
+      ("2001:4801:7825:103:be76:4efe::/96",
+        "2001:4801:7825:103:be76:4efe::e15", true),
+      ("2001:db8:85a3::8a2e:370:7334/62",
+        "2001:0db8:85a3:0003:ffff:ffff:ffff:ffff", true),
+      ("7890:db8:113::8a2e:370:7334/127", "7890:db8:113::8a2e:370:7336", false),
+      ("64:ff9b::17/64", "64:ffff::17", false),
+      ("123:db8:85a3::8a2e:370:7334/72", "124:db8:85a3::8a2e:370:7334", false))
+    val rows =
+      v4.map { case (p, a, b) =>
+        (p, a, b, "64:fa9b::17/64", "64:ffff::17", false) } ++
+      v6.map { case (p, a, b) =>
+        ("1.2.3.128/26", "1.2.3.129", true, p, a, b) }
+    val one = rows.toDF("ipv4Prefix", "ipv4Address", "ipv4Contains",
+      "ipv6Prefix", "ipv6Address", "ipv6Contains")
+    one.union(one).union(one).union(one)
+      .createOrReplaceTempView("subnet_testtable")
+    def q(sql: String) = graft.sql.QueryFacade.sql(spark,
+      s"SET explicitLimit = true; $sql").collect().toSeq
+
+    // select form: computed membership equals the stored expectation
+    val r1 = q("select isSubnetOf(ipv4Prefix, ipv4Address) as IPv4Result," +
+      " isSubnetOf(ipv6Prefix, ipv6Address) as IPv6Result," +
+      " ipv4Contains, ipv6Contains from subnet_testtable limit 100")
+    assert(r1.size == 84)
+    r1.foreach { r =>
+      assert(r.getBoolean(0) == r.getBoolean(2), s"v4 $r")
+      assert(r.getBoolean(1) == r.getBoolean(3), s"v6 $r")
+    }
+
+    // filter form: 12 v4-containing rows and 3 v6-containing rows, ×4
+    assert(q("select count(*) AS n from subnet_testtable" +
+      " where isSubnetOf(ipv4Prefix, ipv4Address)").head.getLong(0) == 48L)
+    assert(q("select count(*) AS n from subnet_testtable" +
+      " where isSubnetOf(ipv6Prefix, ipv6Address)").head.getLong(0) == 12L)
+
+    // CASE form with literal prefixes, ordered: 4 / 4 / 76
+    val r3 = q("select (case when isSubnetOf('105.25.245.115/27'," +
+      " ipv4Address) then 'case1' when" +
+      " isSubnetOf('2001:db8:85a3::8a2e:370:7334/62', ipv6Address)" +
+      " then 'case2' else 'case3' end) as col1 from subnet_testtable" +
+      " order by col1 limit 100")
+    assert(r3.map(_.getString(0)) ==
+      Seq.fill(4)("case1") ++ Seq.fill(4)("case2") ++ Seq.fill(76)("case3"))
+  }
+
   test("reference geospatial fixtures: complex WKT round-trips the wire format") {
     requireReference()
     // pinot-core/src/test/resources/geospatial/complex-*.txt — the
