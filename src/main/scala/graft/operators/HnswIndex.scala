@@ -445,7 +445,12 @@ final class HnswGraph(val dim: Int, val m: Int, val efConstruction: Int,
         "inner-product indexes must use the exact scan path")
     // the INTERNAL Euclidean score is the negated SQUARED distance
     // (no sqrt in the hot loop); the caller's minSim is on the
-    // API scale (negated true distance), so square the bound once
+    // API scale (negated true distance), so square the bound once.
+    // Squaring discards the SIGN: a positive minSim means the caller
+    // asked for dist <= -|t| — satisfiable by nothing (distances are
+    // non-negative), so answer empty-and-complete instead of folding
+    // it onto the |t| ball.
+    if (metric == 2 && minSim > 0f) return (Seq.empty, true)
     val minInternal =
       if (metric == 2) -(minSim * minSim) else minSim
     val q = maybeNormalize(rawQ)

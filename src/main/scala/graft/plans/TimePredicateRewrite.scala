@@ -28,7 +28,17 @@ import org.apache.spark.sql.types._
   * Child shapes unwrapped so the emitted range lands on the RAW
   * column (all produced by the `datetrunc` builder in PinotFunctions):
   *   - long columns (identity casts / ×1 input-unit scaling stripped;
-  *     other exact scalings divide through the bounds),
+  *     other exact positive scalings `raw × k` — the builder's
+  *     seconds/minutes/hours/days input units — divide through the
+  *     bounds with ceiling division, valid for BOTH ends of a
+  *     half-open [lo, hi) range on integers: raw×k ≥ lo ⇔
+  *     raw ≥ ⌈lo/k⌉ and raw×k < hi ⇔ raw < ⌈hi/k⌉. Columns whose
+  *     scaled value would overflow Long are outside the contract —
+  *     the same assumption the reference's optimizer makes. The
+  *     3-arg dateTrunc form divides the millis truncation BACK to
+  *     input units before comparing — that double-division wrapper
+  *     stays un-rewritten: its toward-zero rounding at pre-epoch
+  *     values breaks the exact-inversion contract),
   *   - `UnixMillis(tsCol)` → TIMESTAMP literals on tsCol,
   *   - `UnixMillis(Cast(ntzCol, TS, UTC))` → TIMESTAMP_NTZ literals
   *     (fixed-offset zones only — DST overlaps make the local→instant
@@ -127,6 +137,20 @@ object TimePredicateRewrite extends Rule[LogicalPlan] {
             Literal(Math.multiplyExact(ms, 1000L), TimestampType)))
         case _ => None
       }
+      // exact positive input-unit scaling (datetrunc's SECONDS/…
+      // arms): millisValue = raw × k, so both half-open bounds divide
+      // through with CEILING division (see scaladoc). floorDiv-based
+      // ceil is sign-correct for pre-epoch (negative) bounds.
+      case Multiply(c, lit, _) if c.dataType == LongType &&
+          longLit(lit).exists(_ > 0) =>
+        val k = longLit(lit).get
+        Some((c, ms => Literal(
+          Math.floorDiv(Math.addExact(ms, k - 1), k), LongType)))
+      case Multiply(lit, c, _) if c.dataType == LongType &&
+          longLit(lit).exists(_ > 0) =>
+        val k = longLit(lit).get
+        Some((c, ms => Literal(
+          Math.floorDiv(Math.addExact(ms, k - 1), k), LongType)))
       case e if e.dataType == LongType =>
         Some((e, ms => Literal(ms, LongType)))
       case _ => None

@@ -69,16 +69,34 @@ object FooterStats {
     case _ => false
   }
 
+  /** Hadoop Configuration is not Serializable; ship it to executors
+    * via the same writeObject trick Spark's own (package-private)
+    * SerializableConfiguration uses. */
+  private final class ConfBox(@transient var conf: Configuration)
+      extends Serializable {
+    private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+      out.defaultWriteObject(); conf.write(out)
+    }
+    private def readObject(in: java.io.ObjectInputStream): Unit = {
+      in.defaultReadObject(); conf = new Configuration(false)
+      conf.readFields(in)
+    }
+  }
+
   /** Distributed footer read — the only cluster work, proportional to
-    * FILE COUNT, not data size. */
+    * FILE COUNT, not data size. Footers open with the SESSION's
+    * Hadoop configuration (credentials, custom filesystems), not a
+    * bare `new Configuration()` — a table on S3A must not fail the
+    * footer job while the scan path works. */
   private def harvest(spark: SparkSession, files: Seq[String],
-      wanted: Set[String]): Seq[GroupStats] =
+      wanted: Set[String]): Seq[GroupStats] = {
+    val confBox = new ConfBox(spark.sessionState.newHadoopConf())
     spark.sparkContext
       .parallelize(files, math.max(1, math.min(files.size,
         spark.sparkContext.defaultParallelism)))
       .flatMap { f =>
         val reader = ParquetFileReader.open(
-          HadoopInputFile.fromPath(new Path(f), new Configuration()))
+          HadoopInputFile.fromPath(new Path(f), confBox.conf))
         try reader.getRowGroups.asScala.map { bm =>
           val rows = bm.getRowCount
           val cols = bm.getColumns.asScala.flatMap { cc =>
@@ -101,6 +119,7 @@ object FooterStats {
         }.toVector
         finally reader.close()
       }.collect().toSeq
+  }
 
   /** Harvest `fact`'s footers and register the zero-dimension rollup
     * spec. Returns the spec (None when the plan has no parquet scan

@@ -1025,8 +1025,19 @@ object QueryFacade {
 
   private def textCandViewName(spark: SparkSession, table: String,
       col: String, query: String): String = textCandViews.synchronized {
-    val key = java.lang.Integer.toHexString(
-      (table, col, query).hashCode())
+    // collision-resistant key: a 32-bit hashCode collides around 2^16
+    // in-flight distinct queries (birthday bound) and a collision
+    // silently serves the WRONG candidate set; SHA-256 over a
+    // length-unambiguous encoding cannot. 24 hex chars = 96 bits,
+    // still far beyond any realistic view population.
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    val enc = java.nio.charset.StandardCharsets.UTF_8
+    Seq(table, col, query).foreach { s =>
+      val b = s.getBytes(enc)
+      md.update(java.nio.ByteBuffer.allocate(4).putInt(b.length).array())
+      md.update(b)
+    }
+    val key = md.digest().take(12).map("%02x".format(_)).mkString
     val view = s"graft_text_cands_$key"
     textCandViews.remove(view)
     textCandViews.put(view, view)
@@ -1311,30 +1322,55 @@ object QueryFacade {
 
   /** Decode a quoted SQL string literal the way Spark's parser does
     * (ParserUtils.unescapeSQLString): backslash escapes (\\ \' \" \n
-    * \t \r \b \f \0, \uXXXX) plus the doubled-quote form. A rewrite
+    * \t \r \b \0 \Z, \uXXXX) plus the doubled-quote form. A rewrite
     * that reads literal TEXT out of the statement must apply this
     * before handing the value to a programmatic Column, or patterns
     * like 'co\\..*' reach the dictionary with a double backslash the
-    * scan path would never see. */
+    * scan path would never see.
+    *
+    * Mirrors Spark's `appendEscapedChar` exactly — in particular \%
+    * and \_ KEEP their backslash (MySQL-compatible LIKE escapes: the
+    * lexer leaves them escaped so LIKE still sees a literal %/_), \Z
+    * is the SUB control char (0x1A), and \f has NO special meaning
+    * (plain 'f', the default arm). Dropping the backslash of \% here
+    * would turn an escaped literal % into a wildcard on the
+    * dictionary path only — an over-broad match set emitted as an
+    * exact IN-list with no re-verify (wrong rows vs the scan path).
+    * UnescapeSpec gates this against spark.sql round-trips. */
   private[graft] def unescapeSqlLiteral(quoted: String): String = {
     val body = quoted.stripPrefix("'").stripSuffix("'")
+    def isOct(c: Char) = c >= '0' && c <= '7'
+    def isHex(c: Char) = (c >= '0' && c <= '9') ||
+      (c >= 'a' && c <= 'f') || (c >= 'A' && c <= 'F')
     val sb = new StringBuilder(body.length)
     var i = 0
     while (i < body.length) {
       val c = body.charAt(i)
       if (c == '\\' && i + 1 < body.length) {
-        body.charAt(i + 1) match {
-          case 'n' => sb.append('\n'); i += 2
-          case 't' => sb.append('\t'); i += 2
-          case 'r' => sb.append('\r'); i += 2
-          case 'b' => sb.append('\b'); i += 2
-          case 'f' => sb.append('\f'); i += 2
-          case '0' => sb.append('\u0000'); i += 2
-          case 'u' if i + 5 < body.length =>
-            sb.append(Integer.parseInt(body.substring(i + 2, i + 6), 16)
-              .toChar)
-            i += 6
-          case other => sb.append(other); i += 2
+        val n = body.charAt(i + 1)
+        if (n == 'u' && i + 5 < body.length &&
+            (2 to 5).forall(k => isHex(body.charAt(i + k)))) {
+          sb.append(Integer.parseInt(body.substring(i + 2, i + 6), 16)
+            .toChar)
+          i += 6
+        } else if (n >= '0' && n <= '1' && i + 3 < body.length &&
+            isOct(body.charAt(i + 2)) && isOct(body.charAt(i + 3))) {
+          sb.append(Integer.parseInt(body.substring(i + 1, i + 4), 8)
+            .toChar)
+          i += 4
+        } else {
+          n match {
+            case 'n' => sb.append('\n')
+            case 't' => sb.append('\t')
+            case 'r' => sb.append('\r')
+            case 'b' => sb.append('\b')
+            case 'Z' => sb.append(26.toChar)
+            case '%' => sb.append("\\%")
+            case '_' => sb.append("\\_")
+            case '0' => sb.append(0.toChar)
+            case other => sb.append(other)
+          }
+          i += 2
         }
       } else if (c == '\'' && i + 1 < body.length &&
           body.charAt(i + 1) == '\'') {

@@ -155,6 +155,23 @@ class HnswSpec extends SparkSpec {
     assert(!capped, "limit-stopped search must report exhausted=false")
   }
 
+  test("L2 radius with a negative distance threshold matches nothing") {
+    // API scale for Euclidean is NEGATED distance: minSim = -t. A
+    // positive minSim means dist <= -|t| -- unsatisfiable. Squaring
+    // the bound without the sign guard would fold it onto the |t|
+    // ball and return every point within |t|.
+    val vs = randomVecs(200, 8, 7)
+    val g = new HnswGraph(8, 8, 60,
+      graft.operators.VectorDistance.id(graft.operators.VectorDistance.Euclidean))
+    vs.zipWithIndex.foreach { case (v, i) => g.add(i.toLong, v) }
+    // sanity: the mirrored positive threshold DOES match (dist <= 5)
+    val (some, _) = g.searchRadius(vs(0), -5.0f, 10000)
+    assert(some.nonEmpty)
+    val (hits, done) = g.searchRadius(vs(0), 5.0f, 10000)
+    assert(hits.isEmpty, s"dist <= -5 matched ${hits.size} points")
+    assert(done, "the empty answer is complete, not a fallback signal")
+  }
+
   test("out-of-corpus probe sharing a corpus id keeps its true neighbor") {
     val t = Tables(spark, sf)
     val spk = spark

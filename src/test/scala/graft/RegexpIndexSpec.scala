@@ -114,4 +114,53 @@ class RegexpIndexSpec extends SparkSpec {
       assert(lit0.contains("'REGEXP_LIKE(p_type, ''a'')'"))
     } finally RegexpIndex.clear()
   }
+
+  test("unescapeSqlLiteral mirrors Spark's lexer byte-for-byte") {
+    // The dictionary path must hand LIKE/regex the SAME string the
+    // scan path's lexer produces; any divergence is wrong rows. Gate
+    // empirically: round-trip a corpus through spark.sql.
+    val corpus = Seq(
+      """'plain'""",
+      """'a\%b'""", """'a\_b'""", """'100\%'""",
+      """'tab\there'""", """'nl\nhere'""", """'cr\rhere'""",
+      """'bs\bhere'""", """'ff\fhere'""", """'sub\Zhere'""",
+      """'oct\101here'""", """'octal\377'""",
+      "'uni\\u0041x'", "'badhex\\uzzzz'",
+      """'quote''inside'""", """'mix\\%\\_'""", """'back\\slash'""",
+      """'dot\.star\*'""", """'\0nul'""", """'\7seven'""", """'\42x'""")
+    for (q <- corpus) {
+      val viaSpark = spark.sql(s"SELECT $q AS v").head.getString(0)
+      val viaGraft = graft.sql.QueryFacade.unescapeSqlLiteral(q)
+      assert(viaGraft == viaSpark,
+        s"$q: graft=${viaGraft.map(_.toInt).mkString(",")}" +
+          s" spark=${viaSpark.map(_.toInt).mkString(",")}")
+    }
+  }
+
+  test("escaped LIKE wildcards stay literal on the dictionary path") {
+    import spark.implicits._
+    // values containing literal % and _ -- an unescaped-\% bug turns
+    // the escape into a wildcard and over-matches as an exact IN-list
+    val df = Seq("100%", "100x", "1000", "a_b", "axb", "a%b").toDF("v")
+    df.createOrReplaceTempView("esctab")
+    RegexpIndex.register("esctab", df, "v")
+    try {
+      def answers(stmt: String): Set[String] = {
+        val served = graft.sql.QueryFacade.sql(spark,
+          s"SET explicitLimit = true; $stmt")
+        val scan = spark.sql(stmt)
+        val a = served.collect().map(_.getString(0)).toSet
+        assert(a == scan.collect().map(_.getString(0)).toSet, stmt)
+        a
+      }
+      assert(answers("""SELECT v FROM esctab WHERE v LIKE '100\%'""") ==
+        Set("100%"))
+      assert(answers("""SELECT v FROM esctab WHERE v LIKE 'a\_b'""") ==
+        Set("a_b"))
+      assert(answers("""SELECT v FROM esctab WHERE v LIKE '100%'""") ==
+        Set("100%", "100x", "1000"))
+      assert(answers("""SELECT v FROM esctab WHERE v LIKE 'a_b'""") ==
+        Set("a_b", "axb", "a%b"))
+    } finally RegexpIndex.clear()
+  }
 }

@@ -106,4 +106,50 @@ class TimePredicateRewriteSpec extends SparkSpec {
     assert(!q.queryExecution.optimizedPlan.toString.toLowerCase
       .contains("datetrunc"))
   }
+
+  test("non-unit input scalings divide through the bounds (epoch-seconds column)") {
+    import spark.implicits._
+    // epoch-SECONDS column with MILLISECONDS output: the truncation's
+    // child is the raw value x1000; the rewrite must divide the millis
+    // bounds back through with ceiling division and land the range on
+    // the RAW seconds column (pre-epoch negatives included). The
+    // 3-arg form (output back in input units) wraps the truncation in
+    // a divide and intentionally stays un-rewritten -- asserted below.
+    val secs = (samples.map(_ / 1000) ++
+      Seq(-1L, -86401L, -86400L, 0L, 1L)).distinct
+    val sdf = secs.toDF("s")
+    sdf.createOrReplaceTempView("timepred_s")
+    for (unit <- Seq("hour", "day", "month");
+         op <- Seq("=", ">", ">=", "<", "<=");
+         v <- Seq(1704067200000L, 1709250845123L, -86400000L)) {
+      val stmt = s"SELECT s FROM timepred_s WHERE" +
+        s" datetrunc('$unit', s, 'SECONDS', 'UTC', 'MILLISECONDS') $op ${v}L"
+      val q = spark.sql(stmt)
+      val got = q.collect().map(_.getLong(0)).toSet
+      val want = secs.filter { sv =>
+        val t = DateTimeAlgos.dateTruncEpoch(unit, sv * 1000L, "UTC")
+        op match {
+          case "=" => t == v
+          case ">" => t > v
+          case ">=" => t >= v
+          case "<" => t < v
+          case "<=" => t <= v
+        }
+      }.toSet
+      assert(got == want, s"$unit $op $v")
+      val opt = q.queryExecution.optimizedPlan.toString
+      assert(!opt.toLowerCase.contains("datetrunc"),
+        s"$unit $op $v still evaluates dateTrunc:\n$opt")
+      assert(!opt.contains("* 1000"),
+        s"$unit $op $v kept the x1000 scaling:\n$opt")
+    }
+    // the 3-arg form compares in INPUT units (millis-trunc divided
+    // back); results must stay correct via plain evaluation
+    val q3 = spark.sql("SELECT s FROM timepred_s WHERE" +
+      " datetrunc('day', s, 'SECONDS') = 1704067200L")
+    val want3 = secs.filter(sv =>
+      DateTimeAlgos.dateTruncEpoch("day", sv * 1000L, "UTC") / 1000L ==
+        1704067200L).toSet
+    assert(q3.collect().map(_.getLong(0)).toSet == want3)
+  }
 }
