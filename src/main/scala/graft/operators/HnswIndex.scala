@@ -50,7 +50,26 @@ object HnswIndex {
     IndexCache.getOrBuild(("hnsw",
       corpus.queryExecution.analyzed.canonicalized,
       idCol, vecCol, m, efConstruction, nShards, metric.name)) {
-      buildImpl(corpus, idCol, vecCol, m, efConstruction, nShards, metric)
+      // DURABLE shard blobs (the reference persists the HNSW graph in
+      // the segment at ingest, `HnswVectorIndexCreator.java`, and only
+      // reads it at query time): graph construction is the expensive
+      // step, so a fresh process re-registering unchanged data loads
+      // the byte-exact blobs with no build. Derived corpora without a
+      // file fingerprint keep the JVM-lifetime localCheckpoint.
+      val located = graft.sources.IndexStore.getOrBuild(corpus,
+        "vector_hnsw", vecCol,
+        Seq("v1", idCol, m, efConstruction, nShards, metric.name)) { d =>
+        buildImpl(corpus, idCol, vecCol, m, efConstruction, nShards,
+          metric).shards.write.mode("overwrite").parquet(s"$d/shards")
+      }
+      located match {
+        case Some(l) =>
+          Model(corpus.sparkSession.read.parquet(s"${l.dir}/shards"),
+            m, efConstruction, metric)
+        case None =>
+          buildImpl(corpus, idCol, vecCol, m, efConstruction, nShards,
+            metric)
+      }
     }
 
   private def buildImpl(

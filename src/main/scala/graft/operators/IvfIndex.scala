@@ -53,8 +53,41 @@ object IvfIndex {
     // way, so a hit returns the identical model a fresh build would
     IndexCache.getOrBuild(("ivf", corpus.queryExecution.analyzed.canonicalized,
       idCol, vecCol, k, iterations, maxTrainRows, quantizerBits)) {
-      buildImpl(corpus, idCol, vecCol, k, iterations, maxTrainRows,
-        quantizerBits)
+      // DURABLE artifact: assignments (cell-partitioned — nprobe
+      // searches read nprobe/k of the files), centroids, and the
+      // scalar-quantizer params persist under the corpus table's index
+      // store; a fresh process re-registering unchanged data loads
+      // with no clustering job (the reference reads its IVF pages from
+      // the segment, `IvfPqVectorIndexReader.java`).
+      val spark = corpus.sparkSession
+      val located = graft.sources.IndexStore.getOrBuild(corpus,
+        "vector_ivf", vecCol,
+        Seq("v1", idCol, k, iterations, maxTrainRows, quantizerBits)) { d =>
+        val m = buildImpl(corpus, idCol, vecCol, k, iterations,
+          maxTrainRows, quantizerBits)
+        m.assignments.write.mode("overwrite").partitionBy("cell")
+          .parquet(s"$d/assignments")
+        m.centroids.write.mode("overwrite").parquet(s"$d/centroids")
+        m.quant.foreach { q =>
+          import spark.implicits._
+          Seq((q.bits, q.mins, q.maxs)).toDF("bits", "mins", "maxs")
+            .write.mode("overwrite").parquet(s"$d/quant")
+        }
+      }
+      located match {
+        case Some(l) =>
+          val quant =
+            if (quantizerBits > 0) {
+              val r = spark.read.parquet(s"${l.dir}/quant").head()
+              Some(ScalarQuantize.Params(r.getInt(0),
+                r.getSeq[Double](1), r.getSeq[Double](2)))
+            } else None
+          Model(spark.read.parquet(s"${l.dir}/assignments"),
+            spark.read.parquet(s"${l.dir}/centroids"), quant)
+        case None =>
+          buildImpl(corpus, idCol, vecCol, k, iterations, maxTrainRows,
+            quantizerBits)
+      }
     }
 
   private def buildImpl(

@@ -121,6 +121,45 @@ object RollupRewrite {
     spec
   }
 
+  /** Register a rollup from an ALREADY-WRITTEN artifact (durable
+    * ingest-time build, the star-tree contract: the server only ever
+    * reads the persisted tree) — same Spec as [[buildRollup]] with the
+    * same parameters, but no aggregation job. The caller owns the
+    * claim that `rollupPath` was built from `factPath` with these
+    * parameters (IndexStore's fingerprint manifest is that proof). */
+  def loadRollup(
+      spark: SparkSession,
+      factPath: String,
+      rollupPath: String,
+      dims: Seq[String],
+      measures: Seq[String],
+      distinctMeasures: Seq[String] = Nil,
+      hllP: Int = HllSketch.DefaultP,
+      tdigestMeasures: Seq[String] = Nil,
+      tdCompression: Double = GraftTDigest.DefaultCompression,
+      qdigestMeasures: Seq[String] = Nil,
+      qdMaxError: Double = GraftQDigest.DefaultMaxError,
+      kllMeasures: Seq[String] = Nil,
+      kllK: Int = KllSketch.DefaultK,
+      thetaMeasures: Seq[String] = Nil,
+      thetaK: Int = ThetaDs.DefaultNominalEntries,
+      cpcMeasures: Seq[String] = Nil,
+      cpcLgK: Int = 12,
+      tupleMeasures: Seq[(String, String)] = Nil,
+      tupleK: Int = 16384): Spec = {
+    val spec = Spec(factPath, spark.read.parquet(rollupPath),
+      dims.toSet, measures.toSet, measures.toSet, measures.toSet,
+      distinctMeasures.map(_ -> hllP).toMap,
+      tdigestMeasures.map(_ -> tdCompression).toMap,
+      qdigestMeasures.map(_ -> qdMaxError).toMap,
+      kllMeasures.map(_ -> kllK).toMap,
+      thetaMeasures.map(_ -> thetaK).toMap,
+      cpcMeasures.map(_ -> cpcLgK).toMap,
+      tupleMeasures.map(_ -> tupleK).toMap)
+    register(spark, spec)
+    spec
+  }
+
   def register(spark: SparkSession, spec: Spec): Unit = {
     specs.put(spec.factPath, spec)
     val rule = new RewriteRule(spark)

@@ -1081,19 +1081,45 @@ object ExtraQueries {
         // query pays lookup + merge, not the build
         val (fact, spec) = graft.operators.IndexCache.getOrBuild(
           ("q_rollup_tdigest", dir)) {
-          val tmp = java.nio.file.Files
-            .createTempDirectory("graft_rollup_q").toString
-          val factPath = s"$tmp/fact"
-          t.lineitem
+          // DURABLE star-tree analog: fact projection + rollup persist
+          // under the lineitem table's index store keyed by its file
+          // fingerprint — a fresh process LOADS both (loadRollup, no
+          // aggregation job) instead of rebuilding per JVM.
+          val src = t.lineitem
             .select(col("l_returnflag"), col("l_linestatus"),
               col("l_quantity"))
-            .write.mode("overwrite").parquet(factPath)
-          val f = s.read.parquet(factPath)
-          val sp = graft.plans.RollupRewrite.buildRollup(s, f,
-            graft.plans.RollupRewrite.pathOf(f).get,
+          val located = graft.sources.IndexStore.getOrBuild(src,
+            "rollup", "q_rollup_tdigest", Seq("v1", "td")) { d =>
+            src.write.mode("overwrite").parquet(s"$d/fact")
+            val f0 = s.read.parquet(s"$d/fact")
+            graft.plans.RollupRewrite.buildRollup(s, f0,
+              graft.plans.RollupRewrite.pathOf(f0).get,
+              dims = Seq("l_returnflag", "l_linestatus"),
+              measures = Seq("l_quantity"),
+              outPath = s"$d/rollup",
+              tdigestMeasures = Seq("l_quantity"))
+            ()
+          }
+          val base = located match {
+            case Some(l) => l.dir
+            case None =>
+              val tmp = java.nio.file.Files
+                .createTempDirectory("graft_rollup_q").toString
+              src.write.mode("overwrite").parquet(s"$tmp/fact")
+              val f0 = s.read.parquet(s"$tmp/fact")
+              graft.plans.RollupRewrite.buildRollup(s, f0,
+                graft.plans.RollupRewrite.pathOf(f0).get,
+                dims = Seq("l_returnflag", "l_linestatus"),
+                measures = Seq("l_quantity"),
+                outPath = s"$tmp/rollup",
+                tdigestMeasures = Seq("l_quantity"))
+              tmp
+          }
+          val f = s.read.parquet(s"$base/fact")
+          val sp = graft.plans.RollupRewrite.loadRollup(s,
+            graft.plans.RollupRewrite.pathOf(f).get, s"$base/rollup",
             dims = Seq("l_returnflag", "l_linestatus"),
             measures = Seq("l_quantity"),
-            outPath = s"$tmp/rollup",
             tdigestMeasures = Seq("l_quantity"))
           (f, sp)
         }
@@ -1130,19 +1156,34 @@ object ExtraQueries {
         val t = Tables(s, dir)
         val (fact, spec) = graft.operators.IndexCache.getOrBuild(
           ("q_rollup_theta", dir)) {
-          val tmp = java.nio.file.Files
-            .createTempDirectory("graft_rollup_th").toString
-          val factPath = s"$tmp/fact"
-          t.lineitem
+          val src = t.lineitem
             .select(col("l_returnflag"), col("l_linestatus"),
               col("l_suppkey"), col("l_linenumber"))
-            .write.mode("overwrite").parquet(factPath)
-          val f = s.read.parquet(factPath)
-          val sp = graft.plans.RollupRewrite.buildRollup(s, f,
-            graft.plans.RollupRewrite.pathOf(f).get,
+          def buildInto(d: String): Unit = {
+            src.write.mode("overwrite").parquet(s"$d/fact")
+            val f0 = s.read.parquet(s"$d/fact")
+            graft.plans.RollupRewrite.buildRollup(s, f0,
+              graft.plans.RollupRewrite.pathOf(f0).get,
+              dims = Seq("l_returnflag", "l_linestatus"),
+              measures = Seq("l_linenumber"),
+              outPath = s"$d/rollup",
+              thetaMeasures = Seq("l_suppkey"),
+              cpcMeasures = Seq("l_suppkey"),
+              tupleMeasures = Seq(("l_suppkey", "l_linenumber")))
+            ()
+          }
+          val base = graft.sources.IndexStore.getOrBuild(src,
+            "rollup", "q_rollup_theta", Seq("v1", "theta"))(buildInto)
+            .map(_.dir).getOrElse {
+              val tmp = java.nio.file.Files
+                .createTempDirectory("graft_rollup_th").toString
+              buildInto(tmp); tmp
+            }
+          val f = s.read.parquet(s"$base/fact")
+          val sp = graft.plans.RollupRewrite.loadRollup(s,
+            graft.plans.RollupRewrite.pathOf(f).get, s"$base/rollup",
             dims = Seq("l_returnflag", "l_linestatus"),
             measures = Seq("l_linenumber"),
-            outPath = s"$tmp/rollup",
             thetaMeasures = Seq("l_suppkey"),
             cpcMeasures = Seq("l_suppkey"),
             tupleMeasures = Seq(("l_suppkey", "l_linenumber")))

@@ -54,14 +54,39 @@ object RegexpIndex {
     * raw-encoded column either). */
   val DefaultMaxDictForSemiJoin = 10000000L
 
+  /** Artifact-layout version — bump on dictionary schema changes so
+    * persisted artifacts from older layouts rebuild. */
+  private val LayoutVersion = 1
+
   def build(corpus: DataFrame, column: String,
       nBuckets: Int = 8): Model =
     graft.operators.IndexCache.getOrBuild(("regexpidx",
       corpus.queryExecution.analyzed.canonicalized, column, nBuckets)) {
       val spark = corpus.sparkSession
-      val dir = java.nio.file.Files
-        .createTempDirectory("graft_regexpidx").toString
-      TextIndex.registerTempDir(dir)
+      // DURABLE artifact (the reference builds the FST into the
+      // segment at ingest, `FstIndexType.java`): fingerprint-manifested
+      // under the corpus table's _indexes/ dir, loaded with no build
+      // job by a fresh process; fingerprint-less corpora keep the
+      // session-lifetime temp dir.
+      val located = IndexStore.getOrBuild(corpus, "regexp", column,
+        Seq("v" + LayoutVersion, nBuckets)) { d =>
+        writeArtifact(corpus, column, nBuckets, s"$d/dict")
+      }
+      val dir = located match {
+        case Some(l) => s"${l.dir}/dict"
+        case None =>
+          val d = java.nio.file.Files
+            .createTempDirectory("graft_regexpidx").toString
+          TextIndex.registerTempDir(d)
+          writeArtifact(corpus, column, nBuckets, d)
+          d
+      }
+      val dict = spark.read.parquet(dir)
+      Model(dict, dict.count())
+    }
+
+  private def writeArtifact(corpus: DataFrame, column: String,
+      nBuckets: Int, dir: String): Unit =
       // written + value-sorted: an anchored-prefix predicate prunes the
       // dictionary scan itself via row-group stats on `value`
       corpus.select(col(column).cast("string").as("value"))
@@ -70,9 +95,6 @@ object RegexpIndex {
         .repartitionByRange(nBuckets, col("value"))
         .sortWithinPartitions("value")
         .write.mode("overwrite").parquet(dir)
-      val dict = spark.read.parquet(dir)
-      Model(dict, dict.count())
-    }
 
   final case class Entry(model: Model, maxDictForSemiJoin: Long)
 
