@@ -165,16 +165,29 @@ object BrokerResponse {
   def fetchPage(spark: SparkSession, store: ResponseStore,
       requestId: Long, offset: Long, numRows: Int,
       timeUsedMs: Long = 0L, totalRows: Long = -1L): String = {
+    val meta = store.readMeta(requestId.toString)
     val total =
-      if (totalRows >= 0) totalRows
-      else store.readMeta(requestId.toString).map(_.numRows).getOrElse(-1L)
+      if (totalRows >= 0) totalRows else meta.map(_.numRows).getOrElse(-1L)
     val page = store.handleCursorRequest(requestId.toString, offset, numRows)
     val rows = page.collect().toSeq
     // CursorResponseNative: numRowsResultSet stays the FULL stored
     // count; the page itself sits in resultTable with (offset, numRows)
+    // plus the store's submission/expiration clock fields
     assemble(page.schema, rows, rows.size, timeUsedMs, requestId,
       "graft-broker",
-      s""","offset":$offset,"numRows":$numRows""",
+      s""","offset":$offset,"numRows":$numRows""" +
+        meta.map(m => s""","submissionTimeMs":${m.submitTimeMs},""" +
+          s""""expirationTimeMs":${m.expirationTimeMs}""").getOrElse(""),
       numRowsResultSet = total)
   }
+
+  /** Response-without-resultTable of a stored cursor
+    * (`ResponseStoreResource.getSqlQueryMetadata` →
+    * `AbstractResponseStore.readResponse`). */
+  def cursorMetadata(m: ResponseStore#CursorMeta): String =
+    s"""{"resultTable":null,"numRowsResultSet":${m.numRows},""" +
+      s""""exceptions":[],"requestId":${jStr(m.requestId)},""" +
+      s""""brokerId":"graft-broker",""" +
+      s""""submissionTimeMs":${m.submitTimeMs},""" +
+      s""""expirationTimeMs":${m.expirationTimeMs}}"""
 }

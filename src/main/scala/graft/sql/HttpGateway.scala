@@ -18,6 +18,23 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *      — the GET form takes `sql` as a query parameter, the POST form
   *      requires the JSON field `sql` and answers 400 with "Payload is
   *      missing the query string field 'sql'" otherwise)
+  *   POST /query           body {"sql": "...", "queryOptions": "k=v;…"}
+  *   GET  /query?sql=…                          →  [[BrokerResponse]]
+  *     (the reference's MSE entry point,
+  *      `PinotClientRequest.java:311,342` — same handler surface as
+  *      /query/sql plus the `queryOptions` body field, whose
+  *      `k1=v1;k2=v2` pairs become the facade's SET options)
+  *   POST /query/sql?getCursor=true&numRows=N  →  first page + cursor
+  *     (`PinotClientRequest.java:186-189` — the result is materialized
+  *      in the [[ResponseStore]] and the response carries the
+  *      CursorResponseNative pagination fields)
+  *   GET    /responseStore/                     →  stored-cursor metadata list
+  *   GET    /responseStore/{id}                 →  one cursor's metadata
+  *   GET    /responseStore/{id}/results?offset=…&numRows=…  →  a page
+  *   DELETE /responseStore/{id}                 →  drop the stored result
+  *   DELETE /responseStore/?expiredBefore=…     →  reap expired cursors
+  *     (`ResponseStoreResource.java:89-205`, incl. its plain-string
+  *      delete bodies and 404 contract)
   *   GET  /timeseries/api/v1/query_range?query=…&start=…&end=…&step=…
   *                                              →  [[TimeSeriesEndpoint]]
   *     (`TimeSeriesRequestHandler.java:226-248`; the endpoint assembles
@@ -33,7 +50,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object HttpGateway {
 
   final case class Gateway(server: HttpServer, port: Int,
-      requestIds: AtomicLong) {
+      requestIds: AtomicLong, store: ResponseStore) {
     def stop(): Unit = {
       server.stop(0)
       // the transport pool's threads are non-daemon — shut them down so
@@ -49,8 +66,12 @@ object HttpGateway {
     * finds the top-level `"sql"` key and decodes the JSON string that
     * follows (escapes incl. \uXXXX). None when absent or malformed —
     * the 400 path. */
-  private[graft] def extractSqlField(body: String): Option[String] = {
-    val key = "\"sql\""
+  private[graft] def extractSqlField(body: String): Option[String] =
+    extractStringField(body, "sql")
+
+  private[graft] def extractStringField(body: String,
+      name: String): Option[String] = {
+    val key = "\"" + name + "\""
     var i = body.indexOf(key)
     while (i >= 0) {
       var j = i + key.length
@@ -117,27 +138,109 @@ object HttpGateway {
   private def readBody(ex: HttpExchange): String =
     new String(ex.getRequestBody.readAllBytes(), UTF_8)
 
+  /** CursorConfigs.DEFAULT_CURSOR_FETCH_ROWS — the page size when
+    * getCursor=true and no numRows is given. */
+  val DefaultCursorFetchRows = 10000
+
   /** Start the gateway on `port` (0 = ephemeral; read the bound port
     * from the returned [[Gateway]]). `resolve` is the time-series
-    * table resolver (the broker's table-resolution role). */
+    * table resolver (the broker's table-resolution role).
+    * `cursorRoot` anchors the response store (default: a fresh temp
+    * dir — pass a durable path to page across processes). */
   def start(spark: SparkSession, resolve: String => DataFrame,
-      port: Int = 0): Gateway = {
+      port: Int = 0, cursorRoot: Option[String] = None): Gateway = {
     val server = HttpServer.create(new InetSocketAddress(port), 0)
     val ids = new AtomicLong(0L)
+    val store = new ResponseStore(spark, cursorRoot.getOrElse(
+      java.nio.file.Files.createTempDirectory("graft_cursors").toString))
 
-    server.createContext("/query/sql", (ex: HttpExchange) => {
+    // both SQL entry points share one handler: the reference's /query
+    // (MSE) surface equals /query/sql plus the queryOptions body field
+    // (RequestUtils.java:103-104 — "k1=v1;k2=v2" become query options,
+    // the facade's SET statements)
+    def sqlHandler(ex: HttpExchange): Unit = {
       try {
-        val sql = ex.getRequestMethod.toUpperCase match {
-          case "GET" => parseQueryParams(ex.getRequestURI.getRawQuery)
-            .get("sql")
-          case _ => extractSqlField(readBody(ex))
+        val params = parseQueryParams(ex.getRequestURI.getRawQuery)
+        val (sql, opts) = ex.getRequestMethod.toUpperCase match {
+          case "GET" => (params.get("sql"), None)
+          case _ =>
+            val body = readBody(ex)
+            (extractSqlField(body), extractStringField(body, "queryOptions"))
         }
         sql match {
           case None => respond(ex, 400,
             """{"error": "Payload is missing the query string field 'sql'"}""")
-          case Some(q) => respond(ex, 200,
-            BrokerResponse.execute(spark, q,
-              requestId = ids.incrementAndGet()))
+          case Some(q0) =>
+            val q = opts.filter(_.nonEmpty).map { o =>
+              o.split(";").toSeq.map(_.trim).filter(_.contains("="))
+                .map { kv =>
+                  val Array(k, v) = kv.split("=", 2)
+                  s"SET ${k.trim} = ${v.trim};"
+                }.mkString(" ") + " " + q0
+            }.getOrElse(q0)
+            val getCursor = params.get("getCursor")
+              .exists(_.equalsIgnoreCase("true"))
+            if (getCursor) {
+              val n = params.get("numRows").flatMap(_.toIntOption)
+                .filter(_ > 0).getOrElse(DefaultCursorFetchRows)
+              respond(ex, 200, BrokerResponse.executeWithCursor(spark,
+                store, q, ids.incrementAndGet(), n,
+                System.currentTimeMillis()))
+            } else respond(ex, 200,
+              BrokerResponse.execute(spark, q,
+                requestId = ids.incrementAndGet()))
+        }
+      } catch { case scala.util.control.NonFatal(e) =>
+        respond(ex, 500, s"""{"error": ${jsonStr(e)}}""")
+      }
+    }
+    server.createContext("/query/sql", sqlHandler(_))
+    // /query is a PREFIX context on the JDK server; route /query/sql
+    // explicitly so the more specific context wins regardless
+    server.createContext("/query", (ex: HttpExchange) => {
+      if (ex.getRequestURI.getPath.startsWith("/query/sql")) sqlHandler(ex)
+      else sqlHandler(ex)
+    })
+
+    server.createContext("/responseStore", (ex: HttpExchange) => {
+      try {
+        val rest = ex.getRequestURI.getPath
+          .stripPrefix("/responseStore").stripPrefix("/")
+        val params = parseQueryParams(ex.getRequestURI.getRawQuery)
+        (ex.getRequestMethod.toUpperCase, rest.split("/").toList) match {
+          case ("GET", Nil) | ("GET", List("")) =>
+            respond(ex, 200, store.getAllStoredResponses
+              .map(BrokerResponse.cursorMetadata)
+              .mkString("[", ",", "]"))
+          case ("GET", List(id)) =>
+            store.readMeta(id) match {
+              case Some(m) =>
+                respond(ex, 200, BrokerResponse.cursorMetadata(m))
+              case None => respond(ex, 404,
+                s"Query results for $id not found.")
+            }
+          case ("GET", List(id, "results")) =>
+            if (store.readMeta(id).isEmpty)
+              respond(ex, 404, s"Query results for $id not found.")
+            else {
+              val offset = params.get("offset").flatMap(_.toLongOption)
+                .getOrElse(0L)
+              val n = params.get("numRows").flatMap(_.toIntOption)
+                .filter(_ > 0).getOrElse(DefaultCursorFetchRows)
+              respond(ex, 200, BrokerResponse.fetchPage(spark, store,
+                id.toLong, offset, n))
+            }
+          case ("DELETE", Nil) | ("DELETE", List("")) =>
+            val cutoff = params.get("expiredBefore")
+              .flatMap(_.toLongOption)
+              .getOrElse(System.currentTimeMillis())
+            val count = store.deleteExpiredResponses(cutoff)
+            respond(ex, 200, s"Deleted $count expired response(s).")
+          case ("DELETE", List(id)) =>
+            if (store.deleteResponse(id))
+              respond(ex, 200, s"Query Results for $id deleted.")
+            else respond(ex, 404, s"Query results for $id not found.")
+          case _ => respond(ex, 404, "not found")
         }
       } catch { case scala.util.control.NonFatal(e) =>
         respond(ex, 500, s"""{"error": ${jsonStr(e)}}""")
@@ -158,7 +261,7 @@ object HttpGateway {
     // the queries themselves
     server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(4))
     server.start()
-    Gateway(server, server.getAddress.getPort, ids)
+    Gateway(server, server.getAddress.getPort, ids, store)
   }
 
   private def jsonStr(e: Throwable): String = {

@@ -107,6 +107,94 @@ class HttpGatewaySpec extends SparkSpec {
     assert(extractSqlField("""{"sql": "unterminated""").isEmpty)
   }
 
+  test("cursor pagination over the live socket matches the ResponseStore pages") {
+    graft.sql.QueryFacade.init(spark, sf)
+    val gw = HttpGateway.start(spark, _ => metrics)
+    try {
+      val base = s"http://127.0.0.1:${gw.port}"
+      // the default LIMIT 10 applies to cursor queries exactly as in
+      // the reference (its own default limit) — carry an explicit one
+      val sql = "SELECT n_nationkey, n_name FROM nation " +
+        "ORDER BY n_nationkey LIMIT 25"
+      // POST ...?getCursor=true&numRows=N returns the FIRST page plus
+      // the CursorResponseNative pagination fields
+      val (c0, first) = request(
+        s"$base/query/sql?getCursor=true&numRows=10", "POST",
+        Some(s"""{"sql": ${escape(sql)}}"""))
+      assert(c0 == 200)
+      assert(first.contains(""""offset":0""") &&
+        first.contains(""""numRows":10""") &&
+        first.contains(""""numRowsResultSet":25""") &&
+        first.contains("submissionTimeMs") &&
+        first.contains("expirationTimeMs"), first.take(400))
+      val id = """"requestId":"(\d+)"""".r
+        .findFirstMatchIn(first).get.group(1)
+      // page 2 over the socket == the store's page, byte-compared
+      val (c1, page1) = request(
+        s"$base/responseStore/$id/results?offset=10&numRows=10")
+      assert(c1 == 200)
+      val direct = normalize(BrokerResponse.fetchPage(spark, gw.store,
+        id.toLong, 10L, 10))
+      assert(normalize(page1) == direct,
+        s"page diverged:\n${normalize(page1)}\n$direct")
+      // the pages tile the result: 10 + 10 + 5
+      val (c2, page2) = request(
+        s"$base/responseStore/$id/results?offset=20&numRows=10")
+      assert(c2 == 200)
+      def rowCount(js: String): Int =
+        """\[(-?\d+),""".r.findAllIn(js).length
+      assert(rowCount(page1) == 10 && rowCount(page2) == 5)
+      // metadata surfaces without the resultTable
+      val (mc, meta) = request(s"$base/responseStore/$id")
+      assert(mc == 200 && meta.contains(""""resultTable":null""") &&
+        meta.contains(""""numRowsResultSet":25"""))
+      // the list surface carries it too
+      val (lc, list) = request(s"$base/responseStore/")
+      assert(lc == 200 && list.contains(s""""requestId":"$id""""))
+      // DELETE drops it; a second fetch 404s with the reference text
+      val (dc, dmsg) = request(s"$base/responseStore/$id", "DELETE")
+      assert(dc == 200 && dmsg == s"Query Results for $id deleted.")
+      val (nc, nmsg) = request(
+        s"$base/responseStore/$id/results?offset=0&numRows=5")
+      assert(nc == 404 && nmsg == s"Query results for $id not found.")
+      val (dc2, _) = request(s"$base/responseStore/$id", "DELETE")
+      assert(dc2 == 404)
+    } finally gw.stop()
+  }
+
+  test("POST /query (MSE route) answers like /query/sql and applies queryOptions") {
+    graft.sql.QueryFacade.init(spark, sf)
+    val gw = HttpGateway.start(spark, _ => metrics)
+    try {
+      val base = s"http://127.0.0.1:${gw.port}"
+      val sql = "SELECT n_regionkey, count(*) AS n FROM nation " +
+        "GROUP BY n_regionkey ORDER BY n_regionkey"
+      val direct = normalize(BrokerResponse.execute(spark, sql))
+      val (pc, posted) = request(s"$base/query", "POST",
+        Some(s"""{"sql": ${escape(sql)}}"""))
+      assert(pc == 200 && normalize(posted) == direct)
+      val enc = java.net.URLEncoder.encode(sql, UTF_8)
+      val (gc, got) = request(s"$base/query?sql=$enc")
+      assert(gc == 200 && normalize(got) == direct)
+      // queryOptions "k=v;k2=v2" becomes SET options: explicitLimit
+      // keeps the un-LIMITed SELECT from being capped to 10
+      val bare = "SELECT n_nationkey FROM nation ORDER BY n_nationkey"
+      val (oc, opted) = request(s"$base/query", "POST",
+        Some(s"""{"sql": ${escape(bare)}, "queryOptions": "explicitLimit=true"}"""))
+      assert(oc == 200 && opted.contains(""""numRowsResultSet":25"""),
+        opted.take(300))
+      val (dc, defaulted) = request(s"$base/query", "POST",
+        Some(s"""{"sql": ${escape(bare)}}"""))
+      assert(dc == 200 && defaulted.contains(""""numRowsResultSet":10"""),
+        "default LIMIT 10 must still apply without the option")
+      // missing sql → the same 400 contract
+      val (mc, missing) = request(s"$base/query", "POST",
+        Some("""{"queryOptions": "a=b"}"""))
+      assert(mc == 400 &&
+        missing.contains("missing the query string field 'sql'"))
+    } finally gw.stop()
+  }
+
   private def escape(s: String): String =
     "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
 }
