@@ -134,13 +134,18 @@ object IndexStore {
       .exists(pre => local.startsWith(pre))
   }
 
-  /** Durable artifact directory for (table, family, column):
+  /** Durable artifact directory for (table, family, column, variant):
     * table-adjacent `_indexes/` when allowed and writable, else under
     * the index root keyed by the table path's hash (stable across
-    * processes — the point of the exercise). */
+    * processes — the point of the exercise). `variant` disambiguates
+    * DIFFERENT corpora over the same table path (e.g. a plain scan vs
+    * a union, or different build params) — without it the second
+    * registration's overwrite would clobber the first's files under
+    * the feet of its already-handed-out DataFrames. */
   def dirFor(spark: org.apache.spark.sql.SparkSession, tablePath: String,
-      family: String, column: String): String = {
-    val adjacent = s"${tablePath.stripSuffix("/")}/_indexes/$family/$column"
+      family: String, column: String, variant: String = ""): String = {
+    val leaf = if (variant.isEmpty) column else s"$column/$variant"
+    val adjacent = s"${tablePath.stripSuffix("/")}/_indexes/$family/$leaf"
     if (!excluded(spark, tablePath)) {
       try {
         val p = new Path(adjacent)
@@ -150,7 +155,7 @@ object IndexStore {
       } catch { case scala.util.control.NonFatal(_) => () }
     }
     val key = sha(Iterator(new Path(tablePath).toUri.toString)).take(16)
-    s"${indexRoot(spark)}/$key/$family/$column"
+    s"${indexRoot(spark)}/$key/$family/$leaf"
   }
 
   private def manifestPath(dir: String) = new Path(dir, "_manifest.json")
@@ -197,7 +202,14 @@ object IndexStore {
       fp <- fingerprint(corpus, params)
       tablePath <- scanRoots(corpus).headOption
     } yield {
-      val dir = dirFor(spark, tablePath, family, column)
+      // variant = plan shape + params (NOT the file listing): the same
+      // logical corpus re-registered in any process lands on the same
+      // directory, while a different corpus over the same table path
+      // gets its own — in-place data changes still rebuild in place
+      // via the manifest fingerprint
+      val variant = sha(params.iterator.map(String.valueOf) ++ Iterator(
+        corpus.queryExecution.analyzed.canonicalized.toString)).take(12)
+      val dir = dirFor(spark, tablePath, family, column, variant)
       val fs = new Path(dir)
         .getFileSystem(spark.sessionState.newHadoopConf())
       if (readManifest(fs, dir).contains(fp)) {

@@ -1903,6 +1903,80 @@ object QueryFacade {
   private val ExplainPrefix =
     """(?is)^\s*EXPLAIN\s+(?:IMPLEMENTATION\s+)?PLAN\s+FOR\s+""".r
 
+  /** Pinot's null-handling mode sorts NULL as the LARGEST value
+    * (`NullValueUtils` / the ordering in `OrderByComparatorFactory`):
+    * ASC puts nulls last, DESC puts nulls first. Spark's defaults are
+    * the OPPOSITE (ASC nulls first, DESC nulls last), so when the
+    * enableNullHandling option is set every ORDER BY key without an
+    * explicit NULLS clause gets the Pinot one appended. Keys that
+    * spell NULLS FIRST/LAST are untouched; the scan respects quoted
+    * literals and stops each key list at the first depth-0
+    * LIMIT/OFFSET/ROWS/RANGE/')' boundary, so window specs inside
+    * OVER(...) are rewritten consistently too. */
+  private[graft] def rewriteNullOrdering(stmt: String): String = {
+    val obPat = """(?i)\bORDER\s+BY\s+""".r
+    val out = new StringBuilder
+    var pos = 0
+    for (m <- obPat.findAllMatchIn(stmt)) {
+      if (m.start >= pos && !insideLiteral(stmt, m.start)) {
+        // scan the key list from m.end to the clause terminator
+        var i = m.end
+        var depth = 0
+        var inStr = false
+        var end = stmt.length
+        val term = """(?i)^(LIMIT|OFFSET|ROWS|RANGE|FETCH)\b""".r
+        var scanning = true
+        while (scanning && i < stmt.length) {
+          val c = stmt.charAt(i)
+          if (inStr) { if (c == '\'') inStr = false; i += 1 }
+          else c match {
+            case '\'' => inStr = true; i += 1
+            case '(' => depth += 1; i += 1
+            case ')' if depth == 0 => end = i; scanning = false
+            case ')' => depth -= 1; i += 1
+            case _ =>
+              if (depth == 0 &&
+                  term.findFirstIn(stmt.substring(i)).isDefined &&
+                  (i == 0 || !stmt.charAt(i - 1).isLetterOrDigit)) {
+                end = i; scanning = false
+              } else i += 1
+          }
+        }
+        if (scanning) end = stmt.length
+        val keyList = stmt.substring(m.end, end)
+        // split top-level commas
+        val keys = scala.collection.mutable.ArrayBuffer[String]()
+        var d = 0; var strq = false; var last = 0
+        for (j <- 0 until keyList.length) {
+          val c = keyList.charAt(j)
+          if (strq) { if (c == '\'') strq = false }
+          else c match {
+            case '\'' => strq = true
+            case '(' => d += 1
+            case ')' => d -= 1
+            case ',' if d == 0 =>
+              keys += keyList.substring(last, j); last = j + 1
+            case _ =>
+          }
+        }
+        keys += keyList.substring(last)
+        val rewritten = keys.map { k =>
+          val trimmed = k.trim
+          if (trimmed.isEmpty ||
+              """(?i)\bNULLS\s+(FIRST|LAST)\b""".r
+                .findFirstIn(trimmed).isDefined) k
+          else if ("""(?i)\bDESC\s*$""".r.findFirstIn(trimmed).isDefined)
+            k.replaceAll("""(?s)(\S)(\s*)$""", "$1 NULLS FIRST$2")
+          else k.replaceAll("""(?s)(\S)(\s*)$""", "$1 NULLS LAST$2")
+        }.mkString(",")
+        out.append(stmt.substring(pos, m.end)).append(rewritten)
+        pos = end
+      }
+    }
+    out.append(stmt.substring(pos))
+    out.toString
+  }
+
   def sql(spark: SparkSession, query: String): DataFrame =
     sqlWithExtraOptions(spark, query, Map.empty)
 
@@ -1937,7 +2011,11 @@ object QueryFacade {
         org.apache.spark.sql.execution.FormattedMode).split("\n")
       return lines.toSeq.toDF("plan")
     }
-    val df = spark.sql(stmt)
+    val stmtNulls =
+      if (opts.get("enablenullhandling").exists(_.equalsIgnoreCase("true")))
+        rewriteNullOrdering(stmt)
+      else stmt
+    val df = spark.sql(stmtNulls)
     val explicit = opts.get("explicitlimit").exists(_.toBoolean)
     val isSelect = stmt.trim.toLowerCase.startsWith("select") ||
       stmt.trim.toLowerCase.startsWith("with")

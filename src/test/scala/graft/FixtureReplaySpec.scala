@@ -979,6 +979,183 @@ class FixtureReplaySpec extends SparkSpec {
       r8.head.head.asInstanceOf[Number].doubleValue == 0.0)
   }
 
+  test("reference boolean null suite: BooleanNullEnabledQueriesTest golds") {
+    // `BooleanNullEnabledQueriesTest.java:93-135`: 1000 rows whose
+    // BOOLEAN column ingests from seven source shapes — false, 1,
+    // 0L, 0.1f (non-zero numeric -> true), 0.0, "true", null — so
+    // true <=> i%7 in {1,3,5}, false <=> {0,2,4}, null <=> 6 — served
+    // over 4 identical segments with enableNullHandling=true. The
+    // suite pins Pinot's NULL-IS-LARGEST default ordering (DESC puts
+    // null FIRST without an explicit NULLS clause), null-excluding
+    // predicate semantics, and null propagation through scalar fns.
+    val trueIdx = Set(1, 3, 5)
+    val one = (0 until 1000).map { i =>
+      Tuple1(if (i % 7 == 6) null
+        else java.lang.Boolean.valueOf(trueIdx(i % 7)))
+    }.toDF("booleanColumn")
+    one.createOrReplaceTempView("booln_t1")
+    one.union(one).union(one).union(one)
+      .createOrReplaceTempView("booln_t4")
+    val nTrue = (0 until 1000).count(i => trueIdx(i % 7))      // 429
+    val nFalse = (0 until 1000).count(i => Set(0, 2, 4)(i % 7)) // 429
+    val nNull = (0 until 1000).count(_ % 7 == 6)               // 142
+    def q(sql: String): Seq[Seq[Any]] = graft.sql.QueryFacade.sql(spark,
+      s"SET enableNullHandling = true; $sql").collect().toSeq.map(_.toSeq)
+
+    // predicate family (:125-320): null rows match NO value predicate,
+    // including negations — only IS NULL sees them
+    assert(q("SELECT booleanColumn FROM booln_t4" +
+      " WHERE booleanColumn is null LIMIT 5000").size == nNull * 4)
+    assert(q("SELECT booleanColumn FROM booln_t4" +
+      " WHERE booleanColumn = false LIMIT 5000").size == nFalse * 4)
+    assert(q("SELECT booleanColumn FROM booln_t4" +
+      " WHERE booleanColumn != false LIMIT 5000").size == nTrue * 4)
+    assert(q("SELECT booleanColumn FROM booln_t4" +
+      " WHERE booleanColumn = true LIMIT 5000").size == nTrue * 4)
+    assert(q("SELECT booleanColumn FROM booln_t4" +
+      " WHERE booleanColumn in (true) LIMIT 5000").size == nTrue * 4)
+    assert(q("SELECT booleanColumn FROM booln_t4" +
+      " WHERE booleanColumn not in (true) LIMIT 5000").size == nFalse * 4)
+    assert(q("SELECT booleanColumn FROM booln_t4" +
+      " WHERE booleanColumn in (false) LIMIT 5000").size == nFalse * 4)
+    assert(q("SELECT booleanColumn FROM booln_t4" +
+      " WHERE booleanColumn != true LIMIT 5000").size == nFalse * 4)
+    assert(q("SELECT booleanColumn FROM booln_t4" +
+      " WHERE booleanColumn is not null LIMIT 5000")
+      .size == (nTrue + nFalse) * 4)
+    // bare-predicate form (:344): only true rows
+    val bare = q("SELECT booleanColumn FROM booln_t1 WHERE booleanColumn")
+    assert(bare.size == 10 && bare.forall(_.head == true))
+    // SELECT * default LIMIT 10 in doc order, null at i%7==6 (:124)
+    val sel = q("SELECT booleanColumn FROM booln_t1")
+    assert(sel.map(_.head) == (0 until 10).map(i =>
+      if (i % 7 == 6) null else trueIdx(i % 7)))
+    // explicit NULLS LAST ordering tiles true*4, false*4, null*4 (:359)
+    val ord = q("SELECT booleanColumn FROM booln_t4" +
+      " ORDER BY booleanColumn DESC NULLS LAST LIMIT 4000")
+    assert(ord.size == 4000)
+    assert(ord.take(nTrue * 4).forall(_.head == true))
+    assert(ord.slice(nTrue * 4, (nTrue + nFalse) * 4)
+      .forall(_.head == false))
+    assert(ord.drop((nTrue + nFalse) * 4).forall(_.head == null))
+    // scalar null propagation: STARTS_WITH(CAST(null)) is null (:384)
+    val sw = q("SELECT STARTS_WITH(CAST(booleanColumn AS STRING), 'fa')" +
+      " AS boolResult FROM booln_t1")
+    assert(sw.map(_.head) == (0 until 10).map(i =>
+      if (i % 7 == 6) null else !trueIdx(i % 7)))
+    // Pinot's NULL-IS-LARGEST default: DESC with NO nulls clause puts
+    // the null group FIRST (:404-425) — opposite of Spark's default
+    val dist = q("SELECT DISTINCT booleanColumn FROM booln_t4" +
+      " ORDER BY booleanColumn DESC")
+    assert(dist.map(_.head) == Seq(null, true, false), dist.toString)
+    // ... and ASC puts it LAST (:426-448)
+    val grp = q("SELECT COUNT(*) AS count, booleanColumn FROM booln_t4" +
+      " GROUP BY booleanColumn ORDER BY booleanColumn")
+    assert(grp == Seq(Seq(nFalse * 4L, false), Seq(nTrue * 4L, true),
+      Seq(nNull * 4L, null)), grp.toString)
+  }
+
+  test("reference big-decimal suite: BigDecimalQueriesTest golds") {
+    // `BigDecimalQueriesTest.java:93-433`: 1000 rows, value = base+i
+    // (base random there; pinned here — every assertion is relative),
+    // null at i%4==3, served over 4 identical segments with
+    // enableNullHandling=true. Pins BIG_DECIMAL plain-string fidelity,
+    // null-excluding COUNT, DISTINCT null collapse, the null-largest
+    // default ordering, quoted-decimal-literal range/equality
+    // precision, SUMPRECISION exactness, and HAVING over MAX.
+    import java.math.{BigDecimal => JBD}
+    val base = new JBD("0.3183")
+    def v(i: Int): JBD = base.add(JBD.valueOf(i.toLong))
+    val one = (0 until 1000).map { i =>
+      Tuple1(if (i % 4 == 3) null else v(i))
+    }.toDF("bigDecimalColumn")
+      .select(col("bigDecimalColumn").cast("decimal(23,4)")
+        .as("bigDecimalColumn"))
+    one.createOrReplaceTempView("bigdec_t1")
+    one.union(one).union(one).union(one)
+      .createOrReplaceTempView("bigdec_t4")
+    def q(sql: String): Seq[Seq[Any]] = graft.sql.QueryFacade.sql(spark,
+      s"SET enableNullHandling = true; $sql").collect().toSeq.map(_.toSeq)
+    def bd(a: Any): JBD = a.asInstanceOf[JBD].stripTrailingZeros
+
+    // SELECT * — first 10 docs, null at i%4==3, exact plain values
+    val sel = q("SELECT bigDecimalColumn FROM bigdec_t1")
+    assert(sel.size == 10)
+    for (i <- 0 until 10)
+      if (i % 4 == 3) assert(sel(i).head == null)
+      else assert(bd(sel(i).head) == v(i).stripTrailingZeros)
+
+    // ORDER BY DESC NULLS LAST over the 4x segments: 4000 rows, each
+    // value 4 times descending, 1000 nulls at the tail
+    val ord = q("SELECT bigDecimalColumn FROM bigdec_t4" +
+      " ORDER BY bigDecimalColumn DESC NULLS LAST LIMIT 4000")
+    assert(ord.size == 4000)
+    assert(ord.takeRight(1000).forall(_.head == null))
+    assert(bd(ord.head.head) == v(998).stripTrailingZeros) // 999 is null
+    assert(ord.take(4).map(r => bd(r.head)).distinct.size == 1)
+
+    // DISTINCT collapses the nulls into ONE value, sorted largest/last
+    val dist = q("SELECT DISTINCT bigDecimalColumn FROM bigdec_t4" +
+      " ORDER BY bigDecimalColumn LIMIT 4000")
+    assert(dist.size == 751)
+    assert(dist.last.head == null)
+    assert(bd(dist.head.head) == v(0).stripTrailingZeros)
+    assert(bd(dist(1).head) == v(1).stripTrailingZeros)
+    assert(bd(dist(3).head) == v(4).stripTrailingZeros) // 3 is null
+
+    // COUNT(col) excludes the null quarter: 3 * 1000
+    assert(q("SELECT COUNT(bigDecimalColumn) AS count FROM bigdec_t4")
+      .head.head == 3000L)
+
+    // GROUP BY + bare ORDER BY DESC: Pinot's null-largest default puts
+    // the null group FIRST without any NULLS clause
+    val grp = q("SELECT bigDecimalColumn FROM bigdec_t4" +
+      " GROUP BY bigDecimalColumn ORDER BY bigDecimalColumn DESC")
+    assert(grp.size == 10 && grp.head.head == null)
+    assert(bd(grp(1).head) == v(998).stripTrailingZeros)
+
+    // grouped COUNT(*): every non-null group appears 4 times
+    val gcnt = q("SELECT COUNT(*) AS count, bigDecimalColumn" +
+      " FROM bigdec_t4 GROUP BY bigDecimalColumn" +
+      " ORDER BY bigDecimalColumn DESC NULLS LAST LIMIT 1000")
+    assert(gcnt.size == 751)
+    assert(gcnt.take(750).forall(_.head == 4L))
+    assert(bd(gcnt.head(1)) == v(998).stripTrailingZeros)
+
+    // SUMPRECISION: exact big-decimal total = 4 x sum of non-nulls
+    val total = (0 until 1000).filter(_ % 4 != 3)
+      .foldLeft(JBD.ZERO)((a, i) => a.add(v(i))).multiply(JBD.valueOf(4))
+    val sp = q("SELECT SUMPRECISION(bigDecimalColumn) AS sum" +
+      " FROM bigdec_t4")
+    assert(new JBD(sp.head.head.toString).compareTo(total) == 0)
+
+    // quoted decimal literals keep precision: > base+69 starts at 70
+    val gt = q("SELECT bigDecimalColumn FROM bigdec_t4" +
+      s" WHERE bigDecimalColumn > '${v(69).toPlainString}'" +
+      " ORDER BY bigDecimalColumn LIMIT 30")
+    assert(gt.size == 30)
+    assert(bd(gt.head.head) == v(70).stripTrailingZeros)
+    // ... and equality matches the 4 copies exactly
+    val eq = q("SELECT bigDecimalColumn FROM bigdec_t4" +
+      s" WHERE bigDecimalColumn = '${v(69).toPlainString}' LIMIT 100")
+    assert(eq.size == 4 &&
+      eq.forall(r => bd(r.head) == v(69).stripTrailingZeros))
+
+    // HAVING over MAX: null group's MAX is null -> dropped (4 not 5)
+    val hv = q("SELECT MAX(bigDecimalColumn) AS maxValue FROM bigdec_t4" +
+      " GROUP BY bigDecimalColumn HAVING maxValue < " +
+      s"${v(5).toPlainString} ORDER BY maxValue")
+    assert(hv.size == 4)
+    assert(hv.map(r => r.head.asInstanceOf[Number].doubleValue()) ==
+      Seq(0, 1, 2, 4).map(i => v(i).doubleValue()))
+    val hv2 = q("SELECT MAX(bigDecimalColumn) AS maxValue" +
+      " FROM bigdec_t4 GROUP BY bigDecimalColumn HAVING maxValue > " +
+      s"${v(991).toPlainString} ORDER BY maxValue")
+    assert(hv2.size == 6)
+    assert(hv2.map(r => r.head.asInstanceOf[Number].doubleValue()) ==
+      Seq(992, 993, 994, 996, 997, 998).map(i => v(i).doubleValue()))
+  }
+
   test("reference distinct suite: DistinctQueriesTest inter-segment golds") {
     // `DistinctQueriesTest.java:161-215` — two segments of 10000 rows
     // each holding 100 unique base values (0..99 and 1000..1099,

@@ -45,7 +45,13 @@ class IndexStoreSpec extends SparkSpec {
     val b0 = IndexStore.builds.get()
     TextIndex.register("ixs_docs", corpus, "doc_id", "text", nBuckets = 2)
     assert(IndexStore.builds.get() == b0 + 1, "first register must build")
-    val adjacent = s"$tab/_indexes/text/text"
+    // the artifact lives under <table>/_indexes/<family>/<column>/
+    // <variant>/ (variant = plan+params hash so distinct corpora over
+    // one table path never clobber each other)
+    val colDir = java.nio.file.Paths.get(s"$tab/_indexes/text/text")
+    val variants = java.nio.file.Files.list(colDir).iterator()
+    assert(variants.hasNext, "expected a variant dir under _indexes")
+    val adjacent = variants.next().toString
     assert(java.nio.file.Files.exists(
       java.nio.file.Paths.get(adjacent, "_manifest.json")),
       "artifact must live under <table>/_indexes with a manifest")
