@@ -39,7 +39,15 @@ object GeoFunctions {
       val xAtY = (bx - ax) * (py - ay) / (by - ay) + ax
       when(straddles && px < xAtY, acc + 1).otherwise(acc)
     })
-    crossings % 2 === 1
+    // NULL coordinates must answer NULL, not "not inside": the
+    // accumulator's otherwise() arm swallows a NULL comparison, so
+    // without this guard a NULL point reports false and its NEGATED
+    // forms (= 0, NOT) wrongly match — the exact null-leak the
+    // reference fixed in its H3 filter (H3IndexQueriesTest
+    // testH3IndexWithNullHandling). A NULL polygon already propagates
+    // through aggregate(NULL, ...).
+    when(px.isNull || py.isNull,
+      lit(null).cast("boolean")).otherwise(crossings % 2 === 1)
   }
 
   /** ST_Within(point, poly) = ST_Contains(poly, point). */

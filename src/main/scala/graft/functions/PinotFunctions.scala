@@ -173,7 +173,10 @@ object PinotFunctions {
         ex(out).eval().toString, ex(gran).eval().toString,
         ex(hop).eval().toString) },
     "textmatch" -> { case Seq(c, q) => TextMatch.textMatch(c, ex(q).eval().toString) },
-    "text_match" -> { case Seq(c, q) => TextMatch.textMatch(c, ex(q).eval().toString) },
+    "text_match" -> {
+      case Seq(c, q) => TextMatch.textMatch(c, ex(q).eval().toString)
+      case Seq(c, q, o) => TextMatch.textMatch(c,
+        ex(q).eval().toString, ex(o).eval().toString) },
     "fromepochseconds" -> { case Seq(v) => timestamp_seconds(v.cast(LongType)) },
     "fromepochmillis" -> { case Seq(v) => timestamp_millis(v.cast(LongType)) },
     "toepochseconds" -> { case Seq(ts) => unix_seconds(ts.cast(TimestampType)) },

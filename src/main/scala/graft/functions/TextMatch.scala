@@ -22,8 +22,26 @@ import org.apache.spark.sql.functions._
   * (ordered terms with at most N intervening tokens between
   * consecutive terms — a subset of Lucene's move-based slop, exact
   * for 2-term phrases), grouping parentheses, and AND / OR
-  * combinators (AND binds tighter than OR; adjacency means AND, as
-  * in the reference's text-match default).
+  * combinators (AND binds tighter than OR). Adjacency of unquoted
+  * terms means OR — Lucene's classic-parser default and the
+  * reference's (`LuceneTextIndexReader._useANDForMultiTermQueries =
+  * false`); the per-column/per-query opt-in
+  * `useANDForMultiTermTextIndexQueries` / `defaultOperator=AND` makes
+  * adjacency bind as AND instead. A third TEXT_MATCH argument carries
+  * Lucene-style options (`LuceneTextIndexUtils.OptionKey`):
+  * `defaultOperator=AND|OR` and — mirroring the column property —
+  * `enablePrefixSuffixMatchingInPhraseQueries=true`, which converts a
+  * flat multi-term query containing wildcard/prefix terms into an
+  * ordered ADJACENT span (`convertToMultiTermSpanQuery`'s
+  * SpanNearQuery(0, ordered)), so `'*ealtime streaming system*'`
+  * matches token runs [.*ealtime][streaming][system.*].
+  *
+  * Grammar note: mixed adjacency and explicit operators group as
+  * or := and ((OR|adjacency)? and)*, and := unary (AND unary)* under
+  * the OR default — `a b AND c` is `a OR (b AND c)`, where Lucene's
+  * flat MUST/SHOULD clauses give `(b AND c)`. The fixture queries
+  * never mix the two at one level; the difference is documented
+  * rather than emulated.
   */
 object TextMatch {
 
@@ -33,12 +51,14 @@ object TextMatch {
   private final case class ExactT(t: String) extends TermPat
   private final case class WildT(term: String) extends TermPat
 
-  private sealed trait Node
+  private[graft] sealed trait Node
   private final case class Term(t: String) extends Node
   private final case class Phrase(p: String) extends Node
   private final case class Prefix(p: String) extends Node
   private final case class Wild(term: String) extends Node
   private final case class Fuzzy(t: String, maxEdits: Int) extends Node
+  /** Lucene RegexpQuery: `/re/` matched against WHOLE tokens. */
+  private final case class RegexT(re: String) extends Node
   private final case class Proximity(terms: Seq[TermPat], slop: Int) extends Node
   private final case class AndN(xs: Seq[Node]) extends Node
   private final case class OrN(xs: Seq[Node]) extends Node
@@ -47,19 +67,51 @@ object TextMatch {
   private def tokenize(q: String): Vector[String] =
     """"[^"]*"(~\d+)?|\(|\)|[^\s()]+""".r.findAllIn(q.trim).toVector
 
-  /** Recursive descent: or := and (OR and)*; and := unary ((AND)? unary)*;
-    * unary := '(' or ')' | atom. Adjacency = AND. */
-  private def parse(q: String): Node = {
+  /** Recursive descent: or := and ((OR | adjacency-if-OR-default) and)*;
+    * and := unary ((AND | adjacency-if-AND-default) unary)*;
+    * unary := '(' or ')' | atom. */
+  private def parse(q: String, defaultAnd: Boolean = false): Node = {
     val tokens = tokenize(q)
     var i = 0
     def peek: Option[String] = if (i < tokens.length) Some(tokens(i)) else None
     def parseOr(): Node = {
-      val parts = ArrayBuffer(parseAnd())
-      while (peek.exists(_.equalsIgnoreCase("OR"))) {
-        i += 1
-        parts += parseAnd()
+      // (node, joined by EXPLICIT OR). Adjacency-joined NOT clauses are
+      // Lucene MUST_NOT: they SUBTRACT from the sequence instead of
+      // widening it ('art NOT fox' = art AND !fox), while an explicit
+      // 'x OR NOT y' keeps NOT as an ordinary OR arm.
+      // the FIRST part is adjacency-class: a leading NOT in a longer
+      // sequence is MUST_NOT ('NOT fast art' = art AND !fast), while a
+      // lone 'NOT fast' short-circuits below as the plain complement
+      val parts = ArrayBuffer((parseAnd(), false))
+      var more = true
+      while (more) peek match {
+        case Some(t) if t.equalsIgnoreCase("OR") =>
+          i += 1
+          parts += ((parseAnd(), true))
+        case Some(t) if !defaultAnd && !t.equalsIgnoreCase("AND") &&
+            t != ")" =>
+          parts += ((parseAnd(), false)) // adjacency = default op (OR)
+        case _ => more = false
       }
-      if (parts.size == 1) parts.head else OrN(parts.toSeq)
+      if (parts.size == 1) parts.head._1
+      else {
+        val (notAdj, orArms) = parts.partition {
+          case (NotN(_), explicitOr) => !explicitOr
+          case _ => false
+        }
+        val pos = orArms.map(_._1).toSeq
+        val neg = notAdj.map(_._1).toSeq
+        val posNode =
+          if (pos.isEmpty) None
+          else if (pos.size == 1) Some(pos.head)
+          else Some(OrN(pos))
+        (posNode, neg) match {
+          case (Some(p2), Nil) => p2
+          case (Some(p2), ns) => AndN(p2 +: ns)
+          case (None, ns) =>
+            if (ns.size == 1) ns.head else AndN(ns)
+        }
+      }
     }
     def parseAnd(): Node = {
       val parts = ArrayBuffer(parseUnary())
@@ -68,8 +120,9 @@ object TextMatch {
         case Some(t) if t.equalsIgnoreCase("AND") =>
           i += 1
           parts += parseUnary()
-        case Some(t) if !t.equalsIgnoreCase("OR") && t != ")" =>
-          parts += parseUnary()
+        case Some(t) if defaultAnd && !t.equalsIgnoreCase("OR") &&
+            t != ")" =>
+          parts += parseUnary() // adjacency = the default operator (AND)
         case _ => more = false
       }
       if (parts.size == 1) parts.head else AndN(parts.toSeq)
@@ -147,6 +200,10 @@ object TextMatch {
     case PhraseSlop(p, slop) => phraseNode(p, slop.toInt)
     case t if t.startsWith("\"") =>
       phraseNode(t.stripPrefix("\"").stripSuffix("\""), 0)
+    case t if t.length >= 2 && t.startsWith("/") && t.endsWith("/") =>
+      // Lucene regex term `/.*exception/` — full-token automaton match
+      // (regexes containing spaces or parens are outside the tokenizer)
+      RegexT(t.substring(1, t.length - 1).toLowerCase)
     case FuzzyTerm(t, n) =>
       Fuzzy(t, if (n.isEmpty) 2 else n.toInt) // Lucene default maxEdits = 2
     case t if t.endsWith("*") && !hasWildcard(t.dropRight(1)) =>
@@ -162,10 +219,25 @@ object TextMatch {
     case WildT(t) => tok.rlike("^" + wildRegex(t) + "$")
   }
 
+  /** The ANALYZED form of a query term — the same \\W+ split the corpus
+    * gets, so `C++` queries the token `c` exactly as Lucene's analyzer
+    * turns the term into its indexed form. Multi-token terms (e.g.
+    * `publish-subscribe`) become an OR of their tokens (the classic
+    * parser's autoGeneratePhraseQueries=false default). */
+  private def analyzeTerm(t: String): Seq[String] =
+    t.toLowerCase.split("\\W+").filter(_.nonEmpty).toSeq
+
   private def compile(n: Node, c: Column): Column = n match {
     case Term(t) =>
       // whole-token match, case-insensitive (Lucene standard analyzer)
-      array_contains(toks(c), t.toLowerCase)
+      analyzeTerm(t) match {
+        case Seq() => lit(false)
+        case Seq(one) => array_contains(toks(c), one)
+        case many => many.map(w => array_contains(toks(c), w))
+          .reduce(_ || _)
+      }
+    case RegexT(re) =>
+      exists(toks(c), tok => tok.rlike("^" + re + "$"))
     case Phrase(p) => lower(c).contains(p.toLowerCase)
     case Prefix(p) => lower(c).rlike("(^|\\W)" + java.util.regex.Pattern.quote(p.toLowerCase))
     case Wild(t) =>
@@ -210,8 +282,66 @@ object TextMatch {
     case NotN(x) => !compile(x, c)
   }
 
+  /** Parsed TEXT_MATCH options (third argument /
+    * LuceneTextIndexUtils.LuceneTextIndexOptions): "k1=v1,k2=v2". */
+  private[graft] final case class Options(defaultAnd: Boolean,
+      prefixSuffixPhrase: Boolean)
+  private[graft] def parseOptions(options: String): Options = {
+    val kv = options.split(",").iterator.map(_.trim).filter(_.nonEmpty)
+      .flatMap { p => p.split("=", 2) match {
+        case Array(k, v) => Some(k.trim.toLowerCase -> v.trim)
+        case _ => None
+      }}.toMap
+    Options(
+      defaultAnd = kv.get("defaultoperator").exists(_.equalsIgnoreCase("AND")),
+      prefixSuffixPhrase = kv.get(
+        "enableprefixsuffixmatchinginphrasequeries")
+        .exists(_.equalsIgnoreCase("true")))
+  }
+
+  /** `convertToMultiTermSpanQuery` analog
+    * (LuceneTextIndexUtils.java:100-125): a FLAT multi-term query whose
+    * clauses are all plain/wildcard/prefix terms, at least one of them
+    * wildcarded, becomes an ordered ADJACENT span — the
+    * prefix-suffix-in-phrase feature that makes '*ealtime streaming
+    * system*' a token-run match instead of a bag of terms. */
+  private def spanConvert(n: Node): Node = {
+    def termPat(x: Node): Option[TermPat] = x match {
+      case Term(t) => Some(ExactT(t.toLowerCase))
+      case Wild(t) => Some(WildT(t))
+      case Prefix(p) => Some(WildT(p + "*"))
+      case _ => None
+    }
+    // Lucene's classic parser flattens a mixed `a b AND c d` chain
+    // into ONE BooleanQuery, so the conversion sees every clause in
+    // written order — flatten nested And/Or the same way
+    def flat(x: Node): Seq[Node] = x match {
+      case AndN(xs) => xs.flatMap(flat)
+      case OrN(xs) => xs.flatMap(flat)
+      case other => Seq(other)
+    }
+    n match {
+      case AndN(_) | OrN(_) =>
+        val pats = flat(n).map(termPat)
+        if (pats.forall(_.isDefined) &&
+            pats.flatten.exists(_.isInstanceOf[WildT]))
+          Proximity(pats.flatten, 0)
+        else n
+      case _ => n
+    }
+  }
+
+  private[graft] def parseWith(query: String, opts: Options): Node = {
+    val n = parse(query, opts.defaultAnd)
+    if (opts.prefixSuffixPhrase) spanConvert(n) else n
+  }
+
   /** Boolean Column: does `col` match the Lucene-ish `query`. */
   def textMatch(c: Column, query: String): Column = compile(parse(query), c)
+
+  /** TEXT_MATCH with the reference's options argument. */
+  def textMatch(c: Column, query: String, options: String): Column =
+    compile(parseWith(query, parseOptions(options)), c)
 
   /** Candidate doc ids from a token-posting index
     * ([[graft.sources.TextIndex]]): resolves the query AST against the
@@ -371,7 +501,14 @@ object TextMatch {
           .map(ts => leaf(ts, exact = true))
     }
     def go(n: Node): Option[Cand] = n match {
-      case Term(t) => Some(termLeaf(t))
+      case Term(t) => analyzeTerm(t) match {
+        case Seq() => Some(leaf((Nil, 0L), exact = true))
+        case Seq(one) => Some(termLeaf(one))
+        case many => combineOr(many.map(w => Some(termLeaf(w))))
+      }
+      case RegexT(re) =>
+        tokensWhere(col("token").rlike("^" + re + "$"))
+          .map(ts => leaf(ts, exact = true))
       case Phrase(p) => phraseCands(p)
       case Prefix(p) =>
         tokensWhere(col("token").startsWith(p.toLowerCase))

@@ -1156,6 +1156,221 @@ class FixtureReplaySpec extends SparkSpec {
       Seq(992, 993, 994, 996, 997, 998).map(i => v(i).doubleValue()))
   }
 
+  test("reference H3 suite: H3IndexQueriesTest contracts and golds") {
+    // `H3IndexQueriesTest.java:154-460`: 10k random points in
+    // [-122.5,-121.5]x[37,38] with an H3 index at resolution 5; every
+    // distance/inclusion query is asserted EQUAL between the indexed
+    // and non-indexed column (the suite's own oracle), plus
+    // deterministic golds: impossible bounds answer 0 with no scan,
+    // no-bound answers all rows, and four single-point border cases.
+    // Replayed with the cell-column layout + facade rewrite; the
+    // random corpus is seeded for determinism (the CONTRACT —
+    // indexed == scan — is what the reference asserts, not a fixed
+    // row set).
+    graft.sql.QueryFacade.init(spark, sf)
+    val rnd = new scala.util.Random(20211107L)
+    val pts = (0 until 10000).map { i =>
+      (i.toLong, -122.5 + rnd.nextDouble(), 37.0 + rnd.nextDouble())
+    }.toDF("id", "lng", "lat")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_h3_replay").toString
+    graft.sources.GeoIndex(pts, "lng", "lat", Seq(5))
+      .repartition(4)
+      .sortWithinPartitions(
+        col(graft.sources.GeoIndex.cellColumn("lng", "lat", 5)))
+      .write.mode("overwrite").parquet(s"$dir/t")
+    val seg = spark.read.parquet(s"$dir/t")
+    seg.createOrReplaceTempView("h3_testtable")
+    // the same rows WITHOUT an index registration = the scan oracle
+    seg.createOrReplaceTempView("h3_testtable_scan")
+    graft.sources.GeoIndex.clear()
+    graft.sources.GeoIndex.registerTable("h3_testtable", "lng", "lat",
+      Seq(5))
+
+    def cnt(table: String, pred: String): Long = graft.sql.QueryFacade
+      .sql(spark, s"SET explicitLimit = true; SELECT COUNT(*) AS n" +
+        s" FROM $table WHERE $pred").head.getLong(0)
+    def both(pred: String): Unit = {
+      val ix = cnt("h3_testtable", pred)
+      val scan = cnt("h3_testtable_scan", pred)
+      assert(ix == scan, s"indexed $ix != scan $scan for: $pred")
+    }
+    val center = "ST_Point(-122, 37.5, 1)"
+
+    // impossible bounds answer 0 (H3IndexQueriesTest.java:165-179)
+    assert(cnt("h3_testtable",
+      s"ST_Distance(ST_Point(lng, lat), $center) < -1") == 0)
+    // no bound answers all rows (:182-194)
+    assert(cnt("h3_testtable",
+      s"ST_Distance(ST_Point(lng, lat), $center) > -1") == 10000)
+    // the suite's oracle: indexed == scan for every radius family
+    for (r <- Seq(1000, 5000, 10000, 20000, 50000, 100000)) {
+      both(s"ST_Distance(ST_Point(lng, lat), $center) < $r")
+      both(s"ST_Distance(ST_Point(lng, lat), $center) > $r")
+    }
+    for ((lo, hi) <- Seq((1000, 5000), (5000, 10000), (10000, 20000),
+        (20000, 50000), (50000, 100000)))
+      both(s"ST_Distance(ST_Point(lng, lat), $center)" +
+        s" BETWEEN $lo AND $hi")
+    // oversized radius must still answer every row (scan fallback ok)
+    assert(cnt("h3_testtable",
+      s"ST_Distance(ST_Point(lng, lat), $center) < 10000000") == 10000)
+    // upper-bound radius actually rides the index (PushedFilters gate)
+    val served = graft.sql.QueryFacade.sql(spark,
+      "SET explicitLimit = true; SELECT COUNT(*) AS n FROM h3_testtable" +
+        s" WHERE ST_Distance(ST_Point(lng, lat), $center) < 20000")
+    assert(served.queryExecution.executedPlan.toString.linesIterator
+      .exists(l => l.contains("PushedFilters") && l.contains("h3$lng$lat")),
+      "radius predicate did not ride the cell index")
+
+    // polygon inclusion: indexed == scan, both polarities (:252-276)
+    val poly = "'POLYGON ((-122.0008564 37.5004316, -121.9991291 " +
+      "37.5005168, -121.9990325 37.4995294, -122.0001268 37.4993506, " +
+      "-122.0008564 37.5004316))'"
+    both(s"ST_Contains(ST_GeomFromText($poly), ST_Point(lng, lat)) = 1")
+    both(s"ST_Contains(ST_GeomFromText($poly), ST_Point(lng, lat)) = 0")
+    both(s"ST_Within(ST_Point(lng, lat), ST_GeomFromText($poly)) = 1")
+    both(s"ST_Within(ST_Point(lng, lat), ST_GeomFromText($poly)) = 0")
+    // a polygon on the other side of the planet contains nothing
+    val far = "'POLYGON ((122.0008564 -37.5004316, 121.9991291 " +
+      "-37.5005168, 121.9990325 -37.4995294, 122.0001268 -37.4993506, " +
+      "122.0008564 -37.5004316))'"
+    assert(cnt("h3_testtable",
+      s"ST_Contains(ST_GeomFromText($far), ST_Point(lng, lat)) = 1") == 0)
+
+    // border-point golds (:384-460): close-to-border inside and outside
+    Seq((-122.0008081, 37.5004231, 1L), (-122.0007277, 37.5005785, 0L))
+      .foreach { case (plng, plat, gold) =>
+        Seq((plng, plat)).toDF("lng", "lat")
+          .createOrReplaceTempView("h3_border")
+        assert(cnt("h3_border", s"ST_Contains(ST_GeomFromText($poly)," +
+          " ST_Point(lng, lat)) = 1") == gold, s"contains ($plng,$plat)")
+        assert(cnt("h3_border", s"ST_Within(ST_Point(lng, lat)," +
+          s" ST_GeomFromText($poly)) = 1") == gold, s"within ($plng,$plat)")
+      }
+
+    // null handling (:330-372): null coordinates have no cell and must
+    // not leak into match-all, lower-bound, or complement results
+    val half = (0 until 10000).map { i =>
+      if (i % 2 == 1) (i.toLong, null.asInstanceOf[java.lang.Double],
+        null.asInstanceOf[java.lang.Double])
+      else (i.toLong, java.lang.Double.valueOf(-122.5 + rnd.nextDouble()),
+        java.lang.Double.valueOf(37.0 + rnd.nextDouble()))
+    }.toDF("id", "lng", "lat")
+    graft.sources.GeoIndex(half, "lng", "lat", Seq(5))
+      .write.mode("overwrite").parquet(s"$dir/n")
+    spark.read.parquet(s"$dir/n").createOrReplaceTempView("h3_nulltable")
+    graft.sources.GeoIndex.registerTable("h3_nulltable", "lng", "lat",
+      Seq(5))
+    assert(cnt("h3_nulltable",
+      s"ST_Distance(ST_Point(lng, lat), $center) > -1") == 5000)
+    assert(cnt("h3_nulltable",
+      s"ST_Distance(ST_Point(lng, lat), $center) > 0") == 5000)
+    assert(cnt("h3_nulltable",
+      s"ST_Within(ST_Point(lng, lat), ST_GeomFromText($far)) = 0") == 5000)
+    graft.sources.GeoIndex.clear()
+  }
+
+  test("reference text-search suite: TextSearchQueriesTest skills golds") {
+    // `TextSearchQueriesTest.java:216-264`: 24150 rows — the first 28
+    // carry the committed skills.txt lines, the rest "software
+    // engineering" (the query-log column's corpus, queries.txt, is not
+    // committed; those tests are environment-bounded). Replays the
+    // SKILLS_TEXT_COL query families with their inline golds plus the
+    // suite's own grep-derived oracle recomputed independently:
+    // default-OR multi-term semantics, analyzed terms (C++ -> token
+    // "c"), AND/grouping, prefix, Lucene /regex/ terms,
+    // case-insensitive phrases, filter combination, and the
+    // prefix-suffix wildcard-SPAN phrases ('*ealtime streaming
+    // system*' as SpanNear, :267-305).
+    val skills = java.nio.file.Files.readAllLines(java.nio.file.Paths
+      .get("/root/reference/pinot-core/src/test/resources/data/" +
+        "text_search_data/skills.txt")).toArray.map(_.toString)
+    assert(skills.length == 28)
+    val rows = (0 until 24150).map { i =>
+      (1000 + i, if (i < 28) skills(i) else "software engineering")
+    }
+    rows.toDF("INT_COL", "SKILLS_TEXT_COL")
+      .createOrReplaceTempView("txts_t")
+
+    def ids(stmt: String): Seq[Int] = graft.sql.QueryFacade.sql(spark,
+      stmt).collect().map(_.getInt(0)).sorted.toSeq
+    def q(tm: String): Seq[Int] = ids("SELECT INT_COL FROM txts_t" +
+      s" WHERE TEXT_MATCH(SKILLS_TEXT_COL, '$tm') LIMIT 50000")
+    def cnt(tm: String): Long = graft.sql.QueryFacade.sql(spark,
+      "SELECT COUNT(*) AS n FROM txts_t" +
+        s" WHERE TEXT_MATCH(SKILLS_TEXT_COL, '$tm') LIMIT 50000")
+      .head.getLong(0)
+    // the suite's own oracle: grep-style recomputation over the corpus
+    def tokens(t: String): Seq[String] =
+      t.toLowerCase.split("\\W+").filter(_.nonEmpty).toSeq
+    def expect(f: String => Boolean): Seq[Int] =
+      rows.filter(r => f(r._2)).map(_._1).sorted
+    def phrase(p: String)(t: String): Boolean =
+      t.toLowerCase.contains(p)
+    def term(w: String)(t: String): Boolean = tokens(t).contains(w)
+
+    // default OR: '"distributed systems" Java C++' unions the three
+    // (TextSearchQueriesTest.java:919-927; the inline expected list
+    // includes 1018, which has Java and C++ but NOT the phrase)
+    val orSet = expect(t => phrase("distributed systems")(t) ||
+      term("java")(t) || term("c")(t))
+    assert(q("\"distributed systems\" Java C++") == orSet)
+    assert(orSet.contains(1018) && orSet.contains(1020))
+    assert(q("\"distributed systems\" OR Java OR C++") == orSet)
+    assert(cnt("\"distributed systems\" Java C++") == orSet.size)
+
+    // explicit AND of all three
+    val andSet = expect(t => phrase("distributed systems")(t) &&
+      term("java")(t) && term("c")(t))
+    assert(q("\"distributed systems\" AND Java AND C++") == andSet)
+    assert(andSet.nonEmpty)
+
+    // phrase AND (Java C++) — inner group defaults to OR; the
+    // committed gold list is {1005, 1010, 1012, 1017} (:946-975)
+    assert(q("\"distributed systems\" AND (Java C++)") ==
+      Seq(1005, 1010, 1012, 1017))
+
+    // prefix 'stream*' — gold {1010, 1015, 1018, 1019} (:1005-1031)
+    assert(q("stream*") == Seq(1010, 1015, 1018, 1019))
+
+    // Lucene regex term — gold {1022}, NullPointerException (:1033-1052)
+    assert(q("/.*exception/") == Seq(1022))
+
+    // case-insensitive phrase (:1251): '"Distributed systems"'
+    assert(q("\"Distributed systems\"") ==
+      expect(phrase("distributed systems")))
+
+    // filter combination (:1080-1093): INT_COL >= 1010 AND TEXT_MATCH
+    assert(ids("SELECT INT_COL FROM txts_t WHERE INT_COL <= 1027 AND" +
+      " INT_COL >= 1010 AND TEXT_MATCH(SKILLS_TEXT_COL," +
+      " '\"distributed systems\"') LIMIT 50000") ==
+      expect(phrase("distributed systems")).filter(_ >= 1010))
+
+    // prefix-suffix SPAN phrases (:267-305) — the reference enables
+    // enablePrefixSuffixMatchingInPhraseQueries on the column; here
+    // the same knob rides TEXT_MATCH's options argument. Wildcard
+    // terms become an ordered ADJACENT token span.
+    def spanQ(tm: String): Seq[Int] = ids("SELECT INT_COL FROM txts_t" +
+      s" WHERE TEXT_MATCH(SKILLS_TEXT_COL, '$tm'," +
+      " 'enablePrefixSuffixMatchingInPhraseQueries=true') LIMIT 50000")
+    assert(spanQ("*ealtime streaming system*") == Seq(1010, 1019))
+    assert(spanQ("*ava realtime streaming system*") == Seq(1010))
+    assert(spanQ("*ava realtime streaming system* AND *chine learn*") ==
+      Seq(1010))
+    assert(spanQ("*ava realtime streaming system* AND *chine learner*")
+      .isEmpty)
+
+    // defaultOperator=AND option (the useANDForMultiTermTextIndexQueries
+    // column property, SKILLS_TEXT_COL_1 in the suite): adjacency binds
+    // as AND (:928-944 pins OR-spelling equality on the AND column —
+    // equivalently, unquoted adjacency under AND equals the explicit
+    // AND set)
+    assert(ids("SELECT INT_COL FROM txts_t WHERE TEXT_MATCH(" +
+      "SKILLS_TEXT_COL, '\"distributed systems\" Java C++'," +
+      " 'defaultOperator=AND') LIMIT 50000") == andSet)
+  }
+
   test("reference distinct suite: DistinctQueriesTest inter-segment golds") {
     // `DistinctQueriesTest.java:161-215` — two segments of 10000 rows
     // each holding 100 unique base values (0..99 and 1000..1099,
