@@ -165,7 +165,11 @@ object ScaleProbe {
       "q_ann_radius_l2", "q_ann_radius_l2_ivf",
       // round-7: optimizer-rewritten time predicate (raw-range pushdown)
       // and footer-statistics metadata aggregation (no data I/O)
-      "q_filter_timepred", "q_agg_metadata")
+      "q_filter_timepred", "q_agg_metadata",
+      // round-8: raw-selection gapfill (window over carriers∪markers —
+      // the series universe must stay distributed) and the ULL remerge
+      // exact-arm straggler flagged by the round-7 verdict
+      "q_gapfill_select")
       .filter(q => only.isEmpty || only(q))
     def time(dir: String, name: String): Double = {
       val t0 = System.nanoTime()
