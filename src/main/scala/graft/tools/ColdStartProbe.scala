@@ -1,0 +1,56 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Cold-JVM serving latency: the realtime-OLAP story the reference's
+  * broker embodies is that a freshly started server answers its first
+  * query from PERSISTED indexes — no rebuild. Each run of this main is
+  * one fresh JVM: it measures, per index-served query, the FIRST
+  * execution (cold: IndexStore artifacts load from disk, registries
+  * empty) and the best-of-3 repeat (warm: same process). It also
+  * prints the IndexStore build counter — a nonzero value means the
+  * cold path RE-BUILT an artifact, which fails the persistence
+  * contract (run the queries once beforehand to lay the artifacts
+  * down).
+  *
+  * Run N times and aggregate for percentiles:
+  *   for i in 1..5: sbt 'runMain graft.tools.ColdStartProbe'
+  */
+object ColdStartProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val names = if (args.nonEmpty) args.toSeq
+      else Seq("q_text_match_indexed", "q_filter_regex_indexed",
+        "q_rollup_tdigest", "q_ann_sql_predicate", "q_ann_ivf")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .withExtensions(new graft.plans.GraftExtensions)
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    // session bring-up is measured separately from per-query cold cost
+    val t0 = System.nanoTime()
+    spark.range(1).count()
+    val sessionMs = (System.nanoTime() - t0) / 1e6
+    println(f"session first-job bring-up: $sessionMs%8.1f ms")
+    println("query                      cold(ms)  warm-bo3(ms)")
+    names.foreach { n =>
+      val fn = graft.SparkEntry.queries(n)
+      val c0 = System.nanoTime()
+      fn(spark, sfDir).collect()
+      val cold = (System.nanoTime() - c0) / 1e6
+      val warm = (1 to 3).map { _ =>
+        val w0 = System.nanoTime()
+        fn(spark, sfDir).collect()
+        (System.nanoTime() - w0) / 1e6
+      }.min
+      println(f"$n%-26s $cold%8.1f $warm%12.1f")
+    }
+    println(s"indexstore_builds=${graft.sources.IndexStore.builds.get()}" +
+      s" loads=${graft.sources.IndexStore.loads.get()}")
+    spark.stop()
+  }
+}
