@@ -1459,7 +1459,11 @@ object QueryFacade {
     s"""st_?point\\s*\\(\\s*$GeoArg\\s*,\\s*$GeoArg\\s*(?:,\\s*\\d+\\s*)?\\)"""
   private val GeoDistCall =
     (s"""(?is)\\bst_?distance\\s*\\(\\s*$geoPointPat\\s*,\\s*""" +
-      s"""$geoPointPat\\s*\\)\\s*(<=?)\\s*($GeoNumLit)""").r
+      s"""$geoPointPat\\s*\\)\\s*(<=?|>=?)\\s*($GeoNumLit)""").r
+  private val GeoDistBetween =
+    (s"""(?is)\\bst_?distance\\s*\\(\\s*$geoPointPat\\s*,\\s*""" +
+      s"""$geoPointPat\\s*\\)\\s+BETWEEN\\s+($GeoNumLit)""" +
+      s"""\\s+AND\\s+($GeoNumLit)""").r
   private val GeoContainsCall =
     ("""(?is)\b(?:st_?contains\s*\(\s*st_?(?:geogfromtext|geomfromtext|""" +
       """polygonfromtext)\s*\(\s*('(?:[^']|'')*')\s*\)\s*,\s*""" +
@@ -1480,9 +1484,12 @@ object QueryFacade {
 
   /** Emit the index-served form for a geo leaf over (lngRef, latRef),
     * given the per-resolution range computer. None = keep the scan. */
-  private def serveGeoLeaf(spark: SparkSession, stmt: String,
-      lngRef: String, latRef: String, orig: String,
-      f: Int => Option[graft.sources.GeoIndex.Ranges]): Option[String] = {
+  /** Resolve (qualified cell column, candidate/full ranges) for a
+    * registered (lng, lat) pair at the best stored resolution. */
+  private def geoCellRanges(spark: SparkSession, stmt: String,
+      lngRef: String, latRef: String,
+      f: Int => Option[graft.sources.GeoIndex.Ranges])
+      : Option[(String, graft.sources.GeoIndex.Ranges)] = {
     val lngBare = lngRef.substring(lngRef.lastIndexOf('.') + 1)
     val latBare = latRef.substring(latRef.lastIndexOf('.') + 1)
     // both coordinate refs must resolve to the SAME table, and that
@@ -1492,26 +1499,69 @@ object QueryFacade {
         graft.sources.GeoIndex.lookup(table, lngBare, latBare)
           .flatMap { regEntry =>
             graft.sources.GeoIndex.bestRanges(regEntry.resolutions, f)
-              .flatMap { case (res, ranges) =>
-                if (ranges.candidates.isEmpty) None
-                else {
-                  val cellCol = graft.sources.GeoIndex.cellColumn(
-                    regEntry.lngCol, regEntry.latCol, res)
-                  val qualCol = qual.map(q => s"$q.`$cellCol`")
-                    .getOrElse(s"`$cellCol`")
-                  val cand = geoRangesPred(cellCol, ranges.candidates)
-                    .replace(s"`$cellCol`", qualCol)
-                  val verify =
-                    if (ranges.full.isEmpty) orig
-                    else geoRangesPred(cellCol, ranges.full)
-                      .replace(s"`$cellCol`", qualCol) + s" OR $orig"
-                  Some(s"($cand AND ($verify))")
-                }
+              .map { case (res, ranges) =>
+                val cellCol = graft.sources.GeoIndex.cellColumn(
+                  regEntry.lngCol, regEntry.latCol, res)
+                (qual.map(q => s"$q.`$cellCol`").getOrElse(s"`$cellCol`"),
+                  ranges)
               }
           }
       }
     }
   }
+
+  private def geoRangesOn(qualCol: String,
+      rs: Seq[graft.sources.GeoIndex.CellRange]): String =
+    rs.map(r =>
+      if (r.lo == r.hi) s"$qualCol = ${r.lo}"
+      else s"$qualCol BETWEEN ${r.lo} AND ${r.hi}")
+      .mkString("(", " OR ", ")")
+
+  private def geoNullCase(qualCol: String, thenSql: String): String =
+    s"(CASE WHEN $qualCol IS NULL THEN CAST(NULL AS BOOLEAN) " +
+      s"ELSE $thenSql END)"
+
+  /** Upper-bound serving: candidate ranges PUSH into the scan, interior
+    * (full) cells skip the exact check, survivors re-verify. An empty
+    * candidate set (negative radius) is the reference's invalid-bound
+    * short circuit — constant FALSE with NULL propagation, NO scan of
+    * the exact predicate (H3IndexQueriesTest.java:165-179). */
+  private def serveGeoLeaf(spark: SparkSession, stmt: String,
+      lngRef: String, latRef: String, orig: String,
+      f: Int => Option[graft.sources.GeoIndex.Ranges]): Option[String] =
+    geoCellRanges(spark, stmt, lngRef, latRef, f).map {
+      case (qualCol, ranges) =>
+        if (ranges.candidates.isEmpty) geoNullCase(qualCol, "FALSE")
+        else {
+          val cand = geoRangesOn(qualCol, ranges.candidates)
+          val verify =
+            if (ranges.full.isEmpty) orig
+            else geoRangesOn(qualCol, ranges.full) + s" OR $orig"
+          s"($cand AND ($verify))"
+        }
+    }
+
+  /** Lower-bound serving (`ST_Distance > r` / `>= r`) — the
+    * COMPLEMENT split of H3IndexFilterOperator: rows OUTSIDE the
+    * candidate cells of ball(r) are provably farther than r (no exact
+    * check), rows inside re-verify; NULL coordinates stay NULL. A
+    * non-positive bound is the reference's no-bound short circuit:
+    * TRUE for every non-null row, zero entries scanned
+    * (H3IndexQueriesTest.java:182-194). */
+  private def serveGeoLowerLeaf(spark: SparkSession, stmt: String,
+      lngRef: String, latRef: String, orig: String, strict: Boolean,
+      r: Double, f: Int => Option[graft.sources.GeoIndex.Ranges])
+      : Option[String] =
+    geoCellRanges(spark, stmt, lngRef, latRef, f).map {
+      case (qualCol, ranges) =>
+        if (r < 0 || (!strict && r <= 0) || ranges.candidates.isEmpty)
+          geoNullCase(qualCol, "TRUE")
+        else {
+          val cand = geoRangesOn(qualCol, ranges.candidates)
+          s"(CASE WHEN $qualCol IS NULL THEN CAST(NULL AS BOOLEAN) " +
+            s"WHEN NOT $cand THEN TRUE ELSE $orig END)"
+        }
+    }
 
   private[graft] def rewriteGeoIndexed(spark: SparkSession,
       stmt: String): String = {
@@ -1533,19 +1583,57 @@ object QueryFacade {
               isGeoColRef(lng) && isGeoColRef(lat) &&
                 !isGeoColRef(clng) && !isGeoColRef(clat) }
           arms.headOption.flatMap { case (lngRef, latRef, cLng, cLat) =>
+            val op = m.group(5)
             val r = m.group(6).toDouble
+            val ranges = graft.sources.GeoIndex.circleRanges(
+              cLng.toDouble, cLat.toDouble, r, _: Int)
             // `< r` is served with the ≤ superset (boundary rows are
-            // re-verified by the exact leaf anyway)
-            serveGeoLeaf(spark, stmt, lngRef, latRef, m.matched,
-              graft.sources.GeoIndex.circleRanges(
-                cLng.toDouble, cLat.toDouble, r, _))
+            // re-verified by the exact leaf); `> r` by the complement
+            // split (outside the candidate cells = provably farther)
+            if (op.startsWith("<"))
+              serveGeoLeaf(spark, stmt, lngRef, latRef, m.matched, ranges)
+            else
+              serveGeoLowerLeaf(spark, stmt, lngRef, latRef, m.matched,
+                strict = op == ">", r, ranges)
           }
         } catch { case scala.util.control.NonFatal(_) => None }
       java.util.regex.Matcher.quoteReplacement(served.getOrElse(m.matched))
     })
-    GeoContainsCall.replaceAllIn(afterDist, m => {
+    val afterBetween = GeoDistBetween.replaceAllIn(afterDist, m => {
       val served =
         if (insideLiteral(afterDist, m.start)) None
+        else try {
+          val (a1, a2, b1, b2) =
+            (m.group(1), m.group(2), m.group(3), m.group(4))
+          val arms = Seq((a1, a2, b1, b2), (b1, b2, a1, a2))
+            .filter { case (lng, lat, clng, clat) =>
+              isGeoColRef(lng) && isGeoColRef(lat) &&
+                !isGeoColRef(clng) && !isGeoColRef(clat) }
+          arms.headOption.flatMap { case (lngRef, latRef, cLng, cLat) =>
+            val lo = m.group(5).toDouble
+            val hi = m.group(6).toDouble
+            def ranges(r: Double) = graft.sources.GeoIndex.circleRanges(
+              cLng.toDouble, cLat.toDouble, r, _: Int)
+            // BETWEEN lo AND hi = (dist >= lo) AND (dist <= hi): the
+            // upper bound PRUNES the scan via candidate ranges, the
+            // lower bound rides the complement split; both arms
+            // re-verify with the ORIGINAL BETWEEN leaf, so exactness
+            // and NULL propagation come from the leaf itself
+            val upper = serveGeoLeaf(spark, afterDist, lngRef, latRef,
+              m.matched, ranges(hi))
+            if (lo <= 0) upper
+            else upper.flatMap { u =>
+              serveGeoLowerLeaf(spark, afterDist, lngRef, latRef,
+                m.matched, strict = false, lo, ranges(lo))
+                .map(l => s"($u AND $l)")
+            }
+          }
+        } catch { case scala.util.control.NonFatal(_) => None }
+      java.util.regex.Matcher.quoteReplacement(served.getOrElse(m.matched))
+    })
+    GeoContainsCall.replaceAllIn(afterBetween, m => {
+      val served =
+        if (insideLiteral(afterBetween, m.start)) None
         else try {
           // contains-form groups: (1 wkt, 2 lng, 3 lat); within-form:
           // (4 lng, 5 lat, 6 wkt)
@@ -1563,7 +1651,7 @@ object QueryFacade {
                 .collect { case Array(x, y, _*) =>
                   (x.toDouble, y.toDouble) }
               if (coords.isEmpty) None
-              else serveGeoLeaf(spark, afterDist, lngRef, latRef,
+              else serveGeoLeaf(spark, afterBetween, lngRef, latRef,
                 m.matched,
                 graft.sources.GeoIndex.bboxRanges(
                   coords.map(_._1).min, coords.map(_._2).min,

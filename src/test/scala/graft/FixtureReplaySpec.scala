@@ -1222,6 +1222,32 @@ class FixtureReplaySpec extends SparkSpec {
     assert(served.queryExecution.executedPlan.toString.linesIterator
       .exists(l => l.contains("PushedFilters") && l.contains("h3$lng$lat")),
       "radius predicate did not ride the cell index")
+    // impossible upper bound short-circuits WITHOUT the exact
+    // predicate (the reference's 0-entries-scanned contract): the
+    // optimized plan carries neither the haversine math nor a scan
+    // predicate beyond the constant
+    val impossible = graft.sql.QueryFacade.sql(spark,
+      "SET explicitLimit = true; SELECT COUNT(*) AS n FROM h3_testtable" +
+        s" WHERE ST_Distance(ST_Point(lng, lat), $center) < -1")
+    assert(!impossible.queryExecution.optimizedPlan.toString
+      .toLowerCase.contains("radians"),
+      "invalid bound must not evaluate the exact distance")
+    // lower bound rides the COMPLEMENT split: the cell column appears
+    // in the filter (outside-candidates rows skip the haversine)
+    val lower = graft.sql.QueryFacade.sql(spark,
+      "SET explicitLimit = true; SELECT COUNT(*) AS n FROM h3_testtable" +
+        s" WHERE ST_Distance(ST_Point(lng, lat), $center) > 20000")
+    assert(lower.queryExecution.optimizedPlan.toString
+      .contains("h3$lng$lat"),
+      "lower bound did not ride the cell complement")
+    // BETWEEN pushes the upper bound's candidate ranges into the scan
+    val between = graft.sql.QueryFacade.sql(spark,
+      "SET explicitLimit = true; SELECT COUNT(*) AS n FROM h3_testtable" +
+        s" WHERE ST_Distance(ST_Point(lng, lat), $center)" +
+        " BETWEEN 5000 AND 10000")
+    assert(between.queryExecution.executedPlan.toString.linesIterator
+      .exists(l => l.contains("PushedFilters") && l.contains("h3$lng$lat")),
+      "BETWEEN upper bound did not push candidate ranges")
 
     // polygon inclusion: indexed == scan, both polarities (:252-276)
     val poly = "'POLYGON ((-122.0008564 37.5004316, -121.9991291 " +
