@@ -1541,27 +1541,26 @@ object QueryFacade {
         }
     }
 
-  /** Lower-bound serving (`ST_Distance > r` / `>= r`) — the
-    * COMPLEMENT split of H3IndexFilterOperator: rows OUTSIDE the
-    * candidate cells of ball(r) are provably farther than r (no exact
-    * check), rows inside re-verify; NULL coordinates stay NULL. A
-    * non-positive bound is the reference's no-bound short circuit:
-    * TRUE for every non-null row, zero entries scanned
-    * (H3IndexQueriesTest.java:182-194). */
+  /** Lower-bound serving (`ST_Distance > r` / `>= r`): only the
+    * reference's no-bound SHORT CIRCUIT is served — a non-positive
+    * bound answers TRUE for every non-null row with zero exact
+    * evaluations (H3IndexQueriesTest.java:182-194). The per-row
+    * complement split (H3IndexFilterOperator's bitmap complement) was
+    * MEASURED and rejected on Spark: evaluating the candidate range
+    * list per row costs ~16x the codegen'd haversine it would skip
+    * (tools/GeoBoundProbe, 1.5M-row replica: 4.49 s vs 0.27 s scan) —
+    * the reference wins only because its complement is precomputed
+    * index I/O, which a per-row CASE cannot imitate. Positive lower
+    * bounds keep the exact scan. */
   private def serveGeoLowerLeaf(spark: SparkSession, stmt: String,
       lngRef: String, latRef: String, orig: String, strict: Boolean,
       r: Double, f: Int => Option[graft.sources.GeoIndex.Ranges])
       : Option[String] =
-    geoCellRanges(spark, stmt, lngRef, latRef, f).map {
-      case (qualCol, ranges) =>
-        if (r < 0 || (!strict && r <= 0) || ranges.candidates.isEmpty)
-          geoNullCase(qualCol, "TRUE")
-        else {
-          val cand = geoRangesOn(qualCol, ranges.candidates)
-          s"(CASE WHEN $qualCol IS NULL THEN CAST(NULL AS BOOLEAN) " +
-            s"WHEN NOT $cand THEN TRUE ELSE $orig END)"
-        }
-    }
+    if (r < 0 || (!strict && r <= 0))
+      geoCellRanges(spark, stmt, lngRef, latRef, f).map {
+        case (qualCol, _) => geoNullCase(qualCol, "TRUE")
+      }
+    else None
 
   private[graft] def rewriteGeoIndexed(spark: SparkSession,
       stmt: String): String = {
@@ -1619,14 +1618,23 @@ object QueryFacade {
             // lower bound rides the complement split; both arms
             // re-verify with the ORIGINAL BETWEEN leaf, so exactness
             // and NULL propagation come from the leaf itself
-            val upper = serveGeoLeaf(spark, afterDist, lngRef, latRef,
-              m.matched, ranges(hi))
-            if (lo <= 0) upper
-            else upper.flatMap { u =>
-              serveGeoLowerLeaf(spark, afterDist, lngRef, latRef,
-                m.matched, strict = false, lo, ranges(lo))
-                .map(l => s"($u AND $l)")
-            }
+            // BETWEEN: only the degenerate short circuits serve
+            // (hi < 0 or an inverted range answers constant FALSE,
+            // null-propagating, zero exact evaluations — the
+            // reference's invalid-bound contract). The indexed
+            // positive-range forms were MEASURED and rejected: the
+            // full-cell shortcut is unsound for a two-sided range
+            // (full(hi) proves only dist<=hi) and the sound variant
+            // still evaluates the haversine on every candidate row
+            // while paying the per-row candidate-range OR on top —
+            // 5x slower than the plain codegen scan
+            // (tools/GeoBoundProbe). Upper-only predicates keep their
+            // r7-measured 6.7x win because the full-cell arm skips
+            // ALL exact work there.
+            if (hi < 0 || hi < lo)
+              geoCellRanges(spark, afterDist, lngRef, latRef, ranges(0))
+                .map { case (qualCol, _) => geoNullCase(qualCol, "FALSE") }
+            else None
           }
         } catch { case scala.util.control.NonFatal(_) => None }
       java.util.regex.Matcher.quoteReplacement(served.getOrElse(m.matched))

