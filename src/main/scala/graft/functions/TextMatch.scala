@@ -60,6 +60,8 @@ object TextMatch {
   /** Lucene RegexpQuery: `/re/` matched against WHOLE tokens. */
   private final case class RegexT(re: String) extends Node
   private final case class Proximity(terms: Seq[TermPat], slop: Int) extends Node
+  /** Constant non-match (a term that is a stop word has no postings). */
+  private case object FalseN extends Node
   private final case class AndN(xs: Seq[Node]) extends Node
   private final case class OrN(xs: Seq[Node]) extends Node
   private final case class NotN(x: Node) extends Node
@@ -187,13 +189,23 @@ object TextMatch {
   private def patFor(term: String): TermPat =
     if (hasWildcard(term)) WildT(term) else ExactT(term.toLowerCase)
 
+  /** Quoted phrases are Lucene PhraseQuery semantics: the ANALYZED
+    * token sequence must appear adjacently (in order, slop
+    * intervening tokens allowed) — token-EXACT, so '"IT support"'
+    * does not match "IT supporting" (TextSearchQueriesTest gold: 8
+    * under the 4x serving). Terms carrying wildcards keep their
+    * wildcard patterns (MultiPhrase). */
   private def phraseNode(p: String, slop: Int): Node = {
     val terms = p.trim.split("\\s+").toSeq.filter(_.nonEmpty)
-    if (terms.size < 2) {
-      if (terms.nonEmpty && hasWildcard(terms.head)) Wild(terms.head)
-      else Phrase(p)
-    } else if (slop == 0 && terms.forall(!hasWildcard(_))) Phrase(p)
-    else Proximity(terms.map(patFor), slop)
+      .flatMap { t =>
+        if (hasWildcard(t)) Seq(t)
+        else analyzeTerm(t) // "publish-subscribe" -> two positions
+      }
+    if (terms.isEmpty) FalseN
+    else if (terms.size == 1) {
+      if (hasWildcard(terms.head)) Wild(terms.head)
+      else Term(terms.head)
+    } else Proximity(terms.map(patFor), slop)
   }
 
   private def atom(tok: String): Node = tok match {
@@ -247,16 +259,17 @@ object TextMatch {
     case Fuzzy(t, n) =>
       // any token within Levenshtein distance n (FuzzyQuery)
       exists(toks(c), tok => levenshtein(tok, lit(t.toLowerCase)) <= n)
-    case Proximity(terms, slop) if terms.size == 2 =>
-      // 2-term fast path: ∃ p1∈pos(a), p2∈pos(b): p1 < p2 ≤ p1+slop+1
-      // is EXACTLY "a, then ≤ slop whole tokens, then b" as one
-      // whole-string regex — one pass per row instead of building
-      // per-token position arrays
+    case Proximity(terms, slop) if terms.size == 2 || slop == 0 =>
+      // adjacent (slop 0, any arity) and 2-term sloppy phrases are ONE
+      // consistent token run — expressible as a single whole-string
+      // regex: one pass per row instead of per-token position arrays.
+      // For slop 0 this IS Lucene PhraseQuery semantics (a consistent
+      // chain), which the ≥3-term pairwise path below is not.
       val between =
         if (slop == 0) NotTok + "+"
         else "(" + NotTok + "+[a-z0-9_]+){0," + slop + "}" + NotTok + "+"
-      lower(c).rlike("(^|" + NotTok + ")" + inlinePat(terms.head) +
-        between + inlinePat(terms(1)) + "(" + NotTok + "|$)")
+      lower(c).rlike("(^|" + NotTok + ")" +
+        terms.map(inlinePat).mkString(between) + "(" + NotTok + "|$)")
     case Proximity(terms, slop) =>
       // ≥3 terms: consecutive term pairs in order, ≤ slop intervening
       // tokens PER PAIR with independently chosen positions — not a
@@ -280,23 +293,88 @@ object TextMatch {
     case AndN(xs) => xs.map(compile(_, c)).reduce(_ && _)
     case OrN(xs) => xs.map(compile(_, c)).reduce(_ || _)
     case NotN(x) => !compile(x, c)
+    case FalseN => lit(false)
+  }
+
+  /** Lucene's default English stop set (EnglishAnalyzer.ENGLISH_STOP_
+    * WORDS_SET) — the analyzer the reference's text index runs by
+    * default; `stopWordInclude`/`stopWordExclude` modify it per
+    * column (FieldConfig.TEXT_INDEX_STOP_WORD_*). */
+  private[graft] val LuceneDefaultStopWords: Set[String] = Set(
+    "a", "an", "and", "are", "as", "at", "be", "but", "by", "for",
+    "if", "in", "into", "is", "it", "no", "not", "of", "on", "or",
+    "such", "that", "the", "their", "then", "there", "these", "they",
+    "this", "to", "was", "will", "with")
+
+  /** Apply stop-word analysis to the parsed query the way Lucene's
+    * analyzer does: a stopped TERM has no postings (constant false);
+    * a phrase drops leading/trailing stop words and keeps POSITION
+    * GAPS for interior ones (enablePositionIncrements) — the gap
+    * matches any one token, so '"learned a lot"' still requires
+    * learned-X-lot adjacency. Wildcard/fuzzy terms bypass the
+    * analyzer, as in Lucene. */
+  private def stopFilter(n: Node, stop: Set[String]): Node = n match {
+    case Term(t) =>
+      val ts = analyzeTerm(t).filterNot(stop)
+      if (ts.isEmpty) FalseN else n
+    case Proximity(pats0, slop) =>
+      def stopped(p: TermPat): Boolean = p match {
+        case ExactT(w) => stop(w)
+        case _ => false // wildcard terms bypass the analyzer
+      }
+      if (!pats0.exists(stopped)) n
+      else {
+        // interior stops become any-token gaps; edges drop (Lucene
+        // drops the dangling positions)
+        val pats: Seq[TermPat] = pats0
+          .dropWhile(stopped).reverse.dropWhile(stopped).reverse
+          .map(p => if (stopped(p)) WildT("*") else p)
+        if (pats.isEmpty) FalseN
+        else if (pats.size == 1) pats.head match {
+          case ExactT(w) => Term(w)
+          case WildT(w) => Wild(w)
+        }
+        else Proximity(pats, slop)
+      }
+    case AndN(xs) => AndN(xs.map(stopFilter(_, stop)))
+    case OrN(xs) => OrN(xs.map(stopFilter(_, stop)))
+    case NotN(x) => NotN(stopFilter(x, stop))
+    case other => other
   }
 
   /** Parsed TEXT_MATCH options (third argument /
     * LuceneTextIndexUtils.LuceneTextIndexOptions): "k1=v1,k2=v2". */
   private[graft] final case class Options(defaultAnd: Boolean,
-      prefixSuffixPhrase: Boolean)
+      prefixSuffixPhrase: Boolean,
+      stopWords: Option[Set[String]] = None)
   private[graft] def parseOptions(options: String): Options = {
     val kv = options.split(",").iterator.map(_.trim).filter(_.nonEmpty)
       .flatMap { p => p.split("=", 2) match {
         case Array(k, v) => Some(k.trim.toLowerCase -> v.trim)
         case _ => None
       }}.toMap
+    // stop-word analysis is opt-in on the SCAN function (the reference
+    // configures it per COLUMN — FieldConfig.TEXT_INDEX_STOP_WORD_
+    // INCLUDE/EXCLUDE — with Lucene's English set always on; graft's
+    // bare default keeps every token so un-configured TEXT_MATCH stays
+    // oracle-checkable). Any of the three keys activates the Lucene
+    // default set; include/exclude lists are ';'-separated (',' is the
+    // options separator).
+    def words(k: String): Seq[String] = kv.get(k).toSeq
+      .flatMap(_.split(";")).map(_.trim.toLowerCase).filter(_.nonEmpty)
+    val stopKeys = Seq("usedefaultstopwords", "stopwordinclude",
+      "stopwordexclude")
+    val stop =
+      if (stopKeys.exists(kv.contains))
+        Some(LuceneDefaultStopWords ++ words("stopwordinclude") --
+          words("stopwordexclude"))
+      else None
     Options(
       defaultAnd = kv.get("defaultoperator").exists(_.equalsIgnoreCase("AND")),
       prefixSuffixPhrase = kv.get(
         "enableprefixsuffixmatchinginphrasequeries")
-        .exists(_.equalsIgnoreCase("true")))
+        .exists(_.equalsIgnoreCase("true")),
+      stopWords = stop)
   }
 
   /** `convertToMultiTermSpanQuery` analog
@@ -332,8 +410,9 @@ object TextMatch {
   }
 
   private[graft] def parseWith(query: String, opts: Options): Node = {
-    val n = parse(query, opts.defaultAnd)
-    if (opts.prefixSuffixPhrase) spanConvert(n) else n
+    val n0 = parse(query, opts.defaultAnd)
+    val n = if (opts.prefixSuffixPhrase) spanConvert(n0) else n0
+    opts.stopWords.map(stopFilter(n, _)).getOrElse(n)
   }
 
   /** Boolean Column: does `col` match the Lucene-ish `query`. */
@@ -519,8 +598,19 @@ object TextMatch {
       case Fuzzy(t, n2) =>
         tokensWhere(levenshtein(col("token"), lit(t.toLowerCase)) <= n2)
           .map(ts => leaf(ts, exact = true))
+      // token-exact adjacent phrases keep the POSITIONAL bigram-shingle
+      // chain (each step's doc frequency is the PAIR's, far below
+      // either word's — the selectivity that makes phrase serving pay)
+      case Proximity(terms, 0)
+          if terms.forall(_.isInstanceOf[ExactT]) && terms.size >= 2 =>
+        val ws = terms.collect { case ExactT(w) => w }
+        val steps = ws.sliding(2).map(p => bigramLeaf(p(0), p(1))).toSeq
+        Some((chain(steps.map(st => posFrame(st._1))),
+          false, steps.map(_._2).min))
       case Proximity(terms, _) =>
         combineAnd(terms.map(patDocs)).map { case (df, _, b) => (df, false, b) }
+      case FalseN =>
+        Some((postings.filter(lit(false)).select("doc_id"), true, 0L))
       case AndN(xs) => combineAnd(xs.map(go))
       case OrN(xs) => combineOr(xs.map(go))
       // a complement can't be bounded by postings (it's everything the

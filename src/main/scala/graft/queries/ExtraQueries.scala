@@ -149,7 +149,8 @@ object ExtraQueries {
       },
       Some("""SELECT doc_id FROM documents
         WHERE (list_contains(regexp_split_to_array(lower(text), '\W+'), 'query')
-               AND contains(lower(text), 'the stream'))
+               AND regexp_matches(lower(text),
+                 '(^|[^a-z0-9_])the[^a-z0-9_]+stream([^a-z0-9_]|$)'))
            OR regexp_matches(lower(text), '(^|[^a-zA-Z0-9_])filter')
         ORDER BY doc_id""")),
 
@@ -182,7 +183,8 @@ object ExtraQueries {
       },
       Some("""SELECT doc_id, TRUE AS used_index FROM documents
         WHERE list_contains(regexp_split_to_array(lower(text), '\W+'), 'query')
-          AND contains(lower(text), 'column key')
+          AND regexp_matches(lower(text),
+            '(^|[^a-z0-9_])column[^a-z0-9_]+key([^a-z0-9_]|$)')
           AND regexp_matches(lower(text), '(^|[^a-zA-Z0-9_])filter')
         ORDER BY doc_id""")),
 

@@ -1394,6 +1394,41 @@ class FixtureReplaySpec extends SparkSpec {
     assert(spanQ("*ava realtime streaming system* AND *chine learner*")
       .isEmpty)
 
+    // stop-word analyzer golds (:1920-1980) — SKILLS_TEXT_COL runs
+    // include="coordinator", exclude="it; those" over Lucene's default
+    // English set; SKILLS_TEXT_COL_DICT runs the untouched default
+    // set. 4x-served in the suite; single-serving counts here (golds
+    // divided by 4), same queries verbatim.
+    def stopQ(tm: String, opts: String): Long = graft.sql.QueryFacade
+      .sql(spark, "SELECT count(*) AS n FROM txts_t WHERE TEXT_MATCH(" +
+        s"SKILLS_TEXT_COL, '$tm', '$opts')").head.getLong(0)
+    val colOpts = "stopWordInclude=coordinator,stopWordExclude=it;those"
+    val dictOpts = "useDefaultStopWords=true"
+    // only stop words: nothing is indexed (gold 0)
+    assert(stopQ("a and or in the are", colOpts) == 0)
+    assert(stopQ("a and or in the are", dictOpts) == 0)
+    // 'it' excluded from the default set -> indexed (gold 8/4=2, 16/4=4)
+    assert(stopQ("\"IT support\" or \"IT manager\"", colOpts) == 2)
+    assert(stopQ("\"IT\"", colOpts) == 4)
+    // non-stop words match normally (gold 12/4=3, 4/4=1)
+    assert(stopQ("\"support\" or \"manager\"", colOpts) == 3)
+    assert(stopQ("\"supporting\"", colOpts) == 1)
+    // 'coordinator' INCLUDED as a stop word -> never matches (gold 0)
+    assert(stopQ("coordinator", colOpts) == 0)
+    // default set keeps 'it' stopped: phrase edges drop, "IT" alone
+    // matches nothing (golds 12/4=3 and 0)
+    assert(stopQ("\"IT support\" or \"IT manager\"", dictOpts) == 3)
+    assert(stopQ("\"IT\"", dictOpts) == 0)
+    // interior stop words leave a one-token GAP the original text
+    // satisfies (golds /4: 1, 3, 2, 2, 1)
+    assert(stopQ("\"learned a lot\"", dictOpts) == 1)
+    assert(stopQ("\"indexing and transaction processing\"", dictOpts) == 3)
+    assert(stopQ("\"docker image building and distribution\"", dictOpts) == 2)
+    assert(stopQ(
+      "\"distributed query engines for analytics and data warehouses\"",
+      dictOpts) == 2)
+    assert(stopQ("\"worked in NGO\"", dictOpts) == 1)
+
     // defaultOperator=AND option (the useANDForMultiTermTextIndexQueries
     // column property, SKILLS_TEXT_COL_1 in the suite): adjacency binds
     // as AND (:928-944 pins OR-spelling equality on the AND column —

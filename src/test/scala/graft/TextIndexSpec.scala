@@ -75,10 +75,13 @@ class TextIndexSpec extends SparkSpec {
   }
 
   test("unindexable shapes report None (scan is the plan)") {
-    // a phrase with no word characters yields no postings to anchor on
-    assert(candIds("\"...\"").isEmpty)
-    // an OR with an unindexable branch can't be bounded either
-    assert(candIds("query OR \"...\"").isEmpty)
+    // a phrase with no word characters analyzes to NOTHING — Lucene's
+    // MatchNoDocsQuery: an EXACT empty candidate set (and the scan
+    // path answers false per row, same contract)
+    assert(candIds("\"...\"").exists(_.isEmpty))
+    assert(scanIds("\"...\"").isEmpty)
+    // an OR with a match-none branch stays bounded by the other side
+    assert(candIds("query OR \"...\"") == candIds("query"))
     // but an AND drops the unindexable conjunct and stays bounded
     val and = candIds("query AND \"...\"")
     assert(and.isDefined && scanIds("query AND \"...\"").subsetOf(and.get))
