@@ -352,6 +352,10 @@ object ScalarTail {
     b += "characterlength" -> { case Seq(s) => length(s) }
     b += "toutf8" -> { case Seq(s) => encode(s, "UTF-8") }
     b += "fromutf8" -> { case Seq(x) => decode(x, "UTF-8") }
+    // Pinot's BETWEEN scalar (ObjectFunctions.between) — the operator
+    // spelled as a function; three-valued like the operator (a NULL
+    // bound answers NULL, NullHandlingEnabledQueriesTest:1446)
+    b += "between" -> { case Seq(c, lo, hi) => c >= lo && c <= hi }
     b += "startswithcaseinsensitive" -> { case Seq(s, p) =>
       lower(s).startsWith(lower(p)) }
     b += "endswithcaseinsensitive" -> { case Seq(s, p) =>

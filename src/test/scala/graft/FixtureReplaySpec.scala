@@ -1439,6 +1439,126 @@ class FixtureReplaySpec extends SparkSpec {
       " 'defaultOperator=AND') LIMIT 50000") == andSet)
   }
 
+  test("reference null-enabled suite: NullHandlingEnabledQueriesTest golds") {
+    // `NullHandlingEnabledQueriesTest.java` — 72 micro-corpus tests of
+    // null-enabled semantics under 4-segment serving. Replayed: the
+    // boolean assertion scalars (12 golds), ordinal ORDER BY with
+    // NULLS LAST over groups, the HAVING IS [NOT] NULL family,
+    // DISTINCT null collapse/ordering (incl. Integer.MIN_VALUE vs
+    // null), DISTINCTSUM/AVG null exclusion, CASE-over-null typing,
+    // scalar NULL-literal propagation (STARTSWITH/between), all-null
+    // STDDEV_POP, and the three-valued AND/OR truth table (operator
+    // spelling: the reference's AND(x,y) call form collides with
+    // Spark's grammar keywords — same semantics, documented).
+    def q1(rows: Seq[java.lang.Integer], sql: String): Seq[Seq[Any]] = {
+      rows.map(Tuple1(_)).toDF("column1").createOrReplaceTempView("nh_t1")
+      spark.sql("SELECT column1 FROM nh_t1").union(spark.table("nh_t1"))
+        .union(spark.table("nh_t1")).union(spark.table("nh_t1"))
+        .createOrReplaceTempView("nh_t4")
+      graft.sql.QueryFacade.sql(spark,
+        s"SET enableNullHandling = true; $sql").collect().toSeq.map(_.toSeq)
+    }
+    // boolean assertion functions (:114-147): null-safe 0-arg results
+    val bools = Seq(
+      ("istrue", true, true), ("istrue", false, false),
+      ("isnottrue", true, false), ("isnottrue", false, true),
+      ("isfalse", true, false), ("isfalse", false, true),
+      ("isnotfalse", true, true), ("isnotfalse", false, false))
+    bools.foreach { case (fn, in, out) =>
+      Seq(Tuple1(in)).toDF("column1").createOrReplaceTempView("nh_b")
+      assert(graft.sql.QueryFacade.sql(spark,
+        s"SET enableNullHandling = true; SELECT $fn(column1) AS r" +
+          " FROM nh_b").head.getBoolean(0) == out, s"$fn($in)")
+    }
+    Seq(("istrue", false), ("isnottrue", true), ("isfalse", false),
+      ("isnotfalse", true)).foreach { case (fn, out) =>
+      Seq(Tuple1(null.asInstanceOf[java.lang.Boolean]))
+        .toDF("column1").createOrReplaceTempView("nh_b")
+      assert(graft.sql.QueryFacade.sql(spark,
+        s"SET enableNullHandling = true; SELECT $fn(column1) AS r" +
+          " FROM nh_b").head.getBoolean(0) == out, s"$fn(null)")
+    }
+    // ordinal ORDER BY ... DESC NULLS LAST over groups (:151-174)
+    val ord = q1(Seq(null, null, null, 1, 2, 2).map(i =>
+        if (i == null) null else java.lang.Integer.valueOf(
+          i.asInstanceOf[Int])),
+      "SELECT column1, COUNT(*) AS cnt FROM nh_t4 GROUP BY column1" +
+        " ORDER BY 1 DESC NULLS LAST")
+    assert(ord == Seq(Seq(2, 8L), Seq(1, 4L), Seq(null, 12L)),
+      ord.toString)
+    // HAVING IS NULL keeps only the null group (:177-198)
+    def two(rows: Seq[(java.lang.Integer, java.lang.Integer)],
+        sql: String): Seq[Seq[Any]] = {
+      rows.toDF("column1", "column2").createOrReplaceTempView("nh2_t1")
+      val o = spark.table("nh2_t1")
+      o.union(o).union(o).union(o).createOrReplaceTempView("nh2_t4")
+      graft.sql.QueryFacade.sql(spark,
+        s"SET enableNullHandling = true; $sql").collect().toSeq.map(_.toSeq)
+    }
+    val pairs: Seq[(java.lang.Integer, java.lang.Integer)] =
+      Seq((1, 1), (null, 1), (null, 1)).map { case (a, b) =>
+        (if (a == null) null else java.lang.Integer.valueOf(
+          a.asInstanceOf[Int]), java.lang.Integer.valueOf(
+          b.asInstanceOf[Int]))
+      }
+    assert(two(pairs, "SELECT column1, COUNT(column2) AS c FROM nh2_t4" +
+      " GROUP BY column1 HAVING column1 IS NULL LIMIT 100") ==
+      Seq(Seq(null, 8L)))
+    assert(two(pairs, "SELECT column1, COUNT(column2) AS c FROM nh2_t4" +
+      " GROUP BY column1 HAVING column1 IS NOT NULL LIMIT 100") ==
+      Seq(Seq(1, 4L)))
+    assert(two(pairs, "SELECT column1, COUNT(column2) AS c FROM nh2_t4" +
+      " GROUP BY column1 HAVING NOT (column1 IS NULL) LIMIT 100") ==
+      Seq(Seq(1, 4L)))
+    assert(two(pairs, "SELECT column1, COUNT(column2) AS c FROM nh2_t4" +
+      " GROUP BY column1 HAVING column1 IS NULL AND column1 IS NOT" +
+      " NULL LIMIT 100").isEmpty)
+    assert(two(pairs, "SELECT column1, COUNT(column2) AS c FROM nh2_t4" +
+      " GROUP BY column1 HAVING column1 IS NULL OR column1 IS NULL" +
+      " LIMIT 100") == Seq(Seq(null, 8L)))
+    // DISTINCT null placement (:315-352) and INT_MIN vs null (:353)
+    val df = q1(Seq(java.lang.Integer.valueOf(1), null),
+      "SELECT DISTINCT column1 FROM nh_t4 ORDER BY column1 NULLS FIRST")
+    assert(df.map(_.head) == Seq(null, 1))
+    val dl = q1(Seq(java.lang.Integer.valueOf(1), null),
+      "SELECT DISTINCT column1 FROM nh_t4 ORDER BY column1 NULLS LAST")
+    assert(dl.map(_.head) == Seq(1, null))
+    assert(q1(Seq(java.lang.Integer.valueOf(Int.MinValue), null),
+      "SELECT DISTINCT column1 FROM nh_t4").size == 2)
+    // DISTINCTSUM / DISTINCTAVG exclude nulls (:709-748)
+    val nums = Seq(null, 1, 2, 2).map(i => if (i == null) null
+      else java.lang.Integer.valueOf(i.asInstanceOf[Int]))
+    assert(q1(nums, "SELECT DISTINCTSUM(column1) AS s FROM nh_t4")
+      .head.head.asInstanceOf[Number].doubleValue == 3.0)
+    assert(q1(nums, "SELECT DISTINCTAVG(column1) AS a FROM nh_t4")
+      .head.head.asInstanceOf[Number].doubleValue == 1.5)
+    // CASE over a null row types and fires (:749-765)
+    assert(q1(Seq(null),
+      "SELECT (CASE WHEN column1 IS NULL THEN 1 END) AS c FROM nh_t4")
+      == Seq.fill(4)(Seq(1)))
+    // scalar NULL literals propagate (:1425-1462)
+    Seq(Tuple1("abc")).toDF("column1").createOrReplaceTempView("nh_s")
+    assert(graft.sql.QueryFacade.sql(spark,
+      "SET enableNullHandling = true;" +
+        " SELECT STARTSWITH(column1, NULL) AS r FROM nh_s")
+      .head.isNullAt(0))
+    assert(q1(Seq(java.lang.Integer.valueOf(1)),
+      "SELECT between(column1, NULL, 2) AS r FROM nh_t4")
+      .forall(_.head == null))
+    // all-null STDDEV_POP answers null, grouped and ungrouped (:1529)
+    assert(q1(Seq(null),
+      "SELECT STDDEV_POP(column1) AS s FROM nh_t4").head.head == null)
+    // three-valued AND/OR truth table (operator spelling)
+    def tv(sql: String): Any = graft.sql.QueryFacade.sql(spark,
+      s"SET enableNullHandling = true; $sql").head.get(0)
+    assert(tv("SELECT (true AND CAST(NULL AS BOOLEAN)) AS r") == null)
+    assert(tv("SELECT (false AND CAST(NULL AS BOOLEAN)) AS r") == false)
+    assert(tv("SELECT (CAST(NULL AS BOOLEAN) AND CAST(NULL AS BOOLEAN)) AS r") == null)
+    assert(tv("SELECT (true OR CAST(NULL AS BOOLEAN)) AS r") == true)
+    assert(tv("SELECT (false OR CAST(NULL AS BOOLEAN)) AS r") == null)
+    assert(tv("SELECT (CAST(NULL AS BOOLEAN) OR CAST(NULL AS BOOLEAN)) AS r") == null)
+  }
+
   test("reference distinct suite: DistinctQueriesTest inter-segment golds") {
     // `DistinctQueriesTest.java:161-215` — two segments of 10000 rows
     // each holding 100 unique base values (0..99 and 1000..1099,
