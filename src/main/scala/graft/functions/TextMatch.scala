@@ -268,8 +268,19 @@ object TextMatch {
       val between =
         if (slop == 0) NotTok + "+"
         else "(" + NotTok + "+[a-z0-9_]+){0," + slop + "}" + NotTok + "+"
-      lower(c).rlike("(^|" + NotTok + ")" +
+      val re = lower(c).rlike("(^|" + NotTok + ")" +
         terms.map(inlinePat).mkString(between) + "(" + NotTok + "|$)")
+      // cheap NECESSARY pre-filter: a plain substring probe on the
+      // longest exact term short-circuits the regex for non-matching
+      // rows (codegen And evaluates left-to-right). Solo A/B at sf0.1
+      // is overhead-dominated (0.64 vs 0.65 s) — the guard is kept
+      // because it only ever removes regex evaluations and the regex
+      // cost grows with document LENGTH, which sf0.1 understates
+      terms.collect { case ExactT(t) => t }.sortBy(-_.length)
+        .headOption match {
+        case Some(t) if t.length >= 3 => lower(c).contains(t) && re
+        case _ => re
+      }
     case Proximity(terms, slop) =>
       // ≥3 terms: consecutive term pairs in order, ≤ slop intervening
       // tokens PER PAIR with independently chosen positions — not a
