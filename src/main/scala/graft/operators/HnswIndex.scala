@@ -64,7 +64,10 @@ object HnswIndex {
       }
       located match {
         case Some(l) =>
-          Model(corpus.sparkSession.read.parquet(s"${l.dir}/shards"),
+          // blob rows are shard-count-sized; pin them in memory so
+          // every query joins against blocks, not the filesystem
+          Model(corpus.sparkSession.read.parquet(s"${l.dir}/shards")
+              .localCheckpoint(),
             m, efConstruction, metric)
         case None =>
           buildImpl(corpus, idCol, vecCol, m, efConstruction, nShards,

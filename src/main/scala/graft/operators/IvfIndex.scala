@@ -82,8 +82,17 @@ object IvfIndex {
               Some(ScalarQuantize.Params(r.getInt(0),
                 r.getSeq[Double](1), r.getSeq[Double](2)))
             } else None
-          Model(spark.read.parquet(s"${l.dir}/assignments"),
-            spark.read.parquet(s"${l.dir}/centroids"), quant)
+          // serve from MEMORY after the one-time load (the r7 cost
+          // profile): the cell join reads assignments per query, and a
+          // per-query parquet scan measured 9x slower on the radius
+          // path at the 100x replica (22.8x vs 2.5x growth). The
+          // durable artifact remains the source of truth; the
+          // checkpoint is JVM-lifetime serving state, exactly like
+          // the reference's mmap'd index pages.
+          Model(spark.read.parquet(s"${l.dir}/assignments")
+              .localCheckpoint(),
+            spark.read.parquet(s"${l.dir}/centroids").localCheckpoint(),
+            quant)
         case None =>
           buildImpl(corpus, idCol, vecCol, k, iterations, maxTrainRows,
             quantizerBits)
