@@ -11,8 +11,19 @@ import org.apache.spark.sql.functions._
   * string predicates per SURVEY §2.2 (no Lucene in the engine; at scale
   * this is a full scan unless paired with a precomputed token layout).
   *
+  * The DEFAULT analyzer mirrors the reference's: every unconfigured
+  * column applies the 35-word English stop set at index AND query time
+  * (`TextIndexUtils.getAnalyzer` → `getStandardAnalyzerWithCustomized
+  * StopWords`, `TextIndexUtils.java:154-167`; set seeded from
+  * `LuceneTextIndexCreator.getDefaultEnglishStopWordsSet`). A stopped
+  * term has no postings (matches nothing); phrases drop edge stop
+  * words and step over interior ones with one-token position gaps.
+  * `useDefaultStopWords=false` in the options argument keeps every
+  * token (graft's opt-out); `stopWordInclude`/`stopWordExclude`
+  * compose per the reference.
+  *
   * Supported query subset: terms (whole-token match), `"quoted
-  * phrases"` (substring), wildcard terms `pre*`, `mi*dle`, `te?t`
+  * phrases"` (token-exact adjacency), wildcard terms `pre*`, `mi*dle`, `te?t`
   * (`*` = any run, `?` = one char, within a token — WildcardQuery),
   * `NOT <clause>` complements (tightest binding, as Lucene's),
   * wildcards INSIDE phrases (`"big da*"` — ordered adjacent tokens,
@@ -53,7 +64,6 @@ object TextMatch {
 
   private[graft] sealed trait Node
   private final case class Term(t: String) extends Node
-  private final case class Phrase(p: String) extends Node
   private final case class Prefix(p: String) extends Node
   private final case class Wild(term: String) extends Node
   private final case class Fuzzy(t: String, maxEdits: Int) extends Node
@@ -250,7 +260,6 @@ object TextMatch {
       }
     case RegexT(re) =>
       exists(toks(c), tok => tok.rlike("^" + re + "$"))
-    case Phrase(p) => lower(c).contains(p.toLowerCase)
     case Prefix(p) => lower(c).rlike("(^|\\W)" + java.util.regex.Pattern.quote(p.toLowerCase))
     case Wild(t) =>
       // one whole-string regex, wildcards confined to token chars
@@ -307,15 +316,21 @@ object TextMatch {
     case FalseN => lit(false)
   }
 
-  /** Lucene's default English stop set (EnglishAnalyzer.ENGLISH_STOP_
-    * WORDS_SET) — the analyzer the reference's text index runs by
-    * default; `stopWordInclude`/`stopWordExclude` modify it per
-    * column (FieldConfig.TEXT_INDEX_STOP_WORD_*). */
+  /** The reference's default English stop set —
+    * `LuceneTextIndexCreator.getDefaultEnglishStopWordsSet()`
+    * (`LuceneTextIndexCreator.java:73-80`): Lucene's 33-word
+    * ENGLISH_STOP_WORDS_SET plus "than" and "those". EVERY text column
+    * without a custom analyzer runs it, index-time and query-time
+    * (`TextIndexUtils.getAnalyzer` routes the no-config path through
+    * `getStandardAnalyzerWithCustomizedStopWords`,
+    * `segment/store/TextIndexUtils.java:154-167,336-346`);
+    * `stopWordInclude`/`stopWordExclude` modify it per column
+    * (FieldConfig.TEXT_INDEX_STOP_WORD_*). */
   private[graft] val LuceneDefaultStopWords: Set[String] = Set(
     "a", "an", "and", "are", "as", "at", "be", "but", "by", "for",
     "if", "in", "into", "is", "it", "no", "not", "of", "on", "or",
-    "such", "that", "the", "their", "then", "there", "these", "they",
-    "this", "to", "was", "will", "with")
+    "such", "that", "the", "their", "then", "than", "there", "these",
+    "they", "this", "to", "was", "will", "with", "those")
 
   /** Apply stop-word analysis to the parsed query the way Lucene's
     * analyzer does: a stopped TERM has no postings (constant false);
@@ -326,8 +341,15 @@ object TextMatch {
     * analyzer, as in Lucene. */
   private def stopFilter(n: Node, stop: Set[String]): Node = n match {
     case Term(t) =>
-      val ts = analyzeTerm(t).filterNot(stop)
-      if (ts.isEmpty) FalseN else n
+      // rebuilt from the SURVIVORS: a partially-stopped multi-token
+      // term ('the-stream' → [the, stream]) queries only the
+      // remaining tokens, as Lucene's analyzer drops the stopped one
+      val all = analyzeTerm(t)
+      val ts = all.filterNot(stop)
+      if (ts.isEmpty) FalseN
+      else if (ts == all) n
+      else if (ts.size == 1) Term(ts.head)
+      else OrN(ts.map(Term(_)))
     case Proximity(pats0, slop) =>
       def stopped(p: TermPat): Boolean = p match {
         case ExactT(w) => stop(w)
@@ -335,11 +357,14 @@ object TextMatch {
       }
       if (!pats0.exists(stopped)) n
       else {
-        // interior stops become any-token gaps; edges drop (Lucene
-        // drops the dangling positions)
+        // interior stops become ONE-token gaps (enablePositionIncrements
+        // leaves a position hole the phrase must step over — the gap
+        // consumes exactly one real token, so `?*` = one-or-more token
+        // chars, never the empty run between two separators); edges
+        // drop (Lucene drops the dangling positions)
         val pats: Seq[TermPat] = pats0
           .dropWhile(stopped).reverse.dropWhile(stopped).reverse
-          .map(p => if (stopped(p)) WildT("*") else p)
+          .map(p => if (stopped(p)) WildT("?*") else p)
         if (pats.isEmpty) FalseN
         else if (pats.size == 1) pats.head match {
           case ExactT(w) => Term(w)
@@ -364,22 +389,23 @@ object TextMatch {
         case Array(k, v) => Some(k.trim.toLowerCase -> v.trim)
         case _ => None
       }}.toMap
-    // stop-word analysis is opt-in on the SCAN function (the reference
-    // configures it per COLUMN — FieldConfig.TEXT_INDEX_STOP_WORD_
-    // INCLUDE/EXCLUDE — with Lucene's English set always on; graft's
-    // bare default keeps every token so un-configured TEXT_MATCH stays
-    // oracle-checkable). Any of the three keys activates the Lucene
-    // default set; include/exclude lists are ';'-separated (',' is the
-    // options separator).
+    // stop-word analysis is ON BY DEFAULT, as the reference's: every
+    // unconfigured text column runs the English stop set at index and
+    // query time (TextIndexUtils.getAnalyzer →
+    // getStandardAnalyzerWithCustomizedStopWords). The set composes as
+    // default ∪ include ∖ exclude (TextIndexUtils.java:336-346);
+    // include/exclude lists are ';'-separated (',' is the options
+    // separator). `useDefaultStopWords=false` is graft's documented
+    // opt-out (keep every token — the reference can only empty the set
+    // via exclude).
     def words(k: String): Seq[String] = kv.get(k).toSeq
       .flatMap(_.split(";")).map(_.trim.toLowerCase).filter(_.nonEmpty)
-    val stopKeys = Seq("usedefaultstopwords", "stopwordinclude",
-      "stopwordexclude")
-    val stop =
-      if (stopKeys.exists(kv.contains))
-        Some(LuceneDefaultStopWords ++ words("stopwordinclude") --
-          words("stopwordexclude"))
-      else None
+    val base =
+      if (kv.get("usedefaultstopwords").exists(_.equalsIgnoreCase("false")))
+        Set.empty[String]
+      else LuceneDefaultStopWords
+    val stopSet = base ++ words("stopwordinclude") -- words("stopwordexclude")
+    val stop = if (stopSet.isEmpty) None else Some(stopSet)
     Options(
       defaultAnd = kv.get("defaultoperator").exists(_.equalsIgnoreCase("AND")),
       prefixSuffixPhrase = kv.get(
@@ -426,8 +452,15 @@ object TextMatch {
     opts.stopWords.map(stopFilter(n, _)).getOrElse(n)
   }
 
-  /** Boolean Column: does `col` match the Lucene-ish `query`. */
-  def textMatch(c: Column, query: String): Column = compile(parse(query), c)
+  /** The no-options analyzer: the reference's default (English stop
+    * set on, OR adjacency, no span conversion). */
+  private[graft] val DefaultOptions: Options = parseOptions("")
+
+  /** Boolean Column: does `col` match the Lucene-ish `query` under the
+    * DEFAULT analyzer (English stop words applied, as the reference's
+    * unconfigured columns do). */
+  def textMatch(c: Column, query: String): Column =
+    compile(parseWith(query, DefaultOptions), c)
 
   /** TEXT_MATCH with the reference's options argument. */
   def textMatch(c: Column, query: String, options: String): Column =
@@ -450,14 +483,12 @@ object TextMatch {
     *   wild/`?`    anchored regex over the dictionary — EXACT
     *   fuzzy ~N    levenshtein over the dictionary (FuzzyQuery's
     *               automaton walk, materialized) — EXACT
-    *   "phrase"    POSITIONAL adjacency chain (Lucene PhraseQuery):
-    *               interior words exact tokens, FIRST word a token
-    *               SUFFIX and LAST a token PREFIX (substring semantics
-    *               can start/end mid-token), consecutive positions —
-    *               tight superset of the substring match; single word →
-    *               token-contains, which IS exact
-    *   proximity   per-term lookups intersected (order/slop ignored —
-    *               the re-verify applies them) — superset
+    *   "phrase"    token-exact adjacency → POSITIONAL bigram-shingle
+    *               chain (Lucene PhraseQuery over stored positions):
+    *               each step's doc frequency is the PAIR's — tight
+    *               superset (positions original/gapped, re-verified)
+    *   proximity   per-term lookups intersected (order/slop/stop-gaps
+    *               ignored — the re-verify applies them) — superset
     * AND intersects whichever children are indexable (dropping an
     * unindexable conjunct keeps the superset); OR must union ALL
     * children, so one unindexable branch makes the whole OR unindexable.
@@ -539,51 +570,6 @@ object TextMatch {
       else Some((parts.flatten.map(_._1).reduce(union),
         parts.flatten.forall(_._2),
         parts.flatten.map(_._3).sum))
-    def phraseCands(p: String): Option[Cand] = {
-      val ws = p.toLowerCase.split("\\W+").filter(_.nonEmpty).toSeq
-      if (ws.isEmpty) None
-      else if (ws.size == 1)
-        // contains(text, w) over word chars ⟺ some token contains w
-        tokensWhere(col("token").contains(ws.head))
-          .map(ts => leaf(ts, exact = true))
-      else {
-        // can a substring occurrence start or end MID-TOKEN? Only if
-        // the dictionary holds a proper suffix-extension of the first
-        // word or prefix-extension of the last
-        val suffixExtra = tokensWhere(
-          col("token").endsWith(ws.head) && col("token") =!= ws.head)
-        val prefixExtra = tokensWhere(
-          col("token").startsWith(ws.last) && col("token") =!= ws.last)
-        if (suffixExtra.exists(_._1.isEmpty) &&
-            prefixExtra.exists(_._1.isEmpty)) {
-          // every occurrence is an exact-token phrase → BIGRAM shingle
-          // chain: each step's doc frequency is the PAIR's (typically
-          // orders of magnitude below either word's), and the
-          // positional chain makes n-gram adjacency exact
-          val steps = ws.sliding(2).map(p => bigramLeaf(p(0), p(1))).toSeq
-          Some((chain(steps.map(s => posFrame(s._1))),
-            false, steps.map(_._2).min))
-        } else {
-          // word-level positional chain with the partial-edge token
-          // sets merged in
-          val stepTokens: Seq[Option[(Seq[String], Long)]] =
-            tokensWhere(col("token").endsWith(ws.head)) +:
-              ws.slice(1, ws.size - 1).map(w =>
-                tokensWhere(col("token") === w)
-                  .orElse(Some((Seq(w), 0L)))) :+
-              tokensWhere(col("token").startsWith(ws.last))
-          if (stepTokens.exists(_.isEmpty))
-            // an unbounded edge leaf: fall back to plain doc
-            // intersection over the bounded words (still a superset)
-            combineAnd(stepTokens.flatten.map(ts =>
-              Some(leaf(ts, exact = false))))
-              .map { case (df, _, b) => (df, false, b) }
-          else
-            Some((chain(stepTokens.map(ts => posFrame(ts.get._1))),
-              false, stepTokens.flatten.map(_._2).min))
-        }
-      }
-    }
     def patDocs(p: TermPat): Option[Cand] = p match {
       case ExactT(t) => Some(termLeaf(t))
       case WildT(t) =>
@@ -599,7 +585,6 @@ object TextMatch {
       case RegexT(re) =>
         tokensWhere(col("token").rlike("^" + re + "$"))
           .map(ts => leaf(ts, exact = true))
-      case Phrase(p) => phraseCands(p)
       case Prefix(p) =>
         tokensWhere(col("token").startsWith(p.toLowerCase))
           .map(ts => leaf(ts, exact = true))
@@ -629,6 +614,13 @@ object TextMatch {
       // (superset holds), a lone/OR-side NOT keeps the exact scan
       case NotN(_) => None
     }
-    go(parse(query))
+    // the DEFAULT analyzer on both sides: the index was built with the
+    // same stop set (TextIndex drops stop tokens at ingest, as the
+    // reference's Lucene index does), so the query must be analyzed
+    // identically — a stopped term has no postings, a phrase queries
+    // its surviving tokens. Option-carrying (3-arg) TEXT_MATCH calls
+    // never reach this path: a per-QUERY analyzer can diverge from the
+    // index-time one, so the facade only serves the 2-arg form.
+    go(parseWith(query, DefaultOptions))
   }
 }

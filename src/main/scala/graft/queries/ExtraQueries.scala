@@ -138,6 +138,11 @@ object ExtraQueries {
 
     // TEXT_MATCH predicate through the Lucene-subset compiler
     // (TextMatchFilterOperator.java:38): term AND phrase OR prefix.
+    // The default analyzer stops English words (the reference's
+    // TextIndexUtils.getAnalyzer default), so the phrase '"the
+    // stream"' drops its leading stop word and queries the single
+    // surviving token — the oracle mirrors the STOP-FILTERED
+    // semantics, not the raw adjacency.
     GQuery("q_text_match",
       (s, dir) => {
         val t = Tables(s, dir)
@@ -149,8 +154,7 @@ object ExtraQueries {
       },
       Some("""SELECT doc_id FROM documents
         WHERE (list_contains(regexp_split_to_array(lower(text), '\W+'), 'query')
-               AND regexp_matches(lower(text),
-                 '(^|[^a-z0-9_])the[^a-z0-9_]+stream([^a-z0-9_]|$)'))
+               AND list_contains(regexp_split_to_array(lower(text), '\W+'), 'stream'))
            OR regexp_matches(lower(text), '(^|[^a-zA-Z0-9_])filter')
         ORDER BY doc_id""")),
 

@@ -14,7 +14,8 @@ import org.apache.spark.sql.functions._
   * registry + rewrite-when-registered + scan fallback):
   *
   *   - At ingest the corpus is tokenized ONCE (same analyzer as the
-  *     query path: `split(lower(text), "\\W+")`) into a
+  *     query path: `split(lower(text), "\\W+")` minus the reference's
+  *     default English stop set) into a
   *     `(token, doc_id)` POSTING frame, range-partitioned and sorted
   *     by token — the inverted-index layout: a term lookup prunes to
   *     the token's partitions/row groups instead of touching the
@@ -51,8 +52,10 @@ object TextIndex {
   val DefaultInternalLimit = 100000
 
   /** Artifact-layout version — bump on any postings/dict schema or
-    * analyzer change so persisted indexes from older layouts rebuild. */
-  private val LayoutVersion = 1
+    * analyzer change so persisted indexes from older layouts rebuild.
+    * v2: default English stop set applied at build (reference's
+    * default analyzer), positions original/gapped, adjacency bigrams. */
+  private val LayoutVersion = 2
 
   def build(corpus: DataFrame, idCol: String, textCol: String,
       nBuckets: Int = 32): Model =
@@ -91,24 +94,38 @@ object TextIndex {
       // groups — the on-disk inverted-index layout (an in-memory frame
       // cannot prune, so every lookup would re-scan all postings)
       // POSITIONAL postings (Lucene stores positions for PhraseQuery):
-      // position = index in the empty-filtered token sequence, so
-      // consecutive words are adjacent positions. BIGRAM shingles
-      // ("w1 w2", position of w1) are indexed alongside — a phrase of
+      // position = index in the empty-filtered token sequence BEFORE
+      // stop removal, so a removed stop word leaves a position GAP —
+      // Lucene's enablePositionIncrements — and adjacent survivors
+      // stay adjacent positions. The reference's default analyzer
+      // stops the 35-word English set on every unconfigured column
+      // (TextIndexUtils.getAnalyzer), so stop tokens carry NO postings
+      // (they are the corpus's heaviest rows — dropping them is also
+      // the storage win the reference gets for free from Lucene).
+      // BIGRAM shingles ("w1 w2", position of w1) are indexed for
+      // pairs ADJACENT IN THE ORIGINAL token stream — a phrase of
       // exact tokens resolves to bigram lookups whose doc frequency is
       // the PAIR's, typically orders of magnitude below either word's
-      // (the shingle-index trick for phrase selectivity).
+      // (the shingle-index trick for phrase selectivity). A
+      // stop-separated pair ("machine the learning") has no bigram,
+      // exactly as its positions 0/2 fail Lucene's adjacency.
+      val stopArr = graft.functions.TextMatch.LuceneDefaultStopWords
+        .toSeq.sorted
       val words = corpus.select(col(idCol).cast("long").as("doc_id"),
         posexplode(filter(
           split(lower(col(textCol)), "\\W+"),
           t => t =!= lit(""))))
         .toDF("doc_id", "pos", "token")
-      val nextTok = lead(col("token"), 1).over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy(col("doc_id")).orderBy(col("pos")))
+        .filter(!col("token").isin(stopArr: _*))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("pos"))
       val bigrams = words
-        .withColumn("token", concat(col("token"), lit(" "), nextTok))
-        .filter(col("token").isNotNull)
-      words.unionByName(bigrams)
+        .withColumn("ntok", lead(col("token"), 1).over(w))
+        .withColumn("npos", lead(col("pos"), 1).over(w))
+        .filter(col("ntok").isNotNull && col("npos") === col("pos") + 1)
+        .select(col("doc_id"), col("pos"),
+          concat(col("token"), lit(" "), col("ntok")).as("token"))
+      words.unionByName(bigrams.select("doc_id", "pos", "token"))
         .groupBy(col("token"), col("doc_id"))
         .agg(sort_array(collect_list(col("pos"))).as("positions"))
         .repartitionByRange(nBuckets, col("token"))

@@ -1395,15 +1395,18 @@ class FixtureReplaySpec extends SparkSpec {
       .isEmpty)
 
     // stop-word analyzer golds (:1920-1980) — SKILLS_TEXT_COL runs
-    // include="coordinator", exclude="it; those" over Lucene's default
+    // include="coordinator", exclude="it; those" over the default
     // English set; SKILLS_TEXT_COL_DICT runs the untouched default
-    // set. 4x-served in the suite; single-serving counts here (golds
-    // divided by 4), same queries verbatim.
+    // set — which is graft's DEFAULT analyzer too (no options shim:
+    // the reference stops English words on every unconfigured
+    // column). 4x-served in the suite; single-serving counts here
+    // (golds divided by 4), same queries verbatim.
     def stopQ(tm: String, opts: String): Long = graft.sql.QueryFacade
       .sql(spark, "SELECT count(*) AS n FROM txts_t WHERE TEXT_MATCH(" +
-        s"SKILLS_TEXT_COL, '$tm', '$opts')").head.getLong(0)
+        s"SKILLS_TEXT_COL, '$tm'" +
+        (if (opts.isEmpty) "" else s", '$opts'") + ")").head.getLong(0)
     val colOpts = "stopWordInclude=coordinator,stopWordExclude=it;those"
-    val dictOpts = "useDefaultStopWords=true"
+    val dictOpts = ""
     // only stop words: nothing is indexed (gold 0)
     assert(stopQ("a and or in the are", colOpts) == 0)
     assert(stopQ("a and or in the are", dictOpts) == 0)

@@ -55,9 +55,14 @@ class TextIndexSpec extends SparkSpec {
         s"'$q': df bound $bound below actual ${ids.size}")
     }
     // phrase/proximity shapes stay marked approximate (re-verified)
-    Seq("\"the stream\"", "\"stream processing\"~2").foreach { q =>
+    Seq("\"data stream\"", "\"stream processing\"~2").foreach { q =>
       assert(!cands(q).get._2, s"'$q' must not claim exactness")
     }
+    // a stop-edged phrase analyzes to its single surviving token
+    // (the reference's default analyzer drops "the") — candidates are
+    // the TERM's postings and exact
+    val (theStream, exactTS, _) = cands("\"the stream\"").get
+    assert(exactTS && theStream == scanIds("stream"))
   }
 
   test("positional phrase candidates are tight (adjacency, not co-occurrence)") {
