@@ -56,20 +56,32 @@ object HnswIndex {
       // step, so a fresh process re-registering unchanged data loads
       // the byte-exact blobs with no build. Derived corpora without a
       // file fingerprint keep the JVM-lifetime localCheckpoint.
+      // The BUILD path serves the in-memory model it just wrote (the
+      // artifact is a byte-copy of it) instead of reading its own
+      // write back: a read-back would pin a SECOND checkpoint of every
+      // blob next to buildImpl's — round-8 shipped that double
+      // residency and its leaked build-side blocks measurably slowed
+      // CO-RESIDENT queries (bm25/classifier +30% in a shared session,
+      // DriftAb round-9). Only a LOAD (fresh process, artifact hit)
+      // reads parquet, and pins exactly one copy.
+      var built: Option[Model] = None
       val located = graft.sources.IndexStore.getOrBuild(corpus,
         "vector_hnsw", vecCol,
         Seq("v1", idCol, m, efConstruction, nShards, metric.name)) { d =>
-        buildImpl(corpus, idCol, vecCol, m, efConstruction, nShards,
-          metric).shards.write.mode("overwrite").parquet(s"$d/shards")
+        val mm = buildImpl(corpus, idCol, vecCol, m, efConstruction,
+          nShards, metric)
+        mm.shards.write.mode("overwrite").parquet(s"$d/shards")
+        built = Some(mm)
       }
-      located match {
-        case Some(l) =>
+      (located, built) match {
+        case (_, Some(mm)) => mm
+        case (Some(l), None) =>
           // blob rows are shard-count-sized; pin them in memory so
           // every query joins against blocks, not the filesystem
           Model(corpus.sparkSession.read.parquet(s"${l.dir}/shards")
               .localCheckpoint(),
             m, efConstruction, metric)
-        case None =>
+        case (None, None) =>
           buildImpl(corpus, idCol, vecCol, m, efConstruction, nShards,
             metric)
       }

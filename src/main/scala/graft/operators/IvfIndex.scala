@@ -60,6 +60,18 @@ object IvfIndex {
       // with no clustering job (the reference reads its IVF pages from
       // the segment, `IvfPqVectorIndexReader.java`).
       val spark = corpus.sparkSession
+      // BUILD path serves the in-memory model it just wrote — a
+      // read-back of our own write would pin a SECOND checkpoint of
+      // assignments/centroids next to buildImpl's (round-8 shipped
+      // that; the doubled resident blocks slowed co-resident queries
+      // ~30%, DriftAb round-9). Only a LOAD (fresh process) reads
+      // parquet — serve from MEMORY after the one-time load (the r7
+      // cost profile): the cell join reads assignments per query, and
+      // a per-query parquet scan measured 9x slower on the radius path
+      // at the 100x replica (22.8x vs 2.5x growth). The durable
+      // artifact remains the source of truth; the checkpoint is
+      // JVM-lifetime serving state, like the reference's mmap'd pages.
+      var built: Option[Model] = None
       val located = graft.sources.IndexStore.getOrBuild(corpus,
         "vector_ivf", vecCol,
         Seq("v1", idCol, k, iterations, maxTrainRows, quantizerBits)) { d =>
@@ -73,27 +85,22 @@ object IvfIndex {
           Seq((q.bits, q.mins, q.maxs)).toDF("bits", "mins", "maxs")
             .write.mode("overwrite").parquet(s"$d/quant")
         }
+        built = Some(m)
       }
-      located match {
-        case Some(l) =>
+      (located, built) match {
+        case (_, Some(m)) => m
+        case (Some(l), None) =>
           val quant =
             if (quantizerBits > 0) {
               val r = spark.read.parquet(s"${l.dir}/quant").head()
               Some(ScalarQuantize.Params(r.getInt(0),
                 r.getSeq[Double](1), r.getSeq[Double](2)))
             } else None
-          // serve from MEMORY after the one-time load (the r7 cost
-          // profile): the cell join reads assignments per query, and a
-          // per-query parquet scan measured 9x slower on the radius
-          // path at the 100x replica (22.8x vs 2.5x growth). The
-          // durable artifact remains the source of truth; the
-          // checkpoint is JVM-lifetime serving state, exactly like
-          // the reference's mmap'd index pages.
           Model(spark.read.parquet(s"${l.dir}/assignments")
               .localCheckpoint(),
             spark.read.parquet(s"${l.dir}/centroids").localCheckpoint(),
             quant)
-        case None =>
+        case (None, None) =>
           buildImpl(corpus, idCol, vecCol, k, iterations, maxTrainRows,
             quantizerBits)
       }

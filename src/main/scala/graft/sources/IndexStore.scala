@@ -216,9 +216,32 @@ object IndexStore {
         loads.incrementAndGet()
         Located(dir, rebuilt = false)
       } else {
+        // build into a TEMP sibling and commit by rename, so two
+        // processes racing a first build can never interleave partial
+        // artifacts under the final directory: whichever rename lands
+        // first wins, the loser discards its temp and loads the
+        // winner's manifest (same fingerprint ⇒ same artifact).
         builds.incrementAndGet()
-        build(dir)
-        writeManifest(fs, dir, fp, family, column, params)
+        val tmp = new Path(dir + ".build-" +
+          java.util.UUID.randomUUID().toString.take(8))
+        build(tmp.toString)
+        writeManifest(fs, tmp.toString, fp, family, column, params)
+        val dst = new Path(dir)
+        if (readManifest(fs, dir).contains(fp)) {
+          // a racing writer committed the identical artifact while we
+          // built — theirs is live, ours is redundant
+          fs.delete(tmp, true)
+        } else {
+          if (fs.exists(dst)) fs.delete(dst, true) // stale artifact
+          fs.mkdirs(dst.getParent)
+          if (!fs.rename(tmp, dst)) {
+            // rename lost the race window after our delete: accept the
+            // winner if it carries our fingerprint, else surface it
+            if (readManifest(fs, dir).contains(fp)) fs.delete(tmp, true)
+            else throw new java.io.IOException(
+              s"index artifact commit failed: $tmp -> $dir")
+          }
+        }
         Located(dir, rebuilt = true)
       }
     }

@@ -182,4 +182,53 @@ class IndexStoreSpec extends SparkSpec {
       .map(r => (r.getInt(0), r.getAs[Array[Byte]](1).toSeq))
     assert(blobs1.toSeq == blobs2.toSeq, "persisted graphs must be byte-exact")
   }
+
+  test("concurrent first builds commit atomically (tmp + rename)") {
+    val tab = freshTable(Seq((1L, "alpha"), (2L, "bravo")))
+    val corpus = spark.read.parquet(tab)
+    // two writers race the same (family, column, params): each builds
+    // into its own temp sibling; one rename wins, the loser discards
+    // its temp and the final dir is ONE writer's complete artifact —
+    // never an interleaving of both
+    // store paths carry the `file:` scheme (scan-root strings) — strip
+    // it for java.nio access, as snapshot() does
+    def local(d: String): java.nio.file.Path =
+      java.nio.file.Paths.get(Option(new java.net.URI(d).getPath).getOrElse(d))
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    def racer(tag: String): IndexStore.Located = {
+      barrier.await()
+      IndexStore.getOrBuild(corpus, "racefam", "text", Seq("p1")) { d =>
+        val p = local(d)
+        java.nio.file.Files.createDirectories(p)
+        java.nio.file.Files.writeString(p.resolve("part-0"), tag)
+        Thread.sleep(50) // widen the overlap window
+        java.nio.file.Files.writeString(p.resolve("part-1"), tag)
+      }.get
+    }
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val (l1, l2) = (Future(racer("w1")), Future(racer("w2")))
+    val (a, b) = (Await.result(l1, 60.seconds), Await.result(l2, 60.seconds))
+    assert(a.dir == b.dir)
+    val dir = local(a.dir)
+    assert(java.nio.file.Files.exists(dir.resolve("_manifest.json")),
+      "committed artifact must carry a manifest")
+    val p0 = java.nio.file.Files.readString(dir.resolve("part-0"))
+    val p1 = java.nio.file.Files.readString(dir.resolve("part-1"))
+    assert(p0 == p1, s"artifact mixes two writers: $p0 vs $p1")
+    // no abandoned temp dirs next to the committed artifact
+    val parent = dir.getParent
+    val leftovers = java.nio.file.Files.list(parent).iterator()
+    val names = scala.collection.mutable.Buffer[String]()
+    while (leftovers.hasNext) names += leftovers.next().getFileName.toString
+    assert(!names.exists(_.contains(".build-")),
+      s"temp build dirs left behind: $names")
+    // a third registration (fingerprint unchanged) loads, no rebuild
+    val b0 = IndexStore.builds.get()
+    val c = IndexStore.getOrBuild(corpus, "racefam", "text", Seq("p1")) {
+      _ => fail("third call must load, not rebuild")
+    }.get
+    assert(!c.rebuilt && IndexStore.builds.get() == b0)
+  }
 }
