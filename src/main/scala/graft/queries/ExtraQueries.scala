@@ -192,6 +192,38 @@ object ExtraQueries {
           AND regexp_matches(lower(text), '(^|[^a-zA-Z0-9_])filter')
         ORDER BY doc_id""")),
 
+    // MULTI-COLUMN text index (MultiColumnLuceneTextIndexCreator.java:
+    // one Lucene index holds every configured column as its own field;
+    // readers address fields by column name). Graft: ONE artifact +
+    // ONE build for (text, source); the query serves BOTH predicates
+    // from per-column views of the shared posting table — the plan
+    // gate proves the doc_id IN-list pruned the scan.
+    GQuery("q_text_match_multicol",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        graft.sql.QueryFacade.init(s, dir)
+        graft.sources.TextIndex.registerMulti("documents",
+          t.documents, "doc_id", Seq("text", "source"))
+        val q = graft.sql.QueryFacade.sql(s,
+          """SET explicitLimit = true;
+             SELECT doc_id FROM documents
+             WHERE TEXT_MATCH(text, 'query AND "column key"')
+               AND TEXT_MATCH(source, 'src7 src9 src11')
+             ORDER BY doc_id""")
+        val usedIndex = q.queryExecution.executedPlan.toString
+          .linesIterator.exists(l =>
+            l.contains("PushedFilters") && l.contains("In(doc_id"))
+        q.withColumn("used_index", lit(usedIndex))
+      },
+      Some("""SELECT doc_id, TRUE AS used_index FROM documents
+        WHERE list_contains(regexp_split_to_array(lower(text), '\W+'), 'query')
+          AND regexp_matches(lower(text),
+            '(^|[^a-z0-9_])column[^a-z0-9_]+key([^a-z0-9_]|$)')
+          AND (list_contains(regexp_split_to_array(lower(source), '\W+'), 'src7')
+            OR list_contains(regexp_split_to_array(lower(source), '\W+'), 'src9')
+            OR list_contains(regexp_split_to_array(lower(source), '\W+'), 'src11'))
+        ORDER BY doc_id""")),
+
     // TEXT_MATCH long tail (lucene/): `term~N` fuzzy (FuzzyQuery,
     // Levenshtein ≤ N on any token), `"a b"~N` phrase proximity
     // (ordered, ≤ N intervening tokens), grouping PARENS, a wildcard

@@ -40,6 +40,15 @@ object TableConfig {
       // derived $col$GRANULARITY columns + the dateTrunc override
       timestampGranularities: Seq[String] = Nil)
 
+  /** `indexingConfig.multiColumnTextIndexConfig`
+    * (`MultiColumnTextIndexConfig.java`): ONE shared text index over
+    * several columns — columns list + shared properties (graft reads
+    * `idColumn`; analyzer properties follow the default-stop-set
+    * analyzer as single-column indexes do). */
+  final case class MultiColumnText(
+      columns: Seq[String],
+      properties: Map[String, String] = Map.empty)
+
   final case class Config(
       tableName: String,
       tableType: String, // OFFLINE | REALTIME
@@ -51,7 +60,8 @@ object TableConfig {
       deleteRecordColumn: Option[String] = None,
       partialStrategies: Map[String, String] = Map.empty, // col -> strategy
       dedupEnabled: Boolean = false,
-      fieldIndexes: Seq[FieldIndex] = Nil)
+      fieldIndexes: Seq[FieldIndex] = Nil,
+      multiColumnText: Option[MultiColumnText] = None)
 
   private def str(json: String, key: String): Option[String] =
     ("\"" + key + "\"\\s*:\\s*\"([^\"]*)\"").r
@@ -110,7 +120,24 @@ object TableConfig {
       deleteRecordColumn = str(upsertSec, "deleteRecordColumn"),
       partialStrategies = partial,
       dedupEnabled = dedupSec.nonEmpty,
-      fieldIndexes = parseFieldConfigs(json))
+      fieldIndexes = parseFieldConfigs(json),
+      multiColumnText = {
+        val sec = section("multiColumnTextIndexConfig")
+        if (sec.isEmpty) None
+        else Some(MultiColumnText(
+          columns = strList(sec, "columns"),
+          properties = {
+            val pi = sec.indexOf("\"properties\"")
+            if (pi < 0) Map.empty[String, String]
+            else {
+              val ps = sec.indexOf('{', pi)
+              val pe = sec.indexOf('}', ps)
+              "\"([^\"]+)\"\\s*:\\s*\"([^\"]*)\"".r
+                .findAllMatchIn(sec.substring(ps, pe + 1))
+                .map(m => m.group(1) -> m.group(2)).toMap
+            }
+          }))
+      })
   }
 
   /** Parse `fieldConfigList` entries: name, indexTypes, properties,
@@ -223,6 +250,17 @@ object TableConfig {
       case "BOOLEAN" => BooleanType
       case "TIMESTAMP" => TimestampType
       case _ => StringType
+    }
+    // one shared text index over the configured columns — a single
+    // build/artifact (MultiColumnLuceneTextIndexCreator) instead of
+    // one per column
+    cfg.multiColumnText.foreach { mc =>
+      graft.sources.TextIndex.registerMulti(cfg.tableName, df,
+        mc.properties.getOrElse("idColumn", cfg.primaryKeys.headOption
+          .getOrElse(throw new IllegalArgumentException(
+            "multi-column text index needs an idColumn property" +
+              " or a primary key"))),
+        mc.columns)
     }
     // a fieldConfig entry's index declarations are INDEPENDENT in the
     // reference (one entry may set both an indexType and a

@@ -86,6 +86,44 @@ object TextIndex {
         spark.read.parquet(s"$dir/dict"))
     }
 
+  /** The `(doc_id, pos, token)` posting rows for one text column —
+    * POSITIONAL postings (Lucene stores positions for PhraseQuery):
+    * position = index in the empty-filtered token sequence BEFORE
+    * stop removal, so a removed stop word leaves a position GAP —
+    * Lucene's enablePositionIncrements — and adjacent survivors
+    * stay adjacent positions. The reference's default analyzer
+    * stops the 35-word English set on every unconfigured column
+    * (TextIndexUtils.getAnalyzer), so stop tokens carry NO postings
+    * (they are the corpus's heaviest rows — dropping them is also
+    * the storage win the reference gets for free from Lucene).
+    * BIGRAM shingles ("w1 w2", position of w1) are indexed for
+    * pairs ADJACENT IN THE ORIGINAL token stream — a phrase of
+    * exact tokens resolves to bigram lookups whose doc frequency is
+    * the PAIR's, typically orders of magnitude below either word's
+    * (the shingle-index trick for phrase selectivity). A
+    * stop-separated pair ("machine the learning") has no bigram,
+    * exactly as its positions 0/2 fail Lucene's adjacency. */
+  private def tokenRows(corpus: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val stopArr = graft.functions.TextMatch.LuceneDefaultStopWords
+      .toSeq.sorted
+    val words = corpus.select(col(idCol).cast("long").as("doc_id"),
+      posexplode(filter(
+        split(lower(col(textCol)), "\\W+"),
+        t => t =!= lit(""))))
+      .toDF("doc_id", "pos", "token")
+      .filter(!col("token").isin(stopArr: _*))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    val bigrams = words
+      .withColumn("ntok", lead(col("token"), 1).over(w))
+      .withColumn("npos", lead(col("pos"), 1).over(w))
+      .filter(col("ntok").isNotNull && col("npos") === col("pos") + 1)
+      .select(col("doc_id"), col("pos"),
+        concat(col("token"), lit(" "), col("ntok")).as("token"))
+    words.unionByName(bigrams.select("doc_id", "pos", "token"))
+  }
+
   private def writeArtifact(corpus: DataFrame, idCol: String,
       textCol: String, nBuckets: Int, dir: String): Unit = {
       val spark = corpus.sparkSession
@@ -93,39 +131,7 @@ object TextIndex {
       // `In(token, ...)` into the scan and prunes to the token's row
       // groups — the on-disk inverted-index layout (an in-memory frame
       // cannot prune, so every lookup would re-scan all postings)
-      // POSITIONAL postings (Lucene stores positions for PhraseQuery):
-      // position = index in the empty-filtered token sequence BEFORE
-      // stop removal, so a removed stop word leaves a position GAP —
-      // Lucene's enablePositionIncrements — and adjacent survivors
-      // stay adjacent positions. The reference's default analyzer
-      // stops the 35-word English set on every unconfigured column
-      // (TextIndexUtils.getAnalyzer), so stop tokens carry NO postings
-      // (they are the corpus's heaviest rows — dropping them is also
-      // the storage win the reference gets for free from Lucene).
-      // BIGRAM shingles ("w1 w2", position of w1) are indexed for
-      // pairs ADJACENT IN THE ORIGINAL token stream — a phrase of
-      // exact tokens resolves to bigram lookups whose doc frequency is
-      // the PAIR's, typically orders of magnitude below either word's
-      // (the shingle-index trick for phrase selectivity). A
-      // stop-separated pair ("machine the learning") has no bigram,
-      // exactly as its positions 0/2 fail Lucene's adjacency.
-      val stopArr = graft.functions.TextMatch.LuceneDefaultStopWords
-        .toSeq.sorted
-      val words = corpus.select(col(idCol).cast("long").as("doc_id"),
-        posexplode(filter(
-          split(lower(col(textCol)), "\\W+"),
-          t => t =!= lit(""))))
-        .toDF("doc_id", "pos", "token")
-        .filter(!col("token").isin(stopArr: _*))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("doc_id")).orderBy(col("pos"))
-      val bigrams = words
-        .withColumn("ntok", lead(col("token"), 1).over(w))
-        .withColumn("npos", lead(col("pos"), 1).over(w))
-        .filter(col("ntok").isNotNull && col("npos") === col("pos") + 1)
-        .select(col("doc_id"), col("pos"),
-          concat(col("token"), lit(" "), col("ntok")).as("token"))
-      words.unionByName(bigrams.select("doc_id", "pos", "token"))
+      tokenRows(corpus, idCol, textCol)
         .groupBy(col("token"), col("doc_id"))
         .agg(sort_array(collect_list(col("pos"))).as("positions"))
         .repartitionByRange(nBuckets, col("token"))
@@ -142,6 +148,69 @@ object TextIndex {
         .sortWithinPartitions("token")
         .write.mode("overwrite").parquet(s"$dir/dict")
   }
+
+  /** ONE shared artifact + ONE build for N text columns — the
+    * reference's multi-column Lucene text index
+    * (`MultiColumnLuceneTextIndexCreator.java`: a single IndexWriter
+    * indexes every configured column as its own field, so a segment
+    * with many text columns pays one index instead of N open-file
+    * sets; readers address fields by column name,
+    * `MultiColumnRealtimeLuceneTextIndex.java`). Spark analog: the
+    * posting/dict tables carry a `column` DISCRIMINATOR as the leading
+    * range-partition key, so one build job tokenizes all columns and a
+    * per-column lookup prunes to that column's partitions exactly as a
+    * Lucene field query touches only its field's postings. */
+  private def writeMultiArtifact(corpus: DataFrame, idCol: String,
+      textCols: Seq[String], nBuckets: Int, dir: String): Unit = {
+    val spark = corpus.sparkSession
+    textCols.map(c => tokenRows(corpus, idCol, c)
+        .withColumn("column", lit(c)))
+      .reduce(_ unionByName _)
+      .groupBy(col("column"), col("token"), col("doc_id"))
+      .agg(sort_array(collect_list(col("pos"))).as("positions"))
+      .repartitionByRange(nBuckets, col("column"), col("token"))
+      .sortWithinPartitions("column", "token")
+      .write.mode("overwrite").parquet(s"$dir/postings")
+    val postings = spark.read.parquet(s"$dir/postings")
+    postings.groupBy(col("column"), col("token"))
+      .agg(count(lit(1)).as("df"))
+      .repartitionByRange(math.max(1, nBuckets / 4),
+        col("column"), col("token"))
+      .sortWithinPartitions("column", "token")
+      .write.mode("overwrite").parquet(s"$dir/dict")
+  }
+
+  /** Build the shared multi-column artifact and return the per-column
+    * [[Model]] views (each filters the `column` discriminator — the
+    * filter prunes to the column's range partitions, and the facade's
+    * per-column serving path is unchanged). */
+  def buildMulti(corpus: DataFrame, idCol: String,
+      textCols: Seq[String], nBuckets: Int = 32): Map[String, Model] =
+    graft.operators.IndexCache.getOrBuild(("textidxmc",
+      corpus.queryExecution.analyzed.canonicalized,
+      idCol, textCols, nBuckets)) {
+      val spark = corpus.sparkSession
+      val colKey = textCols.mkString("+")
+      val located = IndexStore.getOrBuild(corpus, "text_multi", colKey,
+        Seq("v" + LayoutVersion, idCol, nBuckets)) { d =>
+        writeMultiArtifact(corpus, idCol, textCols, nBuckets, d)
+      }
+      val dir = located match {
+        case Some(l) => l.dir
+        case None =>
+          val d = java.nio.file.Files
+            .createTempDirectory("graft_textidx_mc").toString
+          registerTempDir(d)
+          writeMultiArtifact(corpus, idCol, textCols, nBuckets, d)
+          d
+      }
+      val postings = spark.read.parquet(s"$dir/postings")
+      val dict = spark.read.parquet(s"$dir/dict")
+      textCols.map(c => c -> Model(
+        postings.filter(col("column") === c)
+          .select("token", "doc_id", "positions"),
+        dict.filter(col("column") === c).select("token", "df"))).toMap
+    }
 
   // Index artifacts are session-lifetime temp tables; without cleanup
   // a long-lived process accumulates one directory per distinct
@@ -175,6 +244,17 @@ object TextIndex {
       internalLimit: Int = DefaultInternalLimit): Unit =
     reg.put((table.toLowerCase, textCol.toLowerCase),
       Entry(idCol, build(corpus, idCol, textCol, nBuckets), internalLimit))
+
+  /** Register ONE shared index over several text columns
+    * (`MultiColumnTextIndexConfig.columns`): one artifact, one build,
+    * every column individually servable by the facade rewrite. */
+  def registerMulti(table: String, corpus: DataFrame, idCol: String,
+      textCols: Seq[String], nBuckets: Int = 32,
+      internalLimit: Int = DefaultInternalLimit): Unit =
+    buildMulti(corpus, idCol, textCols, nBuckets).foreach {
+      case (c, model) => reg.put((table.toLowerCase, c.toLowerCase),
+        Entry(idCol, model, internalLimit))
+    }
 
   def clear(): Unit = reg.clear()
 

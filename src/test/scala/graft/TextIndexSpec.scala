@@ -179,6 +179,61 @@ class TextIndexSpec extends SparkSpec {
     } finally TextIndex.clear()
   }
 
+  test("multi-column index: one build serves every configured column") {
+    graft.sql.QueryFacade.init(spark, sf)
+    graft.operators.IndexCache.clear()
+    val b0 = graft.sources.IndexStore.builds.get()
+    TextIndex.registerMulti("documents", t.documents, "doc_id",
+      Seq("text", "source"))
+    assert(graft.sources.IndexStore.builds.get() == b0 + 1,
+      "two columns must share ONE artifact build")
+    try {
+      // each column serves individually from the shared artifact
+      Seq(
+        ("text", "query AND filter*"),
+        ("source", "src7 src9")).foreach { case (c, q) =>
+        val served = graft.sql.QueryFacade.sql(spark,
+          s"SET explicitLimit = true; SELECT doc_id FROM documents " +
+            s"WHERE TEXT_MATCH($c, '$q') ORDER BY doc_id")
+        assert(served.queryExecution.executedPlan.toString
+          .linesIterator.exists(l =>
+            l.contains("PushedFilters") && l.contains("In(doc_id")),
+          s"column $c not index-served")
+        val expect = t.documents
+          .filter(TextMatch.textMatch(col(c), q))
+          .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+        assert(served.collect().map(_.getLong(0)).toSeq == expect,
+          s"column $c answers diverge")
+      }
+      // a fresh registration (new process analog) LOADS, no rebuild
+      graft.operators.IndexCache.clear()
+      TextIndex.clear()
+      val b1 = graft.sources.IndexStore.builds.get()
+      TextIndex.registerMulti("documents", t.documents, "doc_id",
+        Seq("text", "source"))
+      assert(graft.sources.IndexStore.builds.get() == b1,
+        "unchanged corpus must reload the shared artifact")
+    } finally TextIndex.clear()
+  }
+
+  test("multi-column index rides the table config surface") {
+    graft.sql.QueryFacade.init(spark, sf)
+    graft.operators.IndexCache.clear()
+    TextIndex.clear()
+    val cfg = graft.schema.TableConfig.fromJson(
+      """{"tableName": "documents", "tableType": "OFFLINE",
+        |"indexingConfig": {"multiColumnTextIndexConfig": {
+        |  "columns": ["text", "source"],
+        |  "properties": {"idColumn": "doc_id"}}}}""".stripMargin)
+    assert(cfg.multiColumnText.exists(_.columns == Seq("text", "source")))
+    try {
+      graft.schema.TableConfig.applyIndexes(spark, cfg, t.documents,
+        java.nio.file.Files.createTempDirectory("graft_mc_cfg").toString)
+      assert(TextIndex.lookup("documents", "text").isDefined)
+      assert(TextIndex.lookup("documents", "source").isDefined)
+    } finally TextIndex.clear()
+  }
+
   test("escaped quotes in the query literal survive the rewrite") {
     graft.sql.QueryFacade.init(spark, sf)
     TextIndex.register("documents", t.documents, "doc_id", "text")
