@@ -313,6 +313,56 @@ object FilterJoinQueries {
         FROM events WHERE CAST(json_extract_string(props, '$.k') AS INT) >= 50
         GROUP BY event_type ORDER BY event_type""")),
 
+    // MAP-column per-key index analog (MapKeyIndexReader.java,
+    // ImmutableMapDataSource.java): dense map keys shredded to typed
+    // top-level columns at ingest (MapShred — the JsonShred pattern),
+    // so `mapValue(attrs,'k')` predicates push into the parquet scan;
+    // the facade rewrites registered calls to the shredded columns in
+    // BOTH predicate and projection positions. used_shred proves the
+    // per-key comparison reached PushedFilters.
+    GQuery("q_filter_map",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val shredded = graft.operators.IndexCache.getOrBuild(
+          ("q_filter_map", dir)) {
+          val tmp = java.nio.file.Files
+            .createTempDirectory("graft_map_shred").toString
+          val withMap = t.events.select(col("event_id"),
+            col("event_type"),
+            map(lit("k"),
+              get_json_object(col("props"), "$.k").cast("double"),
+              lit("score"), col("value")).as("attrs"))
+          graft.sources.MapShred.ingestShredded(s, withMap,
+            s"$tmp/events_map", "attrs", Seq("k", "score"))
+        }
+        shredded.createOrReplaceTempView("events_map_t")
+        graft.sources.MapShred.registerTable("events_map_t", "attrs",
+          Seq("k", "score"))
+        graft.sql.QueryFacade.init(s, dir)
+        // (Pinot's ROUND(x, n) is round-to-nearest-MULTIPLE, so the
+        // decimal-places rounding for oracle determinism happens on
+        // the returned frame, not in the facade SQL)
+        val q = graft.sql.QueryFacade.sql(s,
+          """SET explicitLimit = true;
+             SELECT event_type, count(*) AS n,
+               max(mapValue(attrs, 'score')) AS max_score
+             FROM events_map_t
+             WHERE mapValue(attrs, 'k') >= 50
+               AND mapValue(attrs, 'score') > 100
+             GROUP BY event_type ORDER BY event_type""")
+        val usedShred = q.queryExecution.executedPlan.toString
+          .linesIterator.exists(l =>
+            l.contains("PushedFilters") && l.contains("attrs__k"))
+        q.withColumn("max_score", round(col("max_score"), 4))
+          .withColumn("used_shred", lit(usedShred))
+      },
+      Some("""SELECT event_type, COUNT(*) AS n,
+        ROUND(MAX(value), 4) AS max_score, TRUE AS used_shred
+        FROM events
+        WHERE CAST(json_extract_string(props, '$.k') AS DOUBLE) >= 50
+          AND value > 100
+        GROUP BY event_type ORDER BY event_type""")),
+
     // Inner equi-join chain with broadcast dims → group-by
     // (HashJoinOperator.java:47 + LookupJoinOperator.java:56).
     GQuery("q_join_inner",

@@ -280,6 +280,18 @@ object TableConfig {
         d = graft.sources.JsonShred.ingestShredded(spark, d,
           s"$shredOutPath/${fi.column}_shred", fi.column, paths)
       }
+      if (fi.indexTypes.contains("MAP") &&
+          fi.properties.contains("shredKeys")) {
+        // the reference's map index family (MapKeyIndexReader.java):
+        // per-key serving — here the configured dense keys shred to
+        // typed columns and the facade rewrite serves mapValue calls
+        val keys = fi.properties("shredKeys").split(";").toSeq
+          .map(_.trim).filter(_.nonEmpty)
+        d = graft.sources.MapShred.ingestShredded(spark, d,
+          s"$shredOutPath/${fi.column}_mapshred", fi.column, keys)
+        graft.sources.MapShred.registerTable(cfg.tableName,
+          fi.column, keys)
+      }
       if (fi.indexTypes.contains("VECTOR")) {
         // the reference's VectorIndexConfig property surface:
         // vectorDistanceFunction (VectorIndexConfig.java:48) and

@@ -1050,6 +1050,37 @@ object QueryFacade {
     view
   }
 
+  // ---- mapValue served from the shredded per-key layout ----
+  // The reference's map index family (MapKeyIndexReader.java,
+  // ImmutableMapDataSource.java) serves `mapValue(col,'k')` predicates
+  // from per-KEY indexes. Analog: [[graft.sources.MapShred]] shreds
+  // dense keys to typed top-level columns at ingest; a registered
+  // (table, mapCol, key) rewrites the call to the shredded column, so
+  // comparisons land in PushedFilters (min/max + dictionary pruning).
+  // Unregistered keys keep the `element_at` fallback that
+  // PinotFunctions gives the bare call.
+  private val MapValueCall =
+    """(?i)\bmapValue\s*\(\s*(\w+(?:\.\w+)?)\s*,\s*'((?:[^']|'')*)'\s*\)""".r
+
+  private[graft] def rewriteMapValueShredded(spark: SparkSession,
+      stmt: String): String = {
+    if (!stmt.toLowerCase.contains("mapvalue")) return stmt
+    MapValueCall.replaceAllIn(stmt, m => {
+      val colRef = m.group(1)
+      val bare = colRef.substring(colRef.lastIndexOf('.') + 1)
+      val key = m.group(2).replace("''", "'")
+      val served: Option[String] =
+        try columnOwner(spark, stmt, colRef).flatMap { case (table, qual) =>
+          graft.sources.MapShred.tableSpec(table).collect {
+            case s if s.mapCol.equalsIgnoreCase(bare) && s.keys(key) =>
+              val shredCol = graft.sources.MapShred.colNameFor(bare, key)
+              qual.map(q => s"$q.$shredCol").getOrElse(shredCol)
+          }
+        } catch { case scala.util.control.NonFatal(_) => None }
+      java.util.regex.Matcher.quoteReplacement(served.getOrElse(m.matched))
+    })
+  }
+
   private[graft] def rewriteTextMatchIndexed(spark: SparkSession,
       stmt: String): String = {
     if (!stmt.toLowerCase.contains("text_match")) return stmt
@@ -2090,12 +2121,13 @@ object QueryFacade {
           rewriteTextMatchIndexed(spark,
           rewriteRegexpIndexed(spark,
           rewriteGeoIndexed(spark,
+          rewriteMapValueShredded(spark,
           rewriteOrderBySelectExpr(
           rewriteMvDistinct(spark,
           rewriteJsonMatch(
             rewriteAsOf(rewriteReserved(stripHints(
               rewriteTimestampIndex(
-                applyRlsFilters(spark, stmt0, opts))))))))))))))
+                applyRlsFilters(spark, stmt0, opts)))))))))))))))
     if (Ddl.isDdl(stmt)) return Ddl.execute(spark, stmt)
     // Pinot EXPLAIN PLAN FOR <query> (PinotQueryResource explain
     // support): one row per plan-tree line, mirroring the reference's
