@@ -171,13 +171,32 @@ object HttpGateway {
           case None => respond(ex, 400,
             """{"error": "Payload is missing the query string field 'sql'"}""")
           case Some(q0) =>
-            val q = opts.filter(_.nonEmpty).map { o =>
-              o.split(";").toSeq.map(_.trim).filter(_.contains("="))
-                .map { kv =>
-                  val Array(k, v) = kv.split("=", 2)
-                  s"SET ${k.trim} = ${v.trim};"
-                }.mkString(" ") + " " + q0
-            }.getOrElse(q0)
+            // queryOptions pairs are VALIDATED before splicing into
+            // SET statements: a value carrying ';' or '=' would
+            // silently truncate or mangle the option list (the facade
+            // splits on those), so such pairs are rejected with the
+            // 400 the reference's bad-option path produces
+            val pairs = opts.filter(_.nonEmpty).map {
+              _.split(";").toSeq.map(_.trim).filter(_.nonEmpty)
+                .map { kv => kv.split("=", 2) match {
+                  case Array(k, v)
+                      if k.trim.matches("[A-Za-z_][A-Za-z0-9_.]*") &&
+                        !v.contains("=") && !v.contains(";") =>
+                    Right((k.trim, v.trim))
+                  case _ => Left(kv)
+                }}
+            }.getOrElse(Nil)
+            pairs.collectFirst { case Left(bad) => bad } match {
+              case Some(bad) =>
+                respond(ex, 400, s"""{"error": ${jsonStr(
+                  new IllegalArgumentException(
+                    s"invalid queryOptions pair: $bad"))}}""")
+                return
+              case None => ()
+            }
+            val q = if (pairs.isEmpty) q0
+              else pairs.collect { case Right((k, v)) =>
+                s"SET $k = $v;" }.mkString(" ") + " " + q0
             val getCursor = params.get("getCursor")
               .exists(_.equalsIgnoreCase("true"))
             if (getCursor) {
@@ -195,11 +214,14 @@ object HttpGateway {
       }
     }
     server.createContext("/query/sql", sqlHandler(_))
-    // /query is a PREFIX context on the JDK server; route /query/sql
-    // explicitly so the more specific context wins regardless
+    // /query is a PREFIX context on the JDK server: serve the exact
+    // /query route (the MSE endpoint), let the more specific
+    // /query/sql context take its own path, and 404 any other
+    // subpath instead of treating it as SQL
     server.createContext("/query", (ex: HttpExchange) => {
-      if (ex.getRequestURI.getPath.startsWith("/query/sql")) sqlHandler(ex)
-      else sqlHandler(ex)
+      val p = ex.getRequestURI.getPath.stripSuffix("/")
+      if (p == "/query") sqlHandler(ex)
+      else respond(ex, 404, s"""{"error": "no such route: $p"}""")
     })
 
     server.createContext("/responseStore", (ex: HttpExchange) => {

@@ -192,6 +192,18 @@ class HttpGatewaySpec extends SparkSpec {
         Some("""{"queryOptions": "a=b"}"""))
       assert(mc == 400 &&
         missing.contains("missing the query string field 'sql'"))
+      // unknown /query subpaths are 404, not silently-SQL
+      val (nc, _) = request(s"$base/query/bogus?sql=$enc")
+      assert(nc == 404, s"unknown /query subpath must 404, got $nc")
+      // a queryOptions VALUE carrying '=' or ';' would mangle the SET
+      // splice — rejected with 400 instead of silently truncating
+      val (bc, badmsg) = request(s"$base/query", "POST",
+        Some(s"""{"sql": ${escape(bare)}, "queryOptions": "a=b=c"}"""))
+      assert(bc == 400 && badmsg.contains("invalid queryOptions"),
+        s"$bc $badmsg")
+      val (b2, _) = request(s"$base/query", "POST",
+        Some(s"""{"sql": ${escape(bare)}, "queryOptions": "9bad=1"}"""))
+      assert(b2 == 400, "non-identifier option keys must be rejected")
     } finally gw.stop()
   }
 
