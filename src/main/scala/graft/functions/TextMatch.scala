@@ -456,6 +456,57 @@ object TextMatch {
     * set on, OR adjacency, no span conversion). */
   private[graft] val DefaultOptions: Options = parseOptions("")
 
+  /** Per-COLUMN analyzer config from fieldConfig/multi-column
+    * properties (`TextIndexUtils.getAnalyzer(config, override)`,
+    * `TextIndexUtils.java:181-203`): the same knobs the options
+    * argument carries, spelled with the FieldConfig property keys —
+    * `stopWordInclude`/`stopWordExclude` (the reference's separator is
+    * ','; ';' accepted too), `useANDForMultiTermTextIndexQueries`,
+    * `enablePrefixSuffixMatchingInPhraseQueries`. */
+  private[graft] def optionsFromProps(props: Map[String, String]): Options = {
+    val kv = props.map { case (k, v) => k.trim.toLowerCase -> v }
+    def words(k: String): Seq[String] = kv.get(k).toSeq
+      .flatMap(_.split("[,;]")).map(_.trim.toLowerCase).filter(_.nonEmpty)
+    val base =
+      if (kv.get("usedefaultstopwords").exists(_.equalsIgnoreCase("false")))
+        Set.empty[String]
+      else LuceneDefaultStopWords
+    val stopSet = base ++ words("stopwordinclude") -- words("stopwordexclude")
+    Options(
+      defaultAnd = kv.get("useandformultitermtextindexqueries")
+        .exists(_.equalsIgnoreCase("true")) ||
+        kv.get("defaultoperator").exists(_.equalsIgnoreCase("AND")),
+      prefixSuffixPhrase =
+        kv.get("enableprefixsuffixmatchinginphrasequeries")
+          .exists(_.equalsIgnoreCase("true")),
+      stopWords = if (stopSet.isEmpty) None else Some(stopSet))
+  }
+
+  /** The 3-arg options literal equivalent to per-column `props` — what
+    * the facade splices as a re-verify's third argument so the scan
+    * re-check runs the COLUMN's analyzer. Empty when `props` is the
+    * default analyzer. */
+  private[graft] def optionsArgFromProps(props: Map[String, String]): String = {
+    val o = optionsFromProps(props)
+    if (o == DefaultOptions) return ""
+    val parts = Seq.newBuilder[String]
+    if (o.defaultAnd) parts += "defaultOperator=AND"
+    if (o.prefixSuffixPhrase)
+      parts += "enablePrefixSuffixMatchingInPhraseQueries=true"
+    val defaults = DefaultOptions.stopWords.getOrElse(Set.empty)
+    val eff = o.stopWords.getOrElse(Set.empty)
+    if (eff != defaults) {
+      val inc = (eff -- defaults).toSeq.sorted
+      val exc = (defaults -- eff).toSeq.sorted
+      if (eff.isEmpty) parts += "useDefaultStopWords=false"
+      else {
+        if (inc.nonEmpty) parts += s"stopWordInclude=${inc.mkString(";")}"
+        if (exc.nonEmpty) parts += s"stopWordExclude=${exc.mkString(";")}"
+      }
+    }
+    parts.result().mkString(",")
+  }
+
   /** Boolean Column: does `col` match the Lucene-ish `query` under the
     * DEFAULT analyzer (English stop words applied, as the reference's
     * unconfigured columns do). */
@@ -506,12 +557,13 @@ object TextMatch {
       query: String,
       dict: org.apache.spark.sql.DataFrame,
       postings: org.apache.spark.sql.DataFrame,
-      maxTokensPerLeaf: Int = 1024)
+      maxTokensPerLeaf: Int = 1024,
+      opts: Options = DefaultOptions)
       : Option[(org.apache.spark.sql.DataFrame, Boolean, Long)] = {
     type DF = org.apache.spark.sql.DataFrame
     // (candidates, exact, count upper bound)
     type Cand = (DF, Boolean, Long)
-    val ast = parseWith(query, DefaultOptions)
+    val ast = parseWith(query, opts)
 
     // ---- BATCHED dictionary resolution ----
     // Per-leaf dictionary scans each pay a whole-stage codegen compile
@@ -768,13 +820,15 @@ object TextMatch {
       // (superset holds), a lone/OR-side NOT keeps the exact scan
       case NotN(_) => None
     }
-    // the DEFAULT analyzer on both sides: the index was built with the
-    // same stop set (TextIndex drops stop tokens at ingest, as the
+    // the SAME analyzer on both sides: the index was built with the
+    // column's stop set (TextIndex drops stop tokens at ingest, as the
     // reference's Lucene index does), so the query must be analyzed
-    // identically — a stopped term has no postings, a phrase queries
-    // its surviving tokens. Option-carrying (3-arg) TEXT_MATCH calls
-    // never reach this path: a per-QUERY analyzer can diverge from the
-    // index-time one, so the facade only serves the 2-arg form.
+    // identically — `opts` carries the column's configured analyzer
+    // (default: the English stop set). A stopped term has no postings,
+    // a phrase queries its surviving tokens. Option-carrying (3-arg)
+    // TEXT_MATCH calls never reach this path: a per-QUERY analyzer can
+    // diverge from the index-time one, so the facade only serves the
+    // 2-arg form against the column's own config.
     go(ast)
   }
 }

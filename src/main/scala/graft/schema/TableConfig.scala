@@ -47,7 +47,8 @@ object TableConfig {
     * analyzer as single-column indexes do). */
   final case class MultiColumnText(
       columns: Seq[String],
-      properties: Map[String, String] = Map.empty)
+      properties: Map[String, String] = Map.empty,
+      perColumnProperties: Map[String, Map[String, String]] = Map.empty)
 
   final case class Config(
       tableName: String,
@@ -124,19 +125,50 @@ object TableConfig {
       multiColumnText = {
         val sec = section("multiColumnTextIndexConfig")
         if (sec.isEmpty) None
-        else Some(MultiColumnText(
-          columns = strList(sec, "columns"),
-          properties = {
-            val pi = sec.indexOf("\"properties\"")
-            if (pi < 0) Map.empty[String, String]
-            else {
-              val ps = sec.indexOf('{', pi)
-              val pe = sec.indexOf('}', ps)
-              "\"([^\"]+)\"\\s*:\\s*\"([^\"]*)\"".r
-                .findAllMatchIn(sec.substring(ps, pe + 1))
-                .map(m => m.group(1) -> m.group(2)).toMap
-            }
-          }))
+        else {
+          def flatProps(body: String): Map[String, String] =
+            "\"([^\"]+)\"\\s*:\\s*\"([^\"]*)\"".r
+              .findAllMatchIn(body)
+              .map(m => m.group(1) -> m.group(2)).toMap
+          def objAt(src: String, from: Int): (String, Int) = {
+            val ss = src.indexOf('{', from)
+            var dd = 0; var se = ss
+            do {
+              src(se) match {
+                case '{' => dd += 1; case '}' => dd -= 1; case _ =>
+              }
+              se += 1
+            } while (dd > 0 && se < src.length)
+            (src.substring(ss, se), se)
+          }
+          Some(MultiColumnText(
+            columns = strList(sec, "columns"),
+            properties = {
+              val pi = sec.indexOf("\"properties\"")
+              if (pi < 0) Map.empty
+              else flatProps(objAt(sec, pi)._1)
+            },
+            perColumnProperties = {
+              val pi = sec.indexOf("\"perColumnProperties\"")
+              if (pi < 0) Map.empty
+              else {
+                val (body, _) = objAt(sec, pi)
+                // nested { "col": { "k": "v", ... }, ... }
+                val out = Map.newBuilder[String, Map[String, String]]
+                val colKey = "\"([^\"]+)\"\\s*:\\s*\\{".r
+                var at = 1 // skip the outer '{'
+                var m = colKey.findFirstMatchIn(body.substring(at))
+                while (m.isDefined) {
+                  val mm = m.get
+                  val (colBody, end) = objAt(body, at + mm.start)
+                  out += mm.group(1) -> flatProps(colBody)
+                  at = end
+                  m = colKey.findFirstMatchIn(body.substring(at))
+                }
+                out.result()
+              }
+            }))
+        }
       })
   }
 
@@ -255,12 +287,18 @@ object TableConfig {
     // build/artifact (MultiColumnLuceneTextIndexCreator) instead of
     // one per column
     cfg.multiColumnText.foreach { mc =>
+      // shared properties apply to every column; per-column overrides
+      // win (MultiColumnLuceneTextIndexReader.buildColumnConfigs)
+      val perCol = mc.columns.map { c =>
+        c -> ((mc.properties - "idColumn") ++
+          mc.perColumnProperties.getOrElse(c, Map.empty))
+      }.toMap
       graft.sources.TextIndex.registerMulti(cfg.tableName, df,
         mc.properties.getOrElse("idColumn", cfg.primaryKeys.headOption
           .getOrElse(throw new IllegalArgumentException(
             "multi-column text index needs an idColumn property" +
               " or a primary key"))),
-        mc.columns)
+        mc.columns, perColumnProps = perCol)
     }
     // a fieldConfig entry's index declarations are INDEPENDENT in the
     // reference (one entry may set both an indexType and a
@@ -319,7 +357,7 @@ object TableConfig {
             .getOrElse(throw new IllegalArgumentException(
               s"text index on ${fi.column} needs an idColumn property" +
                 " or a primary key"))),
-          fi.column)
+          fi.column, props = fi.properties - "idColumn")
       }
       if (fi.openStruct.isDefined ||
           fi.indexTypes.contains("OPENSTRUCT")) {

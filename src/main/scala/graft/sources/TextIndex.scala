@@ -57,12 +57,23 @@ object TextIndex {
     * default analyzer), positions original/gapped, adjacency bigrams. */
   private val LayoutVersion = 2
 
+  /** Canonical analyzer tag for fingerprints/variants: a column whose
+    * configured stop set differs from the default must not load an
+    * artifact built with another analyzer. */
+  private def analyzerTag(props: Map[String, String]): String = {
+    val o = graft.functions.TextMatch.optionsFromProps(props)
+    o.stopWords.getOrElse(Set.empty).toSeq.sorted.mkString(";")
+  }
+
   def build(corpus: DataFrame, idCol: String, textCol: String,
-      nBuckets: Int = 32): Model =
+      nBuckets: Int = 32,
+      props: Map[String, String] = Map.empty): Model =
     graft.operators.IndexCache.getOrBuild(("textidx",
       corpus.queryExecution.analyzed.canonicalized,
-      idCol, textCol, nBuckets)) {
+      idCol, textCol, nBuckets, analyzerTag(props))) {
       val spark = corpus.sparkSession
+      val stop = graft.functions.TextMatch.optionsFromProps(props)
+        .stopWords.getOrElse(Set.empty)
       // DURABLE artifact (the reference builds its Lucene index into
       // the segment at ingest and only reads it afterwards): written
       // under the corpus table's _indexes/ dir with a fingerprint
@@ -70,8 +81,8 @@ object TextIndex {
       // with no build job. Fingerprint-less corpora (derived frames)
       // keep the session-lifetime temp dir.
       val located = IndexStore.getOrBuild(corpus, "text", textCol,
-        Seq("v" + LayoutVersion, idCol, nBuckets)) { d =>
-        writeArtifact(corpus, idCol, textCol, nBuckets, d)
+        Seq("v" + LayoutVersion, idCol, nBuckets, analyzerTag(props))) { d =>
+        writeArtifact(corpus, idCol, textCol, nBuckets, d, stop)
       }
       val dir = located match {
         case Some(l) => l.dir
@@ -79,7 +90,7 @@ object TextIndex {
           val d = java.nio.file.Files
             .createTempDirectory("graft_textidx").toString
           registerTempDir(d)
-          writeArtifact(corpus, idCol, textCol, nBuckets, d)
+          writeArtifact(corpus, idCol, textCol, nBuckets, d, stop)
           d
       }
       Model(spark.read.parquet(s"$dir/postings"),
@@ -104,15 +115,16 @@ object TextIndex {
     * stop-separated pair ("machine the learning") has no bigram,
     * exactly as its positions 0/2 fail Lucene's adjacency. */
   private def tokenRows(corpus: DataFrame, idCol: String,
-      textCol: String): DataFrame = {
-    val stopArr = graft.functions.TextMatch.LuceneDefaultStopWords
-      .toSeq.sorted
+      textCol: String,
+      stop: Set[String]): DataFrame = {
+    val stopArr = stop.toSeq.sorted
     val words = corpus.select(col(idCol).cast("long").as("doc_id"),
       posexplode(filter(
         split(lower(col(textCol)), "\\W+"),
         t => t =!= lit(""))))
       .toDF("doc_id", "pos", "token")
-      .filter(!col("token").isin(stopArr: _*))
+      .filter(if (stopArr.isEmpty) lit(true)
+        else !col("token").isin(stopArr: _*))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("pos"))
     val bigrams = words
@@ -125,13 +137,14 @@ object TextIndex {
   }
 
   private def writeArtifact(corpus: DataFrame, idCol: String,
-      textCol: String, nBuckets: Int, dir: String): Unit = {
+      textCol: String, nBuckets: Int, dir: String,
+      stop: Set[String]): Unit = {
       val spark = corpus.sparkSession
       // WRITTEN parquet tables, token-sorted: a term lookup pushes
       // `In(token, ...)` into the scan and prunes to the token's row
       // groups — the on-disk inverted-index layout (an in-memory frame
       // cannot prune, so every lookup would re-scan all postings)
-      tokenRows(corpus, idCol, textCol)
+      tokenRows(corpus, idCol, textCol, stop)
         .groupBy(col("token"), col("doc_id"))
         .agg(sort_array(collect_list(col("pos"))).as("positions"))
         .repartitionByRange(nBuckets, col("token"))
@@ -161,9 +174,11 @@ object TextIndex {
     * per-column lookup prunes to that column's partitions exactly as a
     * Lucene field query touches only its field's postings. */
   private def writeMultiArtifact(corpus: DataFrame, idCol: String,
-      textCols: Seq[String], nBuckets: Int, dir: String): Unit = {
+      textCols: Seq[String], nBuckets: Int, dir: String,
+      stops: Map[String, Set[String]]): Unit = {
     val spark = corpus.sparkSession
-    textCols.map(c => tokenRows(corpus, idCol, c)
+    textCols.map(c => tokenRows(corpus, idCol, c,
+          stops.getOrElse(c, Set.empty))
         .withColumn("column", lit(c)))
       .reduce(_ unionByName _)
       .groupBy(col("column"), col("token"), col("doc_id"))
@@ -185,15 +200,24 @@ object TextIndex {
     * filter prunes to the column's range partitions, and the facade's
     * per-column serving path is unchanged). */
   def buildMulti(corpus: DataFrame, idCol: String,
-      textCols: Seq[String], nBuckets: Int = 32): Map[String, Model] =
+      textCols: Seq[String], nBuckets: Int = 32,
+      perColumnProps: Map[String, Map[String, String]] = Map.empty)
+      : Map[String, Model] = {
+    val tags = textCols.map(c =>
+      s"$c=${analyzerTag(perColumnProps.getOrElse(c, Map.empty))}")
+      .mkString("|")
     graft.operators.IndexCache.getOrBuild(("textidxmc",
       corpus.queryExecution.analyzed.canonicalized,
-      idCol, textCols, nBuckets)) {
+      idCol, textCols, nBuckets, tags)) {
       val spark = corpus.sparkSession
       val colKey = textCols.mkString("+")
+      val stops = textCols.map(c => c ->
+        graft.functions.TextMatch
+          .optionsFromProps(perColumnProps.getOrElse(c, Map.empty))
+          .stopWords.getOrElse(Set.empty[String])).toMap
       val located = IndexStore.getOrBuild(corpus, "text_multi", colKey,
-        Seq("v" + LayoutVersion, idCol, nBuckets)) { d =>
-        writeMultiArtifact(corpus, idCol, textCols, nBuckets, d)
+        Seq("v" + LayoutVersion, idCol, nBuckets, tags)) { d =>
+        writeMultiArtifact(corpus, idCol, textCols, nBuckets, d, stops)
       }
       val dir = located match {
         case Some(l) => l.dir
@@ -201,7 +225,7 @@ object TextIndex {
           val d = java.nio.file.Files
             .createTempDirectory("graft_textidx_mc").toString
           registerTempDir(d)
-          writeMultiArtifact(corpus, idCol, textCols, nBuckets, d)
+          writeMultiArtifact(corpus, idCol, textCols, nBuckets, d, stops)
           d
       }
       val postings = spark.read.parquet(s"$dir/postings")
@@ -211,6 +235,7 @@ object TextIndex {
           .select("token", "doc_id", "positions"),
         dict.filter(col("column") === c).select("token", "df"))).toMap
     }
+  }
 
   // Index artifacts are session-lifetime temp tables; without cleanup
   // a long-lived process accumulates one directory per distinct
@@ -232,28 +257,49 @@ object TextIndex {
     java.nio.file.Files.deleteIfExists(p); ()
   }
 
-  final case class Entry(idCol: String, model: Model, internalLimit: Int)
+  /** `opts`/`optionsArg`: the column's CONFIGURED analyzer
+    * (TextIndexUtils.getAnalyzer with per-column override) — the
+    * facade analyzes 2-arg TEXT_MATCH calls on this column with it,
+    * and splices `optionsArg` as the re-verify's third argument. */
+  private[graft] final case class Entry(idCol: String, model: Model,
+      internalLimit: Int,
+      opts: graft.functions.TextMatch.Options =
+        graft.functions.TextMatch.DefaultOptions,
+      optionsArg: String = "")
 
   private val reg = new java.util.concurrent.ConcurrentHashMap[
     (String, String), Entry]()
 
   /** Build (memoized via IndexCache) + register a text index for
-    * `table`.`textCol`; `idCol` is the doc id the IN-list filters. */
+    * `table`.`textCol`; `idCol` is the doc id the IN-list filters.
+    * `props` carries the column's FieldConfig text properties
+    * (stopWordInclude/Exclude, useANDForMultiTermTextIndexQueries,
+    * enablePrefixSuffixMatchingInPhraseQueries). */
   def register(table: String, corpus: DataFrame, idCol: String,
       textCol: String, nBuckets: Int = 32,
-      internalLimit: Int = DefaultInternalLimit): Unit =
+      internalLimit: Int = DefaultInternalLimit,
+      props: Map[String, String] = Map.empty): Unit =
     reg.put((table.toLowerCase, textCol.toLowerCase),
-      Entry(idCol, build(corpus, idCol, textCol, nBuckets), internalLimit))
+      Entry(idCol, build(corpus, idCol, textCol, nBuckets, props),
+        internalLimit,
+        graft.functions.TextMatch.optionsFromProps(props),
+        graft.functions.TextMatch.optionsArgFromProps(props)))
 
   /** Register ONE shared index over several text columns
-    * (`MultiColumnTextIndexConfig.columns`): one artifact, one build,
-    * every column individually servable by the facade rewrite. */
+    * (`MultiColumnTextIndexConfig.columns` + `perColumnProperties`):
+    * one artifact, one build, every column individually servable by
+    * the facade rewrite under its own configured analyzer. */
   def registerMulti(table: String, corpus: DataFrame, idCol: String,
       textCols: Seq[String], nBuckets: Int = 32,
-      internalLimit: Int = DefaultInternalLimit): Unit =
-    buildMulti(corpus, idCol, textCols, nBuckets).foreach {
-      case (c, model) => reg.put((table.toLowerCase, c.toLowerCase),
-        Entry(idCol, model, internalLimit))
+      internalLimit: Int = DefaultInternalLimit,
+      perColumnProps: Map[String, Map[String, String]] = Map.empty): Unit =
+    buildMulti(corpus, idCol, textCols, nBuckets, perColumnProps).foreach {
+      case (c, model) =>
+        val props = perColumnProps.getOrElse(c, Map.empty)
+        reg.put((table.toLowerCase, c.toLowerCase),
+          Entry(idCol, model, internalLimit,
+            graft.functions.TextMatch.optionsFromProps(props),
+            graft.functions.TextMatch.optionsArgFromProps(props)))
     }
 
   def clear(): Unit = reg.clear()

@@ -1087,6 +1087,15 @@ object QueryFacade {
     TextMatchCall.replaceAllIn(stmt, m => {
       val colRef = m.group(1)
       val bare = colRef.substring(colRef.lastIndexOf('.') + 1)
+      // the column's CONFIGURED analyzer rides the registration
+      // (TextIndexUtils.getAnalyzer with per-column override): the
+      // candidate resolution analyzes with it, and any scan-side
+      // re-check must carry it as the 3-arg options literal or the
+      // re-verify would run the DEFAULT analyzer instead
+      def optsSuffix(entry: graft.sources.TextIndex.Entry): String =
+        if (entry.optionsArg.isEmpty) ""
+        else s", '${entry.optionsArg.replace("'", "''")}'"
+      var fallbackRewrite: Option[String] = None
       val served: Option[String] =
         try {
           // ownership must be PROVEN, not guessed: with joins, a
@@ -1097,6 +1106,11 @@ object QueryFacade {
           // from the parsed plan and falls back otherwise.
           columnOwner(spark, stmt, colRef).flatMap { case (table, qual) =>
           graft.sources.TextIndex.lookup(table, bare).flatMap { entry =>
+            // even when index serving falls through, a CONFIGURED
+            // column's scan predicate must run the column's analyzer
+            if (entry.optionsArg.nonEmpty)
+              fallbackRewrite = Some(
+                s"text_match($colRef, ${m.group(2)}${optsSuffix(entry)})")
             // in a join the id column must carry the owning relation's
             // qualifier, or Spark could resolve it against the other
             // side (or reject it as ambiguous)
@@ -1105,9 +1119,11 @@ object QueryFacade {
             val q = m.group(2).stripPrefix("'").stripSuffix("'")
               .replace("''", "'")
             graft.functions.TextMatch.candidateIds(
-              q, entry.model.dict, entry.model.postings).flatMap {
+              q, entry.model.dict, entry.model.postings,
+              opts = entry.opts).flatMap {
               case (cand, exactSet, bound) =>
-                val verify = s" AND text_match($colRef, ${m.group(2)})"
+                val verify = s" AND text_match($colRef, ${m.group(2)}" +
+                  s"${optsSuffix(entry)})"
                 if (exactSet && bound > MaxTextInList) {
                   // EXACT and (by df bound) possibly large: distributed
                   // semi-join — the ids never visit the driver and no
@@ -1140,7 +1156,8 @@ object QueryFacade {
           }
           }
         } catch { case scala.util.control.NonFatal(_) => None }
-      java.util.regex.Matcher.quoteReplacement(served.getOrElse(m.matched))
+      java.util.regex.Matcher.quoteReplacement(
+        served.orElse(fallbackRewrite).getOrElse(m.matched))
     })
   }
 

@@ -1442,6 +1442,86 @@ class FixtureReplaySpec extends SparkSpec {
       " 'defaultOperator=AND') LIMIT 50000") == andSet)
   }
 
+  test("reference multi-column text suite: TextSearchMultiColIndexQueriesTest") {
+    // `TextSearchMultiColIndexQueriesTest.java`: the SAME
+    // TextSearchQueriesTest golds served from ONE multi-column index
+    // with PER-COLUMN overrides (getMultiColumnTextIndexConfig):
+    //   SKILLS_TEXT_COL       stopWordInclude=coordinator,
+    //                         stopWordExclude="it, those",
+    //                         enablePrefixSuffixMatchingInPhraseQueries
+    //   SKILLS_TEXT_COL_1     useANDForMultiTermTextIndexQueries=true
+    //   SKILLS_TEXT_COL_DICT  stopWordExclude="" (untouched default)
+    // Replayed through graft's registerMulti(perColumnProps): the
+    // column CONFIG drives the analyzer, so every query below is the
+    // bare 2-ARG TEXT_MATCH — no options shims — and the queries are
+    // index-SERVED from the shared artifact (suite golds / 4, single
+    // serving).
+    val skills = java.nio.file.Files.readAllLines(java.nio.file.Paths
+      .get("/root/reference/pinot-core/src/test/resources/data/" +
+        "text_search_data/skills.txt")).toArray.map(_.toString)
+    assert(skills.length == 28)
+    val rows = (0 until 24150).map { i =>
+      val s = if (i < 28) skills(i) else "software engineering"
+      (1000 + i, s, s, s)
+    }
+    rows.toDF("INT_COL", "SKILLS_COL", "SKILLS_AND", "SKILLS_DICT")
+      .createOrReplaceTempView("txtsmc_t")
+    graft.sources.TextIndex.registerMulti("txtsmc_t",
+      spark.table("txtsmc_t"), "INT_COL",
+      Seq("SKILLS_COL", "SKILLS_AND", "SKILLS_DICT"),
+      perColumnProps = Map(
+        "SKILLS_COL" -> Map(
+          "stopWordInclude" -> "coordinator",
+          "stopWordExclude" -> "it, those",
+          "enablePrefixSuffixMatchingInPhraseQueries" -> "true"),
+        "SKILLS_AND" -> Map(
+          "useANDForMultiTermTextIndexQueries" -> "true")))
+    try {
+      def cnt(c: String, tm: String): Long = graft.sql.QueryFacade
+        .sql(spark, "SELECT count(*) AS n FROM txtsmc_t WHERE " +
+          s"TEXT_MATCH($c, '$tm')").head.getLong(0)
+      def idList(c: String, tm: String): Seq[Int] = graft.sql.QueryFacade
+        .sql(spark, "SELECT INT_COL FROM txtsmc_t WHERE " +
+          s"TEXT_MATCH($c, '$tm') LIMIT 50000")
+        .collect().map(_.getInt(0)).sorted.toSeq
+      // column-config stop words (golds :1920-1980, /4):
+      assert(cnt("SKILLS_COL", "a and or in the are") == 0)
+      assert(cnt("SKILLS_COL", "\"IT support\" or \"IT manager\"") == 2)
+      assert(cnt("SKILLS_COL", "\"IT\"") == 4)
+      assert(cnt("SKILLS_COL", "\"support\" or \"manager\"") == 3)
+      assert(cnt("SKILLS_COL", "\"supporting\"") == 1)
+      assert(cnt("SKILLS_COL", "coordinator") == 0)
+      // untouched-default column: 'it' stays stopped; interior gaps
+      assert(cnt("SKILLS_DICT", "\"IT support\" or \"IT manager\"") == 3)
+      assert(cnt("SKILLS_DICT", "\"IT\"") == 0)
+      assert(cnt("SKILLS_DICT", "\"learned a lot\"") == 1)
+      assert(cnt("SKILLS_DICT",
+        "\"indexing and transaction processing\"") == 3)
+      assert(cnt("SKILLS_DICT", "\"worked in NGO\"") == 1)
+      // prefix-suffix SPAN phrases ride the column CONFIG (:267-305)
+      assert(idList("SKILLS_COL", "*ealtime streaming system*") ==
+        Seq(1010, 1019))
+      assert(idList("SKILLS_COL", "*ava realtime streaming system*") ==
+        Seq(1010))
+      // AND-default column: adjacency binds as AND (:928-944)
+      val andSet = rows.filter { r =>
+        val toks = r._2.toLowerCase.split("\\W+").toSet
+        r._2.toLowerCase.contains("distributed systems") &&
+          toks.contains("java") && toks.contains("c")
+      }.map(_._1).sorted
+      assert(idList("SKILLS_AND", "\"distributed systems\" Java C++") ==
+        andSet)
+      // the AND column keeps the default analyzer for stop words
+      assert(cnt("SKILLS_AND", "\"learned a lot\"") == 1)
+      // and at least one of these is INDEX-served (IN-list pushdown)
+      val servedStmt = graft.sql.QueryFacade.rewriteTextMatchIndexed(
+        spark, "SELECT INT_COL FROM txtsmc_t WHERE " +
+          "TEXT_MATCH(SKILLS_DICT, 'java')")
+      assert(servedStmt.contains("INT_COL IN (") ||
+        servedStmt.contains("graft_text_cands"), servedStmt)
+    } finally graft.sources.TextIndex.clear()
+  }
+
   test("reference null-enabled suite: NullHandlingEnabledQueriesTest golds") {
     // `NullHandlingEnabledQueriesTest.java` — 72 micro-corpus tests of
     // null-enabled semantics under 4-segment serving. Replayed: the
