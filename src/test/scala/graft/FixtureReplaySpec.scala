@@ -1442,6 +1442,293 @@ class FixtureReplaySpec extends SparkSpec {
       " 'defaultOperator=AND') LIMIT 50000") == andSet)
   }
 
+  test("reference NOT-operator suite: NotOperatorQueriesTest golds") {
+    // `NotOperatorQueriesTest.java` — 1024 rows cycling 16 domain
+    // names, FIRST_INT_COL = i, SECOND_INT_COL = 1000 + i; committed
+    // per-SEGMENT counts for NOT over LIKE/REGEXP_LIKE/range/composite
+    // predicates (:95-140). Exercises complement semantics incl.
+    // De Morgan pairs asserting the same gold both ways.
+    import spark.implicits._
+    val domains = Seq("www.domain1.com", "www.domain1.co.ab",
+      "www.domain1.co.bc", "www.domain1.co.cd", "www.sd.domain1.com",
+      "www.sd.domain1.co.ab", "www.sd.domain1.co.bc",
+      "www.sd.domain1.co.cd", "www.domain2.com", "www.domain2.co.ab",
+      "www.domain2.co.bc", "www.domain2.co.cd", "www.sd.domain2.com",
+      "www.sd.domain2.co.ab", "www.sd.domain2.co.bc",
+      "www.sd.domain2.co.cd")
+    (0 until 1024).map(i => (i, 1000 + i, domains(i % 16)))
+      .toDF("FIRST_INT_COL", "SECOND_INT_COL", "DOMAIN_NAMES")
+      .createOrReplaceTempView("notop_t")
+    def cnt(filter: String): Long = graft.sql.QueryFacade.sql(spark,
+      s"SELECT count(*) AS n FROM notop_t WHERE $filter").head.getLong(0)
+    // LIKE / REGEXP_LIKE complements (:97-111)
+    assert(cnt("DOMAIN_NAMES NOT LIKE 'www.domain1%'") == 768)
+    assert(cnt("NOT REGEXP_LIKE(DOMAIN_NAMES, 'www.domain1.*')") == 768)
+    assert(cnt("DOMAIN_NAMES NOT LIKE 'www.sd.domain1%'") == 768)
+    assert(cnt("NOT REGEXP_LIKE(DOMAIN_NAMES, 'www.sd.domain1.*')") == 768)
+    assert(cnt("DOMAIN_NAMES NOT LIKE '%domain1%'") == 512)
+    assert(cnt("NOT REGEXP_LIKE(DOMAIN_NAMES, '.*domain1.*')") == 512)
+    assert(cnt("DOMAIN_NAMES NOT LIKE '%domain%'") == 0)
+    assert(cnt("NOT REGEXP_LIKE(DOMAIN_NAMES, '.*domain.*')") == 0)
+    assert(cnt("DOMAIN_NAMES NOT LIKE '%com'") == 768)
+    assert(cnt("NOT REGEXP_LIKE(DOMAIN_NAMES, '.*com')") == 768)
+    // range complements (:114-121)
+    assert(cnt("NOT FIRST_INT_COL = 5") == 1023)
+    assert(cnt("NOT FIRST_INT_COL < 5") == 1019)
+    assert(cnt("NOT FIRST_INT_COL > 5") == 6)
+    assert(cnt("FIRST_INT_COL NOT BETWEEN 10 AND 20") == 1013)
+    assert(cnt("NOT FIRST_INT_COL BETWEEN 10 AND 20") == 1013)
+    // composite complements + their De Morgan forms (:124-131)
+    assert(cnt("NOT (FIRST_INT_COL > 5 AND SECOND_INT_COL < 1009)") == 1021)
+    assert(cnt("NOT FIRST_INT_COL > 5 OR NOT SECOND_INT_COL < 1009") == 1021)
+    assert(cnt("NOT (FIRST_INT_COL < 5 OR SECOND_INT_COL > 2000)") == 996)
+    assert(cnt("NOT FIRST_INT_COL < 5 AND NOT SECOND_INT_COL > 2000") == 996)
+  }
+
+  test("reference greatest/least suite: SumGreatestLeastQueriesTest golds") {
+    // `SumGreatestLeastQueriesTest.java` — 1000 rows of (on=1, off=0,
+    // class=i%8): SUM over GREATEST/LEAST argument orders, plain and
+    // grouped (every group NUM_RECORDS/BUCKET_SIZE = 125 / 0).
+    import spark.implicits._
+    (0 until 1000).map(i => (1, 0, i % 8))
+      .toDF("onC", "offC", "classC").createOrReplaceTempView("sgl_t")
+    val r = graft.sql.QueryFacade.sql(spark,
+      "SELECT sum(onC) AS a, sum(offC) AS b," +
+        " sum(greatest(onC, offC)) AS c, sum(least(onC, offC)) AS d" +
+        " FROM sgl_t").head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((1000L, 0L, 1000L, 0L)))
+    val g = graft.sql.QueryFacade.sql(spark,
+      "SELECT sum(onC) AS a, sum(offC) AS b," +
+        " sum(greatest(onC, offC)) AS c, sum(least(onC, offC)) AS d," +
+        " sum(greatest(offC, onC)) AS e, sum(least(offC, onC)) AS f" +
+        " FROM sgl_t GROUP BY classC").collect()
+    assert(g.length == 8 && g.forall(row =>
+      (0 until 6).map(row.getLong) == Seq(125L, 0L, 125L, 0L, 125L, 0L)))
+  }
+
+  test("reference all-null suite: AllNullQueriesTest exercised golds") {
+    // `AllNullQueriesTest.java` — 1000 all-null rows per type under
+    // enableNullHandling, 4x-served (golds count 4000). ADJUDICATION:
+    // the suite's runner INVERTS its skip ( `if (!query.skip(...))
+    // return;` , :601-603), so only queries whose skip() returns true
+    // actually execute upstream — the base queries (IS NULL
+    // selections, DISTINCT, GROUP BY key-only, SUMPRECISION, null
+    // comparisons) are UNEXERCISED, and at least one carries a stale
+    // gold (the `column = '69'` SELECT expects a count/min/max/sum
+    // schema, :488-500 — contradicts its own SELECT list). Replayed
+    // here: the EXERCISED numeric-type golds verbatim, plus the
+    // unexercised-but-sound null-semantics subset (3VL selections,
+    // DISTINCT collapse, group-by null key) whose expectations follow
+    // from the reference's own null model; the stale gold is excluded.
+    def forType(colExpr: String): Unit = {
+      import spark.implicits._
+      val one = spark.range(1000)
+        .selectExpr(s"CAST(NULL AS $colExpr) AS column")
+      one.union(one).union(one).union(one)
+        .createOrReplaceTempView("allnull_t")
+      def q(sql: String) = graft.sql.QueryFacade.sql(spark,
+        s"SET enableNullHandling = true; SET explicitLimit = true; $sql")
+      // count(*) counts docs, count(col) counts non-null (gold 4000/0)
+      val r = q("SELECT count(*) AS count1, count(column) AS count2," +
+        " min(column) AS mn, max(column) AS mx FROM allnull_t").head
+      assert(r.getLong(0) == 4000L && r.getLong(1) == 0L &&
+        r.isNullAt(2) && r.isNullAt(3), colExpr)
+      // COUNT/MIN/MAX/AVG/SUM over all nulls (gold 0 + nulls)
+      val a = q("SELECT count(column) AS c, min(column) AS mn," +
+        " max(column) AS mx, avg(column) AS av, sum(column) AS sm" +
+        " FROM allnull_t").head
+      assert(a.getLong(0) == 0L && (1 to 4).forall(a.isNullAt), colExpr)
+      // null comparisons are 3VL false (gold 0 rows)
+      assert(q("SELECT column FROM allnull_t WHERE column > '69'" +
+        " LIMIT 50").count() == 0, colExpr)
+      assert(q("SELECT column FROM allnull_t WHERE column = '68'" +
+        " LIMIT 50").count() == 0, colExpr)
+      // grouped aggregates: one null group, 0-count aggregates null
+      val g = q("SELECT count(column) AS c, min(column) AS mn," +
+        " max(column) AS mx, sum(column) AS sm FROM allnull_t" +
+        " GROUP BY column ORDER BY mx").collect()
+      assert(g.length == 1 && g.head.getLong(0) == 0L &&
+        (1 to 3).forall(g.head.isNullAt), colExpr)
+      val av = q("SELECT avg(column) AS av FROM allnull_t" +
+        " GROUP BY column ORDER BY av LIMIT 20").collect()
+      assert(av.length == 1 && av.head.isNullAt(0), colExpr)
+      // avg/mode/distinctcount row (gold null, null, 0)
+      val m = q("SELECT avg(column) AS av, mode(column) AS md," +
+        " distinctcount(column) AS dc FROM allnull_t GROUP BY column" +
+        " ORDER BY column LIMIT 200").collect()
+      assert(m.length == 1 && m.head.isNullAt(0) && m.head.isNullAt(1) &&
+        m.head.getInt(2) == 0, colExpr)
+      // unexercised-but-sound subset: IS NULL selections + DISTINCT
+      assert(q("SELECT column FROM allnull_t WHERE column IS NULL" +
+        " LIMIT 5000").count() == 4000, colExpr)
+      assert(q("SELECT column FROM allnull_t WHERE column IS NOT NULL" +
+        " LIMIT 5000").count() == 0, colExpr)
+      assert(q("SELECT DISTINCT column FROM allnull_t ORDER BY column")
+        .collect().toSeq.map(_.isNullAt(0)) == Seq(true), colExpr)
+      val gb = q("SELECT count(*) AS count, column FROM allnull_t" +
+        " GROUP BY column ORDER BY column DESC LIMIT 1000").collect()
+      assert(gb.length == 1 && gb.head.getLong(0) == 4000L &&
+        gb.head.isNullAt(1), colExpr)
+    }
+    Seq("BIGINT", "DOUBLE", "FLOAT", "INT").foreach(forType)
+    // STRING type: the exercised golds are the numeric-only ones, so
+    // only the sound subset applies
+    import spark.implicits._
+    val s1 = spark.range(1000).selectExpr("CAST(NULL AS STRING) AS column")
+    s1.union(s1).union(s1).union(s1).createOrReplaceTempView("allnull_t")
+    def qs(sql: String) = graft.sql.QueryFacade.sql(spark,
+      s"SET enableNullHandling = true; SET explicitLimit = true; $sql")
+    assert(qs("SELECT column FROM allnull_t WHERE column IS NULL" +
+      " LIMIT 5000").count() == 4000)
+    assert(qs("SELECT sumprecision(column) AS sum FROM allnull_t")
+      .head.isNullAt(0))
+  }
+
+  test("reference range suite: RangeQueriesTest count/selection golds") {
+    // `RangeQueriesTest.java`: deterministic corpus
+    // value(i) = ((100000 + 500) - 100·i) mod 100000 over 1000 rows —
+    // i.e. every multiple of 100 in [0, 99900] exactly once — queried
+    // through BETWEEN / strict-range / equality predicates on five
+    // typed columns (dictionary INT, raw INT/LONG/FLOAT/DOUBLE).
+    // countTestCases golds (:165-210) + selectionTestCases bound
+    // invariants (:101-147). Float/double filters use double
+    // literals (formatValue), int/long use int literals.
+    import spark.implicits._
+    val rows = (0 until 1000).map { i =>
+      val v = ((100000 + 500) - i * 100) % 100000
+      (v, v, v.toLong, v.toFloat, v.toDouble)
+    }
+    rows.toDF("dictionarizedIntCol", "rawIntCol", "rawLongCol",
+        "rawFloatCol", "rawDoubleCol")
+      .createOrReplaceTempView("range_t")
+    val intCols = Seq("dictionarizedIntCol", "rawIntCol", "rawLongCol")
+    val fpCols = Seq("rawFloatCol", "rawDoubleCol")
+    def fmt(c: String, v: Int): String =
+      if (intCols.contains(c)) v.toString else s"$v.0"
+    def cnt(where: String): Long = graft.sql.QueryFacade.sql(spark,
+      s"SELECT count(*) AS n FROM range_t WHERE $where").head.getLong(0)
+    val all = intCols ++ fpCols
+    all.foreach { c =>
+      assert(cnt(s"$c BETWEEN ${fmt(c, 250)} AND ${fmt(c, 500)}") == 3, c)
+      assert(cnt(s"$c > ${fmt(c, 250)} AND $c < ${fmt(c, 500)}") == 2, c)
+      assert(cnt(s"$c = ${fmt(c, 300)}") == 1, c)
+      assert(cnt(s"$c = ${fmt(c, 301)}") == 0, c)
+      // boundary values
+      assert(cnt(s"$c BETWEEN ${fmt(c, 0)} AND ${fmt(c, 500)}") == 6, c)
+      assert(cnt(s"$c > ${fmt(c, 99500)} AND $c < ${fmt(c, 99900)}") == 3, c)
+      assert(cnt(s"$c = ${fmt(c, 0)}") == 1, c)
+      assert(cnt(s"$c = ${fmt(c, 99900)}") == 1, c)
+      // selection invariants: every returned rawIntCol is in bounds
+      val sel = graft.sql.QueryFacade.sql(spark,
+        s"SET explicitLimit = true; SELECT rawIntCol FROM range_t " +
+          s"WHERE $c BETWEEN ${fmt(c, 250)} AND ${fmt(c, 500)}")
+        .collect().map(_.getInt(0))
+      assert(sel.length == 3 && sel.forall(v => v >= 250 && v <= 500), c)
+      val selEx = graft.sql.QueryFacade.sql(spark,
+        s"SET explicitLimit = true; SELECT rawIntCol FROM range_t " +
+          s"WHERE $c > ${fmt(c, 99500)} AND $c < ${fmt(c, 99900)}")
+        .collect().map(_.getInt(0))
+      assert(selEx.length == 3 &&
+        selEx.forall(v => v > 99500 && v < 99900), c)
+    }
+  }
+
+  test("reference SV corpus: InnerSegmentAggregationSingleValueQueriesTest golds") {
+    // `InnerSegmentAggregationSingleValueQueriesTest.java` — the
+    // SINGLE-segment operator results (no 4x serving): plain and
+    // filtered COUNT/SUM/MAX/MIN/AVG, per-aggregation FILTER clauses,
+    // and one spot-checked group per group-key size class
+    // (ARRAY/INT_MAP/LONG_MAP/ARRAY_MAP based generators). AVG golds
+    // are (sum, count) pairs in the reference's result holder.
+    val avroPath =
+      "/root/reference/pinot-core/src/test/resources/data/test_data-sv.avro"
+    assume(new java.io.File(avroPath).isFile, "reference checkout absent")
+    val (schema, rowsJ) = graft.compat.OnTimeCompat.readAvro(avroPath)
+    spark.createDataFrame(
+        java.util.Arrays.asList(rowsJ: _*), schema)
+      .createOrReplaceTempView("sv_inner_t")
+    val FILTER = "column1 > 100000000" +
+      " AND column3 BETWEEN 20000000 AND 1000000000" +
+      " AND column5 = 'gFuH'" +
+      " AND (column6 < 500000000 OR column11 NOT IN ('t', 'P'))" +
+      " AND daysSinceEpoch = 126164076"
+    def agg(where: String): (Long, Long, Long, Long, Long, Long) = {
+      val r = graft.sql.QueryFacade.sql(spark,
+        "SELECT count(*) AS c, sum(column1) AS s1," +
+          " CAST(max(column3) AS BIGINT) AS m3," +
+          " CAST(min(column6) AS BIGINT) AS m6, sum(column7) AS s7," +
+          " count(column7) AS c7 FROM sv_inner_t" +
+          (if (where.isEmpty) "" else s" WHERE $where")).head
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))
+    }
+    // testAggregationOnly golds (:45-58)
+    assert(agg("") ==
+      ((30000L, 32317185437847L, 2147419555L, 1689277L,
+        28175373944314L, 30000L)))
+    assert(agg(FILTER) ==
+      ((6129L, 6875947596072L, 999813884L, 1980174L,
+        4699510391301L, 6129L)))
+    // group-by spot groups (:72-150): the keyed group's aggregates
+    assert(agg("column9 = 11270") ==
+      ((1L, 815409257L, 1215316262L, 1328642550L, 788414092L, 1L)))
+    assert(agg(s"$FILTER AND column9 = 242920") ==
+      ((3L, 4348938306L, 407993712L, 296467636L, 5803888725L, 3L)))
+    assert(agg("column9 = 1813102948 AND column11 = 'P'" +
+      " AND column12 = 'HEuxNvH'") ==
+      ((4L, 2062187196L, 1988589001L, 394608493L, 4782388964L, 4L)))
+    assert(agg(s"$FILTER AND column9 = 1176631727 AND column11 = 'P'" +
+      " AND column12 = 'KrNxpdycSiwoRohEiTIlLqDHnx'") ==
+      ((1L, 716185211L, 489993380L, 371110078L, 487714191L, 1L)))
+    assert(agg("column1 = 484569489 AND column6 = 16200443" +
+      " AND column9 = 1159557463 AND column11 = 'P'" +
+      " AND column12 = 'MaztCmmxxgguBUxPti'") ==
+      ((2L, 969138978L, 995355481L, 16200443L, 2222394270L, 2L)))
+    assert(agg(s"$FILTER AND column1 = 1318761745" +
+      " AND column6 = 353175528 AND column9 = 1172307870" +
+      " AND column11 = 'P' AND column12 = 'HEuxNvH'") ==
+      ((2L, 2637523490L, 557154208L, 353175528L, 2427862396L, 2L)))
+    assert(agg("column1 = 1784773968 AND column3 = 204243323" +
+      " AND column6 = 628170461 AND column7 = 1985159279" +
+      " AND column9 = 296467636 AND column11 = 'P'" +
+      " AND column12 = 'HEuxNvH' AND column17 = 402773817" +
+      " AND column18 = 2047180536") ==
+      ((1L, 1784773968L, 204243323L, 628170461L, 1985159279L, 1L)))
+    assert(agg(s"$FILTER AND column1 = 1361199163" +
+      " AND column3 = 178133991 AND column6 = 296467636" +
+      " AND column7 = 788414092 AND column9 = 1719301234" +
+      " AND column11 = 'P' AND column12 = 'MaztCmmxxgguBUxPti'" +
+      " AND column17 = 1284373442 AND column18 = 752388855") ==
+      ((1L, 1361199163L, 178133991L, 296467636L, 788414092L, 1L)))
+    // testFilteredAggregations golds (:60-70): per-aggregation FILTER
+    val fa = graft.sql.QueryFacade.sql(spark,
+      "SELECT sum(column6) FILTER (WHERE column6 > 5) AS s6," +
+        " count(*) FILTER (WHERE column1 IS NOT NULL) AS c1," +
+        " CAST(max(column3) FILTER (WHERE column3 IS NOT NULL) AS BIGINT) AS m3," +
+        " sum(column3) AS s3," +
+        " sum(column7) FILTER (WHERE column7 > 0) AS s7," +
+        " count(column7) FILTER (WHERE column7 > 0) AS c7" +
+        " FROM sv_inner_t WHERE column3 > 0").head
+    assert((fa.getLong(0), fa.getLong(1), fa.getLong(2), fa.getLong(3),
+      fa.getLong(4), fa.getLong(5)) ==
+      ((22266008882250L, 30000L, 2147419555L, 32289159189150L,
+        28175373944314L, 30000L)))
+    // same without the outer WHERE (every column3 > 0 in the corpus)
+    val fb = graft.sql.QueryFacade.sql(spark,
+      "SELECT sum(column6) FILTER (WHERE column6 > 5 OR column6 < 15) AS s6," +
+        " count(*) FILTER (WHERE column1 IS NOT NULL) AS c1," +
+        " CAST(max(column3) FILTER (WHERE column3 IS NOT NULL AND column3 > 0) AS BIGINT) AS m3," +
+        " sum(column3) AS s3," +
+        " sum(column7) FILTER (WHERE column7 > 0 AND column7 < 100) AS s7," +
+        " count(column7) FILTER (WHERE column7 > 0 AND column7 < 100) AS c7" +
+        " FROM sv_inner_t").head
+    assert((fb.getLong(0), fb.getLong(1), fb.getLong(2), fb.getLong(3),
+      fb.isNullAt(4), fb.getLong(5)) ==
+      ((22266008882250L, 30000L, 2147419555L, 32289159189150L,
+        true, 0L)))
+  }
+
   test("reference multi-column text suite: TextSearchMultiColIndexQueriesTest") {
     // `TextSearchMultiColIndexQueriesTest.java`: the SAME
     // TextSearchQueriesTest golds served from ONE multi-column index
