@@ -47,12 +47,11 @@ import org.apache.spark.sql.functions._
   * SpanNearQuery(0, ordered)), so `'*ealtime streaming system*'`
   * matches token runs [.*ealtime][streaming][system.*].
   *
-  * Grammar note: mixed adjacency and explicit operators group as
-  * or := and ((OR|adjacency)? and)*, and := unary (AND unary)* under
-  * the OR default — `a b AND c` is `a OR (b AND c)`, where Lucene's
-  * flat MUST/SHOULD clauses give `(b AND c)`. The fixture queries
-  * never mix the two at one level; the difference is documented
-  * rather than emulated.
+  * Mixed adjacency and explicit operators follow Lucene's classic
+  * parser EXACTLY (flat clause list + occur rules, see [[parse]]):
+  * `a b AND c` requires b AND c with a optional, `a OR NOT b` is
+  * a AND NOT b, and an all-MUST_NOT query matches nothing — r9
+  * closed the formerly-documented precedence-grammar divergence.
   */
 object TextMatch {
 
@@ -75,91 +74,102 @@ object TextMatch {
   private final case class AndN(xs: Seq[Node]) extends Node
   private final case class OrN(xs: Seq[Node]) extends Node
   private final case class NotN(x: Node) extends Node
+  /** One parenthesized level EXACTLY as Lucene's classic parser holds
+    * it: the flat clause list with occurs (0 SHOULD / 1 MUST /
+    * 2 MUST_NOT), BEFORE BooleanQuery match semantics lower it to
+    * And/Or/Not shapes — span conversion must see this form, because
+    * `convertToMultiTermSpanQuery` replaces the WHOLE clause list (in
+    * written order, occurs discarded) with one ordered span. */
+  private final case class LevelN(clauses: Seq[(Node, Int)]) extends Node
 
   private def tokenize(q: String): Vector[String] =
     """"[^"]*"(~\d+)?|\(|\)|[^\s()]+""".r.findAllIn(q.trim).toVector
 
-  /** Recursive descent: or := and ((OR | adjacency-if-OR-default) and)*;
-    * and := unary ((AND | adjacency-if-AND-default) unary)*;
-    * unary := '(' or ')' | atom. */
+  /** Lucene's CLASSIC-PARSER clause model, not a precedence grammar:
+    * each parenthesized level is ONE flat BooleanQuery whose clauses
+    * get occurs from the conj/mods algorithm
+    * (`QueryParserBase.addClause`) —
+    *   - `AND` promotes the PREVIOUS clause to MUST (unless
+    *     prohibited) and makes the next clause MUST;
+    *   - `OR` leaves clauses SHOULD (under defaultOperator=AND it
+    *     demotes the previous clause to SHOULD);
+    *   - `NOT` marks the next clause MUST_NOT;
+    *   - bare adjacency takes the default operator's occur.
+    * Matching then follows BooleanQuery (minimumShouldMatch=0): every
+    * MUST holds, no MUST_NOT holds, and — only when no MUST exists —
+    * at least one SHOULD holds. So `a b AND c` requires b AND c with
+    * a optional (NOT `a OR (b AND c)`), `a OR NOT b` is a AND NOT b,
+    * and an all-MUST_NOT query (`NOT a`) matches NOTHING. */
   private def parse(q: String, defaultAnd: Boolean = false): Node = {
     val tokens = tokenize(q)
     var i = 0
     def peek: Option[String] = if (i < tokens.length) Some(tokens(i)) else None
-    def parseOr(): Node = {
-      // (node, joined by EXPLICIT OR). Adjacency-joined NOT clauses are
-      // Lucene MUST_NOT: they SUBTRACT from the sequence instead of
-      // widening it ('art NOT fox' = art AND !fox), while an explicit
-      // 'x OR NOT y' keeps NOT as an ordinary OR arm.
-      // the FIRST part is adjacency-class: a leading NOT in a longer
-      // sequence is MUST_NOT ('NOT fast art' = art AND !fast), while a
-      // lone 'NOT fast' short-circuits below as the plain complement
-      val parts = ArrayBuffer((parseAnd(), false))
+    def parseLevel(): Node = {
+      val SHOULD = 0; val MUST = 1; val MUST_NOT = 2
+      final case class Cl(node: Node, var occur: Int)
+      val cls = ArrayBuffer[Cl]()
+      var conj = 0 // 0 none, 1 AND, 2 OR
+      var not = false
+      def addClause(n: Node): Unit = {
+        if (cls.nonEmpty && conj == 1 && cls.last.occur != MUST_NOT)
+          cls.last.occur = MUST
+        if (cls.nonEmpty && defaultAnd && conj == 2 &&
+            cls.last.occur != MUST_NOT)
+          cls.last.occur = SHOULD
+        val occ =
+          if (not) MUST_NOT
+          else if (defaultAnd) { if (conj == 2) SHOULD else MUST }
+          else { if (conj == 1) MUST else SHOULD }
+        cls += Cl(n, occ)
+        conj = 0
+        not = false
+      }
       var more = true
       while (more) peek match {
-        case Some(t) if t.equalsIgnoreCase("OR") =>
+        case Some(t) if t.equalsIgnoreCase("AND") => i += 1; conj = 1
+        case Some(t) if t.equalsIgnoreCase("OR") => i += 1; conj = 2
+        case Some(t) if t.equalsIgnoreCase("NOT") => i += 1; not = true
+        case Some("(") =>
           i += 1
-          parts += ((parseAnd(), true))
-        case Some(t) if !defaultAnd && !t.equalsIgnoreCase("AND") &&
-            t != ")" =>
-          parts += ((parseAnd(), false)) // adjacency = default op (OR)
-        case _ => more = false
-      }
-      if (parts.size == 1) parts.head._1
-      else {
-        val (notAdj, orArms) = parts.partition {
-          case (NotN(_), explicitOr) => !explicitOr
-          case _ => false
-        }
-        val pos = orArms.map(_._1).toSeq
-        val neg = notAdj.map(_._1).toSeq
-        val posNode =
-          if (pos.isEmpty) None
-          else if (pos.size == 1) Some(pos.head)
-          else Some(OrN(pos))
-        (posNode, neg) match {
-          case (Some(p2), Nil) => p2
-          case (Some(p2), ns) => AndN(p2 +: ns)
-          case (None, ns) =>
-            if (ns.size == 1) ns.head else AndN(ns)
-        }
-      }
-    }
-    def parseAnd(): Node = {
-      val parts = ArrayBuffer(parseUnary())
-      var more = true
-      while (more) peek match {
-        case Some(t) if t.equalsIgnoreCase("AND") =>
+          val n = parseLevel()
+          require(peek.contains(")"),
+            s"TEXT_MATCH: unbalanced parens in '$q'")
           i += 1
-          parts += parseUnary()
-        case Some(t) if defaultAnd && !t.equalsIgnoreCase("OR") &&
-            t != ")" =>
-          parts += parseUnary() // adjacency = the default operator (AND)
-        case _ => more = false
+          addClause(n)
+        case Some(")") => more = false
+        case Some(t) => i += 1; addClause(atom(t))
+        case None => more = false
       }
-      if (parts.size == 1) parts.head else AndN(parts.toSeq)
-    }
-    def parseUnary(): Node = peek match {
-      case Some(t) if t.equalsIgnoreCase("NOT") =>
-        // Lucene NOT: complement of the next unary (binds tightest,
-        // so `a AND NOT b OR c` is `(a AND !b) OR c`)
-        i += 1
-        NotN(parseUnary())
-      case Some("(") =>
-        i += 1
-        val n = parseOr()
-        require(peek.contains(")"), s"TEXT_MATCH: unbalanced parens in '$q'")
-        i += 1
-        n
-      case Some(t) =>
-        i += 1
-        atom(t)
-      case None =>
+      if (cls.isEmpty)
         throw new IllegalArgumentException(s"TEXT_MATCH: empty group in '$q'")
+      LevelN(cls.map(c => (c.node, c.occur)).toSeq)
     }
-    val n = parseOr()
+    val n = parseLevel()
     require(i == tokens.length, s"TEXT_MATCH: trailing tokens in '$q'")
     n
+  }
+
+  /** BooleanQuery match semantics over a parsed level
+    * (minimumShouldMatch=0): every MUST holds, no MUST_NOT holds,
+    * and — only when no MUST exists — at least one SHOULD holds. */
+  private def lowerLevels(n: Node): Node = n match {
+    case LevelN(cls) =>
+      val musts = cls.collect { case (c, 1) => lowerLevels(c) }
+      val shoulds = cls.collect { case (c, 0) => lowerLevels(c) }
+      val nots = cls.collect { case (c, 2) => lowerLevels(c) }
+      val pos =
+        if (musts.nonEmpty)
+          // with a MUST present, SHOULD clauses are score-only
+          Some(if (musts.size == 1) musts.head else AndN(musts))
+        else if (shoulds.nonEmpty)
+          Some(if (shoulds.size == 1) shoulds.head else OrN(shoulds))
+        else None
+      pos match {
+        case None => FalseN // pure-negative BooleanQuery matches nothing
+        case Some(p) if nots.isEmpty => p
+        case Some(p) => AndN(p +: nots.map(NotN(_)))
+      }
+    case other => other
   }
 
   private val PhraseSlop = """"([^"]*)"~(\d+)""".r
@@ -427,17 +437,13 @@ object TextMatch {
       case Prefix(p) => Some(WildT(p + "*"))
       case _ => None
     }
-    // Lucene's classic parser flattens a mixed `a b AND c d` chain
-    // into ONE BooleanQuery, so the conversion sees every clause in
-    // written order — flatten nested And/Or the same way
-    def flat(x: Node): Seq[Node] = x match {
-      case AndN(xs) => xs.flatMap(flat)
-      case OrN(xs) => xs.flatMap(flat)
-      case other => Seq(other)
-    }
+    // the conversion sees the TOP level's flat clause list in written
+    // order with occurs DISCARDED (`convertToMultiTermSpanQuery`
+    // replaces the whole BooleanQuery); any non-term clause — a
+    // nested group, phrase, fuzzy — makes it non-convertible
     n match {
-      case AndN(_) | OrN(_) =>
-        val pats = flat(n).map(termPat)
+      case LevelN(cls) if cls.size >= 2 =>
+        val pats = cls.map(c => termPat(c._1))
         if (pats.forall(_.isDefined) &&
             pats.flatten.exists(_.isInstanceOf[WildT]))
           Proximity(pats.flatten, 0)
@@ -448,7 +454,7 @@ object TextMatch {
 
   private[graft] def parseWith(query: String, opts: Options): Node = {
     val n0 = parse(query, opts.defaultAnd)
-    val n = if (opts.prefixSuffixPhrase) spanConvert(n0) else n0
+    val n = lowerLevels(if (opts.prefixSuffixPhrase) spanConvert(n0) else n0)
     opts.stopWords.map(stopFilter(n, _)).getOrElse(n)
   }
 

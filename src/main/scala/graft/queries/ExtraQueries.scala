@@ -137,12 +137,14 @@ object ExtraQueries {
         FROM nation ORDER BY n_nationkey""")),
 
     // TEXT_MATCH predicate through the Lucene-subset compiler
-    // (TextMatchFilterOperator.java:38): term AND phrase OR prefix.
-    // The default analyzer stops English words (the reference's
-    // TextIndexUtils.getAnalyzer default), so the phrase '"the
-    // stream"' drops its leading stop word and queries the single
-    // surviving token — the oracle mirrors the STOP-FILTERED
-    // semantics, not the raw adjacency.
+    // (TextMatchFilterOperator.java:38): term AND phrase OR prefix,
+    // under Lucene's CLASSIC-PARSER clause model — `query AND "the
+    // stream" OR filter*` is one flat BooleanQuery where AND promotes
+    // both its neighbors to MUST and `filter*` stays an optional
+    // SHOULD (score-only once a MUST exists), so the filter is
+    // query AND stream. The default analyzer stops English words
+    // (TextIndexUtils.getAnalyzer), so the phrase's leading "the"
+    // drops — the oracle mirrors both.
     GQuery("q_text_match",
       (s, dir) => {
         val t = Tables(s, dir)
@@ -153,9 +155,8 @@ object ExtraQueries {
           .orderBy(col("doc_id"))
       },
       Some("""SELECT doc_id FROM documents
-        WHERE (list_contains(regexp_split_to_array(lower(text), '\W+'), 'query')
-               AND list_contains(regexp_split_to_array(lower(text), '\W+'), 'stream'))
-           OR regexp_matches(lower(text), '(^|[^a-zA-Z0-9_])filter')
+        WHERE list_contains(regexp_split_to_array(lower(text), '\W+'), 'query')
+          AND list_contains(regexp_split_to_array(lower(text), '\W+'), 'stream')
         ORDER BY doc_id""")),
 
     // TEXT_MATCH served from the token-posting INDEX layout

@@ -93,9 +93,12 @@ class TextIndexSpec extends SparkSpec {
     // a leaf matching too much of the dictionary refuses to enumerate
     assert(TextMatch.candidateIds("*", model.dict, model.postings,
       maxTokensPerLeaf = 4).isEmpty)
-    // a complement can't be bounded by postings...
-    assert(candIds("NOT stream").isEmpty)
-    // ...but an AND drops the NOT conjunct and stays a superset
+    // an all-MUST_NOT query is Lucene's pure-negative BooleanQuery:
+    // matches NOTHING — exact empty candidates, empty scan
+    assert(candIds("NOT stream").exists(_.isEmpty))
+    assert(scanIds("NOT stream").isEmpty)
+    // an AND with a MUST_NOT arm drops the complement conjunct from
+    // the candidate plan and stays a superset
     val notAnd = candIds("query AND NOT stream")
     assert(notAnd.isDefined &&
       scanIds("query AND NOT stream").subsetOf(notAnd.get))

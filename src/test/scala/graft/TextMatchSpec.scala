@@ -15,15 +15,32 @@ class TextMatchSpec extends SparkSpec {
       .count() == 1
   }
 
-  test("grouping parens override AND/OR precedence") {
+  test("Lucene classic-parser occur rules: flat clauses, not precedence") {
     val t = "alpha beta gamma"
-    // without parens: alpha OR (beta AND delta) -> true via alpha
-    assert(matches(t, "alpha OR beta AND delta"))
-    // with parens: (alpha OR beta) AND delta -> false
+    // `alpha OR beta AND delta` is ONE BooleanQuery: AND promotes beta
+    // to MUST and makes delta MUST; alpha stays SHOULD (score-only
+    // once a MUST exists). Match = beta AND delta — delta is absent,
+    // so NO match (a precedence grammar would match via alpha).
+    assert(!matches(t, "alpha OR beta AND delta"))
+    assert(matches("beta delta other", "alpha OR beta AND delta"))
+    // parens make a sub-level: (alpha OR beta) AND delta
     assert(!matches(t, "(alpha OR beta) AND delta"))
+    assert(matches("alpha delta", "(alpha OR beta) AND delta"))
     assert(matches(t, "(alpha OR delta) AND (gamma OR epsilon)"))
     // nested groups
     assert(matches(t, "((alpha AND beta) OR delta) AND gamma"))
+    // OR'd NOT is MUST_NOT: `x OR NOT y` = x AND NOT y
+    assert(matches("xx zz", "xx OR NOT yy"))
+    assert(!matches("xx yy", "xx OR NOT yy"))
+    assert(!matches("zz", "xx OR NOT yy"))
+    // an all-MUST_NOT query matches NOTHING (pure-negative
+    // BooleanQuery), not the complement
+    assert(!matches("zz", "NOT xx"))
+    assert(!matches("xx", "NOT xx"))
+    assert(!matches("zz", "NOT xx NOT yy"))
+    // adjacency-joined NOT still subtracts: art NOT fox
+    assert(matches("art gallery", "art NOT fox"))
+    assert(!matches("art fox", "art NOT fox"))
   }
 
   test("wildcard terms: prefix, mid-token star, single-char ?") {
