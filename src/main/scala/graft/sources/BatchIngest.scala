@@ -65,6 +65,13 @@ object BatchIngest {
           r.option("header", "true").schema(s)).csv(path)
       case "json" =>
         schemaDdl.fold(r)(s => r.schema(s)).json(path)
+      case "bson" => // framed mongodump layout; schema is required
+        WireBson.read(spark, path,
+          org.apache.spark.sql.types.StructType.fromDDL(schemaDdl.getOrElse(
+            throw new IllegalArgumentException("bson needs an explicit schema"))))
+      case "arrow" => ArrowIngest.read(spark, path)
+      // protobuf / thrift need a descriptor set / struct schema beyond a
+      // DDL string — use WireProto.read / WireThrift.read directly
       case other => r.format(other).load(path)
     }
   }

@@ -96,12 +96,14 @@ class FacadeAndFunctionsSpec extends SparkSpec {
     assert(ids("\"quick brown\"") == Seq(2L))    // phrase
     assert(ids("spark AND fast") == Seq(1L))
     assert(ids("fox OR art") == Seq(2L, 3L))
-    assert(ids("spark AND missing OR fox") == Seq(2L)) // AND binds tighter
-    // Lucene NOT: complement, tightest binding
-    assert(ids("NOT fast") == Seq(2L, 3L))
-    assert(ids("art NOT fox") == Seq(3L))           // adjacency AND
+    // Lucene clause model: spark MUST, missing MUST, fox SHOULD →
+    // both MUSTs required, no doc has 'missing'
+    assert(ids("spark AND missing OR fox") == Seq())
+    // all-MUST_NOT queries match nothing in Lucene's BooleanQuery
+    assert(ids("NOT fast") == Seq())
+    assert(ids("art NOT fox") == Seq(3L))           // SHOULD + MUST_NOT
     assert(ids("engines AND NOT missing") == Seq(1L))
-    assert(ids("fast OR NOT quick") == Seq(1L, 3L)) // (fast) OR (!quick)
+    assert(ids("fast OR NOT quick") == Seq(1L))     // fast SHOULD, quick MUST_NOT
   }
 
   test("url / ip / hash extras") {
