@@ -678,6 +678,11 @@ object PinotFunctions {
     // ArrayAggFunction; the type tag is a hint we don't need, the
     // trailing boolean switches to distinct accumulation
     // (ListAggDistinctFunction analog: first-occurrence order kept).
+    // LISTAGG(col, separator) rides Spark's NATIVE listagg (the
+    // registry can't shadow a builtin); the reference's 3-arg
+    // isDistinct form and the MV-flatten branch
+    // (ListAggFunction.java:68-74) are QueryFacade rewrites
+    // (rewriteListAggMv).
     "arrayagg" -> { case Seq(c, rest @ _*) =>
       val distinct = rest.lastOption.map(ex).exists(e =>
         e.foldable && String.valueOf(e.eval()).equalsIgnoreCase("true"))

@@ -408,8 +408,11 @@ object ScalarTail {
         shiftrightunsigned(v, i * 8).bitwiseAND(lit(0xffL))
           .cast(LongType) * lit(1L << ((7 - i) * 8))
       }.reduce(_ + _) }
+    // the reference accepts an optional 0x/0X prefix
+    // (DataTypeConversionFunctions.java hexDecimalToLong golds);
+    // Spark's conv() does not, so strip it first
     b += "hexdecimaltolong" -> { case Seq(s) =>
-      conv(s, 16, 10).cast(LongType) }
+      conv(regexp_replace(s, "^0[xX]", ""), 16, 10).cast(LongType) }
     b += "longtohexdecimal" -> { case Seq(x) => lower(hex(x.cast(LongType))) }
     b += "sha224" -> { case Seq(x) => sha2(x, 224) }
 
@@ -581,15 +584,18 @@ object ScalarTail {
         .otherwise(array_distinct(
           transform(sequence(lit(1), length(s) - n + 1),
             i => s.substr(i, n))))
-    // lengths within [minGram, maxGram], n == 0 skipped
+    // lengths within [minGram, maxGram], n == 0 skipped. The loop is
+    // `for n = max(minGram,1) to min(maxGram, length)` and does NOT
+    // run when the lower bound exceeds the string length
+    // (NgramFunctions.java:51-62) — guarded explicitly because Spark's
+    // sequence(a, b) DESCENDS when a > b instead of being empty.
     def ngramsRange(s: Column, lo: Column, hi: Column): Column =
-      when(hi < lo || hi <= 0, array().cast("array<string>"))
+      when(hi < lo || hi <= 0 || greatest(lo, lit(1)) > length(s),
+        array().cast("array<string>"))
         .otherwise(array_distinct(flatten(
-          transform(sequence(greatest(lo, lit(1)),
-              least(hi, greatest(length(s), lit(1)))),
-            n => when(n > length(s), array().cast("array<string>"))
-              .otherwise(transform(sequence(lit(1), length(s) - n + 1),
-                i => s.substr(i, n)))))))
+          transform(sequence(greatest(lo, lit(1)), least(hi, length(s))),
+            n => transform(sequence(lit(1), length(s) - n + 1),
+              i => s.substr(i, n))))))
     val ngramBuilder: Seq[Column] => Column = {
       case Seq(s, n) => ngramsExact(s, n.cast(IntegerType))
       case Seq(s, lo, hi) =>

@@ -162,6 +162,8 @@ object WireProto {
     val enums = Map.newBuilder[String, EnumDesc]
     var proto3 = false
     var firstMessage: String = null
+    val topLevel = Seq.newBuilder[String]
+    val nestedNames = Map.newBuilder[String, Seq[String]]
 
     def str(a: Any): String = new String(a.asInstanceOf[Array[Byte]], StandardCharsets.UTF_8)
 
@@ -217,7 +219,13 @@ object WireProto {
       val fullName = s"$scope.$name"
       if (firstMessage == null) firstMessage = fullName
       msgs += fullName -> MessageDesc(fullName, fields.result(), mapEntry)
-      nested.result().foreach(parseMessage(_, fullName))
+      val children = nested.result()
+      // declaration order of nested messages, for Confluent index paths
+      nestedNames += fullName -> children.map { nb =>
+        val nameField = rawFields(nb).collectFirst { case (1, 2, v) => str(v) }.getOrElse("")
+        s"$fullName.$nameField"
+      }
+      children.foreach(parseMessage(_, fullName))
       nestedEnums.result().foreach(parseEnum(_, fullName))
     }
 
@@ -234,11 +242,17 @@ object WireProto {
           case _ =>
         }
         val scope = if (pkg.isEmpty) "" else s".$pkg"
-        messages.result().foreach(parseMessage(_, if (scope.isEmpty) "" else scope))
+        val tops = messages.result()
+        topLevel ++= tops.map { mb =>
+          val nameField = rawFields(mb).collectFirst { case (1, 2, v) => str(v) }.getOrElse("")
+          s"$scope.$nameField"
+        }
+        tops.foreach(parseMessage(_, if (scope.isEmpty) "" else scope))
         fileEnums.result().foreach(parseEnum(_, if (scope.isEmpty) "" else scope))
       case _ =>
     }
-    DescriptorPool(msgs.result(), enums.result(), proto3, firstMessage)
+    DescriptorPool(msgs.result(), enums.result(), proto3, firstMessage,
+      topLevel.result(), nestedNames.result())
   }
 
   // ---------------------------------------------------------------------

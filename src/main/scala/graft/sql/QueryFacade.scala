@@ -1318,6 +1318,115 @@ object QueryFacade {
 
   private val BareIdent = """^[A-Za-z_]\w*$""".r
 
+  private val ListAggCall =
+    """(?i)\blistagg\s*\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*,\s*('[^']*')\s*(?:,\s*(true|false)\s*)?\)""".r
+
+  /** LISTAGG over a multi-value column flattens the arrays before
+    * concatenating — the reference's ListAggFunction branches on
+    * `blockValSet.isSingleValue()` and walks `getStringValuesMV`
+    * (`.../function/array/ListAggFunction.java:68-74`, distinct
+    * variant `ListAggDistinctFunction.java`). Spark resolves that
+    * branch at plan time: when the first argument names an ArrayType
+    * column of the (single) FROM table, the call rewrites to
+    * flatten-then-join; scalar columns keep the registered listagg
+    * aggregate. Distinct keeps first-occurrence order, as upstream. */
+  private[graft] def rewriteListAggMv(spark: SparkSession,
+      stmt: String): String = try {
+    val masked = maskLiterals(stmt)
+    if (!masked.toLowerCase.contains("listagg")) return stmt
+    val table = FromTable.findFirstMatchIn(masked).map(_.group(1))
+      .getOrElse(return stmt)
+    val schema = try spark.table(table).schema catch {
+      case scala.util.control.NonFatal(_) => return stmt
+    }
+    ListAggCall.replaceAllIn(stmt, m => {
+      val colName = m.group(1)
+      val sep = m.group(2)
+      val distinct = Option(m.group(3)).exists(_.equalsIgnoreCase("true"))
+      val isMv = schema.fields.exists(f =>
+        f.name.equalsIgnoreCase(colName) &&
+          f.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType])
+      if (!isMv && m.group(3) == null) m.matched // native 2-arg listagg
+      else {
+        val inner =
+          if (isMv) s"flatten(collect_list(`$colName`))"
+          else s"collect_list(CAST(`$colName` AS STRING))"
+        val deduped = if (distinct) s"array_distinct($inner)" else inner
+        java.util.regex.Matcher.quoteReplacement(
+          s"array_join($deduped, $sep)")
+      }
+    })
+  } catch { case scala.util.control.NonFatal(_) => stmt }
+
+  private val ColCompare =
+    """(?i)(?<![\w.`'])([A-Za-z_][A-Za-z0-9_]*)\s*(!=|<>|<=|>=|=|<|>)\s*([A-Za-z_][A-Za-z0-9_]*)(?![\w.`'(])""".r
+
+  /** Numeric-column vs string-column comparisons are TYPE-SAFE in the
+    * reference: the string parses to the numeric type per row and an
+    * unparseable value is simply no-match
+    * (`JsonExtractScalarTest.java:204-215` — "the type-safe rewrite
+    * evaluates per-row, treating an unparseable comparison as
+    * no-match"). ANSI Spark instead fails the whole query on the first
+    * malformed cast, so the string side rewrites to try_cast(...). */
+  private[graft] def rewriteTypeSafeCompare(spark: SparkSession,
+      stmt: String): String = try {
+    val masked = maskLiterals(stmt)
+    val low = masked.toLowerCase
+    // conservative: one SELECT, one FROM table, no joins — qualified
+    // identifiers and join conditions stay untouched
+    if (low.contains(" join ") ||
+      low.indexOf("select", low.indexOf("select") + 1) >= 0) return stmt
+    val table = FromTable.findFirstMatchIn(masked).map(_.group(1))
+      .getOrElse(return stmt)
+    val schema = try spark.table(table).schema catch {
+      case scala.util.control.NonFatal(_) => return stmt
+    }
+    def kind(name: String): Option[Char] =
+      schema.fields.find(_.name.equalsIgnoreCase(name)).map(_.dataType match {
+        case _: org.apache.spark.sql.types.NumericType => 'n'
+        case org.apache.spark.sql.types.StringType => 's'
+        case _ => 'o'
+      })
+    val out = new StringBuilder
+    var last = 0
+    for (m <- ColCompare.findAllMatchIn(masked)) {
+      (kind(m.group(1)), kind(m.group(3))) match {
+        case (Some('n'), Some('s')) =>
+          out.append(stmt.substring(last, m.start))
+          out.append(s"${m.group(1)} ${m.group(2)} TRY_CAST(`${m.group(3)}` AS DOUBLE)")
+          last = m.end
+        case (Some('s'), Some('n')) =>
+          out.append(stmt.substring(last, m.start))
+          out.append(s"TRY_CAST(`${m.group(1)}` AS DOUBLE) ${m.group(2)} ${m.group(3)}")
+          last = m.end
+        case _ =>
+      }
+    }
+    if (last == 0) stmt else { out.append(stmt.substring(last)); out.toString }
+  } catch { case scala.util.control.NonFatal(_) => stmt }
+
+  private val JsonNullDefault =
+    ("(?i)\\b(jsonextractscalar|jsonextractindex)\\s*\\(\\s*([A-Za-z_][A-Za-z0-9_]*)\\s*," +
+      "\\s*('[^']*')\\s*,\\s*'(int|long|float|double|boolean|timestamp)'\\s*,\\s*null\\s*\\)").r
+
+  /** With null handling DISABLED (the reference's default), a `null`
+    * defaultValue literal in jsonExtractScalar degrades to the type's
+    * ZERO default — `JsonExtractScalarTransformFunction.java:202-208`
+    * gates `_defaultIsNull` on `_nullHandlingEnabled`, so the null
+    * literal's numeric accessor (0 / 0.0 / false) becomes the fill
+    * value. Applied only when the option is off; the null-handling
+    * path keeps the SQL NULL. */
+  private[graft] def rewriteJsonNullDefault(stmt: String): String =
+    JsonNullDefault.replaceAllIn(stmt, m => {
+      val zero = m.group(4).toLowerCase match {
+        case "float" | "double" => "0.0"
+        case "boolean" => "false"
+        case _ => "0"
+      }
+      java.util.regex.Matcher.quoteReplacement(
+        s"${m.group(1)}(${m.group(2)}, ${m.group(3)}, '${m.group(4)}', $zero)")
+    })
+
   private[graft] def rewriteMvDistinct(spark: SparkSession,
       stmt: String): String = try {
     val masked = maskLiterals(stmt)
@@ -2140,11 +2249,13 @@ object QueryFacade {
           rewriteGeoIndexed(spark,
           rewriteMapValueShredded(spark,
           rewriteOrderBySelectExpr(
+          rewriteTypeSafeCompare(spark,
+          rewriteListAggMv(spark,
           rewriteMvDistinct(spark,
           rewriteJsonMatch(
             rewriteAsOf(rewriteReserved(stripHints(
               rewriteTimestampIndex(
-                applyRlsFilters(spark, stmt0, opts)))))))))))))))
+                applyRlsFilters(spark, stmt0, opts)))))))))))))))))
     if (Ddl.isDdl(stmt)) return Ddl.execute(spark, stmt)
     // Pinot EXPLAIN PLAN FOR <query> (PinotQueryResource explain
     // support): one row per plan-tree line, mirroring the reference's
@@ -2159,7 +2270,7 @@ object QueryFacade {
     val stmtNulls =
       if (opts.get("enablenullhandling").exists(_.equalsIgnoreCase("true")))
         rewriteNullOrdering(stmt)
-      else stmt
+      else rewriteJsonNullDefault(stmt)
     val df = spark.sql(stmtNulls)
     val explicit = opts.get("explicitlimit").exists(_.toBoolean)
     val isSelect = stmt.trim.toLowerCase.startsWith("select") ||
