@@ -212,6 +212,11 @@ object PinotFunctions {
       case Seq(c, path, typ) => jsonScalar(c, path, typ, lit(null))
       case Seq(c, path, typ, dflt) => jsonScalar(c, path, typ, dflt) },
     "jsonformat" -> { case Seq(c) => to_json(c) },
+    // internal backend for the facade's JSON_MATCH rewrite: the
+    // flattened SCALAR values at a path (json-index model),
+    // emitted by JsonShred.compileToSql
+    "jsonmatchscalars" -> { case Seq(j, p) =>
+      graft.sources.JsonShred.scalarsColumn(j, p) },
     "jsonpath" -> { case Seq(c, p) => get_json_object(c, ex(p).eval().toString) },
     // ——— string (StringFunctions.java) ———
     // Pinot StringFunctions.strpos = StringUtils.indexOf: 0-based, -1 on miss

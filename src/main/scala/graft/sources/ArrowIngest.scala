@@ -105,17 +105,21 @@ object ArrowIngest {
     (schema, it)
   }
 
+  /** Schema from the footer only — no batch is loaded. */
+  def readSchema(bytes: Array[Byte]): StructType = {
+    val allocator = new RootAllocator(Long.MaxValue)
+    val reader = new ArrowFileReader(new ByteArrayReadableSeekableByteChannel(bytes), allocator)
+    try sparkSchema(reader.getVectorSchemaRoot.getSchema.getFields.asScala.toSeq)
+    finally { reader.close(); allocator.close() }
+  }
+
   /** Read a directory/glob of arrow IPC files into a DataFrame. The
     * schema is taken from the first file's footer on the driver (all
-    * files of a table share it, as in the reference). */
+    * files of a table share it, as in the reference); rows decode on
+    * executors, one record batch resident at a time. */
   def read(spark: SparkSession, path: String): DataFrame = {
     val files = spark.sparkContext.binaryFiles(path)
-    val firstBytes = files.first()._2.toArray()
-    val schema = {
-      val (s, it) = decodeFile(firstBytes)
-      it.size // drain so the reader/allocator close
-      s
-    }
+    val schema = readSchema(files.first()._2.toArray())
     val rows = files.flatMap { case (_, pds) => decodeFile(pds.toArray())._2 }
     spark.createDataFrame(rows, schema)
   }

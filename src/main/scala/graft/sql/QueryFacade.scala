@@ -1405,6 +1405,66 @@ object QueryFacade {
     if (last == 0) stmt else { out.append(stmt.substring(last)); out.toString }
   } catch { case scala.util.control.NonFatal(_) => stmt }
 
+  private val ExprMinMaxShape =
+    ("""(?is)^\s*SELECT\s+(.*?)\s+FROM\s+([A-Za-z_]\w*)""" +
+      """((?:\s+WHERE\s+.*?)?)((?:\s+GROUP\s+BY\s+.*?)?)""" +
+      """((?:\s+ORDER\s+BY\s+.*?)?)((?:\s+LIMIT\s+\d+)?)\s*$""").r
+  private val ExprCall =
+    """(?is)^expr_?(min|max)\s*\((.*)\)(?:\s+AS\s+(\S+))?$""".r
+
+  /** exprMin / exprMax return EVERY row achieving the extreme — the
+    * reference's parent aggregation + ParentAggregationResultRewriter
+    * (`ExprMinMaxAggregationFunction` / `ExprMinMaxRewriter`;
+    * `ExprMinMaxTest.java:221-228` asserts two tied rows). Extra
+    * measuring arguments break ties LEXICOGRAPHICALLY and rows tied on
+    * the FULL key all return (`testAggregationDedupe`). Spark resolves
+    * this as RANK() = 1 over the measuring order — per group when
+    * GROUP BY keys are present. Supported shape: one exprMin/exprMax
+    * in the select list plus bare group keys; anything else (mixed
+    * aggregations, several expr calls — a presentation shape of the
+    * reference's result rewriter) falls back to the single-row
+    * min_by/max_by registration. */
+  private[graft] def rewriteExprMinMax(stmt: String): String = try {
+    val masked = maskLiterals(stmt)
+    val low = masked.toLowerCase
+    if (!low.contains("expr")) return stmt
+    if (low.indexOf("select", low.indexOf("select") + 1) >= 0) return stmt
+    val m = ExprMinMaxShape.findFirstMatchIn(masked).getOrElse(return stmt)
+    def slice(i: Int): String =
+      if (m.group(i) == null) "" else stmt.substring(m.start(i), m.end(i))
+    val items = splitTopLevel(slice(1)).map(_.trim)
+    val table = m.group(2)
+    val (whereC, groupC, orderC, limitC) =
+      (slice(3), slice(4), slice(5), slice(6))
+
+    val exprItems = items.flatMap(it => ExprCall.findFirstMatchIn(it).map(it -> _))
+    if (exprItems.size != 1) return stmt
+    val (exprText, call) = exprItems.head
+    val keys = items.filterNot(_ == exprText)
+    if (!keys.forall(k => BareIdent.findFirstIn(k).contains(k))) return stmt
+    val groupKeys =
+      if (groupC.isEmpty) Nil
+      else splitTopLevel(groupC.replaceAll("(?is)^\\s+GROUP\\s+BY", "")).map(_.trim)
+    if (groupKeys.map(_.toLowerCase).sorted != keys.map(_.toLowerCase).sorted) return stmt
+
+    val kind = call.group(1).toLowerCase
+    val args = splitTopLevel(call.group(2)).map(_.trim)
+    if (args.size < 2) return stmt
+    val ret = args.head
+    val measures = args.tail
+    val dir = if (kind == "max") "DESC" else "ASC"
+    val alias = Option(call.group(3)).getOrElse(
+      s"`expr$kind(${args.map(_.replaceAll("\\s+", "")).mkString(",")})`")
+    val partition =
+      if (keys.isEmpty) "" else s"PARTITION BY ${keys.mkString(", ")} "
+    val order = measures.map(x => s"($x) $dir").mkString(", ")
+    val keySel = if (keys.isEmpty) "" else keys.mkString(", ") + ", "
+    s"SELECT ${keySel}__ret AS $alias FROM (" +
+      s"SELECT $keySel($ret) AS __ret, " +
+      s"RANK() OVER (${partition}ORDER BY $order) AS __rk FROM $table$whereC" +
+      s") WHERE __rk = 1$orderC$limitC"
+  } catch { case scala.util.control.NonFatal(_) => stmt }
+
   private val JsonNullDefault =
     ("(?i)\\b(jsonextractscalar|jsonextractindex)\\s*\\(\\s*([A-Za-z_][A-Za-z0-9_]*)\\s*," +
       "\\s*('[^']*')\\s*,\\s*'(int|long|float|double|boolean|timestamp)'\\s*,\\s*null\\s*\\)").r
@@ -2249,13 +2309,14 @@ object QueryFacade {
           rewriteGeoIndexed(spark,
           rewriteMapValueShredded(spark,
           rewriteOrderBySelectExpr(
+          rewriteExprMinMax(
           rewriteTypeSafeCompare(spark,
           rewriteListAggMv(spark,
           rewriteMvDistinct(spark,
           rewriteJsonMatch(
             rewriteAsOf(rewriteReserved(stripHints(
               rewriteTimestampIndex(
-                applyRlsFilters(spark, stmt0, opts)))))))))))))))))
+                applyRlsFilters(spark, stmt0, opts))))))))))))))))))
     if (Ddl.isDdl(stmt)) return Ddl.execute(spark, stmt)
     // Pinot EXPLAIN PLAN FOR <query> (PinotQueryResource explain
     // support): one row per plan-tree line, mirroring the reference's

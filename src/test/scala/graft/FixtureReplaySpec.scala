@@ -2422,6 +2422,297 @@ class FixtureReplaySpec extends SparkSpec {
     assert(q("SELECT intColumn FROM jes_t WHERE intColumn = stringColumn").isEmpty)
   }
 
+  test("reference fast-filtered-count suite: FastFilteredCountTest golds") {
+    // `FastFilteredCountTest.java:59-316` — 1000 rows, 8 buckets
+    // (classification = i%8, sorted i, text"text{i%8}", json
+    // {"field": i%8}, intRange 1000-i); ~50 COUNT golds over every
+    // combination of sorted-range, IN-list, TEXT_MATCH, JSON_MATCH and
+    // their negations — the reference's fast-filtered-count paths
+    // (bitmap intersection without materializing docs). Counts are
+    // replica-invariant, replayed on one copy.
+    import spark.implicits._
+    val n = 1000; val B = 8
+    val bucketCount = n / B; val comp = n - bucketCount
+    val min = 20; val max = n - 20
+    val allBuckets = (0 until B).mkString("(", ", ", ")")
+    val twoBuckets = "(0, 7)"
+    (0 until n).map(i =>
+      (i % B, i, s"text${i % B}", s"""{"field":${i % B}}""", n - i))
+      .toDF("classCol", "sortedCol", "textCol", "jsonCol", "rangeCol")
+      .createOrReplaceTempView("ffc_t")
+    val jm1 = "JSON_MATCH(jsonCol, '\"$.field\"=1')"
+    val jm0 = "JSON_MATCH(jsonCol, '\"$.field\"=0')"
+    val cases: Seq[(String, Int)] = Seq(
+      ("classCol = 1", bucketCount),
+      (jm1, bucketCount),
+      (s"NOT $jm1", comp),
+      ("TEXT_MATCH(textCol, 'text1')", bucketCount),
+      ("NOT TEXT_MATCH(textCol, 'text1')", comp),
+      ("sortedCol = 1", 1),
+      (s"sortedCol between $min and $max", max - min + 1),
+      (s"sortedCol not between $min and $max", n - (max - min + 1)),
+      (s"sortedCol in $allBuckets", B),
+      (s"sortedCol in $allBuckets and classCol in $allBuckets", B),
+      ("classCol <> 1", comp),
+      (s"classCol in $twoBuckets", 2 * bucketCount),
+      (s"classCol not in $twoBuckets", n - 2 * bucketCount),
+      (s"classCol in $twoBuckets and sortedCol < ${n / 2}", bucketCount),
+      ("sortedCol = 1 and classCol = 1", 1),
+      ("sortedCol = 1 and classCol <> 1", 0),
+      ("sortedCol = 1 and classCol <> 0", 1),
+      ("TEXT_MATCH(textCol, 'text0') and classCol <> 1", bucketCount),
+      ("TEXT_MATCH(textCol, 'text0') or classCol <> 1", comp),
+      ("TEXT_MATCH(textCol, 'text0') or classCol = 1", 2 * bucketCount),
+      ("not TEXT_MATCH(textCol, 'text0') or classCol = 1", comp),
+      (s"TEXT_MATCH(textCol, 'text0') or $jm1 or classCol = 2", 3 * bucketCount),
+      (s"not TEXT_MATCH(textCol, 'text0') or not $jm0 or classCol <> 0", comp),
+      (s"TEXT_MATCH(textCol, 'text0') or $jm1 or classCol <> 2", comp),
+      (s"not TEXT_MATCH(textCol, 'text0') or not $jm1 or classCol <> 2", n),
+      (s"not TEXT_MATCH(textCol, 'text0') or $jm1 or classCol <> 2", n),
+      (s"not TEXT_MATCH(textCol, 'text0') or $jm1 or classCol = 0", n),
+      ("sortedCol <> 1 and classCol = 1", bucketCount - 1),
+      ("sortedCol >= 0 and classCol = 1", bucketCount),
+      ("sortedCol > 1 and classCol = 1", bucketCount - 1),
+      ("sortedCol >= 0 and classCol <> 1", comp),
+      ("not TEXT_MATCH(textCol, 'text0') and classCol <> 1", n - 2 * bucketCount),
+      ("not TEXT_MATCH(textCol, 'text0') or classCol <> 1", n),
+      ("not TEXT_MATCH(textCol, 'text0') or classCol <> 0", comp),
+      ("TEXT_MATCH(textCol, 'text0') and sortedCol <> 1", bucketCount),
+      ("TEXT_MATCH(textCol, 'text1') and sortedCol <> 1", bucketCount - 1),
+      ("TEXT_MATCH(textCol, 'text0') and classCol <> 1", bucketCount),
+      ("sortedCol >= 500 and classCol <> 0 and not TEXT_MATCH(textCol, 'text0')",
+        comp / 2 + 1),
+      ("sortedCol >= 500 and classCol <> 0 and TEXT_MATCH(textCol, 'text0')", 0),
+      (s"sortedCol < $bucketCount and classCol <> 0",
+        bucketCount - bucketCount / B - 1),
+      (s"sortedCol >= $bucketCount and classCol <> 0", comp - comp / B),
+      (s"sortedCol < ${B - 1} and classCol = ${B - 1}", 0),
+      (s"sortedCol >= ${B - 2} and classCol = ${B - 2}", bucketCount),
+      (s"sortedCol >= $min and sortedCol < $max and classCol = 0",
+        bucketCount - (min + n - max) / B),
+      (s"sortedCol >= 500 and classCol <> 0 and not $jm0" +
+        " and not TEXT_MATCH(textCol, 'text0')", comp / 2 + 1),
+      (s"rangeCol >= $min and rangeCol < $max", max - min),
+      (s"rangeCol < $max", max - 1),
+      (s"rangeCol not between $min and $max", n - max + min - 1),
+      (s"rangeCol between $min and $max and classCol = 0",
+        bucketCount - (min + n - max) / B),
+      (s"rangeCol not between $min and $max and classCol = 0",
+        (min + n - max) / B))
+    cases.foreach { case (w, want) =>
+      val got = graft.sql.QueryFacade.sql(spark,
+        s"SELECT COUNT(*) AS c FROM ffc_t WHERE $w").head.getLong(0)
+      assert(got == want, s"WHERE $w")
+    }
+  }
+
+  test("reference transform-filter suite: TransformFilterQueriesTest golds") {
+    // `TransformFilterQueriesTest.java:60-160`: NOT over an AND mixing
+    // a column predicate with a transform (lower()) predicate.
+    import spark.implicits._
+    Seq((1, "apple"), (2, "banana"), (3, "carrot"), (4, "fruit"))
+      .toDF("intColumn", "stringColumn").createOrReplaceTempView("tf_t")
+    def ids(w: String): Seq[Int] = graft.sql.QueryFacade.sql(spark,
+      s"SET explicitLimit=true; SELECT intColumn FROM tf_t WHERE $w ORDER BY intColumn")
+      .collect().map(_.getInt(0)).toSeq
+    assert(ids("NOT (intColumn = 3 AND lower(stringColumn) = 'banana')") ==
+      Seq(1, 2, 3, 4))
+    assert(ids("NOT (intColumn = 1 AND lower(stringColumn) = 'banana')") ==
+      Seq(1, 2, 3, 4))
+    assert(ids("NOT (intColumn = 2 AND lower(stringColumn) = 'banana')") ==
+      Seq(1, 3, 4))
+  }
+
+  test("reference boolean-agg suite: BooleanAggQueriesTest golds") {
+    // `BooleanAggQueriesTest.java:112-260`: BOOL_AND/BOOL_OR over the
+    // 16-record 6-group corpus, both null-handling modes. With null
+    // handling OFF, null booleans ingest as the type default FALSE;
+    // with it ON, all-null groups aggregate to NULL and partial nulls
+    // are excluded.
+    import spark.implicits._
+    val recs = Seq[(java.lang.Boolean, String)](
+      (true, "allTrue"), (true, "allTrue"), (true, "allTrue"),
+      (false, "allFalse"), (false, "allFalse"), (false, "allFalse"),
+      (true, "mixedOne"), (true, "mixedOne"), (false, "mixedOne"),
+      (false, "mixedTwo"), (true, "mixedTwo"), (false, "mixedTwo"),
+      (null, "withNulls"), (true, "withNulls"), (false, "withNulls"),
+      (null, "onlyNulls"))
+    // null-handling OFF: the ingest default fills false
+    recs.map { case (b, g) => (if (b == null) false else b.booleanValue, g) }
+      .toDF("boolColumn", "groupByColumn").createOrReplaceTempView("ba_off_t")
+    recs.toDF("boolColumn", "groupByColumn").createOrReplaceTempView("ba_on_t")
+    def agg(view: String, fn: String, opts: String = ""): Map[String, Any] =
+      graft.sql.QueryFacade.sql(spark,
+        s"${opts}SELECT groupByColumn, $fn(boolColumn) AS v FROM $view GROUP BY 1")
+        .collect().map(r => r.getString(0) -> r.get(1)).toMap
+    val andOff = agg("ba_off_t", "BOOL_AND")
+    assert(andOff("allTrue") == true && andOff("allFalse") == false &&
+      andOff("mixedOne") == false && andOff("mixedTwo") == false &&
+      andOff("withNulls") == false && andOff("onlyNulls") == false)
+    val orOff = agg("ba_off_t", "BOOL_OR")
+    assert(orOff("allTrue") == true && orOff("allFalse") == false &&
+      orOff("mixedOne") == true && orOff("mixedTwo") == true &&
+      orOff("withNulls") == true && orOff("onlyNulls") == false)
+    // null-handling ON: nulls excluded; all-null group → NULL
+    val andOn = agg("ba_on_t", "BOOL_AND", "SET enableNullHandling=true; ")
+    assert(andOn("withNulls") == false && andOn("onlyNulls") == null)
+    val orOn = agg("ba_on_t", "BOOL_OR", "SET enableNullHandling=true; ")
+    assert(orOn("withNulls") == true && orOn("onlyNulls") == null)
+    // no-group form with a filter (:243-254)
+    assert(graft.sql.QueryFacade.sql(spark,
+      "SELECT BOOL_AND(boolColumn) AS v FROM ba_off_t WHERE groupByColumn = 'allTrue'")
+      .head.getBoolean(0))
+  }
+
+  test("reference json-match suite: JsonMatchQueriesTest golds") {
+    // `JsonMatchQueriesTest.java:92-131,180-303` — 28 in-code records
+    // covering top-level scalars, top-level/nested arrays, object
+    // fields, and the != / NOT IN semantics over array elements
+    // ([*] != v means EXISTS an element != v: a doc whose array ALSO
+    // contains v still matches; an empty array matches nothing).
+    import spark.implicits._
+    Seq(
+      (0, null: String),
+      (1, "1"), (2, "\"foo\""), (3, "true"),
+      (4, "[1, 2, 3]"), (5, "[1, \"foo\", true]"), (6, "[1, [\"foo\", true]]"),
+      (7, "[{\"key\": 1}, {\"key\": \"foo\"}]"),
+      (8, "{\"key\": null}"), (9, "{\"key\": 1}"), (10, "{\"key\": \"foo\"}"),
+      (11, "{\"key\": true}"), (12, "{\"key\": [1, [\"foo\", true]]}"),
+      (13, "{\"key\": [1, [\"foo\", [true]]], \"key2\": [2, [\"bar\", false]]}"),
+      (15, "{\"cities\":[ \"New York\" ] }"),
+      (16, "{\"cities\":[ \"Washington\", \"New York\"] }"),
+      (17, "{\"cities\":[ \"New York\", \"Washington\"] }"),
+      (18, "{\"cities\":[ \"Washington\"] }"),
+      (19, "{\"cities\":[ \"San Francisco\"] }"),
+      (20, "{\"cities\":[ \"San Francisco\", \"Miami\", \"Washington\"] }"),
+      (21, "{\"cities\":[] }"), (22, "{\"cities\":[\"\"] }"),
+      (23, "{\"cities\":[ \"Washington\", \"Washington\"] }"),
+      (24, "{\"country\": \"USA\"}"), (25, "{\"country\": \"Canada\"}"),
+      (26, "{\"country\": \"Mexico\"}"), (27, "{\"country\":\"\"}"),
+      (28, "{\"country\":null}"))
+      .toDF("id", "json").createOrReplaceTempView("jm_t")
+    def ids(expr: String): Set[Int] = graft.sql.QueryFacade.sql(spark,
+      s"SELECT id FROM jm_t WHERE JSON_MATCH(json, '$expr') LIMIT 100")
+      .collect().map(_.getInt(0)).toSet
+    // top-level value (:182-186)
+    assert(ids("\"$\"=1") == Set(1))
+    assert(ids("\"$\"=''foo''") == Set(2))
+    assert(ids("\"$\"=true") == Set(3))
+    assert(ids("\"$\" IN (1, ''foo'')") == Set(1, 2))
+    assert(ids("\"$\" IS NOT NULL") == Set(1, 2, 3))
+    // top-level array (:189-192)
+    assert(ids("\"$[0]\"=1") == Set(4, 5, 6))
+    assert(ids("\"$[*]\"=2") == Set(4))
+    assert(ids("\"$[*]\"=''foo''") == Set(5))
+    assert(ids("\"$[2]\"=true") == Set(5))
+    // nested array (:195-198)
+    assert(ids("\"$[*][*]\"=true") == Set(6))
+    assert(ids("\"$[*][0]\"=''foo''") == Set(6))
+    assert(ids("\"$[1][*]\"=true") == Set(6))
+    assert(ids("\"$[1][0]\"=''foo''") == Set(6))
+    // array of objects (:202-203)
+    assert(ids("\"$[*].key\"=1") == Set(7))
+    assert(ids("\"$[1].key\"=''foo''") == Set(7))
+    // object field, $-prefixed and bare-key forms (:207-228)
+    assert(ids("\"$.key\"=1") == Set(9))
+    assert(ids("\"$.key\"=''foo''") == Set(10))
+    assert(ids("\"$.key\"=true") == Set(11))
+    assert(ids("\"$.key\" IN (1, ''foo'')") == Set(9, 10))
+    assert(ids("\"$.key\" IS NOT NULL") == Set(9, 10, 11))
+    assert(ids("\"$.key[0]\"=1") == Set(12, 13))
+    assert(ids("\"$.key[*][0]\"=''foo''") == Set(12, 13))
+    assert(ids("\"$.key[1][*]\"=true") == Set(12))
+    assert(ids("\"$.key[1][1][0]\"=true") == Set(13))
+    assert(ids("key=1") == Set(9))
+    assert(ids("key=''foo''") == Set(10))
+    assert(ids("key=true") == Set(11))
+    assert(ids("key IN (1, ''foo'')") == Set(9, 10))
+    assert(ids("key IS NOT NULL") == Set(9, 10, 11))
+    assert(ids("\"key[0]\"=1") == Set(12, 13))
+    assert(ids("\"key[*][0]\"=''foo''") == Set(12, 13))
+    assert(ids("\"key[1][*]\"=true") == Set(12))
+    assert(ids("\"key[1][1][0]\"=true") == Set(13))
+    // AND across nested arrays (:232-237)
+    assert(ids("\"$.key[*][*][*]\"=true AND \"$.key2[1][0]\"=''bar''") == Set(13))
+    assert(ids("\"$.key[0]\"=1 AND \"$.key2[0]\"=2") == Set(13))
+    // != / NOT IN over array elements — EXISTS semantics (:244-268)
+    assert(ids("\"$.cities[0]\" != ''Seattle'' ") ==
+      Set(15, 16, 17, 18, 19, 20, 22, 23))
+    assert(ids("\"$.cities[*]\" != ''Seattle'' ") ==
+      Set(15, 16, 17, 18, 19, 20, 22, 23))
+    assert(ids("\"$.cities[0]\" != ''Washington'' ") == Set(15, 17, 19, 20, 22))
+    assert(ids("\"$.cities[1]\" != ''Washington'' ") == Set(16, 20))
+    assert(ids("\"$.cities[*]\" != ''Washington'' ") ==
+      Set(15, 16, 17, 19, 20, 22))
+    assert(ids("\"$.cities[0]\" NOT IN (''Seattle'') ") ==
+      Set(15, 16, 17, 18, 19, 20, 22, 23))
+    assert(ids("\"$.cities[*]\" NOT IN (''Seattle'', ''Boston'') ") ==
+      Set(15, 16, 17, 18, 19, 20, 22, 23))
+    assert(ids("\"$.cities[0]\" NOT IN (''Washington'') ") ==
+      Set(15, 17, 19, 20, 22))
+    assert(ids("\"$.cities[1]\" NOT IN (''Washington'') ") == Set(16, 20))
+    assert(ids("\"$.cities[*]\" NOT IN (''Washington'', ''New York'') ") ==
+      Set(19, 20, 22))
+    // != / NOT IN on plain fields (:270-280)
+    assert(ids("\"$.country\" != ''USA'' ") == Set(25, 26, 27))
+    assert(ids("\"$.country\" != ''Canada'' ") == Set(24, 26, 27))
+    assert(ids("\"$.country\" != ''Brazil'' ") == Set(24, 25, 26, 27))
+    assert(ids("\"$.country\" NOT IN (''USA'') ") == Set(25, 26, 27))
+  }
+
+  test("reference expr-min-max suite: ExprMinMaxTest tie-row golds") {
+    // `ExprMinMaxTest.java:66-165` corpus (2000 records; the suite
+    // serves TWO identical segments, so every tie doubles) —
+    // exprMin/exprMax are PARENT aggregations that return EVERY row
+    // achieving the extreme, with extra measuring args breaking ties
+    // lexicographically (ParentAggregationResultRewriter). The
+    // multi-function-in-one-select padding shape and the empty-input
+    // null row are presentation artifacts of the reference's result
+    // rewriter, not replayed (single-call shape is the semantic core).
+    import spark.implicits._
+    val sv = Seq("a2", "a3", "a4", "a5", "a6", "a7", "a8", "a9", "a11", "a22")
+    val one = (0 until 2000).map { i =>
+      (i, (i - 1000).toLong, i.toDouble, (-i.toDouble * i + 1200.0 * i),
+        i % 2 == 1, if (i < 20) sv(i % 10) else "a33", i % 5)
+    }.toDF("intColumn", "longColumn", "doubleColumn", "bigDecimalColumn",
+      "booleanColumn", "stringColumn", "groupByIntColumn")
+    one.union(one).createOrReplaceTempView("emm_t")
+    def q(sql: String) = graft.sql.QueryFacade.sql(spark,
+      s"SET explicitLimit = true; $sql").collect().toSeq
+
+    // two tied rows across the two replicas (:221-228); the generated
+    // column name is the reference's exprmax(ret,measure) rendering
+    val r1 = q("SELECT expr_max(longColumn, intColumn) FROM emm_t")
+    assert(r1.map(_.getLong(0)) == Seq(999L, 999L))
+    assert(r1.head.schema.fieldNames.head == "exprmax(longColumn,intColumn)")
+    // min string "a11" hits i=8 and i=18 → 2 ties × 2 replicas (:287-300)
+    assert(q("SELECT expr_min(doubleColumn, stringColumn) FROM emm_t")
+      .map(_.getDouble(0)).sorted == Seq(8d, 8d, 18d, 18d))
+    // lexicographic multi-measure + WHERE (:479-496 testAggregationDedupe):
+    // min boolean=false (even i), then min bigDecimal −i²+1200i = 0 at
+    // i=0 AND i=1200 → {0,1200} × 2
+    assert(q("SELECT exprmin(intColumn, booleanColumn, bigDecimalColumn)" +
+      " FROM emm_t WHERE doubleColumn <= 1200")
+      .map(_.getInt(0)).sorted == Seq(0, 0, 1200, 1200))
+    // a third measure breaks the remaining tie (:497-520)
+    assert(q("SELECT exprmin(intColumn, booleanColumn, bigDecimalColumn," +
+      " doubleColumn) FROM emm_t WHERE doubleColumn <= 1200")
+      .map(_.getInt(0)) == Seq(0, 0))
+    assert(q("SELECT exprmin(intColumn, booleanColumn, bigDecimalColumn," +
+      " 0-doubleColumn) FROM emm_t WHERE doubleColumn <= 1200")
+      .map(_.getInt(0)) == Seq(1200, 1200))
+    // group-by: per-group argmin rows (i%5 groups: min i in group g is g)
+    val g = q("SELECT groupByIntColumn, expr_min(doubleColumn, intColumn)" +
+      " FROM emm_t GROUP BY groupByIntColumn")
+      .map(r => (r.getInt(0), r.getDouble(1))).sorted
+    assert(g == (0 until 5).flatMap(k => Seq((k, k.toDouble), (k, k.toDouble))))
+    // transform expressions as both projection and measure (:322-345):
+    // 3000x − x² peaks at x = 1500
+    assert(q("SELECT exprmax(doubleColumn," +
+      " 3000 * doubleColumn - intColumn * intColumn) FROM emm_t")
+      .map(_.getDouble(0)) == Seq(1500d, 1500d))
+  }
+
   test("reference scalar-unit golds: geohash/arithmetic/trig/ngram/conversion") {
     // pinot-common scalar unit suites with inline expected values
     // (`common/function/scalar/{Geohash,Arithmetic,Trigonometric,
