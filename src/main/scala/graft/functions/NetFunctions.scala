@@ -26,7 +26,10 @@ object NetFunctions {
 
   /** Scheme without "://" (reference UrlFunctions.java:42). */
   def urlProtocol(u: Column): Column =
-    nn(regexp_extract(u, "^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1))
+    // URI.getScheme semantics: everything before the first ':' —
+    // scheme-only URIs (mailto:, tel:, magnet:) have no "//"
+    // (UrlFunctionsTest golds)
+    nn(regexp_extract(u, "^([a-zA-Z][a-zA-Z0-9+.-]*):", 1))
 
   /** Host (reference :56). */
   def urlDomain(u: Column): Column =
@@ -47,9 +50,14 @@ object NetFunctions {
         .cast(IntegerType),
       lit(-1))
 
-  /** userinfo@host:port (reference urlNetloc :553). */
+  /** userinfo@host:port (reference urlNetloc :553-585): null only when
+    * URI PARSING fails (a scheme with an empty authority, "http://");
+    * a scheme-less string parses as a relative URI with no authority
+    * and yields "" — so urlNetloc('random') is "", not null. */
   def urlNetloc(u: Column): Column =
-    nn(regexp_extract(u, S + "([^/?#]*)", 1))
+    when(u.rlike(S + "$"), lit(null).cast(StringType))
+      .when(u.rlike(S), regexp_extract(u, S + "([^/?#]*)", 1))
+      .when(u.isNotNull, lit(""))
 
   /** Path without query/fragment; null when scheme/host invalid
     * (reference :210). */
@@ -67,9 +75,13 @@ object NetFunctions {
 
   /** First value of a named query parameter (reference
     * extractURLParameter :325). Parameter name must be a literal. */
+  /** First value of a named query parameter. NEVER null: a missing
+    * parameter, a bare `name` without '=', and a null url all return
+    * "" (UrlFunctions.java:325-347). */
   def extractUrlParameter(u: Column, name: String): Column =
-    nn(regexp_extract(u,
-      "[?&]" + java.util.regex.Pattern.quote(name) + "=([^&#]*)", 1))
+    coalesce(regexp_extract(u,
+      "[?&]" + java.util.regex.Pattern.quote(name) +
+        "(?:=([^&#]*))?(?=[&#]|$)", 1), lit(""))
 
   // ——— IPv4 numeric conversions (IpAddressFunctions.java:168-195) ———
 

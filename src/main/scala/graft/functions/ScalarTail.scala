@@ -285,7 +285,14 @@ object ScalarTail {
       // path only, despite the name
       nullIfEmpty(regexp_extract(u, "^\\w+://[^/?#]+(/[^?#]*)", 1)) }
     b += "urlquerystringandfragment" -> { case Seq(u) =>
-      nullIfEmpty(regexp_extract(u, "(\\?[^#]*(?:#.*)?|#.*)$", 1)) }
+      // reference (UrlFunctions.java:284-310): query and fragment are
+      // STRIPPED of their '?' / '#' markers and joined with '#' — a
+      // lone fragment comes back bare, both-absent is null
+      val q = when(u.rlike("\\?"), regexp_extract(u, "\\?([^#]*)", 1))
+      val f = when(u.rlike("#"), regexp_extract(u, "#(.*)$", 1))
+      when(q.isNotNull && f.isNotNull, concat(q, lit("#"), f))
+        .when(q.isNotNull, q)
+        .otherwise(f) }
     b += "urlfirstsignificantsubdomain" -> { case Seq(u) =>
       firstSignificantSubdomain(u, withTld = false) }
     b += "cuttofirstsignificantsubdomain" -> { case Seq(u) =>
@@ -453,23 +460,35 @@ object ScalarTail {
 
     // —— JSON path family (scalar/JsonFunctions.java) ——
     def jp(c: Column, p: Column): Column = get_json_object(c, str(p))
+    // ANSI-safe numeric view of an extracted json value: non-numeric
+    // text is a miss (the reference falls back to the default), never
+    // a query-killing cast error
+    val jsonNumShape = "^-?\\d+(\\.\\d+)?([eE][+-]?\\d+)?$"
+    def jpNum(c: Column, p: Column): Column = {
+      val v = jp(c, p)
+      when(v.rlike(jsonNumShape), v.cast(DoubleType))
+    }
     b += "jsonpathstring" -> {
       case Seq(c, p) => jp(c, p)
       case Seq(c, p, d) => coalesce(jp(c, p), d) }
+    // the no-default numeric variants return the reference's TYPE
+    // defaults on a miss — Long.MIN_VALUE / NaN, not SQL NULL
+    // (JsonFunctionsTest.java:92-98)
     b += "jsonpathlong" -> {
-      case Seq(c, p) => jp(c, p).cast(LongType)
-      case Seq(c, p, d) => coalesce(jp(c, p).cast(LongType),
+      case Seq(c, p) =>
+        coalesce(jpNum(c, p).cast(LongType), lit(Long.MinValue))
+      case Seq(c, p, d) => coalesce(jpNum(c, p).cast(LongType),
         d.cast(LongType)) }
     b += "jsonpathdouble" -> {
-      case Seq(c, p) => jp(c, p).cast(DoubleType)
-      case Seq(c, p, d) => coalesce(jp(c, p).cast(DoubleType),
+      case Seq(c, p) => coalesce(jpNum(c, p), lit(Double.NaN))
+      case Seq(c, p, d) => coalesce(jpNum(c, p),
         d.cast(DoubleType)) }
     for (sfx <- Seq("fast", "firstmatch")) {
       b += s"jsonpathstring$sfx" -> { case Seq(c, p, _*) => jp(c, p) }
       b += s"jsonpathlong$sfx" -> { case Seq(c, p, _*) =>
-        jp(c, p).cast(LongType) }
+        jpNum(c, p).cast(LongType) }
       b += s"jsonpathdouble$sfx" -> { case Seq(c, p, _*) =>
-        jp(c, p).cast(DoubleType) }
+        jpNum(c, p) }
     }
     b += "jsonpath" -> { case Seq(c, p) => jp(c, p) }
     b += "jsonpathexists" -> { case Seq(c, p) => jp(c, p).isNotNull }

@@ -550,7 +550,7 @@ object FunctionQueries {
         'brand=' || replace(p_brand, '#', '') || '&size=' || p_size AS qs,
         'frag' AS frag,
         CAST(p_size AS VARCHAR) AS size_param,
-        CAST(NULL AS VARCHAR) AS absent_param
+        '' AS absent_param
         FROM part WHERE p_partkey <= 100 ORDER BY p_partkey""")),
 
     // IP / UUID / JSON-first-match scalars (IpAddressFunctions.java,

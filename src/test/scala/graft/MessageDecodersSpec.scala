@@ -102,6 +102,44 @@ class MessageDecodersSpec extends SparkSpec {
     assert(out.toSeq == Seq(Row(1L, "j", ts0)))
   }
 
+  test("end-to-end: socket kafka broker → confluent-protobuf decode → typed rows") {
+    // the full reference ingestion chain (kafka consumer +
+    // KafkaConfluentSchemaRegistryProtoBufMessageDecoder) with zero
+    // external deps: wire-protocol broker over a real socket,
+    // Confluent-framed protobuf payloads, streaming decode.
+    import graft.streaming.{KafkaSocketSourceProvider, KafkaWire, KafkaWireBroker, KafkaWireClient}
+    val broker = new KafkaWireBroker(numPartitions = 1).start()
+    try {
+      val producer = new KafkaWireClient("127.0.0.1", broker.port, "producer")
+      (1 to 6).foreach { i =>
+        val payload = pbVarint(1, i.toLong) ++ pbString(2, s"ev$i") ++ pbVarint(5, i % 2)
+        producer.produce("pb_topic", 0, Seq(KafkaWire.Record(
+          null, confluentProtoFrame(7, Seq(0), payload), 1700000000000L + i)))
+      }
+      val schema = WireProto.sparkSchema(".t.Event",
+        WireProto.parseDescriptorSet(eventDescriptorSet))
+      val records = spark.readStream
+        .format(classOf[KafkaSocketSourceProvider].getName)
+        .option("brokers", s"127.0.0.1:${broker.port}")
+        .option("topic", "pb_topic")
+        .load()
+      val decoded = MessageDecoders.decodeConfluentProto(
+        records, Map(7 -> eventDescriptorSet), schema)
+      val q = decoded.selectExpr("id", "name", "color")
+        .writeStream.format("memory").queryName("md_sock")
+        .outputMode("append").start()
+      q.processAllAvailable()
+      val got = spark.table("md_sock").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2))).sortBy(_._1)
+      q.stop()
+      producer.close()
+      assert(got.length == 6)
+      assert(got(0) == ((1L, "ev1", "BLUE")))
+      assert(got(1) == ((2L, "ev2", "RED")))
+      assert(got(5) == ((6L, "ev6", "RED")))
+    } finally broker.close()
+  }
+
   test("decoders run on a real stream (rate-shaped memory of kafka records)") {
     // mapPartitions-based decode must be streaming-legal: run one
     // micro-batch through a MemoryStream with the Kafka record shape.
