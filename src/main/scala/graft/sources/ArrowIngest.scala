@@ -34,7 +34,10 @@ object ArrowIngest {
       case (64, _) => LongType
       case (32, false) => LongType // unsigned 32 needs the wider type
       case (32, true) => IntegerType
-      case (16, _) => ShortType
+      case (16, false) => IntegerType // UInt2 max 65535 overflows Short
+      case (16, true) => ShortType
+      case (8, true) => ByteType
+      case (8, false) => ShortType // UInt1 max 255 overflows Byte
       case _ => IntegerType
     }
     case t: ArrowType.FloatingPoint =>
@@ -57,20 +60,56 @@ object ArrowIngest {
   def sparkSchema(fields: Seq[Field]): StructType =
     StructType(fields.map(f => StructField(f.getName, sparkType(f), nullable = true)))
 
-  /** Vector `getObject` output → Spark external row value. */
-  private def convert(v: Any, dt: DataType): Any = (v, dt) match {
+  /** Epoch count in the vector's declared unit → java.sql.Timestamp
+    * (tz-aware TimeStamp*TZVector.getObject returns the raw Long in
+    * SECOND/MILLI/MICRO/NANO — scale per unit, don't assume micros). */
+  private def tsFromUnit(v: Long, unit: org.apache.arrow.vector.types.TimeUnit)
+      : Timestamp = unit match {
+    case org.apache.arrow.vector.types.TimeUnit.SECOND =>
+      new Timestamp(v * 1000L)
+    case org.apache.arrow.vector.types.TimeUnit.MILLISECOND =>
+      new Timestamp(v)
+    case org.apache.arrow.vector.types.TimeUnit.MICROSECOND =>
+      val sec = Math.floorDiv(v, 1000000L)
+      val t = new Timestamp(sec * 1000L)
+      t.setNanos(Math.floorMod(v, 1000000L).toInt * 1000)
+      t
+    case org.apache.arrow.vector.types.TimeUnit.NANOSECOND =>
+      val sec = Math.floorDiv(v, 1000000000L)
+      val t = new Timestamp(sec * 1000L)
+      t.setNanos(Math.floorMod(v, 1000000000L).toInt)
+      t
+  }
+
+  /** Vector `getObject` output → Spark external row value. `field`
+    * carries the Arrow type detail Spark's DataType loses (timestamp
+    * unit, child fields for list/struct recursion). */
+  private def convert(v: Any, field: Field, dt: DataType): Any = (v, dt) match {
     case (null, _) => null
     case (t: org.apache.arrow.vector.util.Text, _) => t.toString
     case (t: java.time.LocalDateTime, TimestampType) => Timestamp.valueOf(t)
-    case (t: java.lang.Long, TimestampType) => new Timestamp(t / 1000L) // micros
+    case (t: java.lang.Long, TimestampType) => field.getType match {
+      case ts: ArrowType.Timestamp => tsFromUnit(t, ts.getUnit)
+      case _ => new Timestamp(t / 1000L)
+    }
     case (t: java.time.LocalDate, DateType) => java.sql.Date.valueOf(t)
     case (d: java.math.BigDecimal, _: DecimalType) => BigDecimal(d)
-    case (l: java.util.List[_], ArrayType(et, _)) => l.asScala.toSeq.map(convert(_, et))
+    // small/unsigned integer getObject classes Catalyst won't coerce:
+    // UInt1 → Byte (reinterpreted), UInt2 → Character, UInt4 → Integer
+    case (b: java.lang.Byte, ShortType) => (b.byteValue() & 0xFF).toShort
+    case (s: java.lang.Short, IntegerType) => s.intValue()
+    case (c: java.lang.Character, IntegerType) => c.charValue().toInt
+    case (i: java.lang.Integer, LongType) => i.longValue() & 0xFFFFFFFFL
+    case (l: java.util.List[_], ArrayType(et, _)) =>
+      val child = field.getChildren.get(0)
+      l.asScala.toSeq.map(convert(_, child, et))
     case (m: java.util.Map[_, _], st: StructType) =>
+      val children = field.getChildren.asScala
       Row.fromSeq(st.fields.toSeq.map(f => convert(m.asScala.asInstanceOf[
         scala.collection.Map[Any, Any]].collectFirst {
         case (k, x) if String.valueOf(k) == f.name => x
-      }.orNull, f.dataType)))
+      }.orNull, children.find(_.getName == f.name).getOrElse(field),
+        f.dataType)))
     case (x, _) => x
   }
 
@@ -79,7 +118,8 @@ object ArrowIngest {
     val allocator = new RootAllocator(Long.MaxValue)
     val reader = new ArrowFileReader(new ByteArrayReadableSeekableByteChannel(bytes), allocator)
     val root = reader.getVectorSchemaRoot
-    val schema = sparkSchema(root.getSchema.getFields.asScala.toSeq)
+    val arrowFields = root.getSchema.getFields.asScala.toSeq
+    val schema = sparkSchema(arrowFields)
     val it = new Iterator[Row] {
       private var rowInBatch = 0
       private var batchRows = 0
@@ -94,9 +134,10 @@ object ArrowIngest {
       override def hasNext: Boolean = !done
       override def next(): Row = {
         val vectors = root.getFieldVectors.asScala
-        val row = Row.fromSeq(schema.fields.toSeq.zip(vectors).map { case (f, vec) =>
-          convert(vec.getObject(rowInBatch), f.dataType)
-        })
+        val row = Row.fromSeq(schema.fields.toSeq.zip(arrowFields).zip(vectors)
+          .map { case ((f, af), vec) =>
+            convert(vec.getObject(rowInBatch), af, f.dataType)
+          })
         rowInBatch += 1
         advanceBatch()
         row

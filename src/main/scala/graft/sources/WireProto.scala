@@ -130,7 +130,8 @@ object WireProto {
       !repeated && (tpe == T.Message || tpe == T.Group || oneofMember ||
         proto3Optional || !proto3)
   }
-  final case class MessageDesc(fullName: String, fields: Seq[FieldDesc], mapEntry: Boolean)
+  final case class MessageDesc(fullName: String, fields: Seq[FieldDesc],
+    mapEntry: Boolean, proto3: Boolean = false)
   final case class EnumDesc(fullName: String, values: Map[Int, String])
   final case class DescriptorPool(
       messages: Map[String, MessageDesc],
@@ -185,7 +186,8 @@ object WireProto {
       enums += s"$scope.$name" -> EnumDesc(s"$scope.$name", values.result())
     }
 
-    def parseMessage(bytes: Array[Byte], scope: String): Unit = {
+    def parseMessage(bytes: Array[Byte], scope: String,
+        fileProto3: Boolean): Unit = {
       var name = ""
       var mapEntry = false
       val fields = Seq.newBuilder[FieldDesc]
@@ -218,36 +220,50 @@ object WireProto {
       }
       val fullName = s"$scope.$name"
       if (firstMessage == null) firstMessage = fullName
-      msgs += fullName -> MessageDesc(fullName, fields.result(), mapEntry)
+      msgs += fullName -> MessageDesc(fullName, fields.result(), mapEntry,
+        fileProto3)
       val children = nested.result()
       // declaration order of nested messages, for Confluent index paths
       nestedNames += fullName -> children.map { nb =>
         val nameField = rawFields(nb).collectFirst { case (1, 2, v) => str(v) }.getOrElse("")
         s"$fullName.$nameField"
       }
-      children.foreach(parseMessage(_, fullName))
+      children.foreach(parseMessage(_, fullName, fileProto3))
       nestedEnums.result().foreach(parseEnum(_, fullName))
     }
 
+    // syntax is per FILE (descriptor field 12 — serialized AFTER the
+    // message list, so each file buffers its fields, resolves its own
+    // syntax, THEN parses messages); with --include_imports the set
+    // holds dependency files too, each keeping its own presence
+    // semantics, and Confluent message-indexes resolve against the
+    // file that owns the registered schema — the LAST file (protoc
+    // writes dependencies first, the requested file last)
     rawFields(bytes).foreach {
       case (1, 2, file) =>
         var pkg = ""
+        var fileProto3 = false
         val messages = Seq.newBuilder[Array[Byte]]
         val fileEnums = Seq.newBuilder[Array[Byte]]
         rawFields(file.asInstanceOf[Array[Byte]]).foreach {
           case (2, 2, v) => pkg = str(v)
           case (4, 2, v) => messages += v.asInstanceOf[Array[Byte]]
           case (5, 2, v) => fileEnums += v.asInstanceOf[Array[Byte]]
-          case (12, 2, v) => proto3 = str(v) == "proto3"
+          case (12, 2, v) => fileProto3 = str(v) == "proto3"
           case _ =>
         }
         val scope = if (pkg.isEmpty) "" else s".$pkg"
         val tops = messages.result()
-        topLevel ++= tops.map { mb =>
-          val nameField = rawFields(mb).collectFirst { case (1, 2, v) => str(v) }.getOrElse("")
-          s"$scope.$nameField"
+        if (tops.nonEmpty) {
+          // last message-bearing file wins the index scope
+          topLevel.clear()
+          topLevel ++= tops.map { mb =>
+            val nameField = rawFields(mb).collectFirst { case (1, 2, v) => str(v) }.getOrElse("")
+            s"$scope.$nameField"
+          }
+          proto3 = fileProto3
         }
-        tops.foreach(parseMessage(_, if (scope.isEmpty) "" else scope))
+        tops.foreach(parseMessage(_, if (scope.isEmpty) "" else scope, fileProto3))
         fileEnums.result().foreach(parseEnum(_, if (scope.isEmpty) "" else scope))
       case _ =>
     }
@@ -283,7 +299,7 @@ object WireProto {
             .map(m => String.valueOf(m.getOrElse("key", "")) -> m.getOrElse("value", null)).toMap
         else if (fd.repeated) vs.toArray
         else if (vs.nonEmpty) vs.last // last-one-wins, as protobuf merges
-        else if (fd.hasPresence(pool.proto3)) null
+        else if (fd.hasPresence(msg.proto3)) null
         else defaultValue(fd, pool)
       fd.name -> value
     }.toMap

@@ -1339,23 +1339,33 @@ object QueryFacade {
     val schema = try spark.table(table).schema catch {
       case scala.util.control.NonFatal(_) => return stmt
     }
-    ListAggCall.replaceAllIn(stmt, m => {
+    // match on the MASKED text (so listagg(...)-shaped text inside a
+    // string literal never rewrites) and splice replacements into the
+    // original statement by offset, as rewriteTypeSafeCompare does —
+    // maskLiterals is length-preserving, so offsets line up
+    val out = new StringBuilder
+    var last = 0
+    for (m <- ListAggCall.findAllMatchIn(masked)) {
       val colName = m.group(1)
-      val sep = m.group(2)
+      val sep = stmt.substring(m.start(2), m.end(2))
       val distinct = Option(m.group(3)).exists(_.equalsIgnoreCase("true"))
       val isMv = schema.fields.exists(f =>
         f.name.equalsIgnoreCase(colName) &&
           f.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType])
-      if (!isMv && m.group(3) == null) m.matched // native 2-arg listagg
-      else {
-        val inner =
-          if (isMv) s"flatten(collect_list(`$colName`))"
-          else s"collect_list(CAST(`$colName` AS STRING))"
-        val deduped = if (distinct) s"array_distinct($inner)" else inner
-        java.util.regex.Matcher.quoteReplacement(
-          s"array_join($deduped, $sep)")
-      }
-    })
+      val repl =
+        if (!isMv && m.group(3) == null)
+          stmt.substring(m.start, m.end) // native 2-arg listagg
+        else {
+          val inner =
+            if (isMv) s"flatten(collect_list(`$colName`))"
+            else s"collect_list(CAST(`$colName` AS STRING))"
+          val deduped = if (distinct) s"array_distinct($inner)" else inner
+          s"array_join($deduped, $sep)"
+        }
+      out.append(stmt.substring(last, m.start)).append(repl)
+      last = m.end
+    }
+    if (last == 0) stmt else { out.append(stmt.substring(last)); out.toString }
   } catch { case scala.util.control.NonFatal(_) => stmt }
 
   private val ColCompare =
@@ -1438,31 +1448,159 @@ object QueryFacade {
       (slice(3), slice(4), slice(5), slice(6))
 
     val exprItems = items.flatMap(it => ExprCall.findFirstMatchIn(it).map(it -> _))
-    if (exprItems.size != 1) return stmt
-    val (exprText, call) = exprItems.head
-    val keys = items.filterNot(_ == exprText)
-    if (!keys.forall(k => BareIdent.findFirstIn(k).contains(k))) return stmt
+    if (exprItems.isEmpty) return stmt
+    val exprTexts = exprItems.map(_._1).toSet
     val groupKeys =
       if (groupC.isEmpty) Nil
       else splitTopLevel(groupC.replaceAll("(?is)^\\s+GROUP\\s+BY", "")).map(_.trim)
-    if (groupKeys.map(_.toLowerCase).sorted != keys.map(_.toLowerCase).sorted) return stmt
+    if (!groupKeys.forall(k => BareIdent.findFirstIn(k).contains(k))) return stmt
+    val groupLow = groupKeys.map(_.toLowerCase).toSet
+    // non-expr items: bare group keys pass through; anything else is a
+    // sibling aggregation (sum/count/…) of the mixed shape
+    val nonExpr = items.filterNot(exprTexts)
+    val (keys, others) = nonExpr.partition(it =>
+      BareIdent.findFirstIn(it).contains(it) && groupLow(it.toLowerCase))
+    if (keys.map(_.toLowerCase).sorted != groupKeys.map(_.toLowerCase).sorted)
+      return stmt
+    if (groupC.isEmpty && nonExpr.exists(it =>
+        BareIdent.findFirstIn(it).contains(it))) return stmt
 
-    val kind = call.group(1).toLowerCase
-    val args = splitTopLevel(call.group(2)).map(_.trim)
-    if (args.size < 2) return stmt
-    val ret = args.head
-    val measures = args.tail
-    val dir = if (kind == "max") "DESC" else "ASC"
-    val alias = Option(call.group(3)).getOrElse(
-      s"`expr$kind(${args.map(_.replaceAll("\\s+", "")).mkString(",")})`")
+    def callParts(call: scala.util.matching.Regex.Match)
+        : Option[(String, String, Seq[String], String)] = {
+      val kind = call.group(1).toLowerCase
+      val args = splitTopLevel(call.group(2)).map(_.trim)
+      if (args.size < 2) None
+      else Some((kind, args.head, args.tail,
+        Option(call.group(3)).getOrElse(
+          s"`expr$kind(${args.map(_.replaceAll("\\s+", "")).mkString(",")})`")))
+    }
+
+    if (exprItems.size == 1 && others.isEmpty) {
+      // single-call shape: one windowed RANK, no joins
+      val (kind, ret, measures, alias) =
+        callParts(exprItems.head._2).getOrElse(return stmt)
+      val dir = if (kind == "max") "DESC" else "ASC"
+      val partition =
+        if (keys.isEmpty) "" else s"PARTITION BY ${keys.mkString(", ")} "
+      val order = measures.map(x => s"($x) $dir").mkString(", ")
+      val keySel = if (keys.isEmpty) "" else keys.mkString(", ") + ", "
+      return s"SELECT ${keySel}__ret AS $alias FROM (" +
+        s"SELECT $keySel($ret) AS __ret, " +
+        s"RANK() OVER (${partition}ORDER BY $order) AS __rk FROM $table$whereC" +
+        s") WHERE __rk = 1$orderC$limitC"
+    }
+
+    // MIXED shape — several exprMin/exprMax calls and/or sibling
+    // aggregations. The reference evaluates each distinct
+    // (kind, measuring-list) as ONE parent aggregation whose result is
+    // the tie-rows block, then ParentAggregationResultRewriter pads
+    // every parent to the longest block (NULL-filled), repeats the
+    // sibling aggregates on every row, and reads each child call's
+    // projection column out of its parent's block row-by-row
+    // (`ParentAggregationResultRewriter.java:147-181`; the
+    // `ExprMinMaxTest.java:285-341` golds). Spark shape: one CTE per
+    // parent (RANK()=1 tie rows, ROW_NUMBER'd in doc order via
+    // monotonically_increasing_id — the reference accumulates extreme
+    // rows in segment doc order), an iteration spine of DISTINCT
+    // (keys, rn) across parents, sibling aggregates grouped once, and
+    // LEFT JOINs aligning block row i of every parent.
+    case class Call(text: String, kind: String, ret: String,
+      measures: Seq[String], alias: String)
+    val calls = exprItems.map { case (it, cm) =>
+      val (kind, ret, measures, alias) = callParts(cm).getOrElse(return stmt)
+      Call(it, kind, ret, measures, alias)
+    }
+    def norm(e: String) = e.replaceAll("\\s+", "").toLowerCase
+    // identical calls collapse to ONE output column: the reference
+    // derives the child column name from (type + operands), so two
+    // textually identical exprmin/exprmax calls share a child column
+    // (`ExprMinMaxTest.java:316-343` asserts the deduped 4-col shape)
+    val dedupedItems = {
+      val seen = scala.collection.mutable.Set[String]()
+      items.filter(it => !exprTexts(it) || seen.add(norm(it)))
+    }
+    val parentKeys = calls.map(c => (c.kind, c.measures.map(norm))).distinct
+    val parentOf = calls.map(c =>
+      c.text -> parentKeys.indexOf((c.kind, c.measures.map(norm)))).toMap
+    // one projection column per distinct projection expr per parent
+    val projsOf: Map[Int, Seq[String]] = calls.groupBy(c => parentOf(c.text))
+      .map { case (p, cs) => p -> cs.map(c => norm(c.ret)).distinct }
+    val projText: Map[(Int, String), String] = calls
+      .map(c => (parentOf(c.text), norm(c.ret)) -> c.ret).toMap
+    val keyList = keys.mkString(", ")
+    val keySel = if (keys.isEmpty) "" else keyList + ", "
     val partition =
-      if (keys.isEmpty) "" else s"PARTITION BY ${keys.mkString(", ")} "
-    val order = measures.map(x => s"($x) $dir").mkString(", ")
-    val keySel = if (keys.isEmpty) "" else keys.mkString(", ") + ", "
-    s"SELECT ${keySel}__ret AS $alias FROM (" +
-      s"SELECT $keySel($ret) AS __ret, " +
-      s"RANK() OVER (${partition}ORDER BY $order) AS __rk FROM $table$whereC" +
-      s") WHERE __rk = 1$orderC$limitC"
+      if (keys.isEmpty) "" else s"PARTITION BY $keyList "
+    def keyEq(l: String, r: String): String =
+      keys.map(k => s"$l.$k <=> $r.$k").mkString(" AND ")
+
+    val src = s"__emm_src AS (SELECT *, monotonically_increasing_id()" +
+      s" AS __emm_ord FROM $table$whereC)"
+    val parentCtes = parentKeys.zipWithIndex.map { case ((kind, _), p) =>
+      val c = calls.find(x => parentOf(x.text) == p).get
+      val dir = if (kind == "max") "DESC" else "ASC"
+      val order = c.measures.map(x => s"($x) $dir").mkString(", ")
+      val projCols = projsOf(p).zipWithIndex.map { case (pr, j) =>
+        s"(${projText((p, pr))}) AS __emm_p${p}c$j" }.mkString(", ")
+      val projNames = projsOf(p).indices.map(j => s"__emm_p${p}c$j")
+        .mkString(", ")
+      s"__emm_p$p AS (SELECT $keySel$projNames, __emm_rn FROM (" +
+        s"SELECT $keySel$projCols, " +
+        s"ROW_NUMBER() OVER (${partition}ORDER BY $order, __emm_ord)" +
+        s" AS __emm_rn, " +
+        s"RANK() OVER (${partition}ORDER BY $order) AS __emm_rk" +
+        s" FROM __emm_src) WHERE __emm_rk = 1)"
+    }
+    // no-group empty input still emits ONE null-filled row in the
+    // reference (`ExprMinMaxTest.testEmptyAggregation`) — standard
+    // global-aggregate semantics; grouped empty input emits none
+    val emptyGuard =
+      if (keys.nonEmpty) ""
+      else " UNION ALL SELECT 1 AS __emm_rn WHERE" +
+        " (SELECT COUNT(*) FROM __emm_p0) = 0"
+    val iter = s"__emm_iter AS (SELECT DISTINCT ${keySel}__emm_rn FROM (" +
+      parentKeys.indices.map(p =>
+        s"SELECT ${keySel}__emm_rn FROM __emm_p$p").mkString(" UNION ALL ") +
+      s")$emptyGuard)"
+    val base =
+      if (others.isEmpty) None
+      else Some(s"__emm_b AS (SELECT $keySel" +
+        others.zipWithIndex.map { case (o, j) =>
+          s"$o AS __emm_a$j" }.mkString(", ") +
+        s" FROM __emm_src" +
+        (if (keys.isEmpty) "" else s" GROUP BY $keyList") + ")")
+    // sibling aggregate output name: explicit alias inside the item
+    // text survives as-is (`x AS n` keeps n); a bare aggregate gets
+    // the reference's rendering — its own text, whitespace-collapsed
+    val OtherAs = """(?is)^(.*?)\s+AS\s+(`[^`]+`|\S+)\s*$""".r
+    def otherAlias(o: String): String = maskLiterals(o) match {
+      case OtherAs(_, a) => o.substring(o.length - a.length)
+      case _ => s"`${o.replaceAll("\\s+", "")}`"
+    }
+    val selItems = dedupedItems.map { it =>
+      if (exprTexts(it)) {
+        val c = calls.find(_.text == it).get
+        val p = parentOf(it)
+        val j = projsOf(p).indexOf(norm(c.ret))
+        s"__emm_p$p.__emm_p${p}c$j AS ${c.alias}"
+      } else if (others.contains(it))
+        s"__emm_b.__emm_a${others.indexOf(it)} AS ${otherAlias(it)}"
+      else s"__emm_iter.$it"
+    }.mkString(", ")
+    val joins = new StringBuilder("__emm_iter")
+    base.foreach { _ =>
+      joins.append(
+        if (keys.isEmpty) " CROSS JOIN __emm_b"
+        else s" JOIN __emm_b ON ${keyEq("__emm_iter", "__emm_b")}")
+    }
+    parentKeys.indices.foreach { p =>
+      val on = s"__emm_p$p.__emm_rn = __emm_iter.__emm_rn" +
+        (if (keys.isEmpty) "" else s" AND ${keyEq("__emm_iter", s"__emm_p$p")}")
+      joins.append(s" LEFT JOIN __emm_p$p ON $on")
+    }
+    s"WITH $src, ${parentCtes.mkString(", ")}, $iter" +
+      base.map(b => s", $b").getOrElse("") +
+      s" SELECT $selItems FROM $joins$orderC$limitC"
   } catch { case scala.util.control.NonFatal(_) => stmt }
 
   private val JsonNullDefault =

@@ -137,18 +137,21 @@ object MessageDecoders {
         new ByteArrayInputStream(bytes, frame.payloadOffset, bytes.length - frame.payloadOffset), null)
       val rec = reader.read(null, dec)
       import scala.jdk.CollectionConverters._
-      avroSchema.getFields.asScala.map { f =>
-        f.name -> (rec.get(f.name) match {
-          case u: org.apache.avro.util.Utf8 => u.toString
-          case b: java.nio.ByteBuffer =>
-            val a = new Array[Byte](b.remaining()); b.duplicate().get(a); a
-          case l: java.util.List[_] => l.asScala.toArray[Any].map {
-            case u: org.apache.avro.util.Utf8 => u.toString
-            case x => x
-          }
-          case other => other
-        })
-      }.toMap
+      // recursive: nested GenericRecord / avro map values become scala
+      // Maps (WireCoerce's struct/map shape), lists recurse per element
+      def conv(v: Any): Any = v match {
+        case u: org.apache.avro.util.Utf8 => u.toString
+        case b: java.nio.ByteBuffer =>
+          val a = new Array[Byte](b.remaining()); b.duplicate().get(a); a
+        case l: java.util.List[_] => l.asScala.toArray[Any].map(conv)
+        case r: GenericRecord =>
+          r.getSchema.getFields.asScala
+            .map(f => f.name -> conv(r.get(f.name))).toMap
+        case m: java.util.Map[_, _] =>
+          m.asScala.map { case (k, x) => String.valueOf(k) -> conv(x) }.toMap
+        case other => other
+      }
+      avroSchema.getFields.asScala.map(f => f.name -> conv(rec.get(f.name))).toMap
     }
 
   /** Confluent-framed JSON: strip the 5-byte header, then the plain

@@ -2713,6 +2713,96 @@ class FixtureReplaySpec extends SparkSpec {
       .map(_.getDouble(0)) == Seq(1500d, 1500d))
   }
 
+  test("reference expr-min-max suite: mixed-aggregation golds (row multiplication)") {
+    // `ExprMinMaxTest.java:283-358, 436-455, 556-597` — the MIXED
+    // shape: sibling aggregations and/or several exprMin/exprMax calls
+    // in one SELECT. The reference evaluates one PARENT per distinct
+    // (kind, measuring-list), pads every parent's tie-rows block to
+    // the longest with NULLs, and repeats sibling aggregates on every
+    // row (ParentAggregationResultRewriter.java:147-181). Golds below
+    // are the reference's, scaled to this 2-replica corpus (the
+    // upstream harness serves 4 segment copies, so its sums double and
+    // its tie blocks interleave per-server; tie-block CONTENT and the
+    // row-multiplication shape are identical).
+    import spark.implicits._
+    val sv = Seq("a2", "a3", "a4", "a5", "a6", "a7", "a8", "a9", "a11", "a22")
+    val one = (0 until 2000).map { i =>
+      (i, (i - 1000).toLong, i.toDouble, (-i.toDouble * i + 1200.0 * i),
+        i % 2 == 1, if (i < 20) sv(i % 10) else "a33", i % 5)
+    }.toDF("intColumn", "longColumn", "doubleColumn", "bigDecimalColumn",
+      "booleanColumn", "stringColumn", "groupByIntColumn")
+    one.union(one).createOrReplaceTempView("emm_mx")
+    def q(sql: String) = graft.sql.QueryFacade.sql(spark,
+      s"SET explicitLimit = true; $sql").collect().toSeq
+
+    // :283-313 — sum + three exprmin, two sharing a parent; 4 rows,
+    // sum repeated, shorter parent NULL-padded, shared parent keeps
+    // its two projections row-aligned
+    val r1 = q("SELECT sum(intColumn), exprmin(doubleColumn, stringColumn)," +
+      " exprmin(stringColumn, stringColumn)," +
+      " exprmin(doubleColumn, stringColumn, doubleColumn) FROM emm_mx")
+    assert(r1.size == 4)
+    assert(r1.head.schema.fieldNames.toSeq == Seq("sum(intColumn)",
+      "exprmin(doubleColumn,stringColumn)", "exprmin(stringColumn,stringColumn)",
+      "exprmin(doubleColumn,stringColumn,doubleColumn)"))
+    val got1 = r1.map(r => (r.getLong(0), r.getDouble(1), r.getString(2),
+      Option(r.get(3)).map(_.asInstanceOf[Double]))).sortBy(t => (t._4.isEmpty, t._2))
+    assert(got1 == Seq(
+      (3998000L, 8d, "a11", Some(8d)), (3998000L, 18d, "a11", Some(8d)),
+      (3998000L, 8d, "a11", None), (3998000L, 18d, "a11", None)))
+
+    // :316-343 — transforms as projection AND measure; the duplicated
+    // identical call dedupes to one column (4-col gold)
+    val r2 = q("SELECT sum(intColumn)," +
+      " exprmax(doubleColumn, 3000 * doubleColumn - intColumn * intColumn)," +
+      " exprmax(3000 * doubleColumn - intColumn * intColumn," +
+      "         3000 * doubleColumn - intColumn * intColumn)," +
+      " exprmax(doubleColumn, 3000 * doubleColumn - intColumn * intColumn)," +
+      " exprmin(replace(stringColumn, 'a', 'bb'), replace(stringColumn, 'a', 'bb'))" +
+      " FROM emm_mx")
+    assert(r2.size == 4)
+    assert(r2.head.schema.fieldNames.size == 4) // deduped
+    val got2 = r2.map(r => (r.getLong(0), Option(r.get(1)).map(_.asInstanceOf[Double]),
+      Option(r.get(2)).map(_.asInstanceOf[Double]), r.getString(3)))
+      .sortBy(_._2.isEmpty)
+    assert(got2 == Seq(
+      (3998000L, Some(1500d), Some(2250000d), "bb11"),
+      (3998000L, Some(1500d), Some(2250000d), "bb11"),
+      (3998000L, None, None, "bb11"), (3998000L, None, None, "bb11")))
+
+    // :344-358 — CASE measure shared by two calls: 4 rows (a22, a)
+    val r3 = q("SELECT exprmin(stringColumn, CASE WHEN stringColumn = 'a33'" +
+      " THEN 'b' WHEN stringColumn = 'a22' THEN 'a' ELSE 'c' END)," +
+      " exprmin(CASE WHEN stringColumn = 'a33' THEN 'b' WHEN stringColumn =" +
+      " 'a22' THEN 'a' ELSE 'c' END, CASE WHEN stringColumn = 'a33' THEN 'b'" +
+      " WHEN stringColumn = 'a22' THEN 'a' ELSE 'c' END) FROM emm_mx")
+    assert(r3.size == 4)
+    assert(r3.forall(r => r.getString(0) == "a22" && r.getString(1) == "a"))
+
+    // :436-455 testEmptyAggregation — no rows match: ONE null row
+    val r4 = q("SELECT expr_max(longColumn, intColumn)," +
+      " exprmin(stringColumn, CASE WHEN stringColumn = 'a33' THEN 'b'" +
+      " WHEN stringColumn = 'a22' THEN 'a' ELSE 'c' END)" +
+      " FROM emm_mx WHERE intColumn > 10000")
+    assert(r4.size == 1 && r4.head.isNullAt(0) && r4.head.isNullAt(1))
+    assert(r4.head.schema.fieldNames.head == "exprmax(longColumn,intColumn)")
+
+    // :576-597 testEmptyGroupByInterSegment mixed — grouped empty: 0 rows
+    val r5 = q("SELECT groupByIntColumn, expr_max(longColumn, intColumn)," +
+      " sum(longColumn), expr_min(longColumn, intColumn) FROM emm_mx" +
+      " WHERE intColumn > 10000 GROUP BY groupByIntColumn")
+    assert(r5.isEmpty)
+
+    // grouped mixed shape (semantics check, computed expectation):
+    // per group g: min intColumn = g (one row per replica → 2 tie
+    // rows), sum repeats on both
+    val r6 = q("SELECT groupByIntColumn, sum(intColumn)," +
+      " expr_min(doubleColumn, intColumn) FROM emm_mx GROUP BY groupByIntColumn")
+    val got6 = r6.map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).sorted
+    assert(got6 == (0 until 5).flatMap(g =>
+      Seq.fill(2)((g, 800L * g + 798000L, g.toDouble))).sorted)
+  }
+
   test("reference scalar-unit golds: geohash/arithmetic/trig/ngram/conversion") {
     // pinot-common scalar unit suites with inline expected values
     // (`common/function/scalar/{Geohash,Arithmetic,Trigonometric,

@@ -179,6 +179,34 @@ class WireFormatsSpec extends SparkSpec {
   }
   private def varintZig(v: Int): Long = ((v.toLong << 1) ^ (v.toLong >> 63)) & 0xFFFFFFFFL
 
+  test("protobuf: --include_imports descriptor sets keep per-file syntax" +
+      " and scope Confluent indexes to the last (registered) file") {
+    // dependency file FIRST (protoc writes imports before the
+    // requested file): proto2 `d.proto` with message Dep{int32 a=1}
+    val T = WireProto.T
+    val depField = pbBytes(2, pbString(1, "a") ++ pbVarint(3, 1) ++
+      pbVarint(4, 1) ++ pbVarint(5, T.Int32))
+    val depFile = pbBytes(1, pbString(1, "d.proto") ++ pbString(2, "d") ++
+      pbBytes(4, pbString(1, "Dep") ++ depField)) // no syntax field ⇒ proto2
+    val set = depFile ++ eventDescriptorSet // event file second (proto3)
+    val pool = WireProto.parseDescriptorSet(set)
+    // per-file presence semantics: proto2 singular scalar tracks
+    // presence (absent → null); proto3 singular scalar defaults
+    assert(pool.messages(".d.Dep").proto3 == false)
+    assert(pool.messages(".t.Event").proto3 == true)
+    val dep = WireProto.decodeMessage(Array.emptyByteArray,
+      pool.messages(".d.Dep"), pool)
+    assert(dep("a") == null)
+    val ev = WireProto.decodeMessage(Array.emptyByteArray,
+      pool.messages(".t.Event"), pool)
+    assert(ev("id") == 0L)
+    // Confluent message-indexes resolve against the registered (last)
+    // file's top-level declarations, never an imported dependency's
+    assert(pool.resolveIndexes(Seq(0)) == ".t.Event")
+    assert(pool.resolveIndexes(Seq(1)) == ".t.Nested")
+    assert(pool.proto3)
+  }
+
   test("protobuf: delimited file reads end-to-end through Spark with the derived schema") {
     val dir = Files.createTempDirectory("graft_pb").toString
     val out = new FileOutputStream(s"$dir/events.pb")
