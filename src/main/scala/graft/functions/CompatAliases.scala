@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
-import org.apache.spark.sql.catalyst.expressions.{Expression, Like, RLike, RegExpExtract}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ILike, Like, RLike, RegExpExtract, TryEval}
 import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
 import org.apache.spark.sql.catalyst.parser.CatalystSqlParser
 import org.apache.spark.sql.graft.ColumnBridge
@@ -34,7 +34,7 @@ object CompatAliases {
     col(StaticInvoke(ipClass, dt, name, args.map(ex),
       returnNullable = true))
 
-  private def jvmCall(name: String, dt: DataType, args: Column*): Column =
+  private[functions] def jvmCall(name: String, dt: DataType, args: Column*): Column =
     col(StaticInvoke(jvmClass, dt, name, args.map(ex),
       returnNullable = true))
 
@@ -121,12 +121,11 @@ object CompatAliases {
     "fromuuidbytes" -> { case Seq(b) => NetFunctions.bytesToUuid(b) },
     // TO_UUID / UUID_TO_STRING (ToUuidScalarFunction.java,
     // UuidToStringScalarFunction.java): canonical lowercase UUID
-    // string for the STRING input form; the BYTES form is
+    // string for the STRING input form — dashed OR dash-less 32-hex
+    // (UuidUtils.toBytes hex fallback, #18927); the BYTES form is
     // fromuuidbytes/bytes_to_uuid
-    "touuid" -> { case Seq(u) =>
-      when(NetFunctions.isUuid(lower(u)), lower(u)) },
-    "uuidtostring" -> { case Seq(u) =>
-      when(NetFunctions.isUuid(lower(u)), lower(u)) },
+    "touuid" -> { case Seq(u) => NetFunctions.uuidCanonical(u) },
+    "uuidtostring" -> { case Seq(u) => NetFunctions.uuidCanonical(u) },
 
     // ——— ASCII / string leftovers (StringFunctions.java:370,1009) ———
     "toascii" -> { case Seq(s) => encode(s, "US-ASCII") },
@@ -134,19 +133,38 @@ object CompatAliases {
     "firstline" -> { case Seq(s) => regexp_extract(s, "^[^\\n\\r]*", 0) },
 
     // ——— variable-pattern regex/LIKE (…Var transform functions) ———
-    "likevar" -> { case Seq(s, p) => col(Like(ex(s), ex(p), '\\')) },
+    // likeVar is CASE-INSENSITIVE in the reference
+    // (RegexpLikeVarFunctions.likeVar compiles with caseInsensitive=true)
+    "likevar" -> { case Seq(s, p) => col(ILike(ex(s), ex(p), '\\')) },
     "regexplikevar" -> {
       case Seq(s, p) => col(RLike(ex(s), ex(p)))
       case Seq(s, p, f) =>
-        val pat = if (str(f).contains("i")) concat(lit("(?i)"), p) else p
+        // RegexpPatternConverterUtils.isCaseInsensitive: exactly one
+        // char, 'i'/'I' insensitive, 'c'/'C' sensitive, else error
+        val mp = str(f)
+        if (mp.length != 1) throw new IllegalArgumentException(
+          s"Match parameter must be exactly one character: '$mp'")
+        val insensitive = mp match {
+          case "i" | "I" => true
+          case "c" | "C" => false
+          case other => throw new IllegalArgumentException(
+            s"Unsupported match parameter: '$other'")
+        }
+        val pat = if (insensitive) concat(lit("(?i)"), p) else p
         col(RLike(ex(s), ex(pat)))
     },
+    // group > groupCount returns the default, not an error
+    // (RegexpExtractVarFunctions.java:56-64) — TryEval absorbs Spark's
+    // invalid-group-index failure, then ""/null degrade to the default
     "regexpextractvar" -> {
       case Seq(s, p) => col(RegExpExtract(ex(s), ex(p), ex(lit(0))))
-      case Seq(s, p, g) => col(RegExpExtract(ex(s), ex(p), ex(g.cast(IntegerType))))
+      case Seq(s, p, g) =>
+        coalesce(col(TryEval(
+          RegExpExtract(ex(s), ex(p), ex(g.cast(IntegerType))))), lit(""))
       case Seq(s, p, g, d) =>
-        val e = col(RegExpExtract(ex(s), ex(p), ex(g.cast(IntegerType))))
-        when(e === "", d).otherwise(e)
+        val e = col(TryEval(
+          RegExpExtract(ex(s), ex(p), ex(g.cast(IntegerType)))))
+        when(e.isNull || e === "", d).otherwise(e)
     },
 
     // ——— IP masks and byte conversions (IpAddressFunctions.java) ———
@@ -204,7 +222,10 @@ object CompatAliases {
     // IP / UUID scalar alternate spellings
     "is_private_ip", "is_subnet_of", "ip_family", "ip_mask_len",
     "ip_netmask", "ip_hostmask", "ip_prefix", "ip_subnet_min",
-    "ip_subnet_max", "uuid_v4", "uuid_v7", "bytes_to_uuid", "uuid_to_bytes",
+    "ip_subnet_max", "ipv6_to_bytes", "bytes_to_ipv6", "ipv4_to_ipv6",
+    "ipv4_cidr_to_range", "is_ipv4_string", "is_ipv6_string",
+    "ipv4_to_long", "long_to_ipv4",
+    "uuid_v4", "uuid_v7", "bytes_to_uuid", "uuid_to_bytes",
     "is_uuid", "to_uuid", "uuid_timestamp", "uuid_to_string",
     "uuid_version",
     // Pinot camelCase forms of Spark snake_case builtins

@@ -223,7 +223,16 @@ object PinotFunctions {
     "strpos" -> { case Seq(s, sub) =>
       val i = instr(s, ex(sub).eval().toString)
       when(i === 0, lit(-1L)).otherwise((i - 1).cast(LongType)) },
-    "splitpart" -> { case Seq(s, sep, i) => split_part(s, sep, i) },
+    // Pinot splitPart is 0-based with splitByWholeSeparator field
+    // semantics and a literal "null" miss sentinel — NOT Spark's
+    // 1-based split_part (StringFunctions.java:502-674; 4-arg form is
+    // (input, delim, limit, index))
+    "splitpart" -> {
+      case Seq(s, sep, i) => CompatAliases.jvmCall("splitPart", StringType,
+        s, sep, lit(0), i.cast(IntegerType))
+      case Seq(s, sep, lim, i) => CompatAliases.jvmCall("splitPart",
+        StringType, s, sep, lim.cast(IntegerType), i.cast(IntegerType))
+    },
     "codepoint" -> { case Seq(s) => ascii(s) },
     "normalize" -> { case Seq(s) => lower(trim(s)) },
     // Pinot strrpos = StringUtils.lastIndexOf: 0-based, -1 on miss
@@ -377,6 +386,37 @@ object PinotFunctions {
     "ipsubnetmax" -> { case Seq(cidr) =>
       ColumnBridge.column(IpSubnetEnd(ex(cidr), max = true)) },
     "longtoipv4" -> { case Seq(v) => NetFunctions.longToIpv4(v) },
+    // ipFamily/ipMaskLen/ipv4ToIpv6/isPrivateIp
+    // (IpAddressFunctions.java:222-346) compose from the native IP
+    // expressions — null on invalid input instead of throwing,
+    // matching the family's null-column contract above. (The masks and
+    // byte conversions live in CompatAliases' IpHelper StaticInvokes.)
+    "ipv4toipv6" -> { case Seq(ip) =>
+      CompatAliases.ipCall("ipv4MappedV6", StringType, ip) },
+    "ipfamily" -> { case Seq(ip) =>
+      val valid = ColumnBridge.column(
+        IpIsSubnetOf(ex(concat(ip, lit("/0"))), ex(ip)))
+      when(valid, when(ip.contains(":"), lit(6)).otherwise(lit(4))) },
+    "ipmasklen" -> { case Seq(cidr) =>
+      when(ColumnBridge.column(IpSubnetEnd(ex(cidr), max = false)).isNotNull,
+        regexp_extract(cidr, "/(\\d+)$", 1).cast(IntegerType)) },
+    "ipv4cidrtorange" -> { case Seq(cidr) =>
+      // IPv4 only (the reference rejects IPv6 CIDRs); MV (min, max)
+      val minC = ColumnBridge.column(IpSubnetEnd(ex(cidr), max = false))
+      val maxC = ColumnBridge.column(IpSubnetEnd(ex(cidr), max = true))
+      when(minC.isNotNull && !cidr.contains(":"), array(minC, maxC)) },
+    "isprivateip" -> { case Seq(ip) =>
+      // loopback + link-local + RFC 1918 + IPv6 ULA
+      // (IpAddressFunctions.java:333-346); family mismatches inside
+      // isSubnetOf are false, so one OR-chain covers both families
+      val valid = ColumnBridge.column(
+        IpIsSubnetOf(ex(concat(ip, lit("/0"))), ex(ip)))
+      def in(range: String) = ColumnBridge.column(
+        IpIsSubnetOf(ex(lit(range)), ex(ip)))
+      when(valid,
+        in("10.0.0.0/8") || in("172.16.0.0/12") || in("192.168.0.0/16") ||
+        in("127.0.0.0/8") || in("169.254.0.0/16") ||
+        in("::1/128") || in("fe80::/10") || in("fc00::/7")) },
     // ——— URL extraction (UrlFunctions.java:42-553, regex subset) ———
     "urlprotocol" -> { case Seq(u) => NetFunctions.urlProtocol(u) },
     "urldomain" -> { case Seq(u) => NetFunctions.urlDomain(u) },
@@ -836,6 +876,21 @@ object PinotFunctions {
       if (!reg.functionExists(id))
         reg.createOrReplaceTempFunction(name, fn(f), "built-in")
     }
+    // Pinot semantics that must SHADOW same-named Spark builtins
+    // (forced createOrReplace): initcap capitalizes after ANY
+    // whitespace where Spark's only breaks on ' '
+    // (StringFunctions.java:82-104); soundex('') is the SQL-standard
+    // '0000' fallback where Spark returns '' (:929-937).
+    reg.createOrReplaceTempFunction("initcap",
+      fn({ case Seq(s) =>
+        CompatAliases.jvmCall("initcap", StringType, s) }), "built-in")
+    reg.createOrReplaceTempFunction("soundex",
+      fn({ case Seq(s) =>
+        // direct SoundEx expression — functions.soundex resolves by
+        // NAME and would loop back into this registration
+        val sx = ColumnBridge.column(
+          org.apache.spark.sql.catalyst.expressions.SoundEx(ex(s)))
+        when(s === "", lit("0000")).otherwise(sx) }), "built-in")
     // bare AggregateFunction (not pre-wrapped in AggregateExpression):
     // ResolveFunctions then supports FILTER (WHERE ...) / DISTINCT on
     // it. Delegates to stream-lib HyperLogLogPlus (reference wire

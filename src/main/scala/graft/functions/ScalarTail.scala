@@ -367,17 +367,31 @@ object ScalarTail {
       lower(s).startsWith(lower(p)) }
     b += "endswithcaseinsensitive" -> { case Seq(s, p) =>
       lower(s).endsWith(lower(p)) }
-    b += "prefixes" -> { case Seq(s) =>
-      transform(sequence(lit(1), length(s)), i => s.substr(lit(1), i)) }
-    b += "suffixes" -> { case Seq(s) =>
-      transform(sequence(lit(1), length(s)),
-        i => s.substr(i, length(s) - i + 1)) }
-    b += "prefixeswithprefix" -> { case Seq(s, p) =>
-      transform(sequence(lit(1), length(s)),
-        i => concat(p, s.substr(lit(1), i))) }
-    b += "suffixeswithsuffix" -> { case Seq(s, p) =>
-      transform(sequence(lit(1), length(s)),
-        i => concat(s.substr(i, length(s) - i + 1), p)) }
+    // prefixes/suffixes (StringFunctions.java:440-496): reference
+    // 2-arg forms take a max length; suffixes run SHORTEST-first
+    // ("abcde" → e, de, cde); empty input / non-positive length → [].
+    // idxSeq guards sequence()'s descending-range behavior when n < 1.
+    def idxSeq(n: Column): Column =
+      when(n >= 1, sequence(lit(1), n.cast(IntegerType)))
+        .otherwise(lit(Array.emptyIntArray))
+    def prefixArr(s: Column, m: Column): Column =
+      transform(idxSeq(least(length(s), m.cast(IntegerType))),
+        i => s.substr(lit(1), i))
+    def suffixArr(s: Column, m: Column): Column =
+      transform(idxSeq(least(length(s), m.cast(IntegerType))),
+        i => s.substr(length(s) - i + 1, i))
+    b += "prefixes" -> {
+      case Seq(s) => prefixArr(s, length(s))
+      case Seq(s, m) => prefixArr(s, m) }
+    b += "suffixes" -> {
+      case Seq(s) => suffixArr(s, length(s))
+      case Seq(s, m) => suffixArr(s, m) }
+    b += "prefixeswithprefix" -> {
+      case Seq(s, p) => transform(prefixArr(s, length(s)), x => concat(p, x))
+      case Seq(s, m, p) => transform(prefixArr(s, m), x => concat(p, x)) }
+    b += "suffixeswithsuffix" -> {
+      case Seq(s, p) => transform(suffixArr(s, length(s)), x => concat(x, p))
+      case Seq(s, m, p) => transform(suffixArr(s, m), x => concat(x, p)) }
     // SQL DIFFERENCE: matching positions of the two 4-char soundex codes
     b += "difference" -> { case Seq(a, x) =>
       val sa = soundex(a); val sx = soundex(x)
@@ -503,8 +517,10 @@ object ScalarTail {
     b += "jsonstringtomap" -> { case Seq(c) =>
       from_json(c, MapType(StringType, StringType)) }
     b += "tojsonmapstr" -> { case Seq(c) => to_json(c) }
+    // strict Jackson parse (StringFunctions.java:920-927): trailing
+    // commas false, ""→true — get_json_object's $-probe gets both wrong
     b += "isjson" -> { case Seq(c) =>
-      get_json_object(c, "$").isNotNull }
+      CompatAliases.jvmCall("isJson", BooleanType, c) }
 
     // —— geohash (scalar/GeohashFunctions.java:121-146) ——
     b += "encodegeohash" -> { case Seq(lat, lon, p) =>

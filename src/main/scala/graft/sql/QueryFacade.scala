@@ -1562,13 +1562,6 @@ object QueryFacade {
       parentKeys.indices.map(p =>
         s"SELECT ${keySel}__emm_rn FROM __emm_p$p").mkString(" UNION ALL ") +
       s")$emptyGuard)"
-    val base =
-      if (others.isEmpty) None
-      else Some(s"__emm_b AS (SELECT $keySel" +
-        others.zipWithIndex.map { case (o, j) =>
-          s"$o AS __emm_a$j" }.mkString(", ") +
-        s" FROM __emm_src" +
-        (if (keys.isEmpty) "" else s" GROUP BY $keyList") + ")")
     // sibling aggregate output name: explicit alias inside the item
     // text survives as-is (`x AS n` keeps n); a bare aggregate gets
     // the reference's rendering — its own text, whitespace-collapsed
@@ -1577,6 +1570,20 @@ object QueryFacade {
       case OtherAs(_, a) => o.substring(o.length - a.length)
       case _ => s"`${o.replaceAll("\\s+", "")}`"
     }
+    // the bare expression: an item's own `AS alias` must be stripped
+    // before re-aliasing inside the CTE, or the emitted SQL carries
+    // two AS clauses
+    def otherExpr(o: String): String = maskLiterals(o) match {
+      case OtherAs(e, _) => o.substring(0, e.length)
+      case _ => o
+    }
+    val base =
+      if (others.isEmpty) None
+      else Some(s"__emm_b AS (SELECT $keySel" +
+        others.zipWithIndex.map { case (o, j) =>
+          s"${otherExpr(o)} AS __emm_a$j" }.mkString(", ") +
+        s" FROM __emm_src" +
+        (if (keys.isEmpty) "" else s" GROUP BY $keyList") + ")")
     val selItems = dedupedItems.map { it =>
       if (exprTexts(it)) {
         val c = calls.find(_.text == it).get

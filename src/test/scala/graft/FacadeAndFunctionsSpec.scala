@@ -42,7 +42,10 @@ class FacadeAndFunctionsSpec extends SparkSpec {
     assert(r.getAs[Double]("asum") == 6.5)
     assert(r.getAs[Long]("tc") == 90L)
     assert(r.getAs[Int]("js") == 7)
-    assert(r.getAs[String]("sp") == "b")
+    // Pinot splitPart is 0-BASED (StringFunctions.java:502) — index 2
+    // is the third token (the previous 1-based "b" expectation was a
+    // divergence, fixed with the StringFunctionsTest wave-13 replay)
+    assert(r.getAs[String]("sp") == "c")
   }
 
   test("OPTION() suffix syntax and WKT point parsing") {

@@ -2801,6 +2801,18 @@ class FixtureReplaySpec extends SparkSpec {
     val got6 = r6.map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).sorted
     assert(got6 == (0 until 5).flatMap(g =>
       Seq.fill(2)((g, 800L * g + 798000L, g.toDouble))).sorted)
+
+    // sibling aggregate carrying its own `AS alias` — the alias must
+    // survive to the output AND the rewrite must strip it before
+    // re-aliasing inside the base CTE (regression: `x AS s AS __emm_a0`
+    // was emitted, the rewrite bailed to the single-row fallback)
+    val r7 = q("SELECT sum(intColumn) AS s," +
+      " exprmin(doubleColumn, stringColumn) FROM emm_mx")
+    assert(r7.size == 4)
+    assert(r7.head.schema.fieldNames.toSeq ==
+      Seq("s", "exprmin(doubleColumn,stringColumn)"))
+    assert(r7.map(r => (r.getLong(0), r.getDouble(1))).sorted ==
+      Seq((3998000L, 8d), (3998000L, 8d), (3998000L, 18d), (3998000L, 18d)))
   }
 
   test("reference scalar-unit golds: geohash/arithmetic/trig/ngram/conversion") {
@@ -3087,5 +3099,739 @@ class FixtureReplaySpec extends SparkSpec {
     assert(key("SELECT DATETRUNC('quarter', T, 'MILLISECONDS') AS k," +
       " COUNT(*) AS c FROM transform_t GROUP BY 1") ==
       ((94694400000L, 10L)))
+  }
+
+  test("reference ip scalars: IpAddressFunctionsTest golds") {
+    // `pinot-common/.../scalar/IpAddressFunctionsTest.java` — the full
+    // IP family over IPv4 + IPv6: subnet containment, prefix masking,
+    // subnet min/max, numeric/byte conversions, CIDR metadata, RFC 5952
+    // canonical text, private-range classification. The reference
+    // throws IllegalArgumentException on invalid input; graft's
+    // column contract degrades those to null/false (adjudicated with
+    // the UrlFunctions wave — a throwing scalar kills a 100 TB scan).
+    def row(sel: String) = graft.sql.QueryFacade.sql(spark,
+      s"SELECT $sel AS v").head
+    def s(sel: String): Any = { val r = row(sel); if (r.isNullAt(0)) null else r.getString(0) }
+    def b(sel: String): Any = { val r = row(sel); if (r.isNullAt(0)) null else r.getBoolean(0) }
+    def n(sel: String): Any = { val r = row(sel); if (r.isNullAt(0)) null else r.get(0).asInstanceOf[Number].longValue() }
+
+    // isSubnetOf (:38-55)
+    assert(b("isSubnetOf('192.168.1.0/24', '192.168.1.100')") == true)
+    assert(b("isSubnetOf('192.168.1.0/24', '192.168.1.0')") == true)
+    assert(b("isSubnetOf('192.168.1.0/24', '192.168.1.255')") == true)
+    assert(b("isSubnetOf('192.168.1.0/24', '192.168.2.1')") == false)
+    assert(b("isSubnetOf('10.0.0.0/8', '10.20.30.40')") == true)
+    assert(b("isSubnetOf('172.16.0.0/12', '172.16.5.10')") == true)
+    assert(b("isSubnetOf('172.16.0.0/12', '172.32.0.1')") == false)
+    assert(b("isSubnetOf('2001:db8::/32', '2001:db8::1')") == true)
+    assert(b("isSubnetOf('2001:db8::/32', '2001:db8:ffff:ffff:ffff:ffff:ffff:ffff')") == true)
+    assert(b("isSubnetOf('2001:db8::/32', '2001:db9::1')") == false)
+    assert(b("isSubnetOf('192.168.1.1/32', '192.168.1.1')") == true)
+    assert(b("isSubnetOf('192.168.1.1/32', '192.168.1.2')") == false)
+
+    // ipPrefix (:80-98)
+    assert(s("ipPrefix('192.168.1.100', 24)") == "192.168.1.0/24")
+    assert(s("ipPrefix('10.20.30.40', 16)") == "10.20.0.0/16")
+    assert(s("ipPrefix('172.16.5.10', 8)") == "172.0.0.0/8")
+    assert(s("ipPrefix('203.0.113.50', 32)") == "203.0.113.50/32")
+    assert(s("ipPrefix('255.255.255.255', 0)") == "0.0.0.0/0")
+    assert(s("ipPrefix('192.168.1.1', 30)") == "192.168.1.0/30")
+    assert(s("ipPrefix('10.0.0.128', 25)") == "10.0.0.128/25")
+    assert(s("ipPrefix('2001:db8::1', 64)") == "2001:db8::/64")
+    assert(s("ipPrefix('2001:db8::1', 32)") == "2001:db8::/32")
+    assert(s("ipPrefix('2001:db8:abcd:ef01::1', 48)") == "2001:db8:abcd::/48")
+    assert(s("ipPrefix('2001:db8::1', 128)") == "2001:db8::1/128")
+    assert(s("ipPrefix('::1', 128)") == "::1/128")
+    assert(s("ipPrefix('fe80::1', 10)") == "fe80::/10")
+    // invalid → null (reference throws: :104-123)
+    assert(s("ipPrefix('192.168.1.1', 33)") == null)
+    assert(s("ipPrefix('2001:db8::1', 129)") == null)
+    assert(s("ipPrefix('999.999.999.999', 24)") == null)
+
+    // ipSubnetMin / ipSubnetMax (:131-197, :237-251)
+    assert(s("ipSubnetMin('192.168.1.0/24')") == "192.168.1.0")
+    assert(s("ipSubnetMin('10.0.0.0/8')") == "10.0.0.0")
+    assert(s("ipSubnetMin('172.16.0.0/12')") == "172.16.0.0")
+    assert(s("ipSubnetMin('192.168.1.128/25')") == "192.168.1.128")
+    assert(s("ipSubnetMin('192.168.1.1/32')") == "192.168.1.1")
+    assert(s("ipSubnetMin('0.0.0.0/0')") == "0.0.0.0")
+    assert(s("ipSubnetMin('2001:db8::/32')") == "2001:db8::")
+    assert(s("ipSubnetMin('fe80::/10')") == "fe80::")
+    assert(s("ipSubnetMin('2001:db8::1/128')") == "2001:db8::1")
+    assert(s("ipSubnetMax('192.168.1.0/24')") == "192.168.1.255")
+    assert(s("ipSubnetMax('10.0.0.0/8')") == "10.255.255.255")
+    assert(s("ipSubnetMax('172.16.0.0/12')") == "172.31.255.255")
+    assert(s("ipSubnetMax('192.168.1.128/25')") == "192.168.1.255")
+    assert(s("ipSubnetMax('192.168.1.1/32')") == "192.168.1.1")
+    assert(s("ipSubnetMax('0.0.0.0/0')") == "255.255.255.255")
+    assert(s("ipSubnetMax('192.168.1.0/30')") == "192.168.1.3")
+    assert(s("ipSubnetMax('10.0.0.0/31')") == "10.0.0.1")
+    assert(s("ipSubnetMax('2001:db8::1/128')") == "2001:db8::1")
+    assert(s("ipSubnetMax('2001:db8::/32')").asInstanceOf[String].contains("ffff"))
+    assert(s("ipSubnetMax('2001:db8::/32')").asInstanceOf[String].startsWith("2001:db8:"))
+    assert(s("ipSubnetMin('192.168.1.0/31')") == "192.168.1.0")
+    assert(s("ipSubnetMax('192.168.1.0/31')") == "192.168.1.1")
+    assert(s("ipSubnetMin('0.0.0.0/1')") == "0.0.0.0")
+    assert(s("ipSubnetMax('0.0.0.0/1')") == "127.255.255.255")
+    assert(s("ipSubnetMin('2001:db8::/127')") == "2001:db8::")
+
+    // isIPv4String / isIPv6String (:290-317)
+    assert(b("isIPv4String('192.168.1.1')") == true)
+    assert(b("isIPv4String('0.0.0.0')") == true)
+    assert(b("isIPv4String('255.255.255.255')") == true)
+    assert(b("isIPv4String('2001:db8::1')") == false)
+    assert(b("isIPv4String('not-an-ip')") == false)
+    assert(b("isIPv4String('')") == false)
+    assert(b("isIPv4String('999.999.999.999')") == false)
+    assert(b("isIPv4String('192.168.1.1/24')") == false)
+    assert(b("isIPv6String('2001:db8::1')") == true)
+    assert(b("isIPv6String('::1')") == true)
+    assert(b("isIPv6String('fe80::1')") == true)
+    assert(b("isIPv6String('::')") == true)
+    assert(b("isIPv6String('192.168.1.1')") == false)
+    assert(b("isIPv6String('2001:db8::1/64')") == false)
+
+    // ipv4ToLong / longToIpv4 (:322-345) + round trip (:355-359)
+    assert(n("ipv4ToLong('0.0.0.0')") == 0L)
+    assert(n("ipv4ToLong('0.0.0.1')") == 1L)
+    assert(n("ipv4ToLong('0.0.1.0')") == 256L)
+    assert(n("ipv4ToLong('192.168.1.1')") == 3232235777L)
+    assert(n("ipv4ToLong('255.255.255.255')") == 4294967295L)
+    assert(n("ipv4ToLong('10.0.0.1')") == 167772161L)
+    assert(s("longToIpv4(0)") == "0.0.0.0")
+    assert(s("longToIpv4(256)") == "0.0.1.0")
+    assert(s("longToIpv4(3232235777)") == "192.168.1.1")
+    assert(s("longToIpv4(4294967295)") == "255.255.255.255")
+    for (a <- Seq("0.0.0.0", "192.168.1.1", "10.20.30.40",
+        "255.255.255.255", "127.0.0.1"))
+      assert(s(s"longToIpv4(ipv4ToLong('$a'))") == a)
+
+    // ipv6ToBytes / bytesToIpv6 (:365-398)
+    val loop = row("ipv6ToBytes('::1')").getAs[Array[Byte]](0)
+    assert(loop.length == 16 && loop(15) == 1 && loop.take(15).forall(_ == 0))
+    assert(s("bytesToIpv6(ipv6ToBytes('::1'))") == "::1")
+    for (a <- Seq("::1", "2001:db8::1", "fe80::1", "::"))
+      assert(s(s"bytesToIpv6(ipv6ToBytes('$a'))") == a)
+    assert(s("ipv6ToBytes('192.168.1.1')") == null)
+    assert(s("bytesToIpv6(CAST('abc' AS BINARY))") == null)
+
+    // ipv4ToIpv6 (:405)
+    assert(s("ipv4ToIpv6('192.168.1.1')") == "::ffff:c0a8:101")
+    assert(s("ipv4ToIpv6('2001:db8::1')") == null)
+
+    // ipv4CIDRToRange (:417-427) — MV (min, max) pair
+    def range(cidr: String): Seq[String] =
+      row(s"ipv4CIDRToRange('$cidr')").getSeq[String](0)
+    assert(range("192.168.1.0/24") == Seq("192.168.1.0", "192.168.1.255"))
+    assert(range("10.0.0.0/8") == Seq("10.0.0.0", "10.255.255.255"))
+    assert(range("192.168.1.1/32") == Seq("192.168.1.1", "192.168.1.1"))
+    assert(s("ipv4CIDRToRange('2001:db8::/32')") == null) // IPv6 rejected
+    assert(s("ipv4CIDRToRange('192.168.1.0')") == null)   // not a prefix
+
+    // ipFamily (:442-448)
+    assert(n("ipFamily('192.168.1.1')") == 4L)
+    assert(n("ipFamily('10.0.0.1')") == 4L)
+    assert(n("ipFamily('0.0.0.0')") == 4L)
+    assert(n("ipFamily('2001:db8::1')") == 6L)
+    assert(n("ipFamily('::1')") == 6L)
+    assert(n("ipFamily('fe80::1')") == 6L)
+    assert(n("ipFamily('not-an-ip')") == null)
+
+    // ipMaskLen (:459-466)
+    assert(n("ipMaskLen('192.168.1.0/24')") == 24L)
+    assert(n("ipMaskLen('10.0.0.0/8')") == 8L)
+    assert(n("ipMaskLen('192.168.1.1/32')") == 32L)
+    assert(n("ipMaskLen('0.0.0.0/0')") == 0L)
+    assert(n("ipMaskLen('2001:db8::/32')") == 32L)
+    assert(n("ipMaskLen('2001:db8::/64')") == 64L)
+    assert(n("ipMaskLen('::1/128')") == 128L)
+    assert(n("ipMaskLen('192.168.1.0')") == null)
+
+    // ipNetmask / ipHostmask (:477-519)
+    assert(s("ipNetmask('192.168.1.0/24')") == "255.255.255.0")
+    assert(s("ipNetmask('10.0.0.0/8')") == "255.0.0.0")
+    assert(s("ipNetmask('192.168.1.0/16')") == "255.255.0.0")
+    assert(s("ipNetmask('192.168.1.1/32')") == "255.255.255.255")
+    assert(s("ipNetmask('0.0.0.0/0')") == "0.0.0.0")
+    assert(s("ipNetmask('192.168.1.0/25')") == "255.255.255.128")
+    assert(s("ipNetmask('2001:db8::/64')") == "ffff:ffff:ffff:ffff::")
+    assert(s("ipNetmask('::1/128')") ==
+      "ffff:ffff:ffff:ffff:ffff:ffff:ffff:ffff")
+    assert(s("ipNetmask('::/0')") == "::")
+    assert(s("ipHostmask('192.168.1.0/24')") == "0.0.0.255")
+    assert(s("ipHostmask('10.0.0.0/8')") == "0.255.255.255")
+    assert(s("ipHostmask('192.168.1.0/16')") == "0.0.255.255")
+    assert(s("ipHostmask('192.168.1.1/32')") == "0.0.0.0")
+    assert(s("ipHostmask('0.0.0.0/0')") == "255.255.255.255")
+    assert(s("ipHostmask('192.168.1.0/25')") == "0.0.0.127")
+    assert(s("ipHostmask('2001:db8::/64')") == "::ffff:ffff:ffff:ffff")
+    assert(s("ipHostmask('::1/128')") == "::")
+    assert(s("ipHostmask('::/0')") ==
+      "ffff:ffff:ffff:ffff:ffff:ffff:ffff:ffff")
+
+    // isPrivateIp (:553-611)
+    for (ip <- Seq("10.0.0.1", "10.255.255.255", "10.128.0.1",
+        "172.16.0.1", "172.31.255.255", "172.20.10.5",
+        "192.168.0.1", "192.168.255.255", "192.168.100.200",
+        "127.0.0.1", "127.255.255.255", "::1",
+        "169.254.0.1", "169.254.255.255", "fe80::1", "fe80::abcd:1234",
+        "fd00::1", "fc00::1", "fdab:cdef:1234::1"))
+      assert(b(s"isPrivateIp('$ip')") == true, ip)
+    for (ip <- Seq("172.32.0.1", "8.8.8.8", "1.1.1.1", "203.0.113.1",
+        "198.18.0.1", "2001:db8::1", "2606:4700::1"))
+      assert(b(s"isPrivateIp('$ip')") == false, ip)
+    assert(b("isPrivateIp('not-an-ip')") == null)
+    assert(b("isPrivateIp('999.999.999.999')") == null)
+
+    // combined (:215-231): ipPrefix output feeds min/max/isSubnetOf
+    assert(s("ipSubnetMin(ipPrefix('192.168.1.100', 24))") == "192.168.1.0")
+    assert(s("ipSubnetMax(ipPrefix('192.168.1.100', 24))") == "192.168.1.255")
+    assert(b("isSubnetOf(ipPrefix('10.20.30.40', 16), '10.20.50.60')") == true)
+    assert(b("isSubnetOf(ipPrefix('10.20.30.40', 16), '10.21.0.1')") == false)
+    assert(s("ipPrefix('2001:db8::1234', 64)") == "2001:db8::/64")
+    assert(b("isSubnetOf(ipPrefix('2001:db8::1234', 64), '2001:db8::ffff')") == true)
+    // netmask|hostmask complement property (:530-548) via the engine
+    for (cidr <- Seq("192.168.1.0/24", "10.0.0.0/8", "172.16.0.0/12",
+        "192.168.1.0/25", "0.0.0.0/0", "192.168.1.1/32")) {
+      assert(n(s"ipv4ToLong(ipNetmask('$cidr')) + ipv4ToLong(ipHostmask('$cidr'))") ==
+        4294967295L, cidr)
+    }
+  }
+
+  test("reference uuid scalars: UuidConversionFunctionsTest golds") {
+    // `pinot-common/.../scalar/uuid/UuidConversionFunctionsTest.java` —
+    // canonical-lowercase normalization, the dash-less 32-hex fallback
+    // (#18927, UuidUtils.toBytes hex-bytes path), bytes round trips,
+    // version nibbles for known v1/v4/v7 UUIDs, and
+    // UuidUtils.getTimestampMillis's v1/v6/v7 time decoding (the RFC
+    // 9562 test vectors — all three encode 2022-02-22T19:22:22Z).
+    // Reference throws on invalid; graft degrades to null/false
+    // (column contract).
+    def row(sel: String) = graft.sql.QueryFacade.sql(spark,
+      s"SELECT $sel AS v").head
+    def s(sel: String): Any = { val r = row(sel); if (r.isNullAt(0)) null else r.getString(0) }
+    def b(sel: String): Any = { val r = row(sel); if (r.isNullAt(0)) null else r.getBoolean(0) }
+    def n(sel: String): Any = { val r = row(sel); if (r.isNullAt(0)) null else r.get(0).asInstanceOf[Number].longValue() }
+    val U = "550e8400-e29b-41d4-a716-446655440000"
+    val MIXED = "550E8400-E29B-41D4-A716-446655440000"
+    val DASHLESS = "550e8400e29b41d4a716446655440000"
+
+    // normalization (:63-65, :81-83)
+    assert(s(s"TO_UUID('$MIXED')") == U)
+    assert(s(s"UUID_TO_STRING('$MIXED')") == U)
+    assert(s(s"TO_UUID('$U')") == U)
+    // dash-less 32-hex fallback accepted (:48-49)
+    assert(s(s"TO_UUID('$DASHLESS')") == U)
+    assert(b(s"IS_UUID('$DASHLESS')") == true)
+    assert(n(s"UUID_VERSION('$DASHLESS')") == 4L)
+
+    // bytes round trips (:68-87)
+    assert(s(s"BYTES_TO_UUID(UUID_TO_BYTES('$U'))") == U)
+    assert(s(s"BYTES_TO_UUID(UUID_TO_BYTES('$MIXED'))") == U)
+    val bytes = row(s"UUID_TO_BYTES('$U')").getAs[Array[Byte]](0)
+    assert(bytes.length == 16)
+    assert((bytes(0) & 0xFF) == 0x55 && (bytes(15) & 0xFF) == 0x00)
+
+    // version nibbles (:88-90, :207-217)
+    assert(n(s"UUID_VERSION('$U')") == 4L)
+    assert(n("UUID_VERSION('c232ab00-9414-11ec-b3c8-9e6bdeced846')") == 1L)
+    assert(n("UUID_VERSION('017f22e2-79b0-7cc3-98c4-dc0c0c07398f')") == 7L)
+    assert(b(s"IS_UUID('$U')") == true)
+
+    // invalid strings (:44-51): false / null, never a crash
+    for (bad <- Seq("550e8400-e29b-41d4-a716-44665544000",
+        "550e8400-e29b-41d4-a716-4466554400000",
+        "550e8400-e29b-41d4-a716-44665544000g", "", "not-a-uuid")) {
+      assert(b(s"IS_UUID('$bad')") == false, bad)
+      assert(s(s"TO_UUID('$bad')") == null, bad)
+    }
+    // invalid byte lengths (:54-60)
+    assert(s("BYTES_TO_UUID(CAST('abc' AS BINARY))") == null)
+
+    // uuidTimestamp decodes v1/v6/v7 (UuidUtils.java:330-351; RFC 9562
+    // B.1/B.2 vectors — unix ms 1645557742000 = 2022-02-22T19:22:22Z)
+    assert(n("UUID_TIMESTAMP('017f22e2-79b0-7cc3-98c4-dc0c0c07398f')") ==
+      1645557742000L)
+    assert(n("UUID_TIMESTAMP('c232ab00-9414-11ec-b3c8-9e6bdeced846')") ==
+      1645557742000L)
+    assert(n("UUID_TIMESTAMP('1ec9414c-232a-6b00-b3c8-9e6bdeced846')") ==
+      1645557742000L)
+    // non-time-based version → null (reference throws :220-223)
+    assert(n(s"UUID_TIMESTAMP('$U')") == null)
+
+    // generators (:187-204): v4/v7 versions + RFC 4122 variant + no collision
+    assert(n("UUID_VERSION(UUID_V4())") == 4L)
+    assert(n("UUID_VERSION(UUID_V7())") == 7L)
+    assert(b("UUID_V4() = UUID_V4()") == false)
+    assert(s("substring(UUID_V7(), 20, 1)").asInstanceOf[String]
+      .matches("[89ab]"))
+    // v7 leads with the current unix millis
+    val v7ms = n("UUID_TIMESTAMP(UUID_V7())").asInstanceOf[Long]
+    assert(math.abs(v7ms - System.currentTimeMillis()) < 60000L)
+
+    // null propagation (:113-124, :164-184)
+    assert(b("IS_UUID(CAST(NULL AS STRING))") == false)
+    assert(s("TO_UUID(CAST(NULL AS STRING))") == null)
+    assert(s("UUID_TO_STRING(CAST(NULL AS STRING))") == null)
+    assert(s("BYTES_TO_UUID(CAST(NULL AS BINARY))") == null)
+    assert(n("UUID_TIMESTAMP(CAST(NULL AS STRING))") == null)
+  }
+
+  test("reference logical scalars: LogicalFunctionsTest truth tables") {
+    // `pinot-common/.../scalar/LogicalFunctionsTest.java` — the
+    // Trino-compatible three-valued AND/OR/NOT truth tables (all 9+9+3
+    // combinations, :236-273) plus the documented Trino examples
+    // (:420-442). The reference exposes these as scalar functions;
+    // graft serves them through Spark's native operators, which
+    // implement SQL 3VL — the replay pins every cell through the
+    // facade so a null-handling regression anywhere in the boolean
+    // pipeline trips here.
+    def b(sel: String): Any = {
+      val r = graft.sql.QueryFacade.sql(spark, s"SELECT $sel AS v").head
+      if (r.isNullAt(0)) null else r.getBoolean(0)
+    }
+    val NULL = "CAST(NULL AS BOOLEAN)"
+    // AND truth table (:236-249)
+    assert(b("true AND true") == true)
+    assert(b("true AND false") == false)
+    assert(b(s"true AND $NULL") == null)
+    assert(b("false AND true") == false)
+    assert(b("false AND false") == false)
+    assert(b(s"false AND $NULL") == false)
+    assert(b(s"$NULL AND true") == null)
+    assert(b(s"$NULL AND false") == false)
+    assert(b(s"$NULL AND $NULL") == null)
+    // OR truth table (:252-265)
+    assert(b("true OR true") == true)
+    assert(b("true OR false") == true)
+    assert(b(s"true OR $NULL") == true)
+    assert(b("false OR true") == true)
+    assert(b("false OR false") == false)
+    assert(b(s"false OR $NULL") == null)
+    assert(b(s"$NULL OR true") == true)
+    assert(b(s"$NULL OR false") == null)
+    assert(b(s"$NULL OR $NULL") == null)
+    // NOT truth table (:268-273)
+    assert(b("NOT true") == false)
+    assert(b("NOT false") == true)
+    assert(b(s"NOT $NULL") == null)
+    // complex combinations (:167-210)
+    assert(b("(true AND false) OR true") == true)
+    assert(b("(true OR false) AND false") == false)
+    assert(b(s"($NULL AND true) OR false") == null)
+    assert(b(s"($NULL OR true) AND true") == true)
+    assert(b("NOT (true AND false)") == true)
+    assert(b(s"NOT ($NULL AND true)") == null)
+    assert(b(s"NOT ($NULL OR false)") == null)
+    assert(b(s"NOT (NOT $NULL)") == null)
+  }
+
+  test("reference regexp var scalars: RegexpExtractVar/RegexpLikeVar golds") {
+    // `pinot-common/.../scalar/regexp/RegexpExtractVarFunctionsTest.java`
+    // and `RegexpLikeVarFunctionsTest.java` — the variable-pattern
+    // (per-row pattern column) variants, which the wave-10 adjudication
+    // called the semantic surface (the Const variants differ only by a
+    // pattern-caching artifact). regexpLikeVar is find()-based partial
+    // match; likeVar is full-match SQL LIKE; the third regexpLikeVar
+    // arg is the reference's single-char match parameter ('i'/'I'
+    // case-insensitive, 'c'/'C' sensitive).
+    def b(sel: String): Boolean = graft.sql.QueryFacade.sql(spark,
+      s"SELECT $sel AS v").head.getBoolean(0)
+    def s(sel: String): String = graft.sql.QueryFacade.sql(spark,
+      s"SELECT $sel AS v").head.getString(0)
+
+    // regexpExtractVar (RegexpExtractVarFunctionsTest:33-41): 2-arg
+    // form is group 0 / default ""; a group index past groupCount
+    // returns the default (RegexpExtractVarFunctions.java:56-64).
+    assert(s("regexpExtractVar('val abe eee', '(a[bcd]e)')") == "abe")
+    assert(s("regexpExtractVar('val ade eee', '(a[bcd]e)')") == "ade")
+    assert(s("regexpExtractVar('val age eee', '(a[bcd]e)')") == "")
+    assert(s("regexpExtractVar('val abe ace', '(a[bcd]e) (a[bcd]e)', 2)") == "ace")
+    assert(s("regexpExtractVar('abe ace ade', '(a[bcd]e) (a[bcd]e) (a[bcd]e)', 3)") == "ade")
+    assert(s("regexpExtractVar('abe ace ade', '(a[bcd]e)', 5, 'wrong')") == "wrong")
+    assert(s("regexpExtractVar('aa bb cc', '(a[bcd]e)', 1, 'wrong')") == "wrong")
+
+    // likeVar (RegexpLikeVarFunctionsTest:33-45)
+    assert(b("likeVar('ab', '%ab%')") == true)
+    assert(b("likeVar('aaba', '%ab%')") == true)
+    assert(b("likeVar('$ab$', '%ab%')") == true)
+    assert(b("likeVar('', '%ab%')") == false)
+    assert(b("likeVar('_', '%ab%')") == false)
+    assert(b("likeVar('a', '%ab%')") == false)
+    assert(b("likeVar('b', '%ab%')") == false)
+    assert(b("likeVar('aab', 'ab')") == false) // full match, not find
+
+    // regexpLikeVar 2-arg (find-based, :48-60)
+    assert(b("regexpLikeVar('ab', '.*ab.*')") == true)
+    assert(b("regexpLikeVar('aaba', '.*ab.*')") == true)
+    assert(b("regexpLikeVar('$ab$', '.*ab.*')") == true)
+    assert(b("regexpLikeVar('', '.*ab.*')") == false)
+    assert(b("regexpLikeVar('_', '.*ab.*')") == false)
+    assert(b("regexpLikeVar('a', '.*ab.*')") == false)
+    assert(b("regexpLikeVar('b', '.*ab.*')") == false)
+    assert(b("regexpLikeVar('aab', 'abb')") == false)
+
+    // match parameters (:63-86, :120-133): i/I insensitive, c/C sensitive
+    assert(b("regexpLikeVar('Hello', 'hello', 'c')") == false)
+    assert(b("regexpLikeVar('hello', 'hello', 'c')") == true)
+    assert(b("regexpLikeVar('HELLO', 'HELLO', 'c')") == true)
+    assert(b("regexpLikeVar('Hello', 'hello', 'i')") == true)
+    assert(b("regexpLikeVar('HELLO', 'hello', 'i')") == true)
+    assert(b("regexpLikeVar('hello', 'HELLO', 'i')") == true)
+    assert(b("regexpLikeVar('hElLo', 'HeLlO', 'i')") == true)
+    assert(b("regexpLikeVar('world', 'hello', 'i')") == false)
+    assert(b("regexpLikeVar('Hello World', 'hello.*', 'i')") == true)
+    assert(b("regexpLikeVar('HELLO WORLD', 'hello.*', 'i')") == true)
+    assert(b("regexpLikeVar('Hello World', 'hello.*', 'c')") == false)
+    assert(b("regexpLikeVar('hello world', 'hello.*', 'c')") == true)
+    assert(b("regexpLikeVar('Test123', 'test\\\\d+', 'i')") == true)
+    assert(b("regexpLikeVar('Test123', 'test\\\\d+', 'c')") == false)
+    assert(b("regexpLikeVar('test123', 'test\\\\d+', 'c')") == true)
+    assert(b("regexpLikeVar('Hello', 'hello', 'I')") == true)
+    assert(b("regexpLikeVar('Hello', 'hello', 'C')") == false)
+    assert(b("regexpLikeVar('hello', 'hello', 'C')") == true)
+    // invalid match parameters error (:90-110)
+    for (bad <- Seq("x", "ix", "ci"))
+      intercept[Exception] {
+        graft.sql.QueryFacade.sql(spark,
+          s"SELECT regexpLikeVar('test', 'test', '$bad') AS v").collect()
+      }
+  }
+
+  test("reference string scalars: StringFunctionsTest deterministic golds") {
+    // `pinot-common/.../scalar/StringFunctionsTest.java` — the
+    // deterministic data providers (the Random-seeded
+    // testSplitPartRandomized is per-run, not replayed). Covers
+    // splitPart's 0-based splitByWholeSeparator semantics (+4-arg
+    // limit form), isJson strictness, prefixes/suffixes with max
+    // length, initcap whitespace handling, levenshtein/hamming,
+    // soundex/difference, encodeUrl, ascii/space/substringIndex/
+    // firstLine, case-insensitive starts/ends, isValidAscii,
+    // bit/octet/char length, regexpCount/Substr, translate, overlay.
+    def row(sel: String) = graft.sql.QueryFacade.sql(spark,
+      s"SELECT $sel AS v").head
+    def s(sel: String): Any = { val r = row(sel); if (r.isNullAt(0)) null else r.getString(0) }
+    def b(sel: String): Boolean = row(sel).getBoolean(0)
+    def n(sel: String): Long = row(sel).get(0).asInstanceOf[Number].longValue()
+    def arr(sel: String): Seq[String] = row(sel).getSeq[String](0)
+    def lit(x: String): String =
+      "'" + x.replace("\\", "\\\\").replace("'", "\\'")
+        .replace("\n", "\\n").replace("\r", "\\r").replace("\t", "\\t") + "'"
+
+    // splitPart (splitPartTestCases): {input, delim, index, limit,
+    // expected3arg, expected4arg} — the full committed table
+    val splitCases: Seq[(String, String, Int, Int, String, String)] = Seq(
+      ("org.apache.pinot.common.function", ".", 0, 100, "org", "org"),
+      ("org.apache.pinot.common.function", ".", 10, 100, "null", "null"),
+      ("org.apache.pinot.common.function", ".", 1, 0, "apache", "apache"),
+      ("org.apache.pinot.common.function", ".", 1, 1, "apache", "null"),
+      ("org.apache.pinot.common.function", ".", 0, 1, "org", "org.apache.pinot.common.function"),
+      ("org.apache.pinot.common.function", ".", 1, 2, "apache", "apache.pinot.common.function"),
+      ("org.apache.pinot.common.function", ".", 2, 3, "pinot", "pinot.common.function"),
+      ("org.apache.pinot.common.function", ".", 3, 4, "common", "common.function"),
+      ("org.apache.pinot.common.function", ".", 4, 5, "function", "function"),
+      ("org.apache.pinot.common.function", ".", 5, 6, "null", "null"),
+      ("org.apache.pinot.common.function", ".", 3, 3, "common", "null"),
+      ("+++++", "+", 0, 100, "", ""),
+      ("+++++", "+", 1, 100, "null", "null"),
+      ("+++++org++apache++", "", 1, 100, "null", "null"),
+      ("+++++org++apache++", "", 0, 100, "+++++org++apache++", "+++++org++apache++"),
+      ("org.apache.pinot.common.function", ".", -1, 100, "function", "function"),
+      ("org.apache.pinot.common.function", ".", -10, 100, "null", "null"),
+      ("org.apache.pinot.common.function", ".", -2, 0, "common", "common"),
+      ("org.apache.pinot.common.function", ".", -1, 1, "function", "org.apache.pinot.common.function"),
+      ("org.apache.pinot.common.function", ".", -2, 1, "common", "null"),
+      ("org.apache.pinot.common.function", ".", -1, 2, "function", "apache.pinot.common.function"),
+      ("org.apache.pinot.common.function", ".", -2, 2, "common", "org"),
+      ("org.apache.pinot.common.function", ".", -1, 3, "function", "pinot.common.function"),
+      ("org.apache.pinot.common.function", ".", -3, 3, "pinot", "org"),
+      ("org.apache.pinot.common.function", ".", -4, 3, "apache", "null"),
+      ("org.apache.pinot.common.function", ".", -1, 4, "function", "common.function"),
+      ("org.apache.pinot.common.function", ".", -3, 4, "pinot", "apache"),
+      ("org.apache.pinot.common.function", ".", -4, 4, "apache", "org"),
+      ("org.apache.pinot.common.function", ".", -1, 5, "function", "function"),
+      ("org.apache.pinot.common.function", ".", -5, 5, "org", "org"),
+      ("org.apache.pinot.common.function", ".", -6, 5, "null", "null"),
+      ("org.apache.pinot.common.function", ".", -1, 6, "function", "function"),
+      ("org.apache.pinot.common.function", ".", -5, 6, "org", "org"),
+      ("org.apache.pinot.common.function", ".", -6, 6, "null", "null"),
+      ("+++++", "+", -1, 100, "", ""),
+      ("+++++", "+", -2, 100, "null", "null"),
+      ("hello", "", -1, 100, "hello", "hello"),
+      ("hello", "", -2, 100, "null", "null"),
+      ("abc", ".", 0, 100, "abc", "abc"),
+      ("abc", ".", 1, 100, "null", "null"),
+      ("abc", ".", -1, 100, "abc", "abc"),
+      ("abc", ".", -2, 100, "null", "null"),
+      (".", ".", 0, 100, "", ""),
+      (".", ".", 1, 100, "null", "null"),
+      (".", ".", -1, 100, "", ""),
+      ("org++apache++", "+", 0, 100, "org", "org"),
+      ("org++apache++", "+", 1, 100, "apache", "apache"),
+      ("org++apache++", "+", 2, 100, "", ""),
+      ("org++apache++", "+", 3, 100, "null", "null"),
+      ("org++apache++", "+", -1, 100, "", ""),
+      ("org++apache++", "+", -2, 100, "apache", "apache"),
+      ("org++apache++", "+", -3, 100, "org", "org"),
+      ("org++apache++", "+", -4, 100, "null", "null"),
+      ("++org++apache++", "+", 0, 100, "org", "org"),
+      ("++org++apache++", "+", 1, 100, "apache", "apache"),
+      ("++org++apache++", "+", -1, 100, "", ""),
+      ("++org++apache++", "+", -2, 100, "apache", "apache"),
+      ("++org++apache++", "+", -3, 100, "org", "org"),
+      ("++org++apache++", "+", -4, 100, "null", "null"),
+      ("++abc++", "+", 0, 100, "abc", "abc"),
+      ("++abc++", "+", -1, 100, "", ""),
+      ("++abc++", "+", -2, 100, "abc", "abc"),
+      ("++abc++", "+", -3, 100, "null", "null"),
+      ("org::apache::pinot", "::", 0, 100, "org", "org"),
+      ("org::apache::pinot", "::", 1, 100, "apache", "apache"),
+      ("org::apache::pinot", "::", 2, 100, "pinot", "pinot"),
+      ("org::apache::pinot", "::", 3, 100, "null", "null"),
+      ("org::apache::pinot", "::", -1, 100, "pinot", "pinot"),
+      ("org::apache::pinot", "::", -2, 100, "apache", "apache"),
+      ("org::apache::pinot", "::", -3, 100, "org", "org"),
+      ("org::apache::pinot", "::", -4, 100, "null", "null"),
+      ("::::org::::apache", "::", 0, 100, "org", "org"),
+      ("::::org::::apache", "::", 1, 100, "apache", "apache"),
+      ("::::org::::apache", "::", 2, 100, "null", "null"),
+      ("::::org::::apache", "::", -1, 100, "apache", "apache"),
+      ("::::org::::apache", "::", -2, 100, "org", "org"),
+      ("::::org::::apache", "::", -3, 100, "null", "null"),
+      ("::org::apache::", "::", 0, 100, "org", "org"),
+      ("::org::apache::", "::", 1, 100, "apache", "apache"),
+      ("::org::apache::", "::", 2, 100, "", ""),
+      ("::org::apache::", "::", -1, 100, "", ""),
+      ("::org::apache::", "::", -2, 100, "apache", "apache"),
+      ("::org::apache::", "::", -3, 100, "org", "org"),
+      ("::org::apache::", "::", -4, 100, "null", "null"),
+      ("", ".", 0, 100, "null", "null"),
+      ("", ".", -1, 100, "null", "null"),
+      ("", ".", -2, 100, "null", "null"),
+      ("", "::", -1, 100, "null", "null"),
+      ("org.apache.pinot", ".", Integer.MIN_VALUE, 100, "null", "null"))
+    for ((in, d, idx, lim, exp3, exp4) <- splitCases) {
+      assert(s(s"splitPart(${lit(in)}, ${lit(d)}, $idx)") == exp3,
+        s"3-arg ($in, $d, $idx)")
+      assert(s(s"splitPart(${lit(in)}, ${lit(d)}, $lim, $idx)") == exp4,
+        s"4-arg ($in, $d, $lim, $idx)")
+    }
+
+    // isJson (:161-168): strict parse, '' is valid (MissingNode)
+    assert(b("isJson('')") == true)
+    assert(b("isJson('{\"key\": \"value\"}')") == true)
+    assert(b("isJson('{\"key\": \"value\", }')") == false)
+    assert(b("isJson('{\"key\": \"va')") == false)
+
+    // prefixes/suffixes with max length (:171-185) — suffixes run
+    // shortest-first; regex-char variants prepend/append
+    assert(arr("prefixes('abcde', 3)") == Seq("a", "ab", "abc"))
+    assert(arr("suffixes('abcde', 3)") == Seq("e", "de", "cde"))
+    assert(arr("prefixesWithPrefix('abcde', 3, '^')") == Seq("^a", "^ab", "^abc"))
+    assert(arr("suffixesWithSuffix('abcde', 3, '$')") == Seq("e$", "de$", "cde$"))
+    assert(arr("prefixes('abcde', 0)") == Seq())
+    assert(arr("prefixes('abcde', 9)") ==
+      Seq("a", "ab", "abc", "abcd", "abcde"))
+    assert(arr("suffixes('abcde', 9)") ==
+      Seq("e", "de", "cde", "bcde", "abcde"))
+    assert(arr("prefixesWithPrefix('abcde', 9, '^')") ==
+      Seq("^a", "^ab", "^abc", "^abcd", "^abcde"))
+    assert(arr("suffixesWithSuffix('abcde', 9, '$')") ==
+      Seq("e$", "de$", "cde$", "bcde$", "abcde$"))
+    assert(arr("prefixes('a', 3)") == Seq("a"))
+    assert(arr("suffixes('a', 3)") == Seq("a"))
+    assert(arr("prefixes('', 3)") == Seq())
+    assert(arr("suffixes('', 9)") == Seq())
+
+    // initcap (:188-239): capitalize after ANY whitespace
+    val initcapCases = Seq(
+      "hello world" -> "Hello World", "HELLO WORLD" -> "Hello World",
+      "hello WORLD" -> "Hello World", "HeLLo WoRLd" -> "Hello World",
+      "hello" -> "Hello", "HELLO" -> "Hello", "hELLO" -> "Hello",
+      "hello  world" -> "Hello  World",
+      "hello   world   test" -> "Hello   World   Test",
+      " hello world" -> " Hello World", "hello world " -> "Hello World ",
+      " hello world " -> " Hello World ",
+      "hello-world" -> "Hello-world", "hello_world" -> "Hello_world",
+      "hello123world" -> "Hello123world", "123hello world" -> "123hello World",
+      "hello\tworld" -> "Hello\tWorld", "hello\nworld" -> "Hello\nWorld",
+      "hello\rworld" -> "Hello\rWorld",
+      "" -> "", " " -> " ", "a" -> "A", "A" -> "A",
+      "apache pinot" -> "Apache Pinot",
+      "the quick brown fox" -> "The Quick Brown Fox",
+      "SQL is AWESOME" -> "Sql Is Awesome",
+      "new york city" -> "New York City",
+      "café résumé" -> "Café Résumé",
+      "hello@world.com" -> "Hello@world.com",
+      "one,two,three" -> "One,two,three")
+    for ((in, exp) <- initcapCases)
+      assert(s(s"initcap(${lit(in)})") == exp, s"initcap($in)")
+
+    // levenshteinDistance (:250-291)
+    val levCases = Seq(
+      ("", "", 0), ("a", "", 1), ("", "a", 1), ("a", "a", 0),
+      ("kitten", "sitting", 3), ("saturday", "sunday", 3),
+      ("intention", "execution", 5),
+      ("cat", "bat", 1), ("cat", "cats", 1), ("cats", "cat", 1),
+      ("book", "back", 2), ("hello", "world", 4),
+      ("algorithm", "altruistic", 6),
+      ("aaa", "aa", 1), ("aa", "aaa", 1), ("abc", "def", 3),
+      ("abcdefghijklmnop", "1234567890123456", 16),
+      ("programming", "grammar", 6),
+      ("Hello", "hello", 1), ("WORLD", "world", 5),
+      ("test123", "test456", 3), ("hello!", "hello?", 1),
+      ("a@b.com", "a@c.com", 1))
+    for ((a, c, exp) <- levCases)
+      assert(n(s"levenshteinDistance(${lit(a)}, ${lit(c)})") == exp,
+        s"lev($a, $c)")
+
+    // hammingDistance (:353-362): -1 on length mismatch
+    assert(n("hammingDistance('abc', 'abc')") == 0L)
+    assert(n("hammingDistance('abc', 'def')") == 3L)
+    assert(n("hammingDistance('abc', 'aef')") == 2L)
+    assert(n("hammingDistance('abc', 'abcd')") == -1L)
+    assert(n("hammingDistance('cat', 'cats')") == -1L)
+    assert(n("levenshteinDistance('cat', 'cats')") == 1L)
+
+    // soundex / difference (:366-384)
+    assert(s("soundex('Robert')") == "R163")
+    assert(s("soundex('Rupert')") == "R163")
+    assert(s("soundex('Ashcraft')") == "A261")
+    assert(s("soundex('')") == "0000")
+    assert(n("difference('Robert', 'Rupert')") == 4L)
+    assert(n("difference('Smith', 'Johnson')") == 1L)
+    assert(n("difference('Ann', 'Ann')") == 4L)
+    assert(n("difference('Robert', '')") == 0L)
+
+    // encodeUrl (:387-409)
+    assert(s("encodeUrl('')") == "")
+    assert(s("encodeUrl('a')") == "a")
+    assert(s("encodeUrl(' ')") == "+")
+    assert(s("encodeUrl('?')") == "%3F")
+    assert(s("encodeUrl('/')") == "%2F")
+    assert(s("encodeUrl('&')") == "%26")
+    assert(s("encodeUrl(':')") == "%3A")
+    assert(s("encodeUrl('=')") == "%3D")
+    assert(s("encodeUrl('@')") == "%40")
+    assert(s("encodeUrl('http://localhost:8080/hello?a=b')") ==
+      "http%3A%2F%2Flocalhost%3A8080%2Fhello%3Fa%3Db")
+    assert(s("encodeUrl('http://localhost:8080/hello?paramWithSpace=a b')") ==
+      "http%3A%2F%2Flocalhost%3A8080%2Fhello%3FparamWithSpace%3Da+b")
+
+    // ascii (:414-421) / space (:426-431)
+    assert(n("ascii('A')") == 65L)
+    assert(n("ascii('a')") == 97L)
+    assert(n("ascii('0')") == 48L)
+    assert(n("ascii('hello')") == 104L)
+    assert(n("ascii(' ')") == 32L)
+    assert(n("ascii('')") == 0L)
+    assert(s("space(0)") == "")
+    assert(s("space(1)") == " ")
+    assert(s("space(5)") == "     ")
+    assert(s("space(-1)") == "")
+
+    // substringIndex (:436-462)
+    assert(s("substringIndex('a.b.c.d', '.', 1)") == "a")
+    assert(s("substringIndex('a.b.c.d', '.', 2)") == "a.b")
+    assert(s("substringIndex('a.b.c.d', '.', 3)") == "a.b.c")
+    assert(s("substringIndex('a.b.c.d', '.', 10)") == "a.b.c.d")
+    assert(s("substringIndex('a.b.c.d', '.', -1)") == "d")
+    assert(s("substringIndex('a.b.c.d', '.', -2)") == "c.d")
+    assert(s("substringIndex('a.b.c.d', '.', -3)") == "b.c.d")
+    assert(s("substringIndex('a.b.c.d', '.', -10)") == "a.b.c.d")
+    assert(s("substringIndex('a.b.c', '.', 0)") == "")
+    assert(s("substringIndex('a.b.c', '', 1)") == "")
+    assert(s("substringIndex('abc', '.', 1)") == "abc")
+    assert(s("substringIndex('abc', '.', -1)") == "abc")
+    assert(s("substringIndex('a::b::c', '::', 1)") == "a")
+    assert(s("substringIndex('a::b::c', '::', -1)") == "c")
+
+    // firstLine (:467-479)
+    assert(s(s"firstLine(${lit("hello\nworld")})") == "hello")
+    assert(s("firstLine('single line')") == "single line")
+    assert(s("firstLine('')") == "")
+    assert(s(s"firstLine(${lit("\nstart")})") == "")
+    assert(s(s"firstLine(${lit("line1\nline2\nline3")})") == "line1")
+    assert(s(s"firstLine(${lit("hello\r\nworld")})") == "hello")
+    assert(s(s"firstLine(${lit("hello\rworld")})") == "hello")
+    assert(s(s"firstLine(${lit("first\r\nsecond\nthird")})") == "first")
+
+    // starts/endsWithCaseInsensitive (:484-501)
+    assert(b("startsWithCaseInsensitive('Hello World', 'hello')"))
+    assert(b("startsWithCaseInsensitive('Hello World', 'HELLO')"))
+    assert(b("startsWithCaseInsensitive('Hello World', '')"))
+    assert(!b("startsWithCaseInsensitive('Hello World', 'world')"))
+    assert(b("endsWithCaseInsensitive('Hello World', 'world')"))
+    assert(b("endsWithCaseInsensitive('Hello World', 'WORLD')"))
+    assert(b("endsWithCaseInsensitive('Hello World', '')"))
+    assert(!b("endsWithCaseInsensitive('Hello World', 'hello')"))
+
+    // isValidASCII (:506-513)
+    assert(b("isValidAscii('hello')"))
+    assert(b("isValidAscii('Hello World 123!@#')"))
+    assert(b("isValidAscii('')"))
+    assert(!b("isValidAscii('héllo')"))
+    assert(!b("isValidAscii('日本語')"))
+    assert(!b("isValidAscii('café')"))
+
+    // bitLength / octetLength / charLength (:518-554)
+    assert(n("bitLength('')") == 0L)
+    assert(n("bitLength('a')") == 8L)
+    assert(n("bitLength('hello')") == 40L)
+    assert(n("bitLength('é')") == 16L)
+    assert(n("bitLength('日')") == 24L)
+    assert(n("octetLength('')") == 0L)
+    assert(n("octetLength('a')") == 1L)
+    assert(n("octetLength('hello')") == 5L)
+    assert(n("octetLength('é')") == 2L)
+    assert(n("octetLength('日')") == 3L)
+    assert(n("charLength('')") == 0L)
+    assert(n("charLength('hello')") == 5L)
+    assert(n("charLength('é')") == 1L)
+    assert(n("charLength('日本語')") == 3L)
+    assert(n("charLength('café')") == 4L)
+    assert(n("charLength('\uD83D\uDE00')") == 1L)
+
+    // regexpCount / regexpSubstr (:559-580)
+    assert(n("regexpCount('hello world hello', 'hello')") == 2L)
+    assert(n("regexpCount('aaa', 'a')") == 3L)
+    assert(n("regexpCount('abc', 'x')") == 0L)
+    assert(n("regexpCount('', 'a')") == 0L)
+    assert(n("regexpCount('aaaa', 'aa')") == 2L)
+    assert(n("regexpCount('abc123def456', '\\\\d+')") == 2L)
+    assert(n("regexpCount('a1b2c3', '[0-9]')") == 3L)
+    assert(s("regexpSubstr('hello world', 'w\\\\w+')") == "world")
+    assert(s("regexpSubstr('abc123def456', '\\\\d+')") == "123")
+    assert(s("regexpSubstr('hello', '\\\\d+')") == null)
+    assert(s("regexpSubstr('', 'a')") == null)
+    assert(s("regexpSubstr('Hello World', '[A-Z][a-z]+')") == "Hello")
+
+    // translate (:585-611)
+    assert(s("translate('hello', 'aeiou', 'AEIOU')") == "hEllO")
+    assert(s("translate('abc', 'abc', 'xy')") == "xy")
+    assert(s("translate('abcdef', 'ace', 'XY')") == "XbYdf")
+    assert(s("translate('hello', 'xyz', '123')") == "hello")
+    assert(s("translate('hello', '', 'abc')") == "hello")
+    assert(s("translate('', 'abc', 'xyz')") == "")
+    assert(s("translate('abc', 'abc', '')") == "")
+    assert(s("translate('12300', '0123456789', 'zero')") == "erozz")
+    assert(s("translate('aaa', 'aa', 'XY')") == "XXX")
+
+    // overlay (:617-651)
+    assert(s("overlay('hello world' PLACING 'there' FROM 7)") == "hello there")
+    assert(s("overlay('hello world' PLACING 'there' FROM 7 FOR 5)") == "hello there")
+    assert(s("overlay('abcdef' PLACING 'XY' FROM 3 FOR 0)") == "abXYcdef")
+    assert(s("overlay('abcdef' PLACING 'XY' FROM 3 FOR 4)") == "abXY")
+    assert(s("overlay('abcdef' PLACING 'Z' FROM 1 FOR 1)") == "Zbcdef")
+    assert(s("overlay('abcdef' PLACING 'Z' FROM 6 FOR 1)") == "abcdeZ")
+    assert(s("overlay('abcdef' PLACING 'XY' FROM 1 FOR 6)") == "XY")
+    assert(s("overlay('abcdef' PLACING '' FROM 3 FOR 2)") == "abef")
+    assert(s("overlay('' PLACING 'abc' FROM 1)") == "abc")
+    assert(s("overlay('abc' PLACING 'XY' FROM 10)") == "abcXY")
+    assert(s("overlay('abc' PLACING 'Z' FROM 2 FOR 100)") == "aZ")
+
+    // toUUIDBytes/fromUUIDBytes mixed-case (:242-248)
+    assert(s("fromUUIDBytes(toUUIDBytes('550E8400-E29B-41D4-A716-446655440000'))") ==
+      "550e8400-e29b-41d4-a716-446655440000")
   }
 }

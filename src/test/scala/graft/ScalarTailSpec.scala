@@ -93,7 +93,8 @@ class ScalarTailSpec extends SparkSpec {
     assert(one("isValidAscii('plain')") == true)
     assert(one("isValidAscii('naïve')") == false)
     assert(one("prefixes('abc')") == Seq("a", "ab", "abc"))
-    assert(one("suffixes('abc')") == Seq("abc", "bc", "c"))
+    // reference order: shortest suffix first (StringFunctions.java:470)
+    assert(one("suffixes('abc')") == Seq("c", "bc", "abc"))
     assert(one("startsWithCaseInsensitive('Hello', 'he')") == true)
     assert(one("difference('Smith', 'Smyth')") == 4)
   }
