@@ -862,6 +862,45 @@ object FunctionQueries {
             AS has_var_1x
         FROM documents ORDER BY doc_id""")),
 
+    // Config-driven CLP-log ingest (sources/ClpLogIngest.scala;
+    // reference pinot-clp-log CLPLogRecordExtractor): the decoder-prop
+    // config names the fields to CLP-encode and the extractor lands the
+    // <f>_logtype/_dictionaryVars/_encodedVars triple at ingest — the
+    // query reads the config-ingested layout (original field dropped by
+    // removeProcessedFields) and proves the triple round-trips and
+    // classifies like q_fn_clp's hand-written projection.
+    GQuery("q_clp_ingest",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val clp = graft.functions.ClpFunctions
+        val cfg = graft.sources.ClpLogIngest.fromProps(Map(
+          "stream.kafka.decoder.prop.fieldsForClpEncoding" -> "text",
+          "stream.kafka.decoder.prop.removeProcessedFields" -> "true",
+          "stream.kafka.decoder.prop.topicNameDestinationColumn" -> "src_topic"))
+        val ingested = graft.sources.ClpLogIngest
+          .extract(t.documents, cfg, Some("docs-raw"))
+        // join the decoded message back to the source to assert the
+        // round trip without keeping the original column in the layout
+        val decoded = ingested.select(col("doc_id"), col("src_topic"),
+          clp.clpDecode(col("text_logtype"), col("text_dictionaryVars"),
+            col("text_encodedVars")).as("back"),
+          size(col("text_dictionaryVars")).as("n_dict"),
+          size(col("text_encodedVars")).as("n_enc"))
+        decoded.join(t.documents.select(col("doc_id"), col("text")), "doc_id")
+          .select(col("doc_id"), col("src_topic"),
+            (col("back") === col("text")).as("roundtrip_ok"),
+            col("n_dict"), col("n_enc"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id, 'docs-raw' AS src_topic,
+          TRUE AS roundtrip_ok,
+          len(list_filter(string_split(text, ' '),
+            t -> regexp_matches(t, '[0-9]')
+             AND NOT regexp_full_match(t, '-?[0-9]{1,18}'))) AS n_dict,
+          len(list_filter(string_split(text, ' '),
+            t -> regexp_full_match(t, '-?[0-9]{1,18}'))) AS n_enc
+        FROM documents ORDER BY doc_id""")),
+
     // Character n-grams (scalar/string/NgramFunctions.java) + the
     // concatWs/regexpLike spelling aliases — n-grams sorted in both
     // engines so set equality is order-independent.
