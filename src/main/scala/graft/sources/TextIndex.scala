@@ -306,4 +306,41 @@ object TextIndex {
 
   private[graft] def lookup(table: String, textCol: String): Option[Entry] =
     Option(reg.get((table.toLowerCase, textCol.toLowerCase)))
+
+  /** Broker bring-up warmer — the analog of Lucene warming its index
+    * reader at segment LOAD so the first query doesn't pay it
+    * (reference `RealtimeLuceneTextIndex` readers are opened and
+    * primed when the segment comes online, not on query one). A cold
+    * JVM pays whole-stage-codegen compilation (~300-800 ms per
+    * distinct generated-code shape) plus first-touch scan bring-up on
+    * each of the three jobs a served TEXT_MATCH runs: the batched
+    * dictionary resolution, the posting lookup, and the fact-table
+    * IN-list serve scan. All three shapes are QUERY-INDEPENDENT:
+    * `IN` past the 10-literal InSet conversion threshold generates the
+    * same code for 12 ids as for 50,000, so one throwaway pass here
+    * compiles exactly what the first real query will run.
+    *
+    * Costs one small artifact scan + one pruned fact scan (the 12
+    * impossible ids push into the parquet row-group stats, so the
+    * fact pass reads footers, not data). Call after `register` at
+    * session bring-up; never required for correctness. */
+  def prewarm(table: String, textCol: String, corpus: DataFrame): Unit =
+    lookup(table, textCol).foreach { entry =>
+      import org.apache.spark.sql.functions.col
+      try {
+        // 1+2: candidate-resolution shapes (dictionary aggregate pass,
+        // token fetch pass, posting lookup) — a two-term AND with a
+        // prefix leaf covers every batched-resolution branch
+        graft.functions.TextMatch.candidateIds(
+          "zqxwv AND zq*", entry.model.dict, entry.model.postings,
+          opts = entry.opts).foreach(_._1.limit(2).collect())
+        // 3: serve shape — InSet filter + re-verify predicate over the
+        // fact scan; ids chosen impossible so row-group stats prune
+        val ids = (1 to 12).map(i => Long.MinValue + i)
+        corpus.filter(col(entry.idCol).isin(ids: _*) &&
+            graft.functions.TextMatch.textMatch(col(textCol), "zqxwv"))
+          .count()
+        ()
+      } catch { case scala.util.control.NonFatal(_) => () }
+    }
 }

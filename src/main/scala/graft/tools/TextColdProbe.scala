@@ -27,6 +27,8 @@ object TextColdProbe {
     time("facade init")(graft.sql.QueryFacade.init(spark, sfDir))
     time("register")(graft.sources.TextIndex.register(
       "documents", t.documents, "doc_id", "text"))
+    time("prewarm")(graft.sources.TextIndex.prewarm(
+      "documents", "text", t.documents))
     val entry = graft.sources.TextIndex.lookup("documents", "text").get
     val q = "query AND \"column key\" AND filter*"
     val cand = time("candidateIds plan")(

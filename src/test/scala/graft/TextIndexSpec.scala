@@ -139,6 +139,27 @@ class TextIndexSpec extends SparkSpec {
     } finally TextIndex.clear()
   }
 
+  test("prewarm compiles the serving shapes without changing answers") {
+    graft.sql.QueryFacade.init(spark, sf)
+    TextIndex.register("documents", t.documents, "doc_id", "text")
+    try {
+      // bring-up warmer runs its throwaway passes silently …
+      TextIndex.prewarm("documents", "text", t.documents)
+      // … and an unregistered column is a no-op, never an error
+      TextIndex.prewarm("documents", "nope", t.documents)
+      val q = "query AND \"the stream\""
+      val served = graft.sql.QueryFacade.sql(spark,
+        s"SET explicitLimit = true; SELECT doc_id FROM documents " +
+          s"WHERE TEXT_MATCH(text, '$q') ORDER BY doc_id")
+      assert(served.queryExecution.executedPlan.toString
+        .linesIterator.exists(l =>
+          l.contains("PushedFilters") && l.contains("In(doc_id")),
+        "index serving must survive prewarm")
+      assert(served.collect().map(_.getLong(0)).toSeq ==
+        scanIds(q).toSeq.sorted)
+    } finally TextIndex.clear()
+  }
+
   test("multi-source statements serve the index when ownership is provable") {
     graft.sql.QueryFacade.init(spark, sf)
     TextIndex.register("documents", t.documents, "doc_id", "text")
