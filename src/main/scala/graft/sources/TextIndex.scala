@@ -328,6 +328,12 @@ object TextIndex {
     lookup(table, textCol).foreach { entry =>
       import org.apache.spark.sql.functions.col
       try {
+        // 0: artifact bring-up — one full pass over the dictionary and
+        // postings warms their parquet page reads (the artifacts are
+        // orders of magnitude smaller than the corpus), so the first
+        // real candidate resolution pays plan time only
+        entry.model.dict.count()
+        entry.model.postings.count()
         // 1+2: candidate-resolution shapes (dictionary aggregate pass,
         // token fetch pass, posting lookup) — a two-term AND with a
         // prefix leaf covers every batched-resolution branch
@@ -335,11 +341,16 @@ object TextIndex {
           "zqxwv AND zq*", entry.model.dict, entry.model.postings,
           opts = entry.opts).foreach(_._1.limit(2).collect())
         // 3: serve shape — InSet filter + re-verify predicate over the
-        // fact scan; ids chosen impossible so row-group stats prune
-        val ids = (1 to 12).map(i => Long.MinValue + i)
-        corpus.filter(col(entry.idCol).isin(ids: _*) &&
-            graft.functions.TextMatch.textMatch(col(textCol), "zqxwv"))
-          .count()
+        // fact scan, driven by REAL ids so one row group's data pages
+        // are actually decoded (an impossible-id pass prunes to footer
+        // reads and leaves the first real scan paying full first-touch
+        // cost); 12 ids keeps the read to roughly one row group
+        val ids = corpus.select(col(entry.idCol)).limit(12)
+          .collect().map(_.get(0))
+        if (ids.nonEmpty)
+          corpus.filter(col(entry.idCol).isin(ids.toIndexedSeq: _*) &&
+              graft.functions.TextMatch.textMatch(col(textCol), "zqxwv"))
+            .count()
         ()
       } catch { case scala.util.control.NonFatal(_) => () }
     }
