@@ -47,6 +47,67 @@ object CompatJvm {
       try java.lang.Long.valueOf(java.time.Duration.parse(p.toString).toMillis)
       catch { case _: RuntimeException => null }
 
+  /** Canonical dashed-lowercase UUID form — strict RFC 4122 dashed OR
+    * the dash-less 32-hex fallback (`UuidUtils.toBytes(String)`'s
+    * hex-bytes path, reference #18927); null when neither. One linear
+    * pass where the Column composition needed two rlikes plus a
+    * regexp_replace per USE SITE (the uuid scalar family re-embedded
+    * that subtree up to 8×, bloating codegen and per-row work). */
+  def uuidCanonical(u: UTF8String): UTF8String = {
+    if (u == null) return null
+    val in = u.toString
+    val hex: String =
+      if (in.length == 36) {
+        if (in.charAt(8) != '-' || in.charAt(13) != '-' ||
+            in.charAt(18) != '-' || in.charAt(23) != '-') return null
+        val b = new java.lang.StringBuilder(32)
+        var i = 0
+        while (i < 36) {
+          if (i != 8 && i != 13 && i != 18 && i != 23) b.append(in.charAt(i))
+          i += 1
+        }
+        b.toString
+      } else if (in.length == 32) in
+      else return null
+    var i = 0
+    while (i < 32) {
+      val c = hex.charAt(i)
+      val ok = (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f') ||
+        (c >= 'A' && c <= 'F')
+      if (!ok) return null
+      i += 1
+    }
+    val l = hex.toLowerCase
+    UTF8String.fromString(l.substring(0, 8) + "-" + l.substring(8, 12) +
+      "-" + l.substring(12, 16) + "-" + l.substring(16, 20) + "-" +
+      l.substring(20))
+  }
+
+  /** Epoch millis from a time-based UUID (UuidUtils.getTimestampMillis,
+    * `UuidUtils.java:330-351`): v1 Gregorian 100-ns split across
+    * time_low/mid/high, v6 RFC 9562 reordered Gregorian, v7 Unix millis
+    * in the top 48 MSB bits; null otherwise (the reference throws). */
+  def uuidTimestampMillis(u: UTF8String): java.lang.Long = {
+    val c = uuidCanonical(u)
+    if (c == null) return null
+    val id = java.util.UUID.fromString(c.toString)
+    val msb = id.getMostSignificantBits
+    def greg(ts100ns: Long): java.lang.Long =
+      java.lang.Long.valueOf((ts100ns - 122192928000000000L) / 10000L)
+    id.version match {
+      case 1 =>
+        val ts = ((msb & 0x0FFFL) << 48) | (((msb >>> 16) & 0xFFFFL) << 32) |
+          (msb >>> 32)
+        greg(ts)
+      case 6 =>
+        val ts = ((msb >>> 32) << 28) | (((msb >>> 16) & 0xFFFFL) << 12) |
+          (msb & 0x0FFFL)
+        greg(ts)
+      case 7 => java.lang.Long.valueOf(msb >>> 16)
+      case _ => null
+    }
+  }
+
   /** Reference StringFunctions.initcap (`StringFunctions.java:82-104`):
     * capitalize after ANY whitespace (Character.isWhitespace — tabs,
     * newlines, CRs), lowercase everything else. Spark's builtin initcap

@@ -96,20 +96,14 @@ object NetFunctions {
 
   // ——— UUID scalars (reference scalar/uuid/) ———
 
-  private val uuidRe =
-    "^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}$"
-  private val uuidDashlessRe = "^[0-9a-fA-F]{32}$"
-
   /** Canonical dashed-lowercase form of a UUID string: the strict RFC
     * 4122 dashed form OR the dash-less 32-hex fallback
     * (`UuidUtils.toBytes(String)`'s hex-bytes path, reference #18927);
-    * null when neither. */
-  def uuidCanonical(u: Column): Column = {
-    val hex = lower(regexp_replace(u, "-", ""))
-    when(u.rlike(uuidRe) || u.rlike(uuidDashlessRe),
-      concat_ws("-", substring(hex, 1, 8), substring(hex, 9, 4),
-        substring(hex, 13, 4), substring(hex, 17, 4), substring(hex, 21, 12)))
-  }
+    * null when neither. A single StaticInvoke node — the Column
+    * composition this replaces embedded two rlikes + a regexp_replace
+    * per use site and the uuid family re-embeds it heavily. */
+  def uuidCanonical(u: Column): Column =
+    CompatAliases.jvmCall("uuidCanonical", StringType, u)
 
   /** IsUuidScalarFunction.java:50 — dashed or dash-less hex form. */
   def isUuid(u: Column): Column = coalesce(uuidCanonical(u).isNotNull, lit(false))
@@ -139,29 +133,8 @@ object NetFunctions {
     * v1 (Gregorian 100-ns split across time_low/mid/high), v6 (RFC 9562
     * reordered Gregorian), v7 (upper 48 MSB bits are Unix millis);
     * null for every other version (the reference throws). */
-  def uuidTimestamp(u: Column): Column = {
-    val c = uuidCanonical(u)
-    def hx(pos: Int, len: Int): Column =
-      conv(substring(c, pos, len), 16, 10).cast(LongType)
-    // v1 MSB hex layout: time_low(1..8) time_mid(10..13) ver(15) time_hi(16..18)
-    val v1Ts = conv(concat(
-      substring(c, 16, 3), substring(c, 10, 4), substring(c, 1, 8)),
-      16, 10).cast(LongType)
-    // v6: gregorian = (time_high32 << 28) | (time_mid16 << 12) | time_low12
-    val v6Ts = hx(1, 8) * lit(268435456L) + hx(10, 4) * lit(4096L) + hx(16, 3)
-    // v7: unix ms = top 48 bits of the MSB
-    val v7Ms = conv(concat(substring(c, 1, 8), substring(c, 10, 4)),
-      16, 10).cast(LongType)
-    val ver = uuidVersion(u)
-    // integral `div` truncates toward zero (Java long division) —
-    // matches the reference's long arithmetic for pre-epoch values
-    def greg(ts: Column): Column =
-      call_function("div", ts - lit(122192928000000000L), lit(10000L))
-    when(ver === 1, greg(v1Ts))
-      .when(ver === 6, greg(v6Ts))
-      .when(ver === 7, v7Ms)
-      .otherwise(lit(null).cast(LongType))
-  }
+  def uuidTimestamp(u: Column): Column =
+    CompatAliases.jvmCall("uuidTimestampMillis", LongType, u)
 }
 
 /** Pure-JVM IP parsing shared by eval and codegen — handles IPv4 and
