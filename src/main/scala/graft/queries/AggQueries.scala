@@ -219,6 +219,46 @@ object AggQueries {
           MAX(CASE WHEN rn_first = 1 THEN value END) AS first_value
         FROM r GROUP BY user_id ORDER BY user_id""")),
 
+    // EXPRMIN/EXPRMAX tie-ROW semantics through the facade rewrite
+    // (ExprMinMaxAggregationFunction + ParentAggregationResultRewriter):
+    // every extreme row returns, sibling aggregates repeat on each.
+    // Scale: the RANK()=1 windows plan with a PARTIAL WindowGroupLimit
+    // below the exchange (InferWindowGroupLimit), so only per-partition
+    // rank-1 candidates shuffle — measured faster than a
+    // min(struct)+join two-scan rewrite at 100× (ExprMinMaxScaleProbe).
+    GQuery("q_agg_exprminmax",
+      (s, dir) => {
+        graft.sql.QueryFacade.init(s, dir)
+        graft.sql.QueryFacade.sql(s,
+          """SET explicitLimit = true;
+             SELECT l_returnflag, count(*), exprmin(l_orderkey, l_extendedprice)
+             FROM lineitem GROUP BY l_returnflag""")
+          .withColumnRenamed("count(*)", "n")
+          .withColumnRenamed("exprmin(l_orderkey,l_extendedprice)", "argmin_okey")
+      },
+      Some("""WITH r AS (SELECT l_returnflag, l_orderkey,
+          RANK() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice) AS rk
+          FROM lineitem),
+        b AS (SELECT l_returnflag, count(*) AS n FROM lineitem GROUP BY 1)
+        SELECT r.l_returnflag, b.n, r.l_orderkey AS argmin_okey
+        FROM r JOIN b USING (l_returnflag) WHERE rk = 1""")),
+
+    // Global (no GROUP BY) exprMax: the unpartitioned RANK()=1 window
+    // looks like a single-partition sort but is NOT — Catalyst's
+    // InferWindowGroupLimit inserts a partial per-partition group
+    // limit, so only each partition's rank-1 candidates reach the
+    // final window (verified in the executed plan + 100× probe).
+    GQuery("q_agg_exprminmax_global",
+      (s, dir) => {
+        graft.sql.QueryFacade.init(s, dir)
+        graft.sql.QueryFacade.sql(s,
+          """SET explicitLimit = true;
+             SELECT exprmax(o_orderkey, o_totalprice) FROM orders""")
+          .withColumnRenamed("exprmax(o_orderkey,o_totalprice)", "argmax_okey")
+      },
+      Some("""SELECT o_orderkey AS argmax_okey FROM orders
+        WHERE o_totalprice = (SELECT max(o_totalprice) FROM orders)""")),
+
     // Variance/stddev/covariance/correlation (:146-155). Rounded: exact
     // cross-engine float noise is ~1e-12 relative, far from round(4) edges.
     GQuery("q_agg_stats",
