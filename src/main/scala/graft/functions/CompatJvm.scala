@@ -108,6 +108,52 @@ object CompatJvm {
     }
   }
 
+  /** Reference DateTimePatternHandler.parseDateTimeStringToEpochMillis
+    * (`DateTimePatternHandler.java` + DateTimePatternHandlerTest): parse
+    * a datetime string with an explicit zone. Contracts pinned by the
+    * upstream suite: an explicit offset token in the pattern wins over
+    * the zone argument (never double-adjusted); a wall-clock time
+    * inside a DST spring-forward gap resolves leniently forward by the
+    * gap length (java.time ZonedDateTime gap semantics match joda's
+    * convertLocalToUTC(strict=false)); a date-only string lands on the
+    * first valid instant of the day (atStartOfDay handles a
+    * midnight-gap zone like Cairo 2010-04-30). Parse failures —
+    * including out-of-range fields, where the reference throws — yield
+    * null under the family-wide column null contract. */
+  def fromDateTimeZoned(s: UTF8String, pat: UTF8String,
+      zone: UTF8String): java.lang.Long = {
+    if (s == null || pat == null) return null
+    try {
+      val zid = java.time.ZoneId.of(
+        if (zone == null) "UTC" else zone.toString)
+      val fmt = java.time.format.DateTimeFormatter
+        .ofPattern(pat.toString, java.util.Locale.ENGLISH)
+      val ta = fmt.parse(s.toString)
+      import java.time.temporal.ChronoField._
+      val millis =
+        if (ta.isSupported(INSTANT_SECONDS))
+          java.time.Instant.from(ta).toEpochMilli
+        else if (ta.isSupported(HOUR_OF_DAY))
+          java.time.LocalDateTime.from(ta).atZone(zid).toInstant.toEpochMilli
+        else
+          java.time.LocalDate.from(ta).atStartOfDay(zid).toInstant.toEpochMilli
+      java.lang.Long.valueOf(millis)
+    } catch { case _: RuntimeException => null }
+  }
+
+  /** Reference DateTimeFunctions.toDateTime(millis, pattern, zone) —
+    * format epoch millis as a wall-clock string in the given zone. */
+  def toDateTimeZoned(ms: java.lang.Long, pat: UTF8String,
+      zone: UTF8String): UTF8String = {
+    if (ms == null || pat == null || zone == null) return null
+    try UTF8String.fromString(
+      java.time.format.DateTimeFormatter
+        .ofPattern(pat.toString, java.util.Locale.ENGLISH)
+        .withZone(java.time.ZoneId.of(zone.toString))
+        .format(java.time.Instant.ofEpochMilli(ms)))
+    catch { case _: RuntimeException => null }
+  }
+
   /** Reference StringFunctions.initcap (`StringFunctions.java:82-104`):
     * capitalize after ANY whitespace (Character.isWhitespace — tabs,
     * newlines, CRs), lowercase everything else. Spark's builtin initcap

@@ -181,10 +181,22 @@ object PinotFunctions {
     "fromepochmillis" -> { case Seq(v) => timestamp_millis(v.cast(LongType)) },
     "toepochseconds" -> { case Seq(ts) => unix_seconds(ts.cast(TimestampType)) },
     "toepochmillis" -> { case Seq(ts) => unix_millis(ts.cast(TimestampType)) },
-    "todatetime" -> { case Seq(ms, pat) =>
-      date_format(timestamp_millis(ms.cast(LongType)), ex(pat).eval().toString) },
-    "fromdatetime" -> { case Seq(s, pat) =>
-      unix_millis(to_timestamp(s, ex(pat).eval().toString).cast(TimestampType)) },
+    "todatetime" -> {
+      case Seq(ms, pat) =>
+        date_format(timestamp_millis(ms.cast(LongType)), ex(pat).eval().toString)
+      case Seq(ms, pat, zone) => CompatAliases.jvmCall("toDateTimeZoned",
+        StringType, ms.cast(LongType), pat, zone) },
+    // 3/4-arg forms take a zone id and a parse-failure default
+    // (DateTimePatternHandler; DST-gap + offset-token contracts pinned
+    // by DateTimePatternHandlerTest — see CompatJvm.fromDateTimeZoned)
+    "fromdatetime" -> {
+      case Seq(s, pat) =>
+        unix_millis(to_timestamp(s, ex(pat).eval().toString).cast(TimestampType))
+      case Seq(s, pat, zone) =>
+        CompatAliases.jvmCall("fromDateTimeZoned", LongType, s, pat, zone)
+      case Seq(s, pat, zone, dflt) =>
+        coalesce(CompatAliases.jvmCall("fromDateTimeZoned", LongType,
+          s, pat, zone), dflt.cast(LongType)) },
     "yearofweek" -> { case Seq(ts) => expr(s"extract(YEAROFWEEK FROM ${ex(ts).sql})") },
     "millisecond" -> { case Seq(ts) => (expr(s"extract(SECONDS FROM ${ex(ts).sql})") * 0 +
       date_format(ts, "SSS").cast(IntegerType)) },
@@ -881,6 +893,27 @@ object PinotFunctions {
     // whitespace where Spark's only breaks on ' '
     // (StringFunctions.java:82-104); soundex('') is the SQL-standard
     // '0000' fallback where Spark returns '' (:929-937).
+    // regexp_like gains the reference's 3-arg match-parameter form
+    // (RegexpPatternConverterUtils.isCaseInsensitive; exercised by
+    // IFSTBasedRegexpLikeQueriesTest) — Spark's builtin is 2-arg only
+    reg.createOrReplaceTempFunction("regexp_like",
+      fn({
+        // non-literal patterns keep the builtin's per-row RLike
+        case Seq(s, p) => ColumnBridge.column(
+          org.apache.spark.sql.catalyst.expressions.RLike(ex(s), ex(p)))
+        case Seq(s, p, flags) =>
+          val mp = ex(flags).eval().toString
+          if (mp.length != 1) throw new IllegalArgumentException(
+            s"Match parameter must be exactly one character: '$mp'")
+          val pat = mp match {
+            case "i" | "I" => concat(lit("(?i)"), p)
+            case "c" | "C" => p
+            case other => throw new IllegalArgumentException(
+              s"Unsupported match parameter: '$other'")
+          }
+          ColumnBridge.column(
+            org.apache.spark.sql.catalyst.expressions.RLike(ex(s), ex(pat)))
+      }), "built-in")
     reg.createOrReplaceTempFunction("initcap",
       fn({ case Seq(s) =>
         CompatAliases.jvmCall("initcap", StringType, s) }), "built-in")

@@ -652,9 +652,21 @@ object ScalarTail {
     b += "concatws" -> { case cs => concat_ws(str(cs.head), cs.tail: _*) }
     b += "regexplike" -> {
       case Seq(s, p) => s.rlike(str(p))
-      case Seq(s, p, flags) => // match-parameters form (i = case-insensitive)
-        when(lit(str(flags).contains("i")),
-          upper(s).rlike(str(p).toUpperCase)).otherwise(s.rlike(str(p)))
+      case Seq(s, p, flags) =>
+        // match-parameter contract (RegexpPatternConverterUtils
+        // .isCaseInsensitive): exactly one char, i/I insensitive,
+        // c/C sensitive, anything else is an error; insensitivity via
+        // the (?i) embedded flag — upper-casing the pattern would
+        // corrupt escape classes (\d → \D)
+        val mp = str(flags)
+        if (mp.length != 1) throw new IllegalArgumentException(
+          s"Match parameter must be exactly one character: '$mp'")
+        mp match {
+          case "i" | "I" => s.rlike("(?i)" + str(p))
+          case "c" | "C" => s.rlike(str(p))
+          case other => throw new IllegalArgumentException(
+            s"Unsupported match parameter: '$other'")
+        }
     }
     // non-literal (variable) pattern variant — Spark's regexp_replace
     // accepts column patterns natively

@@ -853,6 +853,32 @@ class FixtureReplaySpec extends SparkSpec {
     assert(cnt("REGEXP_LIKE(DOMAIN_NAMES, 'www.domain1.co\\\\..*')" +
       " AND REGEXP_LIKE(URL_COL, '.*/b')" +
       " AND REGEXP_LIKE(NO_INDEX_COL, 'test1')", "fst_testtable2") == 24)
+
+    // IFSTBasedRegexpLikeQueriesTest.java:36-77 — the IFST
+    // (case-insensitive FST) variant: UPPERCASE patterns with the 'i'
+    // match parameter over the same corpus, served from the same
+    // dictionary (graft's index evaluates (?i)-prefixed rlike over the
+    // value dictionary; the reference builds a separate IFST artifact)
+    assert(cnt("REGEXP_LIKE(DOMAIN_NAMES, 'WWW.DOMAIN1.*', 'i')") == 256)
+    assert(top5("REGEXP_LIKE(DOMAIN_NAMES, 'WWW.DOMAIN1.*', 'i')") == Seq(
+      (1000, "www.domain1.com/a"), (1001, "www.domain1.co.ab/b"),
+      (1002, "www.domain1.co.bc/c"), (1003, "www.domain1.co.cd/d"),
+      (1016, "www.domain1.com/a")))
+    val gi = groups("SELECT DOMAIN_NAMES, count(*) AS n FROM fst_testtable" +
+      " WHERE REGEXP_LIKE(DOMAIN_NAMES, 'WWW.DOMAIN1.*', 'i')" +
+      " GROUP BY DOMAIN_NAMES LIMIT 5000")
+    assert(gi == Map("www.domain1.com" -> 64L, "www.domain1.co.ab" -> 64L,
+      "www.domain1.co.bc" -> 64L, "www.domain1.co.cd" -> 64L))
+    val gi2 = groups("SELECT URL_COL, count(*) AS n FROM fst_testtable" +
+      " WHERE REGEXP_LIKE(URL_COL, '.*/A', 'i')" +
+      " AND REGEXP_LIKE(NO_INDEX_COL, 'test1', 'i')" +
+      " GROUP BY URL_COL LIMIT 5000")
+    assert(gi2("www.domain1.com/a") == 13L &&
+      gi2("www.sd.domain1.com/a") == 13L &&
+      gi2("www.domain2.com/a") == 13L && gi2("www.sd.domain2.com/a") == 13L)
+    // the 'c' (case-sensitive) parameter must NOT match the uppercase
+    // pattern against the lowercase corpus
+    assert(cnt("REGEXP_LIKE(DOMAIN_NAMES, 'WWW.DOMAIN1.*', 'c')") == 0)
     graft.sources.RegexpIndex.clear()
   }
 
@@ -3833,5 +3859,63 @@ class FixtureReplaySpec extends SparkSpec {
     // toUUIDBytes/fromUUIDBytes mixed-case (:242-248)
     assert(s("fromUUIDBytes(toUUIDBytes('550E8400-E29B-41D4-A716-446655440000'))") ==
       "550e8400-e29b-41d4-a716-446655440000")
+  }
+
+  test("reference datetime pattern handler: DST-gap + offset-token golds") {
+    // `pinot-common/.../function/DateTimePatternHandlerTest.java` —
+    // fromDateTime with an explicit zone. Expectations are constructed
+    // from explicit VALID local wall-clock times (the reference does
+    // the same with joda DateTime), so they track the JVM's tzdata
+    // rather than hard-coding epoch literals; the parse path under
+    // test resolves a DIFFERENT (gap or offset) input to them. The
+    // out-of-range contract (month 13) diverges by convention: the
+    // reference throws, graft's scalar family yields SQL NULL.
+    import java.time.{ZonedDateTime, ZoneId}
+    def zep(y: Int, mo: Int, d: Int, h: Int, mi: Int, z: String): Long =
+      ZonedDateTime.of(y, mo, d, h, mi, 0, 0, ZoneId.of(z))
+        .toInstant.toEpochMilli
+    def q(sel: String) = graft.sql.QueryFacade.sql(spark,
+      s"SELECT $sel AS v").head
+    def l(sel: String): Long = q(sel).getLong(0)
+
+    // Cairo sprang forward at 00:00 local 2010-04-30: date-only input
+    // lands on the first valid instant (01:00 EEST)
+    assert(l("fromDateTime('2010-04-30', 'yyyy-MM-dd', 'Africa/Cairo')") ==
+      zep(2010, 4, 30, 1, 0, "Africa/Cairo"))
+    // explicit gap-local time shifts forward by the gap length
+    assert(l("fromDateTime('2010-04-30 00:30:00', 'yyyy-MM-dd HH:mm:ss'," +
+      " 'Africa/Cairo')") == zep(2010, 4, 30, 1, 30, "Africa/Cairo"))
+    // default-value overload: a DST gap resolves, never defaults …
+    assert(l("fromDateTime('2010-04-30', 'yyyy-MM-dd', 'Africa/Cairo', -1)") ==
+      zep(2010, 4, 30, 1, 0, "Africa/Cairo"))
+    // … but truly malformed input falls through to the default
+    assert(l("fromDateTime('not-a-date', 'yyyy-MM-dd', 'UTC', -1)") == -1L)
+    // out-of-range month: reference throws; graft yields NULL (4-arg
+    // form degrades to the default)
+    assert(q("fromDateTime('2026-13-05', 'yyyy-MM-dd', 'UTC')").isNullAt(0))
+    // ordinary input in a DST zone is unaffected by gap handling
+    assert(l("fromDateTime('2026-05-15 12:00:00', 'yyyy-MM-dd HH:mm:ss'," +
+      " 'Africa/Cairo')") == zep(2026, 5, 15, 12, 0, "Africa/Cairo"))
+    // UTC (zoneless 2-arg form) unchanged
+    assert(l("fromDateTime('2026-04-24 00:00:00', 'yyyy-MM-dd HH:mm:ss')") ==
+      zep(2026, 4, 24, 0, 0, "UTC"))
+    // Western-hemisphere gap branch: Santiago 2024-09-08 00:00 gap
+    assert(l("fromDateTime('2024-09-08', 'yyyy-MM-dd', 'America/Santiago')") ==
+      zep(2024, 9, 8, 1, 0, "America/Santiago"))
+    // an explicit offset token in the pattern wins over the zone arg —
+    // never double-adjusted by the lenient fallback
+    assert(l("fromDateTime('2024-01-01T12:00:00+0500'," +
+      " 'yyyy-MM-dd''T''HH:mm:ssZ', 'Africa/Cairo')") ==
+      zep(2024, 1, 1, 7, 0, "UTC"))
+    // Lord Howe's 30-minute gap: 02:15 shifts to 02:45 +11:00
+    assert(l("fromDateTime('2010-10-03 02:15:00', 'yyyy-MM-dd HH:mm:ss'," +
+      " 'Australia/Lord_Howe')") ==
+      ZonedDateTime.of(2010, 10, 3, 2, 45, 0, 0,
+        ZoneId.of("Australia/Lord_Howe")).toInstant.toEpochMilli)
+    // round trip: toDateTime with a zone renders the gap-resolved
+    // instant back as its post-gap wall-clock time
+    assert(q("toDateTime(fromDateTime('2010-04-30', 'yyyy-MM-dd'," +
+      " 'Africa/Cairo'), 'yyyy-MM-dd HH:mm:ss', 'Africa/Cairo')")
+      .getString(0) == "2010-04-30 01:00:00")
   }
 }
