@@ -70,8 +70,10 @@ object BatchIngest {
           org.apache.spark.sql.types.StructType.fromDDL(schemaDdl.getOrElse(
             throw new IllegalArgumentException("bson needs an explicit schema"))))
       case "arrow" => ArrowIngest.read(spark, path)
+      case "avro" => AvroJsonIngest.read(spark, path, Set.empty)
       // protobuf / thrift need a descriptor set / struct schema beyond a
-      // DDL string — use WireProto.read / WireThrift.read directly
+      // DDL string — use WireProto.read / WireThrift.read directly;
+      // avro with JSON destination columns → AvroJsonIngest.read
       case other => r.format(other).load(path)
     }
   }
