@@ -101,6 +101,44 @@ class ClpLogIngestSpec extends SparkSpec {
     assert(nulls.getBoolean(0) && nulls.getBoolean(1) && nulls.getBoolean(2))
   }
 
+  test("stream decoder shape: kafka-value JSON -> configured fields CLP-encoded (CLPLogMessageDecoder)") {
+    // the reference's CLPLogMessageDecoder parses the record body as
+    // JSON and hands the map to the extractor; here: MemoryStream with
+    // the kafka record shape -> from_json -> ClpLogIngest.extract.
+    // The extractor is a pure projection, so it is streaming-legal.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.types._
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Array[Byte]]
+    val cfg = ClpLogIngest.fromProps(Map(
+      "stream.kafka.decoder.prop.fieldsForClpEncoding" -> "message",
+      "stream.kafka.decoder.prop.removeProcessedFields" -> "true",
+      "topicNameDestinationColumn" -> "topic"))
+    val parsed = mem.toDF().toDF("value")
+      .select(from_json(col("value").cast("string"),
+        StructType(Seq(StructField("level", StringType),
+          StructField("message", StringType)))).as("j"))
+      .select(col("j.level").as("level"), col("j.message").as("message"))
+    val decoded = ClpLogIngest.extract(parsed, cfg, Some("logs-raw"))
+    val q = decoded.writeStream.format("memory").queryName("clp_stream")
+      .outputMode("append").start()
+    mem.addData("""{"level":"INFO","message":"Task 42 took 7 ms"}"""
+      .getBytes("UTF-8"))
+    q.processAllAvailable()
+    val got = spark.table("clp_stream").collect()
+    q.stop()
+    assert(got.length == 1)
+    val r = got.head
+    assert(r.getAs[String]("level") == "INFO")
+    assert(r.getAs[String]("topic") == "logs-raw")
+    assert(!got.head.schema.fieldNames.contains("message"))
+    // triple round-trips through clpDecode
+    val back = decoded.sparkSession.createDataFrame(
+        java.util.List.of(r), r.schema)
+      .select(decodeOf("message").as("b")).collect().head.getString(0)
+    assert(back == "Task 42 took 7 ms")
+  }
+
   test("fromProps parses the reference decoder-prop surface (CLPLogRecordExtractorConfig.init)") {
     val cfg = ClpLogIngest.fromProps(Map(
       "stream.kafka.decoder.prop.fieldsForClpEncoding" -> "message,logPath",
