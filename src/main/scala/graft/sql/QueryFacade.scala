@@ -1584,6 +1584,14 @@ object QueryFacade {
           s"${otherExpr(o)} AS __emm_a$j" }.mkString(", ") +
         s" FROM __emm_src" +
         (if (keys.isEmpty) "" else s" GROUP BY $keyList") + ")")
+    // single grouped parent: the iter spine is an identity (rn values
+    // are distinct within a group by construction), so reading the
+    // parent directly skips one full window+sort evaluation and the
+    // left-outer self-join; grouped-empty input yields zero rows from
+    // the parent itself. The global shape keeps the spine for its
+    // empty-input null-row guard.
+    val singleParent = parentKeys.size == 1 && keys.nonEmpty
+    val spine = if (singleParent) "__emm_p0" else "__emm_iter"
     val selItems = dedupedItems.map { it =>
       if (exprTexts(it)) {
         val c = calls.find(_.text == it).get
@@ -1592,20 +1600,21 @@ object QueryFacade {
         s"__emm_p$p.__emm_p${p}c$j AS ${c.alias}"
       } else if (others.contains(it))
         s"__emm_b.__emm_a${others.indexOf(it)} AS ${otherAlias(it)}"
-      else s"__emm_iter.$it"
+      else s"$spine.$it"
     }.mkString(", ")
-    val joins = new StringBuilder("__emm_iter")
+    val joins = new StringBuilder(spine)
     base.foreach { _ =>
       joins.append(
         if (keys.isEmpty) " CROSS JOIN __emm_b"
-        else s" JOIN __emm_b ON ${keyEq("__emm_iter", "__emm_b")}")
+        else s" JOIN __emm_b ON ${keyEq(spine, "__emm_b")}")
     }
-    parentKeys.indices.foreach { p =>
+    if (!singleParent) parentKeys.indices.foreach { p =>
       val on = s"__emm_p$p.__emm_rn = __emm_iter.__emm_rn" +
         (if (keys.isEmpty) "" else s" AND ${keyEq("__emm_iter", s"__emm_p$p")}")
       joins.append(s" LEFT JOIN __emm_p$p ON $on")
     }
-    s"WITH $src, ${parentCtes.mkString(", ")}, $iter" +
+    s"WITH $src, ${parentCtes.mkString(", ")}" +
+      (if (singleParent) "" else s", $iter") +
       base.map(b => s", $b").getOrElse("") +
       s" SELECT $selItems FROM $joins$orderC$limitC"
   } catch { case scala.util.control.NonFatal(_) => stmt }
