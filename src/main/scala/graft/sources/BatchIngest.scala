@@ -2,6 +2,7 @@ package graft.sources
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
 
 /** Batch ingestion: read → record transforms → partitioned columnar
   * write, the Spark analog of Pinot's segment build pipeline.
@@ -32,6 +33,21 @@ object BatchIngest {
   final case class Sanitize(column: String, maxLength: Int = 512) extends Transform
   /** TimeValidationTransformer: null out timestamps outside valid range. */
   final case class ValidTime(column: String, min: String, max: String) extends Transform
+  /** ComplexTypeTransformer (`ComplexTypeTransformerTest` contract):
+    * struct columns flatten recursively to `parent<delim>child` names;
+    * arrays named in `fieldsToUnnest` explode (struct elements flatten
+    * to dotted columns with the ORIGINAL array kept, primitive elements
+    * replace the column; sibling unnests cross-product; nested names
+    * like `a.b` unnest after their parent); arrays NOT unnested follow
+    * `collectionNotUnnestedToJson`: NON_PRIMITIVE (default) renders
+    * arrays of structs as JSON strings, ALL renders every array, NONE
+    * leaves them. MapType columns (per-row dynamic keys) stay maps —
+    * the per-key shred analog is [[MapShred]]. */
+  final case class FlattenComplex(
+      fieldsToUnnest: Seq[String] = Nil,
+      delimiter: String = ".",
+      collectionNotUnnestedToJson: String = "NON_PRIMITIVE",
+      prefixesToRename: Map[String, String] = Map.empty) extends Transform
 
   def applyTransforms(df: DataFrame, transforms: Seq[Transform]): DataFrame =
     transforms.foldLeft(df) {
@@ -42,7 +58,84 @@ object BatchIngest {
       case (d, ValidTime(c, lo, hi)) => d.withColumn(c,
         when(col(c).between(lit(lo).cast("timestamp"), lit(hi).cast("timestamp")),
           col(c)))
+      case (d, f: FlattenComplex) => flattenComplex(d, f)
     }
+
+  private def bq(name: String) = col(s"`$name`")
+
+  /** One pass of recursive struct flattening: every StructType column
+    * explodes into `name<delim>field` columns (the struct column is
+    * consumed); repeats until no struct columns remain. */
+  private def flattenStructs(df0: DataFrame, delim: String): DataFrame = {
+    var df = df0
+    while (df.schema.fields.exists(_.dataType.isInstanceOf[StructType])) {
+      val sel = df.schema.fields.toSeq.flatMap { f =>
+        f.dataType match {
+          case st: StructType => st.fields.toSeq.map(sf =>
+            bq(f.name).getField(sf.name).as(f.name + delim + sf.name))
+          case _ => Seq(bq(f.name))
+        }
+      }
+      df = df.select(sel: _*)
+    }
+    df
+  }
+
+  private[sources] def flattenComplex(df0: DataFrame,
+      cfg: FlattenComplex): DataFrame = {
+    var df = flattenStructs(df0, cfg.delimiter)
+    // unnest in declaration order: a nested name (`a.b`) only exists
+    // after its parent's explode+flatten, so re-resolve per step
+    cfg.fieldsToUnnest.foreach { name =>
+      df.schema.fields.find(_.name == name).map(_.dataType) match {
+        case Some(ArrayType(et: StructType, _)) =>
+          // struct elements: keep the original array, add the exploded
+          // element's fields as dotted columns
+          val keep = df.columns.map(bq).toIndexedSeq
+          df = df.withColumn("__ctt_unnest", explode_outer(bq(name)))
+            .select(keep ++ et.fields.map(sf =>
+              col("__ctt_unnest").getField(sf.name)
+                .as(name + cfg.delimiter + sf.name)): _*)
+          df = flattenStructs(df, cfg.delimiter)
+        case Some(_: ArrayType) =>
+          // primitive elements replace the column under the same name
+          df = df.withColumn(name, explode_outer(bq(name)))
+        case _ => () // absent or not an array: no-op
+      }
+    }
+    // collectionNotUnnestedToJson over the remaining arrays
+    val unnested = cfg.fieldsToUnnest.toSet
+    val mode = cfg.collectionNotUnnestedToJson.toUpperCase
+    if (mode != "NONE") {
+      val sel = df.schema.fields.map { f =>
+        f.dataType match {
+          case ArrayType(et, _) if !unnested.contains(f.name) &&
+              (mode == "ALL" || et.isInstanceOf[StructType] ||
+                et.isInstanceOf[MapType] || et.isInstanceOf[ArrayType]) =>
+            to_json(bq(f.name)).as(f.name)
+          case _ => bq(f.name)
+        }
+      }
+      df = df.select(sel.toIndexedSeq: _*)
+    }
+    // prefixesToRename (renamePrefixes): longest-prefix rename pass;
+    // a rename that collides with an existing column is an error, as
+    // upstream
+    if (cfg.prefixesToRename.nonEmpty) {
+      val byLen = cfg.prefixesToRename.toSeq.sortBy(-_._1.length)
+      val renamed = df.columns.map { c =>
+        byLen.find { case (p, _) => c.startsWith(p) } match {
+          case Some((p, r)) => r + c.substring(p.length)
+          case None => c
+        }
+      }
+      require(renamed.distinct.length == renamed.length,
+        s"prefixesToRename produces duplicate column names: " +
+          renamed.diff(renamed.distinct).mkString(", "))
+      df = df.toDF(renamed.toIndexedSeq: _*)
+    }
+    df
+  }
 
   /** Read a batch input in any supported format (reference batch-
     * ingestion plugins: `pinot-batch-ingestion` + input-format plugins
