@@ -869,6 +869,36 @@ object FunctionQueries {
     // query reads the config-ingested layout (original field dropped by
     // removeProcessedFields) and proves the triple round-trips and
     // classifies like q_fn_clp's hand-written projection.
+    // Schema-conforming ingest (sources/SchemaConforming; reference
+    // SchemaConformingTransformer): the JSON record conforms to two
+    // declared dotted columns, the undeclared remainder lands in
+    // json_data, and the _noIndex-suffixed field in json_data_no_idx.
+    // The oracle reconstructs the conformed object byte-for-byte.
+    GQuery("q_schema_conform",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val k = get_json_object(col("props"), "$.k").cast("long")
+        val input = concat(lit("{\"event_type\":\""), col("event_type"),
+          lit("\",\"k_noIndex\":"), k,
+          lit(",\"nested\":{\"user\":"), col("user_id"),
+          lit(",\"k\":"), k, lit("}}"))
+        t.events.filter(col("event_id") <= 500)
+          .select(col("event_id"),
+            graft.sources.SchemaConforming.conform(input,
+              Map("event_type" -> false, "nested.user" -> false),
+              graft.sources.SchemaConforming.Config(
+                unindexableExtrasField = Some("json_data_no_idx"),
+                unindexableFieldSuffix = Some("_noIndex"))).as("conformed"))
+          .orderBy(col("event_id"))
+      },
+      Some("""SELECT event_id,
+          '{"event_type":"' || event_type || '","nested.user":' || user_id ||
+          ',"json_data":{"nested":{"k":' ||
+          CAST(json_extract(props, '$.k') AS BIGINT) ||
+          '}},"json_data_no_idx":{"k_noIndex":' ||
+          CAST(json_extract(props, '$.k') AS BIGINT) || '}}' AS conformed
+        FROM events WHERE event_id <= 500 ORDER BY event_id""")),
+
     GQuery("q_clp_ingest",
       (s, dir) => {
         val t = Tables(s, dir)
