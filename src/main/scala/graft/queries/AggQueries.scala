@@ -259,6 +259,33 @@ object AggQueries {
       Some("""SELECT o_orderkey AS argmax_okey FROM orders
         WHERE o_totalprice = (SELECT max(o_totalprice) FROM orders)""")),
 
+    // Query-BLOCK anchoring (round 11): exprmin inside a sub-select
+    // keeps tie-row semantics — the reference's
+    // ParentAggregationResultRewriter fires per query block, so
+    // `SELECT .. FROM (SELECT exprmin(..) ..)` must return every tied
+    // row, not the single-row min_by fallback. The facade recurses
+    // into parenthesized blocks (innermost first) instead of bailing
+    // on a second SELECT.
+    GQuery("q_agg_exprminmax_subq",
+      (s, dir) => {
+        graft.sql.QueryFacade.init(s, dir)
+        graft.sql.QueryFacade.sql(s,
+          """SET explicitLimit = true;
+             SELECT l_returnflag, argmin_okey FROM (
+               SELECT l_returnflag,
+                 exprmin(l_orderkey, l_extendedprice) AS argmin_okey
+               FROM lineitem GROUP BY l_returnflag)
+             WHERE l_returnflag <> 'X'
+             ORDER BY l_returnflag, argmin_okey""")
+      },
+      Some("""SELECT l_returnflag, argmin_okey FROM (
+          SELECT l_returnflag, l_orderkey AS argmin_okey,
+            RANK() OVER (PARTITION BY l_returnflag
+              ORDER BY l_extendedprice) AS rk
+          FROM lineitem) t
+        WHERE rk = 1 AND l_returnflag <> 'X'
+        ORDER BY l_returnflag, argmin_okey""")),
+
     // Variance/stddev/covariance/correlation (:146-155). Rounded: exact
     // cross-engine float noise is ~1e-12 relative, far from round(4) edges.
     GQuery("q_agg_stats",

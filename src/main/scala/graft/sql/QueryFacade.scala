@@ -1429,17 +1429,90 @@ object QueryFacade {
     * measuring arguments break ties LEXICOGRAPHICALLY and rows tied on
     * the FULL key all return (`testAggregationDedupe`). Spark resolves
     * this as RANK() = 1 over the measuring order — per group when
-    * GROUP BY keys are present. Supported shape: one exprMin/exprMax
-    * in the select list plus bare group keys; anything else (mixed
-    * aggregations, several expr calls — a presentation shape of the
-    * reference's result rewriter) falls back to the single-row
-    * min_by/max_by registration. */
+    * GROUP BY keys are present. Handled shapes per query block: one
+    * exprMin/exprMax plus bare group keys (single windowed RANK), and
+    * the MIXED shape (several expr calls and/or sibling aggregations —
+    * one parent CTE per distinct (kind, measures), NULL-padded to the
+    * longest tie block, siblings repeated per row). The rewrite
+    * anchors PER QUERY BLOCK, mirroring the reference's rewriter
+    * firing once per query context: every parenthesized sub-select /
+    * CTE body is rewritten independently (innermost first), so
+    * `SELECT * FROM (SELECT exprmin(..) FROM t)` keeps tie-row
+    * semantics instead of degrading to the single-row min_by
+    * registration. */
   private[graft] def rewriteExprMinMax(stmt: String): String = try {
+    if (!maskLiterals(stmt).toLowerCase.contains("expr")) stmt
+    else rewriteExprMinMaxBlocks(stmt)
+  } catch { case scala.util.control.NonFatal(_) => stmt }
+
+  /** Recurse into every top-level parenthesized group (bottom-up), then
+    * attempt the one-block shape on the residue with the rewritten
+    * groups spliced back in place. Groups whose masked text carries no
+    * SELECT (function argument lists) or no expr token (nothing to
+    * rewrite at any depth) are kept verbatim. */
+  private def rewriteExprMinMaxBlocks(stmt: String): String = {
+    val masked = maskLiterals(stmt)
+    val out = new StringBuilder
+    var last = 0
+    var depth = 0
+    var start = -1
+    var i = 0
+    while (i < stmt.length) {
+      masked.charAt(i) match {
+        case '(' =>
+          if (depth == 0) start = i
+          depth += 1
+        case ')' if depth > 0 =>
+          depth -= 1
+          if (depth == 0) {
+            val innerMasked = masked.substring(start + 1, i).toLowerCase
+            val inner = stmt.substring(start + 1, i)
+            out.append(stmt.substring(last, start + 1))
+            out.append(
+              if (innerMasked.contains("select") && innerMasked.contains("expr"))
+                rewriteExprMinMaxBlocks(inner)
+              else inner)
+            last = i
+          }
+        case _ =>
+      }
+      i += 1
+    }
+    out.append(stmt.substring(last))
+    rewriteExprMinMaxOneBlock(out.toString)
+  }
+
+  /** Blank paren-group interiors (length-preserving) so clause-keyword
+    * scans see only the block's own top-level FROM/WHERE/GROUP/ORDER. */
+  private def blankParens(masked: String): String = {
+    val sb = new StringBuilder(masked)
+    var depth = 0
+    var i = 0
+    while (i < sb.length) {
+      sb.charAt(i) match {
+        case '(' => depth += 1
+        case ')' => if (depth > 0) depth -= 1
+        case _ => if (depth > 0) sb.setCharAt(i, ' ')
+      }
+      i += 1
+    }
+    sb.toString
+  }
+
+  private def rewriteExprMinMaxOneBlock(stmt: String): String = try {
     val masked = maskLiterals(stmt)
     val low = masked.toLowerCase
     if (!low.contains("expr")) return stmt
-    if (low.indexOf("select", low.indexOf("select") + 1) >= 0) return stmt
-    val m = ExprMinMaxShape.findFirstMatchIn(masked).getOrElse(return stmt)
+    // clause slicing keys off the block's own top level only — a
+    // sub-select inside WHERE (already rewritten by the block
+    // recursion) must not donate its GROUP BY/ORDER BY to this block
+    val shaped = blankParens(masked)
+    val shapedLow = shaped.toLowerCase
+    val firstSel = shapedLow.indexOf("select")
+    if (firstSel < 0) return stmt
+    // two top-level SELECTs = a set operation; not a single block
+    if (shapedLow.indexOf("select", firstSel + 1) >= 0) return stmt
+    val m = ExprMinMaxShape.findFirstMatchIn(shaped).getOrElse(return stmt)
     def slice(i: Int): String =
       if (m.group(i) == null) "" else stmt.substring(m.start(i), m.end(i))
     val items = splitTopLevel(slice(1)).map(_.trim)

@@ -72,6 +72,38 @@ object ExprMinMaxScaleProbe {
             FROM emm_probe_t GROUP BY o_orderpriority)
          ON o_orderpriority <=> __emm_k0
          WHERE struct((o_totalprice)) <=> __emm_mv""")
+
+    // —— MIXED shape (round 11): K distinct (kind, measures) parents
+    // each re-reference __emm_src, so with CTE inlining the source is
+    // scanned K (+1 for the sibling-aggregate base) times. A/B: the
+    // facade's own rewrite output as-is vs the same text with
+    // __emm_src swapped for a CACHED materialization — if the re-scan
+    // dominated, caching would win big; parity means the per-parent
+    // window (with its partial WindowGroupLimit) dominates and the
+    // multi-scan shape is fine.
+    val mixedGlobal =
+      "SELECT count(*), exprmin(o_orderkey, o_totalprice)," +
+        " exprmax(o_orderkey, o_totalprice)," +
+        " exprmin(o_orderkey, o_orderpriority, o_totalprice)" +
+        " FROM emm_probe_t"
+    val mixedGrouped =
+      "SELECT o_orderpriority, count(*)," +
+        " exprmin(o_orderkey, o_totalprice)," +
+        " exprmax(o_orderkey, o_totalprice)," +
+        " exprmin(o_orderkey, o_orderkey, o_totalprice)" +
+        " FROM emm_probe_t GROUP BY o_orderpriority"
+    val srcCte = "__emm_src AS (SELECT *, monotonically_increasing_id()" +
+      " AS __emm_ord FROM emm_probe_t)"
+    spark.sql("CACHE TABLE emm_probe_cached AS SELECT *," +
+      " monotonically_increasing_id() AS __emm_ord FROM emm_probe_t")
+    for ((label, stmt) <- Seq("mixed global 3p+count" -> mixedGlobal,
+        "mixed grouped 3p+count" -> mixedGrouped)) {
+      val rewritten = graft.sql.QueryFacade.rewriteExprMinMax(stmt)
+      require(rewritten.contains("__emm_src"), s"rewrite did not fire: $stmt")
+      time(s"$label (as-is)")(rewritten)
+      time(s"$label (cached src)")(rewritten.replace(srcCte,
+        "__emm_src AS (SELECT * FROM emm_probe_cached)"))
+    }
     spark.stop()
   }
 }

@@ -2841,6 +2841,65 @@ class FixtureReplaySpec extends SparkSpec {
       Seq((3998000L, 8d), (3998000L, 8d), (3998000L, 18d), (3998000L, 18d)))
   }
 
+  test("reference expr-min-max suite: nested query-block anchoring") {
+    // The reference's ParentAggregationResultRewriter fires once per
+    // QUERY BLOCK (`ParentAggregationResultRewriter.java` rewrites the
+    // result of each aggregation context), so exprMin/exprMax inside a
+    // sub-select or CTE body keeps tie-row semantics. The facade
+    // rewrite recurses into parenthesized blocks (innermost first)
+    // instead of bailing on any statement with a second SELECT —
+    // pre-round-11 these shapes degraded to the single-row min_by
+    // fallback. Same 2-replica ExprMinMaxTest corpus as above.
+    import spark.implicits._
+    val sv = Seq("a2", "a3", "a4", "a5", "a6", "a7", "a8", "a9", "a11", "a22")
+    val one = (0 until 2000).map { i =>
+      (i, (i - 1000).toLong, i.toDouble, (-i.toDouble * i + 1200.0 * i),
+        i % 2 == 1, if (i < 20) sv(i % 10) else "a33", i % 5)
+    }.toDF("intColumn", "longColumn", "doubleColumn", "bigDecimalColumn",
+      "booleanColumn", "stringColumn", "groupByIntColumn")
+    one.union(one).createOrReplaceTempView("emm_nb")
+    def q(sql: String) = graft.sql.QueryFacade.sql(spark,
+      s"SET explicitLimit = true; $sql").collect().toSeq
+
+    // single-call shape behind a derived table: 2 ties × 2 replicas
+    // (matches the top-level :287-300 gold — was 1 row pre-fix)
+    assert(q("SELECT * FROM (SELECT expr_min(doubleColumn, stringColumn)" +
+      " FROM emm_nb)").map(_.getDouble(0)).sorted == Seq(8d, 8d, 18d, 18d))
+    // outer projection reads the inner alias; lexicographic measures
+    // + WHERE inside the block (the :479-496 gold nested)
+    assert(q("SELECT c FROM (SELECT exprmin(intColumn, booleanColumn," +
+      " bigDecimalColumn) AS c FROM emm_nb WHERE doubleColumn <= 1200)")
+      .map(_.getInt(0)).sorted == Seq(0, 0, 1200, 1200))
+    // CTE body: grouped single-call, every group's tie rows survive
+    val g = q("WITH x AS (SELECT groupByIntColumn," +
+      " expr_min(doubleColumn, intColumn) AS m FROM emm_nb" +
+      " GROUP BY groupByIntColumn) SELECT groupByIntColumn, m FROM x")
+      .map(r => (r.getInt(0), r.getDouble(1))).sorted
+    assert(g == (0 until 5).flatMap(k => Seq((k, k.toDouble), (k, k.toDouble))))
+    // MIXED shape nested: sibling sum repeated on each padded tie row
+    // (the :283-313 composition inside a derived table)
+    val mx = q("SELECT * FROM (SELECT sum(intColumn) AS s," +
+      " exprmin(doubleColumn, stringColumn) AS c FROM emm_nb)")
+    assert(mx.size == 4)
+    assert(mx.map(r => (r.getLong(0), r.getDouble(1))).sorted ==
+      Seq((3998000L, 8d), (3998000L, 8d), (3998000L, 18d), (3998000L, 18d)))
+    // block inside WHERE IN: the inner block's tie rows feed the outer
+    // predicate; the outer block itself is left untouched
+    assert(q("SELECT intColumn FROM emm_nb WHERE doubleColumn IN" +
+      " (SELECT expr_min(doubleColumn, stringColumn) FROM emm_nb)" +
+      " ORDER BY intColumn")
+      .map(_.getInt(0)) == Seq(8, 8, 18, 18))
+    // outer block with its own expr call AND a sub-select in WHERE —
+    // both blocks rewrite independently (pre-fix the whole statement
+    // bailed on the second SELECT). The inner tie block {8,8,18,18} is
+    // collapsed to a scalar 18 by max(); outer exprmax over
+    // doubleColumn <= 18 returns row i=18 twice.
+    assert(q("SELECT exprmax(intColumn, doubleColumn) FROM emm_nb" +
+      " WHERE doubleColumn <= (SELECT max(c) FROM (SELECT" +
+      " expr_min(doubleColumn, stringColumn) AS c FROM emm_nb))")
+      .map(_.getInt(0)).sorted == Seq(18, 18))
+  }
+
   test("reference scalar-unit golds: geohash/arithmetic/trig/ngram/conversion") {
     // pinot-common scalar unit suites with inline expected values
     // (`common/function/scalar/{Geohash,Arithmetic,Trigonometric,
