@@ -1,8 +1,12 @@
 package graft.sources
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType, MapType,
+  StringType, StructType}
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Batch ingestion: read → record transforms → partitioned columnar
   * write, the Spark analog of Pinot's segment build pipeline.
@@ -48,6 +52,25 @@ object BatchIngest {
       delimiter: String = ".",
       collectionNotUnnestedToJson: String = "NON_PRIMITIVE",
       prefixesToRename: Map[String, String] = Map.empty) extends Transform
+  /** SpecialValueTransformer analog
+    * (`recordtransformer/SpecialValueTransformer.java:30-40`,
+    * `utils/SpecialValueTransformerUtils.java:77-105`): for FLOAT and
+    * DOUBLE, −0.0 → 0.0 and NaN → null (default-null), so every stored
+    * value equals itself and ordering is consistent with equals — the
+    * property sorted structures and binary search need. MV arrays drop
+    * NaN elements and normalize −0.0; an array whose elements ALL
+    * vanish becomes null, while genuinely empty input arrays stay
+    * empty (the reference only nulls a transformed-to-empty array).
+    * DECIMAL trailing-zero stripping is a no-op for Spark DecimalType
+    * (schema-fixed scale already makes equality/ordering consistent);
+    * decimal-as-STRING columns listed in `decimalStringColumns` strip
+    * via java.math.BigDecimal.stripTrailingZeros — the same JDK method
+    * the reference calls, so `0E-18` → `0` and `600.0` → `6E+2`
+    * exactly. Empty `columns` applies to every FLOAT/DOUBLE scalar or
+    * array column, mirroring the reference deriving the column set
+    * from the schema's field specs. */
+  final case class SpecialValues(columns: Seq[String] = Nil,
+      decimalStringColumns: Seq[String] = Nil) extends Transform
 
   def applyTransforms(df: DataFrame, transforms: Seq[Transform]): DataFrame =
     transforms.foldLeft(df) {
@@ -59,7 +82,57 @@ object BatchIngest {
         when(col(c).between(lit(lo).cast("timestamp"), lit(hi).cast("timestamp")),
           col(c)))
       case (d, f: FlattenComplex) => flattenComplex(d, f)
+      case (d, s: SpecialValues) => specialValues(d, s)
     }
+
+  /** One select over the frame — every eligible column rewrites in the
+    * same projection (scan-parallel, codegen'd, no shuffles). */
+  private[sources] def specialValues(df: DataFrame,
+      cfg: SpecialValues): DataFrame = {
+    val want = cfg.columns.toSet
+    val decs = cfg.decimalStringColumns.toSet
+    val sel = df.schema.fields.toSeq.map { f =>
+      val c = bq(f.name)
+      def out(e: Column) = e.as(f.name)
+      f.dataType match {
+        case _ if want.nonEmpty && !want(f.name) && !decs(f.name) => c
+        // x + 0.0 is the IEEE-754 −0.0 normalizer (−0.0 + 0.0 = +0.0);
+        // NaN is caught first so the addition never sees it
+        case FloatType =>
+          out(when(isnan(c), lit(null).cast(FloatType))
+            .otherwise(c + lit(0.0f)))
+        case DoubleType =>
+          out(when(isnan(c), lit(null).cast(DoubleType))
+            .otherwise(c + lit(0.0d)))
+        case ArrayType(FloatType, _) =>
+          val cleaned = transform(filter(c, x => !isnan(x)), x => x + lit(0.0f))
+          out(when(size(c) > 0 && size(cleaned) === 0,
+            lit(null)).otherwise(cleaned))
+        case ArrayType(DoubleType, _) =>
+          val cleaned = transform(filter(c, x => !isnan(x)), x => x + lit(0.0d))
+          out(when(size(c) > 0 && size(cleaned) === 0,
+            lit(null)).otherwise(cleaned))
+        case StringType if decs(f.name) =>
+          out(ColumnBridge.column(StaticInvoke(
+            // the companion CLASS carries the static forwarder codegen calls
+            Class.forName("graft.sources.BatchIngest"), StringType,
+            "stripTrailingZeros", Seq(ColumnBridge.expression(c)),
+            returnNullable = true)))
+        case _ => c
+      }
+    }
+    df.select(sel: _*)
+  }
+
+  /** Exact JDK `BigDecimal.stripTrailingZeros` rendering — the method
+    * the reference's transformer delegates to. Unparsable text passes
+    * through untouched (ingest transforms never throw on dirty rows). */
+  def stripTrailingZeros(s: UTF8String): UTF8String = {
+    if (s == null) return null
+    try UTF8String.fromString(
+      new java.math.BigDecimal(s.toString.trim).stripTrailingZeros().toString)
+    catch { case _: NumberFormatException => s }
+  }
 
   private def bq(name: String) = col(s"`$name`")
 
