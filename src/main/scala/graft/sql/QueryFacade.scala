@@ -1617,10 +1617,18 @@ object QueryFacade {
         s"(${projText((p, pr))}) AS __emm_p${p}c$j" }.mkString(", ")
       val projNames = projsOf(p).indices.map(j => s"__emm_p${p}c$j")
         .mkString(", ")
-      s"__emm_p$p AS (SELECT $keySel$projNames, __emm_rn FROM (" +
-        s"SELECT $keySel$projCols, " +
-        s"ROW_NUMBER() OVER (${partition}ORDER BY $order, __emm_ord)" +
-        s" AS __emm_rn, " +
+      // the block row-number runs AFTER the rank filter: stacking it
+      // beside RANK() with a different ORDER BY (measures + __emm_ord)
+      // defeated InferWindowGroupLimit — the rank filter no longer sat
+      // directly above the rank window, so every parent sorted the
+      // FULL source in one partition (measured 80 s vs 0.35 s at 15M
+      // rows, round-11 probe). Rank-1 rows are tied on the whole
+      // measure list by definition, so ordering survivors by
+      // __emm_ord alone is equivalent to (measures, __emm_ord).
+      s"__emm_p$p AS (SELECT $keySel$projNames, " +
+        s"ROW_NUMBER() OVER (${partition}ORDER BY __emm_ord)" +
+        s" AS __emm_rn FROM (" +
+        s"SELECT $keySel$projCols, __emm_ord, " +
         s"RANK() OVER (${partition}ORDER BY $order) AS __emm_rk" +
         s" FROM __emm_src) WHERE __emm_rk = 1)"
     }
