@@ -233,7 +233,14 @@ object CompatAliases {
     "covarsamp", "widthbucket", "octetlength", "bitcount", "bitlength",
     "substringindex", "regexpcount", "regexpsubstr", "urlencode",
     "urldecode", "arrayagg", "booland", "boolor", "percentilecont",
-    "anyvalue", "rownumber", "denserank")
+    "anyvalue", "rownumber", "denserank",
+    // sketch aggregate underscore spellings (the reference's query
+    // suites spell these SNAKE_CASE, e.g. DISTINCT_COUNT_THETA_SKETCH)
+    "distinct_count_theta_sketch", "distinct_count_raw_theta_sketch",
+    "distinct_count_cpc_sketch", "distinct_count_raw_cpc_sketch",
+    "distinct_count_hll", "distinct_count_raw_hll",
+    "distinct_count_hll_plus", "distinct_count_raw_hll_plus",
+    "frequent_strings_sketch", "frequent_longs_sketch")
 
   private def canon(s: String): String =
     s.replace("_", "").toLowerCase(java.util.Locale.ROOT)

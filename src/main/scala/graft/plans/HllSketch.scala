@@ -59,10 +59,19 @@ object Hll {
     ()
   }
 
-  def merge(into: HyperLogLog, from: HyperLogLog): HyperLogLog = {
-    into.addAll(from)
-    into
-  }
+  def merge(into: HyperLogLog, from: HyperLogLog): HyperLogLog =
+    try { into.addAll(from); into }
+    catch {
+      // differing log2m can only merge when one side is an untouched
+      // default-sized buffer (e.g. an empty partition's initial buffer
+      // meeting deserialized wire blobs of a non-default size) — keep
+      // the populated side, mirroring the reference's treatment of the
+      // pre-aggregated BYTES path
+      case e: com.clearspring.analytics.stream.cardinality.CardinalityMergeException =>
+        if (into.cardinality() == 0) from
+        else if (from.cardinality() == 0) into
+        else throw new IllegalStateException(e.getMessage, e)
+    }
 
   def fromBlob(bytes: Array[Byte]): HyperLogLog =
     HyperLogLog.Builder.build(bytes)
@@ -103,6 +112,11 @@ case class HllAgg(
           if (!arr.isNullAt(i)) Hll.offer(buf, arr.get(i, et), et)
           i += 1
         }
+      // BYTES = serialized HLLs in the reference
+      // (DistinctCountHLLAggregationFunction deserializes and addAll's
+      // them — the pre-aggregated HLL-column path), never raw values
+      case BinaryType =>
+        return Hll.merge(buf, Hll.fromBlob(v.asInstanceOf[Array[Byte]]))
       case dt => Hll.offer(buf, v, dt)
     }
     buf

@@ -114,6 +114,12 @@ case class ThetaSketchAgg(
           if (!arr.isNullAt(i)) ThetaDs.update(st.forUpdate(), arr.get(i, et), et)
           i += 1
         }
+      // a BYTES column holds SERIALIZED sketches in the reference —
+      // DistinctCountThetaSketchAggregationFunction deserializes and
+      // unions them (`DistinctCountThetaSketchQueriesTest` bytesColumn
+      // golds), it never hashes the raw bytes as a value
+      case BinaryType =>
+        st.mergeSketch(ThetaDs.heapify(v.asInstanceOf[Array[Byte]]))
       case dt => ThetaDs.update(st.forUpdate(), v, dt)
     }
     st
@@ -284,6 +290,13 @@ case class CpcSketchAgg(
           if (!arr.isNullAt(i)) upd(sk, arr.get(i, et), et)
           i += 1
         }
+      // BYTES = serialized sketches, merged not hashed (same contract
+      // as the theta aggregate above)
+      case BinaryType =>
+        val u = new CpcUnion(lgK)
+        u.update(sk)
+        u.update(CpcSketch.heapify(Memory.wrap(v.asInstanceOf[Array[Byte]])))
+        return u.getResult
       case dt => upd(sk, v, dt)
     }
     sk

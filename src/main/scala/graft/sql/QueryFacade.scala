@@ -1320,6 +1320,8 @@ object QueryFacade {
 
   private val ListAggCall =
     """(?i)\blistagg\s*\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*,\s*('[^']*')\s*(?:,\s*(true|false)\s*)?\)""".r
+  private val ArrayAggCall =
+    """(?i)\barray_?agg\s*\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*,\s*'[^']*'\s*(?:,\s*(true|false)\s*)?\)""".r
 
   /** LISTAGG over a multi-value column flattens the arrays before
     * concatenating — the reference's ListAggFunction branches on
@@ -1333,12 +1335,17 @@ object QueryFacade {
   private[graft] def rewriteListAggMv(spark: SparkSession,
       stmt: String): String = try {
     val masked = maskLiterals(stmt)
-    if (!masked.toLowerCase.contains("listagg")) return stmt
+    val low = masked.toLowerCase
+    if (!low.contains("listagg") && !low.contains("arrayagg") &&
+      !low.contains("array_agg")) return stmt
     val table = FromTable.findFirstMatchIn(masked).map(_.group(1))
       .getOrElse(return stmt)
     val schema = try spark.table(table).schema catch {
       case scala.util.control.NonFatal(_) => return stmt
     }
+    def isMv(colName: String): Boolean = schema.fields.exists(f =>
+      f.name.equalsIgnoreCase(colName) &&
+        f.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType])
     // match on the MASKED text (so listagg(...)-shaped text inside a
     // string literal never rewrites) and splice replacements into the
     // original statement by offset, as rewriteTypeSafeCompare does —
@@ -1349,15 +1356,13 @@ object QueryFacade {
       val colName = m.group(1)
       val sep = stmt.substring(m.start(2), m.end(2))
       val distinct = Option(m.group(3)).exists(_.equalsIgnoreCase("true"))
-      val isMv = schema.fields.exists(f =>
-        f.name.equalsIgnoreCase(colName) &&
-          f.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType])
+      val mv = isMv(colName)
       val repl =
-        if (!isMv && m.group(3) == null)
+        if (!mv && m.group(3) == null)
           stmt.substring(m.start, m.end) // native 2-arg listagg
         else {
           val inner =
-            if (isMv) s"flatten(collect_list(`$colName`))"
+            if (mv) s"flatten(collect_list(`$colName`))"
             else s"collect_list(CAST(`$colName` AS STRING))"
           val deduped = if (distinct) s"array_distinct($inner)" else inner
           s"array_join($deduped, $sep)"
@@ -1365,7 +1370,27 @@ object QueryFacade {
       out.append(stmt.substring(last, m.start)).append(repl)
       last = m.end
     }
-    if (last == 0) stmt else { out.append(stmt.substring(last)); out.toString }
+    val s1 =
+      if (last == 0) stmt else { out.append(stmt.substring(last)); out.toString }
+    // ARRAYAGG over a multi-value column flattens too — the reference's
+    // ArrayAgg*Function walks the MV values per doc
+    // (`ArrayAggMvQueriesTest.java:120-165`: non-distinct length is
+    // replicas × values-per-row × rows, distinct collapses to the value
+    // universe). Scalar columns keep the registered aggregate.
+    val masked2 = maskLiterals(s1)
+    val out2 = new StringBuilder
+    var last2 = 0
+    for (m <- ArrayAggCall.findAllMatchIn(masked2)) {
+      val colName = m.group(1)
+      if (isMv(colName)) {
+        val distinct = Option(m.group(2)).exists(_.equalsIgnoreCase("true"))
+        val inner = s"flatten(collect_list(`$colName`))"
+        out2.append(s1.substring(last2, m.start))
+          .append(if (distinct) s"array_distinct($inner)" else inner)
+        last2 = m.end
+      }
+    }
+    if (last2 == 0) s1 else { out2.append(s1.substring(last2)); out2.toString }
   } catch { case scala.util.control.NonFatal(_) => stmt }
 
   private val ColCompare =
@@ -1711,6 +1736,87 @@ object QueryFacade {
     * literal's numeric accessor (0 / 0.0 / false) becomes the fill
     * value. Applied only when the option is off; the null-handling
     * path keeps the SQL NULL. */
+  private val ThetaCallOpen =
+    """(?i)\bdistinct_?count_?(raw_?)?theta_?sketch\s*\(""".r
+  private val SetRef = """\$([1-9]\d*)""".r
+
+  /** The reference's MULTI-PREDICATE theta form
+    * (`DistinctCountThetaSketchAggregationFunction`; golds in
+    * `DistinctCountThetaSketchQueriesTest.testPostAggregation`):
+    * `DISTINCT_COUNT_THETA_SKETCH(expr, 'params', 'f1', …, 'fN',
+    * 'SET_…($i,…)')` builds one filtered sketch per predicate and
+    * composes them with SET_UNION / SET_INTERSECT / SET_DIFF, `$i`
+    * referencing the i-th (1-based) filtered sketch. Spark-first
+    * compilation: each `$i` becomes
+    * `distinctcountrawthetasketch(expr[, params]) FILTER (WHERE fi)`
+    * (one scan, N FILTER'd aggregates — map-side combined blobs), the
+    * SET ops map onto the existing blob scalars, and the non-raw form
+    * wraps the result in GETTHETASKETCHESTIMATE. Validation failures
+    * (out-of-range `$i`, <2 set-op args) leave the call untouched so
+    * the unresolvable original errors, matching the reference's
+    * BadQueryRequestException surface. */
+  private[graft] def rewriteThetaSetOps(stmt: String): String = try {
+    val rawLow = stmt.toLowerCase
+    if (!rawLow.contains("theta") || !rawLow.contains("set_")) return stmt
+    val masked = maskLiterals(stmt)
+    val out = new StringBuilder
+    var last = 0
+    for (m <- ThetaCallOpen.findAllMatchIn(masked)) if (m.start >= last) {
+      val open = m.end - 1
+      var depth = 0
+      var i = open
+      var close = -1
+      while (i < masked.length && close < 0) {
+        masked.charAt(i) match {
+          case '(' => depth += 1
+          case ')' => depth -= 1; if (depth == 0) close = i
+          case _ =>
+        }
+        i += 1
+      }
+      if (close > 0) {
+        val args = splitTopLevel(stmt.substring(open + 1, close))
+        def lit(s: String): Option[String] = {
+          val t = s.trim
+          if (t.length >= 2 && t.head == '\'' && t.last == '\'')
+            Some(unescapeSqlLiteral(t))
+          else None
+        }
+        val setExpr = if (args.size >= 4) lit(args.last).filter(
+          _.matches("(?is)\\s*SET_(UNION|INTERSECT|DIFF)\\s*\\(.*")) else None
+        setExpr match {
+          case Some(se) =>
+            val exprArg = args.head.trim
+            val params = lit(args(1)).getOrElse("")
+            val filters = args.slice(2, args.size - 1).map(a =>
+              lit(a).getOrElse(throw new IllegalArgumentException(a)))
+            val maxRef = SetRef.findAllMatchIn(se).map(_.group(1).toInt)
+              .foldLeft(0)(math.max)
+            require(maxRef >= 1 && maxRef <= filters.size,
+              s"theta set ref out of range: $maxRef of ${filters.size}")
+            val aggOf = (k: Int) => {
+              val p = if (params.trim.isEmpty) "" else s", '${params.trim}'"
+              s"distinctcountrawthetasketch($exprArg$p)" +
+                s" FILTER (WHERE ${filters(k - 1)})"
+            }
+            val composed = SetRef.replaceAllIn(
+              se.replaceAll("(?i)SET_UNION\\s*\\(", "thetasketchunion(")
+                .replaceAll("(?i)SET_INTERSECT\\s*\\(", "thetasketchintersect(")
+                .replaceAll("(?i)SET_DIFF\\s*\\(", "thetasketchdiff("),
+              mm => java.util.regex.Matcher.quoteReplacement(
+                aggOf(mm.group(1).toInt)))
+            val isRaw = m.group(1) != null
+            val repl =
+              if (isRaw) composed else s"GETTHETASKETCHESTIMATE($composed)"
+            out.append(stmt.substring(last, m.start)).append(repl)
+            last = close + 1
+          case None => ()
+        }
+      }
+    }
+    if (last == 0) stmt else { out.append(stmt.substring(last)); out.toString }
+  } catch { case scala.util.control.NonFatal(_) => stmt }
+
   private[graft] def rewriteJsonNullDefault(stmt: String): String =
     JsonNullDefault.replaceAllIn(stmt, m => {
       val zero = m.group(4).toLowerCase match {
@@ -2544,6 +2650,7 @@ object QueryFacade {
           rewriteGeoIndexed(spark,
           rewriteMapValueShredded(spark,
           rewriteOrderBySelectExpr(
+          rewriteThetaSetOps(
           rewriteExprMinMax(
           rewriteTypeSafeCompare(spark,
           rewriteListAggMv(spark,
@@ -2551,7 +2658,7 @@ object QueryFacade {
           rewriteJsonMatch(
             rewriteAsOf(rewriteReserved(stripHints(
               rewriteTimestampIndex(
-                applyRlsFilters(spark, stmt0, opts))))))))))))))))))
+                applyRlsFilters(spark, stmt0, opts)))))))))))))))))))
     if (Ddl.isDdl(stmt)) return Ddl.execute(spark, stmt)
     // Pinot EXPLAIN PLAN FOR <query> (PinotQueryResource explain
     // support): one row per plan-tree line, mirroring the reference's

@@ -3977,4 +3977,247 @@ class FixtureReplaySpec extends SparkSpec {
       " 'Africa/Cairo'), 'yyyy-MM-dd HH:mm:ss', 'Africa/Cairo')")
       .getString(0) == "2010-04-30 01:00:00")
   }
+
+  test("reference arrayagg MV suite: ArrayAggMvQueriesTest golds") {
+    // `ArrayAggMvQueriesTest.java:92-165` — 2000 rows × two MV values
+    // {i, i+2001}, the built segment served 4× at broker (2 identical
+    // segments × 2 instances): non-distinct ARRAYAGG flattens every MV
+    // element (8 × N total), distinct collapses to the 2 × N value
+    // universe. Pre-round-11 graft's arrayagg collect_list'd the MV
+    // arrays un-flattened (array-of-arrays) — the rewrite now flattens
+    // like the reference's ArrayAgg*Function walking MV values.
+    import spark.implicits._
+    val n = 2000
+    val one = (0 until n).map { i =>
+      (Array(i, i + n + 1), Array(i.toLong, (i + n + 1).toLong),
+        Array(i.toFloat, (i + n + 1).toFloat),
+        Array(i.toDouble, (i + n + 1).toDouble),
+        Array(i.toString, (i + n + 1).toString), (i % 10).toString)
+    }.toDF("intMV", "longMV", "floatMV", "doubleMV", "stringMV", "groupKey")
+    val four = one.union(one).union(one).union(one)
+    four.createOrReplaceTempView("aamv_t")
+    def q(sql: String) = graft.sql.QueryFacade.sql(spark,
+      s"SET explicitLimit = true; $sql").collect()
+
+    val r = q("SELECT arrayagg(intMV, 'INT') AS a, arrayagg(longMV, 'LONG')" +
+      " AS b, arrayagg(floatMV, 'FLOAT') AS c, arrayagg(doubleMV, 'DOUBLE')" +
+      " AS d, arrayagg(stringMV, 'STRING') AS e FROM aamv_t").head
+    assert(r.getSeq[Int](0).size == 8 * n)
+    assert(r.getSeq[Long](1).size == 8 * n)
+    assert(r.getSeq[Float](2).size == 8 * n)
+    assert(r.getSeq[Double](3).size == 8 * n)
+    assert(r.getSeq[String](4).size == 8 * n)
+    // distinct form: the value universe {0..1999} ∪ {2001..4000}
+    val d = q("SELECT arrayagg(intMV, 'INT', true) AS a FROM aamv_t").head
+    assert(d.getSeq[Int](0).sorted ==
+      ((0 until n) ++ (n + 1 to 2 * n)).toSeq)
+  }
+
+  test("reference SV corpus: InnerSegmentDistinctSingleValueQueriesTest golds") {
+    // `InnerSegmentDistinctSingleValueQueriesTest.java:31-53`:
+    // DISTINCT column1 → 6582 values, DISTINCT column1, column3 →
+    // 21968 pairs on the committed test_data-sv.avro (distinct size is
+    // replica-invariant, so one copy suffices)
+    val avroPath =
+      "/root/reference/pinot-core/src/test/resources/data/test_data-sv.avro"
+    assume(new java.io.File(avroPath).isFile, "reference checkout absent")
+    val (schema, rows) = graft.compat.OnTimeCompat.readAvro(avroPath)
+    spark.createDataFrame(rows.asJava, schema)
+      .createOrReplaceTempView("sv_distinct_t")
+    assert(spark.sql(
+      "SELECT DISTINCT column1 FROM sv_distinct_t").count() == 6582L)
+    assert(spark.sql(
+      "SELECT DISTINCT column1, column3 FROM sv_distinct_t").count() == 21968L)
+  }
+
+  test("reference theta suite: DistinctCountThetaSketchQueriesTest golds") {
+    // `DistinctCountThetaSketchQueriesTest.java:118-151` corpus: SV
+    // columns value i, MV columns {i, i+N, i+2N}, and a BYTES column
+    // of SERIALIZED theta sketches over the same triple — the
+    // aggregate must MERGE deserialized sketches for BYTES input, not
+    // hash the raw bytes (:165-195 golds N / 3N). The multi-predicate
+    // post-aggregation form (:260-290) composes FILTER'd sketches via
+    // SET_UNION/SET_INTERSECT/SET_DIFF with $i refs → 225 gold.
+    import spark.implicits._
+    import org.apache.datasketches.theta.UpdateSketch
+    val n = 1000
+    val one = (0 until n).map { i =>
+      val mv = Array(i, i + n, i + 2 * n)
+      val sk = UpdateSketch.builder().build()
+      sk.update(i.toLong); sk.update((i + n).toLong); sk.update((i + 2 * n).toLong)
+      (i, i.toLong, i.toFloat, i.toDouble, i.toString,
+        mv, mv.map(_.toLong), mv.map(_.toFloat), mv.map(_.toDouble),
+        mv.map(_.toString), sk.compact().toByteArray)
+    }.toDF("intSVColumn", "longSVColumn", "floatSVColumn", "doubleSVColumn",
+      "stringSVColumn", "intMVColumn", "longMVColumn", "floatMVColumn",
+      "doubleMVColumn", "stringMVColumn", "bytesColumn")
+    one.createOrReplaceTempView("dcts_t")
+    def q(sql: String) = graft.sql.QueryFacade.sql(spark,
+      s"SET explicitLimit = true; $sql").collect()
+
+    val r = q("SELECT DISTINCT_COUNT_THETA_SKETCH(intSVColumn) AS a," +
+      " DISTINCT_COUNT_THETA_SKETCH(longSVColumn) AS b," +
+      " DISTINCT_COUNT_THETA_SKETCH(floatSVColumn) AS c," +
+      " DISTINCT_COUNT_THETA_SKETCH(doubleSVColumn) AS d," +
+      " DISTINCT_COUNT_THETA_SKETCH(stringSVColumn) AS e," +
+      " DISTINCT_COUNT_THETA_SKETCH(intMVColumn) AS f," +
+      " DISTINCT_COUNT_THETA_SKETCH(longMVColumn) AS g," +
+      " DISTINCT_COUNT_THETA_SKETCH(floatMVColumn) AS h," +
+      " DISTINCT_COUNT_THETA_SKETCH(doubleMVColumn) AS i," +
+      " DISTINCT_COUNT_THETA_SKETCH(stringMVColumn) AS j," +
+      " DISTINCT_COUNT_THETA_SKETCH(bytesColumn) AS k FROM dcts_t").head
+    (0 until 5).foreach(i => assert(r.getLong(i) == n.toLong, s"col $i"))
+    (5 until 11).foreach(i => assert(r.getLong(i) == 3L * n, s"col $i"))
+
+    // group-by: per-key SV estimate 1, MV estimate 3
+    val g = q("SELECT DISTINCT_COUNT_THETA_SKETCH(intSVColumn) AS a," +
+      " DISTINCT_COUNT_THETA_SKETCH(intMVColumn) AS b FROM dcts_t" +
+      " GROUP BY intSVColumn LIMIT 2000")
+    assert(g.length == n)
+    assert(g.forall(row => row.getLong(0) == 1L && row.getLong(1) == 3L))
+
+    // multi-predicate post-aggregation (:260-290): expected rows
+    // [0,100) ∪ [400,500) ∪ [800,825) = 225. The reference's MV
+    // predicates are exists-semantics; the corpus is monotone per row,
+    // so each reduces to one element (any >= k ⟺ max element [2],
+    // any < k ⟺ min element [0]) — derived here to keep the filters
+    // plain SQL inside the rewrite.
+    val p = q("SELECT DISTINCT_COUNT_THETA_SKETCH(intSVColumn, ''," +
+      " 'longSVColumn >= 300 AND (floatSVColumn < 500 OR doubleSVColumn" +
+      " BETWEEN 800 AND 899)'," +
+      " 'intMVColumn_any >= 2400 AND longMVColumn_any < 850'," +
+      " 'floatMVColumn_any >= 2825'," +
+      " 'doubleMVColumn_any < 100'," +
+      " 'SET_UNION($4,SET_DIFF(SET_INTERSECT($1,$2),$3))') AS u" +
+      " FROM (SELECT *, intMVColumn[2] AS intMVColumn_any," +
+      " longMVColumn[0] AS longMVColumn_any," +
+      " floatMVColumn[2] AS floatMVColumn_any," +
+      " doubleMVColumn[0] AS doubleMVColumn_any FROM dcts_t)").head
+    assert(p.getLong(0) == 225L)
+  }
+
+  test("reference frequent-items suite: FrequentItemsSketchQueriesTest golds") {
+    // `FrequentItemsSketchQueriesTest.java:108-270` — 10-row corpus
+    // with distinct frequencies, 4×-served; the sketch's frequency
+    // order must equal the exact count order, the BYTES sketch column
+    // must merge to the same items as the value column, and group-by
+    // splits per group.
+    import spark.implicits._
+    import java.util.Base64
+    import org.apache.datasketches.common.ArrayOfStringsSerDe
+    import org.apache.datasketches.frequencies.{ItemsSketch, LongsSketch}
+    import org.apache.datasketches.memory.Memory
+    val strValues = Seq("a", "a", "a", "b", "b", "a", "d", "d", "c", "d")
+    val longValues = Seq(1L, 2L, 1L, 1L, 1L, 2L, 5L, 4L, 4L, 4L)
+    val groups = Seq("g1", "g1", "g1", "g1", "g1", "g1", "g2", "g2", "g2", "g2")
+    val one = strValues.indices.map { i =>
+      val ssk = new ItemsSketch[String](64)
+      ssk.update(strValues(i))
+      val lsk = new LongsSketch(64)
+      lsk.update(longValues(i))
+      (strValues(i), longValues(i), ssk.toByteArray(new ArrayOfStringsSerDe),
+        lsk.toByteArray, groups(i))
+    }.toDF("stringColumn", "longColumn", "stringSketchColumn",
+      "longSketchColumn", "groupColumn")
+    val four = one.union(one).union(one).union(one)
+    four.createOrReplaceTempView("fis_t")
+    def q(sql: String) = graft.sql.QueryFacade.sql(spark,
+      s"SET explicitLimit = true; $sql").collect()
+    def strItems(blob: String): Seq[String] =
+      ItemsSketch.getInstance[String](
+        Memory.wrap(Base64.getDecoder.decode(blob)), new ArrayOfStringsSerDe)
+        .getFrequentItems(
+          org.apache.datasketches.frequencies.ErrorType.NO_FALSE_NEGATIVES)
+        .map(_.getItem).toSeq
+    def longItems(blob: String): Seq[Long] =
+      LongsSketch.getInstance(Memory.wrap(Base64.getDecoder.decode(blob)))
+        .getFrequentItems(
+          org.apache.datasketches.frequencies.ErrorType.NO_FALSE_NEGATIVES)
+        .map(_.getItem).toSeq
+
+    // exact frequency order: a×16, d×12, b×8, c×4 / 1×16, 4×12, 2×8, 5×4
+    val r = q("SELECT FREQUENTSTRINGSSKETCH(stringColumn) AS s," +
+      " FREQUENTLONGSSKETCH(longColumn) AS l FROM fis_t").head
+    assert(strItems(r.getString(0)) == Seq("a", "d", "b", "c"))
+    assert(longItems(r.getString(1)) == Seq(1L, 4L, 2L, 5L))
+    // merged BYTES sketches ≡ plain values (:190-230)
+    val m = q("SELECT FREQUENTSTRINGSSKETCH(stringSketchColumn) AS s1," +
+      " FREQUENTSTRINGSSKETCH(stringColumn) AS s2," +
+      " FREQUENTLONGSSKETCH(longSketchColumn) AS l1," +
+      " FREQUENTLONGSSKETCH(longColumn) AS l2 FROM fis_t").head
+    assert(strItems(m.getString(0)) == strItems(m.getString(1)))
+    assert(longItems(m.getString(2)) == longItems(m.getString(3)))
+    // group-by (:232-270): g1 → a,b / 1,2 ; g2 → d,c / 4,5
+    val g = q("SELECT groupColumn, FREQUENTSTRINGSSKETCH(stringColumn) AS s," +
+      " FREQUENTLONGSSKETCH(longColumn) AS l FROM fis_t GROUP BY 1")
+      .map(row => row.getString(0) ->
+        (strItems(row.getString(1)), longItems(row.getString(2)))).toMap
+    assert(g("g1") == (Seq("a", "b"), Seq(1L, 2L)))
+    assert(g("g2") == (Seq("d", "c"), Seq(4L, 5L)))
+  }
+
+  test("reference json-unnest ingest suite: JsonUnnestIngestionFromAvroQueriesTest golds") {
+    // `JsonUnnestIngestionFromAvroQueriesTest.java:160-389` — 7 avro
+    // records, each jsonColumn an ARRAY of {timestamp, data{a,b}}
+    // records; ComplexTypeConfig unnests jsonColumn (one row per
+    // element, ORIGINAL array kept as canonical JSON with sorted keys,
+    // dotted element columns), then TransformConfigs derive
+    // eventTimeColumn = seconds × 1000 and its round-to-minute bucket.
+    // The committed expecteds are the 14 flattened rows; graft's
+    // FlattenComplex consumes the data struct into .a/.b (the
+    // reference additionally retains `jsonColumn.data` because its
+    // schema declares that column JSON — expressible via a to_json
+    // Derive, not an auto-column here).
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val base = 1719390720L
+    val one = (1 to 7).map { i =>
+      (i, Seq("daffy duck", "mickey mouse", "donald duck", "scrooge mcduck",
+        "minney mouse", "pluto", "scooby doo")(i - 1),
+        Seq((base + i, (i.toString, (2 * i).toString)),
+          (base + i + 1, ((i + 1).toString, (2 * i + 2).toString))),
+        base + i)
+    }.toDF("intColumn", "stringColumn", "jsonRaw", "seconds")
+      .select($"intColumn", $"stringColumn",
+        // canonical (sorted-key) field order, as AvroJsonIngest renders
+        transform($"jsonRaw", e => struct(
+          struct(e.getField("_2").getField("_1").as("a"),
+            e.getField("_2").getField("_2").as("b")).as("data"),
+          e.getField("_1").as("timestamp")))
+          .as("jsonColumn"),
+        struct($"seconds".as("seconds")).as("eventTimeColumn"))
+    val flat = graft.sources.BatchIngest.applyTransforms(one, Seq(
+      graft.sources.BatchIngest.FlattenComplex(
+        fieldsToUnnest = Seq("jsonColumn")),
+      graft.sources.BatchIngest.Derive("eventTimeMs",
+        col("`eventTimeColumn.seconds`") * 1000),
+      graft.sources.BatchIngest.Derive("eventTime_10m",
+        floor(col("eventTimeMs") / 60000) * 60000)))
+    // the retained array renders to its JSON-column form at the schema
+    // conversion step (the reference's jsonColumn is declared JSON)
+    val got = flat.select(col("intColumn"), col("stringColumn"),
+      to_json(col("jsonColumn")), col("`jsonColumn.timestamp`"),
+      col("`jsonColumn.data.a`"), col("`jsonColumn.data.b`"),
+      col("eventTimeMs"), col("eventTime_10m"))
+      .orderBy(col("intColumn"), col("`jsonColumn.timestamp`"))
+      .collect()
+    assert(got.length == 14)
+    // row (i, element j∈{0,1}): the expecteds at :330-380
+    for (i <- 1 to 7; j <- 0 to 1) {
+      val r = got((i - 1) * 2 + j)
+      assert(r.getInt(0) == i)
+      assert(r.getLong(3) == base + i + j)
+      assert(r.getString(4) == (i + j).toString)
+      assert(r.getString(5) == (2 * (i + j)).toString)
+      assert(r.getLong(6) == (base + i) * 1000)
+      assert(r.getLong(7) == 1719390720000L)
+      // original array survives the unnest as canonical JSON
+      // (sorted keys: data before timestamp, as the expecteds print)
+      val expJson = s"""[{"data":{"a":"$i","b":"${2 * i}"},""" +
+        s""""timestamp":${base + i}},""" +
+        s"""{"data":{"a":"${i + 1}","b":"${2 * i + 2}"},""" +
+        s""""timestamp":${base + i + 1}}]"""
+      assert(r.getString(2) == expJson, r.getString(2))
+    }
+  }
 }
