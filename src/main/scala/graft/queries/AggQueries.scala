@@ -286,6 +286,32 @@ object AggQueries {
         WHERE rk = 1 AND l_returnflag <> 'X'
         ORDER BY l_returnflag, argmin_okey""")),
 
+    // Multi-predicate theta form (round 11): N FILTER'd raw sketches
+    // composed by the blob set-op scalars in ONE scan — the
+    // reference's DISTINCT_COUNT_THETA_SKETCH(expr, params, 'f1', …,
+    // 'SET_…(\$i,…)') post-aggregation surface. Distinct custkeys stay
+    // under the 16384 nominal entries at sf0.01, so the sketch is in
+    // exact mode and the DuckDB set-algebra oracle matches exactly.
+    GQuery("q_agg_theta_setexpr",
+      (s, dir) => {
+        graft.sql.QueryFacade.init(s, dir)
+        graft.sql.QueryFacade.sql(s,
+          """SET explicitLimit = true;
+             SELECT DISTINCT_COUNT_THETA_SKETCH(o_custkey, '',
+               'o_totalprice > 100000',
+               'o_orderpriority = ''1-URGENT''',
+               'o_orderstatus = ''F''',
+               'SET_UNION($3,SET_DIFF(SET_INTERSECT($1,$2),$3))') AS n
+             FROM orders""")
+      },
+      Some("""SELECT count(*) AS n FROM (
+          SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+          UNION
+          (SELECT o_custkey FROM orders WHERE o_totalprice > 100000
+           INTERSECT
+           SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+        )""")),
+
     // Variance/stddev/covariance/correlation (:146-155). Rounded: exact
     // cross-engine float noise is ~1e-12 relative, far from round(4) edges.
     GQuery("q_agg_stats",
