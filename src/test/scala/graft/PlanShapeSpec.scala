@@ -55,4 +55,22 @@ class PlanShapeSpec extends SparkSpec {
     }
     assert(offenders.isEmpty, offenders.mkString("; "))
   }
+
+  test("multi-predicate theta form plans ONE scan with N filtered aggregates") {
+    // the rewriteThetaSetOps output must stay a single pass over the
+    // source — N FILTER'd raw-sketch aggregates in one Aggregate, set
+    // ops applied to the blobs above it; a second leaf would mean the
+    // rewrite degenerated into per-filter scans
+    import spark.implicits._
+    Seq((1, 10.0, "A"), (2, 5.0, "B")).toDF("k", "v", "s")
+      .createOrReplaceTempView("theta_shape_t")
+    val df = graft.sql.QueryFacade.sql(spark,
+      "SET explicitLimit = true; SELECT DISTINCT_COUNT_THETA_SKETCH(k, ''," +
+        " 'v > 1', 's = ''A''', 'SET_INTERSECT($1,$2)') AS n" +
+        " FROM theta_shape_t")
+    val leaves = df.queryExecution.optimizedPlan.collectLeaves()
+    assert(leaves.size == 1, leaves.mkString("; "))
+    // $1 = {1,2} (v>1), $2 = {1} (s='A') → intersect {1}
+    assert(df.collect().head.getLong(0) == 1L)
+  }
 }
