@@ -240,7 +240,23 @@ object CompatAliases {
     "distinct_count_cpc_sketch", "distinct_count_raw_cpc_sketch",
     "distinct_count_hll", "distinct_count_raw_hll",
     "distinct_count_hll_plus", "distinct_count_raw_hll_plus",
-    "frequent_strings_sketch", "frequent_longs_sketch")
+    "frequent_strings_sketch", "frequent_longs_sketch",
+    "distinct_count_tuple_sketch",
+    "distinct_count_raw_integer_sum_tuple_sketch",
+    "sum_values_integer_sum_tuple_sketch",
+    "avg_value_integer_sum_tuple_sketch",
+    // SketchFunctions scalar spellings (the integration suites write
+    // these SNAKE_CASE, e.g. INT_SUM_TUPLE_SKETCH_UNION)
+    "to_theta_sketch", "to_hll", "to_integer_sum_tuple_sketch",
+    "to_cpc_sketch", "to_ull", "from_ull",
+    "theta_sketch_union", "theta_sketch_intersect", "theta_sketch_diff",
+    "theta_sketch_to_string", "get_theta_sketch_estimate",
+    "cpc_sketch_union", "cpc_sketch_to_string", "get_cpc_sketch_estimate",
+    "get_int_tuple_sketch_estimate",
+    "int_sum_tuple_sketch_union", "int_min_tuple_sketch_union",
+    "int_max_tuple_sketch_union", "int_sum_tuple_sketch_intersect",
+    "int_min_tuple_sketch_intersect", "int_max_tuple_sketch_intersect",
+    "int_sum_tuple_sketch_diff")
 
   private def canon(s: String): String =
     s.replace("_", "").toLowerCase(java.util.Locale.ROOT)

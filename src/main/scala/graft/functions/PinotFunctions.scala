@@ -946,6 +946,7 @@ object PinotFunctions {
     graft.plans.QDigestSketch.registerAll(spark)
     graft.plans.UltraLogLogSketch.registerAll(spark)
     graft.plans.TupleSketch.registerAll(spark)
+    graft.plans.SketchScalars.registerAll(spark)
     graft.plans.FunnelAgg.registerAll(spark)
     ClpFunctions.registerAll(spark)
   }

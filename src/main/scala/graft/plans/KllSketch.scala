@@ -69,6 +69,10 @@ case class KllAgg(
     })
     child.eval(row) match {
       case null => ()
+      // BYTES child: stored KLL blobs re-merge under the same function
+      // name — the reference's PercentileKLLAggregationFunction treats
+      // a BYTES column as serialized sketches, never as values
+      case b: Array[Byte] => buf.merge(KllSketchOps.heapify(b))
       // MV column (PERCENTILERAW…MV family): every element feeds in
       case arr: org.apache.spark.sql.catalyst.util.ArrayData =>
         val et = child.dataType.asInstanceOf[ArrayType].elementType

@@ -237,12 +237,28 @@ object TupleSketch {
     ColumnBridge.column(TupleSketchMergeAgg(
       ColumnBridge.expression(blob), k, 2).toAggregateExpression())
 
-  /** SQL names mirroring the reference enum (key, value[, k]). */
+  /** SQL names mirroring the reference enum. The reference's aggregate
+    * form is SINGLE-argument over a BYTES column of serialized tuple
+    * sketches (+ optional literal lgK —
+    * `IntegerTupleSketchAggregationFunction.java:150-170` rejects any
+    * non-BYTES stored type), so a 1-arg call (or 1-arg + numeric
+    * literal) routes to the blob-merging aggregate; the 2-column
+    * (key, value[, k]) build form is graft's ingest-side extension
+    * (the reference builds sketches via toIntegerSumTupleSketch in
+    * ingestion transforms). */
   def registerAll(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    def builder(mode: Int)(exprs: Seq[Expression]): Expression = {
-      val k = if (exprs.size > 2) exprs(2).eval().toString.toInt else 16384
-      IntegerTupleSketchAgg(exprs(0), exprs(1), k, mode)
+    def builder(mode: Int)(exprs: Seq[Expression]): Expression = exprs match {
+      case Seq(b) => TupleSketchMergeAgg(b, 16384, mode)
+      case Seq(b, l) if l.foldable &&
+          (l.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType] ||
+            l.dataType == org.apache.spark.sql.types.NullType) =>
+        val lgK = l.eval().toString.toDouble.toInt
+        TupleSketchMergeAgg(b, 1 << lgK, mode)
+      case Seq(k0, v) => IntegerTupleSketchAgg(k0, v, 16384, mode)
+      case _ =>
+        val k = exprs(2).eval().toString.toInt
+        IntegerTupleSketchAgg(exprs(0), exprs(1), k, mode)
     }
     Seq(
       "distinctcounttuplesketch" -> 0,
