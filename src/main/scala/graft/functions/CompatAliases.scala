@@ -256,7 +256,10 @@ object CompatAliases {
     "int_sum_tuple_sketch_union", "int_min_tuple_sketch_union",
     "int_max_tuple_sketch_union", "int_sum_tuple_sketch_intersect",
     "int_min_tuple_sketch_intersect", "int_max_tuple_sketch_intersect",
-    "int_sum_tuple_sketch_diff")
+    "int_sum_tuple_sketch_diff",
+    // ARRAYS_OVERLAP (ArraysOverlapScalarFunction) — Pinot's bare
+    // spelling onto Spark's arrays_overlap builtin
+    "arraysoverlap")
 
   private def canon(s: String): String =
     s.replace("_", "").toLowerCase(java.util.Locale.ROOT)

@@ -745,6 +745,12 @@ object PinotFunctions {
         e.foldable && String.valueOf(e.eval()).equalsIgnoreCase("true"))
       if (distinct) array_distinct(collect_list(c)) else collect_list(c) },
     // HISTOGRAM — two modes per the reference HistogramAggregationFunction
+    // avgReduce (InternalReduceFunctions.java:33-40): the multistage
+    // reducer's final AVG step over (sum, count) partials — null when
+    // the count is null or zero
+    "avgreduce" -> { case Seq(s, n) =>
+      when(n.isNull || n === 0 || s.isNull, lit(null))
+        .otherwise(s.cast("double") / n) },
     // (pinot-core/.../function/HistogramAggregationFunction.java:40-42):
     // HISTOGRAM(col, lower, upper, numBins) equal-width, or
     // HISTOGRAM(col, ARRAY[e0, e1, …]) explicit strictly-increasing bin

@@ -212,5 +212,14 @@ class ScalarTailSpec extends SparkSpec {
     assert(one("queryEngine()") == "graft-spark")
     assert(one("sleep(5)") == 5)
     assert(one("startTime()").asInstanceOf[Long] > 0L)
+    // ARRAYS_OVERLAP (ArraysOverlapScalarFunction) rides Spark's
+    // arrays_overlap builtin via the bare-spelling alias
+    assert(one("arraysOverlap(array(1, 2), array(2, 3))") == true)
+    assert(one("arraysOverlap(array(1, 2), array(3, 4))") == false)
+    // avgReduce (InternalReduceFunctions.java): the MSE reducer's
+    // final AVG over (sum, count) partials — null on zero/null count
+    assert(one("avgReduce(10.0, 4)") == 2.5)
+    assert(one("avgReduce(10.0, 0)") == null)
+    assert(one("avgReduce(CAST(NULL AS DOUBLE), 4)") == null)
   }
 }
