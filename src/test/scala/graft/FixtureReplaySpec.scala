@@ -4094,6 +4094,13 @@ class FixtureReplaySpec extends SparkSpec {
       " floatMVColumn[2] AS floatMVColumn_any," +
       " doubleMVColumn[0] AS doubleMVColumn_any FROM dcts_t)").head
     assert(p.getLong(0) == 225L)
+
+    // RAW variant of the same composition returns the blob unwrapped
+    val praw = q("SELECT DISTINCT_COUNT_RAW_THETA_SKETCH(intSVColumn, ''," +
+      " 'longSVColumn >= 300', 'longSVColumn < 500'," +
+      " 'SET_INTERSECT($1,$2)') AS b FROM dcts_t").head
+    assert(math.round(graft.plans.ThetaDs.heapify(
+      praw.getAs[Array[Byte]](0)).getEstimate) == 200L)
   }
 
   test("reference frequent-items suite: FrequentItemsSketchQueriesTest golds") {
