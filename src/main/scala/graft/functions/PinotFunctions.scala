@@ -751,6 +751,17 @@ object PinotFunctions {
     "avgreduce" -> { case Seq(s, n) =>
       when(n.isNull || n === 0 || s.isNull, lit(null))
         .otherwise(s.cast("double") / n) },
+    // polymorphic arithmetic scalars
+    // (common/function/scalar/arithmetic/{ModuloOrZero,PositiveModulo,
+    // Negate}ScalarFunction.java): moduloOrZero turns a zero divisor
+    // into 0 instead of erroring; positiveModulo shifts a negative
+    // remainder into [0, |b|); negate is unary minus
+    "moduloorzero" -> { case Seq(a, b) =>
+      when(b === 0, lit(0)).otherwise(a % b) },
+    "positivemodulo" -> { case Seq(a, b) =>
+      val r = a % b
+      when(r >= 0, r).otherwise(r + abs(b)) },
+    "negate" -> { case Seq(a) => negate(a) },
     // (pinot-core/.../function/HistogramAggregationFunction.java:40-42):
     // HISTOGRAM(col, lower, upper, numBins) equal-width, or
     // HISTOGRAM(col, ARRAY[e0, e1, …]) explicit strictly-increasing bin

@@ -221,5 +221,15 @@ class ScalarTailSpec extends SparkSpec {
     assert(one("avgReduce(10.0, 4)") == 2.5)
     assert(one("avgReduce(10.0, 0)") == null)
     assert(one("avgReduce(CAST(NULL AS DOUBLE), 4)") == null)
+    // polymorphic arithmetic scalars (ArithmeticFunctionsTest golds):
+    // moduloOrZero(9,5)=4, zero divisor → 0; positiveModulo shifts a
+    // negative remainder into [0,|b|): (9,±5)→4, (-9,5)→1, (-9,-5)→1
+    assert(one("moduloOrZero(9, 5)").toString.toDouble == 4.0)
+    assert(one("moduloOrZero(9, 0)").toString.toDouble == 0.0)
+    assert(one("positiveModulo(9, 5)").toString.toDouble == 4.0)
+    assert(one("positiveModulo(9, -5)").toString.toDouble == 4.0)
+    assert(one("positiveModulo(-9, 5)").toString.toDouble == 1.0)
+    assert(one("positiveModulo(-9, -5)").toString.toDouble == 1.0)
+    assert(one("negate(7)").toString.toDouble == -7.0)
   }
 }
