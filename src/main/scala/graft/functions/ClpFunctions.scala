@@ -99,5 +99,41 @@ object ClpFunctions {
       }
       clpEncodedVarsMatch(args(1), wildcard)
     })
+    put("clpwildcardmatch", { case Seq(msg, wq) =>
+      val wildcard = ColumnBridge.expression(wq).eval() match {
+        case u: org.apache.spark.unsafe.types.UTF8String => u.toString
+        case other => other.toString
+      }
+      clpWildcardMatch(msg, wildcard)
+    })
+  }
+
+  /** clpMatch's wildcard semantics (`ClpRewriter.java` + CLP's
+    * EightByteClpWildcardQueryEncoder contract): the query must match
+    * the ENTIRE decoded message — `*` spans any run (including
+    * empty), `?` matches one character, `\` escapes the next
+    * character. The reference compiles the query into logtype/var
+    * subqueries and, whenever the subqueries are inexact, ANDs a
+    * decompress-and-match re-verify — decode+match is the semantic
+    * ground truth, evaluated here directly (the facade's clpMatch
+    * rewrite pairs this with [[clpDecode]]). Null messages don't
+    * match. */
+  def clpWildcardMatch(msg: Column, wildcard: String): Column = {
+    val sb = new StringBuilder("(?s)^")
+    var i = 0
+    while (i < wildcard.length) {
+      wildcard.charAt(i) match {
+        case '*' => sb.append(".*")
+        case '?' => sb.append(".")
+        case '\\' if i + 1 < wildcard.length =>
+          i += 1
+          sb.append(java.util.regex.Pattern.quote(
+            wildcard.charAt(i).toString))
+        case c => sb.append(java.util.regex.Pattern.quote(c.toString))
+      }
+      i += 1
+    }
+    sb.append("$")
+    msg.rlike(sb.toString)
   }
 }

@@ -931,6 +931,27 @@ object FunctionQueries {
             t -> regexp_full_match(t, '-?[0-9]{1,18}'))) AS n_enc
         FROM documents ORDER BY doc_id""")),
 
+    // clpMatch over an ingested column group (ClpRewriter analog,
+    // round 11): the wildcard must match the ENTIRE decoded message —
+    // the facade rewrites clpMatch(group, 'wq') into the
+    // decompress-and-match ground truth over the triple columns. The
+    // DuckDB oracle runs the same wildcard as a LIKE over the raw text.
+    GQuery("q_clp_match",
+      (s, dir) => {
+        graft.sql.QueryFacade.init(s, dir)
+        val t = Tables(s, dir)
+        val cfg = graft.sources.ClpLogIngest.Config(
+          fieldsForClpEncoding = Seq("text"), removeProcessedFields = true)
+        graft.sources.ClpLogIngest.extract(t.documents, cfg)
+          .createOrReplaceTempView("clp_docs")
+        graft.sql.QueryFacade.sql(s,
+          """SET explicitLimit = true;
+             SELECT doc_id, lang FROM clp_docs
+             WHERE clpMatch(text, '*the*') ORDER BY doc_id""")
+      },
+      Some("""SELECT doc_id, lang FROM documents
+        WHERE text LIKE '%the%' ORDER BY doc_id""")),
+
     // Character n-grams (scalar/string/NgramFunctions.java) + the
     // concatWs/regexpLike spelling aliases — n-grams sorted in both
     // engines so set equality is order-independent.

@@ -1725,6 +1725,89 @@ object QueryFacade {
       s" SELECT $selItems FROM $joins$orderC$limitC"
   } catch { case scala.util.control.NonFatal(_) => stmt }
 
+  private val ClpCallOpen = """(?i)\b(clpmatch|clpdecode)\s*\(""".r
+  private val ClpIdent =
+    """^(?:`([^`]+)`|"([^"]+)"|([A-Za-z_]\w*))$""".r
+
+  /** ClpRewriter analog (`pinot-common/.../rewriter/ClpRewriter.java`):
+    * `clpDecode("group"[, default])` expands to the column-group
+    * triple `<g>_logtype/_dictionaryVars/_encodedVars`, and
+    * `clpMatch("group", 'wildcard')` (or the explicit 4-arg triple
+    * form) compiles to CLP's query semantics — an empty wildcard is
+    * `<g>_logtype = ''` (`ClpRewriter.java:296-303`), anything else is
+    * the decompress-and-match ground truth the reference ANDs onto its
+    * inexact subqueries: `clpwildcardmatch(clpDecode(triple), 'wq')`.
+    * The `clpMatch(...) = true` / `NOT … = true` workaround shapes
+    * (reference issue #10478) need no special casing — the rewritten
+    * boolean expression composes under both. */
+  private[graft] def rewriteClpCalls(stmt: String): String = try {
+    val rawLow = stmt.toLowerCase
+    if (!rawLow.contains("clpmatch") && !rawLow.contains("clpdecode"))
+      return stmt
+    val masked = maskLiterals(stmt)
+    val out = new StringBuilder
+    var last = 0
+    def ident(a: String): Option[String] = a.trim match {
+      case ClpIdent(bt, dq, bare) =>
+        Some(Seq(bt, dq, bare).find(_ != null).get)
+      case _ => None
+    }
+    for (m <- ClpCallOpen.findAllMatchIn(masked)) if (m.start >= last) {
+      val isMatch = m.group(1).equalsIgnoreCase("clpmatch")
+      val open = m.end - 1
+      var depth = 0
+      var i = open
+      var close = -1
+      while (i < masked.length && close < 0) {
+        masked.charAt(i) match {
+          case '(' => depth += 1
+          case ')' => depth -= 1; if (depth == 0) close = i
+          case _ =>
+        }
+        i += 1
+      }
+      if (close > 0) {
+        val args = splitTopLevel(stmt.substring(open + 1, close))
+        def triple(g: String): (String, String, String) =
+          (s"`${g}_logtype`", s"`${g}_dictionaryVars`", s"`${g}_encodedVars`")
+        val repl: Option[String] =
+          if (!isMatch) args match {
+            // group-name sugar only; the 3/4-arg triple form is the
+            // registered function itself
+            case Seq(g0) => ident(g0).map { g =>
+              val (lt, dv, ev) = triple(g)
+              s"clpDecode($lt, $dv, $ev)"
+            }
+            case Seq(g0, dflt) => ident(g0).map { g =>
+              val (lt, dv, ev) = triple(g)
+              s"clpDecode($lt, $dv, $ev, ${dflt.trim})"
+            }
+            case _ => None
+          } else {
+            val cols: Option[(String, String, String, String)] = args match {
+              case Seq(g0, wq) => ident(g0).map { g =>
+                val (lt, dv, ev) = triple(g)
+                (lt, dv, ev, wq.trim)
+              }
+              case Seq(l0, d0, e0, wq) =>
+                for (l <- ident(l0); d <- ident(d0); e <- ident(e0))
+                  yield (s"`$l`", s"`$d`", s"`$e`", wq.trim)
+              case _ => None
+            }
+            cols.map { case (lt, dv, ev, wq) =>
+              if (unescapeSqlLiteral(wq).isEmpty) s"$lt = ''"
+              else s"clpwildcardmatch(clpDecode($lt, $dv, $ev), $wq)"
+            }
+          }
+        repl.foreach { r =>
+          out.append(stmt.substring(last, m.start)).append(r)
+          last = close + 1
+        }
+      }
+    }
+    if (last == 0) stmt else { out.append(stmt.substring(last)); out.toString }
+  } catch { case scala.util.control.NonFatal(_) => stmt }
+
   private val JsonNullDefault =
     ("(?i)\\b(jsonextractscalar|jsonextractindex)\\s*\\(\\s*([A-Za-z_][A-Za-z0-9_]*)\\s*," +
       "\\s*('[^']*')\\s*,\\s*'(int|long|float|double|boolean|timestamp)'\\s*,\\s*null\\s*\\)").r
@@ -2651,6 +2734,7 @@ object QueryFacade {
           rewriteMapValueShredded(spark,
           rewriteOrderBySelectExpr(
           rewriteThetaSetOps(
+          rewriteClpCalls(
           rewriteExprMinMax(
           rewriteTypeSafeCompare(spark,
           rewriteListAggMv(spark,
@@ -2658,7 +2742,7 @@ object QueryFacade {
           rewriteJsonMatch(
             rewriteAsOf(rewriteReserved(stripHints(
               rewriteTimestampIndex(
-                applyRlsFilters(spark, stmt0, opts)))))))))))))))))))
+                applyRlsFilters(spark, stmt0, opts))))))))))))))))))))
     if (Ddl.isDdl(stmt)) return Ddl.execute(spark, stmt)
     // Pinot EXPLAIN PLAN FOR <query> (PinotQueryResource explain
     // support): one row per plan-tree line, mirroring the reference's

@@ -89,4 +89,52 @@ class ClpSpec extends SparkSpec {
     // wildcard 2* matches an encoded var rendering starting with 2
     assert(matched == Set("INFO Task 12345 completed in 250 ms"))
   }
+
+  test("clpMatch / clpDecode group rewrites (ClpRewriter analog)") {
+    // column-group triple, as ClpLogIngest materializes it
+    val grp = graft.sources.ClpLogIngest.extract(
+      msgs.toDF("message"),
+      graft.sources.ClpLogIngest.Config(fieldsForClpEncoding = Seq("message")))
+    grp.createOrReplaceTempView("clp_grp")
+    def rows(sql: String): Set[String] =
+      graft.sql.QueryFacade.sql(spark,
+        s"SET explicitLimit = true; $sql")
+        .collect().map(_.getString(0)).toSet
+
+    // clpDecode("group") sugar expands to the triple (1-arg + default)
+    assert(rows("SELECT clpDecode(message) AS m FROM clp_grp") ==
+      msgs.toSet)
+    assert(rows("SELECT clpDecode(message, 'null') AS m FROM clp_grp") ==
+      msgs.toSet)
+    // clpMatch(group, wildcard): full-message wildcard semantics
+    assert(rows("SELECT clpDecode(message) AS m FROM clp_grp" +
+      " WHERE clpMatch(message, '*completed*')") ==
+      Set("INFO Task 12345 completed in 250 ms"))
+    assert(rows("SELECT clpDecode(message) AS m FROM clp_grp" +
+      " WHERE clpMatch(message, 'ERROR*retries*')") ==
+      Set("ERROR node-7 failed after 3 retries: code=0xdead"))
+    // `?` = exactly one char; no-star query must match the WHOLE message
+    assert(rows("SELECT clpDecode(message) AS m FROM clp_grp" +
+      " WHERE clpMatch(message, 'plain message without variable?')") ==
+      Set("plain message without variables"))
+    assert(rows("SELECT clpDecode(message) AS m FROM clp_grp" +
+      " WHERE clpMatch(message, 'completed')").isEmpty)
+    // empty wildcard → logtype = '' (the empty message)
+    assert(graft.sql.QueryFacade.sql(spark,
+      "SET explicitLimit = true; SELECT count(*) AS n FROM clp_grp" +
+        " WHERE clpMatch(message, '')").collect().head.getLong(0) == 1L)
+    // the issue-10478 workaround shapes compose unchanged
+    assert(rows("SELECT clpDecode(message) AS m FROM clp_grp" +
+      " WHERE clpMatch(message, '*completed*') = true") ==
+      Set("INFO Task 12345 completed in 250 ms"))
+    assert(graft.sql.QueryFacade.sql(spark,
+      "SET explicitLimit = true; SELECT count(*) AS n FROM clp_grp" +
+        " WHERE NOT clpMatch(message, '*completed*') = true")
+      .collect().head.getLong(0) == msgs.size - 1L)
+    // explicit 4-arg triple form
+    assert(rows("SELECT clpDecode(message) AS m FROM clp_grp" +
+      " WHERE clpMatch(message_logtype, message_dictionaryVars," +
+      " message_encodedVars, '*0xdead*')") ==
+      Set("ERROR node-7 failed after 3 retries: code=0xdead"))
+  }
 }
