@@ -100,11 +100,26 @@ object ClpFunctions {
       clpEncodedVarsMatch(args(1), wildcard)
     })
     put("clpwildcardmatch", { case Seq(msg, wq) =>
-      val wildcard = ColumnBridge.expression(wq).eval() match {
-        case u: org.apache.spark.unsafe.types.UTF8String => u.toString
-        case other => other.toString
+      ColumnBridge.expression(wq).eval() match {
+        case null =>
+          org.apache.spark.sql.functions.lit(null)
+            .cast(org.apache.spark.sql.types.BooleanType)
+        case u: org.apache.spark.unsafe.types.UTF8String =>
+          clpWildcardMatch(msg, u.toString)
+        case other => clpWildcardMatch(msg, other.toString)
       }
-      clpWildcardMatch(msg, wildcard)
+    })
+    // candidate-side logtype prefilter (compiled at plan time; lit(true)
+    // when the wildcard carries no logtype constraint, so the call is
+    // always safe to AND with the decode+match re-verify)
+    put("clplogtypematch", { case Seq(lt, wq) =>
+      ColumnBridge.expression(wq).eval() match {
+        case null => lit(null).cast(BooleanType)
+        case w => logtypePrefilterRegex(w.toString) match {
+          case Some(re) => lt.rlike(re)
+          case None => lit(true)
+        }
+      }
     })
   }
 
@@ -133,7 +148,120 @@ object ClpFunctions {
       }
       i += 1
     }
-    sb.append("$")
+    // \z, not $: in Java regex $ also matches before a trailing line
+    // terminator, which would let 'foo' match "foo\n" — the contract
+    // is entire-message, byte-for-byte to the end.
+    sb.append("\\z")
     msg.rlike(sb.toString)
+  }
+
+  /** Candidate-side prefilter for clpMatch — the analog of the
+    * reference's logtype subqueries (`ClpRewriter.java:293-345`
+    * `rewriteClpMatchFunction` → `createLogtypeMatchFunction`: compile
+    * the wildcard against the logtype column, AND the
+    * decompress-and-match re-verify only when inexact). Graft keeps
+    * decode+match as the unconditional ground truth and uses this as a
+    * cheap AND'd prefilter over the short, repetitive `_logtype`
+    * column — the same candidate/re-verify split GeoIndex / TextIndex /
+    * RegexpIndex serve with.
+    *
+    * Soundness contract (spec-gated by ClpPrefilterSpec): wildcard
+    * matches decode(msg) ⟹ this regex matches msg's logtype. Derived
+    * from the encoder's invariants ([[graft.plans.ClpCodec]]):
+    *   - tokens split/join on single spaces, so every space in the
+    *     message survives verbatim in the logtype;
+    *   - a `-?\d{1,18}` token becomes IntPh (\u0012), any other
+    *     ASCII-digit-bearing token becomes DictPh (\u0011), digit-free
+    *     tokens stay verbatim — token encoding is a pure function of
+    *     token text, so a fully-literal space-bounded query token has
+    *     an EXACT logtype image (placeholder or verbatim), and any
+    *     literal run (no space ⇒ within one token) appears verbatim or
+    *     collapses into that token's single placeholder.
+    * Wildcard-bearing pieces enumerate the ways consecutive literal
+    * runs can share one variable's placeholder (runs capped at 3;
+    * extras degrade to `.*`, still sound). Returns None when the
+    * compilation carries no constraint beyond `.*`.
+    */
+  def logtypePrefilterRegex(wildcard: String): Option[String] = {
+    import graft.plans.ClpCodec
+    final case class Sym(ch: Char, wild: Boolean)
+    val syms = scala.collection.mutable.ArrayBuffer.empty[Sym]
+    var i = 0
+    while (i < wildcard.length) {
+      wildcard.charAt(i) match {
+        case c @ ('*' | '?') => syms += Sym(c, wild = true)
+        case '\\' if i + 1 < wildcard.length =>
+          i += 1; syms += Sym(wildcard.charAt(i), wild = false)
+        case c => syms += Sym(c, wild = false)
+      }
+      i += 1
+    }
+    val pieces = scala.collection.mutable.ArrayBuffer(
+      scala.collection.mutable.ArrayBuffer.empty[Sym])
+    syms.foreach { s =>
+      if (!s.wild && s.ch == ' ')
+        pieces += scala.collection.mutable.ArrayBuffer.empty[Sym]
+      else pieces.last += s
+    }
+    def quoteRe(s: String): String = s.flatMap { c =>
+      if ("\\^$.|?*+()[]{}".indexOf(c) >= 0) "\\" + c else c.toString
+    }
+    def asciiDigit(c: Char) = c >= '0' && c <= '9'
+    // could the run sit inside some `-?\d{1,18}` integer variable?
+    def encodedInfix(r: String): Boolean =
+      r.count(asciiDigit) <= 18 && r.zipWithIndex.forall { case (c, k) =>
+        asciiDigit(c) || (c == '-' && k == 0)
+      }
+    def blockAlt(runs: Seq[String]): String =
+      if (runs.size == 1) {
+        val r = runs.head
+        val alts = Seq("\u0011") ++
+          (if (encodedInfix(r)) Seq("\u0012") else Nil) ++
+          (if (!r.exists(asciiDigit)) Seq(quoteRe(r)) else Nil)
+        if (alts == Seq("\u0011")) "\u0011"
+        else if (alts == Seq("\u0011", "\u0012")) "[\u0011\u0012]"
+        else alts.mkString("(?:", "|", ")")
+      } else if (runs.forall(encodedInfix)) "[\u0011\u0012]"
+      else "\u0011"
+    def pieceRegex(p: Seq[Sym]): String = {
+      if (p.isEmpty) "" // empty token: digit-free ⇒ verbatim empty
+      else if (p.forall(!_.wild)) {
+        val t = p.map(_.ch).mkString
+        if (ClpCodec.isIntVar(t)) "\u0012"
+        else if (ClpCodec.hasDigit(t)) "\u0011"
+        else quoteRe(t)
+      } else {
+        var runs = Vector.empty[String]
+        val cur = new StringBuilder
+        var leadWild = false
+        var trailWild = false
+        p.foreach { s =>
+          if (s.wild) {
+            if (cur.nonEmpty) { runs :+= cur.toString; cur.clear() }
+            if (runs.isEmpty) leadWild = true
+            trailWild = true
+          } else { cur.append(s.ch); trailWild = false }
+        }
+        if (cur.nonEmpty) runs :+= cur.toString
+        if (runs.size > 3) { runs = runs.take(3); trailWild = true }
+        if (runs.isEmpty) ".*"
+        else {
+          // every split of consecutive runs into shared-placeholder
+          // blocks (runs never span tokens — they contain no space)
+          def partitions(rs: Vector[String]): Seq[Seq[Vector[String]]] =
+            if (rs.isEmpty) Seq(Seq.empty)
+            else (1 to rs.size).flatMap(k =>
+              partitions(rs.drop(k)).map(rest => rs.take(k) +: rest))
+          val alts = partitions(runs)
+            .map(_.map(blockAlt).mkString(".*")).distinct
+          val core =
+            if (alts.size == 1) alts.head else alts.mkString("(?:", "|", ")")
+          (if (leadWild) ".*" else "") + core + (if (trailWild) ".*" else "")
+        }
+      }
+    }
+    val re = "(?s)^" + pieces.map(p => pieceRegex(p.toSeq)).mkString(" ") +
+      "\\z"
+    if (re == "(?s)^.*\\z") None else Some(re)
   }
 }

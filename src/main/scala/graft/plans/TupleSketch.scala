@@ -253,8 +253,12 @@ object TupleSketch {
       case Seq(b, l) if l.foldable &&
           (l.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType] ||
             l.dataType == org.apache.spark.sql.types.NullType) =>
-        val lgK = l.eval().toString.toDouble.toInt
-        TupleSketchMergeAgg(b, 1 << lgK, mode)
+        // A numeric literal is the nominal-entries count itself
+        // (IntegerTupleSketchAggregationFunction.java:126 assigns
+        // getIntValue() straight to _nominalEntries); a NULL literal
+        // falls back to the 2^DEFAULT_TUPLE_SKETCH_LGK default.
+        val nominal = Option(l.eval()).map(_.toString.toDouble.toInt).getOrElse(16384)
+        TupleSketchMergeAgg(b, nominal, mode)
       case Seq(k0, v) => IntegerTupleSketchAgg(k0, v, 16384, mode)
       case _ =>
         val k = exprs(2).eval().toString.toInt

@@ -286,6 +286,35 @@ object AggQueries {
         WHERE rk = 1 AND l_returnflag <> 'X'
         ORDER BY l_returnflag, argmin_okey""")),
 
+    // Near-tie mixed shape (round 12): the block ROW_NUMBER orders
+    // RANK()=1 survivors by doc order alone on the argument that
+    // they're tied on the WHOLE measure list — this query pins the
+    // measure-list completeness against a live oracle: the leading
+    // measure (l_quantity) ties on ~1150 rows at sf0.01 and only the
+    // trailing measure (l_extendedprice) breaks the tie, so any
+    // loosening of the rank ordering multiplies the block and changes
+    // values. Mixed with a sibling sum and a second single-measure
+    // parent to keep the ParentAggregationResultRewriter path live.
+    GQuery("q_agg_exprminmax_neartie",
+      (s, dir) => {
+        graft.sql.QueryFacade.init(s, dir)
+        graft.sql.QueryFacade.sql(s,
+          """SET explicitLimit = true;
+             SELECT sum(l_quantity) AS sum_qty,
+               exprmin(l_orderkey, l_quantity, l_extendedprice),
+               exprmin(l_partkey, l_extendedprice)
+             FROM lineitem""")
+          .withColumnRenamed(
+            "exprmin(l_orderkey,l_quantity,l_extendedprice)", "argmin_pair")
+          .withColumnRenamed("exprmin(l_partkey,l_extendedprice)",
+            "argmin_price")
+      },
+      Some("""SELECT (SELECT sum(l_quantity) FROM lineitem) AS sum_qty,
+          (SELECT l_orderkey FROM lineitem
+             ORDER BY l_quantity, l_extendedprice LIMIT 1) AS argmin_pair,
+          (SELECT l_partkey FROM lineitem
+             ORDER BY l_extendedprice LIMIT 1) AS argmin_price""")),
+
     // Multi-predicate theta form (round 11): N FILTER'd raw sketches
     // composed by the blob set-op scalars in ONE scan — the
     // reference's DISTINCT_COUNT_THETA_SKETCH(expr, params, 'f1', …,

@@ -942,7 +942,11 @@ object FunctionQueries {
         val t = Tables(s, dir)
         val cfg = graft.sources.ClpLogIngest.Config(
           fieldsForClpEncoding = Seq("text"), removeProcessedFields = true)
-        graft.sources.ClpLogIngest.extract(t.documents, cfg)
+        // durable artifact: the corpus encode is a register-time index
+        // build (IndexStore parquet), so warm runs scan the persisted
+        // triple — and the clpMatch logtype prefilter lands on a real
+        // parquet column
+        graft.sources.ClpLogIngest.extractDurable(t.documents, cfg)
           .createOrReplaceTempView("clp_docs")
         graft.sql.QueryFacade.sql(s,
           """SET explicitLimit = true;

@@ -104,12 +104,17 @@ object BatchIngest {
         case DoubleType =>
           out(when(isnan(c), lit(null).cast(DoubleType))
             .otherwise(c + lit(0.0d)))
+        // NaN-only removal: a bare !isnan(x) predicate evaluates to
+        // null for a NULL element, which filter() treats as drop —
+        // keep nulls explicitly (the reference removes only NaN).
         case ArrayType(FloatType, _) =>
-          val cleaned = transform(filter(c, x => !isnan(x)), x => x + lit(0.0f))
+          val cleaned = transform(filter(c, x => x.isNull || !isnan(x)),
+            x => x + lit(0.0f))
           out(when(size(c) > 0 && size(cleaned) === 0,
             lit(null)).otherwise(cleaned))
         case ArrayType(DoubleType, _) =>
-          val cleaned = transform(filter(c, x => !isnan(x)), x => x + lit(0.0d))
+          val cleaned = transform(filter(c, x => x.isNull || !isnan(x)),
+            x => x + lit(0.0d))
           out(when(size(c) > 0 && size(cleaned) === 0,
             lit(null)).otherwise(cleaned))
         case StringType if decs(f.name) =>

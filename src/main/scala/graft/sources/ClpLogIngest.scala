@@ -131,4 +131,31 @@ object ClpLogIngest {
     }
     out
   }
+
+  /** [[extract]], persisted: the encoded layout is written once as a
+    * parquet [[IndexStore]] artifact (fingerprint-keyed, atomic
+    * commit) and re-read thereafter — the corpus CLP encode is a
+    * register-time index build like TextIndex/RegexpIndex, not a
+    * per-query projection. Reading the triple back from parquet also
+    * makes the clpMatch logtype prefilter land on a real column scan
+    * instead of a derived projection. Falls back to the inline
+    * projection when the corpus has no stable file fingerprint. */
+  def extractDurable(df: DataFrame, config: Config,
+      topicName: Option[String] = None): DataFrame = {
+    val colKey = config.fieldsForClpEncoding.mkString(",")
+    val params = Seq("clp_extract_v1", colKey,
+      config.removeProcessedFields.toString,
+      config.unencodableFieldSuffix.getOrElse(""),
+      config.unencodableFieldError.getOrElse(""),
+      config.topicNameDestinationColumn.getOrElse(""),
+      topicName.getOrElse(""))
+    IndexStore.getOrBuild(df, "clp", colKey, params) { dir =>
+      extract(df, config, topicName)
+        .write.mode("overwrite").parquet(dir + "/data")
+    } match {
+      case Some(located) =>
+        df.sparkSession.read.parquet(located.dir + "/data")
+      case None => extract(df, config, topicName)
+    }
+  }
 }

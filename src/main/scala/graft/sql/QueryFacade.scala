@@ -1795,8 +1795,18 @@ object QueryFacade {
               case _ => None
             }
             cols.map { case (lt, dv, ev, wq) =>
-              if (unescapeSqlLiteral(wq).isEmpty) s"$lt = ''"
-              else s"clpwildcardmatch(clpDecode($lt, $dv, $ev), $wq)"
+              val raw = unescapeSqlLiteral(wq)
+              if (raw.isEmpty) s"$lt = ''"
+              else {
+                // candidate/re-verify split (ClpRewriter.java:293-345):
+                // a cheap compiled prefilter over the logtype column
+                // prunes before the per-row decode+match ground truth
+                val reVerify = s"clpwildcardmatch(clpDecode($lt, $dv, $ev), $wq)"
+                if (graft.functions.ClpFunctions
+                    .logtypePrefilterRegex(raw).isDefined)
+                  s"(clplogtypematch($lt, $wq) AND $reVerify)"
+                else reVerify
+              }
             }
           }
         repl.foreach { r =>
@@ -1878,7 +1888,10 @@ object QueryFacade {
             require(maxRef >= 1 && maxRef <= filters.size,
               s"theta set ref out of range: $maxRef of ${filters.size}")
             val aggOf = (k: Int) => {
-              val p = if (params.trim.isEmpty) "" else s", '${params.trim}'"
+              // re-escape: params was unescaped above, so any embedded
+              // quote must be doubled again before splicing into SQL
+              val p = if (params.trim.isEmpty) ""
+                else s", '${params.trim.replace("'", "''")}'"
               s"distinctcountrawthetasketch($exprArg$p)" +
                 s" FILTER (WHERE ${filters(k - 1)})"
             }

@@ -137,4 +137,18 @@ class ClpSpec extends SparkSpec {
       " message_encodedVars, '*0xdead*')") ==
       Set("ERROR node-7 failed after 3 retries: code=0xdead"))
   }
+
+  test("entire-message anchoring: trailing newline is not ignored (ADVICE r12)") {
+    // Java regex $ matches before a trailing line terminator; the
+    // contract is byte-for-byte to the end, so 'foo' must NOT match
+    // "foo\n" (and must still match itself)
+    val df = Seq("foo", "foo\n", "foo\nbar").toDF("msg")
+    val hit = df.filter(ClpFunctions.clpWildcardMatch($"msg", "foo"))
+      .collect().map(_.getString(0)).toSeq
+    assert(hit == Seq("foo"))
+    // multi-line messages still match through * ((?s) dotall)
+    val span = df.filter(ClpFunctions.clpWildcardMatch($"msg", "foo*bar"))
+      .collect().map(_.getString(0)).toSeq
+    assert(span == Seq("foo\nbar"))
+  }
 }

@@ -2841,6 +2841,45 @@ class FixtureReplaySpec extends SparkSpec {
       Seq((3998000L, 8d), (3998000L, 8d), (3998000L, 18d), (3998000L, 18d)))
   }
 
+  test("expr-min-max near-tie gold: rank-1 survivors are full-measure-tied") {
+    // Pins the equivalence behind the round-11 scale fix
+    // (QueryFacade mixed shape: the block ROW_NUMBER orders survivors
+    // by __emm_ord ALONE, on the argument that RANK()=1 rows are tied
+    // on the whole measure list). Deliberately near-tied data — one
+    // row differs from the minimum ONLY in the trailing measure — so
+    // any future loosening (DENSE_RANK, truncated measure list, or a
+    // row-number order that diverges from doc order) changes the
+    // asserted block content or row alignment.
+    import spark.implicits._
+    val rows = Seq(
+      // (m1, m2, ret1, ret2) — doc order is Seq order (__emm_ord)
+      (1, 5, "a0", "b0"), // full tie on (m1,m2): block row 1 of P1
+      (1, 6, "a1", "b1"), // NEAR-TIE: trailing measure differs — P2 only
+      (1, 5, "a2", "b2"), // full tie: block row 2 of P1
+      (2, 0, "a3", "b3"), // larger leading measure: in neither block
+      (1, 5, "a4", "b4")) // full tie: block row 3 of P1
+      .toDF("m1", "m2", "ret1", "ret2")
+    rows.createOrReplaceTempView("emm_neartie")
+    // P1 ranks on the FULL measure list (m1, m2): survivors are the
+    // three (1,5) rows. P2 ranks on m1 alone: the near-tie row joins
+    // its block. Blocks align row-by-row in doc order; the shorter
+    // parent NULL-pads.
+    val r = graft.sql.QueryFacade.sql(spark,
+      "SET explicitLimit = true; SELECT sum(m2) AS s," +
+        " exprmin(ret1, m1, m2), exprmin(ret2, m1) FROM emm_neartie")
+      .collect().toSeq
+    assert(r.size == 4, s"block not padded to the longest parent: $r")
+    val aligned = r.map(x => (x.getLong(0), Option(x.getString(1)),
+      x.getString(2))).sortBy(_._3)
+    assert(aligned == Seq(
+      (21L, Some("a0"), "b0"),
+      (21L, Some("a2"), "b1"),
+      (21L, Some("a4"), "b2"),
+      (21L, None, "b4")),
+      s"near-tie leaked into the full-measure block or block order " +
+        s"diverged from doc order: $aligned")
+  }
+
   test("reference expr-min-max suite: nested query-block anchoring") {
     // The reference's ParentAggregationResultRewriter fires once per
     // QUERY BLOCK (`ParentAggregationResultRewriter.java` rewrites the

@@ -137,4 +137,35 @@ class SketchScalarsSpec extends SparkSpec {
     assert(r.getLong(1) == 2L)
     assert(r.getLong(2) == 15L)
   }
+
+  test("numeric 2nd arg is nominal entries, not lgK (ADVICE r12)") {
+    // IntegerTupleSketchAggregationFunction.java:126 assigns the int
+    // literal straight to _nominalEntries — a reference-style call
+    // with 16384 must keep full accuracy (the old lgK reading computed
+    // 1 << 16384 which wraps to nominal 1 and collapses the estimate)
+    val df = (1 to 64).map(i => (s"k$i", i)).toDF("key", "v")
+    df.createOrReplaceTempView("tpl_nominal_src")
+    spark.sql("""CREATE OR REPLACE TEMPORARY VIEW tpl_nominal AS
+        SELECT TO_INTEGER_SUM_TUPLE_SKETCH(key, v) AS blob
+        FROM tpl_nominal_src""")
+    val r = q("SELECT DISTINCT_COUNT_TUPLE_SKETCH(blob, 16384)," +
+      " DISTINCT_COUNT_TUPLE_SKETCH(blob, CAST(NULL AS INT))" +
+      " FROM tpl_nominal").collect().head
+    assert(r.getLong(0) == 64L)
+    // NULL literal degrades to the default nominal entries, no NPE
+    assert(r.getLong(1) == 64L)
+  }
+
+  test("theta set-op rewrite re-escapes quotes inside the params literal") {
+    // the unescaped params string is re-embedded in single quotes —
+    // an embedded quote must be doubled again or the spliced SQL is
+    // malformed (ADVICE r12). Count quote balance on the output.
+    val in = "SELECT DISTINCT_COUNT_THETA_SKETCH(key, 'a=''x''," +
+      " nominalEntries=4096', 'v > 0', 'SET_UNION($1, $1)') FROM t"
+    val out = graft.sql.QueryFacade.rewriteThetaSetOps(in)
+    assert(out != in, "rewrite did not fire")
+    assert(out.count(_ == '\'') % 2 == 0,
+      s"unbalanced quotes in rewritten SQL: $out")
+    assert(out.contains("a=''x''"), s"params quote not re-escaped: $out")
+  }
 }

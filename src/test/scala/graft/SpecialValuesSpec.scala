@@ -61,6 +61,17 @@ class SpecialValuesSpec extends SparkSpec {
     assert(out(2).isNullAt(1))
   }
 
+  test("MV NaN removal keeps NULL elements (ADVICE r12)") {
+    // the reference removes ONLY NaN from float/double arrays — a bare
+    // !isnan(x) filter predicate evaluates to null for a NULL element,
+    // which filter() treats as drop
+    val df = Seq((1, Seq[Option[Double]](Some(1.5), None, Some(Double.NaN))))
+      .toDF("id", "mv")
+    val out = BatchIngest.applyTransforms(df, Seq(BatchIngest.SpecialValues()))
+      .collect().head
+    assert(out.getSeq[Any](1) == Seq(1.5, null))
+  }
+
   test("stripTrailingZeros keeps exact JDK BigDecimal rendering") {
     def s(x: String): String = {
       val r = BatchIngest.stripTrailingZeros(
