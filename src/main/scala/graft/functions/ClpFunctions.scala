@@ -115,10 +115,8 @@ object ClpFunctions {
     put("clplogtypematch", { case Seq(lt, wq) =>
       ColumnBridge.expression(wq).eval() match {
         case null => lit(null).cast(BooleanType)
-        case w => logtypePrefilterRegex(w.toString) match {
-          case Some(re) => lt.rlike(re)
-          case None => lit(true)
-        }
+        case w => logtypePrefilterColumn(lt, w.toString)
+          .getOrElse(lit(true))
       }
     })
   }
@@ -179,9 +177,20 @@ object ClpFunctions {
     *     collapses into that token's single placeholder.
     * Wildcard-bearing pieces enumerate the ways consecutive literal
     * runs can share one variable's placeholder (runs capped at 3;
-    * extras degrade to `.*`, still sound). Returns None when the
-    * compilation carries no constraint beyond `.*`.
-    */
+    * extras degrade to `.*`, still sound).
+    *
+    * Returns None unless the compilation contains at least one
+    * VERBATIM-REQUIRED token — a fully-literal, digit-free,
+    * space-bounded query token whose logtype image is exact with no
+    * placeholder alternative. Measured at 100× (ClpScaleProbe,
+    * PLANS.md round-12): components that a placeholder can satisfy
+    * (`(?:|run)` infix alternations, placeholder-exact tokens)
+    * prune NOTHING on var-bearing corpora — every row carries some
+    * variable token — so a prefilter made only of those is pure regex
+    * overhead (0.6-0.8× regressions); verbatim-required tokens prune
+    * 1.3-2.5×. Selectivity is unknowable at plan time, but
+    * "placeholder-satisfiable" is decidable, and that is the entire
+    * difference. */
   def logtypePrefilterRegex(wildcard: String): Option[String] = {
     import graft.plans.ClpCodec
     final case class Sym(ch: Char, wild: Boolean)
@@ -223,13 +232,17 @@ object ClpFunctions {
         else alts.mkString("(?:", "|", ")")
       } else if (runs.forall(encodedInfix)) "[\u0011\u0012]"
       else "\u0011"
+    // strong ⇔ some piece's image REQUIRES literal text (a fully
+    // literal, digit-free token — exact verbatim image, no placeholder
+    // escape hatch); everything else is placeholder-satisfiable
+    var strong = false
     def pieceRegex(p: Seq[Sym]): String = {
       if (p.isEmpty) "" // empty token: digit-free ⇒ verbatim empty
       else if (p.forall(!_.wild)) {
         val t = p.map(_.ch).mkString
         if (ClpCodec.isIntVar(t)) "\u0012"
         else if (ClpCodec.hasDigit(t)) "\u0011"
-        else quoteRe(t)
+        else { strong = true; quoteRe(t) }
       } else {
         var runs = Vector.empty[String]
         val cur = new StringBuilder
@@ -262,6 +275,40 @@ object ClpFunctions {
     }
     val re = "(?s)^" + pieces.map(p => pieceRegex(p.toSeq)).mkString(" ") +
       "\\z"
-    if (re == "(?s)^.*\\z") None else Some(re)
+    if (!strong || re == "(?s)^.*\\z") None else Some(re)
   }
+
+  /** [[logtypePrefilterRegex]] lowered to the cheapest Catalyst
+    * predicate: when the regex is a single literal span with `.*` only
+    * at the edges, emit Contains/StartsWith/EndsWith/EqualTo —
+    * codegen'd UTF8String byte scans, measured ~5× cheaper than
+    * java.util.regex on the short logtype column (and StartsWith is a
+    * parquet-pushable source filter); everything else stays RLike. */
+  def logtypePrefilterColumn(lt: Column, wildcard: String): Option[Column] =
+    logtypePrefilterRegex(wildcard).map { re =>
+      val core = re.stripPrefix("(?s)^").stripSuffix("\\z")
+      val lead = core.startsWith(".*")
+      val trail = core.length > (if (lead) 2 else 0) && core.endsWith(".*")
+      val mid = core.substring(if (lead) 2 else 0,
+        core.length - (if (trail) 2 else 0))
+      // literal span iff every regex metachar in it is backslash-escaped
+      def unescape(s: String): Option[String] = {
+        val sb = new StringBuilder
+        var i = 0
+        while (i < s.length) {
+          val c = s.charAt(i)
+          if (c == '\\' && i + 1 < s.length) { sb.append(s.charAt(i + 1)); i += 2 }
+          else if ("^$.|?*+()[]{}".indexOf(c) >= 0) return None
+          else { sb.append(c); i += 1 }
+        }
+        Some(sb.toString)
+      }
+      unescape(mid) match {
+        case Some(span) if lead && trail => lt.contains(span)
+        case Some(span) if lead => lt.endsWith(span)
+        case Some(span) if trail => lt.startsWith(span)
+        case Some(span) => lt === span
+        case None => lt.rlike(re)
+      }
+    }
 }

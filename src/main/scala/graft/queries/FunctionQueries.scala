@@ -951,10 +951,13 @@ object FunctionQueries {
         graft.sql.QueryFacade.sql(s,
           """SET explicitLimit = true;
              SELECT doc_id, lang FROM clp_docs
-             WHERE clpMatch(text, '*the*') ORDER BY doc_id""")
+             WHERE clpMatch(text, '* the *') ORDER BY doc_id""")
       },
+      // '* the *' carries a verbatim-required token, so the rewrite
+      // ANDs the compiled logtype prefilter ahead of the decode+match
+      // re-verify (round 12) — the driver gate exercises the split
       Some("""SELECT doc_id, lang FROM documents
-        WHERE text LIKE '%the%' ORDER BY doc_id""")),
+        WHERE text LIKE '% the %' ORDER BY doc_id""")),
 
     // Character n-grams (scalar/string/NgramFunctions.java) + the
     // concatWs/regexpLike spelling aliases — n-grams sorted in both

@@ -50,17 +50,51 @@ object ClpScaleProbe {
       }
     }
 
-    for (w <- Seq("*the*", "* spark batch *", "zzz-no-match *",
-        "*code=7*")) {
-      // round-12 rewrite: prefilter AND decode+match (via the facade)
-      time(s"prefilter+reverify  <$w>")(
-        s"SELECT doc_id FROM clp_scale_t WHERE clpMatch(text, '$w')")
-      // round-11 shape: decode every row, no candidate pruning
-      time(s"decode-only         <$w>")(
-        s"SELECT doc_id FROM clp_scale_t WHERE clpwildcardmatch(" +
-          s"clpDecode(text_logtype, text_dictionaryVars," +
-          s" text_encodedVars), '$w')")
-    }
+    def ab(view: String, field: String, wildcards: Seq[String]): Unit =
+      for (w <- wildcards) {
+        // round-12 rewrite: prefilter AND decode+match (via the facade)
+        time(s"prefilter+reverify  <$w>")(
+          s"SELECT doc_id FROM $view WHERE clpMatch($field, '$w')")
+        // round-11 shape: decode every row, no candidate pruning
+        time(s"decode-only         <$w>")(
+          s"SELECT doc_id FROM $view WHERE clpwildcardmatch(" +
+            s"clpDecode(${field}_logtype, ${field}_dictionaryVars," +
+            s" ${field}_encodedVars), '$w')")
+      }
+    // "* the *" / "* spark batch *" / "zzz-no-match *" carry
+    // verbatim-required tokens -> prefilter fires; "*the*" is
+    // placeholder-satisfiable -> suppressed (control: both forms
+    // identical by construction)
+    ab("clp_scale_t", "text",
+      Seq("* the *", "* spark batch *", "zzz-no-match *", "*the*"))
+
+    // var-heavy corpus — the reference's actual operating point: log
+    // lines where most tokens are variables, so decode rebuilds a long
+    // string per row while the logtype stays short and repetitive
+    val heavy = big.select(col("doc_id"), concat(
+        lit("req="), col("doc_id"), lit(" user=u"), col("doc_id") % 997,
+        lit(" sev="),
+        when(col("doc_id") % 97 === 0, "panic").otherwise("info"),
+        lit(" lat_ms="), (col("doc_id") % 3500) + 12,
+        lit(" code="), col("doc_id") % 7,
+        lit(" host=node-"), col("doc_id") % 64,
+        lit(" msg="), substring(col("text"), 1, 40)).as("msg"))
+    val hEnc = graft.sources.ClpLogIngest.extract(heavy,
+      graft.sources.ClpLogIngest.Config(fieldsForClpEncoding = Seq("msg"),
+        removeProcessedFields = true)).localCheckpoint()
+    println(s"[probe] var-heavy rows = ${hEnc.count()}")
+    hEnc.createOrReplaceTempView("clp_heavy_t")
+    // "* sev=panic *" is the reference's operating point: a literal
+    // token selects ~1% while every other token is a variable — the
+    // prefilter skips the per-row message reconstruction for the 99%.
+    // "* host=node-3 *" and "*lat_ms=99999*" target VARIABLES: their
+    // logtype images are placeholder-satisfiable, the prefilter is
+    // suppressed, and both forms run the decode (the reference serves
+    // those from dictionaryVars/encodedVars subqueries instead —
+    // ClpRewriter.java:398-437 — a further index graft doesn't build).
+    ab("clp_heavy_t", "msg",
+      Seq("* sev=panic *", "* sev=nosuch *", "* host=node-3 *",
+        "*lat_ms=99999*"))
     spark.stop()
   }
 }

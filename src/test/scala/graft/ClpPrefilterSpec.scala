@@ -65,7 +65,7 @@ class ClpPrefilterSpec extends SparkSpec {
     }
     // the corpus/wildcard cross must exercise both sides for real
     assert(positives > 30, s"too few true matches ($positives) — vacuous")
-    assert(prefilters > 20, s"too few compiled prefilters ($prefilters)")
+    assert(prefilters >= 5, s"too few compiled prefilters ($prefilters)")
   }
 
   test("property: random wildcards carved from random messages stay sound") {
@@ -124,31 +124,54 @@ class ClpPrefilterSpec extends SparkSpec {
     assert(ClpFunctions.logtypePrefilterRegex("*").isEmpty)
     assert(ClpFunctions.logtypePrefilterRegex("???").isEmpty)
     assert(ClpFunctions.logtypePrefilterRegex("*?*").isEmpty)
-    // a space-bounded all-digit token has an EXACT int-placeholder image
-    assert(ClpFunctions.logtypePrefilterRegex("* 123 *")
-      .contains(s"(?s)^.* $Int_ .*\\z"))
-    // digit-bearing non-int token -> dictionary placeholder, exact
-    assert(ClpFunctions.logtypePrefilterRegex("* code=7 *")
-      .contains(s"(?s)^.* $Dict .*\\z"))
+    // placeholder-satisfiable compilations are suppressed entirely:
+    // every var-bearing row matches them, so they prune nothing and
+    // cost a regex pass (ClpScaleProbe, PLANS.md round-12)
+    assert(ClpFunctions.logtypePrefilterRegex("* 123 *").isEmpty)
+    assert(ClpFunctions.logtypePrefilterRegex("* code=7 *").isEmpty)
+    assert(ClpFunctions.logtypePrefilterRegex("*the*").isEmpty)
+    assert(ClpFunctions.logtypePrefilterRegex("*a5b*").isEmpty)
+    assert(ClpFunctions.logtypePrefilterRegex("*a*b*").isEmpty)
     // digit-free literal token -> verbatim, anchored when unstarred
     assert(ClpFunctions.logtypePrefilterRegex("ERROR *")
       .contains("(?s)^ERROR .*\\z"))
-    // infix run inside one token: verbatim or swallowed by a dict var
-    assert(ClpFunctions.logtypePrefilterRegex("*the*")
-      .contains(s"(?s)^.*(?:$Dict|the).*\\z"))
+    // a strong token alongside an all-digit token: the digit token's
+    // image is the EXACT int placeholder
+    assert(ClpFunctions.logtypePrefilterRegex("INFO * 123 *")
+      .contains(s"(?s)^INFO .* $Int_ .*\\z"))
+    // digit-bearing non-int token -> dictionary placeholder, exact
+    assert(ClpFunctions.logtypePrefilterRegex("ERROR * code=7 *")
+      .contains(s"(?s)^ERROR .* $Dict .*\\z"))
+    // verbatim-required token: the infix alternation keeps its
+    // dict-var escape hatch for soundness
+    val the = ClpFunctions.logtypePrefilterRegex("ok *the*").get
+    assert(the == s"(?s)^ok .*(?:$Dict|the).*\\z")
     // digit-bearing infix run can never stay verbatim
-    val a5b = ClpFunctions.logtypePrefilterRegex("*a5b*").get
+    val a5b = ClpFunctions.logtypePrefilterRegex("ok *a5b*").get
     assert(!a5b.contains("a5b") && a5b.contains(Dict))
     // pure-digit infix could sit inside either variable kind
-    val d12 = ClpFunctions.logtypePrefilterRegex("*12*").get
+    val d12 = ClpFunctions.logtypePrefilterRegex("ok *12*").get
     assert(d12.contains(s"[$Dict$Int_]"))
     // two runs may share one variable's placeholder: a single dict
-    // placeholder must satisfy "*a*b*" (token "a5b" collapses to one)
-    val ab = ClpFunctions.logtypePrefilterRegex("*a*b*").get
-    assert(java.util.regex.Pattern.compile(ab).matcher(s"x $Dict").find())
+    // placeholder must satisfy the piece (token "a5b" collapses to one)
+    val ab = ClpFunctions.logtypePrefilterRegex("ok *a*b*").get
+    assert(java.util.regex.Pattern.compile(ab).matcher(s"ok $Dict").find())
     // fully-literal whole-message query is fully anchored
     val full = ClpFunctions.logtypePrefilterRegex("plain message").get
     assert(full == "(?s)^plain message\\z")
+  }
+
+  test("prefilter lowering: literal spans become Contains/StartsWith/EndsWith") {
+    // Column.contains & co build unresolved functions in Spark 4 —
+    // assert on the rendered function name
+    def shape(w: String) = ClpFunctions
+      .logtypePrefilterColumn(col("lt"), w).get.toString.toLowerCase
+    assert(shape("* the *").startsWith("contains"), shape("* the *"))
+    assert(shape("zzz *").startsWith("startswith"), shape("zzz *"))
+    assert(shape("* dogs").startsWith("endswith"), shape("* dogs"))
+    assert(shape("plain message").contains("="), shape("plain message"))
+    // multi-span / alternation shapes keep the full regex
+    assert(shape("ok *the*").contains("rlike"), shape("ok *the*"))
   }
 
   test("facade rewrite ANDs the prefilter and keeps results identical") {
@@ -170,7 +193,8 @@ class ClpPrefilterSpec extends SparkSpec {
       // scan-level gate lives in the parquet-backed test below)
       if (ClpFunctions.logtypePrefilterRegex(w).isDefined) {
         val plan = got.queryExecution.analyzed.toString
-        assert(plan.contains("RLIKE") &&
+        assert(Seq("RLIKE", "Contains", "StartsWith", "EndsWith", " = ")
+          .exists(plan.contains) &&
           plan.toLowerCase.contains("message_logtype"),
           s"no logtype prefilter in plan for $w:\n$plan")
       }
@@ -185,9 +209,11 @@ class ClpPrefilterSpec extends SparkSpec {
       .createOrReplaceTempView("clp_plan_docs")
     val q = graft.sql.QueryFacade.sql(spark,
       "SET explicitLimit = true; SELECT doc_id FROM clp_plan_docs" +
-        " WHERE clpMatch(text, '*the*')")
+        " WHERE clpMatch(text, '* the *')")
+    // '* the *' lowers to a codegen'd Contains on the logtype column
     val opt = q.queryExecution.optimizedPlan.toString
-    assert(opt.contains("RLIKE") && opt.toLowerCase.contains("text_logtype"),
+    assert(opt.contains("Contains") &&
+      opt.toLowerCase.contains("text_logtype"),
       s"prefilter missing from optimized plan:\n$opt")
     // and the candidate filter sits over a real file scan of the
     // durable artifact, not a re-encode projection
