@@ -17,8 +17,11 @@ import org.apache.spark.sql.types._
   *
   * Encoding (self-consistent, lossless round trip):
   *  - tokens = message split on single spaces (split/join identity);
-  *  - a token of 1-18 digits with optional leading '-' is an ENCODED
-  *    (integer) variable, stored as a long, placeholder `\u0012`;
+  *  - a token of 1-18 digits with optional leading '-' in CANONICAL
+  *    rendering (no leading zeros, no "-0" — the stored form is the
+  *    parsed long, so only round-tripping renderings encode; real CLP
+  *    applies the same check) is an ENCODED (integer) variable,
+  *    stored as a long, placeholder `\u0012`;
   *  - any other token containing a digit is a DICTIONARY variable,
   *    stored verbatim, placeholder `\u0011` (this includes float-looking
   *    tokens — the reference packs those into its custom digit-preserving
@@ -119,6 +122,16 @@ object ClpFunctions {
           .getOrElse(lit(true))
       }
     })
+    // candidate-side variable-membership prefilter (dictionaryVars /
+    // encodedVars exact matches, ClpRewriter.java:398-437)
+    put("clpvarsmatch", { case Seq(dv, ev, wq) =>
+      ColumnBridge.expression(wq).eval() match {
+        case null => lit(null).cast(BooleanType)
+        case w =>
+          val cs = varPrefilters(dv, ev, w.toString)
+          if (cs.isEmpty) lit(true) else cs.reduce(_ && _)
+      }
+    })
   }
 
   /** clpMatch's wildcard semantics (`ClpRewriter.java` + CLP's
@@ -152,6 +165,65 @@ object ClpFunctions {
     sb.append("\\z")
     msg.rlike(sb.toString)
   }
+
+  /** One parsed wildcard symbol: a literal char or a `*`/`?` wildcard
+    * (backslash escapes resolve to literal chars). */
+  private final case class Sym(ch: Char, wild: Boolean)
+
+  /** Split the wildcard on literal spaces into token-aligned pieces —
+    * spaces in the query must match spaces in the message, which are
+    * exactly the token separators the encoder preserves. */
+  private def parsePieces(wildcard: String): Seq[Seq[Sym]] = {
+    val syms = scala.collection.mutable.ArrayBuffer.empty[Sym]
+    var i = 0
+    while (i < wildcard.length) {
+      wildcard.charAt(i) match {
+        case c @ ('*' | '?') => syms += Sym(c, wild = true)
+        case '\\' if i + 1 < wildcard.length =>
+          i += 1; syms += Sym(wildcard.charAt(i), wild = false)
+        case c => syms += Sym(c, wild = false)
+      }
+      i += 1
+    }
+    val pieces = scala.collection.mutable.ArrayBuffer(
+      scala.collection.mutable.ArrayBuffer.empty[Sym])
+    syms.foreach { s =>
+      if (!s.wild && s.ch == ' ')
+        pieces += scala.collection.mutable.ArrayBuffer.empty[Sym]
+      else pieces.last += s
+    }
+    pieces.map(_.toSeq).toSeq
+  }
+
+  /** Fully-literal space-bounded digit-bearing query tokens — each
+    * must match a WHOLE message token equal to it, whose encoding is
+    * a pure function of its text: a canonical int token must appear in
+    * encoded_vars as its parsed long, any other digit-bearing token in
+    * dictionary_vars verbatim. Right(long) = encoded, Left(text) =
+    * dictionary. */
+  private[graft] def varPrefilterTokens(
+      wildcard: String): Seq[Either[String, Long]] =
+    parsePieces(wildcard).flatMap { p =>
+      if (p.nonEmpty && p.forall(!_.wild)) {
+        val t = p.map(_.ch).mkString
+        if (graft.plans.ClpCodec.isIntVar(t)) Some(Right(t.toLong))
+        else if (graft.plans.ClpCodec.hasDigit(t)) Some(Left(t))
+        else None
+      } else None
+    }.distinct
+
+  /** Variable-membership prefilters — the analog of the reference's
+    * dictionaryVars/encodedVars subquery matches
+    * (`ClpRewriter.java:398-437`). Exact array membership: selective
+    * by construction, no placeholder escape hatch, codegen'd
+    * array_contains. AND'd ahead of the decode+match re-verify by the
+    * facade's clpMatch rewrite. */
+  def varPrefilters(dictVars: Column, encodedVars: Column,
+      wildcard: String): Seq[Column] =
+    varPrefilterTokens(wildcard).map {
+      case Right(v) => array_contains(encodedVars, lit(v))
+      case Left(t) => array_contains(dictVars, lit(t))
+    }
 
   /** Candidate-side prefilter for clpMatch — the analog of the
     * reference's logtype subqueries (`ClpRewriter.java:293-345`
@@ -193,25 +265,7 @@ object ClpFunctions {
     * difference. */
   def logtypePrefilterRegex(wildcard: String): Option[String] = {
     import graft.plans.ClpCodec
-    final case class Sym(ch: Char, wild: Boolean)
-    val syms = scala.collection.mutable.ArrayBuffer.empty[Sym]
-    var i = 0
-    while (i < wildcard.length) {
-      wildcard.charAt(i) match {
-        case c @ ('*' | '?') => syms += Sym(c, wild = true)
-        case '\\' if i + 1 < wildcard.length =>
-          i += 1; syms += Sym(wildcard.charAt(i), wild = false)
-        case c => syms += Sym(c, wild = false)
-      }
-      i += 1
-    }
-    val pieces = scala.collection.mutable.ArrayBuffer(
-      scala.collection.mutable.ArrayBuffer.empty[Sym])
-    syms.foreach { s =>
-      if (!s.wild && s.ch == ' ')
-        pieces += scala.collection.mutable.ArrayBuffer.empty[Sym]
-      else pieces.last += s
-    }
+    val pieces = parsePieces(wildcard)
     def quoteRe(s: String): String = s.flatMap { c =>
       if ("\\^$.|?*+()[]{}".indexOf(c) >= 0) "\\" + c else c.toString
     }

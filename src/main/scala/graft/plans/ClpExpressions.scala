@@ -27,11 +27,17 @@ private[graft] object ClpCodec {
   final val DictPh = '\u0011'
   final val IntPh = '\u0012'
 
-  /** `^-?[0-9]{1,18}$` without the regex engine. */
+  /** Canonical `-?[0-9]{1,18}` without the regex engine. Canonical
+    * means Long.toString(parse(t)) == t: no leading zeros ("0123") and
+    * no negative zero ("-0") — those stay dictionary variables, since
+    * the encoded form stores the PARSED long and decode must render
+    * the original text back byte-for-byte (real CLP's integer encoder
+    * applies the same round-trip check before encoding). */
   def isIntVar(t: String): Boolean = {
     val n = t.length
     val start = if (n > 0 && t.charAt(0) == '-') 1 else 0
     if (n - start < 1 || n - start > 18) return false
+    if (t.charAt(start) == '0' && (n - start > 1 || start == 1)) return false
     var i = start
     while (i < n) {
       val c = t.charAt(i)

@@ -922,13 +922,17 @@ object FunctionQueries {
             col("n_dict"), col("n_enc"))
           .orderBy(col("doc_id"))
       },
+      // canonical int renderings only (no leading zeros / "-0") — the
+      // encoded var stores the parsed long, so non-canonical numerics
+      // are dictionary vars (round-trip contract, ClpCodec.isIntVar)
       Some("""SELECT doc_id, 'docs-raw' AS src_topic,
           TRUE AS roundtrip_ok,
           len(list_filter(string_split(text, ' '),
             t -> regexp_matches(t, '[0-9]')
-             AND NOT regexp_full_match(t, '-?[0-9]{1,18}'))) AS n_dict,
+             AND NOT regexp_full_match(t, '0|-?[1-9][0-9]{0,17}')))
+            AS n_dict,
           len(list_filter(string_split(text, ' '),
-            t -> regexp_full_match(t, '-?[0-9]{1,18}'))) AS n_enc
+            t -> regexp_full_match(t, '0|-?[1-9][0-9]{0,17}'))) AS n_enc
         FROM documents ORDER BY doc_id""")),
 
     // clpMatch over an ingested column group (ClpRewriter analog,

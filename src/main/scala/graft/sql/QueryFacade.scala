@@ -1798,14 +1798,21 @@ object QueryFacade {
               val raw = unescapeSqlLiteral(wq)
               if (raw.isEmpty) s"$lt = ''"
               else {
-                // candidate/re-verify split (ClpRewriter.java:293-345):
-                // a cheap compiled prefilter over the logtype column
-                // prunes before the per-row decode+match ground truth
+                // candidate/re-verify split (ClpRewriter.java:293-345
+                // logtype subqueries + :398-437 dictionaryVars /
+                // encodedVars matches): cheap compiled prefilters —
+                // exact variable membership first (most selective),
+                // then the logtype byte-scan — prune before the
+                // per-row decode+match ground truth
+                val fns = graft.functions.ClpFunctions
+                val pres =
+                  (if (fns.varPrefilterTokens(raw).nonEmpty)
+                    Seq(s"clpvarsmatch($dv, $ev, $wq)") else Nil) ++
+                  (if (fns.logtypePrefilterRegex(raw).isDefined)
+                    Seq(s"clplogtypematch($lt, $wq)") else Nil)
                 val reVerify = s"clpwildcardmatch(clpDecode($lt, $dv, $ev), $wq)"
-                if (graft.functions.ClpFunctions
-                    .logtypePrefilterRegex(raw).isDefined)
-                  s"(clplogtypematch($lt, $wq) AND $reVerify)"
-                else reVerify
+                if (pres.isEmpty) reVerify
+                else (pres :+ reVerify).mkString("(", " AND ", ")")
               }
             }
           }

@@ -87,14 +87,14 @@ object ClpScaleProbe {
     // "* sev=panic *" is the reference's operating point: a literal
     // token selects ~1% while every other token is a variable — the
     // prefilter skips the per-row message reconstruction for the 99%.
-    // "* host=node-3 *" and "*lat_ms=99999*" target VARIABLES: their
-    // logtype images are placeholder-satisfiable, the prefilter is
-    // suppressed, and both forms run the decode (the reference serves
-    // those from dictionaryVars/encodedVars subqueries instead —
-    // ClpRewriter.java:398-437 — a further index graft doesn't build).
+    // "* host=node-3 *" / "* code=3 *" target VARIABLES with exact
+    // space-bounded tokens: served by the clpvarsmatch candidate
+    // (array_contains on dictionaryVars — the ClpRewriter.java:398-437
+    // analog). "*lat_ms=99999*" is an INFIX variable target — no sound
+    // candidate exists (placeholder-satisfiable), decode re-verifies.
     ab("clp_heavy_t", "msg",
       Seq("* sev=panic *", "* sev=nosuch *", "* host=node-3 *",
-        "*lat_ms=99999*"))
+        "* code=3 *", "* lat_ms=13 *", "*lat_ms=99999*"))
     spark.stop()
   }
 }

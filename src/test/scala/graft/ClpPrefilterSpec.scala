@@ -174,13 +174,35 @@ class ClpPrefilterSpec extends SparkSpec {
     assert(shape("ok *the*").contains("rlike"), shape("ok *the*"))
   }
 
+  test("variable-membership prefilters: exact tokens route to their array") {
+    import ClpFunctions.varPrefilterTokens
+    // canonical int token -> encoded_vars as its parsed long
+    assert(varPrefilterTokens("* 123 *") == Seq(Right(123L)))
+    assert(varPrefilterTokens("* -42 *") == Seq(Right(-42L)))
+    // digit-bearing non-int tokens (incl. NON-CANONICAL renderings,
+    // which the encoder keeps as dictionary text) -> dictionary_vars
+    assert(varPrefilterTokens("* lat_ms=99999 *") ==
+      Seq(Left("lat_ms=99999")))
+    assert(varPrefilterTokens("* -0 *") == Seq(Left("-0")))
+    assert(varPrefilterTokens("* 007 *") == Seq(Left("007")))
+    // only space-bounded fully-literal tokens qualify
+    assert(varPrefilterTokens("*123*").isEmpty)
+    assert(varPrefilterTokens("* 12?4 *").isEmpty)
+    assert(varPrefilterTokens("INFO *").isEmpty)
+    // multiple tokens, deduped
+    assert(varPrefilterTokens("* 7 * code=1 * 7 *") ==
+      Seq(Right(7L), Left("code=1")))
+  }
+
   test("facade rewrite ANDs the prefilter and keeps results identical") {
     val grp = graft.sources.ClpLogIngest.extract(
       msgs.toDF("message"),
       graft.sources.ClpLogIngest.Config(fieldsForClpEncoding = Seq("message")))
     grp.createOrReplaceTempView("clp_pref")
     for (w <- Seq("*the*", "* 123 *", "ERROR *", "*completed*",
-        "*?5b*", "INFO Task 12345 completed in 250 ms")) {
+        "*?5b*", "INFO Task 12345 completed in 250 ms",
+        // variable-membership candidates: int, dict, trailing-bounded
+        "* 12345 *", "* -42 *", "* code=0xdead", "* 456 *")) {
       val got = graft.sql.QueryFacade.sql(spark,
         s"SET explicitLimit = true; SELECT clpDecode(message) AS m" +
           s" FROM clp_pref WHERE clpMatch(message, '$w')")
@@ -215,6 +237,15 @@ class ClpPrefilterSpec extends SparkSpec {
     assert(opt.contains("Contains") &&
       opt.toLowerCase.contains("text_logtype"),
       s"prefilter missing from optimized plan:\n$opt")
+    // a variable-targeting wildcard lands as array_contains on the
+    // persisted var columns (ClpRewriter.java:398-437 analog)
+    val qv = graft.sql.QueryFacade.sql(spark,
+      "SET explicitLimit = true; SELECT doc_id FROM clp_plan_docs" +
+        " WHERE clpMatch(text, '* code=7 *')")
+    val optv = qv.queryExecution.optimizedPlan.toString
+    assert(optv.contains("array_contains") &&
+      optv.toLowerCase.contains("text_dictionaryvars"),
+      s"var prefilter missing from optimized plan:\n$optv")
     // and the candidate filter sits over a real file scan of the
     // durable artifact, not a re-encode projection
     val phys = q.queryExecution.executedPlan.toString

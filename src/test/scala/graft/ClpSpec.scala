@@ -12,6 +12,9 @@ class ClpSpec extends SparkSpec {
     "ERROR node-7 failed after 3 retries: code=0xdead",
     "plain message without variables",
     "negative -42 and huge 999999999999999999999 stay safe",
+    // non-canonical renderings must stay dictionary vars or decode
+    // would re-render the parsed long and break the round trip
+    "padded -0000123 and 007 and -0 stay textual",
     "")
 
   test("clpEncode/clpDecode round-trips every message") {
@@ -51,10 +54,14 @@ class ClpSpec extends SparkSpec {
       msgGen.pureApply(Gen.Parameters.default, Seed(s.toLong)))
 
     // reference rules (CLPEncodingEnricher): int token = optional '-' +
-    // 1..18 digits -> encoded var; any other token containing a digit
-    // -> dictionary var; else stays in the logtype.
+    // 1..18 digits in CANONICAL rendering (no leading zeros, no "-0" —
+    // the encoded form stores the parsed long, so only round-tripping
+    // renderings may encode; real CLP applies the same check) ->
+    // encoded var; any other token containing a digit -> dictionary
+    // var; else stays in the logtype.
     def isInt(t: String): Boolean =
-      t.matches("-?[0-9]{1,18}")
+      t.matches("-?[0-9]{1,18}") &&
+        java.lang.Long.parseLong(t).toString == t
     val expectDict = msgs.map(_.split(" ", -1).toSeq
       .filter(t => !isInt(t) && t.exists(_.isDigit)))
     val expectEnc = msgs.map(_.split(" ", -1).toSeq
