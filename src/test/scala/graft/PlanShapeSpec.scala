@@ -40,7 +40,11 @@ class PlanShapeSpec extends SparkSpec {
     // TPC-H members whose partsupp prelude (and Q11's HAVING-vs-total)
     // carry the `(SELECT count(*) FROM supplier)` 1-row scalar
     // broadcast — the canonical benign BNLJ shape
-    "q_tpch_02", "q_tpch_09", "q_tpch_11", "q_tpch_18", "q_tpch_22")
+    "q_tpch_02", "q_tpch_09", "q_tpch_11", "q_tpch_18", "q_tpch_22",
+    // global (no GROUP BY) mixed exprMinMax: the sibling-sum row is a
+    // 1-row broadcast joined onto the tie-row spine (grouped variants
+    // join on keys; only the global shape has no key to hash on)
+    "q_agg_exprminmax_neartie")
 
   test("no cartesian products; BNLJ only in scalar-broadcast whitelist") {
     val dir = "/root/testdata/sf0.001"
