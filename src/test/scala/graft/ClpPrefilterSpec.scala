@@ -253,6 +253,53 @@ class ClpPrefilterSpec extends SparkSpec {
       s"plan re-encodes the corpus instead of scanning the artifact:\n$phys")
   }
 
+  test("property: end-to-end facade equivalence on a var-rich corpus") {
+    // the full rewrite path (clpvarsmatch AND clplogtypematch AND
+    // decode+match) must equal plain wildcard-match over the original
+    // messages, for wildcards carved from real messages — exercising
+    // int vars, dict vars, non-canonical numerics, and literal tokens
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val token = Gen.oneOf(
+      Gen.oneOf("INFO", "error", "the", "x", "", "a-b", "sev=info"),
+      Gen.choose(-99999L, 99999L).map(_.toString),
+      Gen.oneOf("007", "-0", "0xdead", "code=7", "3.14", "lat_ms=42",
+        "999999999999999999999"))
+    val msgGen = Gen.choose(0, 8).flatMap(n =>
+      Gen.listOfN(n, token).map(_.mkString(" ")))
+    val corpus = (1 to 80).map(s =>
+      msgGen.pureApply(Gen.Parameters.default, Seed(1000L + s)))
+    val grp = graft.sources.ClpLogIngest.extract(
+      corpus.toDF("message"),
+      graft.sources.ClpLogIngest.Config(fieldsForClpEncoding = Seq("message")))
+    grp.createOrReplaceTempView("clp_prop_grp")
+    val rnd = new scala.util.Random(7)
+    def carve(m: String): String =
+      if (m.isEmpty) "*"
+      else {
+        val a = rnd.nextInt(m.length)
+        val b = a + 1 + rnd.nextInt(m.length - a)
+        val mid = m.substring(a, b)
+          .replace("\\", "\\\\").replace("*", "\\*").replace("?", "\\?")
+        (if (a > 0) "*" else "") + mid + (if (b < m.length) "*" else "")
+      }
+    var positives = 0
+    for (seed <- corpus.take(60); w = carve(seed)) {
+      val want = corpus.toDF("msg")
+        .filter(ClpFunctions.clpWildcardMatch($"msg", w))
+        .collect().map(_.getString(0)).toSet
+      positives += want.size
+      val esc = w.replace("'", "''")
+      val got = graft.sql.QueryFacade.sql(spark,
+        s"SET explicitLimit = true; SELECT clpDecode(message) AS m" +
+          s" FROM clp_prop_grp WHERE clpMatch(message, '$esc')")
+        .collect().map(_.getString(0)).toSet
+      assert(got == want,
+        s"facade diverged for <$w>: missing=${want -- got} extra=${got -- want}")
+    }
+    assert(positives > 60, s"vacuous run ($positives positives)")
+  }
+
   test("null / non-literal wildcards degrade safely") {
     val grp = graft.sources.ClpLogIngest.extract(
       msgs.toDF("message"),
