@@ -212,6 +212,30 @@ object ClpFunctions {
       } else None
     }.distinct
 
+  /** True when the compiled logtype prefilter is EXACT — matching the
+    * logtype is equivalent to matching the decoded message, so the
+    * decode+match re-verify is redundant and the facade drops it (the
+    * reference does the same: `ClpRewriter.java` ANDs the
+    * decompress-and-match function ONLY when the subqueries are
+    * inexact). Holds when every space-separated piece is either a bare
+    * `*` (any token run — any in logtype ⟺ any in message, since `*`
+    * spans placeholders and their expansions alike) or a fully-literal
+    * DIGIT-FREE token (its logtype image is the verbatim token itself:
+    * outside placeholders, logtype text IS message text, and spaces
+    * are token boundaries in both). Anything else — `?`, digit-bearing
+    * tokens (placeholder images don't pin the value), or wildcards
+    * embedded within a token (alternations carry a placeholder escape
+    * hatch) — leaves the candidate a superset and keeps the re-verify.
+    * Placeholder control chars in the query disqualify defensively. */
+  def logtypePrefilterExact(wildcard: String): Boolean =
+    parsePieces(wildcard).forall { p =>
+      val starOnly = p.nonEmpty && p.forall(s => s.wild && s.ch == '*')
+      val literalNoDigit = p.forall(s => !s.wild &&
+        !(s.ch >= '0' && s.ch <= '9') &&
+        s.ch != '\u0011' && s.ch != '\u0012')
+      starOnly || literalNoDigit
+    }
+
   /** Variable-membership prefilters — the analog of the reference's
     * dictionaryVars/encodedVars subquery matches
     * (`ClpRewriter.java:398-437`). Exact array membership: selective

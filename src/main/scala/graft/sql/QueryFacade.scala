@@ -1805,14 +1805,23 @@ object QueryFacade {
                 // then the logtype byte-scan — prune before the
                 // per-row decode+match ground truth
                 val fns = graft.functions.ClpFunctions
-                val pres =
-                  (if (fns.varPrefilterTokens(raw).nonEmpty)
-                    Seq(s"clpvarsmatch($dv, $ev, $wq)") else Nil) ++
-                  (if (fns.logtypePrefilterRegex(raw).isDefined)
-                    Seq(s"clplogtypematch($lt, $wq)") else Nil)
-                val reVerify = s"clpwildcardmatch(clpDecode($lt, $dv, $ev), $wq)"
-                if (pres.isEmpty) reVerify
-                else (pres :+ reVerify).mkString("(", " AND ", ")")
+                val ltPre = fns.logtypePrefilterRegex(raw).isDefined
+                // EXACT candidate (all pieces bare-* or digit-free
+                // literal tokens): logtype match ⟺ message match, so
+                // the decode re-verify is dropped — the reference ANDs
+                // decompress-and-match only when subqueries are inexact
+                if (ltPre && fns.logtypePrefilterExact(raw))
+                  s"clplogtypematch($lt, $wq)"
+                else {
+                  val pres =
+                    (if (fns.varPrefilterTokens(raw).nonEmpty)
+                      Seq(s"clpvarsmatch($dv, $ev, $wq)") else Nil) ++
+                    (if (ltPre) Seq(s"clplogtypematch($lt, $wq)") else Nil)
+                  val reVerify =
+                    s"clpwildcardmatch(clpDecode($lt, $dv, $ev), $wq)"
+                  if (pres.isEmpty) reVerify
+                  else (pres :+ reVerify).mkString("(", " AND ", ")")
+                }
               }
             }
           }

@@ -194,6 +194,41 @@ class ClpPrefilterSpec extends SparkSpec {
       Seq(Right(7L), Left("code=1")))
   }
 
+  test("exactness: all-literal-or-star wildcards skip the decode re-verify") {
+    import ClpFunctions.logtypePrefilterExact
+    // exact: every piece a bare * or a digit-free literal token
+    assert(logtypePrefilterExact("* the *"))
+    assert(logtypePrefilterExact("ERROR *"))
+    assert(logtypePrefilterExact("plain message without variables"))
+    assert(logtypePrefilterExact("* quick brown * dogs"))
+    // inexact: ?, digits (placeholder images don't pin values),
+    // wildcards embedded within a token
+    assert(!logtypePrefilterExact("*the*"))
+    assert(!logtypePrefilterExact("* the? *"))
+    assert(!logtypePrefilterExact("* 123 *"))
+    assert(!logtypePrefilterExact("* code=7 *"))
+    assert(!logtypePrefilterExact("ERROR* the *"))
+    assert(!logtypePrefilterExact("INFO * 123 *"))
+
+    // the facade drops clpDecode for the exact class — and the result
+    // still equals the ground truth
+    val grp = graft.sources.ClpLogIngest.extract(
+      msgs.toDF("message"),
+      graft.sources.ClpLogIngest.Config(fieldsForClpEncoding = Seq("message")))
+    grp.createOrReplaceTempView("clp_exact_grp")
+    for (w <- Seq("* the *", "ERROR *", "plain message without variables")) {
+      val got = graft.sql.QueryFacade.sql(spark,
+        s"SET explicitLimit = true; SELECT message_logtype FROM" +
+          s" clp_exact_grp WHERE clpMatch(message, '$w')")
+      val plan = got.queryExecution.analyzed.toString.toLowerCase
+      assert(!plan.contains("clpdecode"),
+        s"exact wildcard <$w> still decodes:\n$plan")
+      val want = msgs.toDF("msg")
+        .filter(ClpFunctions.clpWildcardMatch($"msg", w)).count()
+      assert(got.count() == want, s"exact wildcard <$w> diverged")
+    }
+  }
+
   test("facade rewrite ANDs the prefilter and keeps results identical") {
     val grp = graft.sources.ClpLogIngest.extract(
       msgs.toDF("message"),
@@ -202,7 +237,9 @@ class ClpPrefilterSpec extends SparkSpec {
     for (w <- Seq("*the*", "* 123 *", "ERROR *", "*completed*",
         "*?5b*", "INFO Task 12345 completed in 250 ms",
         // variable-membership candidates: int, dict, trailing-bounded
-        "* 12345 *", "* -42 *", "* code=0xdead", "* 456 *")) {
+        "* 12345 *", "* -42 *", "* code=0xdead", "* 456 *",
+        // exact class (decode dropped) and near-exact controls
+        "* the *", "* quick brown * dogs", "the head", "* head")) {
       val got = graft.sql.QueryFacade.sql(spark,
         s"SET explicitLimit = true; SELECT clpDecode(message) AS m" +
           s" FROM clp_pref WHERE clpMatch(message, '$w')")
