@@ -1,0 +1,314 @@
+package graft
+
+import java.nio.charset.StandardCharsets.UTF_8
+import java.util.concurrent.atomic.AtomicLong
+
+import scala.collection.mutable
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+
+import graft.streaming.{KinesisSourceConfig, KinesisWire, KinesisWireClient}
+
+/** In-process Kinesis service speaking the real wire protocol:
+  * x-amz-json-1.1 POST bodies, base64 Data, shard-iterator tokens,
+  * MillisBehindLatest — and it VERIFIES each request's SigV4
+  * Authorization header by recomputing the signature (the signer
+  * itself is pinned against the officially published documentation
+  * vector and two independently Python-generated vectors below, so
+  * the round trip is not circular). */
+final class MockKinesis(creds: KinesisWire.Credentials) {
+  final case class Rec(seq: Long, key: String, data: Array[Byte], tsMs: Long)
+
+  private val mapper = new ObjectMapper
+  private val shards =
+    new mutable.LinkedHashMap[String, mutable.ArrayBuffer[Rec]]
+  private val seqGen = new AtomicLong(49590000000L)
+  val authFailures = new AtomicLong(0)
+
+  def addShard(shardId: String): Unit =
+    synchronized { shards.getOrElseUpdate(shardId, mutable.ArrayBuffer()) }
+
+  def put(shardId: String, key: String, data: Array[Byte]): Unit =
+    synchronized {
+      shards.getOrElseUpdate(shardId, mutable.ArrayBuffer()) +=
+        Rec(seqGen.incrementAndGet(), key, data, 1700000000000L)
+    }
+
+  private val server = HttpServer.create(
+    new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+  server.createContext("/", (ex: HttpExchange) => handle(ex))
+  server.start()
+  val endpoint: String =
+    s"http://127.0.0.1:${server.getAddress.getPort}"
+  def stop(): Unit = server.stop(0)
+
+  // iterator token: "<shardId>|<index of next record to serve>"
+  private def token(shard: String, idx: Int): String =
+    java.util.Base64.getEncoder.encodeToString(s"$shard|$idx".getBytes(UTF_8))
+  private def untoken(t: String): (String, Int) = {
+    val s = new String(java.util.Base64.getDecoder.decode(t), UTF_8)
+    val i = s.lastIndexOf('|')
+    (s.substring(0, i), s.substring(i + 1).toInt)
+  }
+
+  private def handle(ex: HttpExchange): Unit = try {
+    val payload = ex.getRequestBody.readAllBytes()
+    val target = ex.getRequestHeaders.getFirst("X-Amz-Target")
+    val amzDate = ex.getRequestHeaders.getFirst("X-Amz-Date")
+    val auth = Option(ex.getRequestHeaders.getFirst("Authorization"))
+    val host = ex.getRequestHeaders.getFirst("Host")
+    val expected = KinesisWire.signV4("POST", "/", "",
+      Seq("host" -> host, "x-amz-date" -> amzDate,
+        "x-amz-target" -> target,
+        "content-type" -> "application/x-amz-json-1.1"),
+      payload, amzDate, creds.region, "kinesis",
+      creds.accessKey, creds.secretKey)._2
+    if (!auth.exists(_.endsWith(s"Signature=$expected"))) {
+      authFailures.incrementAndGet()
+      respond(ex, 403,
+        """{"__type":"IncompleteSignatureException","message":"bad sig"}""")
+      return
+    }
+    val req = mapper.readTree(payload)
+    val body = synchronized {
+      target.stripPrefix("Kinesis_20131202.") match {
+        case "ListShards" =>
+          shards.keys.map(s => s"""{"ShardId":"$s"}""")
+            .mkString("""{"Shards":[""", ",", "]}")
+        case "GetShardIterator" =>
+          val shard = req.path("ShardId").asText
+          val recs = shards.getOrElse(shard, mutable.ArrayBuffer())
+          val idx = req.path("ShardIteratorType").asText match {
+            case "TRIM_HORIZON" => 0
+            case "LATEST" => recs.size
+            case "AT_SEQUENCE_NUMBER" =>
+              val q = req.path("StartingSequenceNumber").asText.toLong
+              recs.indexWhere(_.seq >= q) match { case -1 => recs.size; case i => i }
+            case "AFTER_SEQUENCE_NUMBER" =>
+              val q = req.path("StartingSequenceNumber").asText.toLong
+              recs.indexWhere(_.seq > q) match { case -1 => recs.size; case i => i }
+          }
+          s"""{"ShardIterator":"${token(shard, idx)}"}"""
+        case "GetRecords" =>
+          val (shard, idx) = untoken(req.path("ShardIterator").asText)
+          val recs = shards.getOrElse(shard, mutable.ArrayBuffer())
+          // serve at most 3 per call to force iterator chaining
+          val limit = math.min(3, req.path("Limit").asInt(10000))
+          val slice = recs.slice(idx, idx + limit)
+          val out = slice.map { r =>
+            val b64 = java.util.Base64.getEncoder.encodeToString(r.data)
+            s"""{"SequenceNumber":"${r.seq}","PartitionKey":"${r.key}",""" +
+              s""""Data":"$b64","ApproximateArrivalTimestamp":${r.tsMs / 1000.0}}"""
+          }.mkString(",")
+          val nextIdx = idx + slice.size
+          val behind = if (nextIdx < recs.size) 1000 else 0
+          s"""{"Records":[$out],""" +
+            s""""NextShardIterator":"${token(shard, nextIdx)}",""" +
+            s""""MillisBehindLatest":$behind}"""
+      }
+    }
+    respond(ex, 200, body)
+  } catch {
+    case e: Throwable =>
+      respond(ex, 500, s"""{"__type":"InternalFailure","message":"$e"}""")
+  }
+
+  private def respond(ex: HttpExchange, code: Int, body: String): Unit = {
+    val bytes = body.getBytes(UTF_8)
+    ex.getResponseHeaders.set("Content-Type", "application/x-amz-json-1.1")
+    ex.sendResponseHeaders(code, bytes.length)
+    ex.getResponseBody.write(bytes)
+    ex.close()
+  }
+}
+
+/** Kinesis wire-protocol + DSv2 source (`streaming/KinesisWire.scala`,
+  * `KinesisSocketSource.scala`) — the pinot-kinesis plugin analog. */
+class KinesisWireSpec extends SparkSpec {
+
+  private val creds =
+    KinesisWire.Credentials("testAccessKey", "testSecretKey", "us-east-1")
+
+  test("SigV4 signer reproduces the OFFICIAL documentation example") {
+    // the AWS SigV4 documentation's worked example (iam ListUsers,
+    // 20150830T123600Z): both the canonical-request hash and the final
+    // signature are published constants
+    val (creqHash, signature, auth) = KinesisWire.signV4(
+      "GET", "/", "Action=ListUsers&Version=2010-05-08",
+      Seq("host" -> "iam.amazonaws.com",
+        "content-type" -> "application/x-www-form-urlencoded; charset=utf-8",
+        "x-amz-date" -> "20150830T123600Z"),
+      Array.emptyByteArray, "20150830T123600Z", "us-east-1", "iam",
+      "AKIDEXAMPLE", "wJalrXUtnFEMI/K7MDENG+bPxRfiCYEXAMPLEKEY")
+    assert(creqHash ==
+      "f536975d06c0309214f805bb90ccff089219ecd68b2577efef23edd43b7e1a59")
+    assert(signature ==
+      "5d672d79c15b13162d9279b0855cfba6789a8edb4c82c400e06b5924a6f2b5d7")
+    assert(auth.startsWith("AWS4-HMAC-SHA256 Credential=AKIDEXAMPLE/" +
+      "20150830/us-east-1/iam/aws4_request"))
+  }
+
+  test("SigV4 signer matches an independent Python implementation") {
+    // vectors generated offline by a from-scratch Python implementation
+    // of the documented algorithm (hashlib/hmac)
+    val (h2, s2, _) = KinesisWire.signV4("POST", "/", "",
+      Seq("host" -> "localhost:4567", "x-amz-date" -> "20260816T120000Z",
+        "x-amz-target" -> "Kinesis_20131202.ListShards",
+        "content-type" -> "application/x-amz-json-1.1"),
+      """{"StreamName":"events"}""".getBytes(UTF_8),
+      "20260816T120000Z", "us-east-1", "kinesis", "ak", "testSecretKey")
+    assert(h2 ==
+      "cb66529efb064fa809ffcbf0e0b5ed47b5d4fc8e14b695d36af3a422444d35c2")
+    assert(s2 ==
+      "7689278e298e6b9639298721ede2e90e458183c0750070b15da2fd3570573c4e")
+    val (h3, s3, _) = KinesisWire.signV4("POST", "/", "",
+      Seq("host" -> "127.0.0.1:9999", "x-amz-date" -> "20260101T000000Z",
+        "x-amz-target" -> "Kinesis_20131202.GetRecords",
+        "content-type" -> "application/x-amz-json-1.1"),
+      """{"ShardIterator":"abc|0","Limit":100}""".getBytes(UTF_8),
+      "20260101T000000Z", "eu-west-1", "kinesis", "ak", "anotherSecret/+=")
+    assert(h3 ==
+      "cef739445a5c3baa9254866c2d7583478c904e7007e057770f630b641928cfc9")
+    assert(s3 ==
+      "1d365f436f344bef0b1eb5a0da97c2b2ccee72892dff91bf48204611ae68c266")
+  }
+
+  test("wire client: shards, iterators, record chaining, auth rejection") {
+    val mock = new MockKinesis(creds)
+    try {
+      mock.addShard("shardId-000000000000")
+      mock.addShard("shardId-000000000001")
+      (1 to 7).foreach(i =>
+        mock.put("shardId-000000000000", s"k$i", s"v$i".getBytes(UTF_8)))
+      mock.put("shardId-000000000001", "x", "y".getBytes(UTF_8))
+
+      val client = new KinesisWireClient(mock.endpoint, creds)
+      assert(client.listShards("events") ==
+        Seq("shardId-000000000000", "shardId-000000000001"))
+
+      // TRIM_HORIZON walks the whole shard through chained iterators
+      // (mock caps 3 records per GetRecords call)
+      var iter = client.getShardIterator("events", "shardId-000000000000",
+        "TRIM_HORIZON")
+      val got = mutable.ArrayBuffer[String]()
+      var behindSeen = false
+      while (iter.isDefined && got.size < 7) {
+        val r = client.getRecords(iter.get, 10000)
+        got ++= r.records.map(x => new String(x.data, UTF_8))
+        behindSeen |= r.millisBehindLatest > 0
+        iter = r.nextShardIterator
+      }
+      assert(got.toSeq == (1 to 7).map(i => s"v$i"))
+      assert(behindSeen, "mid-stream batches must report MillisBehindLatest>0")
+
+      // AFTER_SEQUENCE_NUMBER resumes exactly after a checkpoint
+      val first = client.getRecords(client.getShardIterator("events",
+        "shardId-000000000000", "TRIM_HORIZON").get, 10000).records
+      val after = client.getRecords(client.getShardIterator("events",
+        "shardId-000000000000", "AFTER_SEQUENCE_NUMBER",
+        Some(first.last.sequenceNumber)).get, 10000).records
+      assert(new String(after.head.data, UTF_8) == "v4")
+
+      // a wrong secret is rejected by the server's SigV4 re-verification
+      val bad = new KinesisWireClient(mock.endpoint,
+        creds.copy(secretKey = "WRONG"))
+      val thrown = intercept[java.io.IOException](bad.listShards("events"))
+      assert(thrown.getMessage.contains("403"))
+      assert(mock.authFailures.get() == 1)
+    } finally mock.stop()
+  }
+
+  test("KinesisSourceConfig parses the reference prop surface") {
+    val cfg = KinesisSourceConfig.fromProps("events", Map(
+      "stream.kinesis.region" -> "eu-west-1",
+      "stream.kinesis.accessKey" -> "ak",
+      "stream.kinesis.secretKey" -> "sk",
+      "stream.kinesis.maxRecordsToFetch" -> "25",
+      "stream.kinesis.shardIteratorType" -> "TRIM_HORIZON",
+      "stream.kinesis.endpoint" -> "http://localhost:1"))
+    assert(cfg == KinesisSourceConfig("events", "http://localhost:1",
+      "eu-west-1", "ak", "sk", "TRIM_HORIZON", 25))
+    // reference defaults: LATEST iterator, 10000 max records
+    val dflt = KinesisSourceConfig.fromProps("events",
+      Map("stream.kinesis.endpoint" -> "http://localhost:1"))
+    assert(dflt.shardIteratorType == "LATEST" &&
+      dflt.maxRecordsToFetch == 10000)
+  }
+
+  private def readStreamFrom(mock: MockKinesis, iterType: String) =
+    spark.readStream
+      .format("graft.streaming.KinesisSocketSourceProvider")
+      .option("endpoint", mock.endpoint)
+      .option("stream", "events")
+      .option("region", creds.region)
+      .option("accessKey", creds.accessKey)
+      .option("secretKey", creds.secretKey)
+      .option("shardIteratorType", iterType)
+      .load()
+
+  test("streaming source: multi-shard micro-batches, exactly-once restart") {
+    val mock = new MockKinesis(creds)
+    val root = java.nio.file.Files.createTempDirectory("kinesis_src").toString
+    try {
+      mock.addShard("shardId-000000000000")
+      mock.addShard("shardId-000000000001")
+      (1 to 5).foreach(i =>
+        mock.put("shardId-000000000000", s"k$i", s"a$i".getBytes(UTF_8)))
+      (1 to 3).foreach(i =>
+        mock.put("shardId-000000000001", s"k$i", s"b$i".getBytes(UTF_8)))
+
+      def startQ() = readStreamFrom(mock, "TRIM_HORIZON")
+        .selectExpr("CAST(data AS STRING) AS v", "shardId",
+          "sequenceNumber", "partitionKey")
+        .writeStream.format("parquet")
+        .option("path", s"$root/out")
+        .option("checkpointLocation", s"$root/ckpt")
+        .start()
+
+      val q1 = startQ()
+      q1.processAllAvailable()
+      q1.stop()
+      val phase1 = spark.read.parquet(s"$root/out")
+        .select("v").collect().map(_.getString(0)).toSet
+      assert(phase1 == ((1 to 5).map(i => s"a$i") ++
+        (1 to 3).map(i => s"b$i")).toSet)
+
+      // records landed while the consumer is down; restart on the same
+      // checkpoint must deliver exactly the new ones
+      (6 to 8).foreach(i =>
+        mock.put("shardId-000000000000", s"k$i", s"a$i".getBytes(UTF_8)))
+      mock.put("shardId-000000000001", "k4", "b4".getBytes(UTF_8))
+      val q2 = startQ()
+      q2.processAllAvailable()
+      q2.stop()
+      val all = spark.read.parquet(s"$root/out")
+        .select("v").collect().map(_.getString(0))
+      assert(all.length == 12, s"duplicates or losses: ${all.sorted.toSeq}")
+      assert(all.toSet == ((1 to 8).map(i => s"a$i") ++
+        (1 to 4).map(i => s"b$i")).toSet)
+    } finally mock.stop()
+  }
+
+  test("LATEST skips records that existed at query start") {
+    val mock = new MockKinesis(creds)
+    val root = java.nio.file.Files.createTempDirectory("kinesis_latest").toString
+    try {
+      mock.addShard("shardId-000000000000")
+      mock.put("shardId-000000000000", "old", "old".getBytes(UTF_8))
+      val q = readStreamFrom(mock, "LATEST")
+        .selectExpr("CAST(data AS STRING) AS v")
+        .writeStream.format("parquet")
+        .option("path", s"$root/out")
+        .option("checkpointLocation", s"$root/ckpt")
+        .start()
+      q.processAllAvailable()
+      mock.put("shardId-000000000000", "new", "new".getBytes(UTF_8))
+      q.processAllAvailable()
+      q.stop()
+      val vs = spark.read.parquet(s"$root/out")
+        .collect().map(_.getString(0)).toSet
+      assert(vs == Set("new"))
+    } finally mock.stop()
+  }
+}
