@@ -90,7 +90,13 @@ case class ClpEncode(child: Expression)
       if (ClpCodec.isIntVar(t)) {
         lt.append(ClpCodec.IntPh)
         enc += java.lang.Long.parseLong(t)
-      } else if (ClpCodec.hasDigit(t)) {
+      } else if (ClpCodec.hasDigit(t) ||
+          // a token that IS a bare placeholder char would be
+          // misread as a variable slot on decode — store it as a
+          // dictionary var so the round trip stays byte-exact (real
+          // CLP likewise escapes its reserved bytes)
+          (t.length == 1 && (t.charAt(0) == ClpCodec.DictPh ||
+            t.charAt(0) == ClpCodec.IntPh))) {
         lt.append(ClpCodec.DictPh)
         dict += UTF8String.fromString(t)
       } else lt.append(t)

@@ -145,6 +145,20 @@ class ClpSpec extends SparkSpec {
       Set("ERROR node-7 failed after 3 retries: code=0xdead"))
   }
 
+  test("reserved placeholder bytes round-trip: bare-placeholder tokens become dict vars") {
+    // a message token that IS the placeholder char would be misread
+    // as a variable slot on decode — the encoder routes it to the
+    // dictionary (real CLP escapes its reserved bytes similarly);
+    // interior placeholder bytes are not whole-token and pass verbatim
+    val tricky = Seq("x \u0011 y", "a\u0012b mid", "\u0012",
+      "ok \u0011\u0011 end")
+    val df = tricky.toDF("msg")
+      .withColumn("e", ClpFunctions.clpEncode($"msg"))
+      .withColumn("back", ClpFunctions.clpDecode(
+        $"e.logtype", $"e.dict_vars", $"e.encoded_vars"))
+    assert(df.filter($"back" =!= $"msg" || $"back".isNull).count() == 0)
+  }
+
   test("entire-message anchoring: trailing newline is not ignored (ADVICE r12)") {
     // Java regex $ matches before a trailing line terminator; the
     // contract is byte-for-byte to the end, so 'foo' must NOT match
