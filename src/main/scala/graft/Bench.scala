@@ -57,7 +57,16 @@ object Bench {
       }
       name -> (System.nanoTime() - t0) / 1e9
     }.toMap
-    val p1 = pass(); val p2 = pass()
+    // the bench box carries a PERIODIC EXTERNAL LOAD (~11% band on the
+    // total; PLANS.md uniform-ratio convention) — stamp /proc/loadavg
+    // around each timed pass so drift adjudication is data-carrying
+    def loadavg(): Double =
+      try java.nio.file.Files.readString(
+        java.nio.file.Paths.get("/proc/loadavg")).split(" ")(0).toDouble
+      catch { case _: Throwable => -1.0 }
+    val load0 = loadavg()
+    val p1 = pass(); val load1 = loadavg()
+    val p2 = pass(); val load2 = loadavg()
     val results = named.map { case (name, _) =>
       (name,
         if (failures.contains(name)) -1.0 else math.min(p1(name), p2(name)),
@@ -74,7 +83,8 @@ object Bench {
       "\"" + k + "\":" + jstr(m) }.mkString("{", ",", "}")
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-        s""""failures":$fails,"n_ok":${ok.size},"n_fail":${results.size - ok.size},"sf":"$sfDir"}"""
+        s""""failures":$fails,"n_ok":${ok.size},"n_fail":${results.size - ok.size},""" +
+        s""""loadavg":[$load0,$load1,$load2],"sf":"$sfDir"}"""
     println(line)
     // driver's stdout tail truncated round 1's first ~30 entries — keep a
     // full copy on disk alongside the repo

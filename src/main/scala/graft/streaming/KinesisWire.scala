@@ -80,24 +80,45 @@ object KinesisWire {
     java.time.format.DateTimeFormatter.ofPattern("yyyyMMdd'T'HHmmss'Z'")
       .withZone(java.time.ZoneOffset.UTC)
       .format(java.time.Instant.now())
+
+  /** A service error with its x-amz-json-1.1 `__type` — callers key
+    * retry / iterator-refresh decisions off the type name the way the
+    * reference keys off the SDK's typed exceptions
+    * (`KinesisConsumer.java` handles ExpiredIteratorException /
+    * ProvisionedThroughputExceededException explicitly). */
+  final class KinesisApiException(val errorType: String, val httpCode: Int,
+      message: String) extends java.io.IOException(message)
+
+  /** Real Kinesis throttles routinely (GetRecords is limited to 5
+    * TPS/shard) — these types get bounded retry with backoff. */
+  private[streaming] val RetryableTypes = Set(
+    "ProvisionedThroughputExceededException", "ThrottlingException",
+    "LimitExceededException", "ServiceUnavailableException",
+    "InternalFailure")
 }
 
 /** One Kinesis endpoint client: signs and POSTs the JSON actions.
   * `endpoint` is `http://host:port` (the mock server in specs; a real
   * regional endpoint in production). */
 final class KinesisWireClient(endpoint: String,
-    creds: KinesisWire.Credentials) {
+    creds: KinesisWire.Credentials,
+    connectTimeoutMs: Int = 10000, readTimeoutMs: Int = 30000,
+    maxRetries: Int = 5, retryBaseMs: Long = 200) {
   import KinesisWire._
 
   private val mapper = new ObjectMapper
   private val url = new java.net.URI(endpoint).toURL
-  private val hostHeader = {
+  private[graft] val hostHeader = {
     val u = new java.net.URI(endpoint)
-    if (u.getPort > 0) s"${u.getHost}:${u.getPort}" else u.getHost
+    // HttpURLConnection omits the scheme's DEFAULT port from the
+    // transmitted Host header — sign the same value or a strict server
+    // rejects every request (round-12 ADVICE)
+    val dflt = if ("https".equalsIgnoreCase(u.getScheme)) 443 else 80
+    if (u.getPort > 0 && u.getPort != dflt) s"${u.getHost}:${u.getPort}"
+    else u.getHost
   }
 
-  private def post(target: String, body: String): com.fasterxml.jackson.databind.JsonNode = {
-    val payload = body.getBytes(UTF_8)
+  private def postOnce(target: String, payload: Array[Byte]): com.fasterxml.jackson.databind.JsonNode = {
     val amzDate = amzDateNow()
     val headers = Seq(
       "host" -> hostHeader,
@@ -109,6 +130,10 @@ final class KinesisWireClient(endpoint: String,
     val conn = url.openConnection()
       .asInstanceOf[java.net.HttpURLConnection]
     try {
+      // a stalled endpoint must not hang the driver's latestOffset
+      // indefinitely (round-12 ADVICE): bound both phases
+      conn.setConnectTimeout(connectTimeoutMs)
+      conn.setReadTimeout(readTimeoutMs)
       conn.setRequestMethod("POST")
       conn.setDoOutput(true)
       headers.filterNot(_._1 == "host").foreach { case (k, v) =>
@@ -119,11 +144,43 @@ final class KinesisWireClient(endpoint: String,
       val code = conn.getResponseCode
       val in = if (code < 400) conn.getInputStream else conn.getErrorStream
       val bytes = in.readAllBytes()
-      if (code >= 400)
-        throw new java.io.IOException(
-          s"Kinesis $target failed ($code): ${new String(bytes, UTF_8).take(200)}")
+      if (code >= 400) {
+        val (tpe, msg) =
+          try {
+            val n = mapper.readTree(bytes)
+            // "__type" may carry a "prefix#" namespace on the wire
+            (n.path("__type").asText("").split("#").last,
+              n.path("message").asText(""))
+          } catch { case _: Throwable => ("", "") }
+        throw new KinesisApiException(tpe, code,
+          s"Kinesis $target failed ($code $tpe): " +
+            (if (msg.nonEmpty) msg.take(200)
+             else new String(bytes, UTF_8).take(200)))
+      }
       mapper.readTree(bytes)
     } finally conn.disconnect()
+  }
+
+  /** Bounded retry with exponential backoff on throttling / transient
+    * service errors (GetRecords is limited to 5 TPS/shard, so a
+    * catch-up walk WILL see ProvisionedThroughputExceededException on
+    * real streams). Non-retryable types — ExpiredIteratorException,
+    * auth failures, validation errors — propagate immediately; the
+    * iterator-refresh policy lives at the call sites that hold the
+    * last-seen sequence number. */
+  private def post(target: String, body: String): com.fasterxml.jackson.databind.JsonNode = {
+    val payload = body.getBytes(UTF_8)
+    var attempt = 0
+    while (true) {
+      try return postOnce(target, payload)
+      catch {
+        case e: KinesisApiException
+            if RetryableTypes(e.errorType) && attempt < maxRetries =>
+          Thread.sleep(retryBaseMs << attempt)
+          attempt += 1
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   private def jstr(s: String): String =

@@ -90,11 +90,26 @@ object ClpScaleProbe {
     // "* host=node-3 *" / "* code=3 *" target VARIABLES with exact
     // space-bounded tokens: served by the clpvarsmatch candidate
     // (array_contains on dictionaryVars — the ClpRewriter.java:398-437
-    // analog). "*lat_ms=99999*" is an INFIX variable target — no sound
-    // candidate exists (placeholder-satisfiable), decode re-verifies.
+    // analog). "*lat_ms=99999*" / "*lat_ms=13 *" are INFIX variable
+    // targets — round 13 serves them with the wildcard-variable
+    // candidate (ClpRewriter.java:438-466 analog: contains over the
+    // space-joined var arrays), where round 12 decoded every row.
     ab("clp_heavy_t", "msg",
       Seq("* sev=panic *", "* sev=nosuch *", "* host=node-3 *",
-        "* code=3 *", "* lat_ms=13 *", "*lat_ms=99999*"))
+        "* code=3 *", "* lat_ms=13 *", "*lat_ms=99999*", "*lat_ms=13 *"))
+
+    // encoded-variable infix: standalone ints land in encodedVars, so
+    // a pure-digit run keeps BOTH arrays as candidates (dict contains
+    // OR a contains over the element-wise Long→String cast rendering)
+    val ints = big.select(col("doc_id"), concat(
+        lit("evt "), col("doc_id") * 7919 % 1000000,
+        lit(" status ok seq "), col("doc_id")).as("msg"))
+    val iEnc = graft.sources.ClpLogIngest.extract(ints,
+      graft.sources.ClpLogIngest.Config(fieldsForClpEncoding = Seq("msg"),
+        removeProcessedFields = true)).localCheckpoint()
+    println(s"[probe] int-var rows = ${iEnc.count()}")
+    iEnc.createOrReplaceTempView("clp_int_t")
+    ab("clp_int_t", "msg", Seq("*99917*", "* 99917 *", "*917 st*"))
     spark.stop()
   }
 }

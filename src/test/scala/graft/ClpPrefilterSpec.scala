@@ -194,6 +194,46 @@ class ClpPrefilterSpec extends SparkSpec {
       Seq(Right(7L), Left("code=1")))
   }
 
+  test("wildcard-variable runs: digit-bearing infix runs route to the var arrays") {
+    import ClpFunctions.varWildcardRuns
+    // digit+letter run -> dictionary-only (no canonical int rendering
+    // can contain a letter); pure-digit run -> both arrays possible
+    assert(varWildcardRuns("*lat_ms=9*") == Seq(("lat_ms=9", false)))
+    assert(varWildcardRuns("*123*") == Seq(("123", true)))
+    assert(varWildcardRuns("*-12*") == Seq(("-12", true)))
+    // '-' not at run start pins dictionary
+    assert(varWildcardRuns("*3-4*") == Seq(("3-4", false)))
+    // >18 digits can't be an encoded rendering
+    assert(varWildcardRuns("*1234567890123456789*") ==
+      Seq(("1234567890123456789", false)))
+    // digit-free runs and fully-literal pieces are excluded (the
+    // latter already serve via exact membership)
+    assert(varWildcardRuns("*the*").isEmpty)
+    assert(varWildcardRuns("* code=7 *").isEmpty)
+    // ? splits runs like *; multiple runs all qualify, deduped
+    assert(varWildcardRuns("*a1?b2*c3* *a1*") ==
+      Seq(("a1", false), ("b2", false), ("c3", false)))
+
+    // soundness over the diverse corpus: wildcard match implies every
+    // wildcard-var prefilter is true
+    val enc = msgs.toDF("msg")
+      .withColumn("e", ClpFunctions.clpEncode($"msg"))
+    var checked = 0
+    for (w <- Seq("*12*34*", "*-42*", "*code=7*", "*?5b*", "*a5b*",
+        "*:30:*", "*0123*", "*999999*", "*12345 comp*")) {
+      val pres = ClpFunctions.varWildcardPrefilters(
+        $"e.dict_vars", $"e.encoded_vars", w)
+      if (pres.nonEmpty) {
+        val ground = enc.filter(ClpFunctions.clpWildcardMatch($"msg", w))
+        val g = ground.count()
+        checked += g.toInt
+        assert(ground.filter(pres.reduce(_ && _)).count() == g,
+          s"wildcard-var prefilter dropped a true match for <$w>")
+      }
+    }
+    assert(checked > 5, s"vacuous wildcard-var soundness run ($checked)")
+  }
+
   test("exactness: all-literal-or-star wildcards skip the decode re-verify") {
     import ClpFunctions.logtypePrefilterExact
     // exact: every piece a bare * or a digit-free literal token
@@ -283,6 +323,23 @@ class ClpPrefilterSpec extends SparkSpec {
     assert(optv.contains("array_contains") &&
       optv.toLowerCase.contains("text_dictionaryvars"),
       s"var prefilter missing from optimized plan:\n$optv")
+    // an INFIX variable wildcard lands as a contains over the
+    // space-joined var arrays (the ClpRewriter.java:438-466 analog)
+    val qw = graft.sql.QueryFacade.sql(spark,
+      "SET explicitLimit = true; SELECT doc_id FROM clp_plan_docs" +
+        " WHERE clpMatch(text, '*lat_ms=9*')")
+    val optw = qw.queryExecution.optimizedPlan.toString.toLowerCase
+    assert(optw.contains("array_join") && optw.contains("contains") &&
+      optw.contains("text_dictionaryvars"),
+      s"wildcard-var prefilter missing from optimized plan:\n$optw")
+    // pure-digit runs keep BOTH arrays as candidates
+    val qi = graft.sql.QueryFacade.sql(spark,
+      "SET explicitLimit = true; SELECT doc_id FROM clp_plan_docs" +
+        " WHERE clpMatch(text, '*1234*')")
+    val opti = qi.queryExecution.optimizedPlan.toString.toLowerCase
+    assert(opti.contains("text_dictionaryvars") &&
+      opti.contains("text_encodedvars"),
+      s"encoded-side wildcard-var candidate missing:\n$opti")
     // and the candidate filter sits over a real file scan of the
     // durable artifact, not a re-encode projection
     val phys = q.queryExecution.executedPlan.toString

@@ -17,7 +17,8 @@ import graft.streaming.{KinesisSourceConfig, KinesisWire, KinesisWireClient}
   * itself is pinned against the officially published documentation
   * vector and two independently Python-generated vectors below, so
   * the round trip is not circular). */
-final class MockKinesis(creds: KinesisWire.Credentials) {
+final class MockKinesis(creds: KinesisWire.Credentials,
+    maxPerCall: Int = 3) {
   final case class Rec(seq: Long, key: String, data: Array[Byte], tsMs: Long)
 
   private val mapper = new ObjectMapper
@@ -25,6 +26,12 @@ final class MockKinesis(creds: KinesisWire.Credentials) {
     new mutable.LinkedHashMap[String, mutable.ArrayBuffer[Rec]]
   private val seqGen = new AtomicLong(49590000000L)
   val authFailures = new AtomicLong(0)
+  // total records served across all GetRecords calls — lets tests
+  // assert a LATEST start never replays the retained stream
+  val recordsServed = new AtomicLong(0)
+  // one-shot fault injection: next GetRecords responds with this
+  // x-amz-json-1.1 error type, then clears
+  val failNextGetRecords = new java.util.concurrent.atomic.AtomicReference[String](null)
 
   def addShard(shardId: String): Unit =
     synchronized { shards.getOrElseUpdate(shardId, mutable.ArrayBuffer()) }
@@ -71,6 +78,12 @@ final class MockKinesis(creds: KinesisWire.Credentials) {
       return
     }
     val req = mapper.readTree(payload)
+    if (target == "Kinesis_20131202.GetRecords" &&
+        failNextGetRecords.get() != null) {
+      val tpe = failNextGetRecords.getAndSet(null)
+      respond(ex, 400, s"""{"__type":"$tpe","message":"injected $tpe"}""")
+      return
+    }
     val body = synchronized {
       target.stripPrefix("Kinesis_20131202.") match {
         case "ListShards" =>
@@ -93,9 +106,11 @@ final class MockKinesis(creds: KinesisWire.Credentials) {
         case "GetRecords" =>
           val (shard, idx) = untoken(req.path("ShardIterator").asText)
           val recs = shards.getOrElse(shard, mutable.ArrayBuffer())
-          // serve at most 3 per call to force iterator chaining
-          val limit = math.min(3, req.path("Limit").asInt(10000))
+          // serve at most `maxPerCall` (default 3) to force iterator
+          // chaining in the specs; the throughput probe raises it
+          val limit = math.min(maxPerCall, req.path("Limit").asInt(10000))
           val slice = recs.slice(idx, idx + limit)
+          recordsServed.addAndGet(slice.size)
           val out = slice.map { r =>
             val b64 = java.util.Base64.getEncoder.encodeToString(r.data)
             s"""{"SequenceNumber":"${r.seq}","PartitionKey":"${r.key}",""" +
@@ -295,7 +310,12 @@ class KinesisWireSpec extends SparkSpec {
     val root = java.nio.file.Files.createTempDirectory("kinesis_latest").toString
     try {
       mock.addShard("shardId-000000000000")
-      mock.put("shardId-000000000000", "old", "old".getBytes(UTF_8))
+      // a LONG retained history — a LATEST start must not replay it
+      // through the driver to find the tip (round-12 ADVICE: the old
+      // discoverTip(s, "") walked TRIM_HORIZON and downloaded every
+      // retained payload only to discard it)
+      (1 to 60).foreach(i =>
+        mock.put("shardId-000000000000", s"o$i", s"old$i".getBytes(UTF_8)))
       val q = readStreamFrom(mock, "LATEST")
         .selectExpr("CAST(data AS STRING) AS v")
         .writeStream.format("parquet")
@@ -309,6 +329,96 @@ class KinesisWireSpec extends SparkSpec {
       val vs = spark.read.parquet(s"$root/out")
         .collect().map(_.getString(0)).toSet
       assert(vs == Set("new"))
+      // driver tip-walk + executor replay touch only the NEW record;
+      // the 60 retained ones are never served
+      assert(mock.recordsServed.get() <= 5,
+        s"LATEST start replayed the retained stream: " +
+          s"${mock.recordsServed.get()} records served")
     } finally mock.stop()
+  }
+
+  test("throttling gets bounded retry; expired iterators re-acquire") {
+    val mock = new MockKinesis(creds)
+    try {
+      mock.addShard("s0")
+      (1 to 5).foreach(i => mock.put("s0", s"k$i", s"v$i".getBytes(UTF_8)))
+      val client = new KinesisWireClient(mock.endpoint, creds,
+        retryBaseMs = 1)
+      // ProvisionedThroughputExceededException: GetRecords is limited
+      // to 5 TPS/shard on real streams — the client must absorb it
+      val iter = client.getShardIterator("events", "s0", "TRIM_HORIZON")
+      mock.failNextGetRecords.set("ProvisionedThroughputExceededException")
+      val r = client.getRecords(iter.get, 10000)
+      assert(r.records.nonEmpty, "retry did not absorb the throttle")
+      // non-retryable propagates as its typed exception
+      mock.failNextGetRecords.set("ExpiredIteratorException")
+      val e = intercept[KinesisWire.KinesisApiException](
+        client.getRecords(iter.get, 10000))
+      assert(e.errorType == "ExpiredIteratorException")
+
+      // the partition reader re-acquires AFTER the last seen sequence
+      // instead of failing the task (mock serves 3/call, so the
+      // expiry lands mid-range after the first chunk)
+      val all = client.getRecords(
+        client.getShardIterator("events", "s0", "TRIM_HORIZON").get, 10000)
+      val endSeq = {
+        var last = all.records.last.sequenceNumber
+        var it = all.nextShardIterator
+        while (it.isDefined) {
+          val rr = client.getRecords(it.get, 10000)
+          if (rr.records.nonEmpty) last = rr.records.last.sequenceNumber
+          it = if (rr.records.isEmpty) None else rr.nextShardIterator
+        }
+        last
+      }
+      val cfg = KinesisSourceConfig("events", mock.endpoint,
+        creds.region, creds.accessKey, creds.secretKey, "TRIM_HORIZON", 10000)
+      val reader = new graft.streaming.KinesisPartitionReader(
+        graft.streaming.KinesisInputPartition(cfg, "s0", "", endSeq))
+      val got = mutable.ArrayBuffer[String]()
+      var injected = false
+      while (reader.next()) {
+        got += new String(reader.get()
+          .getBinary(0), UTF_8)
+        if (!injected) {
+          mock.failNextGetRecords.set("ExpiredIteratorException")
+          injected = true
+        }
+      }
+      assert(got.toSeq == (1 to 5).map(i => s"v$i"),
+        s"expired-iterator re-acquire lost or duplicated records: $got")
+    } finally mock.stop()
+  }
+
+  test("a trimmed shard surfaces a replay gap instead of silent truncation") {
+    val mock = new MockKinesis(creds)
+    try {
+      mock.addShard("s0")
+      (1 to 3).foreach(i => mock.put("s0", s"k$i", s"v$i".getBytes(UTF_8)))
+      val cfg = KinesisSourceConfig("events", mock.endpoint,
+        creds.region, creds.accessKey, creds.secretKey, "TRIM_HORIZON", 10000)
+      // a committed range whose end the shard can no longer serve
+      val reader = new graft.streaming.KinesisPartitionReader(
+        graft.streaming.KinesisInputPartition(cfg, "s0", "", "49599999999999"))
+      val got = mutable.ArrayBuffer[String]()
+      val e = intercept[java.io.IOException] {
+        while (reader.next()) got +=
+          new String(reader.get().getBinary(0), UTF_8)
+      }
+      assert(e.getMessage.contains("replay gap"), e.getMessage)
+    } finally mock.stop()
+  }
+
+  test("Host header omits the scheme's default port (SigV4 parity)") {
+    // http://host:80 and https://host:443 must sign the same Host
+    // value HttpURLConnection transmits — the bare hostname
+    for ((ep, host) <- Seq(
+        ("http://example.com:80", "example.com"),
+        ("https://example.com:443", "example.com"),
+        ("http://example.com:8080", "example.com:8080"),
+        ("http://example.com", "example.com"))) {
+      val c = new KinesisWireClient(ep, creds)
+      assert(c.hostHeader == host, s"endpoint $ep")
+    }
   }
 }

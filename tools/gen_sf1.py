@@ -47,15 +47,24 @@ def write(name, table):
     print(f"  {name}: {table.num_rows} rows")
 
 
-def offset_replicate(table, key_cols, replicas=REPLICAS):
-    """Concat `replicas` copies, shifting each key col by
-    k * (max+1) so key spaces stay disjoint and joins line up."""
-    bases = {c: pc.max(table[c]).as_py() + 1 for c in key_cols}
+def offset_replicate(table, key_bases, replicas=REPLICAS):
+    """Concat `replicas` copies, shifting each key col by k * base.
+
+    `key_bases` maps column -> the key DOMAIN's base (max PK + 1 from
+    the dimension that owns the domain) — one base per domain, shared
+    by the PK and every FK referencing it. Shifting each column by its
+    own max would silently misalign joins whenever an FK's max falls
+    below the PK's max (e.g. standard TPC-H leaves 1/3 of customers
+    order-less), so referential integrity is asserted here: every
+    column's max must sit below its domain base."""
+    for c, base in key_bases.items():
+        mx = pc.max(table[c]).as_py()
+        assert mx < base, f"{c}: max {mx} >= domain base {base}"
     parts = []
     for k in range(replicas):
         t = table
-        for c in key_cols:
-            shifted = pc.add(t[c], k * bases[c])
+        for c, base in key_bases.items():
+            shifted = pc.add(t[c], k * base)
             t = t.set_column(t.schema.get_field_index(c), t.field(c),
                              shifted.cast(t.field(c).type))
         parts.append(t)
@@ -69,15 +78,28 @@ def main():
     for name in ("region", "nation"):
         write(name, read(name))
 
-    write("customer", offset_replicate(read("customer"), ["c_custkey"]))
-    write("supplier", offset_replicate(read("supplier"), ["s_suppkey"]))
-    write("part", offset_replicate(read("part"), ["p_partkey"]))
-    write("orders", offset_replicate(read("orders"),
-                                     ["o_orderkey", "o_custkey"]))
+    customer, supplier, part = read("customer"), read("supplier"), read("part")
+    orders, lineitem, events = read("orders"), read("lineitem"), read("events")
+    # one base per key DOMAIN, computed from the dimension that owns it
+    # and reused for every FK column in that domain (round-12 ADVICE:
+    # per-column maxima only align when FK max == PK max by luck)
+    cust_base = pc.max(customer["c_custkey"]).as_py() + 1
+    supp_base = pc.max(supplier["s_suppkey"]).as_py() + 1
+    part_base = pc.max(part["p_partkey"]).as_py() + 1
+    order_base = pc.max(orders["o_orderkey"]).as_py() + 1
+    event_base = pc.max(events["event_id"]).as_py() + 1
+    user_base = pc.max(events["user_id"]).as_py() + 1
+
+    write("customer", offset_replicate(customer, {"c_custkey": cust_base}))
+    write("supplier", offset_replicate(supplier, {"s_suppkey": supp_base}))
+    write("part", offset_replicate(part, {"p_partkey": part_base}))
+    write("orders", offset_replicate(
+        orders, {"o_orderkey": order_base, "o_custkey": cust_base}))
     write("lineitem", offset_replicate(
-        read("lineitem"), ["l_orderkey", "l_partkey", "l_suppkey"]))
-    write("events", offset_replicate(read("events"),
-                                     ["event_id", "user_id"]))
+        lineitem, {"l_orderkey": order_base, "l_partkey": part_base,
+                   "l_suppkey": supp_base}))
+    write("events", offset_replicate(
+        events, {"event_id": event_base, "user_id": user_base}))
 
     # ---- documents: fresh sampled docs, not replicas -----------------
     docs = read("documents")
