@@ -82,10 +82,18 @@ object PinotFunctions {
     "minus" -> { case Seq(a, b) => a - b },
     "mult" -> { case Seq(a, b) => a * b },
     "times" -> { case Seq(a, b) => a * b },
-    // Pinot DIV is double division (ArithmeticFunctions.divide) —
-    // Spark's builtin `div` is INTEGER division, so the facade routes
-    // the spelling here via CollidingFns
-    "pinotdiv" -> { case Seq(a, b) => a / b },
+    // Pinot DIV is JAVA double division (ArithmeticFunctions.divide):
+    // x/0 is ±Infinity DATA and 0/0 is NaN, never an error — Spark's
+    // ANSI Divide throws DIVIDE_BY_ZERO, so the zero-divisor branch
+    // computes the IEEE result as a·(b⁻¹) (pow keeps −0.0's sign, so
+    // 1/−0.0 = −Inf like Java). Spark's builtin `div` is INTEGER
+    // division; the facade routes the DIV spelling here via
+    // CollidingFns. (DivergenceContractSpec pins the contract.)
+    "pinotdiv" -> { case Seq(a, b) =>
+      val bd = b.cast(DoubleType)
+      when(bd =!= 0.0, a / b)
+        .otherwise(a.cast(DoubleType) * pow(bd, -1.0))
+    },
     "intdiv" -> { case Seq(a, b) => (a / b).cast(LongType) },
     // ——— Pinot concat: separator LAST (scalar/string/StringFunctions
     // .java:33 `concat(input1, input2, separator)`); concatWS is

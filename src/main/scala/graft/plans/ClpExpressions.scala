@@ -23,6 +23,20 @@ import org.apache.spark.unsafe.types.UTF8String
   * per-row work is the loop itself, which JIT compiles; nothing here
   * re-inlines subtrees per element.
   */
+/** LOAD-BEARING INVARIANT: token classification (int var / dict var /
+  * verbatim logtype text) is a PURE FUNCTION of the token's text —
+  * nothing contextual (no schema hints, no per-column overrides, no
+  * neighbor tokens) may influence it. The clpMatch EXACT-candidate
+  * optimization (`ClpFunctions.logtypePrefilterExact`: logtype match
+  * is equivalent to decoded-message match, so the decode re-verify is
+  * dropped) and the wildcard-variable candidates
+  * (`ClpFunctions.varWildcardRuns`: a digit-bearing run always lands
+  * in a var array) are both DERIVED from this purity; a
+  * context-dependent classifier (e.g. schema-driven forced-dictionary
+  * columns) would silently break their soundness. If classification
+  * ever needs context, re-gate those candidates first —
+  * ClpPrefilterSpec's ground-truth assertions cover the current
+  * encoder only. */
 private[graft] object ClpCodec {
   final val DictPh = '\u0011'
   final val IntPh = '\u0012'

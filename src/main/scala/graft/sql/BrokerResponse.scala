@@ -127,13 +127,29 @@ object BrokerResponse {
       case e: Throwable =>
         val ms = (System.nanoTime() - t0) / 1000000L
         val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
-        // QueryErrorCode.QUERY_EXECUTION = 200 in the reference enum
         s"""{"resultTable":null,"numRowsResultSet":0,""" +
-          s""""exceptions":[{"errorCode":200,"message":${jStr(msg.take(500))}}],""" +
+          s""""exceptions":[{"errorCode":${errorCode(e)},"message":${jStr(msg.take(500))}}],""" +
           s""""timeUsedMs":$ms,"requestId":"$requestId",""" +
           s""""brokerId":${jStr(brokerId)},"numDocsScanned":0,""" +
           s""""totalDocs":-1,"numServersQueried":1,"numServersResponded":1}"""
     }
+  }
+
+  /** Map failures to the reference's `QueryErrorCode` classes
+    * (`pinot-spi/.../exception/QueryErrorCode.java`): SQL_PARSING=150,
+    * TABLE_DOES_NOT_EXIST=190, UNKNOWN_COLUMN=710, and the
+    * QUERY_EXECUTION=200 catch-all — the error classes a client
+    * actually branches on (DivergenceContractSpec pins them). */
+  private[graft] def errorCode(e: Throwable): Int = e match {
+    case _: org.apache.spark.sql.catalyst.parser.ParseException => 150
+    case a: org.apache.spark.sql.AnalysisException =>
+      a.errorClass match {
+        case Some(c) if c.startsWith("UNRESOLVED_COLUMN") ||
+          c.startsWith("UNRESOLVED_FIELD") => 710
+        case Some(c) if c.startsWith("TABLE_OR_VIEW_NOT_FOUND") => 190
+        case _ => 200
+      }
+    case _ => 200
   }
 
   private def assemble(schema: StructType, rows: Seq[Row], scanned: Long,

@@ -1,0 +1,306 @@
+package graft.streaming
+
+import java.util.{Map => JMap}
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import PulsarWire.MsgId
+
+/** Structured-Streaming source over the Pulsar BINARY PROTOCOL
+  * ([[PulsarWire]] / [[PulsarWireClient]]) — the analog of the
+  * reference's `pinot-pulsar` plugin, built client-jar-free the same
+  * way the Kafka and Kinesis paths were:
+  *
+  * `spark.readStream.format("graft.streaming.PulsarSocketSourceProvider")
+  *   .option("serviceUrl", "pulsar://host:port").option("topic", t)
+  *   .option("startPosition", "earliest"|"latest")
+  *   .option("authenticationToken", tok).load()`
+  *
+  * Offset model mirrors the reference's `MessageIdStreamOffset`:
+  * partition → last-consumed MessageId (`ledger:entry`, "" = nothing
+  * consumed), JSON in the checkpoint's offset log; replay opens a
+  * non-durable Reader subscription strictly after the start id
+  * (`PulsarPartitionLevelConsumer.fetchMessages` seeks its Reader the
+  * same way) and reads the exact (start, end] id range — exactly-once
+  * like the Kafka/Kinesis paths. One Spark input partition per topic
+  * partition (`topic-partition-N`, the reference's
+  * `TopicName.getTopicPartitionNameString` naming).
+  *
+  * Scale note: unlike Kinesis, Pulsar HAS a tip API —
+  * GET_LAST_MESSAGE_ID — so the driver's latestOffset is one RPC per
+  * partition per trigger, never a record walk; payloads only ever
+  * flow to executors. */
+class PulsarSocketSourceProvider extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-pulsar"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    PulsarSocketSource.RecordSchema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: JMap[String, String]): Table = {
+    val opts = new CaseInsensitiveStringMap(properties)
+    val cfg = PulsarSourceConfig(
+      topic = opts.get("topic"),
+      serviceUrl = Option(opts.get("serviceurl"))
+        .getOrElse(opts.get("bootstrap.servers")),
+      startPosition = Option(opts.get("startposition")).getOrElse("latest"),
+      authToken = Option(opts.get("authenticationtoken")),
+      permits = Option(opts.get("permits")).map(_.toInt).getOrElse(1000),
+      readTimeoutMs = Option(opts.get("readtimeoutms")).map(_.toInt)
+        .getOrElse(30000))
+    new PulsarSocketTable(cfg)
+  }
+}
+
+/** The reference's `PulsarConfig.java` prop surface (`stream.pulsar.`
+  * prefix): bootstrap.servers, authenticationToken, offset criteria →
+  * initial position. TLS/OAuth props are parsed and rejected loudly
+  * (they need cert/issuer infrastructure the reference delegates to
+  * the SDK). */
+final case class PulsarSourceConfig(
+    topic: String,
+    serviceUrl: String,
+    startPosition: String = "latest",
+    authToken: Option[String] = None,
+    permits: Int = 1000,
+    readTimeoutMs: Int = 30000) {
+  def hostPort: (String, Int) = {
+    val u = new java.net.URI(serviceUrl.replaceFirst("^pulsar://", "tcp://"))
+    (u.getHost, if (u.getPort > 0) u.getPort else 6650)
+  }
+}
+
+object PulsarSourceConfig {
+  def fromProps(topic: String, props: Map[String, String]): PulsarSourceConfig = {
+    val p = props.map { case (k, v) => k.stripPrefix("stream.pulsar.") -> v }
+    require(!p.contains("tlsTrustCertsFilePath") && !p.contains("issuerUrl"),
+      "TLS/OAuth Pulsar auth is not supported by the wire client")
+    PulsarSourceConfig(
+      topic = topic,
+      serviceUrl = p.getOrElse("bootstrap.servers",
+        p.getOrElse("serviceUrl", "pulsar://localhost:6650")),
+      startPosition =
+        p.getOrElse("consumer.prop.auto.offset.reset", "largest") match {
+          case "smallest" => "earliest"
+          case _ => "latest"
+        },
+      authToken = p.get("authenticationToken"))
+  }
+}
+
+object PulsarSocketSource {
+  /** Pulsar-native record schema (the fields the reference's
+    * `PulsarStreamMessageMetadata` metadata extractors expose). */
+  val RecordSchema: StructType = StructType(Seq(
+    StructField("data", BinaryType),
+    StructField("topic", StringType),
+    StructField("partition", IntegerType),
+    StructField("ledgerId", LongType),
+    StructField("entryId", LongType),
+    StructField("key", StringType),
+    StructField("producerName", StringType),
+    StructField("sequenceId", LongType),
+    StructField("publishTime", TimestampType)))
+}
+
+final class PulsarSocketTable(cfg: PulsarSourceConfig)
+  extends Table with SupportsRead {
+  require(cfg.topic != null, "option 'topic' is required")
+  require(cfg.serviceUrl != null, "option 'serviceUrl' is required")
+  override def name(): String = s"graft-pulsar:${cfg.topic}"
+  override def schema(): StructType = PulsarSocketSource.RecordSchema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new Scan {
+        override def readSchema(): StructType = PulsarSocketSource.RecordSchema
+        override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+          new PulsarSocketMicroBatchStream(cfg)
+      }
+    }
+}
+
+/** partition → last-consumed MessageId ("" = nothing consumed). */
+final case class PulsarOffset(ids: Map[Int, String]) extends Offset {
+  override def json(): String =
+    ids.toSeq.sorted
+      .map { case (p, id) => s""""$p":"$id"""" }.mkString("{", ",", "}")
+}
+
+object PulsarOffset {
+  def fromJson(s: String): PulsarOffset =
+    PulsarOffset(
+      """"(\d+)"\s*:\s*"([^"]*)"""".r.findAllMatchIn(s)
+        .map(m => m.group(1).toInt -> m.group(2)).toMap)
+}
+
+final class PulsarSocketMicroBatchStream(cfg: PulsarSourceConfig)
+  extends MicroBatchStream {
+
+  private val (host, port) = cfg.hostPort
+  private lazy val client =
+    new PulsarWireClient(host, port, cfg.authToken, cfg.readTimeoutMs)
+
+  // one non-durable metadata consumer per partition, subscribed at
+  // Earliest but never given FLOW permits — it exists only so the
+  // driver can issue GET_LAST_MESSAGE_ID (one RPC per trigger)
+  private val metaConsumers = mutable.Map[Int, Long]()
+  // 0 partitions = a non-partitioned topic, addressed by its bare name
+  // (the reference's TopicName model)
+  private lazy val rawPartitions: Int = client.partitionedMetadata(cfg.topic)
+  private lazy val partitionCount: Int = math.max(1, rawPartitions)
+
+  private def topicOf(p: Int): String =
+    if (rawPartitions == 0) cfg.topic
+    else PulsarWire.partitionTopic(cfg.topic, p)
+
+  private def metaConsumer(p: Int): Long =
+    metaConsumers.getOrElseUpdate(p, {
+      val cid = 1000L + p
+      client.subscribe(topicOf(p), s"graft-meta-$p", cid, MsgId.Earliest)
+      cid
+    })
+
+  private def tip(p: Int): String = {
+    val id = client.getLastMessageId(metaConsumer(p))
+    if (id.entry < 0) "" else id.toString
+  }
+
+  override def initialOffset(): Offset =
+    PulsarOffset((0 until partitionCount).map { p =>
+      // latest = the current tip is already-consumed (the reference's
+      // OffsetCriteria LARGEST → SubscriptionInitialPosition.Latest);
+      // earliest = "" (nothing consumed)
+      p -> (if (cfg.startPosition.equalsIgnoreCase("earliest")) "" else tip(p))
+    }.toMap)
+
+  override def latestOffset(): Offset =
+    PulsarOffset((0 until partitionCount).map { p =>
+      val t = tip(p)
+      p -> (if (t.isEmpty) "" else t)
+    }.toMap)
+
+  override def deserializeOffset(json: String): Offset =
+    PulsarOffset.fromJson(json)
+
+  override def commit(end: Offset): Unit = ()
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[PulsarOffset].ids
+    val e = end.asInstanceOf[PulsarOffset].ids
+    e.toSeq.sorted.flatMap { case (p, endId) =>
+      val startId = s.getOrElse(p, "")
+      val fromId = if (startId.isEmpty) MsgId.Earliest else MsgId.parse(startId)
+      if (endId.nonEmpty && fromId < MsgId.parse(endId))
+        Some(PulsarInputPartition(cfg, p, topicOf(p), startId, endId))
+      else None
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PartitionReaderFactory {
+      override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+        new PulsarPartitionReader(
+          partition.asInstanceOf[PulsarInputPartition])
+    }
+
+  override def stop(): Unit =
+    try client.close() catch { case _: Throwable => () }
+}
+
+final case class PulsarInputPartition(cfg: PulsarSourceConfig,
+    partition: Int, partitionTopic: String, startId: String, endId: String)
+  extends InputPartition
+
+/** Executor-side reader: own connection, non-durable Reader
+  * subscription strictly after `startId`, exact (startId, endId]
+  * replay. A broker that cannot serve the committed range (retention
+  * trim) surfaces a replay-gap error, not a silent truncated batch. */
+final class PulsarPartitionReader(p: PulsarInputPartition)
+  extends PartitionReader[InternalRow] {
+
+  private val (host, port) = p.cfg.hostPort
+  private val client =
+    new PulsarWireClient(host, port, p.cfg.authToken, p.cfg.readTimeoutMs)
+  private val consumerId = 1L
+  private val start =
+    if (p.startId.isEmpty) MsgId.Earliest else MsgId.parse(p.startId)
+  private val end = MsgId.parse(p.endId)
+  client.subscribe(p.partitionTopic, s"graft-read-${p.partition}",
+    consumerId, start)
+  client.flow(consumerId, p.cfg.permits)
+  private var served = 0
+  private var done = false
+  private var current: (MsgId, PulsarWire.PbR, Array[Byte]) = _
+
+  override def next(): Boolean = {
+    if (done) return false
+    var got: Option[(MsgId, PulsarWire.PbR, Array[Byte])] = None
+    while (got.isEmpty && !done) {
+      val f =
+        try client.next()
+        catch {
+          case _: java.net.SocketTimeoutException =>
+            throw new java.io.IOException(
+              s"Pulsar replay gap: ${p.partitionTopic} delivered nothing " +
+                s"before planned end ${p.endId} (start ${p.startId}) — " +
+                "committed range cannot be served")
+        }
+      f.cmdType match {
+        case PulsarWire.MESSAGE =>
+          val id = f.cmd.sub(PulsarWire.MESSAGE).flatMap(_.sub(2))
+            .map(PulsarWire.parseMsgId)
+            .getOrElse(throw new java.io.IOException("MESSAGE without id"))
+          served += 1
+          if (served * 2 >= p.cfg.permits) {
+            client.flow(consumerId, p.cfg.permits); served = 0
+          }
+          // the range is (start, end]: the subscription already starts
+          // strictly after startId; ids past end belong to later batches
+          if (id <= end) {
+            got = Some((id, f.metadata.get, f.payload.get))
+            client.ack(consumerId, id)
+          }
+          if (end <= id) done = true
+        case PulsarWire.REACHED_END_OF_TOPIC =>
+          throw new java.io.IOException(
+            s"Pulsar replay gap: ${p.partitionTopic} ended before " +
+              s"planned end ${p.endId} — committed range cannot be served")
+        case _ => // ACTIVE_CONSUMER_CHANGE etc: ignore
+      }
+    }
+    got match {
+      case Some(c) => current = c; true
+      case None => false
+    }
+  }
+
+  override def get(): InternalRow = {
+    val (id, meta, payload) = current
+    new GenericInternalRow(Array[Any](
+      payload,
+      UTF8String.fromString(p.partitionTopic),
+      p.partition,
+      id.ledger,
+      id.entry,
+      meta.str(6).map(UTF8String.fromString).orNull, // partition_key
+      meta.str(1).map(UTF8String.fromString).orNull, // producer_name
+      meta.long(2).getOrElse(0L), // sequence_id
+      meta.long(3).getOrElse(0L) * 1000L)) // publish_time ms → micros
+  }
+
+  override def close(): Unit = {
+    try client.closeConsumer(consumerId) catch { case _: Throwable => () }
+    client.close()
+  }
+}

@@ -1,0 +1,374 @@
+package graft.streaming
+
+import java.io.{ByteArrayOutputStream, DataInputStream, DataOutputStream}
+import java.nio.charset.StandardCharsets.UTF_8
+
+/** Pulsar binary protocol wire layer — the analog of the reference's
+  * `pinot-plugins/pinot-stream-ingestion/pinot-pulsar` plugin
+  * (`PulsarPartitionLevelConsumer.java` — a Reader at a MessageId;
+  * `PulsarStreamMetadataProvider.java` — partition count + offsets;
+  * `PulsarConfig.java` — prop surface). The container ships no Pulsar
+  * client jars (the round-11/12 environment-bounded exclusion), so —
+  * exactly like the Kafka and Kinesis paths — this speaks the PUBLIC
+  * wire protocol directly: 4-byte-length frames carrying a protobuf
+  * `BaseCommand` (message shapes and field numbers transcribed from
+  * the published `pulsar-common/src/main/proto/PulsarApi.proto`;
+  * `BaseCommand`'s sub-command field number equals its `Type` enum
+  * value by the proto's own design), with broker→client MESSAGE
+  * frames carrying `[0x0e01][CRC32C][metadataSize][MessageMetadata]
+  * [payload]` where the checksum covers everything after itself.
+  *
+  * Commands implemented — exactly the subset the reference's
+  * partition-level consumer exercises through the SDK Reader:
+  * CONNECT/CONNECTED, PARTITIONED_METADATA(_RESPONSE),
+  * SUBSCRIBE (non-durable, start MessageId — the Reader model) /
+  * SUCCESS, FLOW, MESSAGE, GET_LAST_MESSAGE_ID(_RESPONSE), ACK,
+  * CLOSE_CONSUMER, PING/PONG, ERROR. Protobuf is hand-rolled
+  * (varint / length-delimited only — every field this subset needs);
+  * reads reuse [[graft.sources.WireProto.rawFields]].
+  */
+object PulsarWire {
+
+  // BaseCommand.Type values == the sub-command field numbers
+  // (PulsarApi.proto's documented invariant)
+  final val CONNECT = 2
+  final val CONNECTED = 3
+  final val SUBSCRIBE = 4
+  final val MESSAGE = 9
+  final val ACK = 10
+  final val FLOW = 11
+  final val SUCCESS = 13
+  final val ERROR = 14
+  final val CLOSE_CONSUMER = 16
+  final val PING = 18
+  final val PONG = 19
+  final val PARTITIONED_METADATA = 21
+  final val PARTITIONED_METADATA_RESPONSE = 22
+  final val REACHED_END_OF_TOPIC = 27
+  final val SEEK = 28
+  final val GET_LAST_MESSAGE_ID = 29
+  final val GET_LAST_MESSAGE_ID_RESPONSE = 30
+
+  /** MessageId = (ledgerId, entryId); ordering is lexicographic.
+    * `Earliest` = (-1, -1) — before every real id (matches
+    * `MessageId.earliest`). */
+  final case class MsgId(ledger: Long, entry: Long) {
+    def <=(o: MsgId): Boolean =
+      ledger < o.ledger || (ledger == o.ledger && entry <= o.entry)
+    def <(o: MsgId): Boolean = this <= o && this != o
+    override def toString = s"$ledger:$entry"
+  }
+  object MsgId {
+    val Earliest: MsgId = MsgId(-1L, -1L)
+    def parse(s: String): MsgId = {
+      val Array(l, e) = s.split(":", 2)
+      MsgId(l.toLong, e.toLong)
+    }
+  }
+
+  // ------------------------------------------------ protobuf writing
+
+  /** Minimal protobuf writer: varint (wire 0) and length-delimited
+    * (wire 2) cover every field in the command subset. */
+  final class Pb {
+    private[PulsarWire] val out = new ByteArrayOutputStream
+    def varintRaw(v0: Long): Unit = {
+      var v = v0
+      while ((v & ~0x7fL) != 0) { out.write(((v & 0x7f) | 0x80).toInt); v >>>= 7 }
+      out.write(v.toInt)
+    }
+    private def tag(field: Int, wire: Int): Unit = varintRaw((field << 3) | wire)
+    def int(field: Int, v: Long): this.type = { tag(field, 0); varintRaw(v); this }
+    def bytes(field: Int, b: Array[Byte]): this.type = {
+      tag(field, 2); varintRaw(b.length); out.write(b); this
+    }
+    def str(field: Int, s: String): this.type = bytes(field, s.getBytes(UTF_8))
+    def msg(field: Int)(f: Pb => Unit): this.type = {
+      val inner = new Pb; f(inner); bytes(field, inner.toBytes)
+    }
+    def toBytes: Array[Byte] = out.toByteArray
+  }
+
+  private def msgId(field: Int, id: MsgId)(pb: Pb): Pb =
+    pb.msg(field) { m => m.int(1, id.ledger).int(2, id.entry) }
+
+  // ------------------------------------------------ protobuf reading
+
+  /** Field-map view over [[graft.sources.WireProto.rawFields]]. */
+  final case class PbR(fields: Seq[(Int, Int, Any)]) {
+    def long(f: Int): Option[Long] = fields.collectFirst {
+      case (`f`, 0, v: Long) => v
+    }
+    def bytesOf(f: Int): Option[Array[Byte]] = fields.collectFirst {
+      case (`f`, 2, v: Array[Byte]) => v
+    }
+    def str(f: Int): Option[String] = bytesOf(f).map(new String(_, UTF_8))
+    def sub(f: Int): Option[PbR] =
+      bytesOf(f).map(b => PbR(graft.sources.WireProto.rawFields(b)))
+  }
+  def parse(bytes: Array[Byte]): PbR =
+    PbR(graft.sources.WireProto.rawFields(bytes))
+
+  def parseMsgId(p: PbR): MsgId =
+    MsgId(p.long(1).getOrElse(-1L), p.long(2).getOrElse(-1L))
+
+  // ------------------------------------------------ command builders
+
+  def cmdConnect(clientVersion: String, authToken: Option[String]): Array[Byte] = {
+    val pb = new Pb().int(1, CONNECT)
+    pb.msg(CONNECT) { c =>
+      c.str(1, clientVersion).int(4, 6) // protocol_version
+      authToken.foreach { t =>
+        c.bytes(3, t.getBytes(UTF_8)).str(5, "token")
+      }
+    }.toBytes
+  }
+
+  def cmdConnected(serverVersion: String): Array[Byte] =
+    new Pb().int(1, CONNECTED)
+      .msg(CONNECTED)(_.str(1, serverVersion).int(2, 6)).toBytes
+
+  /** Non-durable exclusive subscription at a start MessageId — the
+    * wire form of the SDK Reader the reference's consumer holds
+    * (`PulsarPartitionLevelConsumer.java:49-50`); delivery begins
+    * strictly AFTER `start`. */
+  def cmdSubscribe(topic: String, subscription: String, consumerId: Long,
+      requestId: Long, start: MsgId): Array[Byte] = {
+    val pb = new Pb().int(1, SUBSCRIBE)
+    pb.msg(SUBSCRIBE) { s =>
+      s.str(1, topic).str(2, subscription)
+        .int(3, 0) // SubType Exclusive
+        .int(4, consumerId).int(5, requestId)
+        .int(8, 0) // durable = false: a Reader, not a subscription
+      msgId(9, start)(s)
+    }.toBytes
+  }
+
+  def cmdFlow(consumerId: Long, permits: Int): Array[Byte] =
+    new Pb().int(1, FLOW)
+      .msg(FLOW)(_.int(1, consumerId).int(2, permits)).toBytes
+
+  def cmdSuccess(requestId: Long): Array[Byte] =
+    new Pb().int(1, SUCCESS).msg(SUCCESS)(_.int(1, requestId)).toBytes
+
+  def cmdError(requestId: Long, code: Int, msg: String): Array[Byte] =
+    new Pb().int(1, ERROR)
+      .msg(ERROR)(_.int(1, requestId).int(2, code).str(3, msg)).toBytes
+
+  def cmdAck(consumerId: Long, id: MsgId): Array[Byte] = {
+    val pb = new Pb().int(1, ACK)
+    pb.msg(ACK) { a =>
+      a.int(1, consumerId).int(2, 0) // AckType Individual
+      msgId(3, id)(a)
+    }.toBytes
+  }
+
+  def cmdCloseConsumer(consumerId: Long, requestId: Long): Array[Byte] =
+    new Pb().int(1, CLOSE_CONSUMER)
+      .msg(CLOSE_CONSUMER)(_.int(1, consumerId).int(2, requestId)).toBytes
+
+  def cmdPing(): Array[Byte] = new Pb().int(1, PING).msg(PING)(_ => ()).toBytes
+  def cmdPong(): Array[Byte] = new Pb().int(1, PONG).msg(PONG)(_ => ()).toBytes
+
+  def cmdPartitionedMetadata(topic: String, requestId: Long): Array[Byte] =
+    new Pb().int(1, PARTITIONED_METADATA)
+      .msg(PARTITIONED_METADATA)(_.str(1, topic).int(2, requestId)).toBytes
+
+  def cmdPartitionedMetadataResponse(partitions: Int, requestId: Long): Array[Byte] =
+    new Pb().int(1, PARTITIONED_METADATA_RESPONSE)
+      .msg(PARTITIONED_METADATA_RESPONSE)(
+        _.int(1, partitions).int(2, requestId).int(3, 0)).toBytes
+
+  def cmdGetLastMessageId(consumerId: Long, requestId: Long): Array[Byte] =
+    new Pb().int(1, GET_LAST_MESSAGE_ID)
+      .msg(GET_LAST_MESSAGE_ID)(_.int(1, consumerId).int(2, requestId)).toBytes
+
+  def cmdGetLastMessageIdResponse(id: MsgId, requestId: Long): Array[Byte] = {
+    val pb = new Pb().int(1, GET_LAST_MESSAGE_ID_RESPONSE)
+    pb.msg(GET_LAST_MESSAGE_ID_RESPONSE) { r =>
+      msgId(1, id)(r); r.int(2, requestId)
+    }.toBytes
+  }
+
+  def cmdMessage(consumerId: Long, id: MsgId): Array[Byte] = {
+    val pb = new Pb().int(1, MESSAGE)
+    pb.msg(MESSAGE) { m => m.int(1, consumerId); msgId(2, id)(m) }.toBytes
+  }
+
+  /** MessageMetadata for payload frames (PulsarApi.proto:
+    * producer_name=1, sequence_id=2, publish_time=3, partition_key=6,
+    * event_time=12). */
+  def messageMetadata(producerName: String, sequenceId: Long,
+      publishTimeMs: Long, partitionKey: Option[String]): Array[Byte] = {
+    val pb = new Pb()
+    pb.str(1, producerName).int(2, sequenceId).int(3, publishTimeMs)
+    partitionKey.foreach(pb.str(6, _))
+    pb.toBytes
+  }
+
+  // ------------------------------------------------ framing
+
+  /** `[totalSize][cmdSize][cmd]` — the simple command frame. */
+  def writeFrame(out: DataOutputStream, cmd: Array[Byte]): Unit = {
+    out.writeInt(4 + cmd.length)
+    out.writeInt(cmd.length)
+    out.write(cmd)
+    out.flush()
+  }
+
+  private val MagicCrc = 0x0e01.toShort
+
+  /** `[totalSize][cmdSize][cmd][0x0e01][crc32c][metaSize][meta]
+    * [payload]` — the broker's MESSAGE frame; the CRC32C covers
+    * `[metaSize][meta][payload]`. */
+  def writePayloadFrame(out: DataOutputStream, cmd: Array[Byte],
+      metadata: Array[Byte], payload: Array[Byte]): Unit = {
+    val body = new ByteArrayOutputStream
+    val bo = new DataOutputStream(body)
+    bo.writeInt(metadata.length)
+    bo.write(metadata)
+    bo.write(payload)
+    val checksummed = body.toByteArray
+    val crc = new java.util.zip.CRC32C
+    crc.update(checksummed)
+    val total = 4 + cmd.length + 2 + 4 + checksummed.length
+    out.writeInt(total)
+    out.writeInt(cmd.length)
+    out.write(cmd)
+    out.writeShort(MagicCrc)
+    out.writeInt(crc.getValue.toInt)
+    out.write(checksummed)
+    out.flush()
+  }
+
+  /** One decoded frame: the BaseCommand type + parsed body, and the
+    * (metadata, payload) section when present. */
+  final case class Frame(cmdType: Int, cmd: PbR,
+      metadata: Option[PbR], payload: Option[Array[Byte]])
+
+  /** Read one frame, verifying the payload CRC32C when present. */
+  def readFrame(in: DataInputStream): Frame = {
+    val total = in.readInt()
+    val cmdSize = in.readInt()
+    val cmdBytes = new Array[Byte](cmdSize)
+    in.readFully(cmdBytes)
+    val cmd = parse(cmdBytes)
+    val cmdType = cmd.long(1).getOrElse(0L).toInt
+    var rest = total - 4 - cmdSize
+    if (rest > 0) {
+      val magic = in.readShort()
+      val expectCrc = in.readInt()
+      rest -= 6
+      val checksummed = new Array[Byte](rest)
+      in.readFully(checksummed)
+      if (magic != MagicCrc)
+        throw new java.io.IOException(f"bad payload magic 0x$magic%04x")
+      val crc = new java.util.zip.CRC32C
+      crc.update(checksummed)
+      if (crc.getValue.toInt != expectCrc)
+        throw new java.io.IOException("payload CRC32C mismatch")
+      val bb = java.nio.ByteBuffer.wrap(checksummed)
+      val metaSize = bb.getInt
+      val meta = new Array[Byte](metaSize)
+      bb.get(meta)
+      val payload = new Array[Byte](bb.remaining())
+      bb.get(payload)
+      Frame(cmdType, cmd, Some(parse(meta)), Some(payload))
+    } else Frame(cmdType, cmd, None, None)
+  }
+
+  /** The reference's partitioned-topic naming
+    * (`TopicName.getTopicPartitionNameString`). */
+  def partitionTopic(topic: String, partition: Int): String =
+    s"$topic-partition-$partition"
+}
+
+/** One broker connection: CONNECT handshake, then request/response
+  * commands and MESSAGE consumption over a blocking socket. PINGs are
+  * answered transparently. `readTimeoutMs` bounds every read so a
+  * stalled broker cannot hang the driver (the Kinesis lesson). */
+final class PulsarWireClient(host: String, port: Int,
+    authToken: Option[String] = None, readTimeoutMs: Int = 30000) {
+  import PulsarWire._
+
+  private val socket = new java.net.Socket()
+  socket.connect(new java.net.InetSocketAddress(host, port), 10000)
+  socket.setSoTimeout(readTimeoutMs)
+  private val out = new DataOutputStream(
+    new java.io.BufferedOutputStream(socket.getOutputStream))
+  private val in = new DataInputStream(
+    new java.io.BufferedInputStream(socket.getInputStream))
+  private val reqIds = new java.util.concurrent.atomic.AtomicLong(1)
+
+  locally {
+    writeFrame(out, cmdConnect("graft-pulsar-wire/1.0", authToken))
+    val f = next()
+    if (f.cmdType == ERROR)
+      throw new java.io.IOException("Pulsar CONNECT rejected: " +
+        f.cmd.sub(ERROR).flatMap(_.str(3)).getOrElse(""))
+    require(f.cmdType == CONNECTED, s"expected CONNECTED, got ${f.cmdType}")
+  }
+
+  def nextRequestId(): Long = reqIds.getAndIncrement()
+
+  /** Read the next frame, transparently answering PING. */
+  def next(): Frame = {
+    var f = readFrame(in)
+    while (f.cmdType == PING) { writeFrame(out, cmdPong()); f = readFrame(in) }
+    f
+  }
+
+  private def await(expectType: Int, requestIdField: Int, requestId: Long): Frame = {
+    var f = next()
+    while (!(f.cmdType == expectType &&
+        f.cmd.sub(expectType).flatMap(_.long(requestIdField))
+          .contains(requestId))) {
+      if (f.cmdType == ERROR &&
+          f.cmd.sub(ERROR).flatMap(_.long(1)).contains(requestId))
+        throw new java.io.IOException("Pulsar request failed: " +
+          f.cmd.sub(ERROR).flatMap(_.str(3)).getOrElse(""))
+      f = next()
+    }
+    f
+  }
+
+  def partitionedMetadata(topic: String): Int = {
+    val rid = nextRequestId()
+    writeFrame(out, cmdPartitionedMetadata(topic, rid))
+    val f = await(PARTITIONED_METADATA_RESPONSE, 2, rid)
+    f.cmd.sub(PARTITIONED_METADATA_RESPONSE)
+      .flatMap(_.long(1)).getOrElse(0L).toInt
+  }
+
+  /** Reader-style subscribe: non-durable, delivery strictly after
+    * `start`. */
+  def subscribe(topic: String, subscription: String, consumerId: Long,
+      start: MsgId): Unit = {
+    val rid = nextRequestId()
+    writeFrame(out, cmdSubscribe(topic, subscription, consumerId, rid, start))
+    await(SUCCESS, 1, rid)
+  }
+
+  def flow(consumerId: Long, permits: Int): Unit =
+    writeFrame(out, cmdFlow(consumerId, permits))
+
+  def getLastMessageId(consumerId: Long): MsgId = {
+    val rid = nextRequestId()
+    writeFrame(out, cmdGetLastMessageId(consumerId, rid))
+    val f = await(GET_LAST_MESSAGE_ID_RESPONSE, 2, rid)
+    f.cmd.sub(GET_LAST_MESSAGE_ID_RESPONSE).flatMap(_.sub(1))
+      .map(parseMsgId).getOrElse(MsgId.Earliest)
+  }
+
+  def ack(consumerId: Long, id: MsgId): Unit =
+    writeFrame(out, cmdAck(consumerId, id))
+
+  def closeConsumer(consumerId: Long): Unit = {
+    val rid = nextRequestId()
+    writeFrame(out, cmdCloseConsumer(consumerId, rid))
+    await(SUCCESS, 1, rid)
+  }
+
+  def close(): Unit =
+    try socket.close() catch { case _: Throwable => () }
+}

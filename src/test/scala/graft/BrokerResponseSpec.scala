@@ -47,7 +47,10 @@ class BrokerResponseSpec extends SparkSpec {
     assert(root.path("numRowsResultSet").asInt() == 0)
     val exceptions = root.path("exceptions")
     assert(exceptions.size() == 1)
-    assert(exceptions.get(0).path("errorCode").asInt() == 200)
+    // classified per the reference QueryErrorCode enum: an unresolved
+    // column is UNKNOWN_COLUMN = 710 (DivergenceContractSpec covers
+    // the full class table)
+    assert(exceptions.get(0).path("errorCode").asInt() == 710)
     assert(exceptions.get(0).path("message").asText()
       .toLowerCase.contains("no_such_column"))
   }

@@ -61,10 +61,13 @@ class HttpGatewaySpec extends SparkSpec {
       assert(gc == 200 && normalize(got) == direct)
       // request ids increment per request
       assert(normalize(posted) != posted, "expected a requestId")
-      // a query ERROR still answers 200 with the exceptions payload
+      // a query ERROR still answers HTTP 200 with the exceptions
+      // payload ("SELECT FROM nowhere" parses as an unresolved column
+      // reference -> UNKNOWN_COLUMN = 710 per the QueryErrorCode
+      // classification; DivergenceContractSpec pins the class table)
       val (ec, err) = request(s"$base/query/sql", "POST",
         Some("""{"sql": "SELECT FROM nowhere"}"""))
-      assert(ec == 200 && err.contains("\"errorCode\":200"))
+      assert(ec == 200 && err.contains("\"errorCode\":710"))
       // missing 'sql' field → 400 with the reference's message
       val (mc, missing) = request(s"$base/query/sql", "POST",
         Some("""{"query": "SELECT 1"}"""))

