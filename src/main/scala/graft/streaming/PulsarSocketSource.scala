@@ -106,6 +106,7 @@ object PulsarSocketSource {
     StructField("partition", IntegerType),
     StructField("ledgerId", LongType),
     StructField("entryId", LongType),
+    StructField("batchIndex", IntegerType), // -1 = non-batched entry
     StructField("key", StringType),
     StructField("producerName", StringType),
     StructField("sequenceId", LongType),
@@ -224,8 +225,15 @@ final case class PulsarInputPartition(cfg: PulsarSourceConfig,
 
 /** Executor-side reader: own connection, non-durable Reader
   * subscription strictly after `startId`, exact (startId, endId]
-  * replay. A broker that cannot serve the committed range (retention
-  * trim) surfaces a replay-gap error, not a silent truncated batch. */
+  * replay — including MID-BATCH boundaries: batched payload frames
+  * (`num_messages_in_batch`) unbatch into per-element ids
+  * `(ledger, entry, batchIndex)` and the range filter applies per
+  * element, the reference's `PulsarUtils.java:121-128`
+  * BatchMessageIdImpl arithmetic. Compressed payloads (LZ4 / ZLIB /
+  * ZSTD / SNAPPY) decompress before unbatching — the SDK the
+  * reference wraps does both transparently. A broker that cannot
+  * serve the committed range (retention trim) surfaces a replay-gap
+  * error, not a silent truncated batch. */
 final class PulsarPartitionReader(p: PulsarInputPartition)
   extends PartitionReader[InternalRow] {
 
@@ -241,12 +249,14 @@ final class PulsarPartitionReader(p: PulsarInputPartition)
   client.flow(consumerId, p.cfg.permits)
   private var served = 0
   private var done = false
-  private var current: (MsgId, PulsarWire.PbR, Array[Byte]) = _
+  // (elementId, outerMeta, singleMeta, payload)
+  private val queue = mutable.Queue[
+    (MsgId, PulsarWire.PbR, Option[PulsarWire.PbR], Array[Byte])]()
+  private var current:
+    (MsgId, PulsarWire.PbR, Option[PulsarWire.PbR], Array[Byte]) = _
 
   override def next(): Boolean = {
-    if (done) return false
-    var got: Option[(MsgId, PulsarWire.PbR, Array[Byte])] = None
-    while (got.isEmpty && !done) {
+    while (queue.isEmpty && !done) {
       val f =
         try client.next()
         catch {
@@ -258,20 +268,36 @@ final class PulsarPartitionReader(p: PulsarInputPartition)
         }
       f.cmdType match {
         case PulsarWire.MESSAGE =>
-          val id = f.cmd.sub(PulsarWire.MESSAGE).flatMap(_.sub(2))
+          val entryId = f.cmd.sub(PulsarWire.MESSAGE).flatMap(_.sub(2))
             .map(PulsarWire.parseMsgId)
             .getOrElse(throw new java.io.IOException("MESSAGE without id"))
           served += 1
           if (served * 2 >= p.cfg.permits) {
             client.flow(consumerId, p.cfg.permits); served = 0
           }
-          // the range is (start, end]: the subscription already starts
-          // strictly after startId; ids past end belong to later batches
-          if (id <= end) {
-            got = Some((id, f.metadata.get, f.payload.get))
-            client.ack(consumerId, id)
+          val meta = f.metadata.get
+          val raw = f.payload.get
+          val comp = meta.long(8).map(_.toInt).getOrElse(0)
+          val payload = PulsarWire.decompress(comp, raw,
+            meta.long(9).map(_.toInt).getOrElse(raw.length))
+          val nBatch = meta.long(11).map(_.toInt).getOrElse(-1)
+          val elems =
+            if (nBatch < 0) Seq((entryId, None, payload))
+            else PulsarWire.unpackBatch(payload, nBatch).zipWithIndex.map {
+              case ((sm, body), i) =>
+                (entryId.copy(batch = i), Some(sm), body)
+            }
+          var anyInRange = false
+          elems.foreach { case (eid, sm, body) =>
+            // the range is (start, end]: the subscription starts
+            // strictly after startId at ENTRY granularity, so a
+            // mid-batch start still needs the per-element lower bound
+            if (start < eid && eid <= end) {
+              queue += ((eid, meta, sm, body)); anyInRange = true
+            }
           }
-          if (end <= id) done = true
+          if (anyInRange) client.ack(consumerId, entryId)
+          if (end <= elems.last._1) done = true
         case PulsarWire.REACHED_END_OF_TOPIC =>
           throw new java.io.IOException(
             s"Pulsar replay gap: ${p.partitionTopic} ended before " +
@@ -279,23 +305,26 @@ final class PulsarPartitionReader(p: PulsarInputPartition)
         case _ => // ACTIVE_CONSUMER_CHANGE etc: ignore
       }
     }
-    got match {
-      case Some(c) => current = c; true
-      case None => false
-    }
+    if (queue.isEmpty) false
+    else { current = queue.dequeue(); true }
   }
 
   override def get(): InternalRow = {
-    val (id, meta, payload) = current
+    val (id, meta, single, payload) = current
+    // per-element key / sequence from SingleMessageMetadata when
+    // batched; the outer MessageMetadata otherwise
+    val key = single.flatMap(_.str(2)).orElse(meta.str(6))
+    val seqId = single.flatMap(_.long(8)).orElse(meta.long(2)).getOrElse(0L)
     new GenericInternalRow(Array[Any](
       payload,
       UTF8String.fromString(p.partitionTopic),
       p.partition,
       id.ledger,
       id.entry,
-      meta.str(6).map(UTF8String.fromString).orNull, // partition_key
+      id.batch,
+      key.map(UTF8String.fromString).orNull,
       meta.str(1).map(UTF8String.fromString).orNull, // producer_name
-      meta.long(2).getOrElse(0L), // sequence_id
+      seqId,
       meta.long(3).getOrElse(0L) * 1000L)) // publish_time ms → micros
   }
 

@@ -49,20 +49,27 @@ object PulsarWire {
   final val GET_LAST_MESSAGE_ID = 29
   final val GET_LAST_MESSAGE_ID_RESPONSE = 30
 
-  /** MessageId = (ledgerId, entryId); ordering is lexicographic.
-    * `Earliest` = (-1, -1) — before every real id (matches
-    * `MessageId.earliest`). */
-  final case class MsgId(ledger: Long, entry: Long) {
+  /** MessageId = (ledgerId, entryId[, batchIndex]); ordering is
+    * lexicographic over the triple — the reference's
+    * `PulsarUtils.java:121-128` does exactly this batch-index
+    * arithmetic via `BatchMessageIdImpl`. `batch = -1` is a whole
+    * (non-batched) entry; batch elements of one entry share
+    * (ledger, entry) and order by index. `Earliest` = (-1, -1) —
+    * before every real id (matches `MessageId.earliest`). */
+  final case class MsgId(ledger: Long, entry: Long, batch: Int = -1) {
     def <=(o: MsgId): Boolean =
-      ledger < o.ledger || (ledger == o.ledger && entry <= o.entry)
+      ledger < o.ledger || (ledger == o.ledger &&
+        (entry < o.entry || (entry == o.entry && batch <= o.batch)))
     def <(o: MsgId): Boolean = this <= o && this != o
-    override def toString = s"$ledger:$entry"
+    override def toString =
+      if (batch < 0) s"$ledger:$entry" else s"$ledger:$entry:$batch"
   }
   object MsgId {
     val Earliest: MsgId = MsgId(-1L, -1L)
-    def parse(s: String): MsgId = {
-      val Array(l, e) = s.split(":", 2)
-      MsgId(l.toLong, e.toLong)
+    def parse(s: String): MsgId = s.split(":") match {
+      case Array(l, e) => MsgId(l.toLong, e.toLong)
+      case Array(l, e, b) => MsgId(l.toLong, e.toLong, b.toInt)
+      case _ => throw new IllegalArgumentException(s"bad MessageId <$s>")
     }
   }
 
@@ -90,7 +97,10 @@ object PulsarWire {
   }
 
   private def msgId(field: Int, id: MsgId)(pb: Pb): Pb =
-    pb.msg(field) { m => m.int(1, id.ledger).int(2, id.entry) }
+    pb.msg(field) { m =>
+      m.int(1, id.ledger).int(2, id.entry)
+      if (id.batch >= 0) m.int(4, id.batch) // batch_index
+    }
 
   // ------------------------------------------------ protobuf reading
 
@@ -110,7 +120,8 @@ object PulsarWire {
     PbR(graft.sources.WireProto.rawFields(bytes))
 
   def parseMsgId(p: PbR): MsgId =
-    MsgId(p.long(1).getOrElse(-1L), p.long(2).getOrElse(-1L))
+    MsgId(p.long(1).getOrElse(-1L), p.long(2).getOrElse(-1L),
+      p.long(4).map(_.toInt).getOrElse(-1)) // batch_index
 
   // ------------------------------------------------ command builders
 
@@ -197,14 +208,111 @@ object PulsarWire {
 
   /** MessageMetadata for payload frames (PulsarApi.proto:
     * producer_name=1, sequence_id=2, publish_time=3, partition_key=6,
-    * event_time=12). */
+    * compression=8, uncompressed_size=9, num_messages_in_batch=11,
+    * event_time=12). `numInBatch >= 0` marks a BATCHED payload;
+    * `compression` is the CompressionType ordinal (NONE=0, LZ4=1,
+    * ZLIB=2, ZSTD=3, SNAPPY=4). */
   def messageMetadata(producerName: String, sequenceId: Long,
-      publishTimeMs: Long, partitionKey: Option[String]): Array[Byte] = {
+      publishTimeMs: Long, partitionKey: Option[String],
+      numInBatch: Int = -1, compression: Int = 0,
+      uncompressedSize: Int = -1): Array[Byte] = {
     val pb = new Pb()
     pb.str(1, producerName).int(2, sequenceId).int(3, publishTimeMs)
     partitionKey.foreach(pb.str(6, _))
+    if (compression != 0) pb.int(8, compression)
+    if (uncompressedSize >= 0) pb.int(9, uncompressedSize)
+    if (numInBatch >= 0) pb.int(11, numInBatch)
     pb.toBytes
   }
+
+  /** SingleMessageMetadata (PulsarApi.proto: properties=1,
+    * partition_key=2, payload_size=3, event_time=5, sequence_id=8) —
+    * one per element of a batched payload; the batch body is
+    * N × `[4-byte metaSize][SingleMessageMetadata][payload]`. */
+  def singleMessageMetadata(partitionKey: Option[String],
+      payloadSize: Int, sequenceId: Long): Array[Byte] = {
+    val pb = new Pb()
+    partitionKey.foreach(pb.str(2, _))
+    pb.int(3, payloadSize).int(8, sequenceId)
+    pb.toBytes
+  }
+
+  /** Pack batch elements into the batched-payload body. */
+  def packBatch(elems: Seq[(Option[String], Array[Byte], Long)]): Array[Byte] = {
+    val out = new ByteArrayOutputStream
+    val dos = new DataOutputStream(out)
+    elems.foreach { case (key, payload, seqId) =>
+      val meta = singleMessageMetadata(key, payload.length, seqId)
+      dos.writeInt(meta.length)
+      dos.write(meta)
+      dos.write(payload)
+    }
+    out.toByteArray
+  }
+
+  /** Unpack a batched payload into (singleMeta, elementPayload) pairs. */
+  def unpackBatch(payload: Array[Byte], n: Int): Seq[(PbR, Array[Byte])] = {
+    val bb = java.nio.ByteBuffer.wrap(payload)
+    (0 until n).map { _ =>
+      val metaSize = bb.getInt
+      val meta = new Array[Byte](metaSize)
+      bb.get(meta)
+      val m = parse(meta)
+      val size = m.long(3).getOrElse(
+        throw new java.io.IOException("single metadata without payload_size"))
+        .toInt
+      val body = new Array[Byte](size)
+      bb.get(body)
+      (m, body)
+    }
+  }
+
+  /** Decompress a payload per MessageMetadata.compression — the SDK
+    * the reference wraps does this transparently, so wire parity
+    * requires it. NONE=0, LZ4=1, ZLIB=2, ZSTD=3, SNAPPY=4 (the
+    * published CompressionType enum). */
+  def decompress(compression: Int, payload: Array[Byte],
+      uncompressedSize: Int): Array[Byte] = compression match {
+    case 0 => payload
+    case 1 => // LZ4 (frame-less block, size-prefixed by the metadata)
+      val dec = net.jpountz.lz4.LZ4Factory.fastestInstance().fastDecompressor()
+      dec.decompress(payload, 0, uncompressedSize)
+    case 2 => // ZLIB
+      val inf = new java.util.zip.Inflater()
+      inf.setInput(payload)
+      val out = new Array[Byte](uncompressedSize)
+      var off = 0
+      while (off < uncompressedSize && !inf.finished())
+        off += inf.inflate(out, off, uncompressedSize - off)
+      inf.end()
+      if (off != uncompressedSize)
+        throw new java.io.IOException(s"zlib short inflate: $off/$uncompressedSize")
+      out
+    case 3 => com.github.luben.zstd.Zstd
+      .decompress(payload, uncompressedSize)
+    case 4 => org.xerial.snappy.Snappy.uncompress(payload)
+    case other =>
+      throw new java.io.IOException(s"unsupported CompressionType $other")
+  }
+
+  /** Compress for the mock broker side (same enum). */
+  def compress(compression: Int, payload: Array[Byte]): Array[Byte] =
+    compression match {
+      case 0 => payload
+      case 1 => net.jpountz.lz4.LZ4Factory.fastestInstance()
+        .fastCompressor().compress(payload)
+      case 2 =>
+        val d = new java.util.zip.Deflater()
+        d.setInput(payload); d.finish()
+        val buf = new Array[Byte](payload.length + 64)
+        val n = d.deflate(buf)
+        d.end()
+        java.util.Arrays.copyOf(buf, n)
+      case 3 => com.github.luben.zstd.Zstd.compress(payload)
+      case 4 => org.xerial.snappy.Snappy.compress(payload)
+      case other =>
+        throw new IllegalArgumentException(s"CompressionType $other")
+    }
 
   // ------------------------------------------------ framing
 

@@ -19,7 +19,14 @@ import PulsarWire.MsgId
   * polynomial Pulsar uses) so the client/broker round trip is not
   * circular at the byte level. */
 final class MockPulsar(partitions: Int, expectedToken: Option[String] = None) {
-  final case class Rec(id: MsgId, key: String, payload: Array[Byte], seq: Long)
+  /** One ENTRY: a single record, or a producer batch of elements
+    * (key, payload, seq) sharing (ledger, entry). `compression` is the
+    * CompressionType ordinal applied to the (possibly packed) body. */
+  final case class Rec(id: MsgId, elems: Seq[(String, Array[Byte], Long)],
+      compression: Int) {
+    def lastId: MsgId =
+      if (elems.size > 1) id.copy(batch = elems.size - 1) else id
+  }
 
   private val topics = mutable.LinkedHashMap[String, mutable.ArrayBuffer[Rec]]()
   private val counters = mutable.Map[String, Long]()
@@ -34,7 +41,13 @@ final class MockPulsar(partitions: Int, expectedToken: Option[String] = None) {
     topics(PulsarWire.partitionTopic(baseTopic, p)) = mutable.ArrayBuffer()
   }
 
-  def put(partition: Int, key: String, payload: Array[Byte]): MsgId =
+  def put(partition: Int, key: String, payload: Array[Byte],
+      compression: Int = 0): MsgId =
+    putBatch(partition, Seq(key -> payload), compression)
+
+  /** A producer BATCH: one entry, N elements with batch indexes. */
+  def putBatch(partition: Int, elems: Seq[(String, Array[Byte])],
+      compression: Int = 0): MsgId =
     synchronized {
       val t = PulsarWire.partitionTopic(baseTopic, partition)
       val n = counters.getOrElse(t, 0L)
@@ -42,7 +55,9 @@ final class MockPulsar(partitions: Int, expectedToken: Option[String] = None) {
       // roll ledgers every 3 entries so ordering is genuinely
       // lexicographic over (ledgerId, entryId), not a single counter
       val id = MsgId(n / 3, n % 3)
-      topics(t) += Rec(id, key, payload, n)
+      topics(t) += Rec(id,
+        elems.zipWithIndex.map { case ((k, p), i) => (k, p, n * 100 + i) },
+        compression)
       id
     }
 
@@ -83,11 +98,26 @@ final class MockPulsar(partitions: Int, expectedToken: Option[String] = None) {
       val recs = synchronized { topics(topic).toVector }
       while (permits(cid) > 0 && idx < recs.size) {
         val r = recs(idx)
-        val meta = PulsarWire.messageMetadata("mock-producer", r.seq,
-          1700000000000L, Some(r.key))
-        PulsarWire.writePayloadFrame(out,
-          PulsarWire.cmdMessage(cid, r.id), meta, r.payload)
-        recordsServed.incrementAndGet()
+        if (r.elems.size == 1) {
+          val (key, payload, seq) = r.elems.head
+          val meta = PulsarWire.messageMetadata("mock-producer", seq,
+            1700000000000L, Some(key), compression = r.compression,
+            uncompressedSize = if (r.compression == 0) -1 else payload.length)
+          PulsarWire.writePayloadFrame(out, PulsarWire.cmdMessage(cid, r.id),
+            meta, PulsarWire.compress(r.compression, payload))
+        } else {
+          // batched entry: SingleMessageMetadata-framed body, outer
+          // metadata carries num_messages_in_batch (+ compression)
+          val packed = PulsarWire.packBatch(
+            r.elems.map { case (k, p, s) => (Some(k), p, s) })
+          val meta = PulsarWire.messageMetadata("mock-producer",
+            r.elems.head._3, 1700000000000L, None,
+            numInBatch = r.elems.size, compression = r.compression,
+            uncompressedSize = if (r.compression == 0) -1 else packed.length)
+          PulsarWire.writePayloadFrame(out, PulsarWire.cmdMessage(cid, r.id),
+            meta, PulsarWire.compress(r.compression, packed))
+        }
+        recordsServed.addAndGet(r.elems.size)
         permits(cid) -= 1
         idx += 1
       }
@@ -128,8 +158,11 @@ final class MockPulsar(partitions: Int, expectedToken: Option[String] = None) {
               case Some(recs) =>
                 val start = s.sub(9).map(PulsarWire.parseMsgId)
                   .getOrElse(MsgId.Earliest)
-                // Reader semantics: delivery strictly AFTER start
-                val idx = recs.indexWhere(r => start < r.id) match {
+                // Reader semantics: delivery strictly AFTER start, at
+                // ENTRY granularity — an entry whose LAST batch
+                // element is past start is delivered whole and the
+                // client skips within-batch (BatchMessageIdImpl)
+                val idx = recs.indexWhere(r => start < r.lastId) match {
                   case -1 => recs.size
                   case i => i
                 }
@@ -148,8 +181,10 @@ final class MockPulsar(partitions: Int, expectedToken: Option[String] = None) {
         case PulsarWire.GET_LAST_MESSAGE_ID =>
           val g = f.cmd.sub(PulsarWire.GET_LAST_MESSAGE_ID).get
           val cid = g.long(1).get
+          // a batched last entry answers with its last batch index,
+          // like the SDK's BatchMessageIdImpl getLastMessageId
           val last = synchronized {
-            topics(consumers(cid)._1).lastOption.map(_.id)
+            topics(consumers(cid)._1).lastOption.map(_.lastId)
               .getOrElse(MsgId(0L, -1L))
           }
           PulsarWire.writeFrame(out,
@@ -369,6 +404,108 @@ class PulsarWireSpec extends SparkSpec {
       // are never pushed — not to the driver, not to an executor
       assert(mock.recordsServed.get() <= 2,
         s"latest start replayed retained records: ${mock.recordsServed.get()}")
+    } finally mock.stop()
+  }
+
+  test("batch ids and single-message metadata encode per the proto") {
+    // batch_index rides MessageIdData field 4: MsgId(5,9,2) appends
+    // tag 0x20 varint 2
+    assert(hex(PulsarWire.cmdMessage(1L, MsgId(5L, 9L, 2))) ==
+      "08094a0a0801" + "120608051009" + "2002")
+    // SingleMessageMetadata{partition_key="k"(2), payload_size=5(3),
+    // sequence_id=7(8)}
+    assert(hex(PulsarWire.singleMessageMetadata(Some("k"), 5, 7L)) ==
+      "12016b" + "1805" + "4007")
+    // ordering is lexicographic over the triple; -1 (whole entry)
+    // precedes its elements
+    assert(MsgId(0, 1) < MsgId(0, 1, 0) && MsgId(0, 1, 0) < MsgId(0, 1, 1) &&
+      MsgId(0, 1, 1) < MsgId(0, 2) && MsgId.parse("3:4:5") == MsgId(3, 4, 5))
+    // pack/unpack round trip
+    val packed = PulsarWire.packBatch(Seq(
+      (Some("a"), "one".getBytes(UTF_8), 10L),
+      (None, "two!".getBytes(UTF_8), 11L)))
+    val back = PulsarWire.unpackBatch(packed, 2)
+    assert(back.map(e => new String(e._2, UTF_8)) == Seq("one", "two!"))
+    assert(back.head._1.str(2).contains("a") && back(1)._1.str(2).isEmpty)
+    assert(back.map(_._1.long(8).get) == Seq(10L, 11L))
+  }
+
+  test("compression codecs round-trip and match the CompressionType enum") {
+    val data = ("pulsar payload " * 40).getBytes(UTF_8)
+    for (c <- Seq(0, 1, 2, 3, 4)) {
+      val comp = PulsarWire.compress(c, data)
+      val back = PulsarWire.decompress(c, comp, data.length)
+      assert(back.sameElements(data), s"CompressionType $c")
+      if (c != 0) assert(comp.length < data.length,
+        s"CompressionType $c did not compress")
+    }
+    intercept[java.io.IOException](PulsarWire.decompress(9, data, 1))
+  }
+
+  test("mid-batch ranges replay exactly: per-element ids filter the batch") {
+    val mock = new MockPulsar(partitions = 1)
+    try {
+      // one 4-element producer batch + one single record
+      val batchId = mock.putBatch(0,
+        (1 to 4).map(i => s"k$i" -> s"b$i".getBytes(UTF_8)))
+      mock.put(0, "k5", "s5".getBytes(UTF_8))
+      val cfg = PulsarSourceConfig(mock.baseTopic, mock.serviceUrl,
+        readTimeoutMs = 5000)
+      def readRange(startId: String, endId: String): Seq[(String, String)] = {
+        val reader = new graft.streaming.PulsarPartitionReader(
+          graft.streaming.PulsarInputPartition(cfg, 0,
+            PulsarWire.partitionTopic(mock.baseTopic, 0), startId, endId))
+        val out = mutable.ArrayBuffer[(String, String)]()
+        while (reader.next()) {
+          val r = reader.get()
+          out += ((new String(r.getBinary(0), UTF_8), r.getUTF8String(6).toString))
+        }
+        reader.close()
+        out.toSeq
+      }
+      // a range starting MID-BATCH skips the earlier elements of the
+      // same entry (BatchMessageIdImpl arithmetic) and stops at a
+      // mid-batch end
+      assert(readRange(batchId.copy(batch = 1).toString,
+        batchId.copy(batch = 3).toString).map(_._1) == Seq("b3", "b4"))
+      assert(readRange("", batchId.copy(batch = 0).toString)
+        .map(_._1) == Seq("b1"))
+      // full range: all 4 batch elements (with per-element keys from
+      // SingleMessageMetadata) then the single record
+      val all = readRange("", "0:1")
+      assert(all.map(_._1) == Seq("b1", "b2", "b3", "b4", "s5"))
+      assert(all.map(_._2) == Seq("k1", "k2", "k3", "k4", "k5"))
+    } finally mock.stop()
+  }
+
+  test("streaming source consumes batched + compressed entries exactly once") {
+    val mock = new MockPulsar(partitions = 1)
+    val root = java.nio.file.Files.createTempDirectory("pulsar_batch").toString
+    try {
+      mock.putBatch(0, (1 to 3).map(i => s"k$i" -> s"a$i".getBytes(UTF_8)),
+        compression = 3) // ZSTD batch
+      mock.put(0, "k4", "a4".getBytes(UTF_8), compression = 1) // LZ4 single
+      def startQ() = readStreamFrom(mock, "earliest")
+        .selectExpr("CAST(data AS STRING) AS v", "key", "entryId",
+          "batchIndex")
+        .writeStream.format("parquet")
+        .option("path", s"$root/out")
+        .option("checkpointLocation", s"$root/ckpt")
+        .start()
+      val q1 = startQ(); q1.processAllAvailable(); q1.stop()
+      val p1 = spark.read.parquet(s"$root/out")
+        .collect().map(r => (r.getString(0), r.getInt(3))).toMap
+      assert(p1 == Map("a1" -> 0, "a2" -> 1, "a3" -> 2, "a4" -> -1),
+        s"batch indexes wrong: $p1")
+      // a batch published while down: restart picks up exactly the new
+      // elements (the checkpointed tip is a batch-element id)
+      mock.putBatch(0, (5 to 7).map(i => s"k$i" -> s"a$i".getBytes(UTF_8)),
+        compression = 4) // SNAPPY
+      val q2 = startQ(); q2.processAllAvailable(); q2.stop()
+      val all = spark.read.parquet(s"$root/out")
+        .collect().map(r => (r.getString(0), r.getString(1)))
+      assert(all.length == 7, s"dups or losses: ${all.sortBy(_._1).toSeq}")
+      assert(all.toMap == (1 to 7).map(i => (s"a$i", s"k$i")).toMap)
     } finally mock.stop()
   }
 
