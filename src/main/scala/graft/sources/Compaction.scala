@@ -66,4 +66,55 @@ object Compaction {
       outPath: String): Unit =
     graft.operators.Upsert.latestByKey(df, keys, cmpCol, Nil, deleteCol)
       .write.mode("overwrite").parquet(outPath)
+
+  /** RefreshSegmentTask analog (`RefreshSegmentTaskExecutor.java:56-59`
+    * covers exactly three cases: newly added columns, index
+    * addition/removal, compatible datatype changes): re-apply the
+    * CURRENT schema + layout config to a stored segment. Spark-first:
+    * read → `Schema.evolve` (role-default backfill for new columns +
+    * in-place compatible casts) → rewrite with the new physical layout
+    * (sort order; per-row-group bloom filters when requested). The
+    * task is per segment directory, so a config change refreshes only
+    * the segments the generator marks stale — the reference's
+    * processedTime watermark model. */
+  def refreshSegment(
+      spark: SparkSession,
+      inPath: String,
+      schema: graft.schema.PinotSchema.Schema,
+      outPath: String,
+      sortBy: Seq[String] = Nil,
+      bloomNdv: Map[String, Long] = Map.empty): Unit = {
+    val evolved = schema.evolve(spark.read.parquet(inPath))
+    val laidOut =
+      if (sortBy.nonEmpty) evolved.sortWithinPartitions(sortBy.map(col): _*)
+      else evolved
+    if (bloomNdv.nonEmpty)
+      BucketedTables.writeParquetWithBloom(laidOut, outPath, bloomNdv)
+    else laidOut.write.mode("overwrite").parquet(outPath)
+  }
+
+  /** UpsertCompactMergeTask analog
+    * (`UpsertCompactMergeTaskExecutor.java:55`: "compacts and merges
+    * multiple segments of an upsert table and uploads it back as one
+    * single segment" — each input reduced to its validDocIds, then
+    * merged): the union of the input segments collapses to the latest
+    * row per key across ALL of them, deletes drop, and ONE output
+    * segment replaces the inputs. The single output file is the task's
+    * contract, not a scale hazard: the reference's generator groups
+    * only small adjacent segments under an output-size cap, so each
+    * task's union is bounded by config. */
+  def upsertCompactMerge(
+      spark: SparkSession,
+      segmentPaths: Seq[String],
+      keys: Seq[String],
+      cmpCol: String,
+      deleteCol: Option[String],
+      outPath: String): Unit = {
+    require(segmentPaths.nonEmpty, "upsertCompactMerge needs >= 1 segment")
+    val merged = segmentPaths.map(spark.read.parquet(_))
+      .reduce(_ unionByName _)
+    graft.operators.Upsert.latestByKey(merged, keys, cmpCol, Nil, deleteCol)
+      .coalesce(1)
+      .write.mode("overwrite").parquet(outPath)
+  }
 }

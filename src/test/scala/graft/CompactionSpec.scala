@@ -44,4 +44,56 @@ class CompactionSpec extends SparkSpec {
       .select($"pk", $"payload").as[(Long, String)].collect().toMap
     assert(u == Map(1L -> "latest", 2L -> "purge-me"))
   }
+
+  test("refresh segment re-applies the current schema and layout") {
+    import graft.schema.PinotSchema
+    import org.apache.spark.sql.types._
+    val out = dir
+    // the stored segment predates the schema change: no 'score', and
+    // 'hits' was written as INT
+    Seq(("b", 2, 20), ("a", 1, 10), ("c", 3, 30)).toDF("k", "hits", "ts")
+      .write.parquet(s"$out/seg")
+    // current schema: hits widened to LONG (compatible datatype
+    // change), new METRIC 'score' (zero default) and new DIMENSION
+    // 'tag' (type-min/"null" default) — RefreshSegmentTaskExecutor's
+    // cases 1 and 3; the rewrite also adds a sort layout (case 2)
+    val schema = PinotSchema.Schema("t", Seq(
+      PinotSchema.Field("k", StringType, PinotSchema.Dimension),
+      PinotSchema.Field("hits", LongType, PinotSchema.Metric),
+      PinotSchema.Field("ts", IntegerType, PinotSchema.DateTime),
+      PinotSchema.Field("score", DoubleType, PinotSchema.Metric),
+      PinotSchema.Field("tag", StringType, PinotSchema.Dimension)))
+    Compaction.refreshSegment(spark, s"$out/seg", schema, s"$out/refreshed",
+      sortBy = Seq("k"))
+    val r = spark.read.parquet(s"$out/refreshed")
+    assert(r.schema("hits").dataType == LongType)
+    val rows = r.select($"k", $"hits", $"score", $"tag")
+      .as[(String, Long, Double, String)].collect()
+    // sorted layout on k, defaults backfilled
+    assert(rows.toSeq == Seq(("a", 1L, 0.0, "null"), ("b", 2L, 0.0, "null"),
+      ("c", 3L, 0.0, "null")))
+  }
+
+  test("upsert compact-merge collapses several segments into one") {
+    val out = dir
+    // three small upsert segments with overlapping keys; later
+    // segments carry newer versions and one delete
+    Seq((1L, 10L, "v1a", false), (2L, 10L, "v2a", false))
+      .toDF("pk", "ts", "payload", "deleted").write.parquet(s"$out/s1")
+    Seq((1L, 20L, "v1b", false), (3L, 10L, "v3a", false))
+      .toDF("pk", "ts", "payload", "deleted").write.parquet(s"$out/s2")
+    Seq((2L, 30L, "v2c", true), (4L, 10L, "v4a", false))
+      .toDF("pk", "ts", "payload", "deleted").write.parquet(s"$out/s3")
+    Compaction.upsertCompactMerge(spark,
+      Seq(s"$out/s1", s"$out/s2", s"$out/s3"),
+      Seq("pk"), "ts", Some("deleted"), s"$out/merged")
+    val m = spark.read.parquet(s"$out/merged")
+    // latest per key ACROSS segments; pk=2's newest version is a
+    // delete, so it drops from the merged segment
+    assert(m.select($"pk", $"payload").as[(Long, String)].collect().toMap ==
+      Map(1L -> "v1b", 3L -> "v3a", 4L -> "v4a"))
+    // one merged segment replaces the inputs (the task's contract)
+    assert(new java.io.File(s"$out/merged").listFiles()
+      .count(_.getName.endsWith(".parquet")) == 1)
+  }
 }
