@@ -51,8 +51,9 @@ class CompactionSpec extends SparkSpec {
     val out = dir
     // the stored segment predates the schema change: no 'score', and
     // 'hits' was written as INT
+    // one segment = one file (the task is per segment directory)
     Seq(("b", 2, 20), ("a", 1, 10), ("c", 3, 30)).toDF("k", "hits", "ts")
-      .write.parquet(s"$out/seg")
+      .coalesce(1).write.parquet(s"$out/seg")
     // current schema: hits widened to LONG (compatible datatype
     // change), new METRIC 'score' (zero default) and new DIMENSION
     // 'tag' (type-min/"null" default) — RefreshSegmentTaskExecutor's
