@@ -36,6 +36,12 @@ final class MockKinesis(creds: KinesisWire.Credentials,
   def addShard(shardId: String): Unit =
     synchronized { shards.getOrElseUpdate(shardId, mutable.ArrayBuffer()) }
 
+  // resharding: a CLOSED shard serves its retained records, then its
+  // final GetRecords carries no NextShardIterator (the wire signal a
+  // split/merge parent is exhausted)
+  private val closed = mutable.Set[String]()
+  def closeShard(shardId: String): Unit = synchronized { closed += shardId }
+
   def put(shardId: String, key: String, data: Array[Byte]): Unit =
     synchronized {
       shards.getOrElseUpdate(shardId, mutable.ArrayBuffer()) +=
@@ -118,8 +124,11 @@ final class MockKinesis(creds: KinesisWire.Credentials,
           }.mkString(",")
           val nextIdx = idx + slice.size
           val behind = if (nextIdx < recs.size) 1000 else 0
-          s"""{"Records":[$out],""" +
-            s""""NextShardIterator":"${token(shard, nextIdx)}",""" +
+          // a closed shard's exhausted read carries NO NextShardIterator
+          val next =
+            if (closed(shard) && nextIdx >= recs.size) ""
+            else s""""NextShardIterator":"${token(shard, nextIdx)}","""
+          s"""{"Records":[$out],$next""" +
             s""""MillisBehindLatest":$behind}"""
       }
     }
@@ -334,6 +343,49 @@ class KinesisWireSpec extends SparkSpec {
       assert(mock.recordsServed.get() <= 5,
         s"LATEST start replayed the retained stream: " +
           s"${mock.recordsServed.get()} records served")
+    } finally mock.stop()
+  }
+
+  test("resharding: a closed parent drains, child shards pick up, no dups") {
+    val mock = new MockKinesis(creds)
+    val root = java.nio.file.Files.createTempDirectory("kinesis_reshard").toString
+    try {
+      mock.addShard("shardId-000000000000")
+      (1 to 4).foreach(i =>
+        mock.put("shardId-000000000000", s"k$i", s"p$i".getBytes(UTF_8)))
+      def startQ() = readStreamFrom(mock, "TRIM_HORIZON")
+        .selectExpr("CAST(data AS STRING) AS v", "shardId")
+        .writeStream.format("parquet")
+        .option("path", s"$root/out")
+        .option("checkpointLocation", s"$root/ckpt")
+        .start()
+      val q1 = startQ()
+      q1.processAllAvailable()
+      // SPLIT: the parent closes (its final read carries no iterator);
+      // two children appear and take the new writes
+      mock.closeShard("shardId-000000000000")
+      mock.addShard("shardId-000000000001")
+      mock.addShard("shardId-000000000002")
+      (5 to 6).foreach(i =>
+        mock.put("shardId-000000000001", s"k$i", s"c$i".getBytes(UTF_8)))
+      mock.put("shardId-000000000002", "k7", "c7".getBytes(UTF_8))
+      q1.processAllAvailable()
+      q1.stop()
+      val phase1 = spark.read.parquet(s"$root/out")
+        .collect().map(r => (r.getString(0), r.getString(1)))
+      assert(phase1.map(_._1).toSet ==
+        Set("p1", "p2", "p3", "p4", "c5", "c6", "c7"))
+      assert(phase1.count(_._2 == "shardId-000000000000") == 4)
+      // restart on the same checkpoint: the drained parent stays
+      // drained (frozen offset, no replay), children keep advancing
+      mock.put("shardId-000000000002", "k8", "c8".getBytes(UTF_8))
+      val q2 = startQ()
+      q2.processAllAvailable()
+      q2.stop()
+      val all = spark.read.parquet(s"$root/out")
+        .collect().map(_.getString(0))
+      assert(all.length == 8, s"dups or losses: ${all.sorted.toSeq}")
+      assert(all.toSet == Set("p1", "p2", "p3", "p4", "c5", "c6", "c7", "c8"))
     } finally mock.stop()
   }
 
