@@ -157,13 +157,24 @@ final class PulsarSocketMicroBatchStream(cfg: PulsarSourceConfig)
   // driver can issue GET_LAST_MESSAGE_ID (one RPC per trigger)
   private val metaConsumers = mutable.Map[Int, Long]()
   // 0 partitions = a non-partitioned topic, addressed by its bare name
-  // (the reference's TopicName model)
-  private lazy val rawPartitions: Int = client.partitionedMetadata(cfg.topic)
-  private lazy val partitionCount: Int = math.max(1, rawPartitions)
+  // (the reference's TopicName model). Re-fetched per trigger — the
+  // reference's PulsarStreamMetadataProvider recomputes partition
+  // groups each invocation, so a partition-count INCREASE (Pulsar's
+  // resharding analog) is picked up live; new partitions start from
+  // their horizon (a fresh partition holds only post-creation data).
+  @volatile private var rawPartitions: Int = -1
+  private def refreshPartitions(): Int = {
+    rawPartitions = client.partitionedMetadata(cfg.topic)
+    math.max(1, rawPartitions)
+  }
 
-  private def topicOf(p: Int): String =
+  private def topicOf(p: Int): String = {
+    // a restarted driver may plan a logged batch before any
+    // latestOffset() refresh — resolve the topic shape first
+    if (rawPartitions < 0) refreshPartitions()
     if (rawPartitions == 0) cfg.topic
     else PulsarWire.partitionTopic(cfg.topic, p)
+  }
 
   private def metaConsumer(p: Int): Long =
     metaConsumers.getOrElseUpdate(p, {
@@ -178,7 +189,7 @@ final class PulsarSocketMicroBatchStream(cfg: PulsarSourceConfig)
   }
 
   override def initialOffset(): Offset =
-    PulsarOffset((0 until partitionCount).map { p =>
+    PulsarOffset((0 until refreshPartitions()).map { p =>
       // latest = the current tip is already-consumed (the reference's
       // OffsetCriteria LARGEST → SubscriptionInitialPosition.Latest);
       // earliest = "" (nothing consumed)
@@ -186,7 +197,7 @@ final class PulsarSocketMicroBatchStream(cfg: PulsarSourceConfig)
     }.toMap)
 
   override def latestOffset(): Offset =
-    PulsarOffset((0 until partitionCount).map { p =>
+    PulsarOffset((0 until refreshPartitions()).map { p =>
       val t = tip(p)
       p -> (if (t.isEmpty) "" else t)
     }.toMap)

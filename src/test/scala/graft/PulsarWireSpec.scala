@@ -37,8 +37,18 @@ final class MockPulsar(partitions: Int, expectedToken: Option[String] = None) {
   val recordsServed = new AtomicLong(0)
 
   val baseTopic = "persistent://public/default/events"
+  private var nPartitions = partitions
   (0 until partitions).foreach { p =>
     topics(PulsarWire.partitionTopic(baseTopic, p)) = mutable.ArrayBuffer()
+  }
+
+  /** Grow the partitioned topic (Pulsar's resharding analog): new
+    * partitions appear in PARTITIONED_METADATA and start empty. */
+  def addPartitions(k: Int): Unit = synchronized {
+    (nPartitions until nPartitions + k).foreach { p =>
+      topics(PulsarWire.partitionTopic(baseTopic, p)) = mutable.ArrayBuffer()
+    }
+    nPartitions += k
   }
 
   def put(partition: Int, key: String, payload: Array[Byte],
@@ -146,7 +156,8 @@ final class MockPulsar(partitions: Int, expectedToken: Option[String] = None) {
           val m = f.cmd.sub(PulsarWire.PARTITIONED_METADATA).get
           PulsarWire.writeFrame(out,
             PulsarWire.cmdPartitionedMetadataResponse(
-              if (m.str(1).contains(baseTopic)) partitions else 0,
+              if (m.str(1).contains(baseTopic)) synchronized(nPartitions)
+              else 0,
               m.long(2).get))
         case PulsarWire.SUBSCRIBE =>
           val s = f.cmd.sub(PulsarWire.SUBSCRIBE).get
@@ -506,6 +517,44 @@ class PulsarWireSpec extends SparkSpec {
         .collect().map(r => (r.getString(0), r.getString(1)))
       assert(all.length == 7, s"dups or losses: ${all.sortBy(_._1).toSeq}")
       assert(all.toMap == (1 to 7).map(i => (s"a$i", s"k$i")).toMap)
+    } finally mock.stop()
+  }
+
+  test("a partition-count increase is discovered live, exactly once") {
+    val mock = new MockPulsar(partitions = 2)
+    val root = java.nio.file.Files.createTempDirectory("pulsar_grow").toString
+    try {
+      mock.put(0, "k1", "a1".getBytes(UTF_8))
+      mock.put(1, "k2", "a2".getBytes(UTF_8))
+      def startQ() = readStreamFrom(mock, "earliest")
+        .selectExpr("CAST(data AS STRING) AS v", "partition")
+        .writeStream.format("parquet")
+        .option("path", s"$root/out")
+        .option("checkpointLocation", s"$root/ckpt")
+        .start()
+      val q1 = startQ()
+      q1.processAllAvailable()
+      // the topic GROWS mid-stream (Pulsar's resharding analog): the
+      // next trigger's metadata refresh must see partition 2 and read
+      // it from its horizon
+      mock.addPartitions(1)
+      mock.put(2, "k3", "a3".getBytes(UTF_8))
+      mock.put(0, "k4", "a4".getBytes(UTF_8))
+      q1.processAllAvailable()
+      q1.stop()
+      val phase1 = spark.read.parquet(s"$root/out")
+        .collect().map(r => (r.getString(0), r.getInt(1)))
+      assert(phase1.toMap == Map("a1" -> 0, "a2" -> 1, "a3" -> 2, "a4" -> 0),
+        s"partition growth missed records: ${phase1.toSeq}")
+      // restart: the grown partition map is in the checkpoint; all
+      // three partitions keep advancing, nothing replays
+      mock.put(2, "k5", "a5".getBytes(UTF_8))
+      val q2 = startQ()
+      q2.processAllAvailable()
+      q2.stop()
+      val all = spark.read.parquet(s"$root/out").collect().map(_.getString(0))
+      assert(all.length == 5, s"dups or losses: ${all.sorted.toSeq}")
+      assert(all.toSet == Set("a1", "a2", "a3", "a4", "a5"))
     } finally mock.stop()
   }
 
