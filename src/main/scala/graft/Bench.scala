@@ -49,13 +49,23 @@ object Bench {
     named.foreach { case (_, fn) =>
       try fn(spark, sfDir).collect() catch { case _: Throwable => }
     }
-    def pass(): Map[String, Double] = named.map { case (name, fn) =>
+    // per-query GC-time deltas (summed over all collectors) make drift
+    // adjudication data-carrying: a query whose wall time regressed but
+    // whose GC share exploded is box/heap churn, not a plan change
+    // (round-13 verdict directive — the ANN family's third recurrence)
+    def gcMs(): Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(_.getCollectionTime.max(0L)).sum
+    }
+    def pass(): Map[String, (Double, Long)] = named.map { case (name, fn) =>
+      val g0 = gcMs()
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).collect() } catch {
         case e: Throwable =>
           failures(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      name -> ((System.nanoTime() - t0) / 1e9, gcMs() - g0)
     }.toMap
     // the bench box carries a PERIODIC EXTERNAL LOAD (~11% band on the
     // total; PLANS.md uniform-ratio convention) — stamp /proc/loadavg
@@ -67,24 +77,27 @@ object Bench {
     val load0 = loadavg()
     val p1 = pass(); val load1 = loadavg()
     val p2 = pass(); val load2 = loadavg()
+    // per query: min wall time of the two passes, plus the GC delta of
+    // the pass that SUPPLIED the min (the measurement's own GC burden)
     val results = named.map { case (name, _) =>
-      (name,
-        if (failures.contains(name)) -1.0 else math.min(p1(name), p2(name)),
-        failures.get(name))
+      val (t, gc) = if (p1(name)._1 <= p2(name)._1) p1(name) else p2(name)
+      (name, if (failures.contains(name)) -1.0 else t, gc, failures.get(name))
     }
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val ok = results.filter(_._3.isEmpty)
+    val gcs = results.map { case (k, _, g, _) => "\"" + k + "\":" + g }
+      .mkString("{", ",", "}")
+    val ok = results.filter(_._4.isEmpty)
     val total = ok.map(_._2).sum
     def jstr(s: String): String =
       "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
         .replaceAll("[\\x00-\\x1f]", " ").take(200) + "\""
-    val fails = results.collect { case (k, _, Some(m)) =>
+    val fails = results.collect { case (k, _, _, Some(m)) =>
       "\"" + k + "\":" + jstr(m) }.mkString("{", ",", "}")
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""failures":$fails,"n_ok":${ok.size},"n_fail":${results.size - ok.size},""" +
-        s""""loadavg":[$load0,$load1,$load2],"sf":"$sfDir"}"""
+        s""""loadavg":[$load0,$load1,$load2],"gc_ms":$gcs,"sf":"$sfDir"}"""
     println(line)
     // driver's stdout tail truncated round 1's first ~30 entries — keep a
     // full copy on disk alongside the repo

@@ -111,8 +111,13 @@ object Compaction {
       deleteCol: Option[String],
       outPath: String): Unit = {
     require(segmentPaths.nonEmpty, "upsertCompactMerge needs >= 1 segment")
+    // allowMissingColumns: input segments may carry DRIFTED schemas —
+    // e.g. refreshSegment added a column to only some of the segments
+    // being merged (a realistic state in the reference's task
+    // pipeline, round-13 ADVICE); absent columns null-fill, matching
+    // the reference's role-default backfill on read
     val merged = segmentPaths.map(spark.read.parquet(_))
-      .reduce(_ unionByName _)
+      .reduce(_.unionByName(_, allowMissingColumns = true))
     graft.operators.Upsert.latestByKey(merged, keys, cmpCol, Nil, deleteCol)
       .coalesce(1)
       .write.mode("overwrite").parquet(outPath)

@@ -114,15 +114,56 @@ object BrokerResponse {
 
   /** Execute `query` through the facade and assemble the broker
     * response JSON. Query failures become `exceptions` entries (the
-    * broker's HTTP-200 error contract), not thrown errors. */
+    * broker's HTTP-200 error contract), not thrown errors.
+    *
+    * With a [[QueryGuard]], the serving guardrails apply: the
+    * `timeoutMs` SET option (else the guard's broker default) is
+    * ENFORCED via job-group cancellation (`EXECUTION_TIMEOUT` = 250),
+    * `clientQueryId` registers the query for `DELETE /query/{id}
+    * ?client=true`, and `maxDocsScanned` bounds the scan
+    * (`QUERY_SCAN_LIMIT_EXCEEDED` = 246, the reference's
+    * `accounting.scan.based.killing.maxDocsScanned` made per-query).
+    * `maxQueryResponseSizeBytes` / `maxServerResponseSizeBytes`
+    * (one engine = one server, so the smaller of the two applies)
+    * cap the serialized result: rows stream through
+    * `toLocalIterator` and serialization ABORTS at the cap
+    * (`SERVER_RESOURCE_LIMIT_EXCEEDED` = 245) instead of
+    * materializing an unbounded payload — unlike `numGroupsLimit`,
+    * which stays an exact-results no-op by design (SURVEY §2.4),
+    * these are hard budgets. */
   def execute(spark: SparkSession, query: String,
-      requestId: Long = 1L, brokerId: String = "graft-broker"): String = {
+      requestId: Long = 1L, brokerId: String = "graft-broker",
+      guard: Option[QueryGuard] = None): String = {
     val t0 = System.nanoTime()
     try {
-      val df = QueryFacade.sql(spark, query)
-      val rows = df.collect().toSeq
-      val ms = (System.nanoTime() - t0) / 1000000L
-      assemble(df.schema, rows, docsScanned(df), ms, requestId, brokerId)
+      val opts = QueryFacade.parseOptions(query).options
+      val timeoutMs = opts.get("timeoutms").flatMap(_.toLongOption)
+        .getOrElse(0L)
+      val clientId = opts.get("clientqueryid").filter(_.nonEmpty)
+      val maxScan = opts.get("maxdocsscanned").flatMap(_.toLongOption)
+        .getOrElse(0L)
+      val sizeCap = Seq("maxqueryresponsesizebytes",
+        "maxserverresponsesizebytes")
+        .flatMap(k => opts.get(k).flatMap(_.toLongOption).filter(_ > 0))
+        .reduceOption(_ min _).getOrElse(0L)
+      def run[T](body: => T): T = guard match {
+        case Some(g) =>
+          g.guarded(requestId, query, timeoutMs, clientId, maxScan)(body)
+        case None => body
+      }
+      run {
+        val df = QueryFacade.sql(spark, query)
+        if (sizeCap > 0) {
+          val (rowsJson, n) = serializeCapped(df, sizeCap)
+          val ms = (System.nanoTime() - t0) / 1000000L
+          assembleRaw(df.schema, rowsJson, n, docsScanned(df), ms,
+            requestId, brokerId)
+        } else {
+          val rows = df.collect().toSeq
+          val ms = (System.nanoTime() - t0) / 1000000L
+          assemble(df.schema, rows, docsScanned(df), ms, requestId, brokerId)
+        }
+      }
     } catch {
       case e: Throwable =>
         val ms = (System.nanoTime() - t0) / 1000000L
@@ -137,11 +178,20 @@ object BrokerResponse {
 
   /** Map failures to the reference's `QueryErrorCode` classes
     * (`pinot-spi/.../exception/QueryErrorCode.java`): SQL_PARSING=150,
-    * TABLE_DOES_NOT_EXIST=190, UNKNOWN_COLUMN=710, and the
-    * QUERY_EXECUTION=200 catch-all — the error classes a client
-    * actually branches on (DivergenceContractSpec pins them). */
+    * ACCESS_DENIED=180 (the facade's fail-closed RLS rejection),
+    * TABLE_DOES_NOT_EXIST=190, SERVER_RESOURCE_LIMIT_EXCEEDED=245
+    * (response-size budget), QUERY_SCAN_LIMIT_EXCEEDED=246 (scan
+    * budget), EXECUTION_TIMEOUT=250, QUERY_CANCELLATION=503,
+    * UNKNOWN_COLUMN=710, and the QUERY_EXECUTION=200 catch-all — the
+    * error classes a client actually branches on
+    * (DivergenceContractSpec pins them). */
   private[graft] def errorCode(e: Throwable): Int = e match {
     case _: org.apache.spark.sql.catalyst.parser.ParseException => 150
+    case _: SecurityException => 180
+    case _: QueryGuard.ResponseSizeExceededException => 245
+    case _: QueryGuard.ScanLimitExceededException => 246
+    case _: QueryGuard.ExecutionTimeoutException => 250
+    case _: QueryGuard.QueryCancelledException => 503
     case a: org.apache.spark.sql.AnalysisException =>
       a.errorClass match {
         case Some(c) if c.startsWith("UNRESOLVED_COLUMN") ||
@@ -150,6 +200,43 @@ object BrokerResponse {
         case _ => 200
       }
     case _ => 200
+  }
+
+  /** Serialize the result's rows array STREAMING, aborting once the
+    * serialized size crosses `capBytes` — the oversized payload is
+    * never materialized (rows arrive partition-by-partition through
+    * `toLocalIterator`, so the driver holds one partition at most).
+    * Returns (rows JSON, row count). */
+  private def serializeCapped(df: DataFrame, capBytes: Long): (String, Int) = {
+    val sb = new java.lang.StringBuilder("[")
+    var n = 0
+    val it = df.toLocalIterator()
+    while (it.hasNext) {
+      val r = it.next()
+      if (n > 0) sb.append(',')
+      sb.append(r.toSeq.map(jCell).mkString("[", ",", "]"))
+      n += 1
+      if (sb.length > capBytes)
+        throw new QueryGuard.ResponseSizeExceededException(
+          s"Serialized query response size exceeds threshold $capBytes" +
+            s" after $n rows — narrow the query or page it with" +
+            " getCursor=true (cursor pagination)")
+    }
+    (sb.append(']').toString, n)
+  }
+
+  private def assembleRaw(schema: StructType, rowsJson: String, nRows: Int,
+      scanned: Long, timeUsedMs: Long, requestId: Long,
+      brokerId: String): String = {
+    val names = schema.fields.map(f => jStr(f.name)).mkString("[", ",", "]")
+    val types = schema.fields.map(f => jStr(columnDataType(f.dataType)))
+      .mkString("[", ",", "]")
+    s"""{"resultTable":{"dataSchema":{"columnNames":$names,""" +
+      s""""columnDataTypes":$types},"rows":$rowsJson},""" +
+      s""""numRowsResultSet":$nRows,"exceptions":[],""" +
+      s""""timeUsedMs":$timeUsedMs,"requestId":"$requestId",""" +
+      s""""brokerId":${jStr(brokerId)},"numDocsScanned":$scanned,""" +
+      s""""totalDocs":-1,"numServersQueried":1,"numServersResponded":1}"""
   }
 
   private def assemble(schema: StructType, rows: Seq[Row], scanned: Long,

@@ -50,7 +50,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object HttpGateway {
 
   final case class Gateway(server: HttpServer, port: Int,
-      requestIds: AtomicLong, store: ResponseStore) {
+      requestIds: AtomicLong, store: ResponseStore, guard: QueryGuard) {
     def stop(): Unit = {
       server.stop(0)
       // the transport pool's threads are non-daemon — shut them down so
@@ -148,11 +148,16 @@ object HttpGateway {
     * `cursorRoot` anchors the response store (default: a fresh temp
     * dir — pass a durable path to page across processes). */
   def start(spark: SparkSession, resolve: String => DataFrame,
-      port: Int = 0, cursorRoot: Option[String] = None): Gateway = {
+      port: Int = 0, cursorRoot: Option[String] = None,
+      brokerTimeoutMs: Long = QueryGuard.DefaultBrokerTimeoutMs): Gateway = {
     val server = HttpServer.create(new InetSocketAddress(port), 0)
     val ids = new AtomicLong(0L)
     val store = new ResponseStore(spark, cursorRoot.getOrElse(
       java.nio.file.Files.createTempDirectory("graft_cursors").toString))
+    // serving guardrails: timeout enforcement + cancellation + scan /
+    // response-size budgets (the reference broker's runaway-query
+    // protection; see [[QueryGuard]])
+    val guard = new QueryGuard(spark, brokerTimeoutMs)
 
     // both SQL entry points share one handler: the reference's /query
     // (MSE) surface equals /query/sql plus the queryOptions body field
@@ -207,7 +212,7 @@ object HttpGateway {
                 System.currentTimeMillis()))
             } else respond(ex, 200,
               BrokerResponse.execute(spark, q,
-                requestId = ids.incrementAndGet()))
+                requestId = ids.incrementAndGet(), guard = Some(guard)))
         }
       } catch { case scala.util.control.NonFatal(e) =>
         respond(ex, 500, s"""{"error": ${jsonStr(e)}}""")
@@ -215,12 +220,43 @@ object HttpGateway {
     }
     server.createContext("/query/sql", sqlHandler(_))
     // /query is a PREFIX context on the JDK server: serve the exact
-    // /query route (the MSE endpoint), let the more specific
-    // /query/sql context take its own path, and 404 any other
-    // subpath instead of treating it as SQL
+    // /query route (the MSE endpoint), the DELETE /query/{id} cancel
+    // surface, let the more specific /query/sql context take its own
+    // path, and 404 any other subpath instead of treating it as SQL
     server.createContext("/query", (ex: HttpExchange) => {
       val p = ex.getRequestURI.getPath.stripSuffix("/")
+      val sub = p.stripPrefix("/query").stripPrefix("/")
       if (p == "/query") sqlHandler(ex)
+      else if (ex.getRequestMethod.equalsIgnoreCase("DELETE") &&
+          sub.nonEmpty && !sub.contains("/")) {
+        // DELETE /query/{id}?client=&verbose= — cancel a running query
+        // (`PinotClientRequest.cancelQuery`: 200 on success, 400 on a
+        // malformed internal id, 404 when nothing is running under the
+        // id; `client=true` resolves the client-supplied
+        // `clientQueryId` option instead of the broker requestId)
+        val params = parseQueryParams(ex.getRequestURI.getRawQuery)
+        val isClient = params.get("client").exists(_.equalsIgnoreCase("true"))
+        if (!isClient && sub.toLongOption.isEmpty)
+          respond(ex, 400, s"Invalid internal query id: $sub")
+        else if (guard.cancel(sub, isClient))
+          respond(ex, 200,
+            (if (isClient) "Cancelled client query: " else "Cancelled query: ")
+              + sub)
+        else respond(ex, 404, s"Query: $sub not found on the broker")
+      } else respond(ex, 404, s"""{"error": "no such route: $p"}""")
+    })
+
+    // GET /queries — requestId -> query text for every in-flight query
+    // (`PinotClientRequest.getRunningQueries`; Jackson serializes the
+    // Map<Long, String> with string keys)
+    server.createContext("/queries", (ex: HttpExchange) => {
+      val p = ex.getRequestURI.getPath.stripSuffix("/")
+      if (p == "/queries")
+        respond(ex, 200, guard.runningQueries.toSeq.sortBy(_._1)
+          .map { case (id, q) =>
+            "\"" + id + "\":\"" + q.replace("\\", "\\\\")
+              .replace("\"", "\\\"").replace("\n", " ").take(500) + "\""
+          }.mkString("{", ",", "}"))
       else respond(ex, 404, s"""{"error": "no such route: $p"}""")
     })
 
@@ -283,7 +319,7 @@ object HttpGateway {
     // the queries themselves
     server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(4))
     server.start()
-    Gateway(server, server.getAddress.getPort, ids, store)
+    Gateway(server, server.getAddress.getPort, ids, store, guard)
   }
 
   private def jsonStr(e: Throwable): String = {

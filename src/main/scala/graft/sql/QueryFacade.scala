@@ -2662,11 +2662,15 @@ object QueryFacade {
   }
 
   /** Run a Pinot-flavored SQL query: leading SET options are parsed off
-    * (recognized: explicitLimit=true disables the implicit limit; all
-    * others are accepted as no-op compat flags, e.g. enableNullHandling,
-    * timeoutMs, numGroupsLimit — Spark is always SQL-null-compliant and
-    * exact, per SURVEY §2.4), then the implicit LIMIT 10 is applied
-    * unless the query bounds itself. */
+    * (recognized: explicitLimit=true disables the implicit limit;
+    * enableNullHandling flips the null ordering; numGroupsLimit stays
+    * an exact-results no-op per SURVEY §2.4). The SERVING options —
+    * timeoutMs, clientQueryId, maxDocsScanned,
+    * maxQueryResponseSizeBytes — are enforced by the broker layer
+    * ([[QueryGuard]] via [[BrokerResponse.execute]]/[[HttpGateway]]),
+    * not here: the facade returns a lazy DataFrame, so budgets attach
+    * where execution actually happens. Then the implicit LIMIT 10 is
+    * applied unless the query bounds itself. */
   // both reference explain forms: EXPLAIN PLAN FOR and
   // EXPLAIN IMPLEMENTATION PLAN FOR (PinotQueryResource)
   private val ExplainPrefix =

@@ -26,6 +26,13 @@ import KafkaWire._
 final class KafkaWireBroker(host: String = "127.0.0.1",
     numPartitions: Int = 2) {
 
+  // partition count is LIVE: Kafka topics can only grow partitions
+  // (kafka-topics --alter --partitions N), and consumers discover the
+  // growth from Metadata — the topology change the source's
+  // per-trigger metadata refetch handles
+  @volatile private var partitionCount: Int = numPartitions
+  def addPartitions(k: Int): Unit = { partitionCount += k }
+
   private val logs =
     mutable.Map[(String, Int), mutable.ArrayBuffer[Record]]()
   // Kafka tracks the log start offset EXPLICITLY: compaction removes
@@ -357,8 +364,9 @@ final class KafkaWireBroker(host: String = "127.0.0.1",
     w.i32(asked.size)
     asked.foreach { t =>
       w.i16(0).str(t)
-      w.i32(numPartitions)
-      (0 until numPartitions).foreach { p =>
+      val n = partitionCount
+      w.i32(n)
+      (0 until n).foreach { p =>
         w.i16(0).i32(p).i32(0) // error, partition, leader=broker 0
         w.i32(1).i32(0) // replicas [0]
         w.i32(1).i32(0) // isr [0]

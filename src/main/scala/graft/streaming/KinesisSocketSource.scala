@@ -232,11 +232,16 @@ final class KinesisSocketMicroBatchStream(cfg: KinesisSourceConfig)
   override def latestOffset(start: Offset,
       limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset = {
     val s = start.asInstanceOf[KinesisOffset].seqs
-    val dflt =
-      if (cfg.shardIteratorType.equalsIgnoreCase("LATEST")) Latest else ""
     KinesisOffset(shards().map { sh =>
-      val from = cursor.get(sh).map(_._1)
-        .orElse(s.get(sh)).getOrElse(dflt)
+      // a shard in neither the cursor nor the checkpoint is a
+      // MID-STREAM discovery (a reshard child): it always starts from
+      // horizon ("") so records written before its first discovery
+      // trigger are kept — the @latest sentinel applies only to the
+      // query's very first trigger (initialOffset), matching the
+      // reference's KinesisStreamMetadataProvider where children
+      // consume from their beginning regardless of the configured
+      // start position
+      val from = cursor.get(sh).map(_._1).orElse(s.get(sh)).getOrElse("")
       sh -> discoverTip(sh, from)
     }.toMap)
   }

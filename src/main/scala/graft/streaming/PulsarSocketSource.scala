@@ -213,7 +213,11 @@ final class PulsarSocketMicroBatchStream(cfg: PulsarSourceConfig)
     e.toSeq.sorted.flatMap { case (p, endId) =>
       val startId = s.getOrElse(p, "")
       val fromId = if (startId.isEmpty) MsgId.Earliest else MsgId.parse(startId)
-      if (endId.nonEmpty && fromId < MsgId.parse(endId))
+      // bounds compare WIDENED (MsgId.endBound): a batch-less id on a
+      // bound means the whole entry is consumed, so a range whose end
+      // repeats the start's entry with a concrete batch index plans
+      // nothing (those elements were already served by the prior range)
+      if (endId.nonEmpty && fromId.endBound < MsgId.parse(endId).endBound)
         Some(PulsarInputPartition(cfg, p, topicOf(p), startId, endId))
       else None
     }.toArray
@@ -252,11 +256,19 @@ final class PulsarPartitionReader(p: PulsarInputPartition)
   private val client =
     new PulsarWireClient(host, port, p.cfg.authToken, p.cfg.readTimeoutMs)
   private val consumerId = 1L
-  private val start =
+  private val seekId =
     if (p.startId.isEmpty) MsgId.Earliest else MsgId.parse(p.startId)
-  private val end = MsgId.parse(p.endId)
+  // range bounds are WIDENED (MsgId.endBound) for the per-element
+  // filter: a bound with batch = -1 — a non-batched entry, or a
+  // batched tip whose GetLastMessageIdResponse omitted batch_index —
+  // covers the WHOLE entry, so (start, end] neither defers that
+  // entry's batch elements to a later range (they would wait
+  // indefinitely on an idle topic) nor re-delivers them in the next
+  // range (round-13 ADVICE). The wire seek keeps the raw id.
+  private val start = seekId.endBound
+  private val end = MsgId.parse(p.endId).endBound
   client.subscribe(p.partitionTopic, s"graft-read-${p.partition}",
-    consumerId, start)
+    consumerId, seekId)
   client.flow(consumerId, p.cfg.permits)
   private var served = 0
   private var done = false
@@ -272,10 +284,29 @@ final class PulsarPartitionReader(p: PulsarInputPartition)
         try client.next()
         catch {
           case _: java.net.SocketTimeoutException =>
-            throw new java.io.IOException(
-              s"Pulsar replay gap: ${p.partitionTopic} delivered nothing " +
-                s"before planned end ${p.endId} (start ${p.startId}) — " +
-                "committed range cannot be served")
+            // a timeout alone is NOT a data-loss signal (the broker
+            // may merely be slower than readTimeoutMs — GC pause,
+            // large backlog; round-13 ADVICE). Ask the broker for a
+            // DEFINITIVE verdict: a tip strictly before the planned
+            // end's entry proves the committed range can no longer be
+            // served (topic truncated/recreated) — that is a replay
+            // gap. Otherwise report the timeout as a timeout. Either
+            // way the task throws, so a pushed MESSAGE frame the tip
+            // RPC might skip past is re-read by the task retry.
+            val gone = scala.util.Try(
+              client.getLastMessageId(consumerId).endBound < end)
+              .getOrElse(false)
+            if (gone)
+              throw new java.io.IOException(
+                s"Pulsar replay gap: ${p.partitionTopic} tip is before " +
+                  s"planned end ${p.endId} (start ${p.startId}) — " +
+                  "committed range cannot be served")
+            else
+              throw new java.io.IOException(
+                s"Pulsar read timed out (${p.cfg.readTimeoutMs} ms) " +
+                  s"before planned end ${p.endId} on ${p.partitionTopic} " +
+                  s"(start ${p.startId}) — broker slow or stalled; retry " +
+                  "the task or raise readTimeoutMs")
         }
       f.cmdType match {
         case PulsarWire.MESSAGE =>
@@ -308,7 +339,12 @@ final class PulsarPartitionReader(p: PulsarInputPartition)
             }
           }
           if (anyInRange) client.ack(consumerId, entryId)
-          if (end <= elems.last._1) done = true
+          // done at ENTRY granularity: entries arrive whole, so once
+          // the entry holding `end` has been seen nothing more in
+          // (start, end] can arrive — and a widened end (batch
+          // unknown) is satisfied by its entry, not by a batch index
+          // no element will ever carry
+          if (end <= entryId.endBound) done = true
         case PulsarWire.REACHED_END_OF_TOPIC =>
           throw new java.io.IOException(
             s"Pulsar replay gap: ${p.partitionTopic} ended before " +

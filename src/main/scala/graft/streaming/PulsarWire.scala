@@ -61,6 +61,15 @@ object PulsarWire {
       ledger < o.ledger || (ledger == o.ledger &&
         (entry < o.entry || (entry == o.entry && batch <= o.batch)))
     def <(o: MsgId): Boolean = this <= o && this != o
+    /** This id as a RANGE BOUND: `batch = -1` on a bound means "the
+      * whole entry" (a non-batched entry, or a batched tip whose
+      * GetLastMessageIdResponse omitted batch_index — round-13
+      * ADVICE), so widen it past every batch element. Ids with a
+      * concrete batch index are returned unchanged. Both bounds of a
+      * planned range must be widened the same way, or the widened
+      * inclusive end of one range and the unwidened exclusive start
+      * of the next would deliver the entry's elements twice. */
+    def endBound: MsgId = if (batch < 0) copy(batch = Int.MaxValue) else this
     override def toString =
       if (batch < 0) s"$ledger:$entry" else s"$ledger:$entry:$batch"
   }

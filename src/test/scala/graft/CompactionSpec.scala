@@ -97,4 +97,22 @@ class CompactionSpec extends SparkSpec {
     assert(new java.io.File(s"$out/merged").listFiles()
       .count(_.getName.endsWith(".parquet")) == 1)
   }
+
+  test("upsert compact-merge tolerates drifted segment schemas") {
+    // round-13 ADVICE: refreshSegment may have added a column to only
+    // SOME of the segments being merged — the union must null-fill
+    // the absent column, not throw
+    val out = dir
+    Seq((1L, 10L, "v1a"))
+      .toDF("pk", "ts", "payload").write.parquet(s"$out/s1")
+    Seq((1L, 20L, "v1b", "eu"), (2L, 10L, "v2a", "us"))
+      .toDF("pk", "ts", "payload", "region").write.parquet(s"$out/s2")
+    Compaction.upsertCompactMerge(spark,
+      Seq(s"$out/s1", s"$out/s2"),
+      Seq("pk"), "ts", None, s"$out/merged")
+    val m = spark.read.parquet(s"$out/merged")
+    assert(m.columns.toSet == Set("pk", "ts", "payload", "region"))
+    assert(m.select($"pk", $"payload", $"region").as[(Long, String, String)]
+      .collect().toSet == Set((1L, "v1b", "eu"), (2L, "v2a", "us")))
+  }
 }

@@ -389,6 +389,53 @@ class KinesisWireSpec extends SparkSpec {
     } finally mock.stop()
   }
 
+  test("LATEST start: reshard children keep pre-discovery records") {
+    // round-13 ADVICE (high): with shardIteratorType=LATEST, a child
+    // shard discovered MID-STREAM must start from horizon — seeding it
+    // with a LATEST iterator would silently drop records written to
+    // the child before its first discovery trigger. The @latest
+    // sentinel applies only to the query's first trigger.
+    val mock = new MockKinesis(creds)
+    val root = java.nio.file.Files.createTempDirectory("kinesis_latest_reshard").toString
+    try {
+      mock.addShard("shardId-000000000000")
+      // retained records a LATEST start must NOT replay
+      (1 to 2).foreach(i =>
+        mock.put("shardId-000000000000", s"k$i", s"old$i".getBytes(UTF_8)))
+      def startQ() = readStreamFrom(mock, "LATEST")
+        .selectExpr("CAST(data AS STRING) AS v", "shardId")
+        .writeStream.format("parquet")
+        .option("path", s"$root/out")
+        .option("checkpointLocation", s"$root/ckpt")
+        .start()
+      val q1 = startQ()
+      q1.processAllAvailable() // establishes the live tip, serves nothing
+      mock.put("shardId-000000000000", "k3", "p3".getBytes(UTF_8))
+      q1.processAllAvailable()
+      // SPLIT while the query runs: children receive writes BEFORE the
+      // next trigger ever sees them
+      mock.closeShard("shardId-000000000000")
+      mock.addShard("shardId-000000000001")
+      mock.addShard("shardId-000000000002")
+      mock.put("shardId-000000000001", "k4", "c4".getBytes(UTF_8))
+      mock.put("shardId-000000000002", "k5", "c5".getBytes(UTF_8))
+      q1.processAllAvailable()
+      q1.stop()
+      val phase1 = spark.read.parquet(s"$root/out")
+        .collect().map(_.getString(0)).toSet
+      assert(phase1 == Set("p3", "c4", "c5"),
+        s"child pre-discovery records lost or retained stream replayed: $phase1")
+      // restart on the checkpoint stays exactly-once and live
+      mock.put("shardId-000000000001", "k6", "c6".getBytes(UTF_8))
+      val q2 = startQ()
+      q2.processAllAvailable()
+      q2.stop()
+      val all = spark.read.parquet(s"$root/out").collect().map(_.getString(0))
+      assert(all.length == 4 && all.toSet == Set("p3", "c4", "c5", "c6"),
+        s"dups or losses after restart: ${all.sorted.toSeq}")
+    } finally mock.stop()
+  }
+
   test("throttling gets bounded retry; expired iterators re-acquire") {
     val mock = new MockKinesis(creds)
     try {

@@ -35,6 +35,9 @@ final class MockPulsar(partitions: Int, expectedToken: Option[String] = None) {
   // total records pushed across all MESSAGE frames — lets tests assert
   // a latest start never replays retained records
   val recordsServed = new AtomicLong(0)
+  // stalled broker: answers RPCs (tip stays visible) but pushes no
+  // MESSAGE frames — the slow-broker-not-data-loss scenario
+  @volatile var stalled = false
 
   val baseTopic = "persistent://public/default/events"
   private var nPartitions = partitions
@@ -103,6 +106,7 @@ final class MockPulsar(partitions: Int, expectedToken: Option[String] = None) {
     val permits = mutable.Map[Long, Long]().withDefaultValue(0L)
 
     def pump(cid: Long): Unit = {
+      if (stalled) return
       val (topic, idx0) = consumers(cid)
       var idx = idx0
       val recs = synchronized { topics(topic).toVector }
@@ -576,6 +580,68 @@ class PulsarWireSpec extends SparkSpec {
       }
       assert(e.getMessage.contains("replay gap"), e.getMessage)
       reader.close()
+    } finally mock.stop()
+  }
+
+  test("a slow broker reports a timeout, not a replay gap") {
+    // round-13 ADVICE: a broker merely slower than readTimeoutMs must
+    // not be misdiagnosed as retention-trim data loss — the tip RPC
+    // proves the committed range is still servable
+    val mock = new MockPulsar(partitions = 1)
+    try {
+      val ids = (1 to 3).map(i => mock.put(0, s"k$i", s"v$i".getBytes(UTF_8)))
+      mock.stalled = true // tip still answers; no MESSAGE frames flow
+      val cfg = PulsarSourceConfig(mock.baseTopic, mock.serviceUrl,
+        readTimeoutMs = 1500)
+      val reader = new graft.streaming.PulsarPartitionReader(
+        graft.streaming.PulsarInputPartition(cfg, 0,
+          PulsarWire.partitionTopic(mock.baseTopic, 0),
+          "", ids.last.toString))
+      val e = intercept[java.io.IOException] {
+        while (reader.next()) ()
+      }
+      assert(e.getMessage.contains("timed out") &&
+        !e.getMessage.contains("replay gap"), e.getMessage)
+      reader.close()
+    } finally mock.stop()
+  }
+
+  test("a batch-less tip id covers the whole batched entry") {
+    // round-13 ADVICE: if GetLastMessageIdResponse omits batch_index
+    // for a batched tip entry, the planned end (ledger, entry, -1)
+    // must include ALL of that entry's elements — not defer them to a
+    // later range (indefinitely, on an idle topic). And the NEXT
+    // range, starting at the same batch-less id, must not re-deliver
+    // them.
+    val mock = new MockPulsar(partitions = 1)
+    try {
+      val e0 = mock.putBatch(0,
+        Seq("a" -> "b1".getBytes(UTF_8), "b" -> "b2".getBytes(UTF_8),
+          "c" -> "b3".getBytes(UTF_8)))
+      val cfg = PulsarSourceConfig(mock.baseTopic, mock.serviceUrl,
+        readTimeoutMs = 3000)
+      val topic = PulsarWire.partitionTopic(mock.baseTopic, 0)
+      // end id WITHOUT the batch index, as a batch-omitting broker
+      // would report the tip
+      val bareEnd = MsgId(e0.ledger, e0.entry).toString
+      val r1 = new graft.streaming.PulsarPartitionReader(
+        graft.streaming.PulsarInputPartition(cfg, 0, topic, "", bareEnd))
+      val got = mutable.ArrayBuffer[String]()
+      while (r1.next()) got += new String(r1.get().getBinary(0), UTF_8)
+      r1.close()
+      assert(got.toSeq == Seq("b1", "b2", "b3"),
+        s"batch elements deferred past a batch-less end: $got")
+      // the next range starts at the same batch-less id: the entry is
+      // already consumed, only the NEW entry may arrive
+      val e1 = mock.put(0, "d", "n1".getBytes(UTF_8))
+      val r2 = new graft.streaming.PulsarPartitionReader(
+        graft.streaming.PulsarInputPartition(cfg, 0, topic,
+          bareEnd, e1.toString))
+      val got2 = mutable.ArrayBuffer[String]()
+      while (r2.next()) got2 += new String(r2.get().getBinary(0), UTF_8)
+      r2.close()
+      assert(got2.toSeq == Seq("n1"),
+        s"batch-less start re-delivered consumed elements: $got2")
     } finally mock.stop()
   }
 }
