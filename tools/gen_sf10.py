@@ -5,15 +5,27 @@ queries are dominated by the dedup/corpus/dsir family over `documents`,
 whose banded-candidate designs claim sub-quadratic growth — this gives
 them a measured 100x point instead of the inferential 10x->100x step.
 
-Methodology matches tools/gen_sf1.py's documents path (round-12
+Methodology extends tools/gen_sf1.py's documents path (round-12
 ADVICE-corrected): the original sf0.1 docs are kept and 99x fresh docs
-are SAMPLED from the same vocabulary / length / lang / source
-distributions (seed 42) with the original's ~0.16% exact-duplicate
+are SAMPLED (seed 42) with the original's ~0.16% exact-duplicate
 rate — replication would multiply dedup candidate pairs quadratically,
-a data-semantics artifact rather than a plan property. Every other
-table is symlinked from sf0.1 unchanged (the heavy-tail queries read
-only documents; symlinks keep Tables.registerAll working for the
-bench harness).
+a data-semantics artifact rather than a plan property.
+
+Unlike gen_sf1 (uniform draws from the FIXED original vocabulary),
+words are drawn from the EMPIRICAL unigram distribution, and novel
+word types are minted at the Heaps-law rate (p_new = 0.5 * V/T for
+V ~ K*T^0.5, tracked continuously). A fixed uniform vocabulary at
+100x inflates EVERY token's document frequency ~100x, which destroys
+the prefix-filter premise of AllPairs/PPJoin ("rarest tokens are
+rare") and blows the candidate join up quadratically — a property of
+the broken synthetic corpus, not of real 100 TB text, whose df
+distribution stays Zipfian with a growing rare tail (measured: the
+uniform-vocab first cut pinned one prefix-token bucket into a single
+44-CPU-minute spilling join+distinct task; PLANS.md round-14).
+
+Every other table is symlinked from sf0.1 unchanged (the heavy-tail
+queries read only documents; symlinks keep Tables.registerAll working
+for the bench harness).
 
 Docs are written in CHUNKS through pyarrow.ParquetWriter so the 100x
 table never sits in Python memory at once.
@@ -49,10 +61,26 @@ def main():
     texts = docs["text"].to_pylist()
     langs = docs["lang"].to_pylist()
     sources = docs["source"].to_pylist()
-    vocab = sorted({w for t in texts for w in t.split(" ") if w})
+    # empirical unigram bag: drawing from it preserves the corpus's
+    # Zipfian token-frequency distribution (uniform vocab draws do not)
+    bag = [w for t in texts for w in t.split(" ") if w]
     lengths = [len(t.split(" ")) for t in texts]
     n_orig = docs.num_rows
     target = n_orig * (REPLICAS - 1)
+    # Heaps-law novelty: V ~ K*T^0.5 => dV/dT = 0.5*V/T, tracked
+    # continuously from the original corpus's type/token counts
+    types_seen = len(set(bag))
+    tokens_emitted = len(bag)
+    mint_seq = 0
+
+    def draw_word():
+        nonlocal types_seen, tokens_emitted, mint_seq
+        tokens_emitted += 1
+        if rng.random() < 0.5 * types_seen / tokens_emitted:
+            types_seen += 1
+            mint_seq += 1
+            return f"zq{mint_seq}"
+        return rng.choice(bag)
 
     writer = pq.ParquetWriter(f"{OUT}/documents.parquet", docs.schema)
     writer.write_table(docs)
@@ -80,7 +108,7 @@ def main():
             text = rng.choice(fresh)
         else:
             n = rng.choice(lengths)
-            text = " ".join(rng.choice(vocab) for _ in range(n))
+            text = " ".join(draw_word() for _ in range(n))
             if len(fresh) < 50000:
                 fresh.append(text)
         j = rng.randrange(n_orig)
