@@ -252,16 +252,42 @@ object BrokerResponse {
       cursorFields + "}"
 
   /** Execute and store under a cursor, returning page 0 with the
-    * `CursorResponseNative` pagination fields. */
+    * `CursorResponseNative` pagination fields. The guard covers the
+    * plan + store-materialization step (the expensive part); paging
+    * reads the stored parquet. */
   def executeWithCursor(spark: SparkSession, store: ResponseStore,
       query: String, requestId: Long, numRows: Int,
-      nowMs: Long): String = {
+      nowMs: Long, guard: Option[QueryGuard] = None): String = {
     val t0 = System.nanoTime()
-    val df = QueryFacade.sql(spark, query)
-    val meta = store.storeResponse(requestId.toString, df, nowMs)
-    val ms = (System.nanoTime() - t0) / 1000000L
-    fetchPage(spark, store, requestId, 0L, numRows, ms,
-      totalRows = meta.numRows)
+    val opts = QueryFacade.parseOptions(query).options
+    val timeoutMs = opts.get("timeoutms").flatMap(_.toLongOption)
+      .getOrElse(0L)
+    val clientId = opts.get("clientqueryid").filter(_.nonEmpty)
+    def run[T](body: => T): T = guard match {
+      case Some(g) => g.guarded(requestId, query, timeoutMs, clientId)(body)
+      case None => body
+    }
+    try {
+      val meta = run {
+        val df = QueryFacade.sql(spark, query)
+        store.storeResponse(requestId.toString, df, nowMs)
+      }
+      val ms = (System.nanoTime() - t0) / 1000000L
+      fetchPage(spark, store, requestId, 0L, numRows, ms,
+        totalRows = meta.numRows)
+    } catch {
+      case e: Throwable =>
+        // same exceptions-as-data contract as execute(): a guarded
+        // cursor query that times out / is cancelled answers HTTP 200
+        // with the classified errorCode
+        val ms = (System.nanoTime() - t0) / 1000000L
+        val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
+        s"""{"resultTable":null,"numRowsResultSet":0,""" +
+          s""""exceptions":[{"errorCode":${errorCode(e)},"message":${jStr(msg.take(500))}}],""" +
+          s""""timeUsedMs":$ms,"requestId":"$requestId",""" +
+          s""""brokerId":"graft-broker","numDocsScanned":0,""" +
+          s""""totalDocs":-1,"numServersQueried":1,"numServersResponded":1}"""
+    }
   }
 
   /** Fetch an (offset, numRows) page of a stored cursor response. */

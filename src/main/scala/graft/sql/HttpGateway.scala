@@ -209,7 +209,7 @@ object HttpGateway {
                 .filter(_ > 0).getOrElse(DefaultCursorFetchRows)
               respond(ex, 200, BrokerResponse.executeWithCursor(spark,
                 store, q, ids.incrementAndGet(), n,
-                System.currentTimeMillis()))
+                System.currentTimeMillis(), guard = Some(guard)))
             } else respond(ex, 200,
               BrokerResponse.execute(spark, q,
                 requestId = ids.incrementAndGet(), guard = Some(guard)))

@@ -201,6 +201,20 @@ class QueryGuardSpec extends SparkSpec {
     assert(ok.contains("\"rows\":[[3200]]"), ok)
   }
 
+  test("cursor queries are guarded too: store-materialization timeout is 250") {
+    QueryFacade.init(spark, sf)
+    registerSlowUdf()
+    val gw = HttpGateway.start(spark, _ => spark.range(1).toDF())
+    try {
+      val base = s"http://127.0.0.1:${gw.port}"
+      val slow = "SET timeoutMs = 700; SELECT sum(guard_slow_ms(id, 100))" +
+        " AS n FROM range(0, 64, 1, 4)"
+      val (c, body) = request(s"$base/query/sql?getCursor=true&numRows=5",
+        "POST", Some(s"""{"sql": "${slow.replace("\"", "\\\"")}"}"""))
+      assert(c == 200 && errCode(body).contains(250), body)
+    } finally gw.stop()
+  }
+
   test("RLS fail-closed rejection classifies as ACCESS_DENIED=180") {
     QueryFacade.init(spark, sf)
     // a COMMA-JOIN reference the rewriter cannot anchor (it wraps
