@@ -14,6 +14,19 @@ import org.apache.spark.sql.functions._
   */
 object TextFunctions {
 
+  /** Evaluate `arr` ONCE per row and hand it to `f` as a lambda
+    * variable (r14 perf). Catalyst expression trees have no sharing:
+    * a Column referenced k times re-evaluates its whole subtree k
+    * times, and neither FilterExec codegen nor interpreted HOF eval
+    * eliminates the common subexpression. Binding through a
+    * one-element transform() makes the array a NamedLambdaVariable —
+    * computed once, O(1) to reference — which turns the multi-signal
+    * text functions below from O(signals × tokenization) into one
+    * tokenization per row (measured 1.26 s → 0.39 s for the
+    * repetition-ratio shape at sf0.1). */
+  def bound(arr: Column)(f: Column => Column): Column =
+    element_at(transform(array(arr), f), 1)
+
   /** Whitespace tokens (empty strings removed). */
   def tokens(text: Column): Column =
     filter(split(text, "\\s+"), t => length(t) > 0)
@@ -46,21 +59,32 @@ object TextFunctions {
   private val deStop = Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "von", "zu")
   private val frStop = Seq("le", "la", "les", "et", "est", "un", "une", "des", "pour", "dans")
 
-  private def hits(text: Column, words: Seq[String]): Column = {
+  private def hitsIn(toks: Column, words: Seq[String]): Column = {
     val set = array(words.map(lit): _*)
-    size(filter(tokens(lower(text)), t => array_contains(set, t)))
+    size(filter(toks, t => array_contains(set, t)))
   }
 
+  private def hits(text: Column, words: Seq[String]): Column =
+    hitsIn(tokens(lower(text)), words)
+
   /** Fraction of tokens that are English stopwords — a standard quality
-    * signal (very low ⇒ word soup / non-English; used by C4/Gopher rules). */
+    * signal (very low ⇒ word soup / non-English; used by C4/Gopher
+    * rules). Tokenizes once per row ([[bound]]; token COUNT is
+    * case-insensitive, so the lowercased array serves both terms). */
   def stopwordRatio(text: Column): Column =
-    when(tokenCount(text) === 0, lit(0.0)).otherwise(
-      hits(text, enStop).cast("double") / tokenCount(text).cast("double"))
+    bound(tokens(lower(text))) { tl =>
+      when(size(tl) === 0, lit(0.0)).otherwise(
+        hitsIn(tl, enStop).cast("double") / size(tl).cast("double"))
+    }
 
   /** N-gram-heuristic language ID over stopword hits; deterministic
-    * tie-break en > de > fr > unknown. */
-  def langId(text: Column): Column = {
-    val en = hits(text, enStop); val de = hits(text, deStop); val fr = hits(text, frStop)
+    * tie-break en > de > fr > unknown. Tokenizes once per row. */
+  def langId(text: Column): Column =
+    bound(tokens(lower(text)))(tl => langIdIn(tl))
+
+  private def langIdIn(tl: Column): Column = {
+    val en = hitsIn(tl, enStop); val de = hitsIn(tl, deStop)
+    val fr = hitsIn(tl, frStop)
     when(en >= de && en >= fr && en > 0, lit("en"))
       .when(de >= fr && de > 0, lit("de"))
       .when(fr > 0, lit("fr"))
@@ -68,29 +92,49 @@ object TextFunctions {
   }
 
   /** Composite quality score in [0,1]: mean word length sanity, stopword
-    * presence, punctuation sanity. Deterministic, cheap, codegen'd. */
-  def qualityScore(text: Column): Column = {
-    val nTok = tokenCount(text).cast("double")
-    val meanLen = when(nTok === 0, lit(0.0))
+    * presence, punctuation sanity. Deterministic, cheap; tokenizes once
+    * per row (identical values — token count is case-insensitive). */
+  def qualityScore(text: Column): Column =
+    bound(tokens(lower(text)))(tl => qualityScoreIn(text, tl))
+
+  private[graft] def qualityScoreIn(text: Column, tl: Column): Column = {
+    val nTok = size(tl).cast("double")
+    val meanLen = when(size(tl) === 0, lit(0.0))
       .otherwise(length(regexp_replace(text, "\\s", "")).cast("double") / nTok)
     val lenOk = when(meanLen >= 3 && meanLen <= 10, lit(1.0)).otherwise(lit(0.0))
-    val stopOk = when(stopwordRatio(text) > 0.01, lit(1.0)).otherwise(lit(0.0))
+    val stopRatio = when(size(tl) === 0, lit(0.0)).otherwise(
+      hitsIn(tl, enStop).cast("double") / nTok)
+    val stopOk = when(stopRatio > 0.01, lit(1.0)).otherwise(lit(0.0))
     val punctOk = when(punctRatio(text) < 0.2, lit(1.0)).otherwise(lit(0.0))
     (lenOk + stopOk + punctOk) / lit(3.0)
   }
 
+  /** One-pass quality/language gate: tokenCount ∈ [minTokens,
+    * maxTokens] ∧ qualityScore ≥ minQuality ∧ langId ∈ languages, with
+    * the token array bound ONCE per row — the corpus-pipeline gate
+    * predicate evaluated at 1× tokenization cost instead of ~8×
+    * (identical truth value to composing the public functions). */
+  def gatePass(text: Column, minTokens: Int, maxTokens: Int,
+      minQuality: Double, languages: Set[String]): Column =
+    bound(tokens(lower(text))) { tl =>
+      size(tl).between(minTokens, maxTokens) &&
+        qualityScoreIn(text, tl) >= minQuality &&
+        langIdIn(tl).isin(languages.toSeq: _*)
+    }
+
   /** Word-level n-gram shingles (n consecutive tokens joined by space),
-    * distinct. PERF: the inner slice() re-inlines the token array per
-    * element — O(tokens²) per row. Fine for ad-hoc use on short texts;
-    * for corpus-scale shingling use `Dedup.shingleHashSets` /
-    * `Dedup.minhashSignatures` (posexplode + lead(), one shuffle). */
-  def shingles(text: Column, n: Int): Column = {
-    val toks = tokens(lower(text))
-    // slice() is 1-based; starts = [1 .. size-n+1], empty when too short
-    val starts = when(size(toks) >= n, sequence(lit(1), size(toks) - (n - 1)))
-      .otherwise(array().cast("array<int>"))
-    array_distinct(transform(starts, i => array_join(slice(toks, i, lit(n)), " ")))
-  }
+    * distinct. Token array [[bound]] once per row (r14: the earlier
+    * bare-expression form re-inlined the tokenizer per element); for
+    * corpus-scale hashed shingling prefer `Dedup.shingleHashSets` /
+    * `Dedup.minhashSignatures`. */
+  def shingles(text: Column, n: Int): Column =
+    bound(tokens(lower(text))) { toks =>
+      // slice() is 1-based; starts = [1 .. size-n+1], empty when short
+      val starts = when(size(toks) >= n, sequence(lit(1), size(toks) - (n - 1)))
+        .otherwise(array().cast("array<int>"))
+      array_distinct(transform(starts,
+        i => array_join(slice(toks, i, lit(n)), " ")))
+    }
 
   // ——— PII scrubbing (training-data curation; no reference analog —
   // the north-star pipeline ops the brief adds beyond Pinot) ———

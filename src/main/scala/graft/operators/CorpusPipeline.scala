@@ -30,10 +30,11 @@ object CorpusPipeline {
   def clean(docs: DataFrame, idCol: String, textCol: String,
       cfg: Config = Config()): DataFrame = {
     val text = col(textCol)
-    val gated = docs.filter(
-      TextFunctions.tokenCount(text).between(cfg.minTokens, cfg.maxTokens) &&
-        TextFunctions.qualityScore(text) >= cfg.minQuality &&
-        TextFunctions.langId(text).isin(cfg.languages.toSeq: _*))
+    // r14 perf: one-pass gate (token array bound once per row) —
+    // identical predicate to composing tokenCount/qualityScore/langId,
+    // at 1× tokenization cost instead of ~8× (TextFunctions.gatePass)
+    val gated = docs.filter(TextFunctions.gatePass(text, cfg.minTokens,
+      cfg.maxTokens, cfg.minQuality, cfg.languages))
 
     // exact dedup: keep the smallest id per content hash. Cached: the
     // survivor set feeds BOTH the MinHash candidate generation and the
@@ -57,10 +58,8 @@ object CorpusPipeline {
       cfg: Config = Config()): DataFrame = {
     val text = col(textCol)
     val total = docs.count()
-    val gated = docs.filter(
-      TextFunctions.tokenCount(text).between(cfg.minTokens, cfg.maxTokens) &&
-        TextFunctions.qualityScore(text) >= cfg.minQuality &&
-        TextFunctions.langId(text).isin(cfg.languages.toSeq: _*))
+    val gated = docs.filter(TextFunctions.gatePass(text, cfg.minTokens,
+      cfg.maxTokens, cfg.minQuality, cfg.languages))
     val nGated = gated.count()
     val cleaned = clean(docs, idCol, textCol, cfg).count()
     import docs.sparkSession.implicits._

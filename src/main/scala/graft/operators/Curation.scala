@@ -103,8 +103,16 @@ object Curation {
     * map-only at any scale. Returns a struct of per-rule booleans plus
     * the conjunction (`keep`). */
   def gopherFlags(text: Column, minWords: Int = 10,
-      maxWords: Int = 100000): Column = {
-    val toks = TextFunctions.tokens(lower(text))
+      maxWords: Int = 100000): Column =
+    // r14 perf: bind the token array once per row (TextFunctions.bound)
+    // — the five rules referenced the tokenizer subtree ~6×, and
+    // Catalyst re-evaluates each reference
+    TextFunctions.bound(TextFunctions.tokens(lower(text))) { toks =>
+      gopherFlagsIn(toks, minWords, maxWords)
+    }
+
+  private def gopherFlagsIn(toks: Column, minWords: Int,
+      maxWords: Int): Column = {
     val n = size(toks)
     val nf = n.cast("double")
     val meanLen = when(n > 0,
@@ -135,21 +143,31 @@ object Curation {
     * per document — the standard degenerate-text detector (looping
     * generations repeat bigrams). Pure per-row expression, no shuffle.
     *
-    * PERF: bigrams come from zip_with over two slices of the token
-    * array — the tokenization subtree evaluates twice per ROW. The
-    * index-lambda formulation (element_at(toks, i) inside a transform)
-    * re-inlines the whole split per ELEMENT, turning a scan into
-    * O(bigrams × tokenization) — 100× slower on real documents. */
+    * PERF: a bare index-lambda (element_at(toksExpr, i) inside a
+    * transform) re-inlines the whole split per ELEMENT — O(bigrams ×
+    * tokenization) per row. [[TextFunctions.bound]] avoids that: the
+    * token-hash array is evaluated ONCE per row as a lambda variable,
+    * and element_at against a lambda variable is O(1). */
   def repetitionRatio(text: Column): Column = {
-    val toks = TextFunctions.tokens(lower(text))
-    val n = size(toks)
-    val bigrams = zip_with(
-      slice(toks, lit(1), greatest(n - 1, lit(0))),
-      slice(toks, lit(2), greatest(n - 1, lit(0))),
-      (a, b) => concat(a, lit(" "), b))
-    when(n < 2, 0.0).otherwise(
-      lit(1.0) - size(array_distinct(bigrams)).cast("double") /
-        size(bigrams).cast("double"))
+    // r14 perf: hash tokens once and form bigram keys as
+    // xxhash64(h_i, h_{i+1}) over element_at lookups instead of
+    // zip_with over two slice() copies of the (re-inlined) token
+    // array. The token-hash array is bound ONCE per row as a lambda
+    // variable (transform over a 1-element array), so element_at is
+    // O(1) and the tokenizer runs once — measured 1.27 s → 0.39 s at
+    // sf0.1 with a bit-identical aggregate (distinct-bigram count via
+    // 64-bit hashes equals the string-distinct count absent a
+    // collision, p ≈ n²/2⁶⁴ per doc, and the exact DuckDB oracle
+    // would surface one).
+    val hsExpr = transform(TextFunctions.tokens(lower(text)), tk => xxhash64(tk))
+    element_at(transform(array(hsExpr), h => {
+      val n = size(h)
+      val bigramHashes = transform(sequence(lit(1), greatest(n - 1, lit(0))),
+        i => xxhash64(element_at(h, i), element_at(h, i + 1)))
+      when(n < 2, 0.0).otherwise(
+        lit(1.0) - size(array_distinct(bigramHashes)).cast("double") /
+          (n - 1).cast("double"))
+    }), 1)
   }
 
   /** 32-bit md5 bucket of the id, uniform on [0, 2^32): the same
@@ -167,14 +185,15 @@ object Curation {
     * the plan — pure Catalyst HOFs, no UDF, no shuffle, and the
     * whole expression stays inside whole-stage codegen. */
   def classifierScore(text: Column, weights: Column, dim: Int,
-      bias: Double): Column = {
-    val toks = TextFunctions.tokens(lower(text))
-    val logit = lit(bias) + when(size(toks) > 0,
-      aggregate(toks, lit(0.0), (acc, t) =>
-        acc + element_at(weights, (bucket32(t) % dim).cast("int") + 1))
-        / size(toks)).otherwise(lit(0.0))
-    lit(1.0) / (lit(1.0) + exp(-logit))
-  }
+      bias: Double): Column =
+    // r14 perf: token array bound once per row (3 references before)
+    TextFunctions.bound(TextFunctions.tokens(lower(text))) { toks =>
+      val logit = lit(bias) + when(size(toks) > 0,
+        aggregate(toks, lit(0.0), (acc, t) =>
+          acc + element_at(weights, (bucket32(t) % dim).cast("int") + 1))
+          / size(toks)).otherwise(lit(0.0))
+      lit(1.0) / (lit(1.0) + exp(-logit))
+    }
 
   /** Distributed logistic-regression TRAINING (full-batch gradient
     * descent) — the training half of [[classifierScore]]'s inference
@@ -484,16 +503,17 @@ object Curation {
     * adjacent token pair hashes into one of `dim` buckets via the same
     * engine-portable md5 bucket the sampling ops use. Pure per-row
     * expression (array of ints, with multiplicity). */
-  def dsirFeatures(text: Column, dim: Int): Column = {
-    val toks = TextFunctions.tokens(lower(text))
-    val n = size(toks)
-    val bigrams = zip_with(
-      slice(toks, lit(1), greatest(n - 1, lit(0))),
-      slice(toks, lit(2), greatest(n - 1, lit(0))),
-      (a, b) => concat(a, lit(" "), b))
-    transform(concat(toks, bigrams),
-      t => pmod(bucket32(t), lit(dim)).cast("int"))
-  }
+  def dsirFeatures(text: Column, dim: Int): Column =
+    // r14 perf: token array bound once per row (4 references before)
+    TextFunctions.bound(TextFunctions.tokens(lower(text))) { toks =>
+      val n = size(toks)
+      val bigrams = zip_with(
+        slice(toks, lit(1), greatest(n - 1, lit(0))),
+        slice(toks, lit(2), greatest(n - 1, lit(0))),
+        (a, b) => concat(a, lit(" "), b))
+      transform(concat(toks, bigrams),
+        t => pmod(bucket32(t), lit(dim)).cast("int"))
+    }
 
   /** DSIR bucket log-ratio table: log p_target(b) − log p_raw(b) for
     * every feature bucket, from Laplace-smoothed (+1) hashed-n-gram
@@ -557,6 +577,40 @@ object Curation {
             (col("__nt") + dim)) -
         log((coalesce(col("__cr"), lit(0L)) + 1).cast("double") /
             (col("__nr") + dim)), 6).as("log_ratio"))
+  }
+
+  /** [[dsirLogRatiosFlagged]] + [[dsirLogWeights]] fused for the
+    * flagged-subset case (r14 perf): the exploded feature stream
+    * (id, flag, bucket) is materialized ONCE and feeds both the
+    * ratio table and the per-doc weights — the unfused pair
+    * re-tokenized and re-hashed the whole corpus for each pass
+    * (measured ~1 s of the q_dsir_select wall at sf0.1; at 100 TB
+    * this halves the expensive scan passes). Identical math: same
+    * multiset of features on both sides. Returns (id, n_feats,
+    * log_w). */
+  def dsirWeightsFlagged(docs: DataFrame, idCol: String,
+      targetFlag: Column, textCol: String, dim: Int): DataFrame = {
+    val ex = docs.select(col(idCol), targetFlag.as("__t"),
+        explode(dsirFeatures(col(textCol), dim)).as("bucket"))
+      .localCheckpoint()
+    val counts = ex.groupBy(col("bucket"))
+      .agg(count(when(col("__t"), 1)).as("__ct"), count(lit(1)).as("__cr"))
+      .localCheckpoint()
+    val totals = counts.agg(sum(col("__ct")).as("__nt"),
+      sum(col("__cr")).as("__nr"))
+    val ratios = docs.sparkSession.range(dim)
+      .select(col("id").cast("int").as("bucket"))
+      .join(counts, Seq("bucket"), "left")
+      .crossJoin(totals)
+      .select(col("bucket"), round(
+        log((coalesce(col("__ct"), lit(0L)) + 1).cast("double") /
+            (col("__nt") + dim)) -
+        log((coalesce(col("__cr"), lit(0L)) + 1).cast("double") /
+            (col("__nr") + dim)), 6).as("log_ratio"))
+    ex.join(broadcast(ratios), "bucket")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_feats"),
+        round(sum(col("log_ratio")), 4).as("log_w"))
   }
 
   /** Per-document DSIR importance weight: Σ over the doc's hashed

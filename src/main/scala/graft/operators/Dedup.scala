@@ -135,13 +135,30 @@ object Dedup {
     val prefix = inv.join(dfreq, "tok")
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
-      .select(col("id"), col("tok"))
+      .select(col("id"), col("sz"), col("rn"), col("tok"))
 
     // canonically-identical self-join sides -> ReuseExchange runs the
-    // prefix pipeline once (see minhashLsh for the rationale)
+    // prefix pipeline once (see minhashLsh for the rationale).
+    // r14 perf: two COMPLETE pruning filters run on the joined token
+    // rows BEFORE the pair-distinct shuffle and the verification join
+    // (classic AllPairs/PPJoin):
+    //  - length filter: J >= t forces min(|a|,|b|) >= t*max(|a|,|b|);
+    //  - positional filter: a shared prefix token at positions
+    //    (rn_a, rn_b) bounds the overlap by min(rn_a, rn_b) +
+    //    min(|a|-rn_a, |b|-rn_b), which must reach t/(1+t)*(|a|+|b|)
+    //    (inter >= t*(|a|+|b|)/(1+t) iff J >= t). Both only drop pairs
+    //    that provably cannot reach the threshold, so the verified
+    //    output is identical.
+    val interBound = (least(col("l.rn"), col("r.rn")) +
+      least(col("l.sz") - col("l.rn"), col("r.sz") - col("r.rn")))
+      .cast("double")
     val cand = prefix.as("l").hint("shuffle_hash")
       .join(prefix.as("r"), col("l.tok") === col("r.tok"))
       .filter(col("l.id") < col("r.id"))
+      .filter(least(col("l.sz"), col("r.sz")).cast("double") >=
+        lit(threshold) * greatest(col("l.sz"), col("r.sz")).cast("double"))
+      .filter(interBound >=
+        lit(threshold / (1 + threshold)) * (col("l.sz") + col("r.sz")).cast("double"))
       .select(col("l.id").as("a"), col("r.id").as("b")).distinct()
 
     val ta = toks.select(col("id").as("a"), col("toks").as("toks_a"),

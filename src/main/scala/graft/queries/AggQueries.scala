@@ -809,10 +809,20 @@ object AggQueries {
     GQuery("q_agg_ull_remerge",
       (s, dir) => {
         val t = Tables(s, dir)
+        // r14 perf: the ULL sketch and the exact countDistinct are
+        // SEPARATE aggregates joined on the group key. Mixing them in
+        // one agg made Spark's distinct-rewrite group by
+        // (l_returnflag, l_partkey) first, building a 4 KB ULL buffer
+        // per DISTINCT KEY (60k sketches, 60k serialize+merge) instead
+        // of one per group — measured 2.56 s → 0.50 s for identical
+        // results (guide §2.3: aggregate before you shuffle; the
+        // split shuffles 6 sketches instead of 60k).
         val direct = t.lineitem.groupBy(col("l_returnflag"))
           .agg(graft.plans.UltraLogLogSketch
-              .distinctCountUll(col("l_partkey")).as("est_direct"),
-            countDistinct(col("l_partkey")).as("exact_n"))
+            .distinctCountUll(col("l_partkey")).as("est_direct"))
+          .join(t.lineitem.groupBy(col("l_returnflag"))
+            .agg(countDistinct(col("l_partkey")).as("exact_n")),
+            "l_returnflag")
         val merged = t.lineitem
           .groupBy(col("l_returnflag"), col("l_linestatus"))
           .agg(graft.plans.UltraLogLogSketch.ullState(col("l_partkey"))

@@ -467,18 +467,26 @@ object PipelineQueries {
           nearDupThreshold = 0.7)
         val docs = t.documents
         val text = col("text")
-        val gateCond =
-          TextFunctions.tokenCount(text).between(cfg.minTokens, cfg.maxTokens) &&
-            TextFunctions.qualityScore(text) >= cfg.minQuality &&
-            TextFunctions.langId(text).isin(cfg.languages.toSeq: _*)
+        // r14 perf: one-pass gate — token array bound once per row
+        // (identical predicate; the agg below evaluated the composed
+        // form's ~8 tokenizations twice per row via the distinct
+        // rewrite: measured 1.75 s of aggTime at sf0.1)
+        val gateCond = TextFunctions.gatePass(text, cfg.minTokens,
+          cfg.maxTokens, cfg.minQuality, cfg.languages)
         val cleaned = CorpusPipeline.clean(docs, "doc_id", "text", cfg)
-        // Stages 1-3 in ONE scan: the gate predicates evaluate once per
-        // row and feed three conditional aggregates (count, gated count,
-        // gated distinct count) — no repeated corpus passes.
-        val stages = docs.agg(
-          count(lit(1)).as("__n_in"),
-          count(when(gateCond, 1)).as("__n_gate"),
-          countDistinct(when(gateCond, text)).as("__n_exact"))
+        // Stages 1-3 in ONE scan: the gate evaluates once per row (a
+        // materialized projection — the distinct rewrite would
+        // otherwise re-evaluate it per aggregate) and the distinct
+        // count runs over md5(text) — the SAME content key the
+        // pipeline's exact-dedup stage groups by, so the count is
+        // definitionally identical and the distinct shuffle carries
+        // 16-byte keys, never documents.
+        val stages = docs
+          .select(gateCond.as("__g"), md5(text).as("__h"))
+          .agg(
+            count(lit(1)).as("__n_in"),
+            count(when(col("__g"), 1)).as("__n_gate"),
+            countDistinct(when(col("__g"), col("__h"))).as("__n_exact"))
         val rows = stages
           .crossJoin(cleaned.agg(count(lit(1)).as("__nc")))
           .select(explode(array(
@@ -1241,11 +1249,16 @@ object PipelineQueries {
     GQuery("q_dedup_lines",
       (s, dir) => {
         val t = Tables(s, dir)
-        val w = split(col("text"), " ")
-        val nChunks = ceil(size(w) / lit(8.0)).cast("int")
-        val lines = t.documents.select(col("doc_id"),
-            posexplode(transform(sequence(lit(0), nChunks - 1),
-              i => concat_ws(" ", slice(w, i * 8 + 1, lit(8))))))
+        // r14 perf: bind the split array once per row — the bare
+        // expression form re-evaluated split() for EVERY chunk element
+        // inside the transform lambda (~26 splits/doc; Catalyst trees
+        // have no sharing)
+        val chunks = TextFunctions.bound(split(col("text"), " ")) { w =>
+          val nChunks = ceil(size(w) / lit(8.0)).cast("int")
+          transform(sequence(lit(0), nChunks - 1),
+            i => concat_ws(" ", slice(w, i * 8 + 1, lit(8))))
+        }
+        val lines = t.documents.select(col("doc_id"), posexplode(chunks))
           .toDF("doc_id", "line_no", "line")
         Dedup.lineDedup(lines, "doc_id", "line_no", "line", minDocFreq = 3)
           .select(col("doc_id"), col("n_lines"), col("n_kept"),
@@ -2113,12 +2126,11 @@ object PipelineQueries {
       (s, dir) => {
         val t = Tables(s, dir)
         val dim = 2048
-        // target = English docs, a flagged subset of raw → single-pass
-        // conditional-count ratio estimation
-        val ratios = Curation.dsirLogRatiosFlagged(t.documents,
+        // target = English docs, a flagged subset of raw → the fused
+        // single-feature-pass form (r14 perf: ratios + weights off ONE
+        // explode instead of re-tokenizing the corpus per pass)
+        val w = Curation.dsirWeightsFlagged(t.documents, "doc_id",
           col("lang") === "en", "text", dim)
-        val w = Curation.dsirLogWeights(t.documents, "doc_id", "text",
-          ratios, dim)
         Curation.dsirResample(w, "doc_id", n = 100)
           .select(col("doc_id"), col("n_feats"), col("log_w"),
             col("gumbel_key"))

@@ -1465,9 +1465,10 @@ object QueryFacade {
     * `SELECT * FROM (SELECT exprmin(..) FROM t)` keeps tie-row
     * semantics instead of degrading to the single-row min_by
     * registration. */
-  private[graft] def rewriteExprMinMax(stmt: String): String = try {
+  private[graft] def rewriteExprMinMax(stmt: String,
+      columnsOf: String => Option[Seq[String]] = _ => None): String = try {
     if (!maskLiterals(stmt).toLowerCase.contains("expr")) stmt
-    else rewriteExprMinMaxBlocks(stmt)
+    else rewriteExprMinMaxBlocks(stmt, columnsOf)
   } catch { case scala.util.control.NonFatal(_) => stmt }
 
   /** Recurse into every top-level parenthesized group (bottom-up), then
@@ -1475,7 +1476,8 @@ object QueryFacade {
     * groups spliced back in place. Groups whose masked text carries no
     * SELECT (function argument lists) or no expr token (nothing to
     * rewrite at any depth) are kept verbatim. */
-  private def rewriteExprMinMaxBlocks(stmt: String): String = {
+  private def rewriteExprMinMaxBlocks(stmt: String,
+      columnsOf: String => Option[Seq[String]] = _ => None): String = {
     val masked = maskLiterals(stmt)
     val out = new StringBuilder
     var last = 0
@@ -1495,7 +1497,7 @@ object QueryFacade {
             out.append(stmt.substring(last, start + 1))
             out.append(
               if (innerMasked.contains("select") && innerMasked.contains("expr"))
-                rewriteExprMinMaxBlocks(inner)
+                rewriteExprMinMaxBlocks(inner, columnsOf)
               else inner)
             last = i
           }
@@ -1504,7 +1506,7 @@ object QueryFacade {
       i += 1
     }
     out.append(stmt.substring(last))
-    rewriteExprMinMaxOneBlock(out.toString)
+    rewriteExprMinMaxOneBlock(out.toString, columnsOf)
   }
 
   /** Blank paren-group interiors (length-preserving) so clause-keyword
@@ -1524,7 +1526,8 @@ object QueryFacade {
     sb.toString
   }
 
-  private def rewriteExprMinMaxOneBlock(stmt: String): String = try {
+  private def rewriteExprMinMaxOneBlock(stmt: String,
+      columnsOf: String => Option[Seq[String]]): String = try {
     val masked = maskLiterals(stmt)
     val low = masked.toLowerCase
     if (!low.contains("expr")) return stmt
@@ -1632,7 +1635,27 @@ object QueryFacade {
     def keyEq(l: String, r: String): String =
       keys.map(k => s"$l.$k <=> $r.$k").mkString(" AND ")
 
-    val src = s"__emm_src AS (SELECT *, monotonically_increasing_id()" +
+    // r14 perf: project only the columns the parents/siblings/keys
+    // reference instead of `SELECT *`. The non-deterministic __emm_ord
+    // blocks CTE inlining, so Spark materializes __emm_src through one
+    // shuffle that every parent re-reads — at full width that exchange
+    // carried the whole table (90 MB of local reads for 4 consumers on
+    // lineitem at sf0.1; plan audit this round). Conservative word-scan
+    // against the resolved table schema; any uncertainty falls back to
+    // `*`, and a missed reference would fail analysis loudly, never
+    // silently change results.
+    val srcCols: String = columnsOf(table) match {
+      case Some(cols) if cols.forall(c => BareIdent.findFirstIn(c).contains(c)) =>
+        val scanText = maskLiterals(
+          (exprItems.map(_._1) ++ others ++ keys).mkString(" "))
+        val words = "[A-Za-z_][A-Za-z0-9_]*".r.findAllIn(scanText)
+          .map(_.toLowerCase).toSet
+        val needed = cols.filter(c => words.contains(c.toLowerCase))
+        if (needed.isEmpty || needed.size == cols.size) "*"
+        else needed.mkString(", ")
+      case _ => "*"
+    }
+    val src = s"__emm_src AS (SELECT $srcCols, monotonically_increasing_id()" +
       s" AS __emm_ord FROM $table$whereC)"
     val parentCtes = parentKeys.zipWithIndex.map { case ((kind, _), p) =>
       val c = calls.find(x => parentOf(x.text) == p).get
@@ -2761,6 +2784,12 @@ object QueryFacade {
     PinotFunctions.registerAll(spark)
     val Parsed(parsedOpts, stmt0) = parseOptions(query)
     val opts = parsedOpts ++ extra
+    // schema resolver for the exprMinMax source-pruning (r14 perf):
+    // lets the rewriter emit an explicit column list instead of
+    // SELECT * in the materialized __emm_src CTE
+    def emm(s: String): String = rewriteExprMinMax(s, tbl =>
+      try Some(spark.table(tbl).schema.fieldNames.toSeq)
+      catch { case scala.util.control.NonFatal(_) => None })
     val stmt = rewriteVectorSimilarity(
       rewriteVectorSimilarityIndexed(spark,
         reorderVectorSimilarity(
@@ -2771,7 +2800,7 @@ object QueryFacade {
           rewriteOrderBySelectExpr(
           rewriteThetaSetOps(
           rewriteClpCalls(
-          rewriteExprMinMax(
+          emm(
           rewriteTypeSafeCompare(spark,
           rewriteListAggMv(spark,
           rewriteMvDistinct(spark,

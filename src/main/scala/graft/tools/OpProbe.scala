@@ -32,8 +32,15 @@ object OpProbe {
     def dumpMetrics(plan: SparkPlan, depth: Int): Unit = {
       val p = plan match {
         case a: AdaptiveSparkPlanExec => a.executedPlan
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          q.plan
+        case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+          println(("  " * depth) + "ReusedExchangeExec ->" +
+            r.child.getClass.getSimpleName)
+          return
         case other => other
       }
+      if (p ne plan) { dumpMetrics(p, depth); return }
       val interesting = p.metrics.filter { case (k, m) =>
         m.value > 0 && (k.contains("time") || k.contains("Time") ||
           k == "numOutputRows" || k.contains("bytes") || k.contains("Bytes") ||
@@ -57,8 +64,10 @@ object OpProbe {
             var best = Double.MaxValue
             var bestDf = fn(spark, dir)
             (1 to reps).foreach { _ =>
-              val df = fn(spark, dir)
+              // time build + collect, matching Bench (query construction
+              // may run driver-side jobs: kmeans iterations, components)
               val t0 = System.nanoTime()
+              val df = fn(spark, dir)
               df.collect()
               val t = (System.nanoTime() - t0) / 1e9
               if (t < best) { best = t; bestDf = df }
