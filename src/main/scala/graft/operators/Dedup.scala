@@ -186,72 +186,65 @@ object Dedup {
   private def hash64(c: Column, seed: Int): Column =
     xxhash64(lit(seed), c)
 
+  /** Per-row array of 64-bit shingle hashes. Hash chain: h_i =
+    * xxhash64(token_i); shingle_i = xxhash64(h_i, …, h_{i+k-1}) —
+    * identical values to the historical posexplode + lead() window
+    * form, but computed MAP-SIDE: the token-hash array is bound once
+    * per row ([[TextFunctions.bound]] — element_at against a lambda
+    * variable is O(1)), so no (id, pos) shuffle + per-doc sort is
+    * needed to line up neighbors (r14, guide §2.4: remove shuffles
+    * outright; signature checksums verified bit-identical). Docs with
+    * fewer than k tokens yield an empty array. */
+  private def shingleHashArray(text: Column, k: Int): Column =
+    TextFunctions.bound(
+      transform(TextFunctions.tokens(lower(text)), t => xxhash64(t))) { hs =>
+      if (k == 1) hs
+      else when(size(hs) >= k,
+        transform(sequence(lit(1), size(hs) - (k - 1)),
+          i => xxhash64((0 until k).map(j => element_at(hs, i + j)): _*)))
+        .otherwise(array().cast("array<long>"))
+    }
+
   /** MinHash signatures over word shingles: k independent permutations
     * approximated by seeded hashes; signature[i] = min over shingles.
     *
-    * Shape: explode shingles once, then ONE hash-aggregate with k
-    * plain `min` aggregates (all whole-stage-codegen'd). A k-wide HOF
-    * expression per row would blow past the codegen method limit and
-    * fall back to interpreted eval — this shape stays compiled and
-    * shuffles only (id, shingle-hash) pairs. */
+    * Shape: per-row shingle hashes ([[shingleHashArray]] — map-only),
+    * explode, then ONE hash-aggregate with k plain `min` aggregates
+    * (all whole-stage-codegen'd). A k-wide HOF expression per row
+    * would blow past the codegen method limit and fall back to
+    * interpreted eval — this shape stays compiled and shuffles only
+    * (id, shingle-hash) pairs, ONE shuffle end-to-end. Duplicate
+    * shingles need no dedup: min() over a multiset equals min() over
+    * its set. */
   def minhashSignatures(
       docs: DataFrame,
       idCol: String,
       textCol: String,
       numHashes: Int = 32,
       shingleSize: Int = 3): DataFrame = {
-    // Never materialize shingle STRINGS: hash each token once, then a
-    // shingle hash combines the k positional token hashes via lead()
-    // windows — fixed-width arithmetic instead of per-shingle array
-    // slicing + string concatenation (6x faster at sf0.1). The window
-    // and the min-aggregate share the id partitioning, so this is ONE
-    // shuffle end-to-end. Duplicate shingles need no dedup: min() over
-    // a multiset equals min() over its set.
-    val tokens = docs.select(col(idCol).as("id"),
-        posexplode(TextFunctions.tokens(lower(col(textCol)))).as(Seq("pos", "tok")))
-      .select(col("id"), col("pos"), xxhash64(col("tok")).as("h"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("id")).orderBy(col("pos"))
-    val leadCols = (1 until shingleSize).map(j => lead(col("h"), j).over(w).as(s"l$j"))
-    val exploded =
-      if (shingleSize == 1) tokens.select(col("id"), col("h").as("h0"))
-      else tokens
-        .select(col("id") +: col("h") +: leadCols: _*)
-        .filter(col(s"l${shingleSize - 1}").isNotNull)
-        .select(col("id"),
-          xxhash64(col("h") +: (1 until shingleSize).map(j => col(s"l$j")): _*).as("h0"))
+    val exploded = docs.select(col(idCol).as("id"),
+      explode(shingleHashArray(col(textCol), shingleSize)).as("h0"))
     val mins = (0 until numHashes).map(i => min(hash64(col("h0"), i)).as(s"h$i"))
     exploded.groupBy(col("id"))
       .agg(mins.head, mins.tail: _*)
       .select(col("id"), array((0 until numHashes).map(i => col(s"h$i")): _*).as("signature"))
   }
 
-  /** Per-doc DISTINCT shingle-hash arrays — the exact-set counterpart of
-    * [[minhashSignatures]], same one-shuffle shape: posexplode tokens →
-    * lead() windows → one xxhash64 per shingle → collect per doc. The
-    * HOF alternative (transform over starts with slice() of an outer
-    * token array) re-inlines the token expression per element — O(n²)
-    * per doc and a codegen blowup; this shape stays compiled.
+  /** Per-doc DISTINCT shingle-hash arrays — the exact-set counterpart
+    * of [[minhashSignatures]]. r14: pure map-side ([[shingleHashArray]]
+    * + array_distinct per row) — the historical posexplode + lead()
+    * window + collect_list shape paid a full (id, pos) shuffle, a
+    * per-doc sort, AND a collect shuffle for the same sets. Docs with
+    * fewer than shingleSize tokens are omitted (as before).
     * Returns (idCol, sh: array<long>). */
   def shingleHashSets(
       docs: DataFrame,
       idCol: String,
       textCol: String,
-      shingleSize: Int = 3): DataFrame = {
-    val tokens = docs.select(col(idCol),
-        posexplode(TextFunctions.tokens(lower(col(textCol)))).as(Seq("pos", "tok")))
-      .select(col(idCol), col("pos"), xxhash64(col("tok")).as("h"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(idCol)).orderBy(col("pos"))
-    val leadCols = (1 until shingleSize).map(j => lead(col("h"), j).over(w).as(s"l$j"))
-    tokens
-      .select(col(idCol) +: col("h") +: leadCols: _*)
-      .filter(col(s"l${shingleSize - 1}").isNotNull)
-      .select(col(idCol),
-        xxhash64(col("h") +: (1 until shingleSize).map(j => col(s"l$j")): _*).as("sh"))
-      .groupBy(col(idCol))
-      .agg(array_distinct(collect_list(col("sh"))).as("sh"))
-  }
+      shingleSize: Int = 3): DataFrame =
+    docs.select(col(idCol),
+        array_distinct(shingleHashArray(col(textCol), shingleSize)).as("sh"))
+      .filter(size(col("sh")) > 0)
 
   /** MinHash + LSH near-dup candidate pairs: band the signature, bucket
     * by (band index, band hash), pair within buckets, then estimate

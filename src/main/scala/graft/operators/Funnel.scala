@@ -121,12 +121,19 @@ object Funnel {
       .agg(sort_array(collect_list(col("__evt"))).as("__evts"))
       .withColumn("__runs",
         transform(filter(col("__evts"), e => e.getField("step") === 1),
-          a => aggregate(col("__evts"), zero,
+          // r14 perf: restrict each anchor's fold to its WINDOW SLICE
+          // first — out-of-window events were provable no-ops in the
+          // fold (`when(!inWin, st)`), but each still paid the full
+          // 6-branch struct-getter walk; the slice filter is two long
+          // compares per event. Identical runs by construction.
+          a => aggregate(
+            filter(col("__evts"), e =>
+              e.getField("ts") >= a.getField("ts") &&
+                e.getField("ts") < a.getField("ts") + windowMillis),
+            zero,
             (st, e) => {
               val ts = e.getField("ts"); val step = e.getField("step")
               val expect = st.getField("expect")
-              val inWin = ts >= a.getField("ts") &&
-                ts < a.getField("ts") + windowMillis
               val advance = struct((expect + 1).as("expect"),
                 concat(st.getField("tss"), array(ts)).as("tss"),
                 concat(st.getField("exts"),
@@ -138,7 +145,7 @@ object Funnel {
                 st.getField("last_ts").as("last_ts"), lit(true).as("dead"))
               // mirror of processWindow's check order: dedup abort,
               // order abort, increase skip, advance
-              when(st.getField("dead") || !inWin, st)
+              when(st.getField("dead"), st)
                 .when(lit(modes.strictDedup) && step === expect - 1, dead)
                 .when(lit(modes.strictOrder) && step =!= expect, dead)
                 .when(lit(modes.strictIncrease) &&

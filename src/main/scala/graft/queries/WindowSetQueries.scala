@@ -1,5 +1,7 @@
 package graft.queries
 
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.types.DecimalType
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -118,11 +120,17 @@ object WindowSetQueries {
           .orderBy(col("ts").asc, col("event_id").asc)
         val running = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
         val sliding = base.rowsBetween(-2, 0)
+        // r14 perf: frame sums accumulate the 4-dp-scaled LONG (value
+        // is 4-dp-exact, machine-checked) with one exact decimal
+        // division per output — same doubles as the decimal-cast form,
+        // without a >18-precision buffer re-serialized per frame row
+        val sv = round(col("value") * 10000).cast("long")
+        def unscale(c: Column): Column =
+          (c.cast(DecimalType(28, 0)) / lit(10000)).cast("double")
         t.events
-          .withColumn("run_sum",
-            sum(dec(col("value"))).over(running).cast("double"))
+          .withColumn("run_sum", unscale(sum(sv).over(running)))
           .withColumn("slide_avg",
-            (sum(dec(col("value"))).over(sliding).cast("double") /
+            (unscale(sum(sv).over(sliding)) /
               count(lit(1)).over(sliding)))
           .withColumn("run_cnt", count(lit(1)).over(running))
           .select(col("user_id"), col("event_id"), col("run_sum"),
