@@ -123,9 +123,13 @@ object Dedup {
     // the verification join) and lazy lineage would re-tokenize for
     // each. At cluster scale this IS the PPJoin recipe — write the
     // hashed token sets out, then index/join against the stored form.
+    // SORTED distinct hashes (r14): sorting once per doc lets the
+    // verification count intersections with an allocation-free merge
+    // loop (SetExpressions.sortedIntersectCount — codegen'd) instead
+    // of a hash set per candidate pair; set semantics are unchanged.
     val toks = docs.select(col(idCol).as("id"),
-      array_distinct(transform(
-        TextFunctions.tokens(lower(col(textCol))), t => xxhash64(t)))
+      array_sort(array_distinct(transform(
+        TextFunctions.tokens(lower(col(textCol))), t => xxhash64(t))))
         .as("toks"))
       .localCheckpoint()
     val inv = toks.select(col("id"), size(col("toks")).as("sz"),
@@ -173,7 +177,8 @@ object Dedup {
       // pruning BEFORE the O(|a|+|b|) intersect runs
       .filter(least(col("sz_a"), col("sz_b")).cast("double") >=
         lit(threshold) * greatest(col("sz_a"), col("sz_b")).cast("double"))
-      .withColumn("inter", size(array_intersect(col("toks_a"), col("toks_b"))).cast("double"))
+      .withColumn("inter", graft.plans.SetExpressions
+        .sortedIntersectCount(col("toks_a"), col("toks_b")).cast("double"))
       .withColumn("uni", (col("sz_a") + col("sz_b")).cast("double") - col("inter"))
       .withColumn("jaccard", col("inter") / col("uni"))
       .filter(col("jaccard") >= threshold)
@@ -243,7 +248,8 @@ object Dedup {
       textCol: String,
       shingleSize: Int = 3): DataFrame =
     docs.select(col(idCol),
-        array_distinct(shingleHashArray(col(textCol), shingleSize)).as("sh"))
+        array_sort(array_distinct(shingleHashArray(col(textCol), shingleSize)))
+          .as("sh"))
       .filter(size(col("sh")) > 0)
 
   /** MinHash + LSH near-dup candidate pairs: band the signature, bucket
@@ -697,8 +703,14 @@ object Dedup {
     * Returns (id, n_tokens, n_removed, text_clean). */
   def substringDedup(docs: DataFrame, idCol: String, textCol: String,
       k: Int): DataFrame = {
+    // r14 perf: tokenize ONCE (two consumers — the window-hash branch
+    // and the reassembly branch — re-ran the regex split before), and
+    // shuffle the window key as the 16-byte unhex(md5) binary instead
+    // of the 32-char hex string (same 128-bit value, same collisions
+    // as the oracle's md5 — the key is internal, never output).
     val toks = docs.select(col(idCol),
-      TextFunctions.tokens(col(textCol)).as("__toks"))
+        TextFunctions.tokens(col(textCol)).as("__toks"))
+      .localCheckpoint()
     val pos = toks.select(col(idCol), col("__toks"),
         posexplode(col("__toks")).as(Seq("__pos", "__tok")))
       .withColumn("__n", size(col("__toks")))
@@ -706,8 +718,8 @@ object Dedup {
     val winHash = toks.select(col(idCol),
         posexplode(col("__toks")).as(Seq("__pos", "__tok")),
         size(col("__toks")).as("__n"),
-        md5(array_join(slice(col("__toks"), col("__pos") + 1, lit(k)), " "))
-          .as("__wh"))
+        unhex(md5(array_join(slice(col("__toks"), col("__pos") + 1, lit(k)),
+          " "))).as("__wh"))
       .filter(col("__pos") + k <= col("__n"))
       .select(col(idCol), col("__pos"), col("__wh"))
     // global first occurrence per duplicated window text
@@ -738,7 +750,8 @@ object Dedup {
 
   def lineDedup(lines: DataFrame, idCol: String, lineNoCol: String,
       lineCol: String, minDocFreq: Int, delim: String = " "): DataFrame = {
-    val h = md5(trim(lower(col(lineCol))))
+    // 16-byte binary key (internal; same 128-bit md5 value) — r14
+    val h = unhex(md5(trim(lower(col(lineCol)))))
     val withH = lines.select(
       col(idCol), col(lineNoCol), col(lineCol), h.as("__lh"))
     val frequent = withH.select(col(idCol), col("__lh")).distinct()

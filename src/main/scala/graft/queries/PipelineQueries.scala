@@ -237,9 +237,14 @@ object PipelineQueries {
             "doc_id", "text", 3)
           .withColumnRenamed("doc_id", "id")
           .filter(size(col("sh")) > 0)
-        def jac(a: Column, b: Column): Column =
-          size(array_intersect(a, b)).cast("double") /
-            size(array_union(a, b)).cast("double")
+        // r14 perf: sh arrays are SORTED distinct hashes
+        // (Dedup.shingleHashSets) — intersection via the codegen'd
+        // merge loop; |a ∪ b| = |a| + |b| − |a ∩ b|. Same values.
+        def jac(a: Column, b: Column): Column = {
+          val inter = graft.plans.SetExpressions
+            .sortedIntersectCount(a, b).cast("double")
+          inter / (size(a).cast("double") + size(b).cast("double") - inter)
+        }
         val exactHigh = shSlice.as("a").crossJoin(shSlice.as("b"))
           .filter(col("a.id") < col("b.id"))
           .filter(jac(col("a.sh"), col("b.sh")) >= 0.9)
@@ -300,9 +305,14 @@ object PipelineQueries {
             "doc_id", "text", 3)
           .withColumnRenamed("doc_id", "id")
           .filter(size(col("sh")) > 0)
-        def jac(a: Column, b: Column): Column =
-          size(array_intersect(a, b)).cast("double") /
-            size(array_union(a, b)).cast("double")
+        // r14 perf: sh arrays are SORTED distinct hashes
+        // (Dedup.shingleHashSets) — intersection via the codegen'd
+        // merge loop; |a ∪ b| = |a| + |b| − |a ∩ b|. Same values.
+        def jac(a: Column, b: Column): Column = {
+          val inter = graft.plans.SetExpressions
+            .sortedIntersectCount(a, b).cast("double")
+          inter / (size(a).cast("double") + size(b).cast("double") - inter)
+        }
         val exactHigh = shSlice.as("a").crossJoin(shSlice.as("b"))
           .filter(col("a.id") % 10 === 0 && col("b.id") % 10 =!= 0)
           .filter(jac(col("a.sh"), col("b.sh")) >= 0.9)
