@@ -50,7 +50,10 @@ object Clustering {
     import spark.implicits._
     val base = corpus.select(col(idCol).as("id"),
       transform(col(vecCol), x => x.cast("double")).as("vec"))
-      // iterated over `iterations` times — pay the scan once
+      // iterated over `iterations` times — pay the scan once.
+      // (r14 measured: per-iteration wall here is driver/stage fixed
+      // cost, not task count — a data-derived repartition before the
+      // checkpoint bought nothing and added a count + shuffle job.)
       .localCheckpoint()
 
     // deterministic seed centroids: the k smallest ids (k×dim to driver)

@@ -44,15 +44,14 @@ object Curation {
       eval_ : DataFrame, evalText: String,
       shingleSize: Int = 3, minHits: Int = 2): DataFrame = {
     val trainSh = Dedup
-      .shingleHashSets(train.select(col(trainId), col(trainText)),
+      .shingleHashStream(train.select(col(trainId), col(trainText)),
         trainId, trainText, shingleSize)
-      .select(col(trainId), explode(col("sh")).as("sh"))
     val evalSh = Dedup
-      .shingleHashSets(
+      .shingleHashStream(
         eval_.select(monotonically_increasing_id().as("__eid"),
           col(evalText)),
         "__eid", evalText, shingleSize)
-      .select(explode(col("sh")).as("sh")).distinct()
+      .select(col("sh")).distinct()
     trainSh.join(broadcast(evalSh), "sh")
       .groupBy(col(trainId))
       .agg(count(lit(1)).as("n_shared_shingles"))

@@ -252,6 +252,20 @@ object Dedup {
           .as("sh"))
       .filter(size(col("sh")) > 0)
 
+  /** Exploded (id, shingle-hash) stream — [[shingleHashSets]] for
+    * consumers that immediately explode (decontamination): per-doc
+    * distinct but UNSORTED, since a row stream has no use for the
+    * sort the set form pays for its merge-intersects (r14: the sort
+    * showed up as a measurable regression on q_decontaminate). */
+  def shingleHashStream(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 3): DataFrame =
+    docs.select(col(idCol),
+      explode(array_distinct(shingleHashArray(col(textCol), shingleSize)))
+        .as("sh"))
+
   /** MinHash + LSH near-dup candidate pairs: band the signature, bucket
     * by (band index, band hash), pair within buckets, then estimate
     * similarity as the fraction of matching signature positions.
@@ -499,9 +513,14 @@ object Dedup {
   def components(pairs: DataFrame, aCol: String = "id_a",
       bCol: String = "id_b", maxIters: Int = 25,
       driverEdgeLimit: Long = 1L << 20): DataFrame = {
-    val und = pairs.select(col(aCol).cast("long").as("src"),
-      col(bCol).cast("long").as("dst"))
-    val edges = und.union(und.select(col("dst").as("src"), col("src").as("dst")))
+    // r14 perf: materialize the CANONICAL (min,max) edge set once —
+    // half the checkpointed bytes of the old both-directions form —
+    // and probe the size gate with one limit()+collect on the
+    // checkpoint instead of a separate count() job (3 jobs → 2 on the
+    // driver path every near-dup pipeline takes at sane pair counts).
+    val canon = pairs.select(
+        least(col(aCol).cast("long"), col(bCol).cast("long")).as("src"),
+        greatest(col(aCol).cast("long"), col(bCol).cast("long")).as("dst"))
       .distinct().localCheckpoint()
     // Size-gated hybrid: a dup-pair graph is usually TINY relative to
     // the corpus (dedup pairs, not all rows). Under the bound, a
@@ -509,12 +528,12 @@ object Dedup {
     // loop overhead — the same bounded-driver-memory contract as the
     // IVF quantizer's training sample. Above it, the distributed
     // propagation below handles arbitrarily large graphs.
-    val nEdges = edges.count()
-    if (nEdges <= driverEdgeLimit) {
+    val probe = canon.limit((driverEdgeLimit + 1).toInt).collect()
+    if (probe.length <= driverEdgeLimit) {
       val spark = pairs.sparkSession
       import spark.implicits._
-      val es = edges.filter(col("src") < col("dst"))
-        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      val es = probe.filter(r => r.getLong(0) < r.getLong(1))
+        .map(r => (r.getLong(0), r.getLong(1)))
       val parent = scala.collection.mutable.Map[Long, Long]()
       def find(x: Long): Long = {
         val p = parent.getOrElseUpdate(x, x)
@@ -528,6 +547,12 @@ object Dedup {
       val nodes = es.iterator.flatMap(e => Iterator(e._1, e._2)).toSeq.distinct
       return nodes.map(n => (n, find(n))).toDF("id", "comp")
     }
+    // distributed path: mirror the canonical edges into both
+    // directions off the checkpoint (no re-distinct — min-label
+    // propagation is duplicate-insensitive, and the only duplicates
+    // are self-loops)
+    val edges = canon.union(
+      canon.select(col("dst").as("src"), col("src").as("dst")))
     // init at the NEIGHBORHOOD min, not the node id: one groupBy that
     // the first propagation round would do anyway, folded into init —
     // near-clique components (the LSH output shape) converge here, so

@@ -2448,11 +2448,18 @@ object PipelineQueries {
           numMerges = 120)
         val toks = graft.functions.Bpe.encode(col("text"), merges)
         val squeezed = regexp_replace(lower(col("text")), "\\s+", "")
+        // r14 perf: the encode expression (120-merge fold per doc) was
+        // referenced twice (size + concat_ws) and Catalyst re-evaluates
+        // per reference — bind it once per row
         t.documents.select(
-            size(toks).as("n_bpe"),
+            TextFunctions.bound(toks) { tk =>
+              struct(size(tk).as("n"),
+                (concat_ws("", tk) === squeezed).as("ok"))
+            }.as("__b"),
             size(TextFunctions.tokens(col("text"))).as("n_words"),
-            length(regexp_replace(col("text"), "\\s+", "")).as("n_chars"),
-            (concat_ws("", toks) === squeezed).as("lossless"))
+            length(regexp_replace(col("text"), "\\s+", "")).as("n_chars"))
+          .select(col("__b.n").as("n_bpe"), col("n_words"), col("n_chars"),
+            col("__b.ok").as("lossless"))
           .agg(count(lit(1)).as("n_docs"),
             sum(col("n_words")).cast("long").as("total_words"),
             sum(col("n_chars")).cast("long").as("total_chars"),

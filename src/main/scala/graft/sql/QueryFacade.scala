@@ -1683,10 +1683,14 @@ object QueryFacade {
     // no-group empty input still emits ONE null-filled row in the
     // reference (`ExprMinMaxTest.testEmptyAggregation`) — standard
     // global-aggregate semantics; grouped empty input emits none
+    // r14 perf: p0 is the rank-1 rows of __emm_src, so "p0 empty" ⟺
+    // "src empty" — counting the materialized src skips re-running a
+    // full sort + window (the subquery previously re-evaluated parent
+    // 0 end-to-end just to learn emptiness)
     val emptyGuard =
       if (keys.nonEmpty) ""
       else " UNION ALL SELECT 1 AS __emm_rn WHERE" +
-        " (SELECT COUNT(*) FROM __emm_p0) = 0"
+        " (SELECT COUNT(*) FROM __emm_src) = 0"
     val iter = s"__emm_iter AS (SELECT DISTINCT ${keySel}__emm_rn FROM (" +
       parentKeys.indices.map(p =>
         s"SELECT ${keySel}__emm_rn FROM __emm_p$p").mkString(" UNION ALL ") +
