@@ -33,8 +33,9 @@ object CorpusPipeline {
     // r14 perf: one-pass gate (token array bound once per row) —
     // identical predicate to composing tokenCount/qualityScore/langId,
     // at 1× tokenization cost instead of ~8× (TextFunctions.gatePass)
-    val gated = docs.filter(TextFunctions.gatePass(text, cfg.minTokens,
-      cfg.maxTokens, cfg.minQuality, cfg.languages))
+    val gated = Parallelism.ensure(docs, idCol)
+      .filter(TextFunctions.gatePass(text, cfg.minTokens,
+        cfg.maxTokens, cfg.minQuality, cfg.languages))
 
     // exact dedup: keep the smallest id per content hash. Cached: the
     // survivor set feeds BOTH the MinHash candidate generation and the

@@ -594,7 +594,8 @@ object Curation {
     * log_w). */
   def dsirWeightsFlagged(docs: DataFrame, idCol: String,
       targetFlag: Column, textCol: String, dim: Int): DataFrame = {
-    val ex = docs.select(col(idCol), targetFlag.as("__t"),
+    val ex = Parallelism.ensure(docs, idCol)
+      .select(col(idCol), targetFlag.as("__t"),
         explode(dsirFeatures(col(textCol), dim)).as("bucket"))
       .localCheckpoint()
     val counts = ex.groupBy(col("bucket"))

@@ -227,8 +227,9 @@ object Dedup {
       textCol: String,
       numHashes: Int = 32,
       shingleSize: Int = 3): DataFrame = {
-    val exploded = docs.select(col(idCol).as("id"),
-      explode(shingleHashArray(col(textCol), shingleSize)).as("h0"))
+    val exploded = Parallelism.ensure(docs, idCol)
+      .select(col(idCol).as("id"),
+        explode(shingleHashArray(col(textCol), shingleSize)).as("h0"))
     val mins = (0 until numHashes).map(i => min(hash64(col("h0"), i)).as(s"h$i"))
     exploded.groupBy(col("id"))
       .agg(mins.head, mins.tail: _*)
@@ -262,7 +263,7 @@ object Dedup {
       idCol: String,
       textCol: String,
       shingleSize: Int = 3): DataFrame =
-    docs.select(col(idCol),
+    Parallelism.ensure(docs, idCol).select(col(idCol),
       explode(array_distinct(shingleHashArray(col(textCol), shingleSize)))
         .as("sh"))
 

@@ -491,7 +491,7 @@ object PipelineQueries {
         // pipeline's exact-dedup stage groups by, so the count is
         // definitionally identical and the distinct shuffle carries
         // 16-byte keys, never documents.
-        val stages = docs
+        val stages = graft.operators.Parallelism.ensure(docs, "doc_id")
           .select(gateCond.as("__g"), md5(text).as("__h"))
           .agg(
             count(lit(1)).as("__n_in"),
@@ -1104,7 +1104,7 @@ object PipelineQueries {
     GQuery("q_text_langid",
       (s, dir) => {
         val t = Tables(s, dir)
-        t.documents
+        graft.operators.Parallelism.ensure(t.documents, "doc_id")
           .select(col("doc_id"), TextFunctions.langId(col("text")).as("lang_pred"))
           .orderBy(col("doc_id"))
       },
@@ -1160,7 +1160,7 @@ object PipelineQueries {
         // sub-second
         val weights = typedLit(Array.tabulate(dim)(i =>
           ((i.toLong * 2654435761L) % 2001L - 1000L) / 1000.0))
-        t.documents
+        graft.operators.Parallelism.ensure(t.documents, "doc_id")
           .select(col("doc_id"),
             r6(Curation.classifierScore(col("text"), weights, dim, -0.1))
               .as("quality"))
@@ -1268,7 +1268,8 @@ object PipelineQueries {
           transform(sequence(lit(0), nChunks - 1),
             i => concat_ws(" ", slice(w, i * 8 + 1, lit(8))))
         }
-        val lines = t.documents.select(col("doc_id"), posexplode(chunks))
+        val lines = graft.operators.Parallelism.ensure(t.documents, "doc_id")
+          .select(col("doc_id"), posexplode(chunks))
           .toDF("doc_id", "line_no", "line")
         Dedup.lineDedup(lines, "doc_id", "line_no", "line", minDocFreq = 3)
           .select(col("doc_id"), col("n_lines"), col("n_kept"),
@@ -2184,7 +2185,7 @@ object PipelineQueries {
       (s, dir) => {
         val t = Tables(s, dir)
         def cnt(c: Column) = sum(c.cast("long"))
-        t.documents
+        graft.operators.Parallelism.ensure(t.documents, "doc_id")
           .select(Curation.gopherFlags(col("text"), minWords = 10).as("g"))
           .agg(count(lit(1)).as("n_docs"),
             cnt(col("g.word_count_ok")).as("n_word_count_ok"),
@@ -2451,7 +2452,7 @@ object PipelineQueries {
         // r14 perf: the encode expression (120-merge fold per doc) was
         // referenced twice (size + concat_ws) and Catalyst re-evaluates
         // per reference — bind it once per row
-        t.documents.select(
+        graft.operators.Parallelism.ensure(t.documents, "doc_id").select(
             TextFunctions.bound(toks) { tk =>
               struct(size(tk).as("n"),
                 (concat_ws("", tk) === squeezed).as("ok"))

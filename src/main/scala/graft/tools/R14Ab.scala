@@ -205,3 +205,68 @@ object R14Ab {
     spark.stop()
   }
 }
+// appended: second-lap probes (scan-stage parallelism)
+object R14Ab2 {
+  def main(args: Array[String]): Unit = {
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master(s"local[$cpus]")
+      .withExtensions(new graft.plans.GraftExtensions)
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import org.apache.spark.sql.functions._
+    val t = graft.Tables(spark, dir)
+    val docs = t.documents
+    def time(name: String, reps: Int = 3)(f: => String): Unit = {
+      f
+      var best = Double.MaxValue; var out = ""
+      (1 to reps).foreach { _ =>
+        val t0 = System.nanoTime(); out = f
+        best = math.min(best, (System.nanoTime() - t0) / 1e9)
+      }
+      println(f"[ab2] $name%-44s ${best}%8.3f s   $out")
+    }
+    println("[ab2] docs scan partitions: " + docs.rdd.getNumPartitions)
+    val gate = graft.functions.TextFunctions.gatePass(col("text"), 5, 100000, 0.3, Set("en"))
+    time("gate-agg/as-is") {
+      docs.select(gate.as("g"), md5(col("text")).as("h"))
+        .agg(count(when(col("g"), 1)), countDistinct(when(col("g"), col("h"))))
+        .collect()(0).toString
+    }
+    time("gate-agg/repartitioned") {
+      docs.repartition(32).select(gate.as("g"), md5(col("text")).as("h"))
+        .agg(count(when(col("g"), 1)), countDistinct(when(col("g"), col("h"))))
+        .collect()(0).toString
+    }
+    time("minhash/as-is") {
+      graft.operators.Dedup.minhashSignatures(docs, "doc_id", "text", 32, 3)
+        .agg(sum(expr("aggregate(signature, 0L, (a, x) -> a ^ x) % 1000000007L"))).collect()(0).toString
+    }
+    time("minhash/repartitioned") {
+      graft.operators.Dedup.minhashSignatures(docs.repartition(32), "doc_id", "text", 32, 3)
+        .agg(sum(expr("aggregate(signature, 0L, (a, x) -> a ^ x) % 1000000007L"))).collect()(0).toString
+    }
+    // interleaved A/B of the uncertain ensure() placements: with the
+    // operators now calling ensure() internally, the "as-is" variant IS
+    // the ensure()d one; the coalesce(1) input reproduces the old
+    // single-partition shape for comparison under identical load.
+    val docs1 = docs.coalesce(1)
+    def simhashChk(d: org.apache.spark.sql.DataFrame): String =
+      graft.operators.Dedup.simhash(d, "doc_id", "text")
+        .agg(sum(expr("simhash % 1000000007L"))).collect()(0).toString
+    def unigramChk(d: org.apache.spark.sql.DataFrame): String =
+      graft.operators.Curation.unigramScore(d, "doc_id", "text")
+        .agg(sum(round(col("avg_neg_logp"), 4))).collect()(0).toString
+    for (i <- 1 to 3) {
+      time(s"simhash/ensured r$i", 2) { simhashChk(docs) }
+      time(s"simhash/1part r$i", 2) { simhashChk(docs1) }
+      time(s"unigram/ensured r$i", 2) { unigramChk(docs) }
+      time(s"unigram/1part r$i", 2) { unigramChk(docs1) }
+    }
+    spark.stop()
+  }
+}
