@@ -442,10 +442,14 @@ object PipelineQueries {
     GQuery("q_dedup_simhash",
       (s, dir) => {
         val t = Tables(s, dir)
-        val pairs = Dedup.simhashPairs(t.documents, "doc_id", "text",
-          maxDist = 3)
-        val fps = Dedup.simhash(t.documents, "doc_id", "text")
-          .filter(col("id") < 400)
+        // r14 perf: materialize the fingerprints ONCE — the banded
+        // pair join and the brute-force slice check each re-ran the
+        // full simhash aggregation (explode + 16 lane sums over the
+        // corpus) through lazy lineage
+        val fp = Dedup.simhash(t.documents, "doc_id", "text")
+          .localCheckpoint()
+        val pairs = Dedup.fingerprintPairs(fp, "id", "simhash", maxDist = 3)
+        val fps = fp.filter(col("id") < 400)
         val brute = fps.as("a").crossJoin(fps.as("b"))
           .filter(col("a.id") < col("b.id"))
           .filter(Dedup.hamming(col("a.simhash"), col("b.simhash")) <= 3)
