@@ -104,6 +104,19 @@ object Bench {
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH_LOCAL.json"), line + "\n")
     catch { case _: Throwable => }
+    // r15 (round-14 verdict directive #1, additions-only): the driver
+    // captures only a ~2000-byte stdout TAIL, which truncates the front
+    // of the ~18 KB full line above — it has NEVER parsed (parsed:null
+    // in BENCH_r01..r14). Emit a compact, tail-safe summary line LAST
+    // (~200 bytes ≪ tail window) carrying the totals and failures; the
+    // full per-query map stays on the first line and in
+    // BENCH_LOCAL.json (committed each round). Timing methodology is
+    // unchanged — this only duplicates already-computed numbers.
+    val summary =
+      s"""{"metric":"total","value":$total,"unit":"sec","n_ok":${ok.size},""" +
+        s""""n_fail":${results.size - ok.size},"failures":$fails,""" +
+        s""""loadavg":[$load0,$load1,$load2],"sf":"$sfDir"}"""
+    println(summary)
     spark.stop()
   }
 }

@@ -161,16 +161,34 @@ region_t AS (SELECT * FROM region)
         // here are ≤3-factor products of 2-dp money values, exact at 6
         // decimals, so round(x*1e6) recovers the exact scaled integer
         // (no 6-dp ties exist; fp error ≪ 0.5) and both engines run
-        // the same IEEE ops on the same text. Headroom: |per-row| ≤
-        // ~1e12 scaled, so the long sum is exact up to ~9e6 rows of
-        // max value per group at sf0.1-sf10 scales; past that ANSI
-        // mode fails loudly rather than silently wrapping.
+        // the same IEEE ops on the same text.
+        //
+        // r15 (round-14 verdict #2): the single long sum died loudly
+        // (ANSI) around SF150 — q1's biggest group at SF100 sums to
+        // ~6e18 of the 9.2e18 long range. Overflow-safe two-level
+        // form, still all-long in the aggregate buffers: split the
+        // scaled value S into hi = S div 1e9 and lo = S mod 1e9
+        // (truncated division — both engines' % truncates, and
+        // (S - S%d)/d is exact in double: |S| ≤ ~1.2e13 < 2^53 for
+        // every TPC-H sum argument, quotient ≤ ~1.2e4 integer), sum
+        // each as a long, and recombine EXACTLY in decimal(38,0):
+        // T = sum(hi)·1e9 + sum(lo). Per-row |lo| < 1e9 ⇒ lo-sum
+        // overflows only past 9.2e9 rows per group (≈ SF6000 for q1's
+        // densest group at ~1.5e6 rows/SF); per-row |hi| ≤ ~1.2e4 ⇒
+        // hi-sum is safe past SF1e8. cast(sum(hi) as decimal(28,0))
+        // keeps the multiply inside both engines' 38-digit cap
+        // (28+10 = 38; a long always fits 19 ≤ 28 digits). The final
+        // double is fl(fl(T)/1e6) — identical bit-for-bit to the r14
+        // form everywhere the r14 form didn't overflow, since both
+        // compute the correctly-rounded cast of the same exact T.
+        val s6 = s"cast(round(($arg) * 1000000) as bigint)"
+        val sumT = s"cast(cast(sum(cast((($s6) - (($s6) % 1000000000))" +
+          s" / 1000000000 as bigint)) as decimal(28,0)) * 1000000000" +
+          s" + sum(($s6) % 1000000000) as double)"
         if (isSum)
-          out.append(s"(cast(sum(cast(round(($arg) * 1000000) as bigint))" +
-            s" as double) / 1000000.0)")
+          out.append(s"($sumT / 1000000.0)")
         else
-          out.append(s"((cast(sum(cast(round(($arg) * 1000000) as bigint))" +
-            s" as double) / 1000000.0) / count($arg))")
+          out.append(s"(($sumT / 1000000.0) / count($arg))")
         i = close + 1
       } else {
         out.append(s.charAt(i))
