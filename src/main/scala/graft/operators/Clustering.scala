@@ -67,7 +67,7 @@ object Clustering {
 
     for (_ <- 0 until iterations) {
       // one pass: assign + per-(cell,dim) moments
-      val moments = assign(base, toDf(spark, centroids))
+      val moments = assignByArrays(base, centroids)
         .select(col("cell"), posexplode(col("vec")).as(Seq("dim", "x")))
         .groupBy(col("cell"), col("dim"))
         .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
@@ -87,7 +87,7 @@ object Clustering {
     }
     // final assignment against the post-update centroids
     val cdf = toDf(spark, centroids)
-    Model(assign(base, cdf), cdf, sse.result())
+    Model(assignByArrays(base, centroids), cdf, sse.result())
   }
 
   private def toDf(
@@ -98,15 +98,26 @@ object Clustering {
       .toDF("cell", "cvec")
   }
 
-  /** Nearest centroid per row: broadcast cross join + min-struct
-    * aggregate (identical plan shape to IvfIndex's assignment — the
-    * id×k expansion never shuffles, the argmin happens map-side). */
-  private def assign(base: DataFrame, centroids: DataFrame): DataFrame =
-    base.crossJoin(broadcast(centroids))
-      .withColumn("__d", l2Distance(col("vec"), col("cvec")))
-      .groupBy(col("id"))
-      .agg(min(struct(col("__d"), col("cell"))).as("__m"),
-        first(col("vec")).as("vec"))
-      .select(col("id"), col("vec"), col("__m.cell").as("cell"),
-        col("__m.__d").as("dist"))
+  /** Nearest centroid per row, fully MAP-SIDE (r15, guide §2.4):
+    * the k centroids are known driver-side every iteration, so they
+    * ride as a LITERAL array-of-arrays and the argmin is a per-row
+    * `transform` + `array_min` + first-position lookup — no k×
+    * crossJoin expansion and, crucially, no groupBy(id) exchange
+    * (the r14 shape shuffled ~(rows × vec) bytes by id once per
+    * iteration just to reduce the k candidates back to one row).
+    * Tie-break: array_position returns the FIRST index achieving the
+    * min, i.e. the lowest cell — identical to the old
+    * min(struct(dist, cell)). The distances are the same
+    * l2Distance expression over the same doubles, so every (cell,
+    * dist) is bit-identical to the join-based form. */
+  private def assignByArrays(base: DataFrame,
+      cs: Array[Array[Double]]): DataFrame = {
+    val carr = array(cs.map(c => lit(c)).toSeq: _*)
+    base
+      .withColumn("__ds", transform(carr, c => l2Distance(col("vec"), c)))
+      .withColumn("dist", array_min(col("__ds")))
+      .withColumn("cell",
+        (array_position(col("__ds"), col("dist")) - 1).cast("int"))
+      .select(col("id"), col("vec"), col("cell"), col("dist"))
+  }
 }

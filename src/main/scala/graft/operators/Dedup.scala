@@ -748,17 +748,28 @@ object Dedup {
           " "))).as("__wh"))
       .filter(col("__pos") + k <= col("__n"))
       .select(col(idCol), col("__pos"), col("__wh"))
-    // global first occurrence per duplicated window text
+    // global first occurrence per duplicated window text.
+    // r15 (round-14 verdict #3): the row_number()+count() window pair
+    // forced a full SORT of every (doc, pos, hash) row by __wh before
+    // either window ran (OpProbe: 642 ms sortTime of the 2.0 s wall at
+    // sf0.1). The first occurrence is just min(doc, pos) per hash and
+    // "non-first occurrence of a duplicated hash" needs no ranking —
+    // ONE hash aggregate (same single shuffle, no sort) collects each
+    // hash's occurrence list; array_min is the global first by
+    // (doc, pos), and every other element is a removal candidate.
+    // (doc, pos) is unique, so exactly one element equals the min —
+    // identical row set to the old rk>1 ∧ cnt>1 filter.
     val dupOccurrences = winHash
-      .withColumn("__rk", row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("__wh"))
-          .orderBy(col(idCol), col("__pos"))))
-      .withColumn("__cnt", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("__wh"))))
-      .filter(col("__cnt") > 1 && col("__rk") > 1)
+      .groupBy(col("__wh"))
+      .agg(collect_list(struct(col(idCol), col("__pos"))).as("__occ"))
+      .filter(size(col("__occ")) > 1)
+      .select(array_min(col("__occ")).as("__first"),
+        explode(col("__occ")).as("__o"))
+      .filter(col("__o") =!= col("__first"))
     val removedTokens = dupOccurrences
-      .select(col(idCol),
-        explode(sequence(col("__pos"), col("__pos") + (k - 1))).as("__pos"))
+      .select(col("__o").getField(idCol).as(idCol),
+        explode(sequence(col("__o").getField("__pos"),
+          col("__o").getField("__pos") + (k - 1))).as("__pos"))
       .distinct()
       .withColumn("__rm", lit(true))
     pos.join(removedTokens, Seq(idCol, "__pos"), "left")

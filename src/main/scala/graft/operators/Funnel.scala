@@ -104,18 +104,29 @@ object Funnel {
     val stepId = steps.zipWithIndex.foldLeft(lit(0)) {
       case (acc, (pred, i)) => when(pred, lit(i + 1)).otherwise(acc)
     }
+    // r15: the `ext` payload rides the collected struct ONLY when the
+    // caller asked for it (every other funnel query shuffled an empty
+    // string per event before), and the per-anchor fold no longer
+    // accumulates an exts array — the matched extra fields are looked
+    // up from __evts for the (single) winning window afterwards (see
+    // eventsFunctionEval), so each advance is one long-array append
+    // instead of two. Runs are identical: tss is untouched, and the
+    // matched event for step i at ts t is always the FIRST event in
+    // (ts, step, ext) order with (t, i) — events equal in (ts, step)
+    // are interchangeable for the state machine and are scanned in
+    // ext order, so the first of them triggers the transition.
+    val evtFields = Seq(tsMillis.cast("long").as("ts"),
+      col("__step").as("step")) ++
+      extra.map(e => e.cast("string").as("ext"))
     val tagged = events
       .withColumn("__step", stepId)
       .filter(col("__step") > 0)
-      .select(col(entityCol),
-        struct(tsMillis.cast("long").as("ts"), col("__step").as("step"),
-          extra.getOrElse(lit("")).cast("string").as("ext")).as("__evt"))
-    // per-anchor scan state: expected step, matched timestamps + extra
-    // fields, ts of the last advance (STRICT_INCREASE), dead flag
-    // (strict aborts — the reference's early `return maxStep`)
+      .select(col(entityCol), struct(evtFields: _*).as("__evt"))
+    // per-anchor scan state: expected step, matched timestamps, ts of
+    // the last advance (STRICT_INCREASE), dead flag (strict aborts —
+    // the reference's early `return maxStep`)
     def zero = struct(lit(1).as("expect"),
       array().cast("array<long>").as("tss"),
-      array().cast("array<string>").as("exts"),
       lit(-1L).as("last_ts"), lit(false).as("dead"))
     tagged.groupBy(entityCol)
       .agg(sort_array(collect_list(col("__evt"))).as("__evts"))
@@ -136,12 +147,9 @@ object Funnel {
               val expect = st.getField("expect")
               val advance = struct((expect + 1).as("expect"),
                 concat(st.getField("tss"), array(ts)).as("tss"),
-                concat(st.getField("exts"),
-                  array(e.getField("ext"))).as("exts"),
                 ts.as("last_ts"), lit(false).as("dead"))
               val dead = struct(expect.as("expect"),
                 st.getField("tss").as("tss"),
-                st.getField("exts").as("exts"),
                 st.getField("last_ts").as("last_ts"), lit(true).as("dead"))
               // mirror of processWindow's check order: dedup abort,
               // order abort, increase skip, advance
@@ -153,9 +161,7 @@ object Funnel {
                 .when(step === expect, advance)
                 .otherwise(st)
             },
-            st => struct(st.getField("tss").as("tss"),
-              st.getField("exts").as("exts")))))
-      .drop("__evts")
+            st => st.getField("tss"))))
   }
 
   /** FUNNELMATCHSTEP (reference `FunnelMatchStepAggregationFunction
@@ -172,12 +178,11 @@ object Funnel {
     val n = steps.size
     runs(events, entityCol, tsMillis, steps, windowMillis, modes)
       .withColumn("max_step",
-        coalesce(array_max(transform(col("__runs"),
-          r => size(r.getField("tss")))), lit(0)))
+        coalesce(array_max(transform(col("__runs"), r => size(r))), lit(0)))
       .withColumn("match_steps",
         transform(sequence(lit(1), lit(n)),
           i => when(i <= col("max_step"), 1).otherwise(0)))
-      .drop("__runs")
+      .drop("__runs", "__evts")
   }
 
   /** FUNNELSTEPDURATIONSTATS (reference
@@ -201,8 +206,7 @@ object Funnel {
       .withColumn("__tss",
         // get() (0-based) is null-safe on the empty array, unlike
         // element_at under ANSI mode
-        get(filter(col("__runs"), r => size(r.getField("tss")) === n), lit(0))
-          .getField("tss"))
+        get(filter(col("__runs"), r => size(r) === n), lit(0)))
       .filter(col("__tss").isNotNull)
       .select(col(entityCol),
         posexplode(zip_with(slice(col("__tss"), 2, n - 1),
@@ -226,7 +230,15 @@ object Funnel {
     * deterministic and SQL-mirrorable. Output: (entity, matched_csv)
     * where matched_csv joins the n matched events' extra-field values in
     * step order. Same ONE-shuffle plan as the rest of the family: the
-    * extra field rides the collected struct, the fold is pure Catalyst. */
+    * extra field rides the collected struct, the fold is pure Catalyst.
+    *
+    * r15: the fold no longer carries the exts; the winning window's
+    * matched extra fields are recovered from the sorted event array —
+    * the event that advanced step i at ts tss[i-1] is exactly the
+    * first event in (ts, step, ext) order with (tss[i-1], i): the
+    * state machine scans events in that order and events equal in
+    * (ts, step) are interchangeable for every transition, so the
+    * first of them is the one that fired (see runs()). */
   def eventsFunctionEval(
       events: DataFrame,
       entityCol: String,
@@ -239,10 +251,15 @@ object Funnel {
     runs(events, entityCol, tsMillis, steps, windowMillis, modes,
         extra = Some(extra))
       .withColumn("__win",
-        get(filter(col("__runs"), r => size(r.getField("tss")) === n), lit(0)))
+        get(filter(col("__runs"), r => size(r) === n), lit(0)))
       .filter(col("__win").isNotNull)
       .select(col(entityCol),
-        array_join(col("__win").getField("exts"), ",").as("matched_csv"))
+        array_join(
+          transform(col("__win"), (t, i) =>
+            get(filter(col("__evts"), e =>
+              e.getField("ts") === t && e.getField("step") === i + 1),
+              lit(0)).getField("ext")),
+          ",").as("matched_csv"))
   }
 
   /** Number of entities that reached each step: rows (step, n_entities). */
