@@ -626,7 +626,10 @@ object PipelineQueries {
           .withColumn("rn", row_number().over(w))
           .filter(col("rn") <= 5)
           .select(col("probe_id"), col("cid"))
-          .localCheckpoint(true) // reused by tops and hits
+          // r15: no eager materialization job — tops and hits share the
+          // window exchange via ReuseExchange (the crossJoin+cosine work
+          // below it runs once; only the tiny post-group-limit tail is
+          // duplicated)
         val tops = exactTop.groupBy(col("probe_id"))
           .agg(array_join(array_sort(collect_list(col("cid"))), ",")
             .as("exact_top5_csv"))
@@ -683,7 +686,7 @@ object PipelineQueries {
           .withColumn("rn", row_number().over(w))
           .filter(col("rn") <= 5)
           .select(col("probe_id"), col("cid"))
-          .localCheckpoint(true)
+          // r15: no eager materialization job (see q_ann_lsh note)
         val tops = exactTop.groupBy(col("probe_id"))
           .agg(array_join(array_sort(collect_list(col("cid"))), ",")
             .as("exact_top5_csv"))
@@ -741,7 +744,10 @@ object PipelineQueries {
           .withColumn("rn", row_number().over(w))
           .filter(col("rn") <= 5)
           .select(col("probe_id"), col("cid"))
-          .localCheckpoint(true) // reused by tops and hits
+          // r15: no eager materialization job — tops and hits share the
+          // window exchange via ReuseExchange (the crossJoin+cosine work
+          // below it runs once; only the tiny post-group-limit tail is
+          // duplicated)
         val tops = exactTop.groupBy(col("probe_id"))
           .agg(array_join(array_sort(collect_list(col("cid"))), ",")
             .as("exact_top5_csv"))
@@ -802,7 +808,10 @@ object PipelineQueries {
           .withColumn("rn", row_number().over(w))
           .filter(col("rn") <= 5)
           .select(col("probe_id"), col("cid"))
-          .localCheckpoint(true) // reused by tops and hits
+          // r15: no eager materialization job — tops and hits share the
+          // window exchange via ReuseExchange (the crossJoin+cosine work
+          // below it runs once; only the tiny post-group-limit tail is
+          // duplicated)
         val tops = exactTop.groupBy(col("probe_id"))
           .agg(array_join(array_sort(collect_list(col("cid"))), ",")
             .as("exact_top5_csv"))
@@ -862,7 +871,7 @@ object PipelineQueries {
           .withColumn("rn", row_number().over(w))
           .filter(col("rn") <= 5)
           .select(col("probe_id"), col("cid"))
-          .localCheckpoint(true)
+          // r15: no eager materialization job (see q_ann_lsh note)
         val tops = exactTop.groupBy(col("probe_id"))
           .agg(array_join(array_sort(collect_list(col("cid"))), ",")
             .as("exact_top5_csv"))
@@ -917,7 +926,7 @@ object PipelineQueries {
           .withColumn("rn", row_number().over(w))
           .filter(col("rn") <= 5)
           .select(col("probe_id"), col("cid"))
-          .localCheckpoint(true)
+          // r15: no eager materialization job (see q_ann_lsh note)
         val tops = exactTop.groupBy(col("probe_id"))
           .agg(array_join(array_sort(collect_list(col("cid"))), ",")
             .as("exact_top5_csv"))
@@ -973,7 +982,7 @@ object PipelineQueries {
           .withColumn("rn", row_number().over(w))
           .filter(col("rn") <= 5)
           .select(col("probe_id"), col("cid"))
-          .localCheckpoint(true)
+          // r15: no eager materialization job (see q_ann_lsh note)
         val tops = exactTop.groupBy(col("probe_id"))
           .agg(array_join(array_sort(collect_list(col("cid"))), ",")
             .as("exact_top5_csv"))
@@ -1043,7 +1052,7 @@ object PipelineQueries {
           .withColumn("rn", row_number().over(w))
           .filter(col("rn") <= 5)
           .select(col("probe_id"), col("cid"))
-          .localCheckpoint(true)
+          // r15: no eager materialization job (see q_ann_lsh note)
         val tops = exactTop.groupBy(col("probe_id"))
           .agg(array_join(array_sort(collect_list(col("cid"))), ",")
             .as("exact_top5_csv"))
