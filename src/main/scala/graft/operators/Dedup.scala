@@ -161,8 +161,13 @@ object Dedup {
       .filter(col("l.id") < col("r.id"))
       .filter(least(col("l.sz"), col("r.sz")).cast("double") >=
         lit(threshold) * greatest(col("l.sz"), col("r.sz")).cast("double"))
-      .filter(interBound >=
-        lit(threshold / (1 + threshold)) * (col("l.sz") + col("r.sz")).cast("double"))
+      // ADVICE r14: avoid the Scala-side threshold/(1+threshold)
+      // division — its extra fp rounding could in principle prune an
+      // exact-tie pair the verification would accept. The multiplied
+      // form matches the algebraic derivation with one fewer rounding:
+      // inter >= t/(1+t)·(|a|+|b|)  ⟺  inter·(1+t) >= t·(|a|+|b|).
+      .filter(interBound * lit(1 + threshold) >=
+        lit(threshold) * (col("l.sz") + col("r.sz")).cast("double"))
       .select(col("l.id").as("a"), col("r.id").as("b")).distinct()
 
     val ta = toks.select(col("id").as("a"), col("toks").as("toks_a"),
@@ -514,22 +519,25 @@ object Dedup {
   def components(pairs: DataFrame, aCol: String = "id_a",
       bCol: String = "id_b", maxIters: Int = 25,
       driverEdgeLimit: Long = 1L << 20): DataFrame = {
-    // r14 perf: materialize the CANONICAL (min,max) edge set once —
-    // half the checkpointed bytes of the old both-directions form —
-    // and probe the size gate with one limit()+collect on the
-    // checkpoint instead of a separate count() job (3 jobs → 2 on the
-    // driver path every near-dup pipeline takes at sane pair counts).
+    // r14 perf: canonical (min,max) edge set, size gate via one
+    // limit()+collect instead of a count() job.
+    // r15: the localCheckpoint moved OFF the driver path — the
+    // checkpoint materialization job only pays for itself when the
+    // distributed loop re-reads the edges across iterations; on the
+    // common driver-union-find path (every near-dup pipeline at sane
+    // pair counts) the single limit+collect IS the only consumer, so
+    // the eager materialization was a whole wasted pass over the edge
+    // pipeline. The distributed fallback checkpoints below, unchanged.
+    // ADVICE r14: clamp the Long limit before toInt — a caller passing
+    // driverEdgeLimit >= Int.MaxValue would wrap negative and break
+    // the gate.
     val canon = pairs.select(
         least(col(aCol).cast("long"), col(bCol).cast("long")).as("src"),
         greatest(col(aCol).cast("long"), col(bCol).cast("long")).as("dst"))
-      .distinct().localCheckpoint()
-    // Size-gated hybrid: a dup-pair graph is usually TINY relative to
-    // the corpus (dedup pairs, not all rows). Under the bound, a
-    // driver-side union-find replaces ~3 jobs/round of distributed
-    // loop overhead — the same bounded-driver-memory contract as the
-    // IVF quantizer's training sample. Above it, the distributed
-    // propagation below handles arbitrarily large graphs.
-    val probe = canon.limit((driverEdgeLimit + 1).toInt).collect()
+      .distinct()
+    val probe = canon
+      .limit(math.min(driverEdgeLimit + 1, Int.MaxValue.toLong).toInt)
+      .collect()
     if (probe.length <= driverEdgeLimit) {
       val spark = pairs.sparkSession
       import spark.implicits._
@@ -548,12 +556,13 @@ object Dedup {
       val nodes = es.iterator.flatMap(e => Iterator(e._1, e._2)).toSeq.distinct
       return nodes.map(n => (n, find(n))).toDF("id", "comp")
     }
-    // distributed path: mirror the canonical edges into both
-    // directions off the checkpoint (no re-distinct — min-label
-    // propagation is duplicate-insensitive, and the only duplicates
-    // are self-loops)
-    val edges = canon.union(
-      canon.select(col("dst").as("src"), col("src").as("dst")))
+    // distributed path: checkpoint the canonical edges once (they are
+    // re-read every propagation round), then mirror them into both
+    // directions (no re-distinct — min-label propagation is
+    // duplicate-insensitive, and the only duplicates are self-loops)
+    val canonCk = canon.localCheckpoint()
+    val edges = canonCk.union(
+      canonCk.select(col("dst").as("src"), col("src").as("dst")))
     // init at the NEIGHBORHOOD min, not the node id: one groupBy that
     // the first propagation round would do anyway, folded into init —
     // near-clique components (the LSH output shape) converge here, so

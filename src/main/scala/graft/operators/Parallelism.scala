@@ -19,8 +19,21 @@ import org.apache.spark.sql.functions.col
   * retries (guide §2.5). Callers must be row-order-insensitive.
   */
 object Parallelism {
+  // r15 (ADVICE r14): df.rdd.getNumPartitions forces full physical
+  // planning + RDD conversion of the input plan on EVERY operator
+  // call (minhashSignatures, shingleHashStream, dsirWeightsFlagged…
+  // call ensure() once per build). The guard's decision depends only
+  // on (canonicalized input plan, session parallelism), so memoize it
+  // for the session's lifetime — library operators probe a handful of
+  // distinct base-table plans, and the cached value is an Int. A hash
+  // collision could only flip a PERFORMANCE decision (callers are
+  // row-order-insensitive; repartition-or-not never changes results).
+  private val probed =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int), Integer]()
   def ensure(df: DataFrame, keyCol: String): DataFrame = {
     val p = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < p) df.repartition(p, col(keyCol)) else df
+    val key = (df.queryExecution.analyzed.semanticHash(), p)
+    val n = probed.computeIfAbsent(key, _ => df.rdd.getNumPartitions)
+    if (n < p) df.repartition(p, col(keyCol)) else df
   }
 }

@@ -89,6 +89,93 @@ object R15Ab {
           .mkString("|").hashCode.toString))
     }
 
+    if (section == "all" || section == "cc") {
+      // components() driver path: eager localCheckpoint of the edge
+      // set before the size-gate collect vs collecting directly
+      import graft.operators.Dedup
+      import graft.functions.TextFunctions
+      import org.apache.spark.sql.types.StringType
+      def pairsDf: DataFrame = {
+        val salted = t.documents.select(col("doc_id"),
+          array_join(transform(
+            TextFunctions.tokens(lower(col("text"))),
+            tok => concat(tok, lit("_"),
+              expr("doc_id div 25").cast(StringType))), " ").as("text"))
+        Dedup.tokenJaccardExact(salted, "doc_id", "text", threshold = 0.6)
+      }
+      def canonOf(pairs: DataFrame) = pairs.select(
+        least(col("id_a").cast("long"), col("id_b").cast("long")).as("src"),
+        greatest(col("id_a").cast("long"), col("id_b").cast("long"))
+          .as("dst")).distinct()
+      ab(3)(
+        "components/eager-ckpt+collect" -> (() => {
+          val c = canonOf(pairsDf).localCheckpoint()
+          c.limit(1 << 20).collect().length.toString
+        }),
+        "components/direct-collect" -> (() => {
+          canonOf(pairsDf).limit(1 << 20).collect().length.toString
+        }))
+    }
+
+    if (section == "scan") {
+      // single-row-group scan parallelism: raw 1-task scan+agg vs
+      // hash-repartition then parallel agg (Tables guard candidate)
+      val raw = spark.read.parquet(s"$dir/lineitem.parquet")
+      def q1(df: DataFrame): String = {
+        import graft.queries.QH.dsum
+        df.filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(dsum(col("l_quantity")).as("sq"),
+            dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+              .as("sd"),
+            count(lit(1)).as("n"))
+          .orderBy(col("l_returnflag"), col("l_linestatus"))
+          .collect().mkString("|").hashCode.toString
+      }
+      def filt(df: DataFrame): String =
+        df.filter(col("l_quantity") > 49)
+          .agg(count(lit(1))).collect()(0).toString
+      ab(4)(
+        "scan/q1-raw-1task" -> (() => q1(raw)),
+        "scan/q1-repart32" -> (() =>
+          q1(raw.repartition(32, col("l_orderkey")))),
+        "scan/filter-raw" -> (() => filt(raw)),
+        "scan/filter-repart32" -> (() =>
+          filt(raw.repartition(32, col("l_orderkey")))))
+    }
+
+    if (section == "plan") {
+      // planning-vs-execution split for a sample of queries: wall of
+      // (a) DataFrame construction (analysis + any build-time jobs),
+      // (b) physical planning (executedPlan forced), (c) execution
+      val qmap = graft.SparkEntry.queries
+      val sample = args.drop(1).headOption
+        .map(_.split(",").toSeq)
+        .getOrElse(Seq("q_tpch_01", "q_join_inner", "q_agg_distinct",
+          "q_win_rank", "q_text_langid", "q_geo_h3", "q_ts_range",
+          "q_filter_in", "q_sort_topk", "q_dedup_minhash"))
+      sample.foreach { name =>
+        qmap.get(name).foreach { fn =>
+          fn(spark, dir).collect() // warm
+          var (tb, tp, te) = (0.0, 0.0, 0.0)
+          (1 to 3).foreach { _ =>
+            val t0 = System.nanoTime()
+            val df = fn(spark, dir)
+            val t1 = System.nanoTime()
+            df.queryExecution.executedPlan
+            val t2 = System.nanoTime()
+            df.collect()
+            val t3 = System.nanoTime()
+            tb = math.max(tb, 0) + (t1 - t0) / 1e9
+            tp += (t2 - t1) / 1e9
+            te += (t3 - t2) / 1e9
+          }
+          println(f"[plan] $name%-24s build=${tb / 3}%6.3f " +
+            f"plan=${tp / 3}%6.3f exec=${te / 3}%6.3f s (avg of 3)")
+        }
+      }
+    }
+
     spark.stop()
   }
 }
