@@ -54,6 +54,11 @@ object Clustering {
       // (r14 measured: per-iteration wall here is driver/stage fixed
       // cost, not task count — a data-derived repartition before the
       // checkpoint bought nothing and added a count + shuffle job.)
+      // r15 scale audit: rows × dim × 8 B ≈ 1× the embedding corpus
+      // on executor-local disk, read `iterations`+2 times — the one
+      // checkpoint whose reuse count justifies it outright; executor
+      // loss fails the job (documented trade vs re-scanning parquet
+      // per iteration).
       .localCheckpoint()
 
     // deterministic seed centroids: the k smallest ids (k×dim to driver)

@@ -82,7 +82,16 @@ object Curation {
     // r14 perf: materialize the exploded token stream once — it feeds
     // the frequency table AND the per-doc scoring join, which each
     // re-ran the tokenizing scan before (two Generate pipelines of
-    // ~0.25 s each at sf0.1; at 100 TB one corpus scan saved)
+    // ~0.25 s each at sf0.1; at 100 TB one corpus scan saved).
+    // r15 scale audit (round-14 verdict #3): size ≈ (8 B id + avg
+    // token) per token ≈ 2-3× corpus bytes on executor-local disk —
+    // the LARGEST checkpoint in the library, and unrecoverable on
+    // executor loss (job retries instead of recomputing the lineage).
+    // The trade stands because the alternative re-runs the tokenize
+    // scan per consumer (2× CPU at every scale), but a 100 TB
+    // deployment that cannot spare ~2.5× local disk should drop this
+    // checkpoint (the operator is correct without it) or checkpoint
+    // to reliable storage.
     val toks = docs.select(col(idCol),
         explode(TextFunctions.tokens(lower(col(textCol)))).as("tok"))
       .localCheckpoint()
@@ -597,6 +606,13 @@ object Curation {
     val ex = Parallelism.ensure(docs, idCol)
       .select(col(idCol), targetFlag.as("__t"),
         explode(dsirFeatures(col(textCol), dim)).as("bucket"))
+      // r15 scale audit: (id, bool, int) per hashed uni+bigram feature
+      // ≈ 2× token count × 13 B ≈ 4-5× corpus bytes of executor-local
+      // disk, lineage cut (executor loss fails the job). Justified by
+      // replacing a second full tokenize+hash scan; at 100 TB either
+      // budget the local disk or split back into the two-pass
+      // dsirLogRatiosFlagged + dsirLogWeights form (both remain in
+      // the library and are exact-equivalent).
       .localCheckpoint()
     val counts = ex.groupBy(col("bucket"))
       .agg(count(when(col("__t"), 1)).as("__ct"), count(lit(1)).as("__cr"))

@@ -743,6 +743,12 @@ object Dedup {
     // shuffle the window key as the 16-byte unhex(md5) binary instead
     // of the 32-char hex string (same 128-bit value, same collisions
     // as the oracle's md5 — the key is internal, never output).
+    // r15 scale audit: per-doc token ARRAYS ≈ 1.2× corpus bytes on
+    // executor-local disk (arrays, not exploded rows), lineage cut.
+    // Cheapest of the three corpus-scale checkpoints and feeds two
+    // full consumers (window hashing + reassembly) that would each
+    // re-tokenize; keep, with the same 100 TB disk-budget caveat as
+    // Curation.unigramScore.
     val toks = docs.select(col(idCol),
         TextFunctions.tokens(col(textCol)).as("__toks"))
       .localCheckpoint()
