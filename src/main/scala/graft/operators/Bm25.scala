@@ -40,8 +40,13 @@ object Bm25 {
       b: Double = 0.75): DataFrame = {
     require(queries.nonEmpty)
     val terms = queries.flatMap(_._2).distinct
-    val base = docs.select(col(idCol).as("doc_id"),
-      TextFunctions.tokens(lower(col(textCol))).as("toks"))
+    // r15: scan-parallelism guard (same as the other heavy map-side
+    // text operators, r14): both the stats pass and the scoring pass
+    // tokenize every document, and on a single-row-group input they
+    // ran on ONE core each. Identity on any properly-split input.
+    val base = Parallelism.ensure(docs, idCol)
+      .select(col(idCol).as("doc_id"),
+        TextFunctions.tokens(lower(col(textCol))).as("toks"))
       .withColumn("dl", size(col("toks")).cast("double"))
 
     // one corpus pass: N, avgdl, and df for every distinct query term

@@ -92,7 +92,8 @@ object Curation {
     // deployment that cannot spare ~2.5× local disk should drop this
     // checkpoint (the operator is correct without it) or checkpoint
     // to reliable storage.
-    val toks = docs.select(col(idCol),
+    val toks = Parallelism.ensure(docs, idCol)
+      .select(col(idCol),
         explode(TextFunctions.tokens(lower(col(textCol)))).as("tok"))
       .localCheckpoint()
     val freqAll = toks.groupBy(col("tok")).agg(count(lit(1)).as("tf"))

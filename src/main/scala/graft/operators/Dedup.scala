@@ -127,7 +127,13 @@ object Dedup {
     // verification count intersections with an allocation-free merge
     // loop (SetExpressions.sortedIntersectCount — codegen'd) instead
     // of a hash set per candidate pair; set semantics are unchanged.
-    val toks = docs.select(col(idCol).as("id"),
+    // r15: scan-parallelism guard — the tokenize+hash+sort runs on the
+    // raw scan BEFORE the checkpoint, and the checkpoint inherits the
+    // scan's partitioning, so on a single-row-group input the whole
+    // prefix pipeline (and every consumer until the first exchange)
+    // was single-task. Identity on properly-split input.
+    val toks = Parallelism.ensure(docs, idCol)
+      .select(col(idCol).as("id"),
       array_sort(array_distinct(transform(
         TextFunctions.tokens(lower(col(textCol))), t => xxhash64(t))))
         .as("toks"))
@@ -749,7 +755,8 @@ object Dedup {
     // full consumers (window hashing + reassembly) that would each
     // re-tokenize; keep, with the same 100 TB disk-budget caveat as
     // Curation.unigramScore.
-    val toks = docs.select(col(idCol),
+    val toks = Parallelism.ensure(docs, idCol)
+      .select(col(idCol),
         TextFunctions.tokens(col(textCol)).as("__toks"))
       .localCheckpoint()
     val pos = toks.select(col(idCol), col("__toks"),

@@ -117,6 +117,37 @@ object R15Ab {
         }))
     }
 
+    if (section == "sub") {
+      // substringDedup prefix: tokenize+window-hash+first-occurrence
+      // aggregate, with and without the scan-parallelism guard on the
+      // tokenize (the checkpoint inherits the scan's partitioning)
+      import graft.functions.TextFunctions
+      val k = 8
+      def prefix(guard: Boolean): String = {
+        val d0 = if (guard)
+          graft.operators.Parallelism.ensure(t.documents, "doc_id")
+        else t.documents
+        val toks = d0.select(col("doc_id"),
+          TextFunctions.tokens(col("text")).as("__toks")).localCheckpoint()
+        val winHash = toks.select(col("doc_id"),
+            posexplode(col("__toks")).as(Seq("__pos", "__tok")),
+            size(col("__toks")).as("__n"),
+            unhex(md5(array_join(
+              slice(col("__toks"), col("__pos") + 1, lit(k)), " ")))
+              .as("__wh"))
+          .filter(col("__pos") + k <= col("__n"))
+          .select(col("doc_id"), col("__pos"), col("__wh"))
+        val dup = winHash.groupBy(col("__wh"))
+          .agg(collect_list(struct(col("doc_id"), col("__pos")))
+            .as("__occ"))
+          .filter(size(col("__occ")) > 1)
+        dup.agg(count(lit(1))).collect()(0).toString
+      }
+      ab(4)(
+        "substr-prefix/no-guard" -> (() => prefix(false)),
+        "substr-prefix/guarded" -> (() => prefix(true)))
+    }
+
     if (section == "scan") {
       // single-row-group scan parallelism: raw 1-task scan+agg vs
       // hash-repartition then parallel agg (Tables guard candidate)
