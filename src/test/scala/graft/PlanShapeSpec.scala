@@ -37,6 +37,13 @@ class PlanShapeSpec extends SparkSpec {
     // metrics — bounded probes (< 5 rows) crossJoin the corpus for the
     // exact-oracle side, plus the HNSW shard fan-out
     "q_ann_l2", "q_ann_dot",
+    // q_ann_lsh (r15): the same bounded-probes (5 rows) × corpus
+    // crossJoin for the exact-top-5 oracle side — it was always in
+    // the query, but the r14 eager localCheckpoint hid the subtree
+    // from the built plan; r15 removed that checkpoint (measured
+    // 1.155 → 0.740 s, ReuseExchange shares the window exchange), so
+    // the benign shape is now visible here
+    "q_ann_lsh",
     // TPC-H members whose partsupp prelude (and Q11's HAVING-vs-total)
     // carry the `(SELECT count(*) FROM supplier)` 1-row scalar
     // broadcast — the canonical benign BNLJ shape
