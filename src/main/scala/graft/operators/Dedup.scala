@@ -759,10 +759,6 @@ object Dedup {
       .select(col(idCol),
         TextFunctions.tokens(col(textCol)).as("__toks"))
       .localCheckpoint()
-    val pos = toks.select(col(idCol), col("__toks"),
-        posexplode(col("__toks")).as(Seq("__pos", "__tok")))
-      .withColumn("__n", size(col("__toks")))
-      .drop("__toks")
     val winHash = toks.select(col(idCol),
         posexplode(col("__toks")).as(Seq("__pos", "__tok")),
         size(col("__toks")).as("__n"),
@@ -788,23 +784,47 @@ object Dedup {
       .select(array_min(col("__occ")).as("__first"),
         explode(col("__occ")).as("__o"))
       .filter(col("__o") =!= col("__first"))
-    val removedTokens = dupOccurrences
+    // r15: MAP-SIDE reassembly. The old shape re-exploded every token
+    // WITH its string, broadcast-joined the removal markers, and
+    // re-collected each document through a groupBy(id) exchange + an
+    // array_sort of (pos, token) structs — shuffling the whole corpus
+    // text once just to put tokens back in the order the checkpointed
+    // arrays already hold. Instead: aggregate the removed POSITIONS to
+    // one sorted int array per affected doc (tiny — only duplicated
+    // spans), join that onto the token arrays (AQE: broadcast locally,
+    // sort-merge if the removal table ever outgrows it), and stitch
+    // text_clean from the kept SEGMENTS between removals with an
+    // indexed transform — O(n + |removals|) per doc, no fold, no
+    // quadratic append. Segment i spans [prev_removed+1, next_removed)
+    // in 0-based token positions; empty segments (adjacent removals)
+    // join to "" and are filtered before the final join, so the output
+    // string is character-identical to the old kept-token join.
+    val removedByDoc = dupOccurrences
       .select(col("__o").getField(idCol).as(idCol),
         explode(sequence(col("__o").getField("__pos"),
           col("__o").getField("__pos") + (k - 1))).as("__pos"))
       .distinct()
-      .withColumn("__rm", lit(true))
-    pos.join(removedTokens, Seq(idCol, "__pos"), "left")
       .groupBy(col(idCol))
-      .agg(
-        count(lit(1)).as("n_tokens"),
-        count(when(col("__rm"), 1)).as("n_removed"),
-        array_join(
-          transform(
-            array_sort(collect_list(when(col("__rm").isNull,
-              struct(col("__pos").as("p"), col("__tok").as("t"))))),
-            x => x("t")),
-          " ").as("text_clean"))
+      .agg(array_sort(collect_list(col("__pos"))).as("__rp"))
+    val tl = col("__toks"); val rp = col("__rp")
+    val segments = transform(sequence(lit(0), size(rp)), i => {
+      val start0 = when(i === 0, lit(0))
+        .otherwise(element_at(rp, i) + 1)
+      val end0 = when(i === size(rp), size(tl))
+        .otherwise(element_at(rp, i + 1))
+      array_join(slice(tl, start0 + 1, end0 - start0), " ")
+    })
+    toks
+      // docs with zero tokens produced no (id, pos) rows before —
+      // identical output universe
+      .filter(size(col("__toks")) > 0)
+      .join(removedByDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        size(tl).cast("long").as("n_tokens"),
+        coalesce(size(rp), lit(0)).cast("long").as("n_removed"),
+        when(rp.isNull, array_join(tl, " "))
+          .otherwise(array_join(filter(segments, s => s =!= ""), " "))
+          .as("text_clean"))
   }
 
   def lineDedup(lines: DataFrame, idCol: String, lineNoCol: String,
