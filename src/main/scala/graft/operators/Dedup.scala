@@ -376,7 +376,11 @@ object Dedup {
     * bit j is set iff ones_j * 2 > n (vote = 2*ones - n > 0). Never
     * builds a 64-wide HOF tree per row. */
   def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val exploded = docs.select(col(idCol).as("id"),
+    // r15: scan-parallelism guard — tokenize + explode + the 16-lane
+    // partial sums below all run inside the scan stage, single-task on
+    // a single-row-group input (identity on properly-split input)
+    val exploded = Parallelism.ensure(docs, idCol)
+      .select(col(idCol).as("id"),
         explode(TextFunctions.tokenSet(col(textCol))).as("tok"))
       .select(col("id"), xxhash64(col("tok")).as("h"))
     // lane packing: 4 bit-counters per long in 16-bit lanes — 16 sum

@@ -148,6 +148,42 @@ object R15Ab {
         "substr-prefix/guarded" -> (() => prefix(true)))
     }
 
+    if (section == "dig") {
+      // sketch-build aggregates over the 1-task scan: as-is vs
+      // narrow-projected repartition (ReuseExchange shares the shuffle
+      // between the direct and remerge branches)
+      def tdQuery(guard: Boolean): String = {
+        val base0 = t.lineitem.select(col("l_returnflag"),
+          col("l_linestatus"), col("l_quantity"), col("l_orderkey"))
+        val base = if (guard)
+          graft.operators.Parallelism.ensure(base0, "l_orderkey")
+        else base0
+        val direct = base.groupBy(col("l_returnflag"))
+          .agg(graft.plans.TDigestSketch
+              .percentileTDigest(col("l_quantity"), 50.0).as("est_direct"),
+            graft.queries.QH.r4(expr("percentile(l_quantity, 0.5)"))
+              .as("exact_p50"))
+        val merged = base
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(graft.plans.TDigestSketch.tdigestState(col("l_quantity"))
+            .as("blob"))
+          .groupBy(col("l_returnflag"))
+          .agg(graft.plans.TDigestSketch
+            .tdigestMergePercentile(col("blob"), 50.0).as("est_merged"))
+        direct.join(merged, "l_returnflag")
+          .select(col("l_returnflag"), col("exact_p50"),
+            (abs(col("est_direct") - col("exact_p50")) <= 2.0)
+              .as("direct_ok"),
+            (abs(col("est_merged") - col("exact_p50")) <= 2.0)
+              .as("merged_ok"))
+          .orderBy(col("l_returnflag"))
+          .collect().mkString("|")
+      }
+      ab(4)(
+        "tdigest/as-is" -> (() => tdQuery(false)),
+        "tdigest/guarded" -> (() => tdQuery(true)))
+    }
+
     if (section == "scan") {
       // single-row-group scan parallelism: raw 1-task scan+agg vs
       // hash-repartition then parallel agg (Tables guard candidate)
