@@ -1576,19 +1576,54 @@ object QueryFacade {
           s"`expr$kind(${args.map(_.replaceAll("\\s+", "")).mkString(",")})`")))
     }
 
+    // r15: the rank-1 tie block is computed by CHAINED PER-MEASURE
+    // MIN/MAX joins instead of a RANK() window. Each level is a plain
+    // scalar hash aggregate (map-side partials, NO sort — unlike both
+    // the rank group-limit chain, which fully sorts the source, and a
+    // min(named_struct) aggregate, whose struct buffer falls back to
+    // SortAggregate: both measured and rejected this round) plus a
+    // null-safe equi-join back; level k+1 runs on level k's tie
+    // survivors only, so trailing measures cost next to nothing.
+    // Interleaved same-JVM A/B: grouped single-call 1.134 → 0.476 s,
+    // global 2-parent mixed 1.650 → 0.820 s, identical results.
+    // Null semantics mirror the rank form exactly: ASC ranks nulls
+    // FIRST, so for exprmin a level's survivors are the null-measure
+    // rows when any exist (flag = MAX(m IS NULL)); DESC ranks nulls
+    // LAST, so for exprmax nulls survive only when ALL rows are null
+    // (flag = MIN(m IS NULL)). The join matches the flag null-safely
+    // and the value against IF(flag, NULL, extremum) — NaN equality
+    // and ordering agree between aggregates and <=> in Spark.
+    def tieChain(src: String, kind: String, measures: Seq[String],
+        pfx: String): String = {
+      val agg = if (kind == "max") "MAX" else "MIN"
+      val flagAgg = if (kind == "max") "MIN" else "MAX"
+      measures.zipWithIndex.foldLeft(src) { case (cur, (m, i)) =>
+        val s = s"${pfx}s$i"; val g = s"${pfx}g$i"
+        val mSel = (keys.zipWithIndex.map { case (k, j) =>
+          s"$k AS ${pfx}k$j" } ++
+          Seq(s"$flagAgg(CAST(($m) IS NULL AS INT)) AS ${pfx}hn",
+            s"$agg($m) AS ${pfx}v")).mkString(", ")
+        val groupBy =
+          if (keys.isEmpty) "" else s" GROUP BY ${keys.mkString(", ")}"
+        val on = (keys.zipWithIndex.map { case (k, j) =>
+          s"$s.$k <=> $g.${pfx}k$j" } ++
+          Seq(s"CAST(($m) IS NULL AS INT) <=> $g.${pfx}hn",
+            s"($m) <=> IF($g.${pfx}hn = 1, NULL, $g.${pfx}v)"))
+          .mkString(" AND ")
+        s"(SELECT $s.* FROM $cur $s JOIN " +
+          s"(SELECT $mSel FROM $cur$groupBy) $g ON $on)"
+      }
+    }
+
     if (exprItems.size == 1 && others.isEmpty) {
-      // single-call shape: one windowed RANK, no joins
+      // single-call shape: one chained-min tie block, no spine
       val (kind, ret, measures, alias) =
         callParts(exprItems.head._2).getOrElse(return stmt)
-      val dir = if (kind == "max") "DESC" else "ASC"
-      val partition =
-        if (keys.isEmpty) "" else s"PARTITION BY ${keys.mkString(", ")} "
-      val order = measures.map(x => s"($x) $dir").mkString(", ")
       val keySel = if (keys.isEmpty) "" else keys.mkString(", ") + ", "
-      return s"SELECT ${keySel}__ret AS $alias FROM (" +
-        s"SELECT $keySel($ret) AS __ret, " +
-        s"RANK() OVER (${partition}ORDER BY $order) AS __rk FROM $table$whereC" +
-        s") WHERE __rk = 1$orderC$limitC"
+      val tie = tieChain(s"(SELECT * FROM $table$whereC)", kind,
+        measures, "__emm_x_")
+      return s"SELECT ${keySel}($ret) AS $alias FROM $tie __emm_t" +
+        s"$orderC$limitC"
     }
 
     // MIXED shape — several exprMin/exprMax calls and/or sibling
@@ -1659,26 +1694,22 @@ object QueryFacade {
       s" AS __emm_ord FROM $table$whereC)"
     val parentCtes = parentKeys.zipWithIndex.map { case ((kind, _), p) =>
       val c = calls.find(x => parentOf(x.text) == p).get
-      val dir = if (kind == "max") "DESC" else "ASC"
-      val order = c.measures.map(x => s"($x) $dir").mkString(", ")
       val projCols = projsOf(p).zipWithIndex.map { case (pr, j) =>
         s"(${projText((p, pr))}) AS __emm_p${p}c$j" }.mkString(", ")
       val projNames = projsOf(p).indices.map(j => s"__emm_p${p}c$j")
         .mkString(", ")
-      // the block row-number runs AFTER the rank filter: stacking it
-      // beside RANK() with a different ORDER BY (measures + __emm_ord)
-      // defeated InferWindowGroupLimit — the rank filter no longer sat
-      // directly above the rank window, so every parent sorted the
-      // FULL source in one partition (measured 80 s vs 0.35 s at 15M
-      // rows, round-11 probe). Rank-1 rows are tied on the whole
-      // measure list by definition, so ordering survivors by
-      // __emm_ord alone is equivalent to (measures, __emm_ord).
+      // the parent's tie block comes from the chained-min joins (see
+      // tieChain above — r15; the r11-r14 RANK() group-limit form and
+      // its full partial sort are gone). The block row-number is
+      // unchanged: tie rows are equal on the whole measure list by
+      // definition, so ordering survivors by __emm_ord alone is
+      // equivalent to (measures, __emm_ord).
+      val tie = tieChain("__emm_src", kind, c.measures, s"__emm_x${p}_")
       s"__emm_p$p AS (SELECT $keySel$projNames, " +
         s"ROW_NUMBER() OVER (${partition}ORDER BY __emm_ord)" +
         s" AS __emm_rn FROM (" +
-        s"SELECT $keySel$projCols, __emm_ord, " +
-        s"RANK() OVER (${partition}ORDER BY $order) AS __emm_rk" +
-        s" FROM __emm_src) WHERE __emm_rk = 1)"
+        s"SELECT $keySel$projCols, __emm_ord" +
+        s" FROM $tie __emm_t$p))"
     }
     // no-group empty input still emits ONE null-filled row in the
     // reference (`ExprMinMaxTest.testEmptyAggregation`) — standard

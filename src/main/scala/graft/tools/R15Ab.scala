@@ -148,6 +148,52 @@ object R15Ab {
         "substr-prefix/guarded" -> (() => prefix(true)))
     }
 
+    if (section == "emm") {
+      // exprMinMax: current facade emission vs hand-built chained
+      // per-measure MIN (hash-aggregatable; level k+1 runs on level
+      // k's tie survivors only). Grouped single-call and global mixed
+      // shapes, matching q_agg_exprminmax / q_agg_exprminmax_neartie.
+      graft.sql.QueryFacade.init(spark, dir)
+      def facadeGrouped(): String = graft.sql.QueryFacade.sql(spark,
+        """SET explicitLimit = true;
+           SELECT l_returnflag, count(*), exprmin(l_orderkey, l_extendedprice)
+           FROM lineitem GROUP BY l_returnflag""")
+        .collect().sortBy(_.toString).mkString("|").hashCode.toString
+      def chainGrouped(): String = spark.sql(
+        """SELECT t.l_returnflag, m.__n, t.l_orderkey
+           FROM lineitem t JOIN (
+             SELECT l_returnflag AS __k, count(*) AS __n,
+                    MIN(l_extendedprice) AS __v
+             FROM lineitem GROUP BY l_returnflag) m
+           ON t.l_returnflag <=> m.__k AND t.l_extendedprice <=> m.__v""")
+        .collect().sortBy(_.toString).mkString("|").hashCode.toString
+      def facadeNeartie(): String = graft.sql.QueryFacade.sql(spark,
+        """SET explicitLimit = true;
+           SELECT sum(l_quantity) AS sum_qty,
+             exprmin(l_orderkey, l_quantity, l_extendedprice),
+             exprmin(l_partkey, l_extendedprice)
+           FROM lineitem""")
+        .collect().sortBy(_.toString).mkString("|").hashCode.toString
+      def chainNeartie(): String = spark.sql(
+        """WITH m0a AS (SELECT MIN(l_quantity) AS v FROM lineitem),
+          f0 AS (SELECT l_orderkey, l_extendedprice FROM lineitem, m0a
+                 WHERE l_quantity <=> m0a.v),
+          m0b AS (SELECT MIN(l_extendedprice) AS v FROM f0),
+          p0 AS (SELECT l_orderkey FROM f0, m0b
+                 WHERE l_extendedprice <=> m0b.v),
+          m1 AS (SELECT MIN(l_extendedprice) AS v FROM lineitem),
+          p1 AS (SELECT l_partkey FROM lineitem, m1
+                 WHERE l_extendedprice <=> m1.v),
+          b AS (SELECT sum(l_quantity) AS s FROM lineitem)
+          SELECT b.s, p0.l_orderkey, p1.l_partkey FROM b, p0, p1""")
+        .collect().sortBy(_.toString).mkString("|").hashCode.toString
+      ab(4)(
+        "emm-grouped/facade-rank" -> (() => facadeGrouped()),
+        "emm-grouped/chained-min" -> (() => chainGrouped()),
+        "emm-neartie/facade-rank" -> (() => facadeNeartie()),
+        "emm-neartie/chained-min" -> (() => chainNeartie()))
+    }
+
     if (section == "dig") {
       // sketch-build aggregates over the 1-task scan: as-is vs
       // narrow-projected repartition (ReuseExchange shares the shuffle
